@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Query selection covers every engine subsystem: the wide hash aggregate
+(q1), join pyramid (q3/q5), windows/sessionization, the hypermap decode
++ M1-M9 fold, MinHash-LSH dedup, and ANN top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from hypermap_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from hypermap_etl_spark.plans.doc_queries import doc_minhash_pairs, emb_ann_topk
+    from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip, hm_entries
+    from hypermap_etl_spark.plans.star_queries import (
+        events_sessions,
+        q1_pricing_summary,
+        q3_shipping_priority,
+        q5_region_revenue,
+    )
+
+    bench = {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "events_sessions": events_sessions,
+        "hm_decode_roundtrip": hm_decode_roundtrip,
+        "hm_entries": hm_entries,
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "emb_ann_topk": emb_ann_topk,
+    }
+
+    spark = get_spark("hypermap-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers once so timings measure the queries
+    q1_pricing_summary(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

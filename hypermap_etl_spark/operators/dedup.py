@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines (north-star set).
+
+Five families, each designed scale-first:
+
+  exact           md5-keyed hash groupBy — one shuffle on a uniform key
+  ngram-jaccard   EXACT pairwise Jaccard via the shingle inverted-index
+                  join (never a cross join): |pairs| work is bounded by
+                  shared-shingle co-occurrence, the standard
+                  near-dup-mining shape at corpus scale
+  minhash+LSH     128-perm signatures as ONE wide aggregate (map-side
+                  partial agg, no row blowup), banded into buckets, then
+                  candidates exact-verified. With b=32 bands × r=4 rows,
+                  P(miss | J≥0.8) ≤ (1-0.8⁴)³² ≈ 5e-8 — so verified
+                  output equals exact output, which is what the DuckDB
+                  oracle checks.
+  simhash         64-bit md5-derived signature via per-bit vote
+                  aggregation; hamming-ball candidates + exact verify
+  embedding       cosine near-dup pairs over `embeddings` (see
+                  similarity.py for the kernels)
+
+Everything below is built-in expressions (xxhash64/md5/HOFs) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.textstats import word_shingles
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical text.
+
+    groupBy on md5(text) — a 128-bit uniform key, so no skew at any
+    scale; the full text never shuffles (only hash + id).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups only (n_copies > 1) with representative id."""
+    return exact_dedup(docs, text_col, id_col).filter(F.col("n_copies") > 1)
+
+
+# -------------------------------------------------- exact n-gram Jaccard ----
+
+def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted index with distinct shingles per doc."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold without a cross join.
+
+    inverted index self-join on shingle → per-pair intersection counts →
+    |A∪B| = |A|+|B|−|A∩B|. Work is proportional to co-occurring shingle
+    pairs, not |docs|²; hot shingles can be capped (see min_doc_freq
+    pruning) at extreme scale.
+    """
+    sh = shingle_index(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- MinHash LSH ----
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_col: str = "text") -> DataFrame:
+    """num_perm MinHash values per doc as ONE wide aggregate.
+
+    h_i(s) = xxhash64(i, s); signature_i = min over shingles. A single
+    groupBy pass with num_perm min() aggregates — map-side partial
+    aggregation, no num_perm-fold row blowup.
+    """
+    sh = shingle_index(docs, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band."""
+    rows = num_perm // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    return (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates, exact-verified: returns (doc_a, doc_b, jaccard).
+
+    Verification joins each candidate pair back to its (small) distinct
+    shingle arrays and computes exact Jaccard with array built-ins —
+    O(candidates), not O(pairs).
+    """
+    cands = lsh_candidate_pairs(minhash_signatures(docs, num_perm, n, text_col), num_perm, bands)
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("shs")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+        / F.size(F.array_union(F.col("sa.shs"), F.col("sb.shs"))),
+        6,
+    )
+    return (
+        cands.join(sets_df.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets_df.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash ----
+
+def _md5_half_bits(col: Column, offset: int) -> Column:
+    """32 bits of md5(col) as a long: hex chars [offset, offset+8)."""
+    return F.conv(F.substring(F.md5(col), offset + 1, 8), 16, 10).cast("long")
+
+
+def simhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (hi, lo), md5-derived.
+
+    Per shingle, bit k of each half comes from md5's hex; per doc, bit k
+    of the signature is the sign of the vote sum. 64 conditional-sum
+    aggregates in one groupBy pass — wide but map-combinable, and every
+    expression is engine-replicable (md5 + substring + conv + bit ops)
+    so an independent SQL oracle can reproduce it exactly.
+    """
+    sh = shingle_index(docs, text_col, n)
+    hi = _md5_half_bits(F.col("sh"), 0)
+    lo = _md5_half_bits(F.col("sh"), 8)
+
+    def votes(half: Column, prefix: str):
+        return [
+            F.sum(
+                F.when(half.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
+            ).alias(f"{prefix}{k}")
+            for k in range(32)
+        ]
+
+    voted = sh.groupBy("doc_id").agg(*votes(hi, "h"), *votes(lo, "l"))
+
+    def pack(prefix: str) -> Column:
+        bits = [
+            F.when(F.col(f"{prefix}{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(32)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out.cast("long")
+
+    return voted.select("doc_id", pack("h").alias("simhash_hi"), pack("l").alias("simhash_lo"))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash candidate generation + exact Jaccard verification.
+
+    Blocking on the 4 16-bit signature chunks is COMPLETE for
+    max_hamming ≤ 3 (pigeonhole: 4 chunks cannot all differ when only 3
+    bits differ), so the output is exactly
+    {pairs : hamming ≤ max_hamming ∧ jaccard ≥ threshold} —
+    deterministic, which is what the oracle checks. For a
+    recall-oriented near-dup miner raise max_hamming (blocking then
+    becomes heuristic) or use minhash_dedup_pairs.
+    """
+    sigs = simhash_signatures(docs, n, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash_hi" if c < 2 else "simhash_lo"), (c % 2) * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash_hi", "simhash_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+
+    ham = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+
+    cands = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("shs")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+        / F.size(F.array_union(F.col("sa.shs"), F.col("sb.shs"))),
+        6,
+    )
+    return (
+        cands.join(sets_df.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets_df.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,213 @@
+"""M1-M9: event log → materialized entry state (SURVEY.md §2.9).
+
+The reference folds events sequentially into MongoDB documents
+(/root/reference/src/lib/services/mongodb.ts:113-270). The Spark-first
+rebuild recomputes the same state as a *pure function of the event log*
+with keyed aggregates — deterministic, order-insensitive at the row
+level (order is encoded in the aggregates via (blockNumber, logIndex)),
+and embarrassingly parallel:
+
+  M1 first-Mint-wins identity   → min_by(struct(...), (block, logIdx))
+  M2 children set               → collect_set per parent
+  M3 placeholder parents        → anti-join minted parents vs children
+  M4/M5 facts/notes last-write  → max_by per (entry, label) → map
+  M6 gene last-write            → max_by per entry
+  M7 owner last-write           → max_by per id (canonical hex — fixes
+                                  the reference's dead-code decimal-vs-
+                                  hex mismatch, SURVEY.md §7.4.4)
+  M8 lastUpdateBlock            → max(block) over applied touches
+  M9 error isolation            → null-safe exprs; bad rows quarantined
+
+Deliberate, documented divergences from the reference (SURVEY.md §7.4):
+  - placeholder/label races and Fact/Note drops are evaluated against
+    the FINAL entry set, not chunk-boundary state — the reference's
+    behavior is path-dependent on chunk size, ours is deterministic.
+
+Scale: every aggregate/join here is keyed on a 32-byte hash with
+near-uniform distribution (keccak output) — no skew; all shuffles are on
+the same key family so AQE reuses exchange where possible. No Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.constants import ROOT_HASH
+from hypermap_etl_spark.schemas import ENTRY_SCHEMA
+
+def _ord():
+    return F.struct(F.col("blockNumber"), F.col("logIndex"))
+
+
+def _first_by_order(col, name):
+    return F.min_by(col, _ord()).alias(name)
+
+
+def _last_by_order(col, name):
+    return F.max_by(col, _ord()).alias(name)
+
+
+def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFrame:
+    """Recompute the full entries table from the decoded event log."""
+    ev = events.select(
+        "eventType", "blockNumber", "logIndex", "parenthash", "childhash",
+        F.coalesce(F.col("label"), F.lit("")).alias("label"),
+        "data", "entry", "gene", "to", "id",
+    )
+
+    mints = ev.filter((F.col("eventType") == "Mint") & F.col("childhash").isNotNull())
+
+    # M1: first Mint wins the identity fields (mongodb.ts:166-183 $setOnInsert)
+    # a repeat Mint of the same childhash still bumps lastUpdateBlock
+    # (M1's $set at mongodb.ts:179 runs on every event) → track max too
+    minted = mints.groupBy(F.col("childhash").alias("namehash")).agg(
+        _first_by_order(F.col("label"), "label"),
+        _first_by_order(F.col("parenthash"), "parentHash"),
+        F.min("blockNumber").alias("creationBlock"),
+        F.max("blockNumber").alias("__touch_mint"),
+    )
+
+    # M3: parents referenced by a Mint but never themselves minted become
+    # placeholders rooted at ROOT_HASH (mongodb.ts:151-163)
+    placeholders = (
+        mints.filter(F.col("parenthash").isNotNull() & (F.col("parenthash") != root_hash))
+        .groupBy(F.col("parenthash").alias("namehash"))
+        .agg(F.min("blockNumber").alias("creationBlock"))
+        .join(minted.select("namehash"), "namehash", "left_anti")
+        .select(
+            "namehash",
+            F.lit("[unknown]").alias("label"),
+            F.lit(root_hash).alias("parentHash"),
+            "creationBlock",
+        )
+    )
+
+    entries_base = minted.select(
+        "namehash", "label", "parentHash", "creationBlock", "__touch_mint"
+    ).unionByName(placeholders.withColumn("__touch_mint", F.col("creationBlock")))
+    known = entries_base.select("namehash")
+
+    # M2: children = set of minted childhashes per parent (mongodb.ts:186-194
+    # $addToSet); sorted for deterministic output
+    children = (
+        mints.filter(F.col("parenthash").isNotNull())
+        .groupBy(F.col("parenthash").alias("namehash"))
+        .agg(
+            F.array_sort(F.collect_set("childhash")).alias("children"),
+            F.max("blockNumber").alias("__touch_children"),
+        )
+        .join(known, "namehash", "left_semi")
+    )
+
+    def last_write_map(event_type: str, out_name: str) -> DataFrame:
+        # M4/M5: per (entry,label) last write wins → map (mongodb.ts:198-239);
+        # Fact/Note to unknown entries dropped (join vs final entry set)
+        rows = ev.filter(F.col("eventType") == event_type).join(
+            known.withColumnRenamed("namehash", "parenthash"), "parenthash", "left_semi"
+        )
+        last = rows.groupBy("parenthash", "label").agg(
+            _last_by_order(F.col("data"), "data"),
+            F.max("blockNumber").alias("__b"),
+        )
+        return last.groupBy(F.col("parenthash").alias("namehash")).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("label", "data")))
+            ).alias(out_name),
+            F.max("__b").alias(f"__touch_{out_name}"),
+        )
+
+    facts = last_write_map("Fact", "facts")
+    notes = last_write_map("Note", "notes")
+
+    # M6: gene last-write-wins per entry (mongodb.ts:242-253)
+    genes = (
+        ev.filter((F.col("eventType") == "Gene") & F.col("entry").isNotNull())
+        .join(known.withColumnRenamed("namehash", "entry"), "entry", "left_semi")
+        .groupBy(F.col("entry").alias("namehash"))
+        .agg(_last_by_order(F.col("gene"), "gene"), F.max("blockNumber").alias("__touch_gene"))
+    )
+
+    # M7: owner = last Transfer.to where id (canonical hex) is a namehash
+    # (mongodb.ts:256-270; id canonicalization per SURVEY §7.4.4)
+    owners = (
+        ev.filter((F.col("eventType") == "Transfer") & F.col("id").isNotNull())
+        .join(known.withColumnRenamed("namehash", "id"), "id", "left_semi")
+        .groupBy(F.col("id").alias("namehash"))
+        .agg(_last_by_order(F.col("to"), "owner"), F.max("blockNumber").alias("__touch_owner"))
+    )
+
+    out = (
+        entries_base.join(children, "namehash", "left")
+        .join(facts, "namehash", "left")
+        .join(notes, "namehash", "left")
+        .join(genes, "namehash", "left")
+        .join(owners, "namehash", "left")
+    )
+
+    # M8: lastUpdateBlock = max over creation + every applied touch
+    # (mongodb.ts:179,191,214,235,250,266)
+    last_update = F.greatest(
+        F.col("creationBlock"),
+        F.col("__touch_mint"),
+        F.col("__touch_children"),
+        F.col("__touch_facts"),
+        F.col("__touch_notes"),
+        F.col("__touch_gene"),
+        F.col("__touch_owner"),
+    )
+
+    empty_map = F.map_from_entries(F.array().cast("array<struct<label:string,data:string>>"))
+    return out.select(
+        "namehash",
+        "label",
+        "parentHash",
+        F.lit(None).cast("string").alias("fullName"),
+        "owner",
+        "gene",
+        F.coalesce(F.col("notes"), empty_map).alias("notes"),
+        F.coalesce(F.col("facts"), empty_map).alias("facts"),
+        F.coalesce(F.col("children"), F.array().cast("array<string>")).alias("children"),
+        "creationBlock",
+        last_update.alias("lastUpdateBlock"),
+    )
+
+
+def quarantine_bad_events(events: DataFrame) -> DataFrame:
+    """M9: rows that cannot participate in the fold (missing required keys)
+    — the Spark analog of the reference's per-event try/catch skip
+    (mongodb.ts:140-143)."""
+    et = F.col("eventType")
+    bad = (
+        ((et == "Mint") & F.col("childhash").isNull())
+        | (et.isin("Fact", "Note") & F.col("parenthash").isNull())
+        | ((et == "Gene") & F.col("entry").isNull())
+        | ((et == "Transfer") & F.col("id").isNull())
+    )
+    return events.filter(bad)
+
+
+def entries_flat(entries: DataFrame) -> DataFrame:
+    """Scalar projection of the entries table for engine-agnostic
+    comparison: maps/arrays rendered as deterministic sorted strings."""
+    kv = lambda m: F.array_join(  # noqa: E731
+        F.array_sort(
+            F.transform(
+                F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"])
+            )
+        ),
+        ";",
+    )
+    return entries.select(
+        "namehash",
+        "label",
+        "parentHash",
+        "owner",
+        "gene",
+        kv(F.col("notes")).alias("notes_kv"),
+        kv(F.col("facts")).alias("facts_kv"),
+        F.array_join(F.col("children"), ";").alias("children_list"),
+        F.size(F.col("children")).alias("n_children"),
+        "creationBlock",
+        "lastUpdateBlock",
+    )

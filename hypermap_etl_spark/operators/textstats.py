@@ -1,0 +1,141 @@
+"""Text analysis operators for training-data pipelines (north-star set).
+
+All pure built-in column expressions (split/transform/aggregate/filter
+HOFs, regexp, md5) — JVM-side, whole-stage codegen, zero Python on the
+hot path. Each op is deterministic and engine-replicable so the DuckDB
+oracle can verify it bit-for-bit:
+
+  token counting      whitespace + regex tokenizations
+  quality scoring     length/punct/stopword/word-length signals
+  language ID         marker-word counting via replace-length trick
+                      (identical semantics in any SQL engine; no regex
+                      dialect dependence)
+  fingerprinting      md5 full-text + min-md5 over word shingles
+                      (winnowing-style document signature)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+# marker words per language for the n-gram/stopword language heuristic;
+# counted with the replace-length trick so Spark and any oracle engine
+# agree exactly. Tie-break = the CASE order below (en first).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " und ", " die ", " das "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " que ", " y "],
+    "zh": ["的", "是", "了"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization on the single-space separator (identical to
+    SQL string_split semantics, empty tokens preserved)."""
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when fewer than n words.
+
+    Guarded because Spark's sequence(1, 0) would generate a descending
+    sequence instead of an empty one.
+    """
+    ws = words(text)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def count_occurrences(text: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count of a literal marker:
+    (len(t) - len(replace(t, m, ''))) / len(m). Deterministic and
+    regex-free; identical in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts (whitespace + BPE-ish regex), char count, word lengths."""
+    t = F.lower(F.col(text_col))
+    ws = F.filter(words(t), lambda w: w != F.lit(""))
+    regex_tokens = F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0)
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+        F.size(ws).cast("long").alias("n_tokens_ws"),
+        F.size(regex_tokens).cast("long").alias("n_tokens_re"),
+        F.round(
+            F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+            / F.greatest(F.size(ws), F.lit(1)),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score from length, punctuation and stopword
+    ratios — the standard pretraining-corpus filters, as one projection."""
+    t = F.lower(F.col(text_col))
+    ws = F.filter(words(t), lambda w: w != F.lit(""))
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(t, r"[a-z0-9 ]", ""))
+    word_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
+    len_signal = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(word_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.lit(0.4) * len_signal + F.lit(0.4) * word_ratio + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language detection with deterministic tie-break
+    (LANG_ORDER). Returns per-language scores + predicted language."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (count_occurrences(padded, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    # build the CASE in reverse so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key) and
+    min-md5 over word shingles (winnowing-style near-dup signature)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    sh = word_shingles(F.lower(F.col(text_col)), shingle_n)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_exact"),
+        F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("")).alias("fp_shingle"),
+    )

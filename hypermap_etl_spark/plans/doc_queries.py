@@ -1,0 +1,357 @@
+"""Driver-gate queries for the LLM-data-pipeline operators:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search, and text analysis over the `documents` / `embeddings` tables.
+
+Oracle philosophy per family:
+  - text stats / langid / fingerprints / simhash: the oracle reproduces
+    the exact formula independently in DuckDB SQL (md5/replace/regexp
+    semantics chosen to be engine-identical).
+  - ngram/minhash/simhash PAIR mining: the oracle is the EXACT
+    quadratic all-pairs Jaccard; the Spark side uses the scalable
+    candidate-generation path + exact verification, which equals the
+    exact answer when candidate recall is 1 (P(miss) ≈ 5e-8 for the
+    configured bands at J≥0.8 — see operators/dedup.py).
+  - embeddings: exact cosine with deterministic rounding + tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators import dedup, similarity, textstats
+from hypermap_etl_spark.sources.tables import load_table
+
+_SHINGLES_SQL = (
+    "CASE WHEN len(string_split(t, ' ')) >= 3 THEN "
+    "list_transform(range(1, len(string_split(t, ' ')) - 1), "
+    "i -> array_to_string(list_slice(string_split(t, ' '), i, i + 2), ' ')) "
+    "ELSE [] END"
+)
+
+_EXACT_PAIRS_SQL = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(c / (x.n + y.n - c), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE ROUND(c / (x.n + y.n - c), 6) >= 0.8
+"""
+
+
+# ------------------------------------------------------------ text stats ----
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lower(text) AS t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  length(t) AS n_chars_measured,
+  len(ws) AS n_tokens_ws,
+  len(regexp_extract_all(t, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_tokens_re,
+  ROUND(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) / greatest(len(ws), 1), 6)
+    AS avg_word_len
+FROM w
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+QUALITY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lower(text) AS t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ws) AS n_words,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','and','of','to','in','is','on','for','with'], x))) AS n_stop,
+    length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS n_punct,
+    length(t) AS n_chars
+  FROM w
+)
+SELECT doc_id,
+  n_words,
+  ROUND(n_stop / greatest(n_words, 1), 6) AS stopword_ratio,
+  ROUND(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  ROUND(0.4 * least(n_words / 100.0, 1.0)
+        + 0.4 * (n_stop / greatest(n_words, 1))
+        + 0.2 * (1.0 - n_punct / greatest(n_chars, 1)), 6) AS quality_score
+FROM m
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    occ = lambda m: (  # noqa: E731
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+    )
+    scores = {
+        lang: " + ".join(occ(m) for m in markers)
+        for lang, markers in textstats.LANG_MARKERS.items()
+    }
+    score_cols = ",\n  ".join(
+        f"({scores[lang]}) AS score_{lang}" for lang in textstats.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in textstats.LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in textstats.LANG_ORDER
+    ) + " END"
+    return f"""
+WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id,
+  {score_cols}
+  FROM p0
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+       {case} AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+FP_ORACLE = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents)
+SELECT doc_id,
+  md5(regexp_replace(t, '[^a-z0-9]', '', 'g')) AS fp_exact,
+  COALESCE(list_min(list_transform({_SHINGLES_SQL}, s -> md5(s))), '') AS fp_shingle
+FROM w
+"""
+
+
+# ----------------------------------------------------------------- dedup ----
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 10th doc (new ids) — gives exact-dedup
+    real duplicate groups to find; same construction in the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.exact_dup_groups(_augmented_docs(spark, sf_dir))
+        .select(F.col("doc_id").alias("rep_doc_id"), "n_copies")
+        .orderBy("rep_doc_id")
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM aug GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY rep_doc_id
+"""
+
+
+def doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification (scale path)."""
+    return dedup.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-blocked candidates + exact verification."""
+    return dedup.simhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def doc_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw 64-bit SimHash signatures (hi/lo halves) per document."""
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _simhash_pairs_oracle() -> str:
+    """Pairs with simhash hamming ≤ 3 AND exact Jaccard ≥ 0.8 — both
+    recomputed independently in SQL (no recall assumption)."""
+    sig_cte = _simhash_oracle().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sigs AS ({sig_cte}),
+sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shs
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+)
+SELECT doc_a, doc_b,
+  ROUND(len(list_intersect(x.shs, y.shs)) / len(list_distinct(x.shs || y.shs)), 6) AS jaccard
+FROM cand
+JOIN sets x ON x.doc_id = doc_a
+JOIN sets y ON y.doc_id = doc_b
+WHERE ROUND(len(list_intersect(x.shs, y.shs)) / len(list_distinct(x.shs || y.shs)), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_oracle() -> str:
+    votes_hi = ",\n    ".join(
+        f"SUM(CASE WHEN (hi & {1 << k}) <> 0 THEN 1 ELSE -1 END) AS h{k}" for k in range(32)
+    )
+    votes_lo = ",\n    ".join(
+        f"SUM(CASE WHEN (lo & {1 << k}) <> 0 THEN 1 ELSE -1 END) AS l{k}" for k in range(32)
+    )
+    pack_hi = " + ".join(f"(CASE WHEN h{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32))
+    pack_lo = " + ".join(f"(CASE WHEN l{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32))
+    return f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM w),
+b AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+         ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+  FROM sh
+),
+v AS (
+  SELECT doc_id,
+    {votes_hi},
+    {votes_lo}
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({pack_hi} AS BIGINT) AS simhash_hi,
+  CAST({pack_lo} AS BIGINT) AS simhash_lo
+FROM v ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------ embeddings ----
+
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for sampled query vectors (vec_id % 100 = 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, k=5, query_filter=F.col("vec_id") % 100 == 0)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+ANN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.45 (exact near-dup mining)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, 0.45).orderBy("id_a", "id_b")
+
+
+NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote over the exact top-5 neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(emb, k=5, query_filter=F.col("vec_id") % 100 == 0).orderBy(
+        "query_id"
+    )
+
+
+KNN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS votes
+  FROM topk t JOIN e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, nlabel AS label_pred, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nlabel ASC) AS r
+  FROM votes
+) WHERE r = 1
+ORDER BY query_id
+"""
+
+
+DOC_QUERIES: dict[str, tuple] = {
+    "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
+    "doc_quality": (doc_quality, QUALITY_ORACLE),
+    "doc_langid": (doc_langid, _langid_oracle()),
+    "doc_fingerprints": (doc_fingerprints, FP_ORACLE),
+    "doc_exact_dedup": (doc_exact_dedup, EXACT_DEDUP_ORACLE),
+    "doc_ngram_pairs": (doc_ngram_pairs, _EXACT_PAIRS_SQL),
+    "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
+    "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),
+    "doc_simhash_sigs": (doc_simhash_sigs, _simhash_oracle()),
+    "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
+    "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
+    "emb_knn_label": (emb_knn_label, KNN_ORACLE),
+}

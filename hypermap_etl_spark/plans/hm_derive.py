@@ -1,0 +1,204 @@
+"""Deterministic derived hypermap event table for the driver gate.
+
+The driver's correctness harness only ships the star-schema parquet
+tables (TESTDATA.md) — no hypermap fixtures. To put the hypermap
+operators (decode switch, serving queries, M1-M9 fold) through the
+DuckDB-oracle gate, we derive a hypermap event log *deterministically*
+from the star ``events`` table using only functions whose semantics are
+bit-identical in Spark SQL and DuckDB (md5, ||, CASE, FLOOR, %, CAST):
+both engines evaluate the SAME derivation SQL, then Spark runs the real
+DataFrame operators on it while DuckDB runs independently written SQL.
+
+The derivation is adversarial on purpose: repeat Mints of one childhash
+(first-wins), repeated (parent,label) Facts/Notes (last-wins), ghost
+parents that are never minted (placeholder path M3), Facts/Notes/Gene/
+Transfer targeting unknown entries (drop path), a share of root-parent
+mints, multiple logs per transaction and per block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hypermap_etl_spark.constants import ROOT_HASH
+
+# Works verbatim in Spark SQL and DuckDB. {events} = source table name.
+HM_EVENTS_SQL = f"""
+SELECT
+  CAST(event_id AS BIGINT)                                   AS eid,
+  ('0x' || md5('tx' || CAST(CAST(FLOOR(event_id / 2) AS BIGINT) AS STRING)) || '_'
+        || CAST(event_id % 5 AS STRING))                     AS event_id,
+  CASE
+    WHEN event_type = 'purchase' THEN 'Mint'
+    WHEN event_type = 'click'    THEN 'Note'
+    WHEN event_type = 'view'     THEN 'Fact'
+    WHEN event_type = 'signup'   THEN 'Transfer'
+    WHEN event_id % 3 = 0        THEN 'Gene'
+    WHEN event_id % 3 = 1        THEN 'Zero'
+    ELSE 'Upgraded'
+  END                                                        AS eventType,
+  27270000 + CAST(FLOOR(event_id / 5) AS BIGINT)             AS blockNumber,
+  '0x' || md5('blk' || CAST(CAST(FLOOR(event_id / 5) AS BIGINT) AS STRING)) AS blockHash,
+  '0x' || md5('tx' || CAST(CAST(FLOOR(event_id / 2) AS BIGINT) AS STRING))  AS transactionHash,
+  CAST(event_id % 2 AS INT)                                  AS transactionIndex,
+  CAST(event_id % 5 AS INT)                                  AS logIndex,
+  (27270000 + CAST(FLOOR(event_id / 5) AS BIGINT)) * 1000000
+        + CAST(event_id % 5 AS BIGINT)                       AS ord,
+  1700000000 + CAST(FLOOR(event_id / 5) AS BIGINT) * 2       AS timestamp,
+  CASE WHEN event_type IN ('purchase', 'click', 'view') THEN
+    CASE
+      WHEN user_id % 7 = 3 THEN '0x' || md5('ghost' || CAST(user_id % 5 AS STRING))
+      WHEN user_id % 4 = 0 THEN '{ROOT_HASH}'
+      ELSE '0x' || md5('c' || CAST(CAST(FLOOR(user_id / 2) AS BIGINT) AS STRING))
+    END
+  END                                                        AS parenthash,
+  CASE WHEN event_type = 'purchase'
+       THEN '0x' || md5('c' || CAST(user_id AS STRING)) END  AS childhash,
+  CASE WHEN event_type = 'view'
+       THEN '0x' || md5('f' || CAST(event_id AS STRING)) END AS facthash,
+  CASE WHEN event_type = 'click'
+       THEN '0x' || md5('n' || CAST(event_id AS STRING)) END AS notehash,
+  CASE
+    WHEN event_type = 'purchase' THEN '0x' || md5('u' || CAST(user_id AS STRING))
+    WHEN event_type IN ('click', 'view')
+      THEN '0x' || md5('k' || CAST(CAST(FLOOR(value) AS BIGINT) % 4 AS STRING))
+  END                                                        AS labelhash,
+  CASE
+    WHEN event_type = 'purchase' THEN 'u' || CAST(user_id AS STRING)
+    WHEN event_type IN ('click', 'view')
+      THEN 'k' || CAST(CAST(FLOOR(value) AS BIGINT) % 4 AS STRING)
+  END                                                        AS label,
+  CASE WHEN event_type IN ('click', 'view')
+       THEN '0x' || md5('d' || CAST(event_id AS STRING)) END AS data,
+  CASE WHEN event_type NOT IN ('purchase','click','view','signup') AND event_id % 3 = 0
+       THEN '0x' || md5('c' || CAST(user_id % 60 AS STRING)) END AS entry,
+  CASE WHEN event_type NOT IN ('purchase','click','view','signup') AND event_id % 3 = 0
+       THEN '0x' || substring(md5('g' || CAST(event_id AS STRING)) || md5('gg' || CAST(event_id AS STRING)), 1, 40) END AS gene,
+  CASE WHEN event_type = 'signup'
+       THEN '0x' || substring(md5('fr' || CAST(event_id AS STRING)) || md5('frfr' || CAST(event_id AS STRING)), 1, 40) END AS from_addr,
+  CASE WHEN event_type = 'signup'
+       THEN '0x' || substring(md5('to' || CAST(event_id AS STRING)) || md5('toto' || CAST(event_id AS STRING)), 1, 40) END AS to_addr,
+  CASE WHEN event_type = 'signup'
+       THEN '0x' || md5('c' || CAST(user_id % 60 AS STRING)) END AS id,
+  CASE WHEN event_type NOT IN ('purchase','click','view','signup') AND event_id % 3 = 1
+       THEN '0x' || substring(md5('z' || CAST(event_id AS STRING)) || md5('zz' || CAST(event_id AS STRING)), 1, 40) END AS zeroTba,
+  CASE WHEN event_type NOT IN ('purchase','click','view','signup') AND event_id % 3 = 2
+       THEN '0x' || substring(md5('i' || CAST(event_id AS STRING)) || md5('ii' || CAST(event_id AS STRING)), 1, 40) END AS implementation
+FROM {{events}}
+"""
+
+
+def hm_events_sql(events_table: str = "events") -> str:
+    return HM_EVENTS_SQL.format(events=events_table)
+
+
+def hm_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side derived hypermap event log (canonical column names)."""
+    from hypermap_etl_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_src_events")
+    df = spark.sql(hm_events_sql("__hm_src_events"))
+    return df.withColumnRenamed("from_addr", "from").withColumnRenamed("to_addr", "to")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle SQL for the M1-M9 fold over the derived log — written
+# independently of the Spark implementation in operators/materialize.py.
+# Output is the flat engine-agnostic projection (entries_flat).
+# ---------------------------------------------------------------------------
+
+def hm_entries_oracle_sql(events_table: str = "events") -> str:
+    hm = hm_events_sql(events_table)
+    return f"""
+WITH hm AS ({hm}),
+mints AS (
+  SELECT * FROM hm WHERE eventType = 'Mint' AND childhash IS NOT NULL
+),
+minted AS (
+  SELECT childhash AS namehash,
+         arg_min(label, ord)      AS label,
+         arg_min(parenthash, ord) AS parent_hash,
+         min(blockNumber)         AS creation_block,
+         max(blockNumber)         AS touch_mint
+  FROM mints GROUP BY childhash
+),
+placeholders AS (
+  SELECT parenthash AS namehash,
+         '[unknown]'       AS label,
+         '{ROOT_HASH}'     AS parent_hash,
+         min(blockNumber)  AS creation_block,
+         min(blockNumber)  AS touch_mint
+  FROM mints
+  WHERE parenthash IS NOT NULL AND parenthash <> '{ROOT_HASH}'
+    AND parenthash NOT IN (SELECT childhash FROM mints)
+  GROUP BY parenthash
+),
+entries_base AS (
+  SELECT * FROM minted UNION ALL SELECT * FROM placeholders
+),
+children AS (
+  SELECT parenthash AS namehash,
+         string_agg(DISTINCT childhash, ';' ORDER BY childhash) AS children_list,
+         count(DISTINCT childhash) AS n_children,
+         max(blockNumber) AS touch_children
+  FROM mints WHERE parenthash IS NOT NULL
+  GROUP BY parenthash
+),
+fact_last AS (
+  SELECT parenthash, coalesce(label, '') AS label, arg_max(data, ord) AS data,
+         max(blockNumber) AS b
+  FROM hm WHERE eventType = 'Fact'
+    AND parenthash IN (SELECT namehash FROM entries_base)
+  GROUP BY parenthash, coalesce(label, '')
+),
+facts AS (
+  SELECT parenthash AS namehash,
+         string_agg(label || '=' || data, ';' ORDER BY label || '=' || data) AS facts_kv,
+         max(b) AS touch_facts
+  FROM fact_last GROUP BY parenthash
+),
+note_last AS (
+  SELECT parenthash, coalesce(label, '') AS label, arg_max(data, ord) AS data,
+         max(blockNumber) AS b
+  FROM hm WHERE eventType = 'Note'
+    AND parenthash IN (SELECT namehash FROM entries_base)
+  GROUP BY parenthash, coalesce(label, '')
+),
+notes AS (
+  SELECT parenthash AS namehash,
+         string_agg(label || '=' || data, ';' ORDER BY label || '=' || data) AS notes_kv,
+         max(b) AS touch_notes
+  FROM note_last GROUP BY parenthash
+),
+genes AS (
+  SELECT entry AS namehash, arg_max(gene, ord) AS gene, max(blockNumber) AS touch_gene
+  FROM hm WHERE eventType = 'Gene' AND entry IS NOT NULL
+    AND entry IN (SELECT namehash FROM entries_base)
+  GROUP BY entry
+),
+owners AS (
+  SELECT id AS namehash, arg_max(to_addr, ord) AS owner, max(blockNumber) AS touch_owner
+  FROM hm WHERE eventType = 'Transfer' AND id IS NOT NULL
+    AND id IN (SELECT namehash FROM entries_base)
+  GROUP BY id
+)
+SELECT
+  e.namehash,
+  e.label,
+  e.parent_hash,
+  o.owner,
+  g.gene,
+  coalesce(n.notes_kv, '') AS notes_kv,
+  coalesce(f.facts_kv, '') AS facts_kv,
+  coalesce(c.children_list, '') AS children_list,
+  coalesce(c.n_children, 0) AS n_children,
+  e.creation_block,
+  greatest(e.creation_block, e.touch_mint, c.touch_children, f.touch_facts,
+           n.touch_notes, g.touch_gene, o.touch_owner) AS last_update_block
+FROM entries_base e
+LEFT JOIN children c ON c.namehash = e.namehash
+LEFT JOIN facts f    ON f.namehash = e.namehash
+LEFT JOIN notes n    ON n.namehash = e.namehash
+LEFT JOIN genes g    ON g.namehash = e.namehash
+LEFT JOIN owners o   ON o.namehash = e.namehash
+"""

@@ -1,0 +1,235 @@
+"""Driver-gate queries for the hypermap pipeline itself.
+
+Each query runs the REAL engine operators (decode switch, serving
+queries, M1-M9 fold) on the deterministic derived event log
+(plans/hm_derive.py); the DuckDB oracle evaluates independently written
+SQL over the same derivation. Output columns are snake_case and scalar
+on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hypermap_etl_spark.operators.decode import parse_raw_logs
+from hypermap_etl_spark.operators.materialize import entries_flat, materialize_entries
+from hypermap_etl_spark.plans.hm_derive import (
+    hm_entries_oracle_sql,
+    hm_events_df,
+    hm_events_sql,
+)
+from hypermap_etl_spark.sources.raw_logs import build_raw_logs
+
+# entry whose history hm_entry_history inspects: the 'c7' user entry
+ENTRY_H = "0x" + hashlib.md5(b"c7").hexdigest()
+
+_HM = hm_events_sql("events")
+
+
+def hm_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A4 over the hypermap log: one hash aggregate + pct."""
+    hm = hm_events_df(spark, sf_dir)
+    counts = hm.groupBy(F.col("eventType").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("__t"), 2).alias("pct"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+
+
+HM_STATUS_ORACLE = f"""
+WITH hm AS ({_HM})
+SELECT eventType AS event_type, COUNT(*) AS cnt,
+       ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM hm), 2) AS pct
+FROM hm GROUP BY eventType
+HAVING COUNT(*) > 0
+ORDER BY cnt DESC, event_type ASC
+"""
+
+
+def hm_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O4: last event by canonical (blockNumber, logIndex) order."""
+    hm = hm_events_df(spark, sf_dir)
+    return (
+        hm.orderBy(F.desc("blockNumber"), F.desc("logIndex"))
+        .limit(1)
+        .select(
+            "event_id",
+            F.col("eventType").alias("event_type"),
+            F.col("blockNumber").alias("block_number"),
+            F.col("logIndex").cast("long").alias("log_index"),
+            F.col("timestamp").alias("ts_s"),
+        )
+    )
+
+
+HM_LAST_ORACLE = f"""
+WITH hm AS ({_HM})
+SELECT event_id, eventType AS event_type, blockNumber AS block_number,
+       CAST(logIndex AS BIGINT) AS log_index, timestamp AS ts_s
+FROM hm ORDER BY blockNumber DESC, logIndex DESC LIMIT 1
+"""
+
+
+def hm_events_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P9 filters with O1 skip/limit pagination (page 2, 20/page)."""
+    hm = hm_events_df(spark, sf_dir).filter(
+        (F.col("eventType") == "Note") & (F.col("timestamp") >= 1700000050)
+    )
+    w = Window.orderBy(F.desc("blockNumber"), F.desc("logIndex"))
+    return (
+        hm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").between(21, 40))
+        .select(
+            "event_id",
+            F.col("blockNumber").alias("block_number"),
+            F.col("logIndex").cast("long").alias("log_index"),
+            "parenthash",
+            "notehash",
+            "label",
+        )
+    )
+
+
+HM_PAGE2_ORACLE = f"""
+WITH hm AS ({_HM})
+SELECT event_id, blockNumber AS block_number, CAST(logIndex AS BIGINT) AS log_index,
+       parenthash, notehash, label
+FROM hm
+WHERE eventType = 'Note' AND timestamp >= 1700000050
+ORDER BY blockNumber DESC, logIndex DESC
+LIMIT 20 OFFSET 20
+"""
+
+
+def hm_entry_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 disjunctive entry-reference predicate + O2 replay order."""
+    hm = hm_events_df(spark, sf_dir)
+    h = F.lit(ENTRY_H)
+    et = F.col("eventType")
+    pred = (
+        ((et == "Mint") & ((F.col("parenthash") == h) | (F.col("childhash") == h)))
+        | ((et == "Fact") & ((F.col("parenthash") == h) | (F.col("facthash") == h)))
+        | ((et == "Note") & ((F.col("parenthash") == h) | (F.col("notehash") == h)))
+        | ((et == "Gene") & (F.col("entry") == h))
+        | ((et == "Transfer") & (F.col("id") == h))
+    )
+    return (
+        hm.filter(pred)
+        .orderBy("blockNumber", "logIndex")
+        .select(
+            "event_id",
+            F.col("eventType").alias("event_type"),
+            F.col("blockNumber").alias("block_number"),
+            F.col("logIndex").cast("long").alias("log_index"),
+        )
+    )
+
+
+HM_HISTORY_ORACLE = f"""
+WITH hm AS ({_HM})
+SELECT event_id, eventType AS event_type, blockNumber AS block_number,
+       CAST(logIndex AS BIGINT) AS log_index
+FROM hm
+WHERE (eventType = 'Mint' AND (parenthash = '{ENTRY_H}' OR childhash = '{ENTRY_H}'))
+   OR (eventType = 'Fact' AND (parenthash = '{ENTRY_H}' OR facthash = '{ENTRY_H}'))
+   OR (eventType = 'Note' AND (parenthash = '{ENTRY_H}' OR notehash = '{ENTRY_H}'))
+   OR (eventType = 'Gene' AND entry = '{ENTRY_H}')
+   OR (eventType = 'Transfer' AND id = '{ENTRY_H}')
+ORDER BY blockNumber, logIndex
+"""
+
+
+def hm_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M1-M9 fold: full entries table, flat engine-agnostic shape.
+    Oracle: independently written SQL fold (hm_derive.hm_entries_oracle_sql)."""
+    hm = hm_events_df(spark, sf_dir)
+    flat = entries_flat(materialize_entries(hm))
+    return flat.select(
+        "namehash",
+        "label",
+        F.col("parentHash").alias("parent_hash"),
+        "owner",
+        "gene",
+        "notes_kv",
+        "facts_kv",
+        "children_list",
+        F.col("n_children").cast("long").alias("n_children"),
+        F.col("creationBlock").alias("creation_block"),
+        F.col("lastUpdateBlock").alias("last_update_block"),
+    )
+
+
+HM_ENTRIES_ORACLE = hm_entries_oracle_sql("events")
+
+
+def hm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P5: ABI-encode the derived log into raw (topics, data) logs —
+    plus undecodable junk rows — then run the real decode operator.
+    The oracle projects the expected decode output directly."""
+    hm = hm_events_df(spark, sf_dir)
+    raw = build_raw_logs(hm)
+    junk = raw.filter(F.col("blockNumber") % 10 == 0).select(
+        F.lit("0x00000000000000000000000000000000deadbeef").alias("address"),
+        "blockNumber",
+        "blockHash",
+        F.concat(F.col("transactionHash"), F.lit("ff")).alias("transactionHash"),
+        "transactionIndex",
+        (F.col("logIndex") + 100).alias("logIndex"),
+        F.array(F.lit("0x" + "ab" * 32)).alias("topics"),
+        F.lit("0x").alias("data"),
+    )
+    decoded = parse_raw_logs(raw.unionByName(junk))
+    return decoded.select(
+        "event_id",
+        F.col("eventType").alias("event_type"),
+        F.col("blockNumber").alias("block_number"),
+        F.col("logIndex").cast("long").alias("log_index"),
+        "parenthash",
+        "childhash",
+        "facthash",
+        "notehash",
+        "labelhash",
+        "label",
+        F.col("data").alias("data_hex"),
+        "entry",
+        "gene",
+        F.col("from").alias("from_addr"),
+        F.col("to").alias("to_addr"),
+        F.col("id").alias("token_id"),
+        F.col("zeroTba").alias("zero_tba"),
+        F.col("implementation").alias("implementation"),
+    )
+
+
+HM_DECODE_ORACLE = f"""
+WITH hm AS ({_HM})
+SELECT event_id, eventType AS event_type, blockNumber AS block_number,
+       CAST(logIndex AS BIGINT) AS log_index,
+       parenthash, childhash, facthash, notehash, labelhash, label,
+       data AS data_hex, entry, gene,
+       from_addr, to_addr, id AS token_id, zeroTba AS zero_tba, implementation
+FROM hm
+"""
+
+
+HM_QUERIES: dict[str, tuple] = {
+    "hm_status_counts": (hm_status_counts, HM_STATUS_ORACLE),
+    "hm_last_event": (hm_last_event, HM_LAST_ORACLE),
+    "hm_events_page2": (hm_events_page2, HM_PAGE2_ORACLE),
+    "hm_entry_history": (hm_entry_history, HM_HISTORY_ORACLE),
+    "hm_entries": (hm_entries, HM_ENTRIES_ORACLE),
+    "hm_decode_roundtrip": (hm_decode_roundtrip, HM_DECODE_ORACLE),
+}

@@ -1,0 +1,538 @@
+"""Relational operator inventory over the driver's star schema.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql).
+The Spark side is idiomatic DataFrame code; the oracle is independently
+written DuckDB SQL. Conventions that make the value-hash comparison
+engine-proof:
+
+  - every computed column is aliased identically (snake_case) on both
+    sides;
+  - money math runs in DECIMAL with explicit small scales so both
+    engines compute the exact same value (no float-sum order issues),
+    cast to DOUBLE only at the end;
+  - timestamps are emitted as epoch microseconds (BIGINT) or formatted
+    date strings — never raw timestamp objects;
+  - every ranking has a total tie-break (unique id last).
+
+Operator coverage mapping to SURVEY.md §2: A1-A7 (aggregations), P8-P12
+(filters), O1-O4 (sort/limit/pagination), J1-J4 (join family: broadcast
+inner/left, semi, anti), set ops, windows (beyond-reference extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hypermap_etl_spark.sources.tables import load_table
+
+
+def _dec(col: str, p: int = 12, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def _one_minus(col: str) -> F.Column:
+    return F.lit(1).cast("decimal(6,4)") - F.col(col).cast("decimal(6,4)")
+
+
+def _one_plus(col: str) -> F.Column:
+    return F.lit(1).cast("decimal(6,4)") + F.col(col).cast("decimal(6,4)")
+
+
+# --------------------------------------------------------------- pricing ----
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical wide hash aggregate.
+    Exercises A1/A3 (grouped sums/counts) with exact decimal math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("__sq"),
+        F.sum(_dec("l_extendedprice")).alias("__sb"),
+        F.sum(disc_price).alias("__sd"),
+        F.sum(charge).alias("__sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        F.col("__sb").cast("double").alias("sum_base_price"),
+        F.col("__sd").cast("double").alias("sum_disc_price"),
+        F.col("__sc").cast("double").alias("sum_charge"),
+        F.round(F.col("__sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("__sb").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+       * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective filters → 3-way join → agg → top-10.
+    customer is broadcast (dim); lineitem⋈orders shuffles on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("__rev"))
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style multi-join chain: fact ⋈ broadcast dim pyramid, revenue
+    per customer nation inside one region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        joined.groupBy("n_name")
+        .agg(revenue.alias("__rev"))
+        .select("n_name", F.col("__rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------- windows ----
+
+def top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (O1/O4 generalization)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank")
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+TOP3_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+) WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative sum (decimal-exact) — window frame aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(_dec("value")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM events
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + running flag-sum — the
+    batch equivalent of a session window; streaming variant lives in
+    streaming/scan.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flag = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.sum(flag).over(wrun).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------- events serving ops ----
+
+def events_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A4 on the star events table: single hash aggregate with
+    percent-of-total via broadcast total (no global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("__t"), 2).alias("pct"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+
+
+STATUS_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt,
+       ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM events), 2) AS pct
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, event_type ASC
+"""
+
+
+def events_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O4 arg-max: latest event by (ts, event_id) → TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "user_id")
+    )
+
+
+LAST_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
+def events_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 pagination: filters + sort desc + skip/limit (page 2, 20/page)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+    w = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").between(21, 40))
+        .select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "value")
+    )
+
+
+PAGE2_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+FROM events
+WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+ORDER BY ts DESC, event_id DESC
+LIMIT 20 OFFSET 20
+"""
+
+
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (tumbling day window, batch form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+DAILY_ORACLE = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+ORDER BY user_id, day
+"""
+
+
+# ------------------------------------------------------------- join zoo ----
+
+def customer_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim joins + grouped stats (J1 analog over star dims)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_acctbal"
+            ),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+CUSTNATION_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def orders_with_big_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-semi: orders having ≥1 lineitem with quantity ≥ 45 (EXISTS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SEMI_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def nations_without_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-anti: dimension keys absent from the fact side."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left_anti")
+        .select("n_name")
+        .orderBy("n_name")
+    )
+
+
+ANTI_ORACLE = """
+SELECT n_name FROM nation
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+ORDER BY n_name
+"""
+
+
+def top_orders_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 orders by price, denormalized with the customer name —
+    TakeOrderedAndProject then a broadcast join of just 20 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+    return (
+        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+DENORM_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_name
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+def parts_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9-style predicate + LIKE, pushed into the parquet scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 20) & F.col("p_type").startswith("PROMO")
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+PARTS_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE 'PROMO%'
+ORDER BY p_partkey
+"""
+
+
+def activity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (union all) + distinct-count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.lit("purchase").alias("src")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit("click").alias("src")
+    )
+    return (
+        purchases.unionAll(clicks)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_actions"),
+            F.countDistinct("src").alias("n_kinds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+UNION_ORACLE = """
+SELECT user_id, COUNT(*) AS n_actions, COUNT(DISTINCT src) AS n_kinds
+FROM (
+  SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, 'click' AS src FROM events WHERE event_type = 'click'
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+STAR_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
+    "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
+    "top3_customers_per_segment": (top3_customers_per_segment, TOP3_ORACLE),
+    "events_running_total": (events_running_total, RUNNING_ORACLE),
+    "events_sessions": (events_sessions, SESSIONS_ORACLE),
+    "events_status_counts": (events_status_counts, STATUS_ORACLE),
+    "events_last_event": (events_last_event, LAST_ORACLE),
+    "events_page2": (events_page2, PAGE2_ORACLE),
+    "events_user_daily": (events_user_daily, DAILY_ORACLE),
+    "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
+    "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
+    "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
+    "top_orders_denorm": (top_orders_denorm, DENORM_ORACLE),
+    "parts_size_filter": (parts_size_filter, PARTS_ORACLE),
+    "activity_union": (activity_union, UNION_ORACLE),
+}

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for large-scale batch analytics.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are
+what we would ship to a 1000-executor cluster: AQE (runtime coalescing +
+skew-join splitting), partition sizing, broadcast threshold, Arrow for
+the few pandas-UDF paths, and UTC session time so results are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hypermap-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session.
+
+    Scale notes (100 TB target):
+      - AQE on: runtime shuffle-partition coalescing and skew-join
+        splitting replace hand-tuned partition counts.
+      - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+        on a real cluster set it ~2-3x total cores, AQE coalesces down.
+      - 128 MB file partitions keep scan tasks memory-bounded regardless
+        of total input size.
+      - Broadcast threshold 64 MB: every dim table in this workload
+        (region/nation/customer/supplier/part, blocks) is far below it,
+        so fact-side joins never shuffle the big side.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
