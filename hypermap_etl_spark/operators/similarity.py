@@ -44,7 +44,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    """Zero-norm-safe cosine (ANSI mode would raise on divide-by-zero;
+    convention: similarity to a zero vector is 0)."""
+    denom = norm_a * norm_b
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -72,7 +75,7 @@ def brute_force_topk(
         F.col("__norm").alias("cn"),
     )
     sim = F.round(
-        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
     ).alias("sim")
     scored = (
         F.broadcast(q)
@@ -99,7 +102,7 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id"), _vd(vec_col).alias("v"), F.col("__norm").alias("n")
     )
     sim = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+        cosine(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")), 6
     ).alias("sim")
     return (
         nemb.alias("a")
@@ -168,7 +171,7 @@ def lsh_topk(
         F.col("__norm").alias("cn"),
         "bucket",
     )
-    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("sim")
+    sim = F.round(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6).alias("sim")
     scored = (
         q.join(c, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

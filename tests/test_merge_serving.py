@@ -1,0 +1,113 @@
+"""S5/S6/T3 merge semantics + serving-layer queries (A1-A7, O1-O4, P8-P11)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.enrich import enrich_timestamps
+from hypermap_etl_spark.operators.merge import append_if_absent, merge_into_parquet
+from hypermap_etl_spark.plans import serving
+from tests.helpers import ev, events_df, h
+
+
+def _mk(spark, n, label="a", start=0):
+    return events_df(
+        spark,
+        [
+            ev(eventType="Mint", blockNumber=start + i, logIndex=0, parenthash=h(1),
+               childhash=h(100 + i), label=label,
+               transactionHash="0x" + format(start + i, "064x"))
+            for i in range(n)
+        ],
+    )
+
+
+def test_merge_upsert_and_update(spark):
+    path = tempfile.mkdtemp() + "/tbl"
+    r1 = merge_into_parquet(spark, path, _mk(spark, 5), ["event_id"])
+    assert r1 == {"upsertedCount": 5, "modifiedCount": 0}
+    # overlapping batch: 3 updates (new label wins) + 2 inserts
+    r2 = merge_into_parquet(spark, path, _mk(spark, 5, label="b", start=2), ["event_id"])
+    assert r2 == {"upsertedCount": 2, "modifiedCount": 3}
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == 7
+    assert tbl.filter(F.col("label") == "b").count() == 5  # $set semantics: new wins
+
+
+def test_merge_dedupes_within_batch(spark):
+    path = tempfile.mkdtemp() + "/tbl"
+    batch = _mk(spark, 3).unionByName(_mk(spark, 3))  # exact dups in one batch
+    r = merge_into_parquet(spark, path, batch, ["event_id"])
+    assert r["upsertedCount"] == 3
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_append_if_absent(spark):
+    path = tempfile.mkdtemp() + "/tbl"
+    assert append_if_absent(spark, path, _mk(spark, 4), ["event_id"]) == 4
+    assert append_if_absent(spark, path, _mk(spark, 6), ["event_id"]) == 2
+    assert spark.read.parquet(path).count() == 6
+
+
+def test_enrich_timestamps_null_tolerant(spark):
+    events = _mk(spark, 4)  # blocks 0..3
+    blocks = spark.createDataFrame([(0, 1000), (1, 1002), (3, 1006)], "blockNumber long, timestamp long")
+    out = enrich_timestamps(events, blocks)
+    ts = {r["blockNumber"]: r["timestamp"] for r in out.collect()}
+    assert ts == {0: 1000, 1: 1002, 2: None, 3: 1006}
+
+
+def _serving_events(spark):
+    rows = []
+    for i in range(30):
+        rows.append(
+            ev(eventType="Note" if i % 3 else "Mint", blockNumber=100 + i, logIndex=i % 2,
+               parenthash=h(1), childhash=h(200 + i), notehash=h(300 + i),
+               timestamp=1_700_000_000 + i * 86400,
+               transactionHash="0x" + format(i, "064x"))
+        )
+    return events_df(spark, rows)
+
+
+def test_status_counts_and_pct(spark):
+    out = serving.status_counts(_serving_events(spark)).collect()
+    d = {r["eventType"]: (r["count"], r["percentage"]) for r in out}
+    assert d["Note"][0] == 20 and d["Mint"][0] == 10
+    assert d["Note"][1] == 67 and d["Mint"][1] == 33
+    assert out[0]["eventType"] == "Note"  # sorted desc
+
+
+def test_get_status_shape(spark):
+    st = serving.get_status(_serving_events(spark))
+    assert st["totalEvents"] == 30
+    assert st["lastBlock"] == 129
+    assert st["lastBlockTimestamp"] == 1_700_000_000 + 29 * 86400
+
+
+def test_pagination_clamps_and_pages(spark):
+    evd = _serving_events(spark)
+    # limit clamped to 100, page>=1
+    assert serving.get_events(evd, limit=500).count() == 30
+    page1 = serving.get_events(evd, limit=10, page=1).collect()
+    page2 = serving.get_events(evd, limit=10, page=2).collect()
+    assert [r["blockNumber"] for r in page1] == list(range(129, 119, -1))
+    assert [r["blockNumber"] for r in page2] == list(range(119, 109, -1))
+    # P8 filter + A2 count
+    assert serving.count_events(evd, event_type="Mint") == 10
+    # P9 date filter (>= 10 days in)
+    from datetime import datetime, timezone
+
+    d10 = datetime.fromtimestamp(1_700_000_000 + 10 * 86400, tz=timezone.utc).strftime("%Y-%m-%d")
+    assert serving.count_events(evd, start_date=d10) <= 20
+
+
+def test_entry_history_predicate(spark):
+    evd = _serving_events(spark)
+    hist = serving.get_events_for_entry(evd, h(203)).collect()
+    assert len(hist) == 1 and hist[0]["childhash"] == h(203)
+    parent_hist = serving.get_events_for_entry(evd, h(1))
+    assert parent_hist.count() == 30  # all Mints+Notes reference parent h(1)
+    blocks = [r["blockNumber"] for r in parent_hist.collect()]
+    assert blocks == sorted(blocks)  # O2 replay order

@@ -1,0 +1,122 @@
+"""T1-T5 streaming ingest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.multimodal import (
+    decode_media,
+    media_feature_topk,
+    sample_frames,
+)
+from hypermap_etl_spark.schemas import MEDIA_SCHEMA
+from hypermap_etl_spark.sources.raw_logs import build_raw_logs
+from hypermap_etl_spark.streaming.scan import (
+    high_water_mark,
+    start_ingest_stream,
+    windowed_event_counts,
+)
+from tests.helpers import ev, events_df, h
+
+
+def _raw_chunk(spark, start, n):
+    rows = [
+        ev(eventType="Mint", blockNumber=start + i, logIndex=0, parenthash=h(1),
+           childhash=h(1000 + start + i), labelhash=h(2), label=f"b{start + i}",
+           transactionHash="0x" + format(start + i, "064x"))
+        for i in range(n)
+    ]
+    return build_raw_logs(events_df(spark, rows))
+
+
+def test_streaming_ingest_catchup_and_resume(spark):
+    base = tempfile.mkdtemp()
+    src, tbl, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    os.makedirs(src)
+
+    # chunk 1 lands; catch-up with AvailableNow (T1 backfill mode)
+    _raw_chunk(spark, 100, 5).write.mode("append").parquet(src)
+    q = start_ingest_stream(spark, src, tbl, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(tbl).count() == 5
+    assert high_water_mark(spark, tbl) == 104
+
+    # chunk 2 (+ a duplicate re-delivery of chunk 1) lands; resume from
+    # checkpoint → only new files processed, dups absorbed by MERGE (T3)
+    _raw_chunk(spark, 100, 5).write.mode("append").parquet(src)
+    _raw_chunk(spark, 105, 3).write.mode("append").parquet(src)
+    q2 = start_ingest_stream(spark, src, tbl, ckpt)
+    q2.awaitTermination(120)
+    tblr = spark.read.parquet(tbl)
+    assert tblr.count() == 8
+    assert tblr.select("event_id").distinct().count() == 8
+    assert high_water_mark(spark, tbl) == 107
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 50:02d}:00", "click" if i % 2 else "view") for i in range(40)],
+        "event_id long, ts_str string, event_type string",
+    ).select(F.col("event_id"), F.to_timestamp("ts_str").alias("ts"), "event_type").write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, event_type string").parquet(src)
+    agg = windowed_event_counts(stream, window="10 minutes", watermark="20 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"window_start", "window_end", "event_type", "n"}
+    closed = res.filter(F.col("event_type") == "click").agg(F.sum("n")).collect()[0][0]
+    assert closed and closed > 0
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"img-bytes-1"), "image/png", (64, 48, None, None)),
+        (2, "image", bytearray(b"img-bytes-2"), "image/png", (32, 32, None, None)),
+        (3, "video", bytearray(b"vid-bytes"), "video/mp4", (640, 480, 9000, None)),
+        (4, "audio", bytearray(b"aud-bytes"), "audio/wav", (None, None, 4000, 16000)),
+        (5, "image", None, "image/png", (8, 8, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_fake_and_strict(spark):
+    out = decode_media(_media_df(spark)).collect()
+    d = {r["media_id"]: r.asDict() for r in out}
+    assert d[1]["width"] == 64 and d[1]["n_bytes"] == 11
+    assert len(d[1]["feat"]) == 16 and all(0 <= x < 1 for x in d[1]["feat"])
+    assert d[5]["n_bytes"] == 0 and d[5]["feat"] == [0.0] * 16
+    # determinism
+    out2 = {r["media_id"]: r["feat"] for r in decode_media(_media_df(spark)).collect()}
+    assert out2[2] == d[2]["feat"]
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        decode_media(_media_df(spark), strict=True).collect()
+
+
+def test_sample_frames(spark):
+    frames = sample_frames(_media_df(spark), every_n=2, max_frames=4).collect()
+    assert {r["media_id"] for r in frames} == {3}
+    assert [r["frame_idx"] for r in frames] == list(range(4))
+    assert len({r["frame_md5"] for r in frames}) == 4
+
+
+def test_media_feature_topk_composes(spark):
+    decoded = decode_media(_media_df(spark))
+    topk = media_feature_topk(decoded, k=2)
+    assert topk.groupBy("query_id").count().filter(F.col("count") != 2).count() == 0

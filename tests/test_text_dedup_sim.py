@@ -1,0 +1,100 @@
+"""Unit semantics for the LLM-data operators (beyond the oracle parity):
+dedup recall/precision on crafted corpora, shingle edge cases, marker
+counting, LSH bucket behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators import dedup, similarity, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+FAR = "completely different content about spark query engines and columnar io"
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark, [BASE, BASE, FAR, BASE])
+    out = dedup.exact_dup_groups(d).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 0 and out[0]["n_copies"] == 3
+
+
+def test_ngram_jaccard_finds_near_pair_only(spark):
+    d = _docs(spark, [BASE, NEAR, FAR])
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_matches_exact(spark):
+    d = _docs(spark, [BASE, NEAR, FAR, BASE + " extra"])
+    exact = {(p["doc_a"], p["doc_b"]) for p in dedup.ngram_jaccard_pairs(d, 0.5).collect()}
+    lsh = {(p["doc_a"], p["doc_b"]) for p in dedup.minhash_dedup_pairs(d, 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    d = _docs(spark, [BASE, BASE, FAR])
+    sigs = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in dedup.simhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    pairs = dedup.simhash_dedup_pairs(d, threshold=0.9).collect()
+    assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_word_shingles_short_doc(spark):
+    d = _docs(spark, ["two words", "one", ""])
+    out = d.select(textstats.word_shingles(F.col("text")).alias("sh")).collect()
+    assert all(r["sh"] == [] for r in out)
+
+
+def test_count_occurrences_and_langid(spark):
+    d = _docs(spark, ["the cat and the dog and the bird"])
+    n = d.select(textstats.count_occurrences(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ").alias("n")).collect()[0]["n"]
+    assert n == 3
+    pred = textstats.language_id(d).collect()[0]
+    assert pred["lang_pred"] == "en" and pred["score_en"] >= 5
+
+
+def test_fingerprints_stability(spark):
+    d = _docs(spark, [BASE, BASE.upper(), FAR])
+    fps = {r["doc_id"]: r.asDict() for r in textstats.fingerprints(d).collect()}
+    # normalization makes case-variants collide on both fingerprints
+    assert fps[0]["fp_exact"] == fps[1]["fp_exact"]
+    assert fps[0]["fp_shingle"] == fps[1]["fp_shingle"]
+    assert fps[0]["fp_exact"] != fps[2]["fp_exact"]
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(80):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in base]))
+        rows.append((1000 + i, [float(x + rnd.gauss(0, 0.05)) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.brute_force_topk(emb, k=1, query_filter=F.col("vec_id") < 80)
+    hits = exact.filter(F.col("neighbor_id") == F.col("query_id") + 1000).count()
+    assert hits >= 75  # exact top-1 finds the planted twin
+    approx = similarity.lsh_topk(emb, k=1, n_planes=4, dim=16, query_filter=F.col("vec_id") < 80)
+    ahits = approx.filter(F.col("neighbor_id") == F.col("query_id") + 1000).count()
+    assert ahits >= 60  # bucketed recall is high for planted twins
+
+
+def test_knn_label_vote_majority(spark):
+    rows = [(i, [float(i % 2), 1.0 - (i % 2), 0.5], i % 2) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_label_vote(emb, k=5, query_filter=F.col("vec_id") < 4).collect()
+    for r in out:
+        assert r["label_pred"] == r["query_id"] % 2
