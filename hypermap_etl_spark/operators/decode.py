@@ -42,8 +42,13 @@ def _topic(i: int) -> Column:
 
 
 def _data_body() -> Column:
-    """Hex body of the data field without the 0x prefix."""
-    return F.regexp_replace(F.col("data"), r"^0x", "")
+    """Hex body of the data field without the 0x prefix.
+
+    Plain substring, not regexp: the raw-log contract (RAW_LOG_SCHEMA)
+    guarantees the 0x prefix, and substring keeps the (heavily repeated)
+    expression tiny for whole-stage codegen.
+    """
+    return F.expr("substring(data, 3)")
 
 
 def _word(i: Column | int) -> Column:

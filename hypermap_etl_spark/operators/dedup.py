@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators.textstats import word_shingles
+from hypermap_etl_spark.util import fan_out
 
 
 # ---------------------------------------------------------------- exact ----
@@ -54,7 +55,11 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # -------------------------------------------------- exact n-gram Jaccard ----
 
 def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted index with distinct shingles per doc."""
+    """(doc_id, shingle) inverted index with distinct shingles per doc.
+
+    fan_out first: shingling + hashing is CPU-bound and the input is
+    often a single narrow split."""
+    docs = fan_out(docs)
     return docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("sh"),

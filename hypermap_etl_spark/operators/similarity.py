@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hypermap_etl_spark.util import fan_out
+
 
 def _vd(col) -> Column:
     return F.col(col).cast("array<double>")
@@ -62,7 +64,7 @@ def brute_force_topk(
     queries ⨉ corpus via broadcast of the (small) query side; ranking by
     (rounded sim desc, id asc) inside a window keyed by query id.
     """
-    nemb = with_norm(emb, vec_col)
+    nemb = with_norm(fan_out(emb), vec_col)
     q = nemb.filter(query_filter) if query_filter is not None else nemb
     q = q.select(
         F.col(id_col).alias("query_id"),
@@ -98,7 +100,7 @@ def cosine_neardup_pairs(
     O(n²) scoring — correct baseline; at corpus scale use lsh_topk's
     bucketing to restrict candidate generation first.
     """
-    nemb = with_norm(emb, vec_col).select(
+    nemb = with_norm(fan_out(emb), vec_col).select(
         F.col(id_col).alias("id"), _vd(vec_col).alias("v"), F.col("__norm").alias("n")
     )
     sim = F.round(
@@ -157,7 +159,7 @@ def lsh_topk(
     approximate by design — the exact variant is the oracle baseline.
     """
     planes = _hyperplanes(dim, n_planes)
-    nemb = with_norm(emb, vec_col).withColumn("bucket", lsh_bucket(_vd(vec_col), planes))
+    nemb = with_norm(fan_out(emb), vec_col).withColumn("bucket", lsh_bucket(_vd(vec_col), planes))
     q = nemb.filter(query_filter) if query_filter is not None else nemb
     q = q.select(
         F.col(id_col).alias("query_id"),

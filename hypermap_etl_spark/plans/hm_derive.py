@@ -98,7 +98,13 @@ def hm_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_src_events")
     df = spark.sql(hm_events_sql("__hm_src_events"))
-    return df.withColumnRenamed("from_addr", "from").withColumnRenamed("to_addr", "to")
+    from hypermap_etl_spark.util import fan_out
+
+    # the source is typically one small parquet split; fan out so the
+    # (CPU-heavy) downstream decode/fold stages use every core
+    return fan_out(
+        df.withColumnRenamed("from_addr", "from").withColumnRenamed("to_addr", "to")
+    )
 
 
 # ---------------------------------------------------------------------------

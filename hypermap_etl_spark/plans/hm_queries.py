@@ -180,8 +180,18 @@ def hm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus undecodable junk rows — then run the real decode operator.
     The oracle projects the expected decode output directly."""
     hm = hm_events_df(spark, sf_dir)
-    raw = build_raw_logs(hm)
-    junk = raw.filter(F.col("blockNumber") % 10 == 0).select(
+    # materialize the encode output at an exchange before decoding:
+    # without the barrier Catalyst fuses encode+decode into one giant
+    # expression per column (the ABI-encode subtree repeated inside every
+    # offset computation) that blows janino's 64 KB method limit and
+    # falls back to interpreted eval. In production decode reads raw logs
+    # from storage, so the barrier mirrors the real plan shape.
+    from hypermap_etl_spark.util import fan_out
+
+    raw = fan_out(build_raw_logs(hm))
+    # junk rows come straight off hm (not raw) so the expensive ABI-encode
+    # subtree isn't evaluated a second time for the union branch
+    junk = hm.filter(F.col("blockNumber") % 10 == 0).select(
         F.lit("0x00000000000000000000000000000000deadbeef").alias("address"),
         "blockNumber",
         "blockHash",
