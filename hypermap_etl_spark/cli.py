@@ -1,0 +1,177 @@
+"""CLI parity with the reference's npm scripts (package.json:10-14):
+
+  extract  ≙ npm run extract-events  (scripts/extract-events.ts)
+  index    ≙ npm run index-events    (scripts/index-events.ts)
+  scan     ≙ npm run scan-events     (scripts/scan-events.ts, --print)
+  status   ≙ npm run status          (scripts/status.ts)
+  events   ≙ the /events page query  (src/app/events/actions.ts)
+  stream   ≙ continuous mode         (scan-events follow loop)
+
+Raw logs come from a parquet directory instead of eth_getLogs (live RPC
+ingestion is out of engine scope — SURVEY.md §2.1 S1); everything after
+the source is the same pipeline the reference runs, on Spark.
+
+Usage: python -m hypermap_etl_spark <cmd> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from hypermap_etl_spark.session import get_spark
+
+    return get_spark(f"hypermap-etl-{args.cmd}")
+
+
+def cmd_extract(args) -> None:
+    """Decode + enrich + idempotent MERGE; per-type count report
+    (extract-events.ts:336-355 shape)."""
+    from hypermap_etl_spark.operators.decode import decode_raw_logs
+    from hypermap_etl_spark.operators.enrich import enrich_timestamps
+    from hypermap_etl_spark.operators.merge import merge_into_parquet
+    from hypermap_etl_spark.sources.raw_logs import read_raw_logs
+
+    spark = _spark(args)
+    raw = read_raw_logs(spark, args.raw, from_block=args.from_block, to_block=args.to_block)
+    decoded = decode_raw_logs(raw)
+    events = decoded.filter(F.col("eventType").isNotNull())
+    skipped = decoded.filter(F.col("eventType").isNull()).count()
+    if args.blocks:
+        events = enrich_timestamps(events, spark.read.parquet(args.blocks))
+    counts = {r["eventType"]: r["count"] for r in events.groupBy("eventType").count().collect()}
+    res = merge_into_parquet(spark, args.table, events, ["event_id"])
+    print(json.dumps({"counts": counts, "skipped": skipped, **res}))
+
+
+def cmd_index(args) -> None:
+    """extract + entries materialization (index-events.ts flow)."""
+    cmd_extract(args)
+    from hypermap_etl_spark.operators.materialize import materialize_entries
+    from hypermap_etl_spark.session import get_spark
+
+    spark = get_spark("hypermap-etl-index")
+    events = spark.read.parquet(args.table)
+    entries = materialize_entries(events)
+    entries.write.mode("overwrite").parquet(args.entries)
+    print(json.dumps({"entries": spark.read.parquet(args.entries).count()}))
+
+
+def cmd_scan(args) -> None:
+    """Dry-run: decode + count only, store nothing (scan-events --print,
+    console sink S8)."""
+    from hypermap_etl_spark.operators.decode import decode_raw_logs
+    from hypermap_etl_spark.sources.raw_logs import read_raw_logs
+
+    spark = _spark(args)
+    raw = read_raw_logs(spark, args.raw, from_block=args.from_block, to_block=args.to_block)
+    decoded = decode_raw_logs(raw)
+    counts = (
+        decoded.filter(F.col("eventType").isNotNull())
+        .groupBy("eventType")
+        .count()
+        .orderBy(F.desc("count"))
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    for r in counts:
+        pct = round(r["count"] * 100.0 / total) if total else 0
+        print(f"{r['eventType']:>10}: {r['count']:>8}  ({pct}%)")
+    print(f"{'TOTAL':>10}: {total:>8}")
+
+
+def cmd_status(args) -> None:
+    """A1-A7 status report (status.ts / getStatus shape)."""
+    from hypermap_etl_spark.plans.serving import get_status
+
+    spark = _spark(args)
+    events = spark.read.parquet(args.table)
+    st = get_status(events)
+    if st["lastBlockTimestamp"] is not None:
+        now = spark.sql("SELECT unix_timestamp(current_timestamp()) AS t").collect()[0]["t"]
+        st["hoursSinceLastBlock"] = round((now - st["lastBlockTimestamp"]) / 3600)
+    print(json.dumps(st))
+
+
+def cmd_events(args) -> None:
+    """Filtered/sorted/paginated event listing (getEvents shape)."""
+    from hypermap_etl_spark.plans.serving import count_events, get_events
+
+    spark = _spark(args)
+    events = spark.read.parquet(args.table)
+    page = get_events(events, args.type, args.start_date, args.page, args.limit)
+    total = count_events(events, args.type, args.start_date)
+    rows = [
+        {k: v for k, v in r.asDict().items() if v is not None} for r in page.collect()
+    ]
+    print(json.dumps({"events": rows, "totalCount": total}))
+
+
+def cmd_stream(args) -> None:
+    """Continuous ingest: catch-up then optional 30 s-interval tail
+    (scan-events.ts:129,148-168)."""
+    from hypermap_etl_spark.streaming.scan import start_ingest_stream
+
+    spark = _spark(args)
+    trigger = (
+        {"availableNow": True}
+        if args.once
+        else {"processingTime": f"{args.interval} seconds"}
+    )
+    q = start_ingest_stream(spark, args.raw, args.table, args.checkpoint, trigger)
+    q.awaitTermination(args.timeout if args.timeout else None)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="hypermap_etl_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, table=True):
+        p.add_argument("--raw", help="raw logs parquet dir")
+        if table:
+            p.add_argument("--table", required=True, help="events table path")
+        p.add_argument("--from-block", type=int, default=None)
+        p.add_argument("--to-block", type=int, default=None)
+        p.add_argument("--blocks", help="blocks dimension parquet (timestamp enrichment)")
+
+    p = sub.add_parser("extract", help="decode + merge events")
+    common(p)
+    p = sub.add_parser("index", help="extract + materialize entries")
+    common(p)
+    p.add_argument("--entries", required=True)
+    p = sub.add_parser("scan", help="dry-run decode + counts")
+    common(p, table=False)
+    p = sub.add_parser("status", help="status report")
+    p.add_argument("--table", required=True)
+    p = sub.add_parser("events", help="paginated event listing")
+    p.add_argument("--table", required=True)
+    p.add_argument("--type", default=None)
+    p.add_argument("--start-date", default=None)
+    p.add_argument("--page", type=int, default=1)
+    p.add_argument("--limit", type=int, default=20)
+    p = sub.add_parser("stream", help="continuous ingest")
+    p.add_argument("--raw", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--once", action="store_true", help="catch-up then stop")
+    p.add_argument("--interval", type=int, default=30)
+    p.add_argument("--timeout", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    {
+        "extract": cmd_extract,
+        "index": cmd_index,
+        "scan": cmd_scan,
+        "status": cmd_status,
+        "events": cmd_events,
+        "stream": cmd_stream,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

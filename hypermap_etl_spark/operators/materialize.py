@@ -173,6 +173,66 @@ def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFr
     )
 
 
+def touched_namehashes(events: DataFrame) -> DataFrame:
+    """Distinct entry keys a batch of events can affect (child, parent,
+    gene target, transfer id) — the M1-M7 write set."""
+    cols = ["childhash", "parenthash", "entry", "id"]
+    parts = [
+        events.select(F.col(c).alias("namehash")).filter(F.col(c).isNotNull())
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def incremental_entries_update(
+    spark,
+    entries_path: str,
+    events_table: DataFrame,
+    new_events: DataFrame,
+    root_hash: str = ROOT_HASH,
+) -> dict[str, int]:
+    """Streaming-scale materialization: recompute ONLY the entries the
+    new batch touches, then MERGE them into the stored entries table.
+
+    The fold is a pure function of the log restricted to an entry's own
+    events (every M1-M8 aggregate is keyed by namehash), so replaying
+    just the touched keys' events from the full log yields exactly the
+    rows a full recompute would produce for those keys. Work per batch
+    is O(events of touched entries), not O(full log) — the difference
+    between a 100 TB nightly recompute and a seconds-level upsert.
+
+    The event log is append-only, so entries never disappear — MERGE
+    (upsert) is sufficient, no delete branch.
+    """
+    from hypermap_etl_spark.operators.merge import merge_into_parquet
+
+    keys = F.broadcast(touched_namehashes(new_events))
+    et = F.col("eventType")
+    relevant = (
+        events_table.join(keys, events_table["childhash"] == keys["namehash"], "left_semi")
+        .unionByName(
+            events_table.join(keys, events_table["parenthash"] == keys["namehash"], "left_semi")
+        )
+        .unionByName(
+            events_table.join(keys, events_table["entry"] == keys["namehash"], "left_semi")
+        )
+        .unionByName(
+            events_table.join(keys, events_table["id"] == keys["namehash"], "left_semi")
+        )
+        .dropDuplicates(["event_id"])
+    )
+    _ = et
+    # the restricted replay is complete for TOUCHED keys but also emits
+    # partial rows for untouched entries that merely co-occur (e.g. the
+    # parent of a touched child, seen through only that child's mints) —
+    # keep only the touched keys' rows for the merge
+    updated = materialize_entries(relevant, root_hash).join(keys, "namehash", "left_semi")
+    return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+
+
 def quarantine_bad_events(events: DataFrame) -> DataFrame:
     """M9: rows that cannot participate in the fold (missing required keys)
     — the Spark analog of the reference's per-event try/catch skip

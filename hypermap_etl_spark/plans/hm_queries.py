@@ -235,7 +235,51 @@ FROM hm
 """
 
 
+def hm_enrich_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P6 + P7 through the gate: drop the derived timestamp, rebuild
+    it via the blocks-dimension broadcast left join (with ~1/7 of blocks
+    missing → null timestamps), then apply the ISO-format ('Unknown'
+    fallback) and hex-shorten display helpers."""
+    from hypermap_etl_spark.functions.hexutils import format_timestamp_iso, shorten_hex
+    from hypermap_etl_spark.operators.enrich import enrich_timestamps
+
+    hm = hm_events_df(spark, sf_dir)
+    blocks = (
+        hm.select("blockNumber")
+        .distinct()
+        .filter(F.col("blockNumber") % 7 != 0)
+        .select(
+            "blockNumber",
+            (1700000000 + (F.col("blockNumber") - 27270000) * 2).alias("timestamp"),
+        )
+    )
+    enriched = enrich_timestamps(hm, blocks)
+    return enriched.select(
+        "event_id",
+        F.col("timestamp").alias("ts_s"),
+        format_timestamp_iso(F.col("timestamp")).alias("ts_iso"),
+        shorten_hex(F.col("transactionHash")).alias("short_tx"),
+    )
+
+
+HM_ENRICH_ORACLE = f"""
+WITH hm AS ({_HM}),
+blocks AS (
+  SELECT DISTINCT blockNumber,
+         1700000000 + (blockNumber - 27270000) * 2 AS b_ts
+  FROM hm WHERE blockNumber % 7 <> 0
+)
+SELECT hm.event_id,
+  b.b_ts AS ts_s,
+  COALESCE(strftime(make_timestamp(b.b_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ'), 'Unknown') AS ts_iso,
+  substring(hm.transactionHash, 1, 6) || '...'
+    || substring(hm.transactionHash, length(hm.transactionHash) - 3, 4) AS short_tx
+FROM hm LEFT JOIN blocks b ON hm.blockNumber = b.blockNumber
+"""
+
+
 HM_QUERIES: dict[str, tuple] = {
+    "hm_enrich_format": (hm_enrich_format, HM_ENRICH_ORACLE),
     "hm_status_counts": (hm_status_counts, HM_STATUS_ORACLE),
     "hm_last_event": (hm_last_event, HM_LAST_ORACLE),
     "hm_events_page2": (hm_events_page2, HM_PAGE2_ORACLE),

@@ -4,13 +4,17 @@ from hypermap_etl_spark.schemas import EVENT_SCHEMA
 
 BASE = {f.name: None for f in EVENT_SCHEMA.fields}
 
+_seq = [0]
+
 
 def ev(**kw):
-    """Build one wide event row dict with defaults filled."""
+    """Build one wide event row dict with defaults filled; the default
+    transactionHash is unique per row so event_id stays a real key."""
+    _seq[0] += 1
     d = dict(BASE)
     d.update(
         blockHash="0x" + "bb" * 32,
-        transactionHash="0x" + "cc" * 32,
+        transactionHash="0x" + format(_seq[0], "064x"),
         transactionIndex=0,
     )
     d.update(kw)
