@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+BLOCK_BUCKET_SIZE = 100_000
+
+
+def with_block_bucket(df: DataFrame, size: int = BLOCK_BUCKET_SIZE) -> DataFrame:
+    """Partition column for the events table: blockNumber div size.
+
+    The physical analog of the reference's blockNumber index
+    (src/schemas/index.ts:8, scripts/extract-events.ts:165): block-range
+    queries prune whole partitions, and incremental merges only rewrite
+    the newest bucket(s).
+    """
+    return df.withColumn("block_bucket", F.expr(f"blockNumber div {size}"))
+
+
 def dedupe_new(new_df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None) -> DataFrame:
     """Keep one row per key within the incoming batch (last by order_cols,
     arbitrary-but-deterministic if none)."""

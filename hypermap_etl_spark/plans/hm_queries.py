@@ -235,6 +235,16 @@ FROM hm
 """
 
 
+def hm_get_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 point lookup on the materialized entries table (mongodb.ts:105)."""
+    return hm_entries(spark, sf_dir).filter(F.col("namehash") == ENTRY_H).limit(1)
+
+
+HM_GET_ENTRY_ORACLE = (
+    "SELECT * FROM (" + hm_entries_oracle_sql("events") + f") WHERE namehash = '{ENTRY_H}'"
+)
+
+
 def hm_enrich_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + P6 + P7 through the gate: drop the derived timestamp, rebuild
     it via the blocks-dimension broadcast left join (with ~1/7 of blocks
@@ -280,6 +290,7 @@ FROM hm LEFT JOIN blocks b ON hm.blockNumber = b.blockNumber
 
 HM_QUERIES: dict[str, tuple] = {
     "hm_enrich_format": (hm_enrich_format, HM_ENRICH_ORACLE),
+    "hm_get_entry": (hm_get_entry, HM_GET_ENTRY_ORACLE),
     "hm_status_counts": (hm_status_counts, HM_STATUS_ORACLE),
     "hm_last_event": (hm_last_event, HM_LAST_ORACLE),
     "hm_events_page2": (hm_events_page2, HM_PAGE2_ORACLE),

@@ -1,0 +1,105 @@
+"""Scale-posture utilities: partitioned tables prune, salted aggregation
+matches plain aggregation, duplicate delivery is a no-op, uint256/
+namehash UDFs round-trip.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.functions.hexutils import register_udfs
+from hypermap_etl_spark.functions.keccak import keccak256_hex
+from hypermap_etl_spark.operators.materialize import materialize_entries
+from hypermap_etl_spark.operators.merge import (
+    merge_into_parquet,
+    with_block_bucket,
+)
+from hypermap_etl_spark.util import salted_agg
+from tests.helpers import ev, events_df, h
+from tests.test_materialize import _fixture_rows
+
+
+def test_partitioned_table_prunes(spark):
+    path = tempfile.mkdtemp() + "/events"
+    rows = [
+        ev(eventType="Zero", blockNumber=b, logIndex=0, zeroTba=h(b))
+        for b in (5, 150_000, 250_000, 305_000)
+    ]
+    df = with_block_bucket(events_df(spark, rows))
+    merge_into_parquet(spark, path, df, ["event_id"], partition_col="block_bucket")
+
+    tbl = spark.read.parquet(path)
+    q = tbl.filter(F.col("block_bucket") == 2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(block_bucket" in plan
+    assert q.count() == 1
+
+    # merging one new row only touches its partition's data correctness-wise
+    new = with_block_bucket(
+        events_df(spark, [ev(eventType="Zero", blockNumber=260_000, logIndex=1, zeroTba=h(1))])
+    )
+    res = merge_into_parquet(spark, path, new, ["event_id"], partition_col="block_bucket")
+    assert res == {"upsertedCount": 1, "modifiedCount": 0}
+    assert spark.read.parquet(path).filter(F.col("block_bucket") == 2).count() == 2
+
+
+def test_salted_agg_matches_plain(spark):
+    # skewed: one key holds 90% of rows
+    rows = [("hot" if i % 10 else f"k{i}", float(i % 7)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.lit(1), F.count, F.sum),
+                "total": (F.col("v"), F.sum, F.sum),
+                "mx": (F.col("v"), F.max, F.max),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_duplicate_injection_is_noop(spark):
+    """SURVEY §5.2#4: re-delivering any subset of events must not change
+    the materialized state (idempotency T3 + pure fold)."""
+    rows = _fixture_rows()
+    base = {r["namehash"]: r for r in materialize_entries(events_df(spark, rows)).collect()}
+    path = tempfile.mkdtemp() + "/ev"
+    merge_into_parquet(spark, path, events_df(spark, rows), ["event_id"])
+    # re-deliver every third event
+    merge_into_parquet(spark, path, events_df(spark, rows[::3]), ["event_id"])
+    redone = {
+        r["namehash"]: r
+        for r in materialize_entries(spark.read.parquet(path)).collect()
+    }
+    assert redone == base
+
+
+def test_uint256_and_namehash_udfs(spark):
+    register_udfs(spark)
+    row = spark.sql(
+        """SELECT
+             uint256_hex_to_dec('0x00000000000000000000000000000000000000000000000000000000000000ff') AS dec,
+             uint256_dec_to_hex('255') AS hexv,
+             uint256_hex_to_dec(uint256_dec_to_hex(
+               '115792089237316195423570985008687907853269984665640564039457584007913129639935')) AS roundtrip,
+             namehash('0x') AS empty_hash
+           """
+    ).collect()[0]
+    assert row["dec"] == "255"
+    assert row["hexv"] == "0x" + "0" * 62 + "ff"
+    # max uint256 survives the round trip (LongType/Decimal could not)
+    assert row["roundtrip"] == "115792089237316195423570985008687907853269984665640564039457584007913129639935"
+    assert row["empty_hash"] == keccak256_hex(b"")
