@@ -518,7 +518,184 @@ ORDER BY user_id
 """
 
 
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style: tight filter + single global sum — the pure-pushdown
+    query (all three predicates reach the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(6,4)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(rev.alias("__r"), F.count(F.lit(1)).alias("n_items"))
+        .select(F.col("__r").cast("double").alias("revenue"), "n_items")
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style conditional aggregation: promo revenue share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(20,6)"))).alias("__p"),
+        F.sum(rev).alias("__t"),
+    )
+    return agg.select(
+        F.round(F.col("__p").cast("double") * 100.0 / F.col("__t").cast("double"), 6).alias(
+            "promo_share_pct"
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT ROUND(
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) * 100.0
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE),
+  6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (status, priority) — beyond-reference
+    grouping-sets coverage (SURVEY §2.3 notes the reference has none)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: extract props.k from the JSON
+    string column and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+        .orderBy("user_id")
+    )
+
+
+JSON_ORACLE = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling aggregation (batch form of the streaming op;
+    same operator Structured Streaming uses with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+ORDER BY window_start_us, event_type
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase, the user's most
+    recent click at-or-before it. Oracle = DuckDB's native ASOF JOIN;
+    ours is the union-sort-window composition (one shuffle, no range
+    explosion)."""
+    from hypermap_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.unix_micros(F.col("ts")).alias("click_ts_us"))
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_id", "click_ts_us"], suffix=""
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("click_id"),
+        (F.unix_micros(F.col("ts")) - F.col("click_ts_us")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, MAX(event_id) AS click_id, epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_id, epoch_us(p.ts) - c.click_ts_us AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
+    "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
+    "q14_promo_share": (q14_promo_share, Q14_ORACLE),
+    "orders_rollup": (orders_rollup, ROLLUP_ORACLE),
+    "events_json_extract": (events_json_extract, JSON_ORACLE),
+    "events_tumbling_window": (events_tumbling_window, TUMBLING_ORACLE),
+    "events_asof_join": (events_asof_join, ASOF_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
