@@ -80,9 +80,16 @@ def decode_raw_logs(raw: DataFrame, contract: str = CONTRACT_ADDRESS) -> DataFra
     t0 = F.lower(_topic(0))
     is_target = F.lower(F.col("address")) == F.lit(contract.lower())
 
+    # a log only decodes if topic0 matches AND the topic count is what
+    # the ABI demands — a short topics array is undecodable, mirroring
+    # interface.parseLog throwing → row skipped (events.ts:242-244)
+    expected_topics = {"Mint": 4, "Fact": 4, "Note": 4, "Gene": 3, "Transfer": 4, "Zero": 2, "Upgraded": 2}
     event_type = F.when(~is_target, F.lit(None).cast("string"))
     for name, topic in TOPIC0.items():
-        event_type = event_type.when(t0 == F.lit(topic), F.lit(name))
+        event_type = event_type.when(
+            (t0 == F.lit(topic)) & (F.size(F.col("topics")) == expected_topics[name]),
+            F.lit(name),
+        )
     event_type = event_type.otherwise(F.lit(None).cast("string"))
 
     label_bytes = _dyn_bytes(0)  # Mint/Fact/Note: label head at slot 0

@@ -247,6 +247,54 @@ def quarantine_bad_events(events: DataFrame) -> DataFrame:
     return events.filter(bad)
 
 
+def with_full_names(entries: DataFrame, max_depth: int = 16) -> DataFrame:
+    """Resolve each entry's dotted namespace path (label.parent.…root).
+
+    The reference declares ``fullName`` but never computes it
+    (src/schemas/index.ts:50); this is the natural completion: walk the
+    parentHash chain bottom-up. Bounded iterative joins (max_depth
+    levels) — each level is one equi-join of the unresolved frontier
+    against the (namehash → label, parent) map; at lake scale that map
+    is orders of magnitude smaller than the event log and broadcasts.
+    Cycles or over-deep chains leave fullName null (quarantine-style).
+    """
+    parent_map = entries.select(
+        F.col("namehash").alias("__nh"),
+        F.col("label").alias("__lbl"),
+        F.col("parentHash").alias("__ph"),
+    )
+    cur = entries.select(
+        "namehash",
+        F.col("label").alias("__path"),
+        F.col("parentHash").alias("__cursor"),
+        F.lit(False).alias("__done"),
+    )
+    for _ in range(max_depth):
+        cur = (
+            cur.join(
+                F.broadcast(parent_map), cur["__cursor"] == parent_map["__nh"], "left"
+            )
+            .select(
+                "namehash",
+                F.when(F.col("__done") | F.col("__lbl").isNull(), F.col("__path"))
+                .otherwise(F.concat_ws(".", F.col("__path"), F.col("__lbl")))
+                .alias("__path"),
+                F.when(F.col("__done") | F.col("__ph").isNull(), F.lit(None))
+                .otherwise(F.col("__ph"))
+                .alias("__cursor"),
+                (F.col("__done") | (F.col("__cursor") == F.lit(ROOT_HASH)) | F.col("__nh").isNull()).alias("__done"),
+            )
+        )
+    resolved = cur.select(
+        "namehash", F.when(F.col("__done"), F.col("__path")).alias("fullName")
+    )
+    return (
+        entries.drop("fullName")
+        .join(resolved, "namehash", "left")
+        .select(*[c for c in entries.columns])
+    )
+
+
 def entries_flat(entries: DataFrame) -> DataFrame:
     """Scalar projection of the entries table for engine-agnostic
     comparison: maps/arrays rendered as deterministic sorted strings."""
