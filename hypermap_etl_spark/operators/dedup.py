@@ -105,10 +105,22 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_co
     aggregation, no num_perm-fold row blowup.
     """
     sh = shingle_index(docs, text_col, n)
+    # Kirsch-Mitzenmacher double hashing: two real string hashes, then
+    # h_i = (h1 + i*h2) mod 2^31 — 2 xxhash64 evaluations per shingle
+    # instead of num_perm. The modular wrap is essential: without it the
+    # per-permutation argmins correlate (h1 dominates) and LSH bands
+    # collapse. 31-bit operands keep i*h2 + h1 inside long range (ANSI
+    # overflow is an error); 31-bit minhash values are plenty for
+    # banding.
+    mask = F.lit(0x7FFFFFFF)
+    h1 = F.xxhash64(F.col("sh")).bitwiseAND(mask)
+    h2 = F.xxhash64(F.lit(1), F.col("sh")).bitwiseAND(mask)
+    hashed = sh.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}") for i in range(num_perm)
+        F.min(F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(1 << 31))).alias(f"m{i}")
+        for i in range(num_perm)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:

@@ -295,6 +295,33 @@ def with_full_names(entries: DataFrame, max_depth: int = 16) -> DataFrame:
     )
 
 
+def descendants_of(entries: DataFrame, namehash: str, max_depth: int = 16) -> DataFrame:
+    """Subtree listing: all entries under a node, with depth.
+
+    Bounded BFS over the parentHash adjacency — one broadcast semi-join
+    per level against the (child → parent) map, frontier shrinks as the
+    tree is consumed. Returns (namehash, label, depth).
+    """
+    adj = entries.select(
+        F.col("namehash").alias("__c"), F.col("parentHash").alias("__p"), "label"
+    )
+    frontier = adj.filter(F.col("__p") == namehash).select(
+        F.col("__c").alias("namehash"), "label", F.lit(1).alias("depth")
+    )
+    out = frontier
+    for depth in range(2, max_depth + 1):
+        frontier = (
+            adj.join(
+                F.broadcast(frontier.select(F.col("namehash").alias("__p"))), "__p"
+            )
+            .select(F.col("__c").alias("namehash"), "label", F.lit(depth).alias("depth"))
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out
+
+
 def entries_flat(entries: DataFrame) -> DataFrame:
     """Scalar projection of the entries table for engine-agnostic
     comparison: maps/arrays rendered as deterministic sorted strings."""

@@ -69,6 +69,42 @@ def start_ingest_stream(
     return writer.trigger(**trigger).start()
 
 
+def start_index_stream(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    entries_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int = 10,
+):
+    """Continuous `index-events`: per micro-batch, MERGE decoded events
+    into the events table AND incrementally update the materialized
+    entries (only the namehashes the batch touches —
+    operators/materialize.incremental_entries_update). The streaming
+    equivalent of the reference's index loop
+    (/root/reference/scripts/index-events.ts:216), with per-batch work
+    O(touched entries) instead of a full refold.
+    """
+    from hypermap_etl_spark.operators.materialize import incremental_entries_update
+
+    raw = read_raw_log_stream(spark, source_path, max_files_per_trigger)
+
+    def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        events = parse_raw_logs(batch_df)
+        if events.isEmpty():
+            return
+        merge_into_parquet(spark, table_path, events, ["event_id"])
+        full_log = spark.read.parquet(table_path)
+        incremental_entries_update(spark, entries_path, full_log, events)
+
+    writer = raw.writeStream.foreachBatch(_index_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def high_water_mark(spark: SparkSession, table_path: str) -> int | None:
     """T2 batch-resume cursor: next scan starts at max(blockNumber)+1
     (mirrors /root/reference/scripts/status.ts:96-99)."""
