@@ -29,17 +29,29 @@ TABLE_NAMES = [
 DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
 
 
+def _harden_session(spark: SparkSession) -> None:
+    """Runtime confs every query relies on, set defensively so results
+    are correct even under a caller-provided vanilla session (the
+    driver's harness builds its own):
+      - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable
+        by Spark otherwise;
+      - UTC session time: date formatting/parsing must not shift with
+        the host timezone (the DuckDB oracle renders naive timestamps).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
-        # (legacy nanosAsLong conf, set in get_spark) — normalize to a
-        # proper microsecond TimestampType column. `div` keeps the
-        # arithmetic in exact integer math (ns values exceed 2^53).
+        # ts arrives as long nanoseconds (nanosAsLong) — normalize to a
+        # microsecond TimestampType column. `div` keeps the arithmetic
+        # in exact integer math (ns values exceed 2^53).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
