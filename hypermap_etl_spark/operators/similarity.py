@@ -187,6 +187,87 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_filter: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists around centroids, probe only the n_probe nearest lists per
+    query.
+
+    Centroids are chosen deterministically (the vectors whose id ranks
+    first in each of n_centroids uniform hash buckets — a k-means init
+    without iterative refinement; swap in real k-means offline when
+    recall matters more). Corpus side shuffles once on centroid id;
+    each query scores |corpus|·(n_probe/n_centroids) candidates.
+    """
+    nemb = with_norm(fan_out(emb), vec_col)
+
+    # deterministic centroid pick: first vector id in each hash bucket
+    from pyspark.sql.window import Window as W
+
+    bucketed = nemb.withColumn("__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)))
+    w = W.partitionBy("__cb").orderBy(F.col(id_col))
+    centroids = (
+        bucketed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__cb").alias("cid"), _vd(vec_col).alias("cv"), F.col("__norm").alias("cn"))
+        .collect()
+    )
+    cent = [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in centroids]
+
+    def _nearest(vec: Column, norm: Column, n: int) -> Column:
+        """ids of the n nearest centroids as an array column."""
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(
+                        vec,
+                        F.array(*[F.lit(x) for x in cv]),
+                        norm,
+                        F.lit(cn),
+                    ).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv, cn in cent
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda t: t["cid"])
+
+    corpus = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vd(vec_col).alias("cv"),
+        F.col("__norm").alias("cn"),
+        _nearest(_vd(vec_col), F.col("__norm"), 1).getItem(0).alias("cid"),
+    )
+    q = nemb.filter(query_filter) if query_filter is not None else nemb
+    queries = q.select(
+        F.col(id_col).alias("query_id"),
+        _vd(vec_col).alias("qv"),
+        F.col("__norm").alias("qn"),
+        F.explode(_nearest(_vd(vec_col), F.col("__norm"), n_probe)).alias("cid"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6).alias("sim")
+    scored = (
+        queries.join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def knn_label_vote(
     emb: DataFrame,
     k: int = 5,

@@ -689,7 +689,33 @@ ORDER BY p.event_id
 """
 
 
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dimension coverage: broadcast dim join + grouped stats."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
+            F.min("s_name").alias("first_supplier"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_ORACLE = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+       MIN(s_name) AS first_supplier
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
+    "supplier_nation_balance": (supplier_nation_balance, SUPPLIER_ORACLE),
     "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
     "q14_promo_share": (q14_promo_share, Q14_ORACLE),
     "orders_rollup": (orders_rollup, ROLLUP_ORACLE),

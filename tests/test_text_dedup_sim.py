@@ -92,6 +92,23 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert ahits >= 60  # bucketed recall is high for planted twins
 
 
+def test_ivf_topk_recall(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in base]))
+        rows.append((1000 + i, [float(x + rnd.gauss(0, 0.05)) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(
+        emb, k=1, n_centroids=4, n_probe=2, query_filter=F.col("vec_id") < 60
+    )
+    hits = out.filter(F.col("neighbor_id") == F.col("query_id") + 1000).count()
+    assert hits >= 45  # planted twin found despite probing half the lists
+
+
 def test_knn_label_vote_majority(spark):
     rows = [(i, [float(i % 2), 1.0 - (i % 2), 0.5], i % 2) for i in range(20)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
