@@ -165,9 +165,22 @@ def minhash_dedup_pairs(
     shingle arrays and computes exact Jaccard with array built-ins —
     O(candidates), not O(pairs).
     """
-    cands = lsh_candidate_pairs(minhash_signatures(docs, num_perm, n, text_col), num_perm, bands)
-    sets_df = docs.select(
-        "doc_id", F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("shs")
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, num_perm, n, text_col), num_perm, bands
+    ).persist()  # tiny (pairs only); consumed twice: id set + final join
+    # only candidate docs need their shingle sets — semi-join BEFORE
+    # building the (wide) array column so the shuffle carries shingles
+    # for O(candidates) docs, not the whole corpus
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = (
+        fan_out(docs.join(cand_ids, "doc_id", "left_semi"))
+        .select(
+            "doc_id", F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("shs")
+        )
     )
     jac = F.round(
         F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))

@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.constants import ROOT_HASH
-from hypermap_etl_spark.schemas import ENTRY_SCHEMA
 
 def _ord():
     return F.struct(F.col("blockNumber"), F.col("logIndex"))

@@ -33,7 +33,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 BLOCK_BUCKET_SIZE = 100_000
