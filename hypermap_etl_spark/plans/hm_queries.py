@@ -13,7 +13,6 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hypermap_etl_spark.operators.decode import parse_raw_logs
 from hypermap_etl_spark.operators.materialize import entries_flat, materialize_entries
@@ -23,6 +22,7 @@ from hypermap_etl_spark.plans.hm_derive import (
     hm_events_sql,
 )
 from hypermap_etl_spark.sources.raw_logs import build_raw_logs
+from hypermap_etl_spark.util import paginate
 
 # entry whose history hm_entry_history inspects: the 'c7' user entry
 ENTRY_H = "0x" + hashlib.md5(b"c7").hexdigest()
@@ -88,10 +88,9 @@ def hm_events_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hm = hm_events_df(spark, sf_dir).filter(
         (F.col("eventType") == "Note") & (F.col("timestamp") >= 1700000050)
     )
-    w = Window.orderBy(F.desc("blockNumber"), F.desc("logIndex"))
+    # util.paginate: TakeOrderedAndProject over 40 rows, no global sort
     return (
-        hm.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").between(21, 40))
+        paginate(hm, [F.desc("blockNumber"), F.desc("logIndex")], page=2, limit=20)
         .select(
             "event_id",
             F.col("blockNumber").alias("block_number"),
@@ -180,18 +179,18 @@ def hm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus undecodable junk rows — then run the real decode operator.
     The oracle projects the expected decode output directly."""
     hm = hm_events_df(spark, sf_dir)
-    # materialize the encode output at an exchange before decoding:
-    # without the barrier Catalyst fuses encode+decode into one giant
-    # expression per column (the ABI-encode subtree repeated inside every
-    # offset computation) that blows janino's 64 KB method limit and
-    # falls back to interpreted eval. In production decode reads raw logs
-    # from storage, so the barrier mirrors the real plan shape.
-    from hypermap_etl_spark.util import fan_out
+    # materialize the encoded logs before decoding (util.stage_boundary):
+    # an exchange alone is NOT enough — decode's eventType filter pushes
+    # through it into the scan with the whole derive+encode tree
+    # substituted (janino 64 KB fallback, BENCH_r01), and the decode
+    # projections collapse onto the encode projection. In production
+    # decode reads raw logs from storage; the boundary mirrors that.
+    from hypermap_etl_spark.util import stage_boundary
 
-    raw = fan_out(build_raw_logs(hm))
-    # junk rows come straight off hm (not raw) so the expensive ABI-encode
-    # subtree isn't evaluated a second time for the union branch
-    junk = hm.filter(F.col("blockNumber") % 10 == 0).select(
+    raw = stage_boundary(build_raw_logs(hm))
+    # junk rows project off the cached raw frame (only passthrough
+    # columns) so the derive+encode pipeline runs exactly once
+    junk = raw.filter(F.col("blockNumber") % 10 == 0).select(
         F.lit("0x00000000000000000000000000000000deadbeef").alias("address"),
         "blockNumber",
         "blockHash",

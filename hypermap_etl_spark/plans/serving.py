@@ -18,9 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hypermap_etl_spark.constants import PAGE_LIMIT_DEFAULT, PAGE_LIMIT_MAX
+from hypermap_etl_spark.util import paginate
 
 
 def status_counts(events: DataFrame) -> DataFrame:
@@ -79,27 +79,18 @@ def get_events(
     """P8+P9 filters, O1 sort desc + skip/limit pagination.
 
     Bounds clamped like the reference (events/actions.ts:22-24):
-    limit∈[1,100], page≥1. Page 1 compiles to TakeOrderedAndProject
-    (top-k per partition, no global sort); deeper pages use a window
-    row_number — still a single pass.
+    limit∈[1,100], page≥1. Every page compiles to TakeOrderedAndProject
+    over skip+limit rows (util.paginate) — per-partition bounded heaps,
+    never a single-task global sort.
     """
     limit = max(1, min(int(limit), PAGE_LIMIT_MAX))
-    page = max(1, int(page))
     out = events
     if event_type and event_type != "All":
         out = out.filter(F.col("eventType") == event_type)  # P8
     if start_date:
         t0 = F.unix_timestamp(F.to_timestamp(F.lit(start_date), "yyyy-MM-dd"))
         out = out.filter(F.col("timestamp").isNotNull() & (F.col("timestamp") >= t0))  # P9
-    if page == 1:
-        return out.orderBy(F.desc("blockNumber"), F.desc("logIndex")).limit(limit)
-    skip = (page - 1) * limit
-    w = Window.orderBy(F.desc("blockNumber"), F.desc("logIndex"))
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").between(skip + 1, skip + limit))
-        .drop("__rn")
-    )
+    return paginate(out, [F.desc("blockNumber"), F.desc("logIndex")], page, limit)
 
 
 def count_events(

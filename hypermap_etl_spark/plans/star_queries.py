@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hypermap_etl_spark.sources.tables import load_table
+from hypermap_etl_spark.util import paginate
 
 
 def _dec(col: str, p: int = 12, s: int = 2) -> F.Column:
@@ -329,11 +330,9 @@ def events_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click")
         & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
     )
-    w = Window.orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").between(21, 40))
-        .select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "value")
+    # util.paginate: TakeOrderedAndProject over 40 rows, no global sort
+    return paginate(ev, [F.desc("ts"), F.desc("event_id")], page=2, limit=20).select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "value"
     )
 
 

