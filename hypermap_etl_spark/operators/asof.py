@@ -30,21 +30,35 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left as-of join; right_cols arrive as <name><suffix> (null when no
-    right row precedes the left row)."""
+    right row precedes the left row).
+
+    All right columns travel in ONE struct carried by a single
+    last(ignorenulls=True): per-column fills would each skip their own
+    NULLs independently and could stitch an output row from DIFFERENT
+    right rows (a matched row's legitimate NULL field replaced by an
+    older row's value) — diverging from DuckDB ASOF JOIN semantics.
+    With the struct, the whole matched row wins and its NULL fields
+    stay NULL.
+    """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    rstruct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_cols])
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+    ).select(*lcols, "__ts", "__side", "__r")
 
     unioned = l.unionByName(r)
     # right rows sort before left rows at equal __ts (__side 0 < 1) so a
@@ -57,9 +71,9 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rm"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__rm").getField(c).alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -66,18 +66,59 @@ def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+def capped_shingle_index(
+    docs: DataFrame, n: int = 3, text_col: str = "text", max_doc_freq: int | None = None
 ) -> DataFrame:
-    """EXACT all-pairs Jaccard ≥ threshold without a cross join.
+    """Inverted index with hot shingles (document frequency above
+    ``max_doc_freq``) dropped.
+
+    A shingle occurring in k docs contributes k² rows to the
+    co-occurrence self-join — one boilerplate shingle at corpus scale
+    is a quadratic blowup. The hot set is tiny by construction (few
+    shingles exceed any sane cap), so it broadcasts and the prune is a
+    map-side anti-join, no extra shuffle of the index.
+    """
+    return _cap_hot_shingles(shingle_index(docs, text_col, n), max_doc_freq)
+
+
+def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs Jaccard ≥ threshold without a cross join.
 
     inverted index self-join on shingle → per-pair intersection counts →
     |A∪B| = |A|+|B|−|A∩B|. Work is proportional to co-occurring shingle
-    pairs, not |docs|²; hot shingles can be capped (see min_doc_freq
-    pruning) at extreme scale.
+    pairs, not |docs|².
+
+    ``max_doc_freq=None`` (default) is EXACT — the oracle/gate mode.
+    At corpus scale pass a cap: shingles in more than ``max_doc_freq``
+    docs are pruned from the join (capped_shingle_index), bounding the
+    worst co-occurrence group at max_doc_freq². Per-doc sizes |A| stay
+    uncapped, so the computed Jaccard is a LOWER bound — a pair can
+    only be missed if its overlap hinges on stop-shingles, which carry
+    no near-dup signal by definition.
     """
-    sh = shingle_index(docs, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    full = shingle_index(docs, text_col, n)
+    # sizes from the UNCAPPED index: |A| and |B| stay exact so the
+    # union denominator is exact even when the intersection is capped
+    sizes = full.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _cap_hot_shingles(full, max_doc_freq)
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))

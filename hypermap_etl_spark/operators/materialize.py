@@ -40,11 +40,24 @@ def _ord():
 
 
 def _first_by_order(col, name):
-    return F.min_by(col, _ord()).alias(name)
+    """arg_min over (block, logIndex) that SKIPS NULL values.
+
+    Spark's min_by would return the tracked value even when it is NULL,
+    while the DuckDB oracle's arg_min skips NULLs — on real logs a NULL
+    field in the winning event would silently diverge. min/max over a
+    when(value-not-null, struct(ord, value)) ignores the NULLed structs,
+    matching arg_min exactly; (block, logIndex) is unique per event so
+    the value field never tiebreaks."""
+    return F.min(F.when(col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v"))))[
+        "v"
+    ].alias(name)
 
 
 def _last_by_order(col, name):
-    return F.max_by(col, _ord()).alias(name)
+    """arg_max over (block, logIndex), NULL-skipping (see _first_by_order)."""
+    return F.max(F.when(col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v"))))[
+        "v"
+    ].alias(name)
 
 
 def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFrame:

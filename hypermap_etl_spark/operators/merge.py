@@ -13,16 +13,24 @@ whenNotMatchedInsertAll); this container has no Delta jars, so
     new ⟕ existing on key → rewrite = existing rows not matched, plus
     deduped new rows (new wins on conflict, like $set upsert)
 
-and reports (upserted, modified) counts like bulkWrite does. The
-write is staged to a temp dir and atomically swapped, so a crashed job
-never leaves a half-written table.
+and reports (upserted, modified) counts like bulkWrite does.
+
+Durability: with ``partition_col`` the merge is a DYNAMIC PARTITION
+OVERWRITE — only partitions present in the incoming batch are
+rewritten; untouched partition files are never touched. Without it,
+the rewrite is staged to a temp dir and swapped via two renames; the
+swap is NOT atomic (a crash between the renames leaves the data in a
+``__old_`` dir), so the next merge first recovers any interrupted
+swap. Both paths assume a local/HDFS-like filesystem — object stores
+without atomic rename need a table format (Delta/Iceberg) instead.
 
 Scale note: rewriting the full table per merge is the plain-parquet
 cost; the Delta MERGE path (file-level pruning on the key's min/max
-stats) is the 100 TB answer and is a drop-in swap of `_apply_merge`.
-For append-mostly event logs, partitioning the table by block bucket
-(`partition_col`) limits the rewrite to touched partitions —
-dynamic partition overwrite, the parquet-native incremental MERGE.
+stats) is the 100 TB answer and is a drop-in swap. For append-mostly
+event logs, `partition_col` (block bucket) IS the parquet-native
+incremental MERGE: per-batch cost is proportional to touched buckets,
+not table size. Requires the partition value to be stable per key
+(true for block-derived buckets: a key's blockNumber never changes).
 """
 
 from __future__ import annotations
@@ -63,6 +71,33 @@ def dedupe_new(new_df: DataFrame, key_cols: list[str], order_cols: list[str] | N
     )
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Heal a previous merge that crashed between the two swap renames.
+
+    The swap is rename(path→old); rename(staging→path); rmtree(old). A
+    crash in the gap leaves no table at ``path`` and the full data in
+    the ``__old_`` dir — restore the newest one. Stale ``__staging_``
+    dirs (crash before the first rename) are just deleted: the table
+    at ``path`` is still the authoritative pre-merge state.
+    """
+    parent, base = os.path.split(os.path.abspath(path))
+    if not os.path.isdir(parent):
+        return
+    olds = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}__old_")
+    ]
+    if not os.path.exists(path) and olds:
+        olds.sort(key=os.path.getmtime)
+        os.rename(olds.pop(), path)
+    for leftover in olds:
+        shutil.rmtree(leftover, ignore_errors=True)
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}__staging_"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
@@ -74,7 +109,14 @@ def merge_into_parquet(
 
     Returns {"upsertedCount": n_inserted, "modifiedCount": n_updated} to
     match the reference's bulkWrite report (extract-events.ts:126-136).
+
+    With ``partition_col``: dynamic partition overwrite — existing rows
+    are scanned and rewritten ONLY in partitions the batch touches
+    (partition filters prune the rest at the scan). The partition value
+    must be a pure function of the key's row (block bucket), otherwise
+    a key that 'moved' partitions would survive in its old partition.
     """
+    _recover_interrupted_swap(path)
     new_df = dedupe_new(new_df, key_cols)
 
     if not os.path.exists(path):
@@ -85,6 +127,10 @@ def merge_into_parquet(
         return {"upsertedCount": new_df.count(), "modifiedCount": 0}
 
     existing = spark.read.parquet(path)
+    if partition_col:
+        touched = [r[0] for r in new_df.select(partition_col).distinct().collect()]
+        existing = existing.filter(F.col(partition_col).isin(touched))
+
     key = [F.col(f"n.{k}") == F.col(f"e.{k}") for k in key_cols]
 
     # counts from one aggregated anti/semi pass (cheap: key columns only)
@@ -98,11 +144,19 @@ def merge_into_parquet(
     )
     merged = survivors.unionByName(new_df)
 
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
     if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(staging)
+        # rewrite only the touched partitions in place; untouched
+        # partition files are never opened or replaced
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return {"upsertedCount": upserted, "modifiedCount": matched}
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(staging, path)

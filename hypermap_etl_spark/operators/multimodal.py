@@ -78,34 +78,49 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> Da
     deterministic md5 of (payload, frame_idx) — the real decoder slots in
     here unchanged."""
 
+    import numpy as np
+
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["payload"] is None:
-                    continue
-                dur = (r["meta"] or {}).get("duration_ms") or 0
-                n = min(max_frames, max(1, int(dur // (every_n * 1000))))
-                for i in range(n):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "frame_md5": hashlib.md5(
-                                bytes(r["payload"]) + i.to_bytes(4, "big")
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
+            vids = pdf[(pdf["kind"] == "video") & pdf["payload"].notna()]
+            if vids.empty:
+                yield pd.DataFrame(columns=["media_id", "frame_idx", "frame_md5"])
+                continue
+            dur = vids["meta"].map(lambda m: (m or {}).get("duration_ms") or 0)
+            n = np.minimum(
+                max_frames, np.maximum(1, dur.to_numpy() // (every_n * 1000))
+            ).astype(int)
+            # vectorized row explosion: repeat each video row n_i times
+            rep = vids.loc[vids.index.repeat(n)]
+            frame_idx = np.concatenate([np.arange(c) for c in n])
+            # the md5 stands in for the per-frame decoder — inherently
+            # per-item work; everything around it is vectorized
+            md5s = [
+                hashlib.md5(bytes(p) + int(i).to_bytes(4, "big")).hexdigest()
+                for p, i in zip(rep["payload"], frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": rep["media_id"].to_numpy(),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_md5": md5s,
+                }
+            )
 
     return media.mapInPandas(_frames, schema=FRAME_OUTPUT_SCHEMA)
 
 
-def media_feature_topk(decoded: DataFrame, k: int = 3) -> DataFrame:
+def media_feature_topk(
+    decoded: DataFrame,
+    k: int = 3,
+    query_filter=None,
+    allow_full_scan: bool = False,
+) -> DataFrame:
     """Downstream consumer of decoded features: nearest media by fake-
     feature cosine — proves the array<float> column composes with the
-    similarity kernels."""
+    similarity kernels. Forwards brute_force_topk's N² guard: pass a
+    query_filter, or allow_full_scan=True for a deliberately small set."""
     from hypermap_etl_spark.operators.similarity import brute_force_topk
 
     emb = decoded.select(F.col("media_id").alias("vec_id"), F.col("feat").alias("embedding"))
-    return brute_force_topk(emb, k=k)
+    return brute_force_topk(emb, k=k, query_filter=query_filter, allow_full_scan=allow_full_scan)

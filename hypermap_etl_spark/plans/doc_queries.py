@@ -289,9 +289,11 @@ ORDER BY query_id, rank
 
 
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ 0.45 (exact near-dup mining)."""
+    """All pairs with cosine ≥ 0.45: banded-SRP candidates + exact
+    verify (srp_neardup_pairs) — equi-join plan, no O(n²) cartesian.
+    The DuckDB oracle stays the exhaustive exact formulation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, 0.45).orderBy("id_a", "id_b")
+    return similarity.srp_neardup_pairs(emb, 0.45).orderBy("id_a", "id_b")
 
 
 NEARDUP_ORACLE = """

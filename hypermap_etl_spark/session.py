@@ -36,6 +36,15 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
 
+    # driver heap must be set BEFORE the JVM launches: builder confs are
+    # silently ignored for spark.driver.memory when a plain Python
+    # process starts the gateway (the heap is already fixed). Route it
+    # through PYSPARK_SUBMIT_ARGS instead; under spark-submit the env
+    # var is absent and submit-time -Xmx wins as usual.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,7 +57,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from hypermap_etl_spark.constants import ROOT_HASH
 from hypermap_etl_spark.operators.materialize import (
     materialize_entries,
@@ -135,3 +137,26 @@ def test_quarantine(spark):
            label="ok"),
     ]
     assert quarantine_bad_events(events_df(spark, rows)).count() == 4
+
+
+def test_argminmax_skip_null_values(spark):
+    """arg_min/arg_max semantics: a NULL field on the winning event is
+    skipped (DuckDB arg_min parity), not returned."""
+    rows = [
+        # first Mint of c100 has NULL parenthash; second carries one
+        ev(eventType="Mint", blockNumber=1, logIndex=0, childhash=h(100),
+           parenthash=None, label="first"),
+        ev(eventType="Mint", blockNumber=2, logIndex=0, childhash=h(100),
+           parenthash=h(1), label="second"),
+        # owner: last Transfer has NULL 'to'; earlier one has a value
+        ev(eventType="Transfer", blockNumber=3, logIndex=0, id=h(100), to="0xaa"),
+        ev(eventType="Transfer", blockNumber=4, logIndex=0, id=h(100), to=None),
+    ]
+    entry = (
+        materialize_entries(events_df(spark, rows))
+        .filter(F.col("namehash") == h(100))
+        .collect()[0]
+    )
+    assert entry["label"] == "first"  # non-null: first-wins unchanged
+    assert entry["parentHash"] == h(1)  # NULL skipped -> later value
+    assert entry["owner"] == "0xaa"  # NULL skipped -> earlier value

@@ -36,6 +36,64 @@ def test_merge_upsert_and_update(spark):
     assert tbl.filter(F.col("label") == "b").count() == 5  # $set semantics: new wins
 
 
+def test_partitioned_merge_leaves_untouched_partitions_alone(spark):
+    """With partition_col, a merge must rewrite ONLY touched buckets:
+    untouched partition files stay byte-identical (the parquet-native
+    incremental MERGE the streaming path relies on)."""
+    import glob
+    import hashlib
+    import os
+
+    from hypermap_etl_spark.operators.merge import with_block_bucket
+
+    path = tempfile.mkdtemp() + "/tbl"
+    # buckets 0 and 1 (block 150k)
+    base = with_block_bucket(
+        _mk(spark, 3).unionByName(_mk(spark, 2, start=150_000))
+    )
+    merge_into_parquet(spark, path, base, ["event_id"], partition_col="block_bucket")
+
+    def fingerprint(bucket):
+        files = sorted(glob.glob(f"{path}/block_bucket={bucket}/*.parquet"))
+        return [
+            (os.path.basename(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+            for f in files
+        ]
+
+    before_b0 = fingerprint(0)
+    # merge touching ONLY bucket 1
+    r = merge_into_parquet(
+        spark,
+        path,
+        with_block_bucket(_mk(spark, 4, label="b", start=150_001)),
+        ["event_id"],
+        partition_col="block_bucket",
+    )
+    assert r == {"upsertedCount": 3, "modifiedCount": 1}
+    assert fingerprint(0) == before_b0  # bucket-0 files untouched
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == 3 + 1 + 4
+    assert tbl.filter(F.col("label") == "b").count() == 4
+
+
+def test_merge_recovers_interrupted_swap(spark):
+    """A crash between the two swap renames leaves the table in a
+    __old_ dir; the next merge must restore it instead of treating the
+    table as absent."""
+    import os
+
+    base = tempfile.mkdtemp()
+    path = f"{base}/tbl"
+    merge_into_parquet(spark, path, _mk(spark, 5), ["event_id"])
+    # simulate the crash window: table renamed away, staging orphaned
+    os.rename(path, f"{path}__old_deadbeef")
+    os.makedirs(f"{path}__staging_cafe")
+    r = merge_into_parquet(spark, path, _mk(spark, 2, label="b"), ["event_id"])
+    assert r == {"upsertedCount": 0, "modifiedCount": 2}  # table recovered
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(f"{path}__staging_cafe")
+
+
 def test_merge_dedupes_within_batch(spark):
     path = tempfile.mkdtemp() + "/tbl"
     batch = _mk(spark, 3).unionByName(_mk(spark, 3))  # exact dups in one batch

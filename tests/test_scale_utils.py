@@ -21,6 +21,30 @@ from tests.helpers import ev, events_df, h
 from tests.test_materialize import _fixture_rows
 
 
+def test_keccak256_matches_public_vectors():
+    """Pin keccak to the published Ethereum vectors, breaking the
+    encode→decode circularity: a silent keccak regression would
+    otherwise keep every roundtrip test green while diverging from
+    real-chain topic0 values."""
+    from hypermap_etl_spark.functions.keccak import event_topic0, keccak256_hex
+
+    # Keccak-256 of empty input (NOT sha3-256's a7ffc6f8...)
+    assert (
+        keccak256_hex(b"")
+        == "0xc5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    # the canonical ERC-20 Transfer topic0
+    assert (
+        event_topic0("Transfer(address,address,uint256)")
+        == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    )
+    # 'abc' — published Keccak-256 test vector
+    assert (
+        keccak256_hex(b"abc")
+        == "0x4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+
+
 def test_partitioned_table_prunes(spark):
     path = tempfile.mkdtemp() + "/events"
     rows = [

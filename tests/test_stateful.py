@@ -62,3 +62,72 @@ def test_state_spans_batches(spark):
     ]
     u1_open = [r for r in out2 if r["user_id"] == 1 and not r["closed"]]
     assert [(r["session_start_us"], r["n_events"]) for r in u1_open] == [(140 * MIN, 1)]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct group-function tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _run_group(state, ts_list, idle_timeout_ms=None):
+    import pandas as pd
+
+    from hypermap_etl_spark.streaming.stateful import _sessionize_group
+
+    out = list(
+        _sessionize_group((1,), iter([pd.DataFrame({"ts_us": ts_list})]), state, idle_timeout_ms)
+    )
+    return out[0].to_dict("records")
+
+
+def test_late_event_does_not_move_session_end_backwards():
+    """A late arrival (ts < stored last_us) in a later micro-batch must
+    not rewind last_us — that would falsely split the session on the
+    next on-time event."""
+    state = _FakeState((0, 20 * MIN, 3))
+    rows = _run_group(state, [15 * MIN])  # late: before last_us
+    assert rows == [
+        {"user_id": 1, "session_start_us": 0, "session_end_us": 20 * MIN, "n_events": 4, "closed": False}
+    ]
+    # next on-time event 25min after the TRUE end still joins the session
+    rows = _run_group(state, [45 * MIN])
+    assert rows[0]["closed"] is False and rows[0]["n_events"] == 5
+
+
+def test_idle_timeout_closes_and_removes_state():
+    state = _FakeState((0, 20 * MIN, 3), timed_out=True)
+    rows = _run_group(state, [], idle_timeout_ms=1000)
+    assert rows == [
+        {"user_id": 1, "session_start_us": 0, "session_end_us": 20 * MIN, "n_events": 3, "closed": True}
+    ]
+    assert not state.exists
+
+
+def test_timeout_registered_only_when_enabled():
+    state = _FakeState()
+    _run_group(state, [0], idle_timeout_ms=None)
+    assert state.timeout_set is None
+    state2 = _FakeState()
+    _run_group(state2, [0], idle_timeout_ms=5000)
+    assert state2.timeout_set == 5000

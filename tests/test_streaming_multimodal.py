@@ -118,5 +118,19 @@ def test_sample_frames(spark):
 
 def test_media_feature_topk_composes(spark):
     decoded = decode_media(_media_df(spark))
-    topk = media_feature_topk(decoded, k=2)
+    topk = media_feature_topk(decoded, k=2, allow_full_scan=True)
     assert topk.groupBy("query_id").count().filter(F.col("count") != 2).count() == 0
+
+
+def test_brute_force_topk_guards_accidental_full_scan(spark):
+    """Unfiltered top-k is an N² scan — must be an explicit opt-in."""
+    import pytest
+
+    from hypermap_etl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="full N x N"):
+        brute_force_topk(emb)
+    with pytest.raises(ValueError, match="full N x N"):
+        media_feature_topk(emb.select(F.col("vec_id").alias("media_id"), F.col("embedding").alias("feat")))
+    assert brute_force_topk(emb, k=1, allow_full_scan=True).count() == 2

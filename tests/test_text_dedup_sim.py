@@ -32,6 +32,31 @@ def test_ngram_jaccard_finds_near_pair_only(spark):
     assert 0.5 <= pairs[0]["jaccard"] < 1.0
 
 
+def test_ngram_hot_shingle_cap_bounds_join(spark):
+    """A boilerplate shingle shared by every doc must not quadratically
+    blow the co-occurrence join when max_doc_freq is set, and true
+    near-dup pairs must survive the cap."""
+    rows = [(i, f"legal boiler plate x{i} y{i} z{i} w{i}") for i in range(30)]
+    # a genuine near-dup pair sharing many non-hot shingles
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: the hot shingle alone contributes C(30,2)=435 join rows
+    full = dedup.capped_shingle_index(docs, n=3)
+    capped = dedup.capped_shingle_index(docs, n=3, max_doc_freq=5)
+    join_rows = lambda sh: (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    assert join_rows(full) >= 435
+    assert join_rows(capped) < 50
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(100, 101)}
+
+
 def test_minhash_matches_exact(spark):
     d = _docs(spark, [BASE, NEAR, FAR, BASE + " extra"])
     exact = {(p["doc_a"], p["doc_b"]) for p in dedup.ngram_jaccard_pairs(d, 0.5).collect()}
@@ -90,6 +115,39 @@ def test_lsh_topk_recall_vs_exact(spark):
     approx = similarity.lsh_topk(emb, k=1, n_planes=4, dim=16, query_filter=F.col("vec_id") < 80)
     ahits = approx.filter(F.col("neighbor_id") == F.col("query_id") + 1000).count()
     assert ahits >= 60  # bucketed recall is high for planted twins
+
+
+def test_srp_neardup_matches_exact(spark):
+    """Banded-SRP candidates + exact verify must reproduce the exact
+    all-pairs result on the gate fixture (recall target 1e-6 miss)."""
+    from hypermap_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    srp = set(map(tuple, similarity.srp_neardup_pairs(emb, 0.45).collect()))
+    exact = set(map(tuple, similarity.cosine_neardup_pairs(emb, 0.45).collect()))
+    assert srp == exact and len(exact) > 0
+
+
+def test_srp_neardup_plan_is_equijoin_not_cartesian(spark):
+    """The candidate join must shuffle on (band, value), never plan a
+    nested-loop/cartesian over the corpus."""
+    from hypermap_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = similarity.srp_neardup_pairs(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_srp_banding_prunes_at_tight_thresholds():
+    """The parameter picker must yield real pruning (b < 2^r) once the
+    threshold is in the realistic near-dup range."""
+    for t in (0.8, 0.9, 0.95):
+        r, b = similarity.srp_banding(t)
+        assert b < (1 << r), (t, r, b)
+    # adversarially weak threshold: recall still drives the choice
+    r, b = similarity.srp_banding(0.45)
+    assert r * b <= 512
 
 
 def test_ivf_topk_recall(spark):
