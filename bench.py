@@ -50,6 +50,8 @@ def main() -> None:
 
     # two runs per query, report the faster (steady-state) one — JIT and
     # AQE statistics settle on the first execution
+    from hypermap_etl_spark.util import release_persisted
+
     timings: dict[str, float] = {}
     for name, fn in bench.items():
         best, n = None, 0
@@ -58,6 +60,10 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        # release operator-persisted frames between queries so one
+        # query's cache never skews (or starves) the next; within a
+        # query the second run legitimately reuses the cache (warm run)
+        release_persisted()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 

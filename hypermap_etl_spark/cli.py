@@ -113,16 +113,30 @@ def cmd_events(args) -> None:
 
 def cmd_stream(args) -> None:
     """Continuous ingest: catch-up then optional 30 s-interval tail
-    (scan-events.ts:129,148-168)."""
+    (scan-events.ts:129,148-168). T5: prints a per-batch JSON progress
+    line (rows merged, high-water block) plus an engine-level status
+    line every --progress-interval seconds, parity with the reference's
+    15 s status output (extract-events.ts:197-202)."""
     from hypermap_etl_spark.streaming.scan import start_ingest_stream
+    from hypermap_etl_spark.streaming.telemetry import (
+        attach_progress_listener,
+        progress_printer,
+    )
 
     spark = _spark(args)
+    attach_progress_listener(
+        spark, printer=lambda line: print(line, flush=True),
+        interval=args.progress_interval,
+    )
     trigger = (
         {"availableNow": True}
         if args.once
         else {"processingTime": f"{args.interval} seconds"}
     )
-    q = start_ingest_stream(spark, args.raw, args.table, args.checkpoint, trigger)
+    q = start_ingest_stream(
+        spark, args.raw, args.table, args.checkpoint, trigger,
+        on_progress=progress_printer(),
+    )
     q.awaitTermination(args.timeout if args.timeout else None)
 
 
@@ -160,6 +174,8 @@ def main(argv=None) -> None:
     p.add_argument("--once", action="store_true", help="catch-up then stop")
     p.add_argument("--interval", type=int, default=30)
     p.add_argument("--timeout", type=int, default=None)
+    p.add_argument("--progress-interval", type=float, default=15.0,
+                   help="engine status-line cadence, seconds (T5)")
 
     args = ap.parse_args(argv)
     {

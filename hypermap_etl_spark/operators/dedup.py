@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators.textstats import word_shingles
-from hypermap_etl_spark.util import fan_out
+from hypermap_etl_spark.util import fan_out, tracked_persist
 
 
 # ---------------------------------------------------------------- exact ----
@@ -115,8 +115,11 @@ def ngram_jaccard_pairs(
     no near-dup signal by definition.
     """
     full = shingle_index(docs, text_col, n)
-    # sizes from the UNCAPPED index: |A| and |B| stay exact so the
-    # union denominator is exact even when the intersection is capped
+    # sizes from the UNCAPPED index: |A| and |B| stay exact, so the only
+    # error term is the (under-counted) capped intersection — it appears
+    # positively in the numerator and negatively in the union
+    # denominator, and both effects shrink the ratio, making the
+    # computed Jaccard a strict lower bound
     sizes = full.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh = _cap_hot_shingles(full, max_doc_freq)
     inter = (
@@ -208,7 +211,11 @@ def minhash_dedup_pairs(
     """
     cands = lsh_candidate_pairs(
         minhash_signatures(docs, num_perm, n, text_col), num_perm, bands
-    ).persist()  # tiny (pairs only); consumed twice: id set + final join
+    )
+    # tiny (pairs only); consumed twice (id set + final join) — tracked
+    # so bench/servers release it after the query instead of leaking
+    # cache across a long session (VERDICT r2 tasks 4/5)
+    cands = tracked_persist(cands)
     # only candidate docs need their shingle sets — semi-join BEFORE
     # building the (wide) array column so the shuffle carries shingles
     # for O(candidates) docs, not the whole corpus

@@ -185,18 +185,55 @@ def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFr
     )
 
 
+# the four event columns that can reference an entry (the M1-M7 write set)
+ENTRY_KEY_COLS = ["childhash", "parenthash", "entry", "id"]
+
+
 def touched_namehashes(events: DataFrame) -> DataFrame:
     """Distinct entry keys a batch of events can affect (child, parent,
     gene target, transfer id) — the M1-M7 write set."""
-    cols = ["childhash", "parenthash", "entry", "id"]
-    parts = [
-        events.select(F.col(c).alias("namehash")).filter(F.col(c).isNotNull())
-        for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return (
+        events.select(
+            F.explode(F.array(*[F.col(c) for c in ENTRY_KEY_COLS])).alias("namehash")
+        )
+        .filter(F.col("namehash").isNotNull())
+        .distinct()
+    )
+
+
+def events_referencing(events_table: DataFrame, keys: DataFrame) -> DataFrame:
+    """ONE scan of the log keeping every event that references any key in
+    ``keys`` (namehash column) through any of the four entry-key columns.
+
+    Plan shape: the scan's rows are exploded 4-way on the key columns
+    map-side (no extra scan, no shuffle), broadcast-semi-joined against
+    the key set, then deduped on event_id — shuffle volume is O(matched
+    events), scan volume is ONE pass. The previous formulation was four
+    separate whole-log scans unioned; at 100 TB that is 4× the I/O for
+    the same output.
+    """
+    exploded = events_table.withColumn(
+        "__k", F.explode(F.array(*[F.col(c) for c in ENTRY_KEY_COLS]))
+    ).filter(F.col("__k").isNotNull())
+    return (
+        exploded.join(
+            F.broadcast(keys), exploded["__k"] == keys["namehash"], "left_semi"
+        )
+        .drop("__k")
+        .dropDuplicates(["event_id"])
+    )
+
+
+ENTRY_BUCKETS = 16
+
+
+def with_entry_bucket(df: DataFrame, n: int = ENTRY_BUCKETS) -> DataFrame:
+    """Partition column for the entries table: uniform hash bucket of the
+    namehash key. A pure function of the merge key, so the partitioned
+    MERGE contract holds (a key never moves buckets), and per-batch
+    upserts rewrite only the buckets holding touched entries instead of
+    the whole entries table."""
+    return df.withColumn("entry_bucket", F.pmod(F.xxhash64(F.col("namehash")), F.lit(n)))
 
 
 def incremental_entries_update(
@@ -205,6 +242,7 @@ def incremental_entries_update(
     events_table: DataFrame,
     new_events: DataFrame,
     root_hash: str = ROOT_HASH,
+    entry_buckets: int | None = None,
 ) -> dict[str, int]:
     """Streaming-scale materialization: recompute ONLY the entries the
     new batch touches, then MERGE them into the stored entries table.
@@ -215,33 +253,33 @@ def incremental_entries_update(
     rows a full recompute would produce for those keys. Work per batch
     is O(events of touched entries), not O(full log) — the difference
     between a 100 TB nightly recompute and a seconds-level upsert.
+    Callers that hold a bucketed log (streaming/scan.start_index_stream)
+    additionally prune ``events_table`` to the buckets containing the
+    touched keys' events before passing it in, so the SCAN is also
+    O(touched), not O(log).
+
+    With ``entry_buckets`` the entries table is hash-partitioned on the
+    key (with_entry_bucket) and the MERGE rewrites only touched buckets.
 
     The event log is append-only, so entries never disappear — MERGE
     (upsert) is sufficient, no delete branch.
     """
     from hypermap_etl_spark.operators.merge import merge_into_parquet
 
-    keys = F.broadcast(touched_namehashes(new_events))
-    et = F.col("eventType")
-    relevant = (
-        events_table.join(keys, events_table["childhash"] == keys["namehash"], "left_semi")
-        .unionByName(
-            events_table.join(keys, events_table["parenthash"] == keys["namehash"], "left_semi")
-        )
-        .unionByName(
-            events_table.join(keys, events_table["entry"] == keys["namehash"], "left_semi")
-        )
-        .unionByName(
-            events_table.join(keys, events_table["id"] == keys["namehash"], "left_semi")
-        )
-        .dropDuplicates(["event_id"])
-    )
-    _ = et
+    keys = touched_namehashes(new_events)
+    relevant = events_referencing(events_table, keys)
     # the restricted replay is complete for TOUCHED keys but also emits
     # partial rows for untouched entries that merely co-occur (e.g. the
     # parent of a touched child, seen through only that child's mints) —
     # keep only the touched keys' rows for the merge
-    updated = materialize_entries(relevant, root_hash).join(keys, "namehash", "left_semi")
+    updated = materialize_entries(relevant, root_hash).join(
+        F.broadcast(keys), "namehash", "left_semi"
+    )
+    if entry_buckets:
+        updated = with_entry_bucket(updated, entry_buckets)
+        return merge_into_parquet(
+            spark, entries_path, updated, ["namehash"], partition_col="entry_bucket"
+        )
     return merge_into_parquet(spark, entries_path, updated, ["namehash"])
 
 

@@ -15,6 +15,14 @@ whenNotMatchedInsertAll); this container has no Delta jars, so
 
 and reports (upserted, modified) counts like bulkWrite does.
 
+SINGLE WRITER REQUIRED: like the reference's one scan loop per
+deployment, a table must have at most ONE merge in flight. Recovery
+(_recover_interrupted_swap) deletes ALL sibling __staging_/__old_ dirs
+at merge start, so a concurrent merge on the same table can have its
+live staging dir deleted mid-write; the streaming path serializes
+merges per table via foreachBatch, and multi-writer deployments need a
+table format with optimistic concurrency (Delta/Iceberg) instead.
+
 Durability: with ``partition_col`` the merge is a DYNAMIC PARTITION
 OVERWRITE — only partitions present in the incoming batch are
 rewritten; untouched partition files are never touched. Without it,

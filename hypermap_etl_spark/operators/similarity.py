@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hypermap_etl_spark.util import fan_out
+from hypermap_etl_spark.util import fan_out, tracked_persist
 
 
 def _vd(col) -> Column:
@@ -149,15 +149,20 @@ def srp_banding(
     import math
 
     p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    # degenerate thresholds (±1.0 → p ∈ {0, 1}) would hit log(0) /
+    # division by zero below; clamp p into the open interval — banding
+    # is meaningless that close to identical/antipodal anyway
+    p = min(1.0 - 1e-9, max(1e-9, p))
     need = math.log(1.0 / target_miss)
-    best = (2, int(math.ceil(need / -math.log(1.0 - p**2))))
+    best = None
     for r in range(2, 17):
-        pr = p**r
-        if pr >= 1.0:
-            continue
-        b = int(math.ceil(need / -math.log(1.0 - pr)))
-        if r * b <= max_planes:
+        b = max(1, int(math.ceil(need / -math.log1p(-(p**r)))))
+        if best is None or r * b <= max_planes:
             best = (r, b)
+    if best[0] * best[1] > max_planes:
+        # even r=2 exceeds the plane budget (p≈0): cap the bands — the
+        # recall target is unreachable within budget, degrade explicitly
+        best = (best[0], max(1, max_planes // best[0]))
     return best
 
 
@@ -218,7 +223,9 @@ def srp_neardup_pairs(
     )
     # band values are consumed by both join sides — cache so the UDF
     # runs once per vector (at scale this is a written artifact)
-    sigs = nemb.withColumn("bands", _srp_bands_udf(planes, r, b)(F.col("v"))).persist()
+    sigs = tracked_persist(
+        nemb.withColumn("bands", _srp_bands_udf(planes, r, b)(F.col("v")))
+    )
     banded = sigs.select(
         "id", F.posexplode("bands").alias("band", "val")
     )

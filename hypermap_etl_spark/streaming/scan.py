@@ -13,7 +13,20 @@ new block ranges in chunks (/root/reference/scripts/scan-events.ts:
                           upsert = effectively-once, same equation as
                           the reference's _id bulkWrite)
   T4 rate control         maxFilesPerTrigger (the chunk-size analog)
-  T5 progress telemetry   query.lastProgress / StreamingQueryListener
+  T5 progress telemetry   streaming/telemetry.ProgressListener +
+                          per-batch ``on_progress`` callbacks (the
+                          reference's 15 s status line,
+                          scripts/extract-events.ts:197-202)
+
+Scale design (the 100 TB path):
+  - every micro-batch MERGE is a DYNAMIC PARTITION OVERWRITE on
+    block_bucket — per-batch write I/O is O(touched buckets), never
+    O(table) (operators/merge.py:101-164; proven byte-identical for
+    untouched buckets in tests/test_merge_serving.py).
+  - the index stream maintains a (namehash → block_bucket) side index
+    so the per-batch replay reads ONLY the buckets containing the
+    touched keys' historical events — scan volume is O(touched), not
+    O(full log)×4 as the naive four-semi-join formulation was.
 
 Beyond-parity extension (the reference cannot have late data because
 block numbers are totally ordered): event-time tumbling windows with a
@@ -22,11 +35,15 @@ watermark over an out-of-order event stream.
 
 from __future__ import annotations
 
+import os
+import time
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators.decode import parse_raw_logs
-from hypermap_etl_spark.operators.merge import merge_into_parquet
+from hypermap_etl_spark.operators.merge import merge_into_parquet, with_block_bucket
 from hypermap_etl_spark.schemas import RAW_LOG_SCHEMA
 
 
@@ -49,24 +66,96 @@ def start_ingest_stream(
     checkpoint_path: str,
     trigger: dict | None = None,
     max_files_per_trigger: int = 10,
+    on_progress: Callable[[dict], None] | None = None,
 ):
     """Decode + idempotently MERGE each micro-batch into the events table.
 
+    The table is partitioned by block_bucket and each batch is a dynamic
+    partition overwrite — only the buckets the batch touches are
+    rewritten (an append-mostly chain log touches ~1 bucket per batch).
+
     trigger: e.g. {"availableNow": True} for catch-up (the reference's
     chunked backfill), {"processingTime": "30 seconds"} for the
-    continuous tail. Returns the StreamingQuery.
+    continuous tail. ``on_progress`` (T5) is called after each batch
+    with {batch_id, rows, upserted, modified, high_water, secs}.
+    Returns the StreamingQuery.
     """
     raw = read_raw_log_stream(spark, source_path, max_files_per_trigger)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        events = parse_raw_logs(batch_df)
-        merge_into_parquet(spark, table_path, events, ["event_id"])
+        t0 = time.monotonic()
+        events = with_block_bucket(parse_raw_logs(batch_df))
+        res = merge_into_parquet(
+            spark, table_path, events, ["event_id"], partition_col="block_bucket"
+        )
+        if on_progress is not None:
+            on_progress(
+                {
+                    "batch_id": batch_id,
+                    "rows": res["upsertedCount"] + res["modifiedCount"],
+                    "upserted": res["upsertedCount"],
+                    "modified": res["modifiedCount"],
+                    "high_water": high_water_mark(spark, table_path),
+                    "secs": round(time.monotonic() - t0, 3),
+                }
+            )
 
     writer = raw.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint_path
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+# ------------------------------------------------ key → bucket side index ----
+
+def batch_key_buckets(events: DataFrame) -> DataFrame:
+    """(namehash, block_bucket) pairs a bucketed batch writes — the index
+    rows that let a later batch find every bucket holding a key's
+    events. One map-side explode, distinct within the batch."""
+    from hypermap_etl_spark.operators.materialize import ENTRY_KEY_COLS
+
+    return (
+        events.select(
+            F.explode(F.array(*[F.col(c) for c in ENTRY_KEY_COLS])).alias("namehash"),
+            "block_bucket",
+        )
+        .filter(F.col("namehash").isNotNull())
+        .distinct()
+    )
+
+
+def rebuild_key_index(spark: SparkSession, table_path: str, key_index_path: str) -> None:
+    """One-off full-scan backfill of the key index for a pre-existing
+    events table (e.g. built by batch `extract` before streaming)."""
+    log = spark.read.parquet(table_path)
+    if "block_bucket" not in log.columns:
+        log = with_block_bucket(log)
+    batch_key_buckets(log).write.mode("overwrite").parquet(key_index_path)
+
+
+def replay_buckets(
+    spark: SparkSession, key_index_path: str, touched_keys: DataFrame
+) -> list[int] | None:
+    """Buckets containing any event referencing a touched key, from the
+    side index. None = index absent → caller must not prune.
+
+    The index is append-written per batch (blind append, no read on the
+    write path — duplicate (key, bucket) pairs across batches are
+    harmless and compacted away by the distinct here); the touched-key
+    semi-join broadcasts the (small) batch key set, so this lookup costs
+    one scan of the index, which is orders of magnitude smaller than
+    the log (keys × buckets-touched, not events)."""
+    if not os.path.exists(key_index_path):
+        return None
+    idx = spark.read.parquet(key_index_path)
+    rows = (
+        idx.join(F.broadcast(touched_keys), "namehash", "left_semi")
+        .select("block_bucket")
+        .distinct()
+        .collect()
+    )
+    return [r[0] for r in rows]
 
 
 def start_index_stream(
@@ -77,26 +166,76 @@ def start_index_stream(
     checkpoint_path: str,
     trigger: dict | None = None,
     max_files_per_trigger: int = 10,
+    key_index_path: str | None = None,
+    entry_buckets: int = 16,
+    on_progress: Callable[[dict], None] | None = None,
 ):
     """Continuous `index-events`: per micro-batch, MERGE decoded events
-    into the events table AND incrementally update the materialized
-    entries (only the namehashes the batch touches —
+    into the (block-bucketed) events table AND incrementally update the
+    materialized entries (only the namehashes the batch touches —
     operators/materialize.incremental_entries_update). The streaming
     equivalent of the reference's index loop
-    (/root/reference/scripts/index-events.ts:216), with per-batch work
-    O(touched entries) instead of a full refold.
-    """
-    from hypermap_etl_spark.operators.materialize import incremental_entries_update
+    (/root/reference/scripts/index-events.ts:216).
 
+    Per-batch cost at scale:
+      write  O(touched block buckets)   — dynamic partition overwrite
+      scan   O(buckets holding touched keys' events) — side-index prune
+      fold   O(events of touched entries)
+      upsert O(entry buckets holding touched entries)
+    Nothing is proportional to the full log or the full entries table.
+    """
+    from hypermap_etl_spark.operators.materialize import (
+        incremental_entries_update,
+        touched_namehashes,
+    )
+
+    key_index_path = key_index_path or f"{entries_path}__keyidx"
     raw = read_raw_log_stream(spark, source_path, max_files_per_trigger)
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        events = parse_raw_logs(batch_df)
-        if events.isEmpty():
-            return
-        merge_into_parquet(spark, table_path, events, ["event_id"])
-        full_log = spark.read.parquet(table_path)
-        incremental_entries_update(spark, entries_path, full_log, events)
+        t0 = time.monotonic()
+        events = with_block_bucket(parse_raw_logs(batch_df))
+        events = events.persist()  # consumed by merge + index + touch set
+        try:
+            if events.isEmpty():
+                return
+            table_existed = os.path.exists(table_path)
+            res = merge_into_parquet(
+                spark, table_path, events, ["event_id"], partition_col="block_bucket"
+            )
+            if not os.path.exists(key_index_path):
+                if table_existed:
+                    # table predates the index (batch-mode bootstrap):
+                    # one full-scan backfill, then appends keep it current
+                    rebuild_key_index(spark, table_path, key_index_path)
+                else:
+                    batch_key_buckets(events).write.mode("overwrite").parquet(
+                        key_index_path
+                    )
+            else:
+                batch_key_buckets(events).write.mode("append").parquet(key_index_path)
+
+            keys = touched_namehashes(events)
+            log = spark.read.parquet(table_path)
+            buckets = replay_buckets(spark, key_index_path, keys)
+            if buckets is not None and "block_bucket" in log.columns:
+                log = log.filter(F.col("block_bucket").isin(buckets))
+            incremental_entries_update(
+                spark, entries_path, log, events, entry_buckets=entry_buckets
+            )
+            if on_progress is not None:
+                on_progress(
+                    {
+                        "batch_id": batch_id,
+                        "rows": res["upsertedCount"] + res["modifiedCount"],
+                        "upserted": res["upsertedCount"],
+                        "modified": res["modifiedCount"],
+                        "replay_buckets": sorted(buckets) if buckets is not None else None,
+                        "secs": round(time.monotonic() - t0, 3),
+                    }
+                )
+        finally:
+            events.unpersist()
 
     writer = raw.writeStream.foreachBatch(_index_batch).option(
         "checkpointLocation", checkpoint_path
@@ -105,14 +244,34 @@ def start_index_stream(
     return writer.trigger(**trigger).start()
 
 
+def _partition_values(table_path: str, col: str) -> list[int]:
+    """Partition values from the directory layout — no file reads."""
+    prefix = f"{col}="
+    out = []
+    for d in os.listdir(table_path):
+        if d.startswith(prefix):
+            try:
+                out.append(int(d[len(prefix):]))
+            except ValueError:
+                continue
+    return out
+
+
 def high_water_mark(spark: SparkSession, table_path: str) -> int | None:
     """T2 batch-resume cursor: next scan starts at max(blockNumber)+1
-    (mirrors /root/reference/scripts/status.ts:96-99)."""
-    import os
+    (mirrors /root/reference/scripts/status.ts:96-99).
 
+    On a block-bucketed table the max block lives in the max bucket by
+    construction (bucket = blockNumber div size), so the scan is pruned
+    to ONE partition via the directory listing — no full-table scan.
+    """
     if not os.path.exists(table_path):
         return None
-    row = spark.read.parquet(table_path).agg(F.max("blockNumber").alias("m")).collect()[0]
+    df = spark.read.parquet(table_path)
+    buckets = _partition_values(table_path, "block_bucket")
+    if buckets and "block_bucket" in df.columns:
+        df = df.filter(F.col("block_bucket") == max(buckets))
+    row = df.agg(F.max("blockNumber").alias("m")).collect()[0]
     return row["m"]
 
 

@@ -23,6 +23,13 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+# beyond this many rows, TakeOrderedAndProject's per-partition heaps
+# (page*limit rows held in executor memory) stop being a win — fall
+# back to the spillable global-sort window plan for adversarially deep
+# pages (user-facing endpoints must not let `page` drive memory)
+MAX_HEAP_TOP = 10_000
+
+
 def paginate(df: DataFrame, order_by: list[Column], page: int, limit: int) -> DataFrame:
     """Skip/limit pagination without a global single-partition sort.
 
@@ -37,19 +44,57 @@ def paginate(df: DataFrame, order_by: list[Column], page: int, limit: int) -> Da
       2. row_number over the ≤ skip+limit survivors (trivially small)
          to drop the first ``skip``.
 
+    Pages deeper than MAX_HEAP_TOP rows take the window plan instead:
+    slower (one sorted partition) but spillable, so a hostile ``page``
+    value cannot drive unbounded executor/driver memory.
+
     ``order_by`` must be a total order (tie-broken) for stable pages.
     """
     page, limit = max(1, int(page)), int(limit)
+    skip = (page - 1) * limit
+    w = Window.orderBy(*order_by)
+    if page * limit > MAX_HEAP_TOP:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") > skip) & (F.col("__rn") <= skip + limit))
+            .drop("__rn")
+        )
     top = df.orderBy(*order_by).limit(page * limit)
     if page == 1:
         return top
-    skip = (page - 1) * limit
-    w = Window.orderBy(*order_by)
     return (
         top.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") > skip)
         .drop("__rn")
     )
+
+
+# DataFrames persisted by operators in service of a single query, so a
+# long-lived session (notebook, server) can release them deterministically
+# instead of waiting for LRU eviction — VERDICT r2 task 5
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for release_persisted()."""
+    _TRACKED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every operator-persisted frame; returns count released.
+
+    Call after consuming a query's result (bench.py does per query;
+    gates rely on LRU). Safe to call repeatedly."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
 
 
 def stage_boundary(df: DataFrame) -> DataFrame:
@@ -73,9 +118,10 @@ def stage_boundary(df: DataFrame) -> DataFrame:
     Measured against the alternatives at sf0.1 (roundtrip wall time):
     persist 0.97 s, temp-parquet write/read 1.6 s, localCheckpoint
     3.1 s (InternalRow serialization dominates). The columnar cache is
-    LRU-evicted, so not unpersisting per-query frames is safe.
+    LRU-evicted, so not unpersisting per-query frames is safe; the
+    tracked registry additionally lets long sessions release eagerly.
     """
-    return df.persist()
+    return tracked_persist(df)
 
 
 def salted_agg(

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from hypermap_etl_spark.constants import ROOT_HASH
 from hypermap_etl_spark.operators.materialize import (
     descendants_of,
@@ -49,6 +51,194 @@ def test_streaming_index_matches_batch(spark):
             assert g[fld] == e[fld], (k, fld, g[fld], e[fld])
         assert sorted(g["children"]) == sorted(e["children"])
         assert g["facts"] == e["facts"] and g["notes"] == e["notes"]
+
+
+def _bucket_fingerprint(table, bucket):
+    import glob
+    import hashlib
+
+    files = sorted(glob.glob(f"{table}/block_bucket={bucket}/*.parquet"))
+    return [
+        (os.path.basename(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+        for f in files
+    ]
+
+
+def test_stream_merge_rewrites_only_touched_buckets(spark):
+    """A micro-batch whose blocks land in one bucket must leave every
+    other bucket's files byte-identical (the partitioned MERGE wired
+    through the stream — VERDICT r2 task 1)."""
+    from hypermap_etl_spark.streaming.scan import start_ingest_stream
+
+    base = tempfile.mkdtemp()
+    src, tbl, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/ckpt"
+    os.makedirs(src)
+    # bucket 0 (blocks 10..) and bucket 2 (blocks 250_000..)
+    rows_b0 = [
+        ev(eventType="Mint", blockNumber=10 + i, logIndex=0, parenthash=h(1),
+           childhash=h(10 + i), label=f"a{i}")
+        for i in range(3)
+    ]
+    rows_b2 = [
+        ev(eventType="Mint", blockNumber=250_000 + i, logIndex=0, parenthash=h(2),
+           childhash=h(20 + i), label=f"b{i}")
+        for i in range(2)
+    ]
+    build_raw_logs(events_df(spark, rows_b0 + rows_b2)).write.mode("append").parquet(src)
+    start_ingest_stream(spark, src, tbl, ckpt).awaitTermination(240)
+    assert set(os.listdir(tbl)) >= {"block_bucket=0", "block_bucket=2"}
+    before_b0 = _bucket_fingerprint(tbl, 0)
+    assert before_b0
+
+    # second batch touches ONLY bucket 2
+    more = [
+        ev(eventType="Mint", blockNumber=250_005, logIndex=0, parenthash=h(2),
+           childhash=h(25), label="late")
+    ]
+    build_raw_logs(events_df(spark, more)).write.mode("append").parquet(src)
+    progress = []
+    q = start_ingest_stream(spark, src, tbl, ckpt, on_progress=progress.append)
+    q.awaitTermination(240)
+
+    assert _bucket_fingerprint(tbl, 0) == before_b0
+    assert spark.read.parquet(tbl).count() == 6
+    # T5: the foreachBatch sink reported the batch
+    assert progress and progress[-1]["rows"] == 1
+    assert progress[-1]["high_water"] == 250_005
+
+
+def test_index_stream_prunes_replay_to_touched_buckets(spark):
+    """A batch touching only bucket-2 keys must replay only bucket 2 —
+    the key→bucket side index prunes the log scan (VERDICT r2 task 2)."""
+    from hypermap_etl_spark.streaming.scan import start_index_stream
+
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    os.makedirs(src)
+    rows_b0 = [
+        ev(eventType="Mint", blockNumber=10 + i, logIndex=0, parenthash=h(1),
+           childhash=h(10 + i), label=f"a{i}")
+        for i in range(3)
+    ]
+    rows_b2 = [
+        ev(eventType="Mint", blockNumber=250_000 + i, logIndex=0, parenthash=h(2),
+           childhash=h(20 + i), label=f"b{i}")
+        for i in range(2)
+    ]
+    build_raw_logs(events_df(spark, rows_b0 + rows_b2)).write.mode("append").parquet(src)
+    start_index_stream(spark, src, tbl, ent, ckpt).awaitTermination(240)
+
+    # Note on h(20) (lives in bucket 2 only) + its own block in bucket 2
+    late = [
+        ev(eventType="Note", blockNumber=250_010, logIndex=0, parenthash=h(20),
+           notehash=h(31), labelhash=h(32), label="note1", data="0x01")
+    ]
+    build_raw_logs(events_df(spark, late)).write.mode("append").parquet(src)
+    progress = []
+    q = start_index_stream(spark, src, tbl, ent, ckpt, on_progress=progress.append)
+    q.awaitTermination(240)
+
+    assert progress, "index stream must report per-batch progress (T5)"
+    buckets = progress[-1]["replay_buckets"]
+    assert buckets is not None and 0 not in buckets and 2 in buckets
+
+    # and the pruned incremental result still equals the batch recompute
+    from hypermap_etl_spark.operators.decode import parse_raw_logs
+
+    expected_events = parse_raw_logs(
+        build_raw_logs(events_df(spark, rows_b0 + rows_b2 + late))
+    )
+    expected = {
+        r["namehash"]: r.asDict() for r in materialize_entries(expected_events).collect()
+    }
+    got = {r["namehash"]: r.asDict() for r in spark.read.parquet(ent).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        for fld in ("label", "parentHash", "creationBlock", "lastUpdateBlock"):
+            assert got[k][fld] == expected[k][fld], (k, fld)
+        assert got[k]["notes"] == expected[k]["notes"]
+
+
+def test_replay_scan_partition_pruned(spark):
+    """The pruned replay frame's physical plan must carry a partition
+    filter on block_bucket (scan I/O bounded by touched buckets)."""
+    import glob
+
+    from hypermap_etl_spark.operators.merge import with_block_bucket
+    from hypermap_etl_spark.operators.merge import merge_into_parquet
+
+    base = tempfile.mkdtemp()
+    tbl = f"{base}/tbl"
+    rows = [
+        ev(eventType="Mint", blockNumber=b, logIndex=0, parenthash=h(1),
+           childhash=h(40 + b), label="x")
+        for b in (5, 150_000, 250_000)
+    ]
+    merge_into_parquet(
+        spark, tbl, with_block_bucket(events_df(spark, rows)), ["event_id"],
+        partition_col="block_bucket",
+    )
+    pruned = spark.read.parquet(tbl).filter(F.col("block_bucket").isin([2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "block_bucket" in plan
+    # only bucket-2 files are read
+    assert pruned.count() == 1
+    assert len(glob.glob(f"{tbl}/block_bucket=*")) == 3
+
+
+def test_high_water_mark_prunes_to_max_bucket(spark):
+    """T2 cursor on a bucketed table must read only the max bucket's
+    partition (directory-listing prune, no full-table scan)."""
+    from hypermap_etl_spark.operators.merge import merge_into_parquet, with_block_bucket
+    from hypermap_etl_spark.streaming.scan import _partition_values, high_water_mark
+
+    base = tempfile.mkdtemp()
+    tbl = f"{base}/tbl"
+    rows = [
+        ev(eventType="Mint", blockNumber=b, logIndex=0, parenthash=h(1),
+           childhash=h(50 + b % 97), label="x")
+        for b in (42, 150_001, 250_007)
+    ]
+    merge_into_parquet(
+        spark, tbl, with_block_bucket(events_df(spark, rows)), ["event_id"],
+        partition_col="block_bucket",
+    )
+    assert sorted(_partition_values(tbl, "block_bucket")) == [0, 1, 2]
+    assert high_water_mark(spark, tbl) == 250_007
+    # the pruned scan shape: partition filter on the max bucket
+    pruned = spark.read.parquet(tbl).filter(F.col("block_bucket") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "block_bucket" in plan
+
+
+def test_ingest_stream_listener_captures_progress(spark):
+    """T5 engine-level telemetry: a StreamingQueryListener sees at least
+    one QueryProgressEvent during an availableNow catch-up."""
+    import time
+
+    from hypermap_etl_spark.streaming.scan import start_ingest_stream
+    from hypermap_etl_spark.streaming.telemetry import attach_progress_listener
+
+    base = tempfile.mkdtemp()
+    src, tbl, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/ckpt"
+    os.makedirs(src)
+    rows = [
+        ev(eventType="Mint", blockNumber=7, logIndex=0, parenthash=h(1),
+           childhash=h(70), label="t")
+    ]
+    build_raw_logs(events_df(spark, rows)).write.mode("append").parquet(src)
+    listener = attach_progress_listener(spark)
+    try:
+        q = start_ingest_stream(spark, src, tbl, ckpt)
+        q.awaitTermination(240)
+        # listener events arrive on an async bus — poll briefly
+        deadline = time.monotonic() + 30
+        while not listener.events and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert listener.events, "listener saw no QueryProgressEvent"
+        assert any(e["num_input_rows"] >= 1 for e in listener.events)
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_descendants_bfs(spark):
