@@ -291,9 +291,14 @@ ORDER BY query_id, rank
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ 0.45: banded-SRP candidates + exact
     verify (srp_neardup_pairs) — equi-join plan, no O(n²) cartesian.
-    The DuckDB oracle stays the exhaustive exact formulation."""
+    The DuckDB oracle stays the exhaustive exact formulation.
+
+    target_miss=1e-8 (vs the operator default 1e-6): the gate compares
+    against an EXHAUSTIVE oracle, so a single banding miss on a new
+    fixture/scale fails it — buy recall margin with a few more planes
+    (the extra cost is one slightly wider signature UDF pass)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.srp_neardup_pairs(emb, 0.45).orderBy("id_a", "id_b")
+    return similarity.srp_neardup_pairs(emb, 0.45, target_miss=1e-8).orderBy("id_a", "id_b")
 
 
 NEARDUP_ORACLE = """
