@@ -354,3 +354,105 @@ def simhash_dedup_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- duplicate clustering ----
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects its strictly-larger
+    neighbors to m(u) = min(Γ(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node u connects
+    its smaller neighborhood (and itself) to its minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out = oriented.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        out.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    (doc_id, cluster_id) with cluster_id = the component's minimum id.
+
+    The missing piece between pair MINING (minhash/simhash/ngram/SRP
+    kernels above) and actual DEDUP: transitive closure groups pairs
+    (A,B),(B,C) into one cluster {A,B,C} whose representative (the min
+    id) survives.
+
+    Spark-first design — alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"): each round is
+    two hash shuffles on node id (a groupBy-min and a self-join), edge
+    count never grows beyond the symmetric closure, and the round count
+    is O(log² n) worst-case / a handful in practice — versus naive
+    label propagation whose round count is the component DIAMETER
+    (adversarial chains at corpus scale make that unbounded). Each
+    round materializes ≤ |V| star edges, so shuffle volume per round is
+    bounded by the vertex set of the pair graph, not the corpus.
+
+    Driver involvement is one star-forest check (an empty-semi-join
+    probe) per round — the standard convergence check for iterative
+    DataFrame algorithms; no row data is collected. Each round's frame
+    is ``localCheckpoint``-ed: persist() alone leaves the LOGICAL plan
+    growing ~4× per round (each star references the previous frame
+    several times), which blows up driver analysis after ~10 rounds —
+    lineage truncation is mandatory for iterative self-joins. On a
+    cluster with preemptible executors use setCheckpointDir +
+    checkpoint() for the durable variant. Singleton docs (no near-dup
+    pair) are not emitted. Raises RuntimeError if not converged in
+    ``max_iter``.
+    """
+    cur = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # also materializes the pair mining once
+    )
+    for _ in range(max_iter):
+        if _is_star_forest(cur):
+            break
+        # old checkpoint blocks are dropped by the ContextCleaner once
+        # the previous frame is garbage-collected
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"duplicate_clusters: no convergence in {max_iter} rounds")
+    members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Converged iff every edge points at a root (a node that is never a
+    child) — i.e. no child appears on the parent side."""
+    return (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+        .isEmpty()
+    )

@@ -184,6 +184,35 @@ def doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact n-gram pairs at J≥0.8 →
+    connected components (alternating large-star/small-star), cluster
+    id = component minimum. The step that turns pair MINING into an
+    actual keep/drop dedup decision."""
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+    return dedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+# transitive closure as a recursive CTE: reach(s,d) enumerates every
+# node d reachable from s over the symmetric pair graph (UNION dedups,
+# so it terminates); the component id is the min reachable node
+DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairsrc AS ({_EXACT_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairsrc
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairsrc
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification (scale path)."""
     return dedup.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8).orderBy(
@@ -355,6 +384,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (doc_fingerprints, FP_ORACLE),
     "doc_exact_dedup": (doc_exact_dedup, EXACT_DEDUP_ORACLE),
     "doc_ngram_pairs": (doc_ngram_pairs, _EXACT_PAIRS_SQL),
+    "doc_dup_clusters": (doc_dup_clusters, DUP_CLUSTERS_ORACLE),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),
     "doc_simhash_sigs": (doc_simhash_sigs, _simhash_oracle()),

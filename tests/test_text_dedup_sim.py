@@ -231,3 +231,28 @@ def test_srp_recall_curve_on_clustered_vectors(spark):
         assert recall >= 1.0 - 2e-6, (threshold, len(exact), len(got & exact))
         # exact verify => no false positives either
         assert got <= exact, (threshold, sorted(got - exact)[:5])
+
+
+def test_duplicate_clusters_transitive(spark):
+    """(1,2),(2,3),(3,4) must collapse into one cluster rooted at the
+    min id; disjoint pairs stay separate; singletons are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 64-node chain (worst case for label propagation) converges in
+    the alternating-star round budget and roots at the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(pairs)
+    assert out.count() == 65
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    from hypermap_etl_spark.util import release_persisted
+
+    release_persisted()
