@@ -187,3 +187,79 @@ def append_if_absent(
     if n:
         fresh.write.mode("append").parquet(path)
     return n
+
+
+# ------------------------------------------------------------ maintenance ----
+
+def partition_file_counts(path: str, partition_col: str) -> dict[int, int]:
+    """parquet file count per partition value, from the directory layout."""
+    out: dict[int, int] = {}
+    if not os.path.isdir(path):
+        return out
+    prefix = f"{partition_col}="
+    for d in os.listdir(path):
+        if not d.startswith(prefix):
+            continue
+        try:
+            val = int(d[len(prefix):])
+        except ValueError:
+            continue
+        pdir = os.path.join(path, d)
+        out[val] = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files: int = 8,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned table — the maintenance
+    job every streaming sink needs: each micro-batch MERGE adds files to
+    its touched partitions, and thousands of tiny parquet files turn
+    scans into open/footer overhead.
+
+    Only partitions exceeding ``max_files`` are rewritten (dynamic
+    partition overwrite — untouched partitions' files are never opened),
+    repartitioned BY the partition column so each value collapses to one
+    task → one output file. I/O is O(oversized partitions), not
+    O(table); safe under the same single-writer assumption as MERGE.
+
+    Returns {"partitions_compacted": n, "files_before": x, "files_after": y}.
+    """
+    counts = partition_file_counts(path, partition_col)
+    todo = [v for v, n in counts.items() if n > max_files]
+    if not todo:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    before = sum(counts[v] for v in todo)
+    df = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
+    (
+        df.repartition(len(todo), F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    after = sum(partition_file_counts(path, partition_col).get(v, 0) for v in todo)
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": before,
+        "files_after": after,
+    }
+
+
+def compact_small_table(spark: SparkSession, path: str, num_files: int = 1) -> int:
+    """Staged-swap rewrite of an unpartitioned side table (e.g. the
+    streaming key index, which is blind-appended per batch) into
+    ``num_files`` deduplicated files. Returns rows after compaction."""
+    _recover_interrupted_swap(path)
+    df = spark.read.parquet(path).distinct().coalesce(num_files)
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n

@@ -169,6 +169,7 @@ def start_index_stream(
     key_index_path: str | None = None,
     entry_buckets: int = 16,
     on_progress: Callable[[dict], None] | None = None,
+    compact_index_every: int = 64,
 ):
     """Continuous `index-events`: per micro-batch, MERGE decoded events
     into the (block-bucketed) events table AND incrementally update the
@@ -183,6 +184,12 @@ def start_index_stream(
       fold   O(events of touched entries)
       upsert O(entry buckets holding touched entries)
     Nothing is proportional to the full log or the full entries table.
+
+    The key index is blind-appended per batch (no read on the write
+    path), so it accumulates one small file and some duplicate pairs
+    per batch; every ``compact_index_every`` batches it is rewritten
+    distinct into one file (compact_small_table) — long-running tails
+    never degrade into thousands-of-tiny-files scans. 0 disables.
     """
     from hypermap_etl_spark.operators.materialize import (
         incremental_entries_update,
@@ -214,6 +221,10 @@ def start_index_stream(
                     )
             else:
                 batch_key_buckets(events).write.mode("append").parquet(key_index_path)
+                if compact_index_every and batch_id > 0 and batch_id % compact_index_every == 0:
+                    from hypermap_etl_spark.operators.merge import compact_small_table
+
+                    compact_small_table(spark, key_index_path)
 
             keys = touched_namehashes(events)
             log = spark.read.parquet(table_path)

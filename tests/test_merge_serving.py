@@ -169,3 +169,70 @@ def test_entry_history_predicate(spark):
     assert parent_hist.count() == 30  # all Mints+Notes reference parent h(1)
     blocks = [r["blockNumber"] for r in parent_hist.collect()]
     assert blocks == sorted(blocks)  # O2 replay order
+
+
+def test_compact_partitions_only_rewrites_oversized(spark):
+    """Compaction must collapse a many-file partition to one file while
+    leaving partitions under the threshold byte-identical."""
+    import glob
+    import hashlib
+    import os
+
+    from hypermap_etl_spark.operators.merge import (
+        compact_partitions,
+        partition_file_counts,
+        with_block_bucket,
+    )
+
+    tbl = tempfile.mkdtemp() + "/tbl"
+    # bucket 0: 6 single-row appends (the S5 insert-sink shape) → 6 files;
+    # bucket 2: one append → 1 file
+    for i in range(6):
+        with_block_bucket(events_df(spark, [ev(
+            eventType="Mint", blockNumber=10 + i, logIndex=0,
+            parenthash=h(1), childhash=h(10 + i), label=f"a{i}")])).coalesce(
+            1
+        ).write.partitionBy("block_bucket").mode("append").parquet(tbl)
+    with_block_bucket(events_df(spark, [ev(
+        eventType="Mint", blockNumber=250_000, logIndex=0,
+        parenthash=h(2), childhash=h(99), label="b")])).coalesce(
+        1
+    ).write.partitionBy("block_bucket").mode("append").parquet(tbl)
+    counts = partition_file_counts(tbl, "block_bucket")
+    assert counts[0] >= 6 and counts[2] >= 1
+
+    def fp(bucket):
+        return [
+            (os.path.basename(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+            for f in sorted(glob.glob(f"{tbl}/block_bucket={bucket}/*.parquet"))
+        ]
+
+    b2_before = fp(2)
+    rep = compact_partitions(spark, tbl, "block_bucket", max_files=4)
+    assert rep["partitions_compacted"] == 1
+    assert rep["files_before"] >= 6 and rep["files_after"] == 1
+    assert fp(2) == b2_before  # under-threshold partition untouched
+    df = spark.read.parquet(tbl)
+    assert df.count() == 7
+    assert df.filter(F.col("block_bucket") == 0).count() == 6
+
+
+def test_compact_small_table_dedupes(spark):
+    """Key-index compaction: appended duplicate pairs collapse to the
+    distinct set in one file."""
+    import glob
+
+    from hypermap_etl_spark.operators.merge import compact_small_table
+
+    idx = tempfile.mkdtemp() + "/idx"
+    rows = [(h(1), 0), (h(2), 1)]
+    for _ in range(4):
+        spark.createDataFrame(rows, "namehash string, block_bucket int").write.mode(
+            "append"
+        ).parquet(idx)
+    assert len(glob.glob(f"{idx}/*.parquet")) >= 4
+    n = compact_small_table(spark, idx)
+    assert n == 2
+    assert len(glob.glob(f"{idx}/*.parquet")) == 1
+    got = {tuple(r) for r in spark.read.parquet(idx).collect()}
+    assert got == set(rows)
