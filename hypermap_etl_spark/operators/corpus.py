@@ -1,0 +1,153 @@
+"""Corpus-building operators: the steps BETWEEN analysis and a training
+set. dedup.py / textstats.py / similarity.py mine signals; these
+operators apply them — drop duplicates, split deterministically, chunk
+to sequence length, and filter on quality — all with built-in
+expressions (no Python on the hot path) and all independently
+reproducible in SQL for the oracle gate.
+
+Scale notes per op are inline; none shuffles more than once, and the
+only joins are (small drop-set) anti-joins that AQE broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.textstats import language_id, quality_scores, words
+
+
+# ----------------------------------------------------------- keep list ----
+
+def dedup_survivors(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Documents surviving near-dup clustering: every doc that is not a
+    non-representative member of some cluster (cluster reps and
+    singletons survive).
+
+    ``clusters`` is duplicate_clusters() output (doc_id, cluster_id).
+    One anti-join on the (much smaller) drop set — at corpus scale the
+    drop set is the duplicated fraction only, and AQE broadcasts it
+    when it fits.
+    """
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------- deterministic split ----
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_buckets: int = 3,
+    test_buckets: int = 3,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash.
+
+    Bucket = first two hex chars of md5(id) → 256 uniform buckets; the
+    top ``test_buckets`` are test, the next ``val_buckets`` val, the
+    rest train (defaults ≈ 1.2% each). Purely per-row (no shuffle, no
+    state), stable across runs/engines — the property a 100 TB corpus
+    split needs so re-runs never migrate a document between splits.
+    md5 (not xxhash64) because the oracle must reproduce it bit-for-bit
+    in any SQL engine.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    hexes = [f"{i:02x}" for i in range(256)]
+    test_lo = hexes[256 - test_buckets]
+    val_lo = hexes[256 - test_buckets - val_buckets]
+    split = (
+        F.when(bucket >= F.lit(test_lo), F.lit("test"))
+        .when(bucket >= F.lit(val_lo), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split)
+
+
+# -------------------------------------------------------- token chunks ----
+
+def _nonempty_words(text_col: str) -> Column:
+    return F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+
+
+def token_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    sequence-packing prep step of a training pipeline.
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; docs
+    with no tokens emit nothing. One map-side explode per doc (array
+    slicing of the already-split token array — the text is tokenized
+    ONCE), no shuffle at all: the plan is scan → project → generate.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = _nonempty_words(text_col)
+    n = F.size(ws)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("long") + 1
+    )
+    toks = F.slice(
+        F.col("__ws"), (F.col("chunk_id").cast("int") * stride + 1), chunk_tokens
+    )
+    return (
+        docs.select("doc_id", ws.alias("__ws"), n.alias("__n"), n_chunks.alias("__nc"))
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)).alias("chunk_id"),
+            F.col("__ws").alias("__ws"),
+        )
+        .withColumn("__toks", toks.cast("array<string>"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.array_join("__toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ------------------------------------------------------- quality filter ----
+
+def train_filter(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite keep/drop decision with reasons — the end of the text
+    quality pipeline: language-ID + quality thresholds in one pass.
+
+    Output: (doc_id, keep, reasons) where reasons is a comma-joined
+    list of failed checks ('' when kept). Both inputs are single
+    projections over the same scan, so the join is doc_id-to-doc_id on
+    identically-partitioned frames; no data-dependent skew (doc_id is
+    unique).
+    """
+    q = quality_scores(docs, text_col)
+    l = language_id(docs, text_col).select("doc_id", "lang_pred")
+    j = q.join(l, "doc_id")
+    checks = [
+        (F.col("lang_pred") != lang, "lang"),
+        (F.col("n_words") < min_words, "short"),
+        (F.col("punct_ratio") > max_punct_ratio, "punct"),
+        (F.col("quality_score") < min_quality, "quality"),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in checks]
+    )
+    return j.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hypermap_etl_spark.operators import dedup, similarity, textstats
+from hypermap_etl_spark.operators import corpus, dedup, similarity, textstats
 from hypermap_etl_spark.sources.tables import load_table
 
 _SHINGLES_SQL = (
@@ -196,7 +196,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transitive closure as a recursive CTE: reach(s,d) enumerates every
 # node d reachable from s over the symmetric pair graph (UNION dedups,
 # so it terminates); the component id is the min reachable node
-DUP_CLUSTERS_ORACLE = f"""
+_DUP_CLUSTERS_CORE = f"""
 WITH RECURSIVE pairsrc AS ({_EXACT_PAIRS_SQL}),
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairsrc
@@ -207,9 +207,95 @@ reach(s, d) AS (
   SELECT s, d FROM edges
   UNION
   SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+clusters AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+  FROM reach GROUP BY s
 )
-SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
-FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+DUP_CLUSTERS_ORACLE = _DUP_CLUSTERS_CORE + "SELECT * FROM clusters ORDER BY doc_id"
+
+
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: mine pairs → cluster → keep reps and
+    singletons. The corpus that would actually ship to training."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs, 0.8))
+    return corpus.dedup_survivors(docs.select("doc_id"), clusters).orderBy("doc_id")
+
+
+DEDUP_SURVIVORS_ORACLE = _DUP_CLUSTERS_CORE + """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+)
+ORDER BY d.doc_id
+"""
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment."""
+    return corpus.hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).orderBy("doc_id")
+
+
+SPLIT_ORACLE = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'fd' THEN 'test'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'fa' THEN 'val'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (64 tokens, 8 overlap) per document."""
+    return corpus.token_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNKS_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+c AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+nc AS (
+  SELECT doc_id, ws,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 56.0) AS BIGINT) + 1 END AS k
+  FROM c
+),
+ch AS (SELECT doc_id, unnest(range(0, k)) AS chunk_id, ws FROM nc)
+SELECT doc_id, chunk_id,
+  len(list_slice(ws, chunk_id * 56 + 1, chunk_id * 56 + 64)) AS n_tokens,
+  array_to_string(list_slice(ws, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ') AS chunk_text
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+def doc_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: language + length + punctuation + score
+    thresholds → keep/drop with reasons."""
+    return corpus.train_filter(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _train_filter_oracle() -> str:
+    return f"""
+WITH q AS ({QUALITY_ORACLE}), l AS ({_langid_oracle()}),
+r AS (
+  SELECT q.doc_id, concat_ws(',',
+    CASE WHEN l.lang_pred <> 'en' THEN 'lang' END,
+    CASE WHEN q.n_words < 20 THEN 'short' END,
+    CASE WHEN q.punct_ratio > 0.2 THEN 'punct' END,
+    CASE WHEN q.quality_score < 0.5 THEN 'quality' END) AS reasons
+  FROM q JOIN l ON q.doc_id = l.doc_id
+)
+SELECT doc_id, (reasons = '') AS keep, reasons FROM r ORDER BY doc_id
 """
 
 
@@ -385,6 +471,10 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_exact_dedup": (doc_exact_dedup, EXACT_DEDUP_ORACLE),
     "doc_ngram_pairs": (doc_ngram_pairs, _EXACT_PAIRS_SQL),
     "doc_dup_clusters": (doc_dup_clusters, DUP_CLUSTERS_ORACLE),
+    "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
+    "doc_split": (doc_split, SPLIT_ORACLE),
+    "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
+    "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),
     "doc_simhash_sigs": (doc_simhash_sigs, _simhash_oracle()),

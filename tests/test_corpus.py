@@ -1,0 +1,73 @@
+"""Unit semantics for the corpus-building operators (edge cases beyond
+the oracle gate): chunk boundaries, split determinism, filter reasons,
+survivor sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators import corpus, dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_token_chunks_boundaries(spark):
+    docs = _docs(spark, [
+        " ".join(f"w{i}" for i in range(10)),   # single short chunk
+        " ".join(f"w{i}" for i in range(64)),   # exactly one full chunk
+        " ".join(f"w{i}" for i in range(65)),   # one token past -> 2 chunks
+        "",                                      # no tokens -> no chunks
+    ])
+    out = corpus.token_chunks(docs, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["n_tokens"] for r in by_doc[0]] == [10]
+    assert [r["n_tokens"] for r in by_doc[1]] == [64]
+    chunks2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in chunks2] == [64, 9]
+    # overlap: chunk 1 starts at token 56, so its first 8 tokens repeat
+    assert chunks2[1]["chunk_text"].split()[:8] == chunks2[0]["chunk_text"].split()[56:]
+
+
+def test_token_chunks_cover_all_tokens(spark):
+    docs = _docs(spark, [" ".join(f"t{i}" for i in range(200))])
+    out = corpus.token_chunks(docs, chunk_tokens=64, overlap=8).collect()
+    seen = set()
+    for r in out:
+        start = r["chunk_id"] * 56
+        seen.update(range(start, start + r["n_tokens"]))
+    assert seen == set(range(200))
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in corpus.hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus.hash_split(docs).collect()}
+    assert a == b
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in ("train", "val", "test")}
+    assert frac["train"] > 0.95 and 0 < frac["val"] < 0.05 and 0 < frac["test"] < 0.05
+
+
+def test_train_filter_reasons(spark):
+    good = "the quick brown fox and the lazy dog walk to the park in a morning with a friend on the way for fun"
+    docs = spark.createDataFrame(
+        [(0, good), (1, "x y z"), (2, good + " !!!???;;;###@@@&&&***(((" * 9)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.train_filter(docs).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert not out[1]["keep"] and "short" in out[1]["reasons"]
+    assert not out[2]["keep"] and "punct" in out[2]["reasons"]
+
+
+def test_dedup_survivors(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(r["doc_id"] for r in corpus.dedup_survivors(docs, clusters).collect())
+    assert kept == [0, 3, 4]
