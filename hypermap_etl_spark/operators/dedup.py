@@ -24,7 +24,7 @@ Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators.textstats import word_shingles
@@ -249,11 +249,6 @@ def minhash_dedup_pairs(
 
 # --------------------------------------------------------------- SimHash ----
 
-def _md5_half_bits(col: Column, offset: int) -> Column:
-    """32 bits of md5(col) as a long: hex chars [offset, offset+8)."""
-    return F.conv(F.substring(F.md5(col), offset + 1, 8), 16, 10).cast("long")
-
-
 def simhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """64-bit SimHash as two 32-bit halves (hi, lo), md5-derived.
 
@@ -264,30 +259,33 @@ def simhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> D
     so an independent SQL oracle can reproduce it exactly.
     """
     sh = shingle_index(docs, text_col, n)
-    hi = _md5_half_bits(F.col("sh"), 0)
-    lo = _md5_half_bits(F.col("sh"), 8)
+    # the 64 vote aggregates and 64-term bit packs are emitted as SQL
+    # strings parsed JVM-side in two round trips — built as nested
+    # Column objects they cost ~1 s of py4j driver time per query build
+    # (same fix as minhash_signatures)
+    halves = {
+        "h": "CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)",
+        "l": "CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)",
+    }
+    votes = ", ".join(
+        f"sum(CASE WHEN ({expr} & {1 << k}) != 0 THEN 1 ELSE -1 END) AS {p}{k}"
+        for p, expr in halves.items()
+        for k in range(32)
+    )
+    voted = sh.sparkSession.sql(
+        f"SELECT doc_id, {votes} FROM {{src}} GROUP BY doc_id", src=sh
+    )
 
-    def votes(half: Column, prefix: str):
-        return [
-            F.sum(
-                F.when(half.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
-            ).alias(f"{prefix}{k}")
-            for k in range(32)
-        ]
+    def pack(prefix: str) -> str:
+        return " | ".join(
+            f"(CASE WHEN {prefix}{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32)
+        )
 
-    voted = sh.groupBy("doc_id").agg(*votes(hi, "h"), *votes(lo, "l"))
-
-    def pack(prefix: str) -> Column:
-        bits = [
-            F.when(F.col(f"{prefix}{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-            for k in range(32)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out.bitwiseOR(b)
-        return out.cast("long")
-
-    return voted.select("doc_id", pack("h").alias("simhash_hi"), pack("l").alias("simhash_lo"))
+    return voted.selectExpr(
+        "doc_id",
+        f"CAST({pack('h')} AS BIGINT) AS simhash_hi",
+        f"CAST({pack('l')} AS BIGINT) AS simhash_lo",
+    )
 
 
 def simhash_dedup_pairs(
