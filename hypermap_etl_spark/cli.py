@@ -111,6 +111,19 @@ def cmd_events(args) -> None:
     print(json.dumps({"events": rows, "totalCount": total}))
 
 
+def cmd_compact(args) -> None:
+    """Maintenance: collapse small-file partitions of a streamed table
+    (and optionally a side table like the key index) — see
+    operators/merge.compact_partitions."""
+    from hypermap_etl_spark.operators.merge import compact_partitions, compact_small_table
+
+    spark = _spark(args)
+    rep = compact_partitions(spark, args.table, args.partition_col, max_files=args.max_files)
+    if args.side_table:
+        rep["side_table_rows"] = compact_small_table(spark, args.side_table)
+    print(json.dumps(rep))
+
+
 def cmd_stream(args) -> None:
     """Continuous ingest: catch-up then optional 30 s-interval tail
     (scan-events.ts:129,148-168). T5: prints a per-batch JSON progress
@@ -167,6 +180,12 @@ def main(argv=None) -> None:
     p.add_argument("--start-date", default=None)
     p.add_argument("--page", type=int, default=1)
     p.add_argument("--limit", type=int, default=20)
+    p = sub.add_parser("compact", help="small-file maintenance")
+    p.add_argument("--table", required=True)
+    p.add_argument("--partition-col", default="block_bucket")
+    p.add_argument("--max-files", type=int, default=8)
+    p.add_argument("--side-table", default=None,
+                   help="also distinct-rewrite this unpartitioned side table")
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -184,6 +203,7 @@ def main(argv=None) -> None:
         "scan": cmd_scan,
         "status": cmd_status,
         "events": cmd_events,
+        "compact": cmd_compact,
         "stream": cmd_stream,
     }[args.cmd](args)
 
