@@ -151,3 +151,46 @@ def train_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ----------------------------------------------------- sequence packing ----
+
+def pack_sequences(
+    chunks: DataFrame,
+    max_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign token chunks to fixed-budget training sequences ("packs").
+
+    Streaming first-fit in deterministic order: chunks are bucketed by
+    md5(doc_id) (so the window partitions are uniform and the whole
+    assignment parallelizes — a GLOBAL packing order would be a
+    single-task window, the classic scale-killer), then within a bucket
+    a running token total assigns each chunk to
+    pack floor(tokens_before / max_tokens). A chunk may straddle a pack
+    boundary by up to its own length — the standard streaming-packing
+    approximation; exact bin packing is NP-hard and order-dependent.
+
+    Everything is one window over (bucket, doc_id, chunk_id) — engine-
+    reproducible (md5 bucketing, integer cumsum), no Python.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % n_buckets
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    # explicit floor: a bare double→long CAST truncates in Spark but
+    # ROUNDS in DuckDB — floor is identical in both engines
+    pack = F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).cast("long")
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn("pack_id", pack)
+        .select("doc_id", "chunk_id", "bucket", "n_tokens", "pack_id")
+    )

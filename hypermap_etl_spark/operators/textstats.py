@@ -139,3 +139,34 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) ->
         F.md5(norm).alias("fp_exact"),
         F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("")).alias("fp_shingle"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf·(N/df).
+
+    The linear-idf variant (N/df instead of ln(N/df)) keeps every value
+    a single integer division — bit-reproducible across engines, which
+    log()'s last-ulp libm differences are not. Ranking is totally
+    tie-broken (score desc, term asc). Plan: one explode + two hash
+    aggregations (term counts, document frequencies) + a per-doc top-k
+    window over the (small) distinct-term set; df table is broadcast.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    terms = docs.select("doc_id", F.explode(ws).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    from pyspark.sql.window import Window
+
+    score = F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rank")
+    )

@@ -279,6 +279,80 @@ FROM ch ORDER BY doc_id, chunk_id
 """
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·(N/df), totally
+    tie-broken (linear idf — bit-reproducible, unlike ln)."""
+    return textstats.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=3
+    ).orderBy("doc_id", "rank")
+
+
+TFIDF_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND(tf.tf * (SELECT COUNT(*) * 1.0 FROM documents) / dfq.df, 6) AS score
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM s
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def doc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunks (64/8) assigned to 512-token training packs within
+    md5 buckets — the bucketed streaming-packing step."""
+    chunks = corpus.token_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+    return corpus.pack_sequences(chunks, max_tokens=512, n_buckets=32).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+PACKED_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+c AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+nc AS (
+  SELECT doc_id, ws,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 56.0) AS BIGINT) + 1 END AS k
+  FROM c
+),
+ch AS (SELECT doc_id, unnest(range(0, k)) AS chunk_id, ws FROM nc),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         len(list_slice(ws, chunk_id * 56 + 1, chunk_id * 56 + 64)) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 32 AS bucket
+  FROM ch
+),
+cum AS (
+  SELECT doc_id, chunk_id, bucket, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                                  ORDER BY doc_id, chunk_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM chunks
+)
+SELECT doc_id, chunk_id, bucket, n_tokens,
+       CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM cum ORDER BY doc_id, chunk_id
+"""
+
+
 def doc_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate: language + length + punctuation + score
     thresholds → keep/drop with reasons."""
@@ -477,6 +551,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),
+    "doc_packed": (doc_packed, PACKED_ORACLE),
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),

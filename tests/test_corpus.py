@@ -71,3 +71,40 @@ def test_dedup_survivors(spark):
     )
     kept = sorted(r["doc_id"] for r in corpus.dedup_survivors(docs, clusters).collect())
     assert kept == [0, 3, 4]
+
+
+def test_pack_sequences_budget_and_order(spark):
+    """Within a bucket, packs are assigned in (doc_id, chunk_id) order
+    and each pack's token total stays under budget + one chunk length
+    (the streaming-packing overflow bound)."""
+    docs = _docs(spark, [" ".join(f"w{i}" for i in range(300)) for _ in range(20)])
+    chunks = corpus.token_chunks(docs, chunk_tokens=64, overlap=8)
+    packed = corpus.pack_sequences(chunks, max_tokens=128, n_buckets=4).collect()
+    assert packed and all(r["pack_id"] >= 0 for r in packed)
+    totals = {}
+    for r in packed:
+        totals.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for (_, _), toks in totals.items():
+        assert sum(toks) <= 128 + 64  # budget + max one straddling chunk
+    # a doc's consecutive chunks never go to a smaller pack
+    by_doc = {}
+    for r in sorted(packed, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        prev = by_doc.get(r["doc_id"])
+        assert prev is None or r["pack_id"] >= prev
+        by_doc[r["doc_id"]] = r["pack_id"]
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from hypermap_etl_spark.operators import textstats
+
+    common = "the cat sat on the mat"
+    docs = _docs(spark, [
+        common + " zebra zebra zebra",
+        common + " piano piano",
+        common,
+    ])
+    out = textstats.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[0] == "zebra" and top[1] == "piano"
+    for r in out:
+        assert r["rank"] == 1 and r["score"] > 0
