@@ -139,3 +139,37 @@ def test_decode_roundtrip_has_stage_boundary(spark):
     assert "InMemoryTableScan" in plan  # stage_boundary barrier present
     # no decode filter pushed into the events parquet scan
     assert "DataFilters: [CASE WHEN" not in plan
+
+
+def test_token_chunks_plan_has_no_shuffle(spark):
+    """Chunking must stay map-side: scan → project → generate, zero
+    exchanges (the text is tokenized once, chunks never shuffle)."""
+    from hypermap_etl_spark.operators.corpus import token_chunks
+    from hypermap_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(token_chunks(docs))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pack_sequences_window_is_bucketed_not_global(spark):
+    """The packing window must partition on the md5 bucket — a global
+    (single-task) window would serialize the whole corpus."""
+    from hypermap_etl_spark.operators.corpus import pack_sequences, token_chunks
+    from hypermap_etl_spark.sources.tables import load_table
+
+    chunks = token_chunks(load_table(spark, SF_SMOKE, "documents"))
+    plan = _plan(pack_sequences(chunks))
+    assert "Exchange hashpartitioning(bucket" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    """The document-frequency side must broadcast — shuffling the full
+    (doc, term) index to join a small distinct-term table is wrong."""
+    from hypermap_etl_spark.operators.textstats import tfidf_top_terms
+    from hypermap_etl_spark.sources.tables import load_table
+
+    plan = _plan(tfidf_top_terms(load_table(spark, SF_SMOKE, "documents")))
+    assert "BroadcastHashJoin" in plan
