@@ -134,3 +134,68 @@ def test_brute_force_topk_guards_accidental_full_scan(spark):
     with pytest.raises(ValueError, match="full N x N"):
         media_feature_topk(emb.select(F.col("vec_id").alias("media_id"), F.col("embedding").alias("feat")))
     assert brute_force_topk(emb, k=1, allow_full_scan=True).count() == 2
+
+
+def test_streaming_exact_dedup_drops_in_window_duplicates(spark):
+    """dropDuplicatesWithinWatermark keeps exactly ONE arrival per
+    content key within the lateness bound (which one is arrival-order
+    dependent inside a micro-batch); distinct docs all pass."""
+    import tempfile as tf
+
+    from hypermap_etl_spark.streaming.dedup import dedup_stream_exact
+
+    base = tf.mkdtemp()
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    rows = [
+        (0, "2024-01-01 00:00:00", "same text"),
+        (1, "2024-01-01 00:00:30", "same text"),       # dup within window
+        (2, "2024-01-01 00:01:00", "different text"),
+        (3, "2024-01-01 00:02:00", "same text"),       # still within 10 min
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        dedup_stream_exact(stream, "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert len(got) == 2 and 2 in got
+    assert sum(1 for d in got if d in (0, 1, 3)) == 1
+
+
+def test_streaming_keyed_dedup_exact_across_batches(spark):
+    """dropDuplicates on event keys is exact across micro-batches of a
+    finite catch-up (bounded key domain)."""
+    import tempfile as tf
+
+    from hypermap_etl_spark.streaming.dedup import dedup_stream_keyed
+
+    base = tf.mkdtemp()
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    df1.write.mode("append").parquet(src)
+    df2.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    q = (
+        dedup_stream_keyed(stream, ["k"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
