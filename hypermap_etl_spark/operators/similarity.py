@@ -421,3 +421,32 @@ def knn_label_vote(
         .filter(F.col("r") == 1)
         .select("query_id", F.col("nlabel").alias("label_pred"), "votes")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector min/max int8 quantization: 4× less memory per vector,
+    the standard compression step before a large ANN index ships to
+    serving. q_i = round((v_i - min) / scale), scale = (max - min)/255;
+    dequantization error ≤ scale/2 per component.
+
+    Purely per-row (no shuffle); constant vectors (scale 0) quantize to
+    all zeros. Emits (id, q_min, q_scale, q) with deterministic
+    rounding so an independent SQL engine reproduces it exactly.
+    """
+    v = _vd(vec_col)
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    q = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round((x - vmin) / scale).cast("long"))
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(vmin, 6).alias("q_min"),
+        F.round(scale, 9).alias("q_scale"),
+        q.alias("q"),
+    )

@@ -503,6 +503,30 @@ ORDER BY id_a, id_b
 """
 
 
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min/max quantization (4× ANN index compression)."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 255.0 AS s
+  FROM e
+)
+SELECT vec_id,
+  ROUND(mn, 6) AS q_min,
+  ROUND(s, 9) AS q_scale,
+  CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       ELSE list_transform(v, x -> CAST(round((x - mn) / s, 0) AS BIGINT))
+  END AS q
+FROM m ORDER BY vec_id
+"""
+
+
 def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label vote over the exact top-5 neighbors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -560,4 +584,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
     "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
+    "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
 }

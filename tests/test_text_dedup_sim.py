@@ -256,3 +256,19 @@ def test_duplicate_clusters_long_chain_converges(spark):
     from hypermap_etl_spark.util import release_persisted
 
     release_persisted()
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values must be within scale/2 of the original, and a
+    constant vector must quantize to zeros with scale 0."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.5, -3.0]), (1, [7.0, 7.0, 7.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    r0 = out[0]
+    assert all(0 <= qv <= 255 for qv in r0["q"])
+    for orig, qv in zip([0.0, 1.0, 2.5, -3.0], r0["q"]):
+        deq = qv * r0["q_scale"] + r0["q_min"]
+        assert abs(deq - orig) <= r0["q_scale"] / 2 + 1e-6
+    assert out[1]["q"] == [0, 0, 0, 0] and out[1]["q_scale"] == 0.0
