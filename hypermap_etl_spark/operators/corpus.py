@@ -194,3 +194,45 @@ def pack_sequences(
         .withColumn("pack_id", pack)
         .select("doc_id", "chunk_id", "bucket", "n_tokens", "pack_id")
     )
+
+
+# --------------------------------------------------- stratified sampling ----
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the rebalancing step of
+    corpus curation (e.g. cap an over-represented language).
+
+    Row is kept iff its md5 bucket (256 uniform buckets, same content-
+    free hash as hash_split) falls below ceil(rate*256); the realized
+    rate is the nearest 1/256 step, documented rather than hidden.
+    Purely per-row — no shuffle, no sampleBy nondeterminism (Spark's
+    sampleBy draws from a seeded RNG over partition order, which
+    changes with the split layout; the hash is layout-independent).
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+    def keep_for(rate: float) -> Column:
+        import math
+
+        k = min(256, max(0, math.ceil(rate * 256)))
+        # rate 1.0 / 0.0 must be literal booleans: a 2-char hex bucket
+        # compared against '100' would sort LEXICOGRAPHICALLY ('ff' >
+        # '100') and silently drop most rows
+        if k >= 256:
+            return F.lit(True)
+        if k == 0:
+            return F.lit(False)
+        return bucket < F.lit(f"{k:02x}")
+
+    cond = None
+    for value, rate in sorted(rates.items()):
+        c = F.col(strata_col) == value
+        cond = F.when(c, keep_for(rate)) if cond is None else cond.when(c, keep_for(rate))
+    keep = cond.otherwise(keep_for(default_rate)) if cond is not None else keep_for(default_rate)
+    return docs.filter(keep)

@@ -170,3 +170,28 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "score", "rank")
     )
+
+
+def length_percentiles_by_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-count distribution per detected language: exact interpolated
+    quartiles + p90 — the corpus-profiling step before choosing chunk
+    sizes and length filters.
+
+    One projection (language scores + word count share the scan) and
+    ONE hash aggregation; exact percentile is a sort-based aggregate
+    per group, fine for a bounded group count (languages), and both
+    engines define it identically (linear interpolation), so the
+    oracle matches bit-for-bit on integer inputs.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    base = language_id(docs, text_col).select("doc_id", "lang_pred").join(
+        docs.select("doc_id", F.size(ws).cast("long").alias("n_words")), "doc_id"
+    )
+    pct = lambda p: F.round(F.percentile("n_words", F.lit(p)), 6)  # noqa: E731
+    return base.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.9).alias("p90"),
+    )

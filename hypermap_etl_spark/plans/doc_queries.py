@@ -279,6 +279,55 @@ FROM ch ORDER BY doc_id, chunk_id
 """
 
 
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-count quartiles + p90 per detected language (exact
+    interpolated percentiles; both engines define quantile_cont/
+    percentile identically)."""
+    return textstats.length_percentiles_by_lang(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("lang_pred")
+
+
+def _length_pct_oracle() -> str:
+    return f"""
+WITH l AS ({_langid_oracle()}),
+w AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT l.lang_pred, COUNT(*) AS n_docs,
+  ROUND(quantile_cont(n_words, 0.25), 6) AS p25,
+  ROUND(quantile_cont(n_words, 0.5), 6) AS p50,
+  ROUND(quantile_cont(n_words, 0.75), 6) AS p75,
+  ROUND(quantile_cont(n_words, 0.9), 6) AS p90
+FROM l JOIN w USING (doc_id)
+GROUP BY l.lang_pred ORDER BY lang_pred
+"""
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample: cap 'en' at 25%, keep the
+    rest — the corpus rebalancing step, layout-independent (md5, not
+    sampleBy's partition-order RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = textstats.language_id(docs).select("doc_id", "lang_pred")
+    return corpus.stratified_sample(labeled, "lang_pred", {"en": 0.25}).orderBy(
+        "doc_id"
+    )
+
+
+def _stratified_oracle() -> str:
+    return f"""
+WITH l AS ({_langid_oracle()})
+SELECT doc_id, lang_pred FROM l
+WHERE CASE WHEN lang_pred = 'en'
+           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+           ELSE TRUE END
+ORDER BY doc_id
+"""
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·(N/df), totally
     tie-broken (linear idf — bit-reproducible, unlike ln)."""
@@ -576,6 +625,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),
+    "doc_length_percentiles": (doc_length_percentiles, _length_pct_oracle()),
+    "doc_stratified_sample": (doc_stratified_sample, _stratified_oracle()),
     "doc_packed": (doc_packed, PACKED_ORACLE),
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),

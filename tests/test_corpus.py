@@ -108,3 +108,21 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert top[0] == "zebra" and top[1] == "piano"
     for r in out:
         assert r["rank"] == 1 and r["score"] > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = corpus.stratified_sample(docs, "lang", {"en": 0.25, "de": 1.0})
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b  # layout-independent determinism
+    n_en = sum(1 for d in a if d % 2 == 0)
+    n_de = sum(1 for d in a if d % 2 == 1)
+    assert n_de == 2000  # rate 1.0 keeps everything (hex-threshold edge)
+    assert 0.2 * 2000 < n_en < 0.3 * 2000
+    # rate 0 drops the stratum entirely
+    none = corpus.stratified_sample(docs, "lang", {"en": 0.0, "de": 0.0})
+    assert none.count() == 0
