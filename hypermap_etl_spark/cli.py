@@ -111,6 +111,21 @@ def cmd_events(args) -> None:
     print(json.dumps({"events": rows, "totalCount": total}))
 
 
+def cmd_sql(args) -> None:
+    """Ad-hoc SQL over the star tables (plus the derived hypermap event
+    view as `hm_events`) — the analytics-engine front door; rows print
+    as JSON lines (capped by --limit)."""
+    from hypermap_etl_spark.plans.hm_derive import hm_events_df
+    from hypermap_etl_spark.sources.tables import register_views
+
+    spark = _spark(args)
+    register_views(spark, args.data)
+    hm_events_df(spark, args.data).createOrReplaceTempView("hm_events")
+    df = spark.sql(args.query).limit(args.limit)
+    for row in df.toJSON().collect():
+        print(row)
+
+
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
     (and optionally a side table like the key index) — see
@@ -180,6 +195,11 @@ def main(argv=None) -> None:
     p.add_argument("--start-date", default=None)
     p.add_argument("--page", type=int, default=1)
     p.add_argument("--limit", type=int, default=20)
+    p = sub.add_parser("sql", help="ad-hoc SQL over the star tables")
+    p.add_argument("query")
+    p.add_argument("--data", default="/root/testdata/sf0.001",
+                   help="parquet table directory")
+    p.add_argument("--limit", type=int, default=100)
     p = sub.add_parser("compact", help="small-file maintenance")
     p.add_argument("--table", required=True)
     p.add_argument("--partition-col", default="block_bucket")
@@ -203,6 +223,7 @@ def main(argv=None) -> None:
         "scan": cmd_scan,
         "status": cmd_status,
         "events": cmd_events,
+        "sql": cmd_sql,
         "compact": cmd_compact,
         "stream": cmd_stream,
     }[args.cmd](args)
