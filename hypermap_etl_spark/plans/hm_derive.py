@@ -93,18 +93,34 @@ def hm_events_sql(events_table: str = "events") -> str:
 
 
 def hm_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side derived hypermap event log (canonical column names)."""
+    """Spark-side derived hypermap event log (canonical column names).
+
+    plan_cache + stage_boundary: every hm gate query consumes this
+    frame, and the M1-M9 fold alone branches over it 5+ times (mints ×3,
+    per-type filters) — without a boundary each branch would rescan the
+    source and recompute the md5 derivation, which at lake scale is 5×
+    the I/O of the whole query. Production equivalent: decoded events
+    are WRITTEN once and queried many times; the cached frame models
+    that stored table.
+    """
     from hypermap_etl_spark.sources.tables import load_table
+    from hypermap_etl_spark.util import fan_out, plan_cache, stage_boundary
 
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_src_events")
-    df = spark.sql(hm_events_sql("__hm_src_events"))
-    from hypermap_etl_spark.util import fan_out
+    @plan_cache
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_src_events")
+        df = spark.sql(hm_events_sql("__hm_src_events"))
+        # the source is typically one small parquet split; fan out so the
+        # (CPU-heavy) downstream decode/fold stages use every core
+        return stage_boundary(
+            fan_out(
+                df.withColumnRenamed("from_addr", "from").withColumnRenamed(
+                    "to_addr", "to"
+                )
+            )
+        )
 
-    # the source is typically one small parquet split; fan out so the
-    # (CPU-heavy) downstream decode/fold stages use every core
-    return fan_out(
-        df.withColumnRenamed("from_addr", "from").withColumnRenamed("to_addr", "to")
-    )
+    return _build(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
