@@ -126,3 +126,41 @@ def test_stratified_sample_rates_and_determinism(spark):
     # rate 0 drops the stratum entirely
     none = corpus.stratified_sample(docs, "lang", {"en": 0.0, "de": 0.0})
     assert none.count() == 0
+
+
+# --- hypothesis: chunking/packing invariants ------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=8),
+    chunk=st.integers(min_value=8, max_value=96),
+    overlap=st.integers(min_value=0, max_value=7),
+)
+def test_token_chunks_properties(spark, counts, chunk, overlap):
+    """For arbitrary word counts and window params: every token covered
+    exactly by the stride positions, chunk count matches the closed
+    form, every chunk is non-empty and ≤ chunk_tokens."""
+    docs = _docs(spark, [" ".join(f"w{i}" for i in range(n)) for n in counts])
+    out = corpus.token_chunks(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    stride = chunk - overlap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in enumerate(counts):
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert rows == []
+            continue
+        expected = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        assert len(rows) == expected, (n, chunk, overlap)
+        seen = set()
+        for r in rows:
+            assert 1 <= r["n_tokens"] <= chunk
+            start = r["chunk_id"] * stride
+            seen.update(range(start, start + r["n_tokens"]))
+        assert seen == set(range(n)), (n, chunk, overlap)
