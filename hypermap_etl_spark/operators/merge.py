@@ -192,7 +192,12 @@ def append_if_absent(
 # ------------------------------------------------------------ maintenance ----
 
 def partition_file_counts(path: str, partition_col: str) -> dict[int, int]:
-    """parquet file count per partition value, from the directory layout."""
+    """parquet file count per partition value, from the directory layout.
+
+    Local/HDFS-like filesystems only (same assumption as the staged
+    swap above); on an object store the table format's metadata layer
+    (Delta/Iceberg file manifests) replaces directory listings.
+    """
     out: dict[int, int] = {}
     if not os.path.isdir(path):
         return out

@@ -1,0 +1,58 @@
+"""End-to-end CLI flows (S8 console sink / T6 orchestration shapes):
+extract → status → events → sql → compact, driven in-process so the
+JSON report shapes are pinned by tests instead of manual runs."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from hypermap_etl_spark.cli import main
+from hypermap_etl_spark.sources.raw_logs import build_raw_logs
+from tests.helpers import ev, events_df, h
+
+
+def _write_raw(spark, path, n=6):
+    rows = [
+        ev(eventType="Mint", blockNumber=100 + i, logIndex=0, parenthash=h(1),
+           childhash=h(10 + i), labelhash=h(2), label=f"e{i}",
+           transactionHash="0x" + format(i, "064x"))
+        for i in range(n)
+    ]
+    build_raw_logs(events_df(spark, rows)).write.mode("overwrite").parquet(path)
+
+
+def test_cli_extract_status_events_sql_compact(spark, capsys):
+    base = tempfile.mkdtemp()
+    raw, tbl = f"{base}/raw", f"{base}/table"
+    _write_raw(spark, raw)
+
+    main(["extract", "--raw", raw, "--table", tbl])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["counts"] == {"Mint": 6}
+    assert rep["upsertedCount"] == 6 and rep["modifiedCount"] == 0
+
+    # re-run: idempotent (T3 shape), 6 modified, 0 new
+    main(["extract", "--raw", raw, "--table", tbl])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["upsertedCount"] == 0 and rep2["modifiedCount"] == 6
+
+    main(["status", "--table", tbl])
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["totalEvents"] == 6 and status["lastBlock"] == 105
+
+    main(["events", "--table", tbl, "--limit", "3"])
+    page = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert page["totalCount"] == 6 and len(page["events"]) == 3
+    assert page["events"][0]["blockNumber"] == 105  # desc order
+
+    main(["sql", "SELECT count(*) AS n FROM documents", "--data",
+          "/root/testdata/sf0.001"])
+    sql_out = [json.loads(line) for line in
+               capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    assert sql_out and sql_out[0]["n"] > 0
+
+    main(["compact", "--table", tbl])
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["partitions_compacted"] == 0  # unpartitioned table: no-op
