@@ -252,3 +252,36 @@ def test_descendants_bfs(spark):
     entries = materialize_entries(events_df(spark, rows))
     got = {(r["namehash"], r["depth"]) for r in descendants_of(entries, h(1)).collect()}
     assert got == {(h(2), 1), (h(3), 1), (h(4), 2)}
+
+
+def test_index_stream_autocompacts_key_index(spark):
+    """With compact_index_every=1 the blind-appended key index collapses
+    to one distinct file after the second batch."""
+    import glob
+
+    from hypermap_etl_spark.streaming.scan import start_index_stream
+
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    idx = f"{ent}__keyidx"
+    os.makedirs(src)
+    rows = [
+        ev(eventType="Mint", blockNumber=10 + i, logIndex=0, parenthash=h(1),
+           childhash=h(10 + i), label=f"a{i}")
+        for i in range(2)
+    ]
+    build_raw_logs(events_df(spark, rows)).write.mode("append").parquet(src)
+    start_index_stream(spark, src, tbl, ent, ckpt,
+                       compact_index_every=1).awaitTermination(240)
+
+    more = [ev(eventType="Mint", blockNumber=20, logIndex=0, parenthash=h(1),
+               childhash=h(30), label="b")]
+    build_raw_logs(events_df(spark, more)).write.mode("append").parquet(src)
+    q = start_index_stream(spark, src, tbl, ent, ckpt, compact_index_every=1)
+    q.awaitTermination(240)
+
+    files = glob.glob(f"{idx}/*.parquet")
+    assert len(files) == 1, files
+    pairs = {tuple(r) for r in spark.read.parquet(idx).collect()}
+    # distinct (namehash, bucket) pairs only — duplicates compacted away
+    assert len(pairs) == spark.read.parquet(idx).count()
