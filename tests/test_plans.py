@@ -173,3 +173,29 @@ def test_tfidf_df_join_is_broadcast(spark):
 
     plan = _plan(tfidf_top_terms(load_table(spark, SF_SMOKE, "documents")))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pagination_hostile_page_takes_spillable_window(spark):
+    """A page deep enough that skip+limit exceeds MAX_HEAP_TOP must NOT
+    plan per-partition heaps of page*limit rows (unbounded executor
+    memory under a hostile page value) — it falls back to the spillable
+    row_number window, and both plans return the same rows."""
+    from hypermap_etl_spark.util import MAX_HEAP_TOP, paginate
+
+    df = spark.range(30_000).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    )
+    order = [F.col("id").asc()]
+    deep_page = MAX_HEAP_TOP // 10 + 2  # limit 10 → skip+limit > cap
+    deep = paginate(df, order, page=deep_page, limit=10)
+    plan = _plan(deep)
+    assert "TakeOrderedAndProject" not in plan
+    assert "row_number" in plan
+    shallow = paginate(df, order, page=3, limit=10)
+    assert "TakeOrderedAndProject" in _plan(shallow)
+    # semantics agree across the plan switch
+    assert [r["id"] for r in shallow.collect()] == list(range(20, 30))
+    expected_start = (deep_page - 1) * 10
+    assert [r["id"] for r in deep.collect()] == list(
+        range(expected_start, expected_start + 10)
+    )
