@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE: runtime row-level filter injection
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled /
+        # runtimeFilter.semiJoinReduction) was tried and REVERTED: on
+        # this Spark build it deadlocks planning of the broadcast-join
+        # pyramid in local mode (q1 never finishes). On a cluster
+        # deployment re-evaluate per Spark version; the workload's dim
+        # joins all broadcast anyway, so the filters would only matter
+        # for fact-fact joins.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
