@@ -1,0 +1,234 @@
+"""Training-corpus curation operators: the filters a pretraining data
+pipeline runs between raw text and the training set.
+
+  repetition_stats   Gopher-style repetition filters: duplicate word /
+                     n-gram fractions + most-common-2-gram character
+                     share (Rae et al. 2021 §A1.1 heuristics).
+  tag_pii/redact_pii regex PII detection + masking (Dolma-style
+                     taggers) — email / phone / SSN-shaped ids.
+  decontaminate      benchmark decontamination by 13-gram overlap
+                     (GPT-3 appendix C / PaLM-style n-gram collision).
+  segment_dedup      C4-style duplicate-span removal: corpus-wide
+                     first-occurrence-wins over fixed word windows
+                     (Raffel et al. 2020 used 3-sentence spans; the
+                     fixture text has no sentence marks, so the span
+                     unit is a fixed word window).
+
+All built-in column expressions (split/slice/regexp/md5), zero Python
+on the hot path, and every formula engine-reproducible so the DuckDB
+oracle verifies bit-for-bit.
+
+Scale notes inline per op. The common theme: per-row array math stays
+map-side; the only shuffles are keyed by doc_id or by a fixed-width
+md5 of the span text (never by raw variable-length text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hypermap_etl_spark.operators.textstats import word_shingles, words
+
+
+def _ws(text_col: str) -> Column:
+    return F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+
+
+# ------------------------------------------------------ repetition stats ----
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition signals per document.
+
+    dup_word_frac / dup_2gram_frac / dup_3gram_frac are pure array math
+    (1 - distinct/total) — map-side only. The most-common-2-gram share
+    needs a corpus-independent per-doc mode: one explode + one hash
+    aggregation keyed (doc_id, gram) + a per-doc top-1 window. Keys are
+    near-unique (doc_id is), so there is no skew; the explode output is
+    ~n_words rows per doc, the same order as tokenization itself.
+
+    top_2gram_frac = occurrences * len(gram) / len(text) — the fraction
+    of characters covered by repetitions of the most frequent 2-gram
+    (ties broken gram-ascending). Docs with < 2 words report ('' , 0).
+    """
+    ws = _ws(text_col)
+    two = word_shingles(F.lower(F.col(text_col)), 2)
+    three = word_shingles(F.lower(F.col(text_col)), 3)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round((n - F.size(F.array_distinct(arr))) / n, 6)
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.length(F.lower(F.col(text_col))).cast("long").alias("n_chars_norm"),
+        F.size(ws).cast("long").alias("n_words"),
+        dup_frac(ws).alias("dup_word_frac"),
+        dup_frac(two).alias("dup_2gram_frac"),
+        dup_frac(three).alias("dup_3gram_frac"),
+    )
+
+    grams = docs.select(
+        "doc_id",
+        F.length(F.lower(F.col(text_col))).alias("n_chars"),
+        F.explode(two).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("occ").desc(), F.col("gram").asc())
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_2gram"),
+            F.round(F.col("occ") * F.length("gram") / F.greatest("n_chars", F.lit(1)), 6).alias(
+                "top_2gram_frac"
+            ),
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+    )
+
+
+# ------------------------------------------------------------------ PII ----
+
+# Simple-dialect patterns (identical under Java regex and RE2): no
+# backreferences, no lookaround, no \d shorthand-class surprises.
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{3}-[0-9]{4}"
+SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# ordered masking: phone first (its fixed 555- prefix can never appear
+# inside an SSN-shaped id, and masking it removes the digits an SSN
+# scan would otherwise have to skip), then SSN, then email
+_MASKS = [(PHONE_RE, "<PHONE>"), (SSN_RE, "<SSN>"), (EMAIL_RE, "<EMAIL>")]
+
+
+def tag_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts (Dolma-style tagger output): non-
+    overlapping regex match counts for email / phone / SSN-shaped
+    spans + an any-hit flag. Pure projection — no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long")
+    n_ssn = F.size(F.regexp_extract_all(t, F.lit(SSN_RE), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ssn.alias("n_ssns"),
+        ((n_email + n_phone + n_ssn) > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask every PII span with a typed placeholder. Global replace,
+    one projection; ordering documented at _MASKS."""
+    t: Column = F.col(text_col)
+    for pat, repl in _MASKS:
+        t = F.regexp_replace(t, pat, repl)
+    return docs.select("doc_id", t.alias("redacted"))
+
+
+# -------------------------------------------------------- decontamination ----
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram collision (the GPT-3/PaLM
+    recipe, default n=13): a training document is contaminated if it
+    shares any word n-gram with any benchmark document.
+
+    Output: (doc_id, n_hits, contaminated) for EVERY train doc —
+    n_hits = number of distinct benchmark n-grams found in the doc.
+
+    Scale shape: the benchmark probe set is distinct n-grams of the
+    (small, fixed) eval suites — broadcast it; the train side explodes
+    to distinct-per-doc n-grams and inner-joins, so the shuffle-free
+    plan is scan → explode → broadcast-join → partial count. Grouping
+    keys for the final count are doc_id only. A 100 TB corpus streams
+    through one map-side pass; nothing is proportional to corpus size
+    but the scan itself.
+    """
+    probes = (
+        bench.select(F.explode(word_shingles(F.lower(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("gram"),
+    )
+    hits = (
+        train_grams.join(F.broadcast(probes), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------- segment dedup ----
+
+def segment_dedup(
+    docs: DataFrame, seg_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """C4-style duplicate-span removal over fixed word windows: split
+    each doc into non-overlapping ``seg_words``-word segments; a
+    segment occurring more than once corpus-wide keeps only its FIRST
+    occurrence in (doc_id, seg_idx) order.
+
+    Output: (doc_id, seg_idx, n_seg_words, keep).
+
+    Scale shape: one map-side explode (array slicing of the token
+    array, tokenized once), then ONE shuffle keyed by md5(segment) —
+    fixed 32-byte keys, never the variable-length text — for the
+    first-occurrence window. Duplicate-heavy corpora skew toward hot
+    segment keys only as far as real duplication exists; the md5 key
+    space is otherwise uniform.
+    """
+    ws = _ws(text_col)
+    n = F.size(ws)
+    n_segs = F.ceil(n / F.lit(float(seg_words))).cast("long")
+    seg = F.slice(F.col("__ws"), F.col("seg_idx").cast("int") * seg_words + 1, seg_words)
+    segs = (
+        docs.select("doc_id", ws.alias("__ws"), n_segs.alias("__k"))
+        .filter(F.col("__k") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__k") - 1)).alias("seg_idx"),
+            F.col("__ws"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.size(seg).cast("long").alias("n_seg_words"),
+            F.md5(F.array_join(seg, " ")).alias("__key"),
+        )
+    )
+    w = Window.partitionBy("__key").orderBy("doc_id", "seg_idx")
+    return (
+        segs.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "seg_idx", "n_seg_words", "keep")
+    )

@@ -19,16 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hypermap_etl_spark.operators import corpus, dedup, similarity, textstats
+from hypermap_etl_spark.operators import corpus, curation, dedup, similarity, textstats
 from hypermap_etl_spark.sources.tables import load_table
 from hypermap_etl_spark.util import plan_cache
 
-_SHINGLES_SQL = (
-    "CASE WHEN len(string_split(t, ' ')) >= 3 THEN "
-    "list_transform(range(1, len(string_split(t, ' ')) - 1), "
-    "i -> array_to_string(list_slice(string_split(t, ' '), i, i + 2), ' ')) "
-    "ELSE [] END"
-)
+
+def _shingles_sql(n: int, expr: str = "t") -> str:
+    """DuckDB word n-gram list over a lowercase text expression —
+    mirrors textstats.word_shingles (raw single-space split)."""
+    return (
+        f"CASE WHEN len(string_split({expr}, ' ')) >= {n} THEN "
+        f"list_transform(range(1, len(string_split({expr}, ' ')) - {n - 2}), "
+        f"i -> array_to_string(list_slice(string_split({expr}, ' '), i, i + {n - 1}), ' ')) "
+        "ELSE [] END"
+    )
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 _EXACT_PAIRS_SQL = f"""
 WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -500,6 +507,226 @@ FROM v ORDER BY doc_id
 """
 
 
+# -------------------------------------------------------------- curation ----
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate word / 2-gram / 3-gram
+    fractions + the character share of the most common 2-gram."""
+    return curation.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lower(text) AS t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, length(t) AS n_chars, len(ws) AS n_words,
+    CASE WHEN len(ws) <= 0 THEN 0.0
+         ELSE ROUND((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6) END
+      AS dup_word_frac,
+    CASE WHEN len({_shingles_sql(2)}) <= 0 THEN 0.0
+         ELSE ROUND((len({_shingles_sql(2)}) - len(list_distinct({_shingles_sql(2)})))
+                    * 1.0 / len({_shingles_sql(2)}), 6) END AS dup_2gram_frac,
+    CASE WHEN len({_shingles_sql(3)}) <= 0 THEN 0.0
+         ELSE ROUND((len({_shingles_sql(3)}) - len(list_distinct({_shingles_sql(3)})))
+                    * 1.0 / len({_shingles_sql(3)}), 6) END AS dup_3gram_frac
+  FROM w
+),
+g AS (SELECT doc_id, length(t) AS n_chars, unnest({_shingles_sql(2)}) AS gram FROM w),
+cnt AS (SELECT doc_id, n_chars, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, n_chars, gram),
+top AS (
+  SELECT doc_id, gram AS top_2gram,
+         ROUND(occ * length(gram) * 1.0 / greatest(n_chars, 1), 6) AS top_2gram_frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY occ DESC, gram ASC) AS rk FROM cnt)
+  WHERE rk = 1
+)
+SELECT b.doc_id, b.n_words, b.dup_word_frac, b.dup_2gram_frac, b.dup_3gram_frac,
+       COALESCE(top_2gram, '') AS top_2gram,
+       COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injected (the fixture text has
+    none): email on doc_id%7, phone on %11, SSN-shaped id on %13 — the
+    identical expression runs in the oracle, so the tagger/redactor is
+    gated on real matches, not vacuous zeros."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" contact doc"), did.cast("string"), F.lit("@example.com for details")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 13 == 0,
+        F.concat(
+            F.lit(" id "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat("text", email, phone, ssn).alias("text"))
+
+
+_PII_AUG_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END AS text
+FROM documents
+"""
+
+
+def doc_pii_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII tagger: per-doc email/phone/SSN match counts."""
+    return curation.tag_pii(_pii_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+PII_TAGS_ORACLE = f"""
+WITH p AS ({_PII_AUG_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{curation.PHONE_RE}')) AS n_phones,
+  len(regexp_extract_all(text, '{curation.SSN_RE}')) AS n_ssns,
+  (len(regexp_extract_all(text, '{curation.EMAIL_RE}'))
+   + len(regexp_extract_all(text, '{curation.PHONE_RE}'))
+   + len(regexp_extract_all(text, '{curation.SSN_RE}'))) > 0 AS has_pii
+FROM p ORDER BY doc_id
+"""
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking: every detected span replaced by a typed placeholder."""
+    return curation.redact_pii(_pii_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+PII_REDACT_ORACLE = f"""
+WITH p AS ({_PII_AUG_SQL})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{curation.PHONE_RE}', '<PHONE>', 'g'),
+    '{curation.SSN_RE}', '<SSN>', 'g'),
+    '{curation.EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+FROM p ORDER BY doc_id
+"""
+
+
+def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by 13-gram overlap: docs doc_id%50==0
+    form the benchmark; docs doc_id%50==7 are deterministically
+    contaminated with the matching benchmark doc's first 13 words, so
+    the gate verifies real hits on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    probe_pref = bench.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 13), " ").alias("probe"),
+    )
+    aug = (
+        docs.join(probe_pref, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("probe").isNotNull(), F.concat("text", F.lit(" "), "probe")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    train = aug.filter(F.col("doc_id") % 50 != 0)
+    return curation.decontaminate(train, bench, n=13).orderBy("doc_id")
+
+
+DECONTAM_ORACLE = f"""
+WITH b AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 50 = 0),
+pref AS (
+  SELECT doc_id + 7 AS doc_id,
+         array_to_string(list_slice(string_split(t, ' '), 1, 13), ' ') AS probe
+  FROM b
+),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN p.probe IS NOT NULL THEN lower(d.text) || ' ' || p.probe
+              ELSE lower(d.text) END AS t
+  FROM documents d LEFT JOIN pref p USING (doc_id)
+  WHERE d.doc_id % 50 <> 0
+),
+probes AS (SELECT DISTINCT unnest({_shingles_sql(13)}) AS gram FROM b),
+tg AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(13)})) AS gram FROM aug),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM tg JOIN probes USING (gram) GROUP BY doc_id
+)
+SELECT a.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM aug a LEFT JOIN hits h USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal over the augmented corpus (with
+    exact copies injected): first occurrence of each 10-word segment
+    keeps, every later occurrence drops."""
+    return curation.segment_dedup(_augmented_docs(spark, sf_dir), seg_words=10).orderBy(
+        "doc_id", "seg_idx"
+    )
+
+
+SEGMENT_DEDUP_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM aug
+),
+c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS k
+      FROM w WHERE len(ws) > 0),
+s AS (SELECT doc_id, unnest(range(0, k)) AS seg_idx, ws FROM c),
+seg AS (
+  SELECT doc_id, seg_idx,
+         len(list_slice(ws, seg_idx * 10 + 1, seg_idx * 10 + 10)) AS n_seg_words,
+         md5(array_to_string(list_slice(ws, seg_idx * 10 + 1, seg_idx * 10 + 10), ' '))
+           AS key
+  FROM s
+)
+SELECT doc_id, seg_idx, n_seg_words,
+       row_number() OVER (PARTITION BY key ORDER BY doc_id, seg_idx) = 1 AS keep
+FROM seg ORDER BY doc_id, seg_idx
+"""
+
+
 # ------------------------------------------------------------ embeddings ----
 
 @plan_cache
@@ -629,6 +856,11 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_stratified_sample": (doc_stratified_sample, _stratified_oracle()),
     "doc_packed": (doc_packed, PACKED_ORACLE),
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
+    "doc_repetition": (doc_repetition, REPETITION_ORACLE),
+    "doc_pii_tags": (doc_pii_tags, PII_TAGS_ORACLE),
+    "doc_pii_redact": (doc_pii_redact, PII_REDACT_ORACLE),
+    "doc_decontam": (doc_decontam, DECONTAM_ORACLE),
+    "doc_segment_dedup": (doc_segment_dedup, SEGMENT_DEDUP_ORACLE),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),
     "doc_simhash_sigs": (doc_simhash_sigs, _simhash_oracle()),

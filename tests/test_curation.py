@@ -1,0 +1,102 @@
+"""Unit tests for the curation operators (repetition / PII /
+decontamination / segment dedup) on hand-built fixtures with known
+answers — the oracle-parity gate covers the fixture tables; these pin
+the operator semantics themselves."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_known_values(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.repetition_stats(
+            _docs(
+                spark,
+                [
+                    (1, "a b a b a"),       # 5 words, 2 distinct; 2-grams: a b, b a, a b, b a
+                    (2, "x y z w"),          # all unique
+                    (3, "q"),                # single word: no 2-grams
+                ],
+            )
+        ).collect()
+    }
+    d1 = out[1]
+    assert d1["n_words"] == 5
+    assert d1["dup_word_frac"] == round((5 - 2) / 5, 6)
+    assert d1["dup_2gram_frac"] == round((4 - 2) / 4, 6)
+    # 'a b' wins the tie against 'b a' (gram asc); 2 occurrences of a
+    # 3-char gram over the 9-char text
+    assert d1["top_2gram"] == "a b"
+    assert d1["top_2gram_frac"] == round(2 * 3 / 9, 6)
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_2gram"] == "" and out[3]["top_2gram_frac"] == 0.0
+
+
+def test_pii_tag_and_redact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at bob1@mail.com or sue@web.org thanks"),
+            (2, "call 555-123-4567 ref 111-22-3333 ok"),
+            (3, "clean text no identifiers"),
+        ],
+    )
+    tags = {r["doc_id"]: r.asDict() for r in curation.tag_pii(docs).collect()}
+    assert tags[1]["n_emails"] == 2 and tags[1]["has_pii"]
+    assert tags[2]["n_phones"] == 1 and tags[2]["n_ssns"] == 1
+    assert tags[3] == {"doc_id": 3, "n_emails": 0, "n_phones": 0, "n_ssns": 0, "has_pii": False}
+
+    red = {r["doc_id"]: r["redacted"] for r in curation.redact_pii(docs).collect()}
+    assert red[1] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert red[2] == "call <PHONE> ref <SSN> ok"
+    assert red[3] == "clean text no identifiers"
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    train = _docs(
+        spark,
+        [
+            (1, "noise words then alpha beta gamma more"),  # shares the 3-gram
+            (2, "completely different content here"),
+            (3, "alpha beta delta gamma"),  # same words, wrong order -> clean
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.decontaminate(train, bench, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    seg = "w0 w1 w2"  # one full 3-word segment
+    docs = _docs(
+        spark,
+        [
+            (1, f"{seg} tail1 x"),   # segs: [w0 w1 w2], [tail1 x]
+            (2, f"{seg} other y"),   # first seg duplicates doc 1's
+            (3, "unique z"),
+        ],
+    )
+    out = curation.segment_dedup(docs, seg_words=3)
+    rows = {(r["doc_id"], r["seg_idx"]): r.asDict() for r in out.collect()}
+    assert rows[(1, 0)]["keep"] is True
+    assert rows[(2, 0)]["keep"] is False  # later occurrence dropped
+    assert rows[(1, 1)]["keep"] and rows[(2, 1)]["keep"] and rows[(3, 0)]["keep"]
+    assert rows[(1, 1)]["n_seg_words"] == 2  # short tail segment kept as-is
+
+
+def test_segment_dedup_within_doc_duplicates(spark):
+    # the SAME doc repeating a segment drops the later copy too (C4
+    # removes corpus-wide, including intra-doc)
+    docs = _docs(spark, [(1, "p q r p q r")])
+    out = {r["seg_idx"]: r["keep"] for r in curation.segment_dedup(docs, seg_words=3).collect()}
+    assert out[0] is True and out[1] is False
