@@ -228,3 +228,45 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_decontaminate_broadcasts_probe_set(spark):
+    """The benchmark probe set is small by definition — the decontam
+    join must broadcast it so the 100 TB train side streams map-side
+    (one scan, no shuffle of exploded n-grams)."""
+    from hypermap_etl_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(20)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    plan = _plan(decontaminate(train, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_dedup_shuffles_on_hash_key(spark):
+    """segment_dedup's only wide operation is the first-occurrence
+    window keyed by md5(segment) — fixed-width keys, and no join or
+    aggregation anywhere else in the plan."""
+    from hypermap_etl_spark.operators.curation import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 5) for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(segment_dedup(docs, seg_words=3))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_pii_ops_are_single_projection(spark):
+    """tag_pii / redact_pii must stay map-side: no exchange, no join —
+    a pure projection that fuses into whatever scan feeds it."""
+    from hypermap_etl_spark.operators.curation import redact_pii, tag_pii
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for op in (tag_pii, redact_pii):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        assert "Join" not in plan, op.__name__
