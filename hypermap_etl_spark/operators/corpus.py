@@ -196,6 +196,101 @@ def pack_sequences(
     )
 
 
+# ------------------------------------------------------ vocabulary build ----
+
+def vocab_table(docs: DataFrame, top_k: int = 500, text_col: str = "text") -> DataFrame:
+    """Corpus term-frequency vocabulary (the BPE/WordPiece prep step):
+    top_k terms by total count, totally tie-broken (count desc, term
+    asc), with rank and cumulative coverage share.
+
+    Scale shape: explode → ONE map-combinable hash aggregation keyed by
+    term → global top-k via TakeOrderedAndProject (bounded per-partition
+    heaps, no full sort). The cumulative share is a window over the
+    top_k survivors only — driver-scale rows, not corpus-scale.
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(F.explode(_nonempty_words(text_col)).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_share", F.round(F.sum("n").over(w) / F.col("t"), 6))
+        .select("term", F.col("n").cast("long").alias("n"), "rank", "cum_share")
+    )
+
+
+# ------------------------------------------------------------ source mix ----
+
+def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(source, lang) corpus composition: document and token counts
+    plus each cell's token share of the whole corpus — the numbers a
+    data-mixing/weighting decision reads.
+
+    One hash aggregation over low-cardinality keys + a broadcast of the
+    single-row total; no skew concern (group count is bounded by
+    |sources|×|langs|, the aggregation is map-combined).
+    """
+    base = docs.select(
+        "source", "lang", F.size(_nonempty_words(text_col)).alias("n_toks")
+    )
+    agg = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+        )
+    )
+
+
+# --------------------------------------------------------- shard writing ----
+
+def shard_assignments(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5-bucket of
+    the id, position = rank of the id hash within its shard — the
+    reproducible global shuffle a training run reads (sharded files,
+    shuffled within and across shards by a content-free hash).
+
+    A single GLOBAL shuffle order would be one row_number window over
+    one task — the classic driver-melting plan. Sharding first makes it
+    n_shards independent windows that all run in parallel, which is
+    exactly how sharded dataset writers lay out files anyway.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            key.alias("shuffle_key"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 # --------------------------------------------------- stratified sampling ----
 
 def stratified_sample(

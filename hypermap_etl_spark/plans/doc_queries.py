@@ -507,6 +507,78 @@ FROM v ORDER BY doc_id
 """
 
 
+# -------------------------------------------------------- corpus shaping ----
+
+def doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency vocabulary: top-500 terms with rank and
+    cumulative coverage (the BPE/WordPiece prep table)."""
+    return corpus.vocab_table(load_table(spark, sf_dir, "documents"), top_k=500).orderBy(
+        "rank"
+    )
+
+
+VOCAB_ORACLE = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+tot AS (SELECT SUM(n) AS t FROM c),
+top AS (SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 500)
+SELECT term, n,
+  row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+  ROUND(SUM(n) OVER (ORDER BY n DESC, term ASC ROWS UNBOUNDED PRECEDING)
+        / (SELECT t FROM tot), 6) AS cum_share
+FROM top ORDER BY rank
+"""
+
+
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) doc/token counts + token share — the corpus
+    composition table a mixing-weights decision reads."""
+    return corpus.source_mix(load_table(spark, sf_dir, "documents")).orderBy(
+        "source", "lang"
+    )
+
+
+SOURCE_MIX_ORACLE = """
+WITH b AS (
+  SELECT source, lang,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks
+  FROM documents
+),
+a AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+  FROM b GROUP BY source, lang
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM a)
+SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens / (SELECT t FROM tot), 6) AS token_share
+FROM a ORDER BY source, lang
+"""
+
+
+def doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training order: md5 shard + within-shard
+    hash position (parallel windows, never one global sort task)."""
+    return corpus.shard_assignments(
+        load_table(spark, sf_dir, "documents"), n_shards=16
+    ).orderBy("doc_id")
+
+
+SHARDS_ORACLE = """
+WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+s AS (
+  SELECT doc_id, CAST('0x' || substr(key, 1, 4) AS BIGINT) % 16 AS shard, key
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM s ORDER BY doc_id
+"""
+
+
 # -------------------------------------------------------------- curation ----
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +928,9 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_stratified_sample": (doc_stratified_sample, _stratified_oracle()),
     "doc_packed": (doc_packed, PACKED_ORACLE),
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
+    "doc_vocab": (doc_vocab, VOCAB_ORACLE),
+    "doc_source_mix": (doc_source_mix, SOURCE_MIX_ORACLE),
+    "doc_shards": (doc_shards, SHARDS_ORACLE),
     "doc_repetition": (doc_repetition, REPETITION_ORACLE),
     "doc_pii_tags": (doc_pii_tags, PII_TAGS_ORACLE),
     "doc_pii_redact": (doc_pii_redact, PII_REDACT_ORACLE),

@@ -164,3 +164,53 @@ def test_token_chunks_properties(spark, counts, chunk, overlap):
             start = r["chunk_id"] * stride
             seen.update(range(start, start + r["n_tokens"]))
         assert seen == set(range(n)), (n, chunk, overlap)
+
+
+def test_vocab_table_rank_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c b")], "doc_id long, text string"
+    )
+    from hypermap_etl_spark.operators.corpus import vocab_table
+
+    rows = {r["term"]: r.asDict() for r in vocab_table(docs, top_k=2).collect()}
+    # a:3, b:2, c:1 -> top-2 = a, b; shares over the FULL total (6)
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["rank"] == 1 and rows["a"]["n"] == 3
+    assert rows["a"]["cum_share"] == round(3 / 6, 6)
+    assert rows["b"]["rank"] == 2 and rows["b"]["cum_share"] == round(5 / 6, 6)
+
+
+def test_source_mix_token_shares(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "s1", "en"),
+            (2, "uno dos", "s1", "es"),
+            (3, "four five six seven", "s2", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    from hypermap_etl_spark.operators.corpus import source_mix
+
+    rows = {(r["source"], r["lang"]): r.asDict() for r in source_mix(docs).collect()}
+    assert rows[("s1", "en")]["n_tokens"] == 3
+    assert rows[("s1", "es")]["n_docs"] == 1
+    assert rows[("s2", "en")]["token_share"] == round(4 / 9, 6)
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_shard_assignments_deterministic_and_dense(spark):
+    from hypermap_etl_spark.operators.corpus import shard_assignments
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assignments(docs, 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assignments(docs, 4).collect()}
+    assert a == b  # rerun-stable
+    assert all(0 <= s < 4 for s, _ in a.values())
+    # positions within each shard are dense 0..k-1
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s, p in a.values():
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
