@@ -692,6 +692,42 @@ ORDER BY p.event_id
 """
 
 
+def events_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/rangejoin.py): every 100th event anchors
+    a 1-hour window [ts, ts+1h]; count the events each window contains.
+    The naive BETWEEN join is a BroadcastNestedLoopJoin — ours buckets
+    the time axis (1 h buckets ≈ the window length, ≤ 2 bucket rows per
+    window) and equi-joins, re-checking bounds exactly."""
+    from hypermap_etl_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    windows = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros(F.col("ts")).alias("lo"),
+        (F.unix_micros(F.col("ts")) + hour_us).alias("hi"),
+    )
+    points = ev.select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    return (
+        interval_join(points, windows, "ts_us", "lo", "hi", bucket_width=hour_us)
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("window_id")
+    )
+
+
+INTERVAL_ORACLE = """
+WITH w AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS lo, epoch_us(ts) + 3600000000 AS hi
+  FROM events WHERE event_id % 100 = 0
+),
+p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+SELECT window_id, COUNT(*) AS n_events
+FROM w JOIN p ON p.ts_us BETWEEN w.lo AND w.hi
+GROUP BY window_id ORDER BY window_id
+"""
+
+
 def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension coverage: broadcast dim join + grouped stats."""
     sup = load_table(spark, sf_dir, "supplier")
@@ -725,6 +761,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_json_extract": (events_json_extract, JSON_ORACLE),
     "events_tumbling_window": (events_tumbling_window, TUMBLING_ORACLE),
     "events_asof_join": (events_asof_join, ASOF_ORACLE),
+    "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
