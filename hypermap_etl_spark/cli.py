@@ -168,6 +168,30 @@ def cmd_stream(args) -> None:
     q.awaitTermination(args.timeout if args.timeout else None)
 
 
+def cmd_curate(args) -> None:
+    """End-to-end training-corpus build (beyond-reference, north-star
+    surface): quality filter → near-dup dedup → PII redact → split →
+    chunk → pack → shard; writes documents.parquet + chunks.parquet and
+    prints a per-stage JSON report."""
+    import os
+
+    from hypermap_etl_spark.operators.corpus import curate_pipeline
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    documents, chunks, report = curate_pipeline(
+        docs.select("doc_id", "text"),
+        dedup_threshold=args.threshold,
+        min_words=args.min_words,
+        lang=args.lang,
+        redact=not args.no_redact,
+        n_shards=args.shards,
+    )
+    documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
+    chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
+    print(json.dumps(report))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="hypermap_etl_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -206,6 +230,14 @@ def main(argv=None) -> None:
     p.add_argument("--max-files", type=int, default=8)
     p.add_argument("--side-table", default=None,
                    help="also distinct-rewrite this unpartitioned side table")
+    p = sub.add_parser("curate", help="end-to-end training-corpus build")
+    p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--threshold", type=float, default=0.8, help="near-dup Jaccard")
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--no-redact", action="store_true", help="skip PII masking")
+    p.add_argument("--shards", type=int, default=16)
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -225,6 +257,7 @@ def main(argv=None) -> None:
         "events": cmd_events,
         "sql": cmd_sql,
         "compact": cmd_compact,
+        "curate": cmd_curate,
         "stream": cmd_stream,
     }[args.cmd](args)
 

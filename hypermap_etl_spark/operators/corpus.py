@@ -196,6 +196,81 @@ def pack_sequences(
     )
 
 
+# ------------------------------------------------------ end-to-end curate ----
+
+def curate_pipeline(
+    docs: DataFrame,
+    *,
+    dedup_threshold: float = 0.8,
+    min_words: int = 20,
+    lang: str = "en",
+    redact: bool = True,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    pack_tokens: int = 512,
+    n_shards: int = 16,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The whole corpus build as one composition of the gated operators:
+
+      quality/language filter → MinHash near-dup dedup (keep cluster
+      reps) → PII redaction → deterministic split → token chunking →
+      sequence packing → shard assignment.
+
+    Returns (documents, chunks, report):
+      documents — doc_id, text (redacted when ``redact``), split, shard
+      chunks    — train-split chunks: doc_id, chunk_id, chunk_text,
+                  n_tokens, pack_id, shard
+      report    — per-stage row counts (each count is one job; callers
+                  that don't need the report can ignore the cost since
+                  the counts reuse the same scans Spark would run to
+                  write the outputs).
+
+    Every stage is the same operator the driver gate verifies one-by-one
+    — this function adds composition, not new semantics.
+    """
+    from hypermap_etl_spark.operators import dedup
+    from hypermap_etl_spark.operators.curation import redact_pii
+
+    n_in = docs.count()
+    flt = train_filter(docs, min_words=min_words, lang=lang, text_col=text_col)
+    kept = docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    n_kept = kept.count()
+
+    pairs = dedup.minhash_dedup_pairs(kept, dedup_threshold, text_col=text_col)
+    clusters = dedup.duplicate_clusters(pairs)
+    surv = dedup_survivors(kept, clusters)
+    n_surv = surv.count()
+
+    if redact:
+        surv = (
+            surv.drop(text_col)
+            .join(redact_pii(surv, text_col), "doc_id")
+            .withColumnRenamed("redacted", text_col)
+        )
+
+    base = hash_split(surv.select("doc_id", text_col))
+    shards = shard_assignments(base, n_shards)
+    documents = base.join(shards.select("doc_id", "shard"), "doc_id")
+
+    train = documents.filter(F.col("split") == "train")
+    chunks = token_chunks(train, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col)
+    packed = pack_sequences(chunks, max_tokens=pack_tokens, n_buckets=n_shards)
+    chunks_out = (
+        chunks.join(packed.select("doc_id", "chunk_id", "pack_id"), ["doc_id", "chunk_id"])
+        .join(shards.select("doc_id", "shard"), "doc_id")
+    )
+    report = {
+        "docs_in": n_in,
+        "dropped_quality": n_in - n_kept,
+        "dropped_dups": n_kept - n_surv,
+        "docs_out": n_surv,
+        "train_docs": train.count(),
+        "chunks": chunks_out.count(),
+    }
+    return documents, chunks_out, report
+
+
 # ------------------------------------------------------ vocabulary build ----
 
 def vocab_table(docs: DataFrame, top_k: int = 500, text_col: str = "text") -> DataFrame:

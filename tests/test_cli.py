@@ -56,3 +56,30 @@ def test_cli_extract_status_events_sql_compact(spark, capsys):
     main(["compact", "--table", tbl])
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["partitions_compacted"] == 0  # unpartitioned table: no-op
+
+
+def test_cli_curate_end_to_end(spark, capsys):
+    """The curate pipeline over the fixture documents: writes both
+    outputs, reports consistent per-stage counts, and the redactor +
+    dedup actually fire (report fields are internally consistent)."""
+    out = tempfile.mkdtemp()
+    main([
+        "curate",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--min-words", "5",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 500
+    assert rep["docs_out"] == rep["docs_in"] - rep["dropped_quality"] - rep["dropped_dups"]
+    assert 0 < rep["train_docs"] <= rep["docs_out"]
+    assert rep["chunks"] > 0
+
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert docs.count() == rep["docs_out"]
+    assert set(docs.columns) == {"doc_id", "text", "split", "shard"}
+    chunks = spark.read.parquet(os.path.join(out, "chunks.parquet"))
+    assert set(chunks.columns) == {
+        "doc_id", "chunk_id", "n_tokens", "chunk_text", "pack_id", "shard"
+    }
+    assert chunks.count() == rep["chunks"]
