@@ -799,6 +799,54 @@ FROM seg ORDER BY doc_id, seg_idx
 """
 
 
+# ------------------------------------------------------------- multimodal ----
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType plumbing under the oracle gate: deterministic 64-byte
+    payloads (4 chained md5 blocks per doc_id, hex→binary) with typed
+    metadata, verified by byte length + hex roundtrip. The codec-side
+    decode (operators/multimodal.decode_media) stays unit-tested — its
+    Arrow mapInPandas output has no SQL equivalent — but the column
+    type, construction, and byte-level content the codecs would consume
+    ARE gated here."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payload = F.unhex(
+        F.concat(
+            *[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}")))
+                for i in range(4)
+            ]
+        )
+    )
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    m = docs.select("doc_id", mt.alias("media_type"), payload.alias("payload"))
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    ).orderBy("doc_id")
+
+
+MEDIA_META_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    unhex(md5(CAST(doc_id AS VARCHAR) || ':0') || md5(CAST(doc_id AS VARCHAR) || ':1')
+          || md5(CAST(doc_id AS VARCHAR) || ':2') || md5(CAST(doc_id AS VARCHAR) || ':3'))
+      AS payload
+  FROM documents
+)
+SELECT doc_id, media_type,
+       octet_length(payload) AS n_bytes,
+       hex(payload) AS payload_hex
+FROM m ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ embeddings ----
 
 @plan_cache
@@ -939,6 +987,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),
     "doc_simhash_sigs": (doc_simhash_sigs, _simhash_oracle()),
+    "media_metadata": (media_metadata, MEDIA_META_ORACLE),
     "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
     "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),

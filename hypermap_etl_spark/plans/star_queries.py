@@ -728,6 +728,40 @@ GROUP BY window_id ORDER BY window_id
 """
 
 
+def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (util.salted_agg): events grouped by the
+    5-value event_type — exactly the hot-key shape where a plain
+    groupBy lands a monster group on one task. The two-stage
+    (key, salt) → key plan must produce values identical to the plain
+    aggregate (algebraic partials: count→sum, decimal sum→sum), which
+    is what the plain-SQL oracle verifies."""
+    from hypermap_etl_spark.util import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _dec("value").alias("v")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.lit(1), F.count, F.sum),
+            "total_value": (F.col("v"), F.sum, F.sum),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+SALTED_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension coverage: broadcast dim join + grouped stats."""
     sup = load_table(spark, sf_dir, "supplier")
@@ -762,6 +796,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_tumbling_window": (events_tumbling_window, TUMBLING_ORACLE),
     "events_asof_join": (events_asof_join, ASOF_ORACLE),
     "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
+    "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
