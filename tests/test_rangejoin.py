@@ -58,3 +58,40 @@ def test_interval_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# --- hypothesis: bucketed join ≡ naive range predicate ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    spans=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500), st.integers(min_value=0, max_value=80)),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.integers(min_value=1, max_value=64),
+)
+def test_interval_join_equals_naive_join(spark, points, spans, width):
+    """For arbitrary points, intervals, and bucket widths, the bucketed
+    equi-join returns exactly the pairs the naive BETWEEN cross join
+    returns — bucketing is a pure physical rewrite, never a semantic
+    one."""
+    pts = _pts(spark, points)
+    ivs = _ivs(spark, [(i, lo, lo + ln) for i, (lo, ln) in enumerate(spans)])
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "p", "lo", "hi", bucket_width=width).collect()
+    )
+    naive = sorted(
+        (pid, iid)
+        for pid, p in enumerate(points)
+        for iid, (lo, ln) in enumerate(spans)
+        if lo <= p <= lo + ln
+    )
+    assert got == naive
