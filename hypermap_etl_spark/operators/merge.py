@@ -15,13 +15,16 @@ whenNotMatchedInsertAll); this container has no Delta jars, so
 
 and reports (upserted, modified) counts like bulkWrite does.
 
-SINGLE WRITER REQUIRED: like the reference's one scan loop per
-deployment, a table must have at most ONE merge in flight. Recovery
+SINGLE WRITER, ENFORCED: like the reference's one scan loop per
+deployment, a table must have at most ONE merge in flight — recovery
 (_recover_interrupted_swap) deletes ALL sibling __staging_/__old_ dirs
-at merge start, so a concurrent merge on the same table can have its
-live staging dir deleted mid-write; the streaming path serializes
-merges per table via foreachBatch, and multi-writer deployments need a
-table format with optimistic concurrency (Delta/Iceberg) instead.
+at merge start, so a racing writer's live staging dir would be
+destroyed mid-write. merge_into_parquet therefore takes an atomic-
+mkdir lock (``<table>__lock``) and raises ConcurrentMergeError on
+contention; locks older than LOCK_STALE_SECS (crashed writer) are
+taken over. The streaming path serializes merges per table via
+foreachBatch anyway; multi-writer deployments need a table format
+with optimistic concurrency (Delta/Iceberg) instead.
 
 Durability: with ``partition_col`` the merge is a DYNAMIC PARTITION
 OVERWRITE — only partitions present in the incoming batch are
@@ -45,6 +48,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +81,50 @@ def dedupe_new(new_df: DataFrame, key_cols: list[str], order_cols: list[str] | N
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+class ConcurrentMergeError(RuntimeError):
+    """A second writer attempted to MERGE the same table concurrently."""
+
+
+# a crashed writer's lock is considered stale after this many seconds
+# and taken over (the staged-swap design means a crash never leaves the
+# table itself inconsistent — recovery handles the dirs)
+LOCK_STALE_SECS = 3600.0
+
+
+class _merge_lock:
+    """Single-writer enforcement via atomic mkdir of ``<table>__lock``.
+
+    Merges were always documented single-writer per table; this makes a
+    violation a loud ConcurrentMergeError instead of a silent race
+    (_recover_interrupted_swap deletes ALL sibling staging dirs, so a
+    concurrent writer's live staging dir would be destroyed mid-write —
+    the r2 review's concern). mkdir is atomic on POSIX and HDFS-likes;
+    locks older than LOCK_STALE_SECS are treated as crashed writers and
+    taken over.
+    """
+
+    def __init__(self, path: str):
+        self.lock_dir = f"{os.path.abspath(path)}__lock"
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.lock_dir) or ".", exist_ok=True)
+        try:
+            os.mkdir(self.lock_dir)
+        except FileExistsError:
+            age = time.time() - os.path.getmtime(self.lock_dir)
+            if age < LOCK_STALE_SECS:
+                raise ConcurrentMergeError(
+                    f"another merge holds {self.lock_dir} (age {age:.0f}s); "
+                    "merges are single-writer per table"
+                ) from None
+            os.utime(self.lock_dir)  # stale: take over
+        return self
+
+    def __exit__(self, *exc):
+        shutil.rmtree(self.lock_dir, ignore_errors=True)
+        return False
 
 
 def _recover_interrupted_swap(path: str) -> None:
@@ -123,7 +171,21 @@ def merge_into_parquet(
     (partition filters prune the rest at the scan). The partition value
     must be a pure function of the key's row (block bucket), otherwise
     a key that 'moved' partitions would survive in its old partition.
+
+    Single-writer per table, ENFORCED: a concurrent merge raises
+    ConcurrentMergeError instead of racing the recovery sweep.
     """
+    with _merge_lock(path):
+        return _merge_unlocked(spark, path, new_df, key_cols, partition_col)
+
+
+def _merge_unlocked(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
     _recover_interrupted_swap(path)
     new_df = dedupe_new(new_df, key_cols)
 

@@ -236,3 +236,37 @@ def test_compact_small_table_dedupes(spark):
     assert len(glob.glob(f"{idx}/*.parquet")) == 1
     got = {tuple(r) for r in spark.read.parquet(idx).collect()}
     assert got == set(rows)
+
+
+def test_merge_lock_blocks_concurrent_writer(spark, tmp_path):
+    """A held lock makes a second merge fail loudly instead of racing
+    the recovery sweep; a stale lock (crashed writer) is taken over."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from hypermap_etl_spark.operators.merge import (
+        ConcurrentMergeError,
+        _merge_lock,
+        merge_into_parquet,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "event_id long, v string")
+    with _merge_lock(table):
+        with pytest.raises(ConcurrentMergeError):
+            merge_into_parquet(spark, table, df, ["event_id"])
+    # lock released -> merge proceeds
+    assert merge_into_parquet(spark, table, df, ["event_id"]) == {
+        "upsertedCount": 1,
+        "modifiedCount": 0,
+    }
+    # stale lock (old mtime) is taken over, then cleaned up
+    lock = f"{table}__lock"
+    os.mkdir(lock)
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    res = merge_into_parquet(spark, table, df, ["event_id"])
+    assert res == {"upsertedCount": 0, "modifiedCount": 1}
+    assert not os.path.exists(lock)
