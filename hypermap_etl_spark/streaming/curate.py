@@ -1,0 +1,124 @@
+"""Continuous corpus curation: the batch curate pipeline as a
+Structured Streaming sink — documents land as files, every micro-batch
+is quality-filtered, PII-redacted, exact-deduped against everything
+already accepted, and chunked for training.
+
+Cross-batch dedup strategy: the accepted-corpus parquet IS the state.
+Each batch anti-joins its content keys against the sink's key column —
+exact across the whole stream with zero stream-state (surviving
+restarts for free), at the cost of one column-pruned scan of the sink
+keys per batch. That scan reads ONE 32-byte column; the bounded-state
+in-stream alternative (streaming/dedup.dedup_stream_exact) trades
+exactness past the watermark for no scan — both are provided, pick by
+corpus size vs lateness needs.
+
+Near-dup (MinHash) is deliberately batch-only: LSH banding needs the
+full signature corpus; run `operators/corpus.curate_pipeline` (or the
+curate CLI) as a periodic compaction over the accepted corpus instead
+— the standard lambda split for dedup at scale.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def start_curate_stream(
+    spark: SparkSession,
+    source_path: str,
+    docs_path: str,
+    chunks_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+    min_words: int = 20,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    redact: bool = True,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    max_files_per_trigger: int = 10,
+    on_progress: Callable[[dict], None] | None = None,
+):
+    """Start the curation stream; returns the StreamingQuery.
+
+    Per batch: train_filter → redact_pii → in-batch exact dedup →
+    anti-join vs accepted corpus keys → append accepted docs + their
+    token chunks. ``on_progress`` receives
+    {batch_id, docs_in, kept, accepted, chunks, secs} per batch.
+    """
+    import os
+
+    from hypermap_etl_spark.operators.corpus import token_chunks, train_filter
+    from hypermap_etl_spark.operators.curation import redact_pii
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        n_in = df.count()
+        flt = train_filter(df, min_words=min_words, min_quality=min_quality, lang=lang)
+        kept = df.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+        if redact:
+            kept = (
+                kept.drop("text")
+                .join(redact_pii(kept), "doc_id")
+                .withColumnRenamed("redacted", "text")
+            )
+        keyed = kept.withColumn("__content_key", F.md5(F.col("text"))).dropDuplicates(
+            ["__content_key"]
+        )
+        n_kept = keyed.count()
+        if os.path.exists(docs_path):
+            seen = spark.read.parquet(docs_path).select("__content_key")
+            fresh = keyed.join(seen, "__content_key", "left_anti")
+        else:
+            fresh = keyed
+        # localCheckpoint (NOT persist): appending to docs_path below
+        # would invalidate any cached plan that still references that
+        # path — the anti-join would then silently recompute against
+        # the just-updated corpus and dedup this batch's own rows out
+        # of the chunk write. Checkpointing truncates the lineage to
+        # materialized blocks first. (Blocks are freed by the context
+        # cleaner when the batch's reference drops.)
+        fresh = fresh.localCheckpoint(eager=True)
+        accepted = fresh.count()
+        if accepted:
+            fresh.write.mode("append").parquet(docs_path)
+            chunks = token_chunks(fresh, chunk_tokens=chunk_tokens, overlap=overlap)
+            chunks.write.mode("append").parquet(chunks_path)
+            n_chunks = chunks.count()
+        else:
+            n_chunks = 0
+        if on_progress is not None:
+            on_progress(
+                {
+                    "batch_id": batch_id,
+                    "docs_in": n_in,
+                    "kept": n_kept,
+                    "accepted": accepted,
+                    "chunks": n_chunks,
+                    "secs": round(time.monotonic() - t0, 3),
+                }
+            )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
