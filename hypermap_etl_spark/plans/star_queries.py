@@ -762,6 +762,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): estimated
+    distinct users per event_type from the 64 smallest md5 fractions —
+    the mergeable sketch a 100 TB incremental pipeline stores per
+    partition instead of rescanning history; md5-based so the oracle
+    reproduces the estimate bit-for-bit."""
+    from hypermap_etl_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=64).orderBy("event_type")
+
+
+KMV_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM d
+),
+kept AS (
+  SELECT event_type, frac,
+         row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+  FROM h
+)
+SELECT event_type,
+       COUNT(*) AS n_kept,
+       ROUND(MAX(frac), 9) AS kth_frac,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE FLOOR(63 / ROUND(MAX(frac), 9)) END AS BIGINT) AS est_distinct
+FROM kept WHERE rn <= 64
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension coverage: broadcast dim join + grouped stats."""
     sup = load_table(spark, sf_dir, "supplier")
@@ -797,6 +834,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_asof_join": (events_asof_join, ASOF_ORACLE),
     "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
+    "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
