@@ -762,6 +762,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (ROWS 6 PRECEDING): 7-event moving average
+    of value per user — decimal-exact sum over the frame, divided by
+    the actual frame row count so the leading edge is correct."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(
+            (F.sum(_dec("value")).over(w) / F.count(F.lit(1)).over(w)).cast("double"), 6
+        ).alias("avg7"),
+    )
+
+
+MOVING_AVG_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 6) AS avg7
+FROM events
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority): all four aggregation
+    levels in one pass (rollup's sibling; both engines define the NULL
+    super-aggregate markers identically, surfaced as 'ALL' labels)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct users per event_type from the 64 smallest md5 fractions —
@@ -835,6 +899,8 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
+    "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
+    "orders_cube": (orders_cube, CUBE_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
