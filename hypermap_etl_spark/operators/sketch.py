@@ -35,6 +35,7 @@ def kmv_distinct(
     value_col: str,
     group_cols: list[str],
     k: int = 64,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate.
 
@@ -43,6 +44,15 @@ def kmv_distinct(
     hash fraction, and est_distinct = exact count when the group has
     fewer than k distinct values (the sketch IS the distinct set
     then), else floor((k-1)/kth_frac).
+
+    Two-stage top-k: a single per-group window would sort EVERY
+    distinct hash of a group on one task — with few groups (the common
+    sketching shape) that is one monster sort at 100 TB. Stage 1 keeps
+    the k smallest per (group, salt) cell in parallel; stage 2 merges
+    the ≤ n_salts*k survivors per group. Identical output: the global
+    k smallest are each the minimum of their salt cell's k smallest.
+    The salt is a deterministic value hash, so results (and the
+    oracle) are unaffected by the physical split.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -57,10 +67,22 @@ def kmv_distinct(
         # like count(DISTINCT x); also avoids NULLS FIRST/LAST ordering
         # divergence between engines in the top-k window
         .distinct()
-        .select(*group_cols, frac.alias("__frac"))
+        .select(
+            *group_cols,
+            frac.alias("__frac"),
+            F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(n_salts)).alias(
+                "__salt"
+            ),
+        )
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__frac")
+    stage1 = (
+        hashes.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
     )
     w = Window.partitionBy(*group_cols).orderBy("__frac")
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    kept = stage1.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     return (
         kept.groupBy(*group_cols)
         .agg(
