@@ -52,29 +52,36 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of characters covered by repetitions of the most frequent 2-gram
     (ties broken gram-ascending). Docs with < 2 words report ('' , 0).
     """
-    ws = _ws(text_col)
-    two = word_shingles(F.lower(F.col(text_col)), 2)
-    three = word_shingles(F.lower(F.col(text_col)), 3)
-
     def dup_frac(arr: Column) -> Column:
         n = F.size(arr)
         return F.when(n <= 0, F.lit(0.0)).otherwise(
             F.round((n - F.size(F.array_distinct(arr))) / n, 6)
         )
 
-    base = docs.select(
+    # materialize each array ONCE in a first projection — dup_frac
+    # references its array twice and higher-order shingle builders are
+    # not subexpression-eliminated by codegen, so inlining them here
+    # would rebuild every shingle array 2-3x per row (measured 10x
+    # slower at sf0.1)
+    arrays = docs.select(
         "doc_id",
-        F.length(F.lower(F.col(text_col))).cast("long").alias("n_chars_norm"),
-        F.size(ws).cast("long").alias("n_words"),
-        dup_frac(ws).alias("dup_word_frac"),
-        dup_frac(two).alias("dup_2gram_frac"),
-        dup_frac(three).alias("dup_3gram_frac"),
+        F.length(F.lower(F.col(text_col))).alias("__n_chars"),
+        _ws(text_col).alias("__ws"),
+        word_shingles(F.lower(F.col(text_col)), 2).alias("__g2"),
+        word_shingles(F.lower(F.col(text_col)), 3).alias("__g3"),
+    )
+    base = arrays.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_words"),
+        dup_frac(F.col("__ws")).alias("dup_word_frac"),
+        dup_frac(F.col("__g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("__g3")).alias("dup_3gram_frac"),
     )
 
-    grams = docs.select(
+    grams = arrays.select(
         "doc_id",
-        F.length(F.lower(F.col(text_col))).alias("n_chars"),
-        F.explode(two).alias("gram"),
+        F.col("__n_chars").alias("n_chars"),
+        F.explode("__g2").alias("gram"),
     )
     counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
         F.count(F.lit(1)).alias("occ")
