@@ -58,11 +58,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round((n - F.size(F.array_distinct(arr))) / n, 6)
         )
 
-    # materialize each array ONCE in a first projection — dup_frac
-    # references its array twice and higher-order shingle builders are
-    # not subexpression-eliminated by codegen, so inlining them here
-    # would rebuild every shingle array 2-3x per row (measured 10x
-    # slower at sf0.1)
+    # each array built once in its own projection: dup_frac references
+    # its array twice, and shingle construction is a non-cheap HOF that
+    # codegen does not subexpression-eliminate — the alias keeps the
+    # optimizer from inlining (CollapseProject declines on non-cheap
+    # exprs referenced more than once) so every array is one build/row
     arrays = docs.select(
         "doc_id",
         F.length(F.lower(F.col(text_col))).alias("__n_chars"),
