@@ -888,7 +888,369 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# ------------------------------------------------- join-shape breadth ------
+# TPC-H-style shapes not already in the inventory: left-outer-preserving
+# double aggregation (Q13), min join-back (Q2/Q15), HAVING-sum key set
+# (Q18), scalar-aggregate subquery + anti join (Q22), double-correlated
+# EXISTS / NOT EXISTS (Q21), dual dimension paths (Q7), correlated
+# per-group average (Q17), and an ntile quantile window. All money /
+# quantity math runs in DECIMAL; correlated comparisons are
+# cross-multiplied into exact integer math so both engines agree.
+
+
+@plan_cache
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: a left outer join whose NULL-extended rows must
+    survive the first aggregation (customers with zero qualifying orders
+    count as c_count=0), then a second aggregation over the computed
+    count. The order-side filter lives before the join, not after it —
+    a WHERE would silently turn the join inner."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@plan_cache
+def part_min_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q15-style min join-back: per-part minimum sale price computed
+    once, then joined back to recover the exact lines achieving it. The
+    aggregate side is part-dimension-sized, so it broadcasts; min() is a
+    selection (no arithmetic), so the double equality is engine-safe."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    sold = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    mins = sold.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    return (
+        sold.join(
+            F.broadcast(mins),
+            (sold.p_partkey == mins.mk)
+            & (sold.l_extendedprice == mins.best_price),
+        )
+        .select("p_partkey", "p_name", "l_suppkey", "best_price")
+        .distinct()
+        .orderBy("p_partkey", "l_suppkey")
+    )
+
+
+Q2_ORACLE = """
+SELECT DISTINCT p_partkey, p_name, l_suppkey, l_extendedprice AS best_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+ORDER BY p_partkey, l_suppkey
+"""
+
+
+@plan_cache
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style: HAVING over a grouped sum builds a small key set that
+    is broadcast back against orders; quantities sum in DECIMAL(12,0)
+    (integral in this data) so the HAVING cut is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 12, 0)).alias("__q"))
+        .filter(F.col("__q") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("__q").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,0))) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@plan_cache
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style: a scalar-aggregate subquery (global positive-balance
+    average) broadcast as a one-row cross join, then an anti join
+    against urgent orders. The avg comparison is cross-multiplied
+    (bal * n > sum) so it stays in exact DECIMAL×BIGINT math instead of
+    engine-specific decimal division scales."""
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("__n") > F.col("__sum"))
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+         WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@plan_cache
+def exclusive_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style double correlation: suppliers with a returned ('R')
+    line in a multi-supplier order where no OTHER supplier in the same
+    order returned anything. EXISTS compiles to a left-semi self-join
+    and NOT EXISTS to a left-anti, both keyed on l_orderkey with the
+    supplier inequality as a residual condition."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    members = li.select("l_orderkey", "l_suppkey").distinct()
+    with_other = returned.alias("a").join(
+        members.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    exclusive = with_other.alias("w").join(
+        returned.alias("c"),
+        (F.col("w.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("w.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        exclusive.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_ORACLE = """
+WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R'),
+     m AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, s_suppkey, COUNT(*) AS numwait
+FROM r JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM m
+              WHERE m.l_orderkey = r.l_orderkey
+                AND m.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM r r2
+                  WHERE r2.l_orderkey = r.l_orderkey
+                    AND r2.l_suppkey <> r.l_suppkey)
+GROUP BY s_name, s_suppkey
+ORDER BY numwait DESC, s_name
+"""
+
+
+@plan_cache
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style: one fact with two independent dimension paths — the
+    customer's nation via orders and the supplier's nation directly —
+    both broadcast, grouped by (supplier nation, customer nation, year).
+    The only shuffle is lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("snk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       strftime(o_orderdate, '%Y') AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, order_year
+ORDER BY supp_nation, cust_nation, order_year
+"""
+
+
+@plan_cache
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style correlated per-group average: revenue from lines below
+    half their part's mean quantity. The avg comparison is
+    cross-multiplied (2·qty·n < sum) into exact DECIMAL×BIGINT math;
+    the per-part aggregate is dimension-sized and broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem")
+    sold = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = sold.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity", 12, 0)).alias("__sq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    low = sold.join(
+        F.broadcast(stats),
+        (F.col("p_partkey") == F.col("pk"))
+        & (_dec("l_quantity", 12, 0) * F.col("__n") * 2 < F.col("__sq")),
+    )
+    return low.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6).alias(
+            "avg_yearly"
+        )
+    )
+
+
+Q17_ORACLE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(l.l_quantity AS DECIMAL(12,0))
+      * (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey) * 2
+      < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(12,0)))
+         FROM lineitem l3
+         WHERE l3.l_partkey = l.l_partkey)
+"""
+
+
+@plan_cache
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quantile window: balance quartiles within each market
+    segment. The window order carries a unique tie-break (custkey) so
+    both engines draw identical quartile boundaries."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+NTILE_ORACLE = """
+SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
+    "customer_order_distribution": (customer_order_distribution, Q13_ORACLE),
+    "part_min_price_line": (part_min_price_line, Q2_ORACLE),
+    "large_order_customers": (large_order_customers, Q18_ORACLE),
+    "rich_inactive_customers": (rich_inactive_customers, Q22_ORACLE),
+    "exclusive_return_suppliers": (exclusive_return_suppliers, Q21_ORACLE),
+    "nation_pair_volume": (nation_pair_volume, Q7_ORACLE),
+    "small_quantity_revenue": (small_quantity_revenue, Q17_ORACLE),
+    "customer_balance_quartiles": (customer_balance_quartiles, NTILE_ORACLE),
     "supplier_nation_balance": (supplier_nation_balance, SUPPLIER_ORACLE),
     "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
     "q14_promo_share": (q14_promo_share, Q14_ORACLE),
