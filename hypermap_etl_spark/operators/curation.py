@@ -48,9 +48,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     near-unique (doc_id is), so there is no skew; the explode output is
     ~n_words rows per doc, the same order as tokenization itself.
 
-    top_2gram_frac = occurrences * len(gram) / len(text) — the fraction
-    of characters covered by repetitions of the most frequent 2-gram
-    (ties broken gram-ascending). Docs with < 2 words report ('' , 0).
+    top_2gram_frac = min(1, occurrences * len(gram) / len(text)) — the
+    fraction of characters covered by repetitions of the most frequent
+    2-gram (ties broken gram-ascending; clamped because overlapping
+    occurrences can claim more characters than the doc has). Docs with
+    < 2 words report ('', 0).
     """
     def dup_frac(arr: Column) -> Column:
         n = F.size(arr)
@@ -93,9 +95,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "doc_id",
             F.col("gram").alias("top_2gram"),
-            F.round(F.col("occ") * F.length("gram") / F.greatest("n_chars", F.lit(1)), 6).alias(
-                "top_2gram_frac"
-            ),
+            # overlapping occurrences ("a a a" → "a a"×2) can claim more
+            # characters than the doc has; a coverage fraction caps at 1
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("occ") * F.length("gram") / F.greatest("n_chars", F.lit(1)),
+                ),
+                6,
+            ).alias("top_2gram_frac"),
         )
     )
     return base.join(top, "doc_id", "left").select(

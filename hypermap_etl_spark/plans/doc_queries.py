@@ -612,7 +612,7 @@ g AS (SELECT doc_id, length(t) AS n_chars, unnest({_shingles_sql(2)}) AS gram FR
 cnt AS (SELECT doc_id, n_chars, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, n_chars, gram),
 top AS (
   SELECT doc_id, gram AS top_2gram,
-         ROUND(occ * length(gram) * 1.0 / greatest(n_chars, 1), 6) AS top_2gram_frac
+         ROUND(least(1.0, occ * length(gram) * 1.0 / greatest(n_chars, 1)), 6) AS top_2gram_frac
   FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY occ DESC, gram ASC) AS rk FROM cnt)
   WHERE rk = 1

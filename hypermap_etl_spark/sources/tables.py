@@ -33,8 +33,9 @@ def _harden_session(spark: SparkSession) -> None:
     """Runtime confs every query relies on, set defensively so results
     are correct even under a caller-provided vanilla session (the
     driver's harness builds its own):
-      - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable
-        by Spark otherwise;
+      - nanosAsLong: some fixture generations write events.ts as
+        parquet TIMESTAMP(NANOS), unreadable by Spark otherwise
+        (current fixtures are timestamp[us]; the conf is inert then);
       - UTC session time: date formatting/parsing must not shift with
         the host timezone (the DuckDB oracle renders naive timestamps).
     """
@@ -54,6 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; queries use TIMESTAMP-only functions
+            # (unix_micros, window, ...). The NTZ→TZ cast is
+            # wall-clock-preserving in the session zone (UTC here), the
+            # same naive reading the DuckDB oracle uses.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
