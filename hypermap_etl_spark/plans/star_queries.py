@@ -1242,7 +1242,443 @@ ORDER BY c_mktsegment, quartile
 """
 
 
+# ------------------------------------------- remaining TPC-H join shapes ----
+# The round-2 sweep covered Q1/Q2/Q3/Q5/Q6/Q7/Q13/Q14/Q17/Q18/Q21/Q22
+# analogs; these close out the rest of the classic shapes, adapted to
+# the fixture schema (no partsupp / l_commitdate / l_shipmode columns —
+# the JOIN/subquery shape is what each query exercises, not the missing
+# column).
+
+@plan_cache
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS-correlated semi join with a non-equi residual
+    (lineitem shipped after its order date), then priority counts.
+    The semi join hashes on the equi key (orderkey); the date
+    comparison stays a residual filter, so no cartesian anywhere."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@plan_cache
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — two independent dimension
+    pyramids hang off the fact (customer→nation→region for the market,
+    supplier→nation for the share test), conditional sum / total sum
+    per order year. All dims broadcast; the only shuffle is
+    lineitem⋈orders on orderkey, then one hash agg on year."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias(
+            "__num"
+        ),
+        F.sum(rev).alias("__den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+Q8_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  ROUND(
+    CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+             ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE),
+    6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@plan_cache
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: LIKE-filtered part dimension, profit rollup by
+    supplier nation × order year. The LIKE predicate prunes part
+    before the broadcast; fact-side shuffle is lineitem⋈orders only."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = """
+SELECT
+  n_name AS nation,
+  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+ORDER BY n_name ASC, o_year DESC
+"""
+
+
+@plan_cache
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-revenue ranking — selective returnflag +
+    date-window filters, customer/nation enrichment, top-20 via
+    TakeOrderedAndProject (never a global sort)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+    AS revenue,
+  c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@plan_cache
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups above a fraction of the grand total — the
+    scalar-subquery threshold becomes a broadcast single-row cross
+    join, so the per-part values are scanned once and compared
+    map-side (no second shuffle). Comparison is cross-multiplied
+    (val·2000 > total) to stay in exact DECIMAL math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = _dec("l_extendedprice") * _dec("l_quantity", 12, 0)
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("__val"))
+    total = per_part.agg(F.sum("__val").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__val") * F.lit(2000) > F.col("__total"))
+        .select(
+            "l_partkey",
+            F.col("__val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+Q11_ORACLE = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,0))) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE val * 2000 > (SELECT SUM(val) FROM v)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+@plan_cache
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join with a date-arithmetic residual (shipped within
+    60 days of ordering) + two conditional counts per line status.
+    The join stays an equi hash join on orderkey; the interval
+    comparison is a residual."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@plan_cache
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the max windowed revenue — the
+    view + scalar-max subquery becomes one agg, a broadcast single-row
+    max, and an exact-DECIMAL equality (ties all surface, as in the
+    spec). supplier is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+@plan_cache
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-IN exclusion — the subquery becomes a broadcast anti join
+    (NULL-safe here because s_suppkey is a key), then one
+    count-distinct agg keyed (brand, size)."""
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    return (
+        ok.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+"""
+
+
+@plan_cache
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: three OR-blocks mixing part attributes and line
+    quantities. The join key stays the equi partkey hash; the
+    disjunction is a residual predicate — Catalyst also extracts the
+    common brand-membership filter below the join."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    blocks = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 25) & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(26, 50) & qty.between(20, 50))
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+  AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@plan_cache
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN subqueries — suppliers who moved > 60 units
+    of any widget part in 1996. Both INs become semi joins: part
+    filter broadcast into lineitem, then the qualifying supplier key
+    set semi-joined against supplier. No subquery is ever collected."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    bulky = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity", 12, 0)).alias("__q"))
+        .filter(F.col("__q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(bulky, supp.s_suppkey == bulky.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    AND year(l_shipdate) = 1996
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,0))) > 60)
+ORDER BY s_suppkey
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
+    "q4_order_priority": (q4_order_priority, Q4_ORACLE),
+    "q8_market_share": (q8_market_share, Q8_ORACLE),
+    "q9_product_profit": (q9_product_profit, Q9_ORACLE),
+    "q10_returned_items": (q10_returned_items, Q10_ORACLE),
+    "q11_important_stock": (q11_important_stock, Q11_ORACLE),
+    "q12_priority_shipping": (q12_priority_shipping, Q12_ORACLE),
+    "q15_top_supplier": (q15_top_supplier, Q15_ORACLE),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_ORACLE),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_ORACLE),
+    "q20_bulk_suppliers": (q20_bulk_suppliers, Q20_ORACLE),
     "customer_order_distribution": (customer_order_distribution, Q13_ORACLE),
     "part_min_price_line": (part_min_price_line, Q2_ORACLE),
     "large_order_customers": (large_order_customers, Q18_ORACLE),
