@@ -270,3 +270,38 @@ def test_pii_ops_are_single_projection(spark):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, op.__name__
         assert "Join" not in plan, op.__name__
+
+
+def test_new_tpch_shapes_plan_right(spark):
+    """The round-3 join-shape sweep keeps its declared physical
+    strategies: top-20 is TakeOrderedAndProject (q10), the scalar
+    threshold/max subqueries are broadcast single-row joins with no
+    cartesian blow-up (q11/q15), NOT IN is a broadcast anti join
+    (q16), EXISTS is a semi join (q4), and the disjunctive Q19
+    residual never degrades to a nested-loop join."""
+    from hypermap_etl_spark.plans.star_queries import (
+        q4_order_priority,
+        q10_returned_items,
+        q11_important_stock,
+        q15_top_supplier,
+        q16_supplier_variety,
+        q19_disjunctive_revenue,
+    )
+
+    p10 = _plan(q10_returned_items(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject(limit=20" in p10
+    assert "GlobalLimit" not in p10
+
+    for q in (q11_important_stock, q15_top_supplier):
+        plan = _plan(q(spark, SF_SMOKE))
+        # single-row side is broadcast; the "cross" join is a BNLJ over
+        # exactly one build row, never a CartesianProduct
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "Broadcast" in plan, q.__name__
+
+    assert "LeftAnti" in _plan(q16_supplier_variety(spark, SF_SMOKE))
+    assert "LeftSemi" in _plan(q4_order_priority(spark, SF_SMOKE))
+
+    p19 = _plan(q19_disjunctive_revenue(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p19
+    assert "BroadcastNestedLoopJoin" not in p19
