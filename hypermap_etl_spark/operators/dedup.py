@@ -438,11 +438,13 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)  # also materializes the pair mining once
     )
     for _ in range(max_iter):
-        if _is_star_forest(cur):
-            break
         # old checkpoint blocks are dropped by the ContextCleaner once
         # the previous frame is garbage-collected
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        if _same_edges(cur, nxt):
+            cur = nxt
+            break
+        cur = nxt
     else:
         raise RuntimeError(f"duplicate_clusters: no convergence in {max_iter} rounds")
     members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
@@ -450,11 +452,12 @@ def duplicate_clusters(
     return members.unionByName(roots).distinct()
 
 
-def _is_star_forest(edges: DataFrame) -> bool:
-    """Converged iff every edge points at a root (a node that is never a
-    child) — i.e. no child appears on the parent side."""
-    return (
-        edges.alias("a")
-        .join(edges.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-        .isEmpty()
-    )
+def _same_edges(a: DataFrame, b: DataFrame) -> bool:
+    """Convergence = edge-set fixpoint of small∘large, the criterion the
+    alternating-star proof guarantees terminates at min-rooted
+    component stars. A weaker structural probe ("no child is also a
+    parent") is NOT sufficient: the raw input orientation can already
+    satisfy it — a lone (a<b) pair masquerades as a star rooted at the
+    MAXIMUM, and (1,5),(2,5) as a child with two parents — while
+    neither survives one more star round, so neither is a fixpoint."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -899,6 +899,50 @@ ORDER BY id_a, id_b
 """
 
 
+def emb_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: SRP-banded
+    cosine near-dup pairs (≥0.45) → transitive connected components →
+    keep each cluster's representative (min vec_id) plus all
+    singletons. The embedding-space analog of doc_dedup_survivors —
+    the corpus a training run would actually read after semantic
+    dedup. Every stage is the scale path: equi-join candidate
+    generation (never O(n²)), alternating-star components (two
+    bounded shuffles per round), one anti join against the drop set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.srp_neardup_pairs(emb, 0.45, target_miss=1e-8)
+    clusters = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b")
+    return corpus.dedup_survivors(
+        emb.select(F.col("vec_id")), clusters, id_col="vec_id"
+    ).orderBy("vec_id")
+
+
+SEMANTIC_SURVIVORS_ORACLE = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairsrc AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairsrc
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairsrc
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON e2.s = r.d
+),
+clusters AS (
+  SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster_id
+  FROM reach GROUP BY s
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+ORDER BY vec_id
+"""
+
+
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 min/max quantization (4× ANN index compression)."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings")).orderBy(
@@ -990,6 +1034,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "media_metadata": (media_metadata, MEDIA_META_ORACLE),
     "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
     "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
+    "emb_semantic_survivors": (emb_semantic_survivors, SEMANTIC_SURVIVORS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
 }

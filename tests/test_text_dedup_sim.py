@@ -244,6 +244,24 @@ def test_duplicate_clusters_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_clusters_lone_pair_and_shared_child_root_at_min(spark):
+    """Inputs that ALREADY satisfy the weak 'no child is a parent'
+    probe must still be driven to min-rooted stars: a lone (a<b) pair
+    (whose raw orientation fakes a star rooted at the max) and a
+    shared child (1,5),(2,5) (a two-parent 'star' that silently splits
+    the {1,2,5} component). Regression for the fixpoint convergence
+    criterion."""
+    lone = spark.createDataFrame([(23, 319)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(lone).collect()}
+    assert out == {23: 23, 319: 23}
+
+    shared = spark.createDataFrame([(1, 5), (2, 5)], "doc_a long, doc_b long")
+    rows = dedup.duplicate_clusters(shared).collect()
+    out = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == 3  # each doc appears exactly once
+    assert out == {1: 1, 2: 1, 5: 1}
+
+
 def test_duplicate_clusters_long_chain_converges(spark):
     """A 64-node chain (worst case for label propagation) converges in
     the alternating-star round budget and roots at the chain minimum."""
