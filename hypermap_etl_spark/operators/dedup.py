@@ -461,3 +461,107 @@ def _same_edges(a: DataFrame, b: DataFrame) -> bool:
     MAXIMUM, and (1,5),(2,5) as a child with two parents — while
     neither survives one more star round, so neither is a fixpoint."""
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# --------------------------------------------- exact duplicated spans ----
+
+def dup_token_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the ExactSubstr
+    dedup primitive (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every k-word window whose text
+    occurs ≥ min_count times anywhere in the corpus (other docs OR the
+    same doc), with overlapping/adjacent hits merged into maximal
+    (span_start, span_end) word intervals, 1-indexed inclusive.
+    Downstream curation cuts these spans out instead of dropping whole
+    near-dup documents.
+
+    The suffix-array formulation is inherently sequential; the
+    distributed shape is shingle-grain:
+      1. posexplode k-shingles (zip_with construction, O(words)/row);
+         key = md5(gram) — fixed 32-byte keys, never the raw text.
+      2. duplicated keys via groupBy(h).count() — map-side partial
+         aggregation shrinks the shuffle to distinct-hash counts — then
+         one left_semi equi-join of hits against the ≥min_count set
+         (AQE skew-join splits a boilerplate shingle's bucket; a
+         window-count over h would shuffle every hit row with no
+         partial agg and no skew mitigation).
+      3. island merge per doc: one shuffle keyed by doc id, lag/sum
+         window → groupBy island. Positions within one doc fit one
+         partition by construction (a doc's shingle count ≤ its word
+         count).
+    """
+    from pyspark.sql.window import Window
+
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.lower(F.col(text_col)), n=k)).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        F.md5(F.col("__g")).alias("__h"),
+    )
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    hits = sh.join(dup, "__h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = hits.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("__g", F.sum("__brk").over(w))
+    return (
+        grp.groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the given word intervals from each document's text —
+    the surgery half of ExactSubstr dedup (dup_token_spans finds the
+    intervals; a keep-first policy upstream decides which to cut).
+
+    Output: (id, clean_text, n_cut_words). Spans collect per doc into
+    an array (ragged small lists), then the cut is pure JVM HOF math:
+    index-tagged words filtered by interval membership — no shuffle
+    beyond the span groupBy + one join, no Python."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    joined = docs.join(sp, id_col, "left").withColumn(
+        "__sp", F.coalesce(F.col("__sp"), empty)
+    )
+    ws = F.split(F.col(text_col), " ")
+    indexed = F.transform(
+        ws, lambda w, i: F.struct((i + F.lit(1)).alias("i"), w.alias("w"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__sp"),
+            lambda p: (s["i"] >= p["span_start"]) & (s["i"] <= p["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias("clean_text"),
+        (F.size(ws) - F.size(kept)).cast("bigint").alias("n_cut_words"),
+    )

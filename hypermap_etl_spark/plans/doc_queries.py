@@ -225,6 +225,79 @@ clusters AS (
 DUP_CLUSTERS_ORACLE = _DUP_CLUSTERS_CORE + "SELECT * FROM clusters ORDER BY doc_id"
 
 
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated token spans (Lee et al. 2022):
+    maximal word intervals whose every 8-shingle occurs ≥2 times in
+    the corpus. Span-grain dedup — cut the boilerplate, keep the doc."""
+    return dedup.dup_token_spans(load_table(spark, sf_dir, "documents"), k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+DUP_SPANS_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, {_shingles_sql(8, 'lower(text)')} AS gs FROM documents
+),
+sh AS (
+  SELECT doc_id, pos, md5(gs[pos]) AS h
+  FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM g)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+FROM grp GROUP BY doc_id, grp_id
+ORDER BY doc_id, span_start
+"""
+
+
+def doc_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr surgery end to end: find duplicated 8-shingle spans,
+    cut them from the original (case-preserved) text. Pure JVM HOF
+    rewrite — no Python in the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.dup_token_spans(docs, k=8)
+    return dedup.cut_spans(docs, spans).orderBy("doc_id")
+
+
+DESPANNED_ORACLE = f"""
+WITH g AS (SELECT doc_id, {_shingles_sql(8, 'lower(text)')} AS gs FROM documents),
+sh AS (SELECT doc_id, pos, md5(gs[pos]) AS h
+       FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM g)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+             THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM grp GROUP BY doc_id, grp_id),
+spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM spans GROUP BY doc_id),
+base AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws,
+         COALESCE(spl.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+         FROM documents d LEFT JOIN spl USING (doc_id)),
+cut AS (SELECT doc_id, ws,
+        list_filter(list_transform(range(1, len(ws) + 1),
+          i -> CASE WHEN len(list_filter(sp, p -> i >= p.s AND i <= p.e)) = 0
+                    THEN ws[i] END), x -> x IS NOT NULL) AS kept
+        FROM base)
+SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_cut_words
+FROM cut ORDER BY doc_id
+"""
+
+
 def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: mine pairs → cluster → keep reps and
     singletons. The corpus that would actually ship to training."""
@@ -1013,6 +1086,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_ngram_pairs": (doc_ngram_pairs, _EXACT_PAIRS_SQL),
     "doc_dup_clusters": (doc_dup_clusters, DUP_CLUSTERS_ORACLE),
     "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
+    "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
+    "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),

@@ -290,3 +290,42 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         deq = qv * r0["q_scale"] + r0["q_min"]
         assert abs(deq - orig) <= r0["q_scale"] / 2 + 1e-6
     assert out[1]["q"] == [0, 0, 0, 0] and out[1]["q_scale"] == 0.0
+
+
+def test_dup_token_spans_merges_and_indexes(spark):
+    """Two docs sharing a 10-word run: every 8-shingle in the run is
+    duplicated, and the hits merge into ONE maximal span covering the
+    run (1-indexed inclusive). A doc with no duplicated shingle emits
+    nothing; an in-doc repeat also counts toward min_count."""
+    run = "a b c d e f g h i j"          # 10 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique tail one"),
+            (2, "other head " + run),
+            (3, "totally different words here with no overlap at all"),
+            (4, "x y z w q r s t x y z w q r s t"),  # in-doc repeat, 8 words twice
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in dedup.dup_token_spans(docs, k=8).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert out[1] == [(1, 10)]
+    assert out[2] == [(3, 12)]
+    assert 3 not in out
+    # the repeated 8-gram "x y z w q r s t" hits at pos 1 and pos 9 only
+    # (inner shingles straddle the seam and are unique) → two spans
+    assert sorted(out[4]) == [(1, 8), (9, 16)]
+
+
+def test_cut_spans_rewrites_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "A B C D E"), (2, "keep me whole")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r.doc_id: (r.clean_text, r.n_cut_words)
+           for r in dedup.cut_spans(docs, spans).collect()}
+    assert out[1] == ("A E", 3)     # original case preserved
+    assert out[2] == ("keep me whole", 0)
