@@ -99,3 +99,103 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+# ------------------------------------------------------- Bloom filter ----
+
+# 63 usable bits per BIGINT word: bit 63 is unreachable because
+# 1 << 63 overflows signed 64-bit in ANSI engines (DuckDB raises);
+# capping at 62 keeps every mask positive and bit-identical everywhere.
+_BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_hashes(value_col: str) -> list:
+    """KM double hashing from md5: two 32-bit halves of the digest."""
+    val = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(val), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(val), 9, 8), 16, 10).cast("long")
+    return [h1.alias("__h1"), h2.alias("__h2")]
+
+
+def _pos_sql(i: int, m_bits: int) -> str:
+    return f"pmod(__h1 + {i}L * __h2, {m_bits}L)"
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m_words: int = 4,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Mergeable Bloom-filter sketch per group: m_words BIGINT words
+    (63 usable bits each), k_hashes bit positions per value via
+    Kirsch-Mitzenmacher double hashing on md5 — bit-reproducible in
+    any SQL engine, like the KMV sketch above.
+
+    Output: group_cols + w0..w{m-1} + n_values. Merging two sketches
+    of the same shape = per-word bitwise OR (+ n_values sum) — the
+    fold a per-partition/per-day incremental pipeline stores and ORs
+    without rescanning history. False-positive rate for n values:
+    (1 - exp(-k*n/m_bits))^k; size the words for the expected group.
+
+    Scale shape: one map-side pass computes each value's word masks
+    (the variable-shift bit math is generated as SQL expression
+    strings — PySpark's shiftleft only accepts literal shift counts),
+    then ONE hash aggregate with bit_or per word (map-side partial
+    combine; the shuffle carries m_words longs per group per task).
+    Explicit floor() for the word index: DuckDB casts float->int by
+    rounding while Spark truncates; floor of a nonnegative quotient
+    is identical everywhere.
+    """
+    group_cols = group_cols or []
+    m_bits = m_words * _BLOOM_BITS_PER_WORD
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, *_bloom_hashes(value_col)
+    )
+    words = []
+    for j in range(m_words):
+        terms = " | ".join(
+            f"(CASE WHEN CAST(floor({_pos_sql(i, m_bits)} / {_BLOOM_BITS_PER_WORD}.0) AS INT) = {j} "
+            f"THEN shiftleft(1L, CAST({_pos_sql(i, m_bits)} % {_BLOOM_BITS_PER_WORD} AS INT)) "
+            f"ELSE 0L END)"
+            for i in range(k_hashes)
+        )
+        words.append(F.expr(f"({terms})").alias(f"__w{j}"))
+    masked = hashed.select(*group_cols, *words)
+    aggs = [F.bit_or(f"__w{j}").alias(f"w{j}") for j in range(m_words)] + [
+        F.count(F.lit(1)).alias("n_values")
+    ]
+    if group_cols:
+        return masked.groupBy(*group_cols).agg(*aggs)
+    return masked.agg(*aggs)
+
+
+def bloom_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_words: int = 4,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe values against a SINGLE-row (ungrouped) bloom_build sketch:
+    adds an `in_bloom` flag — true iff all k bits are set (no false
+    negatives; false positives at the designed rate, deterministic
+    because the hash is). The one-row sketch broadcasts; the probe is
+    a map-side conjunction of bit tests."""
+    m_bits = m_words * _BLOOM_BITS_PER_WORD
+    cols = probes.columns
+    joined = probes.crossJoin(F.broadcast(bloom)).select(
+        "*", *_bloom_hashes(value_col)
+    )
+    tests = []
+    for i in range(k_hashes):
+        word = " ".join(
+            f"WHEN CAST(floor({_pos_sql(i, m_bits)} / {_BLOOM_BITS_PER_WORD}.0) AS INT) = {j} THEN w{j}"
+            for j in range(m_words)
+        )
+        tests.append(
+            f"(((CASE {word} END) & "
+            f"shiftleft(1L, CAST({_pos_sql(i, m_bits)} % {_BLOOM_BITS_PER_WORD} AS INT))) <> 0L)"
+        )
+    return joined.select(*cols, F.expr(" AND ".join(tests)).alias("in_bloom"))

@@ -863,6 +863,59 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter sketch (operators/sketch.bloom_build):
+    252-bit/4-hash filter over purchasing users, then every distinct
+    user probed map-side against the broadcast one-row sketch. No
+    false negatives; false positives at the designed deterministic
+    rate — md5 double hashing makes the oracle reproduce every bit."""
+    from hypermap_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    ev = load_table(spark, sf_dir, "events")
+    bloom = bloom_build(
+        ev.filter(F.col("event_type") == "purchase"), "user_id"
+    ).drop("n_values")
+    users = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
+    return bloom_contains(users, bloom, "user_id").orderBy("user_id")
+
+
+def _bloom_pos_sql(i: int) -> str:
+    h1 = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)"
+    return f"(({h1} + {i} * {h2}) % 252)"
+
+
+def _bloom_word_sql(j: int) -> str:
+    terms = " | ".join(
+        f"(CASE WHEN CAST(FLOOR({_bloom_pos_sql(i)} / 63.0) AS INT) = {j} "
+        f"THEN (1::BIGINT << CAST({_bloom_pos_sql(i)} % 63 AS INT)) ELSE 0::BIGINT END)"
+        for i in range(4)
+    )
+    return f"({terms})"
+
+
+def _bloom_test_sql(i: int) -> str:
+    word = " ".join(
+        f"WHEN CAST(FLOOR({_bloom_pos_sql(i)} / 63.0) AS INT) = {j} THEN w{j}"
+        for j in range(4)
+    )
+    return (
+        f"((CASE {word} END) & (1::BIGINT << CAST({_bloom_pos_sql(i)} % 63 AS INT))) <> 0"
+    )
+
+
+BLOOM_ORACLE = f"""
+WITH b AS (
+  SELECT {", ".join(f"bit_or({_bloom_word_sql(j)}) AS w{j}" for j in range(4))}
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+SELECT user_id, ({" AND ".join(_bloom_test_sql(i) for i in range(4))}) AS in_bloom
+FROM u CROSS JOIN b
+ORDER BY user_id
+"""
+
+
 def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension coverage: broadcast dim join + grouped stats."""
     sup = load_table(spark, sf_dir, "supplier")
@@ -1697,6 +1750,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
+    "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
     "orders_cube": (orders_cube, CUBE_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),

@@ -65,3 +65,42 @@ def test_kmv_merge_property(spark):
 
     assert whole["n_kept"] == k
     assert whole["est_distinct"] == math.floor((k - 1) / kth)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value tests positive; OR-merging two half
+    sketches equals the whole-set sketch word for word; a disjoint
+    probe set stays mostly negative at the designed FP rate."""
+    from hypermap_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    a = spark.createDataFrame([(i,) for i in range(0, 40)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(40, 80)], "v long")
+    both = a.unionByName(b)
+
+    whole = bloom_build(both, "v").collect()[0]
+    ha = bloom_build(a, "v").collect()[0]
+    hb = bloom_build(b, "v").collect()[0]
+    for j in range(4):
+        assert whole[f"w{j}"] == ha[f"w{j}"] | hb[f"w{j}"]
+    assert whole["n_values"] == ha["n_values"] + hb["n_values"]
+
+    bloom = bloom_build(both, "v").drop("n_values")
+    hits = bloom_contains(both, bloom, "v").collect()
+    assert all(r["in_bloom"] for r in hits)  # no false negatives
+
+    far = spark.createDataFrame([(i,) for i in range(10_000, 10_200)], "v long")
+    fp = bloom_contains(far, bloom, "v").filter(F.col("in_bloom")).count()
+    # n=80, m=252, k=4 → p_fp = (1-exp(-320/252))^4 ≈ 0.26; allow slack
+    assert fp <= 200 * 0.45
+
+
+def test_bloom_grouped_sketches(spark):
+    from hypermap_etl_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2), ("y", None)], "grp string, v long"
+    )
+    rows = {r["grp"]: r for r in bloom_build(df, "v", ["grp"]).collect()}
+    assert rows["x"]["n_values"] == 2      # duplicates both counted
+    assert rows["y"]["n_values"] == 1      # NULL dropped
+    assert rows["x"]["w0"] != rows["y"]["w0"] or rows["x"]["w1"] != rows["y"]["w1"]
