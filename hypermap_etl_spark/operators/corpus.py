@@ -406,3 +406,56 @@ def stratified_sample(
         cond = F.when(c, keep_for(rate)) if cond is None else cond.when(c, keep_for(rate))
     keep = cond.otherwise(keep_for(default_rate)) if cond is not None else keep_for(default_rate)
     return docs.filter(keep)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the mT5/XLM-R mixing rule):
+    target share per stratum q_s ∝ n_s^(1/T) — T=1 keeps the natural
+    mix, T→∞ pushes uniform. stratified_sample takes externally-chosen
+    rates; this derives them FROM the corpus.
+
+    Filter-only (no upsampling): the output size is the largest N with
+    no stratum oversampled, N = min_s n_s/q_s, giving per-stratum keep
+    fraction q_s·N/n_s (=1 for the binding stratum). A row is kept iff
+    its layout-independent md5 fraction of the id falls below its
+    stratum's fraction — deterministic, engine-reproducible, same hash
+    family as hash_split/stratified_sample.
+
+    Scale: one map-combined count per stratum, two broadcast
+    single-row folds (Σ weights, min ratio), then a broadcast join of
+    the |strata|-row fraction table into a map-side filter. The corpus
+    never shuffles.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.withColumn(
+        "__w", F.pow(F.col("__n").cast("double"), F.lit(1.0 / temperature))
+    )
+    tot = weighted.agg(F.sum("__w").alias("__tw"))
+    q = weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "__q", F.col("__w") / F.col("__tw")
+    )
+    nout = q.agg(F.min(F.col("__n") / F.col("__q")).alias("__nout"))
+    fracs = (
+        q.crossJoin(F.broadcast(nout))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0), F.col("__q") * F.col("__nout") / F.col("__n")
+            ).alias("__keep_frac"),
+        )
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        docs.join(F.broadcast(fracs), stratum_col)
+        .filter(frac < F.col("__keep_frac"))
+        .select(*docs.columns, F.round("__keep_frac", 6).alias("keep_frac"))
+    )

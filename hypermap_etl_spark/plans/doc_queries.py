@@ -315,6 +315,29 @@ ORDER BY d.doc_id
 """
 
 
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus at T=2 over language strata:
+    q_lang ∝ n^(1/2), filter-only downsampling via md5 id fractions."""
+    return corpus.temperature_mix(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        temperature=2.0,
+    ).orderBy("doc_id")
+
+
+TEMPERATURE_MIX_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, POW(n, 0.5) AS pw FROM c),
+q AS (SELECT lang, n, pw / (SELECT SUM(pw) FROM w) AS q FROM w),
+no AS (SELECT MIN(n / q) AS nout FROM q),
+f AS (SELECT lang, LEAST(1.0, q * nout / n) AS kf FROM q CROSS JOIN no)
+SELECT d.doc_id, d.lang, ROUND(f.kf, 6) AS keep_frac
+FROM documents d JOIN f USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < f.kf
+ORDER BY doc_id
+"""
+
+
 def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket train/val/test assignment."""
     return corpus.hash_split(
@@ -1089,6 +1112,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
+    "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),
     "doc_length_percentiles": (doc_length_percentiles, _length_pct_oracle()),

@@ -214,3 +214,26 @@ def test_shard_assignments_deterministic_and_dense(spark):
         by_shard[s].append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps))), s
+
+
+def test_temperature_mix_limits_and_shares(spark):
+    """T=1 reproduces the natural mix (keeps everything); higher T
+    downsamples the dominant stratum toward uniform while the rarest
+    stratum keeps fraction 1 (filter-only, never upsampled)."""
+    from hypermap_etl_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    kept1 = temperature_mix(docs, temperature=1.0)
+    assert kept1.count() == 1000  # natural mix = keep all
+
+    kept = temperature_mix(docs, temperature=100.0)
+    fr = {r["lang"]: r["keep_frac"] for r in kept.select("lang", "keep_frac").distinct().collect()}
+    assert fr["small"] == 1.0
+    assert 0.05 < fr["big"] < 0.25  # ~1/9 at T→∞ (shares → uniform)
+    n_big = kept.filter(F.col("lang") == "big").count()
+    n_small = kept.filter(F.col("lang") == "small").count()
+    assert n_small > 90
+    # realized big count tracks the md5-thresholded expectation
+    assert abs(n_big - 900 * fr["big"]) < 60
