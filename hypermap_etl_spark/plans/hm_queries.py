@@ -14,6 +14,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hypermap_etl_spark.constants import ROOT_HASH as _ROOT
 from hypermap_etl_spark.operators.decode import parse_raw_logs
 from hypermap_etl_spark.operators.materialize import entries_flat, materialize_entries
 from hypermap_etl_spark.plans.hm_derive import (
@@ -176,6 +177,47 @@ HM_ENTRIES_ORACLE = hm_entries_oracle_sql("events")
 
 
 @plan_cache
+def hm_fullnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted namespace resolution over the materialized entries
+    (operators/materialize.with_full_names): walk each entry's
+    parentHash chain bottom-up to ROOT. The reference declares
+    fullName but never computes it (src/schemas/index.ts:50); here it
+    is gated against a recursive-CTE oracle. The entries table is
+    placeholder-closed (M3), so every chain terminates at ROOT and
+    the bounded-iteration Spark walk agrees with the unbounded
+    recursion."""
+    from hypermap_etl_spark.operators.materialize import with_full_names
+
+    hm = hm_events_df(spark, sf_dir)
+    entries = with_full_names(materialize_entries(hm))
+    return entries.select(
+        "namehash",
+        "label",
+        F.col("parentHash").alias("parent_hash"),
+        "fullName",
+    ).orderBy("namehash")
+
+
+HM_FULLNAMES_ORACLE = f"""
+WITH RECURSIVE entries AS ({hm_entries_oracle_sql("events")}),
+walk AS (
+  SELECT namehash, label AS path, parent_hash AS cursor, 0 AS depth
+  FROM entries
+  UNION ALL
+  SELECT w.namehash, w.path || '.' || p.label, p.parent_hash, w.depth + 1
+  FROM walk w JOIN entries p ON w.cursor = p.namehash
+  WHERE w.cursor <> '{_ROOT}' AND w.depth < 16
+),
+resolved AS (
+  SELECT namehash, path AS fullName FROM walk WHERE cursor = '{_ROOT}'
+)
+SELECT e.namehash, e.label, e.parent_hash, r.fullName AS fullName
+FROM entries e LEFT JOIN resolved r USING (namehash)
+ORDER BY e.namehash
+"""
+
+
+@plan_cache
 def hm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P5: ABI-encode the derived log into raw (topics, data) logs —
     plus undecodable junk rows — then run the real decode operator.
@@ -297,5 +339,6 @@ HM_QUERIES: dict[str, tuple] = {
     "hm_events_page2": (hm_events_page2, HM_PAGE2_ORACLE),
     "hm_entry_history": (hm_entry_history, HM_HISTORY_ORACLE),
     "hm_entries": (hm_entries, HM_ENTRIES_ORACLE),
+    "hm_fullnames": (hm_fullnames, HM_FULLNAMES_ORACLE),
     "hm_decode_roundtrip": (hm_decode_roundtrip, HM_DECODE_ORACLE),
 }
