@@ -372,6 +372,40 @@ def descendants_of(entries: DataFrame, namehash: str, max_depth: int = 16) -> Da
     return out
 
 
+def subtree_sizes(
+    entries: DataFrame, root_hash: str = ROOT_HASH, max_depth: int = 16
+) -> DataFrame:
+    """Transitive descendant count per entry — the all-nodes
+    generalization of descendants_of: level-wise expansion of
+    (ancestor, descendant) pairs up the placeholder-closed parent
+    chain, one broadcast join of the frontier against the
+    (child → parent) map per level, then a single count aggregate.
+    Pair volume is nodes × depth (a tree has one path per node), so
+    the shuffle is entries-sized, never quadratic. Leaves report 0.
+    """
+    edges = entries.select(
+        F.col("parentHash").alias("anc"), F.col("namehash").alias("__desc")
+    ).filter(F.col("anc") != root_hash)
+    up = entries.select(F.col("namehash").alias("__n"), F.col("parentHash").alias("__p"))
+    pairs = edges
+    frontier = edges
+    for _ in range(max_depth):
+        frontier = (
+            frontier.join(F.broadcast(up), frontier["anc"] == F.col("__n"))
+            .filter(F.col("__p") != root_hash)
+            .select(F.col("__p").alias("anc"), F.col("__desc"))
+        )
+        if frontier.isEmpty():
+            break
+        pairs = pairs.unionByName(frontier)
+    counts = pairs.groupBy("anc").agg(F.count(F.lit(1)).alias("__cnt"))
+    return entries.join(counts, entries["namehash"] == counts["anc"], "left").select(
+        "namehash",
+        "label",
+        F.coalesce(F.col("__cnt"), F.lit(0)).cast("long").alias("n_descendants"),
+    )
+
+
 def entries_flat(entries: DataFrame) -> DataFrame:
     """Scalar projection of the entries table for engine-agnostic
     comparison: maps/arrays rendered as deterministic sorted strings."""

@@ -198,6 +198,36 @@ def hm_fullnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("namehash")
 
 
+@plan_cache
+def hm_subtree_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive descendant counts over the materialized entry tree
+    (operators/materialize.subtree_sizes) vs an unbounded recursive-CTE
+    closure — the aggregate form of the reference UI's subtree listing."""
+    from hypermap_etl_spark.operators.materialize import subtree_sizes
+
+    hm = hm_events_df(spark, sf_dir)
+    return subtree_sizes(materialize_entries(hm)).orderBy("namehash")
+
+
+HM_SUBTREE_ORACLE = f"""
+WITH RECURSIVE entries AS ({hm_entries_oracle_sql("events")}),
+pairs AS (
+  SELECT parent_hash AS anc, namehash AS descendant
+  FROM entries WHERE parent_hash <> '{_ROOT}'
+  UNION ALL
+  SELECT e.parent_hash, p.descendant
+  FROM pairs p JOIN entries e ON p.anc = e.namehash
+  WHERE e.parent_hash <> '{_ROOT}'
+)
+SELECT e.namehash, e.label,
+       COALESCE(c.n, 0) AS n_descendants
+FROM entries e
+LEFT JOIN (SELECT anc, COUNT(*) AS n FROM pairs GROUP BY anc) c
+  ON e.namehash = c.anc
+ORDER BY e.namehash
+"""
+
+
 HM_FULLNAMES_ORACLE = f"""
 WITH RECURSIVE entries AS ({hm_entries_oracle_sql("events")}),
 walk AS (
@@ -340,5 +370,6 @@ HM_QUERIES: dict[str, tuple] = {
     "hm_entry_history": (hm_entry_history, HM_HISTORY_ORACLE),
     "hm_entries": (hm_entries, HM_ENTRIES_ORACLE),
     "hm_fullnames": (hm_fullnames, HM_FULLNAMES_ORACLE),
+    "hm_subtree_sizes": (hm_subtree_sizes, HM_SUBTREE_ORACLE),
     "hm_decode_roundtrip": (hm_decode_roundtrip, HM_DECODE_ORACLE),
 }

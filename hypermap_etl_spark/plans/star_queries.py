@@ -349,6 +349,46 @@ LIMIT 20 OFFSET 20
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort_day, day_offset). The canonical
+    product-analytics query — a first-seen argmin per user (one hash
+    agg on user_id), a broadcast-friendly self-enrichment of each
+    event with its user's cohort, then one distinct-count aggregate.
+    The fact table shuffles once on user_id and once for the final
+    (cohort, offset) aggregate; nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("__first_day"))
+    enriched = ev.select("user_id", day.alias("__day")).join(first, "user_id")
+    return (
+        enriched.groupBy(
+            F.date_format("__first_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("__day"), F.col("__first_day")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT strftime(f.first_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.first_day, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+WHERE e.user_id IS NOT NULL
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1763,6 +1803,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_last_event": (events_last_event, LAST_ORACLE),
     "events_page2": (events_page2, PAGE2_ORACLE),
     "events_user_daily": (events_user_daily, DAILY_ORACLE),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
