@@ -186,6 +186,7 @@ def cmd_curate(args) -> None:
         lang=args.lang,
         redact=not args.no_redact,
         n_shards=args.shards,
+        cut_dup_spans=args.cut_dup_spans,
     )
     documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
     chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
@@ -237,6 +238,9 @@ def main(argv=None) -> None:
     p.add_argument("--min-words", type=int, default=20)
     p.add_argument("--lang", default="en")
     p.add_argument("--no-redact", action="store_true", help="skip PII masking")
+    p.add_argument("--cut-dup-spans", action="store_true",
+                   help="ExactSubstr surgery: cut duplicated >=8-word runs "
+                        "surviving doc-level dedup (first occurrence kept)")
     p.add_argument("--shards", type=int, default=16)
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)

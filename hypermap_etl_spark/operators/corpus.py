@@ -210,12 +210,21 @@ def curate_pipeline(
     pack_tokens: int = 512,
     n_shards: int = 16,
     text_col: str = "text",
+    cut_dup_spans: bool = False,
+    span_words: int = 8,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
 
       quality/language filter → MinHash near-dup dedup (keep cluster
-      reps) → PII redaction → deterministic split → token chunking →
-      sequence packing → shard assignment.
+      reps) → [optional ExactSubstr span surgery] → PII redaction →
+      deterministic split → token chunking → sequence packing → shard
+      assignment.
+
+    ``cut_dup_spans`` removes duplicated ≥span_words-word runs that
+    SURVIVE document-level dedup (boilerplate shared by otherwise
+    distinct docs): spans are mined on the survivor set with spans of
+    each text's FIRST surviving occurrence kept (min doc_id), so one
+    copy of the repeated material remains in the corpus.
 
     Returns (documents, chunks, report):
       documents — doc_id, text (redacted when ``redact``), split, shard
@@ -242,6 +251,49 @@ def curate_pipeline(
     surv = dedup_survivors(kept, clusters)
     n_surv = surv.count()
 
+    n_span_docs = 0
+    if cut_dup_spans:
+        spans = dedup.dup_token_spans(surv, k=span_words, text_col=text_col)
+        # keep-first policy keyed on span CONTENT (the same duplicated
+        # run sits at different positions in different docs): hash each
+        # maximal span's word slice; the globally first occurrence —
+        # min (doc_id, span_start) — keeps its text, every later
+        # occurrence is cut. Partially-overlapping near-identical spans
+        # hash apart and all survive; only exact maximal repeats cut.
+        ws = F.split(F.lower(F.col(text_col)), " ")
+        sp_txt = spans.join(surv.select("doc_id", text_col), "doc_id").select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        ws,
+                        F.col("span_start").cast("int"),
+                        (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                    ),
+                )
+            ).alias("__sh"),
+        )
+        first = sp_txt.groupBy("__sh").agg(
+            F.min(F.struct("doc_id", "span_start")).alias("__first")
+        )
+        to_cut = (
+            sp_txt.join(first, "__sh")
+            .filter(
+                (F.col("doc_id") != F.col("__first.doc_id"))
+                | (F.col("span_start") != F.col("__first.span_start"))
+            )
+            .select("doc_id", "span_start", "span_end")
+        )
+        n_span_docs = to_cut.select("doc_id").distinct().count()
+        surv = (
+            dedup.cut_spans(surv, to_cut, text_col=text_col)
+            .withColumnRenamed("clean_text", text_col)
+            .drop("n_cut_words")
+        )
+
     if redact:
         surv = (
             surv.drop(text_col)
@@ -264,6 +316,7 @@ def curate_pipeline(
         "docs_in": n_in,
         "dropped_quality": n_in - n_kept,
         "dropped_dups": n_kept - n_surv,
+        "span_cut_docs": n_span_docs,
         "docs_out": n_surv,
         "train_docs": train.count(),
         "chunks": chunks_out.count(),

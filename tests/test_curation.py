@@ -157,3 +157,29 @@ def test_repetition_fracs_bounded_and_exact(spark, texts):
         two = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
         if two:
             assert r["dup_2gram_frac"] == round((len(two) - len(set(two))) / len(two), 6)
+
+
+def test_curate_pipeline_cut_dup_spans_keeps_first(spark):
+    """With span surgery on, boilerplate shared by two surviving docs
+    is cut from the later doc only; unique text is untouched."""
+    from hypermap_etl_spark.operators.corpus import curate_pipeline
+
+    boiler = ("the rights are reserved and the legal department is "
+              "for the licensing terms of the day")
+    uniq1 = ("the alpha and the beta of the gamma in the delta with the "
+             "epsilon on the zeta at the eta by the theta")
+    uniq2 = ("the oak and the pine of the elm in the fir with the "
+             "ash on the yew at the teak by the cedar")
+    docs = spark.createDataFrame(
+        [(1, uniq1 + " " + boiler), (2, uniq2 + " " + boiler)],
+        "doc_id long, text string",
+    )
+    documents, _chunks, report = curate_pipeline(
+        docs, dedup_threshold=0.95, min_words=5, lang=None,
+        redact=False, cut_dup_spans=True,
+    )
+    out = {r["doc_id"]: r["text"] for r in documents.collect()}
+    assert report["span_cut_docs"] == 1
+    assert boiler in out[1]          # first occurrence kept
+    assert boiler not in out[2]      # later occurrence cut
+    assert "the oak and the pine" in out[2]  # unique text intact
