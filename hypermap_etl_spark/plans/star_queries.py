@@ -389,6 +389,60 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage is the
+    user's earliest qualifying event STRICTLY AFTER the previous
+    stage — three keyed min-aggregates chained by user_id joins, so
+    every shuffle shares the user_id key and AQE reuses the exchange;
+    no window over the whole event stream."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_col: str | None):
+        step = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return step.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    v = first_after("view", None, None)
+    c = first_after("click", v, "t_view")
+    p = first_after("purchase", c, "t_click")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.unix_micros("t_click").alias("t_click_us"),
+            F.unix_micros("t_purchase").alias("t_purchase_us"),
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.t_view) AS t_view_us,
+       epoch_us(c.t_click) AS t_click_us,
+       epoch_us(p.t_purchase) AS t_purchase_us,
+       p.t_purchase IS NOT NULL AS converted
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY v.user_id
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1804,6 +1858,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_page2": (events_page2, PAGE2_ORACLE),
     "events_user_daily": (events_user_daily, DAILY_ORACLE),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_ORACLE),
+    "events_funnel": (events_funnel, FUNNEL_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
