@@ -305,3 +305,23 @@ def test_new_tpch_shapes_plan_right(spark):
     p19 = _plan(q19_disjunctive_revenue(spark, SF_SMOKE))
     assert "CartesianProduct" not in p19
     assert "BroadcastNestedLoopJoin" not in p19
+
+
+def test_analytics_gates_shuffle_on_user_id_only(spark):
+    """Retention and funnel must stay keyed shuffles — no cartesian,
+    no global window; every funnel exchange hashes on user_id so AQE
+    can reuse the exchange across the chained stages."""
+    from hypermap_etl_spark.plans.star_queries import (
+        events_funnel,
+        events_retention_cohorts,
+    )
+
+    pf = _plan(events_funnel(spark, SF_SMOKE))
+    assert "CartesianProduct" not in pf and "BroadcastNestedLoopJoin" not in pf
+    assert pf.count("Exchange hashpartitioning") == pf.count(
+        "Exchange hashpartitioning(user_id"
+    )
+
+    pr = _plan(events_retention_cohorts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in pr and "BroadcastNestedLoopJoin" not in pr
+    assert "Window" not in pr  # first-seen is a hash agg, not a window
