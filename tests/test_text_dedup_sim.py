@@ -329,3 +329,47 @@ def test_cut_spans_rewrites_text(spark):
            for r in dedup.cut_spans(docs, spans).collect()}
     assert out[1] == ("A E", 3)     # original case preserved
     assert out[2] == ("keep me whole", 0)
+
+
+def test_dup_token_spans_property_random_corpora(spark):
+    """Random small-vocab corpora (heavy natural shingle duplication):
+    the Spark spans equal a python recomputation of duplicated-shingle
+    islands, doc by doc."""
+    import itertools
+    import random
+
+    rnd = random.Random(17)
+    k = 3
+    for trial in range(4):
+        texts = [
+            " ".join(rnd.choice("abc") for _ in range(rnd.randint(0, 12)))
+            for _ in range(6)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {}
+        for r in dedup.dup_token_spans(docs, k=k).collect():
+            got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+
+        # python oracle: count every k-shingle across the corpus, mark
+        # positions whose shingle occurs >= 2 times, merge runs
+        counts = {}
+        sh_by_doc = {}
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            shs = [" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)] if len(ws) >= k else []
+            sh_by_doc[i] = shs
+            for s in shs:
+                counts[s] = counts.get(s, 0) + 1
+        want = {}
+        for i, shs in sh_by_doc.items():
+            hits = [j + 1 for j, s in enumerate(shs) if counts[s] >= 2]
+            spans = []
+            for _, grp in itertools.groupby(enumerate(hits), lambda p: p[1] - p[0]):
+                g = [p for _, p in grp]
+                spans.append((g[0], g[-1] + k - 1))
+            if spans:
+                want[i] = spans
+        got_sorted = {d: sorted(v) for d, v in got.items()}
+        assert got_sorted == want, (trial, texts, got_sorted, want)
