@@ -199,3 +199,44 @@ def bloom_contains(
             f"shiftleft(1L, CAST({_pos_sql(i, m_bits)} % {_BLOOM_BITS_PER_WORD} AS INT))) <> 0L)"
         )
     return joined.select(*cols, F.expr(" AND ".join(tests)).alias("in_bloom"))
+
+
+# ------------------------------------------- hash-sampled quantiles ----
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    key_col: str,
+    rate: float = 0.25,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates over a DETERMINISTIC md5 row sample
+    — the sample itself is the mergeable sketch: hash-thresholding on a
+    unique row key commutes with union (sample(A ∪ B) = sample(A) ∪
+    sample(B)), so per-partition/per-day samples concatenate without
+    rescanning history, unlike engine-internal reservoir sampling.
+    Standard error ~ 1/sqrt(rate·n) quantile density; crank ``rate``
+    per group size.
+
+    Exact interpolated percentiles over the sample (Spark percentile ≡
+    DuckDB quantile_cont on DOUBLE), so the whole estimate is
+    bit-reproducible in any SQL engine. One map-side filter + one hash
+    aggregate; the shuffle carries only sampled rows.
+    """
+    frac = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    sampled = df.filter(F.col(value_col).isNotNull() & (frac < rate))
+    plist = ", ".join(str(p) for p in probs)
+    agg = sampled.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, array({plist}))").alias("__q"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    qcols = [
+        F.round(F.col("__q")[i], 6).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(*group_cols, *qcols, "n_sample")

@@ -957,6 +957,35 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.sampled_quantiles):
+    p50/p90/p99 of value per event_type over a deterministic 25% md5
+    sample of event_ids — hash sampling commutes with union, so
+    per-day samples fold without rescans."""
+    from hypermap_etl_spark.operators.sketch import sampled_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampled_quantiles(
+        ev, "value", ["event_type"], "event_id", rate=0.25
+    ).orderBy("event_type")
+
+
+SAMPLED_QUANTILES_ORACLE = """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL
+    AND CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        / 4294967296.0 < 0.25
+)
+SELECT event_type,
+       ROUND(quantile_cont(value::DOUBLE, 0.5), 6) AS q_0_5,
+       ROUND(quantile_cont(value::DOUBLE, 0.9), 6) AS q_0_9,
+       ROUND(quantile_cont(value::DOUBLE, 0.99), 6) AS q_0_99,
+       COUNT(*) AS n_sample
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Bloom-filter sketch (operators/sketch.bloom_build):
     252-bit/4-hash filter over purchasing users, then every distinct
@@ -1845,6 +1874,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
+    "events_sampled_quantiles": (events_sampled_quantiles, SAMPLED_QUANTILES_ORACLE),
     "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
     "orders_cube": (orders_cube, CUBE_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),

@@ -104,3 +104,30 @@ def test_bloom_grouped_sketches(spark):
     assert rows["x"]["n_values"] == 2      # duplicates both counted
     assert rows["y"]["n_values"] == 1      # NULL dropped
     assert rows["x"]["w0"] != rows["y"]["w0"] or rows["x"]["w1"] != rows["y"]["w1"]
+
+
+def test_sampled_quantiles_merge_property(spark):
+    """Hash sampling commutes with union: quantiles of the combined
+    sample equal quantiles computed after merging two halves' samples —
+    the property that lets per-day sketches fold without rescans."""
+    from hypermap_etl_spark.operators.sketch import sampled_quantiles
+
+    a = spark.createDataFrame([("g", i, float(i)) for i in range(0, 500)],
+                              "grp string, k long, v double")
+    b = spark.createDataFrame([("g", i, float(i)) for i in range(500, 1000)],
+                              "grp string, k long, v double")
+    whole = sampled_quantiles(a.unionByName(b), "v", ["grp"], "k").collect()[0]
+
+    frac = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("double") / (1 << 32)
+    )
+    merged_sample = (
+        a.filter(frac < 0.25).unionByName(b.filter(frac < 0.25))
+    )
+    again = sampled_quantiles(merged_sample, "v", ["grp"], "k", rate=1.1).collect()[0]
+    assert whole["n_sample"] == again["n_sample"]
+    for c in ("q_0_5", "q_0_9", "q_0_99"):
+        assert whole[c] == again[c], c
+    # estimates track the true quantiles of 0..999 at 25% sampling
+    assert abs(whole["q_0_5"] - 499.5) < 80
