@@ -200,3 +200,83 @@ def length_percentiles_by_lang(docs: DataFrame, text_col: str = "text") -> DataF
         pct(0.75).alias("p75"),
         pct(0.9).alias("p90"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy: mean log10 unigram probability per
+    document under the corpus's own MLE unigram model — the classic
+    cheap stand-in for perplexity-based filtering (docs of improbable
+    tokens score low). log10 + round(6) keeps last-ulp libm variance
+    below the comparison grain, the same argument as the cosine
+    kernels.
+
+    Plan: one explode, one map-combined term-frequency aggregate, a
+    broadcast of the (term, freq) table back onto the token stream, a
+    per-doc mean. Shuffles are term- and doc-keyed only.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    terms = docs.select("doc_id", F.explode(ws).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    total = terms.count()
+    scored = terms.join(F.broadcast(freq), "term").select(
+        "doc_id", F.log10(F.col("__tf") / F.lit(float(total))).alias("__lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of documents for a bag-of-terms query — the search
+    side of a corpus pipeline (e.g. decontamination triage or
+    retrieval-based inspection), as pure relational algebra:
+
+      one explode → per-(doc, term) tf (map-combined) → document
+      frequencies for the |query| terms only (tiny, broadcast) → score
+      sum per doc → TakeOrderedAndProject top-k.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Robertson-Sparck
+    Jones form, always positive); length norm uses exact doc lengths
+    against the corpus mean. Rounded to 6 for engine parity.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    base = docs.select("doc_id", F.explode(ws).alias("term"))
+    # lengths from the token stream: a zero-token doc can match no term,
+    # and excluding it from the corpus mean keeps the statistic defined
+    # purely over scoreable documents
+    lens = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__len"))
+    n_docs = docs.count()
+    avg_len = lens.agg(F.avg("__len")).collect()[0][0]
+
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        base.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .select("doc_id", (idf * F.col("__tf") * F.lit(k1 + 1) / denom).alias("__s"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

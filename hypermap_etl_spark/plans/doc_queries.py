@@ -431,6 +431,67 @@ ORDER BY doc_id
 """
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log10 unigram probability per doc (LM-quality proxy)."""
+    return textstats.unigram_logprob(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS term
+  FROM documents
+),
+f AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM t)
+SELECT doc_id,
+       ROUND(AVG(log10(f.tf / (SELECT total * 1.0 FROM n))), 6) AS mean_logprob,
+       COUNT(*) AS n_tokens
+FROM t JOIN f USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {join, window, scan} — retrieval over
+    the corpus as pure relational algebra."""
+    return textstats.bm25_search(
+        load_table(spark, sf_dir, "documents"), ["join", "window", "scan"]
+    )
+
+
+BM25_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS term
+  FROM documents
+),
+lens AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(len) FROM lens) AS avg_len),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ('join', 'window', 'scan') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+  ROUND(SUM(
+    ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+    * tf.tf * 2.2
+    / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avg_len))
+  ), 6) AS score
+FROM tf
+JOIN dfreq USING (term)
+JOIN lens USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·(N/df), totally
     tie-broken (linear idf — bit-reproducible, unlike ln)."""
@@ -1115,6 +1176,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),
+    "doc_unigram_logprob": (doc_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+    "doc_bm25_search": (doc_bm25_search, BM25_ORACLE),
     "doc_length_percentiles": (doc_length_percentiles, _length_pct_oracle()),
     "doc_stratified_sample": (doc_stratified_sample, _stratified_oracle()),
     "doc_packed": (doc_packed, PACKED_ORACLE),
