@@ -307,7 +307,16 @@ def with_full_names(entries: DataFrame, max_depth: int = 16) -> DataFrame:
     against the (namehash → label, parent) map; at lake scale that map
     is orders of magnitude smaller than the event log and broadcasts.
     Cycles or over-deep chains leave fullName null (quarantine-style).
+
+    The entries input is localCheckpoint-ed first: every level
+    references it (and the final join again), so an unmaterialized
+    upstream plan — e.g. the full materialize_entries fold — would be
+    embedded max_depth+1 times in one executed plan and recomputed
+    each time. Truncating lineage makes each level one broadcast
+    join over the materialized map. (Same discipline as
+    duplicate_clusters; use checkpoint() on preemptible clusters.)
     """
+    entries = entries.localCheckpoint(eager=True)
     parent_map = entries.select(
         F.col("namehash").alias("__nh"),
         F.col("label").alias("__lbl"),
@@ -382,7 +391,14 @@ def subtree_sizes(
     (child → parent) map per level, then a single count aggregate.
     Pair volume is nodes × depth (a tree has one path per node), so
     the shuffle is entries-sized, never quadratic. Leaves report 0.
+
+    The entries input is localCheckpoint-ed and each level's frontier
+    is too: the per-level isEmpty() probe is an ACTION, so without
+    lineage truncation level k re-executes all k-1 prior joins plus
+    the upstream entries plan — measured 58 s for a 1.5k-entry tree
+    fed by the materialize fold at sf0.1; ~1 s truncated.
     """
+    entries = entries.localCheckpoint(eager=True)
     edges = entries.select(
         F.col("parentHash").alias("anc"), F.col("namehash").alias("__desc")
     ).filter(F.col("anc") != root_hash)
@@ -394,6 +410,7 @@ def subtree_sizes(
             frontier.join(F.broadcast(up), frontier["anc"] == F.col("__n"))
             .filter(F.col("__p") != root_hash)
             .select(F.col("__p").alias("anc"), F.col("__desc"))
+            .localCheckpoint(eager=True)
         )
         if frontier.isEmpty():
             break
