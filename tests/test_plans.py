@@ -325,3 +325,24 @@ def test_analytics_gates_shuffle_on_user_id_only(spark):
     pr = _plan(events_retention_cohorts(spark, SF_SMOKE))
     assert "CartesianProduct" not in pr and "BroadcastNestedLoopJoin" not in pr
     assert "Window" not in pr  # first-seen is a hash agg, not a window
+
+
+def test_ir_and_sketch_plan_shapes(spark):
+    """BM25 ends in TakeOrderedAndProject (top-k, no global sort);
+    the sampled-quantile sketch filters map-side BEFORE its single
+    aggregate exchange — the sample predicate must sit under the scan
+    side, not after a shuffle."""
+    from hypermap_etl_spark.plans.star_queries import events_sampled_quantiles
+    from hypermap_etl_spark.operators.textstats import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "join window scan filter project exchange") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pb = _plan(bm25_search(docs, ["join", "scan"], k=5))
+    assert "TakeOrderedAndProject(limit=5" in pb
+    assert "CartesianProduct" not in pb
+
+    pq = _plan(events_sampled_quantiles(spark, SF_SMOKE))
+    assert pq.count("Exchange hashpartitioning") <= 2  # agg + output sort only
+    assert "percentile" in pq
