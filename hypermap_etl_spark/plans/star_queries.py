@@ -443,6 +443,41 @@ ORDER BY v.user_id
 """
 
 
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts spread across one
+    column per event type. The value list is EXPLICIT, which keeps the
+    plan a single hash aggregate with conditional counts — an
+    unlisted pivot would force a distinct-values pre-query (an extra
+    scan + a driver collect) before the plan can even be built."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in types
+            ],
+        )
+        .orderBy("user_id")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1889,6 +1924,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_user_daily": (events_user_daily, DAILY_ORACLE),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_ORACLE),
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
+    "events_type_pivot": (events_type_pivot, PIVOT_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
