@@ -478,6 +478,41 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt the pivoted per-user counts back to
+    (user_id, event_type, n) rows with stack() — a pure projection
+    (generator, no shuffle) over the pivot's aggregate. Round-trips
+    the long→wide→long path end to end."""
+    wide = events_type_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in types)
+    return wide.select(
+        "user_id",
+        F.expr(f"stack({len(types)}, {stack_args}) AS (event_type, n)"),
+    ).orderBy("user_id", "event_type")
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+  UNION ALL SELECT user_id, 'error', n_error FROM wide
+  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+  UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+  UNION ALL SELECT user_id, 'view', n_view FROM wide
+)
+ORDER BY user_id, event_type
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1925,6 +1960,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_ORACLE),
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
     "events_type_pivot": (events_type_pivot, PIVOT_ORACLE),
+    "events_type_unpivot": (events_type_unpivot, UNPIVOT_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
