@@ -513,6 +513,42 @@ ORDER BY user_id, event_type
 """
 
 
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): one pass computes each
+    type's mean/stddev (map-combined), the small stats table joins
+    back broadcast, and the flag is a map-side expression — the
+    standard data-quality screen with no second shuffle of the facts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sd")
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy("event_id")
+    )
+
+
+OUTLIERS_ORACLE = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mu) / sd, 6) AS z_score
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE value IS NOT NULL AND ABS((value - mu) / sd) > 3.0
+ORDER BY event_id
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1961,6 +1997,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
     "events_type_pivot": (events_type_pivot, PIVOT_ORACLE),
     "events_type_unpivot": (events_type_unpivot, UNPIVOT_ORACLE),
+    "events_value_outliers": (events_value_outliers, OUTLIERS_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
