@@ -126,6 +126,23 @@ def cmd_sql(args) -> None:
         print(row)
 
 
+def cmd_search(args) -> None:
+    """BM25 full-text search over a documents parquet — retrieval as
+    relational algebra (operators/textstats.bm25_search); results print
+    as JSON lines with scores."""
+    from hypermap_etl_spark.operators.textstats import bm25_search
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    hits = bm25_search(docs, args.query.split(), k=args.k)
+    if args.show_text:
+        hits = hits.join(docs.select("doc_id", "text"), "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    for row in hits.toJSON().collect():
+        print(row)
+
+
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
     (and optionally a side table like the key index) — see
@@ -231,6 +248,11 @@ def main(argv=None) -> None:
     p.add_argument("--max-files", type=int, default=8)
     p.add_argument("--side-table", default=None,
                    help="also distinct-rewrite this unpartitioned side table")
+    p = sub.add_parser("search", help="BM25 search over a documents parquet")
+    p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("query", help="space-separated query terms")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--show-text", action="store_true")
     p = sub.add_parser("curate", help="end-to-end training-corpus build")
     p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
     p.add_argument("--out", required=True, help="output directory")
@@ -261,7 +283,7 @@ def main(argv=None) -> None:
         "events": cmd_events,
         "sql": cmd_sql,
         "compact": cmd_compact,
-        "curate": cmd_curate,
+        "curate": cmd_curate, "search": cmd_search,
         "stream": cmd_stream,
     }[args.cmd](args)
 

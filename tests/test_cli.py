@@ -83,3 +83,16 @@ def test_cli_curate_end_to_end(spark, capsys):
         "doc_id", "chunk_id", "n_tokens", "chunk_text", "pack_id", "shard"
     }
     assert chunks.count() == rep["chunks"]
+
+
+def test_cli_search(spark, capsys):
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    main(["search", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "join window scan", "--k", "3"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert all(l["score"] > 0 for l in lines)
+    assert lines[0]["score"] >= lines[1]["score"] >= lines[2]["score"]

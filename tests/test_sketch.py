@@ -131,3 +131,22 @@ def test_sampled_quantiles_merge_property(spark):
         assert whole[c] == again[c], c
     # estimates track the true quantiles of 0..999 at 25% sampling
     assert abs(whole["q_0_5"] - 499.5) < 80
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                     min_size=1, max_size=60, unique=True))
+def test_bloom_property_never_misses(spark, vals):
+    """Property: every inserted value tests positive regardless of the
+    value distribution (negatives, extremes, singletons)."""
+    from hypermap_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bloom = bloom_build(df, "v").drop("n_values")
+    hits = bloom_contains(df, bloom, "v").collect()
+    assert all(r["in_bloom"] for r in hits)
