@@ -549,6 +549,37 @@ ORDER BY event_id
 """
 
 
+def parts_size_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() vs row_number() in one window — the
+    tie-semantics triple on a tie-heavy key (integer sizes per brand).
+    Gap-ranking keeps ALL peers of a qualifying rank, so the top-3
+    cut admits more than 3 rows per brand; the existing top-k gates
+    pin only the row_number semantics."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    wt = w.orderBy(F.col("p_size").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("size_rank", F.rank().over(w).cast("bigint"))
+        .withColumn("size_dense", F.dense_rank().over(w).cast("bigint"))
+        .withColumn("size_rownum", F.row_number().over(wt).cast("bigint"))
+        .filter(F.col("size_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_size", "size_rank", "size_dense", "size_rownum")
+        .orderBy("p_brand", "size_rownum")
+    )
+
+
+RANK_TIES_ORACLE = """
+SELECT p_brand, p_partkey, p_size,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense,
+       row_number() OVER (PARTITION BY p_brand
+                          ORDER BY p_size DESC, p_partkey ASC) AS size_rownum
+FROM part
+QUALIFY size_rank <= 3
+ORDER BY p_brand, size_rownum
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1998,6 +2029,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_pivot": (events_type_pivot, PIVOT_ORACLE),
     "events_type_unpivot": (events_type_unpivot, UNPIVOT_ORACLE),
     "events_value_outliers": (events_value_outliers, OUTLIERS_ORACLE),
+    "parts_size_rank_ties": (parts_size_rank_ties, RANK_TIES_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
