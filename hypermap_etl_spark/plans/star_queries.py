@@ -580,6 +580,41 @@ ORDER BY p_brand, size_rownum
 """
 
 
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT between query results (beyond-reference §2.6
+    completion): customers who bought in BOTH halves of the date range
+    vs ONLY the first half. Each set op plans as a distinct-aggregate +
+    join (left_semi/left_anti under the hood) on the bare key — no
+    full-row shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_half = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    second_half = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    both = first_half.intersect(second_half).select(
+        "o_custkey", F.lit("both").alias("cohort")
+    )
+    # subtract = EXCEPT DISTINCT; exceptAll would be MULTISET
+    # subtraction, leaking every repeat buyer's extra copies into the
+    # "first only" cohort
+    only_first = first_half.subtract(second_half).select(
+        "o_custkey", F.lit("first_only").alias("cohort")
+    )
+    return both.unionByName(only_first).orderBy("cohort", "o_custkey")
+
+
+SET_OPS_ORACLE = """
+WITH f AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+s AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM s)
+UNION ALL
+SELECT o_custkey, 'first_only' AS cohort FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s)
+ORDER BY cohort, o_custkey
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2030,6 +2065,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_unpivot": (events_type_unpivot, UNPIVOT_ORACLE),
     "events_value_outliers": (events_value_outliers, OUTLIERS_ORACLE),
     "parts_size_rank_ties": (parts_size_rank_ties, RANK_TIES_ORACLE),
+    "customer_set_ops": (customer_set_ops, SET_OPS_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
