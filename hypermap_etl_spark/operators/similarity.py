@@ -450,3 +450,31 @@ def quantize_int8(
         F.round(scale, 9).alias("q_scale"),
         q.alias("q"),
     )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid vectors — the vector-aggregation shape behind
+    IVF coarse quantizers, class prototypes, and k-means steps.
+
+    Scale-first: posexplode is map-side; the (label, dim) partial
+    average combines before the shuffle, so shuffle volume is bounded
+    by labels × dims × tasks, never rows × dims. Reassembly sorts each
+    label's dims into an array in one final label-keyed aggregate.
+    The `+ 0.0` normalizes IEEE -0.0 (round can produce it on either
+    engine, and the value-hash compares strings).
+    """
+    d = emb.select(
+        label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x")
+    )
+    c = d.groupBy(label_col, "__dim").agg(
+        (F.round(F.avg("__x"), 6) + F.lit(0.0)).alias("__m")
+    )
+    cent = c.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))), lambda s: s["__m"]
+        ).alias("centroid")
+    )
+    n = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vecs"))
+    return cent.join(n, label_col)

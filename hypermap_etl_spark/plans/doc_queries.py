@@ -1100,6 +1100,24 @@ ORDER BY vec_id
 """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (class prototypes / IVF coarse quantizer)."""
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "label"
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT label, i - 1 AS dim, v[i] AS x
+      FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+c AS (SELECT label, dim, ROUND(AVG(x), 6) + 0.0 AS m FROM d GROUP BY label, dim),
+cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM c GROUP BY label),
+n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+SELECT label, centroid, n_vecs FROM cent JOIN n USING (label) ORDER BY label
+"""
+
+
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 min/max quantization (4× ANN index compression)."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings")).orderBy(
@@ -1197,6 +1215,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
     "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
     "emb_semantic_survivors": (emb_semantic_survivors, SEMANTIC_SURVIVORS_ORACLE),
+    "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
 }
