@@ -478,3 +478,77 @@ def label_centroids(
     )
     n = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vecs"))
     return cent.join(n, label_col)
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over the embedding column, Spark-first:
+
+      init       k seeds = the vectors whose md5(id) ranks smallest
+                 (deterministic, layout-independent)
+      assign     map-side argmin of squared L2 against the k broadcast
+                 centroid literals — one projection, no shuffle
+      recompute  (cluster, dim) partial-averaged posexplode, the same
+                 bounded-shuffle shape as label_centroids
+      repeat     centroids collect to the driver between rounds
+                 (k × dim floats — bytes, not data)
+
+    Returns (assignments DataFrame (id, cluster), final centroids).
+    Per iteration: one narrow projection + one shuffle bounded by
+    k × dims × tasks. The iteration count is fixed (no convergence
+    probe actions); callers needing convergence run another call from
+    the returned centroids. Unit-tested on planted blobs; approximate
+    and iterative, so exercised by recall tests rather than a SQL
+    oracle (same policy as lsh_topk/ivf_topk).
+    """
+    md5rank = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select(
+            F.col(vec_col).cast("array<double>").alias("__v"), md5rank.alias("__r")
+        )
+        .orderBy("__r")
+        .limit(k)
+        .select("__v")
+        .collect()
+    ]
+    cents = seeds
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = None
+    for _ in range(n_iter):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        assigned = emb.select(
+            id_col,
+            vec.alias("__v"),
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        )
+        d = assigned.select("cluster", F.posexplode("__v").alias("__dim", "__x"))
+        new = (
+            d.groupBy("cluster", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: list(r["c"]) for r in new}
+        cents = [by_cluster.get(i, cents[i]) for i in range(k)]
+    return assigned.select(id_col, "cluster"), cents

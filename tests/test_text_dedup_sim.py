@@ -373,3 +373,30 @@ def test_dup_token_spans_property_random_corpora(spark):
                 want[i] = spans
         got_sorted = {d: sorted(v) for d, v in got.items()}
         assert got_sorted == want, (trial, texts, got_sorted, want)
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    """Three well-separated gaussian blobs: after a few Lloyd rounds
+    every blob lands in exactly one cluster (purity 1) and the learned
+    centroids sit near the true means."""
+    import random
+
+    rnd = random.Random(3)
+    means = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    rows = []
+    for b, mu in enumerate(means):
+        for i in range(40):
+            rows.append(
+                (b * 1000 + i, [float(m + rnd.gauss(0, 0.3)) for m in mu])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = similarity.kmeans(emb, k=3, n_iter=5)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for b in range(3):
+        blob_clusters = {got[b * 1000 + i] for i in range(40)}
+        assert len(blob_clusters) == 1, (b, blob_clusters)
+    # distinct clusters per blob and centroids near the true means
+    assert len({next(iter({got[b * 1000]})) for b in range(3)}) == 3
+    for c in cents:
+        best = min(max(abs(x - y) for x, y in zip(c, mu)) for mu in means)
+        assert best < 0.5
