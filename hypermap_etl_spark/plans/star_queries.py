@@ -615,6 +615,39 @@ ORDER BY cohort, o_custkey
 """
 
 
+def events_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence mining: counts of consecutive event-type
+    transitions per user stream (the Markov-chain edge table). One
+    user-keyed window (lag) + one hash aggregate on the (from, to)
+    pair — same single-exchange shape as sessionization, with
+    event_id as the total within-timestamp tie-break."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+BIGRAMS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT from_type, event_type AS to_type, COUNT(*) AS n
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2066,6 +2099,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_value_outliers": (events_value_outliers, OUTLIERS_ORACLE),
     "parts_size_rank_ties": (parts_size_rank_ties, RANK_TIES_ORACLE),
     "customer_set_ops": (customer_set_ops, SET_OPS_ORACLE),
+    "events_type_bigrams": (events_type_bigrams, BIGRAMS_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
