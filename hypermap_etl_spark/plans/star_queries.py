@@ -648,6 +648,50 @@ ORDER BY from_type, to_type
 """
 
 
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of extended prices: the min/max come from
+    one map-combined aggregate, broadcast as a single row, and the
+    binning is exact integer math on DECIMAL cents (floor((x-min)/w))
+    — no float bin-edge drift between engines. Top bin is closed so
+    the max lands in bin 9, not a phantom bin 10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("bigint")
+    bounds = li.agg(
+        F.min(cents).alias("__lo"), F.max(cents).alias("__hi")
+    )
+    n_bins = 10
+    width = (F.col("__hi") - F.col("__lo") + n_bins) / n_bins  # ceil-ish, >0
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor((cents - F.col("__lo")) / width),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.min(cents) / 100.0, 2)).alias("bin_min"),
+            (F.round(F.max(cents) / 100.0, 2)).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_ORACLE = """
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c)
+SELECT LEAST(9, CAST(FLOOR((cents - lo) / ((hi - lo + 10) / 10.0)) AS BIGINT)) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(cents) / 100.0, 2) AS bin_min,
+       ROUND(MAX(cents) / 100.0, 2) AS bin_max
+FROM c CROSS JOIN b
+GROUP BY bin ORDER BY bin
+"""
+
+
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling day window, batch form)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2100,6 +2144,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_size_rank_ties": (parts_size_rank_ties, RANK_TIES_ORACLE),
     "customer_set_ops": (customer_set_ops, SET_OPS_ORACLE),
     "events_type_bigrams": (events_type_bigrams, BIGRAMS_ORACLE),
+    "lineitem_price_histogram": (lineitem_price_histogram, HISTOGRAM_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
     "nations_without_customers": (nations_without_customers, ANTI_ORACLE),
