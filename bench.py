@@ -4,7 +4,14 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Query selection covers every engine subsystem: the wide hash aggregate
 (q1), join pyramid (q3/q5), windows/sessionization, the hypermap decode
-+ M1-M9 fold, MinHash-LSH dedup, and ANN top-k.
++ M1-M9 fold, MinHash-LSH dedup, ANN top-k, and (r4) the end-to-end
+curate_pipeline composite — quality filter → MinHash dedup → connected
+components → ExactSubstr span surgery → PII redact → split/chunk/pack/
+shard, with the per-stage count report disabled so only the output
+materialization is measured. The composite dominates the total by
+construction (it runs ~8 operator families end to end), so the JSON
+line also carries core8_total for direct round-over-round comparison
+of the original eight headliners.
 """
 
 from __future__ import annotations
@@ -32,6 +39,18 @@ def main() -> None:
         q5_region_revenue,
     )
 
+    def curate_pipeline_bench(spark, sf_dir):
+        from hypermap_etl_spark.operators.corpus import curate_pipeline
+        from hypermap_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        documents, chunks, _ = curate_pipeline(
+            docs, cut_dup_spans=True, with_report=False
+        )
+        # count the documents side too — both outputs are the product
+        documents.count()
+        return chunks
+
     bench = {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -41,6 +60,7 @@ def main() -> None:
         "hm_entries": hm_entries,
         "doc_minhash_pairs": doc_minhash_pairs,
         "emb_ann_topk": emb_ann_topk,
+        "curate_pipeline": curate_pipeline_bench,
     }
 
     spark = get_spark("hypermap-etl-bench")
@@ -68,6 +88,9 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
     total = round(sum(timings.values()), 3)
+    core8 = round(
+        sum(v for k, v in timings.items() if k != "curate_pipeline"), 3
+    )
     print(
         json.dumps(
             {
@@ -75,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core8_total": core8,
                 "sf": sf,
             }
         ),

@@ -145,12 +145,22 @@ def cmd_search(args) -> None:
 
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
-    (and optionally a side table like the key index) — see
-    operators/merge.compact_partitions."""
+    (and optionally the hash-bucketed entries table and/or a side table
+    like the key index) — see operators/merge.compact_partitions."""
     from hypermap_etl_spark.operators.merge import compact_partitions, compact_small_table
 
+    if not args.table and not args.entries:
+        raise SystemExit("compact: at least one of --table / --entries is required")
     spark = _spark(args)
-    rep = compact_partitions(spark, args.table, args.partition_col, max_files=args.max_files)
+    rep = {}
+    if args.table:
+        rep = compact_partitions(
+            spark, args.table, args.partition_col, max_files=args.max_files
+        )
+    if args.entries:
+        rep["entries"] = compact_partitions(
+            spark, args.entries, "entry_bucket", max_files=args.max_files
+        )
     if args.side_table:
         rep["side_table_rows"] = compact_small_table(spark, args.side_table)
     print(json.dumps(rep))
@@ -243,9 +253,11 @@ def main(argv=None) -> None:
                    help="parquet table directory")
     p.add_argument("--limit", type=int, default=100)
     p = sub.add_parser("compact", help="small-file maintenance")
-    p.add_argument("--table", required=True)
+    p.add_argument("--table", default=None, help="events table path")
     p.add_argument("--partition-col", default="block_bucket")
     p.add_argument("--max-files", type=int, default=8)
+    p.add_argument("--entries", default=None,
+                   help="also compact this entry_bucket-partitioned entries table")
     p.add_argument("--side-table", default=None,
                    help="also distinct-rewrite this unpartitioned side table")
     p = sub.add_parser("search", help="BM25 search over a documents parquet")

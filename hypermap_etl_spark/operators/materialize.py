@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.constants import ROOT_HASH
+from hypermap_etl_spark.util import tracked_local_checkpoint
 
 def _ord():
     return F.struct(F.col("blockNumber"), F.col("logIndex"))
@@ -297,8 +298,12 @@ def quarantine_bad_events(events: DataFrame) -> DataFrame:
     return events.filter(bad)
 
 
-def with_full_names(entries: DataFrame, max_depth: int = 16) -> DataFrame:
+def with_full_names(
+    entries: DataFrame, max_depth: int = 16, materialize: bool = True
+) -> DataFrame:
     """Resolve each entry's dotted namespace path (label.parent.…root).
+    EAGER by default: materializes ``entries`` via localCheckpoint on
+    call (pass ``materialize=False`` to compose lazily).
 
     The reference declares ``fullName`` but never computes it
     (src/schemas/index.ts:50); this is the natural completion: walk the
@@ -308,15 +313,18 @@ def with_full_names(entries: DataFrame, max_depth: int = 16) -> DataFrame:
     is orders of magnitude smaller than the event log and broadcasts.
     Cycles or over-deep chains leave fullName null (quarantine-style).
 
-    The entries input is localCheckpoint-ed first: every level
-    references it (and the final join again), so an unmaterialized
-    upstream plan — e.g. the full materialize_entries fold — would be
-    embedded max_depth+1 times in one executed plan and recomputed
-    each time. Truncating lineage makes each level one broadcast
-    join over the materialized map. (Same discipline as
+    With ``materialize=True`` the entries input is localCheckpoint-ed
+    first: every level references it (and the final join again), so an
+    unmaterialized upstream plan — e.g. the full materialize_entries
+    fold — would be embedded max_depth+1 times in one executed plan and
+    recomputed each time. Truncating lineage makes each level one
+    broadcast join over the materialized map; the checkpointed frame is
+    registered for ``util.release_persisted()`` so long sessions free
+    its blocks deterministically. (Same discipline as
     duplicate_clusters; use checkpoint() on preemptible clusters.)
     """
-    entries = entries.localCheckpoint(eager=True)
+    if materialize:
+        entries = tracked_local_checkpoint(entries)
     parent_map = entries.select(
         F.col("namehash").alias("__nh"),
         F.col("label").alias("__lbl"),
@@ -396,9 +404,13 @@ def subtree_sizes(
     is too: the per-level isEmpty() probe is an ACTION, so without
     lineage truncation level k re-executes all k-1 prior joins plus
     the upstream entries plan — measured 58 s for a 1.5k-entry tree
-    fed by the materialize fold at sf0.1; ~1 s truncated.
+    fed by the materialize fold at sf0.1; ~1 s truncated. Every
+    frontier is referenced by the final pairs union, so none can be
+    freed mid-query; all are registered for
+    ``util.release_persisted()`` instead (bounded: ≤ max_depth frames,
+    each ≤ entries-sized).
     """
-    entries = entries.localCheckpoint(eager=True)
+    entries = tracked_local_checkpoint(entries)
     edges = entries.select(
         F.col("parentHash").alias("anc"), F.col("namehash").alias("__desc")
     ).filter(F.col("anc") != root_hash)
@@ -406,11 +418,10 @@ def subtree_sizes(
     pairs = edges
     frontier = edges
     for _ in range(max_depth):
-        frontier = (
+        frontier = tracked_local_checkpoint(
             frontier.join(F.broadcast(up), frontier["anc"] == F.col("__n"))
             .filter(F.col("__p") != root_hash)
             .select(F.col("__p").alias("anc"), F.col("__desc"))
-            .localCheckpoint(eager=True)
         )
         if frontier.isEmpty():
             break

@@ -246,6 +246,12 @@ def bm25_search(
     idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Robertson-Sparck
     Jones form, always positive); length norm uses exact doc lengths
     against the corpus mean. Rounded to 6 for engine parity.
+
+    Population note: N counts ALL docs (zero-token ones included) while
+    avg_len averages over scoreable (tokenized) docs only — zero-token
+    docs can match no term, so excluding them keeps the mean defined
+    over documents that can actually score. The oracle mirrors both
+    choices. An empty/tokenless corpus returns an empty frame.
     """
     ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
     base = docs.select("doc_id", F.explode(ws).alias("term"))
@@ -255,6 +261,8 @@ def bm25_search(
     lens = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__len"))
     n_docs = docs.count()
     avg_len = lens.agg(F.avg("__len")).collect()[0][0]
+    if avg_len is None:  # no tokenized docs at all — nothing can score
+        return docs.select("doc_id").limit(0).withColumn("score", F.lit(0.0))
 
     qt = [t.lower() for t in query_terms]
     tf = (

@@ -245,8 +245,10 @@ sh AS (
 dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
 hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
 isl AS (
+  -- interval union: hit spans are [pos, pos+7], so merge iff gap <= 7;
+  -- gap = 8 is adjacency and deliberately breaks (one span per copy)
   SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
               THEN 0 ELSE 1 END AS brk
   FROM hits
 ),
@@ -276,7 +278,7 @@ sh AS (SELECT doc_id, pos, md5(gs[pos]) AS h
 dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
 hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
 isl AS (SELECT doc_id, pos,
-        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
              THEN 0 ELSE 1 END AS brk
         FROM hits),
 grp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id

@@ -170,6 +170,8 @@ def start_index_stream(
     entry_buckets: int = 16,
     on_progress: Callable[[dict], None] | None = None,
     compact_index_every: int = 64,
+    compact_entries_every: int = 64,
+    entries_max_files: int = 8,
 ):
     """Continuous `index-events`: per micro-batch, MERGE decoded events
     into the (block-bucketed) events table AND incrementally update the
@@ -190,6 +192,14 @@ def start_index_stream(
     per batch; every ``compact_index_every`` batches it is rewritten
     distinct into one file (compact_small_table) — long-running tails
     never degrade into thousands-of-tiny-files scans. 0 disables.
+
+    The entries table needs the same maintenance: each batch's dynamic
+    partition overwrite rewrites every touched entry bucket with as many
+    files as shuffle tasks wrote it, so every ``compact_entries_every``
+    batches the oversized buckets (> ``entries_max_files`` files) are
+    collapsed to one file each (compact_partitions — I/O is O(oversized
+    buckets), untouched buckets are never opened). 0 disables
+    (VERDICT r3 task 7).
     """
     from hypermap_etl_spark.operators.materialize import (
         incremental_entries_update,
@@ -234,6 +244,16 @@ def start_index_stream(
             incremental_entries_update(
                 spark, entries_path, log, events, entry_buckets=entry_buckets
             )
+            if (
+                compact_entries_every
+                and batch_id > 0
+                and batch_id % compact_entries_every == 0
+            ):
+                from hypermap_etl_spark.operators.merge import compact_partitions
+
+                compact_partitions(
+                    spark, entries_path, "entry_bucket", max_files=entries_max_files
+                )
             if on_progress is not None:
                 on_progress(
                     {

@@ -74,6 +74,14 @@ def paginate(df: DataFrame, order_by: list[Column], page: int, limit: int) -> Da
 # instead of waiting for LRU eviction — VERDICT r2 task 5
 _TRACKED_PERSISTS: list[DataFrame] = []
 
+# localCheckpoint-ed frames (iterative operators). These do NOT go
+# through the CacheManager — Dataset.unpersist() can't free them; the
+# storage blocks belong to the internal RDD under the LogicalRDD plan
+# node, and unlike persist() there is no lineage to recompute from, so
+# a released frame is dead. Kept in a separate registry because release
+# is a different (JVM-side) call — VERDICT r3 task 3.
+_TRACKED_CHECKPOINTS: list[DataFrame] = []
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for release_persisted()."""
@@ -81,11 +89,41 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=True) + register for release_persisted().
+
+    For checkpointed frames the RESULT plan still references (e.g. the
+    converged cluster frame, a tree walk's per-level frontiers): they
+    must stay alive until the query result is consumed, then
+    release_persisted() frees their blocks deterministically. Frames a
+    loop SUPERSEDES should instead be freed immediately with
+    release_local_checkpoint()."""
+    out = df.localCheckpoint(eager=True)
+    _TRACKED_CHECKPOINTS.append(out)
+    return out
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free a localCheckpoint-ed frame's storage blocks NOW.
+
+    The frame is unreadable afterwards (no lineage to recompute) — only
+    call on frames nothing references anymore (round N-1 of an
+    iterative operator once round N is materialized eagerly)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:  # not a LogicalRDD / session stopped
+        return False
+
+
 def release_persisted() -> int:
-    """Unpersist every operator-persisted frame; returns count released.
+    """Release every operator-persisted/checkpointed frame; returns
+    count released.
 
     Call after consuming a query's result (bench.py does per query;
-    gates rely on LRU). Safe to call repeatedly."""
+    gates rely on LRU for the cache side). Safe to call repeatedly.
+    Checkpointed frames are DEAD after release (no lineage), so callers
+    must not reuse previously returned DataFrames past this point."""
     n = 0
     while _TRACKED_PERSISTS:
         df = _TRACKED_PERSISTS.pop()
@@ -94,6 +132,13 @@ def release_persisted() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
+    while _TRACKED_CHECKPOINTS:
+        if release_local_checkpoint(_TRACKED_CHECKPOINTS.pop()):
+            n += 1
+    # a memoized plan may reference a just-released checkpoint, which is
+    # unrecomputable — invalidate the memo so the next call rebuilds
+    # (persisted frames would merely recompute; checkpoints would throw)
+    clear_plan_cache()
     return n
 
 

@@ -48,6 +48,70 @@ def _rows_to_set(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
+# DuckDB output type → Spark dtypes the driver's typed value-hash
+# accepts. The driver hashes TYPED values, so a DuckDB HUGEINT (the
+# default for SUM over integers) against a Spark bigint is a red gate
+# even when every value is equal — exactly the r3 q12/pivot/unpivot
+# failure. This mirror compares stringified values (type-insensitive),
+# so it needs an explicit type gate to catch that class locally
+# (VERDICT r3 task 5). int-vs-BIGINT is allowed: proven hash-compatible
+# by top3_customers_per_segment's green r3 row (rank int vs BIGINT).
+_TYPE_COMPAT = {
+    "BOOLEAN": {"boolean"},
+    "TINYINT": {"tinyint", "smallint", "int", "bigint"},
+    "SMALLINT": {"smallint", "int", "bigint"},
+    "INTEGER": {"int", "bigint"},
+    "BIGINT": {"bigint", "int"},
+    "FLOAT": {"float", "double"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+}
+
+
+def _assert_types_compatible(name: str, spark_dtypes: dict, duck_desc) -> None:
+    """Fail when a DuckDB output type would hash differently from the
+    Spark column under the driver's typed comparison. Unmapped DuckDB
+    types (HUGEINT, DECIMAL, UHUGEINT, ...) always fail: the oracle must
+    CAST its output to a mapped type (BIGINT / DOUBLE / ...)."""
+    for col, dt in duck_desc.items():
+        st = spark_dtypes.get(col)
+        base, arr = dt, 0
+        sbase = st
+        while base.endswith("[]"):
+            base, arr = base[:-2], arr + 1
+        for _ in range(arr):
+            assert sbase and sbase.startswith("array<") and sbase.endswith(">"), (
+                f"{name}.{col}: oracle {dt} vs spark {st} (array depth mismatch)"
+            )
+            sbase = sbase[len("array<"):-1]
+        allowed = _TYPE_COMPAT.get(base)
+        assert allowed is not None, (
+            f"{name}.{col}: oracle type {dt} has no driver-safe Spark mapping — "
+            f"CAST the oracle output (e.g. AS BIGINT); spark side is {st}"
+        )
+        assert sbase in allowed, (
+            f"{name}.{col}: oracle {dt} vs spark {st} would diverge under the "
+            f"driver's typed value-hash"
+        )
+
+
+def test_type_gate_rejects_uncast_integer_sum(duck):
+    """The checker itself must flag DuckDB's HUGEINT SUM default — the
+    class that reached the driver in r3."""
+    desc = {
+        d[0]: d[1]
+        for d in duck.execute(
+            "DESCRIBE SELECT SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS x"
+        ).fetchall()
+    }
+    assert desc["x"] == "HUGEINT"
+    with pytest.raises(AssertionError, match="no driver-safe Spark mapping"):
+        _assert_types_compatible("selftest", {"x": "bigint"}, desc)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = _duck(SF_SMOKE)
@@ -68,6 +132,10 @@ def test_query_matches_oracle(spark, duck, name):
     if sql is None:
         assert len(srows) >= 0  # rows-only check
         return
+    duck_desc = {
+        d[0]: d[1] for d in duck.execute("DESCRIBE " + sql).fetchall()
+    }
+    _assert_types_compatible(name, dict(sdf.dtypes), duck_desc)
     ores = duck.execute(sql)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()

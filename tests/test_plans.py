@@ -343,6 +343,14 @@ def test_ir_and_sketch_plan_shapes(spark):
     assert "TakeOrderedAndProject(limit=5" in pb
     assert "CartesianProduct" not in pb
 
+    # empty / tokenless corpora must return an empty frame, not raise
+    # on a None avg_len (ADVICE r3)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_search(empty, ["join"]).count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = bm25_search(blank, ["join"])
+    assert out.count() == 0 and out.columns == ["doc_id", "score"]
+
     pq = _plan(events_sampled_quantiles(spark, SF_SMOKE))
     assert pq.count("Exchange hashpartitioning") <= 2  # agg + output sort only
     assert "percentile" in pq

@@ -175,13 +175,25 @@ def test_knn_label_vote_majority(spark):
         assert r["label_pred"] == r["query_id"] % 2
 
 
+def _nuke_jvm_persistent_rdds(spark):
+    """Order-proofing: clear the JVM persistent-RDD map itself, not just
+    our registries, so the assertions below verify THIS test's operators
+    rather than suite history (VERDICT r3 task 4)."""
+    from hypermap_etl_spark import util
+
+    util.release_persisted()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):  # snapshot: unpersist mutates the map
+        rdd.unpersist(False)
+
+
 def test_tracked_persist_released_after_query(spark):
     """Operator-persisted frames (LSH candidates, SRP signatures) must be
     releasable deterministically: after release_persisted() the JVM's
     persistent-RDD map is empty (VERDICT r2 task 5)."""
     from hypermap_etl_spark import util
 
-    util.release_persisted()  # start clean regardless of test order
+    _nuke_jvm_persistent_rdds(spark)
     d = _docs(spark, [BASE, NEAR, FAR])
     dedup.minhash_dedup_pairs(d, threshold=0.5).count()
     emb = spark.createDataFrame(
@@ -194,6 +206,49 @@ def test_tracked_persist_released_after_query(spark):
     assert released >= 2
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert jmap.isEmpty(), f"{jmap.size()} persisted RDDs leaked"
+
+
+def test_local_checkpoints_released_deterministically(spark):
+    """Iterative operators (connected components, tree walks) must not
+    accumulate localCheckpoint blocks across a long-lived session:
+    after consuming their results, release_persisted() empties the
+    JVM's persistent-RDD map (VERDICT r3 task 3)."""
+    from hypermap_etl_spark import util
+    from hypermap_etl_spark.operators import materialize
+
+    _nuke_jvm_persistent_rdds(spark)
+
+    # connected components over a chain — multiple star rounds, each
+    # localCheckpoint-ed; superseded rounds must already be freed
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(100, 101)],
+        "doc_a long, doc_b long",
+    )
+    clusters = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert all(clusters[i] == 0 for i in range(9)) and clusters[101] == 100
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() <= 1, (
+        f"{jmap.size()} checkpoints alive mid-session — superseded star "
+        "rounds must be freed as soon as the next round materializes"
+    )
+
+    # tree walk: full-name resolution + subtree sizes (entries +
+    # per-level frontiers all checkpoint)
+    entries = spark.createDataFrame(
+        [
+            ("0x" + "00" * 32, "", None),
+            ("0xaa", "a", "0x" + "00" * 32),
+            ("0xbb", "b", "0xaa"),
+            ("0xcc", "c", "0xbb"),
+        ],
+        "namehash string, label string, parentHash string",
+    )
+    materialize.with_full_names(entries).count()
+    materialize.subtree_sizes(entries).count()
+
+    assert util.release_persisted() >= 1
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.isEmpty(), f"{jmap.size()} persisted RDDs leaked after release"
 
 
 def test_srp_recall_curve_on_clustered_vectors(spark):
@@ -365,14 +420,50 @@ def test_dup_token_spans_property_random_corpora(spark):
         want = {}
         for i, shs in sh_by_doc.items():
             hits = [j + 1 for j, s in enumerate(shs) if counts[s] >= 2]
+            # interval union: merge a hit into the previous span iff it
+            # starts inside it (gap from the previous hit <= k-1);
+            # gap == k is adjacency and stays separate (one span per
+            # back-to-back copy)
             spans = []
-            for _, grp in itertools.groupby(enumerate(hits), lambda p: p[1] - p[0]):
-                g = [p for _, p in grp]
-                spans.append((g[0], g[-1] + k - 1))
+            prev = None
+            for p in hits:
+                if prev is not None and p - prev <= k - 1:
+                    spans[-1] = (spans[-1][0], p + k - 1)
+                else:
+                    spans.append((p, p + k - 1))
+                prev = p
             if spans:
                 want[i] = spans
         got_sorted = {d: sorted(v) for d, v in got.items()}
         assert got_sorted == want, (trial, texts, got_sorted, want)
+
+
+def test_emb_neardup_exhaustive_at_gate_sf(spark):
+    """Gate-robustness regression (VERDICT r3 task 6): the gated SRP
+    banding config (target_miss=1e-8, documented margin in
+    doc_queries.emb_neardup) must reproduce the EXHAUSTIVE O(n²) pair
+    set on the real sf0.01 fixture — the largest scale the driver gates
+    at — so a fixture regeneration or banding drift can't
+    deterministically miss a pair."""
+    import os
+
+    import duckdb
+
+    from hypermap_etl_spark.plans.doc_queries import NEARDUP_ORACLE, emb_neardup
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("sf0.01 fixture not present")
+    got = {(r.id_a, r.id_b) for r in emb_neardup(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = {(a, b) for a, b, _s in con.execute(NEARDUP_ORACLE).fetchall()}
+    con.close()
+    assert got == want, (
+        f"missed={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
 
 
 def test_kmeans_separates_planted_blobs(spark):
