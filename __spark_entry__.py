@@ -80,7 +80,9 @@ _WINDOW: list[str] = [
     "emb_neardup",
     "emb_knn_label",
     "doc_token_stats",
-    "doc_quality",
+    # new in r4 (never driver-checked; doc_quality rotates out on its
+    # green r2 row to make room)
+    "doc_source_caps",
 ]
 
 _ALL: dict[str, tuple] = {name: _MERGED[name] for name in _WINDOW}

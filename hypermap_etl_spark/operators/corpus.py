@@ -35,6 +35,86 @@ def dedup_survivors(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
     return docs.join(drop, id_col, "left_anti")
 
 
+def dedup_survivors_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked variant of dedup_survivors: each near-dup cluster
+    keeps its HIGHEST-``score_col`` member (ties → lowest id) instead of
+    the lowest-id member — the production policy when a quality signal
+    exists (keep the cleanest copy of the boilerplate, not an arbitrary
+    one). Singletons (no cluster row) always survive.
+
+    Plan: clusters is pairs-only (the duplicated fraction), so the
+    per-cluster argmax is one map-combined ``max_by`` aggregate over
+    cluster-fraction rows joined to their scores, then one anti-join of
+    the corpus against the (cluster members − winners) drop set — the
+    same two-small-frame shape as dedup_survivors, never a window over
+    the full corpus.
+    """
+    members = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    scored = members.join(docs.select(id_col, score_col), id_col)
+    # max_by on a (score, -id) struct: highest score wins, ties break to
+    # the LOWEST id (negate id inside the ordering struct)
+    winners = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias(id_col)
+    )
+    drop = members.join(winners.select(id_col), id_col, "left_anti").select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
+def cap_per_source(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hot-domain downsampling (the C4/RefinedWeb recipe step): keep at
+    most ``cap`` documents per source, selected by md5(id) order — a
+    deterministic unbiased sample, bit-identical in any engine.
+
+    Skew-aware two-phase plan (a hot domain is BY DEFINITION a skewed
+    key, so a single ranked window over the corpus would funnel the
+    hottest source into one task):
+
+      1. per-source counts — one map-combined aggregate, one tiny row
+         per source, broadcast back; sources at-or-under the cap pass
+         through with NO shuffle of their rows (broadcast anti-join is
+         map-side).
+      2. over-cap sources only: local top-``cap`` per (source,
+         input-partition) — the window key includes
+         spark_partition_id(), so a hot source's rows stay spread
+         across its partitions — then a final top-``cap`` over the
+         ≤ cap × partitions survivors per source. The global winner
+         set is provably inside the local winners (standard two-phase
+         top-k), and no task ever holds more than one partition's
+         share of one source.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(source_col)
+    under_docs = docs.join(F.broadcast(over), source_col, "left_anti")
+    hot = docs.join(F.broadcast(over), source_col, "left_semi").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from pyspark.sql.window import Window
+
+    w_local = Window.partitionBy(source_col, "__pid").orderBy(key, F.col(id_col))
+    w_final = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    capped_hot = (
+        hot.withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= cap)
+        .withColumn("__r2", F.row_number().over(w_final))
+        .filter(F.col("__r2") <= cap)
+        .drop("__pid", "__r", "__r2")
+    )
+    return under_docs.unionByName(capped_hot)
+
+
 # ------------------------------------------------- deterministic split ----
 
 def hash_split(

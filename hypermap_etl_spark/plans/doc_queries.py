@@ -717,6 +717,26 @@ FROM a ORDER BY source, lang
 """
 
 
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-domain downsampling (C4/RefinedWeb recipe step): at most 5
+    docs per source, selected by md5(doc_id) order — the skew-aware
+    two-phase top-k in corpus.cap_per_source (under-cap sources never
+    shuffle; a hot source is ranked per input partition before the
+    final per-source cap, so no single task holds a whole domain)."""
+    capped = corpus.cap_per_source(load_table(spark, sf_dir, "documents"), cap=5)
+    return capped.select("doc_id", "source").orderBy("doc_id")
+
+
+SOURCE_CAPS_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+) WHERE r <= 5 ORDER BY doc_id
+"""
+
+
 def doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sharded training order: md5 shard + within-shard
     hash position (parallel windows, never one global sort task)."""
@@ -1204,6 +1224,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
     "doc_vocab": (doc_vocab, VOCAB_ORACLE),
     "doc_source_mix": (doc_source_mix, SOURCE_MIX_ORACLE),
+    "doc_source_caps": (doc_source_caps, SOURCE_CAPS_ORACLE),
     "doc_shards": (doc_shards, SHARDS_ORACLE),
     "doc_repetition": (doc_repetition, REPETITION_ORACLE),
     "doc_pii_tags": (doc_pii_tags, PII_TAGS_ORACLE),

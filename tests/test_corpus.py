@@ -73,6 +73,49 @@ def test_dedup_survivors(spark):
     assert kept == [0, 3, 4]
 
 
+def test_dedup_survivors_best_keeps_highest_score(spark):
+    """Keep-best policy: each cluster's survivor is its max-score
+    member (ties → lowest id); singletons always survive."""
+    docs = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.9), (3, 0.1), (4, 0.5), (5, 0.4)],
+        "doc_id long, quality_score double",
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus.dedup_survivors_best(docs, clusters, "quality_score").collect()
+    )
+    # cluster {0,1,2}: 1 and 2 tie at 0.9 → 1 (lowest id); cluster
+    # {4,5}: 4 wins on 0.5; 3 is a singleton
+    assert kept == [1, 3, 4]
+
+
+def test_cap_per_source_deterministic_and_bounded(spark):
+    """Per-source cap: over-cap sources keep exactly cap docs — the
+    md5-order winners a python recomputation selects — and under-cap
+    sources pass through untouched."""
+    import hashlib
+
+    rows = [(i, "hot") for i in range(20)] + [(100 + i, "cold") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.cap_per_source(docs, cap=5, source_col="source")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(got["cold"]) == [100, 101, 102]
+    want_hot = sorted(
+        range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:5]
+    assert sorted(got["hot"]) == sorted(want_hot)
+    # exactly-at-cap sources are untouched too (no shuffle path)
+    docs_eq = spark.createDataFrame(
+        [(i, "s") for i in range(5)], "doc_id long, source string"
+    )
+    assert corpus.cap_per_source(docs_eq, cap=5).count() == 5
+
+
 def test_pack_sequences_budget_and_order(spark):
     """Within a bucket, packs are assigned in (doc_id, chunk_id) order
     and each pack's token total stays under budget + one chunk length
