@@ -77,40 +77,32 @@ def cap_per_source(
     most ``cap`` documents per source, selected by md5(id) order — a
     deterministic unbiased sample, bit-identical in any engine.
 
-    Skew-aware two-phase plan (a hot domain is BY DEFINITION a skewed
-    key, so a single ranked window over the corpus would funnel the
-    hottest source into one task):
+    Skew-aware plan (a hot domain is BY DEFINITION a skewed key):
 
       1. per-source counts — one map-combined aggregate, one tiny row
          per source, broadcast back; sources at-or-under the cap pass
-         through with NO shuffle of their rows (broadcast anti-join is
-         map-side).
-      2. over-cap sources only: local top-``cap`` per (source,
-         input-partition) — the window key includes
-         spark_partition_id(), so a hot source's rows stay spread
-         across its partitions — then a final top-``cap`` over the
-         ≤ cap × partitions survivors per source. The global winner
-         set is provably inside the local winners (standard two-phase
-         top-k), and no task ever holds more than one partition's
-         share of one source.
+         through with NO sort and NO shuffle of their rows (broadcast
+         anti-join is map-side). On a real corpus that's the long tail
+         — most of the data.
+      2. over-cap sources only: one ranked window. Spark's
+         InferWindowGroupLimit turns the rank-limit filter into a
+         PARTIAL WindowGroupLimit before the exchange (top-``cap`` per
+         source per map partition — verified in the plan snapshot,
+         PLANS.md), so the per-source reduce task receives at most
+         cap × map-partitions rows, never a whole hot domain.
     """
     key = F.md5(F.col(id_col).cast("string"))
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     over = counts.filter(F.col("__n") > cap).select(source_col)
     under_docs = docs.join(F.broadcast(over), source_col, "left_anti")
-    hot = docs.join(F.broadcast(over), source_col, "left_semi").withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    hot = docs.join(F.broadcast(over), source_col, "left_semi")
     from pyspark.sql.window import Window
 
-    w_local = Window.partitionBy(source_col, "__pid").orderBy(key, F.col(id_col))
-    w_final = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
     capped_hot = (
-        hot.withColumn("__r", F.row_number().over(w_local))
+        hot.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= cap)
-        .withColumn("__r2", F.row_number().over(w_final))
-        .filter(F.col("__r2") <= cap)
-        .drop("__pid", "__r", "__r2")
+        .drop("__r")
     )
     return under_docs.unionByName(capped_hot)
 

@@ -719,10 +719,11 @@ FROM a ORDER BY source, lang
 
 def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-domain downsampling (C4/RefinedWeb recipe step): at most 5
-    docs per source, selected by md5(doc_id) order — the skew-aware
-    two-phase top-k in corpus.cap_per_source (under-cap sources never
-    shuffle; a hot source is ranked per input partition before the
-    final per-source cap, so no single task holds a whole domain)."""
+    docs per source, selected by md5(doc_id) order — skew-aware in
+    corpus.cap_per_source (under-cap sources bypass the window via a
+    broadcast anti-join; over-cap sources get a partial
+    WindowGroupLimit before the exchange, so no task holds a whole
+    domain)."""
     capped = corpus.cap_per_source(load_table(spark, sf_dir, "documents"), cap=5)
     return capped.select("doc_id", "source").orderBy("doc_id")
 

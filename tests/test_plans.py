@@ -354,3 +354,17 @@ def test_ir_and_sketch_plan_shapes(spark):
     pq = _plan(events_sampled_quantiles(spark, SF_SMOKE))
     assert pq.count("Exchange hashpartitioning") <= 2  # agg + output sort only
     assert "percentile" in pq
+
+
+def test_cap_per_source_plan_is_skew_safe(spark):
+    """cap_per_source: under-cap sources bypass the window through a
+    broadcast anti-join (no sort, no shuffle), and the over-cap ranked
+    window carries a PARTIAL WindowGroupLimit before its exchange —
+    each map partition ships at most cap rows per source, so a hot
+    domain never lands whole on one task."""
+    from hypermap_etl_spark.plans.doc_queries import doc_source_caps
+
+    p = _plan(doc_source_caps(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "CartesianProduct" not in p
