@@ -171,8 +171,13 @@ def cmd_stream(args) -> None:
     (scan-events.ts:129,148-168). T5: prints a per-batch JSON progress
     line (rows merged, high-water block) plus an engine-level status
     line every --progress-interval seconds, parity with the reference's
-    15 s status output (extract-events.ts:197-202)."""
-    from hypermap_etl_spark.streaming.scan import start_ingest_stream
+    15 s status output (extract-events.ts:197-202).
+
+    With --entries this is the continuous `index-events` mode: every
+    micro-batch also incrementally updates the materialized entries
+    (touched namehashes only, replay pruned by the key→bucket side
+    index) with periodic entries-bucket compaction."""
+    from hypermap_etl_spark.streaming.scan import start_index_stream, start_ingest_stream
     from hypermap_etl_spark.streaming.telemetry import (
         attach_progress_listener,
         progress_printer,
@@ -188,10 +193,16 @@ def cmd_stream(args) -> None:
         if args.once
         else {"processingTime": f"{args.interval} seconds"}
     )
-    q = start_ingest_stream(
-        spark, args.raw, args.table, args.checkpoint, trigger,
-        on_progress=progress_printer(),
-    )
+    if args.entries:
+        q = start_index_stream(
+            spark, args.raw, args.table, args.entries, args.checkpoint, trigger,
+            on_progress=progress_printer(),
+        )
+    else:
+        q = start_ingest_stream(
+            spark, args.raw, args.table, args.checkpoint, trigger,
+            on_progress=progress_printer(),
+        )
     q.awaitTermination(args.timeout if args.timeout else None)
 
 
@@ -280,6 +291,9 @@ def main(argv=None) -> None:
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--entries", default=None,
+                   help="also materialize entries incrementally per batch "
+                        "(continuous index-events mode)")
     p.add_argument("--once", action="store_true", help="catch-up then stop")
     p.add_argument("--interval", type=int, default=30)
     p.add_argument("--timeout", type=int, default=None)

@@ -291,35 +291,52 @@ def compact_partitions(
     partition overwrite — untouched partitions' files are never opened),
     repartitioned BY the partition column so each value collapses to one
     task → one output file. I/O is O(oversized partitions), not
-    O(table); safe under the same single-writer assumption as MERGE.
+    O(table).
+
+    Takes the table's single-writer merge lock: compaction deletes the
+    files it rewrites, so racing a concurrent MERGE's scan would fail
+    that merge mid-read (FileNotFound) — a CLI `compact` against a
+    table a stream is actively merging now raises ConcurrentMergeError
+    instead. The index stream's in-batch compaction runs on the batch
+    thread after its merge released the lock, so it is never
+    self-blocked.
 
     Returns {"partitions_compacted": n, "files_before": x, "files_after": y}.
     """
-    counts = partition_file_counts(path, partition_col)
-    todo = [v for v, n in counts.items() if n > max_files]
-    if not todo:
-        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
-    before = sum(counts[v] for v in todo)
-    df = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
-    (
-        df.repartition(len(todo), F.col(partition_col))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
-    after = sum(partition_file_counts(path, partition_col).get(v, 0) for v in todo)
-    return {
-        "partitions_compacted": len(todo),
-        "files_before": before,
-        "files_after": after,
-    }
+    with _merge_lock(path):
+        counts = partition_file_counts(path, partition_col)
+        todo = [v for v, n in counts.items() if n > max_files]
+        if not todo:
+            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        before = sum(counts[v] for v in todo)
+        df = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
+        (
+            df.repartition(len(todo), F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        after = sum(partition_file_counts(path, partition_col).get(v, 0) for v in todo)
+        return {
+            "partitions_compacted": len(todo),
+            "files_before": before,
+            "files_after": after,
+        }
 
 
 def compact_small_table(spark: SparkSession, path: str, num_files: int = 1) -> int:
     """Staged-swap rewrite of an unpartitioned side table (e.g. the
     streaming key index, which is blind-appended per batch) into
-    ``num_files`` deduplicated files. Returns rows after compaction."""
+    ``num_files`` deduplicated files. Returns rows after compaction.
+    Lock-guarded like compact_partitions: the swap renames the table
+    dir, so racing a concurrent appender would strand its rows in the
+    renamed-away dir or fail the final rename."""
+    with _merge_lock(path):
+        return _compact_small_table_unlocked(spark, path, num_files)
+
+
+def _compact_small_table_unlocked(spark: SparkSession, path: str, num_files: int) -> int:
     _recover_interrupted_swap(path)
     df = spark.read.parquet(path).distinct().coalesce(num_files)
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"

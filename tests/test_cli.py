@@ -58,6 +58,38 @@ def test_cli_extract_status_events_sql_compact(spark, capsys):
     assert comp["partitions_compacted"] == 0  # unpartitioned table: no-op
 
 
+def test_cli_stream_index_mode(spark, capsys):
+    """`stream --entries --once`: the continuous index-events mode
+    catches up a raw dir, materializes entries incrementally, prints
+    per-batch progress, and `compact --entries` maintains the bucketed
+    entries table."""
+    base = tempfile.mkdtemp()
+    raw, tbl, ent, ckpt = f"{base}/raw", f"{base}/tbl", f"{base}/ent", f"{base}/ckpt"
+    _write_raw(spark, raw)
+
+    main(["stream", "--raw", raw, "--table", tbl, "--entries", ent,
+          "--checkpoint", ckpt, "--once", "--timeout", "240"])
+    captured = capsys.readouterr()
+    import glob
+
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession() or spark
+    # 6 mints + the placeholder parent
+    assert s.read.parquet(ent).count() == 7
+    assert glob.glob(f"{ent}/entry_bucket=*"), "entries must be bucketed"
+    # per-batch sink telemetry (T5) prints synchronously to stderr; the
+    # listener's stdout status line is async (listener bus) so not
+    # asserted here
+    prog = [json.loads(line) for line in captured.err.splitlines()
+            if line.startswith('{"progress"')]
+    assert prog and prog[-1]["progress"]["rows"] == 6
+
+    main(["compact", "--entries", ent])
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["entries"]["partitions_compacted"] >= 0
+
+
 def test_cli_curate_end_to_end(spark, capsys):
     """The curate pipeline over the fixture documents: writes both
     outputs, reports consistent per-stage counts, and the redactor +

@@ -270,3 +270,39 @@ def test_merge_lock_blocks_concurrent_writer(spark, tmp_path):
     res = merge_into_parquet(spark, table, df, ["event_id"])
     assert res == {"upsertedCount": 0, "modifiedCount": 1}
     assert not os.path.exists(lock)
+
+
+def test_compaction_respects_merge_lock(spark, tmp_path):
+    """Compaction deletes the files it rewrites, so it must honor the
+    table's single-writer lock: a CLI compact against a table a stream
+    is actively merging fails loudly instead of failing that merge's
+    scan mid-read."""
+    import pytest
+
+    from hypermap_etl_spark.operators.merge import (
+        ConcurrentMergeError,
+        _merge_lock,
+        compact_partitions,
+        compact_small_table,
+        merge_into_parquet,
+        with_block_bucket,
+    )
+
+    table = str(tmp_path / "t")
+    df = with_block_bucket(
+        spark.createDataFrame([(1, 5, "a")], "event_id long, blockNumber long, v string")
+    )
+    merge_into_parquet(spark, table, df, ["event_id"], partition_col="block_bucket")
+    with _merge_lock(table):
+        with pytest.raises(ConcurrentMergeError):
+            compact_partitions(spark, table, "block_bucket", max_files=0)
+    # released → runs (partition has 1 file ≤ max_files default: no-op is fine)
+    rep = compact_partitions(spark, table, "block_bucket", max_files=8)
+    assert rep["partitions_compacted"] == 0
+
+    side = str(tmp_path / "side")
+    spark.createDataFrame([(1,)], "k long").write.parquet(side)
+    with _merge_lock(side):
+        with pytest.raises(ConcurrentMergeError):
+            compact_small_table(spark, side)
+    assert compact_small_table(spark, side) == 1
