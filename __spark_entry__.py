@@ -38,6 +38,7 @@ _WINDOW: list[str] = [
     "hm_entries",
     "hm_fullnames",
     "hm_subtree_sizes",
+    "hm_descendants",
     # never driver-checked in any round
     "lineitem_price_histogram",
     "doc_dup_clusters",
@@ -79,9 +80,8 @@ _WINDOW: list[str] = [
     "emb_ann_topk",
     "emb_neardup",
     "emb_knn_label",
-    "doc_token_stats",
-    # new in r4 (never driver-checked; doc_quality rotates out on its
-    # green r2 row to make room)
+    # new in r4 (never driver-checked; doc_token_stats and doc_quality
+    # rotate out on their green r2 rows to make room)
     "doc_source_caps",
 ]
 

@@ -228,6 +228,36 @@ ORDER BY e.namehash
 """
 
 
+@plan_cache
+def hm_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree listing under ROOT (operators/materialize.descendants_of)
+    — the reference UI's expand-a-node query generalized to the whole
+    tree, gated against an unbounded recursive-CTE walk. The entries
+    input is stage_boundary-persisted: the BFS probes isEmpty() per
+    level, and each probe would otherwise re-execute the full M1-M9
+    fold."""
+    from hypermap_etl_spark.operators.materialize import descendants_of
+    from hypermap_etl_spark.util import stage_boundary
+
+    hm = hm_events_df(spark, sf_dir)
+    entries = stage_boundary(materialize_entries(hm))
+    return descendants_of(entries, _ROOT).orderBy("namehash")
+
+
+HM_DESCENDANTS_ORACLE = f"""
+WITH RECURSIVE entries AS ({hm_entries_oracle_sql("events")}),
+walk AS (
+  SELECT namehash, label, 1 AS depth
+  FROM entries WHERE parent_hash = '{_ROOT}'
+  UNION ALL
+  SELECT e.namehash, e.label, w.depth + 1
+  FROM walk w JOIN entries e ON e.parent_hash = w.namehash
+  WHERE w.depth < 16
+)
+SELECT namehash, label, depth FROM walk ORDER BY namehash
+"""
+
+
 HM_FULLNAMES_ORACLE = f"""
 WITH RECURSIVE entries AS ({hm_entries_oracle_sql("events")}),
 walk AS (
@@ -371,5 +401,6 @@ HM_QUERIES: dict[str, tuple] = {
     "hm_entries": (hm_entries, HM_ENTRIES_ORACLE),
     "hm_fullnames": (hm_fullnames, HM_FULLNAMES_ORACLE),
     "hm_subtree_sizes": (hm_subtree_sizes, HM_SUBTREE_ORACLE),
+    "hm_descendants": (hm_descendants, HM_DESCENDANTS_ORACLE),
     "hm_decode_roundtrip": (hm_decode_roundtrip, HM_DECODE_ORACLE),
 }
