@@ -37,7 +37,8 @@ def cmd_extract(args) -> None:
     from hypermap_etl_spark.sources.raw_logs import read_raw_logs
 
     spark = _spark(args)
-    raw = read_raw_logs(spark, args.raw, from_block=args.from_block, to_block=args.to_block)
+    raw = read_raw_logs(spark, args.raw, from_block=args.from_block,
+                        to_block=args.to_block, fmt=args.raw_format)
     decoded = decode_raw_logs(raw)
     events = decoded.filter(F.col("eventType").isNotNull())
     skipped = decoded.filter(F.col("eventType").isNull()).count()
@@ -68,7 +69,8 @@ def cmd_scan(args) -> None:
     from hypermap_etl_spark.sources.raw_logs import read_raw_logs
 
     spark = _spark(args)
-    raw = read_raw_logs(spark, args.raw, from_block=args.from_block, to_block=args.to_block)
+    raw = read_raw_logs(spark, args.raw, from_block=args.from_block,
+                        to_block=args.to_block, fmt=args.raw_format)
     decoded = decode_raw_logs(raw)
     counts = (
         decoded.filter(F.col("eventType").isNotNull())
@@ -236,7 +238,9 @@ def main(argv=None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p, table=True):
-        p.add_argument("--raw", help="raw logs parquet dir")
+        p.add_argument("--raw", help="raw logs parquet/jsonl dir")
+        p.add_argument("--raw-format", default=None, choices=["parquet", "json"],
+                       help="raw log format (default: by extension, else parquet)")
         if table:
             p.add_argument("--table", required=True, help="events table path")
         p.add_argument("--from-block", type=int, default=None)

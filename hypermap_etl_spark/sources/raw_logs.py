@@ -26,9 +26,25 @@ def read_raw_logs(
     contract: str = CONTRACT_ADDRESS,
     from_block: int | None = None,
     to_block: int | None = None,
+    fmt: str | None = None,
 ) -> DataFrame:
-    """S1: scan raw logs with pushed-down address/block-range predicates."""
-    df = spark.read.parquet(path)
+    """S1: scan raw logs with pushed-down address/block-range predicates.
+
+    ``fmt`` is 'parquet' (default) or 'json' — JSONL is what an
+    eth_getLogs dump naturally lands as. The JSON read uses the
+    declared RAW_LOG_SCHEMA (schema inference would scan the whole
+    input once just to guess types — never at lake scale); malformed
+    lines surface as nulls and fall out at the decode stage's
+    skip-don't-fail filter rather than failing the scan.
+    """
+    if fmt is None:
+        fmt = "json" if path.rstrip("/").endswith((".json", ".jsonl")) else "parquet"
+    if fmt == "json":
+        from hypermap_etl_spark.schemas import RAW_LOG_SCHEMA
+
+        df = spark.read.schema(RAW_LOG_SCHEMA).json(path)
+    else:
+        df = spark.read.parquet(path)
     df = df.filter(F.lower(F.col("address")) == contract.lower())
     if from_block is not None:
         df = df.filter(F.col("blockNumber") >= from_block)

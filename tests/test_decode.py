@@ -142,3 +142,29 @@ def test_null_flagging(spark):
     df = decode_raw_logs(_df(spark, _golden_rows()))
     assert df.filter(F.col("eventType").isNull()).count() == 2
     assert df.count() == 16
+
+
+def test_jsonl_source_roundtrip(spark, tmp_path):
+    """S1 JSONL path: an eth_getLogs-style JSONL dump read through
+    read_raw_logs (declared schema, no inference) decodes identically
+    to the parquet path, and predicates still prune."""
+    from hypermap_etl_spark.sources.raw_logs import read_raw_logs
+
+    src = _df(spark, _golden_rows())
+    jdir = str(tmp_path / "logs.jsonl")
+    src.write.mode("overwrite").json(jdir)
+    back = read_raw_logs(spark, jdir)  # format inferred from extension
+    # JSON scans mark every field (and array element) nullable; names
+    # and type names must match the declared schema
+    assert [(f.name, f.dataType.typeName()) for f in back.schema.fields] == [
+        (f.name, f.dataType.typeName()) for f in RAW_LOG_SCHEMA.fields
+    ]
+    got = {
+        r["eventType"]: r["cnt"]
+        for r in parse_raw_logs(back).groupBy("eventType")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == {"Note": 8, "Transfer": 4, "Mint": 2}
+    # explicit fmt + block-range predicate
+    pruned = read_raw_logs(spark, jdir, fmt="json", from_block=10**9)
+    assert pruned.count() == 0
