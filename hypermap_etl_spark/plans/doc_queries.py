@@ -225,6 +225,43 @@ clusters AS (
 DUP_CLUSTERS_ORACLE = _DUP_CLUSTERS_CORE + "SELECT * FROM clusters ORDER BY doc_id"
 
 
+def doc_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dup dedup: each cluster keeps its HIGHEST
+    quality-score member instead of the lowest id
+    (corpus.dedup_survivors_best — one map-combined max_by over the
+    duplicated fraction, no corpus-wide window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    scored = docs.select("doc_id").join(
+        textstats.quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return (
+        corpus.dedup_survivors_best(scored, clusters, "quality_score")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BEST_ORACLE = _DUP_CLUSTERS_CORE + f""",
+q AS ({QUALITY_ORACLE}),
+m AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM m
+),
+dropset AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id FROM documents d
+LEFT JOIN dropset x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+
+
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated token spans (Lee et al. 2022):
     maximal word intervals whose every 8-shingle occurs ≥2 times in
@@ -1226,6 +1263,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_vocab": (doc_vocab, VOCAB_ORACLE),
     "doc_source_mix": (doc_source_mix, SOURCE_MIX_ORACLE),
     "doc_source_caps": (doc_source_caps, SOURCE_CAPS_ORACLE),
+    "doc_dedup_best": (doc_dedup_best, DEDUP_BEST_ORACLE),
     "doc_shards": (doc_shards, SHARDS_ORACLE),
     "doc_repetition": (doc_repetition, REPETITION_ORACLE),
     "doc_pii_tags": (doc_pii_tags, PII_TAGS_ORACLE),
