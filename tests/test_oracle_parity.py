@@ -98,6 +98,41 @@ def _assert_types_compatible(name: str, spark_dtypes: dict, duck_desc) -> None:
         )
 
 
+# gates whose outputs involve timestamps/windows/dates — the surface
+# that would drift if any query leaned on the session timezone
+_TZ_SENSITIVE = [
+    "events_tumbling_window",
+    "hm_enrich_format",
+    "events_page2",
+    "events_user_daily",
+    "events_retention_cohorts",
+    "hm_last_event",
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_timestamp_gates_are_timezone_independent(spark, duck, name):
+    """The driver runs queries under ITS OWN session config, not ours —
+    a query that only matches its oracle under UTC would be green
+    locally and red at the driver. Run the timestamp-heavy gates under
+    a non-UTC sibling session and compare to the oracle (conventions:
+    epoch micros or formatted strings, never session-zone renderings)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = fn(s2, SF_SMOKE)
+    scols = sdf.columns
+    srows = sdf.collect()
+    ores = duck.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert len(srows) == len(orows), f"{name}: rowcount under non-UTC session"
+    sset = _rows_to_set(scols, [[r[c] for c in scols] for r in srows])
+    oset = _rows_to_set(ocols, orows)
+    assert sset == oset, f"{name}: values drift under a non-UTC session"
+
+
 def test_type_gate_rejects_uncast_integer_sum(duck):
     """The checker itself must flag DuckDB's HUGEINT SUM default — the
     class that reached the driver in r3."""
