@@ -228,8 +228,17 @@ def cmd_curate(args) -> None:
         n_shards=args.shards,
         cut_dup_spans=args.cut_dup_spans,
     )
-    documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
-    chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
+    if args.format == "jsonl":
+        # training-export layout: one JSONL dir per shard (the layout a
+        # loader streams directly), sharded by the deterministic md5
+        # shard assignment
+        (documents.write.mode("overwrite").partitionBy("shard")
+         .json(os.path.join(args.out, "documents.jsonl")))
+        (chunks.write.mode("overwrite").partitionBy("shard")
+         .json(os.path.join(args.out, "chunks.jsonl")))
+    else:
+        documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
+        chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
     print(json.dumps(report))
 
 
@@ -291,6 +300,9 @@ def main(argv=None) -> None:
                    help="ExactSubstr surgery: cut duplicated >=8-word runs "
                         "surviving doc-level dedup (first occurrence kept)")
     p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                   help="output format (jsonl = per-shard JSONL dirs for "
+                        "training loaders)")
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)

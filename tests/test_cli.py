@@ -117,6 +117,33 @@ def test_cli_curate_end_to_end(spark, capsys):
     assert chunks.count() == rep["chunks"]
 
 
+def test_cli_curate_jsonl_export(spark, capsys):
+    """--format jsonl: per-shard JSONL dirs a training loader streams
+    directly; rows round-trip through the JSON codec."""
+    import glob
+    import json as _json
+
+    out = tempfile.mkdtemp()
+    main([
+        "curate",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--min-words", "5", "--shards", "4",
+        "--format", "jsonl",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    shard_dirs = glob.glob(os.path.join(out, "chunks.jsonl", "shard=*"))
+    assert shard_dirs, "expected per-shard JSONL dirs"
+    n = 0
+    for d in shard_dirs:
+        for f in glob.glob(os.path.join(d, "part-*")):
+            with open(f) as fh:
+                for line in fh:
+                    rec = _json.loads(line)
+                    assert {"doc_id", "chunk_id", "chunk_text"} <= set(rec)
+                    n += 1
+    assert n == rep["chunks"]
+
+
 def test_cli_search(spark, capsys):
     import json
 
