@@ -349,6 +349,26 @@ LIMIT 20 OFFSET 20
 """
 
 
+def events_page_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 pagination, HOSTILE-DEPTH path: page×limit beyond
+    util.MAX_HEAP_TOP (10 200 rows deep) takes the spillable
+    global-window plan instead of per-partition heaps — a user-facing
+    endpoint must not let `page` drive executor memory. Empty below
+    ~10k qualifying rows (sf0.001); non-trivial at the sf0.01 gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return paginate(ev, [F.desc("ts"), F.desc("event_id")], page=510, limit=20).select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "event_type"
+    )
+
+
+PAGE_DEEP_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 20 OFFSET 10180
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct
     active users per (cohort_day, day_offset). The canonical
@@ -2135,6 +2155,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_status_counts": (events_status_counts, STATUS_ORACLE),
     "events_last_event": (events_last_event, LAST_ORACLE),
     "events_page2": (events_page2, PAGE2_ORACLE),
+    "events_page_deep": (events_page_deep, PAGE_DEEP_ORACLE),
     "events_user_daily": (events_user_daily, DAILY_ORACLE),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_ORACLE),
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
