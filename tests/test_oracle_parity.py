@@ -133,6 +133,20 @@ def test_timestamp_gates_are_timezone_independent(spark, duck, name):
     assert sset == oset, f"{name}: values drift under a non-UTC session"
 
 
+def test_driver_window_runs_in_order(spark):
+    """Execute the driver's 50-query window in ITS order in one session
+    — the driver's exact pattern, which alphabetical parity runs don't
+    replicate (cross-query state: shared plan-cache frames, tracked
+    persists/checkpoints, hm derived-frame reuse). Every query must
+    build and collect without error."""
+    window = entrymod._WINDOW
+    assert len(window) == 50
+    qs = entrymod.queries()
+    for name in window:
+        rows = qs[name](spark, SF_SMOKE).collect()
+        assert rows is not None, name
+
+
 def test_type_gate_rejects_uncast_integer_sum(duck):
     """The checker itself must flag DuckDB's HUGEINT SUM default — the
     class that reached the driver in r3."""
