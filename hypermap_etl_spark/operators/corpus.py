@@ -452,6 +452,32 @@ def vocab_table(docs: DataFrame, top_k: int = 500, text_col: str = "text") -> Da
     )
 
 
+def ngram_table(
+    docs: DataFrame, n: int = 2, top_k: int = 300, text_col: str = "text"
+) -> DataFrame:
+    """Corpus word n-gram frequency table (tokenizer-merge / collocation
+    prep): top_k n-grams by total count, totally tie-broken (count
+    desc, gram asc) with rank — the multi-token counterpart of
+    vocab_table, sharing its scale shape: explode → one map-combinable
+    hash aggregate keyed by gram → TakeOrderedAndProject top-k
+    (bounded per-partition heaps, no corpus-scale sort). Shingling is
+    the O(words) zip_with form (textstats.word_shingles)."""
+    from hypermap_etl_spark.operators.textstats import word_shingles
+    from pyspark.sql.window import Window
+
+    grams = docs.select(
+        F.explode(word_shingles(F.lower(F.col(text_col)), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
+    return top.select(
+        "gram",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 # ------------------------------------------------------------ source mix ----
 
 def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -554,6 +580,64 @@ def stratified_sample(
         cond = F.when(c, keep_for(rate)) if cond is None else cond.when(c, keep_for(rate))
     keep = cond.otherwise(keep_for(default_rate)) if cond is not None else keep_for(default_rate)
     return docs.filter(keep)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of k rows —
+    P(row in sample) proportional to its weight (Efraimidis-Spirakis
+    A-ES, 2006): every row gets key = ln(u)/w for a uniform u and the
+    k largest keys win. Upweighted curation uses this to pull a
+    quality- or length-biased subcorpus in ONE pass — no per-stratum
+    rate table, no rejection loop.
+
+    u is the row id's md5 fraction shifted into (0, 1] ((h+1)/2^32 —
+    u=0 would hit ln(0), which Spark NULLs and DuckDB -infs), so the
+    draw is layout-independent and engine-reproducible; ln keeps A-ES'
+    u^(1/w) ordering (ln is monotone; both engines evaluate IEEE
+    doubles) without pow's overflow corners at tiny weights.
+
+    Scale shape: map-side key projection, then the same two-stage
+    top-k as kmv_distinct — stage 1 keeps k per deterministic salt
+    cell (parallel), stage 2 merges <= n_salts*k survivors on one
+    small task. No global sort of the corpus, no driver collect.
+    Non-positive / NULL weights are excluded (A-ES is undefined
+    there), matching the oracle's WHERE w > 0.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(1 << 32))
+    )
+    keyed = (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__key", F.log(u) / F.col(weight_col).cast("double"))
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts)))
+    )
+    w1 = Window.partitionBy("__salt").orderBy(F.desc("__key"), F.col(id_col))
+    stage1 = (
+        keyed.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy().orderBy(F.desc("__key"), F.col(id_col))
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(*docs.columns)
+    )
 
 
 def temperature_mix(

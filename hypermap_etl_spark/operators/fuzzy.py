@@ -1,0 +1,77 @@
+"""Fuzzy (edit-distance) self-join without a cartesian product.
+
+Entity-resolution primitive: find all pairs of rows whose string key
+is within Levenshtein distance 1 (near-identical names, typo'd ids).
+The naive form is an O(n²) cross join with a per-pair edit-distance —
+the exact shape that dies at scale. This module blocks with DELETION
+NEIGHBORHOODS (the FastSS / SymSpell family, Bocek et al. 2007): for
+τ=1, ed(s, t) ≤ 1 ⟺ the sets {s} ∪ {s minus one char} and
+{t} ∪ {t minus one char} intersect —
+
+  - equal strings share s itself;
+  - one substitution at i: deleting position i from both sides yields
+    the same string;
+  - one insertion/deletion: the shorter string appears verbatim in the
+    longer one's deletion set.
+
+so candidates are an EQUI-join on a generated key (L+1 keys per row),
+and Levenshtein runs only on candidates. Completeness is exact — no
+probabilistic recall argument needed (unlike MinHash banding).
+
+Scale shape: key generation is a map-side higher-order projection
+(sequence → transform → explode, all JVM); the join shuffles
+(key, id, string) — O(n·L) rows, not O(n²); the verify is a JVM
+levenshtein on the (deduplicated) candidate pairs only. Skew guard:
+a key shared by m rows yields m² candidates — for natural-language
+names m is tiny; for degenerate keys (e.g. all-equal strings) cap with
+a pre-aggregated hot-key anti-join like dedup.ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All pairs (id1 < id2) with levenshtein(s1, s2) <= max_dist.
+
+    Output: (id1, id2, dist). Only ``max_dist=1`` is supported — the
+    deletion-neighborhood signature is exact for τ=1; τ≥2 needs the
+    multi-delete variant whose key count grows O(L^τ) (generate
+    recursively if ever needed).
+    """
+    if max_dist != 1:
+        raise NotImplementedError("deletion-neighborhood blocking covers max_dist=1")
+    keys = F.expr(
+        f"array_union(array({str_col}), "
+        f"transform(sequence(1, length({str_col})), "
+        f"i -> concat(substr({str_col}, 1, i - 1), substr({str_col}, i + 1))))"
+    )
+    keyed = (
+        df.filter(F.col(str_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(str_col).alias("__s"),
+            F.explode(keys).alias("__k"),
+        )
+    )
+    a = keyed.select(
+        F.col("__id").alias("id1"), F.col("__s").alias("__s1"), "__k"
+    )
+    b = keyed.select(
+        F.col("__id").alias("id2"), F.col("__s").alias("__s2"), "__k"
+    )
+    cand = (
+        a.join(b, "__k")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "__s1", "__s2")
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.levenshtein("__s1", "__s2").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

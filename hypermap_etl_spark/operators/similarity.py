@@ -552,3 +552,77 @@ def kmeans(
         by_cluster = {r["cluster"]: list(r["c"]) for r in new}
         cents = [by_cluster.get(i, cents[i]) for i in range(k)]
     return assigned.select(id_col, "cluster"), cents
+
+
+# ------------------------------------------------ covariance matrix ----
+
+def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed d x d population covariance of an embedding column -
+    the PCA / whitening building block: cov[i][j] = E[x_i x_j] - mu_i
+    mu_j, upper triangle only (i <= j), rounded to 6 dp.
+
+    Scale shape (the treeAggregate idea in DataFrame clothes): an
+    Arrow-batched ``mapInPandas`` reduces each PARTITION to one partial
+    row (n, sum_x[d], sum_xx[d*d]) with a single BLAS gramian (V.T @ V)
+    per batch - the corpus never shuffles and nothing row-scale leaves
+    an executor. The partials (one per partition, not per row) then
+    posexplode into (index, value) and merge in one tiny hash
+    aggregate; the driver sees d*(d+1)/2 floats. float32 -> float64
+    widening is exact, so per-product values match any SQL engine
+    bit-for-bit; only summation ORDER differs across partition layouts,
+    which the 6 dp rounding absorbs (partial-sum error ~1e-12 here).
+
+    The moment form (E[xy] - mu mu) can cancel catastrophically when
+    |mu| >> sigma; embeddings are centered near 0 where it is stable.
+    For wild means, shift by a broadcast first-pass mean before calling.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "sum_x": [V.sum(axis=0).tolist()],
+                    "sum_xx": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select(_vd(vec_col).alias("__v")).mapInPandas(
+        partials, schema="n long, sum_x array<double>, sum_xx array<double>"
+    )
+    sums = (
+        parts.select("n", F.posexplode("sum_xx").alias("__ij", "__xx"))
+        .groupBy("__ij")
+        .agg(F.sum("__xx").alias("sxy"), F.sum("n").alias("n"))
+        .select(
+            (F.col("__ij") / dim).cast("int").alias("i"),
+            F.pmod("__ij", F.lit(dim)).cast("int").alias("j"),
+            "sxy",
+            "n",
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
+    means = (
+        parts.select(F.posexplode("sum_x").alias("__d", "__sx"))
+        .groupBy("__d")
+        .agg(F.sum("__sx").alias("sx"))
+    )
+    mi = means.select(F.col("__d").alias("i"), F.col("sx").alias("sx_i"))
+    mj = means.select(F.col("__d").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )

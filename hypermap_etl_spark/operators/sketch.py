@@ -201,6 +201,80 @@ def bloom_contains(
     return joined.select(*cols, F.expr(" AND ".join(tests)).alias("in_bloom"))
 
 
+# ---------------------------------------------------- count-min sketch ----
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) in
+    LONG format: one row per (group, d, bucket) with the bucket's
+    count. Point-query estimate for x = min over d of
+    count[d][h_d(x)] — an overestimate only (collisions add), within
+    ε·N with probability 1-δ for width = e/ε, depth = ln(1/δ).
+
+    Why long format and not a 2-D array column: the rows ARE the
+    merge — summing cnt on (group, d, bucket) folds any number of
+    per-partition/per-day sketches without rescanning history, using
+    nothing but a hash aggregate; and DuckDB reproduces every row
+    because bucket placement is Kirsch-Mitzenmacher double hashing on
+    md5 (same scheme as bloom_build above), not an engine-internal
+    hash.
+
+    Scale shape: a map-side projection computes the depth buckets per
+    row (inline posexplode of a literal-sized array — no shuffle), then
+    ONE hash aggregate keyed by (group, d, bucket); the shuffle carries
+    at most depth × width rows per group per task after map-side
+    combine, independent of input size.
+    """
+    group_cols = group_cols or []
+    val = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(val), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(val), 9, 8), 16, 10).cast("long")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.posexplode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(width)) for i in range(depth)])
+        ).alias("d", "bucket"),
+    )
+    return rows.groupBy(*group_cols, "d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a SINGLE (ungrouped) cms_build sketch for each probe
+    value: adds `est_count` = min over rows d of the probed bucket's
+    count (0 if a bucket row is absent — an empty bucket proves count
+    0). The sketch is at most depth × width rows, so it broadcasts and
+    the probe is a map-side hash join + one small re-aggregation keyed
+    by the probe row."""
+    val = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(val), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(val), 9, 8), 16, 10).cast("long")
+    cols = probes.columns
+    exploded = probes.select(
+        *cols,
+        F.posexplode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(width)) for i in range(depth)])
+        ).alias("d", "bucket"),
+    )
+    joined = exploded.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
+    )
+
+
 # ------------------------------------------- hash-sampled quantiles ----
 
 def sampled_quantiles(

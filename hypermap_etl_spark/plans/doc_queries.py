@@ -1239,6 +1239,78 @@ ORDER BY query_id
 """
 
 
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (corpus.ngram_table): top-300 word
+    bigrams with total tie-break — the collocation/tokenizer-merge prep
+    step, one hash aggregate + bounded top-k."""
+    return corpus.ngram_table(
+        load_table(spark, sf_dir, "documents"), n=2, top_k=300
+    ).orderBy("rank")
+
+
+TOP_BIGRAMS_ORACLE = f"""
+WITH g AS (
+  SELECT unnest({_shingles_sql(2, "lower(text)")}) AS gram FROM documents
+),
+c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+top AS (SELECT gram, n FROM c ORDER BY n DESC, gram ASC LIMIT 300)
+SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram ASC) AS rank
+FROM top ORDER BY rank
+"""
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (corpus.weighted_sample,
+    Efraimidis-Spirakis A-ES): 100 docs drawn without replacement with
+    P ∝ n_chars — the one-pass biased-subcorpus pull. The md5-derived
+    uniform makes the draw engine-reproducible, so the oracle replays
+    the exact key ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", k=100
+    ).orderBy("doc_id")
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+top AS (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+SELECT doc_id, n_chars FROM top ORDER BY doc_id
+"""
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix (similarity.covariance_matrix):
+    the PCA/whitening moment pass — per-partition BLAS gramians merged
+    in one tiny aggregate, corpus never shuffled. Upper triangle,
+    6 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.covariance_matrix(emb).orderBy("i", "j")
+
+
+EMB_COVARIANCE_ORACLE = """
+WITH ds AS (SELECT unnest(generate_series(0, 63)) AS d),
+el AS (
+  SELECT vec_id, d AS i, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN ds
+),
+sx AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM el GROUP BY i),
+sxy AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sp
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(sxy.i AS INT) AS i, CAST(sxy.j AS INT) AS j,
+       ROUND(sp / mi.n - (mi.s / mi.n) * (mj.s / mj.n), 6) AS cov
+FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
+ORDER BY i, j
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
     "doc_quality": (doc_quality, QUALITY_ORACLE),
@@ -1258,6 +1330,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_bm25_search": (doc_bm25_search, BM25_ORACLE),
     "doc_length_percentiles": (doc_length_percentiles, _length_pct_oracle()),
     "doc_stratified_sample": (doc_stratified_sample, _stratified_oracle()),
+    "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_ORACLE),
+    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_ORACLE),
     "doc_packed": (doc_packed, PACKED_ORACLE),
     "doc_train_filter": (doc_train_filter, _train_filter_oracle()),
     "doc_vocab": (doc_vocab, VOCAB_ORACLE),
@@ -1280,4 +1354,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
+    "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
 }

@@ -1308,6 +1308,143 @@ ORDER BY user_id
 """
 
 
+def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join (operators/fuzzy): all customer
+    pairs within edit distance 1, blocked by exact deletion
+    neighborhoods (FastSS) — an equi-join on O(n·L) generated keys,
+    never a cartesian; the oracle IS the quadratic form Spark avoids."""
+    from hypermap_etl_spark.operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(cust, "c_custkey", "c_name").orderBy("id1", "id2")
+
+
+FUZZY_PAIRS_ORACLE = """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id1, id2
+"""
+
+
+def events_lead_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset + bucketing window breadth: lag/lead/ntile share ONE
+    window spec (per-user event timeline, total order via event_id
+    tie-break), so Spark evaluates all three in a single Window node
+    over a single user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 101 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+LEAD_LAG_NTILE_ORACLE = """
+WITH e AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND user_id % 101 = 0
+)
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(event_type) OVER w AS next_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.cms_build/cms_estimate):
+    per-user event-frequency estimates for a deterministic probe set
+    (user_id % 97 == 0) from a 4×512 sketch. The long-format rows are
+    the mergeable state a 100 TB pipeline sums per day; md5 double
+    hashing lets the oracle reproduce every bucket, so the gate checks
+    the ESTIMATES (collisions included) bit-for-bit."""
+    from hypermap_etl_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=512)
+    probes = (
+        ev.select("user_id")
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") % 97 == 0))
+        .distinct()
+    )
+    return cms_estimate(probes, cms, "user_id", depth=4, width=512).orderBy("user_id")
+
+
+CMS_ORACLE = """
+WITH h AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM events WHERE user_id IS NOT NULL
+),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+cms AS (
+  SELECT d, (h1 + d * h2) % 512 AS bucket, COUNT(*) AS cnt
+  FROM h CROSS JOIN ds GROUP BY d, bucket
+),
+p AS (
+  SELECT DISTINCT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM events WHERE user_id IS NOT NULL AND user_id % 97 = 0
+),
+pe AS (SELECT user_id, d, (h1 + d * h2) % 512 AS bucket FROM p CROSS JOIN ds)
+SELECT pe.user_id, MIN(COALESCE(cms.cnt, 0)) AS est_count
+FROM pe LEFT JOIN cms USING (d, bucket)
+GROUP BY pe.user_id ORDER BY pe.user_id
+"""
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler (operators/profile.profile_table):
+    per-column null / exact-distinct counts + numeric min/max over
+    lineitem in ONE scan (multi-distinct via Expand, map-side
+    partials). The pre-training data-quality screen; timestamps and
+    strings profile counts only (no engine-specific string formatting
+    in the output)."""
+    from hypermap_etl_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li).orderBy("col_name")
+
+
+def _profile_col_sql(c: str, numeric: bool) -> str:
+    mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"{mn} AS min_num, {mx} AS max_num FROM lineitem"
+    )
+
+
+PROFILE_ORACLE = (
+    " UNION ALL ".join(
+        _profile_col_sql(c, numeric)
+        for c, numeric in [
+            ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+            ("l_linenumber", True), ("l_quantity", True),
+            ("l_extendedprice", True), ("l_discount", True), ("l_tax", True),
+            ("l_returnflag", False), ("l_linestatus", False),
+            ("l_shipdate", False),
+        ]
+    )
+    + " ORDER BY col_name"
+)
+
+
 def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension coverage: broadcast dim join + grouped stats."""
     sup = load_table(spark, sf_dir, "supplier")
@@ -2143,6 +2280,10 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
+    "events_cms_counts": (events_cms_counts, CMS_ORACLE),
+    "lineitem_profile": (lineitem_profile, PROFILE_ORACLE),
+    "events_lead_lag_ntile": (events_lead_lag_ntile, LEAD_LAG_NTILE_ORACLE),
+    "customer_fuzzy_pairs": (customer_fuzzy_pairs, FUZZY_PAIRS_ORACLE),
     "events_sampled_quantiles": (events_sampled_quantiles, SAMPLED_QUANTILES_ORACLE),
     "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
     "orders_cube": (orders_cube, CUBE_ORACLE),

@@ -280,3 +280,47 @@ def test_temperature_mix_limits_and_shares(spark):
     assert n_small > 90
     # realized big count tracks the md5-thresholded expectation
     assert abs(n_big - 900 * fr["big"]) < 60
+
+
+def test_weighted_sample_matches_local_recompute(spark):
+    """A-ES determinism: the k winners equal a local recomputation of
+    the exact ln(u)/w keys; repeated runs agree; k >= population
+    returns every positive-weight row."""
+    import hashlib
+    import math
+
+    rows = [(i, (i * 37) % 19 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(r["doc_id"] for r in corpus.weighted_sample(df, "w", k=25).collect())
+    got2 = sorted(r["doc_id"] for r in corpus.weighted_sample(df, "w", k=25).collect())
+    assert got == got2
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return math.log((h + 1.0) / 2**32) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]
+    )
+    assert got == want
+
+    all_ = corpus.weighted_sample(df, "w", k=1000).count()
+    assert all_ == 200
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)], "doc_id long, w long"
+    )
+    got = [r["doc_id"] for r in corpus.weighted_sample(df, "w", k=10).collect()]
+    assert got == [1]
+
+
+def test_ngram_table_counts_and_ties(spark):
+    docs = _docs(spark, ["a b a b c", "a b x", "zz"])
+    rows = corpus.ngram_table(docs, n=2, top_k=10).collect()
+    by_gram = {r["gram"]: (r["n"], r["rank"]) for r in rows}
+    assert by_gram["a b"] == (3, 1)          # 2 in doc0 + 1 in doc1
+    assert by_gram["b a"] == (1, 2)          # count ties broken gram-asc
+    assert by_gram["b c"][0] == 1 and by_gram["b x"][0] == 1
+    assert "zz" not in by_gram               # 1-word doc -> no bigrams

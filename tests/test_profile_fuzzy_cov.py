@@ -1,0 +1,127 @@
+"""Round-4 operators: single-pass profiler, deletion-neighborhood
+fuzzy join, count-min estimates (gate-side), covariance matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.fuzzy import edit_distance_pairs
+from hypermap_etl_spark.operators.profile import profile_table
+from hypermap_etl_spark.operators.similarity import covariance_matrix
+
+
+# ------------------------------------------------------------ profiler ----
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, -1.0), (3, "b", 4.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_nulls"] == 0 and rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 3.0
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_num"] is None and rows["s"]["max_num"] is None
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["min_num"] == -1.0 and rows["v"]["max_num"] == 4.0
+
+
+def test_profile_single_scan(spark):
+    """The at-scale property: all per-column aggregates compile into a
+    plan that scans the relation once (one Expand-fed aggregate, not
+    one job per column)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("m"), F.col("id").cast("string").alias("s")
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_profile_approx_mode(spark):
+    df = spark.range(1000).select(F.col("id"))
+    row = profile_table(df, exact=False).collect()[0]
+    assert abs(row["n_distinct"] - 1000) / 1000 < 0.1   # HLL++ default rsd 5%
+
+
+# ---------------------------------------------------------- fuzzy join ----
+
+def test_fuzzy_join_catches_every_edit_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "kitte"),     # deletion of 1
+            (3, "kittex"),    # substitution of 1
+            (4, "kittens"),   # insertion on 1
+            (5, "kitzzz"),    # distance 3 from 1
+            (6, "kitten"),    # exact duplicate of 1
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1 and pairs[(1, 4)] == 1
+    assert pairs[(1, 6)] == 0
+    assert (1, 5) not in pairs
+    # deletion/substitution neighbors of each other too
+    assert (2, 3) in pairs and pairs[(2, 3)] == 1  # kitte -> kittex (insert)
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Blocking completeness: the deletion-neighborhood candidates
+    recover EXACTLY the quadratic scan's distance<=1 pairs on a random
+    string set (including empty and length-1 strings)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    strings = [
+        "".join(rng.choice("ab") for _ in range(rng.randrange(0, 6)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(strings[i], strings[j]))
+        for i, j in itertools.combinations(range(len(strings)), 2)
+        if lev(strings[i], strings[j]) <= 1
+    }
+    assert got == want
+
+
+def test_fuzzy_join_rejects_wide_threshold(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(NotImplementedError):
+        edit_distance_pairs(df, "id", "s", max_dist=2)
+
+
+# ------------------------------------------------------ covariance ----
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)  # partial sums across several partitions
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df).collect()}
+    want = np.cov(X.astype(np.float64), rowvar=False, ddof=0)
+    assert len(got) == 5 * 6 // 2
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j], abs=2e-6)

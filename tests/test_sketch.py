@@ -133,6 +133,39 @@ def test_sampled_quantiles_merge_property(spark):
     assert abs(whole["q_0_5"] - 499.5) < 80
 
 
+def test_cms_overestimates_only_and_merges(spark):
+    """Count-min invariants: estimate >= true count for every probed
+    value (never an undercount); summing two halves' long-format
+    sketches on (d, bucket) equals the whole-set sketch row for row —
+    the fold an incremental pipeline stores per day; absent buckets
+    prove zero."""
+    from hypermap_etl_spark.operators.sketch import cms_build, cms_estimate
+
+    a = spark.createDataFrame([(i % 7,) for i in range(0, 400)], "v long")
+    b = spark.createDataFrame([(i % 11,) for i in range(0, 300)], "v long")
+    both = a.unionByName(b)
+
+    whole = cms_build(both, "v", depth=4, width=64)
+    ha, hb = cms_build(a, "v", depth=4, width=64), cms_build(b, "v", depth=4, width=64)
+    merged = (
+        ha.unionByName(hb).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    true_counts = {r["v"]: r["cnt"] for r in
+                   both.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    probes = both.select("v").distinct()
+    for r in cms_estimate(probes, whole, "v", depth=4, width=64).collect():
+        assert r["est_count"] >= true_counts[r["v"]]
+
+    absent = spark.createDataFrame([(10_000 + i,) for i in range(50)], "v long")
+    ests = cms_estimate(absent, whole, "v", depth=4, width=64).collect()
+    # width 64 >> 13 distinct values: most absent probes hit an empty
+    # bucket in at least one of 4 rows and estimate exactly 0
+    assert sum(1 for r in ests if r["est_count"] == 0) >= 25
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
