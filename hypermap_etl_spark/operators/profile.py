@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-_NULL_D = F.lit(None).cast("double")
+
+def _null_d():
+    # Built lazily: F.lit at module scope would require an active
+    # SparkContext at import time (breaks pytest collection).
+    return F.lit(None).cast("double")
 
 
 def profile_table(
@@ -54,10 +58,10 @@ def profile_table(
             )
         numeric = isinstance(df.schema[c].dataType, NumericType)
         aggs.append(
-            (F.min(F.col(c)).cast("double") if numeric else _NULL_D).alias(f"__mn_{c}")
+            (F.min(F.col(c)).cast("double") if numeric else _null_d()).alias(f"__mn_{c}")
         )
         aggs.append(
-            (F.max(F.col(c)).cast("double") if numeric else _NULL_D).alias(f"__mx_{c}")
+            (F.max(F.col(c)).cast("double") if numeric else _null_d()).alias(f"__mx_{c}")
         )
     one = df.agg(*aggs)
     stacked = ", ".join(

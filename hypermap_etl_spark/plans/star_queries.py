@@ -2250,6 +2250,71 @@ ORDER BY s_suppkey
 """
 
 
+@plan_cache
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend: slope/intercept of value over time for every
+    user, via the closed-form normal equations on plain grouped sums —
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Entirely JVM-side
+    (one two-phase hash aggregate, map-side partial sums; no UDF, no
+    window), the distributed shape of "fit a tiny model per key" that
+    a feature pipeline runs per user/entity at 100 TB.
+
+    x is hours since 2024-01-01 (the fixture epoch): keeping |x| small
+    (0..720 here) avoids catastrophic float cancellation in n·Σx²−(Σx)²
+    that raw epoch microseconds (~1e15) would hit; the oracle uses the
+    same origin so both engines sum the same well-conditioned values.
+    Degenerate keys (all events at one instant) yield NULL slope via
+    NULLIF. Results rounded to 6 decimals on both sides (float sums
+    commute only approximately across partitionings)."""
+    ev = load_table(spark, sf_dir, "events")
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z
+    x = (F.unix_micros(F.col("ts")) - F.lit(base_us)).cast("double") / F.lit(3.6e9)
+    y = F.col("value")
+    g = ev.select(F.col("user_id"), x.alias("__x"), y.alias("__y")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("n_events").cast("double")
+    den = F.nullif(
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
+    )
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6).alias("intercept"),
+    ).orderBy("user_id")
+
+
+TREND_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM (
+    SELECT user_id,
+           (epoch_us(ts) - 1704067200000000) / 3.6e9 AS x,
+           value AS y
+    FROM events
+  )
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+  ROUND((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0), 6) AS slope,
+  ROUND((sy - ((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0)) * sx)
+        / n_events, 6) AS intercept
+FROM s
+ORDER BY user_id
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),
@@ -2306,6 +2371,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_size_rank_ties": (parts_size_rank_ties, RANK_TIES_ORACLE),
     "customer_set_ops": (customer_set_ops, SET_OPS_ORACLE),
     "events_type_bigrams": (events_type_bigrams, BIGRAMS_ORACLE),
+    "events_user_trend": (events_user_trend, TREND_ORACLE),
     "lineitem_price_histogram": (lineitem_price_histogram, HISTOGRAM_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
