@@ -325,9 +325,20 @@ def curate_pipeline(
     from hypermap_etl_spark.util import fan_out, stage_boundary
 
     n_in = docs.count() if with_report else 0
-    flt = train_filter(docs, min_words=min_words, lang=lang, text_col=text_col)
+    # fan_out: language-ID alone is ~100 literal-replace scans over the
+    # full text per row (LANG_MARKERS x count_occurrences) — on a small
+    # parquet input that is ONE scan task doing all the string work
+    # serially (measured 4s of the sf0.1 pipeline). At lake scale the
+    # input arrives pre-split and the repartition is a no-op cost-wise.
+    flt = train_filter(fan_out(docs), min_words=min_words, lang=lang, text_col=text_col)
+    # cut_lineage boundaries: eager materialization (so no downstream
+    # branch recomputes the subtree) AND logical-plan truncation — in a
+    # composition this long, per-transformation re-analysis of the full
+    # upstream tree made driver-side plan construction the dominant
+    # cost (~7 s of a 21 s sf0.1 run). See stage_boundary's docstring.
     kept = stage_boundary(
-        docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+        docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
+        cut_lineage=True,
     )
     n_kept = kept.count() if with_report else 0
 
@@ -338,7 +349,7 @@ def curate_pipeline(
     # stage cost more than they parallelize)
     pairs = dedup.minhash_dedup_pairs(fan_out(kept), dedup_threshold, text_col=text_col)
     clusters = dedup.duplicate_clusters(pairs)
-    surv = stage_boundary(dedup_survivors(kept, clusters))
+    surv = stage_boundary(dedup_survivors(kept, clusters), cut_lineage=True)
     n_surv = surv.count() if with_report else 0
 
     n_span_docs = 0
@@ -391,6 +402,13 @@ def curate_pipeline(
             .join(redact_pii(surv, text_col), "doc_id")
             .withColumnRenamed("redacted", text_col)
         )
+
+    if cut_dup_spans or redact:
+        # third stage boundary: span surgery + redaction rewrite the
+        # text column, and BOTH outputs (documents, chunks) plus the
+        # report counts traverse the rewritten frame — without this the
+        # cut/redact expressions re-execute once per consumer
+        surv = stage_boundary(surv, cut_lineage=True)
 
     base = hash_split(surv.select("doc_id", text_col))
     shards = shard_assignments(base, n_shards)

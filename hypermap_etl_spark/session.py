@@ -65,6 +65,11 @@ def get_spark(
         # for fact-fact joins.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # wide-aggregate codegen: the default 100-field cap silently
+        # drops whole-stage codegen for the 128-column MinHash
+        # signature aggregate (and any >100-col projection), costing
+        # ~2.5x on the dedup path (measured at sf0.1: 11.7s -> 4.7s).
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

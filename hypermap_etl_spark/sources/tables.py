@@ -41,6 +41,11 @@ def _harden_session(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # keep whole-stage codegen on for >100-column operators (the
+    # 128-column MinHash signature aggregate): the default maxFields
+    # cap of 100 silently falls back to interpreted eval, ~2.5x slower
+    # on the dedup path. Runtime-settable, inert where plans are narrow.
+    spark.conf.set("spark.sql.codegen.maxFields", "400")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -142,7 +142,7 @@ def release_persisted() -> int:
     return n
 
 
-def stage_boundary(df: DataFrame) -> DataFrame:
+def stage_boundary(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     """Hard plan barrier: materialize ``df`` and cut lineage.
 
     Catalyst fuses adjacent projections (CollapseProject) and pushes
@@ -165,7 +165,21 @@ def stage_boundary(df: DataFrame) -> DataFrame:
     3.1 s (InternalRow serialization dominates). The columnar cache is
     LRU-evicted, so not unpersisting per-query frames is safe; the
     tracked registry additionally lets long sessions release eagerly.
+
+    ``cut_lineage=True`` additionally truncates the LOGICAL plan
+    (localCheckpoint, eager): persist() inserts an InMemoryRelation at
+    PHYSICAL planning only, so every DataFrame built downstream still
+    re-analyzes the whole upstream logical tree — in a long composed
+    pipeline (curate_pipeline: filter → LSH → fixpoint → span surgery
+    → chunk/pack) that made driver-side plan CONSTRUCTION the dominant
+    cost (~7 s of a 21 s sf0.1 run, growing with pipeline length).
+    Checkpointing swaps the boundary's plan for a LogicalRDD leaf, so
+    downstream analysis is O(downstream). Use for MULTI-stage
+    compositions; for a single producer→consumer barrier plain persist
+    is cheaper (no InternalRow serialization of the boundary frame).
     """
+    if cut_lineage:
+        return tracked_local_checkpoint(df)
     return tracked_persist(df)
 
 
