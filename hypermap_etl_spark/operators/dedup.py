@@ -420,6 +420,7 @@ def duplicate_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 250_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph →
     (doc_id, cluster_id) with cluster_id = the component's minimum id.
@@ -428,6 +429,13 @@ def duplicate_clusters(
     kernels above) and actual DEDUP: transitive closure groups pairs
     (A,B),(B,C) into one cluster {A,B,C} whose representative (the min
     id) survives.
+
+    Hybrid execution: at or below ``small_graph_threshold`` edges the
+    component labels are computed by an exact driver-side union-find
+    over the collected edge list (the broadcast-join analog — see the
+    inline comment); above it, the distributed alternating-star
+    fixpoint runs. Both produce identical (doc_id, cluster_id = min id)
+    labelings.
 
     Spark-first design — alternating large-star/small-star (Kiveris et
     al., "Connected Components in MapReduce and Beyond"): each round is
@@ -463,6 +471,41 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)  # also materializes the pair mining once
     )
+    # Small-graph fast path — the broadcast-join analog for iterative
+    # graph algorithms: the edge set is the DUPLICATED fraction of the
+    # corpus, not the corpus, and below ``small_graph_threshold`` edges
+    # (~8 MB of id pairs at the default) a driver-side union-find is
+    # exact, deterministic, and replaces O(log n) shuffle rounds with
+    # one collect. Above the threshold the alternating-star fixpoint
+    # below is the scale path (at 100 TB a duplicate graph can be
+    # billions of edges; nothing about this branch changes that plan).
+    if cur.count() <= small_graph_threshold:
+        edges = cur.collect()
+        out_type = cur.schema["u"].dataType.simpleString()
+        release_local_checkpoint(cur)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges:
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                # attach larger root under smaller: find() then yields
+                # the component MINIMUM, matching the star fixpoint
+                parent[max(ra, rb)] = min(ra, rb)
+        members = sorted({x for row in edges for x in (row["u"], row["v"])})
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(m, find(m)) for m in members],
+            schema=f"doc_id {out_type}, cluster_id {out_type}",
+        )
+
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         converged = _same_edges(cur, nxt)

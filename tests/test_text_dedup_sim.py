@@ -331,6 +331,28 @@ def test_duplicate_clusters_long_chain_converges(spark):
     release_persisted()
 
 
+def test_duplicate_clusters_paths_agree(spark):
+    """The driver-side union-find fast path (small graphs) and the
+    distributed alternating-star fixpoint (small_graph_threshold=0
+    forces it) must produce the identical (doc_id, cluster_id = min)
+    labeling on a mixed graph: a chain, a shared-child wedge, a lone
+    pair, and a cycle."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (30, 31), (31, 32), (32, 30), (7, 50), (8, 50)],
+        "doc_a long, doc_b long",
+    )
+    fast = {(r["doc_id"], r["cluster_id"]) for r in dedup.duplicate_clusters(pairs).collect()}
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == star
+    assert (30, 30) in fast and (32, 30) in fast and (7, 7) in fast and (50, 7) in fast
+    from hypermap_etl_spark.util import release_persisted
+
+    release_persisted()
+
+
 def test_quantize_int8_roundtrip_error_bound(spark):
     """Dequantized values must be within scale/2 of the original, and a
     constant vector must quantize to zeros with scale 0."""
