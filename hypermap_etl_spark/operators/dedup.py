@@ -162,10 +162,23 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_co
     explode/groupBy semantics. Duplicate shingles need no dedup — the
     min over a multiset equals the min over its support.
     """
-    d = fan_out(docs).select(
-        "doc_id",
-        word_shingles(F.lower(F.col(text_col)), n).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # the no-shingle filter runs on the raw word count, not on
+    # size(__sh): filtering the projected shingle array gets pushed
+    # below the fan_out exchange where it re-evaluates the whole
+    # zip_with shingle chain a second time per row (A/B at sf0.1:
+    # 1.0s vs 0.74s steady-state). size(split) >= n is equivalent —
+    # word_shingles emits exactly size-n+1 shingles. CollapseProject
+    # does NOT inline the shingle chain into the downstream hash
+    # transforms despite the adjacent projections: its is-cheap guard
+    # refuses to duplicate expensive multi-referenced aliases.
+    d = (
+        fan_out(docs)
+        .filter(F.size(F.split(F.lower(F.col(text_col)), " ")) >= n)
+        .select(
+            "doc_id",
+            word_shingles(F.lower(F.col(text_col)), n).alias("__sh"),
+        )
+    )
     d = d.selectExpr(
         "doc_id",
         "transform(__sh, s -> xxhash64(s) & 2147483647L) AS __h1",

@@ -1287,9 +1287,12 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance matrix (similarity.covariance_matrix):
     the PCA/whitening moment pass — per-partition BLAS gramians merged
     in one tiny aggregate, corpus never shuffled. Upper triangle,
-    6 dp."""
+    6 dp. ``+ 0.0`` canonicalizes IEEE negative zero: a covariance
+    that rounds to zero can carry a different sign bit per engine
+    (seen at sf0.01), and the driver's value hash is bit-sensitive."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.covariance_matrix(emb).orderBy("i", "j")
+    cov = similarity.covariance_matrix(emb)
+    return cov.withColumn("cov", F.col("cov") + F.lit(0.0)).orderBy("i", "j")
 
 
 EMB_COVARIANCE_ORACLE = """
@@ -1305,7 +1308,7 @@ sxy AS (
   GROUP BY a.i, b.i
 )
 SELECT CAST(sxy.i AS INT) AS i, CAST(sxy.j AS INT) AS j,
-       ROUND(sp / mi.n - (mi.s / mi.n) * (mj.s / mj.n), 6) AS cov
+       ROUND(sp / mi.n - (mi.s / mi.n) * (mj.s / mj.n), 6) + 0.0 AS cov
 FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
 ORDER BY i, j
 """

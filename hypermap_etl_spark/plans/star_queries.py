@@ -2284,11 +2284,16 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
     )
     slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    # + 0.0 canonicalizes IEEE -0.0 (a slope that rounds to zero can
+    # carry a different sign bit per engine; the value hash is
+    # bit-sensitive)
     return g.select(
         "user_id",
         "n_events",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6).alias("intercept"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
     ).orderBy("user_id")
 
 
@@ -2307,9 +2312,9 @@ WITH s AS (
   GROUP BY user_id
 )
 SELECT user_id, n_events,
-  ROUND((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0), 6) AS slope,
+  ROUND((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0), 6) + 0.0 AS slope,
   ROUND((sy - ((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0)) * sx)
-        / n_events, 6) AS intercept
+        / n_events, 6) + 0.0 AS intercept
 FROM s
 ORDER BY user_id
 """
