@@ -1,0 +1,104 @@
+"""Physical data layout for scan pruning — the lake-side half of
+"push down and prune".
+
+Directory partitioning (merge.with_block_bucket, S7) prunes whole
+partitions from coarse keys. This module covers the NEXT granularity:
+ordering rows WITHIN the data files so every parquet footer carries
+tight, near-disjoint min/max statistics on the clustering columns.
+Readers then skip at two levels with no table format required:
+
+  - Spark's parquet reader drops whole ROW GROUPS whose stats exclude
+    the pushed filter (spark.sql.parquet.filterPushdown, on by
+    default);
+  - stats-aware engines and table formats (Delta/Iceberg data-skipping
+    indexes are exactly per-file min/max) drop whole FILES.
+
+Without clustering every file spans nearly the full value range (any
+hash/round-robin shuffle interleaves everything), so stats exclude
+nothing and a point query scans the whole table. At 100 TB this is
+the difference between reading ~one file and reading all of them.
+
+``write_clustered`` is Spark-first: repartitionByRange gives
+contiguous, load-balanced (sampled) key ranges across files —
+the single-dimension form of z-ordering — and sortWithinPartitions
+orders rows inside each file so row-group stats are tight too. Both
+are existing Catalyst operators; no custom writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on ``cluster_cols``.
+
+    Rows land in ``n_files`` (default: current shuffle partitions)
+    contiguous key ranges (range partitioning samples the data for
+    balanced splits — skewed keys get more files, empty ranges none),
+    sorted within each file. Multi-column clustering nests lexically:
+    lead with the highest-selectivity filter column.
+    """
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (name, min, max) of ``column`` from the parquet footers
+    — the exact statistics a stats-aware reader prunes on. Pure
+    metadata: reads footers only, never row data."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(path, name))
+        idx = meta.schema.names.index(column)
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                lo = hi = None
+                break
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
+        out.append((name, lo, hi))
+    return out
+
+
+def pruning_factor(path: str, column: str) -> float:
+    """Fraction of files a stats-aware reader can SKIP for a random
+    point lookup on ``column``: 1 - avg_file_coverage, where a file's
+    coverage is its [min, max] span over the table's span. ~0 for
+    interleaved layouts (every file covers everything), → (n-1)/n for
+    perfectly disjoint ranges. Numeric columns only."""
+    stats = [(lo, hi) for _, lo, hi in file_stats(path, column) if lo is not None]
+    if not stats:
+        return 0.0
+    table_lo = min(lo for lo, _ in stats)
+    table_hi = max(hi for _, hi in stats)
+    span = table_hi - table_lo
+    if span <= 0:
+        return 0.0
+    coverage = sum((hi - lo) / span for lo, hi in stats) / len(stats)
+    return 1.0 - coverage
+
+
+def read_pruned(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read — named to document that NO special reader is
+    needed: pushed filters prune row groups via the same stats."""
+    return spark.read.parquet(path)

@@ -1,0 +1,60 @@
+"""Data-layout pruning: clustered writes must produce near-disjoint
+per-file min/max stats (the property every stats-based reader —
+Spark's row-group pruning, Delta/Iceberg file skipping — prunes on),
+while an interleaved layout must not."""
+
+import pytest
+
+from hypermap_etl_spark.sources.layout import (
+    file_stats,
+    pruning_factor,
+    read_pruned,
+    write_clustered,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from hypermap_etl_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def test_clustered_layout_prunes_interleaved_does_not(spark, events, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    clustered = str(base / "clustered")
+    interleaved = str(base / "interleaved")
+
+    write_clustered(events, clustered, ["user_id"], n_files=8)
+    # worst-case layout: hash-interleave rows across files
+    events.repartition(8).write.parquet(interleaved)
+
+    pf_clustered = pruning_factor(clustered, "user_id")
+    pf_interleaved = pruning_factor(interleaved, "user_id")
+    # 8 near-disjoint ranges: a point lookup can skip ~7/8 of the files
+    assert pf_clustered > 0.8, pf_clustered
+    # interleaved: every file spans ~the whole id range — nothing skips
+    assert pf_interleaved < 0.1, pf_interleaved
+
+    # ranges must actually be non-overlapping (allow touching at
+    # boundaries: range partitioning splits on sampled keys)
+    stats = sorted(
+        (lo, hi) for _, lo, hi in file_stats(clustered, "user_id") if lo is not None
+    )
+    for (_, prev_hi), (next_lo, _) in zip(stats, stats[1:]):
+        assert next_lo >= prev_hi, stats
+
+    # correctness: clustering is pure layout — same rows come back
+    assert read_pruned(spark, clustered).count() == events.count()
+
+
+def test_clustered_point_filter_is_pushed(spark, events, tmp_path_factory):
+    """The clustered table needs no special reader: a point filter on
+    the cluster column reaches the scan as a PushedFilter."""
+    path = str(tmp_path_factory.mktemp("layout2") / "by_user")
+    write_clustered(events, path, ["user_id"], n_files=4)
+    df = read_pruned(spark, path).filter("user_id = 7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:80]
+    expected = events.filter("user_id = 7").count()
+    assert df.count() == expected
