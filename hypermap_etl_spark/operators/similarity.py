@@ -626,3 +626,73 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# --------------------------------------------------------------- PCA ----
+
+def pca_fit(
+    emb: DataFrame, k: int = 4, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit a k-component PCA: returns (components[k][d], explained
+    variance[k], mean[d]).
+
+    Scale split, same as broadcast joins: the DATA-sized work (the d x d
+    covariance) runs distributed via covariance_matrix's one-pass
+    partition gramians; the MODEL-sized work (eigendecomposition of a
+    d x d symmetric matrix — d is 64 here, a few KB) runs on the driver
+    with numpy.linalg.eigh. This is how Spark MLlib itself computes PCA
+    (RowMatrix.computePrincipalComponents: distributed gramian, local
+    eigen). Sign convention: each component's largest-|weight| entry is
+    made positive, so results are deterministic across eigen libraries
+    (eigenvectors are defined up to sign).
+    """
+    cov_rows = covariance_matrix(emb, vec_col).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps, ev = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ev.append(float(vals[idx]))
+    mean_row = (
+        emb.select(F.posexplode(_vd(vec_col)).alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(F.avg("__x").alias("mu"))
+        .orderBy("__d")
+        .collect()
+    )
+    mean = [float(r["mu"]) for r in mean_row]
+    return comps, ev, mean
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Project each embedding onto the fitted components: map-side only
+    (the components are broadcast as literal arrays; each projection is
+    one zip_with multiply + aggregate sum per component). Output
+    (id, p0..p{k-1}), rounded; + 0.0 canonicalizes IEEE -0.0."""
+    d = emb.select(id_col, _vd(vec_col).alias("__v"))
+    mean_lit = "array({})".format(", ".join(f"{m!r}D" for m in mean))
+    projs = []
+    for c, comp in enumerate(components):
+        comp_lit = "array({})".format(", ".join(f"{w!r}D" for w in comp))
+        projs.append(
+            "round(aggregate(zip_with(zip_with(__v, {mean} , (x, m) -> x - m), {comp},"
+            " (x, w) -> x * w), 0.0D, (acc, y) -> acc + y), {dp}) + 0.0D AS p{c}".format(
+                mean=mean_lit, comp=comp_lit, dp=round_dp, c=c
+            )
+        )
+    sql = "SELECT {id}, {projs} FROM {{src}}".format(id=id_col, projs=", ".join(projs))
+    return d.sparkSession.sql(sql, src=d)

@@ -513,3 +513,46 @@ def test_kmeans_separates_planted_blobs(spark):
     for c in cents:
         best = min(max(abs(x - y) for x, y in zip(c, mu)) for mu in means)
         assert best < 0.5
+
+
+def test_pca_fit_project_recovers_planted_axis(spark):
+    """Synthetic data with one dominant variance axis: PC1 must align
+    with it (|cos| > 0.99), explained variances must be descending and
+    match the variance of the projections, and components must be
+    orthonormal."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    axis = np.zeros(8)
+    axis[2] = 0.8
+    axis[5] = 0.6
+    rows = []
+    for i in range(400):
+        v = rng.normal(0, 5.0) * axis + rng.normal(0, 0.3, 8) + 1.5
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    comps, ev, mean = similarity.pca_fit(emb, k=3)
+    # PC1 aligns with the planted axis
+    cos = abs(float(np.dot(comps[0], axis)))
+    assert cos > 0.99, cos
+    # eigenvalues descending, dominant one far above the noise floor
+    assert ev[0] > ev[1] >= ev[2] > 0
+    assert ev[0] > 10 * ev[1]
+    # orthonormal components
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    # mean recovered (all coords shifted by +1.5 plus axis*mean(N(0,5))~0)
+    assert abs(np.mean(mean) - 1.5) < 0.2
+
+    proj = similarity.pca_project(emb, comps, mean).toPandas()
+    assert list(proj.columns) == ["vec_id", "p0", "p1", "p2"]
+    assert len(proj) == 400
+    # projection variance per component ~= explained variance
+    for c in range(3):
+        assert abs(proj[f"p{c}"].var(ddof=0) - ev[c]) / ev[c] < 0.05, c
+    # spark-side projection == numpy projection
+    V = np.vstack([np.array(v, dtype=np.float64) for _, v in rows])
+    expect = (V - np.array(mean)) @ C.T
+    got = proj.sort_values("vec_id")[["p0", "p1", "p2"]].to_numpy()
+    assert np.allclose(got, expect, atol=1e-5)
