@@ -247,3 +247,72 @@ def segment_dedup(
         segs.withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "seg_idx", "n_seg_words", "keep")
     )
+
+
+# ---------------------------------------------- importance resampling ----
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed n-gram feature distribution looks
+    like the TARGET corpus rather than the raw corpus. Downstream,
+    sample raw docs proportional to exp(weight) (or keep the top
+    fraction) to shift a web-scale corpus toward a quality domain.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (md5-based so any SQL engine reproduces the bucketing
+    bit-for-bit); both corpus distributions are add-one smoothed. A
+    doc's weight is the sum over its feature OCCURRENCES of
+    log10(p_target(b) / p_raw(b)), rounded to 6 dp.
+
+    Scale shape: two map-combined bucket-count aggregates (n_buckets
+    rows each — thousands, not corpus-sized), one broadcast of the
+    log-ratio table back onto the raw feature stream, one per-doc sum.
+    The corpus shuffles only doc-keyed partial sums; the two scalar
+    totals are tiny driver actions on pre-aggregated frames.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        ws = _ws(text_col)
+        gs = F.concat(ws, word_shingles(F.lower(F.col(text_col)), 2))
+        return df.select(id_col, F.explode(gs).alias("__g")).select(
+            id_col,
+            F.pmod(
+                F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("__b"),
+        )
+
+    raw_g = grams(raw)
+    tgt_g = grams(target)
+    raw_ct = raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_ct = tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    # totals from the already-aggregated count frames (n_buckets rows)
+    t_raw = raw_ct.agg(F.sum("__cr")).collect()[0][0] or 0
+    t_tgt = tgt_ct.agg(F.sum("__ct")).collect()[0][0] or 0
+    ratio = (
+        raw_ct.join(tgt_ct, "__b", "left")
+        .select(
+            "__b",
+            (
+                F.log10(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                    / F.lit(float(t_tgt + n_buckets))
+                )
+                - F.log10((F.col("__cr") + 1) / F.lit(float(t_raw + n_buckets)))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        raw_g.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (F.round(F.sum("__lr"), 6) + F.lit(0.0)).alias("dsir_weight"),
+        )
+    )

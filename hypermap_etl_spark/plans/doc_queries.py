@@ -1314,6 +1314,57 @@ ORDER BY i, j
 """
 
 
+@plan_cache
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document toward the English
+    subset as the target domain (curation.dsir_weights): hashed
+    unigram+bigram bucket distributions, add-one smoothing, summed
+    log10 probability ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+    ).orderBy("doc_id")
+
+
+DSIR_ORACLE = f"""
+WITH raw AS (SELECT doc_id, lower(text) AS t FROM documents),
+tgt AS (SELECT doc_id, lower(text) AS t FROM documents WHERE lang = 'en'),
+rg AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, unnest(
+      list_concat(list_filter(string_split(t, ' '), x -> x <> ''),
+                  {_shingles_sql(2)})
+    ) AS g FROM raw
+  )
+),
+tg AS (
+  SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT unnest(
+      list_concat(list_filter(string_split(t, ' '), x -> x <> ''),
+                  {_shingles_sql(2)})
+    ) AS g FROM tgt
+  )
+),
+rc AS (SELECT b, COUNT(*) AS cr FROM rg GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS ct FROM tg GROUP BY b),
+tot AS (SELECT (SELECT SUM(cr) FROM rc) AS tr, (SELECT COUNT(*) FROM tg) AS tt),
+ratio AS (
+  SELECT rc.b,
+         log10((COALESCE(tc.ct, 0) + 1) / ((SELECT tt FROM tot) + 4096.0))
+         - log10((rc.cr + 1) / ((SELECT tr FROM tot) + 4096.0)) AS lr
+  FROM rc LEFT JOIN tc ON rc.b = tc.b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(SUM(lr), 6) + 0.0 AS dsir_weight
+FROM rg JOIN ratio ON rg.b = ratio.b
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
     "doc_quality": (doc_quality, QUALITY_ORACLE),
@@ -1346,6 +1397,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_pii_tags": (doc_pii_tags, PII_TAGS_ORACLE),
     "doc_pii_redact": (doc_pii_redact, PII_REDACT_ORACLE),
     "doc_decontam": (doc_decontam, DECONTAM_ORACLE),
+    "doc_dsir_weights": (doc_dsir_weights, DSIR_ORACLE),
     "doc_segment_dedup": (doc_segment_dedup, SEGMENT_DEDUP_ORACLE),
     "doc_minhash_pairs": (doc_minhash_pairs, _EXACT_PAIRS_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, _simhash_pairs_oracle()),

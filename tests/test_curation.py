@@ -183,3 +183,28 @@ def test_curate_pipeline_cut_dup_spans_keeps_first(spark):
     assert boiler in out[1]          # first occurrence kept
     assert boiler not in out[2]      # later occurrence cut
     assert "the oak and the pine" in out[2]  # unique text intact
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs made of target-corpus vocabulary must out-weigh docs of
+    out-of-domain vocabulary, and the weight must be a per-occurrence
+    sum (scaling a doc scales its weight)."""
+    from hypermap_etl_spark.operators.curation import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the model trains on clean english prose text") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the model trains on clean english prose text"),
+            (1, "zzz qqq vvv kkk jjj www yyy xxx"),
+            (2, "the model trains on clean english prose text "
+                "the model trains on clean english prose text"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(raw, target).collect()}
+    assert w[0] > w[1], w
+    # doubling the doc ~doubles the sum (bigram across the seam adds one feature)
+    assert w[2] > 1.5 * w[0] > 0, w
