@@ -145,6 +145,54 @@ def cmd_search(args) -> None:
         print(row)
 
 
+def cmd_layout(args) -> None:
+    """Rewrite a parquet table clustered on the given columns so file
+    and row-group min/max stats prune scans (sources/layout). Prints
+    the per-file stat ranges and the point-lookup pruning factor for
+    the lead column."""
+    from hypermap_etl_spark.sources.layout import (
+        file_stats,
+        pruning_factor,
+        write_clustered,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    cols = args.cluster_by.split(",")
+    write_clustered(df, args.out, cols, n_files=args.files)
+    print(
+        json.dumps(
+            {
+                "files": [
+                    {"file": f, "min": str(lo), "max": str(hi)}
+                    for f, lo, hi in file_stats(args.out, cols[0])
+                ],
+                "pruning_factor": round(pruning_factor(args.out, cols[0]), 4),
+            }
+        )
+    )
+
+
+def cmd_dsir(args) -> None:
+    """DSIR importance weights of every doc in --docs toward the
+    --target corpus (curation.dsir_weights); writes a parquet of
+    (doc_id, n_feats, dsir_weight) and prints summary stats."""
+    from hypermap_etl_spark.operators.curation import dsir_weights
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.docs).select("doc_id", "text")
+    target = spark.read.parquet(args.target).select("doc_id", "text")
+    w = dsir_weights(raw, target, n_buckets=args.buckets)
+    w.write.mode("overwrite").parquet(args.out)
+    stats = w.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.min("dsir_weight"), 4).alias("min"),
+        F.round(F.avg("dsir_weight"), 4).alias("mean"),
+        F.round(F.max("dsir_weight"), 4).alias("max"),
+    ).collect()[0]
+    print(json.dumps(stats.asDict()))
+
+
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
     (and optionally the hash-bucketed entries table and/or a side table
@@ -303,6 +351,18 @@ def main(argv=None) -> None:
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
                    help="output format (jsonl = per-shard JSONL dirs for "
                         "training loaders)")
+    p = sub.add_parser("layout", help="rewrite a table clustered for stats pruning")
+    p.add_argument("--table", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="clustered output path")
+    p.add_argument("--cluster-by", required=True,
+                   help="comma-separated cluster columns (lead with the "
+                        "highest-selectivity filter column)")
+    p.add_argument("--files", type=int, default=None, help="target file count")
+    p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
+    p.add_argument("--docs", required=True, help="raw documents parquet")
+    p.add_argument("--target", required=True, help="target-domain documents parquet")
+    p.add_argument("--out", required=True, help="weights output parquet")
+    p.add_argument("--buckets", type=int, default=4096)
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -326,6 +386,7 @@ def main(argv=None) -> None:
         "sql": cmd_sql,
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
+        "layout": cmd_layout, "dsir": cmd_dsir,
         "stream": cmd_stream,
     }[args.cmd](args)
 

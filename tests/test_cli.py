@@ -155,3 +155,31 @@ def test_cli_search(spark, capsys):
     assert len(lines) == 3
     assert all(l["score"] > 0 for l in lines)
     assert lines[0]["score"] >= lines[1]["score"] >= lines[2]["score"]
+
+
+def test_cli_layout_and_dsir(spark, capsys):
+    base = tempfile.mkdtemp()
+    out = f"{base}/clustered"
+    main([
+        "layout", "--table", "/root/testdata/sf0.001/events.parquet",
+        "--out", out, "--cluster-by", "user_id", "--files", "4",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 4
+    assert rep["pruning_factor"] > 0.5
+    # stat ranges non-overlapping (may touch at sampled split keys)
+    ranges = sorted((int(f["min"]), int(f["max"])) for f in rep["files"])
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo >= hi
+
+    wout = f"{base}/weights"
+    main([
+        "dsir", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--target", "/root/testdata/sf0.001/documents.parquet",
+        "--out", wout,
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # target == raw: every weight collapses to ~0 under identical
+    # distributions (the smoothing denominators differ by < 1e-7)
+    assert rep["docs"] == 500 and rep["min"] == 0.0 and rep["max"] == 0.0
+    assert spark.read.parquet(wout).count() == 500
