@@ -275,7 +275,11 @@ def dsir_weights(
     rows each — thousands, not corpus-sized), one broadcast of the
     log-ratio table back onto the raw feature stream, one per-doc sum.
     The corpus shuffles only doc-keyed partial sums; the two scalar
-    totals are tiny driver actions on pre-aggregated frames.
+    totals are tiny driver actions on pre-aggregated frames. The raw
+    corpus is read TWICE (a counting pass and a scoring pass) — the
+    paper's own shape; a production run would persist the hashed
+    feature stream between the passes if memory allows. Plan pinned in
+    tests/test_plans.py::test_dsir_ratio_table_broadcasts.
     """
     def grams(df: DataFrame) -> DataFrame:
         ws = _ws(text_col)

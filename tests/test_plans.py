@@ -368,3 +368,19 @@ def test_cap_per_source_plan_is_skew_safe(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "WindowGroupLimit" in p and "Partial" in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """dsir_weights: the per-bucket log-ratio table (n_buckets rows)
+    must broadcast onto the raw feature stream — the corpus-sized side
+    shuffles only for the doc-keyed partial-sum aggregate, never for
+    the ratio join. Bucket counting is map-combined (partial_count
+    before each exchange)."""
+    from hypermap_etl_spark.plans.doc_queries import doc_dsir_weights
+
+    p = _plan(doc_dsir_weights(spark, SF_SMOKE))
+    # the scoring join against the ratio table is a broadcast hash join
+    assert "BroadcastHashJoin [__b" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # every aggregate two-phase: partial before exchange
+    assert p.count("partial_count") >= 2 and "partial_sum" in p
