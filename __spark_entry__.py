@@ -25,11 +25,16 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # reference's core capability, SURVEY §2.9 — VERDICT r3 task 2 asks for
 # a green r4 row for EVERY hm_* query), then the three oracles whose
 # HUGEINT typing was fixed this round, then every remaining
-# never-driver-checked gate. The 47 star rows already green in
-# CORRECTNESS_r03.json and the doc/emb gates green in r2 rotate to the
-# back; the only never-checked gate left outside is events_page_deep
-# (its sibling events_page2 is r3-green and its spillable-window plan
-# shape is pinned by tests/test_plans.py).
+# never-driver-checked gate, plus doc_minhash_pairs — its r2 green row
+# certifies the old explode/groupBy signature implementation, and the
+# r4 map-only rewrite needs a fresh driver row. The 47 star rows
+# already green in CORRECTNESS_r03.json and the other doc/emb gates
+# green in r2 rotate to the back. Never-checked gates left outside
+# (sf0.01 parity-verified, candidates for the r5 window):
+# events_page_deep (sibling events_page2 is r3-green, plan pinned),
+# doc_top_bigrams (plain bigram count, displaced by doc_minhash_pairs),
+# and the two gates added late in r4 (events_user_trend,
+# doc_dsir_weights).
 _WINDOW: list[str] = [
     # hm_* — decode, serving shapes, M1-M9 materialization fold
     "hm_decode_roundtrip",
@@ -67,7 +72,7 @@ _WINDOW: list[str] = [
     "doc_length_percentiles",
     "doc_stratified_sample",
     "doc_weighted_sample",
-    "doc_top_bigrams",
+    "doc_minhash_pairs",
     "doc_packed",
     "doc_train_filter",
     "doc_vocab",

@@ -167,7 +167,11 @@ def cmd_layout(args) -> None:
                     {"file": f, "min": str(lo), "max": str(hi)}
                     for f, lo, hi in file_stats(args.out, cols[0])
                 ],
-                "pruning_factor": round(pruning_factor(args.out, cols[0]), 4),
+                "pruning_factor": (
+                    round(pf, 4)
+                    if (pf := pruning_factor(args.out, cols[0])) is not None
+                    else None  # non-numeric lead column: span undefined
+                ),
             }
         )
     )
@@ -184,6 +188,9 @@ def cmd_dsir(args) -> None:
     target = spark.read.parquet(args.target).select("doc_id", "text")
     w = dsir_weights(raw, target, n_buckets=args.buckets)
     w.write.mode("overwrite").parquet(args.out)
+    # summarize from the (few-KB) written result, not from `w` — whose
+    # lineage would re-run both corpus scans a second time
+    w = spark.read.parquet(args.out)
     stats = w.agg(
         F.count(F.lit(1)).alias("docs"),
         F.round(F.min("dsir_weight"), 4).alias("min"),

@@ -275,9 +275,9 @@ def dsir_weights(
     rows each — thousands, not corpus-sized), one broadcast of the
     log-ratio table back onto the raw feature stream, one per-doc sum.
     The corpus shuffles only doc-keyed partial sums; the two scalar
-    totals are tiny driver actions on pre-aggregated frames. The raw
-    corpus is read TWICE (a counting pass and a scoring pass) — the
-    paper's own shape; a production run would persist the hashed
+    totals are tiny driver actions on the PERSISTED count frames. The
+    raw corpus is read twice (a counting pass and a scoring pass) —
+    the paper's own shape; a production run would persist the hashed
     feature stream between the passes if memory allows. Plan pinned in
     tests/test_plans.py::test_dsir_ratio_table_broadcasts.
     """
@@ -292,11 +292,17 @@ def dsir_weights(
             ).alias("__b"),
         )
 
+    from hypermap_etl_spark.util import tracked_persist
+
     raw_g = grams(raw)
     tgt_g = grams(target)
-    raw_ct = raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    tgt_ct = tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    # totals from the already-aggregated count frames (n_buckets rows)
+    # persist the two n_buckets-row count frames: each is consumed
+    # twice (its total + the ratio join), and without the persist the
+    # total collects AND the scoring job would each re-run the full
+    # corpus gram scan from lineage (3 raw + 2 target passes instead
+    # of the documented one counting pass per corpus)
+    raw_ct = tracked_persist(raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")))
+    tgt_ct = tracked_persist(tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
     t_raw = raw_ct.agg(F.sum("__cr")).collect()[0][0] or 0
     t_tgt = tgt_ct.agg(F.sum("__ct")).collect()[0][0] or 0
     ratio = (

@@ -556,6 +556,30 @@ def kmeans(
 
 # ------------------------------------------------ covariance matrix ----
 
+def _moment_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-pass per-partition moment reduction: each Arrow batch folds
+    to a single (n, sum_x[d], sum_xx[d*d]) row via one BLAS gramian -
+    the shared building block of covariance_matrix and pca_fit. The
+    output is partition-count-sized, never row-sized."""
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "sum_x": [V.sum(axis=0).tolist()],
+                    "sum_xx": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    return emb.select(_vd(vec_col).alias("__v")).mapInPandas(
+        partials, schema="n long, sum_x array<double>, sum_xx array<double>"
+    )
+
+
 def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Distributed d x d population covariance of an embedding column -
     the PCA / whitening building block: cov[i][j] = E[x_i x_j] - mu_i
@@ -577,23 +601,7 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     For wild means, shift by a broadcast first-pass mean before calling.
     """
     dim = len(emb.select(vec_col).first()[0])
-
-    def partials(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(V)],
-                    "sum_x": [V.sum(axis=0).tolist()],
-                    "sum_xx": [(V.T @ V).ravel().tolist()],
-                }
-            )
-
-    parts = emb.select(_vd(vec_col).alias("__v")).mapInPandas(
-        partials, schema="n long, sum_x array<double>, sum_xx array<double>"
-    )
+    parts = _moment_partials(emb, vec_col)
     sums = (
         parts.select("n", F.posexplode("sum_xx").alias("__ij", "__xx"))
         .groupBy("__ij")
@@ -645,12 +653,32 @@ def pca_fit(
     eigen). Sign convention: each component's largest-|weight| entry is
     made positive, so results are deterministic across eigen libraries
     (eigenvectors are defined up to sign).
+
+    ONE corpus pass: the per-partition moment partials (n, sum_x,
+    sum_xx) already hold everything the covariance AND the mean need.
+    The partials frame is persisted (partition-count-sized) and folded
+    elementwise in Spark, so the driver receives O(d²) floats total —
+    independent of the partition count.
     """
-    cov_rows = covariance_matrix(emb, vec_col).collect()
-    dim = max(r["j"] for r in cov_rows) + 1
-    C = np.zeros((dim, dim))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    parts = tracked_persist(_moment_partials(emb, vec_col))
+    n = parts.agg(F.sum("n")).collect()[0][0]
+    if not n:
+        raise ValueError("pca_fit: empty embedding frame")
+
+    def _fold(col: str) -> np.ndarray:
+        rows = (
+            parts.select(F.posexplode(col).alias("__i", "__x"))
+            .groupBy("__i")
+            .agg(F.sum("__x").alias("s"))
+            .orderBy("__i")
+            .collect()
+        )
+        return np.array([r["s"] for r in rows])
+
+    sum_x, sum_xx = _fold("sum_x"), _fold("sum_xx")
+    dim = len(sum_x)
+    mu = sum_x / n
+    C = sum_xx.reshape(dim, dim) / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(C)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps, ev = [], []
@@ -660,15 +688,7 @@ def pca_fit(
             v = -v
         comps.append([float(x) for x in v])
         ev.append(float(vals[idx]))
-    mean_row = (
-        emb.select(F.posexplode(_vd(vec_col)).alias("__d", "__x"))
-        .groupBy("__d")
-        .agg(F.avg("__x").alias("mu"))
-        .orderBy("__d")
-        .collect()
-    )
-    mean = [float(r["mu"]) for r in mean_row]
-    return comps, ev, mean
+    return comps, ev, [float(x) for x in mu]
 
 
 def pca_project(

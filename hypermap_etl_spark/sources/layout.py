@@ -80,15 +80,18 @@ def file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
     return out
 
 
-def pruning_factor(path: str, column: str) -> float:
+def pruning_factor(path: str, column: str) -> float | None:
     """Fraction of files a stats-aware reader can SKIP for a random
     point lookup on ``column``: 1 - avg_file_coverage, where a file's
     coverage is its [min, max] span over the table's span. ~0 for
     interleaved layouts (every file covers everything), → (n-1)/n for
-    perfectly disjoint ranges. Numeric columns only."""
+    perfectly disjoint ranges. Returns None for non-numeric columns
+    (string/binary stats prune too, but a span ratio is undefined)."""
     stats = [(lo, hi) for _, lo, hi in file_stats(path, column) if lo is not None]
     if not stats:
         return 0.0
+    if not all(isinstance(v, (int, float)) for pair in stats for v in pair):
+        return None
     table_lo = min(lo for lo, _ in stats)
     table_hi = max(hi for _, hi in stats)
     span = table_hi - table_lo
