@@ -2251,6 +2251,42 @@ ORDER BY s_suppkey
 
 
 @plan_cache
+def parts_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per brand over retail price — the two
+    relative-rank window functions (the rest of the rank family is
+    gated by parts_size_rank_ties). Values are exact rationals
+    ((rank-1)/(n-1), peers/n) so the 6 dp rounding is engine-stable;
+    ordering inside the window is totally tie-broken by partkey."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+            (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+        )
+        .filter(F.col("p_retailprice") > 1500)
+        .orderBy("p_partkey")
+    )
+
+
+PRICE_PERCENTILES_ORACLE = """
+SELECT * FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+    ROUND(percent_rank() OVER (PARTITION BY p_brand
+      ORDER BY p_retailprice, p_partkey), 6) + 0.0 AS pct_rank,
+    ROUND(cume_dist() OVER (PARTITION BY p_brand
+      ORDER BY p_retailprice, p_partkey), 6) + 0.0 AS cume
+  FROM part
+)
+WHERE p_retailprice > 1500
+ORDER BY p_partkey
+"""
+
+
+@plan_cache
 def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key OLS trend: slope/intercept of value over time for every
     user, via the closed-form normal equations on plain grouped sums —
@@ -2377,6 +2413,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_set_ops": (customer_set_ops, SET_OPS_ORACLE),
     "events_type_bigrams": (events_type_bigrams, BIGRAMS_ORACLE),
     "events_user_trend": (events_user_trend, TREND_ORACLE),
+    "parts_price_percentiles": (parts_price_percentiles, PRICE_PERCENTILES_ORACLE),
     "lineitem_price_histogram": (lineitem_price_histogram, HISTOGRAM_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),
