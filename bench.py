@@ -7,11 +7,13 @@ Query selection covers every engine subsystem: the wide hash aggregate
 + M1-M9 fold, MinHash-LSH dedup, ANN top-k, and (r4) the end-to-end
 curate_pipeline composite — quality filter → MinHash dedup → connected
 components → ExactSubstr span surgery → PII redact → split/chunk/pack/
-shard, with the per-stage count report disabled so only the output
-materialization is measured. The composite dominates the total by
-construction (it runs ~8 operator families end to end), so the JSON
-line also carries core8_total for direct round-over-round comparison
-of the original eight headliners.
+shard, with the report disabled (stage boundaries still materialize
+eagerly — that IS the pipeline's work — but no extra train/chunk count
+jobs run). The composite dominates the total by construction (it runs
+~8 operator families end to end and rebuilds its lineage each run, so
+its number is a COLD composite, unlike the plan-cached single
+queries), so the JSON line also carries core8_total for direct
+round-over-round comparison of the original eight headliners.
 """
 
 from __future__ import annotations
