@@ -124,6 +124,11 @@ def cmd_sql(args) -> None:
     register_views(spark, args.data)
     hm_events_df(spark, args.data).createOrReplaceTempView("hm_events")
     df = spark.sql(args.query).limit(args.limit)
+    if args.explain:
+        # plan-first workflow: inspect pushdown/broadcasts/codegen spans
+        # before paying for execution
+        df.explain(mode=args.explain)
+        return
     for row in df.toJSON().collect():
         print(row)
 
@@ -331,6 +336,9 @@ def main(argv=None) -> None:
     p.add_argument("--data", default="/root/testdata/sf0.001",
                    help="parquet table directory")
     p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--explain", nargs="?", const="formatted", default=None,
+                   choices=["simple", "extended", "codegen", "cost", "formatted"],
+                   help="print the physical plan instead of rows")
     p = sub.add_parser("compact", help="small-file maintenance")
     p.add_argument("--table", default=None, help="events table path")
     p.add_argument("--partition-col", default="block_bucket")
