@@ -1,0 +1,58 @@
+"""Partition-count invariance of the rounded-double gates.
+
+The driver builds its OWN SparkSession, so spark.sql.shuffle.partitions
+may be anything (Spark's default is 200; ours is 32). Integer/decimal
+gates are exact under any partitioning, but gates whose outputs round
+floating-point sums could in principle flip a last digit when the
+summation ORDER changes with the partition count. This pins the
+guarantee empirically at gate scale for every float-rounding gate
+family: identical stringified results at 7, 32, and 200 shuffle
+partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+# every gate whose output includes a ROUND(float-sum) column
+_FLOAT_GATES = [
+    ("star_queries", "events_user_trend"),
+    ("star_queries", "events_value_outliers"),
+    ("star_queries", "events_moving_avg"),
+    ("star_queries", "parts_price_percentiles"),
+    ("doc_queries", "emb_covariance"),
+    ("doc_queries", "doc_unigram_logprob"),
+    ("doc_queries", "doc_dsir_weights"),
+    ("doc_queries", "doc_tfidf_top_terms"),
+    ("doc_queries", "emb_ann_topk"),
+]
+
+
+def _snap(spark, module, name):
+    import importlib
+
+    mod = importlib.import_module(f"hypermap_etl_spark.plans.{module}")
+    fn = getattr(mod, name)
+    # bypass plan_cache: the cached frame would pin the partitioning it
+    # was first planned under
+    inner = getattr(fn, "__wrapped__", fn)
+    df = inner(spark, SF)
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize("module,name", _FLOAT_GATES)
+def test_float_gate_partition_invariant(spark, module, name):
+    from hypermap_etl_spark.util import release_persisted
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        snaps = []
+        for parts in ("7", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            snaps.append(_snap(spark, module, name))
+            release_persisted()
+        assert snaps[0] == snaps[1] == snaps[2], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
