@@ -163,7 +163,7 @@ def cmd_layout(args) -> None:
 
     spark = _spark(args)
     df = spark.read.parquet(args.table)
-    cols = args.cluster_by.split(",")
+    cols = [c.strip() for c in args.cluster_by.split(",")]
     write_clustered(df, args.out, cols, n_files=args.files)
     print(
         json.dumps(

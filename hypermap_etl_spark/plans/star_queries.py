@@ -2299,9 +2299,13 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0..720 here) avoids catastrophic float cancellation in n·Σx²−(Σx)²
     that raw epoch microseconds (~1e15) would hit; the oracle uses the
     same origin so both engines sum the same well-conditioned values.
-    Degenerate keys (all events at one instant) yield NULL slope via
-    NULLIF. Results rounded to 6 decimals on both sides (float sums
-    commute only approximately across partitionings)."""
+    Degenerate keys (all events at one instant) yield NULL slope and
+    intercept — detected on min(x) = max(x), NOT on the denominator
+    reaching exactly 0.0: for n >= 3 float cancellation leaves
+    n·Σx²−(Σx)² at ~1e-13 instead of zero, so a NULLIF(den, 0) guard
+    silently passes rounding noise through as a garbage slope. Results
+    rounded to 6 decimals on both sides (float sums commute only
+    approximately across partitionings)."""
     ev = load_table(spark, sf_dir, "events")
     base_us = 1704067200000000  # 2024-01-01T00:00:00Z
     x = (F.unix_micros(F.col("ts")) - F.lit(base_us)).cast("double") / F.lit(3.6e9)
@@ -2314,11 +2318,14 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__y").alias("__sy"),
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.min("__x").alias("__mnx"),
+        F.max("__x").alias("__mxx"),
     )
     n = F.col("n_events").cast("double")
-    den = F.nullif(
-        n * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
-    )
+    den = F.when(
+        F.col("__mnx") < F.col("__mxx"),
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+    )  # NULL (not rounding noise) when the key has zero time spread
     slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
     # + 0.0 canonicalizes IEEE -0.0 (a slope that rounds to zero can
     # carry a different sign bit per engine; the value hash is
@@ -2338,7 +2345,9 @@ WITH s AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         CASE WHEN MIN(x) < MAX(x)
+              THEN COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) END AS den
   FROM (
     SELECT user_id,
            (epoch_us(ts) - 1704067200000000) / 3.6e9 AS x,
@@ -2348,9 +2357,9 @@ WITH s AS (
   GROUP BY user_id
 )
 SELECT user_id, n_events,
-  ROUND((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0), 6) + 0.0 AS slope,
-  ROUND((sy - ((n_events*sxy - sx*sy) / NULLIF(n_events*sxx - sx*sx, 0)) * sx)
-        / n_events, 6) + 0.0 AS intercept
+  ROUND((n_events*sxy - sx*sy) / den, 6) + 0.0 AS slope,
+  ROUND((sy - ((n_events*sxy - sx*sy) / den) * sx) / n_events, 6) + 0.0
+    AS intercept
 FROM s
 ORDER BY user_id
 """

@@ -85,19 +85,25 @@ def pruning_factor(path: str, column: str) -> float | None:
     point lookup on ``column``: 1 - avg_file_coverage, where a file's
     coverage is its [min, max] span over the table's span. ~0 for
     interleaved layouts (every file covers everything), → (n-1)/n for
-    perfectly disjoint ranges. Returns None for non-numeric columns
+    perfectly disjoint ranges. Files WITHOUT min/max stats can never be
+    skipped, so they count as coverage 1.0 rather than being dropped
+    from the average. Returns None for non-numeric columns
     (string/binary stats prune too, but a span ratio is undefined)."""
-    stats = [(lo, hi) for _, lo, hi in file_stats(path, column) if lo is not None]
+    all_stats = file_stats(path, column)
+    stats = [(lo, hi) for _, lo, hi in all_stats if lo is not None]
     if not stats:
         return 0.0
     if not all(isinstance(v, (int, float)) for pair in stats for v in pair):
         return None
+    n_statless = len(all_stats) - len(stats)
     table_lo = min(lo for lo, _ in stats)
     table_hi = max(hi for _, hi in stats)
     span = table_hi - table_lo
     if span <= 0:
         return 0.0
-    coverage = sum((hi - lo) / span for lo, hi in stats) / len(stats)
+    coverage = (
+        sum((hi - lo) / span for lo, hi in stats) + n_statless
+    ) / len(all_stats)
     return 1.0 - coverage
 
 
