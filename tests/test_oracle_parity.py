@@ -107,6 +107,9 @@ _TZ_SENSITIVE = [
     "events_user_daily",
     "events_retention_cohorts",
     "hm_last_event",
+    # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
+    # session-zone leak would shift every intercept by the zone offset
+    "events_user_trend",
 ]
 
 
