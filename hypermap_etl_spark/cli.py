@@ -159,12 +159,16 @@ def cmd_layout(args) -> None:
         file_stats,
         pruning_factor,
         write_clustered,
+        write_zordered,
     )
 
     spark = _spark(args)
     df = spark.read.parquet(args.table)
     cols = [c.strip() for c in args.cluster_by.split(",")]
-    write_clustered(df, args.out, cols, n_files=args.files)
+    if args.zorder:
+        write_zordered(df, args.out, cols, n_files=args.files)
+    else:
+        write_clustered(df, args.out, cols, n_files=args.files)
     print(
         json.dumps(
             {
@@ -373,6 +377,9 @@ def main(argv=None) -> None:
                    help="comma-separated cluster columns (lead with the "
                         "highest-selectivity filter column)")
     p.add_argument("--files", type=int, default=None, help="target file count")
+    p.add_argument("--zorder", action="store_true",
+                   help="Morton-interleave the (numeric) cluster columns so "
+                        "EVERY column prunes, instead of lexical sort order")
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")

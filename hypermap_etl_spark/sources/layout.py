@@ -111,3 +111,66 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read — named to document that NO special reader is
     needed: pushed filters prune row groups via the same stats."""
     return spark.read.parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over 2+ NUMERIC columns: each column is
+    scaled to a ``bits``-bit bucket over its [min, max] range, then the
+    bucket bits are interleaved. Files clustered by this key are
+    simultaneously range-local in EVERY dimension — each of n files
+    covers ~n^(-1/k) of each column's span — so min/max stats prune
+    point/range queries on ANY of the columns, which one-dimensional
+    sort clustering cannot do (Delta OPTIMIZE ZORDER is this exact
+    construction).
+
+    The per-column min/max come from one tiny aggregate (driver sees
+    2·k floats); the key itself is a pure map-side expression built as
+    a single-parse SQL string (bits·k shift-or terms).
+
+    Returns (key_column, ranges) where ranges maps col -> (min, max).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    ranges = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    terms = []
+    k = len(cols)
+    for j, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = (hi - lo) or 1
+        # bits-bit bucket, clamped to the top bucket at col == max
+        b = (
+            f"least({(1 << bits) - 1}L, CAST(floor((CAST(`{c}` AS DOUBLE) - {lo!r})"
+            f" / {span!r} * {1 << bits}) AS BIGINT))"
+        )
+        terms += [
+            f"(shiftleft(shiftright({b}, {i}) & 1L, {k * i + j}))"
+            for i in range(bits)
+        ]
+    return F.expr(" | ".join(terms)), ranges
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order key of ``cols`` — the
+    multi-dimensional counterpart of write_clustered. Use when queries
+    filter on more than one column; for a single dominant filter
+    column plain sort clustering gives tighter ranges."""
+    key, _ = zorder_key(df, cols)
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
