@@ -219,9 +219,13 @@ def cmd_compact(args) -> None:
         raise SystemExit("compact: at least one of --table / --entries is required")
     spark = _spark(args)
     rep = {}
+    sort_cols = (
+        [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
+    )
     if args.table:
         rep = compact_partitions(
-            spark, args.table, args.partition_col, max_files=args.max_files
+            spark, args.table, args.partition_col, max_files=args.max_files,
+            sort_cols=sort_cols,
         )
     if args.entries:
         rep["entries"] = compact_partitions(
@@ -344,6 +348,9 @@ def main(argv=None) -> None:
                    choices=["simple", "extended", "codegen", "cost", "formatted"],
                    help="print the physical plan instead of rows")
     p = sub.add_parser("compact", help="small-file maintenance")
+    p.add_argument("--sort-by", default=None,
+                   help="comma-separated columns to sort within rewritten "
+                        "partitions (re-tightens row-group min/max stats)")
     p.add_argument("--table", default=None, help="events table path")
     p.add_argument("--partition-col", default="block_bucket")
     p.add_argument("--max-files", type=int, default=8)

@@ -281,6 +281,7 @@ def compact_partitions(
     path: str,
     partition_col: str,
     max_files: int = 8,
+    sort_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for a partitioned table — the maintenance
     job every streaming sink needs: each micro-batch MERGE adds files to
@@ -310,9 +311,19 @@ def compact_partitions(
             return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
         before = sum(counts[v] for v in todo)
         df = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
+        out = df.repartition(len(todo), F.col(partition_col))
+        if sort_cols:
+            # restore intra-file sort clustering while we rewrite
+            # anyway: micro-batch appends interleave arrival order, so
+            # compaction is the free moment to re-tighten the row-group
+            # min/max stats the serving filters prune on. The sort MUST
+            # lead with the partition column: FileFormatWriter requires
+            # its output ordered by the partition columns and inserts
+            # its own (order-destroying) sort when the requirement is
+            # not already met.
+            out = out.sortWithinPartitions(partition_col, *sort_cols)
         (
-            df.repartition(len(todo), F.col(partition_col))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)

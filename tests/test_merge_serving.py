@@ -306,3 +306,38 @@ def test_compaction_respects_merge_lock(spark, tmp_path):
         with pytest.raises(ConcurrentMergeError):
             compact_small_table(spark, side)
     assert compact_small_table(spark, side) == 1
+
+
+def test_compact_partitions_restores_sort_clustering(spark):
+    """With sort_cols, compaction rewrites oversized partitions sorted,
+    so the parquet row-group stats tighten back up (appends arrive in
+    interleaved order). Rows and values must be unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hypermap_etl_spark.operators.merge import (
+        compact_partitions,
+        with_block_bucket,
+    )
+
+    tbl = tempfile.mkdtemp() + "/tbl"
+    # interleaved arrival: blockNumbers 15,14,...,10 across 6 appends
+    for i in reversed(range(6)):
+        with_block_bucket(events_df(spark, [ev(
+            eventType="Mint", blockNumber=10 + i, logIndex=0,
+            parenthash=h(1), childhash=h(10 + i), label=f"a{i}")])).coalesce(
+            1
+        ).write.partitionBy("block_bucket").mode("append").parquet(tbl)
+
+    before = {r["blockNumber"] for r in spark.read.parquet(tbl).collect()}
+    rep = compact_partitions(
+        spark, tbl, "block_bucket", max_files=4, sort_cols=["blockNumber"]
+    )
+    assert rep["files_after"] == 1
+    files = glob.glob(f"{tbl}/block_bucket=0/*.parquet")
+    assert len(files) == 1
+    t = pq.read_table(files[0], columns=["blockNumber"])
+    vals = t.column("blockNumber").to_pylist()
+    assert vals == sorted(vals)  # physically sorted inside the file
+    assert {r["blockNumber"] for r in spark.read.parquet(tbl).collect()} == before
