@@ -209,6 +209,24 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
+def cmd_pca(args) -> None:
+    """Fit a k-component PCA on an embeddings parquet (one corpus
+    pass) and write the per-vector projections; prints the explained
+    variances (similarity.pca_fit / pca_project)."""
+    from hypermap_etl_spark.operators.similarity import pca_fit, pca_project
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    comps, ev, mean = pca_fit(emb, k=args.k, vec_col=args.vec_col)
+    proj = pca_project(emb, comps, mean, vec_col=args.vec_col, id_col=args.id_col)
+    proj.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "k": args.k,
+        "explained_variance": [round(v, 6) for v in ev],
+        "rows": spark.read.parquet(args.out).count(),
+    }))
+
+
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
     (and optionally the hash-bucketed entries table and/or a side table
@@ -387,6 +405,12 @@ def main(argv=None) -> None:
     p.add_argument("--zorder", action="store_true",
                    help="Morton-interleave the (numeric) cluster columns so "
                         "EVERY column prunes, instead of lexical sort order")
+    p = sub.add_parser("pca", help="fit + project PCA over an embeddings parquet")
+    p.add_argument("--embeddings", required=True, help="embeddings parquet")
+    p.add_argument("--out", required=True, help="projections output parquet")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")
@@ -415,7 +439,7 @@ def main(argv=None) -> None:
         "sql": cmd_sql,
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
-        "layout": cmd_layout, "dsir": cmd_dsir,
+        "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "stream": cmd_stream,
     }[args.cmd](args)
 

@@ -183,3 +183,16 @@ def test_cli_layout_and_dsir(spark, capsys):
     # distributions (the smoothing denominators differ by < 1e-7)
     assert rep["docs"] == 500 and rep["min"] == 0.0 and rep["max"] == 0.0
     assert spark.read.parquet(wout).count() == 500
+
+
+def test_cli_pca(spark, capsys):
+    out = tempfile.mkdtemp() + "/proj"
+    main([
+        "pca", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out, "--k", "3",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 500 and len(rep["explained_variance"]) == 3
+    ev = rep["explained_variance"]
+    assert ev == sorted(ev, reverse=True) and ev[-1] > 0
+    assert spark.read.parquet(out).columns == ["vec_id", "p0", "p1", "p2"]
