@@ -247,7 +247,8 @@ def cmd_compact(args) -> None:
         )
     if args.entries:
         rep["entries"] = compact_partitions(
-            spark, args.entries, "entry_bucket", max_files=args.max_files
+            spark, args.entries, "entry_bucket", max_files=args.max_files,
+            sort_cols=sort_cols,
         )
     if args.side_table:
         rep["side_table_rows"] = compact_small_table(spark, args.side_table)

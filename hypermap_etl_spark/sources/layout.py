@@ -127,20 +127,43 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     2·k floats); the key itself is a pure map-side expression built as
     a single-parse SQL string (bits·k shift-or terms).
 
+    ``bits`` is capped at 63 // k so every interleaved bit position
+    stays below 63: Spark's shiftleft masks the shift amount mod 64
+    (Java semantics), so an overflowing position would silently wrap
+    onto another column's low bits and destroy locality rather than
+    error. Raises ValueError for empty/all-null input or non-numeric
+    columns (Decimal widens to float for the bucket scaling).
+
     Returns (key_column, ranges) where ranges maps col -> (min, max).
     """
+    from decimal import Decimal
+
     from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key: need at least one column")
+    bits = min(bits, 63 // k)
 
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     row = df.agg(*aggs).collect()[0]
-    ranges = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    ranges = {}
+    for c in cols:
+        lo, hi = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(f"zorder_key: column {c!r} has no non-null values")
+        if not isinstance(lo, (int, float, Decimal)):
+            raise ValueError(
+                f"zorder_key: column {c!r} is {type(lo).__name__}-valued; "
+                "z-ordering needs numeric columns"
+            )
+        ranges[c] = (float(lo), float(hi))
     terms = []
-    k = len(cols)
     for j, c in enumerate(cols):
         lo, hi = ranges[c]
-        span = (hi - lo) or 1
+        span = (hi - lo) or 1.0
         # bits-bit bucket, clamped to the top bucket at col == max
         b = (
             f"least({(1 << bits) - 1}L, CAST(floor((CAST(`{c}` AS DOUBLE) - {lo!r})"
@@ -166,11 +189,14 @@ def write_zordered(
     column plain sort clustering gives tighter ranges."""
     key, _ = zorder_key(df, cols)
     n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    zc = "__z"
+    while zc in df.columns:  # never shadow (and then drop) a user column
+        zc += "_"
     (
-        df.withColumn("__z", key)
-        .repartitionByRange(n, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        df.withColumn(zc, key)
+        .repartitionByRange(n, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
         .write.mode(mode)
         .parquet(path)
     )

@@ -84,3 +84,27 @@ def test_zorder_prunes_both_dimensions(spark, events, tmp_path_factory):
 
     # layout only — same rows come back
     assert read_pruned(spark, zpath).count() == events.count()
+
+
+def test_zorder_key_guards(spark, events):
+    """bits caps at 63 // k (shiftleft wraps mod 64 past bit 63);
+    non-numeric / all-null columns raise a diagnostic error instead of
+    producing a corrupt key or a bare TypeError."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.sources.layout import zorder_key
+
+    # 5 columns: 16 requested bits must be capped to 12 -> max position
+    # k*(bits-1)+k-1 = 59 < 63, and the key builds + evaluates fine
+    five = events.select(
+        "user_id", "value", "event_id",
+        (F.col("event_id") % 7).alias("m7"),
+        (F.col("event_id") % 3).alias("m3"),
+    )
+    key, _ = zorder_key(five, ["user_id", "value", "event_id", "m7", "m3"])
+    assert five.select(key.alias("z")).filter("z < 0").count() == 0
+
+    with pytest.raises(ValueError, match="str-valued"):
+        zorder_key(events, ["event_type"])
+    with pytest.raises(ValueError, match="no non-null"):
+        zorder_key(events.filter("event_id < 0"), ["user_id"])
