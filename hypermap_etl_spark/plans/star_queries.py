@@ -2251,6 +2251,41 @@ ORDER BY s_suppkey
 
 
 @plan_cache
+def orders_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (median + p90 of order value per
+    status) via F.percentile — the sort-based exact aggregate, the
+    complement of the MERGEABLE sampled-quantile sketch
+    (events_sampled_quantiles): exact answers when a per-group sort is
+    affordable, sketches when it is not. Linear interpolation between
+    adjacent order statistics is the same formula in both engines
+    (percentile_cont); 6 dp rounding absorbs the one multiply of float
+    noise."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT o_orderstatus,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+    AS median_price,
+  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6)
+    AS p90_price,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@plan_cache
 def parts_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per brand over retail price — the two
     relative-rank window functions (the rest of the rank family is
@@ -2423,6 +2458,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_bigrams": (events_type_bigrams, BIGRAMS_ORACLE),
     "events_user_trend": (events_user_trend, TREND_ORACLE),
     "parts_price_percentiles": (parts_price_percentiles, PRICE_PERCENTILES_ORACLE),
+    "orders_median_price": (orders_median_price, MEDIAN_ORACLE),
     "lineitem_price_histogram": (lineitem_price_histogram, HISTOGRAM_ORACLE),
     "customer_nation_stats": (customer_nation_stats, CUSTNATION_ORACLE),
     "orders_with_big_lineitem": (orders_with_big_lineitem, SEMI_ORACLE),

@@ -22,6 +22,7 @@ _FLOAT_GATES = [
     ("star_queries", "events_value_outliers"),
     ("star_queries", "events_moving_avg"),
     ("star_queries", "parts_price_percentiles"),
+    ("star_queries", "orders_median_price"),
     ("doc_queries", "emb_covariance"),
     ("doc_queries", "doc_unigram_logprob"),
     ("doc_queries", "doc_dsir_weights"),
