@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from pyspark.sql import functions as F
 
@@ -240,15 +241,33 @@ def cmd_compact(args) -> None:
     sort_cols = (
         [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
     )
+
+    def _valid_sort_cols(path: str) -> list[str] | None:
+        # --sort-by applies to BOTH tables; a column present in only one
+        # schema must not abort the second rewrite after the first table
+        # was already rewritten (partial maintenance run). Skip absent
+        # columns per-table with a warning instead.
+        if not sort_cols:
+            return None
+        schema_cols = set(spark.read.parquet(path).columns)
+        missing = [c for c in sort_cols if c not in schema_cols]
+        if missing:
+            print(
+                f"compact: skipping sort column(s) {missing} absent from "
+                f"{path}", file=sys.stderr,
+            )
+        kept = [c for c in sort_cols if c in schema_cols]
+        return kept or None
+
     if args.table:
         rep = compact_partitions(
             spark, args.table, args.partition_col, max_files=args.max_files,
-            sort_cols=sort_cols,
+            sort_cols=_valid_sort_cols(args.table),
         )
     if args.entries:
         rep["entries"] = compact_partitions(
             spark, args.entries, "entry_bucket", max_files=args.max_files,
-            sort_cols=sort_cols,
+            sort_cols=_valid_sort_cols(args.entries),
         )
     if args.side_table:
         rep["side_table_rows"] = compact_small_table(spark, args.side_table)

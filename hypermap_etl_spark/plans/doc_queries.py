@@ -1161,28 +1161,41 @@ ORDER BY vec_id
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroids (class prototypes / IVF coarse quantizer)."""
-    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings")).orderBy(
-        "label"
-    )
+    """Per-label centroids (class prototypes / IVF coarse quantizer),
+    flattened to one (label, n_vecs, dim, m) row per component.
+
+    The operator returns `centroid array<double>`; the GATE explodes it
+    because the driver's canonicalizer sorts results in pandas and
+    crashes on unhashable array cells (the r4 red rows). Same convention
+    as emb_covariance's (i, j, cov) rows."""
+    cent = similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "m")
+    ).orderBy("label", "dim")
 
 
 LABEL_CENTROIDS_ORACLE = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT label, i - 1 AS dim, v[i] AS x
       FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
-c AS (SELECT label, dim, ROUND(AVG(x), 6) + 0.0 AS m FROM d GROUP BY label, dim),
-cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM c GROUP BY label),
+c AS (SELECT label, CAST(dim AS INT) AS dim, ROUND(AVG(x), 6) + 0.0 AS m
+      FROM d GROUP BY label, dim),
 n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
-SELECT label, centroid, n_vecs FROM cent JOIN n USING (label) ORDER BY label
+SELECT c.label, n.n_vecs, c.dim, c.m
+FROM c JOIN n ON c.label = n.label
+ORDER BY c.label, c.dim
 """
 
 
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector int8 min/max quantization (4× ANN index compression)."""
-    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings")).orderBy(
-        "vec_id"
-    )
+    """Per-vector int8 min/max quantization (4× ANN index compression),
+    flattened to one (vec_id, q_min, q_scale, dim, q_i) row per
+    component — the operator's `q array<bigint>` is exploded at the
+    gate because the driver's canonicalizer cannot hash array cells."""
+    q = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "q_min", "q_scale", F.posexplode("q").alias("dim", "q_i")
+    ).orderBy("vec_id", "dim")
 
 
 QUANTIZE_ORACLE = """
@@ -1191,14 +1204,15 @@ m AS (
   SELECT vec_id, v, list_min(v) AS mn,
          (list_max(v) - list_min(v)) / 255.0 AS s
   FROM e
+),
+x AS (
+  SELECT vec_id, ROUND(mn, 6) AS q_min, ROUND(s, 9) AS q_scale,
+         CAST(i - 1 AS INT) AS dim,
+         CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((v[i] - mn) / s, 0) AS BIGINT) END AS q_i
+  FROM (SELECT vec_id, v, mn, s, unnest(range(1, len(v) + 1)) AS i FROM m)
 )
-SELECT vec_id,
-  ROUND(mn, 6) AS q_min,
-  ROUND(s, 9) AS q_scale,
-  CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-       ELSE list_transform(v, x -> CAST(round((x - mn) / s, 0) AS BIGINT))
-  END AS q
-FROM m ORDER BY vec_id
+SELECT vec_id, q_min, q_scale, dim, q_i FROM x ORDER BY vec_id, dim
 """
 
 

@@ -59,13 +59,52 @@ def write_clustered(
 def file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
     """Per-file (name, min, max) of ``column`` from the parquet footers
     — the exact statistics a stats-aware reader prunes on. Pure
-    metadata: reads footers only, never row data."""
+    metadata: reads footers only, never row data.
+
+    Recurses into directory-partitioned tables (names are paths
+    relative to ``path``); Spark metadata dirs/files (``_``-prefixed)
+    are skipped. Raises when no parquet file is found at all, so a
+    wrong path reports an error instead of a silent "no pruning"."""
     import pyarrow.parquet as pq
 
+    rel_files: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for name in filenames:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                rel_files.append(
+                    os.path.relpath(os.path.join(dirpath, name), path)
+                )
+    if not rel_files:
+        raise FileNotFoundError(
+            f"file_stats: no *.parquet files under {path!r} (wrong path, "
+            f"or a table with no data files)"
+        )
+    from decimal import Decimal
+
+    def _minmax(stats):
+        try:
+            return stats.min, stats.max
+        except Exception:
+            # pyarrow cannot logically decode every stat (notably
+            # Spark-written DECIMAL backed by INT32/INT64/FLBA physical
+            # stats) — decode the raw unscaled values ourselves.
+            lt = str(stats.logical_type or "")
+            if lt.startswith("Decimal"):
+                scale = int(lt.split("scale=")[1].rstrip(")"))
+                vals = []
+                for raw in (stats.min_raw, stats.max_raw):
+                    unscaled = (
+                        int.from_bytes(raw, "big", signed=True)
+                        if isinstance(raw, bytes)
+                        else int(raw)
+                    )
+                    vals.append(Decimal(unscaled).scaleb(-scale))
+                return tuple(vals)
+            return None, None
+
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in sorted(rel_files):
         meta = pq.read_metadata(os.path.join(path, name))
         idx = meta.schema.names.index(column)
         lo, hi = None, None
@@ -74,8 +113,12 @@ def file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
             if stats is None or not stats.has_min_max:
                 lo = hi = None
                 break
-            lo = stats.min if lo is None else min(lo, stats.min)
-            hi = stats.max if hi is None else max(hi, stats.max)
+            mn, mx = _minmax(stats)
+            if mn is None:
+                lo = hi = None
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
         out.append((name, lo, hi))
     return out
 
@@ -89,12 +132,20 @@ def pruning_factor(path: str, column: str) -> float | None:
     skipped, so they count as coverage 1.0 rather than being dropped
     from the average. Returns None for non-numeric columns
     (string/binary stats prune too, but a span ratio is undefined)."""
+    from decimal import Decimal
+
     all_stats = file_stats(path, column)
     stats = [(lo, hi) for _, lo, hi in all_stats if lo is not None]
     if not stats:
         return 0.0
-    if not all(isinstance(v, (int, float)) for pair in stats for v in pair):
+    # Decimal counts as numeric (zorder_key accepts Decimal cluster
+    # columns, so its stats must be measurable too); coerce to float
+    # for the span math.
+    if not all(
+        isinstance(v, (int, float, Decimal)) for pair in stats for v in pair
+    ):
         return None
+    stats = [(float(lo), float(hi)) for lo, hi in stats]
     n_statless = len(all_stats) - len(stats)
     table_lo = min(lo for lo, _ in stats)
     table_hi = max(hi for _, hi in stats)
@@ -145,9 +196,22 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
         raise ValueError("zorder_key: need at least one column")
     bits = min(bits, 63 // k)
 
+    dtypes = dict(df.dtypes)
+    float_cols = {c for c in cols if dtypes.get(c) in ("float", "double")}
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        # NaN sorts ABOVE every double in Spark, so a single NaN row
+        # would otherwise poison max() (and then every span). Ranges
+        # come from the non-NaN values only; NaN rows are clamped to
+        # the top bucket below. Only float/double can carry NaN — the
+        # isnan probe must not touch other types (an ANSI string cast
+        # would error before the non-numeric ValueError guard fires).
+        v = (
+            F.when(~F.isnan(F.col(c)), F.col(c))
+            if c in float_cols
+            else F.col(c)
+        )
+        aggs += [F.min(v).alias(f"__mn_{c}"), F.max(v).alias(f"__mx_{c}")]
     row = df.agg(*aggs).collect()[0]
     ranges = {}
     for c in cols:
@@ -164,9 +228,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     for j, c in enumerate(cols):
         lo, hi = ranges[c]
         span = (hi - lo) or 1.0
-        # bits-bit bucket, clamped to the top bucket at col == max
+        # bits-bit bucket, clamped to the top bucket at col == max.
+        # nanvl maps NaN rows to the column max (top bucket) BEFORE the
+        # floor(): floor(NaN) is NULL under default mode and a runtime
+        # error under ANSI — either way nondeterministic vs config,
+        # unlike the explicit null/non-numeric ValueError guards.
         b = (
-            f"least({(1 << bits) - 1}L, CAST(floor((CAST(`{c}` AS DOUBLE) - {lo!r})"
+            f"least({(1 << bits) - 1}L, CAST(floor((nanvl(CAST(`{c}` AS DOUBLE),"
+            f" {hi!r}D) - {lo!r})"
             f" / {span!r} * {1 << bits}) AS BIGINT))"
         )
         terms += [

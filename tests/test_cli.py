@@ -89,6 +89,16 @@ def test_cli_stream_index_mode(spark, capsys):
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["entries"]["partitions_compacted"] >= 0
 
+    # --sort-by with a column present only in the EVENTS table must not
+    # abort the entries rewrite (partial maintenance run): the absent
+    # column is skipped per-table with a warning, both reports print
+    main(["compact", "--table", tbl, "--entries", ent,
+          "--sort-by", "blockNumber"])
+    captured = capsys.readouterr()
+    comp2 = json.loads(captured.out.strip().splitlines()[-1])
+    assert "entries" in comp2  # second rewrite ran
+    assert "skipping sort column" in captured.err
+
 
 def test_cli_curate_end_to_end(spark, capsys):
     """The curate pipeline over the fixture documents: writes both

@@ -108,3 +108,69 @@ def test_zorder_key_guards(spark, events):
         zorder_key(events, ["event_type"])
     with pytest.raises(ValueError, match="no non-null"):
         zorder_key(events.filter("event_id < 0"), ["user_id"])
+
+
+def test_zorder_key_nan_rows_clamp_to_top_bucket(spark):
+    """A NaN cluster value must neither poison the max() range nor make
+    the Morton key NULL (floor(NaN) is NULL under default mode, a
+    runtime error under ANSI): NaN rows clamp deterministically to the
+    top bucket, and non-NaN rows keep the NaN-free ranges."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.sources.layout import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 10).cast("double").alias("y"),
+    ).union(
+        spark.sql("SELECT CAST('NaN' AS DOUBLE) AS x, 5.0D AS y")
+    )
+    key, ranges = zorder_key(df, ["x", "y"])
+    # ranges exclude the NaN row
+    assert ranges["x"] == (0.0, 99.0)
+    out = df.withColumn("z", key)
+    assert out.filter("z IS NULL").count() == 0
+    # the NaN row lands exactly where x == max(x) would
+    z_nan = out.filter(F.isnan("x")).select("z").collect()[0][0]
+    z_max = (
+        spark.sql("SELECT 99.0D AS x, 5.0D AS y")
+        .withColumn("z", key)
+        .collect()[0]["z"]
+    )
+    assert z_nan == z_max
+
+
+def test_file_stats_recurses_partitioned_dirs_and_errors_on_empty(
+    spark, events, tmp_path_factory
+):
+    """A directory-partitioned table must report real per-file stats
+    (not a silent empty list → pruning_factor 0.0), and a path with no
+    parquet at all must raise instead of misreporting 'no pruning'."""
+    base = tmp_path_factory.mktemp("layout3")
+    part = str(base / "partitioned")
+    events.limit(200).write.partitionBy("event_type").parquet(part)
+
+    stats = file_stats(part, "user_id")
+    assert stats, "partition subdirectories must be recursed"
+    assert all("=" in name for name, _, _ in stats)  # relative paths
+    assert pruning_factor(part, "user_id") is not None
+
+    empty = base / "empty"
+    empty.mkdir()
+    (empty / "sub").mkdir()
+    with pytest.raises(FileNotFoundError, match="no \\*.parquet"):
+        file_stats(str(empty), "user_id")
+
+
+def test_pruning_factor_handles_decimal_stats(spark, tmp_path_factory):
+    """Decimal-typed parquet stats are numeric for the span math
+    (zorder_key accepts Decimal cluster columns — the two must agree)."""
+    from hypermap_etl_spark.sources.layout import write_clustered
+
+    path = str(tmp_path_factory.mktemp("layout4") / "dec")
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id AS DECIMAL(12,2)) AS price"
+    )
+    write_clustered(df, path, ["price"], n_files=8)
+    pf = pruning_factor(path, "price")
+    assert pf is not None and pf > 0.8, pf

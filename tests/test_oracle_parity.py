@@ -136,6 +136,40 @@ def test_timestamp_gates_are_timezone_independent(spark, duck, name):
     assert sset == oset, f"{name}: values drift under a non-UTC session"
 
 
+def _assert_scalar_schema(name: str, schema) -> None:
+    """The driver's canonicalizer sorts result rows in pandas; an
+    ArrayType/MapType/StructType cell is unhashable there and crashes
+    the gate regardless of values (r4: emb_label_centroids,
+    emb_quantize). Gates must flatten collections to scalar rows
+    (emb_covariance pattern) or sorted strings (entries_flat)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{f.name}: top-level {f.dataType.simpleString()} — the "
+            f"driver canonicalizer cannot hash collection cells; flatten the "
+            f"gate output to scalar columns"
+        )
+
+
+def test_no_gate_emits_collection_columns(spark):
+    """Registry-wide: every queries() entry must emit only scalar
+    top-level columns (VERDICT r4 task 2 — this shape class reached the
+    driver unseen twice in a row)."""
+    for name, fn in entrymod.queries().items():
+        _assert_scalar_schema(name, fn(spark, SF_SMOKE).schema)
+
+
+def test_scalar_schema_check_rejects_array_gate(spark):
+    """The checker itself must trip on an intentionally array-valued
+    output, so a future array gate cannot pass the mirror."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("a"))
+    with pytest.raises(AssertionError, match="collection cells"):
+        _assert_scalar_schema("selftest", df.schema)
+
+
 def test_driver_window_runs_in_order(spark):
     """Execute the driver's 50-query window in ITS order in one session
     — the driver's exact pattern, which alphabetical parity runs don't
