@@ -21,75 +21,82 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 
 # The driver's correctness gate runs only the FIRST 50 queries() entries
 # (dict order), so ordering is evidence policy: lead with the gates that
-# lack a green driver row. Round-4 window: the full hm_* fold (the
-# reference's core capability, SURVEY §2.9 — VERDICT r3 task 2 asks for
-# a green r4 row for EVERY hm_* query), then the three oracles whose
-# HUGEINT typing was fixed this round, then every remaining
-# never-driver-checked gate, plus doc_minhash_pairs — its r2 green row
-# certifies the old explode/groupBy signature implementation, and the
-# r4 map-only rewrite needs a fresh driver row. The 47 star rows
-# already green in CORRECTNESS_r03.json and the other doc/emb gates
-# green in r2 rotate to the back. Never-checked gates left outside
-# (sf0.01 parity-verified, candidates for the r5 window):
-# events_page_deep (sibling events_page2 is r3-green, plan pinned),
-# doc_top_bigrams (plain bigram count, displaced by doc_minhash_pairs),
-# and the two gates added late in r4 (events_user_trend,
-# doc_dsir_weights).
+# lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
+# two r4-red gates, now flattened to scalar columns (emb_label_centroids,
+# emb_quantize), plus the new emb_lsh_recall property gate; then the six
+# gates never yet in any driver window; then the 17 gates whose only
+# green row is the r2 artifact (oldest evidence); the remaining 24 slots
+# re-certify r3-green gates, preferring families whose shared
+# infrastructure (windows, sketches, pagination utils, join strategies)
+# was touched in r4/r5. Gates left outside are all r4-green
+# (CORRECTNESS_r04.json) plus the r3-green remainder — every registered
+# gate has a green driver row in some round once this window lands.
 _WINDOW: list[str] = [
-    # hm_* — decode, serving shapes, M1-M9 materialization fold
-    "hm_decode_roundtrip",
-    "hm_enrich_format",
-    "hm_status_counts",
-    "hm_last_event",
-    "hm_events_page2",
-    "hm_entry_history",
-    "hm_get_entry",
-    "hm_entries",
-    "hm_fullnames",
-    "hm_subtree_sizes",
-    "hm_descendants",
-    # red in r3 (oracle typing), fixed this round — need green rows
-    "q12_priority_shipping",
-    "events_type_pivot",
-    "events_type_unpivot",
-    # never driver-checked in any round
-    "lineitem_price_histogram",
-    "lineitem_profile",
-    "events_cms_counts",
-    "events_lead_lag_ntile",
-    "customer_fuzzy_pairs",
-    "doc_dup_clusters",
-    "doc_dedup_survivors",
-    "doc_dedup_best",
-    "doc_dup_spans",
-    "doc_despanned",
-    "doc_split",
-    "doc_temperature_mix",
-    "doc_chunks",
-    "doc_tfidf_top_terms",
-    "doc_unigram_logprob",
-    "doc_bm25_search",
-    "doc_length_percentiles",
-    "doc_stratified_sample",
-    "doc_weighted_sample",
-    "doc_minhash_pairs",
-    "doc_packed",
-    "doc_train_filter",
-    "doc_vocab",
-    "doc_source_mix",
-    "doc_source_caps",
-    "doc_shards",
-    "doc_repetition",
-    "doc_pii_tags",
-    "doc_pii_redact",
-    "doc_decontam",
-    "doc_segment_dedup",
-    "media_metadata",
-    "emb_semantic_survivors",
+    # r4-red, flattened this round — need green rows (VERDICT task 1)
     "emb_label_centroids",
     "emb_quantize",
-    "emb_covariance",
+    # new this round: banded-LSH recall property gate (VERDICT task 5)
+    "emb_lsh_recall",
+    # never driver-checked in any round
+    "doc_dsir_weights",
+    "doc_top_bigrams",
+    "events_page_deep",
+    "events_user_trend",
+    "orders_median_price",
+    "parts_price_percentiles",
+    # oldest evidence: green only in the r2 artifact
+    "customer_nation_stats",
+    "orders_with_big_lineitem",
+    "nations_without_customers",
+    "top_orders_denorm",
+    "parts_size_filter",
+    "activity_union",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_ngram_pairs",
+    "doc_simhash_pairs",
+    "doc_simhash_sigs",
+    "emb_ann_topk",
+    "emb_neardup",
+    "emb_knn_label",
+    # r3-green re-certification
+    "q4_order_priority",
+    "q6_revenue_delta",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "orders_rollup",
+    "orders_cube",
+    "top3_customers_per_segment",
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_asof_join",
+    "events_interval_counts",
+    "events_salted_counts",
+    "events_kmv_users",
+    "events_bloom_probe",
+    "events_sampled_quantiles",
+    "events_moving_avg",
+    "events_retention_cohorts",
 ]
+
+# Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
+# 50 slots, no duplicates, and every name registered — a typo'd name
+# must fail HERE, not silently fall through to the back via the
+# dict-merge fallback below.
+assert len(_WINDOW) == 50, f"driver checks exactly 50 queries, got {len(_WINDOW)}"
+assert len(set(_WINDOW)) == len(_WINDOW), "window contains duplicates"
+_unregistered = [n for n in _WINDOW if n not in _MERGED]
+assert not _unregistered, f"window names not registered: {_unregistered}"
 
 _ALL: dict[str, tuple] = {name: _MERGED[name] for name in _WINDOW}
 _ALL.update({k: v for k, v in _MERGED.items() if k not in _ALL})

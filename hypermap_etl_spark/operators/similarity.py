@@ -320,6 +320,112 @@ def lsh_topk(
     )
 
 
+def lsh_topk_banded(
+    emb: DataFrame,
+    k: int = 5,
+    r: int = 4,
+    b: int = 16,
+    dim: int = 64,
+    query_filter: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k with OR-amplified (banded) SRP candidates —
+    the recall-tunable scale path.
+
+    ``lsh_topk``'s single 2^n_planes bucket prunes hardest but a true
+    neighbor must agree on EVERY plane sign to be found (recall ~10%
+    on the 64-dim gate fixtures). Banding flips the failure mode:
+    b bands of r bits each, a candidate only needs to match ONE whole
+    band (miss probability (1-p^r)^b — the srp_banding math), then
+    candidates are scored exactly and ranked. Same construction as
+    srp_neardup_pairs, specialized to per-query top-k.
+
+    Scale shape: signatures are one Arrow matmul per batch; the
+    candidate step is an equi-join on (band, value) — shuffle
+    partitioned by band value, linear in corpus size, never a
+    cartesian; per-query candidate sets stay ~b·n/2^r.
+    """
+    planes = _hyperplanes(dim, r * b)
+    nemb = with_norm(fan_out(emb), vec_col)
+    is_q = (query_filter if query_filter is not None else F.lit(True)).alias(
+        "is_q"
+    )
+    sigs = tracked_persist(
+        nemb.select(
+            F.col(id_col).alias("id"),
+            _vd(vec_col).alias("v"),
+            F.col("__norm").alias("n"),
+            _srp_bands_udf(planes, r, b)(_vd(vec_col)).alias("bands"),
+            is_q,
+        )
+    )
+    banded = sigs.select("id", "is_q", F.posexplode("bands").alias("band", "val"))
+    qb = banded.filter("is_q").select(
+        F.col("id").alias("query_id"), "band", "val"
+    )
+    cand = (
+        qb.join(
+            banded.select(F.col("id").alias("neighbor_id"), "band", "val"),
+            ["band", "val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = sigs.filter("is_q").select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cv = sigs.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    scored = cand.join(qv, "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", sim
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Mean recall@k of an approximate top-k result against the exact
+    one: a single (n_queries, recall) row.
+
+    Queries come from the EXACT side (an approx method that returns no
+    rows for a query scores 0, not "absent"); hits are the intersection
+    of (query_id, neighbor_id) pairs. Both inputs are small top-k
+    frames (≤ queries·k rows), so the join is cheap at any corpus
+    scale.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__h")
+    )
+    per_q = (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(float(k))).alias("__r")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("__r"), 4).alias("recall"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,

@@ -1216,6 +1216,34 @@ SELECT vec_id, q_min, q_scale, dim, q_i FROM x ORDER BY vec_id, dim
 """
 
 
+def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the banded-SRP approximate top-k (lsh_topk_banded,
+    r=4 b=32) against the exact brute-force top-k, as one
+    (n_queries, recall_ok) row.
+
+    The approximate side is not SQL-expressible (md5 hyperplanes +
+    Arrow matmul signatures), so the driver gates a DERIVED
+    deterministic property instead: the oracle reproduces the query
+    count and asserts the recall threshold as a literal — the value
+    hash only matches if Spark's banded index actually achieves
+    recall ≥ 0.9 (measured 0.976 at sf0.001 and sf0.01; the operator
+    and hyperplanes are fully deterministic, so this is stable, not
+    flaky)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.lsh_topk_banded(emb, k=5, r=4, b=32, query_filter=qf)
+    return similarity.topk_recall(exact, approx, 5).select(
+        "n_queries", (F.col("recall") >= 0.9).alias("recall_ok")
+    )
+
+
+LSH_RECALL_ORACLE = """
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label vote over the exact top-5 neighbors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1422,6 +1450,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_semantic_survivors": (emb_semantic_survivors, SEMANTIC_SURVIVORS_ORACLE),
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
+    "emb_lsh_recall": (emb_lsh_recall, LSH_RECALL_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
 }

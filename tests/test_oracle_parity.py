@@ -170,6 +170,26 @@ def test_scalar_schema_check_rejects_array_gate(spark):
         _assert_scalar_schema("selftest", df.schema)
 
 
+def test_window_rotation_invariants():
+    """The window is exactly the driver's 50 slots, duplicate-free, and
+    every name registered; a typo'd name must fail at import time
+    instead of silently falling through to the back of the dict-merge
+    (VERDICT r4 task 7)."""
+    import pathlib
+
+    w = entrymod._WINDOW
+    qs = entrymod.queries()
+    assert len(w) == 50 and len(set(w)) == 50
+    assert all(n in qs for n in w)
+
+    src = pathlib.Path(entrymod.__file__).read_text()
+    needle = f'"{w[0]}",'
+    assert needle in src
+    bad = src.replace(needle, f'"{w[0]}_TYPO",', 1)
+    with pytest.raises(AssertionError, match="not registered"):
+        exec(compile(bad, "<window-typo-selftest>", "exec"), {"__name__": "_t"})
+
+
 def test_driver_window_runs_in_order(spark):
     """Execute the driver's 50-query window in ITS order in one session
     — the driver's exact pattern, which alphabetical parity runs don't

@@ -117,6 +117,41 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert ahits >= 60  # bucketed recall is high for planted twins
 
 
+def test_lsh_topk_banded_beats_single_bucket(spark):
+    """OR-amplified banding must dominate the single-bucket index on
+    real (non-planted) fixture vectors, where single-bucket recall
+    collapses (a true neighbor must match EVERY plane sign), and clear
+    the gate threshold with margin."""
+    from hypermap_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    banded = similarity.lsh_topk_banded(emb, k=5, r=4, b=32, query_filter=qf)
+    single = similarity.lsh_topk(emb, k=5, n_planes=8, query_filter=qf)
+    r_banded = similarity.topk_recall(exact, banded, 5).collect()[0]["recall"]
+    r_single = similarity.topk_recall(exact, single, 5).collect()[0]["recall"]
+    assert r_banded >= 0.9, r_banded  # the emb_lsh_recall gate threshold
+    assert r_banded > r_single + 0.5, (r_banded, r_single)
+
+
+def test_topk_recall_exact_and_partial(spark):
+    """recall is 1.0 when approx == exact; missing queries score 0 and
+    partial overlaps score |hit|/k — queries come from the exact side."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    assert similarity.topk_recall(exact, exact, 2).collect()[0].asDict() == {
+        "n_queries": 2, "recall": 1.0,
+    }
+    # query 1: one of two hit; query 2: absent from approx -> 0
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (3, 30)], "query_id long, neighbor_id long"
+    )
+    row = similarity.topk_recall(exact, approx, 2).collect()[0]
+    assert row["n_queries"] == 2 and row["recall"] == 0.25
+
+
 def test_srp_neardup_matches_exact(spark):
     """Banded-SRP candidates + exact verify must reproduce the exact
     all-pairs result on the gate fixture (recall target 1e-6 miss)."""
