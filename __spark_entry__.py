@@ -36,7 +36,9 @@ _WINDOW: list[str] = [
     "emb_label_centroids",
     "emb_quantize",
     # new this round: banded-LSH recall property gate (VERDICT task 5)
+    # and char-grain ExactSubstr spans (VERDICT task 4)
     "emb_lsh_recall",
+    "doc_dup_char_spans",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -86,7 +88,6 @@ _WINDOW: list[str] = [
     "events_bloom_probe",
     "events_sampled_quantiles",
     "events_moving_avg",
-    "events_retention_cohorts",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -629,6 +629,147 @@ def dup_token_spans(
     )
 
 
+def _rolling_window_hashes(text_col: str, id_col: str, id_type: str, L: int):
+    """mapInPandas generator factory: 62-bit double-modulus polynomial
+    rolling hash of EVERY ``L``-char window of each document.
+
+    One numpy pass per hash term (O(L) vectorized passes per batch, no
+    per-position Python); characters are Unicode code points
+    (utf-32-le reinterpret), matching Python/SQL substr indexing.
+    Emits (id, pos, h) with 1-indexed char positions and int64 keys —
+    4x smaller shuffled rows than md5 strings, and hash quality does
+    not matter for correctness (callers re-verify on raw text).
+    """
+    M1, B1 = 1_000_000_007, 131
+    M2, B2 = 998_244_353, 137
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                n = len(s)
+                if n < L:
+                    continue
+                c = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = n - L + 1
+                h1 = np.zeros(m, dtype=np.int64)
+                h2 = np.zeros(m, dtype=np.int64)
+                for j in range(L):
+                    w = c[j : j + m]
+                    h1 = (h1 * B1 + w) % M1
+                    h2 = (h2 * B2 + w) % M2
+                ids.append(np.full(m, did))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                hs.append(h1 * M2 + h2)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "__h": np.concatenate(hs),
+                    }
+                )
+
+    return gen, f"{id_col} {id_type}, pos long, __h long"
+
+
+def dup_char_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated CHARACTER spans — ExactSubstr at the grain of
+    Lee et al. 2022's suffix-array construction, closing
+    dup_token_spans' k-word resolution: span boundaries land exactly
+    where the duplicated text starts and ends, even mid-word.
+    Case-sensitive, whitespace included: character identity is the
+    point. Output (id, span_start, span_end), 1-indexed inclusive char
+    intervals.
+
+    Lee et al. build one corpus-wide suffix array and scan SA-adjacent
+    LCPs — inherently sequential. The distributed formulation keeps the
+    same O(total chars) row volume but swaps the SA+LCP scan for hash
+    anchors + equi-joins (every stage declarative, AQE-skew-safe):
+
+      1. anchors: a vectorized Arrow UDF rolling-hashes EVERY
+         min_len-char window (_rolling_window_hashes) — fixed-width
+         int64 keys, never raw text;
+      2. candidates: groupBy(h) with map-side partial aggregation →
+         hashes seen ≥ min_count, one left_semi back;
+      3. verify: candidate positions re-extract their actual window
+         (JVM substr against the doc text — work bounded by candidate
+         count, not corpus size) and must STILL be duplicated on the
+         raw text, so exactness never depends on hash quality;
+      4. island merge per doc: overlapping duplicated windows union
+         into maximal spans (gap ≤ min_len-1 — the dup_token_spans
+         interval-union window); gap = min_len stays separate
+         (back-to-back copies emit one span per copy for keep-first
+         surgery).
+
+    Why this is exact at the declared grain: a maximal duplicated run
+    of length R ≥ min_len is precisely the union of its R-min_len+1
+    duplicated windows, so every duplicate of length ≥ min_len comes
+    back with byte-exact boundaries; shorter duplicates are below the
+    grain by declaration (Lee et al. cut at 50 bytes for the same
+    reason). tests/test_text_dedup_sim.py verifies spans against an
+    independent suffix-array + LCP Python reference.
+    """
+    from pyspark.sql.window import Window
+
+    L = min_len
+    id_type = dict(docs.dtypes)[id_col]
+    gen, schema = _rolling_window_hashes(text_col, id_col, id_type, L)
+    anchors = docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+    dup_h = (
+        anchors.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    cand = anchors.join(dup_h, "__h", "left_semi").select(id_col, "pos")
+
+    # exact verification on raw text: hash-duplicated ⊇ text-duplicated,
+    # so counting within candidates equals the global window counts
+    sub = cand.join(docs.select(id_col, text_col), id_col).select(
+        id_col,
+        "pos",
+        F.expr(f"substr(`{text_col}`, pos, {L})").alias("__g"),
+    )
+    dup_g = (
+        sub.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    hits = sub.join(dup_g, "__g", "left_semi").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = hits.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= L - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__grp", F.sum("__brk").over(w))
+    return (
+        grp.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,

@@ -299,6 +299,43 @@ ORDER BY doc_id, span_start
 """
 
 
+def doc_dup_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr at the CHARACTER grain (Lee et al.'s suffix-array
+    resolution): maximal char intervals whose every 30-char window
+    occurs ≥2 times in the corpus — byte-exact boundaries, even
+    mid-word, where doc_dup_spans rounds to 8-word shingles. The Spark
+    side is hash anchors (Arrow rolling hash) + raw-text verification;
+    the oracle materializes every window directly."""
+    return dedup.dup_char_spans(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_len=30,
+    ).orderBy("doc_id", "span_start")
+
+
+DUP_CHAR_SPANS_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 30) AS g
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - 29)) AS t(i)
+),
+dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 29
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp_id
+  FROM isl
+)
+SELECT doc_id, MIN(i) AS span_start, MAX(i) + 29 AS span_end
+FROM grp GROUP BY doc_id, grp_id
+ORDER BY doc_id, span_start
+"""
+
+
 def doc_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr surgery end to end: find duplicated 8-shingle spans,
     cut them from the original (case-preserved) text. Pure JVM HOF
@@ -1417,6 +1454,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dup_clusters": (doc_dup_clusters, DUP_CLUSTERS_ORACLE),
     "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
     "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
+    "doc_dup_char_spans": (doc_dup_char_spans, DUP_CHAR_SPANS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),

@@ -404,6 +404,101 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert out[1]["q"] == [0, 0, 0, 0] and out[1]["q_scale"] == 0.0
 
 
+def _sa_reference_char_spans(docs, L):
+    """Independent ExactSubstr reference at Lee et al.'s grain: build
+    the generalized suffix array of the corpus, mark every position
+    whose SA-adjacent LCP reaches L (equivalently: its L-gram occurs
+    at least twice anywhere), then union overlapping windows into
+    maximal per-doc char spans. O(n^2 log n) — reference only."""
+    suffixes = []
+    for did, t in docs:
+        for i in range(len(t) - L + 1):
+            suffixes.append((t[i:], did, i))
+    suffixes.sort(key=lambda x: x[0])
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    dup = set()
+    for (s1, d1, i1), (s2, d2, i2) in zip(suffixes, suffixes[1:]):
+        if lcp(s1, s2) >= L:
+            dup.add((d1, i1))
+            dup.add((d2, i2))
+
+    spans = set()
+    by_doc = {}
+    for d, i in dup:
+        by_doc.setdefault(d, []).append(i + 1)  # 1-indexed starts
+    for d, starts in by_doc.items():
+        starts.sort()
+        cur_lo = cur_hi = starts[0]
+        for p in starts[1:]:
+            if p - cur_hi <= L - 1:
+                cur_hi = p
+            else:
+                spans.add((d, cur_lo, cur_hi + L - 1))
+                cur_lo = cur_hi = p
+        spans.add((d, cur_lo, cur_hi + L - 1))
+    return spans
+
+
+def test_dup_char_spans_exact_boundaries_vs_suffix_array(spark):
+    """Two docs share a 37-word run whose char boundary falls MID-WORD
+    (a trailing shared space extends past the word grain): the spans
+    must be byte-exact — equal to an independent suffix-array + LCP
+    reference — not rounded to shingle islands."""
+    shared = " ".join(f"w{i:02d}tok" for i in range(37))  # 37 words
+    doc_a = "A prefix that ends xx" + " " + shared + " tail one"
+    doc_b = "B другой start yy" + " " + shared + " end two"
+    doc_c = "no duplicated content whatsoever in this third document"
+    rows = [(1, doc_a), (2, doc_b), (3, doc_c)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    L = 30
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.dup_char_spans(docs, min_len=L).collect()
+    }
+    ref = _sa_reference_char_spans(rows, L)
+    assert got == ref and got, got
+
+    # the true maximal shared run is " " + shared + " " (the leading
+    # separator space and one more trailing space before the tails
+    # diverge) — verify the exact char offsets in doc A
+    run = " " + shared + " "
+    start_a = doc_a.index(run) + 1
+    assert (1, start_a, start_a + len(run) - 1) in got
+    # doc 3 emits nothing
+    assert not any(d == 3 for d, _, _ in got)
+
+
+def test_dup_char_spans_random_corpora_match_reference(spark):
+    """Property: on random low-alphabet corpora (dense with accidental
+    repeats, in-doc and cross-doc), dup_char_spans equals the
+    suffix-array reference byte-for-byte."""
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(3):
+        rows = [
+            (i, "".join(rnd.choice("ab ") for _ in range(90)))
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        L = 8
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.dup_char_spans(docs, min_len=L).collect()
+        }
+        ref = _sa_reference_char_spans(rows, L)
+        assert got == ref, (trial, got ^ ref)
+
+
 def test_dup_token_spans_merges_and_indexes(spark):
     """Two docs sharing a 10-word run: every 8-shingle in the run is
     duplicated, and the hits merge into ONE maximal span covering the
