@@ -35,10 +35,14 @@ _WINDOW: list[str] = [
     # r4-red, flattened this round — need green rows (VERDICT task 1)
     "emb_label_centroids",
     "emb_quantize",
-    # new this round: banded-LSH recall property gate (VERDICT task 5)
-    # and char-grain ExactSubstr spans (VERDICT task 4)
+    # new this round (VERDICT tasks 4/5): char-grain ExactSubstr spans,
+    # and derived-property gates for the approximate/iterative
+    # operators (LSH + IVF recall vs the exact top-k, PCA certificate)
     "emb_lsh_recall",
+    "emb_ivf_recall",
+    "emb_pca_variance",
     "doc_dup_char_spans",
+    "doc_suffix_array",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -72,10 +76,7 @@ _WINDOW: list[str] = [
     "q10_returned_items",
     "q11_important_stock",
     "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
     "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
     "orders_rollup",
     "orders_cube",
     "top3_customers_per_segment",

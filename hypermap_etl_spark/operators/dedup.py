@@ -728,7 +728,12 @@ def dup_char_spans(
     L = min_len
     id_type = dict(docs.dtypes)[id_col]
     gen, schema = _rolling_window_hashes(text_col, id_col, id_type, L)
-    anchors = docs.select(id_col, text_col).mapInPandas(gen, schema)
+    # both the dup-count aggregate and the semi-join consume the
+    # anchors: persist so the Arrow UDF runs once per position, not
+    # twice (at scale this is a written intermediate)
+    anchors = tracked_persist(
+        docs.select(id_col, text_col).mapInPandas(gen, schema)
+    )
 
     dup_h = (
         anchors.groupBy("__h")
@@ -740,10 +745,12 @@ def dup_char_spans(
 
     # exact verification on raw text: hash-duplicated ⊇ text-duplicated,
     # so counting within candidates equals the global window counts
-    sub = cand.join(docs.select(id_col, text_col), id_col).select(
-        id_col,
-        "pos",
-        F.expr(f"substr(`{text_col}`, pos, {L})").alias("__g"),
+    sub = tracked_persist(
+        cand.join(docs.select(id_col, text_col), id_col).select(
+            id_col,
+            "pos",
+            F.expr(f"substr(`{text_col}`, pos, {L})").alias("__g"),
+        )
     )
     dup_g = (
         sub.groupBy("__g")

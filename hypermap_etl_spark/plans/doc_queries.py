@@ -336,6 +336,38 @@ ORDER BY doc_id, span_start
 """
 
 
+def doc_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed generalized suffix array (prefix doubling,
+    operators/suffixarray.py) over a 10% doc subset: every suffix of
+    every selected document, ranked in full lexicographic order with
+    (doc_id, pos) tie-break — the Lee et al. ExactSubstr index itself,
+    driver-certified against DuckDB literally sorting the suffixes.
+    Spark never materializes a suffix (fixed-width rank rows + a
+    seed_chars prefix key); the oracle pays the O(n²) suffix blowup,
+    which is why the gate subsets."""
+    from hypermap_etl_spark.operators.suffixarray import suffix_array
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return suffix_array(docs).orderBy("doc_id", "pos")
+
+
+SUFFIX_ARRAY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT)) AS suf
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS t(i)
+  WHERE doc_id % 10 = 0
+)
+SELECT doc_id, i AS pos,
+       row_number() OVER (ORDER BY suf, doc_id, i) AS sa_rank
+FROM pos ORDER BY doc_id, pos
+"""
+
+
 def doc_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr surgery end to end: find duplicated 8-shingle spans,
     cut them from the original (case-preserved) text. Pure JVM HOF
@@ -1281,6 +1313,93 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate top-k (8 inverted lists, probe
+    4) against the exact brute-force top-k — same derived-property
+    pattern as emb_lsh_recall: the oracle reproduces the query count
+    and asserts the threshold literal; the hash only matches if the
+    IVF index really achieves recall ≥ 0.6 (measured 0.656 at sf0.001,
+    0.712 at sf0.01; deterministic centroid seeding, so stable). The
+    fixture embeddings are near-isotropic (flat eigenspectrum), the
+    worst case for coarse quantization — the honest bound is
+    deliberately lower than LSH banding's 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.ivf_topk(
+        emb, k=5, n_centroids=8, n_probe=4, query_filter=qf
+    )
+    return similarity.topk_recall(exact, approx, 5).select(
+        "n_queries", (F.col("recall") >= 0.6).alias("recall_ok")
+    )
+
+
+IVF_RECALL_ORACLE = """
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit certificate: one (n_vecs, total_var, captured_ok,
+    orthonormal_ok) row.
+
+    ``total_var`` is REAL cross-engine verification — the trace of the
+    distributed covariance gramian (sum of the 6-dp-rounded diagonal,
+    the exact entries emb_covariance certifies per-element) must equal
+    DuckDB's independently computed per-dim variance sum to the same
+    rounding. The eigen half is driver-side numpy on a d×d matrix
+    (not SQL-expressible), so it gates derived properties as
+    literals: components orthonormal to 1e-9, explained variances
+    non-increasing and non-negative, and the top-8 capture ratio in
+    the band the near-isotropic fixture allows (measured 0.2035 /
+    0.2049 — an eigen error or a broken gramian fold lands far
+    outside [0.1, 0.4])."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, ev, _mean = similarity.pca_fit(emb, k=8)
+    C = np.array(comps)
+    ortho_ok = bool(np.abs(C @ C.T - np.eye(len(comps))).max() < 1e-9)
+    mono_ok = all(
+        ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1)
+    ) and ev[-1] >= 0.0
+    tv_frame = (
+        similarity.covariance_matrix(emb)
+        .filter("i = j")
+        .agg((F.round(F.sum("cov"), 6) + F.lit(0.0)).alias("total_var"))
+    )
+    tv = tv_frame.collect()[0]["total_var"]
+    ratio = sum(ev) / tv
+    captured_ok = bool(mono_ok and 0.1 <= ratio <= 0.4)
+    n = emb.count()
+    return tv_frame.select(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        "total_var",
+        F.lit(captured_ok).alias("captured_ok"),
+        F.lit(ortho_ok).alias("orthonormal_ok"),
+    )
+
+
+PCA_VARIANCE_ORACLE = """
+WITH ds AS (SELECT unnest(generate_series(0, 63)) AS d),
+el AS (
+  SELECT vec_id, d AS i, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN ds
+),
+v AS (
+  SELECT i,
+         ROUND(SUM(x * x) / COUNT(*)
+               - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 6) AS var
+  FROM el GROUP BY i
+)
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+       ROUND(SUM(var), 6) + 0.0 AS total_var,
+       TRUE AS captured_ok, TRUE AS orthonormal_ok
+FROM v
+"""
+
+
 def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label vote over the exact top-5 neighbors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1455,6 +1574,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
     "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
     "doc_dup_char_spans": (doc_dup_char_spans, DUP_CHAR_SPANS_ORACLE),
+    "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),
@@ -1489,6 +1609,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_lsh_recall": (emb_lsh_recall, LSH_RECALL_ORACLE),
+    "emb_ivf_recall": (emb_ivf_recall, IVF_RECALL_ORACLE),
+    "emb_pca_variance": (emb_pca_variance, PCA_VARIANCE_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
 }
