@@ -384,3 +384,55 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     # every aggregate two-phase: partial before exchange
     assert p.count("partial_count") >= 2 and "partial_sum" in p
+
+
+def test_dup_char_spans_plan_shape(spark):
+    """Char-grain ExactSubstr: the duplicated-hash aggregate must be
+    two-phase (map-side partial before the exchange), candidates reach
+    the anchors as a left-semi join, and nothing degenerates into a
+    cartesian product."""
+    from hypermap_etl_spark.operators.dedup import dup_char_spans
+    from hypermap_etl_spark.sources.tables import load_table
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p = _plan(dup_char_spans(docs, min_len=30))
+    assert "partial_count" in p, "dup-hash count must map-side combine"
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    release_persisted()
+
+
+def test_distributed_rank_never_single_partition(spark):
+    """suffix_array's ranking primitive must never plan a global
+    single-partition window/exchange: ranks come from a range
+    repartition + per-partition windows + broadcast offsets."""
+    from hypermap_etl_spark.operators.suffixarray import _distributed_rank
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    for dense in (True, False):
+        ranked, scratch = _distributed_rank(df, ["k", "v"], dense=dense, n_parts=8)
+        p = _plan(ranked)
+        assert "SinglePartition" not in p, p[:2000]
+        assert "rangepartitioning" in p
+        # the window partitions by the physical partition id, never empty
+        assert "Window [" in p and "windowspecdefinition(__pid" in p
+        scratch.unpersist()
+
+
+def test_suffix_array_output_is_permutation(spark):
+    """End-to-end sanity at plan-test scale: ranks form a permutation
+    and per-doc positions are complete."""
+    from hypermap_etl_spark.operators.suffixarray import suffix_array
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    rows = suffix_array(docs, seed_chars=4).collect()
+    assert sorted(r["sa_rank"] for r in rows) == list(range(1, len(rows) + 1))
+    assert sorted(r["pos"] for r in rows if r["doc_id"] == 1) == list(range(1, 20))
+    release_persisted()
