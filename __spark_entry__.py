@@ -23,14 +23,16 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # (dict order), so ordering is evidence policy: lead with the gates that
 # lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
-# emb_quantize), plus the new emb_lsh_recall property gate; then the six
-# gates never yet in any driver window; then the 17 gates whose only
-# green row is the r2 artifact (oldest evidence); the remaining 24 slots
-# re-certify r3-green gates, preferring families whose shared
-# infrastructure (windows, sketches, pagination utils, join strategies)
-# was touched in r4/r5. Gates left outside are all r4-green
-# (CORRECTNESS_r04.json) plus the r3-green remainder — every registered
-# gate has a green driver row in some round once this window lands.
+# emb_quantize), then the six gates NEW in r5 (LSH/IVF recall + PCA
+# certificate derived-property gates, char-grain ExactSubstr spans, the
+# distributed suffix array, BPE first-merge), then the six gates never
+# yet in any driver window; then the 17 gates whose only green row is
+# the r2 artifact (oldest evidence); the remaining slots re-certify
+# r3-green gates, preferring families whose shared infrastructure
+# (windows, sketches, pagination utils, join strategies) was touched in
+# r4/r5. Gates left outside are all r4-green (CORRECTNESS_r04.json)
+# plus the r3-green remainder — every registered gate has a green
+# driver row in some round once this window lands.
 _WINDOW: list[str] = [
     # r4-red, flattened this round — need green rows (VERDICT task 1)
     "emb_label_centroids",
@@ -43,6 +45,7 @@ _WINDOW: list[str] = [
     "emb_pca_variance",
     "doc_dup_char_spans",
     "doc_suffix_array",
+    "doc_bpe_first_merge",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -88,7 +91,6 @@ _WINDOW: list[str] = [
     "events_kmv_users",
     "events_bloom_probe",
     "events_sampled_quantiles",
-    "events_moving_avg",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -336,6 +336,46 @@ ORDER BY doc_id, span_start
 """
 
 
+def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1 certified end-to-end: the first
+    merge is the argmax of dictionary-weighted adjacent symbol-pair
+    counts (chars + word-end marker), which an independent SQL engine
+    can reproduce exactly — so the distributed word-frequency
+    aggregate AND the pair-count/tie-break semantics both get a driver
+    row. The full merge LOOP is driver-side model-sized work
+    (operators/bpe.py, the pca_fit split) and is verified against a
+    pure-Python reference in tests/test_bpe.py."""
+    from hypermap_etl_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _mdf = bpe.bpe_train(docs, n_merges=1, min_pair_count=1)
+    a, b, c = merges[0]
+    return spark.createDataFrame(
+        [(a, b, int(c))], "pair_left string, pair_right string, pair_count bigint"
+    )
+
+
+BPE_FIRST_MERGE_ORACLE = """
+WITH w AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+sym AS (SELECT word, n, length(word) AS L FROM w),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS pl,
+         substr(word, CAST(i AS INT) + 1, 1) AS pr, n
+  FROM sym, LATERAL unnest(generate_series(1, L - 1)) AS t(i)
+  UNION ALL
+  SELECT substr(word, CAST(L AS INT), 1) AS pl, '</w>' AS pr, n FROM sym
+),
+agg AS (SELECT pl, pr, SUM(n) AS pair_count FROM pairs GROUP BY pl, pr)
+SELECT pl AS pair_left, pr AS pair_right,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM agg ORDER BY pair_count DESC, pl ASC, pr ASC LIMIT 1
+"""
+
+
 def doc_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed generalized suffix array (prefix doubling,
     operators/suffixarray.py) over a 10% doc subset: every suffix of
@@ -1575,6 +1615,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
     "doc_dup_char_spans": (doc_dup_char_spans, DUP_CHAR_SPANS_ORACLE),
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
+    "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),
