@@ -187,6 +187,39 @@ def cmd_layout(args) -> None:
     )
 
 
+def cmd_bpe(args) -> None:
+    """Train BPE merges over a documents parquet (one distributed
+    word-frequency aggregate + driver merge loop, operators/bpe.py),
+    write the ordered merge table, optionally segment the corpus with
+    the trained merges, and print a JSON training report."""
+    from hypermap_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    merges, merges_df = bpe_train(
+        docs,
+        n_merges=args.merges,
+        min_pair_count=args.min_pair_count,
+        max_words=args.max_words,
+    )
+    merges_df.coalesce(1).write.mode("overwrite").parquet(args.out)
+    rep = {
+        "merges": len(merges),
+        "first_merge": list(merges[0][:2]) if merges else None,
+        "last_pair_count": merges[-1][2] if merges else None,
+    }
+    if args.segmented:
+        seg = bpe_segment(docs, merges)
+        seg.write.mode("overwrite").parquet(args.segmented)
+        stats = spark.read.parquet(args.segmented).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+        ).collect()[0]
+        rep["segmented_docs"] = stats["docs"]
+        rep["total_tokens"] = stats["total_tokens"]
+    print(json.dumps(rep))
+
+
 def cmd_dsir(args) -> None:
     """DSIR importance weights of every doc in --docs toward the
     --target corpus (curation.dsir_weights); writes a parquet of
@@ -431,6 +464,15 @@ def main(argv=None) -> None:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
+    p = sub.add_parser("bpe", help="train BPE merges + segment a documents parquet")
+    p.add_argument("--docs", required=True, help="documents parquet")
+    p.add_argument("--out", required=True, help="merges output parquet")
+    p.add_argument("--segmented", default=None,
+                   help="optional output parquet of per-doc BPE tokens")
+    p.add_argument("--merges", type=int, default=200)
+    p.add_argument("--min-pair-count", type=int, default=2)
+    p.add_argument("--max-words", type=int, default=1_000_000,
+                   help="driver dictionary cap (top-k words by frequency)")
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")
@@ -460,7 +502,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
-        "stream": cmd_stream,
+        "bpe": cmd_bpe, "stream": cmd_stream,
     }[args.cmd](args)
 
 

@@ -206,3 +206,20 @@ def test_cli_pca(spark, capsys):
     ev = rep["explained_variance"]
     assert ev == sorted(ev, reverse=True) and ev[-1] > 0
     assert spark.read.parquet(out).columns == ["vec_id", "p0", "p1", "p2"]
+
+
+def test_cli_bpe(spark, capsys):
+    base = tempfile.mkdtemp()
+    merges_out, seg_out = f"{base}/merges", f"{base}/seg"
+    main([
+        "bpe", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", merges_out, "--segmented", seg_out, "--merges", "20",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merges"] == 20 and rep["first_merge"] is not None
+    m = spark.read.parquet(merges_out)
+    assert m.count() == 20
+    assert m.columns == ["rank", "left", "right", "merged", "pair_count"]
+    seg = spark.read.parquet(seg_out)
+    assert seg.count() == 500
+    assert rep["total_tokens"] > 0 and rep["segmented_docs"] == 500
