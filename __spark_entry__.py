@@ -46,6 +46,7 @@ _WINDOW: list[str] = [
     "doc_dup_char_spans",
     "doc_suffix_array",
     "doc_bpe_first_merge",
+    "doc_despanned_char",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -90,7 +91,6 @@ _WINDOW: list[str] = [
     "events_salted_counts",
     "events_kmv_users",
     "events_bloom_probe",
-    "events_sampled_quantiles",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

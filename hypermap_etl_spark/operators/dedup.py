@@ -777,6 +777,58 @@ def dup_char_spans(
     )
 
 
+def cut_char_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove 1-indexed inclusive CHAR intervals from each document —
+    the surgery half of char-grain ExactSubstr (dup_char_spans finds
+    them; a keep-first policy upstream decides which to cut).
+
+    Output (id, clean_text, n_cut_chars). Spans collect per doc into a
+    small sorted array, then the cut is one JVM fold: walk the sorted
+    intervals accumulating the kept segments between them (aggregate
+    over a struct accumulator, finishing with the tail segment) — no
+    shuffle beyond the span groupBy + one join, no Python, and the
+    text column is traversed once."""
+    sp = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp")
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    joined = docs.join(sp, id_col, "left").withColumn(
+        "__sp", F.coalesce(F.col("__sp"), empty)
+    )
+    # single-parse SQL string: substr with COLUMN offsets inside a
+    # higher-order fold (the repo's convention for wide/HOF expressions)
+    folded = F.expr(
+        f"""
+        aggregate(
+          __sp,
+          struct(cast('' as string) as kept, cast(0 as bigint) as prev_end),
+          (acc, s) -> struct(
+            concat(acc.kept,
+                   substr(`{text_col}`, cast(acc.prev_end + 1 as int),
+                          cast(s.span_start - acc.prev_end - 1 as int))) as kept,
+            s.span_end as prev_end),
+          acc -> concat(acc.kept,
+                        substr(`{text_col}`, cast(acc.prev_end + 1 as int),
+                               cast(length(`{text_col}`) - acc.prev_end as int)))
+        )
+        """
+    )
+    return joined.select(
+        id_col,
+        folded.alias("clean_text"),
+        (F.length(F.col(text_col)) - F.length(folded))
+        .cast("bigint")
+        .alias("n_cut_chars"),
+    )
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,

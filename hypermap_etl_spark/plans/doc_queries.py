@@ -336,6 +336,64 @@ ORDER BY doc_id, span_start
 """
 
 
+def doc_despanned_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-grain ExactSubstr surgery end to end: find every maximal
+    duplicated ≥30-char interval (dup_char_spans) and cut it from the
+    text (cut_char_spans — one JVM fold stitching the kept segments).
+    Byte-exact counterpart of doc_despanned's word grain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.dup_char_spans(docs, min_len=30)
+    return dedup.cut_char_spans(docs, spans).orderBy("doc_id")
+
+
+DESPANNED_CHAR_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 30) AS g
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - 29)) AS t(i)
+),
+dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 29
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(i) AS s, MAX(i) + 29 AS e
+  FROM grp GROUP BY doc_id, grp_id
+),
+seg AS (
+  SELECT doc_id, s, e,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+  FROM spans
+),
+mid AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.text, CAST(g.prev_e + 1 AS INT),
+                           CAST(g.s - g.prev_e - 1 AS INT)), '' ORDER BY g.s)
+           AS kept_mid,
+         MAX(g.e) AS last_e,
+         CAST(SUM(g.e - g.s + 1) AS BIGINT) AS n_cut
+  FROM seg g JOIN documents d ON d.doc_id = g.doc_id
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN m.doc_id IS NULL THEN d.text
+            ELSE COALESCE(m.kept_mid, '')
+                 || substr(d.text, CAST(m.last_e + 1 AS INT))
+       END AS clean_text,
+       COALESCE(m.n_cut, 0) AS n_cut_chars
+FROM documents d LEFT JOIN mid m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, step 1 certified end-to-end: the first
     merge is the argmax of dictionary-weighted adjacent symbol-pair
@@ -1614,6 +1672,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dedup_survivors": (doc_dedup_survivors, DEDUP_SURVIVORS_ORACLE),
     "doc_dup_spans": (doc_dup_spans, DUP_SPANS_ORACLE),
     "doc_dup_char_spans": (doc_dup_char_spans, DUP_CHAR_SPANS_ORACLE),
+    "doc_despanned_char": (doc_despanned_char, DESPANNED_CHAR_ORACLE),
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),

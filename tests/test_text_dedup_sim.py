@@ -499,6 +499,46 @@ def test_dup_char_spans_random_corpora_match_reference(spark):
         assert got == ref, (trial, got ^ ref)
 
 
+def test_cut_char_spans_stitches_kept_segments(spark):
+    """Char surgery: multiple spans cut precisely, a fully-covered doc
+    empties, a span-free doc passes through unchanged, and n_cut_chars
+    accounts exactly."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "hello"), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (1, 7, 8), (2, 1, 5)],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r["doc_id"]: r for r in dedup.cut_char_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "aefij" and out[1]["n_cut_chars"] == 5
+    assert out[2]["clean_text"] == "" and out[2]["n_cut_chars"] == 5
+    assert out[3]["clean_text"] == "xyz" and out[3]["n_cut_chars"] == 0
+
+
+def test_dup_char_spans_then_cut_roundtrip(spark):
+    """find + cut at char grain: after surgery no ≥min_len duplicated
+    window may survive ACROSS DISTINCT texts (exact-duplicate docs
+    collapse to identical residues, which legitimately still match)."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyz"  # 36 chars
+    docs = spark.createDataFrame(
+        [(1, "AA " + shared + " BB"), (2, "CC " + shared + " DD")],
+        "doc_id long, text string",
+    )
+    spans = dedup.dup_char_spans(docs, min_len=30)
+    clean = dedup.cut_char_spans(docs, spans)
+    rows = {r["doc_id"]: r["clean_text"] for r in clean.collect()}
+    L = 30
+    grams = {}
+    for d, t in rows.items():
+        for i in range(len(t) - L + 1):
+            grams.setdefault(t[i : i + L], set()).add(d)
+    assert not [g for g, ds in grams.items() if len(ds) > 1]
+    # the distinct prefixes/suffixes survive
+    assert rows[1].startswith("AA") and rows[2].startswith("CC")
+
+
 def test_dup_token_spans_merges_and_indexes(spark):
     """Two docs sharing a 10-word run: every 8-shingle in the run is
     duplicated, and the hits merge into ONE maximal span covering the
