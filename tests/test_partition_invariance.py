@@ -28,6 +28,14 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_dsir_weights"),
     ("doc_queries", "doc_tfidf_top_terms"),
     ("doc_queries", "emb_ann_topk"),
+    # r5: gramian-trace rounding + centroid means must not flip a last
+    # digit when partial-sum order changes with the partition count;
+    # the recall gates round recall before thresholding; the suffix
+    # array's distributed ranks must not depend on n_parts at all
+    ("doc_queries", "emb_pca_variance"),
+    ("doc_queries", "emb_label_centroids"),
+    ("doc_queries", "emb_lsh_recall"),
+    ("doc_queries", "doc_suffix_array"),
 ]
 
 
