@@ -792,7 +792,13 @@ def cut_char_spans(
     intervals accumulating the kept segments between them (aggregate
     over a struct accumulator, finishing with the tail segment) — no
     shuffle beyond the span groupBy + one join, no Python, and the
-    text column is traversed once."""
+    text column is traversed once.
+
+    Spans are expected non-overlapping (dup_char_spans emits maximal
+    disjoint intervals), but overlapping or contained input degrades
+    gracefully to cutting the UNION of the intervals: a negative
+    between-segment length yields an empty substr, and prev_end only
+    ratchets forward (greatest), never backward."""
     sp = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -813,7 +819,7 @@ def cut_char_spans(
             concat(acc.kept,
                    substr(`{text_col}`, cast(acc.prev_end + 1 as int),
                           cast(s.span_start - acc.prev_end - 1 as int))) as kept,
-            s.span_end as prev_end),
+            greatest(acc.prev_end, s.span_end) as prev_end),
           acc -> concat(acc.kept,
                         substr(`{text_col}`, cast(acc.prev_end + 1 as int),
                                cast(length(`{text_col}`) - acc.prev_end as int)))

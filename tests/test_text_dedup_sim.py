@@ -516,6 +516,15 @@ def test_cut_char_spans_stitches_kept_segments(spark):
     assert out[2]["clean_text"] == "" and out[2]["n_cut_chars"] == 5
     assert out[3]["clean_text"] == "xyz" and out[3]["n_cut_chars"] == 0
 
+    # malformed input degrades to cutting the UNION: an overlapping and
+    # a fully-contained span must not resurrect already-cut characters
+    messy = spark.createDataFrame(
+        [(1, 2, 6), (1, 4, 5), (1, 5, 8)],
+        "doc_id long, span_start long, span_end long",
+    )
+    r = dedup.cut_char_spans(docs.filter("doc_id = 1"), messy).collect()[0]
+    assert r["clean_text"] == "aij" and r["n_cut_chars"] == 7
+
 
 def test_dup_char_spans_then_cut_roundtrip(spark):
     """find + cut at char grain: after surgery no ≥min_len duplicated
