@@ -23,9 +23,10 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # (dict order), so ordering is evidence policy: lead with the gates that
 # lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
-# emb_quantize), then the six gates NEW in r5 (LSH/IVF recall + PCA
-# certificate derived-property gates, char-grain ExactSubstr spans, the
-# distributed suffix array, BPE first-merge), then the six gates never
+# emb_quantize), then the seven gates NEW in r5 (LSH/IVF recall + PCA
+# certificate derived-property gates, char-grain ExactSubstr spans +
+# surgery, the distributed suffix array, BPE first-merge), then the six
+# gates never
 # yet in any driver window; then the 17 gates whose only green row is
 # the r2 artifact (oldest evidence); the remaining slots re-certify
 # r3-green gates, preferring families whose shared infrastructure

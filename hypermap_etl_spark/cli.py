@@ -275,21 +275,40 @@ def cmd_compact(args) -> None:
         [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
     )
 
+    # --sort-by applies to BOTH tables; a column present in only one
+    # schema must not abort the second rewrite after the first table was
+    # already rewritten (partial maintenance run) — skip it per-table
+    # with a warning. But a column present in NO targeted table is a
+    # typo: abort BEFORE any rewrite, so a misspelled --sort-by cannot
+    # silently rewrite every partition unsorted (destroying the sort
+    # clustering the option exists to maintain).
+    targets = [p for p in (args.table, args.entries) if p]
+    schemas = (
+        {p: set(spark.read.parquet(p).columns) for p in targets}
+        if sort_cols
+        else {}
+    )
+    if sort_cols:
+        nowhere = [
+            c for c in sort_cols
+            if not any(c in cols for cols in schemas.values())
+        ]
+        if nowhere:
+            raise SystemExit(
+                f"compact: sort column(s) {nowhere} exist in no targeted "
+                f"table — aborting before any rewrite"
+            )
+
     def _valid_sort_cols(path: str) -> list[str] | None:
-        # --sort-by applies to BOTH tables; a column present in only one
-        # schema must not abort the second rewrite after the first table
-        # was already rewritten (partial maintenance run). Skip absent
-        # columns per-table with a warning instead.
         if not sort_cols:
             return None
-        schema_cols = set(spark.read.parquet(path).columns)
-        missing = [c for c in sort_cols if c not in schema_cols]
+        missing = [c for c in sort_cols if c not in schemas[path]]
         if missing:
             print(
                 f"compact: skipping sort column(s) {missing} absent from "
                 f"{path}", file=sys.stderr,
             )
-        kept = [c for c in sort_cols if c in schema_cols]
+        kept = [c for c in sort_cols if c in schemas[path]]
         return kept or None
 
     if args.table:

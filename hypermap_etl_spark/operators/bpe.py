@@ -31,21 +31,24 @@ END = "</w>"
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", max_words: int = 1_000_000
+    docs: DataFrame, text_col: str = "text", max_words: int | None = 1_000_000
 ) -> DataFrame:
     """Distinct-word frequency table, capped at the ``max_words`` most
     frequent words (count desc, word asc — a TakeOrdered top-k, so the
-    driver-bound dictionary is bounded regardless of corpus size)."""
-    return (
+    driver-bound dictionary is bounded regardless of corpus size).
+    ``max_words=None`` disables the cap (and skips the sort — the
+    merge loop's dictionary is order-independent)."""
+    wf = (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("word"))
-        .limit(max_words)
     )
+    if max_words is None:
+        return wf
+    return wf.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
 
 
 def _merge_word(sym: tuple, pair: tuple) -> tuple:
@@ -65,7 +68,7 @@ def bpe_train(
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_count: int = 2,
-    max_words: int = 1_000_000,
+    max_words: int | None = 1_000_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges over the corpus.
 
@@ -141,9 +144,13 @@ def bpe_segment(
             sym[i : i + 2] = [sym[i] + sym[i + 1]]
         return sym
 
+    # closure-level memo: rehydrated once per Python worker, so repeated
+    # words (Zipf head — most of any batch) encode once per worker
+    # lifetime, not once per Arrow batch
+    cache: dict[str, list[str]] = {}
+
     @pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
         out = []
         for t in texts:
             toks: list[str] = []

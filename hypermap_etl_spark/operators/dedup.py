@@ -728,11 +728,14 @@ def dup_char_spans(
     L = min_len
     id_type = dict(docs.dtypes)[id_col]
     gen, schema = _rolling_window_hashes(text_col, id_col, id_type, L)
-    # both the dup-count aggregate and the semi-join consume the
-    # anchors: persist so the Arrow UDF runs once per position, not
-    # twice (at scale this is a written intermediate)
+    # fan_out first (module convention, see header): the rolling hash is
+    # the most CPU-bound per-row stage in this file, and a narrow
+    # single-file input would otherwise run the whole O(chars·L) pass in
+    # one task. Both the dup-count aggregate and the semi-join consume
+    # the anchors: persist so the Arrow UDF runs once per position, not
+    # twice (at scale this is a written intermediate).
     anchors = tracked_persist(
-        docs.select(id_col, text_col).mapInPandas(gen, schema)
+        fan_out(docs.select(id_col, text_col)).mapInPandas(gen, schema)
     )
 
     dup_h = (

@@ -54,6 +54,22 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail for every ANN variant: rank scored
+    (query_id, neighbor_id, sim) candidates per query by
+    (sim desc, neighbor_id asc) — ONE tie-break definition, so a
+    change here (rounding, ordering) cannot silently diverge between
+    the exact, bucketed, banded, and IVF paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
@@ -98,12 +114,7 @@ def brute_force_topk(
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_neardup_pairs(
@@ -312,12 +323,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk_banded(
@@ -389,12 +395,7 @@ def lsh_topk_banded(
     scored = cand.join(qv, "query_id").join(cv, "neighbor_id").select(
         "query_id", "neighbor_id", sim
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
@@ -499,12 +500,7 @@ def ivf_topk(
         .select("query_id", "neighbor_id", sim)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def knn_label_vote(

@@ -406,7 +406,12 @@ def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypermap_etl_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges, _mdf = bpe.bpe_train(docs, n_merges=1, min_pair_count=1)
+    # max_words=None (uncapped): the oracle aggregates over ALL distinct
+    # words, so the certified function must too (the default 1M cap
+    # would be a latent divergence at corpus scales above it)
+    merges, _mdf = bpe.bpe_train(
+        docs, n_merges=1, min_pair_count=1, max_words=None
+    )
     a, b, c = merges[0]
     return spark.createDataFrame(
         [(a, b, int(c))], "pair_left string, pair_right string, pair_count bigint"
@@ -1462,18 +1467,21 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mono_ok = all(
         ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1)
     ) and ev[-1] >= 0.0
-    tv_frame = (
+    # one covariance job, collected once; the returned single-row frame
+    # carries the Spark-computed trace as a literal so the driver's
+    # materialization doesn't re-run the corpus-scale gramian
+    tv = (
         similarity.covariance_matrix(emb)
         .filter("i = j")
         .agg((F.round(F.sum("cov"), 6) + F.lit(0.0)).alias("total_var"))
+        .collect()[0]["total_var"]
     )
-    tv = tv_frame.collect()[0]["total_var"]
     ratio = sum(ev) / tv
     captured_ok = bool(mono_ok and 0.1 <= ratio <= 0.4)
     n = emb.count()
-    return tv_frame.select(
+    return spark.range(1).select(
         F.lit(n).cast("bigint").alias("n_vecs"),
-        "total_var",
+        F.lit(tv).cast("double").alias("total_var"),
         F.lit(captured_ok).alias("captured_ok"),
         F.lit(ortho_ok).alias("orthonormal_ok"),
     )

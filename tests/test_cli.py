@@ -99,6 +99,14 @@ def test_cli_stream_index_mode(spark, capsys):
     assert "entries" in comp2  # second rewrite ran
     assert "skipping sort column" in captured.err
 
+    # a sort column present in NO targeted table is a typo: abort
+    # before any rewrite instead of silently compacting unsorted
+    import pytest
+
+    with pytest.raises(SystemExit, match="no targeted table"):
+        main(["compact", "--table", tbl, "--entries", ent,
+              "--sort-by", "blockNumbre"])
+
 
 def test_cli_curate_end_to_end(spark, capsys):
     """The curate pipeline over the fixture documents: writes both
