@@ -23,9 +23,9 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # (dict order), so ordering is evidence policy: lead with the gates that
 # lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
-# emb_quantize), then the seven gates NEW in r5 (LSH/IVF recall + PCA
+# emb_quantize), then the eight gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
-# surgery, the distributed suffix array, BPE first-merge), then the six
+# surgery, the distributed suffix array + LCP, BPE first-merge), then the six
 # gates never
 # yet in any driver window; then the 17 gates whose only green row is
 # the r2 artifact (oldest evidence); the remaining slots re-certify
@@ -46,6 +46,7 @@ _WINDOW: list[str] = [
     "emb_pca_variance",
     "doc_dup_char_spans",
     "doc_suffix_array",
+    "doc_sa_lcp",
     "doc_bpe_first_merge",
     "doc_despanned_char",
     # never driver-checked in any round
@@ -91,7 +92,6 @@ _WINDOW: list[str] = [
     "events_interval_counts",
     "events_salted_counts",
     "events_kmv_users",
-    "events_bloom_probe",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

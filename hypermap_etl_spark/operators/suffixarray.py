@@ -115,6 +115,63 @@ def _distributed_rank(
     return out.drop("__pid"), with_pid
 
 
+def lcp_rank_adjacent(
+    sa: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_lcp: int = 256,
+) -> DataFrame:
+    """LCP array over a suffix_array result: for every rank r ≥ 2, the
+    length of the longest common prefix between the rank-r suffix and
+    the rank-(r-1) suffix, capped at ``max_lcp`` — the second half of
+    the Lee et al. index (duplicated substrings of length ≥ L are
+    exactly the SA-adjacent pairs with LCP ≥ L, for any L ≤ max_lcp).
+
+    Distributed shape: each SA row re-attaches its ``max_lcp``-char
+    suffix prefix (substr — bounded width, never the full suffix),
+    pairs with its rank predecessor by a self equi-join on rank
+    (shuffle on rank, uniform by construction), and the LCP itself is
+    one JVM character-fold (aggregate over sequence, short-circuiting
+    struct accumulator — O(max_lcp) per pair, no Python). Kasai's
+    O(n) LCP construction is inherently sequential; the capped
+    prefix-compare keeps the whole pass declarative, and a cap is the
+    honest contract anyway — ExactSubstr consumers threshold at
+    ~50 chars, far below any sane cap.
+
+    Output: (rank, id, pos, lcp) for every rank ≥ 2 (rank 1 has no
+    predecessor).
+    """
+    C = int(max_lcp)
+    suf = sa.join(docs.select(id_col, text_col), id_col).select(
+        F.col("sa_rank"),
+        F.col(id_col),
+        F.col("pos"),
+        F.expr(f"substr(`{text_col}`, cast(pos as int), {C})").alias("__s"),
+    )
+    prev = suf.select(
+        (F.col("sa_rank") + 1).alias("sa_rank"), F.col("__s").alias("__p")
+    )
+    paired = suf.join(prev, "sa_rank")
+    lcp = F.expr(
+        f"""
+        aggregate(
+          sequence(1, least({C}, length(__s), length(__p))),
+          struct(cast(0 as int) as n, false as done),
+          (acc, i) -> if(acc.done or substr(__s, i, 1) <> substr(__p, i, 1),
+                         struct(acc.n as n, true as done),
+                         struct(acc.n + 1 as n, false as done)),
+          acc -> acc.n)
+        """
+    )
+    return paired.select(
+        F.col("sa_rank").alias("rank"),
+        id_col,
+        "pos",
+        F.coalesce(lcp, F.lit(0)).cast("long").alias("lcp"),
+    )
+
+
 def suffix_array(
     docs: DataFrame,
     text_col: str = "text",

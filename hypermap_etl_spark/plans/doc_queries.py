@@ -394,6 +394,50 @@ ORDER BY d.doc_id
 """
 
 
+def doc_sa_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCP array over the distributed suffix array (capped at 64 chars)
+    on the same 10% doc subset as doc_suffix_array — the full Lee et
+    al. index, rank by rank, certified against DuckDB sorting the
+    suffixes and probing prefix equality directly."""
+    from hypermap_etl_spark.operators.suffixarray import (
+        lcp_rank_adjacent,
+        suffix_array,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    sa = suffix_array(docs)
+    return lcp_rank_adjacent(sa, docs, max_lcp=64).orderBy("rank")
+
+
+SA_LCP_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT)) AS suf
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS t(i)
+  WHERE doc_id % 10 = 0
+),
+ranked AS (
+  SELECT doc_id, i,
+         substr(suf, 1, 64) AS s,
+         lag(substr(suf, 1, 64)) OVER (ORDER BY suf, doc_id, i) AS p,
+         row_number() OVER (ORDER BY suf, doc_id, i) AS r
+  FROM pos
+)
+SELECT r AS rank, doc_id, i AS pos,
+       CAST(COALESCE(MAX(CASE WHEN substr(s, 1, CAST(k AS INT))
+                                 = substr(p, 1, CAST(k AS INT))
+                              THEN k END), 0) AS BIGINT) AS lcp
+FROM ranked, LATERAL unnest(generate_series(1, 64)) AS t(k)
+WHERE p IS NOT NULL AND k <= least(64, length(s), length(p))
+GROUP BY r, doc_id, i
+ORDER BY r
+"""
+
+
 def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, step 1 certified end-to-end: the first
     merge is the argmax of dictionary-weighted adjacent symbol-pair
@@ -1682,6 +1726,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dup_char_spans": (doc_dup_char_spans, DUP_CHAR_SPANS_ORACLE),
     "doc_despanned_char": (doc_despanned_char, DESPANNED_CHAR_ORACLE),
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
+    "doc_sa_lcp": (doc_sa_lcp, SA_LCP_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

@@ -84,3 +84,99 @@ def test_fixture_subset_matches_reference(spark):
     release_persisted()
     assert got == _ref(rows)
     assert sorted(got.values()) == list(range(1, len(got) + 1))
+
+
+def _ref_lcp(rows, cap=256):
+    suf = sorted((t[i:], d, i + 1) for d, t in rows for i in range(len(t)))
+    out = {}
+    for r in range(1, len(suf)):
+        a, b = suf[r - 1][0], suf[r][0]
+        n = 0
+        for x, y in zip(a[:cap], b[:cap]):
+            if x != y:
+                break
+            n += 1
+        out[r + 1] = n  # 1-indexed rank of the later suffix
+    return out
+
+
+def test_lcp_rank_adjacent_matches_reference(spark):
+    from hypermap_etl_spark.operators.suffixarray import (
+        lcp_rank_adjacent,
+        suffix_array,
+    )
+
+    rows = [(1, "banana"), (2, "bandana"), (3, "anab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sa = suffix_array(docs, seed_chars=2)
+    got = {
+        r["rank"]: r["lcp"]
+        for r in lcp_rank_adjacent(sa, docs, max_lcp=16).collect()
+    }
+    release_persisted()
+    assert got == _ref_lcp(rows, cap=16)
+
+
+def test_sa_lcp_duplicated_windows_agree_with_dup_char_spans(spark):
+    """Internal consistency of the two ExactSubstr halves: positions
+    whose suffix shares an LCP >= L with either SA neighbor are exactly
+    the duplicated L-char-window starts — merged into maximal islands
+    they must reproduce dup_char_spans byte-for-byte."""
+    from hypermap_etl_spark.operators import dedup
+    from hypermap_etl_spark.operators.suffixarray import (
+        lcp_rank_adjacent,
+        suffix_array,
+    )
+
+    L = 12
+    rows = [
+        (1, "the same long boilerplate sentence here plus tail one"),
+        (2, "intro two the same long boilerplate sentence here"),
+        (3, "completely unrelated content in this document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sa = suffix_array(docs, seed_chars=4)
+    lcp = lcp_rank_adjacent(sa, docs, max_lcp=64).collect()
+    release_persisted()
+
+    # dup window-start positions: LCP >= L with predecessor marks BOTH
+    # members of the adjacent pair; (id,pos) per rank from the SA
+    by_rank = {r["rank"]: r for r in lcp}
+    sa_rows = {
+        r["sa_rank"]: (r["doc_id"], r["pos"])
+        for r in suffix_array(docs, seed_chars=4).collect()
+    }
+    release_persisted()
+    dup_pos = set()
+    for r in range(2, len(sa_rows) + 1):
+        row = by_rank.get(r)
+        if row and row["lcp"] >= L:
+            dup_pos.add(sa_rows[r])
+            dup_pos.add(sa_rows[r - 1])
+    # drop starts whose window would run past the doc end (suffix
+    # shorter than L cannot host an L-window)
+    lens = {d: len(t) for d, t in rows}
+    dup_pos = {(d, p) for d, p in dup_pos if p + L - 1 <= lens[d]}
+
+    # island-merge (gap <= L-1) per doc -> spans
+    spans = set()
+    by_doc = {}
+    for d, p in dup_pos:
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        ps.sort()
+        lo = hi = ps[0]
+        for p in ps[1:]:
+            if p - hi <= L - 1:
+                hi = p
+            else:
+                spans.add((d, lo, hi + L - 1))
+                lo = hi = p
+        spans.add((d, lo, hi + L - 1))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.dup_char_spans(docs, min_len=L).collect()
+    }
+    release_persisted()
+    assert spans == got and got, (spans, got)
