@@ -143,11 +143,22 @@ def lcp_rank_adjacent(
     predecessor).
     """
     C = int(max_lcp)
-    suf = sa.join(docs.select(id_col, text_col), id_col).select(
-        F.col("sa_rank"),
-        F.col(id_col),
-        F.col("pos"),
-        F.expr(f"substr(`{text_col}`, cast(pos as int), {C})").alias("__s"),
+    if C < 1:
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark — a degenerate
+        # cap would fold twice over empty strings and report lcp=2
+        # everywhere instead of erroring
+        raise ValueError(f"lcp_rank_adjacent: max_lcp must be >= 1, got {max_lcp}")
+    from hypermap_etl_spark.util import tracked_persist
+
+    # both sides of the rank self-join read the (sa ⋈ docs) + substr
+    # subplan — persist so it runs once, not twice
+    suf = tracked_persist(
+        sa.join(docs.select(id_col, text_col), id_col).select(
+            F.col("sa_rank"),
+            F.col(id_col),
+            F.col("pos"),
+            F.expr(f"substr(`{text_col}`, cast(pos as int), {C})").alias("__s"),
+        )
     )
     prev = suf.select(
         (F.col("sa_rank") + 1).alias("sa_rank"), F.col("__s").alias("__p")

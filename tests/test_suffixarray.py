@@ -153,10 +153,8 @@ def test_sa_lcp_duplicated_windows_agree_with_dup_char_spans(spark):
         if row and row["lcp"] >= L:
             dup_pos.add(sa_rows[r])
             dup_pos.add(sa_rows[r - 1])
-    # drop starts whose window would run past the doc end (suffix
-    # shorter than L cannot host an L-window)
-    lens = {d: len(t) for d, t in rows}
-    dup_pos = {(d, p) for d, p in dup_pos if p + L - 1 <= lens[d]}
+    # (no doc-end filter needed: lcp >= L implies both suffixes are at
+    # least L chars, so every marked start hosts a full L-window)
 
     # island-merge (gap <= L-1) per doc -> spans
     spans = set()
