@@ -65,6 +65,12 @@ def get_spark(
         # for fact-fact joins.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zstd for every parquet write: ~25-35% smaller files than the
+        # snappy default at comparable scan speed — at 100 TB that is
+        # direct storage + scan-IO + shuffle-read savings on every
+        # downstream pass. Level 3 default; decode speed is what scans
+        # pay and zstd decode is snappy-class.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # wide-aggregate codegen: the default 100-field cap silently
         # drops whole-stage codegen for the 128-column MinHash
         # signature aggregate (and any >100-col projection), costing
