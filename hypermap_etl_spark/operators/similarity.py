@@ -554,6 +554,82 @@ def quantize_int8(
     )
 
 
+def quantized_topk(
+    emb: DataFrame,
+    k: int = 5,
+    candidates: int = 32,
+    query_filter: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over the int8-quantized corpus: coarse-score
+    queries (full precision) against DEQUANTIZED corpus vectors — the
+    asymmetric-distance pattern of every RAM-bound quantized index
+    (IVF-PQ/SQ): the index holds 4x-smaller int8 codes, queries stay
+    exact — keep the top ``candidates`` per query, then rescore only
+    those pairs against the original vectors and return the exact-k
+    ranking of the candidate set.
+
+    Recall loss is bounded by the scalar-quantization error (≤ scale/2
+    per component, see quantize_int8) shrunk further by the
+    candidates/k oversampling; the emb_quantized_recall gate pins it
+    ≥ 0.9 against the exact top-k. Shapes: the coarse pass is the
+    broadcast-query scan of brute_force_topk (the memory win is the
+    point at this stage, not compute), the rescore joins only
+    queries × candidates rows.
+    """
+    if query_filter is None:
+        raise ValueError(
+            "quantized_topk requires query_filter: the coarse stage "
+            "scores every query against the corpus"
+        )
+    q8 = quantize_int8(emb, vec_col, id_col)
+    deq = q8.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            "transform(q, x -> cast(x as double) * q_scale + q_min)"
+        ).alias("cv"),
+    ).withColumn(
+        "cn",
+        F.sqrt(
+            F.aggregate(
+                F.col("cv"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ),
+    )
+    nemb = with_norm(fan_out(emb), vec_col)
+    q = nemb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        _vd(vec_col).alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    coarse = (
+        F.broadcast(q)
+        .join(deq, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    cand = _rank_topk(coarse, candidates).select("query_id", "neighbor_id")
+
+    qv = q
+    cv = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vd(vec_col).alias("cv2"),
+        F.col("__norm").alias("cn2"),
+    )
+    exact_sim = F.round(
+        cosine(F.col("qv"), F.col("cv2"), F.col("qn"), F.col("cn2")), 6
+    ).alias("sim")
+    rescored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim)
+    )
+    return _rank_topk(rescored, k)
+
+
 def label_centroids(
     emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -1487,6 +1487,29 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+def emb_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two-stage quantized ANN (int8 coarse scan +
+    exact rescore of 32 candidates — similarity.quantized_topk)
+    against the exact brute-force top-k. Same derived-property pattern
+    as emb_lsh_recall; measured recall is 1.0 at sf0.001 and sf0.01
+    (scalar-quantization error ≪ neighbor gaps), gated at ≥ 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.quantized_topk(
+        emb, k=5, candidates=32, query_filter=qf
+    )
+    return similarity.topk_recall(exact, approx, 5).select(
+        "n_queries", (F.col("recall") >= 0.95).alias("recall_ok")
+    )
+
+
+QUANTIZED_RECALL_ORACLE = """
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit certificate: one (n_vecs, total_var, captured_ok,
     orthonormal_ok) row.
@@ -1763,6 +1786,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_lsh_recall": (emb_lsh_recall, LSH_RECALL_ORACLE),
     "emb_ivf_recall": (emb_ivf_recall, IVF_RECALL_ORACLE),
+    "emb_quantized_recall": (emb_quantized_recall, QUANTIZED_RECALL_ORACLE),
     "emb_pca_variance": (emb_pca_variance, PCA_VARIANCE_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),

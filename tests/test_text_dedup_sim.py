@@ -735,3 +735,22 @@ def test_pca_fit_project_recovers_planted_axis(spark):
     expect = (V - np.array(mean)) @ C.T
     got = proj.sort_values("vec_id")[["p0", "p1", "p2"]].to_numpy()
     assert np.allclose(got, expect, atol=1e-5)
+
+
+def test_quantized_topk_rescore_recall(spark):
+    """Two-stage quantized ANN: int8 coarse + exact rescore must reach
+    the exact top-5 on the fixture (quantization error is far below
+    neighbor gaps), and requires a query_filter (the coarse stage is a
+    full scan per query)."""
+    import pytest
+
+    from hypermap_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.quantized_topk(emb, k=5, candidates=32, query_filter=qf)
+    rec = similarity.topk_recall(exact, approx, 5).collect()[0]
+    assert rec["recall"] >= 0.95, rec
+    with pytest.raises(ValueError, match="query_filter"):
+        similarity.quantized_topk(emb, k=5)
