@@ -23,7 +23,7 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # (dict order), so ordering is evidence policy: lead with the gates that
 # lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
-# emb_quantize), then the nine gates NEW in r5 (LSH/IVF recall + PCA
+# emb_quantize), then the ten gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
 # surgery, the distributed suffix array + LCP, BPE first-merge), then the six
 # gates never
@@ -45,6 +45,7 @@ _WINDOW: list[str] = [
     "emb_ivf_recall",
     "emb_quantized_recall",
     "emb_pca_variance",
+    "emb_kmeans_quality",
     "doc_dup_char_spans",
     "doc_suffix_array",
     "doc_sa_lcp",
@@ -80,7 +81,6 @@ _WINDOW: list[str] = [
     "q6_revenue_delta",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q14_promo_share",
     "q19_disjunctive_revenue",
     "orders_rollup",

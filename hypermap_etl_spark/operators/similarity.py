@@ -734,6 +734,33 @@ def kmeans(
 
 # ------------------------------------------------ covariance matrix ----
 
+def kmeans_inertia(
+    emb: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean squared distance of every vector to its assigned centroid —
+    the quantity Lloyd iterations minimize. Centroids broadcast as a
+    k-row frame (model-sized); the distance is one JVM zip_with fold
+    per row; the driver sees one float."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cluster int, cent array<double>"
+    )
+    j = (
+        assigned.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(cdf), "cluster")
+    )
+    d2 = F.aggregate(
+        F.zip_with(_vd(vec_col), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return float(j.agg(F.avg(d2)).collect()[0][0])
+
+
 def _moment_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """One-pass per-partition moment reduction: each Arrow batch folds
     to a single (n, sum_x[d], sum_xx[d*d]) row via one BLAS gramian -

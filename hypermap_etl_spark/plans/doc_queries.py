@@ -1510,6 +1510,41 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means fit certificate (similarity.kmeans is iterative and not
+    SQL-expressible — the documented no-oracle family gets a derived
+    deterministic gate instead): one (n_vecs, k_used_ok, inertia_ok)
+    row. n_vecs is real cross-engine verification (the assignment frame
+    must cover the corpus exactly once); k_used_ok pins all 8 clusters
+    non-empty under the deterministic hash seeding; inertia_ok pins
+    mean squared distance to assigned centroids at ≤ 0.97× the total
+    variance — the single-centroid baseline k-means must beat
+    (measured ratio 0.934 / 0.932 at sf0.001 / sf0.01; a broken
+    assignment or centroid update lands at ≥ 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.kmeans(emb, k=8, n_iter=3)
+    n = assigned.count()
+    k_used = assigned.select("cluster").distinct().count()
+    inertia = similarity.kmeans_inertia(emb, assigned, cents)
+    tv = (
+        similarity.covariance_matrix(emb)
+        .filter("i = j")
+        .agg(F.sum("cov").alias("t"))
+        .collect()[0]["t"]
+    )
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        F.lit(bool(k_used == 8)).alias("k_used_ok"),
+        F.lit(bool(inertia <= 0.97 * tv)).alias("inertia_ok"),
+    )
+
+
+KMEANS_QUALITY_ORACLE = """
+SELECT COUNT(*) AS n_vecs, TRUE AS k_used_ok, TRUE AS inertia_ok
+FROM embeddings
+"""
+
+
 def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit certificate: one (n_vecs, total_var, captured_ok,
     orthonormal_ok) row.
@@ -1788,6 +1823,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ivf_recall": (emb_ivf_recall, IVF_RECALL_ORACLE),
     "emb_quantized_recall": (emb_quantized_recall, QUANTIZED_RECALL_ORACLE),
     "emb_pca_variance": (emb_pca_variance, PCA_VARIANCE_ORACLE),
+    "emb_kmeans_quality": (emb_kmeans_quality, KMEANS_QUALITY_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
 }
