@@ -385,6 +385,7 @@ def cmd_curate(args) -> None:
         redact=not args.no_redact,
         n_shards=args.shards,
         cut_dup_spans=args.cut_dup_spans,
+        span_grain=args.span_grain,
     )
     if args.format == "jsonl":
         # training-export layout: one JSONL dir per shard (the layout a
@@ -460,6 +461,9 @@ def main(argv=None) -> None:
     p.add_argument("--min-words", type=int, default=20)
     p.add_argument("--lang", default="en")
     p.add_argument("--no-redact", action="store_true", help="skip PII masking")
+    p.add_argument("--span-grain", default="word", choices=["word", "char"],
+                   help="grain of duplicated-span surgery (char = "
+                        "byte-exact ExactSubstr boundaries)")
     p.add_argument("--cut-dup-spans", action="store_true",
                    help="ExactSubstr surgery: cut duplicated >=8-word runs "
                         "surviving doc-level dedup (first occurrence kept)")

@@ -284,6 +284,8 @@ def curate_pipeline(
     text_col: str = "text",
     cut_dup_spans: bool = False,
     span_words: int = 8,
+    span_grain: str = "word",
+    span_chars: int = 30,
     with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
@@ -293,11 +295,15 @@ def curate_pipeline(
       deterministic split → token chunking → sequence packing → shard
       assignment.
 
-    ``cut_dup_spans`` removes duplicated ≥span_words-word runs that
-    SURVIVE document-level dedup (boilerplate shared by otherwise
-    distinct docs): spans are mined on the survivor set with spans of
-    each text's FIRST surviving occurrence kept (min doc_id), so one
-    copy of the repeated material remains in the corpus.
+    ``cut_dup_spans`` removes duplicated runs that SURVIVE
+    document-level dedup (boilerplate shared by otherwise distinct
+    docs): spans are mined on the survivor set with spans of each
+    text's FIRST surviving occurrence kept (min doc_id), so one copy
+    of the repeated material remains in the corpus.
+    ``span_grain="word"`` (default) mines ≥span_words-word shingle
+    islands; ``span_grain="char"`` mines byte-exact ≥span_chars-char
+    intervals (dup_char_spans — boundaries land mid-word where the
+    duplication actually starts) and cuts with the char-grain surgery.
 
     Returns (documents, chunks, report):
       documents — doc_id, text (redacted when ``redact``), split, shard
@@ -354,19 +360,26 @@ def curate_pipeline(
 
     n_span_docs = 0
     if cut_dup_spans:
-        spans = dedup.dup_token_spans(surv, k=span_words, text_col=text_col)
         # keep-first policy keyed on span CONTENT (the same duplicated
         # run sits at different positions in different docs): hash each
-        # maximal span's word slice; the globally first occurrence —
+        # maximal span's text; the globally first occurrence —
         # min (doc_id, span_start) — keeps its text, every later
         # occurrence is cut. Partially-overlapping near-identical spans
         # hash apart and all survive; only exact maximal repeats cut.
-        ws = F.split(F.lower(F.col(text_col)), " ")
-        sp_txt = spans.join(surv.select("doc_id", text_col), "doc_id").select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            F.md5(
+        if span_grain == "char":
+            spans = dedup.dup_char_spans(
+                surv, min_len=span_chars, text_col=text_col
+            )
+            span_key = F.md5(
+                F.expr(
+                    f"substr(`{text_col}`, cast(span_start as int),"
+                    " cast(span_end - span_start + 1 as int))"
+                )
+            )
+        else:
+            spans = dedup.dup_token_spans(surv, k=span_words, text_col=text_col)
+            ws = F.split(F.lower(F.col(text_col)), " ")
+            span_key = F.md5(
                 F.concat_ws(
                     " ",
                     F.slice(
@@ -375,7 +388,9 @@ def curate_pipeline(
                         (F.col("span_end") - F.col("span_start") + 1).cast("int"),
                     ),
                 )
-            ).alias("__sh"),
+            )
+        sp_txt = spans.join(surv.select("doc_id", text_col), "doc_id").select(
+            "doc_id", "span_start", "span_end", span_key.alias("__sh")
         )
         first = sp_txt.groupBy("__sh").agg(
             F.min(F.struct("doc_id", "span_start")).alias("__first")
@@ -390,10 +405,14 @@ def curate_pipeline(
         )
         if with_report:
             n_span_docs = to_cut.select("doc_id").distinct().count()
+        cutter = (
+            dedup.cut_char_spans if span_grain == "char" else dedup.cut_spans
+        )
+        n_cut_col = "n_cut_chars" if span_grain == "char" else "n_cut_words"
         surv = (
-            dedup.cut_spans(surv, to_cut, text_col=text_col)
+            cutter(surv, to_cut, text_col=text_col)
             .withColumnRenamed("clean_text", text_col)
-            .drop("n_cut_words")
+            .drop(n_cut_col)
         )
 
     if redact:

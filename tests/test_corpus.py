@@ -324,3 +324,45 @@ def test_ngram_table_counts_and_ties(spark):
     assert by_gram["b a"] == (1, 2)          # count ties broken gram-asc
     assert by_gram["b c"][0] == 1 and by_gram["b x"][0] == 1
     assert "zz" not in by_gram               # 1-word doc -> no bigrams
+
+
+def test_curate_pipeline_char_grain_span_surgery(spark):
+    """span_grain='char': after the full pipeline no >=30-char window
+    may be duplicated across DISTINCT output texts (the keep-first
+    copy legitimately survives once)."""
+    shared = "all rights reserved and subject to the terms of service"
+    # every 30-char window of the filler carries a doc-specific token,
+    # so filler never forms cross-doc duplicated spans of its own (the
+    # operator cuts EXACT maximal repeats; near-identical islands hash
+    # apart by contract)
+    filler = lambda tag: " ".join(
+        f"the {tag}{i} view of the {tag}{i+1} is near the {tag}{i+2} side"
+        for i in range(0, 24, 3)
+    )
+    rows = [
+        (1, "the first article is about rivers and the flow of water "
+            + shared + " with a closing note on tides " + filler("river")),
+        (2, "the second article is about mountains and the shape of stone "
+            + shared + " with an appendix on maps " + filler("peak")),
+        (3, "the third article is about forests and the role of moss in "
+            "the shade with no shared legal footer at all " + filler("moss")),
+    ]
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    documents, _chunks, rep = corpus.curate_pipeline(
+        docs, min_words=3, cut_dup_spans=True, span_grain="char",
+        span_chars=30, redact=False,
+    )
+    texts = {r["doc_id"]: r["text"] for r in documents.collect()}
+    release_persisted()
+    L = 30
+    grams = {}
+    for d, t in texts.items():
+        for i in range(len(t) - L + 1):
+            grams.setdefault(t[i : i + L], set()).add(d)
+    dup = [g for g, ds in grams.items() if len(ds) > 1]
+    assert not dup, dup[:3]
+    # keep-first: the shared run survives in exactly one doc
+    assert sum(shared in t for t in texts.values()) == 1
+    assert rep["span_cut_docs"] == 1
