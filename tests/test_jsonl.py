@@ -72,3 +72,23 @@ def test_curate_jsonl_export_reads_back(spark, capsys):
     assert corrupt_count(
         spark, os.path.join(out, "chunks.jsonl"), CHUNKS_JSONL_SCHEMA
     ) == 0
+
+
+def test_read_jsonl_permissive_surfaces_corrupt_rows(spark):
+    """drop_corrupt=False: the PERMISSIVE path keeps bad lines in the
+    quarantine column for inspection (cache() first — Spark refuses
+    corrupt-column-only queries on raw scans)."""
+    base = tempfile.mkdtemp()
+    p = os.path.join(base, "docs.jsonl")
+    with open(p, "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": "ok", "lang": "en",
+                             "source": "a", "n_chars": 2}) + "\n")
+        fh.write("{broken\n")
+    df = read_jsonl(spark, p, drop_corrupt=False).cache()
+    try:
+        assert df.count() == 2
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert "{broken" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        df.unpersist()

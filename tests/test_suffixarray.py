@@ -178,3 +178,16 @@ def test_sa_lcp_duplicated_windows_agree_with_dup_char_spans(spark):
     }
     release_persisted()
     assert spans == got and got, (spans, got)
+
+
+def test_suffix_array_more_partitions_than_rows(spark):
+    """n_parts far above the row count (range partitioner emits fewer,
+    possibly empty partitions) must not corrupt offsets or ranks."""
+    rows = [(1, "abcab"), (2, "cabx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["sa_rank"]
+        for r in suffix_array(docs, n_parts=64, seed_chars=2).collect()
+    }
+    release_persisted()
+    assert got == _ref(rows)
