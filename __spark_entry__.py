@@ -23,7 +23,7 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # (dict order), so ordering is evidence policy: lead with the gates that
 # lack a green driver row. Round-5 window (VERDICT r4 task 3): first the
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
-# emb_quantize), then the ten gates NEW in r5 (LSH/IVF recall + PCA
+# emb_quantize), then the eleven gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
 # surgery, the distributed suffix array + LCP, BPE first-merge), then the six
 # gates never
@@ -50,6 +50,7 @@ _WINDOW: list[str] = [
     "doc_suffix_array",
     "doc_sa_lcp",
     "doc_bpe_first_merge",
+    "doc_winnow_pairs",
     "doc_despanned_char",
     # never driver-checked in any round
     "doc_dsir_weights",
@@ -86,7 +87,6 @@ _WINDOW: list[str] = [
     "orders_rollup",
     "orders_cube",
     "top3_customers_per_segment",
-    "events_json_extract",
     "events_tumbling_window",
     "events_asof_join",
     "events_interval_counts",

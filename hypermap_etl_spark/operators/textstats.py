@@ -146,6 +146,69 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) ->
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Robust-winnowing fingerprint SET per document (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS construction at word grain):
+    hash every k-word shingle, slide a w-window over the hash sequence,
+    keep each window's minimum, emit the distinct selected hashes.
+
+    The winnowing guarantee: any shared run of ≥ w+k-1 words between
+    two documents yields at least one SHARED fingerprint, while the
+    sketch is ~2/(w+1) the size of the full shingle set — the local
+    document sketch between one-hash fingerprints (too coarse) and the
+    full inverted index (too big to ship per doc).
+
+    Plan: posexplode shingles → per-doc MIN window over a w-row frame
+    (partitioned by doc, never global) → distinct. Only full windows
+    select (pos ≥ w), matching the reference algorithm. Output
+    (doc_id, fp) rows — the relational form an overlap join consumes.
+    """
+    from pyspark.sql.window import Window
+
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_shingles(F.lower(F.col(text_col)), k)
+        ).alias("__p0", "__g"),
+    ).select(
+        "doc_id",
+        (F.col("__p0") + 1).alias("pos"),
+        F.md5(F.col("__g")).alias("__h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        sh.withColumn("__m", F.min("__h").over(win))
+        .filter(F.col("pos") >= w)
+        .select("doc_id", F.col("__m").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowing fingerprints with
+    the shared count — MOSS-style containment mining. The join is the
+    fingerprint inverted index (equi-join on fp, shuffle bounded by
+    sketch sizes), never a doc×doc cartesian."""
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k characteristic terms per document by tf·(N/df).
 

@@ -1645,6 +1645,43 @@ ORDER BY query_id
 """
 
 
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing overlap mining (textstats.winnow_fingerprints
+    + winnow_overlap_pairs, Schleimer et al. 2003): 5-word shingle md5s,
+    4-window minima, distinct per-doc fingerprint sets, pairs sharing
+    ≥3 fingerprints. The oracle replays the identical windowed-min
+    selection in SQL."""
+    return textstats.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_shared=3,
+    ).orderBy("doc_a", "doc_b")
+
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, {_shingles_sql(5, 'lower(text)')} AS gs FROM documents
+),
+sh AS (
+  SELECT doc_id, pos, md5(gs[pos]) AS h
+  FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM g)
+),
+sel AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         pos
+  FROM sh
+),
+fps AS (SELECT DISTINCT doc_id, m AS fp FROM sel WHERE pos >= 4)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency table (corpus.ngram_table): top-300 word
     bigrams with total tie-break — the collocation/tokenizer-merge prep
@@ -1786,6 +1823,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
     "doc_sa_lcp": (doc_sa_lcp, SA_LCP_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
+    "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),

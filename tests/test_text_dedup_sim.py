@@ -754,3 +754,33 @@ def test_quantized_topk_rescore_recall(spark):
     assert rec["recall"] >= 0.95, rec
     with pytest.raises(ValueError, match="query_filter"):
         similarity.quantized_topk(emb, k=5)
+
+
+def test_winnow_guarantee_and_sketch_size(spark):
+    """The winnowing theorem: two docs sharing a run of >= w+k-1 words
+    (here 4+5-1=8) MUST share at least one fingerprint; disjoint docs
+    share none; and the sketch is a fraction of the full shingle set."""
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    docs = _docs(spark, [
+        "unique head one " + run + " unique tail one",
+        "different head " + run + " other ending words",
+        "entirely separate content with no common runs at all here",
+    ])
+    fps = textstats.winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {
+        d: {r["fp"] for r in rows}
+        for d, rows in (
+            (i, fps.filter(F.col("doc_id") == i).collect()) for i in range(3)
+        )
+    }
+    assert by_doc[0] & by_doc[1], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+    pairs = textstats.winnow_overlap_pairs(docs, min_shared=1, k=5, w=4)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(0, 1)}
+
+    # sketch compression: selected fingerprints ≪ total shingles
+    n_shingles = docs.select(
+        F.explode(textstats.word_shingles(F.lower(F.col("text")), 5))
+    ).count()
+    assert fps.count() < n_shingles
