@@ -13,10 +13,14 @@ pipeline runs between raw text and the training set.
                      (Raffel et al. 2020 used 3-sentence spans; the
                      fixture text has no sentence marks, so the span
                      unit is a fixed word window).
+  normalize_text     control-strip / Unicode NFC / accent-strip /
+                     case-fold / whitespace-collapse canonicalization.
 
 All built-in column expressions (split/slice/regexp/md5), zero Python
-on the hot path, and every formula engine-reproducible so the DuckDB
-oracle verifies bit-for-bit.
+on the hot path — except normalize_text's Unicode step, which is the
+one operation Spark's built-ins cannot express: Arrow-batched with a
+vectorized ASCII fast path. Every formula is engine-reproducible so
+the DuckDB oracle verifies bit-for-bit.
 
 Scale notes inline per op. The common theme: per-row array math stays
 map-side; the only shuffles are keyed by doc_id or by a fixed-width
@@ -25,6 +29,7 @@ md5 of the span text (never by raw variable-length text).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -326,3 +331,86 @@ def dsir_weights(
             (F.round(F.sum("__lr"), 6) + F.lit(0.0)).alias("dsir_weight"),
         )
     )
+
+
+# ------------------------------------------------------ text normalization ----
+
+# Non-whitespace C0/C1-adjacent controls. \x09-\x0D (tab/newline-class)
+# are deliberately NOT here: they are whitespace and belong to the
+# collapse step, and removing \x0B/\x0C up front ALSO reconciles the
+# one character where Java's \s ([ \t\n\x0B\f\r]) and RE2's \s
+# ([\t\n\f\r ]) disagree, so the Spark and DuckDB collapse regexes see
+# identical inputs.
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str | None = "NFC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization — the first stage of every real
+    ingest pipeline (the reference normalizes label bytes to UTF-8 with
+    a '' fallback, /root/reference/src/lib/services/events.ts:134; this
+    is the corpus-scale generalization).
+
+    Steps, in order:
+      1. strip non-whitespace control characters (JVM regexp, codegen);
+      2. Unicode-normalize to ``form`` (NFC/NFKC/NFD/NFKD) and/or drop
+         combining marks (``strip_accents``: NFD → remove category Mn →
+         re-normalize, byte-identical to DuckDB's strip_accents on NFC
+         input — verified for Latin, Hangul and singleton compositions);
+      3. ``lowercase`` (JVM);
+      4. collapse ASCII whitespace runs to one space + trim (JVM).
+
+    Scale shape: steps 1/3/4 are whole-stage-codegen column expressions.
+    Step 2 is the one Python stage, Arrow-batched, with a vectorized
+    ASCII fast path — pure-ASCII batches (the overwhelming majority of
+    a web corpus) return without touching unicodedata, so the Python
+    cost is proportional to the non-ASCII subset, not the corpus. With
+    ``form=None`` and ``strip_accents=False`` no Python stage is
+    planned at all.
+    """
+    t: Column = F.col(text_col)
+    t = F.regexp_replace(t, _CONTROL_RE, "")
+
+    if form is not None or strip_accents:
+        from pyspark.sql.functions import pandas_udf
+
+        _form = form
+
+        @pandas_udf("string")
+        def _unorm(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            mask = s.notna() & s.str.contains(r"[^\x00-\x7F]", regex=True)
+            if not mask.any():
+                return s
+
+            def one(x: str) -> str:
+                if _form is not None:
+                    x = unicodedata.normalize(_form, x)
+                if strip_accents:
+                    x = "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", x)
+                        if unicodedata.category(c) != "Mn"
+                    )
+                    x = unicodedata.normalize(_form or "NFC", x)
+                return x
+
+            out = s.copy()
+            out[mask] = s[mask].map(one)
+            return out
+
+        t = _unorm(t)
+
+    if lowercase:
+        t = F.lower(t)
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return docs.select("doc_id", t.alias(out_col))

@@ -1808,7 +1808,43 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+@plan_cache
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (curation.normalize_text): control
+    strip → Unicode NFC → accent strip → lowercase → whitespace
+    collapse. The fixture corpus is pure ASCII, so the gate prepends a
+    Unicode prefix (combining acute U+0301, angstrom sign U+212B,
+    precomposed È/É, a BEL control, a tab) to every document — the NFC
+    composition, mark stripping, and control removal are genuinely
+    exercised and the oracle replays them with DuckDB's own
+    nfc_normalize/strip_accents."""
+    prefix = "e\u0301l\u00e8ve \u212b CAF\u00c9\x07\t "
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(prefix), F.col("text")).alias("text")
+    )
+    return curation.normalize_text(
+        docs, form="NFC", strip_accents=True, lowercase=True
+    ).orderBy("doc_id")
+
+
+NORMALIZED_ORACLE = r"""
+WITH prefixed AS (
+  SELECT doc_id,
+         'e' || chr(769) || 'l' || chr(232) || 've ' || chr(8491)
+         || ' CAF' || chr(201) || chr(7) || chr(9) || ' ' || text AS t
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(strip_accents(nfc_normalize(
+           regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))),
+         '\s+', ' ', 'g')) AS norm_text
+FROM prefixed ORDER BY doc_id
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
+    "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
     "doc_quality": (doc_quality, QUALITY_ORACLE),
     "doc_langid": (doc_langid, _langid_oracle()),

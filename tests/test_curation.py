@@ -208,3 +208,91 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert w[0] > w[1], w
     # doubling the doc ~doubles the sum (bigram across the seam adds one feature)
     assert w[2] > 1.5 * w[0] > 0, w
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    import unicodedata
+
+    docs = _docs(
+        spark,
+        [
+            (1, "Café  Å \telève"),   # combining acute, angstrom sign, tab
+            (2, "plain ascii   text"),
+            (3, "ctl\x00chars\x1fhere\x0bok"),          # NUL, US, VT
+            (4, "한국어 text"),             # Hangul survives accent strip
+            (5, None),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["norm_text"]
+        for r in curation.normalize_text(
+            docs, form="NFC", strip_accents=True, lowercase=True
+        ).collect()
+    }
+    # NFC composes e+◌́→é and Å(U+212B)→Å(U+00C5); strip drops the marks
+    assert out[1] == "cafe a eleve"
+    assert out[2] == "plain ascii text"
+    # non-whitespace controls vanish; VT was removed BEFORE collapse so
+    # Java-vs-RE2 \s disagreement on \x0B can never surface
+    assert out[3] == "ctlcharshereok"
+    assert out[4] == unicodedata.normalize("NFC", "한국어") + " text"
+    assert out[5] is None
+
+
+def test_normalize_text_nfkc_and_no_python_path(spark):
+    docs = _docs(spark, [(1, "ﬁne ①②"), (2, "A  B")])
+    out = {
+        r["doc_id"]: r["norm_text"]
+        for r in curation.normalize_text(docs, form="NFKC").collect()
+    }
+    assert out[1] == "fine 12"  # compatibility fold: ligature + circled digits
+    assert out[2] == "A B"
+
+    # form=None + no accent strip must plan NO Python stage at all
+    plan = curation.normalize_text(
+        docs, form=None, collapse_whitespace=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # the Unicode variant plans exactly one Arrow-batched stage (never
+    # row-at-a-time Python)
+    plan2 = curation.normalize_text(
+        docs, form="NFC"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_normalize_text_idempotent_and_duckdb_parity(spark):
+    """normalize∘normalize == normalize, and the Spark output is
+    byte-identical to the DuckDB formulation the oracle gate uses."""
+    import duckdb
+
+    rows = [
+        (1, "Café Å naïve —\there"),
+        (2, "MIXED Case\x0c with\x00controls"),
+        (3, "한국어 안녕"),
+    ]
+    docs = _docs(spark, rows)
+    once = curation.normalize_text(docs, form="NFC", strip_accents=True, lowercase=True)
+    twice = curation.normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text")),
+        form="NFC",
+        strip_accents=True,
+        lowercase=True,
+    )
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert a == b
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            r"""
+            SELECT trim(regexp_replace(
+                     lower(strip_accents(nfc_normalize(
+                       regexp_replace(?, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))),
+                     '\s+', ' ', 'g'))
+            """,
+            [text],
+        ).fetchone()[0]
+        assert a[doc_id] == want, (doc_id, a[doc_id], want)
