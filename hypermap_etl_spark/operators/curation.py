@@ -414,3 +414,61 @@ def normalize_text(
     if collapse_whitespace:
         t = F.trim(F.regexp_replace(t, "\\s+", " "))
     return docs.select("doc_id", t.alias(out_col))
+
+
+# ----------------------------------------------------- C4 line-grain clean ----
+
+# terminal punctuation a retained line must end with (C4 §2.2: period,
+# exclamation, question mark, closing quote)
+_C4_TERMINAL_RE = '[.!?"”]$'
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    line_min_words: int = 5,
+    min_lines: int = 3,
+    newline: str = "\n",
+) -> DataFrame:
+    """C4's line-grain page cleaning (Raffel et al. 2020 §2.2), the
+    step BEFORE document-level filters: split the page into lines, keep
+    only lines that end in terminal punctuation, have ≥
+    ``line_min_words`` words, and don't mention javascript; drop the
+    whole page when it contains 'lorem ipsum' or a curly brace, or
+    fewer than ``min_lines`` lines survive.
+
+    Output: (doc_id, clean_text, n_lines_in, n_lines_kept, page_kept) —
+    clean_text is the kept lines rejoined (NULL when the page drops),
+    so the keep/drop decision AND the surviving text are auditable in
+    one pass.
+
+    Scale shape: pure JVM higher-order functions (split → filter lambda
+    → array_join) — per-row array math, map-side only, no shuffle, no
+    Python. The line arrays live only inside the projection; nothing
+    wider than the page itself is ever materialized.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, F.lit(newline))
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike(_C4_TERMINAL_RE)
+            & (
+                F.size(F.filter(F.split(ln, " "), lambda w: w != F.lit("")))
+                >= F.lit(line_min_words)
+            )
+            & ~F.lower(ln).contains("javascript")
+        ),
+    )
+    page_ok = (
+        (F.size(kept) >= F.lit(min_lines))
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return docs.select(
+        "doc_id",
+        F.when(page_ok, F.array_join(kept, newline)).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines_in"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        page_ok.alias("page_kept"),
+    )

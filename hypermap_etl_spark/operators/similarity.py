@@ -921,3 +921,56 @@ def pca_project(
         )
     sql = "SELECT {id}, {projs} FROM {{src}}".format(id=id_col, projs=", ".join(projs))
     return d.sparkSession.sql(sql, src=d)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of curation.decontaminate's 13-gram collision test: a
+    corpus item is contaminated when its embedding's cosine similarity
+    to ANY benchmark embedding reaches ``threshold`` (catches
+    paraphrased/reformatted eval leakage that n-gram overlap misses).
+
+    Output, for EVERY corpus row (same auditable shape as the n-gram
+    op): (vec_id, max_sim, n_hits, contaminated) — max_sim the highest
+    benchmark similarity (rounded 6 dp), n_hits how many benchmark
+    items clear the threshold.
+
+    Scale shape: eval suites are small and fixed, so the benchmark side
+    is BROADCAST and the corpus streams map-side through one
+    zip_with/aggregate cosine kernel per (row, probe) — no shuffle of
+    the corpus, no Python, aggregation keyed by the near-unique id.
+    With a large probe set, pre-filter candidates with srp_banding and
+    decontaminate only bucket collisions.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("__cid"), _vd(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    b = with_norm(bench, vec_col).select(
+        _vd(vec_col).alias("__bv"), F.col("__norm").alias("__bn")
+    )
+    sim = F.round(
+        cosine(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")), 6
+    )
+    scored = c.join(F.broadcast(b)).select("__cid", sim.alias("__sim"))
+    return (
+        scored.groupBy("__cid")
+        .agg(
+            F.max("__sim").alias("max_sim"),
+            F.sum(
+                F.when(F.col("__sim") >= threshold, 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+        )
+        .select(
+            F.col("__cid").alias(id_col),
+            "max_sim",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

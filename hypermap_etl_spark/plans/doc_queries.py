@@ -1843,8 +1843,98 @@ FROM prefixed ORDER BY doc_id
 """
 
 
+@plan_cache
+def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-grain page cleaning (curation.c4_clean, Raffel et al.
+    2020 §2.2). The fixture corpus is single-line, so the gate builds a
+    six-line page per document exercising every rule: terminal-punct
+    keep, short-line drop, no-punct drop, javascript drop, and (every
+    7th doc) a lorem-ipsum page kill."""
+    docs = load_table(spark, sf_dir, "documents")
+    nl = "\n"
+    paged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            nl,
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("too short."),
+            F.col("text"),
+            F.lit("this javascript line has plenty of words here."),
+            F.concat(F.col("text"), F.lit("?")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ).otherwise(F.concat(F.col("text"), F.lit("!"))),
+        ).alias("text"),
+    )
+    return curation.c4_clean(paged).orderBy("doc_id")
+
+
+C4_CLEAN_ORACLE = """
+WITH paged AS (
+  SELECT doc_id,
+         text || '.' || chr(10) ||
+         'too short.' || chr(10) ||
+         text || chr(10) ||
+         'this javascript line has plenty of words here.' || chr(10) ||
+         text || '?' || chr(10) ||
+         CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+              ELSE text || '!' END AS t
+  FROM documents
+),
+k AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)), ln ->
+           regexp_matches(ln, '[.!?"”]$')
+           AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 5
+           AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM paged
+),
+p AS (
+  SELECT *,
+         len(kept) >= 3
+         AND NOT contains(lower(t), 'lorem ipsum')
+         AND NOT contains(t, '{') AS page_ok
+  FROM k
+)
+SELECT doc_id,
+       CASE WHEN page_ok THEN array_to_string(kept, chr(10)) END AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines_in,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       page_ok AS page_kept
+FROM p ORDER BY doc_id
+"""
+
+
+@plan_cache
+def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (similarity.semantic_decontaminate): every 97th vector plays the
+    benchmark suite; a corpus vector is contaminated at cosine ≥ 0.95
+    to any probe. Benchmark side broadcast, corpus never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") % 97 == 0), threshold=0.95
+    ).orderBy("vec_id")
+
+
+EMB_DECONTAM_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT v FROM e WHERE vec_id % 97 = 0),
+s AS (
+  SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, b.v), 6) AS sim
+  FROM e CROSS JOIN b
+)
+SELECT vec_id, MAX(sim) AS max_sim,
+       CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM s GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
+    "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
+    "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),
     "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
     "doc_quality": (doc_quality, QUALITY_ORACLE),
     "doc_langid": (doc_langid, _langid_oracle()),

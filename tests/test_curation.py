@@ -296,3 +296,52 @@ def test_normalize_text_idempotent_and_duckdb_parity(spark):
             [text],
         ).fetchone()[0]
         assert a[doc_id] == want, (doc_id, a[doc_id], want)
+
+
+def test_c4_clean_line_rules(spark):
+    docs = _docs(
+        spark,
+        [
+            # 3 keepable lines + 3 droppable ones -> page kept
+            (1, "this line has enough words to keep.\n"
+                "too short.\n"
+                "this line has enough words but no terminal punct\n"
+                "this javascript line has plenty of words here.\n"
+                "would you keep a question line with many words?\n"
+                "yes keep an exclamation line with many words!"),
+            # only 2 lines survive -> page dropped (min_lines=3)
+            (2, "this line has enough words to keep.\n"
+                "another line with plenty of words kept here."),
+            # curly brace nukes the page even with 3 good lines
+            (3, "this line has enough words to keep. {\n"
+                "would you keep a question line with many words?\n"
+                "yes keep an exclamation line with many words!\n"
+                "this line has enough words to keep."),
+            # lorem ipsum nukes the page
+            (4, "Lorem Ipsum dolor sit amet consectetur adipiscing.\n"
+                "would you keep a question line with many words?\n"
+                "yes keep an exclamation line with many words!"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.c4_clean(docs).collect()}
+    assert out[1]["page_kept"] and out[1]["n_lines_in"] == 6 and out[1]["n_lines_kept"] == 3
+    assert out[1]["clean_text"] == (
+        "this line has enough words to keep.\n"
+        "would you keep a question line with many words?\n"
+        "yes keep an exclamation line with many words!"
+    )
+    assert not out[2]["page_kept"] and out[2]["clean_text"] is None
+    assert out[2]["n_lines_kept"] == 2
+    assert not out[3]["page_kept"] and out[3]["clean_text"] is None
+    assert not out[4]["page_kept"]
+
+
+def test_c4_clean_closing_quote_terminal(spark):
+    docs = _docs(
+        spark,
+        [(1, 'he said the words "I will keep this line."\n'
+             "second line with enough words to keep too.\n"
+             "third line also has enough words to keep.")],
+    )
+    row = curation.c4_clean(docs).collect()[0]
+    assert row["page_kept"] and row["n_lines_kept"] == 3

@@ -784,3 +784,38 @@ def test_winnow_guarantee_and_sketch_size(spark):
         F.explode(textstats.word_shingles(F.lower(F.col("text")), 5))
     ).count()
     assert fps.count() < n_shingles
+
+
+def test_semantic_decontaminate_planted(spark):
+    """A corpus vector identical (or near-identical) to a benchmark
+    probe is flagged; orthogonal vectors are not; every corpus row
+    appears exactly once."""
+    from hypermap_etl_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),          # == probe A
+            (2, [0.999, 0.04, 0.0]),       # near probe A
+            (3, [0.0, 1.0, 0.0]),          # orthogonal
+            (4, [0.0, 0.0, 1.0]),          # orthogonal
+            (5, [0.7, 0.7, 0.0]),          # 45 degrees off: below 0.95
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["contaminated"] and out[1]["max_sim"] == 1.0
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 1
+    assert not out[3]["contaminated"] and out[3]["max_sim"] == 0.0
+    assert not out[4]["contaminated"]
+    assert not out[5]["contaminated"] and abs(out[5]["max_sim"] - 0.707107) < 1e-6
+
+    # benchmark side must be broadcast: the corpus is never shuffled
+    plan = semantic_decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
