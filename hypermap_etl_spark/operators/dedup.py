@@ -875,3 +875,162 @@ def cut_spans(
         F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias("clean_text"),
         (F.size(ws) - F.size(kept)).cast("bigint").alias("n_cut_words"),
     )
+
+
+# ------------------------------------------- incremental signature store ----
+
+def band_buckets(
+    sigs: DataFrame, num_perm: int = 128, bands: int = 32
+) -> DataFrame:
+    """(doc_id, bh) band-bucket rows with the band index SALTED INTO
+    the 64-bit bucket hash (bh = xxhash64(band, m_i..m_j)) so a single
+    equi-join column carries the whole banding scheme. Cross-band
+    collisions are possible in principle but land in the exact-verify
+    stage like any other false candidate.
+
+    This is the STORE-side layout for incremental dedup: one slim
+    column to bucket a lake table by, vs lsh_candidate_pairs'
+    (band, bh) pair which exists only inside a self-join."""
+    rows = num_perm // bands
+    structs = ", ".join(
+        "xxhash64({b}, {cols})".format(
+            b=b, cols=", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return sigs.selectExpr("doc_id", f"explode(array({structs})) AS bh")
+
+
+def signature_store_append(
+    docs: DataFrame,
+    table_name: str,
+    path: str | None = None,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Append a batch's MinHash band buckets to a persistent,
+    BUCKETED-BY-bh signature store (catalog table ``table_name``,
+    optionally external at ``path``).
+
+    The store is the corpus's dedup index: ~bands slim rows per
+    document, bucketed so every future incremental join reads it
+    co-located — the historical side (the 100 TB one) is NEVER
+    re-shuffled; only the new batch exchanges, by bh, to line up with
+    the store's buckets."""
+    buckets = band_buckets(
+        minhash_signatures(docs, num_perm, n, text_col), num_perm, bands
+    )
+    spark = docs.sparkSession
+    writer = buckets.write.format("parquet").bucketBy(n_buckets, "bh")
+    if path:
+        writer = writer.option("path", path)
+    mode = "append" if spark.catalog.tableExists(table_name) else "overwrite"
+    writer.mode(mode).saveAsTable(table_name)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    store,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against an already-
+    indexed corpus — the arriving 0.1% of a 100 TB lake is checked
+    without recomputing (or even rescanning) historical signatures.
+
+    ``store`` is the signature index: a bucketed catalog table name
+    written by signature_store_append, or a (doc_id, bh) DataFrame.
+    ``corpus`` supplies historical TEXTS for exact verification only —
+    it is touched exclusively through a candidate-bounded semi-join
+    (O(candidate docs), not corpus size). The new batch must not be in
+    the store yet; append it AFTER checking.
+
+    Returns (doc_a, doc_b, jaccard, src): doc_a is always the new-batch
+    doc; src 'store' for new-vs-history pairs, 'batch' for pairs inside
+    the arriving batch itself (both sides needed for a complete
+    keep/drop decision). Exact Jaccard verification, same construction
+    as minhash_dedup_pairs.
+
+    Scale shape: new signatures are map-only and persisted (they feed
+    the store join AND the in-batch self-join); the store side scans
+    pre-bucketed by bh, so the join plans ZERO exchange on the
+    historical side while the (small) batch side shuffles by bh to
+    line up (plan-asserted in tests). Verification shuffles shingle
+    sets for candidate docs only.
+    """
+    from hypermap_etl_spark.util import tracked_persist as _tp
+
+    spark = new_docs.sparkSession
+    store_df = spark.table(store) if isinstance(store, str) else store
+
+    new_sigs = _tp(minhash_signatures(new_docs, num_perm, n, text_col))
+    new_buckets = band_buckets(new_sigs, num_perm, bands)
+
+    hist = (
+        new_buckets.alias("a")
+        .join(store_df.alias("s"), "bh")
+        .filter(F.col("a.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("s.doc_id").alias("doc_b"),
+            F.lit("store").alias("src"),
+        )
+        .distinct()
+    )
+    batch = (
+        new_buckets.alias("a")
+        .join(new_buckets.alias("b"),
+              (F.col("a.bh") == F.col("b.bh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("batch").alias("src"),
+        )
+        .distinct()
+    )
+    cands = _tp(hist.unionByName(batch))
+
+    def _sets(docs_side: DataFrame, ids: DataFrame) -> DataFrame:
+        return fan_out(docs_side.join(ids, "doc_id", "left_semi")).select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(F.lower(F.col(text_col)), n)
+            ).alias("shs"),
+        )
+
+    new_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    old_ids = (
+        cands.filter(F.col("src") == "store")
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            cands.filter(F.col("src") == "batch")
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    # b-side texts come from the corpus for store pairs and from the
+    # batch for in-batch pairs; union the two candidate-bounded pulls
+    sets_a = _tp(_sets(new_docs, new_ids))
+    sets_b = _tp(
+        _sets(corpus, old_ids).unionByName(_sets(new_docs, old_ids))
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+        / F.size(F.array_union(F.col("sa.shs"), F.col("sb.shs"))),
+        6,
+    )
+    return (
+        cands.join(sets_a.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets_b.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"), "src")
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )

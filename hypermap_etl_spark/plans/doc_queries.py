@@ -1931,10 +1931,53 @@ FROM s GROUP BY vec_id ORDER BY vec_id
 """
 
 
+@plan_cache
+def doc_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a signature store
+    (dedup.band_buckets + incremental_minhash_pairs): even docs are the
+    already-indexed corpus, odd docs the arriving batch. Store pairs
+    (new vs history) and batch pairs (inside the arrival) both surface;
+    the oracle is the exact-Jaccard truth restricted to pairs touching
+    the batch — MinHash banding at 32 bands catches every J ≥ 0.8 pair
+    on this corpus, same certainty argument as doc_minhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    store = dedup.band_buckets(dedup.minhash_signatures(old))
+    return dedup.incremental_minhash_pairs(new, old, store, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+INCREMENTAL_PAIRS_ORACLE = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % 2 = 1
+    AND (b.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+  GROUP BY ia, ib
+)
+SELECT ia AS doc_a, ib AS doc_b,
+       ROUND(c / (x.n + y.n - c), 6) AS jaccard,
+       CASE WHEN ib % 2 = 0 THEN 'store' ELSE 'batch' END AS src
+FROM inter
+JOIN sz x ON x.doc_id = ia
+JOIN sz y ON y.doc_id = ib
+WHERE ROUND(c / (x.n + y.n - c), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
     "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),
+    "doc_incremental_pairs": (doc_incremental_pairs, INCREMENTAL_PAIRS_ORACLE),
     "doc_token_stats": (doc_token_stats, TOKEN_ORACLE),
     "doc_quality": (doc_quality, QUALITY_ORACLE),
     "doc_langid": (doc_langid, _langid_oracle()),

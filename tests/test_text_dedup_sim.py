@@ -819,3 +819,76 @@ def test_semantic_decontaminate_planted(spark):
     # benchmark side must be broadcast: the corpus is never shuffled
     plan = semantic_decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_minhash_matches_batch_operator(spark):
+    """Incremental (store + in-batch) pairs over a split corpus must
+    equal the batch operator's pairs restricted to pairs touching the
+    new half — the index adds incrementality, not new semantics."""
+    from hypermap_etl_spark.operators import dedup
+
+    texts = []
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    for i in range(12):
+        # three near-dup families + unique tails
+        fam = i % 3
+        texts.append((i, base + f" family {fam} variant"))
+    texts.append((20, "completely unrelated short text about spark engines "
+                      "and columnar shuffles in a data lake"))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+
+    store = dedup.band_buckets(dedup.minhash_signatures(old))
+    inc = dedup.incremental_minhash_pairs(new, old, store, threshold=0.8)
+    got = {(r["doc_a"], r["doc_b"], r["src"]): r["jaccard"] for r in inc.collect()}
+
+    batch = dedup.minhash_dedup_pairs(docs, 0.8)
+    want = {}
+    for r in batch.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 2 == 1 and b % 2 == 1:
+            want[(a, b, "batch")] = r["jaccard"]
+        elif a % 2 == 1 or b % 2 == 1:
+            na, nb = (a, b) if a % 2 == 1 else (b, a)
+            want[(na, nb, "store")] = r["jaccard"]
+    assert got == want and len(got) > 0
+    # both kinds present in the fixture
+    assert {s for (_, _, s) in got} == {"batch", "store"}
+
+
+def test_signature_store_bucketed_join_no_store_exchange(spark, tmp_path):
+    """The persisted store's side of the incremental join must scan
+    pre-bucketed: no Exchange above the store scan (the historical,
+    100 TB side never re-shuffles); only the new batch exchanges."""
+    from hypermap_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta iota doc {i}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    name = "sig_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    dedup.signature_store_append(
+        docs.filter("doc_id < 4"), name, path=str(tmp_path / "store")
+    )
+    # append a second batch: store accumulates
+    dedup.signature_store_append(docs.filter("doc_id >= 4"), name)
+    n1 = spark.table(name).count()
+    assert n1 == 8 * 32  # bands rows per indexed doc
+
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota doc 1")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.incremental_minhash_pairs(new, docs, name, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the store scan appears as a bucketed FileScan; assert SOME join in
+    # the plan consumed it without an exchange: bucketed scans print
+    # 'Bucketed: true' in Spark's FileSourceScanExec
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    got = [(r["doc_a"], r["doc_b"], r["src"]) for r in pairs.collect()]
+    assert (100, 1, "store") in got
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
