@@ -386,6 +386,8 @@ def cmd_curate(args) -> None:
         n_shards=args.shards,
         cut_dup_spans=args.cut_dup_spans,
         span_grain=args.span_grain,
+        normalize=args.normalize,
+        c4=args.c4_clean,
     )
     if args.format == "jsonl":
         # training-export layout: one JSONL dir per shard (the layout a
@@ -467,6 +469,12 @@ def main(argv=None) -> None:
     p.add_argument("--cut-dup-spans", action="store_true",
                    help="ExactSubstr surgery: cut duplicated >=8-word runs "
                         "surviving doc-level dedup (first occurrence kept)")
+    p.add_argument("--normalize", action="store_true",
+                   help="Unicode NFC + control-strip + whitespace-collapse "
+                        "canonicalization before filtering")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="C4 line-grain page cleaning before the quality "
+                        "gate (needs real line structure)")
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
                    help="output format (jsonl = per-shard JSONL dirs for "

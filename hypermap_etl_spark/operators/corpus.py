@@ -286,14 +286,27 @@ def curate_pipeline(
     span_words: int = 8,
     span_grain: str = "word",
     span_chars: int = 30,
+    normalize: bool = False,
+    c4: bool = False,
     with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
 
-      quality/language filter → MinHash near-dup dedup (keep cluster
-      reps) → [optional ExactSubstr span surgery] → PII redaction →
-      deterministic split → token chunking → sequence packing → shard
-      assignment.
+      [optional C4 line-grain page cleaning] → [optional Unicode
+      normalization] → quality/language filter → MinHash near-dup dedup
+      (keep cluster reps) → [optional ExactSubstr span surgery] → PII
+      redaction → deterministic split → token chunking → sequence
+      packing → shard assignment.
+
+    ``c4`` applies Raffel-style line rules and page kills BEFORE the
+    document-level quality gate (single-line pages without terminal
+    punctuation do not survive it — intended for corpora with real
+    line structure). ``normalize`` then canonicalizes the surviving
+    text (NFC + control strip + whitespace collapse —
+    curation.normalize_text defaults, no accent strip / case fold so
+    downstream semantics are unchanged for ASCII corpora). C4 runs
+    FIRST because normalization's whitespace collapse erases the very
+    line structure the C4 rules split on. Both default off.
 
     ``cut_dup_spans`` removes duplicated runs that SURVIVE
     document-level dedup (boilerplate shared by otherwise distinct
@@ -327,10 +340,23 @@ def curate_pipeline(
     — this function adds composition, not new semantics.
     """
     from hypermap_etl_spark.operators import dedup
-    from hypermap_etl_spark.operators.curation import redact_pii
+    from hypermap_etl_spark.operators.curation import c4_clean, normalize_text, redact_pii
     from hypermap_etl_spark.util import fan_out, stage_boundary
 
     n_in = docs.count() if with_report else 0
+    n_c4_dropped = 0
+    if c4:
+        # BEFORE normalize: whitespace collapse would erase the line
+        # structure the C4 rules split on
+        cleaned = c4_clean(docs, text_col=text_col)
+        docs = cleaned.filter(F.col("page_kept")).select(
+            "doc_id", F.col("clean_text").alias(text_col)
+        )
+        if with_report:
+            n_c4_dropped = n_in - docs.count()
+    if normalize:
+        # (doc_id, text) projection — normalization REPLACES the text
+        docs = normalize_text(docs, text_col=text_col, out_col=text_col)
     # fan_out: language-ID alone is ~100 literal-replace scans over the
     # full text per row (LANG_MARKERS x count_occurrences) — on a small
     # parquet input that is ONE scan task doing all the string work
@@ -443,7 +469,8 @@ def curate_pipeline(
     report = (
         {
             "docs_in": n_in,
-            "dropped_quality": n_in - n_kept,
+            "dropped_c4": n_c4_dropped,
+            "dropped_quality": n_in - n_c4_dropped - n_kept,
             "dropped_dups": n_kept - n_surv,
             "span_cut_docs": n_span_docs,
             "docs_out": n_surv,

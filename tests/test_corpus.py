@@ -366,3 +366,41 @@ def test_curate_pipeline_char_grain_span_surgery(spark):
     # keep-first: the shared run survives in exactly one doc
     assert sum(shared in t for t in texts.values()) == 1
     assert rep["span_cut_docs"] == 1
+
+
+def test_curate_pipeline_normalize_and_c4_stages(spark):
+    """normalize canonicalizes whitespace/Unicode before filtering; c4
+    drops pages failing the line rules before the quality gate, and the
+    report accounts both."""
+    from hypermap_etl_spark.operators.corpus import curate_pipeline
+    from hypermap_etl_spark.util import release_persisted
+
+    good_line = ("the quick brown fox jumps over the lazy dog while many "
+                 "other words fill this line to pass every filter easily.")
+    page = "\n".join([good_line, good_line, good_line])
+    rows = [
+        (1, page),                                  # survives c4
+        (2, good_line + "\n" + "too short."),       # < 3 kept lines
+        (3, page.replace("fox", "fox  Å")),     # survives; needs NFC+collapse
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        documents, chunks, report = curate_pipeline(
+            docs,
+            min_words=10,
+            normalize=True,
+            c4=True,
+            n_shards=2,
+            chunk_tokens=16,
+            overlap=2,
+            pack_tokens=64,
+        )
+        out = {r["doc_id"]: r["text"] for r in documents.collect()}
+        assert report["dropped_c4"] == 1 and 2 not in out
+        # normalization ran on the c4 survivors: double space
+        # collapsed, angstrom sign NFC'd (U+212B -> U+00C5)
+        assert 3 in out and "  " not in out[3] and "Å" in out[3]
+        assert report["docs_in"] == 3
+        assert report["dropped_quality"] == 0
+    finally:
+        release_persisted()
