@@ -12,10 +12,17 @@ in-stream alternative (streaming/dedup.dedup_stream_exact) trades
 exactness past the watermark for no scan — both are provided, pick by
 corpus size vs lateness needs.
 
-Near-dup (MinHash) is deliberately batch-only: LSH banding needs the
-full signature corpus; run `operators/corpus.curate_pipeline` (or the
-curate CLI) as a periodic compaction over the accepted corpus instead
-— the standard lambda split for dedup at scale.
+Near-dup (MinHash) across the stream uses the INCREMENTAL SIGNATURE
+STORE (operators/dedup.signature_store_append +
+incremental_minhash_pairs): pass ``signature_store`` and every batch
+is LSH-checked against the bucketed index of everything accepted so
+far — the historical side never recomputes or re-shuffles — then the
+batch's own survivors are appended to the index. Without a store,
+near-dup remains a periodic batch compaction over the accepted corpus
+(`operators/corpus.curate_pipeline`) — the standard lambda split.
+Store appends after a mid-batch crash can duplicate (doc_id, bh) rows;
+candidates are distinct-ed, so replayed appends cost work, not
+correctness.
 """
 
 from __future__ import annotations
@@ -49,17 +56,23 @@ def start_curate_stream(
     chunk_tokens: int = 64,
     overlap: int = 8,
     max_files_per_trigger: int = 10,
+    signature_store: str | None = None,
+    neardup_threshold: float = 0.8,
     on_progress: Callable[[dict], None] | None = None,
 ):
     """Start the curation stream; returns the StreamingQuery.
 
     Per batch: train_filter → redact_pii → in-batch exact dedup →
-    anti-join vs accepted corpus keys → append accepted docs + their
-    token chunks. ``on_progress`` receives
-    {batch_id, docs_in, kept, accepted, chunks, secs} per batch.
+    anti-join vs accepted corpus keys → [MinHash near-dup vs the
+    signature store, when ``signature_store`` is set] → append accepted
+    docs + their token chunks (+ the accepted docs' band buckets to the
+    store). ``on_progress`` receives
+    {batch_id, docs_in, kept, accepted, chunks, secs[, neardup_dropped]}
+    per batch.
     """
     import os
 
+    from hypermap_etl_spark.operators import dedup as _dedup
     from hypermap_etl_spark.operators.corpus import token_chunks, train_filter
     from hypermap_etl_spark.operators.curation import redact_pii
 
@@ -97,6 +110,48 @@ def start_curate_stream(
         # materialized blocks first. (Blocks are freed by the context
         # cleaner when the batch's reference drops.)
         fresh = fresh.localCheckpoint(eager=True)
+        n_neardup = 0
+        if signature_store is not None:
+            corpus = (
+                spark.read.parquet(docs_path).select("doc_id", "text")
+                if os.path.exists(docs_path)
+                else spark.createDataFrame([], "doc_id long, text string")
+            )
+            store = (
+                signature_store
+                if spark.catalog.tableExists(signature_store)
+                # first batch: empty index — the same code path still
+                # drops in-batch near-dups
+                else spark.createDataFrame([], "doc_id long, bh long")
+            )
+            pairs = _dedup.incremental_minhash_pairs(
+                fresh.select("doc_id", "text"), corpus,
+                store, threshold=neardup_threshold,
+            )
+            # drop near-dups of history, and of earlier (min-id)
+            # docs within the batch; keep-first mirrors the batch
+            # pipeline's survivor policy
+            drops = (
+                pairs.filter(F.col("src") == "store")
+                .select(F.col("doc_a").alias("doc_id"))
+                .unionByName(
+                    pairs.filter(F.col("src") == "batch")
+                    .select(F.col("doc_b").alias("doc_id"))
+                )
+                .distinct()
+            )
+            survivors = fresh.join(drops, "doc_id", "left_anti")
+            survivors = survivors.localCheckpoint(eager=True)
+            n_neardup = fresh.count() - survivors.count()
+            fresh = survivors
+            _dedup.signature_store_append(
+                fresh.select("doc_id", "text"), signature_store
+            )
+            # free the pair-mining persists before the next batch — a
+            # long-running stream must not accumulate per-batch caches
+            from hypermap_etl_spark.util import release_persisted
+
+            release_persisted()
         accepted = fresh.count()
         if accepted:
             fresh.write.mode("append").parquet(docs_path)
@@ -114,6 +169,11 @@ def start_curate_stream(
                     "accepted": accepted,
                     "chunks": n_chunks,
                     "secs": round(time.monotonic() - t0, 3),
+                    **(
+                        {"neardup_dropped": n_neardup}
+                        if signature_store is not None
+                        else {}
+                    ),
                 }
             )
 

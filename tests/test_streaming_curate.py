@@ -65,3 +65,62 @@ def test_curate_stream_dedups_across_batches(spark):
     assert {r["batch_id"] for r in progress} >= {0}
     assert sum(p["accepted"] for p in progress) == 3
     assert sum(p["docs_in"] for p in progress) == 5
+
+
+def test_curate_stream_neardup_via_signature_store(spark):
+    """With signature_store set, micro-batches are MinHash-checked
+    against the index of everything accepted so far: near-dups (not
+    just exact dups) of earlier batches are dropped, the store
+    accumulates survivor signatures, and in-batch near-dups keep only
+    the min-id doc — including in the very first batch."""
+    base = tempfile.mkdtemp()
+    src = os.path.join(base, "src")
+    docs = os.path.join(base, "docs")
+    chunks = os.path.join(base, "chunks")
+    ckpt = os.path.join(base, "ckpt")
+    store = "stream_sig_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+    # batch 1: two NEAR-identical docs (one-word tail change) + one distinct
+    _write_file(
+        spark,
+        src,
+        [
+            (1, GOOD + " alpha one"),
+            (2, GOOD + " alpha two"),
+            (5, "completely different text about columnar engines and "
+                "shuffle services running inside a big data lake stack"),
+        ],
+    )
+    progress = []
+    q = start_curate_stream(
+        spark, src, docs, chunks, ckpt,
+        min_words=10, min_quality=0.2, max_files_per_trigger=1,
+        signature_store=store, neardup_threshold=0.7,
+        on_progress=progress.append,
+    )
+    q.awaitTermination()
+    accepted_1 = {r["doc_id"] for r in spark.read.parquet(docs).collect()}
+    assert accepted_1 == {1, 5}          # in-batch near-dup 2 dropped
+    assert progress[-1]["neardup_dropped"] == 1
+
+    # batch 2: a near-dup of batch 1's doc 1 (NOT byte-identical, so the
+    # exact content-key anti-join would keep it) + one new doc
+    _write_file(
+        spark, src,
+        [(10, GOOD + " alpha three"), (11, GOOD.replace("quick", "slow") +
+          " entirely new family of words beta gamma delta epsilon")],
+    )
+    q = start_curate_stream(
+        spark, src, docs, chunks, ckpt,
+        min_words=10, min_quality=0.2, max_files_per_trigger=1,
+        signature_store=store, neardup_threshold=0.7,
+        on_progress=progress.append,
+    )
+    q.awaitTermination()
+    accepted_2 = {r["doc_id"] for r in spark.read.parquet(docs).collect()}
+    assert 10 not in accepted_2 and 11 in accepted_2
+    assert progress[-1]["neardup_dropped"] >= 1
+    # the store holds exactly the survivors' band rows (32 bands/doc)
+    assert spark.table(store).count() == len(accepted_2) * 32
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
