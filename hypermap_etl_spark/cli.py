@@ -243,6 +243,55 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
+def cmd_decontam(args) -> None:
+    """Benchmark decontamination report over --docs vs --bench:
+    n-gram collision (curation.decontaminate, default 13-gram) and/or
+    embedding-cosine (similarity.semantic_decontaminate when both
+    --embeddings and --bench-embeddings are given). Writes a parquet of
+    per-doc flags and prints summary counts."""
+    from hypermap_etl_spark.operators.curation import decontaminate
+
+    spark = _spark(args)
+    train = spark.read.parquet(args.docs).select("doc_id", "text")
+    bench = spark.read.parquet(args.bench).select("doc_id", "text")
+    flags = decontaminate(train, bench, n=args.ngram)
+    out = {"mode": "ngram", "n": args.ngram}
+    if args.embeddings and args.bench_embeddings:
+        from hypermap_etl_spark.operators.similarity import semantic_decontaminate
+
+        emb = spark.read.parquet(args.embeddings)
+        bemb = spark.read.parquet(args.bench_embeddings)
+        sem = semantic_decontaminate(
+            emb, bemb, threshold=args.cos_threshold, id_col="vec_id"
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            "max_sim",
+            F.col("contaminated").alias("__sem_hit"),
+        )
+        flags = (
+            flags.withColumnRenamed("contaminated", "ngram_contaminated")
+            .join(sem, "doc_id", "left")
+            .select(
+                "doc_id", "n_hits", "ngram_contaminated",
+                F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"),
+                F.coalesce("__sem_hit", F.lit(False)).alias(
+                    "semantic_contaminated"
+                ),
+            )
+            .withColumn(
+                "contaminated",
+                F.col("ngram_contaminated") | F.col("semantic_contaminated"),
+            )
+        )
+        out["mode"] = "ngram+semantic"
+        out["cos_threshold"] = args.cos_threshold
+    flags.write.mode("overwrite").parquet(args.out)
+    flags = spark.read.parquet(args.out)
+    out["docs"] = flags.count()
+    out["contaminated"] = flags.filter(F.col("contaminated")).count()
+    print(json.dumps(out))
+
+
 def cmd_pca(args) -> None:
     """Fit a k-component PCA on an embeddings parquet (one corpus
     pass) and write the per-vector projections; prints the explained
@@ -504,6 +553,16 @@ def main(argv=None) -> None:
     p.add_argument("--min-pair-count", type=int, default=2)
     p.add_argument("--max-words", type=int, default=1_000_000,
                    help="driver dictionary cap (top-k words by frequency)")
+    p = sub.add_parser("decontam", help="benchmark decontamination report")
+    p.add_argument("--docs", required=True, help="training documents parquet")
+    p.add_argument("--bench", required=True, help="benchmark documents parquet")
+    p.add_argument("--out", required=True, help="flags output parquet")
+    p.add_argument("--ngram", type=int, default=13)
+    p.add_argument("--embeddings", default=None,
+                   help="optional corpus embeddings parquet (vec_id = doc_id)")
+    p.add_argument("--bench-embeddings", default=None,
+                   help="optional benchmark embeddings parquet")
+    p.add_argument("--cos-threshold", type=float, default=0.95)
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")
@@ -533,6 +592,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
+        "decontam": cmd_decontam,
         "bpe": cmd_bpe, "stream": cmd_stream,
     }[args.cmd](args)
 

@@ -231,3 +231,48 @@ def test_cli_bpe(spark, capsys):
     seg = spark.read.parquet(seg_out)
     assert seg.count() == 500
     assert rep["total_tokens"] > 0 and rep["segmented_docs"] == 500
+
+
+def test_cli_decontam_ngram_and_semantic(spark, capsys, tmp_path):
+    """decontam: n-gram collisions + embedding-cosine hits combine into
+    one per-doc flags parquet with a summary line."""
+    import json as _json
+
+    from hypermap_etl_spark.cli import main
+
+    phrase = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi")
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text " + "filler words " * 10),
+            (2, "prefix " + phrase + " suffix words here"),   # 13-gram hit
+            (3, "semantically leaked but reworded benchmark item x"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, phrase + " and a tail")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 1.0]), (3, [0.96, 0.28])],
+        "vec_id long, embedding array<float>",
+    )
+    bemb = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    d = str(tmp_path)
+    docs.write.parquet(d + "/docs"); bench.write.parquet(d + "/bench")
+    emb.write.parquet(d + "/emb"); bemb.write.parquet(d + "/bemb")
+    main([
+        "decontam", "--docs", d + "/docs", "--bench", d + "/bench",
+        "--out", d + "/flags", "--embeddings", d + "/emb",
+        "--bench-embeddings", d + "/bemb", "--cos-threshold", "0.95",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "ngram+semantic" and rep["docs"] == 3
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(d + "/flags").collect()}
+    assert not got[1]["contaminated"]
+    assert got[2]["ngram_contaminated"] and got[2]["contaminated"]
+    assert not got[1]["semantic_contaminated"]
+    assert got[3]["semantic_contaminated"] and not got[3]["ngram_contaminated"]
+    assert rep["contaminated"] == sum(1 for v in got.values() if v["contaminated"])
