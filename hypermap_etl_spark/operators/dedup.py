@@ -950,7 +950,10 @@ def incremental_minhash_pairs(
     ``corpus`` supplies historical TEXTS for exact verification only —
     it is touched exclusively through a candidate-bounded semi-join
     (O(candidate docs), not corpus size). The new batch must not be in
-    the store yet; append it AFTER checking.
+    the store yet (append it AFTER checking), and batch ids must be
+    disjoint from corpus ids — an id living on both sides with
+    different text would verify against both texts and emit the pair
+    twice with different jaccards.
 
     Returns (doc_a, doc_b, jaccard, src): doc_a is always the new-batch
     doc; src 'store' for new-vs-history pairs, 'batch' for pairs inside
@@ -1007,15 +1010,7 @@ def incremental_minhash_pairs(
         )
 
     new_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
-    old_ids = (
-        cands.filter(F.col("src") == "store")
-        .select(F.col("doc_b").alias("doc_id"))
-        .unionByName(
-            cands.filter(F.col("src") == "batch")
-            .select(F.col("doc_b").alias("doc_id"))
-        )
-        .distinct()
-    )
+    old_ids = cands.select(F.col("doc_b").alias("doc_id")).distinct()
     # b-side texts come from the corpus for store pairs and from the
     # batch for in-batch pairs; union the two candidate-bounded pulls
     sets_a = _tp(_sets(new_docs, new_ids))
