@@ -251,6 +251,11 @@ def cmd_decontam(args) -> None:
     per-doc flags and prints summary counts."""
     from hypermap_etl_spark.operators.curation import decontaminate
 
+    if bool(args.embeddings) != bool(args.bench_embeddings):
+        raise SystemExit(
+            "decontam: --embeddings and --bench-embeddings must be given "
+            "together (half-specified would silently skip the semantic check)"
+        )
     spark = _spark(args)
     train = spark.read.parquet(args.docs).select("doc_id", "text")
     bench = spark.read.parquet(args.bench).select("doc_id", "text")

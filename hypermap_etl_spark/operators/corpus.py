@@ -349,8 +349,14 @@ def curate_pipeline(
         # BEFORE normalize: whitespace collapse would erase the line
         # structure the C4 rules split on
         cleaned = c4_clean(docs, text_col=text_col)
-        docs = cleaned.filter(F.col("page_kept")).select(
-            "doc_id", F.col("clean_text").alias(text_col)
+        # boundary: the split/filter/array_join HOF scan would
+        # otherwise re-execute for the report count AND once per
+        # downstream consumer of `docs` (train_filter + the semi-join)
+        docs = stage_boundary(
+            cleaned.filter(F.col("page_kept")).select(
+                "doc_id", F.col("clean_text").alias(text_col)
+            ),
+            cut_lineage=True,
         )
         if with_report:
             n_c4_dropped = n_in - docs.count()

@@ -448,7 +448,18 @@ def c4_clean(
     wider than the page itself is ever materialized.
     """
     t = F.col(text_col)
-    lines = F.split(t, F.lit(newline))
+    # CRLF hardening: with the default newline, split on \r?\n AND
+    # trim a trailing \r (end-of-text CR with no LF) — otherwise kept
+    # lines end in \r, Java's $ (which matches before a final line
+    # terminator) diverges from RE2's end-of-text $, and array_join
+    # re-embeds the stray CR into clean_text. split()'s pattern is a
+    # regex, so a custom newline is matched escaped-literally.
+    import re as _re
+
+    split_pat = "\\r?\\n" if newline == "\n" else _re.escape(newline)
+    if newline == "\n":
+        t = F.regexp_replace(t, "\\r$", "")
+    lines = F.split(t, F.lit(split_pat))
     kept = F.filter(
         lines,
         lambda ln: (

@@ -910,6 +910,7 @@ def signature_store_append(
     n: int = 3,
     text_col: str = "text",
     n_buckets: int = 32,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Append a batch's MinHash band buckets to a persistent,
     BUCKETED-BY-bh signature store (catalog table ``table_name``,
@@ -919,9 +920,15 @@ def signature_store_append(
     document, bucketed so every future incremental join reads it
     co-located — the historical side (the 100 TB one) is NEVER
     re-shuffled; only the new batch exchanges, by bh, to line up with
-    the store's buckets."""
+    the store's buckets.
+
+    ``sigs``: precomputed minhash_signatures for ``docs`` (e.g. kept
+    from an incremental_minhash_pairs call in the same job) — skips
+    recomputing the 128-perm pass from raw text."""
     buckets = band_buckets(
-        minhash_signatures(docs, num_perm, n, text_col), num_perm, bands
+        minhash_signatures(docs, num_perm, n, text_col) if sigs is None else sigs,
+        num_perm,
+        bands,
     )
     spark = docs.sparkSession
     writer = buckets.write.format("parquet").bucketBy(n_buckets, "bh")
@@ -940,6 +947,7 @@ def incremental_minhash_pairs(
     bands: int = 32,
     n: int = 3,
     text_col: str = "text",
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL batch against an already-
     indexed corpus — the arriving 0.1% of a 100 TB lake is checked
@@ -954,6 +962,10 @@ def incremental_minhash_pairs(
     disjoint from corpus ids — an id living on both sides with
     different text would verify against both texts and emit the pair
     twice with different jaccards.
+
+    ``new_sigs``: precomputed (and persisted, if reused elsewhere)
+    minhash_signatures for ``new_docs`` — callers that also append to
+    the store compute signatures ONCE and share them.
 
     Returns (doc_a, doc_b, jaccard, src): doc_a is always the new-batch
     doc; src 'store' for new-vs-history pairs, 'batch' for pairs inside
@@ -973,7 +985,8 @@ def incremental_minhash_pairs(
     spark = new_docs.sparkSession
     store_df = spark.table(store) if isinstance(store, str) else store
 
-    new_sigs = _tp(minhash_signatures(new_docs, num_perm, n, text_col))
+    if new_sigs is None:
+        new_sigs = _tp(minhash_signatures(new_docs, num_perm, n, text_col))
     new_buckets = band_buckets(new_sigs, num_perm, bands)
 
     hist = (

@@ -959,18 +959,27 @@ def semantic_decontaminate(
         cosine(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")), 6
     )
     scored = c.join(F.broadcast(b)).select("__cid", sim.alias("__sim"))
+    agg = scored.groupBy("__cid").agg(
+        F.max("__sim").alias("max_sim"),
+        F.sum(
+            F.when(F.col("__sim") >= threshold, 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+    )
+    # one row per corpus doc even when the probe set is EMPTY (a filter
+    # that matches nothing must read as "no contamination", not as an
+    # empty frame that an inner-join consumer would drop the corpus on):
+    # left-join the aggregate back onto the corpus ids with zero
+    # defaults. The ids projection is column-pruned; no extra shuffle —
+    # both sides are already keyed by the unique id.
     return (
-        scored.groupBy("__cid")
-        .agg(
-            F.max("__sim").alias("max_sim"),
-            F.sum(
-                F.when(F.col("__sim") >= threshold, 1).otherwise(0)
-            ).cast("long").alias("n_hits"),
-        )
+        c.select("__cid")
+        .join(agg, "__cid", "left")
         .select(
             F.col("__cid").alias(id_col),
-            "max_sim",
-            "n_hits",
-            (F.col("n_hits") > 0).alias("contaminated"),
+            F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
         )
     )

@@ -64,6 +64,10 @@ def read_csv(
         # quoted fields with embedded commas/newlines round-trip
         .option("quote", '"')
         .option("escape", '"')
+        # distinguish NULL from '': write_csv emits NULL as the \N
+        # sentinel and '' as a quoted empty — without this every ''
+        # comes back NULL (Spark CSV's nullValue default is "")
+        .option("nullValue", "\\N")
     )
     if drop_corrupt:
         return reader.option("mode", "DROPMALFORMED").csv(path)
@@ -99,10 +103,18 @@ def write_csv(
     """Write a frame as header'd CSV; with ``shard_col``, one directory
     per shard (dynamic partitioned write). Embedded delimiters and
     newlines are quoted+escaped so read_csv(multiline=True) can
-    round-trip them."""
-    w = df.write.mode("overwrite").option("header", "true").option(
-        "quote", '"'
-    ).option("escape", '"')
+    round-trip them. NULL is written as the \\N sentinel and '' as a
+    quoted empty so the two survive the round-trip distinctly (a
+    literal "\\N" text value is the one collision — the standard CSV
+    tradeoff)."""
+    w = (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+    )
     if shard_col is not None:
         w = w.partitionBy(shard_col)
     w.csv(path)

@@ -22,7 +22,10 @@ near-dup remains a periodic batch compaction over the accepted corpus
 (`operators/corpus.curate_pipeline`) — the standard lambda split.
 Store appends after a mid-batch crash can duplicate (doc_id, bh) rows;
 candidates are distinct-ed, so replayed appends cost work, not
-correctness.
+correctness. Batch doc_ids that collide with an already-accepted id
+are excluded and counted (`id_collisions` in progress) — the
+incremental check verifies texts BY id, so an aliased id would verify
+against the wrong document.
 """
 
 from __future__ import annotations
@@ -67,8 +70,8 @@ def start_curate_stream(
     signature store, when ``signature_store`` is set] → append accepted
     docs + their token chunks (+ the accepted docs' band buckets to the
     store). ``on_progress`` receives
-    {batch_id, docs_in, kept, accepted, chunks, secs[, neardup_dropped]}
-    per batch.
+    {batch_id, docs_in, kept, accepted, chunks, secs[, neardup_dropped,
+    id_collisions]} per batch.
     """
     import os
 
@@ -111,12 +114,25 @@ def start_curate_stream(
         # cleaner when the batch's reference drops.)
         fresh = fresh.localCheckpoint(eager=True)
         n_neardup = 0
+        n_id_collisions = 0
         if signature_store is not None:
             corpus = (
                 spark.read.parquet(docs_path).select("doc_id", "text")
                 if os.path.exists(docs_path)
                 else spark.createDataFrame([], "doc_id long, text string")
             )
+            # enforce incremental_minhash_pairs' id-disjointness
+            # precondition: a source that restarts its doc_id counter
+            # would alias a historical id and verify against the WRONG
+            # text. Colliding-id docs are excluded from this batch and
+            # counted — surfacing the upstream id bug beats silently
+            # mis-deduping on it.
+            clash = fresh.join(corpus.select("doc_id"), "doc_id", "left_semi")
+            n_id_collisions = clash.count()
+            if n_id_collisions:
+                fresh = fresh.join(
+                    corpus.select("doc_id"), "doc_id", "left_anti"
+                ).localCheckpoint(eager=True)
             store = (
                 signature_store
                 if spark.catalog.tableExists(signature_store)
@@ -124,34 +140,49 @@ def start_curate_stream(
                 # drops in-batch near-dups
                 else spark.createDataFrame([], "doc_id long, bh long")
             )
-            pairs = _dedup.incremental_minhash_pairs(
-                fresh.select("doc_id", "text"), corpus,
-                store, threshold=neardup_threshold,
-            )
-            # drop near-dups of history, and of earlier (min-id)
-            # docs within the batch; keep-first mirrors the batch
-            # pipeline's survivor policy
-            drops = (
-                pairs.filter(F.col("src") == "store")
-                .select(F.col("doc_a").alias("doc_id"))
-                .unionByName(
-                    pairs.filter(F.col("src") == "batch")
-                    .select(F.col("doc_b").alias("doc_id"))
-                )
-                .distinct()
-            )
-            survivors = fresh.join(drops, "doc_id", "left_anti")
-            survivors = survivors.localCheckpoint(eager=True)
-            n_neardup = fresh.count() - survivors.count()
-            fresh = survivors
-            _dedup.signature_store_append(
-                fresh.select("doc_id", "text"), signature_store
-            )
-            # free the pair-mining persists before the next batch — a
-            # long-running stream must not accumulate per-batch caches
-            from hypermap_etl_spark.util import release_persisted
+            # scope the pair-mining persists to THIS batch: the global
+            # release_persisted() would also kill checkpoints other
+            # computations in the shared session still reference
+            from hypermap_etl_spark.util import persist_scope, tracked_persist
 
-            release_persisted()
+            with persist_scope():
+                # signatures computed ONCE, shared by pair mining and
+                # the store append (the two heaviest per-batch passes)
+                sigs = tracked_persist(
+                    _dedup.minhash_signatures(fresh.select("doc_id", "text"))
+                )
+                pairs = _dedup.incremental_minhash_pairs(
+                    fresh.select("doc_id", "text"), corpus,
+                    store, threshold=neardup_threshold, new_sigs=sigs,
+                )
+                # drop policy: near-dups of HISTORY always drop (the
+                # accepted corpus cannot be retracted); within the
+                # batch the min-id doc of each pair survives. NOTE this
+                # is pairwise keep-first, not the batch compaction's
+                # connected components: a chain new≈new'≈history keeps
+                # `new` here, where a CC pass over the full graph would
+                # drop it — run the periodic batch compaction when
+                # chain-transitive dedup matters.
+                drops = (
+                    pairs.filter(F.col("src") == "store")
+                    .select(F.col("doc_a").alias("doc_id"))
+                    .unionByName(
+                        pairs.filter(F.col("src") == "batch")
+                        .select(F.col("doc_b").alias("doc_id"))
+                    )
+                    .distinct()
+                )
+                survivors = fresh.join(drops, "doc_id", "left_anti")
+                survivors = survivors.localCheckpoint(eager=True)
+                n_neardup = fresh.count() - survivors.count()
+                fresh = survivors
+                _dedup.signature_store_append(
+                    fresh.select("doc_id", "text"),
+                    signature_store,
+                    sigs=sigs.join(
+                        fresh.select("doc_id"), "doc_id", "left_semi"
+                    ),
+                )
         accepted = fresh.count()
         if accepted:
             fresh.write.mode("append").parquet(docs_path)
@@ -170,7 +201,10 @@ def start_curate_stream(
                     "chunks": n_chunks,
                     "secs": round(time.monotonic() - t0, 3),
                     **(
-                        {"neardup_dropped": n_neardup}
+                        {
+                            "neardup_dropped": n_neardup,
+                            "id_collisions": n_id_collisions,
+                        }
                         if signature_store is not None
                         else {}
                     ),

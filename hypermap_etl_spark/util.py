@@ -142,6 +142,38 @@ def release_persisted() -> int:
     return n
 
 
+class persist_scope:
+    """Context manager releasing ONLY the frames tracked inside it.
+
+    release_persisted() empties the session-global registries — correct
+    for bench/gates where one query owns the session, WRONG inside a
+    long-lived component (a streaming micro-batch, a server handler)
+    that shares the session with other live computations: it would kill
+    checkpoints the other computation still references. persist_scope
+    snapshots both registries on entry and on exit releases exactly the
+    frames appended since — the scope's own persists/checkpoints —
+    leaving everything older untouched. (Frames tracked by OTHER
+    threads during the scope are also swept; the registries are
+    session-global, so scope concurrent work accordingly.) The plan
+    cache is left alone: memoized plans referencing older checkpoints
+    stay valid.
+    """
+
+    def __enter__(self) -> "persist_scope":
+        self._n_persists = len(_TRACKED_PERSISTS)
+        self._n_ckpts = len(_TRACKED_CHECKPOINTS)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        while len(_TRACKED_PERSISTS) > self._n_persists:
+            try:
+                _TRACKED_PERSISTS.pop().unpersist()
+            except Exception:
+                pass
+        while len(_TRACKED_CHECKPOINTS) > self._n_ckpts:
+            release_local_checkpoint(_TRACKED_CHECKPOINTS.pop())
+
+
 def stage_boundary(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     """Hard plan barrier: materialize ``df`` and cut lineage.
 

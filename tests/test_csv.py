@@ -96,3 +96,18 @@ def test_csv_parquet_identity_on_fixtures(spark):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_csv_null_vs_empty_roundtrip(spark, tmp_path):
+    """NULL and '' survive the round-trip as distinct values (the
+    nullValue-sentinel/emptyValue pairing; Spark's CSV default reads
+    every empty field as NULL)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' lang", "'s' source", "cast(0 as long) n_chars"
+    )
+    out = str(tmp_path / "nv")
+    write_csv(df, out)
+    got = {r["doc_id"]: r["text"] for r in read_csv(spark, out).collect()}
+    assert got == {1: "", 2: None, 3: "x"}

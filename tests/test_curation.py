@@ -345,3 +345,17 @@ def test_c4_clean_closing_quote_terminal(spark):
     )
     row = curation.c4_clean(docs).collect()[0]
     assert row["page_kept"] and row["n_lines_kept"] == 3
+
+
+def test_c4_clean_crlf_pages(spark):
+    """CRLF pages behave exactly like LF pages: no stray \\r in
+    clean_text, terminal-punct rule fires on the true line end."""
+    lf = ("this line has enough words to keep.\n"
+          "would you keep a question line with many words?\n"
+          "yes keep an exclamation line with many words!")
+    crlf = lf.replace("\n", "\r\n") + "\r"
+    docs = _docs(spark, [(1, lf), (2, crlf)])
+    out = {r["doc_id"]: r.asDict() for r in curation.c4_clean(docs).collect()}
+    assert out[1]["page_kept"] and out[2]["page_kept"]
+    assert out[2]["clean_text"] == out[1]["clean_text"]
+    assert "\r" not in out[2]["clean_text"]

@@ -124,3 +124,39 @@ def test_curate_stream_neardup_via_signature_store(spark):
     # the store holds exactly the survivors' band rows (32 bands/doc)
     assert spark.table(store).count() == len(accepted_2) * 32
     spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+
+def test_curate_stream_excludes_colliding_ids(spark):
+    """A source that restarts its doc_id counter must not alias an
+    accepted doc: colliding ids are excluded and counted, never
+    near-dup-verified against the wrong text."""
+    base = tempfile.mkdtemp()
+    src = os.path.join(base, "src")
+    docs = os.path.join(base, "docs")
+    chunks = os.path.join(base, "chunks")
+    ckpt = os.path.join(base, "ckpt")
+    store = "stream_sig_store_clash"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+    _write_file(spark, src, [(1, GOOD + " alpha")])
+    progress = []
+    kw = dict(min_words=10, min_quality=0.2, max_files_per_trigger=1,
+              signature_store=store, on_progress=progress.append)
+    q = start_curate_stream(spark, src, docs, chunks, ckpt, **kw)
+    q.awaitTermination()
+
+    # id 1 re-arrives with COMPLETELY different text + a genuinely new doc
+    _write_file(
+        spark, src,
+        [(1, "totally different content about warehouse compaction jobs "
+             "and file pruning strategies in modern lake houses"),
+         (2, "another fresh document describing adaptive query execution "
+             "and dynamic partition coalescing behaviors in detail")],
+    )
+    q = start_curate_stream(spark, src, docs, chunks, ckpt, **kw)
+    q.awaitTermination()
+    assert progress[-1]["id_collisions"] == 1
+    got = {r["doc_id"] for r in spark.read.parquet(docs).collect()}
+    assert got == {1, 2}  # original 1 kept once; new text under id 1 excluded
+    assert spark.read.parquet(docs).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {store}")

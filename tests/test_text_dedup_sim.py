@@ -892,3 +892,21 @@ def test_signature_store_bucketed_join_no_store_exchange(spark, tmp_path):
     got = [(r["doc_a"], r["doc_b"], r["src"]) for r in pairs.collect()]
     assert (100, 1, "store") in got
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_semantic_decontaminate_empty_bench(spark):
+    """An empty probe set yields one zeroed row per corpus doc, not an
+    empty frame (inner-join consumers must not silently drop the
+    corpus)."""
+    from hypermap_etl_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    bench = corpus.filter("vec_id < 0")
+    out = {r["vec_id"]: r.asDict() for r in semantic_decontaminate(corpus, bench).collect()}
+    assert set(out) == {1, 2}
+    assert all(
+        v["max_sim"] == 0.0 and v["n_hits"] == 0 and not v["contaminated"]
+        for v in out.values()
+    )
