@@ -159,3 +159,26 @@ def test_plan_cache_hit_and_session_isolation(spark):
     util._PLAN_CACHE[key] = (fake, "stale")
     assert q(spark, "/x") is not "stale"
     assert clear_plan_cache() >= 1
+
+
+def test_persist_scope_releases_only_inner_frames(spark):
+    """persist_scope frees exactly the frames tracked inside it; an
+    outer tracked checkpoint stays alive and readable (the streaming
+    micro-batch must not kill a co-tenant computation's state)."""
+    from hypermap_etl_spark import util
+
+    outer = util.tracked_local_checkpoint(
+        spark.range(10).selectExpr("id", "id * 2 AS v")
+    )
+    n_p, n_c = len(util._TRACKED_PERSISTS), len(util._TRACKED_CHECKPOINTS)
+    with util.persist_scope():
+        inner_p = util.tracked_persist(spark.range(5).selectExpr("id"))
+        inner_c = util.tracked_local_checkpoint(spark.range(3).selectExpr("id"))
+        assert inner_p.count() == 5 and inner_c.count() == 3
+    # registries restored to the pre-scope state, outer untouched
+    assert len(util._TRACKED_PERSISTS) == n_p
+    assert len(util._TRACKED_CHECKPOINTS) == n_c
+    assert util._TRACKED_CHECKPOINTS[-1] is outer
+    assert outer.count() == 10  # still readable (blocks not freed)
+    assert inner_p.storageLevel.useMemory is False  # unpersisted
+    util.release_persisted()
