@@ -42,6 +42,24 @@ def main() -> None:
         q5_region_revenue,
     )
 
+    def incremental_dedup_bench(spark, sf_dir):
+        """The arriving-batch story at sf scale: odd docs (half the
+        corpus — a deliberately HUGE batch) near-dup-checked against
+        the even docs' prebuilt signature index. The index build is
+        outside the timed body in spirit (it is the standing store a
+        real lake amortizes over every batch), but this cold composite
+        builds it inline, so the number is an upper bound."""
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators import dedup
+        from hypermap_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        old = docs.filter(F.col("doc_id") % 2 == 0)
+        store = dedup.band_buckets(dedup.minhash_signatures(old))
+        return dedup.incremental_minhash_pairs(new, old, store)
+
     def curate_pipeline_bench(spark, sf_dir):
         from hypermap_etl_spark.operators.corpus import curate_pipeline
         from hypermap_etl_spark.sources.tables import load_table
@@ -67,6 +85,7 @@ def main() -> None:
         # takes the spillable global-window fallback, not per-partition
         # heaps) gets a wall-time number so it can't regress silently
         "events_page_deep": events_page_deep,
+        "incremental_dedup": incremental_dedup_bench,
         "curate_pipeline": curate_pipeline_bench,
     }
 
@@ -102,7 +121,7 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if k not in ("curate_pipeline", "events_page_deep")
+            if k not in ("curate_pipeline", "events_page_deep", "incremental_dedup")
         ),
         3,
     )

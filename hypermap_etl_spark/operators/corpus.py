@@ -268,6 +268,39 @@ def pack_sequences(
     )
 
 
+def pack_efficiency(
+    packs: DataFrame, max_tokens: int = 512
+) -> DataFrame:
+    """Packing-quality report over pack_sequences output: per bucket,
+    how full the training sequences actually are — the number a data
+    engineer watches to size chunk/pack budgets (wasted pad tokens are
+    wasted training FLOPs).
+
+    Output per bucket: (bucket, n_chunks, n_packs, sum_tokens,
+    capacity = n_packs * max_tokens, fill_ratio). fill_ratio can
+    slightly exceed 1.0: a chunk may straddle its pack boundary by up
+    to its own length (the documented streaming-packing approximation),
+    so a pack can hold more than max_tokens.
+
+    One map-combinable hash aggregate over (bucket); rows out = bucket
+    count. No window, no second pass.
+    """
+    agg = packs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    cap = F.col("n_packs") * F.lit(max_tokens)
+    return agg.select(
+        "bucket",
+        "n_chunks",
+        "n_packs",
+        "sum_tokens",
+        cap.cast("long").alias("capacity"),
+        F.round(F.col("sum_tokens") / cap, 6).alias("fill_ratio"),
+    )
+
+
 # ------------------------------------------------------ end-to-end curate ----
 
 def curate_pipeline(

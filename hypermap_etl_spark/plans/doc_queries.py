@@ -1973,7 +1973,40 @@ ORDER BY doc_a, doc_b
 """
 
 
+@plan_cache
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket packing fill report (corpus.pack_efficiency over the
+    doc_packed construction): sequences-per-bucket, token totals, and
+    the fill ratio a budget-sizing engineer watches."""
+    chunks = corpus.token_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+    packs = corpus.pack_sequences(chunks, max_tokens=512, n_buckets=32)
+    return corpus.pack_efficiency(packs, max_tokens=512).orderBy("bucket")
+
+
+PACK_EFFICIENCY_ORACLE = PACKED_ORACLE.replace(
+    """SELECT doc_id, chunk_id, bucket, n_tokens,
+       CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM cum ORDER BY doc_id, chunk_id""",
+    """, packs AS (
+  SELECT bucket, n_tokens,
+         CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM cum
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(DISTINCT pack_id) * 512 AS BIGINT) AS capacity,
+       ROUND(SUM(n_tokens) / (COUNT(DISTINCT pack_id) * 512.0), 6)
+         AS fill_ratio
+FROM packs GROUP BY bucket ORDER BY bucket""",
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
+    "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
     "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),

@@ -404,3 +404,21 @@ def test_curate_pipeline_normalize_and_c4_stages(spark):
         assert report["dropped_quality"] == 0
     finally:
         release_persisted()
+
+
+def test_pack_efficiency_known_values(spark):
+    """fill_ratio = sum_tokens / (n_packs * max_tokens), straddle can
+    push a bucket over 1.0 but never doubles the capacity."""
+    from hypermap_etl_spark.operators.corpus import pack_efficiency
+
+    packs = spark.createDataFrame(
+        # bucket 0: two packs, 600 tokens -> 600/1024
+        [(1, 0, 0, 300, 0), (1, 1, 0, 300, 1),
+         # bucket 1: one pack exactly full
+         (2, 0, 1, 512, 0)],
+        "doc_id long, chunk_id long, bucket long, n_tokens long, pack_id long",
+    )
+    out = {r["bucket"]: r.asDict() for r in pack_efficiency(packs).collect()}
+    assert out[0]["n_packs"] == 2 and out[0]["sum_tokens"] == 600
+    assert out[0]["capacity"] == 1024 and out[0]["fill_ratio"] == round(600/1024, 6)
+    assert out[1]["fill_ratio"] == 1.0 and out[1]["n_chunks"] == 1
