@@ -36,6 +36,13 @@ _FLOAT_GATES = [
     ("doc_queries", "emb_label_centroids"),
     ("doc_queries", "emb_lsh_recall"),
     ("doc_queries", "doc_suffix_array"),
+    # r5 continuation: per-pair/per-row rounded floats (cosine max,
+    # exact-set jaccard, long-sum fill ratio) are invariant by
+    # construction — pinned here so a future rewrite (e.g. a summed
+    # similarity) cannot silently lose the property
+    ("doc_queries", "emb_decontam"),
+    ("doc_queries", "doc_incremental_pairs"),
+    ("doc_queries", "doc_pack_efficiency"),
 ]
 
 
