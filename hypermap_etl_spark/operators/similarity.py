@@ -427,6 +427,138 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _pick_centroids(nemb: DataFrame, n_centroids: int, vec_col: str, id_col: str):
+    """Deterministic centroid pick shared by ivf_topk and the persisted
+    index: the vector whose id ranks first in each of n_centroids
+    uniform hash buckets — a k-means init without refinement. Returns
+    driver-side [(cid, vector, norm)] (n_centroids x dim, model-sized).
+    """
+    from pyspark.sql.window import Window as W
+
+    bucketed = nemb.withColumn(
+        "__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+    )
+    w = W.partitionBy("__cb").orderBy(F.col(id_col))
+    rows = (
+        bucketed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__cb").alias("cid"),
+            _vd(vec_col).alias("cv"),
+            F.col("__norm").alias("cn"),
+        )
+        .collect()
+    )
+    return [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in rows]
+
+
+def _nearest_centroids(cent, vec: Column, norm: Column, n: int) -> Column:
+    """ids of the n nearest centroids (broadcast literals) as an array
+    column — the probe-selection expression, evaluated JVM-side."""
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(
+                    vec, F.array(*[F.lit(x) for x in cv]), norm, F.lit(cn)
+                ).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv, cn in cent
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+    return F.transform(top, lambda t: t["cid"])
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and PERSIST the IVF index — the embedding-side analog of
+    the MinHash signature store: pay the corpus pass once, serve every
+    later query batch from the standing index.
+
+    Layout:
+      path/centroids.parquet            (cid, cv, cn) — model-sized
+      path/lists/cid=<c>/...parquet     (neighbor_id, cv, cn) — the
+                                        inverted lists as PARTITION
+                                        DIRECTORIES, so a search
+                                        probing n_probe lists scans
+                                        ONLY those directories
+                                        (partition pruning, the file-
+                                        level analog of FAISS's list
+                                        structure).
+
+    Same deterministic centroid construction as ivf_topk, so a search
+    over the persisted index returns bit-identical results to the
+    in-memory operator (pinned by test).
+    """
+    nemb = with_norm(fan_out(emb), vec_col)
+    cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    corpus = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vd(vec_col).alias("cv"),
+        F.col("__norm").alias("cn"),
+        _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), 1)
+        .getItem(0)
+        .alias("cid"),
+    )
+    corpus.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a PERSISTED IVF index (ivf_index_write).
+
+    Probe selection evaluates against the (collected, model-sized)
+    centroid table; the inverted-list scan is filtered to the distinct
+    probed cids, which Spark turns into PartitionFilters — a small
+    query batch reads only its probed list directories, not the corpus
+    (plan-asserted in tests). Identical scoring/rank construction to
+    ivf_topk, so results match the in-memory operator bit-for-bit.
+    """
+    cent = [
+        (int(r["cid"]), list(r["cv"]), float(r["cn"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _vd(vec_col).alias("qv"),
+        F.col("__norm").alias("qn"),
+        F.explode(
+            _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), n_probe)
+        ).alias("cid"),
+    )
+    # distinct probed lists: ≤ n_centroids values, one tiny job — the
+    # scan filter below is what prunes the list directories
+    probed = [r["cid"] for r in q.select("cid").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    scored = (
+        q.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(scored, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -447,38 +579,10 @@ def ivf_topk(
     each query scores |corpus|·(n_probe/n_centroids) candidates.
     """
     nemb = with_norm(fan_out(emb), vec_col)
-
-    # deterministic centroid pick: first vector id in each hash bucket
-    from pyspark.sql.window import Window as W
-
-    bucketed = nemb.withColumn("__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)))
-    w = W.partitionBy("__cb").orderBy(F.col(id_col))
-    centroids = (
-        bucketed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("__cb").alias("cid"), _vd(vec_col).alias("cv"), F.col("__norm").alias("cn"))
-        .collect()
-    )
-    cent = [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in centroids]
+    cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
 
     def _nearest(vec: Column, norm: Column, n: int) -> Column:
-        """ids of the n nearest centroids as an array column."""
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine(
-                        vec,
-                        F.array(*[F.lit(x) for x in cv]),
-                        norm,
-                        F.lit(cn),
-                    ).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv, cn in cent
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda t: t["cid"])
+        return _nearest_centroids(cent, vec, norm, n)
 
     corpus = nemb.select(
         F.col(id_col).alias("neighbor_id"),

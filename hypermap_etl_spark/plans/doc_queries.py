@@ -2005,8 +2005,38 @@ FROM packs GROUP BY bucket ORDER BY bucket""",
 )
 
 
+@plan_cache
+def emb_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of a search over the PERSISTED IVF index
+    (similarity.ivf_index_write → ivf_index_search) vs the exact
+    top-k — certifies the standing-index path end to end: index build,
+    partition-pruned list scan, probe/scoring parity with ivf_topk
+    (which is bit-identical by construction, pinned in unit tests).
+    Same derived-property pattern and threshold as emb_ivf_recall."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    path = tempfile.mkdtemp(prefix="ivf_gate_")
+    similarity.ivf_index_write(emb, path, n_centroids=8)
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.ivf_index_search(
+        spark, path, emb.filter(qf), k=5, n_probe=4
+    )
+    return similarity.topk_recall(exact, approx, 5).select(
+        "n_queries", (F.col("recall") >= 0.6).alias("recall_ok")
+    )
+
+
+IVF_INDEX_RECALL_ORACLE = """
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
+    "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
     "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),

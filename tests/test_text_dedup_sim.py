@@ -910,3 +910,31 @@ def test_semantic_decontaminate_empty_bench(spark):
         v["max_sim"] == 0.0 and v["n_hits"] == 0 and not v["contaminated"]
         for v in out.values()
     )
+
+
+def test_ivf_index_search_matches_in_memory_operator(spark, tmp_path):
+    """ivf_index_write + ivf_index_search over the persisted index is
+    bit-identical to ivf_topk (same centroids, probes, scoring), and
+    the list scan prunes to the probed partition directories."""
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qf = F.col("vec_id") % 25 == 0
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_write(emb, path, n_centroids=8)
+    got = similarity.ivf_index_search(
+        spark, path, emb.filter(qf), k=5, n_probe=3
+    )
+    want = similarity.ivf_topk(emb, k=5, n_centroids=8, n_probe=3, query_filter=qf)
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b and len(a) > 0
+
+    # partition pruning: the lists scan carries cid PartitionFilters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
