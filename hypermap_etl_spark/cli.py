@@ -243,6 +243,42 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
+def cmd_ann(args) -> None:
+    """Persisted-IVF ANN: `--build` writes the index (centroids +
+    partition-pruned inverted lists) from an embeddings parquet;
+    otherwise searches the index with a query embeddings parquet and
+    writes (query_id, neighbor_id, sim, rank)."""
+    from hypermap_etl_spark.operators.similarity import (
+        ivf_index_search,
+        ivf_index_write,
+    )
+
+    spark = _spark(args)
+    if args.build:
+        emb = spark.read.parquet(args.embeddings)
+        ivf_index_write(
+            emb, args.index, n_centroids=args.centroids,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        print(json.dumps({
+            "built": args.index,
+            "centroids": args.centroids,
+            "vectors": spark.read.parquet(f"{args.index}/lists").count(),
+        }))
+        return
+    queries = spark.read.parquet(args.queries)
+    out = ivf_index_search(
+        spark, args.index, queries, k=args.k, n_probe=args.probe,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "queries": queries.count(),
+        "results": spark.read.parquet(args.out).count(),
+        "k": args.k, "probe": args.probe,
+    }))
+
+
 def cmd_decontam(args) -> None:
     """Benchmark decontamination report over --docs vs --bench:
     n-gram collision (curation.decontaminate, default 13-gram) and/or
@@ -558,6 +594,17 @@ def main(argv=None) -> None:
     p.add_argument("--min-pair-count", type=int, default=2)
     p.add_argument("--max-words", type=int, default=1_000_000,
                    help="driver dictionary cap (top-k words by frequency)")
+    p = sub.add_parser("ann", help="persisted-IVF ANN index build/search")
+    p.add_argument("--index", required=True, help="index directory")
+    p.add_argument("--build", action="store_true", help="build instead of search")
+    p.add_argument("--embeddings", default=None, help="corpus embeddings parquet (build)")
+    p.add_argument("--queries", default=None, help="query embeddings parquet (search)")
+    p.add_argument("--out", default=None, help="results parquet (search)")
+    p.add_argument("--centroids", type=int, default=8)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--probe", type=int, default=2)
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
     p = sub.add_parser("decontam", help="benchmark decontamination report")
     p.add_argument("--docs", required=True, help="training documents parquet")
     p.add_argument("--bench", required=True, help="benchmark documents parquet")
@@ -597,7 +644,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
-        "decontam": cmd_decontam,
+        "decontam": cmd_decontam, "ann": cmd_ann,
         "bpe": cmd_bpe, "stream": cmd_stream,
     }[args.cmd](args)
 

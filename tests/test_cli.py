@@ -276,3 +276,31 @@ def test_cli_decontam_ngram_and_semantic(spark, capsys, tmp_path):
     assert not got[1]["semantic_contaminated"]
     assert got[3]["semantic_contaminated"] and not got[3]["ngram_contaminated"]
     assert rep["contaminated"] == sum(1 for v in got.values() if v["contaminated"])
+
+
+def test_cli_ann_build_and_search(spark, capsys, tmp_path):
+    import json as _json
+
+    from hypermap_etl_spark.cli import main
+
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(
+        d + "/emb"
+    )
+    spark.read.parquet(d + "/emb").filter("vec_id % 50 = 0").write.parquet(
+        d + "/q"
+    )
+    main(["ann", "--build", "--index", d + "/ivf", "--embeddings", d + "/emb"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["vectors"] == spark.read.parquet(d + "/emb").count()
+
+    main(["ann", "--index", d + "/ivf", "--queries", d + "/q",
+          "--out", d + "/res", "--k", "3", "--probe", "2"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = spark.read.parquet(d + "/res")
+    assert rep["results"] == res.count() > 0
+    assert set(res.columns) == {"query_id", "neighbor_id", "sim", "rank"}
+    # every query got <= k neighbors, ranked 1..n
+    import pyspark.sql.functions as F2
+    mx = res.groupBy("query_id").agg(F2.max("rank").alias("m"), F2.count("*").alias("c"))
+    assert all(r["m"] == r["c"] <= 3 for r in mx.collect())
