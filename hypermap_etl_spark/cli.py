@@ -243,6 +243,44 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
+def cmd_dedup_index(args) -> None:
+    """Incremental-dedup signature store: `--build` appends a docs
+    parquet's MinHash band buckets to the bucketed store table;
+    otherwise checks a batch parquet against the store (+ the corpus
+    parquet for exact verification), writes the near-dup pairs parquet,
+    and prints summary counts. The check does NOT append — run --build
+    on the surviving batch afterwards (the store must never contain the
+    batch being checked)."""
+    from hypermap_etl_spark.operators import dedup
+
+    spark = _spark(args)
+    if args.build:
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        dedup.signature_store_append(docs, args.store, path=args.store_path)
+        print(json.dumps({
+            "store": args.store,
+            "indexed_docs": docs.count(),
+            "store_rows": spark.table(args.store).count(),
+        }))
+        return
+    batch = spark.read.parquet(args.batch).select("doc_id", "text")
+    corpus = spark.read.parquet(args.docs).select("doc_id", "text")
+    pairs = dedup.incremental_minhash_pairs(
+        batch, corpus, args.store, threshold=args.threshold
+    )
+    pairs.write.mode("overwrite").parquet(args.out)
+    pairs = spark.read.parquet(args.out)
+    from hypermap_etl_spark.util import release_persisted
+
+    release_persisted()
+    print(json.dumps({
+        "batch_docs": batch.count(),
+        "pairs": pairs.count(),
+        "store_pairs": pairs.filter(F.col("src") == "store").count(),
+        "batch_pairs": pairs.filter(F.col("src") == "batch").count(),
+    }))
+
+
 def cmd_ann(args) -> None:
     """Persisted-IVF ANN: `--build` writes the index (centroids +
     partition-pruned inverted lists) from an embeddings parquet;
@@ -594,6 +632,16 @@ def main(argv=None) -> None:
     p.add_argument("--min-pair-count", type=int, default=2)
     p.add_argument("--max-words", type=int, default=1_000_000,
                    help="driver dictionary cap (top-k words by frequency)")
+    p = sub.add_parser("dedup-index", help="incremental-dedup signature store build/check")
+    p.add_argument("--store", required=True, help="bucketed store table name")
+    p.add_argument("--store-path", default=None, help="external table location (build)")
+    p.add_argument("--build", action="store_true", help="append docs to the store")
+    p.add_argument("--docs", required=True,
+                   help="docs parquet: the batch to index (build) or the "
+                        "historical corpus texts (check)")
+    p.add_argument("--batch", default=None, help="arriving batch parquet (check)")
+    p.add_argument("--out", default=None, help="pairs output parquet (check)")
+    p.add_argument("--threshold", type=float, default=0.8)
     p = sub.add_parser("ann", help="persisted-IVF ANN index build/search")
     p.add_argument("--index", required=True, help="index directory")
     p.add_argument("--build", action="store_true", help="build instead of search")
@@ -645,6 +693,7 @@ def main(argv=None) -> None:
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "decontam": cmd_decontam, "ann": cmd_ann,
+        "dedup-index": cmd_dedup_index,
         "bpe": cmd_bpe, "stream": cmd_stream,
     }[args.cmd](args)
 

@@ -304,3 +304,32 @@ def test_cli_ann_build_and_search(spark, capsys, tmp_path):
     import pyspark.sql.functions as F2
     mx = res.groupBy("query_id").agg(F2.max("rank").alias("m"), F2.count("*").alias("c"))
     assert all(r["m"] == r["c"] <= 3 for r in mx.collect())
+
+
+def test_cli_dedup_index_build_and_check(spark, capsys, tmp_path):
+    import json as _json
+
+    from hypermap_etl_spark.cli import main
+
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.filter("doc_id % 2 = 0").write.parquet(d + "/old")
+    docs.filter("doc_id % 2 = 1").write.parquet(d + "/new")
+    store = "cli_dedup_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+    main(["dedup-index", "--build", "--store", store, "--docs", d + "/old",
+          "--store-path", d + "/store"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["store_rows"] == rep["indexed_docs"] * 32
+
+    main(["dedup-index", "--store", store, "--docs", d + "/old",
+          "--batch", d + "/new", "--out", d + "/pairs"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # matches the doc_incremental_pairs gate's fixture truth: both pair
+    # kinds present at sf0.001 (16 pairs: 11 store + 5 batch)
+    assert rep["pairs"] == rep["store_pairs"] + rep["batch_pairs"]
+    assert rep["store_pairs"] > 0 and rep["batch_pairs"] > 0
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
