@@ -268,6 +268,58 @@ def pack_sequences(
     )
 
 
+def pack_sequences_strict(
+    chunks: DataFrame,
+    max_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Capacity-RESPECTING sequence packing: greedy next-fit in
+    deterministic (doc_id, chunk_id) order within each md5 bucket — a
+    pack closes when the next chunk would overflow ``max_tokens``, so
+    NO pack ever exceeds the budget (the hard cap a trainer's
+    fixed-length batcher actually enforces; pack_sequences' cumsum
+    splitter lets a chunk straddle the boundary and is the cheap
+    approximation for loaders that re-split anyway).
+
+    The running "reset at overflow" total is not a prefix scan (the
+    reset makes it non-associative), so no built-in window expresses
+    it: this is the documented Pandas-UDF case. One applyInPandas per
+    bucket — Arrow-batched, parallel across the n_buckets uniform md5
+    groups, O(chunks) per group; chunks with n_tokens > max_tokens get
+    a pack of their own (next-fit still closes the previous pack).
+
+    Output: (doc_id, chunk_id, bucket, n_tokens, pack_id) — the
+    pack_sequences shape, so pack_efficiency reads either.
+    """
+    import pandas as pd
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % n_buckets
+    )
+    keyed = chunks.select(
+        "doc_id", "chunk_id", bucket.alias("bucket"), "n_tokens"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        pack_ids, pid, fill = [], 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > max_tokens:
+                pid += 1
+                fill = 0
+            pack_ids.append(pid)
+            fill += n
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf
+
+    return keyed.groupBy("bucket").applyInPandas(
+        _pack,
+        schema="doc_id long, chunk_id long, bucket long, n_tokens long, pack_id long",
+    )
+
+
 def pack_efficiency(
     packs: DataFrame, max_tokens: int = 512
 ) -> DataFrame:

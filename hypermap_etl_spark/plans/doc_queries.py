@@ -2034,8 +2034,61 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+@plan_cache
+def doc_packed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-respecting next-fit packing (corpus.pack_sequences_strict):
+    the trainer-grade hard cap, greedy in (doc_id, chunk_id) order per
+    md5 bucket. The reset-at-overflow running total is not a prefix
+    scan — Spark side is the documented applyInPandas case; the oracle
+    replays the same greedy walk as a recursive CTE."""
+    chunks = corpus.token_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+    return corpus.pack_sequences_strict(
+        chunks, max_tokens=512, n_buckets=32
+    ).orderBy("doc_id", "chunk_id")
+
+
+PACKED_STRICT_ORACLE = (
+    PACKED_ORACLE.replace("WITH w AS (", "WITH RECURSIVE w AS (").replace(
+        """cum AS (
+  SELECT doc_id, chunk_id, bucket, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                                  ORDER BY doc_id, chunk_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM chunks
+)
+SELECT doc_id, chunk_id, bucket, n_tokens,
+       CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM cum ORDER BY doc_id, chunk_id""",
+        """seq AS (
+  SELECT doc_id, chunk_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+),
+pk AS (
+  SELECT doc_id, chunk_id, bucket, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.chunk_id, s.bucket, s.n_tokens, s.rn,
+         CASE WHEN pk.fill > 0 AND pk.fill + s.n_tokens > 512
+              THEN pk.pack_id + 1 ELSE pk.pack_id END,
+         CASE WHEN pk.fill > 0 AND pk.fill + s.n_tokens > 512
+              THEN s.n_tokens ELSE pk.fill + s.n_tokens END
+  FROM seq s JOIN pk ON s.bucket = pk.bucket AND s.rn = pk.rn + 1
+)
+SELECT doc_id, chunk_id, bucket, n_tokens, pack_id
+FROM pk ORDER BY doc_id, chunk_id""",
+    )
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
+    "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),

@@ -422,3 +422,47 @@ def test_pack_efficiency_known_values(spark):
     assert out[0]["n_packs"] == 2 and out[0]["sum_tokens"] == 600
     assert out[0]["capacity"] == 1024 and out[0]["fill_ratio"] == round(600/1024, 6)
     assert out[1]["fill_ratio"] == 1.0 and out[1]["n_chunks"] == 1
+
+
+def test_pack_sequences_strict_respects_budget(spark):
+    from hypermap_etl_spark.operators.corpus import (
+        pack_efficiency,
+        pack_sequences_strict,
+    )
+
+    chunks = spark.createDataFrame(
+        # one bucket-worth of sizes that straddle under the cumsum rule
+        [(1, 0, 300), (1, 1, 300), (1, 2, 200), (1, 3, 500), (1, 4, 600)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    out = pack_sequences_strict(chunks, max_tokens=512, n_buckets=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r["pack_id"] for r in out.collect()}
+    # next-fit: [300]->p0, 300 overflows->p1, +200=500 fits p1,
+    # 500 overflows->p2, 600>max alone->p3
+    assert rows == {(1, 0): 0, (1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 3}
+
+    # budget invariant: no pack of <=max chunks exceeds max_tokens
+    per_pack = (
+        out.filter("n_tokens <= 512")
+        .groupBy("bucket", "pack_id")
+        .sum("n_tokens")
+        .collect()
+    )
+    assert all(r["sum(n_tokens)"] <= 512 for r in per_pack)
+
+
+def test_pack_sequences_strict_budget_property_on_fixtures(spark):
+    """On the real fixture chunks: every pack (of fit-able chunks) is
+    within budget, and the id space is the pack_sequences shape."""
+    from hypermap_etl_spark.operators.corpus import (
+        pack_sequences_strict,
+        token_chunks,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = token_chunks(docs, chunk_tokens=64, overlap=8)
+    packed = pack_sequences_strict(chunks, max_tokens=512, n_buckets=32)
+    assert packed.count() == chunks.count()
+    per_pack = packed.groupBy("bucket", "pack_id").sum("n_tokens").collect()
+    # token_chunks emits chunks <= 64 << 512, so EVERY pack fits
+    assert all(r["sum(n_tokens)"] <= 512 for r in per_pack)
