@@ -253,6 +253,8 @@ def cmd_dedup_index(args) -> None:
     batch being checked)."""
     from hypermap_etl_spark.operators import dedup
 
+    if not args.build and not (args.batch and args.out):
+        raise SystemExit("dedup-index check requires --batch and --out")
     spark = _spark(args)
     if args.build:
         docs = spark.read.parquet(args.docs).select("doc_id", "text")
@@ -291,6 +293,10 @@ def cmd_ann(args) -> None:
         ivf_index_write,
     )
 
+    if args.build and not args.embeddings:
+        raise SystemExit("ann --build requires --embeddings")
+    if not args.build and not (args.queries and args.out):
+        raise SystemExit("ann search requires --queries and --out")
     spark = _spark(args)
     if args.build:
         emb = spark.read.parquet(args.embeddings)
@@ -300,7 +306,11 @@ def cmd_ann(args) -> None:
         )
         print(json.dumps({
             "built": args.index,
-            "centroids": args.centroids,
+            # actual count: empty hash buckets can leave fewer than
+            # the requested --centroids
+            "centroids": spark.read.parquet(
+                f"{args.index}/centroids.parquet"
+            ).count(),
             "vectors": spark.read.parquet(f"{args.index}/lists").count(),
         }))
         return

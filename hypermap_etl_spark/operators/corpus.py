@@ -227,6 +227,17 @@ def train_filter(
 
 # ----------------------------------------------------- sequence packing ----
 
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """The packing family's bucket key: first md5 byte of the id mod
+    n_buckets. ONE definition — pack_sequences, pack_sequences_strict
+    and the PACKED/PACKED_STRICT oracles must stay byte-equivalent.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     max_tokens: int = 512,
@@ -246,10 +257,7 @@ def pack_sequences(
     Everything is one window over (bucket, doc_id, chunk_id) — engine-
     reproducible (md5 bucketing, integer cumsum), no Python.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("long") % n_buckets
-    )
+    bucket = _md5_bucket(F.col("doc_id"), n_buckets)
     from pyspark.sql.window import Window
 
     w = (
@@ -293,10 +301,7 @@ def pack_sequences_strict(
     """
     import pandas as pd
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("long") % n_buckets
-    )
+    bucket = _md5_bucket(F.col("doc_id"), n_buckets)
     keyed = chunks.select(
         "doc_id", "chunk_id", bucket.alias("bucket"), "n_tokens"
     )

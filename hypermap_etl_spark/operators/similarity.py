@@ -535,13 +535,20 @@ def ivf_index_search(
         (int(r["cid"]), list(r["cv"]), float(r["cn"]))
         for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
     ]
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        _vd(vec_col).alias("qv"),
-        F.col("__norm").alias("qn"),
-        F.explode(
-            _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), n_probe)
-        ).alias("cid"),
+    from hypermap_etl_spark.util import tracked_persist
+
+    # persisted: the probe expression (n_centroids cosines per query
+    # row) would otherwise evaluate twice — once for the probed-cid
+    # collect below and again in the scoring join
+    q = tracked_persist(
+        with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            _vd(vec_col).alias("qv"),
+            F.col("__norm").alias("qn"),
+            F.explode(
+                _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), n_probe)
+            ).alias("cid"),
+        )
     )
     # distinct probed lists: ≤ n_centroids values, one tiny job — the
     # scan filter below is what prunes the list directories

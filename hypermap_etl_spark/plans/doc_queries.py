@@ -2013,12 +2013,23 @@ def emb_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned list scan, probe/scoring parity with ivf_topk
     (which is bit-identical by construction, pinned in unit tests).
     Same derived-property pattern and threshold as emb_ivf_recall."""
+    import os
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     qf = F.col("vec_id") % 20 == 0
-    path = tempfile.mkdtemp(prefix="ivf_gate_")
-    similarity.ivf_index_write(emb, path, n_centroids=8)
+    # STABLE index location per fixture dir, built only when absent:
+    # a fresh mkdtemp per plan-build would (a) leak an index copy per
+    # session x sf_dir and (b) run full write jobs every time a plan is
+    # merely constructed (the parity mirror DESCRIBEs every gate). The
+    # fixture tables are immutable within a round, so the cached index
+    # is sound; delete the directory to force a rebuild.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hypermap_ivf_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        similarity.ivf_index_write(emb, path, n_centroids=8)
     exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
     approx = similarity.ivf_index_search(
         spark, path, emb.filter(qf), k=5, n_probe=4
@@ -2049,6 +2060,11 @@ def doc_packed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+# recursion cost at gate scale is bounded: depth = max chunks per md5
+# bucket (~22 at sf0.01, ~700 chunks / 32 near-uniform buckets), each
+# step a frontier-to-next-rn join — ~15k row-joins total, well inside
+# the mirror's budget (unlike the corpus-scale suffix-array oracle,
+# which caps its doc subset for exactly this reason)
 PACKED_STRICT_ORACLE = (
     PACKED_ORACLE.replace("WITH w AS (", "WITH RECURSIVE w AS (").replace(
         """cum AS (
