@@ -359,3 +359,50 @@ def test_c4_clean_crlf_pages(spark):
     assert out[1]["page_kept"] and out[2]["page_kept"]
     assert out[2]["clean_text"] == out[1]["clean_text"]
     assert "\r" not in out[2]["clean_text"]
+
+
+def test_normalize_text_random_unicode_property(spark):
+    """One batch of seeded random Unicode strings (Latin accents, CJK,
+    combining marks, controls, odd whitespace): Spark output equals an
+    independent pure-Python reference implementation of the documented
+    pipeline for every row."""
+    import random
+    import unicodedata
+
+    rng = random.Random(42)
+    alphabet = (
+        "abc XYZ 123 \t\n\x07\x1f\x0b"
+        "éèêÅåñüßçﬁ①Ω한국어日本語µ—"
+        "́̈Å "
+    )
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(100)
+    ]
+
+    def ref(x):
+        import re
+
+        x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
+        x = unicodedata.normalize("NFC", x)
+        x = "".join(
+            c for c in unicodedata.normalize("NFD", x)
+            if unicodedata.category(c) != "Mn"
+        )
+        x = unicodedata.normalize("NFC", x)
+        x = x.lower()
+        # ASCII whitespace only — the operator's documented semantics
+        # (Java \s); Python's re \s is Unicode-aware and would also
+        # collapse NBSP etc., which the engine deliberately leaves
+        x = re.sub("[ \t\n\r\f\x0b]+", " ", x).strip(" \t\n\r\f\x0b")
+        return x
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in curation.normalize_text(
+            docs, form="NFC", strip_accents=True, lowercase=True
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref(t), (i, repr(t), repr(got[i]), repr(ref(t)))
