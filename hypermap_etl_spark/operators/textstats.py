@@ -351,3 +351,79 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    ngrams: int = 1,
+) -> DataFrame:
+    """Feature-hashing text embeddings (the hashing trick, Weinberger
+    et al. 2009): every token (or word n-gram) hashes to a bucket in
+    [0, dim) with a ±1 sign from a second hash bit; per-doc bucket sums
+    are L2-normalized into an `embedding array<double>`.
+
+    This is the deterministic, model-free bridge from raw text into the
+    ENTIRE similarity stack — SemDeDup-style near-dup, ANN top-k, the
+    persisted IVF index, k-means, semantic decontamination — with zero
+    external dependencies, and engine-reproducible: hashes are
+    md5-derived (first 8 hex chars → bucket, 9th → sign), the repo's
+    convention wherever an oracle must replay a signature — DuckDB
+    reproduces them bit-for-bit (Spark's xxhash64 it cannot).
+
+    Scale shape: one explode → one (doc_id, bucket) hash aggregate
+    (map-combinable, keyed by the near-unique doc) → one map-side
+    array assembly + normalize. No Python, no UDF, no shuffle wider
+    than (doc_id, bucket) partial sums. Docs with no tokens emit the
+    zero vector (norm guard).
+
+    Output: (doc_id, embedding array<double>) — the embeddings-table
+    shape, minus the label column.
+    """
+    toks = (
+        word_shingles(F.lower(F.col(text_col)), ngrams)
+        if ngrams > 1
+        else F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    )
+    t = docs.select("doc_id", F.explode_outer(toks).alias("__t"))
+    h = F.md5(F.col("__t"))
+    b = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
+    )
+    sign = F.when(
+        F.pmod(F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint"), F.lit(2))
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sums = (
+        t.filter(F.col("__t").isNotNull())
+        .groupBy("doc_id", b.alias("__b"))
+        .agg(F.sum(sign).alias("__v"))
+    )
+    vec = (
+        sums.groupBy("doc_id")
+        .agg(F.map_from_arrays(F.collect_list("__b"), F.collect_list("__v")).alias("__m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)),
+            ).alias("__raw"),
+        )
+    )
+    norm = F.sqrt(F.aggregate(F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm == 0, F.col("__raw")).otherwise(
+        F.transform(F.col("__raw"), lambda x: x / norm)
+    )
+    # docs whose every token vanished (none here — filter only drops
+    # null explode_outer rows) still need a row: left-join back
+    return docs.select("doc_id").join(
+        vec.select("doc_id", unit.alias("embedding")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("embedding"),
+            F.array(*[F.lit(0.0) for _ in range(dim)]),
+        ).alias("embedding"),
+    )

@@ -2102,8 +2102,59 @@ FROM pk ORDER BY doc_id, chunk_id""",
 )
 
 
+@plan_cache
+def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (textstats.hash_embed, 64-dim,
+    md5 buckets/signs) exploded to (doc_id, dim, val) scalar rows —
+    the model-free text→vector bridge into the similarity stack,
+    replayed bucket-for-bucket by the oracle. −0.0 canonicalized via
+    +0.0, the emb_covariance convention."""
+    emb = textstats.hash_embed(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), dim=64
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "__v")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("long").alias("dim"),
+        (F.round(F.col("__v"), 6) + F.lit(0.0)).alias("val"),
+    ).orderBy("doc_id", "dim")
+
+
+HASH_EMBED_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS b,
+         CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM tok
+),
+sums AS (SELECT doc_id, b, SUM(sgn) AS v FROM h GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, r.range AS dim
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN range(64) r
+),
+filled AS (
+  SELECT g.doc_id, g.dim, COALESCE(s.v, 0) AS v
+  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.dim
+),
+norms AS (SELECT doc_id, SQRT(SUM(v * v)) AS n FROM filled GROUP BY doc_id)
+SELECT f.doc_id, CAST(f.dim AS BIGINT) AS dim,
+       ROUND(CASE WHEN n.n = 0 THEN f.v ELSE f.v / n.n END, 6) + 0.0 AS val
+FROM filled f JOIN norms n ON f.doc_id = n.doc_id
+ORDER BY f.doc_id, dim
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
+    "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),

@@ -938,3 +938,47 @@ def test_ivf_index_search_matches_in_memory_operator(spark, tmp_path):
     # partition pruning: the lists scan carries cid PartitionFilters
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_hash_embed_properties(spark):
+    """Feature-hashing embeddings: unit norm, dimension, determinism,
+    near-dup texts closer than unrelated texts, empty doc -> zero
+    vector, and the full bridge into the similarity stack."""
+    from hypermap_etl_spark.operators.similarity import cosine_neardup_pairs
+    from hypermap_etl_spark.operators.textstats import hash_embed
+
+    base = ("spark shuffles columnar batches through adaptive plans while "
+            "the optimizer prunes partitions and broadcasts tiny sides")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with one extra tail"),
+            (3, "completely different words about gardening tulips roses "
+                "daffodils and watering cans in spring sunshine"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(docs, dim=32)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4} and all(len(v) == 32 for v in rows.values())
+    import math
+
+    for i in (1, 2, 3):
+        assert abs(math.sqrt(sum(x * x for x in rows[i])) - 1.0) < 1e-9
+    assert all(x == 0.0 for x in rows[4])
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(rows[1], rows[2]) > 0.9 > cos(rows[1], rows[3])
+
+    # determinism across evaluations
+    rows2 = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=32).collect()}
+    assert rows == rows2
+
+    # the bridge: text -> hash_embed -> similarity stack
+    pairs = cosine_neardup_pairs(
+        emb.withColumnRenamed("doc_id", "vec_id"), threshold=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
