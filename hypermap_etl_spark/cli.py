@@ -283,6 +283,26 @@ def cmd_dedup_index(args) -> None:
     }))
 
 
+def cmd_embed(args) -> None:
+    """Feature-hashing text embeddings (textstats.hash_embed): docs
+    parquet → (doc_id, embedding) parquet, ann-build-ready — the
+    model-free text→vector loop: curate → embed → ann --build →
+    ann search / decontam --embeddings."""
+    from hypermap_etl_spark.operators.textstats import hash_embed
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    out = hash_embed(docs, dim=args.dim, ngrams=args.ngrams).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "docs": docs.count(),
+        "dim": args.dim,
+        "rows": spark.read.parquet(args.out).count(),
+    }))
+
+
 def cmd_ann(args) -> None:
     """Persisted-IVF ANN: `--build` writes the index (centroids +
     partition-pruned inverted lists) from an embeddings parquet;
@@ -652,6 +672,11 @@ def main(argv=None) -> None:
     p.add_argument("--batch", default=None, help="arriving batch parquet (check)")
     p.add_argument("--out", default=None, help="pairs output parquet (check)")
     p.add_argument("--threshold", type=float, default=0.8)
+    p = sub.add_parser("embed", help="feature-hashing text embeddings")
+    p.add_argument("--docs", required=True, help="documents parquet")
+    p.add_argument("--out", required=True, help="embeddings output parquet")
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--ngrams", type=int, default=1)
     p = sub.add_parser("ann", help="persisted-IVF ANN index build/search")
     p.add_argument("--index", required=True, help="index directory")
     p.add_argument("--build", action="store_true", help="build instead of search")
@@ -703,7 +728,7 @@ def main(argv=None) -> None:
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "decontam": cmd_decontam, "ann": cmd_ann,
-        "dedup-index": cmd_dedup_index,
+        "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
     }[args.cmd](args)
 

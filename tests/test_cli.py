@@ -333,3 +333,27 @@ def test_cli_dedup_index_build_and_check(spark, capsys, tmp_path):
     assert rep["pairs"] == rep["store_pairs"] + rep["batch_pairs"]
     assert rep["store_pairs"] > 0 and rep["batch_pairs"] > 0
     spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+
+def test_cli_embed_then_ann(spark, capsys, tmp_path):
+    """The model-free loop: embed a docs parquet, build the IVF index
+    on it, search it with a query subset."""
+    import json as _json
+
+    from hypermap_etl_spark.cli import main
+
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(d + "/docs")
+    main(["embed", "--docs", d + "/docs", "--out", d + "/emb", "--dim", "32"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == rep["docs"] and rep["dim"] == 32
+
+    main(["ann", "--build", "--index", d + "/ivf", "--embeddings", d + "/emb"])
+    capsys.readouterr()
+    spark.read.parquet(d + "/emb").filter("vec_id % 100 = 0").write.parquet(d + "/q")
+    main(["ann", "--index", d + "/ivf", "--queries", d + "/q",
+          "--out", d + "/res", "--k", "3"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["results"] > 0

@@ -43,6 +43,7 @@ _FLOAT_GATES = [
     ("doc_queries", "emb_decontam"),
     ("doc_queries", "doc_incremental_pairs"),
     ("doc_queries", "doc_pack_efficiency"),
+    ("doc_queries", "doc_hash_embed"),
 ]
 
 
