@@ -285,7 +285,8 @@ def cmd_dedup_index(args) -> None:
 
 def cmd_embed(args) -> None:
     """Feature-hashing text embeddings (textstats.hash_embed): docs
-    parquet → (doc_id, embedding) parquet, ann-build-ready — the
+    parquet → (vec_id, embedding) parquet — doc_id renamed to vec_id,
+    the embeddings-table shape ann --build consumes directly — the
     model-free text→vector loop: curate → embed → ann --build →
     ann search / decontam --embeddings."""
     from hypermap_etl_spark.operators.textstats import hash_embed

@@ -381,12 +381,17 @@ def hash_embed(
     Output: (doc_id, embedding array<double>) — the embeddings-table
     shape, minus the label column.
     """
-    toks = (
-        word_shingles(F.lower(F.col(text_col)), ngrams)
-        if ngrams > 1
-        else F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
-    )
-    t = docs.select("doc_id", F.explode_outer(toks).alias("__t"))
+    if ngrams > 1:
+        # collapse whitespace runs first: word_shingles keeps empty
+        # tokens (split on single space), so 'a  b' would otherwise
+        # shingle as ('a ', ' b') — different buckets than 'a b'
+        canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " {2,}", " "))
+        toks = word_shingles(canon, ngrams)
+    else:
+        toks = F.filter(
+            words(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+        )
+    t = docs.select("doc_id", F.explode(toks).alias("__t"))
     h = F.md5(F.col("__t"))
     b = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
@@ -396,11 +401,7 @@ def hash_embed(
         == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    sums = (
-        t.filter(F.col("__t").isNotNull())
-        .groupBy("doc_id", b.alias("__b"))
-        .agg(F.sum(sign).alias("__v"))
-    )
+    sums = t.groupBy("doc_id", b.alias("__b")).agg(F.sum(sign).alias("__v"))
     vec = (
         sums.groupBy("doc_id")
         .agg(F.map_from_arrays(F.collect_list("__b"), F.collect_list("__v")).alias("__m"))
@@ -416,8 +417,8 @@ def hash_embed(
     unit = F.when(norm == 0, F.col("__raw")).otherwise(
         F.transform(F.col("__raw"), lambda x: x / norm)
     )
-    # docs whose every token vanished (none here — filter only drops
-    # null explode_outer rows) still need a row: left-join back
+    # empty/whitespace-only docs explode to no rows at all — the left
+    # join restores one zero-vector row per input doc
     return docs.select("doc_id").join(
         vec.select("doc_id", unit.alias("embedding")), "doc_id", "left"
     ).select(

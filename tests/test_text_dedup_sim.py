@@ -982,3 +982,19 @@ def test_hash_embed_properties(spark):
         emb.withColumnRenamed("doc_id", "vec_id"), threshold=0.9
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_hash_embed_ngrams_whitespace_robust(spark):
+    """ngrams>1 collapses whitespace runs before shingling: 'a  b'
+    and 'a b' embed identically (empty split tokens would otherwise
+    corrupt every shingle)."""
+    from hypermap_etl_spark.operators.textstats import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha  beta gamma"), (2, "alpha beta gamma"),
+         (3, " alpha beta gamma ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=16, ngrams=2).collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert any(x != 0.0 for x in rows[1])
