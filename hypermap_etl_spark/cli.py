@@ -547,6 +547,7 @@ def cmd_curate(args) -> None:
         span_grain=args.span_grain,
         normalize=args.normalize,
         c4=args.c4_clean,
+        strict_packing=args.strict_packing,
     )
     if args.format == "jsonl":
         # training-export layout: one JSONL dir per shard (the layout a
@@ -634,6 +635,9 @@ def main(argv=None) -> None:
     p.add_argument("--c4-clean", action="store_true",
                    help="C4 line-grain page cleaning before the quality "
                         "gate (needs real line structure)")
+    p.add_argument("--strict-packing", action="store_true",
+                   help="capacity-respecting next-fit packing (no pack "
+                        "exceeds the token budget)")
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
                    help="output format (jsonl = per-shard JSONL dirs for "

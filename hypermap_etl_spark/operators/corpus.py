@@ -378,6 +378,7 @@ def curate_pipeline(
     span_chars: int = 30,
     normalize: bool = False,
     c4: bool = False,
+    strict_packing: bool = False,
     with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
@@ -396,7 +397,10 @@ def curate_pipeline(
     curation.normalize_text defaults, no accent strip / case fold so
     downstream semantics are unchanged for ASCII corpora). C4 runs
     FIRST because normalization's whitespace collapse erases the very
-    line structure the C4 rules split on. Both default off.
+    line structure the C4 rules split on. ``strict_packing`` swaps the
+    cumsum straddle splitter for the capacity-respecting next-fit
+    packer (no pack exceeds pack_tokens — the trainer-grade hard cap,
+    at the cost of its one applyInPandas stage). All default off.
 
     ``cut_dup_spans`` removes duplicated runs that SURVIVE
     document-level dedup (boilerplate shared by otherwise distinct
@@ -557,7 +561,16 @@ def curate_pipeline(
 
     train = documents.filter(F.col("split") == "train")
     chunks = token_chunks(train, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col)
-    packed = pack_sequences(chunks, max_tokens=pack_tokens, n_buckets=n_shards)
+    packer = pack_sequences_strict if strict_packing else pack_sequences
+    # pack_id is per-md5-bucket; the pipeline output drops the bucket
+    # column, so fold it in (pack_id * n_buckets + bucket) — otherwise
+    # a loader grouping by pack_id would merge unrelated sequences
+    # whose buckets happen to share a pack ordinal
+    packed = packer(chunks, max_tokens=pack_tokens, n_buckets=n_shards).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("pack_id") * n_shards + F.col("bucket")).alias("pack_id"),
+    )
     chunks_out = (
         chunks.join(packed.select("doc_id", "chunk_id", "pack_id"), ["doc_id", "chunk_id"])
         .join(shards.select("doc_id", "shard"), "doc_id")

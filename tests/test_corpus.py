@@ -466,3 +466,29 @@ def test_pack_sequences_strict_budget_property_on_fixtures(spark):
     per_pack = packed.groupBy("bucket", "pack_id").sum("n_tokens").collect()
     # token_chunks emits chunks <= 64 << 512, so EVERY pack fits
     assert all(r["sum(n_tokens)"] <= 512 for r in per_pack)
+
+
+def test_curate_pipeline_strict_packing(spark):
+    """strict_packing=True: every emitted pack is within the token
+    budget (the straddle splitter can exceed it)."""
+    from pyspark.sql import functions as F2
+
+    from hypermap_etl_spark.operators.corpus import curate_pipeline
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        _, chunks, _ = curate_pipeline(
+            docs, strict_packing=True, with_report=False,
+            chunk_tokens=64, overlap=8, pack_tokens=128,
+        )
+        # pack_id is globally unique in the pipeline output (bucket
+        # folded in), so grouping by it alone is the loader's view
+        per_pack = (
+            chunks.groupBy("pack_id").agg(F2.sum("n_tokens").alias("t")).collect()
+        )
+        assert per_pack and all(r["t"] <= 128 for r in per_pack)
+    finally:
+        release_persisted()
