@@ -253,9 +253,14 @@ def cmd_dedup_index(args) -> None:
     batch being checked)."""
     from hypermap_etl_spark.operators import dedup
 
-    if not args.build and not (args.batch and args.out):
+    if not args.build and not args.compact and not (args.batch and args.out):
         raise SystemExit("dedup-index check requires --batch and --out")
     spark = _spark(args)
+    if args.compact:
+        print(json.dumps(dedup.signature_store_compact(spark, args.store)))
+        return
+    if not args.docs:
+        raise SystemExit("dedup-index build/check requires --docs")
     if args.build:
         docs = spark.read.parquet(args.docs).select("doc_id", "text")
         dedup.signature_store_append(docs, args.store, path=args.store_path)
@@ -671,7 +676,10 @@ def main(argv=None) -> None:
     p.add_argument("--store", required=True, help="bucketed store table name")
     p.add_argument("--store-path", default=None, help="external table location (build)")
     p.add_argument("--build", action="store_true", help="append docs to the store")
-    p.add_argument("--docs", required=True,
+    p.add_argument("--compact", action="store_true",
+                   help="rewrite the store as one bucketed file set "
+                        "(appends accumulate a file per bucket per batch)")
+    p.add_argument("--docs", required=False, default=None,
                    help="docs parquet: the batch to index (build) or the "
                         "historical corpus texts (check)")
     p.add_argument("--batch", default=None, help="arriving batch parquet (check)")

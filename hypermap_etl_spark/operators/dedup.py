@@ -938,6 +938,52 @@ def signature_store_append(
     writer.mode(mode).saveAsTable(table_name)
 
 
+def signature_store_compact(
+    spark, table_name: str, n_buckets: int = 32
+) -> dict:
+    """Rewrite the signature store as one compact file set, preserving
+    bucketing — daily appends each add a file per bucket, and after N
+    batches every incremental join opens N x n_buckets files. The
+    rewrite goes through a temp table + RENAME swap (never read and
+    overwrite the same location), keeping the SAME bucket count so
+    co-located joins stay exchange-free. Managed tables only: RENAME
+    relocates managed data; an external store should be compacted by
+    rewriting to a fresh path and repointing readers.
+
+    Returns {"rows", "files_before", "files_after"}.
+    """
+    import glob as _glob
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    def _files(tbl: str) -> int:
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {tbl}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        )
+        return len(_glob.glob(_os.path.join(_urlparse(loc).path, "*.parquet")))
+
+    files_before = _files(table_name)
+    tmp = table_name + "__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        spark.table(table_name)
+        .repartition(n_buckets, "bh")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "bh")
+        .saveAsTable(tmp)
+    )
+    rows = spark.table(tmp).count()
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    return {
+        "rows": int(rows),
+        "files_before": files_before,
+        "files_after": _files(table_name),
+    }
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -998,3 +998,50 @@ def test_hash_embed_ngrams_whitespace_robust(spark):
     rows = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=16, ngrams=2).collect()}
     assert rows[1] == rows[2] == rows[3]
     assert any(x != 0.0 for x in rows[1])
+
+
+def test_signature_store_compact_preserves_results(spark, tmp_path):
+    """Compaction shrinks the store's file count, keeps every row, and
+    the incremental check returns identical pairs on the compacted
+    store (bucketing preserved — still a bucketed scan)."""
+    from hypermap_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    name = "sig_store_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}__compact_tmp")
+    # three appends -> three file generations
+    for lo, hi in [(0, 4), (4, 8), (8, 12)]:
+        dedup.signature_store_append(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}"), name
+        )
+    before_rows = spark.table(name).count()
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc 3")],
+        "doc_id long, text string",
+    )
+    pairs_before = sorted(
+        tuple(r) for r in dedup.incremental_minhash_pairs(
+            new, docs, name, threshold=0.5
+        ).collect()
+    )
+
+    rep = dedup.signature_store_compact(spark, name)
+    assert rep["rows"] == before_rows == spark.table(name).count()
+    assert rep["files_after"] < rep["files_before"]
+    pairs_after = sorted(
+        tuple(r) for r in dedup.incremental_minhash_pairs(
+            new, docs, name, threshold=0.5
+        ).collect()
+    )
+    assert pairs_after == pairs_before and pairs_before
+    # still a bucketed scan after the swap
+    plan = dedup.incremental_minhash_pairs(
+        new, docs, name, threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
