@@ -25,21 +25,21 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # two r4-red gates, now flattened to scalar columns (emb_label_centroids,
 # emb_quantize), then the eleven gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
-# surgery, the distributed suffix array + LCP, BPE first-merge), the eight
+# surgery, the distributed suffix array + LCP, BPE first-merge), the nine
 # r5-continuation gates (Unicode normalization, C4 line cleaning,
 # embedding decontamination, incremental signature-store dedup,
 # packing-fill report, persisted-IVF-index recall, strict packing,
-# feature-hashing embeddings), then
+# feature-hashing embeddings, DataSketches HLL distinct rollup), then
 # the six gates never yet in any driver window; then the 17 gates whose
 # only green row is the r2 artifact (oldest evidence); the remaining
 # slots re-certify r3-green gates, preferring families whose shared
 # infrastructure (windows, sketches, pagination utils, join strategies)
 # was touched in r4/r5. Gates left outside are all r4-green
 # (CORRECTNESS_r04.json) plus the r3/r4-green remainder (including the
-# eight re-cert slots the continuation gates displaced: events_asof_join,
+# nine re-cert slots the continuation gates displaced: events_asof_join,
 # events_interval_counts, events_salted_counts, events_kmv_users,
 # top3_customers_per_segment, events_tumbling_window, orders_cube,
-# orders_rollup — all r3-green,
+# orders_rollup, q19_disjunctive_revenue — all r3-green,
 # operators untouched) — every registered gate has a green driver row
 # in some round once this window lands.
 _WINDOW: list[str] = [
@@ -70,6 +70,7 @@ _WINDOW: list[str] = [
     "emb_ivf_index_recall",
     "doc_packed_strict",
     "doc_hash_embed",
+    "events_hll_users",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -101,7 +102,6 @@ _WINDOW: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q14_promo_share",
-    "q19_disjunctive_revenue",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -5,14 +5,29 @@ KMV (k-minimum-values) distinct-count sketch: hash every value to
 |distinct| ≈ (k-1) / kth_smallest. Standard analysis (Bar-Yossef et
 al. 2002; Beyer et al. 2007): relative error ≈ 1/sqrt(k-2).
 
-Why KMV and not HyperLogLog here: Spark ships approx_count_distinct
+Why KMV alongside HyperLogLog: Spark ships approx_count_distinct
 (HLL++) already — the point of this operator is the MERGEABLE SKETCH
 as data: the k-smallest-hash set is a value you can store per
 partition/day and fold (union two sketches = k smallest of the union)
 without rescanning history, the property a 100 TB incremental pipeline
 needs. And with md5 as the hash it is bit-reproducible in any SQL
-engine, so the driver gate can verify it exactly — which HLL++'s
+engine, so the driver gate can verify it exactly — which HLL's
 engine-internal hashing never could.
+
+The hll_* trio below covers the other half of that trade: Spark's
+native hll_sketch_agg / hll_union_agg / hll_sketch_estimate emit and
+fold Apache DataSketches HLL sketches as BINARY columns — the
+industry-standard portable sketch format (readable by Druid, Hive,
+the PostgreSQL datasketches extension), entirely JVM-side. The exact
+estimate is not SQL-reproducible in another engine, so its driver
+gate certifies a DERIVED property (estimate within a fixed relative
+error of the exact count — the emb_lsh_recall pattern) and unit tests
+pin mergeability (union-of-parts ≈ build-of-whole within a fraction
+of the standard error) and partition tolerance. The estimate is NOT
+bit-stable across merge trees: Datasketches unions drop the
+stream-order HIP estimator, so different partitionings/rollup shapes
+wobble by ~SE/2 — which is exactly why the gate asserts a tolerance,
+never the estimate value.
 
 Scale shape: one (group, value) distinct aggregation (map-side
 combine), then a per-group top-k window over the distinct hashes —
@@ -314,3 +329,62 @@ def sampled_quantiles(
         for i, p in enumerate(probs)
     ]
     return agg.select(*group_cols, *qcols, "n_sample")
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketch over ``value_col``
+    (nulls excluded), as a storable BINARY ``hll`` column plus the
+    group's observed row count ``n_rows``.
+
+    This is the fine-grain build a 100 TB pipeline runs once per
+    partition/day: the output is a model-sized sketch TABLE (one row
+    per group, ~2^lg_k bytes each) that replaces re-scanning history —
+    roll it up with :func:`hll_merge` at query time. lg_k=12 gives
+    ~1.6% standard error (Datasketches HLL: 1.04/sqrt(2^lg_k)).
+
+    The value is cast to string before sketching so the same logical
+    value sketches identically regardless of the column's physical
+    type (int vs bigint vs string), making stored sketches stable
+    across schema widenings. Entirely JVM-side: one hash aggregate
+    with map-side combine; the shuffle carries one sketch per
+    (partition, group) cell, never the values.
+    """
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.hll_sketch_agg(
+                F.col(value_col).cast("string"), F.lit(lg_k)
+            ).alias("hll"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold stored HLL sketches to coarser groups (day → month,
+    (type, day) → type). The merged REGISTER state is the
+    max-per-bucket of the parts (associative, commutative, split-
+    invariant); the ESTIMATE read from it can differ from a direct
+    build of the union by a fraction of the standard error, because
+    Datasketches unions drop the single-stream HIP estimator — pinned
+    within 0.25·SE by tests/test_sketch.py::test_hll_merge_equals_whole.
+
+    Shuffles only sketch rows (model-sized), never the original data.
+    """
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Append the distinct-count estimate (``est_distinct`` BIGINT) to
+    a sketch table; keeps the binary sketch column so the row remains
+    mergeable downstream."""
+    return sketches.withColumn("est_distinct", F.hll_sketch_estimate("hll"))
