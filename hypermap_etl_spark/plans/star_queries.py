@@ -1438,6 +1438,81 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank, 3 iterations, damping
+    0.85) over the user-level event-type transition graph: edges are
+    consecutive (prev_type → type) pairs per user ordered by
+    (ts, event_id), weighted by transition count. The centrality
+    ranking a curation pipeline uses as a link-graph quality prior.
+
+    Fixed-iteration power iteration is engine-reproducible, so the
+    oracle unrolls the SAME three iterations as SQL CTEs; ranks are
+    rounded to 9 dp only at the end (intermediate double ops are
+    identical expression trees in both engines — the ~1e-16 summation
+    wobble sits eight orders below the rounding grain, and the
+    partition-invariance sweep covers this gate)."""
+    from hypermap_etl_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(trans, n_iter=3, damping=0.85, weight="w")
+    return ranks.select(
+        "node", F.round("rank", 9).alias("rank")
+    ).orderBy("node")
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unroll the fixed power iterations as CTEs (r0 → r{n}); every
+    arithmetic step mirrors graph.pagerank's expression tree in
+    DOUBLE so the engines agree bit-for-bit before the final 9 dp
+    round. CAST(0.85 AS DOUBLE) keeps DuckDB off its DECIMAL
+    arithmetic path (decimal 0.15 and double 1.0-0.85 differ by one
+    ulp)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    parts = [
+        """WITH e AS (
+  SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  ) t WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+f AS (SELECT e.src, e.dst, e.w / ow.out_w AS frac FROM e JOIN ow USING (src)),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+c{i} AS (SELECT f.dst, SUM(r.rank * f.frac) AS c
+       FROM f JOIN r{i - 1} r ON r.node = f.src GROUP BY f.dst),
+t{i} AS (SELECT COALESCE(SUM(c), 0.0) AS tc FROM c{i}),
+r{i} AS (SELECT n.node,
+            (1.0 - {d}) / nn.n
+            + {d} * (COALESCE(c{i}.c, 0.0) + (1.0 - t{i}.tc) / nn.n) AS rank
+       FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.node, nn, t{i})"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(rank, 9) AS rank FROM r{n_iter} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+PAGERANK_ORACLE = _pagerank_oracle(3)
+
+
 CMS_ORACLE = """
 WITH h AS (
   SELECT user_id,
@@ -2489,6 +2564,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),
+    "events_type_pagerank": (events_type_pagerank, PAGERANK_ORACLE),
     "lineitem_profile": (lineitem_profile, PROFILE_ORACLE),
     "events_lead_lag_ntile": (events_lead_lag_ntile, LEAD_LAG_NTILE_ORACLE),
     "customer_fuzzy_pairs": (customer_fuzzy_pairs, FUZZY_PAIRS_ORACLE),

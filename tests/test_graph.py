@@ -1,0 +1,119 @@
+"""PageRank semantics: equivalence to a pure-Python power iteration
+(same fixed-iteration, dangling-redistribution formulation), mass
+conservation, weighted/parallel-edge handling, partition tolerance."""
+
+from __future__ import annotations
+
+import pytest
+
+from hypermap_etl_spark.operators.graph import pagerank
+
+
+def _reference_pagerank(edges, n_iter, damping):
+    """Dict-based power iteration mirroring the operator's semantics:
+    edges = [(src, dst, w)], parallel edges summed, dangling mass
+    redistributed uniformly."""
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0.0) + float(w)
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    n = len(nodes)
+    out_w = {}
+    for (s, _), w in agg.items():
+        out_w[s] = out_w.get(s, 0.0) + w
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = {v: 0.0 for v in nodes}
+        for (s, d), w in agg.items():
+            contribs[d] += ranks[s] * (w / out_w[s])
+        total_c = sum(contribs.values())
+        dangling = 1.0 - total_c
+        ranks = {
+            v: base + damping * (contribs[v] + dangling / n) for v in nodes
+        }
+    return ranks
+
+
+def _pseudo_random_edges(n_nodes=40):
+    # deterministic, includes sinks (nodes never appearing as src),
+    # self-loops, and parallel edges with weights
+    edges = []
+    for i in range(n_nodes):
+        if i % 11 == 0:
+            continue  # sinks: receive but never send
+        edges.append((f"n{i}", f"n{(i * 7 + 3) % n_nodes}", (i % 5) + 1))
+        edges.append((f"n{i}", f"n{(i * i + 1) % n_nodes}", 2))
+        if i % 13 == 0:
+            edges.append((f"n{i}", f"n{i}", 1))  # self-loop
+    edges.append(("n1", f"n{8}", 3))  # parallel with the i=1 edge set
+    return edges
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = _pseudo_random_edges()
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=6, damping=0.85, weight="w").collect()
+    }
+    want = _reference_pagerank(edges, n_iter=6, damping=0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_counts_edges(spark):
+    # weight=None ≡ weight 1 per edge row (parallel rows sum)
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    wdf = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    want = {
+        r["node"]: r["rank"] for r in pagerank(wdf, n_iter=4, weight="w").collect()
+    }
+    assert got == pytest.approx(want, abs=1e-14)
+
+
+def test_pagerank_sink_mass_conserved(spark):
+    # b is a pure sink: without dangling redistribution rank leaks
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    want = _reference_pagerank([("a", "b", 1)], n_iter=8, damping=0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["b"] > got["a"]  # the sink accumulates
+
+
+def test_pagerank_partition_tolerant(spark):
+    edges = _pseudo_random_edges()
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    baseline = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.coalesce(1), n_iter=4, weight="w").collect()
+    }
+    for n in (3, 17):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df.repartition(n), n_iter=4, weight="w").collect()
+        }
+        # double sums reorder across layouts; agreement to 1e-12 is
+        # the float-summation bound, not a semantic difference
+        assert got == pytest.approx(baseline, abs=1e-12)
+
+
+def test_pagerank_null_endpoints_dropped_and_args_validated(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), (None, "b"), ("a", None)], "src string, dst string"
+    )
+    got = pagerank(df, n_iter=2).collect()
+    assert {r["node"] for r in got} == {"a", "b"}
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)

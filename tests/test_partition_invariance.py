@@ -44,6 +44,11 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_incremental_pairs"),
     ("doc_queries", "doc_pack_efficiency"),
     ("doc_queries", "doc_hash_embed"),
+    # r5 continuation: iterated double sums (power iteration) rounded
+    # at the end; the HLL gate's tolerance boolean must absorb the
+    # union-tree estimate wobble under any layout
+    ("star_queries", "events_type_pagerank"),
+    ("star_queries", "events_hll_users"),
 ]
 
 
