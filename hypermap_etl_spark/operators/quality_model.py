@@ -1,0 +1,127 @@
+"""Model-based document quality filtering (beyond-reference,
+north-star set): a fastText-style linear classifier over the
+feature-hashing embeddings.
+
+The heuristic quality scores in operators/curation.py (length /
+punctuation / stopword ratios, Gopher-style rules) are stage one of a
+real curation stack; stage two is a TRAINED filter — fastText
+classifiers scoring "looks like a reference corpus" are the published
+recipe behind CCNet (Wenzek et al. 2020), LLaMA's CommonCrawl
+curation, and DSIR's discriminative cousin. This module is that stage
+with zero external model dependencies: features are the deterministic
+md5 hashing-trick embeddings (operators/textstats.hash_embed), the
+trainer is Spark MLlib's LogisticRegression (distributed LBFGS,
+JVM-side tree aggregation — the standard linear-model path at 100 TB),
+and the MODEL IS PLAIN DATA (a weight list + bias), so serving needs
+no MLlib at all.
+
+Train/serve split, the repo's PCA/BPE pattern: training touches the
+corpus once per LBFGS pass (data-sized, distributed); the fitted model
+is dim+1 doubles on the driver (model-sized). Serving
+(:func:`score_linear`) is pure column expressions — zip_with dot
+product + sigmoid over the hash-embed array, no UDF, no Python, no
+MLlib — so the scoring path is SQL-expressible and driver-gated
+bit-for-bit with literal weights (plans/doc_queries.doc_model_scores),
+while the iterative trainer is certified by planted-separability unit
+tests (the documented no-oracle policy for iterative fits,
+tests/test_quality_model.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.textstats import hash_embed
+
+
+def train_quality_classifier(
+    labeled_docs: DataFrame,
+    dim: int = 64,
+    ngrams: int = 1,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    max_iter: int = 100,
+    reg_param: float = 1e-4,
+) -> dict:
+    """Fit a binary quality classifier on (text, label∈{0,1}) rows;
+    returns the model as plain data: ``{"weights": [float]*dim,
+    "bias": float, "dim": dim, "ngrams": ngrams}`` — feed it straight
+    to :func:`score_linear`, persist it as JSON, or broadcast it.
+
+    Distributed shape: one hash_embed pass (explode + hash aggregate,
+    no Python), then MLlib LogisticRegression — each LBFGS iteration
+    is one treeAggregate of per-partition gradient partials, the
+    canonical linear-model scaling on a 1000-executor cluster. The
+    driver holds dim+1 doubles.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    emb = hash_embed(
+        labeled_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+        ),
+        dim=dim,
+        text_col=text_col,
+        ngrams=ngrams,
+    )
+    train = emb.join(
+        labeled_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).cast("double").alias("label"),
+        ),
+        "doc_id",
+    ).select(array_to_vector("embedding").alias("features"), "label")
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    )
+    model = lr.fit(train)
+    return {
+        "weights": [float(v) for v in model.coefficients.toArray()],
+        "bias": float(model.intercept),
+        "dim": dim,
+        "ngrams": ngrams,
+    }
+
+
+def score_linear(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    ngrams: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a linear model over hash-embed features:
+    ``score = sigmoid(w · embed(text) + bias)`` as (id_col, score).
+
+    Pure column expressions end to end — the weight vector becomes an
+    array literal, the dot product is zip_with + aggregate (JVM higher-
+    order functions), sigmoid is exp — so scoring inherits hash_embed's
+    scale shape (one explode + one doc-keyed aggregate, no UDF) and is
+    reproducible in any SQL engine, which is how the driver gate
+    certifies this exact serving path. ``len(weights)`` fixes the
+    embedding dimension and must match the model's training dim.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    emb = hash_embed(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+        ),
+        dim=len(weights),
+        text_col=text_col,
+        ngrams=ngrams,
+    )
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    z = F.aggregate(
+        F.zip_with("embedding", warr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) + F.lit(float(bias))
+    return emb.select(
+        F.col("doc_id").alias(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )

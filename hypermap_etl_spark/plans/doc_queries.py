@@ -2121,6 +2121,80 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "dim")
 
 
+@plan_cache
+def doc_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-quality-filter SERVING path
+    (operators/quality_model.score_linear): sigmoid(w·embed(text)+b)
+    over the 16-dim hash-embed features with a deterministic
+    md5-derived weight vector standing in for a published model —
+    training is iterative LBFGS (certified by planted-separability
+    unit tests, the documented no-oracle policy), but the scoring
+    path a 100 TB pipeline actually runs per-document is pure column
+    expressions, and the oracle replays it weight-for-weight."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import score_linear
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    )
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
+MODEL_SCORES_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 AS b,
+         CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM tok
+),
+sums AS (SELECT doc_id, b, SUM(sgn) AS v FROM h GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, r.range AS dim
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN range(16) r
+),
+filled AS (
+  SELECT g.doc_id, g.dim, COALESCE(s.v, 0) AS v
+  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.dim
+),
+norms AS (SELECT doc_id, SQRT(SUM(v * v)) AS n FROM filled GROUP BY doc_id),
+x AS (
+  SELECT f.doc_id, f.dim,
+         CASE WHEN n.n = 0 THEN f.v ELSE f.v / n.n END AS x
+  FROM filled f JOIN norms n ON f.doc_id = n.doc_id
+),
+wt AS (
+  SELECT r.range AS dim,
+         (CAST('0x' || substr(md5('qw' || r.range), 1, 8) AS BIGINT) % 2001
+          - 1000) / CAST(1000 AS DOUBLE) AS w
+  FROM range(16) r
+),
+z AS (
+  SELECT x.doc_id, SUM(x.x * wt.w) AS z
+  FROM x JOIN wt ON wt.dim = x.dim GROUP BY x.doc_id
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-(z + 0.25))), 6) AS score
+FROM z ORDER BY doc_id
+"""
+
+
 HASH_EMBED_ORACLE = """
 WITH w AS (
   SELECT doc_id,
@@ -2155,6 +2229,7 @@ ORDER BY f.doc_id, dim
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
+    "doc_model_scores": (doc_model_scores, MODEL_SCORES_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),

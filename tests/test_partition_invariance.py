@@ -49,6 +49,7 @@ _FLOAT_GATES = [
     # union-tree estimate wobble under any layout
     ("star_queries", "events_type_pagerank"),
     ("star_queries", "events_hll_users"),
+    ("doc_queries", "doc_model_scores"),
 ]
 
 

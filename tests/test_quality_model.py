@@ -1,0 +1,108 @@
+"""Trained quality classifier: planted-separability recovery (the
+documented no-oracle policy for iterative fits), scoring-path
+equivalence to a numpy reference, and train→serve roundtrip."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.quality_model import (
+    score_linear,
+    train_quality_classifier,
+)
+
+
+def _planted_docs(n=200):
+    """Separable corpus: 'good' docs share clean-prose tokens, 'bad'
+    docs share spam tokens; labels follow the plant exactly."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            text = f"the quick study of prose number {i} reads clearly and well"
+            label = 1
+        else:
+            text = f"buy cheap pills now {i} click winner jackpot spam spam"
+            label = 0
+        rows.append((i, text, label))
+    return rows
+
+
+def test_train_recovers_planted_separation(spark):
+    docs = spark.createDataFrame(
+        _planted_docs(), "doc_id long, text string, label long"
+    )
+    model = train_quality_classifier(docs, dim=64, max_iter=50)
+    assert model["dim"] == 64 and len(model["weights"]) == 64
+    assert all(math.isfinite(w) for w in model["weights"])
+    scored = score_linear(docs, model["weights"], model["bias"])
+    joined = scored.join(docs.select("doc_id", "label"), "doc_id")
+    acc = (
+        joined.filter(
+            ((F.col("score") >= 0.5) & (F.col("label") == 1))
+            | ((F.col("score") < 0.5) & (F.col("label") == 0))
+        ).count()
+        / 200
+    )
+    assert acc >= 0.95  # separable plant: the LBFGS fit must nail it
+
+
+def test_score_linear_matches_numpy_reference(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    weights = [((i * 37) % 11 - 5) / 7.0 for i in range(dim)]
+    bias = 0.125
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_linear(docs, weights, bias).collect()
+    }
+    # independent reference: md5 hashing trick + L2 norm + sigmoid
+    for doc_id, text in [(1, "alpha beta beta gamma"), (2, "delta"), (3, "")]:
+        v = np.zeros(dim)
+        for t in [w for w in text.lower().split(" ") if w]:
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            v[b] += 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        n = np.linalg.norm(v)
+        x = v / n if n > 0 else v
+        want = 1.0 / (1.0 + math.exp(-(float(np.dot(x, weights)) + bias)))
+        assert got[doc_id] == pytest.approx(want, abs=1e-12)
+
+
+def test_score_linear_custom_id_col_and_validation(spark):
+    docs = spark.createDataFrame([(7, "x y z")], "rid long, text string")
+    out = score_linear(docs, [0.5, -0.5], id_col="rid")
+    row = out.collect()[0]
+    assert row["rid"] == 7 and 0.0 < row["score"] < 1.0
+    with pytest.raises(ValueError):
+        score_linear(docs, [])
+
+
+def test_train_partition_tolerant_accuracy(spark):
+    # LBFGS partial-gradient sums reorder across layouts; the fitted
+    # decision FUNCTION on a separable plant must not care
+    docs = spark.createDataFrame(
+        _planted_docs(), "doc_id long, text string, label long"
+    )
+    for n in (2, 13):
+        model = train_quality_classifier(
+            docs.repartition(n), dim=64, max_iter=50
+        )
+        scored = score_linear(docs, model["weights"], model["bias"])
+        joined = scored.join(docs.select("doc_id", "label"), "doc_id")
+        acc = (
+            joined.filter(
+                ((F.col("score") >= 0.5) & (F.col("label") == 1))
+                | ((F.col("score") < 0.5) & (F.col("label") == 0))
+            ).count()
+            / 200
+        )
+        assert acc >= 0.95
