@@ -243,6 +243,61 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
+def cmd_quality(args) -> None:
+    """CCNet-style trained quality filter (operators/quality_model):
+    label --reference docs positive and a deterministic equal-size md5
+    sample of --docs negative, fit the hash-embed linear classifier,
+    score EVERY --docs row with the pure-expression serving path;
+    writes (doc_id, score) parquet and prints summary stats (plus the
+    would-be-kept count when --threshold is given)."""
+    from hypermap_etl_spark.operators.quality_model import (
+        score_linear,
+        train_quality_classifier,
+    )
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.docs).select("doc_id", "text")
+    ref = spark.read.parquet(args.reference).select("doc_id", "text")
+    n_ref, n_raw = ref.count(), raw.count()
+    rate = min(1.0, n_ref / max(n_raw, 1))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    # ids from the two corpora can collide — prefix into one namespace
+    neg = raw.filter(frac < rate).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+        F.lit(0).alias("label"),
+    )
+    pos = ref.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+        F.lit(1).alias("label"),
+    )
+    n_neg = neg.count()
+    model = train_quality_classifier(
+        pos.unionByName(neg), dim=args.dim, max_iter=args.max_iter
+    )
+    scored = score_linear(raw, model["weights"], model["bias"])
+    scored.write.mode("overwrite").parquet(args.out)
+    scored = spark.read.parquet(args.out)
+    aggs = [
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.min("score"), 4).alias("min"),
+        F.round(F.avg("score"), 4).alias("mean"),
+        F.round(F.max("score"), 4).alias("max"),
+    ]
+    if args.threshold is not None:
+        aggs.append(
+            F.sum((F.col("score") >= args.threshold).cast("long")).alias("kept")
+        )
+    out = scored.agg(*aggs).collect()[0].asDict()
+    out["n_reference"], out["n_negative_sampled"] = n_ref, n_neg
+    print(json.dumps(out))
+
+
 def cmd_dedup_index(args) -> None:
     """Incremental-dedup signature store: `--build` appends a docs
     parquet's MinHash band buckets to the bucketed store table;
@@ -711,6 +766,16 @@ def main(argv=None) -> None:
     p.add_argument("--bench-embeddings", default=None,
                    help="optional benchmark embeddings parquet")
     p.add_argument("--cos-threshold", type=float, default=0.95)
+    p = sub.add_parser("quality",
+                       help="train + apply a reference-vs-corpus quality filter")
+    p.add_argument("--docs", required=True, help="documents parquet to score")
+    p.add_argument("--reference", required=True,
+                   help="reference (high-quality) documents parquet")
+    p.add_argument("--out", required=True, help="scores output parquet")
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="also report how many docs score >= threshold")
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")
@@ -740,6 +805,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
+        "quality": cmd_quality,
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,

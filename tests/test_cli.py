@@ -357,3 +357,36 @@ def test_cli_embed_then_ann(spark, capsys, tmp_path):
           "--out", d + "/res", "--k", "3"])
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["results"] > 0
+
+
+def test_cli_quality_filter(spark, capsys, tmp_path):
+    """Reference-vs-corpus trained filter: plant a separable corpus
+    (half clean prose, half spam), use the clean half as the
+    reference; the scored output must rank clean docs above spam."""
+    import json as _json
+
+    from hypermap_etl_spark.cli import main
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append((i, f"measured prose about topic {i} written plainly"))
+        else:
+            rows.append((i, f"win cash now {i} click free jackpot spam deal"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(d + "/docs")
+    docs.filter("doc_id % 2 = 0").write.parquet(d + "/ref")
+    main(["quality", "--docs", d + "/docs", "--reference", d + "/ref",
+          "--out", d + "/scores", "--dim", "64", "--threshold", "0.5"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 120 and rep["n_reference"] == 60
+    scored = {r["doc_id"]: r["score"] for r in
+              spark.read.parquet(d + "/scores").collect()}
+    clean = [scored[i] for i in range(0, 120, 2)]
+    spam = [scored[i] for i in range(1, 120, 2)]
+    # the negative sample contains ~half clean docs (label noise), so
+    # demand separation, not perfection: every spam doc below the
+    # lowest clean doc is too strict — compare means and the kept set
+    assert sum(clean) / len(clean) > sum(spam) / len(spam) + 0.2
+    assert min(clean) > max(spam) - 0.3
