@@ -26,11 +26,12 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # emb_quantize), then the eleven gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
 # surgery, the distributed suffix array + LCP, BPE first-merge), the
-# eleven r5-continuation gates (Unicode normalization, C4 line cleaning,
+# twelve r5-continuation gates (Unicode normalization, C4 line cleaning,
 # embedding decontamination, incremental signature-store dedup,
 # packing-fill report, persisted-IVF-index recall, strict packing,
 # feature-hashing embeddings, DataSketches HLL distinct rollup,
-# transition-graph PageRank, trained-quality-filter scoring), then
+# transition-graph PageRank, trained-quality-filter scoring,
+# snapshot diff), then
 # the six gates never yet in any driver window; then the 17 gates whose
 # only green row is the r2 artifact (oldest evidence); the remaining
 # slots re-certify r3-green gates, preferring families whose shared
@@ -41,7 +42,7 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # events_interval_counts, events_salted_counts, events_kmv_users,
 # top3_customers_per_segment, events_tumbling_window, orders_cube,
 # orders_rollup, q19_disjunctive_revenue, q14_promo_share,
-# q9_product_profit — all r3-green,
+# q9_product_profit, q8_market_share — all r3-green,
 # operators untouched) — every registered gate has a green driver row
 # in some round once this window lands.
 _WINDOW: list[str] = [
@@ -75,6 +76,7 @@ _WINDOW: list[str] = [
     "events_hll_users",
     "events_type_pagerank",
     "doc_model_scores",
+    "doc_snapshot_diff",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -103,7 +105,6 @@ _WINDOW: list[str] = [
     # r3-green re-certification
     "q4_order_priority",
     "q6_revenue_delta",
-    "q8_market_share",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

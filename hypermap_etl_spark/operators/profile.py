@@ -73,3 +73,72 @@ def profile_table(
             "(col_name, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots keyed by ``key_cols``:
+    the keys plus a ``status`` column in {'added', 'removed',
+    'changed', 'unchanged'} — the dataset-versioning screen run
+    between corpus drops ("what did this recrawl/refilter actually
+    change?") before committing a training mix to it.
+
+    ``compare_cols`` defaults to every non-key column the snapshots
+    share; columns present in only one snapshot are ignored (a schema
+    change shows up as all-changed only if you name the column
+    explicitly, which then raises on the side missing it).
+
+    Scale shape: ONE full outer join keyed by ``key_cols``. Row
+    contents are collapsed map-side to a single md5 fingerprint
+    (nulls sentinel-tagged so NULL ≠ 'null' ≠ ''), so the shuffle
+    carries (keys, 128-bit hash) per row — never the payload — and
+    comparing a 100 TB snapshot pair moves only its key space. md5
+    equality stands in for value equality (collision odds ~n²/2^128);
+    the driver gate's oracle compares the underlying VALUES with
+    IS DISTINCT FROM, so the fingerprint shortcut is itself under
+    test. Duplicate keys within a snapshot are the caller's bug:
+    the join would fan out — profile first.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    missing = [
+        c for c in compare_cols if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"compare columns missing from a snapshot: {missing}")
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in compare_cols
+        ]
+        mark = (
+            F.md5(F.concat_ws("\x1f", *parts))
+            if compare_cols
+            else F.lit("")
+        )
+        return df.select(
+            *key_cols, mark.alias(f"__{side}_fp"), F.lit(1).alias(f"__in_{side}")
+        )
+
+    joined = fp(old, "old").join(fp(new, "new"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Collapse a :func:`table_diff` result to (status, n) counts —
+    the one-line drop report."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -2122,6 +2122,60 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan_cache
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators/profile.table_diff): documents
+    vs a deterministically derived second snapshot (every 17th doc
+    dropped, every 13th edited, every 19th re-added under a shifted
+    id) → (doc_id, status). The md5 row-fingerprint shortcut is
+    itself under test: the oracle compares the underlying VALUES with
+    IS DISTINCT FROM, so a fingerprint that ever collided or missed a
+    null distinction would hash-mismatch."""
+    from hypermap_etl_spark.operators.profile import table_diff
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        old.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return table_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || doc_id AS text
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
+@plan_cache
 def doc_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-quality-filter SERVING path
     (operators/quality_model.score_linear): sigmoid(w·embed(text)+b)
@@ -2230,6 +2284,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_ORACLE),
+    "doc_snapshot_diff": (doc_snapshot_diff, SNAPSHOT_DIFF_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),

@@ -125,3 +125,56 @@ def test_covariance_matches_numpy(spark):
     assert len(got) == 5 * 6 // 2
     for (i, j), v in got.items():
         assert v == pytest.approx(want[i, j], abs=2e-6)
+
+
+# --------------------------------------------------- table_diff ----
+
+
+def test_table_diff_all_four_statuses(spark):
+    from hypermap_etl_spark.operators.profile import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "C", 30), (4, None, 40), (5, "e", 50)],
+        "k long, v string, n long",
+    )
+    got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",  # NULL == NULL for diff purposes
+        5: "added",
+    }
+    counts = {r["status"]: r["n"] for r in
+              diff_summary(table_diff(old, new, ["k"])).collect()}
+    assert counts == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_table_diff_null_vs_null_string(spark):
+    # the sentinel must keep NULL, 'NULL', and '' three distinct values
+    from hypermap_etl_spark.operators.profile import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, "")], "k long, v string")
+    new = spark.createDataFrame([(1, "NULL"), (2, None)], "k long, v string")
+    got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_table_diff_compare_col_selection(spark):
+    from hypermap_etl_spark.operators.profile import table_diff
+
+    old = spark.createDataFrame([(1, "a", "x")], "k long, v string, only_old string")
+    new = spark.createDataFrame([(1, "a", "y")], "k long, v string, only_new string")
+    # default: only shared non-key columns (v) — extras ignored
+    assert table_diff(old, new, ["k"]).collect()[0]["status"] == "unchanged"
+    # naming a one-sided column raises instead of silently ignoring
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_diff(old, new, ["k"], compare_cols=["only_old"])
+    with _pytest.raises(ValueError):
+        table_diff(old, new, [])
