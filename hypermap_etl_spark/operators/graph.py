@@ -91,6 +91,9 @@ def pagerank(
     nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # one scalar, graph-shape-sized
     if n_nodes == 0:
+        # all-null or empty edge list: free the (empty) edge
+        # checkpoint; the empty node frame is the result
+        release_local_checkpoint(frac)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
@@ -128,7 +131,12 @@ def pagerank(
         # real blocks and are freed as their successor materializes.
         release_local_checkpoint(prev)
     # the returned frame is itself an eager checkpoint — its inputs'
-    # blocks are no longer needed.
+    # blocks are no longer needed; the result's own blocks stay alive
+    # until the caller consumes the query, then release_persisted()
+    # frees them (the duplicate_clusters convention).
     release_local_checkpoint(frac)
     release_local_checkpoint(nodes)
+    from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
+
+    _TRACKED_CHECKPOINTS.append(ranks)
     return ranks

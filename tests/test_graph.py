@@ -117,3 +117,16 @@ def test_pagerank_null_endpoints_dropped_and_args_validated(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_pagerank_empty_and_released_checkpoints(spark):
+    from hypermap_etl_spark.util import release_persisted
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, n_iter=3).collect() == []
+    # the returned frame is tracked: consuming it then releasing frees
+    # the loop's blocks without touching unrelated state
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = pagerank(df, n_iter=3)
+    assert len(out.collect()) == 2
+    assert release_persisted() >= 1
