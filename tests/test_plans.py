@@ -436,3 +436,37 @@ def test_suffix_array_output_is_permutation(spark):
     assert sorted(r["sa_rank"] for r in rows) == list(range(1, len(rows) + 1))
     assert sorted(r["pos"] for r in rows if r["doc_id"] == 1) == list(range(1, 20))
     release_persisted()
+
+
+def test_score_linear_stays_jvm_side(spark):
+    """The trained-filter SERVING path must never leave the JVM: the
+    dot product + sigmoid are higher-order-function column
+    expressions, so a Python UDF (BatchEvalPython / ArrowEvalPython)
+    in this plan is a regression."""
+    from hypermap_etl_spark.operators.quality_model import score_linear
+    from hypermap_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p = _plan(score_linear(docs, [0.1] * 16, bias=0.5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one doc-keyed hash aggregate, map-side combined
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_table_diff_shuffle_carries_fingerprints_not_payload(spark):
+    """table_diff's full-outer join must exchange (keys, md5), never
+    the text column: the map-side fingerprint projection has to fold
+    into the scan side of each Exchange."""
+    from hypermap_etl_spark.operators.profile import table_diff
+    from hypermap_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    new = docs.filter("doc_id % 2 = 0")
+    p = _optimized(table_diff(docs, new, ["doc_id"]))
+    # both fingerprint projections must sit BELOW the join (children
+    # print after the parent), i.e. md5 folds into each scan stage and
+    # only (key, 128-bit fp, flag) rows cross the exchange
+    join_at = p.index("Join FullOuter")
+    assert p.index("AS __old_fp") > join_at and p.index("AS __new_fp") > join_at
+    # and the join itself compares keys only
+    assert "text" not in p[p.index("(", join_at) : p.index("\n", join_at)]
