@@ -243,21 +243,16 @@ def cmd_dsir(args) -> None:
     print(json.dumps(stats.asDict()))
 
 
-def cmd_quality(args) -> None:
-    """CCNet-style trained quality filter (operators/quality_model):
-    label --reference docs positive and a deterministic equal-size md5
-    sample of --docs negative, fit the hash-embed linear classifier,
-    score EVERY --docs row with the pure-expression serving path;
-    writes (doc_id, score) parquet and prints summary stats (plus the
-    would-be-kept count when --threshold is given)."""
+def _train_reference_model(raw, ref, dim: int, max_iter: int = 50) -> dict:
+    """Shared CCNet-style trainer for `quality` and `curate
+    --model-reference`: reference docs labeled 1, a deterministic
+    md5 sample of the raw corpus (sized to the reference) labeled 0;
+    ids prefixed into one namespace so the corpora can overlap.
+    Returns the plain-data model dict plus the sampled counts."""
     from hypermap_etl_spark.operators.quality_model import (
-        score_linear,
         train_quality_classifier,
     )
 
-    spark = _spark(args)
-    raw = spark.read.parquet(args.docs).select("doc_id", "text")
-    ref = spark.read.parquet(args.reference).select("doc_id", "text")
     n_ref, n_raw = ref.count(), raw.count()
     rate = min(1.0, n_ref / max(n_raw, 1))
     frac = (
@@ -265,7 +260,6 @@ def cmd_quality(args) -> None:
         .cast("double")
         / F.lit(float(1 << 32))
     )
-    # ids from the two corpora can collide — prefix into one namespace
     neg = raw.filter(frac < rate).select(
         F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("doc_id"),
         "text",
@@ -278,8 +272,25 @@ def cmd_quality(args) -> None:
     )
     n_neg = neg.count()
     model = train_quality_classifier(
-        pos.unionByName(neg), dim=args.dim, max_iter=args.max_iter
+        pos.unionByName(neg), dim=dim, max_iter=max_iter
     )
+    model["n_reference"], model["n_negative_sampled"] = n_ref, n_neg
+    return model
+
+
+def cmd_quality(args) -> None:
+    """CCNet-style trained quality filter (operators/quality_model):
+    label --reference docs positive and a deterministic equal-size md5
+    sample of --docs negative, fit the hash-embed linear classifier,
+    score EVERY --docs row with the pure-expression serving path;
+    writes (doc_id, score) parquet and prints summary stats (plus the
+    would-be-kept count when --threshold is given)."""
+    from hypermap_etl_spark.operators.quality_model import score_linear
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.docs).select("doc_id", "text")
+    ref = spark.read.parquet(args.reference).select("doc_id", "text")
+    model = _train_reference_model(raw, ref, dim=args.dim, max_iter=args.max_iter)
     scored = score_linear(raw, model["weights"], model["bias"])
     scored.write.mode("overwrite").parquet(args.out)
     scored = spark.read.parquet(args.out)
@@ -294,7 +305,8 @@ def cmd_quality(args) -> None:
             F.sum((F.col("score") >= args.threshold).cast("long")).alias("kept")
         )
     out = scored.agg(*aggs).collect()[0].asDict()
-    out["n_reference"], out["n_negative_sampled"] = n_ref, n_neg
+    out["n_reference"] = model["n_reference"]
+    out["n_negative_sampled"] = model["n_negative_sampled"]
     print(json.dumps(out))
 
 
@@ -596,6 +608,19 @@ def cmd_curate(args) -> None:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
+    model_kwargs = {}
+    if args.model_reference:
+        # CCNet stage two, trained inline: reference docs = positives,
+        # a deterministic md5 sample of the corpus = negatives
+        ref = spark.read.parquet(args.model_reference).select("doc_id", "text")
+        model = _train_reference_model(
+            docs.select("doc_id", "text"), ref, dim=args.model_dim
+        )
+        model_kwargs = {
+            "model_weights": model["weights"],
+            "model_bias": model["bias"],
+            "model_threshold": args.model_threshold,
+        }
     documents, chunks, report = curate_pipeline(
         docs.select("doc_id", "text"),
         dedup_threshold=args.threshold,
@@ -608,6 +633,7 @@ def cmd_curate(args) -> None:
         normalize=args.normalize,
         c4=args.c4_clean,
         strict_packing=args.strict_packing,
+        **model_kwargs,
     )
     if args.format == "jsonl":
         # training-export layout: one JSONL dir per shard (the layout a
@@ -698,6 +724,11 @@ def main(argv=None) -> None:
     p.add_argument("--strict-packing", action="store_true",
                    help="capacity-respecting next-fit packing (no pack "
                         "exceeds the token budget)")
+    p.add_argument("--model-reference", default=None,
+                   help="reference corpus parquet: train a CCNet-style "
+                        "stage-two quality model inline and filter with it")
+    p.add_argument("--model-dim", type=int, default=128)
+    p.add_argument("--model-threshold", type=float, default=0.5)
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
                    help="output format (jsonl = per-shard JSONL dirs for "

@@ -379,15 +379,27 @@ def curate_pipeline(
     normalize: bool = False,
     c4: bool = False,
     strict_packing: bool = False,
+    model_weights: list[float] | None = None,
+    model_bias: float = 0.0,
+    model_threshold: float = 0.5,
     with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
 
       [optional C4 line-grain page cleaning] → [optional Unicode
-      normalization] → quality/language filter → MinHash near-dup dedup
-      (keep cluster reps) → [optional ExactSubstr span surgery] → PII
-      redaction → deterministic split → token chunking → sequence
-      packing → shard assignment.
+      normalization] → quality/language filter → [optional trained
+      model filter] → MinHash near-dup dedup (keep cluster reps) →
+      [optional ExactSubstr span surgery] → PII redaction →
+      deterministic split → token chunking → sequence packing →
+      shard assignment.
+
+    ``model_weights`` (+ ``model_bias``, ``model_threshold``) enables
+    the CCNet-style stage-two filter: documents surviving the
+    heuristics are scored with quality_model.score_linear (pure
+    column expressions over hash-embed features — the dim is
+    len(model_weights)) and kept when score ≥ model_threshold. Train
+    the weights once with quality_model.train_quality_classifier (or
+    `cli quality`); the pipeline treats the model as plain data.
 
     ``c4`` applies Raffel-style line rules and page kills BEFORE the
     document-level quality gate (single-line pages without terminal
@@ -473,6 +485,33 @@ def curate_pipeline(
         cut_lineage=True,
     )
     n_kept = kept.count() if with_report else 0
+
+    n_model_dropped = 0
+    if model_weights is not None:
+        # CCNet stage two: the TRAINED filter prunes what the
+        # heuristics pass; serving is pure column expressions
+        # (quality_model.score_linear), so this stage adds one
+        # hash-embed scan + one semi join, no Python
+        from hypermap_etl_spark.operators.quality_model import score_linear
+
+        scores = score_linear(
+            kept.select("doc_id", text_col),
+            model_weights,
+            model_bias,
+            text_col=text_col,
+        )
+        kept = stage_boundary(
+            kept.join(
+                scores.filter(F.col("score") >= model_threshold).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ),
+            cut_lineage=True,
+        )
+        if with_report:
+            n_model_kept = kept.count()
+            n_model_dropped = n_kept - n_model_kept
+            n_kept = n_model_kept
 
     # fan_out ONLY the compute-heavy signature pass: AQE coalesces the
     # small post-join frame to one partition locally, which would run
@@ -579,7 +618,8 @@ def curate_pipeline(
         {
             "docs_in": n_in,
             "dropped_c4": n_c4_dropped,
-            "dropped_quality": n_in - n_c4_dropped - n_kept,
+            "dropped_quality": n_in - n_c4_dropped - n_kept - n_model_dropped,
+            "dropped_model": n_model_dropped,
             "dropped_dups": n_kept - n_surv,
             "span_cut_docs": n_span_docs,
             "docs_out": n_surv,

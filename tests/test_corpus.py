@@ -492,3 +492,62 @@ def test_curate_pipeline_strict_packing(spark):
         assert per_pack and all(r["t"] <= 128 for r in per_pack)
     finally:
         release_persisted()
+
+
+def test_curate_pipeline_model_filter_stage(spark):
+    """The CCNet stage-two trained filter: train on a planted split,
+    feed the weights to the pipeline, and the model stage must prune
+    exactly the spam docs the heuristics cannot see (they pass
+    length/lang rules) — with the report accounting them separately
+    from the heuristic drops."""
+    from hypermap_etl_spark.operators.corpus import curate_pipeline
+    from hypermap_etl_spark.operators.quality_model import (
+        train_quality_classifier,
+    )
+    from hypermap_etl_spark.util import release_persisted
+
+    # both classes must PASS the heuristic gate (~100+ words, enough
+    # stopwords) — the whole point is that only the model separates
+    clean = ("the measured study of language data reads clearly and it "
+             "is written plainly for you to follow with care. ") * 8
+    spam = ("buy cheap pills now and click here to win the jackpot for "
+            "you with free offer deal casino bonus prize money. ") * 8
+    train_rows = [(i, clean + f" variant {i}", 1) for i in range(40)] + [
+        (100 + i, spam + f" variant {i}", 0) for i in range(40)
+    ]
+    labeled = spark.createDataFrame(
+        train_rows, "doc_id long, text string, label long"
+    )
+    model = train_quality_classifier(labeled, dim=64, max_iter=50)
+
+    corpus_rows = [(i, clean + f" item {i}") for i in range(10)] + [
+        (50 + i, spam + f" item {i}") for i in range(5)
+    ]
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    try:
+        documents, _chunks, report = curate_pipeline(
+            docs,
+            min_words=10,
+            dedup_threshold=0.95,
+            model_weights=model["weights"],
+            model_bias=model["bias"],
+            n_shards=2,
+            chunk_tokens=16,
+            overlap=2,
+            pack_tokens=64,
+        )
+        out_ids = {r["doc_id"] for r in documents.collect()}
+        assert report["dropped_model"] == 5
+        assert all(i not in out_ids for i in range(50, 55))
+        assert report["dropped_quality"] == 0  # heuristics saw no spam
+        # without the model stage the spam sails through
+        documents2, _c2, report2 = curate_pipeline(
+            docs, min_words=10, dedup_threshold=0.95, n_shards=2,
+            chunk_tokens=16, overlap=2, pack_tokens=64,
+        )
+        assert report2["dropped_model"] == 0
+        assert {r["doc_id"] for r in documents2.collect()} >= set(
+            range(50, 55)
+        ) or report2["dropped_dups"] > 0  # spam may near-dup-collapse
+    finally:
+        release_persisted()
