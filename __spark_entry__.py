@@ -26,12 +26,12 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # emb_quantize), then the eleven gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
 # surgery, the distributed suffix array + LCP, BPE first-merge), the
-# twelve r5-continuation gates (Unicode normalization, C4 line cleaning,
+# thirteen r5-continuation gates (Unicode normalization, C4 line cleaning,
 # embedding decontamination, incremental signature-store dedup,
 # packing-fill report, persisted-IVF-index recall, strict packing,
 # feature-hashing embeddings, DataSketches HLL distinct rollup,
 # transition-graph PageRank, trained-quality-filter scoring,
-# snapshot diff), then
+# snapshot diff, interpolated bigram LM), then
 # the six gates never yet in any driver window; then the 17 gates whose
 # only green row is the r2 artifact (oldest evidence); the remaining
 # slots re-certify r3-green gates, preferring families whose shared
@@ -42,7 +42,7 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # events_interval_counts, events_salted_counts, events_kmv_users,
 # top3_customers_per_segment, events_tumbling_window, orders_cube,
 # orders_rollup, q19_disjunctive_revenue, q14_promo_share,
-# q9_product_profit, q8_market_share — all r3-green,
+# q9_product_profit, q8_market_share, q6_revenue_delta — all r3-green,
 # operators untouched) — every registered gate has a green driver row
 # in some round once this window lands.
 _WINDOW: list[str] = [
@@ -77,6 +77,7 @@ _WINDOW: list[str] = [
     "events_type_pagerank",
     "doc_model_scores",
     "doc_snapshot_diff",
+    "doc_bigram_logprob",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -104,7 +105,6 @@ _WINDOW: list[str] = [
     "emb_knn_label",
     # r3-green re-certification
     "q4_order_priority",
-    "q6_revenue_delta",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

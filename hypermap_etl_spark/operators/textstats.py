@@ -290,6 +290,76 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", alpha: float = 0.4
+) -> DataFrame:
+    """Interpolated bigram LM quality score (Jelinek-Mercer smoothing):
+    per-document mean log10 of P(w_i | w_{i-1}) = α·P_ML(w_i|w_{i-1})
+    + (1-α)·P_uni(w_i) over the corpus's own counts — one rung up the
+    CCNet perplexity-filter ladder from :func:`unigram_logprob`
+    (repetitive boilerplate scores HIGH, incoherent token salad scores
+    LOW, and the unigram back-off keeps unseen-context bigrams finite).
+    Only bigram positions are scored; docs with fewer than two tokens
+    emit (NULL, 0).
+
+    Output: (doc_id, mean_logprob, n_bigrams).
+
+    Plan: the token stream explodes once for unigram counts and once
+    (as consecutive pairs, built map-side from the token array — no
+    window, no self-join) for bigram/context counts; scoring joins the
+    pair stream to the bigram table keyed by (w1, w2) — a plain keyed
+    join, NOT broadcast: the bigram vocabulary of a 100 TB corpus is
+    itself large — and to the broadcast unigram table. log10 +
+    round(6) keeps last-ulp libm variance below the comparison grain.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    toks = docs.select("doc_id", ws.alias("__ws"))
+    uni = toks.select("doc_id", F.explode("__ws").alias("term"))
+    tf = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    total = uni.count()
+    pairs = (
+        toks.filter(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1), i -> "
+                    "named_struct('w1', element_at(__ws, i), "
+                    "'w2', element_at(__ws, i + 1)))"
+                )
+            ).alias("__bg"),
+        )
+        .select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    bf = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__bf"))
+    cf = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__cf"))
+    p = (
+        F.lit(float(alpha)) * (F.col("__bf") / F.col("__cf"))
+        + F.lit(1.0 - float(alpha)) * (F.col("__tf") / F.lit(float(total)))
+    )
+    scored = (
+        pairs.join(bf, ["w1", "w2"])
+        .join(cf, "w1")
+        .join(F.broadcast(tf.withColumnRenamed("term", "w2")), "w2")
+        .select("doc_id", F.log10(p).alias("__lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mean_logprob",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

@@ -709,6 +709,51 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (textstats.bigram_logprob,
+    Jelinek-Mercer α=0.4) — the next rung of the CCNet perplexity
+    ladder above doc_unigram_logprob; the oracle rebuilds both count
+    tables and the interpolation term-for-term."""
+    return textstats.bigram_logprob(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+BIGRAM_LOGPROB_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+f AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM t),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+bf AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2),
+cf AS (SELECT w1, COUNT(*) AS cf FROM bg GROUP BY w1),
+sc AS (
+  SELECT bg.doc_id,
+         log10(CAST(0.4 AS DOUBLE)
+                 * (CAST(bf.bf AS DOUBLE) / CAST(cf.cf AS DOUBLE))
+               + (1.0 - CAST(0.4 AS DOUBLE))
+                 * (f.tf / (SELECT total * 1.0 FROM n))) AS lp
+  FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1) JOIN f ON f.term = bg.w2
+),
+agg AS (
+  SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob, COUNT(*) AS n_bigrams
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, a.mean_logprob, COALESCE(a.n_bigrams, 0) AS n_bigrams
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for the query {join, window, scan} — retrieval over
     the corpus as pure relational algebra."""
@@ -2285,6 +2330,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_ORACLE),
     "doc_snapshot_diff": (doc_snapshot_diff, SNAPSHOT_DIFF_ORACLE),
+    "doc_bigram_logprob": (doc_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),

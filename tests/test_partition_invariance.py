@@ -50,6 +50,7 @@ _FLOAT_GATES = [
     ("star_queries", "events_type_pagerank"),
     ("star_queries", "events_hll_users"),
     ("doc_queries", "doc_model_scores"),
+    ("doc_queries", "doc_bigram_logprob"),
 ]
 
 

@@ -1045,3 +1045,35 @@ def test_signature_store_compact_preserves_results(spark, tmp_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bigram_logprob_semantics(spark):
+    """Interpolated bigram LM: hand-checkable corpus — repeated
+    bigrams score high, a doc of unseen transitions scores lower, and
+    sub-2-token docs emit (NULL, 0)."""
+    import math
+
+    from hypermap_etl_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # the dominant transition pattern
+            (2, "b a b a"),
+            (3, "a x"),             # 'a x' transition seen once
+            (4, "solo"),            # 1 token: no bigram positions
+            (5, ""),                # 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["mean_logprob"], r["n_bigrams"])
+           for r in bigram_logprob(docs, alpha=0.4).collect()}
+    assert got[4] == (None, 0) and got[5] == (None, 0)
+    assert got[1][1] == 5 and got[2][1] == 3 and got[3][1] == 1
+    # independent hand computation for doc 3's single bigram (a, x):
+    # bigrams total: ab×3, ba×2(doc1) + ba×2, ab×1(doc2) + ax×1 = 9
+    # cf(a) = count of bigrams starting with a = 3+1+1 = 5
+    # bf(a,x) = 1; tf(x) = 1; total tokens = 6+4+2+1 = 13
+    p = 0.4 * (1 / 5) + (1 - 0.4) * (1 / 13)
+    assert got[3][0] == round(math.log10(p), 6)
+    # the dominant-pattern doc must outscore the rare transition
+    assert got[1][0] > got[3][0]
