@@ -334,3 +334,34 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def windowed_distinct_users(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-window approximate distinct users — the streaming face of
+    the sketch.hll_* rollup: approx_count_distinct is HLL++-backed and
+    MERGEABLE, so the state store holds one sketch per open window (a
+    few KB), not the user set, and late rows inside the watermark fold
+    into the same sketch. An exact countDistinct would either hold
+    every user id in state or need a two-level aggregation per
+    window — the memory/accuracy trade a 100 TB stream makes is
+    exactly this sketch."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.approx_count_distinct(user_col).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "approx_users",
+            "n_events",
+        )
+    )

@@ -199,3 +199,46 @@ def test_streaming_keyed_dedup_exact_across_batches(spark):
     q.awaitTermination(240)
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_windowed_distinct_users_sketch_state(spark, tmp_path):
+    """HLL++-backed per-window distinct users: sketch-sized streaming
+    state, exact at small cardinalities, dup user ids inside a window
+    collapse."""
+    from hypermap_etl_spark.streaming.scan import windowed_distinct_users
+
+    src = str(tmp_path / "ev")
+    # two closed 10-min windows: 00:00-00:10 (users 0..9, each twice)
+    # and 00:10-00:20 (users 0..4); a late 00:59 row keeps the
+    # watermark open past both
+    rows = (
+        [(i, f"2024-01-01 00:0{i % 10}:00", i % 10) for i in range(20)]
+        + [(100 + i, f"2024-01-01 00:1{i}:00", i) for i in range(5)]
+        + [(999, "2024-01-01 00:59:00", 7)]
+    )
+    spark.createDataFrame(
+        rows, "event_id long, ts_str string, user_id long"
+    ).select(
+        "event_id", F.to_timestamp("ts_str").alias("ts"), "user_id"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(src)
+    agg = windowed_distinct_users(stream, window="10 minutes", watermark="5 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {
+        r["window_start"].minute: (r["approx_users"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # HLL++ rsd default 5%: exact at these cardinalities
+    assert res[0] == (10, 20) and res[10] == (5, 5)
