@@ -26,25 +26,26 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # emb_quantize), then the eleven gates NEW in r5 (LSH/IVF recall + PCA
 # certificate derived-property gates, char-grain ExactSubstr spans +
 # surgery, the distributed suffix array + LCP, BPE first-merge), the
-# thirteen r5-continuation gates (Unicode normalization, C4 line cleaning,
+# fourteen r5-continuation gates (Unicode normalization, C4 line cleaning,
 # embedding decontamination, incremental signature-store dedup,
 # packing-fill report, persisted-IVF-index recall, strict packing,
 # feature-hashing embeddings, DataSketches HLL distinct rollup,
 # transition-graph PageRank, trained-quality-filter scoring,
-# snapshot diff, interpolated bigram LM), then
+# snapshot diff, interpolated bigram LM, PQ-ANN recall), then
 # the six gates never yet in any driver window; then the 17 gates whose
-# only green row is the r2 artifact (oldest evidence); the remaining
-# slots re-certify r3-green gates, preferring families whose shared
-# infrastructure (windows, sketches, pagination utils, join strategies)
-# was touched in r4/r5. Gates left outside are all r4-green
-# (CORRECTNESS_r04.json) plus the r3/r4-green remainder (including the
-# nine re-cert slots the continuation gates displaced: events_asof_join,
+# only green row is the r2 artifact (oldest evidence). Gates left
+# outside are all r4-green (CORRECTNESS_r04.json) plus the r3/r4-green
+# remainder (including the
+# fourteen re-cert slots the continuation gates displaced: events_asof_join,
 # events_interval_counts, events_salted_counts, events_kmv_users,
 # top3_customers_per_segment, events_tumbling_window, orders_cube,
 # orders_rollup, q19_disjunctive_revenue, q14_promo_share,
-# q9_product_profit, q8_market_share, q6_revenue_delta — all r3-green,
-# operators untouched) — every registered gate has a green driver row
-# in some round once this window lands.
+# q9_product_profit, q8_market_share, q6_revenue_delta,
+# q4_order_priority — all r3-green, operators untouched; the
+# continuation gates consumed every re-cert slot, which is the right
+# trade: a first-time row beats re-certifying an already-green gate —
+# every registered gate has a green driver row in some round once
+# this window lands.
 _WINDOW: list[str] = [
     # r4-red, flattened this round — need green rows (VERDICT task 1)
     "emb_label_centroids",
@@ -78,6 +79,7 @@ _WINDOW: list[str] = [
     "doc_model_scores",
     "doc_snapshot_diff",
     "doc_bigram_logprob",
+    "emb_pq_recall",
     # never driver-checked in any round
     "doc_dsir_weights",
     "doc_top_bigrams",
@@ -103,8 +105,6 @@ _WINDOW: list[str] = [
     "emb_ann_topk",
     "emb_neardup",
     "emb_knn_label",
-    # r3-green re-certification
-    "q4_order_priority",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
