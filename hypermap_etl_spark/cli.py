@@ -377,13 +377,19 @@ def cmd_embed(args) -> None:
 
 
 def cmd_ann(args) -> None:
-    """Persisted-IVF ANN: `--build` writes the index (centroids +
-    partition-pruned inverted lists) from an embeddings parquet;
-    otherwise searches the index with a query embeddings parquet and
-    writes (query_id, neighbor_id, sim, rank)."""
+    """Persisted ANN: `--build` writes the index from an embeddings
+    parquet — IVF (centroids + partition-pruned inverted lists) by
+    default, or `--pq` for the product-quantized index (codebooks +
+    128×-compressed codes, no raw vectors); otherwise searches the
+    index with a query embeddings parquet and writes
+    (query_id, neighbor_id, sim, rank). PQ search refines exactly when
+    `--rescore-with` names a raw-vector parquet, else returns the ADC
+    ranking."""
     from hypermap_etl_spark.operators.similarity import (
         ivf_index_search,
         ivf_index_write,
+        pq_index_search,
+        pq_index_write,
     )
 
     if args.build and not args.embeddings:
@@ -393,6 +399,19 @@ def cmd_ann(args) -> None:
     spark = _spark(args)
     if args.build:
         emb = spark.read.parquet(args.embeddings)
+        if args.pq:
+            pq_index_write(
+                emb, args.index, m=args.pq_m, k_codes=args.pq_codes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            print(json.dumps({
+                "built": args.index, "pq": True,
+                "subspaces": args.pq_m, "codes": args.pq_codes,
+                "vectors": spark.read.parquet(
+                    f"{args.index}/codes.parquet"
+                ).count(),
+            }))
+            return
         ivf_index_write(
             emb, args.index, n_centroids=args.centroids,
             vec_col=args.vec_col, id_col=args.id_col,
@@ -408,15 +427,26 @@ def cmd_ann(args) -> None:
         }))
         return
     queries = spark.read.parquet(args.queries)
-    out = ivf_index_search(
-        spark, args.index, queries, k=args.k, n_probe=args.probe,
-        vec_col=args.vec_col, id_col=args.id_col,
-    )
+    if args.pq:
+        rescore = (
+            spark.read.parquet(args.rescore_with)
+            if args.rescore_with
+            else None
+        )
+        out = pq_index_search(
+            spark, args.index, queries, k=args.k,
+            rescore_with=rescore, vec_col=args.vec_col, id_col=args.id_col,
+        )
+    else:
+        out = ivf_index_search(
+            spark, args.index, queries, k=args.k, n_probe=args.probe,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({
         "queries": queries.count(),
         "results": spark.read.parquet(args.out).count(),
-        "k": args.k, "probe": args.probe,
+        "k": args.k, "probe": args.probe, "pq": bool(args.pq),
     }))
 
 
@@ -785,6 +815,12 @@ def main(argv=None) -> None:
     p.add_argument("--centroids", type=int, default=8)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--probe", type=int, default=2)
+    p.add_argument("--pq", action="store_true",
+                   help="product-quantized index (128x-compressed codes)")
+    p.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
+    p.add_argument("--pq-codes", type=int, default=16, help="codes per subspace")
+    p.add_argument("--rescore-with", default=None,
+                   help="raw-vector parquet for exact PQ refinement")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p = sub.add_parser("decontam", help="benchmark decontamination report")

@@ -821,6 +821,125 @@ def pq_encode(
     return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
+def _pq_reconstruct(books: list[list[list[float]]], codes_col: str = "codes"):
+    """Column: the PQ reconstruction of a codes array — per subspace a
+    literal codebook lookup (element_at), concatenated. All JVM."""
+    parts = [
+        F.element_at(
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
+            F.col(codes_col).getItem(j) + 1,
+        )
+        for j, book in enumerate(books)
+    ]
+    return F.flatten(F.array(*parts))
+
+
+def pq_index_write(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and PERSIST the PQ index — the compressed sibling of
+    :func:`ivf_index_write`: pay the fit + encode pass once, serve
+    every later query batch from the standing codes.
+
+    Layout:
+      path/codebooks.parquet   (j, code, cent) — model-sized
+      path/codes.parquet       (neighbor_id, codes array<int>) — the
+                               corpus at m·log2(k_codes) bits/vector
+
+    No raw vectors are stored — that is the point: the serving-side
+    footprint is 128× smaller (m=8, k=16, 64-d float64). Exact
+    refinement, when wanted, joins back to wherever the raw vectors
+    already live (`rescore_with` in :func:`pq_index_search`), instead
+    of duplicating them into the index.
+    """
+    books = pq_fit(emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
+        "j int, code int, cent array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    pq_encode(emb, books, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).write.mode("overwrite").parquet(f"{path}/codes.parquet")
+
+
+def pq_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 128,
+    rescore_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search the persisted PQ index with a batch of EXACT query
+    vectors: asymmetric-distance scan of queries against codebook
+    reconstructions. With ``rescore_with`` (a raw-vector frame — the
+    FAISS refine pattern) the top ``candidates`` per query are
+    re-scored exactly and the exact-k ranking returned — bit-identical
+    to the in-memory :func:`pq_topk` given the same corpus (pinned by
+    test); without it, the ADC ranking itself is returned (the
+    memory-bound serving mode — lower recall, zero raw-vector
+    storage).
+
+    Queries broadcast (a query batch is small); the codes scan is the
+    only corpus-sized input, at 128× compression.
+    """
+    brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
+    by_j: dict = {}
+    for r in brows:
+        by_j.setdefault(r["j"], {})[r["code"]] = [float(x) for x in r["cent"]]
+    books = [
+        [by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)
+    ]
+    recon = (
+        spark.read.parquet(f"{path}/codes.parquet")
+        .select("neighbor_id", _pq_reconstruct(books).alias("cv"))
+        .withColumn(
+            "cn",
+            F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _vd(vec_col).alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    coarse = (
+        F.broadcast(q)
+        .join(recon, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    if rescore_with is None:
+        return _rank_topk(coarse, k)
+    cand = _rank_topk(coarse, candidates).select("query_id", "neighbor_id")
+    nemb = with_norm(fan_out(rescore_with), vec_col)
+    cv = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vd(vec_col).alias("cv2"),
+        F.col("__norm").alias("cn2"),
+    )
+    exact_sim = F.round(
+        cosine(F.col("qv"), F.col("cv2"), F.col("qn"), F.col("cn2")), 6
+    ).alias("sim")
+    rescored = (
+        cand.join(q, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim)
+    )
+    return _rank_topk(rescored, k)
+
+
 def pq_topk(
     emb: DataFrame,
     k: int = 5,
@@ -855,19 +974,10 @@ def pq_topk(
             "every query against the corpus"
         )
     books = pq_fit(emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
-    sub = len(books[0][0])
     codes = pq_encode(emb, books, vec_col=vec_col, id_col=id_col)
-    # reconstruction: codebook lookup per subspace, concatenated
-    parts = [
-        F.element_at(
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]]),
-            F.col("codes").getItem(j) + 1,
-        )
-        for j in range(m)
-    ]
     recon = codes.select(
         F.col(id_col).alias("neighbor_id"),
-        F.flatten(F.array(*parts)).alias("cv"),
+        _pq_reconstruct(books).alias("cv"),
     ).withColumn(
         "cn",
         F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)),

@@ -1136,3 +1136,36 @@ def test_pq_topk_recall_on_fixture(spark):
     assert r["recall"] >= 0.85
     with _pytest.raises(ValueError):
         similarity.pq_topk(emb, k=5)
+
+
+def test_pq_index_search_matches_in_memory_operator(spark, tmp_path):
+    """Persisted PQ index: search with exact refine must be
+    bit-identical to the in-memory pq_topk over the same corpus
+    (shared fit/encode/reconstruct construction); ADC-only mode
+    (no rescore_with) still ranks and returns k rows per query."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators import similarity
+    from hypermap_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    similarity.pq_index_write(emb, path)
+    qf = F.col("vec_id") % 20 == 0
+    queries = emb.filter(qf)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in similarity.pq_index_search(
+            spark, path, queries, k=5, rescore_with=emb
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in similarity.pq_topk(emb, k=5, query_filter=qf).collect()
+    )
+    assert got == want and len(got) > 0
+    adc = similarity.pq_index_search(spark, path, queries, k=5).collect()
+    per_q = {}
+    for r in adc:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
