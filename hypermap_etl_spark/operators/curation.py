@@ -483,3 +483,71 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_lines_kept"),
         page_ok.alias("page_kept"),
     )
+
+
+# ------------------------------------------------------- HTML extraction ----
+
+# Entity decode order is the standard one: named/numeric entities
+# first, '&amp;' LAST — otherwise '&amp;lt;' would double-decode to
+# '<'. Each pair is a literal replace (JVM StringReplace, codegen).
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# Block-level boundaries that become line breaks when the tag soup is
+# stripped — so 'one</p><p>two' reads 'one\ntwo', not 'one two' glued
+# to whatever headline preceded it.
+_HTML_BLOCK_RE = r"(?i)<(?:br|hr|/p|/div|/li|/ul|/ol|/h[1-6]|/tr|/table|/blockquote|/pre)[^>]*>"
+
+
+def html_to_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "extracted_text",
+) -> DataFrame:
+    """Tag-soup → visible text: the extraction stage between a raw
+    crawl (WARC/HTML) and every text filter in this module — C4 and
+    CCNet both start from exactly this step (Raffel et al. 2020 §2.2
+    runs its line filters on extracted text, not markup).
+
+    Pipeline, in order, each a whole-stage-codegen JVM expression:
+      1. drop <!-- comments -->, <script>…</script>, <style>…</style>
+         (including their CONTENT — script/style text is never prose);
+      2. block-level closing tags and <br>/<hr> become newlines, so
+         paragraph structure survives for line-grain filters (c4_clean
+         consumes the output directly);
+      3. every remaining tag is stripped to a space (inline tags like
+         <b> must not weld words together);
+      4. the six ubiquitous HTML entities decode ('&amp;' last, the
+         standard order that prevents double-decoding);
+      5. whitespace canonicalization: runs containing a newline
+         collapse to one '\\n', residual space/tab runs to one ' ',
+         leading/trailing whitespace trimmed.
+
+    Regex subset is deliberately RE2-safe (non-greedy + inline (?is)
+    flags, no backreferences or lookaround) so the DuckDB oracle can
+    replay the chain verbatim. Not a browser: CDATA, conditional
+    comments, and malformed nesting degrade to stripped text rather
+    than erroring — skip-don't-fail, the reference's decode posture
+    (/root/reference/src/lib/services/events.ts:130-140).
+
+    Scale shape: scan → project, no shuffle, no Python; at 100 TB the
+    extraction cost is the scan itself.
+    """
+    t: Column = F.col(text_col)
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, _HTML_BLOCK_RE, "\n")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r]*\n[\s]*", "\n")
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    return docs.select("doc_id", t.alias(out_col))

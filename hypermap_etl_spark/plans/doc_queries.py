@@ -1913,6 +1913,68 @@ FROM prefixed ORDER BY doc_id
 
 
 @plan_cache
+def doc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-soup extraction (curation.html_to_text): the fixture corpus
+    is plain text, so the gate wraps every document in a synthetic HTML
+    page exercising each rule — style/script content drop, comment
+    drop, block tags → newlines, inline-tag stripping (the <b> must not
+    weld words), entity decode in the no-double-decode order, and
+    whitespace canonicalization. The oracle replays the identical
+    RE2-safe regexp chain in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    paged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p{x:1}</style>"
+                "<script>if(a<b){c();}</script></head>"
+                "<body><h1>Heading</h1><!-- hidden -->\n<p>"
+            ),
+            F.col("text"),
+            F.lit(" &amp; more&nbsp;here</p><div><B>bold</B>"),
+            F.col("text"),
+            F.lit("</div><br>it&#39;s &quot;done&quot; &lt;ok&gt;.</body></html>"),
+        ).alias("text"),
+    )
+    return curation.html_to_text(paged).orderBy("doc_id")
+
+
+HTML_TEXT_ORACLE = r"""
+WITH paged AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{x:1}</style>'
+         || '<script>if(a<b){c();}</script></head>'
+         || '<body><h1>Heading</h1><!-- hidden -->' || chr(10) || '<p>'
+         || text || ' &amp; more&nbsp;here</p><div><B>bold</B>'
+         || text
+         || '</div><br>it&#39;s &quot;done&quot; &lt;ok&gt;.</body></html>'
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+ regexp_replace(regexp_replace(regexp_replace(
+   replace(replace(replace(replace(replace(replace(
+     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       t,
+       '(?s)<!--.*?-->', '', 'g'),
+       '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       '(?i)<(?:br|hr|/p|/div|/li|/ul|/ol|/h[1-6]|/tr|/table|/blockquote|/pre)[^>]*>',
+       chr(10), 'g'),
+       '<[^>]*>', ' ', 'g'),
+     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+     '&#39;', chr(39)), '&amp;', '&'),
+   '[ ' || chr(9) || chr(13) || ']*' || chr(10) || '[\s]*', chr(10), 'g'),
+   '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+   '^\s+|\s+$', '', 'g') AS extracted_text
+FROM paged ORDER BY doc_id
+"""
+
+
+@plan_cache
 def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-grain page cleaning (curation.c4_clean, Raffel et al.
     2020 §2.2). The fixture corpus is single-line, so the gate builds a
@@ -2359,6 +2421,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
+    "doc_html_text": (doc_html_text, HTML_TEXT_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
     "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),
     "doc_incremental_pairs": (doc_incremental_pairs, INCREMENTAL_PAIRS_ORACLE),

@@ -406,3 +406,63 @@ def test_normalize_text_random_unicode_property(spark):
     }
     for i, t in rows:
         assert got[i] == ref(t), (i, repr(t), repr(got[i]), repr(ref(t)))
+
+
+# ------------------------------------------------------ html_to_text ----
+
+def test_html_to_text_strips_markup_and_decodes_entities(spark):
+    docs = _docs(
+        spark,
+        [
+            (
+                1,
+                '<html><head><style>p{c:red}</style>'
+                "<script>if(a<b){x();}</script></head>"
+                "<body><h1>Title</h1><!-- hidden --><p>alpha &amp; beta"
+                "&nbsp;&lt;tag&gt;</p><div><b>bold</b> text</div>"
+                "<br>it&#39;s &quot;done&quot;</body></html>",
+            ),
+            (2, "no markup"),
+            (3, "<P>UPPER</P><SCRIPT>never()</SCRIPT>tail."),
+            (4, ""),
+            (5, None),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["extracted_text"]
+        for r in curation.html_to_text(docs).collect()
+    }
+    # style/script/comment content gone; blocks break lines; inline
+    # tags become spaces (no word welding); entities decode once
+    assert out[1] == 'Title\nalpha & beta <tag>\nbold text\nit\'s "done"'
+    assert out[2] == "no markup"
+    assert out[3] == "UPPER\ntail."  # tags are case-insensitive
+    assert out[4] == ""
+    assert out[5] is None
+
+
+def test_html_to_text_no_double_decode_and_degradation(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a &amp;lt; b"),            # must yield '&lt;', not '<'
+            (2, "<p>one</p><p>two</p>"),
+            (3, "broken <tag never closes"),  # malformed: degrade, don't fail
+            (4, "x<br/>y<BR>z"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["extracted_text"]
+        for r in curation.html_to_text(docs).collect()
+    }
+    assert out[1] == "a &lt; b"
+    assert out[2] == "one\ntwo"
+    assert out[3] == "broken <tag never closes"
+    assert out[4] == "x\ny\nz"
+
+
+def test_html_to_text_plan_is_scan_project_only(spark):
+    docs = _docs(spark, [(1, "<p>a</p>")])
+    plan = curation.html_to_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF stage — pure JVM expressions
