@@ -551,3 +551,70 @@ def html_to_text(
     t = F.regexp_replace(t, r"[ \t\r]+", " ")
     t = F.regexp_replace(t, r"^\s+|\s+$", "")
     return docs.select("doc_id", t.alias(out_col))
+
+
+# -------------------------------------------------- quality bucketing ----
+
+def quality_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "mean_logprob",
+    group_cols: tuple[str, ...] = ("lang",),
+    method: str = "ntile",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3.3): rank
+    every document within its group (language, source, ...) by a
+    quality score — higher is better, e.g. :func:`textstats.
+    bigram_logprob`'s mean_logprob — and assign quantile buckets
+    1 (head) .. n (tail). The bucket label then drives sampling policy
+    (train on head+middle, down-weight tail) without re-scoring.
+
+    Output: input columns + ``bucket``. NULL scores (unscorable docs)
+    land in the tail bucket. Ordering is (score DESC, doc_id ASC), so
+    buckets are deterministic under ties.
+
+    Two physical strategies:
+      - ``method='ntile'`` — exact SQL NTILE per group. One shuffle on
+        the group key, a per-group sort. Exact, but a group is sorted
+        as a unit: right when groups are languages/sources (hundreds),
+        wrong when one group is most of the corpus.
+      - ``method='threshold'`` — per-group exact percentile cut points
+        (a model-sized frame: groups × (n-1) doubles) broadcast back,
+        bucket assigned map-side by comparing against the cuts. No
+        per-group sort of the corpus — the 100 TB path. Differs from
+        NTILE only at exact-tie/boundary rows (NTILE splits equal
+        scores across a boundary by row position; thresholds cannot).
+    """
+    if n_buckets < 2:
+        raise ValueError("quality_buckets: need n_buckets >= 2")
+    if method not in ("ntile", "threshold"):
+        raise ValueError(f"quality_buckets: unknown method {method!r}")
+    gcols = list(group_cols)
+    s = F.col(score_col)
+    if method == "ntile":
+        w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+            s.desc_nulls_last(), F.col("doc_id").asc()
+        )
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    # threshold: cuts at the (1 - k/n) quantiles, k = 1..n-1 (score
+    # DESC, so the top 1/n of scores sit above cut 1). Exact
+    # interpolated percentile over the group — one hash aggregate whose
+    # output is groups x (n-1) doubles.
+    fracs = [1.0 - k / n_buckets for k in range(1, n_buckets)]
+    cuts = scored.filter(s.isNotNull()).groupBy(*gcols).agg(
+        F.percentile(s, F.array([F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    joined = (
+        scored.join(F.broadcast(cuts), gcols, "left")
+        if gcols
+        else scored.crossJoin(F.broadcast(cuts))
+    )
+    bucket = F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(n_buckets)).otherwise(
+        F.lit(1)
+        + F.aggregate(
+            "__cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(s < c, 1).otherwise(0),
+        )
+    )
+    return joined.withColumn("bucket", bucket.cast("int")).drop("__cuts")

@@ -754,6 +754,63 @@ ORDER BY doc_id
 """
 
 
+@plan_cache
+def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (curation.quality_buckets over
+    textstats.bigram_logprob): per-language NTILE(3) on the bigram-LM
+    quality score, (score DESC, doc_id) ordering — the bucket label
+    that drives CCNet's sampling policy. The oracle rebuilds the LM
+    term-for-term and applies the same NTILE."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        textstats.bigram_logprob(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "mean_logprob")
+    )
+    return curation.quality_buckets(
+        scored, n_buckets=3, group_cols=("lang",)
+    ).orderBy("doc_id")
+
+
+PPL_BUCKETS_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+f AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM t),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+bf AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2),
+cf AS (SELECT w1, COUNT(*) AS cf FROM bg GROUP BY w1),
+sc AS (
+  SELECT bg.doc_id,
+         log10(CAST(0.4 AS DOUBLE)
+                 * (CAST(bf.bf AS DOUBLE) / CAST(cf.cf AS DOUBLE))
+               + (1.0 - CAST(0.4 AS DOUBLE))
+                 * (f.tf / (SELECT total * 1.0 FROM n))) AS lp
+  FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1) JOIN f ON f.term = bg.w2
+),
+agg AS (
+  SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob FROM sc GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, a.mean_logprob
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, lang, mean_logprob,
+       CAST(NTILE(3) OVER (PARTITION BY lang
+            ORDER BY mean_logprob DESC NULLS LAST, doc_id) AS INTEGER) AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for the query {join, window, scan} — retrieval over
     the corpus as pure relational algebra."""
@@ -2417,6 +2474,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_ORACLE),
     "doc_snapshot_diff": (doc_snapshot_diff, SNAPSHOT_DIFF_ORACLE),
     "doc_bigram_logprob": (doc_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
+    "doc_ppl_buckets": (doc_ppl_buckets, PPL_BUCKETS_ORACLE),
     "emb_pq_recall": (emb_pq_recall, PQ_RECALL_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),

@@ -466,3 +466,68 @@ def test_html_to_text_plan_is_scan_project_only(spark):
     plan = curation.html_to_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF stage — pure JVM expressions
+
+
+# ---------------------------------------------------- quality_buckets ----
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, mean_logprob double")
+
+
+def test_quality_buckets_ntile_head_middle_tail(spark):
+    rows = [(i, "en", float(-i)) for i in range(9)]  # doc 0 best ... 8 worst
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in curation.quality_buckets(_scored(spark, rows)).collect()
+    }
+    assert [out[i] for i in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_quality_buckets_null_scores_land_in_tail(spark):
+    rows = [(1, "en", -1.0), (2, "en", -2.0), (3, "en", None)]
+    for method in ("ntile", "threshold"):
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in curation.quality_buckets(
+                _scored(spark, rows), method=method
+            ).collect()
+        }
+        assert out[3] == 3, (method, out)
+        assert out[1] <= out[2], (method, out)
+
+
+def test_quality_buckets_threshold_matches_ntile_on_unique_scores(spark):
+    # two groups, sizes divisible by n, all scores distinct — the two
+    # strategies must agree exactly away from tie/boundary effects
+    rows = [(i, "en", float(-i) * 1.7) for i in range(12)] + [
+        (100 + i, "de", 5.0 - 0.3 * i) for i in range(9)
+    ]
+    nt = {
+        r["doc_id"]: r["bucket"]
+        for r in curation.quality_buckets(_scored(spark, rows)).collect()
+    }
+    th = {
+        r["doc_id"]: r["bucket"]
+        for r in curation.quality_buckets(
+            _scored(spark, rows), method="threshold"
+        ).collect()
+    }
+    assert nt == th
+
+
+def test_quality_buckets_threshold_plan_is_broadcast_no_corpus_sort(spark):
+    rows = [(i, "en", float(i)) for i in range(30)]
+    df = curation.quality_buckets(_scored(spark, rows), method="threshold")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan  # no per-group corpus sort on the scale path
+
+
+def test_quality_buckets_rejects_bad_args(spark):
+    import pytest
+
+    df = _scored(spark, [(1, "en", 0.0)])
+    with pytest.raises(ValueError):
+        curation.quality_buckets(df, n_buckets=1)
+    with pytest.raises(ValueError):
+        curation.quality_buckets(df, method="nope")
