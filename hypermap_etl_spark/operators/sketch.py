@@ -388,3 +388,80 @@ def hll_estimate(sketches: DataFrame) -> DataFrame:
     a sketch table; keeps the binary sketch column so the row remains
     mergeable downstream."""
     return sketches.withColumn("est_distinct", F.hll_sketch_estimate("hll"))
+
+
+# ------------------------------------------------ Misra-Gries top items ----
+
+def _mg_compress(counters: dict, k: int) -> dict:
+    """Reduce a counter dict to ≤ k entries: subtract the (k+1)-th
+    largest count from everything, drop non-positives — the mergeable-
+    summaries reduction (Agarwal et al. 2012, Thm 1): each reduction's
+    total decrement is what keeps the global undercount ≤ n/(k+1)."""
+    if len(counters) <= k:
+        return counters
+    off = sorted(counters.values(), reverse=True)[k]
+    return {v: c - off for v, c in counters.items() if c > off}
+
+
+def mg_summaries(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k (item, cnt) rows per
+    input partition. Arrow-batched — each batch contributes its exact
+    pandas value_counts (an error-free summary), merged into the
+    partition's running ≤ k counters; never a per-row Python loop.
+    NULL items are ignored (COUNT semantics)."""
+    vals = df.select(F.col(value_col).cast("string").alias("item"))
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].dropna().value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            counters = _mg_compress(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    return vals.mapInPandas(gen, "item string, cnt long")
+
+
+def mg_topk(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
+    """Mergeable frequent-items sketch (Misra-Gries 1982 / "mergeable
+    summaries", Agarwal et al. 2012): find every item occurring more
+    than n/(k+1) times — in bounded memory, REGARDLESS of how many
+    distinct items the stream holds. The exact groupBy is preferable
+    when the item dictionary fits a shuffle; this is the operator for
+    the other case (URLs/user-ids at crawl scale), and the per-day
+    summary is storable and foldable without rescanning history.
+
+    Output: ≤ k (item, est_count) rows. est_count is a LOWER bound
+    with true_count - n/(k+1) ≤ est_count ≤ true_count after any merge
+    tree — so every true heavy hitter (> n/(k+1)) is guaranteed
+    present. est_count itself depends on the partition/merge layout
+    (only the BOUND is layout-invariant), which is why the driver gate
+    certifies the derived containment/error property, never raw
+    estimates.
+
+    Scale shape: one Arrow map pass emitting ≤ k rows per partition,
+    one hash aggregate over the ≤ k·P-row summary union, and a
+    driver-side reduction of ≤ k·P counters (model-sized, the
+    centroid-pull pattern) re-broadcast as a literal filter.
+    """
+    if k < 1:
+        raise ValueError("mg_topk: need k >= 1")
+    merged = (
+        mg_summaries(df, value_col, k)
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # final reduction to ≤ k counters: the summed frame is ≤ k·P rows;
+    # pull the top k+1 only (TakeOrdered) to learn the offset.
+    top = merged.orderBy(F.col("cnt").desc(), "item").take(k + 1)
+    if len(top) <= k:
+        return merged.select("item", F.col("cnt").alias("est_count"))
+    off = top[k]["cnt"]
+    return merged.filter(F.col("cnt") > off).select(
+        "item", (F.col("cnt") - F.lit(off)).alias("est_count")
+    )

@@ -1189,6 +1189,62 @@ ORDER BY status, priority
 """
 
 
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent items (sketch.mg_topk, k=16) over a
+    deliberately skewed stream: half the events map to 'heavy', 1/14th
+    to 'warm', the rest to their (high-cardinality) user id — so the
+    sketch must compress, and the two true heavy hitters (> n/17) must
+    survive it. est_count depends on the merge layout, so the gate
+    certifies the layout-invariant DERIVED property (the emb_lsh_recall
+    pattern): every true hitter is present with
+    true - n/(k+1) ≤ est ≤ true; the oracle computes the true hitters
+    exactly and asserts the booleans as literals."""
+    from hypermap_etl_spark.operators.sketch import mg_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("heavy"))
+        .when(F.col("event_id") % 7 == 1, F.lit("warm"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("item")
+    )
+    k = 16
+    n = stream.count()
+    thr = n / float(k + 1)
+    sk = mg_topk(stream, "item", k=k)
+    exact = stream.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        exact.filter(F.col("true_cnt") > thr)
+        .join(sk, "item", "left")
+        .select(
+            "item",
+            "true_cnt",
+            F.col("est_count").isNotNull().alias("found"),
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") <= F.col("true_cnt"))
+                & (F.col("est_count") >= F.col("true_cnt") - F.lit(thr))
+            ).alias("within_bound"),
+        )
+        .orderBy("item")
+    )
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'heavy'
+              WHEN event_id % 7 = 1 THEN 'warm'
+              ELSE CAST(user_id AS VARCHAR) END AS item
+  FROM events
+),
+n AS (SELECT COUNT(*) AS n FROM s),
+e AS (SELECT item, COUNT(*) AS true_cnt FROM s GROUP BY item)
+SELECT item, true_cnt, TRUE AS found, TRUE AS within_bound
+FROM e WHERE true_cnt > (SELECT n FROM n) / 17.0
+ORDER BY item
+"""
+
+
 def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct users per event_type from the 64 smallest md5 fractions —
@@ -2561,6 +2617,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_interval_counts": (events_interval_counts, INTERVAL_ORACLE),
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
+    "events_heavy_hitters": (events_heavy_hitters, HEAVY_HITTERS_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),

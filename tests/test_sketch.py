@@ -253,3 +253,65 @@ def test_hll_type_stable_across_widening(spark):
     a = hll_estimate(hll_build(ints, "v", ["grp"])).collect()[0]["est_distinct"]
     b = hll_estimate(hll_build(longs, "v", ["grp"])).collect()[0]["est_distinct"]
     assert a == b
+
+
+# --------------------------------------------------- Misra-Gries top-k ----
+
+from hypermap_etl_spark.operators.sketch import mg_summaries, mg_topk
+
+
+def _stream(spark, items, parts=4):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(items)], "i long, item string"
+    ).repartition(parts, "i")
+
+
+def test_mg_topk_exact_when_dictionary_fits(spark):
+    items = ["a"] * 10 + ["b"] * 5 + ["c"] * 2
+    out = {r["item"]: r["est_count"] for r in mg_topk(_stream(spark, items), "item", k=8).collect()}
+    assert out == {"a": 10, "b": 5, "c": 2}  # no compression: exact counts
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_mg_topk_guarantee_any_partition_layout(spark, parts):
+    # skewed stream: 'hot' 40%, 'mid' 12%, 100-item uniform tail
+    items = ["hot"] * 400 + ["mid"] * 120 + [f"u{i % 100}" for i in range(480)]
+    n, k = len(items), 8
+    bound = n / (k + 1)
+    true = {"hot": 400, "mid": 120}
+    out = {
+        r["item"]: r["est_count"]
+        for r in mg_topk(_stream(spark, items, parts), "item", k=k).collect()
+    }
+    assert len(out) <= k
+    for item, t in true.items():
+        if t > bound:  # every true heavy hitter must be present
+            assert item in out, (parts, out)
+        if item in out:  # lower-bound estimate within n/(k+1)
+            assert t - bound <= out[item] <= t, (parts, item, out[item], t)
+    # no tail item can be overestimated above its true count
+    for item, est in out.items():
+        if item.startswith("u"):
+            assert est <= items.count(item)
+
+
+def test_mg_summaries_bounded_per_partition(spark):
+    items = [f"v{i % 50}" for i in range(600)]
+    df = _stream(spark, items, parts=4)
+    per_part = (
+        mg_summaries(df, "item", k=6)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert per_part and all(r["count"] <= 6 for r in per_part)
+
+
+def test_mg_topk_ignores_nulls_and_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "i long, item string"
+    )
+    out = {r["item"]: r["est_count"] for r in mg_topk(df, "item", k=4).collect()}
+    assert out == {"a": 2, "b": 1}
+    with pytest.raises(ValueError):
+        mg_topk(df, "item", k=0)
