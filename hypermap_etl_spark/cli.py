@@ -662,6 +662,7 @@ def cmd_curate(args) -> None:
         span_grain=args.span_grain,
         normalize=args.normalize,
         c4=args.c4_clean,
+        html=args.html,
         strict_packing=args.strict_packing,
         **model_kwargs,
     )
@@ -677,6 +678,42 @@ def cmd_curate(args) -> None:
         documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
         chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
     print(json.dumps(report))
+
+
+def cmd_buckets(args) -> None:
+    """CCNet-style quality bucketing: score every document with the
+    corpus's own bigram LM (textstats.bigram_logprob), then split each
+    language into head/middle/tail quantile buckets
+    (curation.quality_buckets) — the label a sampling policy consumes."""
+    from hypermap_etl_spark.operators.curation import quality_buckets
+    from hypermap_etl_spark.operators.textstats import bigram_logprob
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    scored = bigram_logprob(docs.select("doc_id", "text")).select(
+        "doc_id", "mean_logprob"
+    )
+    if "lang" in docs.columns:
+        scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+        gcols: tuple[str, ...] = ("lang",)
+    else:
+        gcols = ()
+    out = quality_buckets(
+        scored, n_buckets=args.n_buckets, group_cols=gcols, method=args.method
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    counts = {
+        str(r["bucket"]): r["count"]
+        for r in res.groupBy("bucket").count().collect()
+    }
+    print(json.dumps({
+        "docs": res.count(),
+        "n_buckets": args.n_buckets,
+        "method": args.method,
+        "bucket_counts": dict(sorted(counts.items())),
+        "out": args.out,
+    }))
 
 
 def main(argv=None) -> None:
@@ -751,6 +788,9 @@ def main(argv=None) -> None:
     p.add_argument("--c4-clean", action="store_true",
                    help="C4 line-grain page cleaning before the quality "
                         "gate (needs real line structure)")
+    p.add_argument("--html", action="store_true",
+                   help="strip HTML tag soup to visible text first "
+                        "(raw-crawl inputs)")
     p.add_argument("--strict-packing", action="store_true",
                    help="capacity-respecting next-fit packing (no pack "
                         "exceeds the token budget)")
@@ -843,6 +883,15 @@ def main(argv=None) -> None:
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--threshold", type=float, default=None,
                    help="also report how many docs score >= threshold")
+    p = sub.add_parser("buckets",
+                       help="CCNet head/middle/tail quality buckets "
+                            "(bigram-LM score + per-language quantiles)")
+    p.add_argument("--docs", required=True, help="documents parquet to bucket")
+    p.add_argument("--out", required=True, help="buckets output parquet")
+    p.add_argument("--n-buckets", type=int, default=3)
+    p.add_argument("--method", default="ntile", choices=["ntile", "threshold"],
+                   help="exact NTILE vs broadcast-threshold (the no-"
+                        "per-group-sort path for corpus-sized groups)")
     p = sub.add_parser("dsir", help="DSIR importance weights toward a target corpus")
     p.add_argument("--docs", required=True, help="raw documents parquet")
     p.add_argument("--target", required=True, help="target-domain documents parquet")
@@ -876,6 +925,7 @@ def main(argv=None) -> None:
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
+        "buckets": cmd_buckets,
     }[args.cmd](args)
 
 

@@ -378,6 +378,7 @@ def curate_pipeline(
     span_chars: int = 30,
     normalize: bool = False,
     c4: bool = False,
+    html: bool = False,
     strict_packing: bool = False,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
@@ -386,12 +387,16 @@ def curate_pipeline(
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
 
-      [optional C4 line-grain page cleaning] → [optional Unicode
-      normalization] → quality/language filter → [optional trained
-      model filter] → MinHash near-dup dedup (keep cluster reps) →
-      [optional ExactSubstr span surgery] → PII redaction →
-      deterministic split → token chunking → sequence packing →
-      shard assignment.
+      [optional HTML tag-soup extraction] → [optional C4 line-grain
+      page cleaning] → [optional Unicode normalization] →
+      quality/language filter → [optional trained model filter] →
+      MinHash near-dup dedup (keep cluster reps) → [optional
+      ExactSubstr span surgery] → PII redaction → deterministic split
+      → token chunking → sequence packing → shard assignment.
+
+    ``html`` runs curation.html_to_text FIRST — markup must be gone
+    before the C4 line rules (whose newline structure html_to_text
+    produces from block tags) and before any word-grain statistics.
 
     ``model_weights`` (+ ``model_bias``, ``model_threshold``) enables
     the CCNet-style stage-two filter: documents surviving the
@@ -446,10 +451,24 @@ def curate_pipeline(
     — this function adds composition, not new semantics.
     """
     from hypermap_etl_spark.operators import dedup
-    from hypermap_etl_spark.operators.curation import c4_clean, normalize_text, redact_pii
+    from hypermap_etl_spark.operators.curation import (
+        c4_clean,
+        html_to_text,
+        normalize_text,
+        redact_pii,
+    )
     from hypermap_etl_spark.util import fan_out, stage_boundary
 
     n_in = docs.count() if with_report else 0
+    if html:
+        # boundary: the 11-regexp extraction chain over full pages is
+        # the scan-dominant stage — materialize once so the filter AND
+        # its semi-join consumer (and C4, when on) read extracted text,
+        # not re-run the chain
+        docs = stage_boundary(
+            html_to_text(docs, text_col=text_col, out_col=text_col),
+            cut_lineage=True,
+        )
     n_c4_dropped = 0
     if c4:
         # BEFORE normalize: whitespace collapse would erase the line

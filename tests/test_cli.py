@@ -390,3 +390,41 @@ def test_cli_quality_filter(spark, capsys, tmp_path):
     # lowest clean doc is too strict — compare means and the kept set
     assert sum(clean) / len(clean) > sum(spam) / len(spam) + 0.2
     assert min(clean) > max(spam) - 0.3
+
+
+def test_cli_buckets(spark, capsys):
+    base = tempfile.mkdtemp()
+    docs = f"{base}/docs.parquet"
+    rows = [(i, f"w{i % 7} common words here " * (2 + i % 5), "en" if i % 2 else "de")
+            for i in range(24)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string")\
+         .write.parquet(docs)
+
+    main(["buckets", "--docs", docs, "--out", f"{base}/bkt"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 24 and rep["method"] == "ntile"
+    assert sum(rep["bucket_counts"].values()) == 24
+    # per-lang ntile(3): 12 docs per lang → 4 per bucket per lang
+    assert rep["bucket_counts"] == {"1": 8, "2": 8, "3": 8}
+
+    main(["buckets", "--docs", docs, "--out", f"{base}/bkt2",
+          "--method", "threshold", "--n-buckets", "2"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["docs"] == 24 and sum(rep2["bucket_counts"].values()) == 24
+
+
+def test_cli_curate_html(spark, capsys):
+    base = tempfile.mkdtemp()
+    docs = f"{base}/docs.parquet"
+    body = ("the quick brown fox and the lazy dog are in the house "
+            "with a view of the lake and it is a fine day for a walk ") * 5
+    rows = [(i, f"<html><body><p>{body}doc {i}</p><script>x()</script></body>")
+            for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+
+    main(["curate", "--docs", docs, "--out", f"{base}/out", "--html",
+          "--min-words", "5"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 30 and rep["docs_out"] >= 1
+    out = spark.read.parquet(f"{base}/out/documents.parquet")
+    assert out.filter(out.text.contains("<")).count() == 0  # markup gone
