@@ -1125,6 +1125,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (util.salted_join, salt=8): events (the big,
+    potentially hot-keyed side) against customer on user_id, revenue
+    rolled up per market segment. Salting must be invisible in the
+    result — each left row joins exactly its own salt replica — which
+    is what the plain-SQL join oracle verifies; sums are decimal-exact
+    so reducer order cannot wobble the values."""
+    from hypermap_etl_spark.util import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), _dec("value").alias("v")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, ["c_custkey"], salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded sliding frame (ROWS 6 PRECEDING): 7-event moving average
     of value per user — decimal-exact sum over the frame, divided by
@@ -2618,6 +2652,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "events_heavy_hitters": (events_heavy_hitters, HEAVY_HITTERS_ORACLE),
+    "events_salted_join": (events_salted_join, SALTED_JOIN_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),

@@ -242,6 +242,49 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (skewed) side, replicate the
+    other side once per salt value, join on (keys + salt) — one hot key
+    fans out over ``salt`` reducer tasks instead of landing on one.
+
+    The static counterpart of AQE's skew-join splitting, for the cases
+    AQE does not cover: a deterministic plan shape regardless of
+    runtime stats, clusters running with AQE off, and downstream
+    operators that must inherit the (key, salt) distribution. Prefer
+    ``F.broadcast(other)`` when the other side fits in memory — salting
+    only pays when BOTH sides must shuffle; it costs a ``salt``×
+    replication of ``other``'s shuffle volume to debottleneck the big
+    side, so size ``salt`` to the hot key's excess, not to 1000.
+
+    ``how``: 'inner' or 'left' (a left row joins exactly its own salt
+    replica, so multiplicities match the plain join). 'right'/'full'
+    would emit unmatched OTHER-side rows once per replica — rejected.
+    The salt is data-independent (seeded per-partition PRNG, the
+    salted_agg convention): correct for ANY assignment, so layout
+    nondeterminism cannot change the result set.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join: how must be 'inner' or 'left'")
+    if salt < 1:
+        raise ValueError("salted_join: need salt >= 1")
+    if salt == 1:
+        return big.join(other, on, how)
+    sc = "__salt"
+    while sc in big.columns or sc in other.columns:
+        sc += "_"
+    b = big.withColumn(sc, (F.rand(seed=0) * salt).cast("int"))
+    o = other.withColumn(
+        sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(o, [*on, sc], how).drop(sc)
+
+
 # ------------------------------------------------------------- plan cache ----
 
 # (module, qualname, session, sf_dir) → built DataFrame. A DataFrame is

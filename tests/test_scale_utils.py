@@ -182,3 +182,72 @@ def test_persist_scope_releases_only_inner_frames(spark):
     assert outer.count() == 10  # still readable (blocks not freed)
     assert inner_p.storageLevel.useMemory is False  # unpersisted
     util.release_persisted()
+
+
+# --------------------------------------------------------- salted_join ----
+
+def test_salted_join_matches_plain_join(spark):
+    import pytest
+    from hypermap_etl_spark.util import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(300)], "i long, k string"
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(300)], "k string, v int"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(tuple(r) for r in big.join(dim, ["k"], how).collect())
+        salted = sorted(
+            tuple(r) for r in salted_join(big, dim, ["k"], salt=8, how=how).collect()
+        )
+        assert salted == plain, how
+    # salt=1 degenerates to the plain join; bad args rejected
+    assert sorted(
+        tuple(r) for r in salted_join(big, dim, ["k"], salt=1).collect()
+    ) == sorted(tuple(r) for r in big.join(dim, ["k"]).collect())
+    with pytest.raises(ValueError):
+        salted_join(big, dim, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, dim, ["k"], salt=0)
+
+
+def test_salted_join_left_keeps_unmatched_once(spark):
+    from hypermap_etl_spark.util import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "zzz")], "i long, k string")
+    dim = spark.createDataFrame([("a", 10)], "k string, v int")
+    out = sorted(
+        tuple(r) for r in salted_join(big, dim, ["k"], salt=16, how="left").collect()
+    )
+    assert out == [("a", 1, 10), ("zzz", 2, None)]  # NOT 16 copies of the miss
+
+
+def test_salted_join_shuffle_carries_the_salt(spark):
+    from hypermap_etl_spark.util import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.createDataFrame([(i, "hot") for i in range(50)], "i long, k string")
+        dim = spark.createDataFrame([("hot", 1)], "k string, v int")
+        plan = (
+            salted_join(big, dim, ["k"], salt=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the join exchange must hash on (k, __salt): the hot key fans
+        # out over salt reducers instead of one
+        assert "__salt" in plan
+        import re
+        assert re.search(r"hashpartitioning\(k#\d+, __salt#\d+", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_never_shadows_user_salt_column(spark):
+    from hypermap_etl_spark.util import salted_join
+
+    big = spark.createDataFrame([(1, "a", 9)], "i long, k string, __salt int")
+    dim = spark.createDataFrame([("a", 10)], "k string, v int")
+    out = salted_join(big, dim, ["k"], salt=4).collect()
+    assert out[0]["__salt"] == 9  # user column intact
