@@ -87,11 +87,17 @@ _WINDOW: list[str] = [
     "events_user_trend",
     "orders_median_price",
     "parts_price_percentiles",
+    # new in the r5 build session: HTML extraction, CCNet quality
+    # buckets, Misra-Gries heavy hitters, skew-safe salted join —
+    # first-time rows displace four untouched-since-r2 star-join
+    # re-certs (customer_nation_stats, orders_with_big_lineitem,
+    # nations_without_customers, top_orders_denorm — all r2-green,
+    # simplest SQL shapes in the registry)
+    "doc_html_text",
+    "doc_ppl_buckets",
+    "events_heavy_hitters",
+    "events_salted_join",
     # oldest evidence: green only in the r2 artifact
-    "customer_nation_stats",
-    "orders_with_big_lineitem",
-    "nations_without_customers",
-    "top_orders_denorm",
     "parts_size_filter",
     "activity_union",
     "doc_token_stats",
