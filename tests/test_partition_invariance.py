@@ -51,6 +51,13 @@ _FLOAT_GATES = [
     ("star_queries", "events_hll_users"),
     ("doc_queries", "doc_model_scores"),
     ("doc_queries", "doc_bigram_logprob"),
+    # r5 build session: NTILE over the rounded LM score — a last-digit
+    # flip in mean_logprob would reorder the per-lang ranking and move
+    # a bucket boundary; the MG gate's containment/error booleans must
+    # hold under any layout (estimates themselves are layout-dependent
+    # by design — only the bound is pinned)
+    ("doc_queries", "doc_ppl_buckets"),
+    ("star_queries", "events_heavy_hitters"),
 ]
 
 
