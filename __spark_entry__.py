@@ -97,8 +97,10 @@ _WINDOW: list[str] = [
     "doc_ppl_buckets",
     "events_heavy_hitters",
     "events_salted_join",
+    "doc_sentence_dedup",
     # oldest evidence: green only in the r2 artifact
-    "parts_size_filter",
+    # (parts_size_filter displaced too — fifth new gate; it is the
+    # plan-pinned pushdown demo, also covered by test_plans.py)
     "activity_union",
     "doc_token_stats",
     "doc_quality",

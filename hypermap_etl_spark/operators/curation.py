@@ -618,3 +618,89 @@ def quality_buckets(
         )
     )
     return joined.withColumn("bucket", bucket.cast("int")).drop("__cuts")
+
+
+# ------------------------------------------------- sentence-grain C4 ----
+
+# a sentence = a maximal run of non-terminal chars + its terminal
+# punctuation run (or end-of-text for an unterminated tail). RE2-safe:
+# no lookaround, so the DuckDB oracle replays it verbatim.
+_SENTENCE_RE = "[^.!?]+(?:[.!?]+|$)"
+
+
+def split_sentences(text: Column) -> Column:
+    """Sentence array from a text column: regex-extracted terminal-punct
+    runs, trimmed, empties dropped. The cheap rule-based splitter every
+    C4-style pipeline uses — abbreviation-blind by design (a 100 TB
+    filter favors a reproducible rule over a language model)."""
+    return F.filter(
+        # NOTE: an explicit lambda, not bare F.trim — trim's optional
+        # second parameter makes PySpark's HOF arity inspection pass
+        # (element, index), silently turning it into trim-by-chars
+        F.transform(
+            F.regexp_extract_all(text, F.lit(_SENTENCE_RE), F.lit(0)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def sentence_segment_dedup(
+    docs: DataFrame,
+    n_sent: int = 3,
+    stride: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's dedup at its ACTUAL grain (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once") — :func:`segment_dedup` approximates with fixed
+    word windows for corpora without sentence marks; this is the
+    faithful construction for text that has them.
+
+    Windows of ``n_sent`` sentences start every ``stride`` sentences
+    (default ``n_sent`` — non-overlapping tiling; ``stride=1`` is the
+    paper's sliding detection). A window occurring more than once
+    corpus-wide keeps only its first occurrence in (doc_id, seg_idx)
+    order.
+
+    Output: (doc_id, seg_idx, n_sentences, keep).
+
+    Scale shape: identical to segment_dedup — sentences are split
+    map-side ONCE per doc, windows are array slices under one explode,
+    and the only shuffle is keyed by md5(window text) (fixed 32-byte
+    keys). ``stride < n_sent`` multiplies exploded rows by
+    n_sent/stride, nothing else.
+    """
+    if n_sent < 1:
+        raise ValueError("sentence_segment_dedup: need n_sent >= 1")
+    stride = n_sent if stride is None else stride
+    if not 1 <= stride <= n_sent:
+        raise ValueError("sentence_segment_dedup: need 1 <= stride <= n_sent")
+    sents = split_sentences(F.col(text_col))
+    k = F.size(F.col("__sents"))
+    # windows start at 0, stride, 2·stride, … while start < k
+    n_windows = F.ceil(k / F.lit(float(stride))).cast("long")
+    seg = F.slice(
+        F.col("__sents"), F.col("seg_idx").cast("int") * stride + 1, n_sent
+    )
+    segs = (
+        docs.select("doc_id", sents.alias("__sents"))
+        .filter(F.size("__sents") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_windows - 1)
+            ).alias("seg_idx"),
+            F.col("__sents"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.size(seg).cast("long").alias("n_sentences"),
+            F.md5(F.array_join(seg, " ")).alias("__key"),
+        )
+    )
+    w = Window.partitionBy("__key").orderBy("doc_id", "seg_idx")
+    return segs.withColumn("keep", F.row_number().over(w) == 1).select(
+        "doc_id", "seg_idx", "n_sentences", "keep"
+    )

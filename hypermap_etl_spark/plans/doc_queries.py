@@ -1970,6 +1970,62 @@ FROM prefixed ORDER BY doc_id
 
 
 @plan_cache
+def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 dedup at its true grain (curation.sentence_segment_dedup):
+    the fixture corpus has no sentence marks, so the gate appends a
+    period to every 7th word in BOTH engines, then dedups 2-sentence
+    windows corpus-wide (first occurrence in (doc_id, seg_idx) order
+    wins). The oracle replays the same RE2-safe sentence regex, window
+    slicing, and md5-keyed first-occurrence rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    dotted = F.array_join(
+        F.transform(
+            ws,
+            lambda w, i: F.when((i + 1) % 7 == 0, F.concat(w, F.lit("."))).otherwise(w),
+        ),
+        " ",
+    )
+    return curation.sentence_segment_dedup(
+        docs.select("doc_id", dotted.alias("text")), n_sent=2
+    ).orderBy("doc_id", "seg_idx")
+
+
+SENTENCE_DEDUP_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, len(ws) + 1),
+           i -> CASE WHEN i % 7 = 0 THEN ws[i] || '.' ELSE ws[i] END),
+           ' ') AS t
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)'), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM d
+),
+seg AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(sents) / 2.0) AS BIGINT))) AS seg_idx,
+         sents
+  FROM s WHERE len(sents) > 0
+),
+k AS (
+  SELECT doc_id, seg_idx,
+         list_slice(sents, seg_idx * 2 + 1, seg_idx * 2 + 2) AS win
+  FROM seg
+)
+SELECT doc_id, seg_idx, CAST(len(win) AS BIGINT) AS n_sentences,
+       ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(win, ' '))
+                          ORDER BY doc_id, seg_idx) = 1 AS keep
+FROM k ORDER BY doc_id, seg_idx
+"""
+
+
+@plan_cache
 def doc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-soup extraction (curation.html_to_text): the fixture corpus
     is plain text, so the gate wraps every document in a synthetic HTML
@@ -2480,6 +2536,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),
     "doc_normalized": (doc_normalized, NORMALIZED_ORACLE),
     "doc_html_text": (doc_html_text, HTML_TEXT_ORACLE),
+    "doc_sentence_dedup": (doc_sentence_dedup, SENTENCE_DEDUP_ORACLE),
     "doc_c4_clean": (doc_c4_clean, C4_CLEAN_ORACLE),
     "emb_decontam": (emb_decontam, EMB_DECONTAM_ORACLE),
     "doc_incremental_pairs": (doc_incremental_pairs, INCREMENTAL_PAIRS_ORACLE),

@@ -531,3 +531,80 @@ def test_quality_buckets_rejects_bad_args(spark):
         curation.quality_buckets(df, n_buckets=1)
     with pytest.raises(ValueError):
         curation.quality_buckets(df, method="nope")
+
+
+# -------------------------------------------- sentence-grain C4 dedup ----
+
+def test_split_sentences_rules(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark,
+        [
+            (1, "One two. Three four!  Five six? Unterminated tail"),
+            (2, "Multi!!! marks?? ok."),
+            (3, ""),
+            (4, "..."),  # punct-only: no sentence
+            (5, None),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", curation.split_sentences(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1] == ["One two.", "Three four!", "Five six?", "Unterminated tail"]
+    assert out[2] == ["Multi!!!", "marks??", "ok."]
+    assert out[3] == [] and out[4] == [] and out[5] is None
+
+
+def test_sentence_segment_dedup_first_occurrence_wins(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Alpha beta. Gamma delta! Epsilon zeta?"),
+            (2, "Gamma delta! Epsilon zeta? Fresh stuff here."),
+            (3, "Totally new. Nothing shared!"),
+        ],
+    )
+    out = {
+        (r["doc_id"], r["seg_idx"]): (r["n_sentences"], r["keep"])
+        for r in curation.sentence_segment_dedup(docs, n_sent=1).collect()
+    }
+    assert out[(1, 1)] == (1, True) and out[(1, 2)] == (1, True)
+    assert out[(2, 0)] == (1, False) and out[(2, 1)] == (1, False)  # dups of doc 1
+    assert out[(2, 2)] == (1, True)
+    assert all(v[1] for k, v in out.items() if k[0] == 3)
+
+
+def test_sentence_segment_dedup_sliding_stride(spark):
+    import pytest
+
+    docs = _docs(
+        spark,
+        [
+            (1, "A one. B two. C three. D four."),
+            (2, "B two. C three. D four. E five."),
+        ],
+    )
+    # sliding 3-sentence spans (the paper's construction): doc 2's
+    # window starting at 'B two.' duplicates doc 1's seg_idx 1 window
+    out = {
+        (r["doc_id"], r["seg_idx"]): r["keep"]
+        for r in curation.sentence_segment_dedup(docs, n_sent=3, stride=1).collect()
+    }
+    assert out[(1, 1)] is True and out[(2, 0)] is False
+    with pytest.raises(ValueError):
+        curation.sentence_segment_dedup(docs, n_sent=2, stride=3)
+    with pytest.raises(ValueError):
+        curation.sentence_segment_dedup(docs, n_sent=0)
+
+
+def test_sentence_segment_dedup_single_shuffle_on_md5_key(spark):
+    docs = _docs(spark, [(1, "A one. B two. C three.")])
+    plan = (
+        curation.sentence_segment_dedup(docs, n_sent=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # only the md5-key window
