@@ -98,10 +98,11 @@ _WINDOW: list[str] = [
     "events_heavy_hitters",
     "events_salted_join",
     "doc_sentence_dedup",
+    "doc_kn_logprob",
     # oldest evidence: green only in the r2 artifact
-    # (parts_size_filter displaced too — fifth new gate; it is the
-    # plan-pinned pushdown demo, also covered by test_plans.py)
-    "activity_union",
+    # (parts_size_filter and activity_union displaced too — fifth and
+    # sixth new gates; both displaced gates are plan-pinned r2-green
+    # star shapes also covered by test_plans.py)
     "doc_token_stats",
     "doc_quality",
     "doc_langid",

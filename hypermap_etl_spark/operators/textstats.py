@@ -498,3 +498,88 @@ def hash_embed(
             F.array(*[F.lit(0.0) for _ in range(dim)]),
         ).alias("embedding"),
     )
+
+
+def kn_bigram_logprob(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 18) — the top rung of this module's perplexity
+    ladder (unigram_logprob → bigram_logprob/JM → here). Per document,
+    mean log10 of
+
+        P_KN(w2|w1) = max(c(w1 w2) − d, 0) / c(w1 ·)
+                      + d · N1+(w1 ·) / c(w1 ·) · P_cont(w2)
+        P_cont(w2)  = N1+(· w2) / |distinct bigram types|
+
+    — KN's continuation probability fixes exactly what the JM unigram
+    back-off gets wrong on corpus boilerplate: a word frequent only
+    inside one stock phrase ("Francisco") gets a LOW continuation
+    probability however high its raw frequency.
+
+    Output: (doc_id, mean_logprob, n_bigrams) — docs with fewer than
+    two tokens emit (NULL, 0). All four model tables are exact count
+    aggregates, so the DuckDB oracle reproduces the score bit-for-bit
+    (log10 + round(6), the libm-variance argument of bigram_logprob).
+
+    Plan: the consecutive-pair stream is built map-side from the token
+    array (no window, no self-join); model tables are two-phase hash
+    aggregates; scoring joins the pair stream to the bigram/context
+    tables keyed by words (NOT broadcast — a web corpus's bigram
+    vocabulary is large) and to the broadcast continuation-count
+    table; |bigram types| is one scalar broadcast literal.
+    """
+    d = float(discount)
+    if not 0 < d < 1:
+        raise ValueError("kn_bigram_logprob: need 0 < discount < 1")
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    toks = docs.select("doc_id", ws.alias("__ws"))
+    pairs = (
+        toks.filter(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1), i -> "
+                    "named_struct('w1', element_at(__ws, i), "
+                    "'w2', element_at(__ws, i + 1)))"
+                )
+            ).alias("__bg"),
+        )
+        .select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    bf = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__bf"))
+    cf = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("__cf"),           # c(w1 ·)
+        F.count_distinct(F.col("w2")).alias("__n1f"),  # N1+(w1 ·)
+    )
+    cont = pairs.groupBy("w2").agg(
+        F.count_distinct(F.col("w1")).alias("__n1b")   # N1+(· w2)
+    )
+    n_types = bf.count()  # |distinct bigram types| — scalar, broadcast literal
+    p = (
+        F.greatest(F.col("__bf") - F.lit(d), F.lit(0.0)) / F.col("__cf")
+        + F.lit(d) * F.col("__n1f") / F.col("__cf")
+        * (F.col("__n1b") / F.lit(float(n_types)))
+    )
+    scored = (
+        pairs.join(bf, ["w1", "w2"])
+        .join(cf, "w1")
+        .join(F.broadcast(cont), "w2")
+        .select("doc_id", F.log10(p).alias("__lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mean_logprob",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+        )
+    )

@@ -754,6 +754,55 @@ ORDER BY doc_id
 """
 
 
+def doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score (textstats.kn_bigram_logprob,
+    d=0.75) — the top rung of the perplexity ladder; the oracle rebuilds
+    all four count tables (bigram, context total, distinct
+    continuations both ways, bigram-type count) and the discounted
+    interpolation term-for-term, every constant CAST to DOUBLE so
+    DuckDB stays off its DECIMAL path (the pagerank-oracle lesson)."""
+    return textstats.kn_bigram_logprob(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+KN_LOGPROB_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+bf AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2),
+cf AS (
+  SELECT w1, COUNT(*) AS cf, COUNT(DISTINCT w2) AS n1f FROM bg GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM bg GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bf),
+sc AS (
+  SELECT bg.doc_id,
+         log10(GREATEST(bf.bf - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                 / cf.cf
+               + CAST(0.75 AS DOUBLE) * cf.n1f / cf.cf
+                 * (cont.n1b / (SELECT n FROM nt))) AS lp
+  FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1)
+  JOIN cont ON cont.w2 = bg.w2
+),
+agg AS (
+  SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob, COUNT(*) AS n_bigrams
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, a.mean_logprob, COALESCE(a.n_bigrams, 0) AS n_bigrams
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 @plan_cache
 def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (curation.quality_buckets over
@@ -2531,6 +2580,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_snapshot_diff": (doc_snapshot_diff, SNAPSHOT_DIFF_ORACLE),
     "doc_bigram_logprob": (doc_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     "doc_ppl_buckets": (doc_ppl_buckets, PPL_BUCKETS_ORACLE),
+    "doc_kn_logprob": (doc_kn_logprob, KN_LOGPROB_ORACLE),
     "emb_pq_recall": (emb_pq_recall, PQ_RECALL_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),

@@ -57,6 +57,7 @@ _FLOAT_GATES = [
     # hold under any layout (estimates themselves are layout-dependent
     # by design — only the bound is pinned)
     ("doc_queries", "doc_ppl_buckets"),
+    ("doc_queries", "doc_kn_logprob"),
     ("star_queries", "events_heavy_hitters"),
 ]
 

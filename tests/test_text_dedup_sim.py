@@ -1169,3 +1169,74 @@ def test_pq_index_search_matches_in_memory_operator(spark, tmp_path):
     for r in adc:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_kn_bigram_logprob_matches_python_reference(spark):
+    """Interpolated Kneser-Ney (d=0.75) vs a from-the-paper pure-Python
+    reference on a corpus engineered to expose the continuation fix: a
+    word frequent only inside one stock phrase ('francisco' after
+    'san') must score BELOW an equally-frequent word with diverse
+    contexts."""
+    import math
+    from collections import Counter
+
+    from hypermap_etl_spark.operators.textstats import kn_bigram_logprob
+
+    texts = {
+        1: "san francisco san francisco san francisco",
+        2: "new york new jersey old york big jersey",
+        3: "san francisco",
+        4: "solo",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    # pure-Python KN over the same corpus
+    d = 0.75
+    pairs = []
+    for t in texts.values():
+        ws = [w for w in t.lower().split(" ") if w]
+        pairs += list(zip(ws, ws[1:]))
+    bf = Counter(pairs)
+    cf = Counter(w1 for w1, _ in pairs)
+    n1f = Counter()
+    n1b = Counter()
+    for w1, w2 in bf:
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nt = len(bf)
+
+    def p_kn(w1, w2):
+        return max(bf[(w1, w2)] - d, 0.0) / cf[w1] + d * n1f[w1] / cf[w1] * (
+            n1b[w2] / nt
+        )
+
+    expect = {}
+    for doc_id, t in texts.items():
+        ws = [w for w in t.lower().split(" ") if w]
+        ps = [math.log10(p_kn(a, b)) for a, b in zip(ws, ws[1:])]
+        expect[doc_id] = (
+            round(sum(ps) / len(ps), 6) if ps else None,
+            len(ps),
+        )
+
+    got = {
+        r["doc_id"]: (r["mean_logprob"], r["n_bigrams"])
+        for r in kn_bigram_logprob(docs).collect()
+    }
+    assert got == expect
+    # the KN property itself: P(francisco|san) uses a LOW continuation
+    # weight (1 distinct left-context) vs york's 2 — check directly
+    assert n1b["francisco"] == 1 and n1b["york"] == 2
+    assert p_kn("big", "francisco") < p_kn("big", "york") if ("big", "francisco") in bf else True
+
+
+def test_kn_bigram_logprob_rejects_bad_discount(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.textstats import kn_bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        kn_bigram_logprob(docs, discount=0.0)
+    with pytest.raises(ValueError):
+        kn_bigram_logprob(docs, discount=1.0)
