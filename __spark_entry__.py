@@ -99,10 +99,12 @@ _WINDOW: list[str] = [
     "events_salted_join",
     "doc_sentence_dedup",
     "doc_kn_logprob",
+    "doc_gopher_quality",
     # oldest evidence: green only in the r2 artifact
-    # (parts_size_filter and activity_union displaced too — fifth and
-    # sixth new gates; both displaced gates are plan-pinned r2-green
-    # star shapes also covered by test_plans.py)
+    # (parts_size_filter, activity_union and doc_simhash_sigs displaced
+    # too — fifth through seventh new gates; the displaced star shapes
+    # are plan-pinned, and doc_simhash_pairs stays in-window covering
+    # the same simhash operator)
     "doc_token_stats",
     "doc_quality",
     "doc_langid",
@@ -110,7 +112,6 @@ _WINDOW: list[str] = [
     "doc_exact_dedup",
     "doc_ngram_pairs",
     "doc_simhash_pairs",
-    "doc_simhash_sigs",
     "emb_ann_topk",
     "emb_neardup",
     "emb_knn_label",

@@ -704,3 +704,92 @@ def sentence_segment_dedup(
     return segs.withColumn("keep", F.row_number().over(w) == 1).select(
         "doc_id", "seg_idx", "n_sentences", "keep"
     )
+
+
+# --------------------------------------------------- Gopher quality rules ----
+
+# Gopher §A1.1's stop-word presence check uses exactly these eight
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_types: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule table (Rae et al. 2021
+    §A1.1) — the repetition half lives in :func:`repetition_stats`;
+    this is the other half, the structural screens:
+
+      word count ∈ [min, max]; mean word length ∈ [3, 10];
+      symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1; lines starting
+      with a bullet ≤ 90%; lines ending in an ellipsis ≤ 30%; words
+      with ≥ 1 alphabetic character ≥ 80%; ≥ 2 distinct Gopher stop
+      words present.
+
+    Output: doc_id, the seven measured signals (floats rounded to 6),
+    and ``keep`` (the conjunction). Every signal is a pure column
+    expression over ONE tokenization and ONE line split — scan →
+    project, no shuffle, no Python; the DuckDB oracle replays each
+    formula bit-for-bit.
+    """
+    t = F.lower(F.col(text_col))
+    lines_all = F.split(F.col(text_col), "\n")
+    docs = docs.select(
+        "doc_id",
+        _ws(text_col).alias("__ws"),
+        F.filter(
+            F.transform(lines_all, lambda ln: F.trim(ln)),
+            lambda ln: ln != F.lit(""),
+        ).alias("__lines"),
+        # '…' first so a literal '...' is not double-counted; replace-
+        # all semantics make occurrence counts engine-reproducible
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        ).alias("__n_sym"),
+    )
+    n_words = F.size("__ws")
+    nz = F.greatest(n_words, F.lit(1))
+    n_lines = F.greatest(F.size("__lines"), F.lit(1))
+    mean_wl = F.aggregate("__ws", F.lit(0), lambda a, w: a + F.length(w)) / nz
+    bullet = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda ln: ln.startswith("-") | ln.startswith("*") | ln.startswith("•"),
+        )
+    ) / n_lines
+    ellipsis = F.size(
+        F.filter(F.col("__lines"), lambda ln: ln.endswith("...") | ln.endswith("…"))
+    ) / n_lines
+    alpha = F.size(F.filter(F.col("__ws"), lambda w: w.rlike("[a-z]"))) / nz
+    stop_arr = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(stop_arr, F.array_distinct(F.col("__ws"))))
+    m = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(F.col("__n_sym") / nz, 6).alias("symbol_ratio"),
+        F.round(bullet, 6).alias("bullet_frac"),
+        F.round(ellipsis, 6).alias("ellipsis_frac"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stop_types"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stop_types") >= min_stop_types)
+    )
+    return m.withColumn("keep", keep)

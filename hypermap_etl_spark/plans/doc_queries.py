@@ -754,6 +754,85 @@ ORDER BY doc_id
 """
 
 
+@plan_cache
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher §A1.1 structural screens (curation.gopher_quality).
+    The fixture corpus is single-line prose, so the gate builds a
+    four-line page per doc — a bullet line, an every-3rd-doc ellipsis
+    terminator, and doc_id%4 trailing '#' symbols — so every rule
+    measures something. The fixture vocabulary holds at most ONE of
+    Gopher's eight stop words, so even docs get 'the data of note'
+    prepended (passing the ≥2-types rule) and odd docs keep failing
+    it — both keep outcomes occur, and symbol/word-count rules add
+    further variety. min_words lowered to 20 for the short fixture.
+    The oracle replays each formula bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("the data of note ")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.lit("\n- bullet one\n"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ...\n")).otherwise(F.lit("\n")),
+        F.lit("wrap up "),
+        F.repeat(F.lit("#"), (F.col("doc_id") % 4).cast("int")),
+    )
+    return curation.gopher_quality(
+        docs.select("doc_id", page.alias("text")), min_words=20
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_ORACLE = """
+WITH paged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'the data of note ' ELSE '' END
+         || text || chr(10) || '- bullet one' || chr(10) || text
+         || CASE WHEN doc_id % 3 = 0 THEN ' ...' || chr(10) ELSE chr(10) END
+         || 'wrap up ' || repeat('#', CAST(doc_id % 4 AS INTEGER)) AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(t), ' '), x -> x <> '') AS ws,
+         list_filter(list_transform(string_split(t, chr(10)), ln -> trim(ln)),
+                     ln -> ln <> '') AS lines,
+         (length(lower(t)) - length(replace(lower(t), '#', '')))
+           + (length(lower(t)) - length(replace(lower(t), '...', ''))) / 3
+           AS n_sym
+  FROM paged
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+               / greatest(len(ws), 1), 6) AS mean_word_len,
+         ROUND(n_sym / greatest(len(ws), 1), 6) AS symbol_ratio,
+         ROUND(len(list_filter(lines, ln -> starts_with(ln, '-')
+                 OR starts_with(ln, '*') OR starts_with(ln, '•')))
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_frac,
+         ROUND(len(list_filter(lines, ln -> ends_with(ln, '...')
+                 OR ends_with(ln, '…')))
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_frac,
+         ROUND(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+               / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS alpha_frac,
+         CAST(len(list_filter(list_distinct(ws), w -> list_contains(
+           ['the','be','to','of','and','that','have','with'], w)))
+           AS INTEGER) AS n_stop_types
+  FROM m
+)
+SELECT *,
+       n_words BETWEEN 20 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND symbol_ratio <= 0.1
+       AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3
+       AND alpha_frac >= 0.8
+       AND n_stop_types >= 2 AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
 def doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram score (textstats.kn_bigram_logprob,
     d=0.75) — the top rung of the perplexity ladder; the oracle rebuilds
@@ -2581,6 +2660,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_bigram_logprob": (doc_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     "doc_ppl_buckets": (doc_ppl_buckets, PPL_BUCKETS_ORACLE),
     "doc_kn_logprob": (doc_kn_logprob, KN_LOGPROB_ORACLE),
+    "doc_gopher_quality": (doc_gopher_quality, GOPHER_QUALITY_ORACLE),
     "emb_pq_recall": (emb_pq_recall, PQ_RECALL_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),

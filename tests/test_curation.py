@@ -608,3 +608,53 @@ def test_sentence_segment_dedup_single_shuffle_on_md5_key(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1  # only the md5-key window
+
+
+# ---------------------------------------------------- gopher_quality ----
+
+def test_gopher_quality_each_rule_fires(spark):
+    good = ("the data of note and that we have with be to " * 6).strip()  # 66 words? no: 11*6
+    docs = _docs(
+        spark,
+        [
+            (1, good),                                   # passes everything
+            (2, "the of " + "word " * 3),                # too few words
+            (3, "the of " + "ab " * 60),                 # mean word len < 3
+            (4, "the of " + "extraordinarily " * 60),    # mean word len > 10
+            (5, "the of " + "data ##### " * 30),         # symbol ratio > 0.1
+            (6, "the of " + "filler words here " * 20),   # control: passes
+            (7, "the of " + "123 456 " * 30),            # alpha frac < 0.8
+            (8, "data " * 60),                           # 0 stop types
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.gopher_quality(docs, min_words=20).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] < 20
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] < 3
+    assert out[4]["keep"] is False and out[4]["mean_word_len"] > 10
+    assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
+    assert out[7]["keep"] is False and out[7]["alpha_frac"] < 0.8
+    assert out[8]["keep"] is False and out[8]["n_stop_types"] == 0
+
+
+def test_gopher_quality_line_rules(spark):
+    bullets = "the of and\n" + "\n".join(f"- item {i} x" for i in range(20))
+    dots = "the of and\n" + "\n".join(f"line {i} goes on ..." for i in range(9))
+    docs = _docs(spark, [(1, bullets + " " + "w " * 40), (2, dots + " " + "w " * 40)])
+    out = {
+        r["doc_id"]: r for r in curation.gopher_quality(docs, min_words=5).collect()
+    }
+    assert out[1]["bullet_frac"] > 0.9 and out[1]["keep"] is False
+    assert out[2]["ellipsis_frac"] > 0.3 and out[2]["keep"] is False
+
+
+def test_gopher_quality_plan_is_scan_project_only(spark):
+    docs = _docs(spark, [(1, "the of a b c")])
+    plan = (
+        curation.gopher_quality(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
