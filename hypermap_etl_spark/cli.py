@@ -680,6 +680,47 @@ def cmd_curate(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_snapshot(args) -> None:
+    """Versioned corpus snapshots (sources/versioned.py): publish a new
+    blessed version, list/rollback/vacuum, and diff two versions with
+    the fingerprint screen (operators/profile.table_diff)."""
+    from hypermap_etl_spark.operators.profile import diff_summary, table_diff
+    from hypermap_etl_spark.sources import versioned as V
+
+    out = {"table": args.table, "action": args.action}
+    if args.action == "write":
+        if not args.data:
+            raise SystemExit("snapshot write: --data required")
+        spark = _spark(args)
+        out["version"] = V.write_version(spark.read.parquet(args.data), args.table)
+    elif args.action == "list":
+        out["versions"] = V.list_versions(args.table)
+        out["latest"] = V.latest_version(args.table)
+    elif args.action == "rollback":
+        if args.version is None:
+            raise SystemExit("snapshot rollback: --version required")
+        out["latest"] = V.rollback(args.table, args.version)
+    elif args.action == "vacuum":
+        out["removed"] = V.vacuum(args.table, keep=args.keep)
+        out["versions"] = V.list_versions(args.table)
+    elif args.action == "diff":
+        spark = _spark(args)
+        new_v = args.version or V.latest_version(args.table)
+        old_v = args.against or (new_v - 1 if new_v else None)
+        if not old_v or old_v not in V.list_versions(args.table):
+            raise SystemExit("snapshot diff: need two existing versions")
+        d = table_diff(
+            V.read_version(spark, args.table, old_v),
+            V.read_version(spark, args.table, new_v),
+            [c.strip() for c in args.keys.split(",")],
+        )
+        out["old"], out["new"] = old_v, new_v
+        out["summary"] = {
+            r["status"]: r["n"] for r in diff_summary(d).collect()
+        }
+    print(json.dumps(out))
+
+
 def cmd_buckets(args) -> None:
     """CCNet-style quality bucketing: score every document with the
     corpus's own bigram LM (textstats.bigram_logprob), then split each
@@ -883,6 +924,20 @@ def main(argv=None) -> None:
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--threshold", type=float, default=None,
                    help="also report how many docs score >= threshold")
+    p = sub.add_parser("snapshot",
+                       help="versioned corpus snapshots: write/list/"
+                            "rollback/vacuum/diff")
+    p.add_argument("action",
+                   choices=["write", "list", "rollback", "vacuum", "diff"])
+    p.add_argument("--table", required=True, help="versioned table root")
+    p.add_argument("--data", default=None, help="parquet to publish (write)")
+    p.add_argument("--version", type=int, default=None,
+                   help="target version (rollback; diff new side)")
+    p.add_argument("--against", type=int, default=None,
+                   help="diff old side (default: version-1)")
+    p.add_argument("--keys", default="doc_id",
+                   help="comma-separated diff key columns")
+    p.add_argument("--keep", type=int, default=2, help="vacuum retention")
     p = sub.add_parser("buckets",
                        help="CCNet head/middle/tail quality buckets "
                             "(bigram-LM score + per-language quantiles)")
@@ -925,7 +980,7 @@ def main(argv=None) -> None:
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
-        "buckets": cmd_buckets,
+        "buckets": cmd_buckets, "snapshot": cmd_snapshot,
     }[args.cmd](args)
 
 

@@ -428,3 +428,30 @@ def test_cli_curate_html(spark, capsys):
     assert rep["docs_in"] == 30 and rep["docs_out"] >= 1
     out = spark.read.parquet(f"{base}/out/documents.parquet")
     assert out.filter(out.text.contains("<")).count() == 0  # markup gone
+
+
+def test_cli_snapshot_lifecycle(spark, capsys):
+    base = tempfile.mkdtemp()
+    src1, src2, tbl = f"{base}/v1src", f"{base}/v2src", f"{base}/tbl"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "doc_id long, text string"
+    ).write.parquet(src2)
+
+    main(["snapshot", "write", "--table", tbl, "--data", src1])
+    main(["snapshot", "write", "--table", tbl, "--data", src2])
+    outs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert [o["version"] for o in outs] == [1, 2]
+
+    main(["snapshot", "diff", "--table", tbl])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["old"] == 1 and d["new"] == 2
+    assert d["summary"] == {"unchanged": 1, "changed": 1, "added": 1}
+
+    main(["snapshot", "rollback", "--table", tbl, "--version", "1"])
+    main(["snapshot", "list", "--table", tbl])
+    lst = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lst["latest"] == 1 and lst["versions"] == [1, 2]
