@@ -456,8 +456,16 @@ def mg_topk(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
         .groupBy("item")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    # final reduction to ≤ k counters: the summed frame is ≤ k·P rows;
-    # pull the top k+1 only (TakeOrdered) to learn the offset.
+    return mg_merge_summaries(merged, k)
+
+
+def mg_merge_summaries(counters: DataFrame, k: int) -> DataFrame:
+    """Fold an (item, cnt) counter union back to a ≤ k-entry MG
+    summary: sum per item, subtract the (k+1)-th largest, drop
+    non-positives. This is the store-side merge a streaming/daily
+    summary pipeline calls over persisted per-batch summaries; only
+    the offset row count (k+1, TakeOrdered) ever reaches the driver."""
+    merged = counters.groupBy("item").agg(F.sum("cnt").alias("cnt"))
     top = merged.orderBy(F.col("cnt").desc(), "item").take(k + 1)
     if len(top) <= k:
         return merged.select("item", F.col("cnt").alias("est_count"))

@@ -1,0 +1,96 @@
+"""Streaming frequent items — heavy hitters over an unbounded stream
+in bounded state, the streaming face of sketch.mg_topk.
+
+Per micro-batch, the batch collapses to a ≤ k-entry Misra-Gries
+summary (operators/sketch.mg_topk — bounded memory however large or
+high-cardinality the batch is) written to a per-batch partition of a
+summary STORE:
+
+    store/
+      batch_id=0/ … batch_id=N/    ≤ k (item, est_count) rows each
+
+Replayed batches after a crash OVERWRITE their own partition, so the
+store is effectively-once without any read-modify-write — the same
+idempotency-by-layout discipline as the streaming MERGE sink
+(streaming/scan.py) and the signature store (operators/dedup.py).
+
+Reading the current top items = merging all per-batch summaries
+(sketch.mg_merge_summaries, the mergeable-summaries reduction); by
+Agarwal et al. 2012 the merged estimate keeps the global guarantee:
+every item with true frequency > n_total/(k+1) is present, with
+true − n_total/(k+1) ≤ est ≤ true. The store grows one k-row file per
+batch; ``topk_store_compact`` folds history to a single summary
+partition when file count matters (the HLL "sketch table" pattern:
+telemetry is a table you fold, not a query you re-run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.operators.sketch import mg_merge_summaries, mg_topk
+
+
+def start_topk_stream(
+    stream: DataFrame,
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    k: int = 64,
+    once: bool = True,
+    on_progress=None,
+):
+    """Fold a stream's value column into the per-batch MG summary
+    store. ``once`` uses availableNow (catch-up then stop) — pass
+    False for a continuous trigger."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        summ = mg_topk(batch, value_col, k=k)
+        summ.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        if on_progress is not None:
+            on_progress(batch_id, summ.count())
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def topk_store_read(spark: SparkSession, store_path: str, k: int) -> DataFrame:
+    """Current heavy-hitter summary: merge every per-batch summary in
+    the store down to ≤ k (item, est_count) rows. The scan reads
+    batches × k tiny rows — model-sized however long the stream ran."""
+    df = spark.read.parquet(store_path).select(
+        "item", F.col("est_count").alias("cnt")
+    )
+    return mg_merge_summaries(df, k)
+
+
+def topk_store_compact(spark: SparkSession, store_path: str, k: int) -> int:
+    """Fold all per-batch partitions into one summary partition
+    (batch_id=-1, merged under the same reduction so the guarantee is
+    unchanged). Returns the number of partitions folded. Safe against
+    concurrent appends of NEW batches: only the partitions read are
+    replaced."""
+    import shutil
+
+    parts = [d for d in os.listdir(store_path) if d.startswith("batch_id=")]
+    if len(parts) <= 1:
+        return 0
+    # topk_store_read folds EVERY partition (including a previous
+    # batch_id=-1 compaction result) exactly once
+    merged = topk_store_read(spark, store_path, k)
+    # stage → swap: never a moment with neither old nor new state
+    tmp = os.path.join(store_path, ".compact.tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in parts:
+        shutil.rmtree(os.path.join(store_path, d))
+    os.rename(tmp, os.path.join(store_path, "batch_id=-1"))
+    return len(parts)
