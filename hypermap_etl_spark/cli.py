@@ -663,6 +663,7 @@ def cmd_curate(args) -> None:
         normalize=args.normalize,
         c4=args.c4_clean,
         html=args.html,
+        gopher=args.gopher,
         strict_packing=args.strict_packing,
         **model_kwargs,
     )
@@ -832,6 +833,9 @@ def main(argv=None) -> None:
     p.add_argument("--html", action="store_true",
                    help="strip HTML tag soup to visible text first "
                         "(raw-crawl inputs)")
+    p.add_argument("--gopher", action="store_true",
+                   help="add the full Gopher structural screens after "
+                        "the heuristic quality gate")
     p.add_argument("--strict-packing", action="store_true",
                    help="capacity-respecting next-fit packing (no pack "
                         "exceeds the token budget)")

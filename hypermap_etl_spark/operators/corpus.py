@@ -379,6 +379,7 @@ def curate_pipeline(
     normalize: bool = False,
     c4: bool = False,
     html: bool = False,
+    gopher: bool = False,
     strict_packing: bool = False,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
@@ -406,6 +407,8 @@ def curate_pipeline(
     the weights once with quality_model.train_quality_classifier (or
     `cli quality`); the pipeline treats the model as plain data.
 
+    ``gopher`` adds the full Gopher §A1.1 structural screens
+    (curation.gopher_quality) after the heuristic quality gate.
     ``c4`` applies Raffel-style line rules and page kills BEFORE the
     document-level quality gate (single-line pages without terminal
     punctuation do not survive it — intended for corpora with real
@@ -504,6 +507,25 @@ def curate_pipeline(
         cut_lineage=True,
     )
     n_kept = kept.count() if with_report else 0
+
+    n_gopher_dropped = 0
+    if gopher:
+        # Gopher structural screens AFTER the heuristic quality gate
+        # (same altitude: cheap per-doc rules), sharing the pipeline's
+        # min_words so the two word-count gates agree
+        from hypermap_etl_spark.operators.curation import gopher_quality
+
+        gq = gopher_quality(kept, text_col=text_col, min_words=min_words)
+        kept = stage_boundary(
+            kept.join(
+                gq.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+            ),
+            cut_lineage=True,
+        )
+        if with_report:
+            n_g = kept.count()
+            n_gopher_dropped = n_kept - n_g
+            n_kept = n_g
 
     n_model_dropped = 0
     if model_weights is not None:
@@ -637,7 +659,9 @@ def curate_pipeline(
         {
             "docs_in": n_in,
             "dropped_c4": n_c4_dropped,
-            "dropped_quality": n_in - n_c4_dropped - n_kept - n_model_dropped,
+            "dropped_quality": n_in - n_c4_dropped - n_kept
+                               - n_model_dropped - n_gopher_dropped,
+            "dropped_gopher": n_gopher_dropped,
             "dropped_model": n_model_dropped,
             "dropped_dups": n_kept - n_surv,
             "span_cut_docs": n_span_docs,

@@ -455,3 +455,23 @@ def test_cli_snapshot_lifecycle(spark, capsys):
     main(["snapshot", "list", "--table", tbl])
     lst = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert lst["latest"] == 1 and lst["versions"] == [1, 2]
+
+
+def test_cli_curate_gopher(spark, capsys):
+    base = tempfile.mkdtemp()
+    docs = f"{base}/docs.parquet"
+    prose = ("the quick brown fox and the lazy dog are in the house "
+             "with a view of the lake and it is a fine day for a walk ") * 5
+    rows = [(i, prose + f"ending number {i}") for i in range(20)] + [
+        (100, "data " * 80),  # no Gopher stop words → screened out
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+
+    main(["curate", "--docs", docs, "--out", f"{base}/out",
+          "--min-words", "5", "--gopher"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 21
+    assert rep["dropped_gopher"] >= 1  # the stopword-free doc
+    assert rep["docs_out"] >= 1
+    assert rep["docs_out"] == (rep["docs_in"] - rep["dropped_quality"]
+                               - rep["dropped_gopher"] - rep["dropped_dups"])
