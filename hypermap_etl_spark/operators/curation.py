@@ -595,7 +595,15 @@ def quality_buckets(
         w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
             s.desc_nulls_last(), F.col("doc_id").asc()
         )
-        return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        # NULL scores pin to the tail AFTER ranking (nulls sort last,
+        # so non-null assignments are unchanged) — keeping the
+        # documented invariant and agreement with method='threshold'
+        return scored.withColumn(
+            "bucket",
+            F.when(s.isNull(), F.lit(n_buckets)).otherwise(
+                F.ntile(n_buckets).over(w)
+            ),
+        )
     # threshold: cuts at the (1 - k/n) quantiles, k = 1..n-1 (score
     # DESC, so the top 1/n of scores sit above cut 1). Exact
     # interpolated percentile over the group — one hash aggregate whose
@@ -743,18 +751,25 @@ def gopher_quality(
     """
     t = F.lower(F.col(text_col))
     lines_all = F.split(F.col(text_col), "\n")
+    # words split on WHITESPACE runs (not the single-space _ws): the
+    # input is multi-line by construction (the bullet/ellipsis rules
+    # need lines), and a single-space split would weld line-final and
+    # line-initial words into one token — hiding stop words and
+    # distorting every word statistic
+    ws = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
     docs = docs.select(
         "doc_id",
-        _ws(text_col).alias("__ws"),
+        ws.alias("__ws"),
         F.filter(
             F.transform(lines_all, lambda ln: F.trim(ln)),
             lambda ln: ln != F.lit(""),
         ).alias("__lines"),
-        # '…' first so a literal '...' is not double-counted; replace-
-        # all semantics make occurrence counts engine-reproducible
+        # both ellipsis forms count; replace-all semantics make
+        # occurrence counts engine-reproducible
         (
             (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
             + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+            + (F.length(t) - F.length(F.replace(t, F.lit("\u2026"), F.lit(""))))
         ).alias("__n_sym"),
     )
     n_words = F.size("__ws")

@@ -451,12 +451,7 @@ def mg_topk(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
     """
     if k < 1:
         raise ValueError("mg_topk: need k >= 1")
-    merged = (
-        mg_summaries(df, value_col, k)
-        .groupBy("item")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    return mg_merge_summaries(merged, k)
+    return mg_merge_summaries(mg_summaries(df, value_col, k), k)
 
 
 def mg_merge_summaries(counters: DataFrame, k: int) -> DataFrame:

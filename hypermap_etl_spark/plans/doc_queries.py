@@ -794,11 +794,12 @@ WITH paged AS (
 ),
 m AS (
   SELECT doc_id,
-         list_filter(string_split(lower(t), ' '), x -> x <> '') AS ws,
+         list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS ws,
          list_filter(list_transform(string_split(t, chr(10)), ln -> trim(ln)),
                      ln -> ln <> '') AS lines,
          (length(lower(t)) - length(replace(lower(t), '#', '')))
            + (length(lower(t)) - length(replace(lower(t), '...', ''))) / 3
+           + (length(lower(t)) - length(replace(lower(t), chr(8230), '')))
            AS n_sym
   FROM paged
 ),
@@ -933,8 +934,10 @@ scored AS (
   FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 SELECT doc_id, lang, mean_logprob,
-       CAST(NTILE(3) OVER (PARTITION BY lang
-            ORDER BY mean_logprob DESC NULLS LAST, doc_id) AS INTEGER) AS bucket
+       CAST(CASE WHEN mean_logprob IS NULL THEN 3
+            ELSE NTILE(3) OVER (PARTITION BY lang
+                 ORDER BY mean_logprob DESC NULLS LAST, doc_id)
+            END AS INTEGER) AS bucket
 FROM scored ORDER BY doc_id
 """
 

@@ -1274,7 +1274,7 @@ WITH s AS (
 n AS (SELECT COUNT(*) AS n FROM s),
 e AS (SELECT item, COUNT(*) AS true_cnt FROM s GROUP BY item)
 SELECT item, true_cnt, TRUE AS found, TRUE AS within_bound
-FROM e WHERE true_cnt > (SELECT n FROM n) / 17.0
+FROM e WHERE true_cnt > (SELECT n FROM n) / CAST(17 AS DOUBLE)
 ORDER BY item
 """
 

@@ -45,17 +45,27 @@ def list_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _complete(table: str, v: int) -> bool:
+    """A snapshot is complete when Spark's _SUCCESS marker landed —
+    the guard that keeps recovery paths off half-written directories."""
+    return os.path.exists(os.path.join(_vdir(table, v), "_SUCCESS"))
+
+
 def latest_version(table: str) -> int | None:
     """The blessed version: the ``_latest`` pointer if present, else
-    the highest snapshot directory (pointer lost/never written)."""
+    the highest COMPLETE snapshot directory (pointer lost/never
+    written). A directory without Spark's _SUCCESS marker is a
+    half-written crash leftover — never blessed by the fallback, so
+    'readers never observe a half-written latest' holds even when the
+    very first write_version died mid-write."""
     ptr = os.path.join(table, _LATEST)
     if os.path.exists(ptr):
         with open(ptr) as fh:
             v = int(fh.read().strip())
         if os.path.isdir(_vdir(table, v)):
             return v
-    vs = list_versions(table)
-    return vs[-1] if vs else None
+    done = [v for v in list_versions(table) if _complete(table, v)]
+    return done[-1] if done else None
 
 
 def write_version(df: DataFrame, table: str) -> int:

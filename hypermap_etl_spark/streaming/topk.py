@@ -49,11 +49,11 @@ def start_topk_stream(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         summ = mg_topk(batch, value_col, k=k)
-        summ.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
+        dest = os.path.join(store_path, f"batch_id={batch_id}")
+        summ.write.mode("overwrite").parquet(dest)
         if on_progress is not None:
-            on_progress(batch_id, summ.count())
+            # count the ≤ k written rows — never re-run the MG pipeline
+            on_progress(batch_id, batch.sparkSession.read.parquet(dest).count())
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -84,9 +84,14 @@ def topk_store_compact(spark: SparkSession, store_path: str, k: int) -> int:
     parts = [d for d in os.listdir(store_path) if d.startswith("batch_id=")]
     if len(parts) <= 1:
         return 0
-    # topk_store_read folds EVERY partition (including a previous
-    # batch_id=-1 compaction result) exactly once
-    merged = topk_store_read(spark, store_path, k)
+    # fold EXACTLY the partitions that will be deleted — reading the
+    # store root would also pick up a batch the stream appends between
+    # this listing and the scan, folding it in but leaving its
+    # directory alive: double-counted forever after
+    counters = spark.read.parquet(
+        *[os.path.join(store_path, d) for d in parts]
+    ).select("item", F.col("est_count").alias("cnt"))
+    merged = mg_merge_summaries(counters, k)
     # stage → swap: never a moment with neither old nor new state
     tmp = os.path.join(store_path, ".compact.tmp")
     merged.write.mode("overwrite").parquet(tmp)

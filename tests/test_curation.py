@@ -484,7 +484,12 @@ def test_quality_buckets_ntile_head_middle_tail(spark):
 
 
 def test_quality_buckets_null_scores_land_in_tail(spark):
-    rows = [(1, "en", -1.0), (2, "en", -2.0), (3, "en", None)]
+    # MORE nulls than the tail bucket holds: plain NTILE would spread
+    # them into head/middle — every unscorable doc must still pin to
+    # the tail, matching the threshold method
+    rows = [(1, "en", -1.0), (2, "en", -2.0), (3, "en", -3.0)] + [
+        (10 + i, "en", None) for i in range(6)
+    ]
     for method in ("ntile", "threshold"):
         out = {
             r["doc_id"]: r["bucket"]
@@ -492,8 +497,8 @@ def test_quality_buckets_null_scores_land_in_tail(spark):
                 _scored(spark, rows), method=method
             ).collect()
         }
-        assert out[3] == 3, (method, out)
-        assert out[1] <= out[2], (method, out)
+        assert all(out[10 + i] == 3 for i in range(6)), (method, out)
+        assert out[1] <= out[2] <= out[3], (method, out)
 
 
 def test_quality_buckets_threshold_matches_ntile_on_unique_scores(spark):
@@ -658,3 +663,21 @@ def test_gopher_quality_plan_is_scan_project_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_gopher_quality_counts_unicode_ellipsis_and_splits_on_newlines(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the of and " + "data … " * 30),          # '…' symbols > 0.1
+            (2, "the data ends here\nthe next part is fine\nthe tail holds on"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.gopher_quality(docs, min_words=5).collect()}
+    assert out[1]["symbol_ratio"] > 0.1 and out[1]["keep"] is False
+    # newline-separated words tokenize separately: 'the' appears at
+    # line starts and must be visible to the stop-word rule; no token
+    # contains a newline so word stats are sane
+    assert out[2]["n_words"] == 13
+    assert out[2]["n_stop_types"] >= 1
+    assert out[2]["mean_word_len"] < 6

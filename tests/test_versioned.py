@@ -74,3 +74,17 @@ def test_pointer_is_atomic_no_tmp_left_behind(spark):
     assert not any(n.startswith("._latest") for n in os.listdir(t))
     with open(os.path.join(t, "_latest")) as fh:
         assert fh.read().strip() == "1"
+
+
+def test_latest_fallback_never_blesses_half_written_snapshot(spark):
+    t = tempfile.mkdtemp() + "/corpus"
+    # crash simulation: v=1 dir exists but has no _SUCCESS marker and
+    # no pointer — the fallback must not bless it
+    os.makedirs(t + "/v=1")
+    with open(t + "/v=1/part-00000.parquet", "w") as fh:
+        fh.write("partial garbage")
+    assert V.latest_version(t) is None
+    # recovery: the next write lands ABOVE the orphan and gets blessed
+    v = V.write_version(_df(spark, [(1, "ok")]), t)
+    assert v == 2 and V.latest_version(t) == 2
+    assert V.read_version(spark, t).count() == 1
