@@ -100,11 +100,13 @@ _WINDOW: list[str] = [
     "doc_sentence_dedup",
     "doc_kn_logprob",
     "doc_gopher_quality",
+    "events_pseudonymized",
     # oldest evidence: green only in the r2 artifact
-    # (parts_size_filter, activity_union and doc_simhash_sigs displaced
-    # too — fifth through seventh new gates; the displaced star shapes
-    # are plan-pinned, and doc_simhash_pairs stays in-window covering
-    # the same simhash operator)
+    # (parts_size_filter, activity_union, doc_simhash_sigs and
+    # emb_knn_label displaced too — fifth through eighth new gates;
+    # the displaced star shapes are plan-pinned, doc_simhash_pairs
+    # stays in-window covering the same simhash operator, and
+    # emb_knn_label's similarity.py was untouched all session)
     "doc_token_stats",
     "doc_quality",
     "doc_langid",
@@ -114,7 +116,6 @@ _WINDOW: list[str] = [
     "doc_simhash_pairs",
     "emb_ann_topk",
     "emb_neardup",
-    "emb_knn_label",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -808,3 +808,45 @@ def gopher_quality(
         & (F.col("n_stop_types") >= min_stop_types)
     )
     return m.withColumn("keep", keep)
+
+
+# ------------------------------------------------------ pseudonymization ----
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization of identifier columns:
+    value → first ``prefix_len`` hex chars of sha256(salt || value).
+    The retention-side counterpart of :func:`redact_pii` — text masking
+    destroys linkage, but an ANALYTICS corpus needs user/session ids
+    that still join and group without exposing the raw identifier.
+    Same salt + value → same token (joins/cohorts survive across
+    tables and drops); without the salt the mapping is not
+    practically invertible for high-entropy ids. For LOW-entropy ids
+    (sequential integers) a keeper of the salt can brute-force the
+    mapping — this is pseudonymization (linkable, salt-secret), NOT
+    anonymization; pick retention policy accordingly.
+
+    NULLs stay NULL (they carry no identity). Pure projection —
+    sha256 is JVM-side and engine-reproducible, so the oracle
+    verifies tokens bit-for-bit.
+    """
+    if not cols:
+        raise ValueError("pseudonymize: need at least one column")
+    if not 8 <= prefix_len <= 64:
+        raise ValueError("pseudonymize: need 8 <= prefix_len <= 64")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudonymize: columns not in frame: {missing}")
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            1,
+            prefix_len,
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

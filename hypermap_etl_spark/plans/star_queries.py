@@ -1279,6 +1279,38 @@ ORDER BY item
 """
 
 
+def events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (curation.pseudonymize): user ids become
+    sha256(salt||id) prefixes, and the gate proves LINKAGE SURVIVES —
+    grouping by the token reproduces exactly the per-user aggregates
+    of the raw ids (decimal-exact sums). The oracle recomputes the
+    tokens bit-for-bit with DuckDB's sha256."""
+    from hypermap_etl_spark.operators.curation import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", _dec("value").alias("v")
+    )
+    ps = pseudonymize(ev, ["user_id"], salt="gate-salt-r5", prefix_len=16)
+    return (
+        ps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PSEUDONYMIZED_ORACLE = """
+SELECT substring(sha256('gate-salt-r5' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct users per event_type from the 64 smallest md5 fractions —
@@ -2653,6 +2685,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "events_heavy_hitters": (events_heavy_hitters, HEAVY_HITTERS_ORACLE),
     "events_salted_join": (events_salted_join, SALTED_JOIN_ORACLE),
+    "events_pseudonymized": (events_pseudonymized, PSEUDONYMIZED_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),

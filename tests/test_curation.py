@@ -681,3 +681,34 @@ def test_gopher_quality_counts_unicode_ellipsis_and_splits_on_newlines(spark):
     assert out[2]["n_words"] == 13
     assert out[2]["n_stop_types"] >= 1
     assert out[2]["mean_word_len"] < 6
+
+
+# ------------------------------------------------------ pseudonymize ----
+
+def test_pseudonymize_deterministic_linkable_and_null_safe(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b"), (3, 200, "c"), (4, None, "d")],
+        "event_id long, user_id long, payload string",
+    )
+    out = curation.pseudonymize(df, ["user_id"], salt="s1")
+    rows = {r["event_id"]: r["user_id"] for r in out.collect()}
+    assert rows[1] == rows[2] and rows[1] != rows[3]   # linkage survives
+    assert rows[4] is None                              # NULL stays NULL
+    assert len(rows[1]) == 16 and rows[1] != "100"
+    # same salt → same tokens; different salt → disjoint token space
+    again = {r["event_id"]: r["user_id"]
+             for r in curation.pseudonymize(df, ["user_id"], salt="s1").collect()}
+    other = {r["event_id"]: r["user_id"]
+             for r in curation.pseudonymize(df, ["user_id"], salt="s2").collect()}
+    assert again == rows
+    assert other[1] != rows[1]
+    # payload untouched; errors on bad args
+    assert {r["payload"] for r in out.collect()} == {"a", "b", "c", "d"}
+    with pytest.raises(ValueError):
+        curation.pseudonymize(df, [], salt="s")
+    with pytest.raises(ValueError):
+        curation.pseudonymize(df, ["nope"], salt="s")
+    with pytest.raises(ValueError):
+        curation.pseudonymize(df, ["user_id"], salt="s", prefix_len=4)
