@@ -101,18 +101,19 @@ _WINDOW: list[str] = [
     "doc_kn_logprob",
     "doc_gopher_quality",
     "events_pseudonymized",
+    "doc_containment_pairs",
     # oldest evidence: green only in the r2 artifact
-    # (parts_size_filter, activity_union, doc_simhash_sigs and
-    # emb_knn_label displaced too — fifth through eighth new gates;
-    # the displaced star shapes are plan-pinned, doc_simhash_pairs
-    # stays in-window covering the same simhash operator, and
+    # (parts_size_filter, activity_union, doc_simhash_sigs,
+    # emb_knn_label and doc_ngram_pairs displaced too — fifth through
+    # ninth new gates; the displaced star shapes are plan-pinned,
+    # doc_simhash_pairs / doc_containment_pairs stay in-window
+    # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
     "doc_token_stats",
     "doc_quality",
     "doc_langid",
     "doc_fingerprints",
     "doc_exact_dedup",
-    "doc_ngram_pairs",
     "doc_simhash_pairs",
     "emb_ann_topk",
     "emb_neardup",

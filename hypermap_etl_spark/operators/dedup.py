@@ -139,6 +139,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All ordered pairs with shingle CONTAINMENT ≥ threshold:
+    C(A→B) = |A∩B| / |A| — the asymmetric companion of
+    :func:`ngram_jaccard_pairs`. Jaccard misses the quote/wrapper
+    case entirely: a 50-shingle doc embedded verbatim in a 5000-shingle
+    doc has J ≈ 0.01 but C(small→big) = 1.0 — exactly the
+    sub-document duplication (quoted articles, scraped wrappers,
+    documents re-posted with added boilerplate) that span-grain dedup
+    mines positionally and this mines set-wise (Broder's containment,
+    the form the dedup literature uses alongside resemblance).
+
+    Output: (doc_a, doc_b, containment) where containment = C(A→B),
+    BOTH directions emitted when both clear the threshold (the
+    direction tells you which doc is the subset). Plan shape is
+    ngram_jaccard_pairs' — inverted-index self-join, intersection
+    counts, sizes from the uncapped index — with the same
+    lower-bound semantics under ``max_doc_freq``.
+    """
+    full = shingle_index(docs, text_col, n)
+    sizes = full.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _cap_hot_shingles(full, max_doc_freq)
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    with_sizes = inter.join(
+        sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+    ).join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+    fwd = with_sizes.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / F.col("sa.n_sh"), 6).alias("containment"),
+    )
+    rev = with_sizes.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        F.round(F.col("n_inter") / F.col("sb.n_sh"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ----------------------------------------------------------- MinHash LSH ----
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_col: str = "text") -> DataFrame:

@@ -755,6 +755,54 @@ ORDER BY doc_id
 
 
 @plan_cache
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (dedup.ngram_containment_pairs,
+    C(A→B)=|A∩B|/|A| ≥ 0.9): every 5th document gets a synthetic
+    15-word 'quote' companion (its own prefix — a sub-document), which
+    Jaccard at any useful threshold misses but containment flags at
+    ~1.0 in the quote→original direction. The oracle computes the
+    exact quadratic containment over the same corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 15), " ").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return dedup.ngram_containment_pairs(corpus, threshold=0.9).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+w AS (SELECT doc_id, lower(text) AS t FROM corpus),
+sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM w),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dirs AS (
+  SELECT doc_a, doc_b, ROUND(c / x.n, 6) AS containment
+  FROM inter JOIN sz x ON x.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, ROUND(c / y.n, 6) AS containment
+  FROM inter JOIN sz y ON y.doc_id = doc_b
+)
+SELECT * FROM dirs WHERE containment >= 0.9 ORDER BY doc_a, doc_b
+"""
+
+
+@plan_cache
 def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher §A1.1 structural screens (curation.gopher_quality).
     The fixture corpus is single-line prose, so the gate builds a
@@ -2664,6 +2712,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_ppl_buckets": (doc_ppl_buckets, PPL_BUCKETS_ORACLE),
     "doc_kn_logprob": (doc_kn_logprob, KN_LOGPROB_ORACLE),
     "doc_gopher_quality": (doc_gopher_quality, GOPHER_QUALITY_ORACLE),
+    "doc_containment_pairs": (doc_containment_pairs, CONTAINMENT_ORACLE),
     "emb_pq_recall": (emb_pq_recall, PQ_RECALL_ORACLE),
     "doc_packed_strict": (doc_packed_strict, PACKED_STRICT_ORACLE),
     "emb_ivf_index_recall": (emb_ivf_index_recall, IVF_INDEX_RECALL_ORACLE),

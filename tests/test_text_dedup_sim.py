@@ -1240,3 +1240,35 @@ def test_kn_bigram_logprob_rejects_bad_discount(spark):
         kn_bigram_logprob(docs, discount=0.0)
     with pytest.raises(ValueError):
         kn_bigram_logprob(docs, discount=1.0)
+
+
+def test_ngram_containment_flags_subdocument_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    flags it in the subset→superset direction; Jaccard at any useful
+    threshold stays silent."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.replace("w", "v"))],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert out.get((1, 2)) == 1.0      # quote fully contained
+    assert (2, 1) not in out            # superset direction far below 0.9
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert not jac                      # resemblance misses it entirely
+
+
+def test_ngram_containment_symmetric_duplicates_emit_both_directions(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert out == {(1, 2): 1.0, (2, 1): 1.0}
