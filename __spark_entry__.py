@@ -102,10 +102,11 @@ _WINDOW: list[str] = [
     "doc_gopher_quality",
     "events_pseudonymized",
     "doc_containment_pairs",
+    "events_value_psi",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
-    # emb_knn_label and doc_ngram_pairs displaced too — fifth through
-    # ninth new gates; the displaced star shapes are plan-pinned,
+    # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
+    # fifth through tenth new gates; the displaced star shapes are plan-pinned,
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
@@ -116,7 +117,6 @@ _WINDOW: list[str] = [
     "doc_exact_dedup",
     "doc_simhash_pairs",
     "emb_ann_topk",
-    "emb_neardup",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

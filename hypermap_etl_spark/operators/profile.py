@@ -142,3 +142,87 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """Collapse a :func:`table_diff` result to (status, n) counts —
     the one-line drop report."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index screen between two snapshots of a
+    numeric column — the distribution-drift complement of
+    :func:`table_diff` (which sees identity, not shape): did the VALUE
+    DISTRIBUTION move between corpus drops, even where keys differ?
+    Industry rule of thumb: Σ terms < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted.
+
+    Bins are equal-width over the COMBINED extent, computed in exact
+    integer cents (the lineitem_price_histogram discipline — bin
+    membership is integer math, bit-identical in any engine; quantile
+    edges would hang engine-parity on interpolation ulps). Zero
+    fractions floor at ``eps`` so empty bins contribute a finite
+    term, the standard PSI convention.
+
+    Output: one row per bin — (bin, n_old, n_new, psi_term), with
+    psi_term = (p_new − p_old)·ln(p_new/p_old) rounded to 6;
+    Σ psi_term is the PSI. Per-bin terms (not the pre-summed total)
+    keep every float rounding a per-row operation.
+
+    Scale shape: two map-combined bin-count aggregates (the shuffle
+    carries n_bins rows per side), extents from two tiny aggregates;
+    the bin grid is a broadcast literal. Two full scans — one per
+    snapshot — is the floor for any two-population comparison.
+    """
+    if n_bins < 2:
+        raise ValueError("psi_drift: need n_bins >= 2")
+
+    def cents(df: DataFrame):
+        return df.select(
+            (F.col(value_col).cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("__c")
+        ).filter(F.col("__c").isNotNull())
+
+    o, n = cents(old), cents(new)
+    ext = (
+        o.unionByName(n)
+        .agg(F.min("__c").alias("lo"), F.max("__c").alias("hi"))
+        .collect()[0]
+    )
+    if ext["lo"] is None:
+        raise ValueError("psi_drift: no non-null values in either snapshot")
+    lo, hi = int(ext["lo"]), int(ext["hi"])
+    span = hi - lo + 1  # integer width: bin = (c-lo)·n_bins div span, exact
+
+    def binned(df: DataFrame, name: str):
+        # integer `div`, never a double divide + cast: Spark truncates
+        # double→long while DuckDB rounds, so only pure integer math
+        # keeps bin membership engine-identical
+        b = F.expr(f"((__c - {lo}L) * {n_bins}) div {span}L")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spark = old.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (
+        grid.join(binned(o, "n_old"), "bin", "left")
+        .join(binned(n, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    t_old = o.count() or 1
+    t_new = n.count() or 1
+    p_old = F.greatest(F.col("n_old") / F.lit(float(t_old)), F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / F.lit(float(t_new)), F.lit(eps))
+    return counts.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    ).orderBy("bin")

@@ -1279,6 +1279,67 @@ ORDER BY item
 """
 
 
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift screen (profile.psi_drift, 10 equal-width bins in
+    exact integer cents): even-id events play the old snapshot, odd-id
+    events play a new drop whose values shifted by +50 — a real
+    distribution move the per-bin PSI terms must quantify. Bin
+    membership is pure integer math (engine-identical); only the final
+    per-bin term touches floats, rounded at 6."""
+    from hypermap_etl_spark.operators.profile import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") + 50).alias("value")
+    )
+    return psi_drift(old, new, "value", n_bins=10)
+
+
+PSI_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+),
+n AS (
+  SELECT CAST(CAST(value + 50 AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+),
+ext AS (
+  SELECT MIN(c) AS lo, MAX(c) AS hi
+  FROM (SELECT c FROM o UNION ALL SELECT c FROM n)
+),
+grid AS (SELECT unnest(range(10)) AS bin),
+ob AS (
+  SELECT ((c - (SELECT lo FROM ext)) * 10)
+           // ((SELECT hi - lo + 1 FROM ext)) AS bin, COUNT(*) AS n_old
+  FROM o GROUP BY 1
+),
+nb AS (
+  SELECT ((c - (SELECT lo FROM ext)) * 10)
+           // ((SELECT hi - lo + 1 FROM ext)) AS bin, COUNT(*) AS n_new
+  FROM n GROUP BY 1
+),
+counts AS (
+  SELECT g.bin, COALESCE(ob.n_old, 0) AS n_old, COALESCE(nb.n_new, 0) AS n_new
+  FROM grid g LEFT JOIN ob ON ob.bin = g.bin LEFT JOIN nb ON nb.bin = g.bin
+),
+tot AS (SELECT (SELECT COUNT(*) FROM o) AS t_old, (SELECT COUNT(*) FROM n) AS t_new)
+SELECT bin, n_old, n_new,
+       ROUND(
+         (GREATEST(n_new / CAST((SELECT t_new FROM tot) AS DOUBLE),
+                   CAST(0.000001 AS DOUBLE))
+          - GREATEST(n_old / CAST((SELECT t_old FROM tot) AS DOUBLE),
+                     CAST(0.000001 AS DOUBLE)))
+         * ln(GREATEST(n_new / CAST((SELECT t_new FROM tot) AS DOUBLE),
+                       CAST(0.000001 AS DOUBLE))
+              / GREATEST(n_old / CAST((SELECT t_old FROM tot) AS DOUBLE),
+                         CAST(0.000001 AS DOUBLE))),
+         6) AS psi_term
+FROM counts ORDER BY bin
+"""
+
+
 def events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization (curation.pseudonymize): user ids become
     sha256(salt||id) prefixes, and the gate proves LINKAGE SURVIVES —
@@ -2686,6 +2747,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_heavy_hitters": (events_heavy_hitters, HEAVY_HITTERS_ORACLE),
     "events_salted_join": (events_salted_join, SALTED_JOIN_ORACLE),
     "events_pseudonymized": (events_pseudonymized, PSEUDONYMIZED_ORACLE),
+    "events_value_psi": (events_value_psi, PSI_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),

@@ -178,3 +178,43 @@ def test_table_diff_compare_col_selection(spark):
         table_diff(old, new, ["k"], compare_cols=["only_old"])
     with _pytest.raises(ValueError):
         table_diff(old, new, [])
+
+
+# ------------------------------------------------------------ psi_drift ----
+
+def test_psi_drift_identical_zero_shifted_large(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.profile import psi_drift
+
+    vals = [(float(i % 40),) for i in range(400)]
+    a = spark.createDataFrame(vals, "value double")
+    same = {r["bin"]: r["psi_term"] for r in psi_drift(a, a, "value").collect()}
+    assert len(same) == 10 and all(t == 0.0 for t in same.values())
+
+    shifted = spark.createDataFrame(
+        [(v + 30.0,) for (v,) in vals], "value double"
+    )
+    terms = [r["psi_term"] for r in psi_drift(a, shifted, "value").collect()]
+    assert len(terms) == 10
+    assert sum(terms) > 0.25  # industry "shifted" threshold
+
+    with pytest.raises(ValueError):
+        psi_drift(a, a, "value", n_bins=1)
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError):
+        psi_drift(empty, empty, "value")
+
+
+def test_psi_drift_counts_partition_and_null_safe(spark):
+    from hypermap_etl_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "value double"
+    )
+    b = spark.createDataFrame([(float(i),) for i in range(50)], "value double")
+    out = psi_drift(a.repartition(7), b.repartition(3), "value").collect()
+    assert sum(r["n_old"] for r in out) == 100  # null dropped
+    assert sum(r["n_new"] for r in out) == 50
+    # new values live only in the lower half of the combined extent
+    assert all(r["n_new"] == 0 for r in out if r["bin"] >= 5)
