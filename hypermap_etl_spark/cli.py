@@ -722,6 +722,25 @@ def cmd_snapshot(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_pseudo(args) -> None:
+    """Keyed pseudonymization of identifier columns
+    (curation.pseudonymize): linkage-preserving sha256-prefix tokens,
+    written as a new table."""
+    from hypermap_etl_spark.operators.curation import pseudonymize
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    cols = [c.strip() for c in args.cols.split(",")]
+    out = pseudonymize(df, cols, salt=args.salt, prefix_len=args.prefix_len)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "rows": spark.read.parquet(args.out).count(),
+        "cols": cols,
+        "prefix_len": args.prefix_len,
+        "out": args.out,
+    }))
+
+
 def cmd_buckets(args) -> None:
     """CCNet-style quality bucketing: score every document with the
     corpus's own bigram LM (textstats.bigram_logprob), then split each
@@ -942,6 +961,14 @@ def main(argv=None) -> None:
     p.add_argument("--keys", default="doc_id",
                    help="comma-separated diff key columns")
     p.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    p = sub.add_parser("pseudo",
+                       help="keyed pseudonymization of identifier columns")
+    p.add_argument("--table", required=True, help="input parquet")
+    p.add_argument("--cols", required=True, help="comma-separated id columns")
+    p.add_argument("--salt", required=True,
+                   help="secret salt (same salt → same tokens across tables)")
+    p.add_argument("--prefix-len", type=int, default=16)
+    p.add_argument("--out", required=True)
     p = sub.add_parser("buckets",
                        help="CCNet head/middle/tail quality buckets "
                             "(bigram-LM score + per-language quantiles)")
@@ -984,7 +1011,7 @@ def main(argv=None) -> None:
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
-        "buckets": cmd_buckets, "snapshot": cmd_snapshot,
+        "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
     }[args.cmd](args)
 
 

@@ -192,6 +192,41 @@ def ngram_containment_pairs(
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
+def containment_survivors(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Drop documents CONTAINED in another document (quotes, wrapped
+    re-posts): a doc is dropped when C(doc → other) ≥ threshold for
+    any other doc — the superset copy survives; mutual containment
+    (near-identical docs) keeps the lower id, matching
+    dedup_survivors' rep policy. One anti-join of the corpus against
+    the contained set mined by :func:`ngram_containment_pairs`."""
+    pairs = ngram_containment_pairs(docs, threshold, n, text_col, max_doc_freq)
+    mutual = pairs.alias("p").join(
+        pairs.alias("q"),
+        (F.col("p.doc_a") == F.col("q.doc_b"))
+        & (F.col("p.doc_b") == F.col("q.doc_a")),
+        "left_semi",
+    )
+    # one-way containments drop doc_a always; mutual ones only when
+    # doc_a is the higher id (lower id survives as the representative)
+    drop = (
+        pairs.join(
+            mutual.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).select("doc_a")
+        .unionByName(
+            mutual.filter(F.col("doc_a") > F.col("doc_b")).select("doc_a")
+        )
+        .distinct()
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 # ----------------------------------------------------------- MinHash LSH ----
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, text_col: str = "text") -> DataFrame:

@@ -1272,3 +1272,23 @@ def test_ngram_containment_symmetric_duplicates_emit_both_directions(spark):
         for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
     }
     assert out == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_survivors_keeps_superset_and_rep(spark):
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                         # contained in 2 → dropped
+            (2, filler + " " + quote),          # superset → survives
+            (3, "totally unrelated words here entirely"),
+            (10, "same text both ways exactly five words more"),
+            (11, "same text both ways exactly five words more"),  # mutual: higher id drops
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.containment_survivors(docs, threshold=0.9).collect()
+    }
+    assert kept == {2, 3, 10}
