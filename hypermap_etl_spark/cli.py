@@ -719,6 +719,23 @@ def cmd_snapshot(args) -> None:
         out["summary"] = {
             r["status"]: r["n"] for r in diff_summary(d).collect()
         }
+        if args.psi_col:
+            from hypermap_etl_spark.operators.profile import psi_drift
+
+            terms = psi_drift(
+                V.read_version(spark, args.table, old_v),
+                V.read_version(spark, args.table, new_v),
+                args.psi_col,
+            ).collect()
+            out["psi"] = {
+                "column": args.psi_col,
+                "value": round(sum(r["psi_term"] for r in terms), 6),
+                "verdict": (
+                    "stable" if sum(r["psi_term"] for r in terms) < 0.1
+                    else "drifting" if sum(r["psi_term"] for r in terms) < 0.25
+                    else "shifted"
+                ),
+            }
     print(json.dumps(out))
 
 
@@ -961,6 +978,9 @@ def main(argv=None) -> None:
     p.add_argument("--keys", default="doc_id",
                    help="comma-separated diff key columns")
     p.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    p.add_argument("--psi-col", default=None,
+                   help="diff: also report PSI distribution drift of "
+                        "this numeric column between the two versions")
     p = sub.add_parser("pseudo",
                        help="keyed pseudonymization of identifier columns")
     p.add_argument("--table", required=True, help="input parquet")

@@ -475,3 +475,20 @@ def test_cli_curate_gopher(spark, capsys):
     assert rep["docs_out"] >= 1
     assert rep["docs_out"] == (rep["docs_in"] - rep["dropped_quality"]
                                - rep["dropped_gopher"] - rep["dropped_dups"])
+
+
+def test_cli_snapshot_diff_psi(spark, capsys):
+    from hypermap_etl_spark.sources import versioned as V
+
+    base = tempfile.mkdtemp()
+    tbl = f"{base}/tbl"
+    a = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(200)], "doc_id long, value double"
+    )
+    V.write_version(a, tbl)
+    V.write_version(a, tbl)  # identical second drop
+    main(["snapshot", "diff", "--table", tbl, "--keys", "doc_id",
+          "--psi-col", "value"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["summary"] == {"unchanged": 200}
+    assert rep["psi"]["value"] == 0.0 and rep["psi"]["verdict"] == "stable"
