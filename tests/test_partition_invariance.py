@@ -59,6 +59,11 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_ppl_buckets"),
     ("doc_queries", "doc_kn_logprob"),
     ("star_queries", "events_heavy_hitters"),
+    # r5 build session late wave: per-bin PSI terms are rounded floats
+    # over layout-independent integer bin counts; containment is a
+    # per-pair ratio of exact intersection counts — both pinned
+    ("star_queries", "events_value_psi"),
+    ("doc_queries", "doc_containment_pairs"),
 ]
 
 
