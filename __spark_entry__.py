@@ -103,6 +103,11 @@ _WINDOW: list[str] = [
     "events_pseudonymized",
     "doc_containment_pairs",
     "events_value_psi",
+    # new in the r5 continuation session: the Deequ-style constraint
+    # suite (first-time evidence displaces doc_token_stats — pure
+    # counting, untouched since r2, operator shared with r4-green
+    # doc_vocab)
+    "orders_constraints",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -110,7 +115,6 @@ _WINDOW: list[str] = [
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
-    "doc_token_stats",
     "doc_quality",
     "doc_langid",
     "doc_fingerprints",

@@ -1372,6 +1372,139 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite
+    (operators/constraints.py, the Deequ-style drop-admission screen):
+    nine checks over ``orders`` — completeness, key uniqueness,
+    set/range/pattern membership, row count, and referential integrity
+    against ``customer`` — evaluated in ONE scan plus one anti-join,
+    reported long-format. One check (totalprice <= 1000 for >= half
+    the rows) is deliberately failing so the report's verdict column
+    is exercised in both polarities. Observed fractions are ratios of
+    exact integer counts (engine-identical IEEE division)."""
+    from hypermap_etl_spark.operators.constraints import (
+        check_constraints,
+        completeness,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        references,
+        row_count,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        completeness("o_custkey", 0.9),
+        in_set("o_orderstatus", ["O", "F", "P"]),
+        in_range("o_totalprice", lo=0, hi=1000000),
+        in_range("o_totalprice", lo=0, hi=1000, at_least=0.5),
+        matches("o_orderpriority", "^[1-5]-"),
+        row_count(at_least=1),
+        references("o_custkey", "customer", "c_custkey"),
+    ]
+    rep = check_constraints(orders, checks, refs={"customer": cust})
+    return rep.orderBy("constraint")
+
+
+CONSTRAINTS_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_orderkey) AS nn_key,
+         COUNT(DISTINCT o_orderkey) AS d_key,
+         COUNT(o_custkey) AS nn_cust,
+         COUNT(o_orderstatus) AS nn_status,
+         COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS ok_status,
+         COUNT(o_totalprice) AS nn_price,
+         COUNT(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 1000000
+               THEN 1 END) AS ok_wide,
+         COUNT(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 1000
+               THEN 1 END) AS ok_tight,
+         COUNT(o_orderpriority) AS nn_prio,
+         COUNT(CASE WHEN regexp_matches(CAST(o_orderpriority AS VARCHAR),
+                                        '^[1-5]-') THEN 1 END) AS ok_prio
+  FROM orders
+),
+orph AS (
+  SELECT COUNT(*) AS orphans FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND o.o_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+)
+SELECT * FROM (
+  SELECT 'not_null(o_orderkey)' AS "constraint", 'not_null' AS kind,
+         'o_orderkey' AS "column",
+         CAST(nn_key AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+         CAST(1.0 AS DOUBLE) AS threshold,
+         CAST(nn_key AS DOUBLE) / CAST(n AS DOUBLE) >= CAST(1.0 AS DOUBLE)
+           AS passed
+  FROM m
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'unique', 'o_orderkey',
+         CASE WHEN nn_key = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(d_key AS DOUBLE) / CAST(nn_key AS DOUBLE) END,
+         CAST(1.0 AS DOUBLE), d_key = nn_key
+  FROM m
+  UNION ALL
+  SELECT 'completeness(o_custkey)', 'completeness', 'o_custkey',
+         CAST(nn_cust AS DOUBLE) / CAST(n AS DOUBLE),
+         CAST(0.9 AS DOUBLE),
+         CAST(nn_cust AS DOUBLE) / CAST(n AS DOUBLE) >= CAST(0.9 AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'in_set', 'o_orderstatus',
+         CASE WHEN nn_status = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_status AS DOUBLE) / CAST(nn_status AS DOUBLE) END,
+         CAST(1.0 AS DOUBLE),
+         CASE WHEN nn_status = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_status AS DOUBLE) / CAST(nn_status AS DOUBLE) END
+           >= CAST(1.0 AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,1000000)', 'in_range', 'o_totalprice',
+         CASE WHEN nn_price = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_wide AS DOUBLE) / CAST(nn_price AS DOUBLE) END,
+         CAST(1.0 AS DOUBLE),
+         CASE WHEN nn_price = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_wide AS DOUBLE) / CAST(nn_price AS DOUBLE) END
+           >= CAST(1.0 AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,1000)', 'in_range', 'o_totalprice',
+         CASE WHEN nn_price = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_tight AS DOUBLE) / CAST(nn_price AS DOUBLE) END,
+         CAST(0.5 AS DOUBLE),
+         CASE WHEN nn_price = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_tight AS DOUBLE) / CAST(nn_price AS DOUBLE) END
+           >= CAST(0.5 AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'matches', 'o_orderpriority',
+         CASE WHEN nn_prio = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_prio AS DOUBLE) / CAST(nn_prio AS DOUBLE) END,
+         CAST(1.0 AS DOUBLE),
+         CASE WHEN nn_prio = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(ok_prio AS DOUBLE) / CAST(nn_prio AS DOUBLE) END
+           >= CAST(1.0 AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'row_count(1,None)', 'row_count', '',
+         CAST(n AS DOUBLE), CAST(1.0 AS DOUBLE), n >= 1
+  FROM m
+  UNION ALL
+  SELECT 'references(o_custkey->customer.c_custkey)', 'references',
+         'o_custkey', CAST(orphans AS DOUBLE), CAST(0.0 AS DOUBLE),
+         orphans = 0
+  FROM orph
+)
+ORDER BY "constraint"
+"""
+
+
 def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct users per event_type from the 64 smallest md5 fractions —
@@ -2748,6 +2881,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_salted_join": (events_salted_join, SALTED_JOIN_ORACLE),
     "events_pseudonymized": (events_pseudonymized, PSEUDONYMIZED_ORACLE),
     "events_value_psi": (events_value_psi, PSI_ORACLE),
+    "orders_constraints": (orders_constraints, CONSTRAINTS_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),
