@@ -794,6 +794,77 @@ def cmd_buckets(args) -> None:
     }))
 
 
+def cmd_check(args) -> None:
+    """Data-quality constraint suite (operators/constraints.py): run a
+    JSON-declared Deequ-style check spec against a parquet table, print
+    the verdict, optionally write the long-format report. Exit code 1
+    on a failed suite — the CI/admission-gate contract."""
+    import os
+
+    from hypermap_etl_spark.operators import constraints as C
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    spec_src = args.spec
+    if os.path.exists(spec_src):
+        with open(spec_src) as fh:
+            spec = json.load(fh)
+    else:
+        spec = json.loads(spec_src)
+    if not isinstance(spec, list):
+        raise SystemExit("check: spec must be a JSON list of checks")
+
+    builders = {
+        "not_null": lambda d: C.not_null(d["column"]),
+        "completeness": lambda d: C.completeness(d["column"], d["at_least"]),
+        "unique": lambda d: C.unique(d["column"]),
+        "in_range": lambda d: C.in_range(
+            d["column"], d.get("lo"), d.get("hi"), d.get("at_least", 1.0)
+        ),
+        "non_negative": lambda d: C.non_negative(
+            d["column"], d.get("at_least", 1.0)
+        ),
+        "in_set": lambda d: C.in_set(
+            d["column"], d["values"], d.get("at_least", 1.0)
+        ),
+        "matches": lambda d: C.matches(
+            d["column"], d["pattern"], d.get("at_least", 1.0)
+        ),
+        "row_count": lambda d: C.row_count(d.get("at_least"), d.get("at_most")),
+        "references": lambda d: C.references(
+            d["column"], d["ref"], d["ref_column"]
+        ),
+    }
+    checks = []
+    for d in spec:
+        kind = d.get("kind")
+        if kind not in builders:
+            raise SystemExit(f"check: unknown kind {kind!r}")
+        checks.append(builders[kind](d))
+
+    refs = {}
+    for pair in args.ref:
+        name, _, path = pair.partition("=")
+        if not path:
+            raise SystemExit("check: --ref needs name=path")
+        refs[name] = spark.read.parquet(path)
+
+    report = C.check_constraints(df, checks, refs=refs)
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+        report = spark.read.parquet(args.out)
+    rows = report.collect()
+    failures = sorted(r["constraint"] for r in rows if not r["passed"])
+    print(json.dumps({
+        "checks": len(rows),
+        "passed": not failures,
+        "failures": failures,
+        "out": args.out,
+    }))
+    if failures:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="hypermap_etl_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1003,6 +1074,17 @@ def main(argv=None) -> None:
     p.add_argument("--target", required=True, help="target-domain documents parquet")
     p.add_argument("--out", required=True, help="weights output parquet")
     p.add_argument("--buckets", type=int, default=4096)
+    p = sub.add_parser("check",
+                       help="data-quality constraint suite over a parquet "
+                            "table (JSON spec; exit 1 on failure)")
+    p.add_argument("--table", required=True, help="input parquet")
+    p.add_argument("--spec", required=True,
+                   help="JSON file path or inline JSON list of checks")
+    p.add_argument("--ref", action="append", default=[],
+                   help="name=path dimension parquet for references checks "
+                        "(repeatable)")
+    p.add_argument("--out", default=None,
+                   help="write the long-format report parquet")
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -1032,6 +1114,7 @@ def main(argv=None) -> None:
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
+        "check": cmd_check,
     }[args.cmd](args)
 
 

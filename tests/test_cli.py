@@ -492,3 +492,37 @@ def test_cli_snapshot_diff_psi(spark, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["summary"] == {"unchanged": 200}
     assert rep["psi"]["value"] == 0.0 and rep["psi"]["verdict"] == "stable"
+
+
+def test_cli_check(spark, capsys, tmp_path):
+    import pytest
+
+    spec = [
+        {"kind": "not_null", "column": "o_orderkey"},
+        {"kind": "unique", "column": "o_orderkey"},
+        {"kind": "references", "column": "o_custkey",
+         "ref": "customer", "ref_column": "c_custkey"},
+    ]
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec))
+    out = str(tmp_path / "report")
+    main([
+        "check", "--table", "/root/testdata/sf0.001/orders.parquet",
+        "--spec", str(spec_file),
+        "--ref", "customer=/root/testdata/sf0.001/customer.parquet",
+        "--out", out,
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["passed"] is True and rep["checks"] == 3
+    assert spark.read.parquet(out).count() == 3
+
+    # a failing suite exits 1 (the admission-gate contract)
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "check", "--table", "/root/testdata/sf0.001/orders.parquet",
+            "--spec",
+            '[{"kind":"in_range","column":"o_totalprice","lo":0,"hi":1}]',
+        ])
+    assert exc.value.code == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["failures"] == ["in_range(o_totalprice,0,1)"]
