@@ -108,6 +108,10 @@ _WINDOW: list[str] = [
     # counting, untouched since r2, operator shared with r4-green
     # doc_vocab)
     "orders_constraints",
+    # leakage-safe group split (displaces doc_quality — the quality
+    # dimension keeps three fresher in-window gates: doc_gopher_quality,
+    # doc_model_scores, doc_ppl_buckets)
+    "doc_group_split",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -115,7 +119,6 @@ _WINDOW: list[str] = [
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
-    "doc_quality",
     "doc_langid",
     "doc_fingerprints",
     "doc_exact_dedup",

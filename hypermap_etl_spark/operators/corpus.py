@@ -125,16 +125,49 @@ def hash_split(
     md5 (not xxhash64) because the oracle must reproduce it bit-for-bit
     in any SQL engine.
     """
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return docs.withColumn(
+        "split", _md5_split(F.col(id_col), val_buckets, test_buckets)
+    )
+
+
+def _md5_split(key: Column, val_buckets: int, test_buckets: int) -> Column:
+    bucket = F.substring(F.md5(key.cast("string")), 1, 2)
     hexes = [f"{i:02x}" for i in range(256)]
     test_lo = hexes[256 - test_buckets]
     val_lo = hexes[256 - test_buckets - val_buckets]
-    split = (
+    return (
         F.when(bucket >= F.lit(test_lo), F.lit("test"))
         .when(bucket >= F.lit(val_lo), F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    return docs.withColumn("split", split)
+
+
+def group_split(
+    docs: DataFrame,
+    group_col: str,
+    val_buckets: int = 3,
+    test_buckets: int = 3,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: bucket by md5 of the
+    GROUP key instead of the document id, so every member of a group
+    lands in the SAME split — the GroupShuffleSplit discipline. Group
+    by ``source``/domain to keep a site's boilerplate out of both
+    sides, or join in ``dedup.duplicate_clusters``' cluster_id first
+    to keep near-duplicates of every test document out of train (the
+    split-leakage failure mode :func:`hash_split` cannot see, since it
+    hashes ids that differ between near-dups).
+
+    Same 256-bucket md5 math as :func:`hash_split`, still a pure
+    per-row projection (the group key is a column — no shuffle, no
+    join). NULL group keys fall through to train (md5(NULL) is NULL,
+    which compares false to both bounds); group-key completeness is
+    :mod:`constraints`'s business.
+    """
+    if group_col not in docs.columns:
+        raise ValueError(f"group_split: column not in frame: {group_col}")
+    return docs.withColumn(
+        "split", _md5_split(F.col(group_col), val_buckets, test_buckets)
+    )
 
 
 # -------------------------------------------------------- token chunks ----

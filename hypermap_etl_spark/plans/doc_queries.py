@@ -609,6 +609,26 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split keyed on the SOURCE group
+    (corpus.group_split): every document of a source shares one split,
+    so a site's near-identical boilerplate can't straddle train/test.
+    Same md5 bucket math as doc_split, hashed on the group key."""
+    return corpus.group_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+    ).orderBy("doc_id")
+
+
+GROUP_SPLIT_ORACLE = """
+SELECT doc_id, source,
+  CASE WHEN substr(md5(CAST(source AS VARCHAR)), 1, 2) >= 'fd' THEN 'test'
+       WHEN substr(md5(CAST(source AS VARCHAR)), 1, 2) >= 'fa' THEN 'val'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token windows (64 tokens, 8 overlap) per document."""
     return corpus.token_chunks(
@@ -2739,6 +2759,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
+    "doc_group_split": (doc_group_split, GROUP_SPLIT_ORACLE),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_ORACLE),
     "doc_chunks": (doc_chunks, CHUNKS_ORACLE),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_ORACLE),

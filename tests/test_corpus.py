@@ -4,6 +4,7 @@ survivor sets."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators import corpus, dedup
@@ -50,6 +51,53 @@ def test_hash_split_deterministic_and_partitioned(spark):
     assert a == b
     frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in ("train", "val", "test")}
     assert frac["train"] > 0.95 and 0 < frac["val"] < 0.05 and 0 < frac["test"] < 0.05
+
+
+def test_group_split_cotravel_and_nulls(spark):
+    docs = spark.createDataFrame(
+        [(i, f"site{i % 40}" if i % 7 else None) for i in range(2000)],
+        "doc_id long, source string",
+    )
+    rows = corpus.group_split(docs, "source", val_buckets=40,
+                              test_buckets=40).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # every group is entirely inside one split (the leakage-safe property)
+    assert all(len(s) == 1 for g, s in by_group.items() if g is not None)
+    # with 40 groups and ~1/3 buckets each way, all three splits occur
+    assert {next(iter(s)) for g, s in by_group.items() if g is not None} == {
+        "train", "val", "test"
+    }
+    # NULL group keys fall through to train, deterministically
+    assert by_group[None] == {"train"}
+    with pytest.raises(ValueError, match="not in frame"):
+        corpus.group_split(docs, "nope")
+
+
+def test_group_split_composes_with_duplicate_clusters(spark):
+    """The leakage-safe recipe: near-dup pairs -> connected components
+    -> split by cluster_id; every member of a dup cluster co-travels."""
+    from hypermap_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    clusters = duplicate_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long"
+    )
+    keyed = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("gkey"),
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in corpus.group_split(keyed, "gkey").collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert set(out) == {1, 2, 3, 10, 11, 99}
 
 
 def test_train_filter_reasons(spark):
