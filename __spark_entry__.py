@@ -112,6 +112,10 @@ _WINDOW: list[str] = [
     # dimension keeps three fresher in-window gates: doc_gopher_quality,
     # doc_model_scores, doc_ppl_buckets)
     "doc_group_split",
+    # embedding-space outlier screen (displaces doc_fingerprints —
+    # fingerprint machinery keeps in-window coverage via
+    # doc_winnow_pairs, which exercises the same rolling-hash stack)
+    "emb_outliers",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -120,7 +124,6 @@ _WINDOW: list[str] = [
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
     "doc_langid",
-    "doc_fingerprints",
     "doc_exact_dedup",
     "doc_simhash_pairs",
     "emb_ann_topk",

@@ -1168,6 +1168,64 @@ def _moment_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier screen: distance-to-global-centroid
+    z-score per vector — the curation signal that flags mojibake,
+    truncated pages, and off-distribution junk whose EMBEDDING sits far
+    from the corpus mass even when surface heuristics pass. Output:
+    (id, dist, z, is_outlier) with dist/z rounded at 6 and the flag
+    computed on the ROUNDED z in both engines (so the verdict can
+    never hinge on a cross-engine ulp).
+
+    Scale shape: pass 1 aggregates the per-dim means (posexplode is
+    map-side; partial averages combine before the shuffle, so it
+    carries dims × tasks rows) and collects the d-vector to the driver
+    — the :func:`pca_fit` data/model split, driver sees O(d). Pass 2
+    scores every row against the broadcast centroid literal with a JVM
+    ``zip_with``/``aggregate`` fold (no Python, no shuffle) and takes
+    two scalar moments; pass 3 projects the z-scores. Three scans of
+    the embedding column, never a row-wise shuffle. σ = 0 (all vectors
+    identical) degenerates to z = 0 everywhere, flag false.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    el = emb.select(F.posexplode(vec).alias("__d", "__x"))
+    cen = {
+        r["__d"]: r["__m"]
+        for r in el.groupBy("__d").agg(F.avg("__x").alias("__m")).collect()
+    }
+    if not cen:
+        raise ValueError("centroid_outliers: no vectors")
+    ms = [cen[i] for i in range(len(cen))]
+    lit_c = F.array(*[F.lit(float(m)) for m in ms])
+    ss = F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.select(F.col(id_col), F.sqrt(ss).alias("__dist"))
+    st = scored.agg(
+        F.avg("__dist").alias("mu"), F.stddev_pop("__dist").alias("sg")
+    ).collect()[0]
+    mu, sg = float(st["mu"]), float(st["sg"])
+    z = (
+        F.lit(0.0)
+        if sg == 0.0
+        else (F.col("__dist") - F.lit(mu)) / F.lit(sg)
+    )
+    z_r = F.round(z, 6) + F.lit(0.0)
+    return scored.select(
+        F.col(id_col),
+        (F.round(F.col("__dist"), 6) + F.lit(0.0)).alias("dist"),
+        z_r.alias("z"),
+        (z_r > F.lit(float(z_thresh))).alias("is_outlier"),
+    )
+
+
 def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Distributed d x d population covariance of an embedding column -
     the PCA / whitening building block: cov[i][j] = E[x_i x_j] - mu_i

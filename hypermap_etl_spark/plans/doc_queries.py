@@ -2082,6 +2082,38 @@ ORDER BY i, j
 """
 
 
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen (similarity.centroid_outliers):
+    distance-to-global-centroid z-score per vector, flag at z > 2.
+    The verdict is computed on the 6-dp-ROUNDED z in both engines so
+    it can never hinge on a cross-engine summation ulp; `+ 0.0`
+    canonicalizes IEEE -0.0 like emb_covariance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, z_thresh=2.0).orderBy("vec_id")
+
+
+EMB_OUTLIERS_ORACLE = """
+WITH ds AS (SELECT unnest(generate_series(0, 63)) AS d),
+el AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN ds
+),
+cen AS (SELECT d, AVG(x) AS m FROM el GROUP BY d),
+dist AS (
+  SELECT vec_id, sqrt(SUM((x - m) * (x - m))) AS dist
+  FROM el JOIN cen USING (d) GROUP BY vec_id
+),
+st AS (SELECT AVG(dist) AS mu, stddev_pop(dist) AS sg FROM dist)
+SELECT vec_id,
+       ROUND(dist, 6) + 0.0 AS dist,
+       ROUND(CASE WHEN sg = 0 THEN 0.0 ELSE (dist - mu) / sg END, 6) + 0.0
+         AS z,
+       ROUND(CASE WHEN sg = 0 THEN 0.0 ELSE (dist - mu) / sg END, 6) + 0.0
+         > CAST(2.0 AS DOUBLE) AS is_outlier
+FROM dist, st ORDER BY vec_id
+"""
+
+
 @plan_cache
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights of every document toward the English
@@ -2798,4 +2830,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_kmeans_quality": (emb_kmeans_quality, KMEANS_QUALITY_ORACLE),
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
+    "emb_outliers": (emb_outliers, EMB_OUTLIERS_ORACLE),
 }

@@ -64,6 +64,12 @@ _FLOAT_GATES = [
     # per-pair ratio of exact intersection counts — both pinned
     ("star_queries", "events_value_psi"),
     ("doc_queries", "doc_containment_pairs"),
+    # r5 continuation: dist/z are rounded float sums and the outlier
+    # verdict compares the ROUNDED z, so layout must never flip it;
+    # the constraint suite's observed fractions are exact-integer
+    # ratios (invariant by construction — pinned against a rewrite)
+    ("doc_queries", "emb_outliers"),
+    ("star_queries", "orders_constraints"),
 ]
 
 

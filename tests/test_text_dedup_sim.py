@@ -1292,3 +1292,35 @@ def test_containment_survivors_keeps_superset_and_rep(spark):
         for r in dedup.containment_survivors(docs, threshold=0.9).collect()
     }
     assert kept == {2, 3, 10}
+
+
+def test_centroid_outliers_planted(spark):
+    """A vector planted far from a tight cluster is the one flagged;
+    z-scores are centered (mean ~0 over the corpus)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0.0, 0.05) for _ in range(8)]) for i in range(60)]
+    rows.append((999, [5.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.centroid_outliers(emb).collect()}
+    assert out[999]["is_outlier"] is True
+    flagged = [v for v, r in out.items() if r["is_outlier"]]
+    assert flagged == [999]
+    assert out[999]["z"] > 2.0 and out[999]["dist"] > out[0]["dist"]
+
+
+def test_centroid_outliers_degenerate_and_empty(spark):
+    import pytest
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.centroid_outliers(same).collect()
+    assert all(r["z"] == 0.0 and r["is_outlier"] is False for r in rows)
+    assert all(r["dist"] == 0.0 for r in rows)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no vectors"):
+        similarity.centroid_outliers(empty)
