@@ -116,6 +116,10 @@ _WINDOW: list[str] = [
     # fingerprint machinery keeps in-window coverage via
     # doc_winnow_pairs, which exercises the same rolling-hash stack)
     "emb_outliers",
+    # custom GROUPING SETS (displaces doc_langid — langid heuristic
+    # untouched since r2, its token machinery in-window via
+    # doc_gopher_quality/doc_kn_logprob)
+    "events_grouping_sets",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -123,7 +127,6 @@ _WINDOW: list[str] = [
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
-    "doc_langid",
     "doc_exact_dedup",
     "doc_simhash_pairs",
     "emb_ann_topk",

@@ -1212,6 +1212,51 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a custom set list — {(type, day), (type),
+    (day)} but NOT the grand total, a shape neither ROLLUP nor CUBE can
+    express (cube adds the () set; rollup can't produce (day) alone).
+    Completes the multi-level aggregation family next to orders_cube /
+    orders_rollup; one Expand + one hash aggregate, still a single
+    scan. Value sums in exact decimal, cast at the end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        _dec("value").alias("v"),
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"]],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')),
+                        (event_type),
+                        (strftime(ts, '%Y-%m-%d')))
+ORDER BY event_type, day
+"""
+
+
 CUBE_ORACLE = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -2882,6 +2927,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_pseudonymized": (events_pseudonymized, PSEUDONYMIZED_ORACLE),
     "events_value_psi": (events_value_psi, PSI_ORACLE),
     "orders_constraints": (orders_constraints, CONSTRAINTS_ORACLE),
+    "events_grouping_sets": (events_grouping_sets, GROUPING_SETS_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),

@@ -110,6 +110,9 @@ _TZ_SENSITIVE = [
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset
     "events_user_trend",
+    # r5 continuation: GROUPING SETS day labels come from
+    # date_format(ts) — a session-zone leak would shift day boundaries
+    "events_grouping_sets",
 ]
 
 
