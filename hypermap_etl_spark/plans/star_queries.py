@@ -1212,6 +1212,60 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension fold (operators/scd2.py): customer blessed at
+    t=1000, then an update snapshot at t=2000 that moves every
+    custkey % 7 == 3 into a PROMO-MOVED segment — those keys get a
+    closed v0 row plus a new current version; everyone else stays
+    single-row current. The oracle reconstructs the fold with
+    IS DISTINCT FROM change detection, so the md5-fingerprint shortcut
+    in scd2_apply is itself under test (the table_diff discipline)."""
+    from hypermap_etl_spark.operators.scd2 import scd2_apply, scd2_init
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim0 = scd2_init(cust, ["c_custkey"], ts_us=1000)
+    upd = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 3, F.lit("PROMO-MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return scd2_apply(dim0, upd, ["c_custkey"], ts_us=2000).orderBy(
+        "c_custkey", "valid_from_us"
+    )
+
+
+SCD2_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 3 THEN 'PROMO-MOVED'
+              ELSE c_mktsegment END AS new_seg
+  FROM cust
+),
+j AS (
+  SELECT c.c_custkey, c.c_mktsegment, u.new_seg,
+         c.c_mktsegment IS DISTINCT FROM u.new_seg AS changed
+  FROM cust c JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(1000 AS BIGINT) AS valid_from_us,
+       CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+FROM j WHERE NOT changed
+UNION ALL
+SELECT c_custkey, c_mktsegment, CAST(1000 AS BIGINT),
+       CAST(2000 AS BIGINT), FALSE
+FROM j WHERE changed
+UNION ALL
+SELECT c_custkey, new_seg, CAST(2000 AS BIGINT),
+       CAST(NULL AS BIGINT), TRUE
+FROM j WHERE changed
+ORDER BY c_custkey, valid_from_us
+"""
+
+
 def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with a custom set list — {(type, day), (type),
     (day)} but NOT the grand total, a shape neither ROLLUP nor CUBE can
@@ -2928,6 +2982,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_value_psi": (events_value_psi, PSI_ORACLE),
     "orders_constraints": (orders_constraints, CONSTRAINTS_ORACLE),
     "events_grouping_sets": (events_grouping_sets, GROUPING_SETS_ORACLE),
+    "customer_scd2": (customer_scd2, SCD2_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),
     "events_hll_users": (events_hll_users, HLL_ORACLE),
