@@ -123,6 +123,9 @@ _WINDOW: list[str] = [
     # SCD2 dimension fold (displaces doc_exact_dedup — same md5-keyed
     # groupBy machinery as r4-green doc_dedup_survivors)
     "customer_scd2",
+    # unigram-LM tokenizer seed stage (displaces doc_simhash_pairs —
+    # simhash keeps its r2-green row; first-time evidence wins)
+    "doc_unigram_seed",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -130,7 +133,6 @@ _WINDOW: list[str] = [
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
-    "doc_simhash_pairs",
     "emb_ann_topk",
 ]
 

@@ -196,6 +196,32 @@ def cmd_bpe(args) -> None:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
+    if args.algo == "unigram":
+        from hypermap_etl_spark.operators.unigram import (
+            unigram_segment,
+            unigram_train,
+        )
+
+        pieces, pieces_df = unigram_train(
+            docs, vocab_size=args.vocab_size, max_words=args.max_words
+        )
+        pieces_df.coalesce(1).write.mode("overwrite").parquet(args.out)
+        rep = {
+            "algo": "unigram",
+            "vocab": len(pieces),
+            "multi_char_pieces": sum(1 for p in pieces if len(p) > 1),
+        }
+        if args.segmented:
+            seg = unigram_segment(docs, pieces)
+            seg.write.mode("overwrite").parquet(args.segmented)
+            stats = spark.read.parquet(args.segmented).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_pieces").alias("total_tokens"),
+            ).collect()[0]
+            rep["segmented_docs"] = stats["docs"]
+            rep["total_tokens"] = stats["total_tokens"]
+        print(json.dumps(rep))
+        return
     merges, merges_df = bpe_train(
         docs,
         n_merges=args.merges,
@@ -971,11 +997,18 @@ def main(argv=None) -> None:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
-    p = sub.add_parser("bpe", help="train BPE merges + segment a documents parquet")
+    p = sub.add_parser("bpe", help="train a subword tokenizer (BPE merges "
+                              "or unigram-LM pieces) + segment a documents "
+                              "parquet")
     p.add_argument("--docs", required=True, help="documents parquet")
-    p.add_argument("--out", required=True, help="merges output parquet")
+    p.add_argument("--out", required=True, help="merges/pieces output parquet")
     p.add_argument("--segmented", default=None,
-                   help="optional output parquet of per-doc BPE tokens")
+                   help="optional output parquet of per-doc tokens")
+    p.add_argument("--algo", default="bpe", choices=["bpe", "unigram"],
+                   help="bpe = Sennrich merge loop; unigram = Kudo "
+                        "unigram-LM (EM + prune)")
+    p.add_argument("--vocab-size", type=int, default=400,
+                   help="unigram target vocabulary size")
     p.add_argument("--merges", type=int, default=200)
     p.add_argument("--min-pair-count", type=int, default=2)
     p.add_argument("--max-words", type=int, default=1_000_000,

@@ -483,6 +483,57 @@ FROM agg ORDER BY pair_count DESC, pl ASC, pr ASC LIMIT 1
 """
 
 
+def doc_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py), seed
+    stage certified end-to-end: the top-50 frequent substrings by
+    (count x length desc, piece asc) over the dictionary — every
+    substring occurrence of every distinct word up to 6 chars,
+    weighted by word frequency — which SQL reproduces exactly. The EM
+    + pruning loop is driver-side model-sized work under the
+    documented no-SQL-oracle policy, verified against likelihood
+    monotonicity / planted-piece properties in tests/test_unigram.py
+    (the doc_bpe_first_merge split)."""
+    from hypermap_etl_spark.operators import unigram
+    from hypermap_etl_spark.operators.bpe import word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = {
+        r["word"]: r["n"]
+        for r in word_frequencies(docs, max_words=None).collect()
+    }
+    seeds = unigram.seed_pieces(wf, max_piece_len=6, seed_size=2000)
+    rows = sorted(
+        ((p, int(n), int(n) * len(p)) for p, n in seeds.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:50]
+    return spark.createDataFrame(
+        rows, "piece string, total_n bigint, score bigint"
+    )
+
+
+UNIGRAM_SEED_ORACLE = """
+WITH w AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+pos AS (
+  SELECT word, n, CAST(t.i AS INT) AS i
+  FROM w, LATERAL unnest(generate_series(1, length(word))) AS t(i)
+),
+spans AS (
+  SELECT substr(word, i, CAST(l.v AS INT)) AS piece, n
+  FROM pos, LATERAL unnest(generate_series(1, 6)) AS l(v)
+  WHERE i + l.v - 1 <= length(word)
+),
+agg AS (SELECT piece, SUM(n) AS total_n FROM spans GROUP BY piece)
+SELECT piece, CAST(total_n AS BIGINT) AS total_n,
+       CAST(total_n * length(piece) AS BIGINT) AS score
+FROM agg
+ORDER BY score DESC, piece ASC LIMIT 50
+"""
+
+
 def doc_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed generalized suffix array (prefix doubling,
     operators/suffixarray.py) over a 10% doc subset: every suffix of
@@ -2788,6 +2839,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
     "doc_sa_lcp": (doc_sa_lcp, SA_LCP_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
+    "doc_unigram_seed": (doc_unigram_seed, UNIGRAM_SEED_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

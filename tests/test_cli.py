@@ -526,3 +526,19 @@ def test_cli_check(spark, capsys, tmp_path):
     assert exc.value.code == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["failures"] == ["in_range(o_totalprice,0,1)"]
+
+
+def test_cli_bpe_unigram(spark, capsys, tmp_path):
+    out, seg = str(tmp_path / "pieces"), str(tmp_path / "seg")
+    main([
+        "bpe", "--algo", "unigram",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--segmented", seg, "--vocab-size", "300",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["algo"] == "unigram"
+    assert 0 < rep["vocab"] <= 300 + 100  # singles floor can exceed target
+    assert rep["multi_char_pieces"] > 0
+    assert rep["segmented_docs"] == 500 and rep["total_tokens"] > 0
+    pieces = spark.read.parquet(out)
+    assert pieces.count() == rep["vocab"]
