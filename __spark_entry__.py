@@ -126,6 +126,12 @@ _WINDOW: list[str] = [
     # unigram-LM tokenizer seed stage (displaces doc_simhash_pairs —
     # simhash keeps its r2-green row; first-time evidence wins)
     "doc_unigram_seed",
+    # cross-document boilerplate removal (displaces emb_ann_topk, the
+    # final tail re-cert: its exactness certificate is r2-green and the
+    # operator also has in-window recall gates emb_lsh_recall /
+    # emb_ivf_recall / emb_pq_recall riding the same stack — with this
+    # the whole 50-slot window is first-time evidence)
+    "doc_boilerplate",
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
@@ -133,7 +139,6 @@ _WINDOW: list[str] = [
     # doc_simhash_pairs / doc_containment_pairs stay in-window
     # covering the simhash and inverted-index machinery, and
     # emb_knn_label's similarity.py was untouched all session)
-    "emb_ann_topk",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

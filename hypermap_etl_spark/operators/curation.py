@@ -850,3 +850,99 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate mining, the CCNet paragraph-hash
+    screen at line grain (Wenzek et al. 2020 §3.2 dedups paragraphs
+    seen across a shard; a site's nav/header/footer/cookie banner is
+    exactly the text that recurs across ITS OWN pages): a line is
+    boilerplate when its trimmed form appears in >= ``min_docs``
+    DISTINCT documents of the SAME source. Returns (source, line_hash,
+    n_docs) for the flagged lines.
+
+    Empty (all-whitespace) lines are never flagged — they are
+    formatting, not boilerplate, and stripping them would silently
+    reflow every paragraph.
+
+    Scale shape: one explode -> per-(source, doc, hash) distinct (the
+    within-doc repeat collapses map-side) -> one (source, hash) count.
+    The shuffle carries 16-byte md5 keys, never line text.
+    """
+    if min_docs < 2:
+        raise ValueError("boilerplate_lines: min_docs must be >= 2")
+    lines = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).select(
+        "source", "__doc", F.md5(F.trim(F.col("__line"))).alias("line_hash"),
+        F.trim(F.col("__line")).alias("__t"),
+    ).filter(F.col("__t") != "").drop("__t")
+    return (
+        lines.distinct()
+        .groupBy("source", "line_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document:
+    (id, source, cleaned text, n_dropped). Line order is preserved
+    (posexplode index, array_sort on reassembly); empty lines always
+    survive. A document that was ALL boilerplate comes back with
+    text = '' — downstream length filters (train_filter / c4_clean)
+    are the right place to drop it, not a silent row deletion here.
+
+    Scale shape: :func:`boilerplate_lines`' two shuffles, plus the
+    (source, hash)-keyed anti join and one doc-keyed reassembly
+    aggregate. Four exchanges total, each carrying hashes or line
+    text once — the floor for order-preserving surgery keyed by a
+    cross-document statistic.
+    """
+    bp = boilerplate_lines(docs, min_docs, text_col, source_col, id_col)
+    pos = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("line_hash", F.md5(F.trim(F.col("__line"))))
+    kept = pos.join(
+        bp.select("source", "line_hash"), ["source", "line_hash"], "left_anti"
+    )
+    rebuilt = kept.groupBy("__doc", "source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.col(source_col).alias("source"),
+        (F.size(F.split(F.col(text_col), "\n"))).cast("long").alias("__n_all"),
+    )
+    # left join so an all-boilerplate document survives as text = ''
+    return base.join(rebuilt, ["__doc", "source"], "left").select(
+        F.col("__doc").alias(id_col),
+        "source",
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        (F.col("__n_all") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )

@@ -483,6 +483,70 @@ FROM agg ORDER BY pair_count DESC, pl ASC, pr ASC LIMIT 1
 """
 
 
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal
+    (curation.strip_boilerplate, the CCNet paragraph-hash screen at
+    line grain). The fixture corpus is single-line, so the gate builds
+    a page per document: a per-source shared header (recurs across the
+    source's docs — stripped), the doc body, a footer on even ids
+    (also recurs — stripped), and a doc-unique trailer (survives).
+    The oracle replays the mining and the order-preserving surgery."""
+    docs = load_table(spark, sf_dir, "documents")
+    paged = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header of "), F.col("source")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("standard footer.")),
+            F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return curation.strip_boilerplate(paged, min_docs=3).orderBy("doc_id")
+
+
+BOILERPLATE_ORACLE = """
+WITH paged AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'header of ' || source,
+           text,
+           CASE WHEN doc_id % 2 = 0 THEN 'standard footer.' END,
+           'unique ' || CAST(doc_id AS VARCHAR)) AS text
+  FROM documents
+),
+lns AS (
+  SELECT p.doc_id, p.source, CAST(t.i AS INT) AS pos,
+         list_extract(string_split(p.text, chr(10)), CAST(t.i AS INT)) AS line
+  FROM paged p,
+       LATERAL unnest(generate_series(
+         1, len(string_split(p.text, chr(10))))) AS t(i)
+),
+bp AS (
+  SELECT source, h FROM (
+    SELECT DISTINCT source, doc_id, md5(trim(line)) AS h
+    FROM lns WHERE trim(line) <> ''
+  ) GROUP BY source, h HAVING COUNT(*) >= 3
+),
+kept AS (
+  SELECT l.doc_id, l.source, l.pos, l.line
+  FROM lns l LEFT JOIN bp
+    ON bp.source = l.source AND bp.h = md5(trim(l.line))
+  WHERE bp.h IS NULL
+),
+alln AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_all FROM paged
+)
+SELECT k.doc_id, k.source,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+       CAST(a.n_all - COUNT(*) AS BIGINT) AS n_dropped
+FROM kept k JOIN alln a ON a.doc_id = k.doc_id
+GROUP BY k.doc_id, k.source, a.n_all
+ORDER BY k.doc_id
+"""
+
+
 def doc_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/unigram.py), seed
     stage certified end-to-end: the top-50 frequent substrings by
@@ -2840,6 +2904,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_sa_lcp": (doc_sa_lcp, SA_LCP_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
     "doc_unigram_seed": (doc_unigram_seed, UNIGRAM_SEED_ORACLE),
+    "doc_boilerplate": (doc_boilerplate, BOILERPLATE_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

@@ -712,3 +712,58 @@ def test_pseudonymize_deterministic_linkable_and_null_safe(spark):
         curation.pseudonymize(df, ["nope"], salt="s")
     with pytest.raises(ValueError):
         curation.pseudonymize(df, ["user_id"], salt="s", prefix_len=4)
+
+
+def test_boilerplate_strip_per_source(spark):
+    from hypermap_etl_spark.operators.curation import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    hdr = "SHARED HEADER"
+    rows = []
+    # source A: 3 docs share the header -> flagged at min_docs=3
+    for i in range(3):
+        rows.append((i, "A", f"{hdr}\nbody {i}\n\nmore {i}"))
+    # source B: only 2 docs share the same header -> kept
+    for i in range(3, 5):
+        rows.append((i, "B", f"{hdr}\nbody {i}"))
+    # source A: one doc that is nothing but the header
+    rows.append((9, "A", hdr))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    bp = boilerplate_lines(docs, min_docs=3).collect()
+    assert [(r["source"], r["n_docs"]) for r in bp] == [("A", 4)]
+
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    # A docs lose the header, keep order AND the empty line
+    assert out[0]["text"] == "body 0\n\nmore 0"
+    assert out[0]["n_dropped"] == 1
+    # B docs keep theirs (below threshold in their own source)
+    assert out[3]["text"] == f"{hdr}\nbody 3"
+    assert out[3]["n_dropped"] == 0
+    # the all-boilerplate doc survives as empty text
+    assert out[9]["text"] == "" and out[9]["n_dropped"] == 1
+    assert len(out) == 6
+
+
+def test_boilerplate_empty_lines_never_flagged(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.curation import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "A", "x\n\n\ny") for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    # blank lines recur in every doc but are formatting, not boilerplate
+    flagged = boilerplate_lines(docs, min_docs=2).count()
+    assert flagged == 2  # 'x' and 'y', never ''
+    out = strip_boilerplate(docs, min_docs=2).collect()
+    # the two surviving blank lines reassemble to a single separator
+    assert all(r["text"] == "\n" and r["n_dropped"] == 2 for r in out)
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_lines(docs, min_docs=1)
