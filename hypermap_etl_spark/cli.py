@@ -677,8 +677,13 @@ def cmd_curate(args) -> None:
             "model_bias": model["bias"],
             "model_threshold": args.model_threshold,
         }
+    # strip_boiler mines per-source recurrence, so the source column
+    # must ride along; every other stage works on (doc_id, text)
+    in_cols = ["doc_id", "text"] + (
+        ["source"] if args.strip_boiler and "source" in docs.columns else []
+    )
     documents, chunks, report = curate_pipeline(
-        docs.select("doc_id", "text"),
+        docs.select(*in_cols),
         dedup_threshold=args.threshold,
         min_words=args.min_words,
         lang=args.lang,
@@ -690,6 +695,7 @@ def cmd_curate(args) -> None:
         c4=args.c4_clean,
         html=args.html,
         gopher=args.gopher,
+        strip_boiler=args.strip_boiler,
         strict_packing=args.strict_packing,
         **model_kwargs,
     )
@@ -969,6 +975,9 @@ def main(argv=None) -> None:
     p.add_argument("--gopher", action="store_true",
                    help="add the full Gopher structural screens after "
                         "the heuristic quality gate")
+    p.add_argument("--strip-boiler", action="store_true",
+                   help="remove cross-document boilerplate lines (per-"
+                        "source line recurrence; needs a source column)")
     p.add_argument("--strict-packing", action="store_true",
                    help="capacity-respecting next-fit packing (no pack "
                         "exceeds the token budget)")

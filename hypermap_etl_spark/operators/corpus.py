@@ -413,6 +413,9 @@ def curate_pipeline(
     c4: bool = False,
     html: bool = False,
     gopher: bool = False,
+    strip_boiler: bool = False,
+    boiler_min_docs: int = 3,
+    source_col: str = "source",
     strict_packing: bool = False,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
@@ -450,7 +453,12 @@ def curate_pipeline(
     curation.normalize_text defaults, no accent strip / case fold so
     downstream semantics are unchanged for ASCII corpora). C4 runs
     FIRST because normalization's whitespace collapse erases the very
-    line structure the C4 rules split on. ``strict_packing`` swaps the
+    line structure the C4 rules split on. ``strip_boiler`` removes
+    cross-document boilerplate lines (curation.strip_boilerplate —
+    requires ``source_col``) after HTML extraction and BEFORE the C4
+    line rules, the CCNet ordering: recurrence is measured on raw
+    extracted lines, before any per-line quality rule thins them.
+    ``strict_packing`` swaps the
     cumsum straddle splitter for the capacity-respecting next-fit
     packer (no pack exceeds pack_tokens — the trainer-grade hard cap,
     at the cost of its one applyInPandas stage). All default off.
@@ -505,6 +513,26 @@ def curate_pipeline(
             html_to_text(docs, text_col=text_col, out_col=text_col),
             cut_lineage=True,
         )
+    n_boiler_lines = 0
+    if strip_boiler:
+        if source_col not in docs.columns:
+            raise ValueError(
+                "curate_pipeline: strip_boiler needs the source column"
+            )
+        from hypermap_etl_spark.operators.curation import strip_boilerplate
+
+        sb = stage_boundary(
+            strip_boilerplate(
+                docs,
+                min_docs=boiler_min_docs,
+                text_col=text_col,
+                source_col=source_col,
+            ),
+            cut_lineage=True,
+        )
+        if with_report:
+            n_boiler_lines = sb.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        docs = sb.select("doc_id", text_col)
     n_c4_dropped = 0
     if c4:
         # BEFORE normalize: whitespace collapse would erase the line
@@ -691,6 +719,7 @@ def curate_pipeline(
     report = (
         {
             "docs_in": n_in,
+            "boilerplate_lines": n_boiler_lines,
             "dropped_c4": n_c4_dropped,
             "dropped_quality": n_in - n_c4_dropped - n_kept
                                - n_model_dropped - n_gopher_dropped,

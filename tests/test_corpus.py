@@ -599,3 +599,34 @@ def test_curate_pipeline_model_filter_stage(spark):
         ) or report2["dropped_dups"] > 0  # spam may near-dup-collapse
     finally:
         release_persisted()
+
+
+def test_curate_pipeline_strip_boiler_stage(spark):
+    """strip_boiler removes per-source recurring lines BEFORE the
+    quality gate; the report counts stripped lines; a missing source
+    column is an explicit error."""
+    from hypermap_etl_spark.util import release_persisted
+
+    def body(tag):
+        return " ".join(
+            f"the {tag}{j} fox jumps over the lazy {tag}{j+1} dog while "
+            f"many other animals watch from the shade of the old tree and"
+            for j in range(0, 24, 2)
+        )
+
+    rows = [
+        (i, "siteA", f"COOKIE BANNER TEXT\n{body(f'w{i}x')} unique tail {i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    documents, _chunks, rep = corpus.curate_pipeline(
+        docs, min_words=3, strip_boiler=True, boiler_min_docs=3, redact=False
+    )
+    texts = [r["text"] for r in documents.collect()]
+    release_persisted()
+    assert texts and all("COOKIE BANNER" not in t for t in texts)
+    assert rep["boilerplate_lines"] == 4
+    assert rep["docs_out"] == 4
+
+    with pytest.raises(ValueError, match="source column"):
+        corpus.curate_pipeline(docs.drop("source"), strip_boiler=True)
