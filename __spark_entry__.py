@@ -132,6 +132,10 @@ _WINDOW: list[str] = [
     # emb_ivf_recall / emb_pq_recall riding the same stack — with this
     # the whole 50-slot window is first-time evidence)
     "doc_boilerplate",
+    # (window saturated at this point — every slot above is a gate
+    # with NO driver row yet. Session gates added after saturation
+    # queue for the r6 window: events_approx_percentiles, and any
+    # later additions listed at the back of the registry merge.)
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —

@@ -468,3 +468,61 @@ def mg_merge_summaries(counters: DataFrame, k: int) -> DataFrame:
     return merged.filter(F.col("cnt") > off).select(
         "item", (F.col("cnt") - F.lit(off)).alias("est_count")
     )
+
+
+def approx_quantile_bounds(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    accuracy: int = 1000,
+    slack: float = 2.0,
+) -> DataFrame:
+    """Certify Spark's native approximate percentiles
+    (``percentile_approx``, the Greenwald-Khanna sketch) by their RANK
+    guarantee: for each requested quantile p, the fraction of values
+    <= the sketch's answer must sit within p ± slack/accuracy. The
+    estimates themselves are partition/merge-layout-dependent (like
+    every mergeable sketch here — the Misra-Gries rule); only the
+    bound is invariant, so the gate certifies the derived boolean,
+    never the raw estimate.
+
+    Output: one row per p — (p, exact_rank, within_bound) with
+    exact_rank the true CDF at the estimate, rounded at 6.
+
+    Scale shape: one aggregate for all the percentiles (the sketch
+    merges map-side), a model-sized collect of len(ps) doubles, and
+    one counting aggregate against the broadcast literals. Two scans
+    total; the exact-CDF pass exists only because this is a
+    certificate — production reads just the first aggregate.
+    """
+    if not ps or not all(0.0 < p < 1.0 for p in ps):
+        raise ValueError("approx_quantile_bounds: need 0 < p < 1")
+    vals = df.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    approx = vals.agg(
+        F.percentile_approx("__v", list(ps), accuracy).alias("q")
+    ).collect()[0]["q"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, est in enumerate(approx):
+        aggs.append(
+            F.sum(F.when(F.col("__v") <= F.lit(float(est)), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__le_{i}")
+        )
+    one = vals.agg(*aggs)
+    tol = slack / accuracy
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.round(F.col(f"__le_{i}") / F.col("__n").cast("double"), 6).alias(
+                "exact_rank"
+            ),
+            (
+                F.abs(F.col(f"__le_{i}") / F.col("__n").cast("double") - F.lit(float(p)))
+                <= F.lit(tol)
+            ).alias("within_bound"),
+        )
+        for i, p in enumerate(ps)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

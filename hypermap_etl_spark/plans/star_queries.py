@@ -1604,6 +1604,30 @@ ORDER BY "constraint"
 """
 
 
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approximate percentiles (percentile_approx, the
+    Greenwald-Khanna sketch) certified by their rank guarantee
+    (sketch.approx_quantile_bounds): the true CDF at each estimate
+    must sit within p ± 2/accuracy. Estimates are layout-dependent
+    (the Misra-Gries rule) so the gate projects only the derived
+    boolean; the oracle asserts the guarantee holds literally."""
+    from hypermap_etl_spark.operators.sketch import approx_quantile_bounds
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_quantile_bounds(
+        ev, "value", [0.25, 0.5, 0.75, 0.95], accuracy=1000
+    ).select("p", "within_bound").orderBy("p")
+
+
+APPROX_PCTL_ORACLE = """
+SELECT CAST(0.25 AS DOUBLE) AS p, TRUE AS within_bound
+UNION ALL SELECT CAST(0.5 AS DOUBLE), TRUE
+UNION ALL SELECT CAST(0.75 AS DOUBLE), TRUE
+UNION ALL SELECT CAST(0.95 AS DOUBLE), TRUE
+ORDER BY p
+"""
+
+
 def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct users per event_type from the 64 smallest md5 fractions —
@@ -2982,6 +3006,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_value_psi": (events_value_psi, PSI_ORACLE),
     "orders_constraints": (orders_constraints, CONSTRAINTS_ORACLE),
     "events_grouping_sets": (events_grouping_sets, GROUPING_SETS_ORACLE),
+    "events_approx_percentiles": (events_approx_percentiles, APPROX_PCTL_ORACLE),
     "customer_scd2": (customer_scd2, SCD2_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),

@@ -315,3 +315,33 @@ def test_mg_topk_ignores_nulls_and_rejects_bad_k(spark):
     assert out == {"a": 2, "b": 1}
     with pytest.raises(ValueError):
         mg_topk(df, "item", k=0)
+
+
+def test_approx_quantile_bounds_guarantee_any_layout(spark):
+    """The rank guarantee holds under 1/3/16 partitions even though the
+    estimates themselves are layout-dependent."""
+    from hypermap_etl_spark.operators.sketch import approx_quantile_bounds
+
+    df = spark.range(10_000).select((F.col("id") * 7 % 10_000).alias("v"))
+    for parts in (1, 3, 16):
+        rows = approx_quantile_bounds(
+            df.repartition(parts), "v", [0.1, 0.5, 0.9], accuracy=100
+        ).collect()
+        assert all(r["within_bound"] for r in rows), (parts, rows)
+        for r in rows:
+            assert abs(r["exact_rank"] - r["p"]) <= 0.02 + 1e-9
+
+
+def test_approx_quantile_bounds_validation_and_nulls(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.sketch import approx_quantile_bounds
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    rows = approx_quantile_bounds(df, "v", [0.5], accuracy=10_000).collect()
+    # high accuracy on a small set: the estimate is exact, rank == 0.5
+    assert rows[0]["within_bound"] and abs(rows[0]["exact_rank"] - 0.5) < 0.01
+    with pytest.raises(ValueError, match="0 < p < 1"):
+        approx_quantile_bounds(df, "v", [1.5])
