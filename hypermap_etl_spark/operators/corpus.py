@@ -1009,3 +1009,93 @@ def temperature_mix(
         .filter(frac < F.col("__keep_frac"))
         .select(*docs.columns, F.round("__keep_frac", 6).alias("keep_frac"))
     )
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-boundary-respecting chunking: greedily pack WHOLE
+    sentences (curation.split_sentences' terminal-punct rule) into
+    chunks of <= ``max_tokens`` whitespace tokens — the
+    context-window prep that never cuts mid-sentence, trading exact
+    fill for trainable coherence (token_chunks is the exact-budget
+    sibling). A single sentence longer than the budget gets a chunk
+    of its own (splitting it would defeat the operator's contract).
+
+    Output: (id, chunk_id, chunk_text, n_tokens, n_sentences);
+    sentence order is preserved, chunk_ids are 0-based and dense;
+    docs with no sentences emit nothing.
+
+    Scale shape: ZERO shuffles — the greedy next-fit walk is a JVM
+    ``aggregate`` fold over the sentence array (sequential by nature,
+    but per-ROW sequential: every document folds independently
+    map-side), and chunks are reassembled in the same projection with
+    a transform/filter over the assignment vector (O(sentences x
+    chunks) per doc, pure CPU). The whole operator is one scan ->
+    project; compare pack_sequences_strict, whose cross-doc packing
+    genuinely needs its applyInPandas stage.
+    """
+    from hypermap_etl_spark.operators.curation import split_sentences
+
+    if max_tokens < 1:
+        raise ValueError("sentence_chunks: max_tokens must be >= 1")
+    sents = split_sentences(F.col(text_col))
+    counts = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != F.lit(""))),
+    )
+    acc0 = F.struct(
+        F.lit(-1).cast("int").alias("idx"),
+        F.lit(0).cast("int").alias("cur"),
+        F.array().cast("array<int>").alias("ids"),
+    )
+
+    def step(acc, n):
+        start_new = (acc["idx"] == F.lit(-1)) | (
+            (acc["cur"] > F.lit(0)) & (acc["cur"] + n > F.lit(max_tokens))
+        )
+        new_idx = F.when(start_new, acc["idx"] + 1).otherwise(acc["idx"])
+        new_cur = F.when(start_new, n).otherwise(acc["cur"] + n)
+        return F.struct(
+            new_idx.cast("int").alias("idx"),
+            new_cur.cast("int").alias("cur"),
+            F.concat(acc["ids"], F.array(new_idx.cast("int"))).alias("ids"),
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        sents.alias("__s"),
+        F.aggregate(counts, acc0, step).alias("__f"),
+    ).filter(F.size("__s") > 0)
+
+    def chunk_struct(k):
+        members = F.filter(
+            F.arrays_zip(F.col("__s").alias("s"), F.col("__f.ids").alias("i")),
+            lambda p: p["i"] == k,
+        )
+        texts = F.transform(members, lambda p: p["s"])
+        return F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.array_join(texts, " ").alias("chunk_text"),
+            F.aggregate(
+                F.transform(
+                    texts,
+                    lambda s: F.size(
+                        F.filter(F.split(s, " "), lambda w: w != F.lit(""))
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("n_tokens"),
+            F.size(members).cast("long").alias("n_sentences"),
+        )
+
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("__f.idx")), chunk_struct
+    )
+    return base.select(
+        id_col, F.explode(chunks).alias("__c")
+    ).select(id_col, "__c.*")

@@ -2337,6 +2337,72 @@ def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "seg_idx")
 
 
+def doc_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking (corpus.sentence_chunks): greedy
+    next-fit of WHOLE sentences into <=16-token chunks, zero-shuffle
+    JVM fold. Same every-7th-word punctuation synthesis as
+    doc_sentence_dedup (the fixture has no sentence marks); the oracle
+    replays the greedy walk as a recursive CTE (the
+    doc_packed_strict discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    dotted = F.array_join(
+        F.transform(
+            ws,
+            lambda w, i: F.when((i + 1) % 7 == 0, F.concat(w, F.lit("."))).otherwise(w),
+        ),
+        " ",
+    )
+    return corpus.sentence_chunks(
+        docs.select("doc_id", dotted.alias("text")), max_tokens=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+SENTENCE_CHUNKS_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, len(ws) + 1),
+           i -> CASE WHEN i % 7 = 0 THEN ws[i] || '.' ELSE ws[i] END),
+           ' ') AS t
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)'), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM d
+),
+sn AS (
+  SELECT doc_id, CAST(t.i AS INT) AS si,
+         sents[CAST(t.i AS INT)] AS sent,
+         len(list_filter(string_split(sents[CAST(t.i AS INT)], ' '),
+                         x -> x <> '')) AS n
+  FROM s, LATERAL unnest(generate_series(1, len(sents))) AS t(i)
+),
+walk AS (
+  SELECT doc_id, si, sent, n, 0 AS chunk_id, n AS fill
+  FROM sn WHERE si = 1
+  UNION ALL
+  SELECT sn.doc_id, sn.si, sn.sent, sn.n,
+         CASE WHEN wk.fill > 0 AND wk.fill + sn.n > 16
+              THEN wk.chunk_id + 1 ELSE wk.chunk_id END,
+         CASE WHEN wk.fill > 0 AND wk.fill + sn.n > 16
+              THEN sn.n ELSE wk.fill + sn.n END
+  FROM sn JOIN walk wk ON sn.doc_id = wk.doc_id AND sn.si = wk.si + 1
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(sent, ' ' ORDER BY si) AS chunk_text,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences
+FROM walk GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
 SENTENCE_DEDUP_ORACLE = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 d AS (
@@ -2905,6 +2971,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
     "doc_unigram_seed": (doc_unigram_seed, UNIGRAM_SEED_ORACLE),
     "doc_boilerplate": (doc_boilerplate, BOILERPLATE_ORACLE),
+    "doc_sentence_chunks": (doc_sentence_chunks, SENTENCE_CHUNKS_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

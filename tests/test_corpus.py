@@ -630,3 +630,42 @@ def test_curate_pipeline_strip_boiler_stage(spark):
 
     with pytest.raises(ValueError, match="source column"):
         corpus.curate_pipeline(docs.drop("source"), strip_boiler=True)
+
+
+def test_sentence_chunks_semantics(spark):
+    docs = spark.createDataFrame([
+        (1, "one two three. four five six seven! eight nine? "
+            "ten eleven twelve thirteen."),
+        (2, "a b c d e f g h i j k l m n o p q r s t."),
+        (3, ""),
+        (4, "short one. short two. short three."),
+    ], "doc_id long, text string")
+    rows = corpus.sentence_chunks(docs, max_tokens=6).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["chunk_id"])
+    # greedy next-fit at sentence grain, order preserved
+    assert [r["chunk_text"] for r in by_doc[1]] == [
+        "one two three.",
+        "four five six seven! eight nine?",
+        "ten eleven twelve thirteen.",
+    ]
+    assert [r["n_tokens"] for r in by_doc[1]] == [3, 6, 4]
+    assert [r["n_sentences"] for r in by_doc[1]] == [1, 2, 1]
+    # an oversize single sentence gets its own (overflowing) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 20
+    # a doc with no sentences emits nothing
+    assert 3 not in by_doc
+    # within-budget sentences share one chunk
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_sentences"] == 3
+    # no chunk except oversize singles exceeds the budget
+    for v in by_doc.values():
+        for r in v:
+            assert r["n_tokens"] <= 6 or r["n_sentences"] == 1
+    # shuffle-free contract
+    plan = corpus.sentence_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="max_tokens"):
+        corpus.sentence_chunks(docs, max_tokens=0)
