@@ -946,3 +946,74 @@ def strip_boilerplate(
             "n_dropped"
         ),
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): every row must share its quasi-identifier tuple with at
+    least k-1 others, or the "anonymized" release still singles people
+    out by (zip, birthday, gender)-style joins. The audit half of the
+    privacy family (redact_pii scrubs surface strings, pseudonymize
+    protects identity columns; THIS measures what the remaining
+    columns still leak).
+
+    One summary row: (k, n_rows, n_groups, min_group_size,
+    rows_at_risk, groups_at_risk, is_k_anonymous). NULL quasi values
+    form their own group (SQL GROUP BY semantics — a NULL zip is
+    itself a signature).
+
+    Scale shape: ONE map-combinable hash aggregate keyed by the quasi
+    tuple, then a tiny second aggregate over group sizes. The quasi
+    key-space, not the table, bounds the shuffle.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    missing = [c for c in quasi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"k_anonymity: columns not in frame: {missing}")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_at_risk"),
+        (F.min("__n") >= k).alias("is_k_anonymous"),
+    )
+
+
+def k_suppress(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Suppression baseline: drop every row whose quasi-identifier
+    group has fewer than k members — the simplest release that
+    :func:`k_anonymity` will certify. (Generalization hierarchies
+    beat suppression on utility but need domain taxonomies; the
+    caller can pre-coarsen columns — truncate zips, bucket ages —
+    then suppress the remainder.)
+
+    Scale shape: the group-size aggregate joined back semi-style on
+    the quasi key — two exchanges on the same key; Catalyst reuses
+    the partitioning for the join.
+    """
+    if k < 2:
+        raise ValueError("k_suppress: k must be >= 2")
+    big = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select(*[F.col(c).alias(f"__k_{c}") for c in quasi_cols])
+    )
+    # NULL-SAFE equality: k_anonymity's GROUP BY treats NULL as its own
+    # group, so a NULL-keyed group of size >= k must survive too — a
+    # plain equi-join would silently drop it (NULL never equals NULL)
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(big, cond, "left_semi")

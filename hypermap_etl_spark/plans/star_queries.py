@@ -1604,6 +1604,35 @@ ORDER BY "constraint"
 """
 
 
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (curation.k_anonymity, Sweeney 2002) over the
+    (nation, market-segment) quasi-identifier: one summary row — group
+    count, smallest group, rows/groups below k=10, and the verdict.
+    The audit half of the privacy family next to events_pseudonymized."""
+    from hypermap_etl_spark.operators.curation import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+K_ANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_at_risk,
+       MIN(n) >= 10 AS is_k_anonymous
+FROM g
+"""
+
+
 def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native approximate percentiles (percentile_approx, the
     Greenwald-Khanna sketch) certified by their rank guarantee
@@ -3007,6 +3036,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "orders_constraints": (orders_constraints, CONSTRAINTS_ORACLE),
     "events_grouping_sets": (events_grouping_sets, GROUPING_SETS_ORACLE),
     "events_approx_percentiles": (events_approx_percentiles, APPROX_PCTL_ORACLE),
+    "customer_k_anonymity": (customer_k_anonymity, K_ANON_ORACLE),
     "customer_scd2": (customer_scd2, SCD2_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),

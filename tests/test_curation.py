@@ -767,3 +767,35 @@ def test_boilerplate_empty_lines_never_flagged(spark):
     assert all(r["text"] == "\n" and r["n_dropped"] == 2 for r in out)
     with pytest.raises(ValueError, match="min_docs"):
         boilerplate_lines(docs, min_docs=1)
+
+
+def test_k_anonymity_and_suppression(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.curation import k_anonymity, k_suppress
+
+    rows = (
+        [("10001", "F")] * 5        # safe group
+        + [("10001", "M")] * 2      # at-risk group
+        + [("94105", "F")] * 1      # singleton
+        + [(None, "F")] * 3         # NULL quasi forms its own group
+    )
+    df = spark.createDataFrame(rows, "zip string, sex string")
+    rep = k_anonymity(df, ["zip", "sex"], k=3).collect()[0]
+    assert rep["n_rows"] == 11 and rep["n_groups"] == 4
+    assert rep["min_group_size"] == 1
+    assert rep["rows_at_risk"] == 3 and rep["groups_at_risk"] == 2
+    assert rep["is_k_anonymous"] is False
+
+    kept = k_suppress(df, ["zip", "sex"], k=3)
+    assert kept.count() == 8  # the two under-k groups are dropped
+    # composition: the suppressed release certifies clean
+    rep2 = k_anonymity(kept, ["zip", "sex"], k=3).collect()[0]
+    assert rep2["is_k_anonymous"] is True and rep2["rows_at_risk"] == 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        k_anonymity(df, [], k=3)
+    with pytest.raises(ValueError, match="not in frame"):
+        k_anonymity(df, ["age"], k=3)
+    with pytest.raises(ValueError, match="k must be"):
+        k_suppress(df, ["zip"], k=1)
