@@ -77,3 +77,68 @@ def asof_join(
         *lcols,
         *[F.col("__rm").getField(c).alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    step: int,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Gap-fill a per-key time series onto a regular grid with forward
+    fill — the resample step before any fixed-cadence analytics
+    (dashboards, rate calculations, drift windows) over
+    irregularly-sampled events. For every key and every grid instant
+    t in [start, end] stepping ``step``, carries the latest
+    observation at or before t (:func:`asof_join` semantics — ties
+    visible); instants before a key's first observation report NULLs.
+
+    ``ts_col`` must be integer-like (the repo's epoch-micros BIGINT
+    convention); ``start``/``end`` default to the GLOBAL min/max so
+    every key shares one grid (comparable rows — per-key extents
+    would misalign the grid across keys).
+
+    Scale shape: the grid is distinct-keys x explode(sequence(...)) —
+    built map-side on the key frame, never a cartesian shuffle — and
+    the fill is asof_join's one union-sort-window pass keyed by
+    ``keys``. Output size keys x grid-points is the contract, not a
+    blow-up. The two-row extent collect is the only driver traffic.
+    """
+    if step <= 0:
+        raise ValueError("resample_ffill: step must be positive")
+    if start is None or end is None:
+        ext = df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]
+        if ext["lo"] is None:
+            raise ValueError("resample_ffill: no observations")
+        start = int(ext["lo"]) if start is None else start
+        end = int(ext["hi"]) if end is None else end
+    if end < start:
+        raise ValueError("resample_ffill: end < start")
+    grid = (
+        df.select(*keys)
+        .distinct()
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.lit(int(start)).cast("long"),
+                    F.lit(int(end)).cast("long"),
+                    F.lit(int(step)).cast("long"),
+                )
+            ).alias(ts_col),
+        )
+    )
+    return asof_join(
+        grid,
+        df.select(*keys, ts_col, *value_cols),
+        keys,
+        ts_col,
+        ts_col,
+        value_cols,
+        suffix="",
+    )

@@ -1604,6 +1604,51 @@ ORDER BY "constraint"
 """
 
 
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (asof.resample_ffill): per event type, the
+    latest value carried forward onto a shared 6-hour grid spanning
+    the global extent — grid instants before a type's first
+    observation stay NULL. Observations are first deduped per
+    (type, microsecond) with max(value) so the carried representative
+    is deterministic (the events_asof_join discipline); the oracle is
+    DuckDB's native ASOF JOIN over an identical generate_series grid."""
+    from hypermap_etl_spark.operators.asof import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type", F.unix_micros(F.col("ts")).alias("t"), "value"
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("event_type", "t")
+        .agg(F.max("value").alias("v"))
+    )
+    step = 6 * 3600 * 1_000_000
+    return resample_ffill(obs, ["event_type"], "t", ["v"], step=step).orderBy(
+        "event_type", "t"
+    )
+
+
+RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) AS t, MAX(value) AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, epoch_us(ts)
+),
+ext AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM obs),
+grid AS (
+  SELECT d.event_type, CAST(g.ts AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM obs) d,
+       LATERAL unnest(generate_series((SELECT lo FROM ext),
+                                      (SELECT hi FROM ext),
+                                      21600000000)) AS g(ts)
+)
+SELECT g.event_type, g.t, o.v
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.event_type = o.event_type AND g.t >= o.t
+ORDER BY g.event_type, g.t
+"""
+
+
 def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (curation.k_anonymity, Sweeney 2002) over the
     (nation, market-segment) quasi-identifier: one summary row — group
@@ -3037,6 +3082,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_grouping_sets": (events_grouping_sets, GROUPING_SETS_ORACLE),
     "events_approx_percentiles": (events_approx_percentiles, APPROX_PCTL_ORACLE),
     "customer_k_anonymity": (customer_k_anonymity, K_ANON_ORACLE),
+    "events_resample_ffill": (events_resample_ffill, RESAMPLE_ORACLE),
     "customer_scd2": (customer_scd2, SCD2_ORACLE),
     "events_bloom_probe": (events_bloom_probe, BLOOM_ORACLE),
     "events_cms_counts": (events_cms_counts, CMS_ORACLE),

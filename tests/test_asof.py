@@ -37,3 +37,29 @@ def test_asof_null_fields_come_from_matched_row(spark):
     row = asof_join(left, right, ["k"], "t", "t", ["v", "w"]).collect()[0]
     assert row["w_asof"] == "new_w"
     assert row["v_asof"] is None  # matched row's NULL, not old_v
+
+
+def test_resample_ffill_semantics(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.asof import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 25, 2.0), ("b", 18, 9.0)],
+        "k string, ts long, v double",
+    )
+    rows = {(r["k"], r["ts"]): r["v"]
+            for r in resample_ffill(df, ["k"], "ts", ["v"], step=5).collect()}
+    # shared global grid 10..25 step 5, forward fill per key
+    assert rows[("a", 10)] == 1.0 and rows[("a", 20)] == 1.0
+    assert rows[("a", 25)] == 2.0  # tie at grid instant is visible
+    assert rows[("b", 10)] is None and rows[("b", 15)] is None
+    assert rows[("b", 20)] == 9.0 and rows[("b", 25)] == 9.0
+    assert len(rows) == 2 * 4
+    # explicit extent overrides the global one
+    ext = resample_ffill(df, ["k"], "ts", ["v"], step=10, start=0, end=30)
+    assert ext.count() == 2 * 4
+    with pytest.raises(ValueError, match="step"):
+        resample_ffill(df, ["k"], "ts", ["v"], step=0)
+    with pytest.raises(ValueError, match="no observations"):
+        resample_ffill(df.filter("ts IS NULL"), ["k"], "ts", ["v"], step=5)
