@@ -897,6 +897,77 @@ def cmd_check(args) -> None:
         sys.exit(1)
 
 
+def cmd_report(args) -> None:
+    """Corpus data card: one JSON line summarizing a documents parquet
+    — size, token totals, language/source mix, length percentiles,
+    exact-duplicate rate, PII incidence, and per-column profile. Pure
+    composition of the gated operators (token_stats, language_id,
+    exact dedup keys, tag_pii, profile_table); the one-stop report a
+    drop review starts from."""
+    from hypermap_etl_spark.operators.curation import tag_pii
+    from hypermap_etl_spark.operators.profile import profile_table
+    from hypermap_etl_spark.operators.textstats import (
+        language_id,
+        token_stats,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    n_docs = docs.count()
+    rep: dict = {"docs": n_docs}
+    if n_docs == 0:
+        print(json.dumps(rep))
+        return
+
+    ts = token_stats(docs).agg(
+        F.sum("n_tokens_ws").alias("tok"),
+        F.sum("n_chars_measured").alias("chars"),
+    ).collect()[0]
+    rep["total_tokens_ws"] = ts["tok"]
+    rep["total_chars"] = ts["chars"]
+
+    pct = docs.select(
+        F.expr(
+            "percentile(length(text), array(0.1, 0.5, 0.9))"
+        ).alias("p")
+    ).collect()[0]["p"]
+    rep["len_p10"], rep["len_p50"], rep["len_p90"] = [float(x) for x in pct]
+
+    lang_col = "lang" if "lang" in docs.columns else None
+    langs = (
+        docs.groupBy(lang_col).count()
+        if lang_col
+        else language_id(docs).groupBy(F.col("lang_guess").alias("lang")).count()
+    )
+    rep["lang_mix"] = {
+        str(r[0]): r["count"]
+        for r in langs.orderBy(F.desc("count")).limit(10).collect()
+    }
+    if "source" in docs.columns:
+        rep["source_mix"] = {
+            str(r[0]): r["count"]
+            for r in docs.groupBy("source").count()
+            .orderBy(F.desc("count")).limit(10).collect()
+        }
+
+    n_distinct_text = docs.select(F.md5(F.col("text"))).distinct().count()
+    rep["exact_dup_rate"] = round(1.0 - n_distinct_text / n_docs, 6)
+
+    rep["pii_docs"] = tag_pii(docs).filter(F.col("has_pii")).count()
+
+    rep["profile"] = [
+        {
+            "col": r["col_name"],
+            "nulls": r["n_nulls"],
+            "distinct": r["n_distinct"],
+        }
+        for r in profile_table(
+            docs, [c for c in docs.columns if c != "text"]
+        ).collect()
+    ]
+    print(json.dumps(rep))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="hypermap_etl_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1127,6 +1198,8 @@ def main(argv=None) -> None:
                         "(repeatable)")
     p.add_argument("--out", default=None,
                    help="write the long-format report parquet")
+    p = sub.add_parser("report", help="corpus data card (one JSON line)")
+    p.add_argument("--docs", required=True, help="documents parquet")
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -1156,7 +1229,7 @@ def main(argv=None) -> None:
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
-        "check": cmd_check,
+        "check": cmd_check, "report": cmd_report,
     }[args.cmd](args)
 
 

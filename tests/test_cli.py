@@ -542,3 +542,17 @@ def test_cli_bpe_unigram(spark, capsys, tmp_path):
     assert rep["segmented_docs"] == 500 and rep["total_tokens"] > 0
     pieces = spark.read.parquet(out)
     assert pieces.count() == rep["vocab"]
+
+
+def test_cli_report(capsys):
+    main(["report", "--docs", "/root/testdata/sf0.001/documents.parquet"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 500
+    assert rep["total_tokens_ws"] > 0 and rep["total_chars"] > 0
+    assert rep["len_p10"] <= rep["len_p50"] <= rep["len_p90"]
+    assert sum(rep["lang_mix"].values()) == 500
+    assert rep["exact_dup_rate"] == 0.0
+    assert {p["col"] for p in rep["profile"]} == {
+        "doc_id", "lang", "source", "n_chars"
+    }
+    assert all(p["nulls"] == 0 for p in rep["profile"])
