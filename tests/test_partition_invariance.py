@@ -70,6 +70,9 @@ _FLOAT_GATES = [
     # ratios (invariant by construction — pinned against a rewrite)
     ("doc_queries", "emb_outliers"),
     ("star_queries", "orders_constraints"),
+    # r5 continuation: GK percentile estimates are layout-dependent by
+    # design; the gate's rank-bound booleans must hold under any layout
+    ("star_queries", "events_approx_percentiles"),
 ]
 
 
