@@ -583,3 +583,67 @@ def kn_bigram_logprob(
             ),
         )
     )
+
+
+def pmi_pairs(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Pointwise-mutual-information collocations — the phrase-mining
+    signal (word2vec's phrase pass, tokenizer-merge priors): for every
+    adjacent word pair seen >= ``min_count`` times,
+
+        pmi = ln( c_ab * N_uni^2 / (c_a * c_b * N_bi) )
+
+    i.e. how much more often the pair occurs than independence
+    predicts. Output: (w1, w2, n_pair, pmi) with pmi rounded at 6 —
+    counts are exact integers, so the one ln() is the only float op
+    and a final-round absorbs the cross-engine libm ulp.
+
+    Scale shape: one explode -> hash agg for unigram counts, one for
+    bigram counts (shingles built O(words)/row via word_shingles),
+    then the bigram table joins the unigram counts twice, keyed by
+    word — the classic co-occurrence join; totals ride a broadcast
+    single-row cross join (the percentage-of-total A4 pattern). The
+    min_count filter applies BEFORE the joins, so the join input is
+    the heavy-pair table, not the full bigram tail.
+    """
+    if min_count < 1:
+        raise ValueError("pmi_pairs: min_count must be >= 1")
+    t = F.lower(F.col(text_col))
+    uni = (
+        docs.select(F.explode(F.filter(words(t), lambda w: w != F.lit(""))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(word_shingles(t, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        docs.select(F.explode(word_shingles(t, 2)).alias("g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_uni").cast("double")
+         * F.col("n_uni").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")
+           * F.col("n_bi").cast("double"))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("n_pair"),
+        (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
+    )

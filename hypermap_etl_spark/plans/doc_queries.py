@@ -2142,6 +2142,43 @@ FROM top ORDER BY rank
 """
 
 
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (textstats.pmi_pairs): every adjacent word
+    pair seen >= 5 times scored ln(c_ab·N_u²/(c_a·c_b·N_b)), rounded
+    at 6 (counts exact, one libm ln absorbed by the final round).
+    The word2vec-phrases/tokenizer-prior mining step."""
+    return textstats.pmi_pairs(
+        load_table(spark, sf_dir, "documents"), min_count=5
+    ).orderBy("w1", "w2")
+
+
+PMI_PAIRS_ORACLE = f"""
+WITH g AS (
+  SELECT unnest({_shingles_sql(2, "lower(text)")}) AS g FROM documents
+),
+bi AS (SELECT g, COUNT(*) AS c_ab FROM g GROUP BY g HAVING COUNT(*) >= 5),
+u AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS w
+  FROM documents
+),
+uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+tot AS (SELECT (SELECT COUNT(*) FROM u) AS n_uni,
+               (SELECT COUNT(*) FROM g) AS n_bi)
+SELECT string_split(bi.g, ' ')[1] AS w1,
+       string_split(bi.g, ' ')[2] AS w2,
+       CAST(c_ab AS BIGINT) AS n_pair,
+       ROUND(LN((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                 * CAST(n_uni AS DOUBLE))
+                / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)
+                   * CAST(n_bi AS DOUBLE))), 6) + 0.0 AS pmi
+FROM bi
+JOIN uc a ON a.w = string_split(bi.g, ' ')[1]
+JOIN uc b ON b.w = string_split(bi.g, ' ')[2], tot
+ORDER BY w1, w2
+"""
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sample (corpus.weighted_sample,
     Efraimidis-Spirakis A-ES): 100 docs drawn without replacement with
@@ -2972,6 +3009,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_unigram_seed": (doc_unigram_seed, UNIGRAM_SEED_ORACLE),
     "doc_boilerplate": (doc_boilerplate, BOILERPLATE_ORACLE),
     "doc_sentence_chunks": (doc_sentence_chunks, SENTENCE_CHUNKS_ORACLE),
+    "doc_pmi_pairs": (doc_pmi_pairs, PMI_PAIRS_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

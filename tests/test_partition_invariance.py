@@ -73,6 +73,8 @@ _FLOAT_GATES = [
     # r5 continuation: GK percentile estimates are layout-dependent by
     # design; the gate's rank-bound booleans must hold under any layout
     ("star_queries", "events_approx_percentiles"),
+    # r5 continuation: one ln() over exact-integer count ratios, rounded
+    ("doc_queries", "doc_pmi_pairs"),
 ]
 
 

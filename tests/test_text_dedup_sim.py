@@ -1324,3 +1324,39 @@ def test_centroid_outliers_degenerate_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no vectors"):
         similarity.centroid_outliers(empty)
+
+
+def test_pmi_pairs_planted_collocation(spark):
+    """A glued pair ('hong kong') scores far above an independent pair;
+    exact counts verified against a python recomputation."""
+    import math
+
+    texts = ["hong kong " * 1 + "trade talks resume"] * 6 + [
+        "kong alone here", "hong solo there", "trade winds blow",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {(r["w1"], r["w2"]): r for r in
+            textstats.pmi_pairs(docs, min_count=3).collect()}
+    hk = rows[("hong", "kong")]
+    assert hk["n_pair"] == 6
+    # python recomputation of the exact formula
+    words_all = [w for t in texts for w in t.lower().split() if w]
+    bis = [
+        (a, b)
+        for t in texts
+        for a, b in zip(t.lower().split(), t.lower().split()[1:])
+    ]
+    n_u, n_b = len(words_all), len(bis)
+    c_a = words_all.count("hong")
+    c_b = words_all.count("kong")
+    want = round(math.log(6 * n_u * n_u / (c_a * c_b * n_b)), 6)
+    assert abs(hk["pmi"] - want) < 1e-9
+    assert hk["pmi"] > 1.0
+    # no pair below min_count leaks through
+    assert all(r["n_pair"] >= 3 for r in rows.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.pmi_pairs(docs, min_count=0)
