@@ -647,3 +647,41 @@ def pmi_pairs(
         F.col("c_ab").cast("long").alias("n_pair"),
         (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's character distribution —
+    the cheap junk detector at the two tails: near-zero entropy is
+    repeated-character padding, implausibly high entropy is
+    random-bytes/base64 noise (natural language sits ~2.5-4.5 bits
+    equivalent). Output: (doc_id, n_chars, entropy) with entropy in
+    nats rounded at 6; empty docs report 0.
+
+    Scale shape: pure projection, zero shuffles — character counts
+    are a nested HOF (distinct chars x filter-count, O(len x
+    alphabet) per row, all JVM). The per-row float sum is over <=
+    alphabet-size terms; the final round absorbs engine summation
+    order.
+    """
+    t = F.col(text_col)
+    cs = F.when(F.length(t) > 0, F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: t.substr(i, F.lit(1)),
+    )).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", cs.alias("__cs"))
+    n = F.size(F.col("__cs")).cast("double")
+    ent = F.aggregate(
+        F.array_distinct(F.col("__cs")),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (
+            F.size(F.filter(F.col("__cs"), lambda x: x == c)) / n
+        )
+        * F.log(F.size(F.filter(F.col("__cs"), lambda x: x == c)) / n),
+    )
+    return base.select(
+        "doc_id",
+        F.size("__cs").cast("long").alias("n_chars"),
+        (F.round(F.when(F.size("__cs") > 0, ent).otherwise(F.lit(0.0)), 6)
+         + F.lit(0.0)).alias("entropy"),
+    )

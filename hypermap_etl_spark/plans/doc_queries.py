@@ -2142,6 +2142,36 @@ FROM top ORDER BY rank
 """
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (textstats.char_entropy)
+    per document — the two-tail junk screen (padding vs random
+    bytes). Zero-shuffle nested-HOF counts; one per-row float sum
+    rounded at 6."""
+    return textstats.char_entropy(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH cs AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> substr(text, CAST(i AS INT), 1)) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(c) AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN len(c) = 0 THEN 0.0 ELSE
+         -list_sum(list_transform(list_distinct(c),
+            d -> (len(list_filter(c, x -> x = d))
+                    / CAST(len(c) AS DOUBLE))
+                 * ln(len(list_filter(c, x -> x = d))
+                        / CAST(len(c) AS DOUBLE))))
+       END, 6) + 0.0 AS entropy
+FROM cs ORDER BY doc_id
+"""
+
+
 def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocations (textstats.pmi_pairs): every adjacent word
     pair seen >= 5 times scored ln(c_ab·N_u²/(c_a·c_b·N_b)), rounded
@@ -3010,6 +3040,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_boilerplate": (doc_boilerplate, BOILERPLATE_ORACLE),
     "doc_sentence_chunks": (doc_sentence_chunks, SENTENCE_CHUNKS_ORACLE),
     "doc_pmi_pairs": (doc_pmi_pairs, PMI_PAIRS_ORACLE),
+    "doc_char_entropy": (doc_char_entropy, CHAR_ENTROPY_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),

@@ -75,6 +75,9 @@ _FLOAT_GATES = [
     ("star_queries", "events_approx_percentiles"),
     # r5 continuation: one ln() over exact-integer count ratios, rounded
     ("doc_queries", "doc_pmi_pairs"),
+    # per-row float sum over the char alphabet, rounded (shuffle-free,
+    # pinned against a rewrite that aggregates across rows)
+    ("doc_queries", "doc_char_entropy"),
 ]
 
 

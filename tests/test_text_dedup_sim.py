@@ -1360,3 +1360,19 @@ def test_pmi_pairs_planted_collocation(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         textstats.pmi_pairs(docs, min_count=0)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd"), (5, "aab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.char_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and str(out[1]["entropy"])[0] != "-"
+    assert out[2]["entropy"] == round(math.log(2), 6)
+    assert out[3]["entropy"] == 0.0 and out[3]["n_chars"] == 0
+    assert out[4]["entropy"] == round(math.log(4), 6)
+    want5 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out[5]["entropy"] == round(want5, 6)
