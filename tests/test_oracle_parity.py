@@ -113,6 +113,8 @@ _TZ_SENSITIVE = [
     # r5 continuation: GROUPING SETS day labels come from
     # date_format(ts) — a session-zone leak would shift day boundaries
     "events_grouping_sets",
+    # r5 continuation: the resample grid is built from unix_micros(ts)
+    "events_resample_ffill",
 ]
 
 
