@@ -1176,3 +1176,79 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
+
+
+# ------------------------------------------------- Bloom-filter dedup ----
+
+def bloom_merge(sketches: DataFrame, m_words: int = 4) -> DataFrame:
+    """OR-fold any number of single-row Bloom sketches (same shape)
+    into one: per-word bit_or + n_values sum — the incremental-state
+    merge a cross-batch dedup pipeline stores instead of its key set."""
+    return sketches.agg(
+        *[F.bit_or(f"w{j}").alias(f"w{j}") for j in range(m_words)],
+        F.sum("n_values").cast("long").alias("n_values"),
+    )
+
+
+def bff_survivors(
+    docs: DataFrame,
+    history_bloom: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_words: int = 64,
+    k_hashes: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Bloom-filter exact dedup against BOUNDED state — the Dolma "BFF"
+    construction (Soldaini et al. 2024): cross-batch duplicate state is
+    a fixed m_words x 63-bit filter instead of an O(distinct-keys)
+    table, the trade a crawl-scale pipeline makes when the key set
+    itself no longer fits comfortably (cf. the exact alternative,
+    streaming/dedup's sink-keyed state and the MinHash signature
+    store's bucketed catalog).
+
+    Semantics: the batch first collapses exact within-batch duplicates
+    (md5 of text, keep-first by min id — deterministic), then drops
+    every doc whose key HITS the history filter. No false negatives:
+    a doc whose text was ever admitted before is always dropped; a
+    false positive drops an innocent doc at the designed rate
+    ((1-exp(-k n/m))^k — size m_words for the expected corpus).
+
+    Returns (survivors, new_bloom): new_bloom = history OR the
+    survivors' keys, ready to persist for the next batch (one row,
+    m_words+1 columns — the whole cross-batch state).
+
+    Scale shape: one md5 projection, one keep-first aggregate keyed by
+    the 128-bit hash, one broadcast filter probe (map-side bit tests),
+    one bloom_build aggregate. The history filter is a single
+    broadcast row; nothing joins against history keys.
+    """
+    from pyspark.sql.window import Window
+
+    from hypermap_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    keyed = docs.withColumn("__key", F.md5(F.col(text_col)))
+    first = keyed.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+        ),
+    ).filter(F.col("__rk") == 1).drop("__rk")
+    if history_bloom is not None:
+        probed = bloom_contains(
+            first, history_bloom, "__key", m_words=m_words, k_hashes=k_hashes
+        )
+        survivors = probed.filter(~F.col("in_bloom")).drop("in_bloom", "__key")
+    else:
+        survivors = first.drop("__key")
+    batch_bloom = bloom_build(
+        survivors.withColumn("__key", F.md5(F.col(text_col))),
+        "__key",
+        m_words=m_words,
+        k_hashes=k_hashes,
+    )
+    if history_bloom is None:
+        return survivors, batch_bloom
+    new_bloom = bloom_merge(
+        history_bloom.unionByName(batch_bloom), m_words=m_words
+    )
+    return survivors, new_bloom

@@ -2142,6 +2142,91 @@ FROM top ORDER BY rank
 """
 
 
+def doc_bff_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact dedup against bounded state
+    (dedup.bff_survivors, the Dolma BFF construction): docs < 250 play
+    the admitted history, folded into a 16-word (1008-bit) filter; the
+    batch (>= 250) gets synthetic duplicates — every id % 7 == 3
+    shares one within-batch filler (keep-first collapses them), every
+    id % 5 == 0 copies the text of id − 250 (guaranteed history hit).
+    Output = surviving batch ids. The filter is deliberately small so
+    REAL false positives occur — the oracle must reproduce every bit
+    of the md5 double-hash filter to agree (the events_bloom_probe
+    machinery at key grain md5(text))."""
+    from hypermap_etl_spark.operators.dedup import bff_survivors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 250)
+    base = docs.filter(F.col("doc_id") >= 250)
+    ht = hist.select(
+        (F.col("doc_id") + 250).alias("doc_id"), F.col("text").alias("__ht")
+    )
+    batch = base.join(ht, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("shared within-batch filler"))
+        .when((F.col("doc_id") % 5 == 0) & F.col("__ht").isNotNull(), F.col("__ht"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    _hs, bloom = bff_survivors(hist, m_words=16)
+    surv, _nb = bff_survivors(batch, history_bloom=bloom, m_words=16)
+    return surv.select("doc_id").orderBy("doc_id")
+
+
+def _bff_pos(i: int) -> str:
+    h1 = "CAST('0x' || substr(md5(key), 1, 8) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(key), 9, 8) AS BIGINT)"
+    return f"(({h1} + {i} * {h2}) % 1008)"
+
+
+def _bff_word(j: int) -> str:
+    terms = " | ".join(
+        f"(CASE WHEN CAST(FLOOR({_bff_pos(i)} / 63.0) AS INT) = {j} "
+        f"THEN (1::BIGINT << CAST({_bff_pos(i)} % 63 AS INT)) "
+        f"ELSE 0::BIGINT END)"
+        for i in range(4)
+    )
+    return f"({terms})"
+
+
+def _bff_test(i: int) -> str:
+    word = " ".join(
+        f"WHEN CAST(FLOOR({_bff_pos(i)} / 63.0) AS INT) = {j} THEN w{j}"
+        for j in range(16)
+    )
+    return (
+        f"((CASE {word} END) & "
+        f"(1::BIGINT << CAST({_bff_pos(i)} % 63 AS INT))) <> 0"
+    )
+
+
+BFF_DEDUP_ORACLE = f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+base AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+batch AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 7 = 3 THEN 'shared within-batch filler'
+              WHEN b.doc_id % 5 = 0 AND h.text IS NOT NULL THEN h.text
+              ELSE b.text END AS text
+  FROM base b LEFT JOIN hist h ON h.doc_id = b.doc_id - 250
+),
+hk AS (SELECT DISTINCT md5(text) AS key FROM hist),
+bl AS (
+  SELECT {", ".join(f"bit_or({_bff_word(j)}) AS w{j}" for j in range(16))}
+  FROM hk
+),
+bk AS (
+  SELECT doc_id, md5(text) AS key,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+  FROM batch
+)
+SELECT doc_id
+FROM bk CROSS JOIN bl
+WHERE rk = 1 AND NOT ({" AND ".join(_bff_test(i) for i in range(4))})
+ORDER BY doc_id
+"""
+
+
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy (textstats.char_entropy)
     per document — the two-tail junk screen (padding vs random
@@ -3041,6 +3126,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_sentence_chunks": (doc_sentence_chunks, SENTENCE_CHUNKS_ORACLE),
     "doc_pmi_pairs": (doc_pmi_pairs, PMI_PAIRS_ORACLE),
     "doc_char_entropy": (doc_char_entropy, CHAR_ENTROPY_ORACLE),
+    "doc_bff_dedup": (doc_bff_dedup, BFF_DEDUP_ORACLE),
     "doc_winnow_pairs": (doc_winnow_pairs, WINNOW_PAIRS_ORACLE),
     "doc_despanned": (doc_despanned, DESPANNED_ORACLE),
     "doc_split": (doc_split, SPLIT_ORACLE),
