@@ -897,6 +897,45 @@ def cmd_check(args) -> None:
         sys.exit(1)
 
 
+def cmd_bff(args) -> None:
+    """Bloom-filter incremental exact dedup (dedup.bff_survivors, the
+    Dolma BFF shape): drop batch docs whose text was admitted in any
+    earlier batch, using ONE bounded Bloom row as the whole cross-
+    batch state. Reads the state parquet if present, writes survivors
+    and the updated state."""
+    import os
+
+    from hypermap_etl_spark.operators.dedup import bff_survivors
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    hist = (
+        spark.read.parquet(args.state)
+        if os.path.exists(args.state)
+        else None
+    )
+    surv, bloom = bff_survivors(docs, history_bloom=hist,
+                                m_words=args.m_words)
+    surv.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    # state written AFTER survivors: a crashed run can be re-run
+    # idempotently (the state still excludes the failed batch)
+    tmp = args.state + ".tmp"
+    bloom.coalesce(1).write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    staged.coalesce(1).write.mode("overwrite").parquet(args.state)
+    n_in = docs.count()
+    st = spark.read.parquet(args.state).collect()[0]
+    print(json.dumps({
+        "batch_docs": n_in,
+        "survivors": n_out,
+        "dropped": n_in - n_out,
+        "state_keys": st["n_values"],
+        "m_words": args.m_words,
+        "out": args.out,
+    }))
+
+
 def cmd_report(args) -> None:
     """Corpus data card: one JSON line summarizing a documents parquet
     — size, token totals, language/source mix, length percentiles,
@@ -1198,6 +1237,15 @@ def main(argv=None) -> None:
                         "(repeatable)")
     p.add_argument("--out", default=None,
                    help="write the long-format report parquet")
+    p = sub.add_parser("bff", help="Bloom-filter incremental exact dedup "
+                              "(bounded cross-batch state)")
+    p.add_argument("--docs", required=True, help="batch documents parquet")
+    p.add_argument("--state", required=True,
+                   help="bloom state parquet (created if absent)")
+    p.add_argument("--out", required=True, help="survivors parquet")
+    p.add_argument("--m-words", type=int, default=1024,
+                   help="filter size in 63-bit words (size for the "
+                        "expected corpus; fp=(1-exp(-4n/63m))^4)")
     p = sub.add_parser("report", help="corpus data card (one JSON line)")
     p.add_argument("--docs", required=True, help="documents parquet")
     p = sub.add_parser("stream", help="continuous ingest")
@@ -1229,7 +1277,7 @@ def main(argv=None) -> None:
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
-        "check": cmd_check, "report": cmd_report,
+        "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
     }[args.cmd](args)
 
 

@@ -556,3 +556,21 @@ def test_cli_report(capsys):
         "doc_id", "lang", "source", "n_chars"
     }
     assert all(p["nulls"] == 0 for p in rep["profile"])
+
+
+def test_cli_bff_incremental(spark, capsys, tmp_path):
+    state = str(tmp_path / "bloom_state")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(["bff", "--docs", docs, "--state", state,
+          "--out", str(tmp_path / "o1")])
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["survivors"] == 500 and r1["dropped"] == 0
+    assert r1["state_keys"] == 500
+    # replaying the same batch: every doc is a historical duplicate,
+    # and the state does not double-count
+    main(["bff", "--docs", docs, "--state", state,
+          "--out", str(tmp_path / "o2")])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["survivors"] == 0 and r2["dropped"] == 500
+    assert r2["state_keys"] == 500
+    assert spark.read.parquet(state).count() == 1
