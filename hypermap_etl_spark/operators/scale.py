@@ -1,0 +1,191 @@
+"""Scale-engineering operators: key-skew diagnosis, distributed global
+rank, and token-balanced shard assignment.
+
+These are the pre-flight tools a 100 TB pipeline runs BEFORE committing
+to a shuffle plan: ``key_skew_report`` tells you whether a join/groupBy
+key needs salting (and by how much), ``global_rank`` produces a total-
+order rank WITHOUT the single-partition ``row_number() OVER (ORDER BY)``
+window (the classic scale-killer), and ``balanced_shards`` uses that
+rank for LPT-style round-robin packing of documents into equal-weight
+training shards — hash sharding (``corpus.to_shards``) balances counts,
+not token mass, so a heavy-tailed length distribution leaves some
+shards 2-3x heavier; round-robin over the size-descending order bounds
+the spread by one document.
+
+No reference analog (the reference's Mongo indexer never self-tunes);
+this is the operational layer its scripts/extract-events.ts chunk-size
+retry loop approximates by hand, re-expressed as measurable reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from hypermap_etl_spark.util import tracked_persist
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top: int = 10
+) -> DataFrame:
+    """Per-key skew diagnosis for an intended shuffle key.
+
+    Returns the ``top`` heaviest keys with, per key: row count, share
+    of all rows, and ``key_salt`` — the number of salt buckets needed
+    to split THIS key down to the average key's size (1 = no salting
+    needed) — plus the global context columns ``n_keys``, ``n_rows``
+    and the key-distribution Shannon entropy (nats, 6 dp). A uniform
+    key has entropy ln(n_keys); the gap is the skew.
+
+    Scale shape: ONE hash aggregate over (key) — the same shuffle the
+    diagnosed join/groupBy would do, but carrying only the key — then
+    two tiny aggregates over the per-key counts (n_keys rows, not
+    n_rows) and a broadcast single-row join of the summary; the top-N
+    is TakeOrderedAndProject. Nothing driver-side beyond the N rows.
+    """
+    counts = tracked_persist(
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # entropy needs the grand total inside a per-key expression; a
+    # global window over the counts frame would plan single-partition,
+    # so broadcast the one-row totals instead and keep both aggregates
+    # linear in the key cardinality.
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    summary = (
+        counts.join(F.broadcast(totals))
+        .agg(
+            F.first("n_keys").alias("n_keys"),
+            F.first("n_rows").alias("n_rows"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt") / F.col("n_rows"))
+                    * F.log(F.col("cnt") / F.col("n_rows"))
+                ),
+                6,
+            ).alias("key_entropy"),
+        )
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]).limit(top)
+    return (
+        topk.join(F.broadcast(summary))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.ceil(F.col("cnt") * F.col("n_keys") / F.col("n_rows"))
+            .cast("bigint")
+            .alias("key_salt"),
+            "n_keys",
+            "n_rows",
+            "key_entropy",
+        )
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Total-order 1-based rank without a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels EVERY row through one
+    task — the textbook scale-killer this module exists to avoid. The
+    distributed construction (the TeraSort rank):
+
+      1. ``repartitionByRange`` on the sort expressions — one range
+         shuffle, sampled boundaries;
+      2. persist, then collect the P per-partition counts (P rows to
+         the driver, never data);
+      3. rank = broadcast cumulative offset of the row's partition +
+         ``row_number`` over a PARTITIONED window (each task ranks only
+         its own range slice).
+
+    ``order_by`` must be a TOTAL order (tie-broken down to a unique
+    key): with ties, equal keys can straddle a range boundary and their
+    relative rank would depend on boundary sampling. With a total order
+    the result is independent of boundary placement and partition
+    count. Callers should project to the minimal columns first — the
+    persist holds the projected frame.
+    """
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = tracked_persist(
+        df.repartitionByRange(p, *order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ranged.withColumn(
+            rank_col,
+            (F.row_number().over(w) + off_expr[F.col("__pid")]).cast("bigint"),
+        )
+        .drop("__pid")
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    tiebreak_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Weight-balanced shard assignment: round-robin over the weight-
+    DESCENDING global order (greedy LPT without the sequential heap).
+
+    shard = (rank - 1) mod n_shards where rank is the total-order rank
+    by (weight desc, tiebreak asc). Heaviest n_shards items spread one
+    per shard, next wave likewise — per-shard total weights differ by
+    at most one item's weight per wave, so the spread is bounded by
+    max(weight) regardless of the length distribution (hash sharding's
+    spread grows with variance). Rank comes from ``global_rank`` — one
+    range shuffle, partitioned windows, no single-task sort.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    ranked = global_rank(
+        df,
+        [F.col(weight_col).desc(), F.col(tiebreak_col).asc()],
+        rank_col="rank",
+    )
+    return ranked.withColumn(
+        shard_col, ((F.col("rank") - 1) % n_shards).cast("int")
+    )
+
+
+def shard_balance_report(
+    sharded: DataFrame, weight_col: str, shard_col: str = "shard"
+) -> DataFrame:
+    """Per-shard load report for a shard assignment: item count, total
+    weight, and each shard's deviation from the mean shard weight
+    (ratio, 6 dp — 1.0 everywhere is a perfect pack). One hash
+    aggregate on the shard id + a broadcast single-row mean."""
+    per = sharded.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(weight_col).cast("bigint").alias("total_weight"),
+    )
+    mean = per.agg(F.avg("total_weight").alias("mean_weight"))
+    return per.join(F.broadcast(mean)).select(
+        shard_col,
+        "n_items",
+        "total_weight",
+        F.round(F.col("total_weight") / F.col("mean_weight"), 6).alias(
+            "load_ratio"
+        ),
+    )

@@ -966,7 +966,7 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-GOPHER_QUALITY_ORACLE = """
+GOPHER_QUALITY_ORACLE = r"""
 WITH paged AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'the data of note ' ELSE '' END
@@ -3088,6 +3088,84 @@ ORDER BY f.doc_id, dim
 """
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens) — whitespace token counts, the shard weight."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("bigint").alias("tokens"),
+    )
+
+
+def doc_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: round-robin over the token-
+    descending total order (LPT greedy), rank from the distributed
+    range-partition construction — no single-task window
+    (operators/scale.global_rank + balanced_shards)."""
+    from hypermap_etl_spark.operators import scale
+
+    return scale.balanced_shards(
+        _doc_tokens(spark, sf_dir), "tokens", "doc_id", n_shards=7
+    ).select("doc_id", "tokens", "rank", "shard").orderBy("doc_id")
+
+
+BALANCED_SHARDS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, tokens,
+         row_number() OVER (ORDER BY tokens DESC, doc_id ASC) AS rank
+  FROM d
+)
+SELECT doc_id, tokens, rank, CAST((rank - 1) % 7 AS INT) AS shard
+FROM r ORDER BY doc_id
+"""
+
+
+def doc_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard load report over the balanced assignment: item count,
+    token total, and load ratio vs the mean shard — the pack-quality
+    certificate (hash sharding balances counts; this balances mass)."""
+    from hypermap_etl_spark.operators import scale
+
+    sharded = scale.balanced_shards(
+        _doc_tokens(spark, sf_dir), "tokens", "doc_id", n_shards=7
+    )
+    return scale.shard_balance_report(sharded, "tokens").orderBy("shard")
+
+
+SHARD_BALANCE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, tokens,
+         row_number() OVER (ORDER BY tokens DESC, doc_id ASC) AS rank
+  FROM d
+),
+s AS (
+  SELECT CAST((rank - 1) % 7 AS INT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(tokens) AS BIGINT) AS total_weight
+  FROM r GROUP BY 1
+),
+m AS (SELECT AVG(total_weight) AS mean_weight FROM s)
+SELECT shard, n_items, total_weight,
+       ROUND(total_weight / mean_weight, 6) AS load_ratio
+FROM s CROSS JOIN m
+ORDER BY shard
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
@@ -3170,4 +3248,6 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_quantize": (emb_quantize, QUANTIZE_ORACLE),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_ORACLE),
     "emb_outliers": (emb_outliers, EMB_OUTLIERS_ORACLE),
+    "doc_balanced_shards": (doc_balanced_shards, BALANCED_SHARDS_ORACLE),
+    "doc_shard_balance": (doc_shard_balance, SHARD_BALANCE_ORACLE),
 }

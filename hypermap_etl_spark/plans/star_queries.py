@@ -3045,6 +3045,42 @@ ORDER BY user_id
 """
 
 
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis on the events type key: heaviest
+    keys with share, per-key salt factor, and distribution entropy —
+    the pre-flight report run before committing a 100 TB join/groupBy
+    to this key (operators/scale.key_skew_report)."""
+    from hypermap_etl_spark.operators import scale
+
+    return scale.key_skew_report(
+        load_table(spark, sf_dir, "events"), ["event_type"], top=5
+    ).orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+
+
+KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM c
+),
+e AS (
+  SELECT ROUND(-SUM((cnt * 1.0 / n_rows) * ln(cnt * 1.0 / n_rows)), 6)
+           AS key_entropy
+  FROM c CROSS JOIN t
+)
+SELECT event_type, cnt,
+       ROUND(cnt * 1.0 / n_rows, 6) AS share,
+       CAST(ceil(cnt * n_keys * 1.0 / n_rows) AS BIGINT) AS key_salt,
+       n_keys, n_rows, key_entropy
+FROM c CROSS JOIN t CROSS JOIN e
+ORDER BY cnt DESC, event_type ASC
+LIMIT 5
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),
@@ -3123,4 +3159,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "top_orders_denorm": (top_orders_denorm, DENORM_ORACLE),
     "parts_size_filter": (parts_size_filter, PARTS_ORACLE),
     "activity_union": (activity_union, UNION_ORACLE),
+    "events_key_skew": (events_key_skew, KEY_SKEW_ORACLE),
 }

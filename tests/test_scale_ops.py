@@ -1,0 +1,114 @@
+"""Unit tests for operators/scale.py: key-skew diagnosis, distributed
+global rank, and weight-balanced shard assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hypermap_etl_spark.operators import scale
+
+
+def _skewed(spark, hot=900, cold_keys=10, cold_each=10):
+    rows = [Row(k="hot", v=i) for i in range(hot)]
+    for j in range(cold_keys):
+        rows += [Row(k=f"c{j}", v=i) for i in range(cold_each)]
+    return spark.createDataFrame(rows)
+
+
+def test_skew_report_flags_hot_key(spark):
+    df = _skewed(spark)  # 900 hot + 10*10 cold = 1000 rows, 11 keys
+    rep = scale.key_skew_report(df, ["k"], top=3).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["cnt"] == 900
+    assert rep[0]["share"] == 0.9
+    # splitting the hot key to the average (1000/11 ≈ 91) takes
+    # ceil(900*11/1000) = 10 salt buckets; cold keys need none
+    assert rep[0]["key_salt"] == 10
+    assert rep[1]["key_salt"] == 1
+    assert rep[0]["n_keys"] == 11 and rep[0]["n_rows"] == 1000
+
+
+def test_skew_entropy_uniform_is_ln_k(spark):
+    df = spark.createDataFrame(
+        [Row(k=f"k{i % 4}", v=i) for i in range(400)]
+    )
+    rep = scale.key_skew_report(df, ["k"], top=1).collect()[0]
+    import math
+
+    assert rep["key_entropy"] == round(math.log(4), 6)
+    assert rep["key_salt"] == 1
+
+
+def test_global_rank_matches_window(spark):
+    df = spark.createDataFrame(
+        [Row(x=(i * 37) % 101, id=i) for i in range(101)]
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in scale.global_rank(
+            df, [F.col("x").desc(), F.col("id").asc()], partitions=7
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.selectExpr(
+            "id", "row_number() over (order by x desc, id asc) as rn"
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("in_parts", [1, 3, 13])
+@pytest.mark.parametrize("rank_parts", [2, 8])
+def test_global_rank_partition_invariant(spark, in_parts, rank_parts):
+    df = spark.createDataFrame(
+        [Row(x=i % 10, id=i) for i in range(50)]
+    ).repartition(in_parts)
+    got = {
+        r["id"]: r["rank"]
+        for r in scale.global_rank(
+            df, [F.col("x").asc(), F.col("id").asc()], partitions=rank_parts
+        ).collect()
+    }
+    assert sorted(got.values()) == list(range(1, 51))
+    # total order ⇒ rank is the position in the (x, id) sort, whatever
+    # the input layout or range-partition count
+    want = {
+        id_: pos + 1
+        for pos, (_, id_) in enumerate(
+            sorted((i % 10, i) for i in range(50))
+        )
+    }
+    assert got == want
+
+
+def test_balanced_shards_bounds_spread(spark):
+    # heavy-tailed weights: hash sharding would leave the two giant
+    # docs wherever they land; LPT round-robin puts them on different
+    # shards and the spread stays within one wave's weight
+    rows = [Row(id=i, w=(1000 if i < 2 else 10)) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    sh = scale.balanced_shards(df, "w", "id", n_shards=2)
+    rep = {
+        r["shard"]: r["total_weight"]
+        for r in scale.shard_balance_report(sh, "w").collect()
+    }
+    assert set(rep) == {0, 1}
+    assert abs(rep[0] - rep[1]) <= 10  # one light item, not one giant
+
+
+def test_balanced_shards_rejects_bad_n(spark):
+    df = spark.createDataFrame([Row(id=1, w=1)])
+    with pytest.raises(ValueError, match="n_shards"):
+        scale.balanced_shards(df, "w", "id", n_shards=0)
+
+
+def test_shard_assignment_is_round_robin(spark):
+    df = spark.createDataFrame([Row(id=i, w=100 - i) for i in range(9)])
+    got = {
+        r["id"]: r["shard"]
+        for r in scale.balanced_shards(df, "w", "id", n_shards=3).collect()
+    }
+    # weights strictly descending with id ⇒ rank == id+1
+    assert got == {i: i % 3 for i in range(9)}
