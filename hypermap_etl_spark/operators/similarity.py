@@ -1364,6 +1364,80 @@ def pca_project(
     return d.sparkSession.sql(sql, src=d)
 
 
+def jl_project(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC Rademacher (±1/√k) projection — the cheap pre-pass
+    that shrinks vectors before clustering / LSH at corpus scale
+    (Achlioptas 2001: ±1 entries preserve pairwise distances with the
+    same JL guarantee as Gaussian ones, and multiply-free).
+
+    Sign(j, i) = +1 iff the first hex nibble of md5("jl:{seed}:{j}:{i}")
+    is < 8 — reproducible from (seed, dims) alone in ANY engine, so an
+    oracle can replay the exact projection; no stored model, no RNG
+    state.
+
+    Scale shape: the out_dim×in_dim sign matrix is folded into the plan
+    as literal arrays (model-sized, like pca_project); each output dim
+    is one zip_with multiply + ordered aggregate fold, ALL inside
+    whole-stage codegen — map-side only, no shuffle, no UDF, no driver
+    data. Downstream cost (k-means assign, LSH banding) then scales by
+    out_dim/in_dim. Output: (id, proj array<double>) UNROUNDED — gates
+    explode + round at the edge (round-final-only).
+    """
+    import hashlib
+    import math
+
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError(f"dims must be positive, got {in_dim}->{out_dim}")
+    signs = [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl:{seed}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = _vd(vec_col)
+    # one-int guard per row: a vector of the wrong width would silently
+    # zip_with-truncate, corrupting the projection. assert_true lives
+    # in a FILTER (it returns NULL on success) — a projected-then-
+    # dropped column would be pruned by the optimizer and never fire.
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == in_dim,
+        f"jl_project expects {in_dim}-dim vectors",
+    )
+    cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ).alias(f"jd{j}")
+        for j in range(out_dim)
+    ]
+    return emb.filter(guard.isNull()).select(
+        F.col(id_col), F.array(*cols).alias("proj")
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

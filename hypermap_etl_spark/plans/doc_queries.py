@@ -3099,6 +3099,46 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64→8 dims with
+    md5-derived ±1 signs (similarity.jl_project) — map-side-only
+    literal-matrix folds; gate explodes to (vec_id, jdim, val) scalars
+    and rounds at the edge."""
+    proj = similarity.jl_project(
+        load_table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8, seed=0
+    )
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("jdim", "val"))
+        .select(
+            "vec_id",
+            "jdim",
+            (F.round("val", 6) + F.lit(0.0)).alias("val"),
+        )
+        .orderBy("vec_id", "jdim")
+    )
+
+
+JL_PROJECT_ORACLE = """
+WITH p AS (
+  SELECT CAST(j AS INT) AS jdim, CAST(i AS INT) AS i,
+         CASE WHEN substr(md5('jl:0:' || j || ':' || i), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(8) t1(j) CROSS JOIN range(64) t2(i)
+),
+v AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) t(i)
+)
+SELECT vec_id, jdim,
+       ROUND(SUM(s * x) * (1.0 / sqrt(8.0)), 6) + 0.0 AS val
+FROM v JOIN p USING (i)
+GROUP BY vec_id, jdim
+ORDER BY vec_id, jdim
+"""
+
+
 def doc_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment: round-robin over the token-
     descending total order (LPT greedy), rank from the distributed
@@ -3250,4 +3290,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_outliers": (emb_outliers, EMB_OUTLIERS_ORACLE),
     "doc_balanced_shards": (doc_balanced_shards, BALANCED_SHARDS_ORACLE),
     "doc_shard_balance": (doc_shard_balance, SHARD_BALANCE_ORACLE),
+    "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
 }

@@ -1376,3 +1376,71 @@ def test_char_entropy_known_values(spark):
     assert out[4]["entropy"] == round(math.log(4), 6)
     want5 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert out[5]["entropy"] == round(want5, 6)
+
+
+def test_jl_project_preserves_pairwise_distance(spark):
+    # JL with ±1/√k entries: E[||Px - Py||²] = ||x - y||²; with k=16
+    # over 64 dims the planted far/near structure must survive —
+    # orthogonal unit basis vectors stay far, a near-duplicate stays
+    # near its twin after projection
+    import itertools
+    import math
+
+    from pyspark.sql import Row
+
+    base = [0.0] * 64
+    vecs = {}
+    for n in range(4):  # scaled orthogonal basis vectors
+        v = list(base)
+        v[n * 7] = 4.0
+        vecs[n] = v
+    twin = list(vecs[0])
+    twin[1] = 0.05  # near-dup of vec 0
+    vecs[4] = twin
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.jl_project(df, 64, 16, seed=3).collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    near = dist(proj[0], proj[4])
+    fars = [dist(proj[a], proj[b]) for a, b in itertools.combinations(range(4), 2)]
+    assert near < min(fars) / 3  # 0.05 vs ~5.6 separation survives
+
+
+def test_jl_project_deterministic_across_layouts(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * j) % 7) - 3.0 for j in range(8)])
+        for i in range(40)
+    ]
+    a = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.jl_project(
+            spark.createDataFrame(rows).repartition(1), 8, 4, seed=1
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.jl_project(
+            spark.createDataFrame(rows).repartition(13), 8, 4, seed=1
+        ).collect()
+    }
+    assert a == b  # literal matrix + ordered fold: bit-identical
+
+
+def test_jl_project_guards_vector_width(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0, 3.0])])
+    with _pytest.raises(Exception, match="8-dim"):
+        similarity.jl_project(df, 8, 2).collect()
+    with _pytest.raises(ValueError, match="dims"):
+        similarity.jl_project(df, 3, 0)
