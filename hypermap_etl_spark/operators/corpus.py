@@ -1099,3 +1099,102 @@ def sentence_chunks(
     return base.select(
         id_col, F.explode(chunks).alias("__c")
     ).select(id_col, "__c.*")
+
+
+def epoch_plan(
+    per_source: DataFrame,
+    budget_tokens: float,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    cap_col: str = "max_epochs",
+) -> DataFrame:
+    """Token-budget allocation across sources with per-source epoch
+    caps — the data-recipe waterfill (the LLaMA-style "web sees ~1
+    epoch, books/code several" planner).
+
+    Solves for the waterline t ≥ 0 with Σ_s min(c_s·t, c_s·e_s) =
+    budget (c_s = source tokens, e_s = its epoch cap): every source
+    repeats t epochs except those capped below the line. Closed form,
+    no iteration: sort sources by cap ascending; for each prefix k of
+    capped sources the candidate line is
+    t_k = (budget − Σ_{i≤k} c_i·e_i) / Σ_{i>k} c_i, valid exactly when
+    it lands inside [e_k, e_{k+1}]; the segments partition the budget
+    axis so exactly one candidate is valid (the min guards boundary
+    ties). A budget beyond total capacity saturates at t = max e.
+
+    Emits per source: tokens, max_epochs, epochs = min(t, e_s) and
+    alloc_tokens = c_s·epochs, both rounded 6 dp at the edge.
+
+    Scale shape: the input is the per-source AGGREGATE (model-sized —
+    tens of sources for a 100 TB corpus), so the ordered cumulative
+    window here is a deliberate small-frame exception, same class as
+    the vocab windows above; the corpus-sized work (token counting)
+    happened in the caller's one hash aggregate. Downstream, the
+    epochs column drives weighted_sample / cap_per_source rates.
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    w = Window.orderBy(F.col("e").asc(), F.col(source_col).asc())
+    d = per_source.select(
+        source_col,
+        F.col(tokens_col).cast("double").alias("c"),
+        F.col(cap_col).cast("double").alias("e"),
+    )
+    d = (
+        d.withColumn("cum_ce", F.sum(F.col("c") * F.col("e")).over(w))
+        .withColumn("cum_c", F.sum("c").over(w))
+        .withColumn("prev_e", F.coalesce(F.lag("e").over(w), F.lit(0.0)))
+    )
+    totals = d.groupBy().agg(
+        F.sum(F.col("c") * F.col("e")).alias("total_ce"),
+        F.sum("c").alias("total_c"),
+        F.max("e").alias("max_e"),
+    )
+    d = d.join(F.broadcast(totals))
+    # candidate line per row: everything STRICTLY before this row (in
+    # cap order) is capped; this row and later float at t. try_divide:
+    # a zero-token tail source makes the divisor 0 under ANSI mode, and
+    # its NULL candidate simply fails the validity filter (a 0-token
+    # source never constrains the waterline).
+    cand = F.try_divide(
+        F.lit(float(budget_tokens)) - (F.col("cum_ce") - F.col("c") * F.col("e")),
+        F.col("total_c") - (F.col("cum_c") - F.col("c")),
+    )
+    valid = d.select(
+        F.when(
+            (cand >= F.col("prev_e")) & (cand <= F.col("e")), cand
+        ).alias("t")
+    ).agg(F.min("t").alias("t"))
+    line = (
+        F.broadcast(valid)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.when(
+                F.lit(float(budget_tokens)) >= F.col("total_ce"),
+                F.col("max_e"),
+            )
+            .otherwise(F.col("t"))
+            .alias("t")
+        )
+    )
+    return (
+        per_source.select(
+            source_col,
+            F.col(tokens_col).cast("double").alias("tokens"),
+            F.col(cap_col).cast("double").alias("max_epochs"),
+        )
+        .join(F.broadcast(line))
+        .select(
+            source_col,
+            "tokens",
+            "max_epochs",
+            F.round(F.least(F.col("t"), F.col("max_epochs")), 6).alias(
+                "epochs"
+            ),
+            F.round(
+                F.col("tokens") * F.least(F.col("t"), F.col("max_epochs")), 6
+            ).alias("alloc_tokens"),
+        )
+    )

@@ -3099,6 +3099,78 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfill across sources with md5-derived epoch
+    caps (1-4) and budget = 1.8x the corpus tokens: sources capped
+    below the waterline repeat their cap, the rest float at t
+    (corpus.epoch_plan — the data-recipe allocator)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("__t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__t").cast("double").alias("tokens"))
+        .withColumn(
+            "max_epochs",
+            (
+                (
+                    F.expr(
+                        "instr('0123456789abcdef', substring(md5(source), 1, 1))"
+                    )
+                    - 1
+                )
+                % 4
+                + 1
+            ).cast("double"),
+        )
+    )
+    budget = 1.8 * per.agg(F.sum("tokens")).collect()[0][0]
+    return corpus.epoch_plan(per, budget).orderBy("source")
+
+
+EPOCH_PLAN_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> ''))) AS DOUBLE) AS c,
+         CAST(((instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1)
+               % 4) + 1 AS DOUBLE) AS e
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(c * e) AS total_ce, SUM(c) AS total_c, MAX(e) AS max_e,
+         1.8 * SUM(c) AS b
+  FROM per
+),
+w AS (
+  SELECT source, c, e,
+         SUM(c * e) OVER (ORDER BY e ASC, source ASC) AS cum_ce,
+         SUM(c) OVER (ORDER BY e ASC, source ASC) AS cum_c,
+         COALESCE(lag(e) OVER (ORDER BY e ASC, source ASC), 0.0) AS prev_e
+  FROM per
+),
+cand AS (
+  SELECT (b - (cum_ce - c * e)) / (total_c - (cum_c - c)) AS t, prev_e, e
+  FROM w CROSS JOIN tot
+),
+line AS (
+  SELECT CASE WHEN b >= total_ce THEN max_e
+              ELSE (SELECT MIN(t) FROM cand
+                    WHERE t >= prev_e AND t <= e) END AS t
+  FROM tot
+)
+SELECT source, c AS tokens, e AS max_epochs,
+       ROUND(LEAST(t, e), 6) AS epochs,
+       ROUND(c * LEAST(t, e), 6) AS alloc_tokens
+FROM per CROSS JOIN line
+ORDER BY source
+"""
+
+
 def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64→8 dims with
     md5-derived ±1 signs (similarity.jl_project) — map-side-only
@@ -3291,4 +3363,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_balanced_shards": (doc_balanced_shards, BALANCED_SHARDS_ORACLE),
     "doc_shard_balance": (doc_shard_balance, SHARD_BALANCE_ORACLE),
     "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
+    "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
 }

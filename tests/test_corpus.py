@@ -669,3 +669,52 @@ def test_sentence_chunks_semantics(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="max_tokens"):
         corpus.sentence_chunks(docs, max_tokens=0)
+
+
+def _plan(spark, budget, rows=((100, 1.0), (100, 2.0), (100, 4.0))):
+    from pyspark.sql import Row
+
+    per = spark.createDataFrame(
+        [Row(source=f"s{i}", tokens=c, max_epochs=e) for i, (c, e) in enumerate(rows)]
+    )
+    return {
+        r["source"]: (r["epochs"], r["alloc_tokens"])
+        for r in corpus.epoch_plan(per, budget).collect()
+    }
+
+
+def test_epoch_plan_waterline_between_caps(spark):
+    # B=600 over caps 1/2/4 with 100 tokens each: s0 capped at 1,
+    # s1 capped at 2, s2 floats at t=3; allocations sum to the budget
+    got = _plan(spark, 600.0)
+    assert got == {"s0": (1.0, 100.0), "s1": (2.0, 200.0), "s2": (3.0, 300.0)}
+
+
+def test_epoch_plan_saturates_at_capacity(spark):
+    # capacity is 100*1+100*2+100*4 = 700; any budget >= that caps all
+    for budget in (700.0, 10_000.0):
+        got = _plan(spark, budget)
+        assert got == {
+            "s0": (1.0, 100.0),
+            "s1": (2.0, 200.0),
+            "s2": (4.0, 400.0),
+        }
+
+
+def test_epoch_plan_small_budget_uniform_line(spark):
+    # B=150 < 300*1: nothing capped, everything floats at t=0.5
+    got = _plan(spark, 150.0)
+    assert got == {"s0": (0.5, 50.0), "s1": (0.5, 50.0), "s2": (0.5, 50.0)}
+
+
+def test_epoch_plan_zero_budget_and_empty_source(spark):
+    got = _plan(spark, 0.0, rows=((100, 2.0), (0, 3.0)))
+    assert got["s0"] == (0.0, 0.0)
+    assert got["s1"] == (0.0, 0.0)
+
+
+def test_epoch_plan_rejects_negative_budget(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        _plan(spark, -1.0)
