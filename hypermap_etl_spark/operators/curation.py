@@ -153,6 +153,35 @@ def tag_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def luhn_valid(number: Column) -> Column:
+    """Luhn mod-10 checksum over a digits-only string column — the
+    validity filter that separates real card numbers from arbitrary
+    digit runs (the Dolma-style precision upgrade to regex-only CC
+    tagging: ~90% of random 16-digit runs fail Luhn, so validating
+    candidates cuts false-positive redactions by that factor).
+
+    Pure nested-HOF column expression (split to chars → indexed
+    transform → aggregate fold): from the RIGHTMOST digit, every
+    second digit doubles (minus 9 when > 9); valid iff the sum ≡ 0
+    mod 10. No shuffle, no UDF; engine-replayable in SQL. NULL/empty
+    or non-digit input yields NULL (cast failure under the transform
+    is avoided by the caller extracting digit runs)."""
+    rev = F.reverse(number)
+    chars = F.slice(F.split(rev, ""), 1, F.length(rev))
+    terms = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 0, c.try_cast("int")
+        ).otherwise(
+            F.when(
+                c.try_cast("int") * 2 > 9, c.try_cast("int") * 2 - 9
+            ).otherwise(c.try_cast("int") * 2)
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return F.when(F.length(number) > 0, total % 10 == 0)
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Mask every PII span with a typed placeholder. Global replace,
     one projection; ordering documented at _MASKS."""

@@ -3099,6 +3099,49 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 validation (curation.luhn_valid) over md5-derived
+    16-digit candidates — the CC-tagger precision filter, exercised
+    fixture-free on deterministic digit runs (~10% pass rate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = F.expr(
+        "array_join(transform(slice(split(md5(cast(doc_id as string)), ''), 1, 16), "
+        "c -> cast((instr('0123456789abcdef', c) - 1) % 10 as string)), '')"
+    )
+    return (
+        docs.select("doc_id", cand.alias("candidate"))
+        .select(
+            "doc_id",
+            "candidate",
+            curation.luhn_valid(F.col("candidate")).alias("luhn_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LUHN_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(1, 17),
+           i -> CAST((instr('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)),
+                                   CAST(i AS INT), 1)) - 1) % 10
+                     AS VARCHAR)),
+           'string_agg', '') AS candidate
+  FROM documents
+)
+SELECT doc_id, candidate,
+       (list_sum(list_transform(range(1, 17), i ->
+          CASE WHEN (i - 1) % 2 = 0
+               THEN CAST(substr(reverse(candidate), CAST(i AS INT), 1) AS INT)
+               WHEN CAST(substr(reverse(candidate), CAST(i AS INT), 1) AS INT) * 2 > 9
+               THEN CAST(substr(reverse(candidate), CAST(i AS INT), 1) AS INT) * 2 - 9
+               ELSE CAST(substr(reverse(candidate), CAST(i AS INT), 1) AS INT) * 2
+          END)) % 10 = 0) AS luhn_ok
+FROM c ORDER BY doc_id
+"""
+
+
 def doc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget waterfill across sources with md5-derived epoch
     caps (1-4) and budget = 1.8x the corpus tokens: sources capped
@@ -3364,4 +3407,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_shard_balance": (doc_shard_balance, SHARD_BALANCE_ORACLE),
     "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
+    "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
 }

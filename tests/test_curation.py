@@ -799,3 +799,33 @@ def test_k_anonymity_and_suppression(spark):
         k_anonymity(df, ["age"], k=3)
     with pytest.raises(ValueError, match="k must be"):
         k_suppress(df, ["zip"], k=1)
+
+
+def test_luhn_known_numbers(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import luhn_valid
+
+    cases = [
+        ("4532015112830366", True),   # classic Visa test number
+        ("79927398713", True),        # the Wikipedia worked example
+        ("79927398710", False),
+        ("4532015112830367", False),
+        ("0000000000000000", True),   # all zeros sum to 0
+    ]
+    df = spark.createDataFrame([Row(n=n) for n, _ in cases])
+    got = {r["n"]: r["v"] for r in df.select("n", luhn_valid(F.col("n")).alias("v")).collect()}
+    for n, want in cases:
+        assert got[n] is want, n
+
+
+def test_luhn_degenerate_inputs_yield_null(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import luhn_valid
+
+    df = spark.createDataFrame(
+        [Row(n=""), Row(n=None), Row(n="12a4")], "n string"
+    )
+    got = [r["v"] for r in df.select(luhn_valid(F.col("n")).alias("v")).collect()]
+    assert got == [None, None, None]
