@@ -685,3 +685,52 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.round(F.when(F.size("__cs") > 0, ent).otherwise(F.lit(0.0)), 6)
          + F.lit(0.0)).alias("entropy"),
     )
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Writing-system profile per document: counts of Latin / Cyrillic
+    / Han script characters plus digits and whitespace, the Latin
+    share, and the dominant script — the router that splits a
+    multilingual crawl into per-script pipelines (tokenizer choice,
+    langid model, CJK-aware segmentation) before any text-level work.
+
+    Counts are Unicode-script regexp_count's (Java \\p{IsLatin} ==
+    RE2 \\p{Latin} — both are Script=Latin); digits/whitespace use
+    explicit ASCII classes (the engines' \\d/\\s shorthands differ at
+    the edges, e.g. vertical tab). Dominant script is the max count
+    with alphabetically-first tie-break, evaluated as a CASE chain so
+    any engine reproduces it. Pure projection: no shuffle, no Python,
+    one pass over the text."""
+    t = F.col(text_col)
+    n_latin = F.regexp_count(t, F.lit(r"\p{IsLatin}")).cast("long")
+    n_cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}")).cast("long")
+    n_han = F.regexp_count(t, F.lit(r"\p{IsHan}")).cast("long")
+    n_digit = F.regexp_count(t, F.lit("[0-9]")).cast("long")
+    n_space = F.regexp_count(t, F.lit("[ \\t\\n\\r]")).cast("long")
+    n_chars = F.length(t).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_han.alias("n_han"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    m = F.greatest("n_latin", "n_cyrillic", "n_han", "n_digit")
+    dominant = (
+        F.when(m == 0, F.lit(""))
+        .when(F.col("n_cyrillic") == m, F.lit("cyrillic"))
+        .when(F.col("n_digit") == m, F.lit("digit"))
+        .when(F.col("n_han") == m, F.lit("han"))
+        .otherwise(F.lit("latin"))
+    )
+    return base.select(
+        "*",
+        F.round(
+            F.when(F.col("n_chars") > 0, F.col("n_latin") / F.col("n_chars"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("latin_share"),
+        dominant.alias("dominant_script"),
+    )

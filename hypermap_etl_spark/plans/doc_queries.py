@@ -3099,6 +3099,41 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system router profile (textstats.script_profile):
+    Unicode-script counts + dominant script per doc, pure projection."""
+    return textstats.script_profile(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+SCRIPT_PROFILE_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han, n_digit, n_space,
+       ROUND(CASE WHEN n_chars > 0
+                  THEN n_latin * 1.0 / n_chars ELSE 0.0 END, 6)
+         AS latin_share,
+       CASE WHEN GREATEST(n_latin, n_cyrillic, n_han, n_digit) = 0 THEN ''
+            WHEN n_cyrillic = GREATEST(n_latin, n_cyrillic, n_han, n_digit)
+              THEN 'cyrillic'
+            WHEN n_digit = GREATEST(n_latin, n_cyrillic, n_han, n_digit)
+              THEN 'digit'
+            WHEN n_han = GREATEST(n_latin, n_cyrillic, n_han, n_digit)
+              THEN 'han'
+            ELSE 'latin' END AS dominant_script
+FROM c ORDER BY doc_id
+"""
+
+
 def doc_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn mod-10 validation (curation.luhn_valid) over md5-derived
     16-digit candidates — the CC-tagger precision filter, exercised
@@ -3408,4 +3443,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
+    "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),
 }

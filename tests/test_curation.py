@@ -829,3 +829,32 @@ def test_luhn_degenerate_inputs_yield_null(spark):
     )
     got = [r["v"] for r in df.select(luhn_valid(F.col("n")).alias("v")).collect()]
     assert got == [None, None, None]
+
+
+def test_script_profile_planted_scripts(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.textstats import script_profile
+
+    rows = [
+        Row(doc_id=1, text="Hello world 42"),
+        Row(doc_id=2, text="Привет мир"),
+        Row(doc_id=3, text="你好世界 ok"),
+        Row(doc_id=4, text="12345"),
+        Row(doc_id=5, text=""),
+        Row(doc_id=6, text="abc АБВ"),  # latin==cyrillic tie -> cyrillic
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in script_profile(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1]["dominant_script"] == "latin"
+    assert got[1]["n_latin"] == 10 and got[1]["n_digit"] == 2
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert got[2]["n_cyrillic"] == 9 and got[2]["n_latin"] == 0
+    assert got[3]["dominant_script"] == "han"
+    assert got[3]["n_han"] == 4 and got[3]["n_latin"] == 2
+    assert got[4]["dominant_script"] == "digit"
+    assert got[5]["dominant_script"] == "" and got[5]["latin_share"] == 0.0
+    assert got[6]["dominant_script"] == "cyrillic"  # alphabetical tie-break
+    assert got[1]["latin_share"] == round(10 / 14, 6)
