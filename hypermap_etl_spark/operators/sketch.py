@@ -290,6 +290,45 @@ def cms_estimate(
     )
 
 
+def cms_join_estimate(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches over
+    the join key: |A ⋈ B| ≈ min over d of Σ_bucket A[d][b]·B[d][b]
+    (the CM inner product, Cormode & Muthukrishnan 2005 §4.2). Always
+    an OVERESTIMATE of the true join size (collisions only add mass);
+    within true + ε·N_A·N_B with probability 1-δ for ε = e/width,
+    δ = e^-depth.
+
+    This is the join planner's pre-flight: both sides sketch in one
+    map-combined pass each (cms_build), and the estimate itself joins
+    two ≤ depth×width-row frames — broadcast-sized whatever the input
+    was, so choosing shuffle strategy / salting for a 100 TB join
+    costs two cheap scans instead of running the join to see.
+
+    Products accumulate in DECIMAL(38,0): two billion-row sides can
+    put the inner product past int64. Missing (d, bucket) pairs on
+    either side contribute zero; a depth row with NO shared buckets
+    makes the whole estimate 0 (correct: some h_d separates the key
+    sets perfectly, so they share no keys).
+    """
+    j = cms_a.alias("a").join(cms_b.alias("b"), ["d", "bucket"])
+    per_d = j.groupBy("d").agg(
+        F.sum(
+            F.col("a.cnt").cast("decimal(38,0)")
+            * F.col("b.cnt").cast("decimal(38,0)")
+        ).alias("ip")
+    )
+    ds = (
+        cms_a.sparkSession.range(depth)
+        .select(F.col("id").cast("int").alias("d"))
+    )
+    full = ds.join(F.broadcast(per_d), "d", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("decimal(38,0)")).alias("ip")
+    )
+    return full.agg(F.min("ip").cast("long").alias("est_join_rows"))
+
+
 # ------------------------------------------- hash-sampled quantiles ----
 
 def sampled_quantiles(

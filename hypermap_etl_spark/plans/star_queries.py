@@ -3045,6 +3045,95 @@ ORDER BY user_id
 """
 
 
+def events_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight: CM-sketch inner product estimate of
+    |click ⋈ purchase on user_id| (sketch.cms_join_estimate) next to
+    the exact size, with the overestimate + ε·N_A·N_B bound verdicts —
+    the planner probe that costs two sketch scans instead of the join."""
+    import math
+
+    from hypermap_etl_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = sketch.cms_join_estimate(
+        sketch.cms_build(a, "user_id", depth=4, width=512),
+        sketch.cms_build(b, "user_id", depth=4, width=512),
+        depth=4,
+    )
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_join_rows")
+    )
+    sizes = a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "est_join_rows",
+            "exact_join_rows",
+            (F.col("est_join_rows") >= F.col("exact_join_rows")).alias(
+                "is_overestimate"
+            ),
+            (
+                F.col("est_join_rows")
+                <= F.col("exact_join_rows")
+                + F.ceil(
+                    F.lit(math.e) / 512 * F.col("n_a") * F.col("n_b")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
+JOIN_ESTIMATE_ORACLE = """
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+ha AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM a WHERE user_id IS NOT NULL
+),
+hb AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM b WHERE user_id IS NOT NULL
+),
+cms_a AS (
+  SELECT d, (h1 + d * h2) % 512 AS bucket, COUNT(*) AS cnt
+  FROM ha CROSS JOIN ds GROUP BY d, bucket
+),
+cms_b AS (
+  SELECT d, (h1 + d * h2) % 512 AS bucket, COUNT(*) AS cnt
+  FROM hb CROSS JOIN ds GROUP BY d, bucket
+),
+ip AS (
+  SELECT ds.d,
+         COALESCE(SUM(cms_a.cnt * cms_b.cnt), 0) AS ip
+  FROM ds
+  LEFT JOIN cms_a ON cms_a.d = ds.d
+  LEFT JOIN cms_b ON cms_b.d = ds.d AND cms_b.bucket = cms_a.bucket
+  GROUP BY ds.d
+),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+  FROM a JOIN b USING (user_id)
+),
+sz AS (
+  SELECT (SELECT COUNT(*) FROM a) AS n_a, (SELECT COUNT(*) FROM b) AS n_b
+)
+SELECT est_join_rows, exact_join_rows,
+       est_join_rows >= exact_join_rows AS is_overestimate,
+       est_join_rows <= exact_join_rows
+         + CAST(ceil(exp(1) / 512 * n_a * n_b) AS BIGINT) AS within_bound
+FROM est CROSS JOIN ex CROSS JOIN sz
+"""
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis on the events type key: heaviest
     keys with share, per-key salt factor, and distribution entropy —
@@ -3160,4 +3249,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_size_filter": (parts_size_filter, PARTS_ORACLE),
     "activity_union": (activity_union, UNION_ORACLE),
     "events_key_skew": (events_key_skew, KEY_SKEW_ORACLE),
+    "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
 }

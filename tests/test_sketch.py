@@ -345,3 +345,44 @@ def test_approx_quantile_bounds_validation_and_nulls(spark):
     assert rows[0]["within_bound"] and abs(rows[0]["exact_rank"] - 0.5) < 0.01
     with pytest.raises(ValueError, match="0 < p < 1"):
         approx_quantile_bounds(df, "v", [1.5])
+
+
+def test_cms_join_estimate_overestimates_and_is_exact_without_collisions(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators import sketch
+
+    # duplicate-heavy overlap: true join size = sum over shared keys of
+    # cnt_a * cnt_b = 3*2 (k1) + 1*4 (k2) = 10
+    a = spark.createDataFrame(
+        [Row(k="k1")] * 3 + [Row(k="k2")] * 1 + [Row(k="only_a")] * 5
+    )
+    b = spark.createDataFrame(
+        [Row(k="k1")] * 2 + [Row(k="k2")] * 4 + [Row(k="only_b")] * 7
+    )
+    est = sketch.cms_join_estimate(
+        sketch.cms_build(a, "k", depth=4, width=1024),
+        sketch.cms_build(b, "k", depth=4, width=1024),
+        depth=4,
+    ).collect()[0]["est_join_rows"]
+    # 4 distinct keys in 4x1024 buckets: no collisions, the inner
+    # product is exact
+    assert est == 10
+
+
+def test_cms_join_estimate_disjoint_keys(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators import sketch
+
+    a = spark.createDataFrame([Row(k=f"a{i}") for i in range(20)])
+    b = spark.createDataFrame([Row(k=f"b{i}") for i in range(20)])
+    est = sketch.cms_join_estimate(
+        sketch.cms_build(a, "k", depth=4, width=1024),
+        sketch.cms_build(b, "k", depth=4, width=1024),
+        depth=4,
+    ).collect()[0]["est_join_rows"]
+    # est >= true (=0) always; with 40 keys in 1024 buckets some depth
+    # almost surely separates them entirely
+    assert est >= 0
+    assert est <= 2  # generous: expected collisions ~ 20*20/1024 < 0.4 per depth
