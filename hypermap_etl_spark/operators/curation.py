@@ -1046,3 +1046,50 @@ def k_suppress(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
         eq = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
         cond = eq if cond is None else (cond & eq)
     return df.join(big, cond, "left_semi")
+
+
+def keyword_tags(
+    docs: DataFrame, keywords: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Dictionary-based topic/domain tagging: per (doc, keyword) hit
+    counts for a broadcast keyword list, word-boundary matched — the
+    curation step that routes documents to domain buckets (code /
+    medical / legal ...) from curated term lists.
+
+    One projection computes ALL keyword counts per row (k regexp_count
+    columns over the lowered text — the text is scanned once per
+    keyword but never duplicated), then a stack() unpivot emits the
+    sparse (doc_id, keyword, n_hits > 0) rows. Everything JVM-side;
+    no join, no shuffle, output is hit-sparse. For dictionaries beyond
+    a few hundred terms the right construction is an Aho-Corasick
+    automaton in an Arrow-batched UDF (one text pass total); this
+    literal-column form is the broadcast-dictionary fast path.
+
+    Keywords must be word-like ([a-z0-9_]+, lowercase) — enforced, so
+    no regex metacharacter can leak into the pattern.
+    """
+    import re as _re
+
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    ks = sorted(set(keywords))
+    for k in ks:
+        if not _re.fullmatch(r"[a-z0-9_]+", k):
+            raise ValueError(f"keyword must match [a-z0-9_]+: {k!r}")
+    lowered = F.lower(F.col(text_col))
+    counts = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(lowered, F.lit(rf"\b{k}\b"))
+            .cast("long")
+            .alias(f"__k{i}")
+            for i, k in enumerate(ks)
+        ],
+    )
+    pairs = ", ".join(f"'{k}', __k{i}" for i, k in enumerate(ks))
+    return (
+        counts.selectExpr(
+            "doc_id", f"stack({len(ks)}, {pairs}) as (keyword, n_hits)"
+        )
+        .filter(F.col("n_hits") > 0)
+    )

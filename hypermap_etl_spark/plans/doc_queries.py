@@ -3099,6 +3099,29 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary topic tagging (curation.keyword_tags):
+    word-boundary hit counts for a fixed term list, one projection +
+    stack unpivot, hit-sparse output."""
+    return curation.keyword_tags(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["data", "join", "window", "stream", "table"],
+    ).orderBy("doc_id", "keyword")
+
+
+KEYWORD_TAGS_ORACLE = r"""
+WITH k AS (
+  SELECT unnest(['data', 'join', 'stream', 'table', 'window']) AS keyword
+)
+SELECT doc_id, keyword,
+       CAST(len(regexp_extract_all(lower(text), '\b' || keyword || '\b'))
+            AS BIGINT) AS n_hits
+FROM documents CROSS JOIN k
+WHERE len(regexp_extract_all(lower(text), '\b' || keyword || '\b')) > 0
+ORDER BY doc_id, keyword
+"""
+
+
 def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writing-system router profile (textstats.script_profile):
     Unicode-script counts + dominant script per doc, pure projection."""
@@ -3444,4 +3467,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),
+    "doc_keyword_tags": (doc_keyword_tags, KEYWORD_TAGS_ORACLE),
 }

@@ -858,3 +858,29 @@ def test_script_profile_planted_scripts(spark):
     assert got[5]["dominant_script"] == "" and got[5]["latin_share"] == 0.0
     assert got[6]["dominant_script"] == "cyrillic"  # alphabetical tie-break
     assert got[1]["latin_share"] == round(10 / 14, 6)
+
+
+def test_keyword_tags_word_boundaries_and_validation(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import keyword_tags
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Data DATA database join joined"),
+            Row(doc_id=2, text="nothing relevant here"),
+        ]
+    )
+    got = {
+        (r["doc_id"], r["keyword"]): r["n_hits"]
+        for r in keyword_tags(docs, ["data", "join"]).collect()
+    }
+    # 'database'/'joined' must NOT match; case-folded hits do
+    assert got == {(1, "data"): 2, (1, "join"): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keyword"):
+        keyword_tags(docs, ["bad.*regex"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        keyword_tags(docs, [])
