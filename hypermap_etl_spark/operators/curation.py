@@ -1093,3 +1093,91 @@ def keyword_tags(
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+def _aho_corasick(keywords: list[str]):
+    """Build the Aho-Corasick automaton (goto/fail/output tables) as
+    plain dicts — driver-side, once, O(Σ|kw|); shipped to executors in
+    the UDF closure (dictionary-sized, like a broadcast)."""
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for ki, kw in enumerate(keywords):
+        s = 0
+        for ch in kw:
+            if ch not in goto[s]:
+                goto.append({})
+                out.append([])
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out[s].append(ki)
+    from collections import deque
+
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] = out[t] + out[fail[t]]
+    return goto, fail, out
+
+
+def keyword_tags_large(
+    docs: DataFrame, keywords: list[str], text_col: str = "text"
+) -> DataFrame:
+    """keyword_tags' scale path: ONE pass over each text for the WHOLE
+    dictionary via an Aho-Corasick automaton inside an Arrow-batched
+    mapInPandas — for term lists beyond the few hundred where one
+    regexp_count column per keyword stops making sense. Same contract
+    as keyword_tags (word-boundary, lowercase, sparse hits) — the unit
+    tests pin the two paths equal.
+
+    Scale shape: automaton built once on the driver (O(dictionary)),
+    shipped in the closure; executors stream Arrow batches, so memory
+    is batch-bounded; output is the same sparse rows. No shuffle. The
+    word-boundary check is a neighbor-char test at each match, exactly
+    regex \\b for the enforced [a-z0-9_]+ alphabet.
+    """
+    import re as _re
+
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    ks = sorted(set(keywords))
+    for k in ks:
+        if not _re.fullmatch(r"[a-z0-9_]+", k):
+            raise ValueError(f"keyword must match [a-z0-9_]+: {k!r}")
+    goto, fail, out = _aho_corasick(ks)
+    word = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+
+    def scan(batches):
+        for pdf in batches:
+            recs: dict[tuple, int] = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
+                t = text.lower()
+                s = 0
+                for pos, ch in enumerate(t):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for ki in out[s]:
+                        start = pos - len(ks[ki]) + 1
+                        if start > 0 and t[start - 1] in word:
+                            continue
+                        if pos + 1 < len(t) and t[pos + 1] in word:
+                            continue
+                        key = (doc_id, ks[ki])
+                        recs[key] = recs.get(key, 0) + 1
+            yield pd.DataFrame(
+                [(d, k, n) for (d, k), n in recs.items()],
+                columns=["doc_id", "keyword", "n_hits"],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        scan, "doc_id long, keyword string, n_hits long"
+    )

@@ -3122,6 +3122,17 @@ ORDER BY doc_id, keyword
 """
 
 
+def doc_keyword_tags_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-dictionary tagging path (curation.keyword_tags_large):
+    Aho-Corasick automaton in Arrow-batched mapInPandas, one text pass
+    for the whole dictionary — same contract as doc_keyword_tags, same
+    oracle."""
+    return curation.keyword_tags_large(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["data", "join", "window", "stream", "table"],
+    ).orderBy("doc_id", "keyword")
+
+
 def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writing-system router profile (textstats.script_profile):
     Unicode-script counts + dominant script per doc, pure projection."""
@@ -3468,4 +3479,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),
     "doc_keyword_tags": (doc_keyword_tags, KEYWORD_TAGS_ORACLE),
+    "doc_keyword_tags_ac": (doc_keyword_tags_ac, KEYWORD_TAGS_ORACLE),
 }

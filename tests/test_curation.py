@@ -884,3 +884,41 @@ def test_keyword_tags_word_boundaries_and_validation(spark):
         keyword_tags(docs, ["bad.*regex"])
     with _pytest.raises(ValueError, match="non-empty"):
         keyword_tags(docs, [])
+
+
+def test_keyword_tags_large_equals_regex_path(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import keyword_tags, keyword_tags_large
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Data DATA database join joined the data"),
+            Row(doc_id=2, text="win window windows wind data_point data point"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="overlap: data data data"),
+        ],
+        "doc_id long, text string",
+    )
+    kws = ["data", "join", "window", "point", "win"]
+    a = sorted(map(tuple, keyword_tags(docs, kws).collect()))
+    b = sorted(map(tuple, keyword_tags_large(docs, kws).collect()))
+    assert a == b
+    assert (1, "data", 3) in a  # boundaries: 'database' excluded
+    assert (2, "point", 1) in a  # 'data_point' is one word: excluded
+
+
+def test_keyword_tags_large_nested_keywords(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import keyword_tags, keyword_tags_large
+
+    # 'in' is a suffix of 'spin' and prefix-nested in 'inside': the
+    # failure/output links must still produce exactly regex \b counts
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="spin in inside in spin_in s in")]
+    )
+    kws = ["in", "spin", "inside"]
+    a = sorted(map(tuple, keyword_tags(docs, kws).collect()))
+    b = sorted(map(tuple, keyword_tags_large(docs, kws).collect()))
+    assert a == b
