@@ -78,6 +78,18 @@ _FLOAT_GATES = [
     # per-row float sum over the char alphabet, rounded (shuffle-free,
     # pinned against a rewrite that aggregates across rows)
     ("doc_queries", "doc_char_entropy"),
+    # this session: key-distribution entropy is a rounded float sum
+    # over per-key counts; the waterfill line t is a double quotient of
+    # ordered cumulative sums; the shard rank rides range-partitioning
+    # (invariant only BECAUSE the order is total — pinned); JL values
+    # are per-row ordered folds; the join-estimate verdicts compare
+    # exact integers but the bound mixes e/width floats
+    ("star_queries", "events_key_skew"),
+    ("star_queries", "events_join_estimate"),
+    ("doc_queries", "doc_epoch_plan"),
+    ("doc_queries", "doc_balanced_shards"),
+    ("doc_queries", "doc_shard_balance"),
+    ("doc_queries", "emb_jl_project"),
 ]
 
 
