@@ -936,6 +936,117 @@ def cmd_bff(args) -> None:
     }))
 
 
+def cmd_skew(args) -> None:
+    """Shuffle-key skew pre-flight (operators/scale.key_skew_report):
+    heaviest keys, per-key salt factors, distribution entropy — run
+    BEFORE committing a join/groupBy to this key at scale."""
+    from hypermap_etl_spark.operators.scale import key_skew_report
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise SystemExit(f"key columns not in table: {missing}")
+    rows = key_skew_report(df, keys, top=args.top).collect()
+    print(json.dumps({
+        "table": args.table,
+        "keys": keys,
+        "n_keys": rows[0]["n_keys"] if rows else 0,
+        "n_rows": rows[0]["n_rows"] if rows else 0,
+        "key_entropy": rows[0]["key_entropy"] if rows else None,
+        "top": [
+            {
+                "key": "|".join(str(r[k]) for k in keys),
+                "cnt": r["cnt"],
+                "share": r["share"],
+                "salt": r["key_salt"],
+            }
+            for r in rows
+        ],
+    }))
+
+
+def cmd_plan_epochs(args) -> None:
+    """Token-budget epoch planner (operators/corpus.epoch_plan): solve
+    the waterfill over per-source token counts with per-source epoch
+    caps; prints the per-source recipe."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.corpus import epoch_plan
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    per = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("__t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__t").cast("double").alias("tokens"))
+    )
+    caps = {}
+    for part in (args.caps or "").split(","):
+        if part.strip():
+            src, _, val = part.partition("=")
+            caps[src.strip()] = float(val)
+    cap_expr = F.lit(float(args.default_cap))
+    for src, val in caps.items():
+        cap_expr = F.when(F.col("source") == src, F.lit(val)).otherwise(cap_expr)
+    per = per.withColumn("max_epochs", cap_expr)
+    total = per.agg(F.sum("tokens")).collect()[0][0] or 0.0
+    budget = args.budget_tokens if args.budget_tokens is not None else args.budget_ratio * total
+    plan = epoch_plan(per, budget).orderBy("source").collect()
+    print(json.dumps({
+        "docs": args.docs,
+        "budget_tokens": budget,
+        "total_tokens": total,
+        "allocated_tokens": round(sum(r["alloc_tokens"] for r in plan), 6),
+        "sources": [
+            {
+                "source": r["source"],
+                "tokens": r["tokens"],
+                "max_epochs": r["max_epochs"],
+                "epochs": r["epochs"],
+                "alloc_tokens": r["alloc_tokens"],
+            }
+            for r in plan
+        ],
+    }))
+
+
+def cmd_tag(args) -> None:
+    """Dictionary tagging (curation.keyword_tags / keyword_tags_large):
+    per-(doc, keyword) word-boundary hit counts to parquet + summary."""
+    from hypermap_etl_spark.operators.curation import (
+        keyword_tags,
+        keyword_tags_large,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    kws = [k.strip() for k in args.keywords.split(",") if k.strip()]
+    fn = keyword_tags_large if args.large else keyword_tags
+    fn(docs, kws).write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    per_kw = {
+        r["keyword"]: r["hits"]
+        for r in res.groupBy("keyword")
+        .agg(F.sum("n_hits").alias("hits"))
+        .collect()
+    }
+    print(json.dumps({
+        "docs": args.docs,
+        "keywords": sorted(kws),
+        "path": "aho-corasick" if args.large else "regexp",
+        "tagged_rows": res.count(),
+        "hits_per_keyword": dict(sorted(per_kw.items())),
+        "out": args.out,
+    }))
+
+
 def cmd_report(args) -> None:
     """Corpus data card: one JSON line summarizing a documents parquet
     — size, token totals, language/source mix, length percentiles,
@@ -1248,6 +1359,31 @@ def main(argv=None) -> None:
                         "expected corpus; fp=(1-exp(-4n/63m))^4)")
     p = sub.add_parser("report", help="corpus data card (one JSON line)")
     p.add_argument("--docs", required=True, help="documents parquet")
+    p = sub.add_parser("skew", help="shuffle-key skew pre-flight report")
+    p.add_argument("--table", required=True, help="parquet path to diagnose")
+    p.add_argument("--keys", required=True,
+                   help="comma-separated join/groupBy key columns")
+    p.add_argument("--top", type=int, default=10)
+
+    p = sub.add_parser("plan-epochs",
+                       help="token-budget waterfill across sources "
+                            "(per-source epoch caps)")
+    p.add_argument("--docs", required=True, help="documents parquet")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--budget-tokens", type=float, default=None)
+    g.add_argument("--budget-ratio", type=float, default=1.0,
+                   help="budget as a multiple of total corpus tokens")
+    p.add_argument("--caps", default="",
+                   help="per-source epoch caps, e.g. 'web=1,code=4'")
+    p.add_argument("--default-cap", type=float, default=4.0)
+
+    p = sub.add_parser("tag", help="dictionary keyword tagging")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="tags output parquet")
+    p.add_argument("--keywords", required=True, help="comma-separated terms")
+    p.add_argument("--large", action="store_true",
+                   help="Aho-Corasick one-pass path (large dictionaries)")
+
     p = sub.add_parser("stream", help="continuous ingest")
     p.add_argument("--raw", required=True)
     p.add_argument("--table", required=True)
@@ -1278,6 +1414,7 @@ def main(argv=None) -> None:
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
+        "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
     }[args.cmd](args)
 
 

@@ -574,3 +574,39 @@ def test_cli_bff_incremental(spark, capsys, tmp_path):
     assert r2["survivors"] == 0 and r2["dropped"] == 500
     assert r2["state_keys"] == 500
     assert spark.read.parquet(state).count() == 1
+
+
+def test_cli_skew(capsys):
+    main(["skew", "--table", "/root/testdata/sf0.001/events.parquet",
+          "--keys", "event_type", "--top", "2"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_keys"] == 5 and r["n_rows"] == 1000
+    assert len(r["top"]) == 2
+    assert r["top"][0]["cnt"] >= r["top"][1]["cnt"]
+    assert 0 < r["key_entropy"] <= 1.609438  # <= ln(5)
+
+
+def test_cli_skew_rejects_missing_key(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not in table"):
+        main(["skew", "--table", "/root/testdata/sf0.001/events.parquet",
+              "--keys", "no_such_col"])
+
+
+def test_cli_plan_epochs(capsys):
+    main(["plan-epochs", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "--budget-ratio", "1.5", "--default-cap", "2"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(r["allocated_tokens"] - r["budget_tokens"]) < 1.0
+    assert all(s["epochs"] <= s["max_epochs"] for s in r["sources"])
+    assert len(r["sources"]) == 20
+
+
+def test_cli_tag_both_paths(capsys, tmp_path):
+    for i, extra in enumerate(([], ["--large"])):
+        main(["tag", "--docs", "/root/testdata/sf0.001/documents.parquet",
+              "--out", str(tmp_path / f"t{i}"),
+              "--keywords", "data,join"] + extra)
+        r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r["hits_per_keyword"] == {"data": 896, "join": 936}
