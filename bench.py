@@ -35,7 +35,11 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    from hypermap_etl_spark.plans.doc_queries import doc_minhash_pairs, emb_ann_topk
+    from hypermap_etl_spark.plans.doc_queries import (
+        doc_balanced_shards,
+        doc_minhash_pairs,
+        emb_ann_topk,
+    )
     from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip, hm_entries
     from hypermap_etl_spark.plans.star_queries import (
         events_page_deep,
@@ -105,6 +109,10 @@ def main() -> None:
         "events_page_deep": events_page_deep,
         "incremental_dedup": incremental_dedup_bench,
         "curate_pipeline": curate_pipeline_bench,
+        # this session: the distributed total-order rank (range shuffle
+        # + partitioned windows, never a single-task sort) under its
+        # production consumer, token-balanced sharding
+        "balanced_shards": doc_balanced_shards,
     }
 
     spark = get_spark("hypermap-etl-bench")
@@ -139,7 +147,13 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if k not in ("curate_pipeline", "events_page_deep", "incremental_dedup")
+            if k
+            not in (
+                "curate_pipeline",
+                "events_page_deep",
+                "incremental_dedup",
+                "balanced_shards",
+            )
         ),
         3,
     )
