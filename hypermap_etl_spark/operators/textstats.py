@@ -734,3 +734,73 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("latin_share"),
         dominant.alias("dominant_script"),
     )
+
+
+def zipf_fit(docs: DataFrame, top_k: int = 1000, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) for the top_k terms — slope ≈ -1 for natural
+    language; a flat slope flags synthetic/templated text and the
+    curve sizes tokenizer vocabularies (how much mass the tail holds).
+
+    One row out: n_terms (distinct vocabulary), n_tokens, slope,
+    intercept, r2 (6 dp).
+
+    Scale shape: ONE map-combined term-count aggregate (the only
+    corpus-sized shuffle, keyed by term), top-k via
+    TakeOrderedAndProject (per-partition heaps, no global sort), rank
+    by a window over the k collected survivors (k rows — model-sized),
+    and the OLS moments are one tiny aggregate. ln() only over exact
+    integer counts, so the fit is layout-independent up to the final
+    rounding.
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_tokens"),
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # try_divide: a degenerate corpus (k=1 term, or all-equal freqs
+    # with exactly-cancelling moments) zeroes a denominator; NULL fit
+    # beats an ANSI divide-by-zero error there
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    intercept = F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n"))
+    r2 = F.try_divide(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+    )
+    return moments.join(F.broadcast(totals)).select(
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

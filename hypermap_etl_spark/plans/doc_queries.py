@@ -3099,6 +3099,48 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the top-1000 terms
+    (textstats.zipf_fit): slope/intercept/r2 + vocabulary totals —
+    the corpus-naturalness and tokenizer-sizing diagnostic."""
+    return textstats.zipf_fit(
+        load_table(spark, sf_dir, "documents").select("text"), top_k=1000
+    )
+
+
+ZIPF_ORACLE = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(freq) AS BIGINT) AS n_tokens
+  FROM c
+),
+top AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM c ORDER BY freq DESC, term ASC LIMIT 1000
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM top
+)
+SELECT n_terms, n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m CROSS JOIN tot
+"""
+
+
 def doc_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-dictionary topic tagging (curation.keyword_tags):
     word-boundary hit counts for a fixed term list, one projection +
@@ -3480,4 +3522,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),
     "doc_keyword_tags": (doc_keyword_tags, KEYWORD_TAGS_ORACLE),
     "doc_keyword_tags_ac": (doc_keyword_tags_ac, KEYWORD_TAGS_ORACLE),
+    "doc_zipf_fit": (doc_zipf_fit, ZIPF_ORACLE),
 }

@@ -922,3 +922,34 @@ def test_keyword_tags_large_nested_keywords(spark):
     a = sorted(map(tuple, keyword_tags(docs, kws).collect()))
     b = sorted(map(tuple, keyword_tags_large(docs, kws).collect()))
     assert a == b
+
+
+def test_zipf_fit_planted_power_law(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.textstats import zipf_fit
+
+    # plant an exact Zipf corpus: term w_r appears round(1000/r) times
+    # => ln(freq) = ln(1000) - 1.0*ln(rank) up to rounding
+    text_parts = []
+    for r in range(1, 51):
+        text_parts += [f"w{r:02d}"] * round(1000 / r)
+    doc = " ".join(text_parts)
+    df = spark.createDataFrame([Row(text=doc)])
+    got = zipf_fit(df, top_k=50).collect()[0]
+    assert got["n_terms"] == 50
+    assert -1.05 < got["slope"] < -0.95
+    assert got["r2"] > 0.999
+
+
+def test_zipf_fit_uniform_corpus_flat_slope(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [Row(text=" ".join([f"t{i}" for i in range(100)] * 3))]
+    )
+    got = zipf_fit(df, top_k=100).collect()[0]
+    assert got["slope"] == 0.0  # every freq identical -> flat line
+    assert got["n_tokens"] == 300
