@@ -226,3 +226,75 @@ def psi_drift(
         "n_new",
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def cusum_drift(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """CUSUM changepoint screen over a daily count series — the
+    ingestion-drift monitor PSI can't be (psi_drift compares two
+    snapshots; this watches ONE series for a level shift in time):
+    standardize the per-day counts, accumulate S_d = Σ z_i in day
+    order, and flag when max|S_d| exceeds threshold·√n_days (under
+    H0 the path is a random walk, max|S| ~ √n; a level shift makes
+    it ramp linearly).
+
+    Input is pre-bucketed (day_col a date string) so the caller
+    controls the grain. Output per group: n_days, mean/std of daily
+    counts, max_cusum (6 dp), and the drift verdict.
+
+    Scale shape: ONE corpus-sized hash aggregate to daily counts
+    (map-combined); everything after runs on the (groups × days)
+    aggregate — the broadcast moments join and the ordered cumulative
+    window are bounded by days, not rows. Moments use the explicit
+    SUM/SUM-of-squares formula (identical in any engine, exact-int
+    inputs), not stddev_pop (engines disagree on the update
+    algorithm's rounding).
+    """
+    group_cols = group_cols or []
+    daily = df.groupBy(*group_cols, day_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    from pyspark.sql.window import Window
+
+    j = daily.join(F.broadcast(stats), group_cols) if group_cols else (
+        daily.crossJoin(F.broadcast(stats))
+    )
+    m = F.col("sc") / F.col("n_days")
+    var = F.col("scc") / F.col("n_days") - m * m
+    z = F.try_divide(F.col("c") - m, F.sqrt(var))
+    w = Window.partitionBy(*group_cols).orderBy(day_col)
+    s = F.sum(z).over(w)
+    cus = j.select(*group_cols, "n_days", "sc", "scc", F.abs(s).alias("abs_s"))
+    return (
+        cus.groupBy(*group_cols)
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.round(F.first(F.col("sc") / F.col("n_days")), 6).alias(
+                "mean_daily"
+            ),
+            F.round(
+                F.sqrt(
+                    F.first(
+                        F.col("scc") / F.col("n_days")
+                        - (F.col("sc") / F.col("n_days"))
+                        * (F.col("sc") / F.col("n_days"))
+                    )
+                ),
+                6,
+            ).alias("std_daily"),
+            F.round(F.max("abs_s"), 6).alias("max_cusum"),
+            (
+                F.max("abs_s")
+                > F.lit(threshold) * F.sqrt(F.first("n_days").cast("double"))
+            ).alias("drifted"),
+        )
+    )

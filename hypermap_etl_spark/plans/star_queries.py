@@ -3134,6 +3134,54 @@ FROM est CROSS JOIN ex CROSS JOIN sz
 """
 
 
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the per-type daily count series
+    (profile.cusum_drift): standardized cumulative deviations, max|S|
+    vs the 3·√n random-walk bound — the single-series ingestion-drift
+    monitor (PSI compares two snapshots; this watches one feed)."""
+    from hypermap_etl_spark.operators.profile import cusum_drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return cusum_drift(ev, "day", ["event_type"]).orderBy("event_type")
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, n_days, sc, scc,
+         (d.c - sc * 1.0 / n_days)
+           / sqrt(scc * 1.0 / n_days
+                  - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)) AS z
+  FROM daily d JOIN st USING (event_type)
+),
+cs AS (
+  SELECT event_type, n_days, sc, scc,
+         ABS(SUM(z) OVER (PARTITION BY event_type ORDER BY day)) AS abs_s
+  FROM z
+)
+SELECT event_type, n_days,
+       ROUND(sc * 1.0 / n_days, 6) AS mean_daily,
+       ROUND(sqrt(scc * 1.0 / n_days
+                  - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)), 6)
+         AS std_daily,
+       ROUND(MAX(abs_s), 6) AS max_cusum,
+       MAX(abs_s) > 3.0 * sqrt(n_days) AS drifted
+FROM cs GROUP BY event_type, n_days, sc, scc
+ORDER BY event_type
+"""
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis on the events type key: heaviest
     keys with share, per-key salt factor, and distribution entropy —
@@ -3250,4 +3298,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "activity_union": (activity_union, UNION_ORACLE),
     "events_key_skew": (events_key_skew, KEY_SKEW_ORACLE),
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
+    "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
 }

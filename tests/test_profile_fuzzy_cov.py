@@ -218,3 +218,38 @@ def test_psi_drift_counts_partition_and_null_safe(spark):
     assert sum(r["n_new"] for r in out) == 50
     # new values live only in the lower half of the combined extent
     assert all(r["n_new"] == 0 for r in out if r["bin"] >= 5)
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import cusum_drift
+
+    rows = []
+    # stable series: ~10/day with small alternation; shifted series:
+    # jumps from 10 to 30 halfway — CUSUM must flag only the shift
+    for d in range(40):
+        day = f"2026-01-{d + 1:02d}" if d < 31 else f"2026-02-{d - 30:02d}"
+        rows += [Row(g="stable", day=day)] * (10 + (d % 2))
+        rows += [Row(g="shifted", day=day)] * (10 if d < 20 else 30)
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r.asDict() for r in cusum_drift(df, "day", ["g"]).collect()}
+    assert got["shifted"]["drifted"] is True
+    assert got["stable"]["drifted"] is False
+    assert got["shifted"]["max_cusum"] > got["stable"]["max_cusum"]
+    assert got["stable"]["n_days"] == 40
+
+
+def test_cusum_constant_series_is_null_not_error(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import cusum_drift
+
+    df = spark.createDataFrame(
+        [Row(g="c", day=f"d{d}") for d in range(5)]
+    )
+    got = cusum_drift(df, "day", ["g"]).collect()[0]
+    # zero variance: z is NULL per day (try_divide), so the statistic
+    # and verdict are NULL — never an ANSI divide-by-zero error
+    assert got["std_daily"] == 0.0
+    assert got["max_cusum"] is None and got["drifted"] is None
