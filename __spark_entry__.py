@@ -134,8 +134,17 @@ _WINDOW: list[str] = [
     "doc_boilerplate",
     # (window saturated at this point — every slot above is a gate
     # with NO driver row yet. Session gates added after saturation
-    # queue for the r6 window: events_approx_percentiles, and any
-    # later additions listed at the back of the registry merge.)
+    # queue for the r6 window: events_approx_percentiles,
+    # customer_k_anonymity, events_resample_ffill, events_bloom_probe,
+    # lineitem_profile, events_lead_lag_ntile, customer_fuzzy_pairs,
+    # events_sampled_quantiles, events_moving_avg, doc_sentence_chunks,
+    # doc_pmi_pairs, doc_char_entropy, doc_bff_dedup, and the final
+    # build wave: events_key_skew, events_join_estimate,
+    # events_cusum_daily, doc_balanced_shards, doc_shard_balance,
+    # emb_jl_project, doc_epoch_plan, doc_luhn_check,
+    # doc_script_profile, doc_keyword_tags, doc_keyword_tags_ac,
+    # doc_zipf_fit — plus any later additions at the back of the
+    # registry merge.)
     # oldest evidence: green only in the r2 artifact
     # (parts_size_filter, activity_union, doc_simhash_sigs,
     # emb_knn_label, doc_ngram_pairs and emb_neardup displaced too —
