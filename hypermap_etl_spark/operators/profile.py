@@ -233,6 +233,7 @@ def cusum_drift(
     day_col: str,
     group_cols: list[str] | None = None,
     threshold: float = 3.0,
+    count_col: str | None = None,
 ) -> DataFrame:
     """CUSUM changepoint screen over a daily count series — the
     ingestion-drift monitor PSI can't be (psi_drift compares two
@@ -253,10 +254,16 @@ def cusum_drift(
     SUM/SUM-of-squares formula (identical in any engine, exact-int
     inputs), not stddev_pop (engines disagree on the update
     algorithm's rounding).
+
+    ``count_col`` sums pre-aggregated partial counts instead of
+    counting rows — the streaming path (streaming/drift.py) stores
+    per-batch daily partials and re-derives the verdict here.
     """
     group_cols = group_cols or []
     daily = df.groupBy(*group_cols, day_col).agg(
-        F.count(F.lit(1)).alias("c")
+        (
+            F.sum(count_col) if count_col else F.count(F.lit(1))
+        ).alias("c")
     )
     stats = daily.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_days"),

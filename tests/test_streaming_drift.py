@@ -1,0 +1,82 @@
+"""Streaming CUSUM drift monitor (streaming/drift.py): per-batch
+additive count partials in an idempotent partition store, verdict
+re-derived by the batch operator — batch/stream equivalence pinned."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Row, functions as F
+
+from hypermap_etl_spark.operators.profile import cusum_drift
+from hypermap_etl_spark.streaming.drift import (
+    drift_store_compact,
+    drift_store_read,
+    drift_verdict,
+    start_drift_stream,
+)
+
+
+def _rows(shift: bool):
+    rows = []
+    for d in range(40):
+        day = f"2026-03-{d + 1:02d}" if d < 31 else f"2026-04-{d - 30:02d}"
+        n = (30 if d >= 20 else 10) if shift else (10 + d % 2)
+        rows += [Row(g="feed", day=day)] * n
+    return rows
+
+
+def _run_stream(spark, rows, base, n_files=3):
+    src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        spark.createDataFrame(rows[i * chunk:(i + 1) * chunk]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("g string, day string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_drift_stream(stream, "day", ["g"], store, ckpt)
+    q.awaitTermination()
+    return store
+
+
+def test_stream_verdict_equals_batch_operator(spark):
+    rows = _rows(shift=True)
+    store = _run_stream(spark, rows, tempfile.mkdtemp())
+    got = drift_verdict(spark, store, "day", ["g"]).collect()[0]
+    want = cusum_drift(
+        spark.createDataFrame(rows), "day", ["g"]
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["drifted"] is True
+
+
+def test_stream_stable_feed_not_flagged_and_series_exact(spark):
+    rows = _rows(shift=False)
+    store = _run_stream(spark, rows, tempfile.mkdtemp())
+    got = drift_verdict(spark, store, "day", ["g"]).collect()[0]
+    assert got["drifted"] is False
+    series = {
+        r["day"]: r["c"]
+        for r in drift_store_read(spark, store, "day", ["g"]).collect()
+    }
+    # batch chopping split days across micro-batches; partials must
+    # re-sum to the true per-day counts
+    from collections import Counter
+
+    want = Counter(r["day"] for r in rows)
+    assert series == dict(want)
+
+
+def test_drift_store_compact_preserves_verdict(spark):
+    rows = _rows(shift=True)
+    store = _run_stream(spark, rows, tempfile.mkdtemp())
+    before = drift_verdict(spark, store, "day", ["g"]).collect()[0].asDict()
+    folded = drift_store_compact(spark, store, "day", ["g"])
+    assert folded == 3
+    after = drift_verdict(spark, store, "day", ["g"]).collect()[0].asDict()
+    assert before == after
+    assert drift_store_compact(spark, store, "day", ["g"]) == 0  # idempotent
