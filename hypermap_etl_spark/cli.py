@@ -697,6 +697,7 @@ def cmd_curate(args) -> None:
         gopher=args.gopher,
         strip_boiler=args.strip_boiler,
         strict_packing=args.strict_packing,
+        balanced_sharding=args.balanced_shards,
         **model_kwargs,
     )
     if args.format == "jsonl":
@@ -1202,6 +1203,10 @@ def main(argv=None) -> None:
     p.add_argument("--strict-packing", action="store_true",
                    help="capacity-respecting next-fit packing (no pack "
                         "exceeds the token budget)")
+    p.add_argument("--balanced-shards", action="store_true",
+                   help="token-mass-balanced LPT sharding (equal-WORK "
+                        "shards) instead of the md5 count-balanced "
+                        "assignment")
     p.add_argument("--model-reference", default=None,
                    help="reference corpus parquet: train a CCNet-style "
                         "stage-two quality model inline and filter with it")

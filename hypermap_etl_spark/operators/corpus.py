@@ -420,6 +420,7 @@ def curate_pipeline(
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
     model_threshold: float = 0.5,
+    balanced_sharding: bool = False,
     with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The whole corpus build as one composition of the gated operators:
@@ -697,7 +698,24 @@ def curate_pipeline(
         surv = stage_boundary(surv, cut_lineage=True)
 
     base = hash_split(surv.select("doc_id", text_col))
-    shards = shard_assignments(base, n_shards)
+    if balanced_sharding:
+        # token-mass-balanced shards (scale.balanced_shards): LPT
+        # round-robin on the token-descending global rank — equal-WORK
+        # shards for heavy-tailed length distributions, where the md5
+        # assignment only balances counts
+        from hypermap_etl_spark.operators.scale import balanced_shards as _bs
+
+        weights = base.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+            ).cast("bigint").alias("__w"),
+        )
+        shards = _bs(weights, "__w", "doc_id", n_shards).select(
+            "doc_id", "shard"
+        )
+    else:
+        shards = shard_assignments(base, n_shards)
     documents = base.join(shards.select("doc_id", "shard"), "doc_id")
 
     train = documents.filter(F.col("split") == "train")

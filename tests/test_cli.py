@@ -610,3 +610,24 @@ def test_cli_tag_both_paths(capsys, tmp_path):
               "--keywords", "data,join"] + extra)
         r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert r["hits_per_keyword"] == {"data": 896, "join": 936}
+
+
+def test_cli_curate_balanced_shards(spark, capsys, tmp_path):
+    out = str(tmp_path / "cur")
+    main(["curate", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "--out", out, "--balanced-shards", "--shards", "4"])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    per = {
+        r["shard"]: r["toks"]
+        for r in docs.selectExpr(
+            "shard", "size(split(text, ' ')) as t"
+        ).groupBy("shard").agg({"t": "sum"}).withColumnRenamed(
+            "sum(t)", "toks"
+        ).collect()
+    }
+    assert len(per) == 4
+    # LPT round-robin: spread bounded far tighter than hash sharding —
+    # within 10% of the mean on this corpus
+    mean = sum(per.values()) / 4
+    assert all(abs(v - mean) / mean < 0.10 for v in per.values())
