@@ -1059,7 +1059,9 @@ def cmd_report(args) -> None:
     from hypermap_etl_spark.operators.profile import profile_table
     from hypermap_etl_spark.operators.textstats import (
         language_id,
+        script_profile,
         token_stats,
+        zipf_fit,
     )
 
     spark = _spark(args)
@@ -1105,6 +1107,20 @@ def cmd_report(args) -> None:
     rep["exact_dup_rate"] = round(1.0 - n_distinct_text / n_docs, 6)
 
     rep["pii_docs"] = tag_pii(docs).filter(F.col("has_pii")).count()
+
+    zf = zipf_fit(docs, top_k=1000).collect()[0]
+    rep["vocab_terms"] = zf["n_terms"]
+    rep["zipf_slope"] = zf["slope"]
+    rep["zipf_r2"] = zf["r2"]
+    rep["script_mix"] = {
+        str(r["dominant_script"]): r["count"]
+        for r in script_profile(docs)
+        .groupBy("dominant_script")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(10)
+        .collect()
+    }
 
     rep["profile"] = [
         {

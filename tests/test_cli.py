@@ -556,6 +556,12 @@ def test_cli_report(capsys):
         "doc_id", "lang", "source", "n_chars"
     }
     assert all(p["nulls"] == 0 for p in rep["profile"])
+    # naturalness block: the synthetic fixture is templated (tiny
+    # vocabulary, flat rank-frequency curve) and pure ASCII — exactly
+    # what the diagnostics should say
+    assert rep["vocab_terms"] > 0
+    assert -0.5 < rep["zipf_slope"] <= 0.0
+    assert rep["script_mix"] == {"latin": 500}
 
 
 def test_cli_bff_incremental(spark, capsys, tmp_path):
