@@ -470,3 +470,48 @@ def test_table_diff_shuffle_carries_fingerprints_not_payload(spark):
     assert p.index("AS __old_fp") > join_at and p.index("AS __new_fp") > join_at
     # and the join itself compares keys only
     assert "text" not in p[p.index("(", join_at) : p.index("\n", join_at)]
+
+
+def test_jl_project_is_shuffle_free(spark):
+    from hypermap_etl_spark.operators.similarity import jl_project
+    from hypermap_etl_spark.sources.tables import load_table
+
+    df = jl_project(load_table(spark, SF_SMOKE, "embeddings"), 64, 8)
+    plan = _plan(df)
+    # map-side only: literal sign matrix folded into the projection —
+    # no exchange anywhere in the plan
+    assert "Exchange" not in plan
+
+
+def test_global_rank_window_is_partitioned(spark):
+    from hypermap_etl_spark.operators import scale
+    from hypermap_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    df = scale.global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    plan = _plan(df)
+    # the whole point: rank WITHOUT a single-partition global window.
+    # The row_number window must be keyed by the range-partition id —
+    # never an empty partition spec (which Spark plans as one task)
+    assert "Window" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    for spec in specs:
+        assert "__pid" in spec, plan[:2000]
+
+
+def test_key_skew_report_single_corpus_exchange(spark):
+    from hypermap_etl_spark.operators import scale
+    from hypermap_etl_spark.sources.tables import load_table
+    from hypermap_etl_spark.util import release_persisted
+
+    ev_ = load_table(spark, SF_SMOKE, "events")
+    df = scale.key_skew_report(ev_, ["event_type"], top=5)
+    plan = _plan(df)
+    # the corpus-sized work is ONE hash aggregate keyed by the key;
+    # everything downstream is broadcast
+    assert plan.count("BroadcastExchange") >= 1
+    assert "SortMergeJoin" not in plan
+    release_persisted()
