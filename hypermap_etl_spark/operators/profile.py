@@ -305,3 +305,49 @@ def cusum_drift(
             ).alias("drifted"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screen via Median Absolute Deviation —
+    the heavy-tail-safe twin of the mean/std z-score (one giant value
+    inflates a std enough to hide its peers; the median and MAD don't
+    move). robust_z = |x − median| / (1.4826·MAD), the usual
+    normal-consistency constant; flag at robust_z > k.
+
+    Adds med / mad / robust_z (6 dp) / is_outlier to every input row.
+
+    Scale shape: two exact-percentile aggregates (median, then MAD —
+    two corpus passes are inherent to exact MAD since the deviations
+    need the median first), each producing a |groups|-row frame that
+    BROADCASTS back; the flagging pass is map-side. Swap F.percentile
+    for approx_percentile when a per-group sort is unaffordable — the
+    operator's contract (and its oracle) is the exact form.
+    try_divide: a constant group (MAD 0) yields NULL z, not an ANSI
+    error."""
+    g = group_cols or []
+    v = F.col(value_col)
+    med = df.groupBy(*g).agg(F.percentile(v, 0.5).alias("med"))
+    with_med = (
+        df.join(F.broadcast(med), g) if g else df.crossJoin(F.broadcast(med))
+    )
+    mad = with_med.groupBy(*g).agg(
+        F.percentile(F.abs(v - F.col("med")), 0.5).alias("mad")
+    )
+    scored = (
+        with_med.join(F.broadcast(mad), g)
+        if g
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    z = F.try_divide(F.abs(v - F.col("med")), F.lit(1.4826) * F.col("mad"))
+    return scored.select(
+        *df.columns,
+        F.round(F.col("med"), 6).alias("med"),
+        F.round(F.col("mad"), 6).alias("mad"),
+        F.round(z, 6).alias("robust_z"),
+        (z > F.lit(k)).alias("is_outlier"),
+    )

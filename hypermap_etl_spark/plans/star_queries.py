@@ -3182,6 +3182,57 @@ ORDER BY event_type
 """
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier screen per event type (profile.mad_outliers)
+    — the heavy-tail-safe twin of events_value_outliers' mean/std
+    z-score; top 20 by robust z."""
+    from hypermap_etl_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    scored = mad_outliers(ev, "value", ["event_type"], k=3.0)
+    return (
+        scored.select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            "med",
+            "mad",
+            "robust_z",
+            "is_outlier",
+        )
+        .orderBy(F.col("robust_z").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY 1
+),
+wm AS (
+  SELECT e.event_type, e.event_id, e.value, med.med
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY ABS(value - med))
+           AS mad
+  FROM wm GROUP BY 1
+)
+SELECT event_type, event_id, ROUND(value, 6) AS value,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       ROUND(ABS(value - med) / (1.4826 * mad), 6) AS robust_z,
+       ABS(value - med) / (1.4826 * mad) > 3.0 AS is_outlier
+FROM wm JOIN mad USING (event_type)
+ORDER BY robust_z DESC, event_id ASC
+LIMIT 20
+"""
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis on the events type key: heaviest
     keys with share, per-key salt factor, and distribution entropy —
@@ -3299,4 +3350,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_key_skew": (events_key_skew, KEY_SKEW_ORACLE),
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
+    "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
 }

@@ -253,3 +253,38 @@ def test_cusum_constant_series_is_null_not_error(spark):
     # and verdict are NULL — never an ANSI divide-by-zero error
     assert got["std_daily"] == 0.0
     assert got["max_cusum"] is None and got["drifted"] is None
+
+
+def test_mad_outliers_robust_to_giant_value(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import mad_outliers
+
+    # values 0..99 plus one 1e6 spike: mean/std z of the spike's peers
+    # collapses (std inflated ~1e5) but MAD doesn't move, so exactly
+    # the spike is flagged
+    rows = [Row(g="a", id=i, v=float(i)) for i in range(100)]
+    rows.append(Row(g="a", id=999, v=1_000_000.0))
+    got = {
+        r["id"]: r
+        for r in mad_outliers(
+            spark.createDataFrame(rows), "v", ["g"], k=3.0
+        ).collect()
+    }
+    assert got[999]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+    assert got[0]["med"] == 50.0  # median of 0..99 + spike
+
+
+def test_mad_outliers_constant_group_yields_null(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import mad_outliers
+
+    got = mad_outliers(
+        spark.createDataFrame([Row(g="c", id=i, v=5.0) for i in range(4)]),
+        "v",
+        ["g"],
+    ).collect()
+    assert all(r["mad"] == 0.0 for r in got)
+    assert all(r["robust_z"] is None and r["is_outlier"] is None for r in got)
