@@ -1181,3 +1181,41 @@ def keyword_tags_large(
     return docs.select("doc_id", text_col).mapInPandas(
         scan, "doc_id long, keyword string, n_hits long"
     )
+
+
+# UTF-8 bytes re-decoded as Latin-1/cp1252 leave signature pairs: the
+# 2-byte Latin range becomes U+00C3/U+00C2 followed by a continuation
+# char (U+0080-00BF), 3-byte punctuation becomes U+00E2 U+20AC + one
+# more (cp1252 maps byte 0x80 to the euro sign), and lossy decodes
+# leave U+FFFD. Spelled in \\x{...} regex escapes — pure ASCII source,
+# identical syntax in Java regex and RE2.
+MOJIBAKE_RE = (
+    "\\x{00C3}[\\x{0080}-\\x{00BF}]"
+    "|\\x{00C2}[\\x{0080}-\\x{00BF}]"
+    "|\\x{00E2}\\x{20AC}."
+    "|\\x{FFFD}"
+)
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-corruption screen: count mojibake signatures (UTF-8
+    read as Latin-1/cp1252 — the single most common corruption in web
+    crawls) per document and flag any hit. A clean corpus reports all
+    zeros; a systematically corrupt source lights up at ~1 hit per
+    accented word, which is the signal to re-decode the source rather
+    than filter documents.
+
+    Pure projection (one regexp_count per row) — no shuffle, no
+    Python; the pattern is engine-identical so oracles replay it.
+    """
+    t = F.col(text_col)
+    n = F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        n.alias("n_mojibake"),
+        F.round(
+            F.when(F.length(t) > 0, n / F.length(t)).otherwise(F.lit(0.0)), 6
+        ).alias("mojibake_rate"),
+        (n > 0).alias("is_corrupt"),
+    )

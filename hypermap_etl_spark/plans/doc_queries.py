@@ -3099,6 +3099,33 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption screen (curation.mojibake_stats): UTF-8-as-
+    Latin-1/cp1252 signature counts per doc — all-zero on a clean
+    corpus, which is itself the assertion."""
+    return curation.mojibake_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+MOJIBAKE_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text,
+         '\x{00C3}[\x{0080}-\x{00BF}]|\x{00C2}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}.|\x{FFFD}'))
+         AS BIGINT) AS n_mojibake,
+       ROUND(CASE WHEN length(text) > 0 THEN
+         len(regexp_extract_all(text,
+           '\x{00C3}[\x{0080}-\x{00BF}]|\x{00C2}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}.|\x{FFFD}'))
+           * 1.0 / length(text)
+         ELSE 0.0 END, 6) AS mojibake_rate,
+       len(regexp_extract_all(text,
+         '\x{00C3}[\x{0080}-\x{00BF}]|\x{00C2}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}.|\x{FFFD}'))
+         > 0 AS is_corrupt
+FROM documents ORDER BY doc_id
+"""
+
+
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency OLS over the top-1000 terms
     (textstats.zipf_fit): slope/intercept/r2 + vocabulary totals —
@@ -3523,4 +3550,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_keyword_tags": (doc_keyword_tags, KEYWORD_TAGS_ORACLE),
     "doc_keyword_tags_ac": (doc_keyword_tags_ac, KEYWORD_TAGS_ORACLE),
     "doc_zipf_fit": (doc_zipf_fit, ZIPF_ORACLE),
+    "doc_mojibake": (doc_mojibake, MOJIBAKE_ORACLE),
 }

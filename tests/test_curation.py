@@ -953,3 +953,28 @@ def test_zipf_fit_uniform_corpus_flat_slope(spark):
     got = zipf_fit(df, top_k=100).collect()[0]
     assert got["slope"] == 0.0  # every freq identical -> flat line
     assert got["n_tokens"] == 300
+
+
+def test_mojibake_detects_double_encoding(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import mojibake_stats
+
+    good = "caf\u00e9 na\u00efve r\u00e9sum\u00e9"
+    latin1 = good.encode("utf-8").decode("latin-1")
+    cp1252 = "it\u2019s \u201cfine\u201d".encode("utf-8").decode(
+        "cp1252", errors="replace"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=latin1),
+            Row(doc_id=3, text=cp1252),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    got = {r["doc_id"]: r for r in mojibake_stats(df).collect()}
+    assert got[1]["is_corrupt"] is False  # real accents are NOT flagged
+    assert got[2]["n_mojibake"] == 4 and got[2]["is_corrupt"] is True
+    assert got[3]["n_mojibake"] == 3 and got[3]["is_corrupt"] is True
+    assert got[4]["n_mojibake"] == 0 and got[4]["mojibake_rate"] == 0.0
