@@ -1252,3 +1252,67 @@ def bff_survivors(
         history_bloom.unionByName(batch_bloom), m_words=m_words
     )
     return survivors, new_bloom
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds: list[float] | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Dedup-policy tuning report: pair and affected-document counts at
+    several Jaccard thresholds from ONE pair-mining pass — the sweep a
+    pipeline owner reads before committing a threshold (too low eats
+    legitimate near-boilerplate variants, too high leaves clusters).
+
+    Pairs are mined once at min(thresholds) (ngram_jaccard_pairs — the
+    inverted-index join, exact by default, hot-shingle-capped at corpus
+    scale via ``max_doc_freq``); the sweep itself is an explode of the
+    model-sized threshold list over the pair frame + one aggregate, so
+    extra thresholds cost nothing corpus-sized. Output per threshold:
+    n_pairs, n_docs_affected (distinct docs in ≥1 flagged pair), and
+    affected_rate vs the corpus.
+    """
+    thresholds = sorted(thresholds or [0.7, 0.8, 0.9])
+    if not thresholds or any(not (0.0 < t <= 1.0) for t in thresholds):
+        raise ValueError(f"thresholds must be in (0, 1]: {thresholds}")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=thresholds[0], n=n, text_col=text_col,
+        max_doc_freq=max_doc_freq,
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    t_col = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    swept = pairs.select("doc_a", "doc_b", "jaccard", t_col).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    # distinct affected docs per threshold: unpivot the two pair ends
+    ends = swept.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    )
+    agg = ends.groupBy("threshold").agg(
+        F.count_distinct("d").cast("bigint").alias("n_docs_affected")
+    )
+    pair_counts = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    base = (
+        docs.sparkSession.createDataFrame(
+            [(float(t),) for t in thresholds], "threshold double"
+        )
+    )
+    return (
+        base.join(pair_counts, "threshold", "left")
+        .join(agg, "threshold", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.round(
+                F.coalesce("n_docs_affected", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("affected_rate"),
+        )
+    )

@@ -3099,6 +3099,55 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning sweep (dedup.dedup_threshold_sweep): pair and
+    affected-doc counts at Jaccard 0.5/0.7/0.9 from one exact
+    pair-mining pass."""
+    return dedup.dedup_threshold_sweep(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        thresholds=[0.5, 0.7, 0.9],
+    ).orderBy("threshold")
+
+
+DEDUP_SWEEP_ORACLE = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, ROUND(c / (x.n + y.n - c), 6) AS jaccard
+  FROM inter
+  JOIN sz x ON x.doc_id = doc_a
+  JOIN sz y ON y.doc_id = doc_b
+),
+ts AS (SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+sw AS (
+  SELECT threshold, doc_a, doc_b FROM pairs CROSS JOIN ts
+  WHERE jaccard >= threshold
+),
+ends AS (
+  SELECT threshold, doc_a AS d FROM sw
+  UNION ALL SELECT threshold, doc_b FROM sw
+)
+SELECT ts.threshold,
+       CAST(COALESCE((SELECT COUNT(*) FROM sw WHERE sw.threshold = ts.threshold), 0)
+            AS BIGINT) AS n_pairs,
+       CAST(COALESCE((SELECT COUNT(DISTINCT d) FROM ends
+                      WHERE ends.threshold = ts.threshold), 0)
+            AS BIGINT) AS n_docs_affected,
+       ROUND(COALESCE((SELECT COUNT(DISTINCT d) FROM ends
+                       WHERE ends.threshold = ts.threshold), 0)
+             * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS affected_rate
+FROM ts ORDER BY ts.threshold
+"""
+
+
 def doc_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-corruption screen (curation.mojibake_stats): UTF-8-as-
     Latin-1/cp1252 signature counts per doc — all-zero on a clean
@@ -3551,4 +3600,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_keyword_tags_ac": (doc_keyword_tags_ac, KEYWORD_TAGS_ORACLE),
     "doc_zipf_fit": (doc_zipf_fit, ZIPF_ORACLE),
     "doc_mojibake": (doc_mojibake, MOJIBAKE_ORACLE),
+    "doc_dedup_sweep": (doc_dedup_sweep, DEDUP_SWEEP_ORACLE),
 }

@@ -1444,3 +1444,32 @@ def test_jl_project_guards_vector_width(spark):
         similarity.jl_project(df, 8, 2).collect()
     with _pytest.raises(ValueError, match="dims"):
         similarity.jl_project(df, 3, 0)
+
+
+def test_dedup_threshold_sweep_monotone_and_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),          # exact dup of 1: J=1.0
+            (3, "a b c d e f g x"),          # near dup of 1/2
+            (4, "p q r s t u v w"),           # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["threshold"]: r.asDict()
+        for r in dedup.dedup_threshold_sweep(
+            docs, thresholds=[0.5, 0.99]
+        ).collect()
+    }
+    # J(1,3)=J(2,3)=5/7≈0.714 (3-shingles: 6 each, 5 shared)
+    assert got[0.5]["n_pairs"] == 3 and got[0.5]["n_docs_affected"] == 3
+    assert got[0.99]["n_pairs"] == 1 and got[0.99]["n_docs_affected"] == 2
+    assert got[0.5]["affected_rate"] == 0.75
+    # counts are monotone non-increasing in the threshold by definition
+    assert got[0.99]["n_pairs"] <= got[0.5]["n_pairs"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="thresholds"):
+        dedup.dedup_threshold_sweep(docs, thresholds=[0.0, 0.5])
