@@ -139,6 +139,52 @@ FROM s
 """
 
 
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-langid EVALUATION against the corpus's labeled lang
+    column: confusion-matrix counts + per-true-language hit rate — the
+    accuracy report a router needs before trusting the cheap heuristic
+    at scale. One broadcast-joinable prediction frame + one hash agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = textstats.language_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "lang_pred")
+    conf = (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_lang = conf.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        conf.join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+            F.round(F.col("n") / F.col("n_lang"), 6).alias("share_of_lang"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    inner = _langid_oracle().strip()
+    return f"""
+WITH pred AS ({inner}),
+conf AS (
+  SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.lang_pred
+),
+per AS (SELECT lang, SUM(n) AS n_lang FROM conf GROUP BY lang)
+SELECT conf.lang, lang_pred, n,
+       conf.lang = lang_pred AS is_correct,
+       ROUND(n * 1.0 / n_lang, 6) AS share_of_lang
+FROM conf JOIN per ON conf.lang = per.lang
+ORDER BY conf.lang, lang_pred
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -3601,4 +3647,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_zipf_fit": (doc_zipf_fit, ZIPF_ORACLE),
     "doc_mojibake": (doc_mojibake, MOJIBAKE_ORACLE),
     "doc_dedup_sweep": (doc_dedup_sweep, DEDUP_SWEEP_ORACLE),
+    "doc_langid_confusion": (doc_langid_confusion, _langid_confusion_oracle()),
 }
