@@ -139,6 +139,79 @@ FROM s
 """
 
 
+def doc_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts keyed by
+    the (unordered) source pair — which feeds copy from each other,
+    the report that turns a dedup pass into a sourcing decision
+    (drop/deprioritize a mirror instead of deduping it forever).
+    One pair-mining pass + two broadcast label joins + one hash agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.select("doc_id", "text"), threshold=0.5
+    )
+    labels = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "source_x", "source_y")
+        .limit(20)
+    )
+
+
+SOURCE_DUP_MATRIX_ORACLE = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({{shingles}})) AS s FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz x ON x.doc_id = doc_a
+  JOIN sz y ON y.doc_id = doc_b
+  WHERE ROUND(c / (x.n + y.n - c), 6) >= 0.5
+),
+lab AS (
+  SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT LEAST(src_a, src_b) AS source_x,
+       GREATEST(src_a, src_b) AS source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_x, source_y
+LIMIT 20
+""".replace("{shingles}", _SHINGLES_SQL)
+
+
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic-langid EVALUATION against the corpus's labeled lang
     column: confusion-matrix counts + per-true-language hit rate — the
@@ -3648,4 +3721,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_mojibake": (doc_mojibake, MOJIBAKE_ORACLE),
     "doc_dedup_sweep": (doc_dedup_sweep, DEDUP_SWEEP_ORACLE),
     "doc_langid_confusion": (doc_langid_confusion, _langid_confusion_oracle()),
+    "doc_source_dup_matrix": (doc_source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE),
 }
