@@ -126,14 +126,20 @@ def global_rank(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    off_expr = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    ) if offsets else F.create_map()
+    # empty input: create_map() is VOID-typed and unindexable — the
+    # zero literal is the (vacuously correct) offset for zero rows
+    off_expr = (
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )[F.col("__pid")]
+        if offsets
+        else F.lit(0)
+    )
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
         ranged.withColumn(
             rank_col,
-            (F.row_number().over(w) + off_expr[F.col("__pid")]).cast("bigint"),
+            (F.row_number().over(w) + off_expr).cast("bigint"),
         )
         .drop("__pid")
     )

@@ -112,3 +112,13 @@ def test_shard_assignment_is_round_robin(spark):
     }
     # weights strictly descending with id ⇒ rank == id+1
     assert got == {i: i % 3 for i in range(9)}
+
+
+def test_scale_ops_empty_inputs(spark):
+    empty = spark.createDataFrame([], "k string, w long, id long")
+    assert scale.key_skew_report(empty, ["k"]).count() == 0
+    assert scale.global_rank(empty, [F.col("w").asc(), F.col("id").asc()]).count() == 0
+    assert scale.balanced_shards(empty, "w", "id", 3).count() == 0
+    assert scale.shard_balance_report(
+        scale.balanced_shards(empty, "w", "id", 3), "w"
+    ).count() == 0
