@@ -138,15 +138,18 @@ def cmd_search(args) -> None:
     """BM25 full-text search over a documents parquet — retrieval as
     relational algebra (operators/textstats.bm25_search); results print
     as JSON lines with scores."""
-    from hypermap_etl_spark.operators.textstats import bm25_search
+    from hypermap_etl_spark.operators.textstats import bm25_search, bm25_snippets
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
-    hits = bm25_search(docs, args.query.split(), k=args.k)
-    if args.show_text:
-        hits = hits.join(docs.select("doc_id", "text"), "doc_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
+    if args.snippets:
+        hits = bm25_snippets(docs, args.query.split(), k=args.k)
+    else:
+        hits = bm25_search(docs, args.query.split(), k=args.k)
+        if args.show_text:
+            hits = hits.join(docs.select("doc_id", "text"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
     for row in hits.toJSON().collect():
         print(row)
 
@@ -1184,6 +1187,8 @@ def main(argv=None) -> None:
     p.add_argument("--side-table", default=None,
                    help="also distinct-rewrite this unpartitioned side table")
     p = sub.add_parser("search", help="BM25 search over a documents parquet")
+    p.add_argument("--snippets", action="store_true",
+                   help="print hit-centered snippets instead of bare scores")
     p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
     p.add_argument("query", help="space-separated query terms")
     p.add_argument("--k", type=int, default=10)

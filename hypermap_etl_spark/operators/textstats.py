@@ -804,3 +804,49 @@ def zipf_fit(docs: DataFrame, top_k: int = 1000, text_col: str = "text") -> Data
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def bm25_snippets(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    context: int = 30,
+    width: int = 80,
+    text_col: str = "text",
+) -> DataFrame:
+    """Search results a human can read: bm25_search's top-k joined back
+    to the text with a snippet centered on the FIRST query-term hit —
+    the serving projection of the retrieval stack (triage UIs,
+    decontamination review queues).
+
+    first_pos = min over terms of instr(lower(text), term) (0 = no
+    literal hit — possible when the tf tokenizer matched but the raw
+    substring differs in whitespace; snippet then starts at 1).
+    snippet = substr(text, max(1, first_pos − context), width). Both
+    functions are 1-based and engine-identical, so the oracle replays
+    the exact snippet. Join back to text is a broadcast of the k-row
+    result frame against the corpus — the corpus is never shuffled.
+    """
+    hits = bm25_search(docs, query_terms, k=k, text_col=text_col)
+    t = F.lower(F.col(text_col))
+    pos_candidates = [
+        F.when(F.instr(t, term) > 0, F.instr(t, term)) for term in query_terms
+    ]
+    least = (
+        F.least(*pos_candidates)
+        if len(pos_candidates) > 1
+        else pos_candidates[0]
+    )
+    first_pos = F.coalesce(least, F.lit(1))
+    start = F.greatest(F.lit(1), first_pos - F.lit(context))
+    return (
+        docs.select("doc_id", text_col)
+        .join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            first_pos.cast("bigint").alias("first_pos"),
+            F.col(text_col).substr(start, F.lit(width)).alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )

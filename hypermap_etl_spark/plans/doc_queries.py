@@ -1282,6 +1282,46 @@ LIMIT 20
 """
 
 
+def doc_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 joined back to readable snippets centered on the
+    first query-term hit (textstats.bm25_snippets) — the serving
+    projection of the retrieval stack."""
+    return textstats.bm25_snippets(
+        load_table(spark, sf_dir, "documents"),
+        ["join", "window", "scan"],
+        k=20,
+    )
+
+
+BM25_SNIPPETS_ORACLE = (
+    "WITH hits AS ("
+    + BM25_ORACLE.replace("BM25_PLACEHOLDER", "")
+    + """)
+SELECT d.doc_id, hits.score,
+       CAST(COALESCE(LEAST(
+         CASE WHEN instr(lower(d.text), 'join') > 0
+              THEN instr(lower(d.text), 'join') END,
+         CASE WHEN instr(lower(d.text), 'window') > 0
+              THEN instr(lower(d.text), 'window') END,
+         CASE WHEN instr(lower(d.text), 'scan') > 0
+              THEN instr(lower(d.text), 'scan') END), 1) AS BIGINT)
+         AS first_pos,
+       substr(d.text,
+              CAST(GREATEST(1, COALESCE(LEAST(
+                CASE WHEN instr(lower(d.text), 'join') > 0
+                     THEN instr(lower(d.text), 'join') END,
+                CASE WHEN instr(lower(d.text), 'window') > 0
+                     THEN instr(lower(d.text), 'window') END,
+                CASE WHEN instr(lower(d.text), 'scan') > 0
+                     THEN instr(lower(d.text), 'scan') END), 1) - 30)
+                AS INT),
+              80) AS snippet
+FROM documents d JOIN hits ON d.doc_id = hits.doc_id
+ORDER BY hits.score DESC, d.doc_id ASC
+"""
+)
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·(N/df), totally
     tie-broken (linear idf — bit-reproducible, unlike ln)."""
@@ -3722,4 +3762,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_dedup_sweep": (doc_dedup_sweep, DEDUP_SWEEP_ORACLE),
     "doc_langid_confusion": (doc_langid_confusion, _langid_confusion_oracle()),
     "doc_source_dup_matrix": (doc_source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE),
+    "doc_bm25_snippets": (doc_bm25_snippets, BM25_SNIPPETS_ORACLE),
 }

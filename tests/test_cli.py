@@ -637,3 +637,12 @@ def test_cli_curate_balanced_shards(spark, capsys, tmp_path):
     # within 10% of the mean on this corpus
     mean = sum(per.values()) / 4
     assert all(abs(v - mean) / mean < 0.10 for v in per.values())
+
+
+def test_cli_search_snippets(capsys):
+    main(["search", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "join window", "--k", "3", "--snippets"])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert all({"doc_id", "score", "first_pos", "snippet"} <= set(x) for x in lines)
+    assert lines[0]["score"] >= lines[-1]["score"]

@@ -1473,3 +1473,27 @@ def test_dedup_threshold_sweep_monotone_and_exact(spark):
 
     with _pytest.raises(ValueError, match="thresholds"):
         dedup.dedup_threshold_sweep(docs, thresholds=[0.0, 0.5])
+
+
+def test_bm25_snippets_center_on_first_hit(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ("x " * 50) + "the join keyword appears here " + ("y " * 30)),
+            (2, "window at the very start of this document " + ("z " * 40)),
+            (3, "nothing relevant in this one at all " + ("w " * 40)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.bm25_snippets(
+            docs, ["join", "window"], k=5, context=10, width=30
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    assert "join" in got[1]["snippet"]
+    assert got[1]["first_pos"] == 105  # 50 * 'x ' + 'the ' + 1 (1-based)
+    # hit near the start: snippet clamps to position 1
+    assert got[2]["snippet"].startswith("window")
+    assert got[2]["first_pos"] == 1
+    assert len(got[1]["snippet"]) == 30
