@@ -351,3 +351,65 @@ def mad_outliers(
         F.round(z, 6).alias("robust_z"),
         (z > F.lit(k)).alias("is_outlier"),
     )
+
+
+def fd_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Auto-binned histogram with the Freedman-Diaconis rule — the
+    profiling histogram that needs NO bin-count knob: width =
+    2·IQR/n^(1/3) is robust to outliers (vs Sturges/sqrt rules that
+    explode on heavy tails). Output per non-empty bin: (bin, lo, hi,
+    cnt), lo/hi rounded 6.
+
+    Scale shape: one exact-percentile aggregate (q1/q3/min/max/n — a
+    single row, broadcast), then one map-side bin projection + one
+    hash aggregate keyed by the bin id. Degenerate inputs (IQR 0,
+    constant column) collapse to one bin covering the extent.
+    Bin membership is floor((v−min)/w) evaluated in double — identical
+    IEEE expression in any engine.
+    """
+    v = F.col(value_col)
+    stats = df.agg(
+        F.percentile(v, 0.25).alias("q1"),
+        F.percentile(v, 0.75).alias("q3"),
+        F.min(v).cast("double").alias("lo_all"),
+        F.max(v).cast("double").alias("hi_all"),
+        F.count(v).alias("n"),
+    )
+    w = (
+        2.0
+        * (F.col("q3") - F.col("q1"))
+        / F.pow(F.col("n").cast("double"), F.lit(1.0 / 3.0))
+    )
+    # degenerate guard: IQR 0 (or a single row) → one bin over the span
+    width = F.when(w > 0, w).otherwise(
+        F.when(
+            F.col("hi_all") > F.col("lo_all"),
+            F.col("hi_all") - F.col("lo_all"),
+        ).otherwise(F.lit(1.0))
+    )
+    joined = df.select(v.cast("double").alias("__v")).crossJoin(
+        F.broadcast(stats.withColumn("w", width))
+    )
+    bin_id = F.least(
+        F.floor((F.col("__v") - F.col("lo_all")) / F.col("w")).cast("bigint"),
+        # the max value lands exactly on the upper edge — clamp into
+        # the last bin instead of opening a one-value overflow bin
+        (
+            F.ceil((F.col("hi_all") - F.col("lo_all")) / F.col("w")).cast("bigint")
+            - 1
+        ),
+    )
+    binned = joined.select(
+        F.greatest(bin_id, F.lit(0)).alias("bin"), "lo_all", "w"
+    )
+    return (
+        binned.groupBy("bin", "lo_all", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            F.round(F.col("lo_all") + F.col("bin") * F.col("w"), 6).alias("lo"),
+            F.round(F.col("lo_all") + (F.col("bin") + 1) * F.col("w"), 6).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bin")
+    )

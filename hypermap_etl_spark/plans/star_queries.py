@@ -3182,6 +3182,48 @@ ORDER BY event_type
 """
 
 
+def events_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis auto-binned histogram of the value column
+    (profile.fd_histogram) — no bin-count knob, robust width from
+    the IQR."""
+    from hypermap_etl_spark.operators.profile import fd_histogram
+
+    return fd_histogram(
+        load_table(spark, sf_dir, "events").select("value"), "value"
+    )
+
+
+FD_HISTOGRAM_ORACLE = """
+WITH st AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         CAST(MIN(value) AS DOUBLE) AS lo_all,
+         CAST(MAX(value) AS DOUBLE) AS hi_all,
+         COUNT(value) AS n
+  FROM events
+),
+wd AS (
+  SELECT *, CASE
+    WHEN 2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3.0) > 0
+      THEN 2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3.0)
+    WHEN hi_all > lo_all THEN hi_all - lo_all
+    ELSE 1.0 END AS w
+  FROM st
+),
+b AS (
+  SELECT GREATEST(LEAST(
+           CAST(floor((CAST(value AS DOUBLE) - lo_all) / w) AS BIGINT),
+           CAST(ceil((hi_all - lo_all) / w) AS BIGINT) - 1), 0) AS bin,
+         lo_all, w
+  FROM events CROSS JOIN wd
+)
+SELECT bin, ROUND(lo_all + bin * w, 6) AS lo,
+       ROUND(lo_all + (bin + 1) * w, 6) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM b GROUP BY bin, lo_all, w ORDER BY bin
+"""
+
+
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier screen per event type (profile.mad_outliers)
     — the heavy-tail-safe twin of events_value_outliers' mean/std
@@ -3351,4 +3393,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
+    "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
 }

@@ -288,3 +288,30 @@ def test_mad_outliers_constant_group_yields_null(spark):
     ).collect()
     assert all(r["mad"] == 0.0 for r in got)
     assert all(r["robust_z"] is None and r["is_outlier"] is None for r in got)
+
+
+def test_fd_histogram_counts_and_edges(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import fd_histogram
+
+    # uniform 0..999: IQR=499.5, w = 999/10 ≈ 99.9-ish; every value
+    # binned exactly once, edges tile [min, max], max value clamped
+    # into the last bin
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(1000)])
+    rows = fd_histogram(df, "v").collect()
+    assert sum(r["cnt"] for r in rows) == 1000
+    assert rows[0]["bin"] == 0 and rows[0]["lo"] == 0.0
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == b["lo"] and b["bin"] == a["bin"] + 1
+    assert rows[-1]["hi"] >= 999.0
+
+
+def test_fd_histogram_constant_column_one_bin(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import fd_histogram
+
+    df = spark.createDataFrame([Row(v=7.0)] * 50)
+    rows = fd_histogram(df, "v").collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 50 and rows[0]["bin"] == 0
