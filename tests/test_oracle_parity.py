@@ -115,6 +115,10 @@ _TZ_SENSITIVE = [
     "events_grouping_sets",
     # r5 continuation: the resample grid is built from unix_micros(ts)
     "events_resample_ffill",
+    # this session: CUSUM's daily buckets come from date_format(ts) —
+    # a session-zone leak would move counts across day boundaries and
+    # shift every cumulative statistic
+    "events_cusum_daily",
 ]
 
 
