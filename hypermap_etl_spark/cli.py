@@ -1051,6 +1051,27 @@ def cmd_tag(args) -> None:
     }))
 
 
+def cmd_hist(args) -> None:
+    """Auto-binned value histogram (profile.fd_histogram): no bin-count
+    knob, IQR-robust width; prints one JSON line of bins."""
+    from hypermap_etl_spark.operators.profile import fd_histogram
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    if args.column not in df.columns:
+        raise SystemExit(f"column not in table: {args.column}")
+    rows = fd_histogram(df.select(args.column), args.column).collect()
+    print(json.dumps({
+        "table": args.table,
+        "column": args.column,
+        "n_bins": len(rows),
+        "bins": [
+            {"bin": r["bin"], "lo": r["lo"], "hi": r["hi"], "cnt": r["cnt"]}
+            for r in rows
+        ],
+    }))
+
+
 def cmd_report(args) -> None:
     """Corpus data card: one JSON line summarizing a documents parquet
     — size, token totals, language/source mix, length percentiles,
@@ -1391,6 +1412,10 @@ def main(argv=None) -> None:
                    help="comma-separated join/groupBy key columns")
     p.add_argument("--top", type=int, default=10)
 
+    p = sub.add_parser("hist", help="Freedman-Diaconis auto-binned histogram")
+    p.add_argument("--table", required=True)
+    p.add_argument("--column", required=True, help="numeric column to bin")
+
     p = sub.add_parser("plan-epochs",
                        help="token-budget waterfill across sources "
                             "(per-source epoch caps)")
@@ -1441,6 +1466,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
+        "hist": cmd_hist,
     }[args.cmd](args)
 
 

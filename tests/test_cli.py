@@ -646,3 +646,17 @@ def test_cli_search_snippets(capsys):
     assert len(lines) == 3
     assert all({"doc_id", "score", "first_pos", "snippet"} <= set(x) for x in lines)
     assert lines[0]["score"] >= lines[-1]["score"]
+
+
+def test_cli_hist(capsys):
+    main(["hist", "--table", "/root/testdata/sf0.001/events.parquet",
+          "--column", "value"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_bins"] > 3
+    assert sum(b["cnt"] for b in r["bins"]) == 1000
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="column not in table"):
+        main(["hist", "--table", "/root/testdata/sf0.001/events.parquet",
+              "--column", "nope"])
