@@ -1216,3 +1216,67 @@ def epoch_plan(
             ).alias("alloc_tokens"),
         )
     )
+
+
+def apportion(
+    per_group: DataFrame,
+    total: int,
+    group_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer sample-size allocation by the largest-remainder method
+    (Hamilton apportionment): split an EXACT total of ``total`` items
+    across groups proportionally to weights — the integer complement
+    of epoch_plan's continuous waterfill (an eval-set builder needs
+    "exactly 10,000 docs, proportional to source sizes", and naive
+    rounding of quotas over- or under-shoots by up to |groups|/2).
+
+    quota = total·w/Σw; every group gets floor(quota); the leftover
+    seats go one each to the largest fractional remainders (ties:
+    group ascending — fully deterministic). Σ alloc == total exactly,
+    and each alloc is within 1 of its real quota (the method's
+    defining property).
+
+    Scale shape: the input is the per-group AGGREGATE (model-sized);
+    one broadcast totals join, one ordered window over |groups| rows.
+    Zero/negative weights allocate 0 base and sort last.
+    """
+    from pyspark.sql.window import Window
+
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    d = per_group.select(
+        group_col, F.col(weight_col).cast("double").alias("w")
+    )
+    tw = d.agg(F.sum(F.when(F.col("w") > 0, F.col("w"))).alias("tw"))
+    q = d.join(F.broadcast(tw)).select(
+        group_col,
+        "w",
+        F.when(
+            (F.col("w") > 0) & (F.col("tw") > 0),
+            F.lit(float(total)) * F.col("w") / F.col("tw"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("quota"),
+    )
+    q = q.withColumn("base", F.floor(F.col("quota")).cast("bigint"))
+    q = q.withColumn("frac", F.col("quota") - F.col("base"))
+    leftover = q.agg(
+        (F.lit(total) - F.sum("base")).cast("bigint").alias("r")
+    )
+    w_rank = Window.orderBy(F.col("frac").desc(), F.col(group_col).asc())
+    return (
+        q.join(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .select(
+            group_col,
+            F.col("w").alias("weight"),
+            F.round("quota", 6).alias("quota"),
+            (
+                F.col("base")
+                + F.when(F.col("__rk") <= F.col("r"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias("alloc"),
+        )
+    )

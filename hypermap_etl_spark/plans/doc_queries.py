@@ -3488,6 +3488,47 @@ FROM c ORDER BY doc_id
 """
 
 
+def doc_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder integer allocation of exactly 137 sample slots
+    across sources proportional to doc counts (corpus.apportion) —
+    the eval-set sizing step; Σ alloc == 137 exactly."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return corpus.apportion(per, 137, "source", "weight").orderBy("source")
+
+
+APPORTION_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS w FROM documents GROUP BY source
+),
+tw AS (SELECT SUM(CASE WHEN w > 0 THEN w END) AS tw FROM per),
+q AS (
+  SELECT source, w,
+         CASE WHEN w > 0 AND tw > 0 THEN 137.0 * w / tw ELSE 0.0 END AS quota
+  FROM per CROSS JOIN tw
+),
+b AS (
+  SELECT source, w, quota,
+         CAST(floor(quota) AS BIGINT) AS base,
+         quota - floor(quota) AS frac
+  FROM q
+),
+lv AS (SELECT 137 - SUM(base) AS r FROM b),
+rk AS (
+  SELECT source, w, quota, base, frac,
+         row_number() OVER (ORDER BY frac DESC, source ASC) AS rkn
+  FROM b
+)
+SELECT source, w AS weight, ROUND(quota, 6) AS quota,
+       CAST(base + CASE WHEN rkn <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk CROSS JOIN lv
+ORDER BY source
+"""
+
+
 def doc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget waterfill across sources with md5-derived epoch
     caps (1-4) and budget = 1.8x the corpus tokens: sources capped
@@ -3763,4 +3804,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_langid_confusion": (doc_langid_confusion, _langid_confusion_oracle()),
     "doc_source_dup_matrix": (doc_source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE),
     "doc_bm25_snippets": (doc_bm25_snippets, BM25_SNIPPETS_ORACLE),
+    "doc_apportion": (doc_apportion, APPORTION_ORACLE),
 }

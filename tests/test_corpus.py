@@ -718,3 +718,34 @@ def test_epoch_plan_rejects_negative_budget(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         _plan(spark, -1.0)
+
+
+def test_apportion_exact_total_and_quota_bound(spark):
+    from pyspark.sql import Row
+
+    per = spark.createDataFrame(
+        [Row(source=f"s{i}", weight=w) for i, w in enumerate([5, 3, 3, 1, 1])]
+    )
+    got = {r["source"]: r for r in corpus.apportion(per, 10).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 10
+    for r in got.values():
+        assert abs(r["alloc"] - r["quota"]) < 1.0  # within-1 property
+    # 10 * 5/13 = 3.846 -> s0 gets 4 (largest remainder)
+    assert got["s0"]["alloc"] == 4
+
+
+def test_apportion_zero_weights_and_edge_totals(spark):
+    from pyspark.sql import Row
+
+    per = spark.createDataFrame(
+        [Row(source="a", weight=0), Row(source="b", weight=7)]
+    )
+    got = {r["source"]: r["alloc"] for r in corpus.apportion(per, 5).collect()}
+    assert got == {"a": 0, "b": 5}
+    got0 = {r["source"]: r["alloc"] for r in corpus.apportion(per, 0).collect()}
+    assert got0 == {"a": 0, "b": 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total"):
+        corpus.apportion(per, -1)
