@@ -84,12 +84,12 @@ def key_skew_report(
     )
 
 
-def global_rank(
+def _global_rank_with_total(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "rank",
     partitions: int | None = None,
-) -> DataFrame:
+) -> tuple:
     """Total-order 1-based rank without a single-partition window.
 
     ``row_number() OVER (ORDER BY ...)`` funnels EVERY row through one
@@ -136,13 +136,23 @@ def global_rank(
         else F.lit(0)
     )
     w = Window.partitionBy("__pid").orderBy(*order_by)
-    return (
-        ranged.withColumn(
-            rank_col,
-            (F.row_number().over(w) + off_expr).cast("bigint"),
-        )
-        .drop("__pid")
-    )
+    out = ranged.withColumn(
+        rank_col,
+        (F.row_number().over(w) + off_expr).cast("bigint"),
+    ).drop("__pid")
+    return out, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Public face of :func:`_global_rank_with_total` — see its
+    docstring for the construction and the total-order requirement."""
+    out, _ = _global_rank_with_total(df, order_by, rank_col, partitions)
+    return out
 
 
 def balanced_shards(
@@ -195,3 +205,26 @@ def shard_balance_report(
             "load_ratio"
         ),
     )
+
+
+def global_percent_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    pct_col: str = "pct_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """percent_rank over the WHOLE frame without the single-partition
+    window Spark would plan for ``percent_rank() OVER (ORDER BY ...)``:
+    (global_rank − 1) / (n − 1), with n known for free from the same
+    per-partition counts the rank construction already collected.
+    Same total-order requirement as global_rank. A single row ranks
+    0.0 (the SQL percent_rank convention). Rounded 6 dp.
+    """
+    ranked, total = _global_rank_with_total(
+        df, order_by, rank_col="__grank", partitions=partitions
+    )
+    denom = max(total - 1, 1)
+    return ranked.withColumn(
+        pct_col,
+        F.round((F.col("__grank") - 1) / F.lit(float(denom)), 6),
+    ).drop("__grank")

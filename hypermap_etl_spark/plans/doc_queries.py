@@ -3488,6 +3488,36 @@ FROM c ORDER BY doc_id
 """
 
 
+def doc_token_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide percent rank of each doc's token count WITHOUT the
+    single-partition window (scale.global_percent_rank — rank from the
+    range-partition construction, n free from its counts)."""
+    from hypermap_etl_spark.operators import scale
+
+    return (
+        scale.global_percent_rank(
+            _doc_tokens(spark, sf_dir),
+            [F.col("tokens").asc(), F.col("doc_id").asc()],
+        )
+        .select("doc_id", "tokens", "pct_rank")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_PCTRANK_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT doc_id, tokens,
+       ROUND(percent_rank() OVER (ORDER BY tokens ASC, doc_id ASC), 6)
+         AS pct_rank
+FROM d ORDER BY doc_id
+"""
+
+
 def doc_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder integer allocation of exactly 137 sample slots
     across sources proportional to doc counts (corpus.apportion) —
@@ -3805,4 +3835,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_source_dup_matrix": (doc_source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE),
     "doc_bm25_snippets": (doc_bm25_snippets, BM25_SNIPPETS_ORACLE),
     "doc_apportion": (doc_apportion, APPORTION_ORACLE),
+    "doc_token_pctrank": (doc_token_pctrank, TOKEN_PCTRANK_ORACLE),
 }

@@ -122,3 +122,28 @@ def test_scale_ops_empty_inputs(spark):
     assert scale.shard_balance_report(
         scale.balanced_shards(empty, "w", "id", 3), "w"
     ).count() == 0
+
+
+def test_global_percent_rank_matches_sql(spark):
+    df = spark.createDataFrame(
+        [Row(x=(i * 7) % 23, id=i) for i in range(46)]
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in scale.global_percent_rank(
+            df, [F.col("x").asc(), F.col("id").asc()], partitions=5
+        ).collect()
+    }
+    want = {
+        r["id"]: round(r["pr"], 6)
+        for r in df.selectExpr(
+            "id", "percent_rank() over (order by x asc, id asc) as pr"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_percent_rank_single_row(spark):
+    df = spark.createDataFrame([Row(x=1, id=1)])
+    got = scale.global_percent_rank(df, [F.col("x").asc(), F.col("id").asc()]).collect()
+    assert got[0]["pct_rank"] == 0.0
