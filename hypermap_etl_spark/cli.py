@@ -978,16 +978,12 @@ def cmd_plan_epochs(args) -> None:
     from pyspark.sql import functions as F
 
     from hypermap_etl_spark.operators.corpus import epoch_plan
+    from hypermap_etl_spark.operators.textstats import token_count
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
     per = (
-        docs.select(
-            "source",
-            F.size(
-                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-            ).alias("__t"),
-        )
+        docs.select("source", token_count(F.col("text")).alias("__t"))
         .groupBy("source")
         .agg(F.sum("__t").cast("double").alias("tokens"))
     )

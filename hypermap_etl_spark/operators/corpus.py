@@ -705,11 +705,11 @@ def curate_pipeline(
         # assignment only balances counts
         from hypermap_etl_spark.operators.scale import balanced_shards as _bs
 
+        from hypermap_etl_spark.operators.textstats import token_count
+
         weights = base.select(
             "doc_id",
-            F.size(
-                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-            ).cast("bigint").alias("__w"),
+            token_count(F.col(text_col)).cast("bigint").alias("__w"),
         )
         shards = _bs(weights, "__w", "doc_id", n_shards).select(
             "doc_id", "shard"
@@ -1239,7 +1239,10 @@ def apportion(
 
     Scale shape: the input is the per-group AGGREGATE (model-sized);
     one broadcast totals join, one ordered window over |groups| rows.
-    Zero/negative weights allocate 0 base and sort last.
+    Zero/negative weights allocate 0 — leftovers go only to rows with
+    a positive fractional remainder, so a degenerate all-zero-weight
+    input allocates 0 everywhere (the total is unallocatable) rather
+    than spraying seats across weightless groups.
     """
     from pyspark.sql.window import Window
 
@@ -1274,9 +1277,10 @@ def apportion(
             F.round("quota", 6).alias("quota"),
             (
                 F.col("base")
-                + F.when(F.col("__rk") <= F.col("r"), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
+                + F.when(
+                    (F.col("__rk") <= F.col("r")) & (F.col("frac") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             ).cast("bigint").alias("alloc"),
         )
     )

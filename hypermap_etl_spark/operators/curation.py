@@ -1178,8 +1178,11 @@ def keyword_tags_large(
                 columns=["doc_id", "keyword", "n_hits"],
             )
 
+    # output schema inherits the caller's doc_id type — keyword_tags
+    # preserves it, so the "same contract" claim must hold here too
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
-        scan, "doc_id long, keyword string, n_hits long"
+        scan, f"doc_id {id_type}, keyword string, n_hits long"
     )
 
 

@@ -276,7 +276,13 @@ def cusum_drift(
         daily.crossJoin(F.broadcast(stats))
     )
     m = F.col("sc") / F.col("n_days")
-    var = F.col("scc") / F.col("n_days") - m * m
+    # catastrophic cancellation on large near-constant counts can make
+    # the moment difference fractionally NEGATIVE; sqrt would be NaN,
+    # and Spark sorts NaN above every double — a spurious drift alarm.
+    # Clamp to 0 so the zero-variance path (try_divide -> NULL) wins.
+    var = F.greatest(
+        F.col("scc") / F.col("n_days") - m * m, F.lit(0.0)
+    )
     z = F.try_divide(F.col("c") - m, F.sqrt(var))
     w = Window.partitionBy(*group_cols).orderBy(day_col)
     s = F.sum(z).over(w)
@@ -290,10 +296,13 @@ def cusum_drift(
             ),
             F.round(
                 F.sqrt(
-                    F.first(
-                        F.col("scc") / F.col("n_days")
-                        - (F.col("sc") / F.col("n_days"))
-                        * (F.col("sc") / F.col("n_days"))
+                    F.greatest(
+                        F.first(
+                            F.col("scc") / F.col("n_days")
+                            - (F.col("sc") / F.col("n_days"))
+                            * (F.col("sc") / F.col("n_days"))
+                        ),
+                        F.lit(0.0),
                     )
                 ),
                 6,
@@ -368,6 +377,10 @@ def fd_histogram(df: DataFrame, value_col: str) -> DataFrame:
     IEEE expression in any engine.
     """
     v = F.col(value_col)
+    # NULLs out before binning: floor((NULL-lo)/w) is NULL and
+    # F.least/greatest SKIP nulls, which would silently park every
+    # NULL row in the last bin
+    df = df.filter(v.isNotNull())
     stats = df.agg(
         F.percentile(v, 0.25).alias("q1"),
         F.percentile(v, 0.75).alias("q3"),

@@ -74,7 +74,10 @@ def key_skew_report(
             *key_cols,
             "cnt",
             F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
-            F.ceil(F.col("cnt") * F.col("n_keys") / F.col("n_rows"))
+            # share-first double math: cnt*n_keys in int64 wraps
+            # negative around 1e19 (a trillion-row corpus with a
+            # billion-key column is past it)
+            F.ceil(F.col("cnt") / F.col("n_rows") * F.col("n_keys"))
             .cast("bigint")
             .alias("key_salt"),
             "n_keys",

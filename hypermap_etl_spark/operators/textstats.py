@@ -40,6 +40,14 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def token_count(text: Column) -> Column:
+    """Whitespace token count of the LOWERED text, empty tokens
+    dropped — THE corpus token-weight convention (shard weights, epoch
+    plans, gate oracles all use `len(list_filter(string_split(lower(t),
+    ' '), x -> x <> ''))`); change it here and everywhere agrees."""
+    return F.size(F.filter(words(F.lower(text)), lambda w: w != F.lit("")))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles; empty array when fewer than n words.
 
@@ -829,8 +837,11 @@ def bm25_snippets(
     """
     hits = bm25_search(docs, query_terms, k=k, text_col=text_col)
     t = F.lower(F.col(text_col))
+    # bm25_search lowercases terms for ranking; the position probe
+    # must match that, or a capitalized query never centers a snippet
+    terms = [qt.lower() for qt in query_terms]
     pos_candidates = [
-        F.when(F.instr(t, term) > 0, F.instr(t, term)) for term in query_terms
+        F.when(F.instr(t, term) > 0, F.instr(t, term)) for term in terms
     ]
     least = (
         F.least(*pos_candidates)

@@ -1295,7 +1295,7 @@ def doc_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_SNIPPETS_ORACLE = (
     "WITH hits AS ("
-    + BM25_ORACLE.replace("BM25_PLACEHOLDER", "")
+    + BM25_ORACLE
     + """)
 SELECT d.doc_id, hits.score,
        CAST(COALESCE(LEAST(
@@ -3252,9 +3252,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
-        F.size(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).cast("bigint").alias("tokens"),
+        textstats.token_count(F.col("text")).cast("bigint").alias("tokens"),
     )
 
 
@@ -3566,12 +3564,7 @@ def doc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus.epoch_plan — the data-recipe allocator)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     per = (
-        docs.select(
-            "source",
-            F.size(
-                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-            ).alias("__t"),
-        )
+        docs.select("source", textstats.token_count(F.col("text")).alias("__t"))
         .groupBy("source")
         .agg(F.sum("__t").cast("double").alias("tokens"))
         .withColumn(

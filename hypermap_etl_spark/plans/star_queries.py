@@ -3303,7 +3303,7 @@ e AS (
 )
 SELECT event_type, cnt,
        ROUND(cnt * 1.0 / n_rows, 6) AS share,
-       CAST(ceil(cnt * n_keys * 1.0 / n_rows) AS BIGINT) AS key_salt,
+       CAST(ceil(cnt * 1.0 / n_rows * n_keys) AS BIGINT) AS key_salt,
        n_keys, n_rows, key_entropy
 FROM c CROSS JOIN t CROSS JOIN e
 ORDER BY cnt DESC, event_type ASC

@@ -48,6 +48,10 @@ def start_topk_stream(
     False for a continuous trigger."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        # a batch folded into batch_id=-1 by compaction must not be
+        # re-created by a post-crash replay (double-counted forever)
+        if batch_id <= _folded_through(store_path):
+            return
         summ = mg_topk(batch, value_col, k=k)
         dest = os.path.join(store_path, f"batch_id={batch_id}")
         summ.write.mode("overwrite").parquet(dest)
@@ -61,6 +65,17 @@ def start_topk_stream(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _folded_through(store_path: str) -> int:
+    """Highest REAL batch id folded into batch_id=-1 (-1 when none) —
+    the replay watermark the sink checks after a compaction."""
+    marker = os.path.join(store_path, "_folded_through")
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
 
 
 def topk_store_read(spark: SparkSession, store_path: str, k: int) -> DataFrame:
@@ -92,10 +107,21 @@ def topk_store_compact(spark: SparkSession, store_path: str, k: int) -> int:
         *[os.path.join(store_path, d) for d in parts]
     ).select("item", F.col("est_count").alias("cnt"))
     merged = mg_merge_summaries(counters, k)
-    # stage → swap: never a moment with neither old nor new state
+    max_real = max((int(d.split("=", 1)[1]) for d in parts), default=-1)
+    # stage → move-to-trash → swap: old partitions are RENAMED into a
+    # dot-dir (invisible to Spark reads, recoverable after any crash)
+    # and deleted only once the fold has landed; the _folded_through
+    # watermark keeps a crash-replayed batch from re-creating a folded
+    # partition
     tmp = os.path.join(store_path, ".compact.tmp")
     merged.write.mode("overwrite").parquet(tmp)
+    trash = os.path.join(store_path, ".compact.trash")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
     for d in parts:
-        shutil.rmtree(os.path.join(store_path, d))
+        os.rename(os.path.join(store_path, d), os.path.join(trash, d))
     os.rename(tmp, os.path.join(store_path, "batch_id=-1"))
+    with open(os.path.join(store_path, "_folded_through"), "w") as fh:
+        fh.write(str(max_real))
+    shutil.rmtree(trash)
     return len(parts)

@@ -749,3 +749,14 @@ def test_apportion_zero_weights_and_edge_totals(spark):
 
     with _pytest.raises(ValueError, match="total"):
         corpus.apportion(per, -1)
+
+
+def test_apportion_all_zero_weights_allocates_nothing(spark):
+    from pyspark.sql import Row
+
+    per = spark.createDataFrame(
+        [Row(source="a", weight=0), Row(source="b", weight=0)]
+    )
+    got = {r["source"]: r["alloc"] for r in corpus.apportion(per, 5).collect()}
+    # the total is unallocatable: no weightless group receives seats
+    assert got == {"a": 0, "b": 0}

@@ -978,3 +978,17 @@ def test_mojibake_detects_double_encoding(spark):
     assert got[2]["n_mojibake"] == 4 and got[2]["is_corrupt"] is True
     assert got[3]["n_mojibake"] == 3 and got[3]["is_corrupt"] is True
     assert got[4]["n_mojibake"] == 0 and got[4]["mojibake_rate"] == 0.0
+
+
+def test_keyword_tags_large_preserves_doc_id_type(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.curation import keyword_tags, keyword_tags_large
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="alpha", text="data here"), Row(doc_id="beta", text="no hit")],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, keyword_tags(docs, ["data"]).collect()))
+    b = sorted(map(tuple, keyword_tags_large(docs, ["data"]).collect()))
+    assert a == b == [("alpha", "data", 1)]

@@ -315,3 +315,16 @@ def test_fd_histogram_constant_column_one_bin(spark):
     df = spark.createDataFrame([Row(v=7.0)] * 50)
     rows = fd_histogram(df, "v").collect()
     assert len(rows) == 1 and rows[0]["cnt"] == 50 and rows[0]["bin"] == 0
+
+
+def test_fd_histogram_ignores_nulls(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import fd_histogram
+
+    rows = [Row(v=float(i)) for i in range(100)] + [Row(v=None)] * 5
+    out = fd_histogram(
+        spark.createDataFrame(rows, "v double"), "v"
+    ).collect()
+    # NULLs must not inflate any bin (they used to land in the last one)
+    assert sum(r["cnt"] for r in out) == 100

@@ -80,3 +80,31 @@ def test_drift_store_compact_preserves_verdict(spark):
     after = drift_verdict(spark, store, "day", ["g"]).collect()[0].asDict()
     assert before == after
     assert drift_store_compact(spark, store, "day", ["g"]) == 0  # idempotent
+
+
+def test_replay_after_compact_does_not_double_count(spark):
+    import shutil
+
+    rows = _rows(shift=False)
+    base = tempfile.mkdtemp()
+    store = _run_stream(spark, rows, base)
+    before = {
+        r["day"]: r["c"]
+        for r in drift_store_read(spark, store, "day", ["g"]).collect()
+    }
+    assert drift_store_compact(spark, store, "day", ["g"]) == 3
+    # a lost checkpoint replays every batch from scratch; the folded
+    # watermark must keep the replays from re-creating their partitions
+    shutil.rmtree(f"{base}/ckpt")
+    stream = (
+        spark.readStream.schema("g string, day string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = start_drift_stream(stream, "day", ["g"], store, f"{base}/ckpt")
+    q.awaitTermination()
+    after = {
+        r["day"]: r["c"]
+        for r in drift_store_read(spark, store, "day", ["g"]).collect()
+    }
+    assert after == before

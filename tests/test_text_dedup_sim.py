@@ -1497,3 +1497,17 @@ def test_bm25_snippets_center_on_first_hit(spark):
     assert got[2]["snippet"].startswith("window")
     assert got[2]["first_pos"] == 1
     assert len(got[1]["snippet"]) == 30
+
+
+def test_bm25_snippets_case_insensitive_positioning(spark):
+    docs = spark.createDataFrame(
+        [(1, ("pad " * 20) + "the Window term sits here")],
+        "doc_id long, text string",
+    )
+    got = textstats.bm25_snippets(
+        docs, ["WINDOW"], k=5, context=5, width=20
+    ).collect()
+    # ranking lowercases the query; positioning must too, or the
+    # snippet falls back to position 1
+    assert got and got[0]["first_pos"] == 85
+    assert "Window" in got[0]["snippet"]
