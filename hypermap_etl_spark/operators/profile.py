@@ -426,3 +426,47 @@ def fd_histogram(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Percentile clamping — the REPAIR counterpart of the outlier
+    screens (mad_outliers flags rows; winsorize caps the value so
+    downstream means/regressions stop being hostage to the tail).
+    Adds ``<value_col>_w`` (clamped, 6 dp) and ``was_clamped``.
+
+    Scale shape: one exact-percentile aggregate per group (a
+    |groups|-row frame, broadcast back), then a map-side clamp. The
+    exact percentile is the contract (and the oracle); swap in
+    approx_percentile when a per-group sort is unaffordable.
+    """
+    if not (0.0 <= lo_p < hi_p <= 1.0):
+        raise ValueError(f"need 0 <= lo_p < hi_p <= 1, got {lo_p}, {hi_p}")
+    g = group_cols or []
+    v = F.col(value_col)
+    bounds = df.groupBy(*g).agg(
+        F.percentile(v, lo_p).alias("__lo"),
+        F.percentile(v, hi_p).alias("__hi"),
+    )
+    j = df.join(F.broadcast(bounds), g) if g else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    # least/greatest SKIP NULLs (the fd_histogram lesson) — an
+    # unguarded clamp would rewrite NULL values to the lower bound
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi")),
+    )
+    return j.select(
+        *df.columns,
+        F.round(clamped, 6).alias(f"{value_col}_w"),
+        (
+            v.isNotNull()
+            & ((v < F.col("__lo")) | (v > F.col("__hi")))
+        ).alias("was_clamped"),
+    )

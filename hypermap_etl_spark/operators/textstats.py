@@ -861,3 +861,25 @@ def bm25_snippets(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type-token ratio + Guiraud's root TTR per document — the
+    lexical-diversity quality signal (templated/spun text has few
+    types per token; TTR shrinks with length, which is why Guiraud's
+    types/√tokens is the comparable form). Pure array math in one
+    projection: no shuffle, no Python."""
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    arr = docs.select("doc_id", ws.alias("__ws"))
+    n = F.size("__ws")
+    t = F.size(F.array_distinct("__ws"))
+    return arr.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        t.cast("bigint").alias("n_types"),
+        F.round(F.when(n > 0, t / n).otherwise(F.lit(0.0)), 6).alias("ttr"),
+        F.round(
+            F.when(n > 0, t / F.sqrt(n.cast("double"))).otherwise(F.lit(0.0)),
+            6,
+        ).alias("guiraud"),
+    )

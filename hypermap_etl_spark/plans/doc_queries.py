@@ -3305,6 +3305,33 @@ FROM ts ORDER BY ts.threshold
 """
 
 
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + Guiraud root TTR per doc
+    (textstats.lexical_diversity) — the templated-text screen."""
+    return textstats.lexical_diversity(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+LEXDIV_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+       ROUND(CASE WHEN len(ws) > 0
+                  THEN len(list_distinct(ws)) * 1.0 / len(ws)
+                  ELSE 0.0 END, 6) AS ttr,
+       ROUND(CASE WHEN len(ws) > 0
+                  THEN len(list_distinct(ws)) / sqrt(CAST(len(ws) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS guiraud
+FROM w ORDER BY doc_id
+"""
+
+
 def doc_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-corruption screen (curation.mojibake_stats): UTF-8-as-
     Latin-1/cp1252 signature counts per doc — all-zero on a clean
@@ -3829,4 +3856,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_bm25_snippets": (doc_bm25_snippets, BM25_SNIPPETS_ORACLE),
     "doc_apportion": (doc_apportion, APPORTION_ORACLE),
     "doc_token_pctrank": (doc_token_pctrank, TOKEN_PCTRANK_ORACLE),
+    "doc_lexical_diversity": (doc_lexical_diversity, LEXDIV_ORACLE),
 }

@@ -3182,6 +3182,51 @@ ORDER BY event_type
 """
 
 
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clamp (profile.winsorize, p01/p99 per event type):
+    the repair counterpart of the outlier screens; summary per type
+    proves means stabilized and counts the clamped tail."""
+    from hypermap_etl_spark.operators.profile import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "value", 0.01, 0.99, ["event_type"])
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("was_clamped").cast("int")).cast("bigint").alias(
+                "n_clamped"
+            ),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg("value_w"), 6).alias("mean_w"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT e.event_type, e.value,
+         ROUND(LEAST(GREATEST(CAST(e.value AS DOUBLE), lo), hi), 6) AS value_w,
+         (e.value IS NOT NULL AND (e.value < lo OR e.value > hi))
+           AS was_clamped
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN was_clamped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       ROUND(AVG(value), 6) AS mean_raw,
+       ROUND(AVG(value_w), 6) AS mean_w
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freedman-Diaconis auto-binned histogram of the value column
     (profile.fd_histogram) — no bin-count knob, robust width from
@@ -3394,4 +3439,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
+    "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
 }

@@ -992,3 +992,23 @@ def test_keyword_tags_large_preserves_doc_id_type(spark):
     a = sorted(map(tuple, keyword_tags(docs, ["data"]).collect()))
     b = sorted(map(tuple, keyword_tags_large(docs, ["data"]).collect()))
     assert a == b == [("alpha", "data", 1)]
+
+
+def test_lexical_diversity_known_values(spark):
+    import math
+
+    from hypermap_etl_spark.operators.textstats import lexical_diversity
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),          # all distinct: ttr 1
+            (2, "a a a a"),          # one type: ttr 0.25
+            (3, ""),                 # degenerate
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in lexical_diversity(docs).collect()}
+    assert got[1]["ttr"] == 1.0 and got[1]["n_types"] == 4
+    assert got[2]["ttr"] == 0.25
+    assert got[2]["guiraud"] == round(1 / math.sqrt(4), 6)
+    assert got[3]["n_tokens"] == 0 and got[3]["ttr"] == 0.0

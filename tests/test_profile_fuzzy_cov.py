@@ -328,3 +328,30 @@ def test_fd_histogram_ignores_nulls(spark):
     ).collect()
     # NULLs must not inflate any bin (they used to land in the last one)
     assert sum(r["cnt"] for r in out) == 100
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import winsorize
+
+    rows = [Row(g="a", v=float(i)) for i in range(1, 100)] + [
+        Row(g="a", v=10_000.0),
+        Row(g="a", v=None),
+    ]
+    out = winsorize(
+        spark.createDataFrame(rows, "g string, v double"),
+        "v", 0.0, 0.95, ["g"],
+    ).collect()
+    spike = [r for r in out if r["v"] == 10_000.0][0]
+    assert spike["was_clamped"] is True
+    assert spike["v_w"] < 10_000.0
+    mid = [r for r in out if r["v"] == 50.0][0]
+    assert mid["was_clamped"] is False and mid["v_w"] == 50.0
+    nul = [r for r in out if r["v"] is None][0]
+    assert nul["was_clamped"] is False and nul["v_w"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo_p"):
+        winsorize(spark.createDataFrame(rows), "v", 0.9, 0.1)
