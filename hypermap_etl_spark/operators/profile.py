@@ -470,3 +470,64 @@ def winsorize(
             & ((v < F.col("__lo")) | (v > F.col("__hi")))
         ).alias("was_clamped"),
     )
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-significant-digit audit — the data-forensics
+    screen for fabricated or unit-mangled numeric feeds (organic
+    multi-scale data follows P(d) = log10(1 + 1/d); a constant-scale
+    or synthetic feed does not, which is itself diagnostic). Emits one
+    row per digit 1-9: observed count, observed/expected shares, and
+    the digit's chi-square term (Σ terms = the test statistic).
+
+    The first digit comes from a bounded CASE ladder over powers of
+    ten (values 1e-9..1e18), NOT log10/pow — comparisons and one
+    division are bit-identical in any engine, where a log10 at a
+    power-of-ten knife edge need not be. Zero/NULL values are
+    excluded (they have no first significant digit); negatives use
+    |v|. One map-side projection + one 9-row aggregate.
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    scaled = F.lit(None).cast("double")
+    # build INSIDE-out: each F.when wraps the previous expression as
+    # its otherwise, so the LAST-constructed branch is checked FIRST —
+    # ascending construction puts the largest magnitude outermost
+    # (descending construction would scale every value by 1e-9)
+    for e in range(-9, 19):
+        lo = float(10.0 ** e)
+        scaled = F.when(v >= lo, v / F.lit(lo)).otherwise(scaled)
+    digit = F.floor(scaled).cast("int")
+    digits = (
+        df.filter(F.col(value_col).isNotNull() & (v > 0))
+        .select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    base = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        base.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.round(F.coalesce("n_obs", F.lit(0)) / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(expected, 6).alias("exp_share"),
+            F.round(
+                F.pow(
+                    F.coalesce("n_obs", F.lit(0)) - F.col("n") * expected,
+                    F.lit(2.0),
+                )
+                / (F.col("n") * expected),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -3182,6 +3182,49 @@ ORDER BY event_type
 """
 
 
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the value column
+    (profile.benford_profile): per-digit observed vs log10(1+1/d)
+    shares + chi-square terms — the fabricated-feed screen."""
+    from hypermap_etl_spark.operators.profile import benford_profile
+
+    return benford_profile(
+        load_table(spark, sf_dir, "events").select("value"), "value"
+    )
+
+
+def _benford_oracle() -> str:
+    ladder = "CASE "
+    for e in range(18, -10, -1):
+        lo = float(10.0 ** e)
+        ladder += (
+            f"WHEN abs(CAST(value AS DOUBLE)) >= {lo!r} "
+            f"THEN abs(CAST(value AS DOUBLE)) / {lo!r} "
+        )
+    ladder += "END"
+    return f"""
+WITH d AS (
+  SELECT CAST(floor({ladder}) AS INT) AS digit
+  FROM events
+  WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) > 0
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d
+  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+t AS (SELECT SUM(n_obs) AS n FROM c),
+base AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit)
+SELECT base.digit,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+       ROUND(COALESCE(n_obs, 0) * 1.0 / n, 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / base.digit), 6) AS exp_share,
+       ROUND(pow(COALESCE(n_obs, 0) - n * log10(1.0 + 1.0 / base.digit), 2.0)
+             / (n * log10(1.0 + 1.0 / base.digit)), 6) AS chi2_term
+FROM base LEFT JOIN c ON base.digit = c.digit CROSS JOIN t
+ORDER BY base.digit
+"""
+
+
 def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile clamp (profile.winsorize, p01/p99 per event type):
     the repair counterpart of the outlier screens; summary per type
@@ -3440,4 +3483,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
+    "events_benford": (events_benford, _benford_oracle()),
 }

@@ -355,3 +355,41 @@ def test_winsorize_clamps_tails_only(spark):
 
     with _pytest.raises(ValueError, match="lo_p"):
         winsorize(spark.createDataFrame(rows), "v", 0.9, 0.1)
+
+
+def test_benford_known_digits(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import benford_profile
+
+    # digits across magnitudes: 0.023 -> 2, 7 -> 7, 19 -> 1, 450 -> 4,
+    # 1e6 -> 1, -300 -> 3 (|v|); 0 and NULL excluded
+    vals = [0.023, 7.0, 19.0, 450.0, 1_000_000.0, -300.0, 0.0, None]
+    df = spark.createDataFrame([Row(v=x) for x in vals], "v double")
+    got = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert {d: got[d]["n_obs"] for d in range(1, 10)} == {
+        1: 2, 2: 1, 3: 1, 4: 1, 5: 0, 6: 0, 7: 1, 8: 0, 9: 0
+    }
+    assert got[1]["exp_share"] == 0.30103  # log10(2), the Benford head
+    assert all(r["chi2_term"] >= 0 for r in got.values())
+    assert abs(sum(r["obs_share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_benford_synthetic_benford_sample_has_low_chi2(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import benford_profile
+
+    # construct a sample matching Benford shares exactly (counts
+    # proportional to log10(1+1/d) over 10000): chi2 must be tiny
+    rows = []
+    for d in range(1, 10):
+        n = round(10_000 * math.log10(1 + 1 / d))
+        rows += [Row(v=float(d) * 10.0)] * n
+    df = spark.createDataFrame(rows)
+    chi2 = sum(
+        r["chi2_term"] for r in benford_profile(df, "v").collect()
+    )
+    assert chi2 < 1.0  # rounding residue only; the 1% critical value is ~20
