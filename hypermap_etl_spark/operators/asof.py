@@ -142,3 +142,61 @@ def resample_ffill(
         value_cols,
         suffix="",
     )
+
+
+def sliding_distinct_actives(
+    df,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+):
+    """Trailing-window distinct actives per day (the DAU/WAU/MAU
+    family): for each calendar day, how many distinct keys were active
+    in the last ``window_days`` days.
+
+    The scale construction is CONTRIBUTION EXPLOSION, not a per-day
+    distinct scan: collapse to distinct (key, day) pairs (one
+    map-combined aggregate — the corpus-sized step), then explode each
+    pair to the ``window_days`` report days it contributes to
+    (map-side, a bounded ×W blowup of the already-tiny pair set) and
+    count distinct keys per report day. A naive per-day COUNT(DISTINCT
+    ... WHERE day BETWEEN) re-scans the corpus W times; a RANGE window
+    with collect_set holds per-day sets in memory. Report days are
+    clamped to the observed span (no phantom trailing days).
+
+    Output: (day, n_active, window_days) ordered by day.
+    """
+    from pyspark.sql import functions as F
+
+    day = F.date_trunc("DAY", F.col(ts_col)).cast("date")
+    pairs = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .filter(F.col("k").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    span = pairs.agg(F.max("d").alias("last_day"))
+    contrib = (
+        pairs.crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.date_add(F.col("d"), window_days - 1),
+                        F.col("last_day"),
+                    ),
+                )
+            ).alias("day"),
+        )
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.count_distinct("k").cast("bigint").alias("n_active"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active",
+            F.lit(window_days).alias("window_days"),
+        )
+        .orderBy("day")
+    )

@@ -3182,6 +3182,41 @@ ORDER BY event_type
 """
 
 
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (asof.sliding_distinct_actives) — the DAU/WAU family via
+    contribution explosion: one distinct-pair aggregate, a bounded ×7
+    map-side explode, one count-distinct per day. Never re-scans the
+    corpus per report day."""
+    from hypermap_etl_spark.operators.asof import sliding_distinct_actives
+
+    return sliding_distinct_actives(
+        load_table(spark, sf_dir, "events").select("ts", "user_id"),
+        "ts",
+        "user_id",
+        window_days=7,
+    )
+
+
+WAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+span AS (SELECT MAX(d) AS last_day FROM pairs),
+contrib AS (
+  SELECT k, CAST(d + CAST(i AS INT) AS DATE) AS day
+  FROM pairs CROSS JOIN span
+  CROSS JOIN range(7) t(i)
+  WHERE d + CAST(i AS INT) <= last_day
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_active,
+       7 AS window_days
+FROM contrib GROUP BY day ORDER BY day
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -3484,4 +3519,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
     "events_benford": (events_benford, _benford_oracle()),
+    "events_wau": (events_wau, WAU_ORACLE),
 }

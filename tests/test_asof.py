@@ -63,3 +63,29 @@ def test_resample_ffill_semantics(spark):
         resample_ffill(df, ["k"], "ts", ["v"], step=0)
     with pytest.raises(ValueError, match="no observations"):
         resample_ffill(df.filter("ts IS NULL"), ["k"], "ts", ["v"], step=5)
+
+
+def test_sliding_distinct_actives_window_semantics(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.asof import sliding_distinct_actives
+
+    rows = [
+        Row(ts="2026-01-01 10:00:00", user_id=1),
+        Row(ts="2026-01-01 11:00:00", user_id=1),  # same user+day dedups
+        Row(ts="2026-01-02 10:00:00", user_id=2),
+        Row(ts="2026-01-09 10:00:00", user_id=3),  # 1/1 ages out by 1/9
+        Row(ts=None, user_id=4),
+    ]
+    df = spark.createDataFrame(rows).selectExpr(
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id"
+    )
+    got = {r["day"]: r["n_active"] for r in
+           sliding_distinct_actives(df, "ts", "user_id", 7).collect()}
+    assert got["2026-01-01"] == 1           # just user 1
+    assert got["2026-01-02"] == 2           # users 1, 2
+    assert got["2026-01-07"] == 2           # 1/1 still inside [1/1..1/7]
+    assert got["2026-01-08"] == 1           # user 1 aged out, user 2 remains
+    assert got["2026-01-09"] == 1           # only user 3 (1/2 aged out... )
+    # 1/2 is within [1/3..1/9]? window is [day-6, day] = [1/3, 1/9] -> no
+    assert max(got) == "2026-01-09"         # clamped: no phantom tail days

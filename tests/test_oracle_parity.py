@@ -119,6 +119,9 @@ _TZ_SENSITIVE = [
     # a session-zone leak would move counts across day boundaries and
     # shift every cumulative statistic
     "events_cusum_daily",
+    # sliding-actives days come from date_trunc(ts) and date_add
+    # arithmetic — same day-boundary exposure
+    "events_wau",
 ]
 
 
