@@ -3182,6 +3182,51 @@ ORDER BY event_type
 """
 
 
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (lag over the user-keyed
+    window — partitioned, never global): count, mean/min/max gap
+    seconds for a deterministic user subset. The engagement-cadence
+    profile next to events_sessions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 97 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.min("gap_s"), 6).alias("min_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           / 1000000.0 AS gap_s
+  FROM events WHERE user_id IS NOT NULL AND user_id % 97 = 0
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_s), 6) AS mean_gap_s,
+       ROUND(MIN(gap_s), 6) AS min_gap_s,
+       ROUND(MAX(gap_s), 6) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day
     (asof.sliding_distinct_actives) — the DAU/WAU family via
@@ -3520,4 +3565,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
     "events_benford": (events_benford, _benford_oracle()),
     "events_wau": (events_wau, WAU_ORACLE),
+    "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
 }

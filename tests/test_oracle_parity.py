@@ -122,6 +122,9 @@ _TZ_SENSITIVE = [
     # sliding-actives days come from date_trunc(ts) and date_add
     # arithmetic — same day-boundary exposure
     "events_wau",
+    # gap seconds anchor at unix_micros — zone-independent by
+    # construction, pinned anyway
+    "events_interarrival",
 ]
 
 
