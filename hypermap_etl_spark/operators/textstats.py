@@ -883,3 +883,44 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("guiraud"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-novelty score per document: the fraction of its distinct
+    word n-grams that appear in NO other document — the RefinedWeb-
+    style "how much of this doc is new text" signal (boilerplate-heavy
+    docs score near 0 even when no single pair crosses a dedup
+    threshold; fully original docs score 1).
+
+    One inverted-index pass (doc_id, shingle) — the same corpus-sized
+    aggregate the dedup miners pay — then document frequencies per
+    shingle and a per-doc mean of df==1. Shuffles carry shingle
+    hashes + ids only. Docs with no n-gram (< n words) score NULL.
+    """
+    from hypermap_etl_spark.operators.dedup import shingle_index
+
+    sh = shingle_index(docs, text_col, n)
+    df_counts = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    joined = sh.join(df_counts, "sh")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_unique") / F.col("n_shingles"),
+            ),
+            6,
+        ).alias("novelty"),
+    )

@@ -3305,6 +3305,37 @@ FROM ts ORDER BY ts.threshold
 """
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty fraction per doc (textstats.ngram_novelty):
+    share of its distinct 3-grams appearing in no other document."""
+    return textstats.ngram_novelty(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), n=3
+    ).orderBy("doc_id")
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH w AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({{sh}})) AS s FROM w
+),
+dfq AS (SELECT s, COUNT(*) AS dfn FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM sh JOIN dfq USING (s) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_unique, 0) AS n_unique,
+       ROUND(CASE WHEN COALESCE(n_shingles, 0) > 0
+                  THEN n_unique * 1.0 / n_shingles END, 6) AS novelty
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""".replace("{sh}", _SHINGLES_SQL)
+
+
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio + Guiraud root TTR per doc
     (textstats.lexical_diversity) — the templated-text screen."""
@@ -3857,4 +3888,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_apportion": (doc_apportion, APPORTION_ORACLE),
     "doc_token_pctrank": (doc_token_pctrank, TOKEN_PCTRANK_ORACLE),
     "doc_lexical_diversity": (doc_lexical_diversity, LEXDIV_ORACLE),
+    "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_ORACLE),
 }

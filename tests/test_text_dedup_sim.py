@@ -1511,3 +1511,21 @@ def test_bm25_snippets_case_insensitive_positioning(spark):
     # snippet falls back to position 1
     assert got and got[0]["first_pos"] == 85
     assert "Window" in got[0]["snippet"]
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # 3 shingles: abc bcd cde
+            (2, "a b c x y"),      # shares 'a b c' with doc 1
+            (3, "p q r s"),        # fully novel
+            (4, "zz"),             # < 3 words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textstats.ngram_novelty(docs).collect()}
+    assert got[1]["n_shingles"] == 3 and got[1]["n_unique"] == 2
+    assert got[1]["novelty"] == round(2 / 3, 6)
+    assert got[2]["novelty"] == round(2 / 3, 6)
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
