@@ -531,3 +531,73 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def autocorr_daily(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    lags: list[int] | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Autocorrelation of a daily count series at the given lags —
+    the seasonality screen next to cusum_drift (lag-7 near 1 says
+    weekly cycle; lag-1 near 0 on a feed that should be smooth says
+    noise or batching artifacts). Pearson r per (group, lag) over
+    (c_d, c_{d−lag}) pairs matched by CALENDAR date (missing days
+    break pairs rather than silently shifting the series, which a
+    row-number lag would do).
+
+    Scale shape: one corpus-sized map-combined daily aggregate;
+    everything else — the lag self-join and the moment sums — runs on
+    the (groups × days) frame. Counts are exact integers, so every
+    moment is exact and r is bit-deterministic; try_divide yields NULL
+    for constant series. ``count_col`` consumes pre-aggregated
+    partials (the drift-store path)."""
+    group_cols = group_cols or []
+    lags = lags or [1, 7]
+    if any(lag <= 0 for lag in lags):
+        raise ValueError(f"lags must be positive: {lags}")
+    daily = df.groupBy(*group_cols, day_col).agg(
+        (F.sum(count_col) if count_col else F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    d = daily.withColumn("__d", F.to_date(F.col(day_col)))
+    lag_lit = F.explode(F.array(*[F.lit(int(x)) for x in sorted(lags)]))
+    a = d.select(
+        *[F.col(c).alias(f"__ga_{c}") for c in group_cols],
+        "__d",
+        F.col("c").alias("x"),
+        lag_lit.alias("lag"),
+    )
+    b = d.select(
+        *[F.col(c).alias(f"__gb_{c}") for c in group_cols],
+        F.col("__d").alias("__d2"),
+        F.col("c").alias("y"),
+    )
+    cond = F.col("__d") == F.date_add(F.col("__d2"), F.col("lag"))
+    for c in group_cols:
+        cond = cond & (F.col(f"__ga_{c}") == F.col(f"__gb_{c}"))
+    pairs = a.join(b, cond)
+    m = pairs.groupBy(
+        *[F.col(f"__ga_{c}").alias(c) for c in group_cols], "lag"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        *group_cols,
+        "lag",
+        "n_pairs",
+        F.round(F.try_divide(num, den), 6).alias("autocorr"),
+    )

@@ -3182,6 +3182,48 @@ ORDER BY event_type
 """
 
 
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1 and 7 per event type
+    (profile.autocorr_daily) — the seasonality screen beside the CUSUM
+    level monitor; calendar-matched pairs, integer-exact moments."""
+    from hypermap_etl_spark.operators.profile import autocorr_daily
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return autocorr_daily(ev, "day", ["event_type"], lags=[1, 7]).orderBy(
+        "event_type", "lag"
+    )
+
+
+AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT CAST(unnest([1, 7]) AS INT) AS lag),
+pairs AS (
+  SELECT a.event_type, lag, a.c AS x, b.c AS y
+  FROM daily a CROSS JOIN lags
+  JOIN daily b ON b.event_type = a.event_type
+              AND a.d = b.d + CAST(lag AS INT)
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       ROUND((n_pairs * sxy - sx * sy)
+             / sqrt((n_pairs * sxx - sx * sx)
+                    * (n_pairs * syy - sy * sy)), 6) AS autocorr
+FROM m ORDER BY event_type, lag
+"""
+
+
 def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics (lag over the user-keyed
     window — partitioned, never global): count, mean/min/max gap
@@ -3566,4 +3608,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_benford": (events_benford, _benford_oracle()),
     "events_wau": (events_wau, WAU_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
+    "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
 }

@@ -393,3 +393,30 @@ def test_benford_synthetic_benford_sample_has_low_chi2(spark):
         r["chi2_term"] for r in benford_profile(df, "v").collect()
     )
     assert chi2 < 1.0  # rounding residue only; the 1% critical value is ~20
+
+
+def test_autocorr_weekly_cycle_and_edges(spark):
+    from pyspark.sql import Row
+
+    from hypermap_etl_spark.operators.profile import autocorr_daily
+
+    rows = []
+    for d in range(1, 29):
+        n = 10 + (7 if d % 7 == 0 else 0)
+        rows += [Row(g="w", day=f"2026-01-{d:02d}")] * n
+    rows += [Row(g="const", day=f"2026-01-{d:02d}") for d in range(1, 11)]
+    out = {
+        (r["g"], r["lag"]): r
+        for r in autocorr_daily(
+            spark.createDataFrame(rows), "day", ["g"], lags=[1, 7]
+        ).collect()
+    }
+    assert out[("w", 7)]["autocorr"] == 1.0   # spikes align exactly
+    assert out[("w", 1)]["autocorr"] < 0.0    # spike follows a base day
+    assert out[("const", 1)]["autocorr"] is None  # zero variance -> NULL
+    assert out[("w", 7)]["n_pairs"] == 21     # 28 days, 7 unmatched
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lags"):
+        autocorr_daily(spark.createDataFrame(rows), "day", ["g"], lags=[0])
