@@ -231,3 +231,86 @@ def global_percent_rank(
         pct_col,
         F.round((F.col("__grank") - 1) / F.lit(float(denom)), 6),
     ).drop("__grank")
+
+
+def gini_concentration(
+    df: DataFrame, key_cols: list[str], weight_col: str | None = None
+) -> DataFrame:
+    """Gini coefficient of the per-key load distribution — the
+    scalar companion of key_skew_report (entropy says "how uneven";
+    Gini is the standard 0=uniform..1=one-key-has-everything number a
+    capacity planner quotes). Exact rank formula over the SORTED
+    per-key totals: G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n.
+
+    One corpus-sized hash aggregate to per-key totals; the rank comes
+    from :func:`global_rank` over that AGGREGATE frame (range shuffle
+    + partitioned windows — no single-task sort even when the key
+    cardinality itself is huge). Integer-exact sums make G
+    bit-deterministic; single-key or empty inputs yield NULL
+    (concentration is undefined).
+    """
+    agg = (F.sum(weight_col) if weight_col else F.count(F.lit(1))).cast(
+        "long"
+    )
+    per = df.groupBy(*key_cols).agg(agg.alias("x"))
+    ranked = global_rank(
+        per, [F.col("x").asc(), *[F.col(c).asc() for c in key_cols]],
+        rank_col="__r",
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("__r") * F.col("x")).alias("srx"),
+    )
+    g = (
+        F.lit(2.0) * F.col("srx") / (F.col("n_keys") * F.col("sx"))
+        - (F.col("n_keys") + 1) / F.col("n_keys")
+    )
+    return m.select(
+        "n_keys",
+        F.col("sx").alias("total"),
+        F.round(
+            F.when(F.col("n_keys") > 1, g), 6
+        ).alias("gini"),
+    )
+
+
+def pareto_share(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    top_fraction: float = 0.2,
+) -> DataFrame:
+    """The 80/20 check: what share of total weight do the top
+    ``top_fraction`` of keys hold? (Pareto concentration — the revenue
+    twin of gini_concentration's single number.)
+
+    Per-key totals (one hash aggregate), then
+    :func:`global_percent_rank` by weight DESCENDING over the
+    aggregate frame picks the top slice without a single-task window;
+    two broadcastable sums finish it. Output: one row — n_keys, keys
+    in the slice, slice share (6 dp).
+    """
+    if not (0.0 < top_fraction < 1.0):
+        raise ValueError(f"top_fraction must be in (0,1): {top_fraction}")
+    per = df.groupBy(*key_cols).agg(
+        F.sum(weight_col).cast("double").alias("w")
+    )
+    ranked = global_percent_rank(
+        per,
+        [F.col("w").desc(), *[F.col(c).asc() for c in key_cols]],
+        pct_col="__p",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("__p") <= top_fraction, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_top"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("__p") <= top_fraction, F.col("w"))),
+                F.sum("w"),
+            ),
+            6,
+        ).alias("top_share"),
+    )

@@ -3182,6 +3182,73 @@ ORDER BY event_type
 """
 
 
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts
+    (scale.gini_concentration): the engagement-inequality scalar —
+    rank over the per-user AGGREGATE via the distributed construction."""
+    from hypermap_etl_spark.operators import scale
+
+    return scale.gini_concentration(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+        ),
+        ["user_id"],
+    )
+
+
+USER_GINI_ORACLE = """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS rk FROM per
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(rk * x) AS BIGINT) AS srx
+  FROM r
+)
+SELECT n_keys, total,
+       ROUND(CASE WHEN n_keys > 1 THEN
+         2.0 * srx / (n_keys * total) - (n_keys + 1.0) / n_keys
+       END, 6) AS gini
+FROM m
+"""
+
+
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 check on customer revenue (scale.pareto_share):
+    the share of total order value held by the top 20% of customers;
+    percent rank from the distributed construction."""
+    from hypermap_etl_spark.operators import scale
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    return scale.pareto_share(o, ["o_custkey"], "v", top_fraction=0.2)
+
+
+PARETO_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS w
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT w,
+         percent_rank() OVER (ORDER BY w DESC, o_custkey ASC) AS p
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN ROUND(p, 6) <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       ROUND(SUM(CASE WHEN ROUND(p, 6) <= 0.2 THEN w END) / SUM(w), 6)
+         AS top_share
+FROM r
+"""
+
+
 def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-count autocorrelation at lags 1 and 7 per event type
     (profile.autocorr_daily) — the seasonality screen beside the CUSUM
@@ -3609,4 +3676,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_wau": (events_wau, WAU_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
+    "events_user_gini": (events_user_gini, USER_GINI_ORACLE),
+    "orders_pareto": (orders_pareto, PARETO_ORACLE),
 }

@@ -147,3 +147,31 @@ def test_global_percent_rank_single_row(spark):
     df = spark.createDataFrame([Row(x=1, id=1)])
     got = scale.global_percent_rank(df, [F.col("x").asc(), F.col("id").asc()]).collect()
     assert got[0]["pct_rank"] == 0.0
+
+
+def test_gini_known_distributions(spark):
+    # uniform -> 0; one key holding everything (of 10) -> (n-1)/n = 0.9
+    uni = spark.createDataFrame([Row(k=f"k{i % 10}", v=1) for i in range(100)])
+    assert scale.gini_concentration(uni, ["k"]).collect()[0]["gini"] == 0.0
+    skew = spark.createDataFrame(
+        [Row(k="hot", v=1)] * 991 + [Row(k=f"c{i}", v=1) for i in range(9)]
+    )
+    g = scale.gini_concentration(skew, ["k"]).collect()[0]
+    assert g["n_keys"] == 10 and g["gini"] > 0.88
+    one = spark.createDataFrame([Row(k="only", v=1)] * 5)
+    assert scale.gini_concentration(one, ["k"]).collect()[0]["gini"] is None
+
+
+def test_pareto_share_planted(spark):
+    # 10 keys: one whale holds 91 of 100 units; top 20% = 2 keys
+    rows = [Row(k="whale", w=91.0)] + [Row(k=f"m{i}", w=1.0) for i in range(9)]
+    got = scale.pareto_share(
+        spark.createDataFrame(rows), ["k"], "w", top_fraction=0.2
+    ).collect()[0]
+    assert got["n_keys"] == 10 and got["n_top"] == 2
+    assert got["top_share"] == 0.92  # whale + one 1-unit key
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_fraction"):
+        scale.pareto_share(spark.createDataFrame(rows), ["k"], "w", 1.5)
