@@ -3305,6 +3305,48 @@ FROM ts ORDER BY ts.threshold
 """
 
 
+def doc_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the source mix: Σ share²
+    and the effective number of sources (1/HHI) — the one-number
+    diversity stat of a data card (a '20-source' corpus where one
+    source is 90% is effectively ~1.2 sources). One hash aggregate +
+    broadcast total."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.round(
+                F.sum((F.col("n") / F.col("t")) * (F.col("n") / F.col("t"))),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.lit(1.0)
+                / F.sum(
+                    (F.col("n") / F.col("t")) * (F.col("n") / F.col("t"))
+                ),
+                6,
+            ).alias("effective_sources"),
+        )
+    )
+
+
+SOURCE_HHI_ORACLE = """
+WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS t FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(SUM((n * 1.0 / t) * (n * 1.0 / t)), 6) AS hhi,
+       ROUND(1.0 / SUM((n * 1.0 / t) * (n * 1.0 / t)), 6)
+         AS effective_sources
+FROM per CROSS JOIN t
+"""
+
+
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-novelty fraction per doc (textstats.ngram_novelty):
     share of its distinct 3-grams appearing in no other document."""
@@ -3889,4 +3931,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_token_pctrank": (doc_token_pctrank, TOKEN_PCTRANK_ORACLE),
     "doc_lexical_diversity": (doc_lexical_diversity, LEXDIV_ORACLE),
     "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_ORACLE),
+    "doc_source_hhi": (doc_source_hhi, SOURCE_HHI_ORACLE),
 }

@@ -90,6 +90,23 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_balanced_shards"),
     ("doc_queries", "doc_shard_balance"),
     ("doc_queries", "emb_jl_project"),
+    # late build wave: float sums rounded at the edge (HHI shares,
+    # pareto weight sums, autocorr/benford/winsorize/cusum/mad
+    # statistics); gini is integer-exact but rides the range-partition
+    # rank, pinned for the same reason as balanced_shards
+    ("doc_queries", "doc_source_hhi"),
+    ("star_queries", "orders_pareto"),
+    ("star_queries", "events_user_gini"),
+    ("star_queries", "events_autocorr"),
+    ("star_queries", "events_benford"),
+    ("star_queries", "events_winsorized"),
+    ("star_queries", "events_cusum_daily"),
+    ("star_queries", "events_mad_outliers"),
+    ("star_queries", "events_fd_histogram"),
+    ("doc_queries", "doc_zipf_fit"),
+    ("doc_queries", "doc_ngram_novelty"),
+    ("doc_queries", "doc_lexical_diversity"),
+    ("doc_queries", "doc_token_pctrank"),
 ]
 
 
