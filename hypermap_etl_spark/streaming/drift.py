@@ -98,6 +98,25 @@ def drift_verdict(
     )
 
 
+def seasonality_verdict(
+    spark: SparkSession,
+    store_path: str,
+    day_col: str,
+    group_cols: list[str],
+    lags: list[int] | None = None,
+) -> DataFrame:
+    """Daily-count autocorrelation over everything ingested so far —
+    the same store powers the level monitor (drift_verdict) and this
+    seasonality screen; both re-run their batch operator on the summed
+    partials, so streaming and batch verdicts agree by construction."""
+    from hypermap_etl_spark.operators.profile import autocorr_daily
+
+    series = drift_store_read(spark, store_path, day_col, group_cols)
+    return autocorr_daily(
+        series, day_col, group_cols, lags=lags, count_col="c"
+    )
+
+
 def _folded_through(store_path: str) -> int:
     """Highest REAL batch id folded into batch_id=-1 by a compaction
     (-1 when none): the replay watermark the sink checks so a batch

@@ -108,3 +108,23 @@ def test_replay_after_compact_does_not_double_count(spark):
         for r in drift_store_read(spark, store, "day", ["g"]).collect()
     }
     assert after == before
+
+
+def test_seasonality_verdict_equals_batch_operator(spark):
+    from hypermap_etl_spark.operators.profile import autocorr_daily
+    from hypermap_etl_spark.streaming.drift import seasonality_verdict
+
+    rows = _rows(shift=True)
+    store = _run_stream(spark, rows, tempfile.mkdtemp())
+    got = sorted(
+        map(tuple, seasonality_verdict(spark, store, "day", ["g"], [1, 7]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            autocorr_daily(
+                spark.createDataFrame(rows), "day", ["g"], lags=[1, 7]
+            ).collect(),
+        )
+    )
+    assert got == want
