@@ -1068,6 +1068,66 @@ def cmd_hist(args) -> None:
     }))
 
 
+def cmd_drift(args) -> None:
+    """Streaming ingestion-drift monitor: fold an events parquet dir
+    into the per-batch daily-count store (availableNow catch-up), then
+    print the CUSUM level verdict and lag-1/7 seasonality per group —
+    one JSON line. Re-runs resume from the checkpoint; --compact folds
+    store history."""
+    from hypermap_etl_spark.streaming.drift import (
+        drift_store_compact,
+        drift_verdict,
+        seasonality_verdict,
+        start_drift_stream,
+    )
+
+    import os
+
+    spark = _spark(args)
+    group = [g.strip() for g in args.group.split(",") if g.strip()]
+    reader = (
+        spark.readStream.schema(spark.read.parquet(args.events).schema)
+        .option("maxFilesPerTrigger", 1)
+    )
+    # FileStreamSource needs a DIRECTORY; a single-file fixture streams
+    # from its parent with a glob pinned to the file
+    if os.path.isfile(args.events):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(args.events)
+        )
+        stream = reader.parquet(os.path.dirname(args.events))
+    else:
+        stream = reader.parquet(args.events)
+    stream = stream.select(
+        *group, F.date_format(args.ts_col, "yyyy-MM-dd").alias("day")
+    )
+    q = start_drift_stream(stream, "day", group, args.store, args.checkpoint)
+    q.awaitTermination()
+    if args.compact:
+        drift_store_compact(spark, args.store, "day", group)
+    level = {
+        "|".join(str(r[g]) for g in group): {
+            "n_days": r["n_days"],
+            "max_cusum": r["max_cusum"],
+            "drifted": r["drifted"],
+        }
+        for r in drift_verdict(spark, args.store, "day", group).collect()
+    }
+    season = {
+        "|".join(str(r[g]) for g in group) + f"@lag{r['lag']}": r["autocorr"]
+        for r in seasonality_verdict(
+            spark, args.store, "day", group, [1, 7]
+        ).collect()
+    }
+    print(json.dumps({
+        "events": args.events,
+        "store": args.store,
+        "groups": group,
+        "level": dict(sorted(level.items())),
+        "seasonality": dict(sorted(season.items())),
+    }))
+
+
 def cmd_report(args) -> None:
     """Corpus data card: one JSON line summarizing a documents parquet
     — size, token totals, language/source mix, length percentiles,
@@ -1408,6 +1468,17 @@ def main(argv=None) -> None:
                    help="comma-separated join/groupBy key columns")
     p.add_argument("--top", type=int, default=10)
 
+    p = sub.add_parser("drift", help="streaming CUSUM + seasonality monitor "
+                                     "over a daily-count store")
+    p.add_argument("--events", required=True, help="events parquet dir to fold")
+    p.add_argument("--store", required=True, help="daily-count store path")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--group", default="event_type",
+                   help="comma-separated grouping columns")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--compact", action="store_true",
+                   help="fold store history after catch-up")
+
     p = sub.add_parser("hist", help="Freedman-Diaconis auto-binned histogram")
     p.add_argument("--table", required=True)
     p.add_argument("--column", required=True, help="numeric column to bin")
@@ -1462,7 +1533,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
-        "hist": cmd_hist,
+        "hist": cmd_hist, "drift": cmd_drift,
     }[args.cmd](args)
 
 

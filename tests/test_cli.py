@@ -660,3 +660,14 @@ def test_cli_hist(capsys):
     with _pytest.raises(SystemExit, match="column not in table"):
         main(["hist", "--table", "/root/testdata/sf0.001/events.parquet",
               "--column", "nope"])
+
+
+def test_cli_drift(capsys, tmp_path):
+    main(["drift", "--events", "/root/testdata/sf0.001/events.parquet",
+          "--store", str(tmp_path / "store"),
+          "--checkpoint", str(tmp_path / "ckpt"), "--compact"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(r["level"]) == {"click", "error", "purchase", "signup", "view"}
+    assert all(v["n_days"] == 30 for v in r["level"].values())
+    assert all(isinstance(v["drifted"], bool) for v in r["level"].values())
+    assert "click@lag7" in r["seasonality"]
