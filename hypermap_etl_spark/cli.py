@@ -1170,7 +1170,7 @@ def cmd_report(args) -> None:
     langs = (
         docs.groupBy(lang_col).count()
         if lang_col
-        else language_id(docs).groupBy(F.col("lang_guess").alias("lang")).count()
+        else language_id(docs).groupBy(F.col("lang_pred").alias("lang")).count()
     )
     rep["lang_mix"] = {
         str(r[0]): r["count"]

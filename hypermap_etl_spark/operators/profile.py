@@ -158,6 +158,10 @@ def psi_drift(
     Industry rule of thumb: Σ terms < 0.1 stable, 0.1–0.25 drifting,
     > 0.25 shifted.
 
+    Domain: |value| must fit in long cents (~9.2e16) — the
+    decimal(38,2) cast is exact for anything near that range; rows
+    with NULL value are excluded on both sides.
+
     Bins are equal-width over the COMBINED extent, computed in exact
     integer cents (the lineitem_price_histogram discipline — bin
     membership is integer math, bit-identical in any engine; quantile
@@ -179,8 +183,12 @@ def psi_drift(
         raise ValueError("psi_drift: need n_bins >= 2")
 
     def cents(df: DataFrame):
+        # decimal(38,2): any |value| < ~9.2e16 survives (the long-cents
+        # cast is then the binding limit, stated below). decimal(12,2)
+        # made |value| >= 1e10 an ANSI cast ERROR — an undocumented
+        # domain restriction, and silent row-drop with ANSI off.
         return df.select(
-            (F.col(value_col).cast("decimal(12,2)") * 100)
+            (F.col(value_col).cast("decimal(38,2)") * 100)
             .cast("long")
             .alias("__c")
         ).filter(F.col("__c").isNotNull())

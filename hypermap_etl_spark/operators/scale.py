@@ -259,16 +259,28 @@ def gini_concentration(
     )
     m = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("__r") * F.col("x")).alias("srx"),
+        # per-key totals are long, but the corpus-wide total can pass
+        # int64 when weight_col is e.g. bytes — accumulate exact decimal
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
+        # rank·x exceeds int64 once rank (≤ n_keys) times per-key long
+        # totals passes ~9.2e18 — ANSI would raise ARITHMETIC_OVERFLOW.
+        # decimal(19,0)·decimal(19,0) → decimal(38,0): exact products,
+        # exact sum, 38 digits of headroom before any rounding happens.
+        F.sum(
+            F.col("__r").cast("decimal(19,0)")
+            * F.col("x").cast("decimal(19,0)")
+        ).alias("srx"),
     )
+    # the n_keys·sx denominator has the same int64 trap; divide in
+    # double (exact operands → one rounding at the divide, then round-6)
     g = (
-        F.lit(2.0) * F.col("srx") / (F.col("n_keys") * F.col("sx"))
+        F.lit(2.0) * F.col("srx").cast("double")
+        / (F.col("n_keys").cast("double") * F.col("sx").cast("double"))
         - (F.col("n_keys") + 1) / F.col("n_keys")
     )
     return m.select(
         "n_keys",
-        F.col("sx").alias("total"),
+        F.col("sx").cast("decimal(38,0)").alias("total"),
         F.round(
             F.when(F.col("n_keys") > 1, g), 6
         ).alias("gini"),

@@ -1397,11 +1397,11 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PSI_ORACLE = """
 WITH o AS (
-  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS c
   FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
 ),
 n AS (
-  SELECT CAST(CAST(value + 50 AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  SELECT CAST(CAST(value + 50 AS DECIMAL(38,2)) * 100 AS BIGINT) AS c
   FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
 ),
 ext AS (
@@ -3188,12 +3188,16 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank over the per-user AGGREGATE via the distributed construction."""
     from hypermap_etl_spark.operators import scale
 
-    return scale.gini_concentration(
+    g = scale.gini_concentration(
         load_table(spark, sf_dir, "events").filter(
             F.col("user_id").isNotNull()
         ),
         ["user_id"],
     )
+    # operator keeps `total` exact decimal(38,0) (bytes-scale weights);
+    # the gate's totals are event counts — bigint is exact and
+    # driver-hash-safe (no DECIMAL outputs in gates)
+    return g.withColumn("total", F.col("total").cast("bigint"))
 
 
 USER_GINI_ORACLE = """
@@ -3207,12 +3211,14 @@ r AS (
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
          CAST(SUM(x) AS BIGINT) AS total,
-         CAST(SUM(rk * x) AS BIGINT) AS srx
+         CAST(SUM(rk * x) AS DECIMAL(38,0)) AS srx
   FROM r
 )
 SELECT n_keys, total,
        ROUND(CASE WHEN n_keys > 1 THEN
-         2.0 * srx / (n_keys * total) - (n_keys + 1.0) / n_keys
+         CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE)
+           / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+         - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE)
        END, 6) AS gini
 FROM m
 """

@@ -564,6 +564,23 @@ def test_cli_report(capsys):
     assert rep["script_mix"] == {"latin": 500}
 
 
+def test_cli_report_no_lang_column(spark, capsys, tmp_path):
+    # docs parquet WITHOUT a lang column: the report must fall back to
+    # the language_id heuristic (its output column is lang_pred, not
+    # lang — the branch crashed unresolved-column before being tested)
+    path = str(tmp_path / "nolang")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .drop("lang")
+        .write.parquet(path)
+    )
+    main(["report", "--docs", path])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 500
+    assert sum(rep["lang_mix"].values()) == 500
+    assert all(isinstance(k, str) for k in rep["lang_mix"])
+
+
 def test_cli_bff_incremental(spark, capsys, tmp_path):
     state = str(tmp_path / "bloom_state")
     docs = "/root/testdata/sf0.001/documents.parquet"

@@ -220,6 +220,23 @@ def test_psi_drift_counts_partition_and_null_safe(spark):
     assert all(r["n_new"] == 0 for r in out if r["bin"] >= 5)
 
 
+def test_psi_drift_values_past_1e10_survive(spark):
+    # decimal(12,2) used to make |value| >= 1e10 an ANSI cast ERROR
+    # (silent row-drop with ANSI off); decimal(38,2) keeps them exact
+    from hypermap_etl_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame(
+        [(1.0e10 + i,) for i in range(20)], "value double"
+    )
+    b = spark.createDataFrame(
+        [(1.0e10 + 10 + i,) for i in range(20)], "value double"
+    )
+    out = psi_drift(a, b, "value").collect()
+    assert sum(r["n_old"] for r in out) == 20
+    assert sum(r["n_new"] for r in out) == 20
+    assert sum(r["psi_term"] for r in out) > 0.0
+
+
 def test_cusum_flags_planted_level_shift(spark):
     from pyspark.sql import Row
 

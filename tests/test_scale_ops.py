@@ -162,6 +162,23 @@ def test_gini_known_distributions(spark):
     assert scale.gini_concentration(one, ["k"]).collect()[0]["gini"] is None
 
 
+def test_gini_huge_weights_no_int64_overflow(spark):
+    # per-key totals near the int64 ceiling: rank·x (and n_keys·sx)
+    # exceed int64 — the decimal(19,0)-product accumulation must not
+    # raise ARITHMETIC_OVERFLOW under ANSI, and the value must match
+    # the exact-rank formula computed in Python ints
+    big = 4_000_000_000_000_000_000  # 4e18, rank*"x" far past 2^63
+    rows = [Row(k=f"k{i}", w=big + i) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    got = scale.gini_concentration(df, ["k"], weight_col="w").collect()[0]
+    xs = sorted(big + i for i in range(5))
+    n, sx = len(xs), sum(xs)
+    srx = sum((r + 1) * x for r, x in enumerate(xs))
+    want = round(2.0 * srx / (n * sx) - (n + 1) / n, 6)
+    assert got["n_keys"] == 5 and got["total"] == sx
+    assert got["gini"] == want
+
+
 def test_pareto_share_planted(spark):
     # 10 keys: one whale holds 91 of 100 units; top 20% = 2 keys
     rows = [Row(k="whale", w=91.0)] + [Row(k=f"m{i}", w=1.0) for i in range(9)]
