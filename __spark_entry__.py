@@ -85,7 +85,10 @@ _WINDOW: list[str] = [
     "doc_langid",
     "doc_exact_dedup",
     "doc_token_stats",
-    "doc_simhash_sigs",
+    # ---- gates NEW in the r6 build session (displace re-certs
+    # back-to-front: doc_simhash_sigs out first — its machinery keeps
+    # in-window coverage via doc_simhash_pairs) ----
+    "events_kmv_overlap",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

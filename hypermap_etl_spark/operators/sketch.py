@@ -45,20 +45,21 @@ from pyspark.sql.window import Window
 _HASH_SPACE = float(1 << 32)
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     value_col: str,
     group_cols: list[str],
     k: int = 64,
     n_salts: int = 32,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate.
+    """The KMV sketch ITSELF as rows: per group, the k smallest
+    distinct md5 fractions of ``value_col`` — group_cols + ``__frac``.
 
-    Output: group_cols + (n_kept, kth_frac, est_distinct) where
-    n_kept = min(k, true distinct), kth_frac = the largest retained
-    hash fraction, and est_distinct = exact count when the group has
-    fewer than k distinct values (the sketch IS the distinct set
-    then), else floor((k-1)/kth_frac).
+    This is the mergeable summary a 100 TB pipeline stores per
+    partition/day: folding two sketches is union + re-top-k
+    (:func:`kmv_set_ops` and :func:`kmv_distinct` both run on these
+    rows), no rescan of history. md5-based, so any SQL engine
+    reproduces it bit-for-bit.
 
     Two-stage top-k: a single per-group window would sort EVERY
     distinct hash of a group on one task — with few groups (the common
@@ -97,7 +98,108 @@ def kmv_distinct(
         .drop("__rn", "__salt")
     )
     w = Window.partitionBy(*group_cols).orderBy("__frac")
-    kept = stage1.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set algebra over per-group sketches (Beyer et al. 2007,
+    SIGMOD — 'On synopses for distinct-value estimation under multiset
+    operations'): for every unordered group pair, estimate
+    |A ∪ B|, |A ∩ B| and the Jaccard similarity from the two k-minimum
+    -value sketches ALONE — no second pass over the data.
+
+    Construction per pair: L = the k smallest fractions of
+    L_A ∪ L_B (dedup by fraction — same fraction ⇒ same value for a
+    shared hash function); ρ = |{h ∈ L : h ∈ L_A ∧ h ∈ L_B}| / |L| is
+    an unbiased Jaccard estimator; |A∪B| ≈ (k−1)/kth(L) (exact when
+    the union sketch holds the whole union); |A∩B| ≈ ρ·|A∪B|.
+
+    Input: rows from :func:`kmv_sketch` (``group_col`` + ``__frac``).
+    Output per pair (g_a < g_b): n_kept, union_est, n_common,
+    jaccard_est (round 6), inter_est.
+
+    Scale shape: sketches are ≤ k rows per group, so every join here
+    runs on summary-sized frames (G·k rows) — broadcastable whatever
+    the corpus size; the per-pair window sorts ≤ 2k rows. The corpus
+    was touched once, by kmv_sketch.
+    """
+    g = F.col(group_col)
+    a = sketch.select(g.alias("g_a"), F.col("__frac").alias("__frac"))
+    b = sketch.select(g.alias("g_b"), F.col("__frac").alias("__frac"))
+    groups = sketch.select(g.alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("g_a"))
+        .join(
+            F.broadcast(groups.select(F.col("__g").alias("g_b"))),
+            F.col("g_a") < F.col("g_b"),
+        )
+    )
+    pa = pairs.join(F.broadcast(a), "g_a").select(
+        "g_a", "g_b", "__frac", F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b")
+    )
+    pb = pairs.join(F.broadcast(b), "g_b").select(
+        "g_a", "g_b", "__frac", F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b")
+    )
+    u = (
+        pa.unionByName(pb)
+        .groupBy("g_a", "g_b", "__frac")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("__frac")
+    topk = u.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = topk.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.max("__frac"), 9).alias("__kth"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).cast("long").alias("n_common"),
+    )
+    union_est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor((k - 1) / F.col("__kth")))
+        .cast("long")
+    )
+    jac = F.round(F.col("n_common") / F.col("n_kept").cast("double"), 6)
+    # single rounding at the end — floor(ρ_rounded · U) would bias the
+    # exact-regime case down (e.g. 5/15·15 → 4); products of long-range
+    # ints in double are exact, so round-0 then cast is engine-identical
+    inter = F.round(
+        F.col("n_common") * union_est.cast("double") / F.col("n_kept"), 0
+    ).cast("long")
+    return agg.select(
+        "g_a",
+        "g_b",
+        "n_kept",
+        union_est.alias("union_est"),
+        "n_common",
+        jac.alias("jaccard_est"),
+        inter.alias("inter_est"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: group_cols + (n_kept, kth_frac, est_distinct) where
+    n_kept = min(k, true distinct), kth_frac = the largest retained
+    hash fraction, and est_distinct = exact count when the group has
+    fewer than k distinct values (the sketch IS the distinct set
+    then), else floor((k-1)/kth_frac). Runs on :func:`kmv_sketch`
+    rows (see there for the two-stage top-k scale shape).
+    """
+    kept = kmv_sketch(df, value_col, group_cols, k=k, n_salts=n_salts)
     return (
         kept.groupBy(*group_cols)
         .agg(

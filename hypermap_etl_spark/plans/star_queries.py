@@ -3594,6 +3594,75 @@ LIMIT 5
 """
 
 
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (sketch.kmv_set_ops, Beyer et al. 2007): for
+    every event-type pair, union / intersection / Jaccard ESTIMATES of
+    the two user-id sets computed from the 64-minimum-value sketches
+    alone — the summary-only overlap report an incremental 100 TB
+    pipeline runs on stored sketches without rescanning history.
+    md5-based fractions make every estimate bit-reproducible in SQL."""
+    from hypermap_etl_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    return kmv_set_ops(sk, "event_type", k=64).orderBy("g_a", "g_b")
+
+
+KMV_OVERLAP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM d
+),
+sk AS (
+  SELECT event_type, frac FROM (
+    SELECT event_type, frac,
+           row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+    FROM h
+  ) WHERE rn <= 64
+),
+gs AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS g_a, b.event_type AS g_b
+  FROM gs a JOIN gs b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT p.g_a, p.g_b, s.frac,
+         MAX(CASE WHEN s.event_type = p.g_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.g_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.g_a, p.g_b)
+  GROUP BY p.g_a, p.g_b, s.frac
+),
+t AS (
+  SELECT g_a, g_b, frac, in_a, in_b,
+         row_number() OVER (PARTITION BY g_a, g_b ORDER BY frac) AS rn
+  FROM u
+),
+agg AS (
+  SELECT g_a, g_b,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         ROUND(MAX(frac), 9) AS kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+  FROM t WHERE rn <= 64 GROUP BY g_a, g_b
+),
+est AS (
+  SELECT g_a, g_b, n_kept, n_common,
+         CAST(CASE WHEN n_kept < 64 THEN n_kept
+                   ELSE FLOOR(63 / kth) END AS BIGINT) AS union_est
+  FROM agg
+)
+SELECT g_a, g_b, n_kept, union_est, n_common,
+       ROUND(n_common / CAST(n_kept AS DOUBLE), 6) AS jaccard_est,
+       CAST(ROUND(n_common * CAST(union_est AS DOUBLE) / n_kept, 0) AS BIGINT)
+         AS inter_est
+FROM est ORDER BY g_a, g_b
+"""
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),
@@ -3684,4 +3753,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
     "events_user_gini": (events_user_gini, USER_GINI_ORACLE),
     "orders_pareto": (orders_pareto, PARETO_ORACLE),
+    "events_kmv_overlap": (events_kmv_overlap, KMV_OVERLAP_ORACLE),
 }

@@ -67,6 +67,61 @@ def test_kmv_merge_property(spark):
     assert whole["est_distinct"] == math.floor((k - 1) / kth)
 
 
+def test_kmv_set_ops_exact_regime(spark):
+    """Unions smaller than k: the union sketch IS the union, so every
+    estimate is exact — union 15, intersection 5, Jaccard 1/3."""
+    from hypermap_etl_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    rows = [("A", i) for i in range(10)] + [("B", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    out = kmv_set_ops(sk, "g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g_a"], r["g_b"]) == ("A", "B")
+    assert r["n_kept"] == 15 and r["union_est"] == 15
+    assert r["n_common"] == 5 and r["inter_est"] == 5
+    assert r["jaccard_est"] == round(5 / 15, 6)
+
+
+def test_kmv_set_ops_estimates_close_and_partition_invariant(spark):
+    """Sketch-only estimates track truth within the KMV error regime,
+    and the physical layout of the input never changes a bit."""
+    from hypermap_etl_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    # |A| = 1200, |B| = 1000, overlap 600 -> J = 600/1600 = 0.375
+    rows = [("A", i) for i in range(1200)] + [("B", i) for i in range(600, 1600)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kmv_set_ops(kmv_sketch(df, "v", ["g"], k=64), "g", k=64).collect()[0]
+    assert abs(out["union_est"] - 1600) / 1600 < 0.3
+    assert abs(out["jaccard_est"] - 0.375) < 0.25
+    out7 = kmv_set_ops(
+        kmv_sketch(df.repartition(7), "v", ["g"], k=64), "g", k=64
+    ).collect()[0]
+    assert out.asDict() == out7.asDict()
+
+
+def test_kmv_set_ops_all_pairs_and_disjoint(spark):
+    """Three groups -> three unordered pairs; disjoint pair estimates
+    zero intersection (no shared hash can enter both sketches)."""
+    from hypermap_etl_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    rows = (
+        [("A", i) for i in range(20)]
+        + [("B", i) for i in range(100, 120)]
+        + [("C", i) for i in range(10, 30)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_set_ops(kmv_sketch(df, "v", ["g"], k=64), "g", k=64).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")]["n_common"] == 0
+    assert out[("A", "B")]["inter_est"] == 0
+    assert out[("A", "C")]["n_common"] == 10  # values 10..19 shared, all kept
+
+
 def test_bloom_no_false_negatives_and_merge(spark):
     """Every inserted value tests positive; OR-merging two half
     sketches equals the whole-set sketch word for word; a disjoint
