@@ -609,3 +609,107 @@ def autocorr_daily(
         "n_pairs",
         F.round(F.try_divide(num, den), 6).alias("autocorr"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds: cumulative pmf e^-1 * sum(1/j!).
+# Literal doubles so the construction is bit-reproducible in any SQL
+# engine (the oracle CASTs the same decimal strings to DOUBLE).
+_POISSON1_CDF = [
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,   # P(X <= 6); tail mass goes to w = 7
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Distributed Poisson bootstrap confidence interval for the
+    per-group mean (the resampling scheme of Kleiner et al.'s scalable
+    bootstrap line of work: with n large, multinomial(n, 1/n) row
+    counts are ~ iid Poisson(1), so each replicate draws a per-row
+    weight w ~ Poisson(1) instead of materializing a resample — no
+    shuffle of the data, no driver-side loop).
+
+    Determinism: w is the Poisson(1) inverse CDF applied to the md5
+    fraction of (id_col ':' replicate) — bit-reproducible anywhere,
+    layout-independent. Weighted sums accumulate in decimal(12,2)·w
+    (exact, order-independent); division happens once, in double.
+
+    Output per group: n (rows), mean_value, ci_lo, ci_hi (percentile
+    bootstrap at alpha/2 and 1-alpha/2 over replicate means, round 6),
+    n_reps (replicates with non-zero total weight).
+
+    Scale shape: the ×R row expansion happens map-side and is folded
+    by the partial aggregate before the shuffle — the exchange carries
+    |groups|·R rows, not |corpus|·R. The percentile runs over R values
+    per group. One corpus scan.
+    """
+    if n_replicates < 2:
+        raise ValueError("bootstrap_ci: need n_replicates >= 2")
+    base = df.select(
+        *group_cols,
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("decimal(12,2)").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    rep = base.select(
+        *group_cols,
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("__id"), F.lit(":"), F.col("__r").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for j in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(w)
+
+    means = (
+        rep.select(*group_cols, "__r", w.alias("__w"), F.col("__v"))
+        .groupBy(*group_cols, "__r")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__sw_v"),
+            F.sum("__w").cast("long").alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select(
+            *group_cols,
+            (F.col("__sw_v").cast("double") / F.col("__sw").cast("double")).alias(
+                "__m"
+            ),
+        )
+    )
+    ci = means.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.round(F.expr(f"percentile(__m, {alpha / 2!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(__m, {1 - alpha / 2!r})"), 6).alias("ci_hi"),
+    )
+    point = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("__v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_value"),
+    )
+    return point.join(ci, list(group_cols)).select(
+        *group_cols, "n", "mean_value", "ci_lo", "ci_hi", "n_reps"
+    )

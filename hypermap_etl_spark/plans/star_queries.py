@@ -3594,6 +3594,76 @@ LIMIT 5
 """
 
 
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (profile.bootstrap_ci): 95% CI
+    for the per-type mean value from 50 deterministic hash-seeded
+    replicates — the no-shuffle resampling scheme (each row draws a
+    Poisson(1) weight per replicate; partial aggregation folds the ×R
+    expansion map-side). md5-seeded, so the oracle reproduces every
+    replicate mean bit-for-bit."""
+    from hypermap_etl_spark.operators.profile import bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_ci(
+        ev, "value", ["event_type"], "event_id", n_replicates=50
+    ).orderBy("event_type")
+
+
+_P1 = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+]
+_P1_CASE = "CASE " + " ".join(
+    f"WHEN u < CAST('{t}' AS DOUBLE) THEN {j}" for j, t in enumerate(_P1)
+) + " ELSE 7 END"
+
+BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT b.event_type, b.id, b.v, r.r
+  FROM base b CROSS JOIN (SELECT unnest(range(50)) AS r) r
+),
+wts AS (
+  SELECT event_type, r, v, {_P1_CASE} AS w
+  FROM (
+    SELECT event_type, r, v,
+           CAST('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), 1, 8)
+                AS BIGINT) / 4294967296.0 AS u
+    FROM rep
+  )
+),
+means AS (
+  SELECT event_type, r,
+         CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM wts GROUP BY event_type, r
+  HAVING SUM(w) > 0
+),
+ci AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reps,
+         ROUND(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+         ROUND(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6) AS ci_hi
+  FROM means GROUP BY event_type
+),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean_value
+  FROM base GROUP BY event_type
+)
+SELECT p.event_type, p.n, p.mean_value, c.ci_lo, c.ci_hi, c.n_reps
+FROM pt p JOIN ci c USING (event_type) ORDER BY p.event_type
+"""
+
+
 def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra (sketch.kmv_set_ops, Beyer et al. 2007): for
     every event-type pair, union / intersection / Jaccard ESTIMATES of
@@ -3754,4 +3824,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_user_gini": (events_user_gini, USER_GINI_ORACLE),
     "orders_pareto": (orders_pareto, PARETO_ORACLE),
     "events_kmv_overlap": (events_kmv_overlap, KMV_OVERLAP_ORACLE),
+    "events_bootstrap_ci": (events_bootstrap_ci, BOOTSTRAP_ORACLE),
 }

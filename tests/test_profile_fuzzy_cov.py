@@ -437,3 +437,46 @@ def test_autocorr_weekly_cycle_and_edges(spark):
 
     with _pytest.raises(ValueError, match="lags"):
         autocorr_daily(spark.createDataFrame(rows), "day", ["g"], lags=[0])
+
+
+def test_bootstrap_ci_covers_planted_mean_and_is_layout_invariant(spark):
+    from hypermap_etl_spark.operators.profile import bootstrap_ci
+
+    # values 0..199 -> mean 99.5; percentile bootstrap should bracket it
+    rows = [("a", i, float(i % 200)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = bootstrap_ci(df, "v", ["g"], "id", n_replicates=50).collect()[0]
+    assert out["n"] == 1000 and out["n_reps"] == 50
+    assert out["ci_lo"] < 99.5 < out["ci_hi"]
+    assert out["ci_hi"] - out["ci_lo"] < 20  # sane width at n=1000
+    assert out["ci_lo"] <= out["mean_value"] <= out["ci_hi"]
+    out7 = bootstrap_ci(
+        df.repartition(7), "v", ["g"], "id", n_replicates=50
+    ).collect()[0]
+    assert out.asDict() == out7.asDict()
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark):
+    from hypermap_etl_spark.operators.profile import bootstrap_ci
+
+    def width(n):
+        rows = [("a", i, float(i % 100)) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        r = bootstrap_ci(df, "v", ["g"], "id", n_replicates=40).collect()[0]
+        return r["ci_hi"] - r["ci_lo"]
+
+    assert width(2000) < width(100)
+
+
+def test_bootstrap_ci_degenerate_and_validation(spark):
+    import pytest as _pt
+
+    from hypermap_etl_spark.operators.profile import bootstrap_ci
+
+    one = spark.createDataFrame([("a", 1, 5.0)], "g string, id long, v double")
+    r = bootstrap_ci(one, "v", ["g"], "id", n_replicates=30).collect()[0]
+    # single row: replicates where its Poisson weight is 0 are dropped
+    assert 0 < r["n_reps"] <= 30
+    assert r["ci_lo"] == r["ci_hi"] == 5.0  # only possible resample mean
+    with _pt.raises(ValueError):
+        bootstrap_ci(one, "v", ["g"], "id", n_replicates=1)
