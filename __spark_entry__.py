@@ -83,13 +83,15 @@ _WINDOW: list[str] = [
     "doc_fingerprints",
     "doc_quality",
     "doc_langid",
-    "doc_exact_dedup",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
     # second — pure counting shared with r4-green doc_vocab) ----
     "events_kmv_overlap",
     "events_bootstrap_ci",
+    # doc_exact_dedup out third — same md5-keyed machinery as
+    # r4-green doc_dedup_survivors
+    "events_attribution",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

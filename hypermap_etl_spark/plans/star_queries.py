@@ -3594,6 +3594,128 @@ LIMIT 5
 """
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution. Journeys are
+    segmented per user by conversion events ('purchase'): journey j =
+    the events between conversion j-1 and conversion j (cumulative-
+    conversion-count window, minus one on the conversion row itself so
+    it CLOSES journey j rather than opening j+1). Each closed journey
+    credits its first and last non-conversion touch; a journey with no
+    touches credits 'direct'.
+
+    Scale shape: ONE exchange keyed by user_id feeds the cumulative
+    window, the per-journey first/last window, and the (user, journey)
+    join — AQE reuses the partitioning; the final credit counts
+    aggregate |touch types| rows. No corpus-wide window, no collect.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_conv"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = ev.withColumn(
+        "journey", F.sum("is_conv").over(w_cum) - F.col("is_conv")
+    )
+    convs = j.filter(F.col("is_conv") == 1).select("user_id", "journey").distinct()
+    w_j = (
+        Window.partitionBy("user_id", "journey")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    touches = (
+        j.filter(F.col("is_conv") == 0)
+        .select(
+            "user_id",
+            "journey",
+            F.first("event_type").over(w_j).alias("first_t"),
+            F.last("event_type").over(w_j).alias("last_t"),
+        )
+        .distinct()
+    )
+    closed = convs.join(touches, ["user_id", "journey"], "left").select(
+        F.coalesce("first_t", F.lit("direct")).alias("first_t"),
+        F.coalesce("last_t", F.lit("direct")).alias("last_t"),
+    )
+    first = closed.groupBy(F.col("first_t").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("first_touch_convs")
+    )
+    last = closed.groupBy(F.col("last_t").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("last_touch_convs")
+    )
+    return (
+        first.join(last, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch_convs", F.lit(0)).cast("long").alias(
+                "first_touch_convs"
+            ),
+            F.coalesce("last_touch_convs", F.lit(0)).cast("long").alias(
+                "last_touch_convs"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events WHERE user_id IS NOT NULL
+),
+j AS (
+  SELECT *,
+         SUM(is_conv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - is_conv AS journey
+  FROM e
+),
+convs AS (SELECT DISTINCT user_id, journey FROM j WHERE is_conv = 1),
+touches AS (
+  SELECT DISTINCT user_id, journey,
+         first_value(event_type) OVER (
+           PARTITION BY user_id, journey ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS first_t,
+         last_value(event_type) OVER (
+           PARTITION BY user_id, journey ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS last_t
+  FROM j WHERE is_conv = 0
+),
+closed AS (
+  SELECT COALESCE(t.first_t, 'direct') AS first_t,
+         COALESCE(t.last_t, 'direct') AS last_t
+  FROM convs c LEFT JOIN touches t USING (user_id, journey)
+),
+f AS (
+  SELECT first_t AS touch_type, CAST(COUNT(*) AS BIGINT) AS first_touch_convs
+  FROM closed GROUP BY first_t
+),
+l AS (
+  SELECT last_t AS touch_type, CAST(COUNT(*) AS BIGINT) AS last_touch_convs
+  FROM closed GROUP BY last_t
+)
+SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type,
+       CAST(COALESCE(f.first_touch_convs, 0) AS BIGINT) AS first_touch_convs,
+       CAST(COALESCE(l.last_touch_convs, 0) AS BIGINT) AS last_touch_convs
+FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+ORDER BY touch_type
+"""
+
+
 def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Poisson bootstrap (profile.bootstrap_ci): 95% CI
     for the per-type mean value from 50 deterministic hash-seeded
@@ -3825,4 +3947,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "orders_pareto": (orders_pareto, PARETO_ORACLE),
     "events_kmv_overlap": (events_kmv_overlap, KMV_OVERLAP_ORACLE),
     "events_bootstrap_ci": (events_bootstrap_ci, BOOTSTRAP_ORACLE),
+    "events_attribution": (events_attribution, ATTRIBUTION_ORACLE),
 }

@@ -515,3 +515,40 @@ def test_key_skew_report_single_corpus_exchange(spark):
     assert plan.count("BroadcastExchange") >= 1
     assert "SortMergeJoin" not in plan
     release_persisted()
+
+
+def test_attribution_planted_journeys(spark, tmp_path):
+    """Hand-checkable journeys: conversions close journeys; journeys
+    with no touches credit 'direct'; trailing open journeys are
+    ignored."""
+    from datetime import datetime
+
+    from hypermap_etl_spark.plans.star_queries import events_attribution
+
+    def t(m):
+        return datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # user 1: view,click -> purchase | purchase (direct) | signup (open)
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        (4, t(4), 1, "purchase", 0.0, "{}"),
+        (5, t(5), 1, "signup", 0.0, "{}"),
+        # user 2: purchase (direct) | click,view -> purchase
+        (6, t(1), 2, "purchase", 0.0, "{}"),
+        (7, t(2), 2, "click", 0.0, "{}"),
+        (8, t(3), 2, "view", 0.0, "{}"),
+        (9, t(4), 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["touch_type"]: (r["first_touch_convs"], r["last_touch_convs"])
+        for r in events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {"view": (1, 1), "click": (1, 1), "direct": (2, 2)}
