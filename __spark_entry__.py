@@ -82,7 +82,6 @@ _WINDOW: list[str] = [
     "emb_ann_topk",
     "doc_fingerprints",
     "doc_quality",
-    "doc_langid",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -92,6 +91,9 @@ _WINDOW: list[str] = [
     # doc_exact_dedup out third — same md5-keyed machinery as
     # r4-green doc_dedup_survivors
     "events_attribution",
+    # doc_langid out fourth — heuristic untouched since r2, its token
+    # machinery in-window via doc_langid_confusion
+    "events_ewma_daily",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

@@ -713,3 +713,78 @@ def bootstrap_ci(
     return point.join(ci, list(group_cols)).select(
         *group_cols, "n", "mean_value", "ci_lo", "ci_hi", "n_reps"
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    lookback: int = 7,
+    rel_threshold: float = 0.5,
+    count_col: str | None = None,
+) -> DataFrame:
+    """EWMA anomaly screen over a daily count series — the per-DAY
+    complement of :func:`cusum_drift` (CUSUM answers "did the LEVEL
+    shift somewhere"; this answers "which individual days are off"):
+    each day's count is compared to the exponentially weighted mean of
+    its previous ``lookback`` days, and flagged when the relative
+    deviation exceeds ``rel_threshold``.
+
+    The EWMA is the FINITE lag form — Σ_j (1-α)^(j-1)·x_{t-j} over the
+    available prior days, normalized by the matching weight sum — not
+    the infinite recursion: a lag chain is a per-row closed form both
+    engines evaluate bit-identically (the recursive form needs either
+    an unbounded running product, which underflows/diverges on long
+    series, or sequential state). Missing leading lags renormalize
+    automatically (day 2 is judged against 1 prior day); day 1 has no
+    baseline and is never flagged.
+
+    Output per (group, day): cnt, ewma_prior (6 dp), rel_dev (6 dp),
+    is_anomaly. Relative deviation uses max(ewma, 1.0) as the floor so
+    near-zero baselines don't flag on noise of a few events.
+
+    Scale shape: ONE corpus-sized hash aggregate (map-combined) to
+    daily counts; the lag window runs over groups × days rows. Counts
+    are exact longs; the EWMA is one fused double expression with
+    literal weights — layout-independent, engine-identical.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("ewma_anomaly: alpha must be in (0, 1)")
+    if lookback < 1:
+        raise ValueError("ewma_anomaly: lookback must be >= 1")
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    daily = df.groupBy(*group_cols, day_col).agg(
+        (F.sum(count_col) if count_col else F.count(F.lit(1)))
+        .cast("long")
+        .alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(day_col)
+    lags = [F.lag("cnt", j).over(w) for j in range(1, lookback + 1)]
+    weights = [(1.0 - alpha) ** (j - 1) for j in range(1, lookback + 1)]
+    num = sum(
+        (F.coalesce(lg.cast("double"), F.lit(0.0)) * F.lit(wt)
+         for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+         for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    ewma = F.try_divide(num, den)  # NULL on day 1 (no priors)
+    rel = F.abs(F.col("cnt").cast("double") - ewma) / F.greatest(
+        ewma, F.lit(1.0)
+    )
+    return daily.select(
+        *group_cols,
+        day_col,
+        "cnt",
+        F.round(ewma, 6).alias("ewma_prior"),
+        F.round(rel, 6).alias("rel_dev"),
+        F.coalesce(rel > F.lit(rel_threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -3594,6 +3594,75 @@ LIMIT 5
 """
 
 
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA per-day anomaly screen on the per-type daily count series
+    (profile.ewma_anomaly): each day vs the exponentially weighted
+    mean of its prior 7 days, flagged at 50% relative deviation — the
+    day-grain companion of events_cusum_daily. The lag-chain closed
+    form makes every row a literal-weight double expression the
+    oracle reproduces bit-for-bit."""
+    from hypermap_etl_spark.operators.profile import ewma_anomaly
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return ewma_anomaly(ev, "day", ["event_type"]).orderBy(
+        "event_type", "day"
+    )
+
+
+def _ewma_oracle() -> str:
+    # weights must be the EXACT doubles the operator computes
+    # ((1-alpha)**(j-1) in Python float math), embedded via repr —
+    # 0.7**2 is 0.48999999999999994, not the decimal 0.49
+    ws = [repr((1.0 - 0.3) ** (j - 1)) for j in range(1, 8)]
+    lag_cols = ", ".join(f"lag(cnt, {j}) OVER w AS l{j}" for j in range(1, 8))
+    num = " + ".join(
+        f"COALESCE(CAST(l{j} AS DOUBLE), CAST(0 AS DOUBLE))"
+        f" * CAST('{w}' AS DOUBLE)"
+        for j, w in enumerate(ws, 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN CAST('{w}' AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for j, w in enumerate(ws, 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, cnt, {lag_cols}
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+e AS (
+  SELECT event_type, day, cnt,
+         CAST(0 AS DOUBLE) + {num} AS num,
+         CAST(0 AS DOUBLE) + {den} AS den
+  FROM lagged
+),
+r AS (
+  SELECT event_type, day, cnt,
+         CASE WHEN den > 0 THEN num / den END AS ewma,
+         CASE WHEN den > 0 THEN
+           abs(CAST(cnt AS DOUBLE) - num / den)
+             / GREATEST(num / den, CAST(1 AS DOUBLE))
+         END AS rel
+  FROM e
+)
+SELECT event_type, day, cnt,
+       ROUND(ewma, 6) AS ewma_prior,
+       ROUND(rel, 6) AS rel_dev,
+       COALESCE(rel > CAST('0.5' AS DOUBLE), FALSE) AS is_anomaly
+FROM r ORDER BY event_type, day
+"""
+
+
+EWMA_ORACLE = _ewma_oracle()
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch conversion attribution. Journeys are
     segmented per user by conversion events ('purchase'): journey j =
@@ -3948,4 +4017,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_kmv_overlap": (events_kmv_overlap, KMV_OVERLAP_ORACLE),
     "events_bootstrap_ci": (events_bootstrap_ci, BOOTSTRAP_ORACLE),
     "events_attribution": (events_attribution, ATTRIBUTION_ORACLE),
+    "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
 }

@@ -480,3 +480,38 @@ def test_bootstrap_ci_degenerate_and_validation(spark):
     assert r["ci_lo"] == r["ci_hi"] == 5.0  # only possible resample mean
     with _pt.raises(ValueError):
         bootstrap_ci(one, "v", ["g"], "id", n_replicates=1)
+
+
+def test_ewma_anomaly_flags_planted_spike(spark):
+    from hypermap_etl_spark.operators.profile import ewma_anomaly
+
+    # 20 steady days of ~100 events, then one 3x spike day
+    rows = []
+    for d in range(1, 21):
+        rows += [("a", f"2026-01-{d:02d}")] * 100
+    rows += [("a", "2026-01-21")] * 300
+    df = spark.createDataFrame(rows, "g string, day string")
+    out = {r["day"]: r for r in ewma_anomaly(df, "day", ["g"]).collect()}
+    assert out["2026-01-01"]["ewma_prior"] is None
+    assert not out["2026-01-01"]["is_anomaly"]  # no baseline, never flagged
+    assert not out["2026-01-10"]["is_anomaly"]  # steady
+    spike = out["2026-01-21"]
+    assert spike["is_anomaly"] and spike["rel_dev"] > 1.5
+    assert spike["ewma_prior"] == 100.0
+
+
+def test_ewma_anomaly_renormalizes_short_history_and_validates(spark):
+    import pytest as _pt
+
+    from hypermap_etl_spark.operators.profile import ewma_anomaly
+
+    # day2 judged against exactly 1 prior day (weight renormalized)
+    rows = [("a", "d1")] * 50 + [("a", "d2")] * 55
+    df = spark.createDataFrame(rows, "g string, day string")
+    out = {r["day"]: r for r in ewma_anomaly(df, "day", ["g"]).collect()}
+    assert out["d2"]["ewma_prior"] == 50.0
+    assert out["d2"]["rel_dev"] == 0.1
+    with _pt.raises(ValueError):
+        ewma_anomaly(df, "day", ["g"], alpha=1.5)
+    with _pt.raises(ValueError):
+        ewma_anomaly(df, "day", ["g"], lookback=0)
