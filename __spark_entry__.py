@@ -81,7 +81,6 @@ _WINDOW: list[str] = [
     "emb_knn_label",
     "emb_ann_topk",
     "doc_fingerprints",
-    "doc_quality",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -94,6 +93,9 @@ _WINDOW: list[str] = [
     # doc_langid out fourth — heuristic untouched since r2, its token
     # machinery in-window via doc_langid_confusion
     "events_ewma_daily",
+    # doc_quality out fifth — the quality dimension keeps fresher
+    # in-window coverage via doc_gopher_quality (r5) lineage
+    "events_type_value_mi",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

@@ -788,3 +788,54 @@ def ewma_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def categorical_mi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, decomposed
+    into per-cell terms — the dependence screen a feature audit runs
+    ("does event type carry information about the value band?"):
+    MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))). Zero iff independent;
+    each cell's term shows WHERE the dependence lives (positive =
+    over-represented pair, negative = under-represented).
+
+    Output per observed (x, y) cell: n_xy and mi_term (6 dp);
+    Σ mi_term is the MI in nats. NULLs in either column are excluded
+    (a NULL is missingness, not a category).
+
+    Numerics: the log ratio is computed as ln(n_xy)+ln(n)−ln(n_x)
+    −ln(n_y) — never the n_xy·n product, which exceeds int64 once
+    corpus×cell counts pass ~9.2e18. Exact-long inputs, one fixed
+    expression order: engine-identical doubles before the final round.
+
+    Scale shape: ONE corpus-sized hash aggregate to joint counts
+    (map-combined); marginals and the total derive from the joint
+    frame (|X|·|Y| rows) and come back as broadcasts. No second scan.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    jx = joint.groupBy(x_col).agg(F.sum("n_xy").cast("long").alias("__n_x"))
+    jy = joint.groupBy(y_col).agg(F.sum("n_xy").cast("long").alias("__n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("long").alias("__n"))
+    term = (
+        F.col("n_xy").cast("double") / F.col("__n").cast("double")
+    ) * (
+        F.log(F.col("n_xy").cast("double"))
+        + F.log(F.col("__n").cast("double"))
+        - F.log(F.col("__n_x").cast("double"))
+        - F.log(F.col("__n_y").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(jx), x_col)
+        .join(F.broadcast(jy), y_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            x_col,
+            y_col,
+            "n_xy",
+            F.round(term, 6).alias("mi_term"),
+        )
+    )

@@ -3594,6 +3594,62 @@ LIMIT 5
 """
 
 
+def events_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value band
+    (profile.categorical_mi): per-cell MI terms in nats — does the
+    event type carry information about the spend band? Bands are
+    exact integer-cent 50-unit buckets capped at 9 (pure integer
+    `div`, bit-identical in any engine)."""
+    from hypermap_etl_spark.operators.profile import categorical_mi
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    "cast(cast(value as decimal(38,2)) * 100 as long) div 5000"
+                ),
+                F.lit(9).cast("long"),
+            ).alias("value_band"),
+        )
+    )
+    return categorical_mi(ev, "event_type", "value_band").orderBy(
+        "event_type", "value_band"
+    )
+
+
+MI_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 5000,
+               9) AS value_band
+  FROM events WHERE value IS NOT NULL
+),
+joint AS (
+  SELECT event_type, value_band, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM b GROUP BY 1, 2
+),
+jx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM joint GROUP BY 1),
+jy AS (SELECT value_band, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint)
+SELECT j.event_type, j.value_band, j.n_xy,
+       ROUND(
+         (CAST(j.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+         * (ln(CAST(j.n_xy AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))
+            - ln(CAST(x.n_x AS DOUBLE)) - ln(CAST(y.n_y AS DOUBLE))),
+         6) AS mi_term
+FROM joint j
+JOIN jx x ON j.event_type = x.event_type
+JOIN jy y ON j.value_band = y.value_band
+CROSS JOIN tot t
+ORDER BY j.event_type, j.value_band
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA per-day anomaly screen on the per-type daily count series
     (profile.ewma_anomaly): each day vs the exponentially weighted
@@ -4018,4 +4074,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_bootstrap_ci": (events_bootstrap_ci, BOOTSTRAP_ORACLE),
     "events_attribution": (events_attribution, ATTRIBUTION_ORACLE),
     "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
+    "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
 }

@@ -515,3 +515,31 @@ def test_ewma_anomaly_renormalizes_short_history_and_validates(spark):
         ewma_anomaly(df, "day", ["g"], alpha=1.5)
     with _pt.raises(ValueError):
         ewma_anomaly(df, "day", ["g"], lookback=0)
+
+
+def test_categorical_mi_independent_and_dependent(spark):
+    import math
+
+    from hypermap_etl_spark.operators.profile import categorical_mi
+
+    # independent: uniform product distribution -> every term 0
+    ind = spark.createDataFrame(
+        [(f"x{i}", f"y{j}") for i in range(3) for j in range(4) for _ in range(5)],
+        "x string, y string",
+    )
+    terms = [r["mi_term"] for r in categorical_mi(ind, "x", "y").collect()]
+    assert len(terms) == 12 and all(t == 0.0 for t in terms)
+
+    # perfectly dependent: y == x -> MI = H(X) = ln(2) for 2 classes
+    dep = spark.createDataFrame(
+        [("a", "a")] * 10 + [("b", "b")] * 10, "x string, y string"
+    )
+    mi = sum(r["mi_term"] for r in categorical_mi(dep, "x", "y").collect())
+    assert abs(mi - math.log(2)) < 1e-6
+
+    # NULLs in either column are excluded, not a category
+    withnull = spark.createDataFrame(
+        [("a", "u"), ("a", None), (None, "u"), ("b", "v")], "x string, y string"
+    )
+    out = categorical_mi(withnull, "x", "y").collect()
+    assert sum(r["n_xy"] for r in out) == 2
