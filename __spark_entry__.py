@@ -80,7 +80,6 @@ _WINDOW: list[str] = [
     "emb_neardup",
     "emb_knn_label",
     "emb_ann_topk",
-    "doc_fingerprints",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -96,6 +95,9 @@ _WINDOW: list[str] = [
     # doc_quality out fifth — the quality dimension keeps fresher
     # in-window coverage via doc_gopher_quality (r5) lineage
     "events_type_value_mi",
+    # doc_fingerprints out sixth — rolling-hash machinery in-window
+    # via doc_winnow_pairs lineage (r5-green)
+    "parts_copurchase_triangles",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

@@ -140,3 +140,52 @@ def pagerank(
 
     _TRACKED_CHECKPOINTS.append(ranks)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal ("is this node in a tight community?") used to
+    screen link farms vs organically linked documents in web-graph
+    curation.
+
+    Input: directed or undirected edge rows; self-loops and duplicate/
+    reverse duplicates are removed. The count is over the
+    CANONICALIZED undirected edge set.
+
+    Algorithm (the standard distributed formulation; cf. Suri &
+    Vassilvitskii's MapReduce triangle counting): orient every edge
+    low→high, self-join oriented edges on the shared low endpoint to
+    enumerate wedges (a<b, a<c with b<c), then semi-join wedges
+    against the edge set to keep closed ones. Each triangle (a<b<c)
+    appears exactly once, as wedge (b,c) at a. Per-node counts come
+    from exploding each found triangle to its three corners.
+
+    Scale shape: joins keyed by node id; the canonical orientation
+    bounds the wedge fan-out by the LOW endpoint's degree, the classic
+    high-degree-hub mitigation (a hub only generates wedges among
+    higher-ordered neighbors). No windows, no collect.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # drops self-loops and NULLs
+        .distinct()
+    )
+    w1 = e.select(F.col("a").alias("pivot"), F.col("b").alias("x"))
+    w2 = e.select(F.col("a").alias("pivot"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "inner").select(
+        F.col("pivot").alias("v1"), F.col("x").alias("v2"), F.col("y").alias("v3")
+    )
+    corners = (
+        tris.select(F.col("v1").alias("node"))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+        .unionAll(tris.select(F.col("v3").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

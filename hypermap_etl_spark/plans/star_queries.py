@@ -3594,6 +3594,50 @@ LIMIT 5
 """
 
 
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts (graph.triangle_count) over the
+    co-purchase graph — parts are adjacent when they appear in the
+    same order. The local-clustering screen (tight communities vs
+    isolated cross-sells); canonical low→high orientation bounds
+    wedge fan-out by the low endpoint's degree."""
+    from hypermap_etl_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = a.join(b, "k").filter(F.col("p1") < F.col("p2"))
+    return triangle_count(edges, "p1", "p2").orderBy("node")
+
+
+TRIANGLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wedges AS (
+  SELECT e1.a AS pivot, e1.b AS x, e2.b AS y
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+tris AS (
+  SELECT w.pivot AS v1, w.x AS v2, w.y AS v3
+  FROM wedges w JOIN e ON e.a = w.x AND e.b = w.y
+),
+corners AS (
+  SELECT v1 AS node FROM tris
+  UNION ALL SELECT v2 FROM tris
+  UNION ALL SELECT v3 FROM tris
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
 def events_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and value band
     (profile.categorical_mi): per-cell MI terms in nats — does the
@@ -4075,4 +4119,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_attribution": (events_attribution, ATTRIBUTION_ORACLE),
     "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
+    "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
 }

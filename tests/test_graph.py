@@ -130,3 +130,52 @@ def test_pagerank_empty_and_released_checkpoints(spark):
     out = pagerank(df, n_iter=3)
     assert len(out.collect()) == 2
     assert release_persisted() >= 1
+
+
+# ------------------------------------------------------ triangle_count ----
+
+def test_triangle_count_known_graphs(spark):
+    from hypermap_etl_spark.operators.graph import triangle_count
+
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path graph has no triangles -> empty result
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).count() == 0
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    from hypermap_etl_spark.operators.graph import triangle_count
+
+    # duplicates, reversed duplicates, and self-loops must not change
+    # the count: one triangle 1-2-3
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 2), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from hypermap_etl_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    nodes = list(range(15))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    es = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= es:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
