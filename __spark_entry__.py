@@ -79,7 +79,6 @@ _WINDOW: list[str] = [
     "doc_ngram_pairs",
     "emb_neardup",
     "emb_knn_label",
-    "emb_ann_topk",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -98,6 +97,9 @@ _WINDOW: list[str] = [
     # doc_fingerprints out sixth — rolling-hash machinery in-window
     # via doc_winnow_pairs lineage (r5-green)
     "parts_copurchase_triangles",
+    # emb_ann_topk out seventh — its exactness certificate is r2-green
+    # and the same stack carries the r5-green recall gates
+    "events_session_windows",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

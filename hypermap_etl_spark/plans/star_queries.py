@@ -3594,6 +3594,75 @@ LIMIT 5
 """
 
 
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-minute gap) — the
+    Catalyst-fused sessionization (SessionWindowing node, mergeable in
+    streaming with watermark state) vs events_sessions' manual
+    lag+flag construction. Native semantics: a session's window is
+    [first_ts, last_ts + gap], and an event at exactly last_ts + gap
+    still MERGES (inclusive boundary, diff > gap splits — verified by
+    the boundary unit test; same split rule as the manual gate).
+
+    Outputs are shift-invariant (per-user session sequence, count,
+    duration, value sum) so the gate is independent of the session
+    timezone the driver runs under."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", F.col("value").cast("decimal(12,2)").alias("v"))
+    )
+    sw = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").alias("__sv"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_window.start"))
+    return (
+        sw.select(
+            "user_id",
+            F.row_number().over(w).alias("session_seq"),
+            "n_events",
+            (
+                F.unix_micros(F.col("session_window.end"))
+                - F.unix_micros(F.col("session_window.start"))
+            ).alias("duration_us"),
+            F.round(F.col("__sv").cast("double"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+agg AS (
+  SELECT user_id, sid, MIN(ts) AS t0,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) + 1800000000 AS duration_us,
+         ROUND(CAST(SUM(v) AS DOUBLE), 6) AS total_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t0) AS INTEGER)
+         AS session_seq,
+       n_events, duration_us, total_value
+FROM agg ORDER BY user_id, session_seq
+"""
+
+
 def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts (graph.triangle_count) over the
     co-purchase graph — parts are adjacent when they appear in the
@@ -4120,4 +4189,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
+    "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
 }

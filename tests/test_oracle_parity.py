@@ -125,6 +125,10 @@ _TZ_SENSITIVE = [
     # gap seconds anchor at unix_micros — zone-independent by
     # construction, pinned anyway
     "events_interarrival",
+    # r6: native session_window gate outputs only shift-invariant
+    # quantities (seq/count/duration/sum) — pinned against a
+    # session-zone leak in the window assignment itself
+    "events_session_windows",
 ]
 
 

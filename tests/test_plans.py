@@ -552,3 +552,39 @@ def test_attribution_planted_journeys(spark, tmp_path):
         for r in events_attribution(spark, str(tmp_path)).collect()
     }
     assert got == {"view": (1, 1), "click": (1, 1), "direct": (2, 2)}
+
+
+def test_native_session_window_boundary_semantics(spark, tmp_path):
+    """Native session_window merges at exactly diff == gap (inclusive
+    boundary): events 30 minutes apart share a session, 30m01s apart
+    split — the same split rule as the manual events_sessions gate,
+    pinned here because the oracle mirrors it with diff > gap."""
+    from datetime import datetime, timedelta
+
+    from hypermap_etl_spark.plans.star_queries import events_session_windows
+
+    t0 = datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: exactly 30 min apart -> ONE session (inclusive)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=30), 1, "view", 2.0, "{}"),
+        # user 2: 30m01s apart -> two sessions
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + timedelta(minutes=30, seconds=1), 2, "view", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in events_session_windows(spark, str(tmp_path)).collect()
+    }
+    gap_us = 30 * 60 * 1_000_000
+    assert got == {
+        (1, 1): (2, gap_us + gap_us),  # 30 min span + 30 min gap tail
+        (2, 1): (1, gap_us),
+        (2, 2): (1, gap_us),
+    }
