@@ -78,7 +78,6 @@ _WINDOW: list[str] = [
     "doc_simhash_pairs",
     "doc_ngram_pairs",
     "emb_neardup",
-    "emb_knn_label",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -100,6 +99,9 @@ _WINDOW: list[str] = [
     # emb_ann_topk out seventh — its exactness certificate is r2-green
     # and the same stack carries the r5-green recall gates
     "events_session_windows",
+    # emb_knn_label out eighth — similarity.py untouched, kNN machinery
+    # shares the exact-cosine stack with the r5-green recall gates
+    "doc_cdc_dedup",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

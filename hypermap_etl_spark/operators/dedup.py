@@ -1316,3 +1316,94 @@ def dedup_threshold_sweep(
             ).alias("affected_rate"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 4,
+    mod: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at word grain — the storage-dedup
+    primitive (LBFS/rsync lineage: breakpoints come from the CONTENT,
+    so an insertion early in a document shifts at most one chunk
+    boundary instead of re-aligning every fixed-width block). A corpus
+    store that keys chunks by hash pays for shared boilerplate once.
+
+    Construction: normalize to single-spaced lowercase words; a
+    boundary closes after word p+k-1 whenever the 16-bit md5 prefix of
+    the k-word shingle starting at p is ≡ 0 (mod ``mod``) — expected
+    chunk length ≈ ``mod`` words, minimum k (a cut consumes its whole
+    shingle). The last chunk always ends at the last word.
+
+    Output: (id, chunk_idx, n_words, chunk_hash) rows; chunk_hash =
+    md5 of the chunk's words joined by single spaces. Documents with
+    no words emit nothing.
+
+    Scale shape: pure JVM higher-order functions over each row's word
+    array — no explode-then-window over the corpus, no shuffle at all
+    until the caller aggregates chunk hashes. O(words) per document
+    via the shared zip_with shingle construction.
+    """
+    if k < 1 or mod < 2:
+        raise ValueError("cdc_chunks: need k >= 1 and mod >= 2")
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    base = docs.select(F.col(id_col), ws.alias("__ws")).filter(
+        F.size("__ws") > 0
+    )
+    nt = F.array_join(F.col("__ws"), " ")
+    hs = F.transform(word_shingles(nt, k), lambda s: F.md5(s))
+    b = base.select(
+        id_col, "__ws", F.size("__ws").alias("__n"), hs.alias("__hs")
+    )
+    # guard: sequence(1, 0) is the DESCENDING [1, 0], not empty
+    positions = F.when(
+        F.size("__hs") > 0, F.sequence(F.lit(1), F.size("__hs"))
+    ).otherwise(F.array().cast("array<int>"))
+    cut = F.filter(
+        positions,
+        lambda p: (
+            F.conv(F.substring(F.element_at(F.col("__hs"), p), 1, 4), 16, 10)
+            .cast("long")
+            % mod
+            == 0
+        ),
+    )
+    ends0 = F.transform(cut, lambda p: p + F.lit(k - 1))
+    ends = F.concat(
+        ends0,
+        F.when(
+            F.coalesce(
+                F.try_element_at(ends0, F.lit(-1)) == F.col("__n"),
+                F.lit(False),
+            ),
+            F.array().cast("array<int>"),
+        ).otherwise(F.array(F.col("__n"))),
+    )
+    e = b.select(id_col, "__ws", ends.alias("__ends"))
+    i = F.col("chunk_idx")
+    start = F.when(i == 1, F.lit(1)).otherwise(
+        F.element_at(F.col("__ends"), i - F.lit(1)) + 1
+    )
+    end = F.element_at(F.col("__ends"), i)
+    return (
+        e.select(
+            id_col,
+            "__ws",
+            "__ends",
+            F.explode(F.sequence(F.lit(1), F.size("__ends"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (end - start + 1).cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(F.slice(F.col("__ws"), start, end - start + 1), " ")
+            ).alias("chunk_hash"),
+        )
+    )

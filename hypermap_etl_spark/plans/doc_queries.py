@@ -3831,6 +3831,86 @@ ORDER BY shard
 """
 
 
+
+def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report (dedup.cdc_chunks, k=4,
+    mod=16): per source, how many word-grain CDC chunks the corpus
+    stores and what fraction are duplicate content — the storage-dedup
+    planning number (chunk-keyed stores pay for shared boilerplate
+    once). Pure JVM HOFs; the only shuffle is this aggregation."""
+    from hypermap_etl_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs)
+    return (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_hash").cast("long").alias("n_distinct"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("chunk_hash")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+h AS (
+  SELECT doc_id, ws, n,
+         CASE WHEN n >= 4 THEN
+           list_transform(range(1, n - 2),
+             i -> md5(array_to_string(list_slice(ws, i, i + 3), ' ')))
+         ELSE [] END AS hs
+  FROM b
+),
+c AS (
+  SELECT doc_id, ws, n,
+         list_transform(
+           list_filter(range(1, len(hs) + 1),
+             p -> CAST('0x' || substr(hs[p], 1, 4) AS BIGINT) % 16 = 0),
+           p -> p + 3) AS ends0
+  FROM h
+),
+e AS (
+  SELECT doc_id, ws,
+         list_concat(ends0,
+           CASE WHEN COALESCE(ends0[-1] = n, FALSE)
+                THEN [] ELSE [n] END) AS ends
+  FROM c
+),
+ch AS (
+  SELECT doc_id,
+         ends[i] - (CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) + 1
+           AS n_words,
+         md5(array_to_string(
+           list_slice(ws, CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END,
+                      ends[i]), ' ')) AS chunk_hash
+  FROM e, LATERAL unnest(generate_series(1, len(ends))) AS t(i)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT ch.chunk_hash) AS BIGINT) AS n_distinct,
+       CAST(SUM(ch.n_words) AS BIGINT) AS n_words,
+       ROUND(CAST(1 AS DOUBLE)
+             - COUNT(DISTINCT ch.chunk_hash) / CAST(COUNT(*) AS DOUBLE),
+             6) AS dup_ratio
+FROM ch JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
@@ -3932,4 +4012,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_lexical_diversity": (doc_lexical_diversity, LEXDIV_ORACLE),
     "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_ORACLE),
     "doc_source_hhi": (doc_source_hhi, SOURCE_HHI_ORACLE),
+    "doc_cdc_dedup": (doc_cdc_dedup, CDC_DEDUP_ORACLE),
 }

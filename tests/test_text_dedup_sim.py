@@ -1529,3 +1529,94 @@ def test_ngram_novelty_shared_vs_unique(spark):
     assert got[2]["novelty"] == round(2 / 3, 6)
     assert got[3]["novelty"] == 1.0
     assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+
+
+# ------------------------------------------------------- cdc_chunks ----
+
+def _cdc_ref(doc_id, text, k=4, mod=16):
+    import hashlib
+
+    ws = [w for w in text.lower().split(" ") if w != ""]
+    if not ws:
+        return []
+    n = len(ws)
+    hs = (
+        [hashlib.md5(" ".join(ws[p:p + k]).encode()).hexdigest()
+         for p in range(0, n - k + 1)]
+        if n >= k else []
+    )
+    cuts = [p + 1 for p in range(len(hs)) if int(hs[p][:4], 16) % mod == 0]
+    ends = [p + k - 1 for p in cuts]
+    if not ends or ends[-1] != n:
+        ends.append(n)
+    rows, start = [], 1
+    for i, e in enumerate(ends, 1):
+        words = ws[start - 1:e]
+        rows.append(
+            (doc_id, i, len(words),
+             hashlib.md5(" ".join(words).encode()).hexdigest())
+        )
+        start = e + 1
+    return rows
+
+
+def test_cdc_chunks_matches_reference_random(spark):
+    import random
+
+    from hypermap_etl_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 120)))
+        for _ in range(25)
+    ] + ["", "one", "  padded   spaces  "]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(5)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_words"], r["chunk_hash"])
+        for r in cdc_chunks(df).collect()
+    )
+    want = sorted(r for i, t in enumerate(texts) for r in _cdc_ref(i, t))
+    assert got == want and len(got) > 30  # real cut activity
+
+
+def test_cdc_chunks_boundary_shift_is_local(spark):
+    """THE content-defined property: prepending words re-aligns only
+    the chunks before the first content cut — everything after is
+    byte-identical, unlike fixed-width blocking where one insertion
+    shifts every block."""
+    import random
+
+    from hypermap_etl_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(9)
+    body = " ".join(rng.choice([f"w{i}" for i in range(50)]) for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, body), (2, "inserted preamble tokens " + body)],
+        "doc_id long, text string",
+    )
+    by_doc: dict[int, list] = {1: [], 2: []}
+    for r in cdc_chunks(df).collect():
+        by_doc[r["doc_id"]].append((r["chunk_idx"], r["chunk_hash"]))
+    h1 = [h for _, h in sorted(by_doc[1])]
+    h2 = [h for _, h in sorted(by_doc[2])]
+    assert len(h1) > 5  # enough cuts for the property to be meaningful
+    # all but the first chunk of the original survive in the modified doc
+    assert set(h1[1:]) <= set(h2)
+
+
+def test_cdc_chunks_validation_and_reassembly(spark):
+    import pytest as _pt
+
+    from hypermap_etl_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        cdc_chunks(df, k=0)
+    with _pt.raises(ValueError):
+        cdc_chunks(df, mod=1)
+    # chunks partition the word sequence: word counts sum to n
+    rows = cdc_chunks(df).collect()
+    assert sum(r["n_words"] for r in rows) == 8
