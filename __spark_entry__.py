@@ -77,7 +77,6 @@ _WINDOW: list[str] = [
     # back-to-front by gates NEW in the r6 build session ----
     "doc_simhash_pairs",
     "doc_ngram_pairs",
-    "emb_neardup",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -102,6 +101,9 @@ _WINDOW: list[str] = [
     # emb_knn_label out eighth — similarity.py untouched, kNN machinery
     # shares the exact-cosine stack with the r5-green recall gates
     "doc_cdc_dedup",
+    # emb_neardup out ninth — banded-SRP stack carried in-window by
+    # the r5-green recall gates and emb_jl_project
+    "doc_readability",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

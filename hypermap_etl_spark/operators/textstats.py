@@ -924,3 +924,40 @@ def ngram_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score per document — the classic
+    surface-level difficulty prior (Flesch 1948; the Kincaid variants
+    share the same three counts) used alongside the heuristic quality
+    scores when bucketing a corpus by audience level.
+
+    Counts are defined to be engine-reproducible rather than
+    linguistically perfect (real syllabification needs a dictionary):
+    syllables ≈ maximal [aeiouy]+ runs in the lowercased text,
+    sentences ≈ maximal [.!?]+ runs (floored at 1), words = non-empty
+    whitespace tokens (the corpus-wide token convention). Flesch =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    documents with no words emit NULL score.
+
+    Scale shape: three regexp counts per row, no shuffle at all —
+    column expressions only; the caller aggregates or filters.
+    """
+    lt = F.lower(F.col(text_col))
+    n_words = F.size(F.filter(words(lt), lambda w: w != F.lit("")))
+    n_syll = F.size(F.regexp_extract_all(lt, F.lit("[aeiouy]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(lt, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(F.when(n_words > 0, flesch), 6).alias("flesch"),
+    )

@@ -3911,6 +3911,43 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (textstats.readability):
+    regex-defined syllable/sentence/word counts — engine-reproducible
+    surface difficulty for audience-level corpus bucketing."""
+    from hypermap_etl_spark.operators.textstats import readability
+
+    return readability(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS n_words,
+         GREATEST(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       ROUND(CASE WHEN n_words > 0 THEN
+         CAST('206.835' AS DOUBLE)
+         - CAST('1.015' AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST('84.6' AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END, 6) AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
@@ -4013,4 +4050,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_ORACLE),
     "doc_source_hhi": (doc_source_hhi, SOURCE_HHI_ORACLE),
     "doc_cdc_dedup": (doc_cdc_dedup, CDC_DEDUP_ORACLE),
+    "doc_readability": (doc_readability, READABILITY_ORACLE),
 }

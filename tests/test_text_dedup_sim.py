@@ -1620,3 +1620,36 @@ def test_cdc_chunks_validation_and_reassembly(spark):
     # chunks partition the word sequence: word counts sum to n
     rows = cdc_chunks(df).collect()
     assert sum(r["n_words"] for r in rows) == 8
+
+
+def test_readability_known_counts(spark):
+    from hypermap_etl_spark.operators.textstats import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (2, ""),                             # no words -> NULL score
+            (3, "no terminal punctuation here"),  # sentences floored at 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # syllable runs: e/a/a/e/o/a in "the cat sat the dog ran" = 6
+    assert r1["n_syllables"] == 6
+    want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert r1["flesch"] == want
+    assert got[2]["flesch"] is None and got[2]["n_words"] == 0
+    assert got[3]["n_sentences"] == 1
+    # monotonicity: many-syllable words read harder (lower score)
+    hard = spark.createDataFrame(
+        [(1, "extraordinarily unquestionably incomprehensibilities.")],
+        "doc_id long, text string",
+    )
+    easy = spark.createDataFrame(
+        [(1, "it is a cat. it is fun.")], "doc_id long, text string"
+    )
+    hs = readability(hard).collect()[0]["flesch"]
+    es = readability(easy).collect()[0]["flesch"]
+    assert hs < es
