@@ -76,7 +76,6 @@ _WINDOW: list[str] = [
     # ---- 11 oldest-evidence re-certs (green only in r2); displaced
     # back-to-front by gates NEW in the r6 build session ----
     "doc_simhash_pairs",
-    "doc_ngram_pairs",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -104,6 +103,9 @@ _WINDOW: list[str] = [
     # emb_neardup out ninth — banded-SRP stack carried in-window by
     # the r5-green recall gates and emb_jl_project
     "doc_readability",
+    # doc_ngram_pairs out tenth — inverted-index Jaccard machinery
+    # carried in-window by doc_containment_pairs lineage (r5-green)
+    "lineitem_weighted_median",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

@@ -326,3 +326,67 @@ def pareto_share(
             6,
         ).alias("top_share"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v
+    whose cumulative weight reaches half the group's total —
+    ``percentile(x, 0.5)`` answers "middle ROW"; this answers "middle
+    unit of MASS" (the median price per UNIT SOLD, not per line item),
+    and no interpolation means pure integer/decimal math, bit-identical
+    in any engine.
+
+    Values order as exact decimal(12,2); weights accumulate as exact
+    integer centi-units (decimal(12,2)·100 → long). Output per group:
+    (group, median_w DOUBLE, total_weight_c LONG, n_rows LONG).
+
+    Scale shape: one hash aggregate collapses duplicate values per
+    group first (the cumulative window then runs over DISTINCT values
+    per group — bounded by value cardinality, not row count), then a
+    per-group ordered cumulative-sum window and a min-aggregate pick.
+    The doubled comparison (2·cumw ≥ total) stays in integers — no
+    division, no ties on floats.
+    """
+    v = F.col(value_col).cast("decimal(12,2)")
+    wc = (F.col(weight_col).cast("decimal(12,2)") * 100).cast("long")
+    per_value = (
+        df.filter(v.isNotNull() & wc.isNotNull())
+        .select(*group_cols, v.alias("__v"), wc.alias("__w"))
+        .groupBy(*group_cols, "__v")
+        .agg(F.sum("__w").alias("__w"), F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_value.select(
+        *group_cols,
+        "__v",
+        "__n",
+        F.sum("__w").over(win).alias("__cumw"),
+    )
+    totals = per_value.groupBy(*group_cols).agg(
+        F.sum("__w").alias("__tot"), F.sum("__n").alias("__nrows")
+    )
+    picked = (
+        cum.join(F.broadcast(totals), list(group_cols))
+        .filter(F.lit(2) * F.col("__cumw") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").cast("double").alias("median_w"),
+            F.first("__tot").alias("total_weight_c"),
+            F.first("__nrows").alias("n_rows"),
+        )
+    )
+    return picked.select(
+        *group_cols,
+        "median_w",
+        F.col("total_weight_c").cast("long").alias("total_weight_c"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -3594,6 +3594,51 @@ LIMIT 5
 """
 
 
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median (scale.grouped_weighted_median):
+    the median extended price per UNIT SOLD (weight = quantity in
+    exact centi-units) per return flag — mass-weighted, interpolation-
+    free, integer-compared, so the oracle matches bit-for-bit. The
+    cumulative window runs over distinct values per group, not rows."""
+    from hypermap_etl_spark.operators.scale import grouped_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_weighted_median(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH pv AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM pv
+),
+t AS (
+  SELECT l_returnflag, SUM(w) AS tot, CAST(SUM(n) AS BIGINT) AS nrows
+  FROM pv GROUP BY 1
+)
+SELECT c.l_returnflag,
+       CAST(MIN(c.v) AS DOUBLE) AS median_w,
+       CAST(t.tot AS BIGINT) AS total_weight_c,
+       t.nrows AS n_rows
+FROM c JOIN t USING (l_returnflag)
+WHERE 2 * c.cumw >= t.tot
+GROUP BY c.l_returnflag, t.tot, t.nrows
+ORDER BY c.l_returnflag
+"""
+
+
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window operator (30-minute gap) — the
     Catalyst-fused sessionization (SessionWindowing node, mergeable in
@@ -4190,4 +4235,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
+    "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
 }

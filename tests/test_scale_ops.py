@@ -192,3 +192,58 @@ def test_pareto_share_planted(spark):
 
     with _pytest.raises(ValueError, match="top_fraction"):
         scale.pareto_share(spark.createDataFrame(rows), ["k"], "w", 1.5)
+
+
+def test_weighted_median_hand_computable_and_layout_invariant(spark):
+    from hypermap_etl_spark.operators.scale import grouped_weighted_median
+
+    # values 10,20,30 with weights 1,1,10 -> half of 12 mass is 6,
+    # cumw reaches 6 only at value 30 (weighted median != row median)
+    rows = [("a", 10.0, 1.0), ("a", 20.0, 1.0), ("a", 30.0, 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = grouped_weighted_median(df, "v", "w", ["g"]).collect()[0]
+    assert out["median_w"] == 30.0
+    assert out["total_weight_c"] == 1200 and out["n_rows"] == 3
+
+    # symmetric weights -> classic lower median; duplicate values merge
+    rows2 = [("b", float(v), 1.0) for v in (1, 2, 2, 3, 4)]
+    df2 = spark.createDataFrame(rows2, "g string, v double, w double")
+    out2 = grouped_weighted_median(df2, "v", "w", ["g"]).collect()[0]
+    assert out2["median_w"] == 2.0 and out2["n_rows"] == 5
+
+    both = df.unionByName(df2).repartition(7)
+    got = {
+        r["g"]: r["median_w"]
+        for r in grouped_weighted_median(both, "v", "w", ["g"]).collect()
+    }
+    assert got == {"a": 30.0, "b": 2.0}
+
+
+def test_weighted_median_matches_python_reference(spark):
+    import random
+
+    from hypermap_etl_spark.operators.scale import grouped_weighted_median
+
+    rng = random.Random(13)
+    rows = [
+        (f"g{i % 3}", round(rng.uniform(0, 50), 2), round(rng.uniform(0.5, 9), 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r["g"]: r["median_w"]
+        for r in grouped_weighted_median(df, "v", "w", ["g"]).collect()
+    }
+
+    def ref(group):
+        pts = sorted((v, int(round(w * 100))) for g, v, w in rows if g == group)
+        tot = sum(w for _, w in pts)
+        cum = 0
+        for v, w in pts:
+            cum += w
+            if 2 * cum >= tot:
+                return v
+        raise AssertionError
+
+    for g in ("g0", "g1", "g2"):
+        assert got[g] == ref(g)
