@@ -75,7 +75,6 @@ _WINDOW: list[str] = [
     "emb_jl_project",
     # ---- 11 oldest-evidence re-certs (green only in r2); displaced
     # back-to-front by gates NEW in the r6 build session ----
-    "doc_simhash_pairs",
     # ---- gates NEW in the r6 build session (displace re-certs
     # back-to-front: doc_simhash_sigs out first — its machinery keeps
     # in-window coverage via doc_simhash_pairs; doc_token_stats out
@@ -106,6 +105,10 @@ _WINDOW: list[str] = [
     # doc_ngram_pairs out tenth — inverted-index Jaccard machinery
     # carried in-window by doc_containment_pairs lineage (r5-green)
     "lineitem_weighted_median",
+    # doc_simhash_pairs out last — its r2-green row stands and the
+    # NEW prefix-filter gate exercises the richer exact-join side of
+    # the same near-dup contract (identical oracle family)
+    "doc_prefix_pairs",
 ]
 
 # events_value_psi appears above though it got a green r5 row: its

@@ -1407,3 +1407,92 @@ def cdc_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs shingle Jaccard ≥ threshold via PREFIX FILTERING
+    (SSJoin/PPJoin lineage — Chaudhuri et al. 2006, Xiao et al. 2008):
+    the EXACT alternative to ngram_jaccard_pairs' full inverted-index
+    join. Sort each document's shingles in the global rare-first order
+    (document frequency asc, shingle asc); two sets with J ≥ t MUST
+    share a token within their first |S| − ⌈t·|S|⌉ + 1 tokens, so the
+    candidate join runs over the PREFIX index only — a (1−t)-fraction
+    of the full index, and the pruned tokens are exactly the frequent
+    ones that dominate join fan-out. Unlike MinHash-LSH, completeness
+    is a theorem, not a probability.
+
+    Prefix lengths use exact integer ceilings (threshold → Fraction):
+    ⌈0.7·20⌉ computed in doubles is 15 (0.7·20 = 14.000000000000002),
+    which would SHORTEN the prefix and silently lose pairs.
+
+    Verification: candidates join per-doc sorted shingle arrays (two
+    keyed joins, arrays bounded by document length) and intersect
+    JVM-side — no second corpus-wide token join. Output matches
+    ngram_jaccard_pairs: (doc_a, doc_b, jaccard round 6) at J ≥ t.
+    """
+    from fractions import Fraction
+
+    if not 0 < threshold <= 1:
+        raise ValueError("prefix_filter_pairs: threshold must be in (0, 1]")
+    fr = Fraction(str(threshold))
+    tn, td = fr.numerator, fr.denominator
+    from pyspark.sql.window import Window
+
+    sh = shingle_index(docs, text_col, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_sh"))
+    # exact integer prefix length: s - ceil(t*s) + 1, ceil in integers
+    pref_len = (
+        F.col("__n_sh")
+        - F.floor((F.lit(tn) * F.col("__n_sh") + F.lit(td - 1)) / F.lit(td))
+        + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("sh").asc()
+    )
+    prefixes = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pref_len)
+        .select("doc_id", "sh")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sh")).alias("__arr")
+    )
+    inter = F.size(F.array_intersect(F.col("__arr_a"), F.col("__arr_b")))
+    sa, sb = F.size(F.col("__arr_a")), F.size(F.col("__arr_b"))
+    jac = F.round(inter / (sa + sb - inter), 6)
+    return (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__arr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__arr_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -3948,6 +3948,18 @@ FROM c ORDER BY doc_id
 """
 
 
+
+def doc_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs at J>=0.8 via prefix filtering
+    (dedup.prefix_filter_pairs): the candidate join touches only each
+    document's rare-first prefix — completeness is the PPJoin theorem,
+    so the quadratic oracle matches exactly (same contract as
+    doc_ngram_pairs, different algorithm)."""
+    return dedup.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), 0.8
+    ).orderBy("doc_a", "doc_b")
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
@@ -4051,4 +4063,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_source_hhi": (doc_source_hhi, SOURCE_HHI_ORACLE),
     "doc_cdc_dedup": (doc_cdc_dedup, CDC_DEDUP_ORACLE),
     "doc_readability": (doc_readability, READABILITY_ORACLE),
+    "doc_prefix_pairs": (doc_prefix_pairs, _EXACT_PAIRS_SQL),
 }

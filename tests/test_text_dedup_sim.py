@@ -5,6 +5,7 @@ counting, LSH bucket behavior.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hypermap_etl_spark.operators import dedup, similarity, textstats
@@ -1653,3 +1654,87 @@ def test_readability_known_counts(spark):
     hs = readability(hard).collect()[0]["flesch"]
     es = readability(easy).collect()[0]["flesch"]
     assert hs < es
+
+
+# ------------------------------------------------ prefix_filter_pairs ----
+
+def _neardup_corpus(spark, n_docs=40, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(60)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(12, 40)))
+        for _ in range(n_docs // 2)
+    ]
+    texts = list(base)
+    for t in base:
+        ws = t.split(" ")
+        # light mutation -> a spread of Jaccard values around the bar
+        k = rng.randrange(0, max(1, len(ws) // 6))
+        for _ in range(k):
+            ws[rng.randrange(len(ws))] = rng.choice(vocab)
+        texts.append(" ".join(ws))
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.8])
+def test_prefix_filter_equals_inverted_index_join(spark, threshold):
+    """Completeness is a theorem: the prefix-filtered join returns
+    EXACTLY the full inverted-index join's pairs at every threshold —
+    including 0.7, where a double ceil (0.7*20 = 14.000000000000002)
+    would shorten prefixes and silently drop pairs."""
+    from hypermap_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = _neardup_corpus(spark)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, threshold).collect()
+    }
+    assert want  # corpus must actually produce pairs
+    assert got == want
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The point of the prefix index: it is a strict subset of the
+    full inverted index, so the candidate join fans out less."""
+    from hypermap_etl_spark.operators import dedup
+
+    docs = _neardup_corpus(spark)
+    sh = dedup.shingle_index(docs)
+    full_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.sh") == F.col("b.sh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    got = dedup.prefix_filter_pairs(docs, 0.8)
+    # candidate pair count is bounded by the verified-pair superset;
+    # compare index sizes directly: prefix rows << full rows
+    n_full = sh.count()
+    # reconstruct prefix size: s - ceil(0.8 s) + 1 summed over docs
+    sizes = [r["n"] for r in sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    n_prefix = sum(s - ((4 * s + 4) // 5) + 1 for s in sizes)
+    assert n_prefix < n_full / 2
+    assert got.count() <= full_pairs
+
+
+def test_prefix_filter_validates_threshold(spark):
+    from hypermap_etl_spark.operators.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(docs, 0.0)
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(docs, 1.2)
