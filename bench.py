@@ -37,13 +37,16 @@ def main() -> None:
 
     from hypermap_etl_spark.plans.doc_queries import (
         doc_balanced_shards,
+        doc_cdc_dedup,
         doc_minhash_pairs,
+        doc_prefix_pairs,
         emb_ann_topk,
     )
     from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip, hm_entries
     from hypermap_etl_spark.plans.star_queries import (
         events_page_deep,
         events_sessions,
+        lineitem_weighted_median,
         q1_pricing_summary,
         q3_shipping_priority,
         q5_region_revenue,
@@ -113,6 +116,13 @@ def main() -> None:
         # + partitioned windows, never a single-task sort) under its
         # production consumer, token-balanced sharding
         "balanced_shards": doc_balanced_shards,
+        # r6: three new subsystems get wall-time numbers — the exact
+        # weighted quantile over the big fact (distinct-value windows),
+        # the pure-HOF content-defined chunking corpus pass, and the
+        # prefix-filtered exact similarity join
+        "weighted_median": lineitem_weighted_median,
+        "cdc_dedup": doc_cdc_dedup,
+        "prefix_pairs": doc_prefix_pairs,
     }
 
     spark = get_spark("hypermap-etl-bench")
@@ -153,6 +163,9 @@ def main() -> None:
                 "events_page_deep",
                 "incremental_dedup",
                 "balanced_shards",
+                "weighted_median",
+                "cdc_dedup",
+                "prefix_pairs",
             )
         ),
         3,

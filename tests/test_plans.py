@@ -588,3 +588,42 @@ def test_native_session_window_boundary_semantics(spark, tmp_path):
         (2, 1): (1, gap_us),
         (2, 2): (1, gap_us),
     }
+
+
+def test_r6_operator_plan_shapes(spark):
+    """Plan pins for the r6 wave: summary-sized joins broadcast, no
+    cartesian products, no global (unpartitioned) windows."""
+    import re
+
+    from hypermap_etl_spark.plans.star_queries import (
+        events_attribution,
+        events_kmv_overlap,
+        lineitem_weighted_median,
+        parts_copurchase_triangles,
+    )
+
+    # KMV pair algebra: runs on <=k-row-per-group sketch frames — every
+    # join broadcast (hash or the inequality pair join as BNLJ), never
+    # a shuffle join or cartesian
+    p = _plan(events_kmv_overlap(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # attribution: every window is partitioned (by user or journey) —
+    # a global window would single-task the whole event stream
+    p = _plan(events_attribution(spark, SF_SMOKE))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "user_id" in spec, p[:2000]
+
+    # weighted median: the per-group totals come back as a broadcast,
+    # and the cumulative window is partitioned by the group
+    p = _plan(lineitem_weighted_median(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "l_returnflag" in spec, p[:2000]
+
+    # triangles: keyed equi-joins only — inequality predicates ride ON
+    # the equi-join, never a cartesian/BNLJ fallback
+    p = _plan(parts_copurchase_triangles(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
