@@ -971,6 +971,35 @@ def cmd_skew(args) -> None:
     }))
 
 
+def cmd_cdc(args) -> None:
+    """Content-defined chunking storage report (dedup.cdc_chunks):
+    how many word-grain CDC chunks the corpus stores and what fraction
+    are duplicate content — the chunk-keyed-store planning number."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.dedup import cdc_chunks
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    ch = cdc_chunks(docs, k=args.k, mod=args.mod)
+    row = ch.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.count_distinct("chunk_hash").alias("distinct_chunks"),
+        F.sum("n_words").alias("words"),
+        F.round(F.avg("n_words"), 2).alias("mean_chunk_words"),
+    ).collect()[0]
+    chunks = row["chunks"] or 0
+    distinct = row["distinct_chunks"] or 0
+    print(json.dumps({
+        "docs": docs.count(),
+        "chunks": chunks,
+        "distinct_chunks": distinct,
+        "words": row["words"] or 0,
+        "mean_chunk_words": float(row["mean_chunk_words"] or 0.0),
+        "dup_ratio": round(1.0 - distinct / chunks, 6) if chunks else None,
+    }))
+
+
 def cmd_plan_epochs(args) -> None:
     """Token-budget epoch planner (operators/corpus.epoch_plan): solve
     the waterfill over per-source token counts with per-source epoch
@@ -1479,6 +1508,13 @@ def main(argv=None) -> None:
     p.add_argument("--compact", action="store_true",
                    help="fold store history after catch-up")
 
+    p = sub.add_parser("cdc", help="content-defined chunking storage-dedup "
+                                   "report")
+    p.add_argument("--docs", required=True, help="documents parquet")
+    p.add_argument("--k", type=int, default=4, help="shingle width")
+    p.add_argument("--mod", type=int, default=16,
+                   help="cut modulus (expected chunk words)")
+
     p = sub.add_parser("hist", help="Freedman-Diaconis auto-binned histogram")
     p.add_argument("--table", required=True)
     p.add_argument("--column", required=True, help="numeric column to bin")
@@ -1533,7 +1569,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
-        "hist": cmd_hist, "drift": cmd_drift,
+        "hist": cmd_hist, "drift": cmd_drift, "cdc": cmd_cdc,
     }[args.cmd](args)
 
 

@@ -345,12 +345,18 @@ def grouped_weighted_median(
     integer centi-units (decimal(12,2)·100 → long). Output per group:
     (group, median_w DOUBLE, total_weight_c LONG, n_rows LONG).
 
-    Scale shape: one hash aggregate collapses duplicate values per
-    group first (the cumulative window then runs over DISTINCT values
-    per group — bounded by value cardinality, not row count), then a
-    per-group ordered cumulative-sum window and a min-aggregate pick.
-    The doubled comparison (2·cumw ≥ total) stays in integers — no
-    division, no ties on floats.
+    Scale shape: a hash aggregate collapses duplicate values per group
+    (everything after runs on DISTINCT values), then the cumulative
+    weight uses the distributed running-sum construction — NOT
+    ``sum() OVER (PARTITION BY group ORDER BY v)``, which with few
+    groups sorts each group's whole value set on ONE task (the
+    few-groups twin of the global-window scale-killer global_rank
+    avoids). Instead: range-partition by (group, v); within-slice
+    running sums; per-(slice, group) totals (P·G rows) get their
+    prefix offsets from a window over that TINY frame and come back
+    as a broadcast join. No driver collect, no single-task sort, and
+    the result is independent of slice boundaries because offsets are
+    derived from actual slice contents.
     """
     v = F.col(value_col).cast("decimal(12,2)")
     wc = (F.col(weight_col).cast("decimal(12,2)") * 100).cast("long")
@@ -360,19 +366,38 @@ def grouped_weighted_median(
         .groupBy(*group_cols, "__v")
         .agg(F.sum("__w").alias("__w"), F.count(F.lit(1)).cast("long").alias("__n"))
     )
-    win = (
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = tracked_persist(
+        per_value.repartitionByRange(
+            p, *[F.col(c) for c in group_cols], F.col("__v")
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    psums = ranged.groupBy("__pid", *group_cols).agg(
+        F.sum("__w").alias("__s"), F.sum("__n").alias("__pn")
+    )
+    w_off = (
         Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = psums.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = psums.groupBy(*group_cols).agg(
+        F.sum("__s").alias("__tot"), F.sum("__pn").alias("__nrows")
+    )
+    w_run = (
+        Window.partitionBy("__pid", *group_cols)
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = per_value.select(
-        *group_cols,
-        "__v",
-        "__n",
-        F.sum("__w").over(win).alias("__cumw"),
-    )
-    totals = per_value.groupBy(*group_cols).agg(
-        F.sum("__w").alias("__tot"), F.sum("__n").alias("__nrows")
+    cum = (
+        ranged.withColumn("__runw", F.sum("__w").over(w_run))
+        .join(F.broadcast(offs), ["__pid", *group_cols])
+        .withColumn("__cumw", F.col("__off") + F.col("__runw"))
     )
     picked = (
         cum.join(F.broadcast(totals), list(group_cols))

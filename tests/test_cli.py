@@ -688,3 +688,12 @@ def test_cli_drift(capsys, tmp_path):
     assert all(v["n_days"] == 30 for v in r["level"].values())
     assert all(isinstance(v["drifted"], bool) for v in r["level"].values())
     assert "click@lag7" in r["seasonality"]
+
+
+def test_cli_cdc_report(capsys):
+    main(["cdc", "--docs", "/root/testdata/sf0.001/documents.parquet"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 500
+    assert rep["chunks"] >= rep["distinct_chunks"] > 0
+    assert 0.0 <= rep["dup_ratio"] < 1.0
+    assert rep["words"] > 0 and rep["mean_chunk_words"] > 0

@@ -614,12 +614,16 @@ def test_r6_operator_plan_shapes(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "user_id" in spec, p[:2000]
 
-    # weighted median: the per-group totals come back as a broadcast,
-    # and the cumulative window is partitioned by the group
+    # weighted median: totals/offsets come back as broadcasts, and the
+    # corpus-sized cumulative window is (__pid, group)-sliced — the
+    # few-groups single-task sort is the scale-killer this pins out
+    # (the only window without __pid runs over the P x G psums frame)
     p = _plan(lineitem_weighted_median(spark, SF_SMOKE))
     assert "SortMergeJoin" not in p
-    assert p.count("BroadcastHashJoin") >= 1
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+    assert p.count("BroadcastHashJoin") >= 2
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("__pid" in spec for spec in specs), p[:2000]
+    for spec in specs:
         assert "l_returnflag" in spec, p[:2000]
 
     # triangles: keyed equi-joins only — inequality predicates ride ON
