@@ -107,6 +107,22 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_ngram_novelty"),
     ("doc_queries", "doc_lexical_diversity"),
     ("doc_queries", "doc_token_pctrank"),
+    # r6 wave: bootstrap replicate means are exact-decimal sums divided
+    # once in double, percentiled over R values; EWMA/MI/readability/
+    # flesch are per-row literal-weight double expressions; the KMV
+    # jaccard is a ratio of exact counts from layout-independent
+    # sketches; CDC ratios are exact-count quotients; the weighted
+    # median rides the range-partition running sum (invariant only
+    # BECAUSE offsets derive from actual slice contents — pinned)
+    ("star_queries", "events_bootstrap_ci"),
+    ("star_queries", "events_ewma_daily"),
+    ("star_queries", "events_type_value_mi"),
+    ("star_queries", "events_kmv_overlap"),
+    ("star_queries", "lineitem_weighted_median"),
+    ("star_queries", "events_session_windows"),
+    ("doc_queries", "doc_cdc_dedup"),
+    ("doc_queries", "doc_readability"),
+    ("doc_queries", "doc_prefix_pairs"),
 ]
 
 
