@@ -1100,12 +1100,13 @@ def cmd_hist(args) -> None:
 def cmd_drift(args) -> None:
     """Streaming ingestion-drift monitor: fold an events parquet dir
     into the per-batch daily-count store (availableNow catch-up), then
-    print the CUSUM level verdict and lag-1/7 seasonality per group —
-    one JSON line. Re-runs resume from the checkpoint; --compact folds
+    print the CUSUM level verdict, lag-1/7 seasonality, and the EWMA
+    per-day anomaly summary per group — one JSON line. Re-runs resume from the checkpoint; --compact folds
     store history."""
     from hypermap_etl_spark.streaming.drift import (
         drift_store_compact,
         drift_verdict,
+        ewma_verdict,
         seasonality_verdict,
         start_drift_stream,
     )
@@ -1148,12 +1149,21 @@ def cmd_drift(args) -> None:
             spark, args.store, "day", group, [1, 7]
         ).collect()
     }
+    anomalies: dict = {}
+    for r in ewma_verdict(spark, args.store, "day", group).collect():
+        key = "|".join(str(r[g]) for g in group)
+        slot = anomalies.setdefault(key, {"days_flagged": 0, "latest": None})
+        if r["is_anomaly"]:
+            slot["days_flagged"] += 1
+            if slot["latest"] is None or r["day"] > slot["latest"]:
+                slot["latest"] = r["day"]
     print(json.dumps({
         "events": args.events,
         "store": args.store,
         "groups": group,
         "level": dict(sorted(level.items())),
         "seasonality": dict(sorted(season.items())),
+        "ewma": dict(sorted(anomalies.items())),
     }))
 
 

@@ -117,6 +117,35 @@ def seasonality_verdict(
     )
 
 
+def ewma_verdict(
+    spark: SparkSession,
+    store_path: str,
+    day_col: str,
+    group_cols: list[str],
+    alpha: float = 0.3,
+    lookback: int = 7,
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-DAY anomaly flags over everything ingested so far — the
+    third face of the count store (CUSUM answers "did the level
+    shift", autocorrelation "is there a cycle", this "which single
+    days are off"). Same construction: the batch operator
+    (profile.ewma_anomaly with count_col) re-run on the summed
+    partials, so streaming and batch flags agree by construction."""
+    from hypermap_etl_spark.operators.profile import ewma_anomaly
+
+    series = drift_store_read(spark, store_path, day_col, group_cols)
+    return ewma_anomaly(
+        series,
+        day_col,
+        group_cols,
+        alpha=alpha,
+        lookback=lookback,
+        rel_threshold=rel_threshold,
+        count_col="c",
+    )
+
+
 def _folded_through(store_path: str) -> int:
     """Highest REAL batch id folded into batch_id=-1 by a compaction
     (-1 when none): the replay watermark the sink checks so a batch

@@ -688,6 +688,8 @@ def test_cli_drift(capsys, tmp_path):
     assert all(v["n_days"] == 30 for v in r["level"].values())
     assert all(isinstance(v["drifted"], bool) for v in r["level"].values())
     assert "click@lag7" in r["seasonality"]
+    assert set(r["ewma"]) == set(r["level"])
+    assert all(v["days_flagged"] >= 0 for v in r["ewma"].values())
 
 
 def test_cli_cdc_report(capsys):

@@ -13,6 +13,7 @@ from hypermap_etl_spark.streaming.drift import (
     drift_store_compact,
     drift_store_read,
     drift_verdict,
+    ewma_verdict,
     start_drift_stream,
 )
 
@@ -128,3 +129,24 @@ def test_seasonality_verdict_equals_batch_operator(spark):
         )
     )
     assert got == want
+
+
+def test_ewma_verdict_equals_batch_operator_and_flags_spike(spark):
+    """The third store face: EWMA per-day flags re-derived from the
+    summed partials equal the batch operator on the raw rows, and a
+    planted final-day spike is flagged."""
+    from hypermap_etl_spark.operators.profile import ewma_anomaly
+
+    rows = []
+    for d in range(1, 21):
+        rows += [Row(g="feed", day=f"2026-02-{d:02d}")] * 50
+    rows += [Row(g="feed", day="2026-02-21")] * 200  # 4x spike
+    store = _run_stream(spark, rows, tempfile.mkdtemp())
+    got = {r["day"]: r for r in
+           ewma_verdict(spark, store, "day", ["g"]).collect()}
+    want = {r["day"]: r for r in ewma_anomaly(
+        spark.createDataFrame(rows), "day", ["g"]).collect()}
+    assert {d: r.asDict() for d, r in got.items()} == \
+        {d: r.asDict() for d, r in want.items()}
+    assert got["2026-02-21"]["is_anomaly"]
+    assert not got["2026-02-10"]["is_anomaly"]
