@@ -3594,6 +3594,97 @@ LIMIT 5
 """
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles per
+    customer) on the DISTRIBUTED percent-rank stack — three
+    global_percent_rank passes over the per-customer aggregate, never
+    a single-task `ntile() OVER (ORDER BY ...)`. Wall-clock dates make
+    recency session-zone-independent; quintile edges come from the
+    ROUNDED percent rank (mirrored in the oracle), total-ordered by
+    customer key so ties cannot straddle an edge."""
+    from hypermap_etl_spark.operators.scale import global_percent_rank
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("__last_d"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("__spent"),
+    )
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("__mxd"))
+    base = per.crossJoin(F.broadcast(mx)).select(
+        "c_custkey",
+        F.datediff(F.col("__mxd"), F.col("__last_d"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_orders",
+        "__spent",
+    )
+    ck = F.col("c_custkey").asc()
+    r = global_percent_rank(
+        base, [F.col("recency_days").desc(), ck], "__pr_r"
+    )
+    f = global_percent_rank(r, [F.col("n_orders").asc(), ck], "__pr_f")
+    m = global_percent_rank(f, [F.col("__spent").asc(), ck], "__pr_m")
+
+    def score(pr: str):
+        return F.least(
+            F.floor(F.col(pr) * 5) + 1, F.lit(5)
+        ).cast("int")
+
+    out = m.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        F.col("__spent").cast("double").alias("monetary"),
+        score("__pr_r").alias("r_score"),
+        score("__pr_f").alias("f_score"),
+        score("__pr_m").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    ).orderBy("c_custkey")
+
+
+RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+base AS (
+  SELECT c_custkey, date_diff('day', last_d, mxd) AS recency_days,
+         n_orders, spent
+  FROM per, mx
+),
+pr AS (
+  SELECT *,
+    ROUND(percent_rank() OVER (ORDER BY recency_days DESC, c_custkey), 6)
+      AS pr_r,
+    ROUND(percent_rank() OVER (ORDER BY n_orders, c_custkey), 6) AS pr_f,
+    ROUND(percent_rank() OVER (ORDER BY spent, c_custkey), 6) AS pr_m
+  FROM base
+),
+sc AS (
+  SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days, n_orders,
+         CAST(spent AS DOUBLE) AS monetary,
+         CAST(LEAST(FLOOR(pr_r * 5) + 1, 5) AS INTEGER) AS r_score,
+         CAST(LEAST(FLOOR(pr_f * 5) + 1, 5) AS INTEGER) AS f_score,
+         CAST(LEAST(FLOOR(pr_m * 5) + 1, 5) AS INTEGER) AS m_score
+  FROM pr
+)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
+FROM sc ORDER BY c_custkey
+"""
+
+
 def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower weighted median (scale.grouped_weighted_median):
     the median extended price per UNIT SOLD (weight = quantity in
@@ -4236,4 +4327,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
+    "customer_rfm": (customer_rfm, RFM_ORACLE),
 }

@@ -129,6 +129,9 @@ _TZ_SENSITIVE = [
     # quantities (seq/count/duration/sum) — pinned against a
     # session-zone leak in the window assignment itself
     "events_session_windows",
+    # r6: recency anchors at wall-clock DATES (to_date of the NTZ-cast
+    # ts) — a session-zone leak would move order dates across midnight
+    "customer_rfm",
 ]
 
 
