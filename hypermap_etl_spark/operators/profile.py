@@ -839,3 +839,108 @@ def categorical_mi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.round(term, 6).alias("mi_term"),
         )
     )
+
+
+def welch_ab_test(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ab",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Deterministic hash-split A/B comparison with Welch's unequal-
+    variance t statistic — the experimentation primitive (and, run on
+    a hash split of ONE population, an A/A sanity check: significant
+    results at ~5% false-positive rate mean the pipeline's stats are
+    healthy).
+
+    Units (e.g. users) are assigned to arms by md5(salt:unit) parity —
+    reproducible anywhere, stable across reruns, balanced in
+    expectation. Per group: n/mean per arm, Welch t, Welch–
+    Satterthwaite df, and the |t| > crit verdict.
+
+    Numerics: sums and sums-of-squares accumulate as exact decimals
+    (value at scale 2, its square at scale 4 — order-independent),
+    then ONE fixed-order double expression computes mean/variance/t —
+    engine-identical, pinned by the oracle. Sample variance uses the
+    (Σv² − (Σv)²/n)/(n−1) form on those exact sums.
+
+    Scale shape: a single map-combined hash aggregate keyed by
+    (group, arm); everything after runs on groups×2 rows via a self-
+    join on the group key. One corpus scan, no windows.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(":"),
+                        F.col(unit_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    base = df.filter(
+        v.isNotNull() & F.col(unit_col).isNotNull()
+    ).select(*group_cols, arm.alias("__arm"), v.alias("__v"))
+    agg = base.groupBy(*group_cols, "__arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ss"),
+    )
+    a = agg.filter(F.col("__arm") == 0).select(
+        *group_cols,
+        F.col("n").alias("n_a"),
+        F.col("s").alias("__s_a"),
+        F.col("ss").alias("__ss_a"),
+    )
+    b = agg.filter(F.col("__arm") == 1).select(
+        *group_cols,
+        F.col("n").alias("n_b"),
+        F.col("s").alias("__s_b"),
+        F.col("ss").alias("__ss_b"),
+    )
+    j = (
+        a.join(b, list(group_cols)) if group_cols else a.crossJoin(b)
+    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+
+    def stats(side: str):
+        n = F.col(f"n_{side}").cast("double")
+        s = F.col(f"__s_{side}").cast("double")
+        ss = F.col(f"__ss_{side}").cast("double")
+        mean = s / n
+        var = (ss - s * s / n) / (n - F.lit(1.0))
+        # cancellation on near-constant data can go fractionally
+        # negative; NaN would sort above every double downstream
+        return mean, F.greatest(var, F.lit(0.0))
+
+    m_a, v_a = stats("a")
+    m_b, v_b = stats("b")
+    se2_a = v_a / F.col("n_a").cast("double")
+    se2_b = v_b / F.col("n_b").cast("double")
+    t = F.try_divide(m_a - m_b, F.sqrt(se2_a + se2_b))
+    dof = F.try_divide(
+        (se2_a + se2_b) * (se2_a + se2_b),
+        se2_a * se2_a / (F.col("n_a").cast("double") - F.lit(1.0))
+        + se2_b * se2_b / (F.col("n_b").cast("double") - F.lit(1.0)),
+    )
+    return j.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+        F.coalesce(F.abs(t) > F.lit(crit), F.lit(False)).alias("significant"),
+    )

@@ -3594,6 +3594,75 @@ LIMIT 5
 """
 
 
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/A split + Welch t per event type
+    (profile.welch_ab_test): users hash into two arms, the unequal-
+    variance t statistic and Welch-Satterthwaite df come from exact
+    decimal sums in one fixed-order double expression — on an A/A
+    split this is the pipeline's statistical sanity check."""
+    from hypermap_etl_spark.operators.profile import welch_ab_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ab_test(
+        ev, "value", "user_id", ["event_type"]
+    ).orderBy("event_type")
+
+
+WELCH_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+  FROM agg a JOIN agg b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+),
+c AS (
+  SELECT event_type, n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+    GREATEST((CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS se2_a,
+    GREATEST((CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS se2_b
+  FROM j
+),
+f AS (
+  SELECT event_type, n_a, n_b, m_a, m_b,
+    CASE WHEN se2_a + se2_b > 0
+         THEN (m_a - m_b) / sqrt(se2_a + se2_b) END AS t,
+    CASE WHEN se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+            + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0) > 0
+         THEN (se2_a + se2_b) * (se2_a + se2_b)
+              / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+                 + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0)) END AS dof
+  FROM c
+)
+SELECT event_type, n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(t, 6) AS t_stat, ROUND(dof, 6) AS welch_df,
+       COALESCE(abs(t) > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM f ORDER BY event_type
+"""
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles per
     customer) on the DISTRIBUTED percent-rank stack — three
@@ -4328,4 +4397,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),
+    "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
 }

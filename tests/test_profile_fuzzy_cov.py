@@ -543,3 +543,66 @@ def test_categorical_mi_independent_and_dependent(spark):
     )
     out = categorical_mi(withnull, "x", "y").collect()
     assert sum(r["n_xy"] for r in out) == 2
+
+
+def test_welch_ab_detects_planted_effect(spark):
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import welch_ab_test
+
+    # plant a large arm effect using the REAL assignment hash so the
+    # expected statistics are hand-computable
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for uid in range(400):
+        base = 10.0 if arm(uid) == 0 else 30.0
+        rows.append(("g", uid, base + (uid % 7) * 0.5))
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    out = welch_ab_test(df, "value", "user_id", ["g"]).collect()[0]
+    assert out["n_a"] + out["n_b"] == 400
+    assert abs(out["n_a"] - out["n_b"]) < 80  # hash split roughly balanced
+    # noise term isn't identically distributed across arms — the
+    # effect shows up within one noise-amplitude of the planted 20
+    assert abs((out["mean_b"] - out["mean_a"]) - 20.0) < 1.0
+    assert out["significant"] and out["t_stat"] < -50
+
+    # reference Welch t from the same sums
+    va = [r[2] for r in rows if arm(r[1]) == 0]
+    vb = [r[2] for r in rows if arm(r[1]) == 1]
+
+    def stats(v):
+        n = len(v)
+        m = sum(v) / n
+        var = (sum(x * x for x in v) - sum(v) ** 2 / n) / (n - 1)
+        return n, m, var
+
+    na, ma, s2a = stats(va)
+    nb, mb, s2b = stats(vb)
+    t = (ma - mb) / ((s2a / na + s2b / nb) ** 0.5)
+    assert out["t_stat"] == pytest.approx(round(t, 6), abs=2e-6)
+
+
+def test_welch_ab_null_effect_and_degenerates(spark):
+    from hypermap_etl_spark.operators.profile import welch_ab_test
+
+    # A/A: same distribution in both arms -> |t| small, not significant
+    rows = [("g", uid, float(uid % 20)) for uid in range(2000)]
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    out = welch_ab_test(df, "value", "user_id", ["g"]).collect()[0]
+    assert not out["significant"]
+
+    # constant values: zero variance -> t NULL, never significant
+    const = spark.createDataFrame(
+        [("g", uid, 5.0) for uid in range(50)],
+        "g string, user_id long, value double",
+    )
+    oc = welch_ab_test(const, "value", "user_id", ["g"]).collect()[0]
+    assert oc["t_stat"] is None and oc["significant"] is False
+
+    # tiny group (an arm with n<=1) emits no row
+    tiny = spark.createDataFrame(
+        [("g", 1, 1.0)], "g string, user_id long, value double"
+    )
+    assert welch_ab_test(tiny, "value", "user_id", ["g"]).count() == 0
