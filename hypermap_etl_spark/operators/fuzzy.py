@@ -75,3 +75,78 @@ def edit_distance_pairs(
         "id2",
         F.levenshtein("__s1", "__s2").cast("int").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def linkage_scores(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    cat_fields: list[tuple[str, float, float]],
+    num_col: str | None = None,
+    num_tol_cents: int = 50_000,
+    w_num: tuple[float, float] = (1.5, -1.0),
+    w_name: tuple[float, float] = (6.5, 3.5),
+    match_at: float = 8.0,
+    possible_at: float = 4.0,
+) -> DataFrame:
+    """Fellegi–Sunter-style record-linkage scoring over the FastSS
+    candidate pairs: each field comparison contributes a log-likelihood
+    -ratio weight (agreement positive, disagreement negative), the sum
+    classifies the pair match / possible / non_match — the probabilistic
+    step that turns edit_distance_pairs' CANDIDATES into decisions
+    (Fellegi & Sunter 1969; weights here are caller-supplied priors,
+    dyadic by default so every engine reproduces the sums exactly).
+
+    ``cat_fields``: (column, w_agree, w_disagree) per categorical
+    field; ``num_col`` compares in exact integer cents within
+    ``num_tol_cents``. Name weight: exact (dist 0) vs close (dist 1).
+
+    Scale shape: candidates come from the blocked equi-join (never
+    quadratic); attribute lookup is two keyed joins back to the entity
+    table; scoring is pure column arithmetic.
+    """
+    pairs = edit_distance_pairs(df, id_col, name_col)
+    attrs = [num_col] if num_col else []
+    attrs += [c for c, _, _ in cat_fields]
+    ent = df.select(F.col(id_col), *[F.col(c) for c in attrs])
+    a = ent.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(c).alias(f"__a_{c}") for c in attrs],
+    )
+    b = ent.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(c).alias(f"__b_{c}") for c in attrs],
+    )
+    j = pairs.join(a, "id1").join(b, "id2")
+    weight = F.when(F.col("dist") == 0, F.lit(w_name[0])).otherwise(
+        F.lit(w_name[1])
+    )
+    out_cols = []
+    for c, w_agree, w_dis in cat_fields:
+        agree = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        weight = weight + F.when(agree, F.lit(w_agree)).otherwise(F.lit(w_dis))
+        out_cols.append(agree.alias(f"same_{c}"))
+    if num_col:
+        cents = lambda side: (  # noqa: E731
+            F.col(f"__{side}_{num_col}").cast("decimal(12,2)") * 100
+        ).cast("long")
+        close = F.abs(cents("a") - cents("b")) <= F.lit(num_tol_cents)
+        weight = weight + F.when(close, F.lit(w_num[0])).otherwise(
+            F.lit(w_num[1])
+        )
+        out_cols.append(close.alias(f"close_{num_col}"))
+    verdict = (
+        F.when(F.col("weight") >= match_at, F.lit("match"))
+        .when(F.col("weight") >= possible_at, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+    )
+    return (
+        j.select(
+            "id1",
+            "id2",
+            F.col("dist").alias("name_dist"),
+            *out_cols,
+            F.round(weight, 6).alias("weight"),
+        )
+        .withColumn("verdict", verdict)
+    )

@@ -606,3 +606,37 @@ def test_welch_ab_null_effect_and_degenerates(spark):
         [("g", 1, 1.0)], "g string, user_id long, value double"
     )
     assert welch_ab_test(tiny, "value", "user_id", ["g"]).count() == 0
+
+
+def test_linkage_scores_classification(spark):
+    from hypermap_etl_spark.operators.fuzzy import linkage_scores
+
+    rows = [
+        # 1-2: exact name, all fields agree -> strong match
+        (1, "acme corp", 5, "A", 100.0),
+        (2, "acme corp", 5, "A", 120.0),
+        # 3: one edit away, all fields disagree -> weight 3.5-1.5-0.75-1.0
+        (3, "acme corX", 9, "B", 9000.0),
+        # 4: unrelated name (distance > 1 from all) -> no candidate pair
+        (4, "zzzzzzzzz", 5, "A", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, nat int, seg string, bal double"
+    )
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in linkage_scores(
+            df, "id", "name",
+            cat_fields=[("nat", 2.25, -1.5), ("seg", 1.25, -0.75)],
+            num_col="bal",
+        ).collect()
+    }
+    assert (1, 4) not in out and (2, 4) not in out
+    strong = out[(1, 2)]
+    assert strong["name_dist"] == 0 and strong["verdict"] == "match"
+    assert strong["weight"] == 6.5 + 2.25 + 1.25 + 1.5
+    weak = out[(1, 3)]
+    assert weak["name_dist"] == 1 and weak["verdict"] == "non_match"
+    assert weak["weight"] == 3.5 - 1.5 - 0.75 - 1.0
+    # balance proximity is exact-cent: 100.0 vs 120.0 within 500.00
+    assert strong["close_bal"] is True
