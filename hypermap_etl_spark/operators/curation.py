@@ -1048,6 +1048,48 @@ def k_suppress(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
     return df.join(big, cond, "left_semi")
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    blind spot is a group whose SENSITIVE value is uniform — group
+    membership then discloses the attribute even at k=1000. Each
+    quasi-identifier group must see at least ``l`` distinct sensitive
+    values.
+
+    One summary row: groups, minimum distinct-sensitive count, groups/
+    rows below l, verdict. NULL sensitive values are excluded from the
+    distinct count (missingness is not diversity); NULL quasi tuples
+    group together, as in :func:`k_anonymity`.
+
+    Scale shape: one (quasi, sensitive) distinct-style aggregate, then
+    a groups-sized rollup — both map-combined, keyed by the quasi
+    tuple. No windows, no collect.
+    """
+    if l < 2:
+        raise ValueError("l_diversity: l must be >= 2")
+    per = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("__d"),
+    )
+    return per.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__d").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("__d") < l, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("__d") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_at_risk"),
+        (F.min("__d") >= l).alias("is_l_diverse"),
+    )
+
+
 def keyword_tags(
     docs: DataFrame, keywords: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -3594,6 +3594,49 @@ LIMIT 5
 """
 
 
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (curation.l_diversity, Machanavajjhala et al.
+    2007) over the (nation, segment) quasi-identifier with the balance
+    quartile as the sensitive attribute — the disclosure check
+    k-anonymity misses when a group's sensitive value is uniform."""
+    from hypermap_etl_spark.operators.curation import l_diversity
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.expr(
+            "least(cast(cast(c_acctbal as decimal(38,2)) * 100 as long)"
+            " div 250000, 3L)"
+        ),
+    )
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+L_DIVERSITY_ORACLE = """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         LEAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT)
+               // 250000, 3) AS bal_band
+  FROM customer
+),
+per AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS d
+  FROM b GROUP BY 1, 2
+)
+SELECT CAST(3 AS BIGINT) AS l,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(d) AS BIGINT) AS min_diversity,
+       CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_at_risk,
+       MIN(d) >= 3 AS is_l_diverse
+FROM per
+"""
+
+
 def customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter linkage scoring (fuzzy.linkage_scores) over the
     FastSS candidate pairs: name distance + nation/segment agreement +
@@ -4451,4 +4494,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_rfm": (customer_rfm, RFM_ORACLE),
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
+    "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -1012,3 +1012,37 @@ def test_lexical_diversity_known_values(spark):
     assert got[2]["ttr"] == 0.25
     assert got[2]["guiraud"] == round(1 / math.sqrt(4), 6)
     assert got[3]["n_tokens"] == 0 and got[3]["ttr"] == 0.0
+
+
+def test_l_diversity_catches_uniform_sensitive_group(spark):
+    import pytest as _pt
+
+    from hypermap_etl_spark.operators.curation import l_diversity
+
+    rows = (
+        # group A: k-anonymous (6 rows) but sensitive value UNIFORM
+        [("02139", "F", "flu")] * 6
+        # group B: diverse (3 distinct conditions)
+        + [("94110", "M", c) for c in ("flu", "cold", "ok", "flu")]
+        # NULL sensitive values are missingness, not diversity
+        + [("10001", "F", None), ("10001", "F", "flu"), ("10001", "F", "cold")]
+    )
+    df = spark.createDataFrame(rows, "zip string, sex string, cond string")
+    rep = l_diversity(df, ["zip", "sex"], "cond", l=3).collect()[0]
+    assert rep["n_groups"] == 3 and rep["n_rows"] == 13
+    assert rep["min_diversity"] == 1           # the uniform group
+    assert rep["groups_at_risk"] == 2          # uniform + the 2-distinct NULL group
+    assert rep["rows_at_risk"] == 6 + 3
+    assert rep["is_l_diverse"] is False
+
+    ok = l_diversity(
+        spark.createDataFrame(
+            [("z", "F", str(i % 3)) for i in range(9)],
+            "zip string, sex string, cond string",
+        ),
+        ["zip", "sex"], "cond", l=3,
+    ).collect()[0]
+    assert ok["is_l_diverse"] is True and ok["groups_at_risk"] == 0
+
+    with _pt.raises(ValueError):
+        l_diversity(df, ["zip"], "cond", l=1)
