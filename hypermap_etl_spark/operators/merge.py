@@ -358,3 +358,94 @@ def _compact_small_table_unlocked(spark: SparkSession, path: str, num_files: int
     os.rename(staging, path)
     shutil.rmtree(old)
     return n
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """Right-to-be-forgotten propagation: remove every row of the
+    parquet table at ``path`` whose key appears in ``keys_df`` — the
+    deletion half of the MERGE sink (a GDPR/CCPA erasure request is a
+    keyed anti-join, not a full rebuild).
+
+    With ``partition_col``: a column-pruned (keys + partition) scan
+    semi-joined against the delete set finds the TOUCHED partitions —
+    unlike merge, the partition is generally NOT a function of the
+    delete key (users, not block buckets), so touched partitions are
+    discovered from the data; then dynamic partition overwrite
+    rewrites only those. Untouched partition files are never opened
+    for the rewrite. Without it: staged full rewrite + atomic swap
+    (the merge discipline).
+
+    Same single-writer lock as merge — a concurrent writer raises
+    instead of racing. Returns {"deletedCount", "partitionsRewritten"}.
+    """
+    with _merge_lock(path):
+        _recover_interrupted_swap(path)
+        if not os.path.exists(path):
+            return {"deletedCount": 0, "partitionsRewritten": 0}
+        keys = keys_df.select(*key_cols).distinct()
+        existing = spark.read.parquet(path)
+        key = [F.col(f"e.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+
+        if partition_col:
+            touched = [
+                r[0]
+                for r in existing.select(*key_cols, partition_col)
+                .alias("e")
+                .join(keys.alias("n"), key, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return {"deletedCount": 0, "partitionsRewritten": 0}
+            scoped = existing.filter(F.col(partition_col).isin(touched))
+            n_before = scoped.count()
+            survivors = scoped.alias("e").join(keys.alias("n"), key, "left_anti")
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output: a touched partition whose every row is deleted
+            # would otherwise keep its old files — compute the emptied
+            # set first and remove those directories explicitly
+            kept = {
+                r[0]
+                for r in survivors.select(partition_col).distinct().collect()
+            }
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            for p_val in set(touched) - kept:
+                shutil.rmtree(
+                    os.path.join(path, f"{partition_col}={p_val}"),
+                    ignore_errors=True,
+                )
+            n_after = (
+                spark.read.parquet(path)
+                .filter(F.col(partition_col).isin(touched))
+                .count()
+            )
+            return {
+                "deletedCount": n_before - n_after,
+                "partitionsRewritten": len(touched),
+            }
+
+        n_before = existing.count()
+        survivors = existing.alias("e").join(keys.alias("n"), key, "left_anti")
+        staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+        survivors.write.mode("overwrite").parquet(staging)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+        n_after = spark.read.parquet(path).count()
+        return {
+            "deletedCount": n_before - n_after,
+            "partitionsRewritten": 0,
+        }

@@ -341,3 +341,77 @@ def test_compact_partitions_restores_sort_clustering(spark):
     vals = t.column("blockNumber").to_pylist()
     assert vals == sorted(vals)  # physically sorted inside the file
     assert {r["blockNumber"] for r in spark.read.parquet(tbl).collect()} == before
+
+
+def test_delete_keys_partitioned_touches_only_matching_buckets(spark, tmp_path):
+    """GDPR erasure on the partitioned table: only partitions holding
+    the victim keys are rewritten; a partition fully emptied by the
+    delete disappears (dynamic overwrite alone would leave its files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.merge import delete_keys
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"u{i % 10}") for i in range(100)],
+        "row_id long, bucket int, user string",
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.startswith("bucket=")
+    }
+
+    # u3 and u7: rows 3,13,...,93 -> every bucket is touched here, so
+    # target users living only in bucket 1 instead: rows where
+    # row_id % 10 in (1,) live in buckets 1 % 4... pick explicit rows
+    victims = spark.createDataFrame([(3,), (13,), (23,)], "row_id long")
+    rep = delete_keys(spark, path, victims, ["row_id"], "bucket")
+    assert rep["deletedCount"] == 3
+    assert rep["partitionsRewritten"] == 2  # 3,23 -> bucket 3; 13 -> bucket 1
+    back = spark.read.parquet(path)
+    assert back.count() == 97
+    assert back.filter(F.col("row_id").isin(3, 13, 23)).count() == 0
+    # untouched partitions keep their original files
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.startswith("bucket=")
+    }
+    assert after["bucket=0"] == before["bucket=0"]
+    assert after["bucket=2"] == before["bucket=2"]
+
+
+def test_delete_keys_empties_whole_partition_and_unpartitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.merge import delete_keys
+
+    path = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [(i, 0 if i < 5 else 1) for i in range(10)], "k long, bucket int"
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    # delete ALL of bucket 0
+    victims = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    rep = delete_keys(spark, path, victims, ["k"], "bucket")
+    assert rep["deletedCount"] == 5
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert back.filter(F.col("bucket") == 0).count() == 0
+
+    # unpartitioned: staged atomic rewrite
+    p2 = str(tmp_path / "flat")
+    spark.range(20).withColumnRenamed("id", "k").write.parquet(p2)
+    rep2 = delete_keys(
+        spark, p2, spark.createDataFrame([(7,), (8,), (99,)], "k long"), ["k"]
+    )
+    assert rep2["deletedCount"] == 2
+    assert spark.read.parquet(p2).count() == 18
+    # missing table: no-op
+    rep3 = delete_keys(
+        spark, str(tmp_path / "nope"),
+        spark.createDataFrame([(1,)], "k long"), ["k"],
+    )
+    assert rep3 == {"deletedCount": 0, "partitionsRewritten": 0}
