@@ -125,3 +125,60 @@ def score_linear(
         F.col("doc_id").alias(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability diagram for a probabilistic quality filter: bucket
+    rows by predicted score into ``n_bins`` equal-width bins over
+    [0, 1] and compare each bin's mean prediction against its
+    empirical positive rate — the per-bin view whose weighted gap sum
+    is expected calibration error (ECE). A filter whose 0.9-bin is
+    only 60% positive is over-confident: its threshold sweeps lie.
+
+    Input: rows carrying ``score_col`` ∈ [0, 1] and a 0/1
+    ``label_col``. Bin = min(floor(score·n_bins), n_bins−1), so 1.0
+    lands in the last bin; floor on IEEE doubles is engine-identical
+    given identical inputs. Output per non-empty bin:
+    (bin, n, mean_score, pos_rate, abs_gap, ece_term), rounded at the
+    final step only. Σ ece_term over bins = ECE.
+
+    Scale shape: ONE hash aggregate keyed by ≤ n_bins values, then a
+    broadcast single-row total for the ECE weights — the same
+    percentage-of-total construction as the serving plans; nothing
+    corpus-sized shuffles.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    per = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col(score_col)).alias("__ms"),
+        (
+            F.sum(F.col(label_col).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__pr"),
+    )
+    total = per.agg(F.sum("n").alias("__total"))
+    gap = F.abs(F.col("__ms") - F.col("__pr"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.round("__ms", 6).alias("mean_score"),
+            F.round("__pr", 6).alias("pos_rate"),
+            F.round(gap, 6).alias("abs_gap"),
+            F.round(
+                gap * F.col("n").cast("double") / F.col("__total").cast("double"),
+                6,
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )

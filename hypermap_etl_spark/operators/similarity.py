@@ -1498,3 +1498,79 @@ def semantic_decontaminate(
             ),
         )
     )
+
+
+def hard_negative_pairs(
+    emb: DataFrame,
+    k: int = 3,
+    query_filter: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor vector, the top-``k`` most-similar vectors with a DIFFERENT
+    label — the negatives a contrastive or reranker objective learns
+    the most from (they sit just across the decision boundary; random
+    negatives are trivially separable and teach nothing).
+
+    Exact construction: anchors (the sampled ``query_filter`` side,
+    broadcast) join the corpus on (id ≠, label ≠); per-anchor ranking
+    by (rounded sim desc, neighbor_id asc) — the stack's one tie-break
+    convention. The corpus side streams map-side: no shuffle of the
+    big side, no UDF, rank window keyed by anchor over ≤ |corpus|
+    candidates cut to k by WindowGroupLimit.
+
+    At 100 TB the same contract composes with the ANN paths instead:
+    mine candidates via lsh_topk/ivf_topk with a widened k, then
+    post-filter label ≠ and re-rank — this exact operator is the
+    recall oracle for that pipeline, query-sampled exactly like
+    brute_force_topk (and like it, refuses the accidental N² run).
+
+    Output: (query_id, anchor_label, neighbor_id, neighbor_label,
+    sim, rank).
+    """
+    if query_filter is None:
+        raise ValueError(
+            "hard_negative_pairs without query_filter scores the full "
+            "N x N matrix; pass a sampled anchor predicate (at scale, "
+            "mine candidates with lsh_topk/ivf_topk and post-filter)"
+        )
+    nemb = with_norm(fan_out(emb), vec_col)
+    q = nemb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        _vd(vec_col).alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    c = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _vd(vec_col).alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("anchor_label") != F.col("neighbor_label")),
+        )
+        .select("query_id", "anchor_label", "neighbor_id", "neighbor_label", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

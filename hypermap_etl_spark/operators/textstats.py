@@ -961,3 +961,111 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_syll.cast("long").alias("n_syllables"),
         F.round(F.when(n_words > 0, flesch), 6).alias("flesch"),
     )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k_leg: int = 30,
+    rrf_c: int = 60,
+    dim: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse a BM25 lexical leg with a hash-embedding
+    cosine leg as score(d) = Σ_legs 1/(rrf_c + rank_leg(d)) — the
+    standard way production search stacks combine keyword and vector
+    retrieval without score calibration, since RRF consumes only
+    RANKS. The fused score is exact integer-derived arithmetic, so it
+    is engine-reproducible regardless of the legs' float internals.
+
+    The unpartitioned rank windows run on leg frames already cut to
+    ``k_leg`` rows by TakeOrderedAndProject — bounded by construction,
+    never a corpus-wide single-task sort.
+
+    Legs: ``bm25_search`` top-``k_leg`` (scores rounded to 6 before
+    ranking, doc_id tie-break) and cosine of ``hash_embed`` corpus
+    vectors against the query's own hash embedding (the query vector
+    is data-independent — computed driver-side from the same
+    md5-bucket construction and inlined as a literal). Zero-vector
+    documents are excluded from the semantic leg (cosine undefined),
+    mirroring the sparse-join oracle. A document absent from a leg
+    contributes 0 for that leg.
+
+    Scale shape: the corpus is scanned twice (once per leg — inherent:
+    the legs index different representations); each leg ends in a
+    TakeOrderedAndProject of k_leg rows, so the fusion join and final
+    ordering run on ≤ 2·k_leg rows. No corpus-wide window, no UDF; the
+    query embedding is a broadcast-free literal.
+    """
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = [t.lower() for t in query_terms]
+
+    # --- query vector: driver-side replay of hash_embed's buckets ---
+    qv = [0.0] * dim
+    for t in qt:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        b = int(h[:8], 16) % dim
+        sgn = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        qv[b] += sgn
+    qn = sum(v * v for v in qv) ** 0.5
+    w_leg = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    lex = (
+        bm25_search(docs, qt, k=k_leg, text_col=text_col)
+        .withColumn("lex_rank", F.row_number().over(w_leg))
+        .select("doc_id", "lex_rank")
+    )
+
+    if qn == 0:  # query terms hash-cancelled: lexical-only fusion
+        fused = lex.select(
+            "doc_id", "lex_rank", F.lit(None).cast("int").alias("sem_rank")
+        )
+    else:
+        qlit = F.array(*[F.lit(v / qn) for v in qv])
+        emb = hash_embed(docs.select("doc_id", text_col), dim=dim,
+                         text_col=text_col)
+        dot = F.aggregate(
+            F.zip_with("embedding", qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm2 = F.aggregate(
+            F.zip_with("embedding", F.col("embedding"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sem = (
+            emb.withColumn("__n2", norm2)
+            .filter(F.col("__n2") > 0)
+            .select("doc_id", F.round(dot, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k_leg)
+            .withColumn("sem_rank", F.row_number().over(w_leg))
+            .select("doc_id", "sem_rank")
+        )
+        fused = lex.join(sem, "doc_id", "full_outer")
+
+    rrf = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("lex_rank")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("sem_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("sem_rank")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3960,7 +3960,205 @@ def doc_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (textstats.hybrid_rrf_search): BM25 lexical
+    leg + hash-embedding cosine leg for the query {join, window,
+    scan}, fused by reciprocal rank fusion 1/(60+rank) — how
+    production search stacks combine keyword and vector retrieval
+    without score calibration. The fused score is exact
+    integer-derived arithmetic; only the legs' internal rankings
+    touch floats, and both legs rank ROUNDED scores with doc_id
+    tie-breaks. Absent-leg ranks surface as 0 (documented marker),
+    keeping the output scalar and null-free."""
+    return textstats.hybrid_rrf_search(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["join", "window", "scan"],
+    )
+
+
+HYBRID_RRF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS term
+  FROM documents
+),
+lens AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(len) FROM lens) AS avg_len),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ('join', 'window', 'scan') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT doc_id,
+    ROUND(SUM(
+      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      * tf.tf * 2.2
+      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avg_len))
+    ), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 30
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM bm25
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS b,
+         CASE WHEN CAST('0x' || substr(md5(term), 9, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM t
+),
+sums AS (SELECT doc_id, b, SUM(sgn) AS v FROM h GROUP BY doc_id, b),
+norms AS (SELECT doc_id, SQRT(SUM(v * v)) AS n FROM sums GROUP BY doc_id),
+qtok AS (SELECT unnest(['join', 'window', 'scan']) AS term),
+qh AS (
+  SELECT CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS b,
+         CASE WHEN CAST('0x' || substr(md5(term), 9, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM qtok
+),
+qsums AS (SELECT b, SUM(sgn) AS v FROM qh GROUP BY b),
+qn AS (SELECT SQRT(SUM(v * v)) AS n FROM qsums),
+qvec AS (SELECT b, v / (SELECT n FROM qn) AS qval FROM qsums),
+simt AS (
+  SELECT s.doc_id, ROUND(SUM((s.v / norms.n) * q.qval), 6) AS score
+  FROM sums s
+  JOIN norms USING (doc_id)
+  JOIN qvec q ON s.b = q.b
+  WHERE norms.n <> 0
+  GROUP BY s.doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 30
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS sem_rank
+  FROM simt
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+       ROUND(
+         CASE WHEN lex_rank IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) / (60 + lex_rank) END
+         + CASE WHEN sem_rank IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / (60 + sem_rank) END, 6) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_pairs): per
+    sampled anchor, the exact top-3 most-similar vectors with a
+    DIFFERENT label — the contrastive-training pair builder. Exact by
+    construction (broadcast anchors, streamed corpus); the ANN-mined
+    variant uses this as its recall oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_pairs(
+        emb, k=3, query_filter=F.col("vec_id") % 100 == 0
+    ).orderBy("query_id", "rank")
+
+
+HARD_NEGATIVES_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+  FROM q JOIN e ON q.vec_id <> e.vec_id AND q.label <> e.label
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+
+def doc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality-filter serving path
+    (quality_model.calibration_report over score_linear's output,
+    same md5-derived 16-dim weights as doc_model_scores) against a
+    deterministic doc_id%3 pseudo-label: per decile bin, n / mean
+    prediction / empirical positive rate / |gap| / ECE term. Scores
+    are rounded to 6 BEFORE binning in both engines, so the bin
+    assignment is computed from identical doubles."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import (
+        calibration_report,
+        score_linear,
+    )
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    ).select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return calibration_report(scored, n_bins=10)
+
+
+CALIBRATION_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+lab AS (
+  SELECT doc_id, score,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM scores
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, label
+  FROM lab
+),
+per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, AVG(score) AS ms,
+         CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pr
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n) AS total FROM per)
+SELECT bin, n, ROUND(ms, 6) AS mean_score, ROUND(pr, 6) AS pos_rate,
+       ROUND(ABS(ms - pr), 6) AS abs_gap,
+       ROUND(ABS(ms - pr) * CAST(n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+         AS ece_term
+FROM per CROSS JOIN tot
+ORDER BY bin
+"""
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
+    "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
+    "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
+    "doc_hybrid_rrf": (doc_hybrid_rrf, HYBRID_RRF_ORACLE),
     "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_ORACLE),
     "doc_hash_embed": (doc_hash_embed, HASH_EMBED_ORACLE),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_ORACLE),

@@ -106,3 +106,37 @@ def test_train_partition_tolerant_accuracy(spark):
             / 200
         )
         assert acc >= 0.95
+
+
+def test_calibration_report_hand_computed(spark):
+    """Perfectly calibrated bin vs over-confident bin, exact values."""
+    from hypermap_etl_spark.operators.quality_model import calibration_report
+
+    rows = [
+        # bin 8: mean score 0.85, pos rate 0.5 -> gap 0.35
+        (0, 0.85, 1), (1, 0.85, 0),
+        # bin 2: mean 0.25, pos rate 0.25 -> gap 0.0
+        (2, 0.25, 0), (3, 0.25, 0), (4, 0.25, 1), (5, 0.25, 0),
+        # score 1.0 lands in the LAST bin, not bin 10
+        (6, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    out = {r["bin"]: r for r in calibration_report(df, n_bins=10).collect()}
+    assert set(out) == {2, 8, 9}
+    assert out[8]["n"] == 2 and out[8]["abs_gap"] == 0.35
+    assert out[2]["abs_gap"] == 0.0 and out[2]["pos_rate"] == 0.25
+    assert out[9]["n"] == 1 and out[9]["mean_score"] == 1.0
+    # ECE terms: gap * n/total, total=7
+    assert out[8]["ece_term"] == round(0.35 * 2 / 7, 6)
+    ece = sum(r["ece_term"] for r in out.values())
+    assert abs(ece - 0.1) < 1e-6
+
+
+def test_calibration_report_rejects_bad_bins(spark):
+    from hypermap_etl_spark.operators.quality_model import calibration_report
+
+    df = spark.createDataFrame([(0, 0.5, 1)], "doc_id long, score double, label int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        calibration_report(df, n_bins=0)

@@ -1738,3 +1738,87 @@ def test_prefix_filter_validates_threshold(spark):
         prefix_filter_pairs(docs, 0.0)
     with pytest.raises(ValueError):
         prefix_filter_pairs(docs, 1.2)
+
+
+# ---------------------------------------------------------------- hybrid RRF
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """A doc ranked #1 lexically and #1 semantically must out-fuse a
+    doc present in only one leg; absent-leg ranks surface as 0 and
+    contribute nothing."""
+    d = _docs(
+        spark,
+        [
+            "join window scan join window",   # both legs love it
+            "join scan",                       # lexical hit, related vector
+            FAR,                               # neither
+            "window " + FAR,                   # weak single-term hit
+        ],
+    )
+    out = textstats.hybrid_rrf_search(d, ["join", "window", "scan"], k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["lex_rank"] == 1 and rows[0]["sem_rank"] == 1
+    assert rows[0]["rrf_score"] == max(r["rrf_score"] for r in rows.values())
+    # fused score is exactly the reciprocal-rank sum
+    for r in rows.values():
+        exp = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(exp, 6)) < 1e-12
+    # doc 2 matches no query term lexically
+    assert rows[2]["lex_rank"] == 0 if 2 in rows else True
+
+
+def test_hybrid_rrf_leg_bounds_and_determinism(spark):
+    """Legs are cut to k_leg before fusion; reruns are identical."""
+    texts = [f"join window scan filler{i} " + ("pad " * (i % 7)) for i in range(40)]
+    d = _docs(spark, texts)
+    out = textstats.hybrid_rrf_search(d, ["join", "scan"], k=10, k_leg=15)
+    a = [tuple(r) for r in out.collect()]
+    b = [tuple(r) for r in out.collect()]
+    assert a == b and len(a) == 10
+    assert all(r[1] <= 15 and r[2] <= 15 for r in a)
+
+
+def test_hybrid_rrf_rejects_empty_query(spark):
+    d = _docs(spark, [BASE])
+    with pytest.raises(ValueError):
+        textstats.hybrid_rrf_search(d, [])
+
+
+# ------------------------------------------------------------ hard negatives
+
+
+def _labeled_vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hard_negatives_skip_same_label(spark):
+    """The most-similar vector overall shares the anchor's label and
+    must NOT appear; the top hard negative is the closest other-label
+    vector."""
+    d = _labeled_vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0], 1),          # anchor
+            (1, [0.99, 0.14, 0.0], 1),        # nearest, same label: excluded
+            (2, [0.9, 0.43, 0.0], 2),         # nearest other-label
+            (3, [0.0, 1.0, 0.0], 2),
+            (4, [-1.0, 0.0, 0.0], 3),
+        ],
+    )
+    out = similarity.hard_negative_pairs(
+        d, k=2, query_filter=F.col("vec_id") == 0
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+    assert all(r["neighbor_label"] != r["anchor_label"] for r in out)
+    assert all(r["anchor_label"] == 1 for r in out)
+
+
+def test_hard_negatives_requires_anchor_filter(spark):
+    d = _labeled_vecs(spark, [(0, [1.0], 1), (1, [0.5], 2)])
+    with pytest.raises(ValueError):
+        similarity.hard_negative_pairs(d, k=1)
