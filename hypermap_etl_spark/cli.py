@@ -135,14 +135,25 @@ def cmd_sql(args) -> None:
 
 
 def cmd_search(args) -> None:
-    """BM25 full-text search over a documents parquet — retrieval as
+    """Full-text search over a documents parquet — retrieval as
     relational algebra (operators/textstats.bm25_search); results print
-    as JSON lines with scores."""
-    from hypermap_etl_spark.operators.textstats import bm25_search, bm25_snippets
+    as JSON lines with scores. ``--hybrid`` fuses the BM25 leg with the
+    hash-embedding cosine leg by reciprocal rank fusion."""
+    from hypermap_etl_spark.operators.textstats import (
+        bm25_search,
+        bm25_snippets,
+        hybrid_rrf_search,
+    )
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
-    if args.snippets:
+    if args.hybrid:
+        hits = hybrid_rrf_search(docs, args.query.split(), k=args.k)
+        if args.show_text:
+            hits = hits.join(docs.select("doc_id", "text"), "doc_id").orderBy(
+                F.desc("rrf_score"), F.asc("doc_id")
+            )
+    elif args.snippets:
         hits = bm25_snippets(docs, args.query.split(), k=args.k)
     else:
         hits = bm25_search(docs, args.query.split(), k=args.k)
@@ -1305,6 +1316,9 @@ def main(argv=None) -> None:
     p = sub.add_parser("search", help="BM25 search over a documents parquet")
     p.add_argument("--snippets", action="store_true",
                    help="print hit-centered snippets instead of bare scores")
+    p.add_argument("--hybrid", action="store_true",
+                   help="fuse BM25 with the hash-embedding cosine leg "
+                        "by reciprocal rank fusion")
     p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
     p.add_argument("query", help="space-separated query terms")
     p.add_argument("--k", type=int, default=10)

@@ -175,6 +175,25 @@ def test_cli_search(spark, capsys):
     assert lines[0]["score"] >= lines[1]["score"] >= lines[2]["score"]
 
 
+def test_cli_search_hybrid(spark, capsys):
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    main(["search", "--hybrid", "--docs",
+          "/root/testdata/sf0.001/documents.parquet",
+          "join window scan", "--k", "5"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["rrf_score"] >= lines[-1]["rrf_score"]
+    # fused score is the reciprocal-rank sum of the leg ranks
+    for l in lines:
+        exp = (1.0 / (60 + l["lex_rank"]) if l["lex_rank"] else 0.0) + (
+            1.0 / (60 + l["sem_rank"]) if l["sem_rank"] else 0.0
+        )
+        assert abs(l["rrf_score"] - round(exp, 6)) < 1e-12
+
+
 def test_cli_layout_and_dsir(spark, capsys):
     base = tempfile.mkdtemp()
     out = f"{base}/clustered"

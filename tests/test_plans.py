@@ -631,3 +631,27 @@ def test_r6_operator_plan_shapes(spark):
     p = _plan(parts_copurchase_triangles(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hybrid_rrf_and_hard_negatives_plan_shapes(spark):
+    """The RRF fusion join runs on leg frames already cut by
+    TakeOrderedAndProject (never a corpus-wide join); hard-negative
+    mining broadcasts the anchor side so the corpus never shuffles."""
+    from hypermap_etl_spark.operators.similarity import hard_negative_pairs
+    from hypermap_etl_spark.operators.textstats import hybrid_rrf_search
+
+    docs = spark.createDataFrame(
+        [(i, f"join window scan w{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ph = _plan(hybrid_rrf_search(docs, ["join", "scan"], k=5, k_leg=8))
+    assert ph.count("TakeOrderedAndProject") >= 2  # one per leg + fusion
+    assert "CartesianProduct" not in ph
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pn = _plan(hard_negative_pairs(vecs, k=2, query_filter=F.col("vec_id") < 3))
+    assert "BroadcastNestedLoopJoin BuildLeft" in pn  # anchors broadcast
+    assert "CartesianProduct" not in pn
