@@ -119,6 +119,12 @@ _WINDOW: list[str] = [
 # orders_with_big_lineitem, parts_size_filter, top_orders_denorm)
 # stay outside: all r2-green, simplest SQL shapes in the registry,
 # operators untouched since.
+#
+# QUEUED FOR THE R7 WINDOW (registered + local-parity-green this
+# session, no slot left once the 38 never-checked gates took the
+# front): events_ab_welch, customer_linkage, customer_l_diversity,
+# customer_rfm, doc_hybrid_rrf, emb_hard_negatives, doc_calibration,
+# q7_volume_shipping. These lead r7 ahead of any re-cert.
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
