@@ -1443,9 +1443,14 @@ def prefix_filter_pairs(
     tn, td = fr.numerator, fr.denominator
     from pyspark.sql.window import Window
 
-    sh = shingle_index(docs, text_col, n)
+    # ONE tokenize pass: every downstream consumer (df counts, prefix
+    # ranking, verification arrays) reads the persisted index instead
+    # of re-running the shingle explode — unpersisted, Spark recomputes
+    # the CPU-bound tokenization once per consumer (8 scans in the
+    # naive plan). Storage is the index itself, the same frame the
+    # candidate join would spill through a shuffle anyway.
+    sh = tracked_persist(shingle_index(docs, text_col, n))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_sh"))
     # exact integer prefix length: s - ceil(t*s) + 1, ceil in integers
     pref_len = (
         F.col("__n_sh")
@@ -1455,9 +1460,12 @@ def prefix_filter_pairs(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("__df").asc(), F.col("sh").asc()
     )
-    prefixes = (
+    # per-doc size rides the SAME doc_id exchange as the rank window
+    # (unordered frame) — no separate aggregate, no extra join
+    w_n = Window.partitionBy("doc_id")
+    prefixes = tracked_persist(
         sh.join(dfreq, "sh")
-        .join(sizes, "doc_id")
+        .withColumn("__n_sh", F.count(F.lit(1)).over(w_n))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= pref_len)
         .select("doc_id", "sh")
@@ -1474,8 +1482,10 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    arrays = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sh")).alias("__arr")
+    arrays = tracked_persist(
+        sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("sh")).alias("__arr")
+        )
     )
     inter = F.size(F.array_intersect(F.col("__arr_a"), F.col("__arr_b")))
     sa, sb = F.size(F.col("__arr_a")), F.size(F.col("__arr_b"))
