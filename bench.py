@@ -38,6 +38,7 @@ def main() -> None:
     from hypermap_etl_spark.plans.doc_queries import (
         doc_balanced_shards,
         doc_cdc_dedup,
+        doc_hybrid_rrf,
         doc_minhash_pairs,
         doc_prefix_pairs,
         emb_ann_topk,
@@ -123,6 +124,10 @@ def main() -> None:
         "weighted_median": lineitem_weighted_median,
         "cdc_dedup": doc_cdc_dedup,
         "prefix_pairs": doc_prefix_pairs,
+        # r6 continuation: hybrid retrieval (BM25 leg + hash-embed
+        # cosine leg fused by RRF) — two corpus scans, two top-k legs,
+        # fusion on ≤2·k_leg rows
+        "hybrid_rrf": doc_hybrid_rrf,
     }
 
     spark = get_spark("hypermap-etl-bench")

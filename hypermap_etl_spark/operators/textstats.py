@@ -380,9 +380,11 @@ def bm25_search(
     side of a corpus pipeline (e.g. decontamination triage or
     retrieval-based inspection), as pure relational algebra:
 
-      one explode → per-(doc, term) tf (map-combined) → document
-      frequencies for the |query| terms only (tiny, broadcast) → score
-      sum per doc → TakeOrderedAndProject top-k.
+      ONE explode → a persisted per-doc aggregate (length + one tf
+      column per query term, |docs| narrow rows) → avg_len and all
+      document frequencies in a single driver collect → idf as
+      literals in a map-side score expression → TakeOrderedAndProject
+      top-k. One corpus pass total; no join anywhere.
 
     idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Robertson-Sparck
     Jones form, always positive); length norm uses exact doc lengths
@@ -394,38 +396,66 @@ def bm25_search(
     over documents that can actually score. The oracle mirrors both
     choices. An empty/tokenless corpus returns an empty frame.
     """
+    from hypermap_etl_spark.util import tracked_persist
+
     ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
-    base = docs.select("doc_id", F.explode(ws).alias("term"))
-    # lengths from the token stream: a zero-token doc can match no term,
-    # and excluding it from the corpus mean keeps the statistic defined
-    # purely over scoreable documents
-    lens = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__len"))
+    qt = list(dict.fromkeys(t.lower() for t in query_terms))
+
+    # ONE tokenize pass for everything: the naive construction scans
+    # and re-tokenizes the corpus once for lengths, once for the
+    # avg-length collect, once for tf, and once for df (~5 corpus
+    # passes per query). Here one explode→aggregate produces the
+    # narrow per-doc frame (len + one tf column per query term, |docs|
+    # rows), persisted; avg_len and every df come out of it in ONE
+    # driver collect, and scoring is a pure map-side expression over
+    # the cache — no joins, no broadcast, nothing corpus-sized after
+    # the first pass.
+    tok = docs.select("doc_id", F.explode(ws).alias("term"))
+    per_doc = tracked_persist(
+        tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__len"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"__tf_{i}")
+                for i, t in enumerate(qt)
+            ],
+        )
+    )
     n_docs = docs.count()
-    avg_len = lens.agg(F.avg("__len")).collect()[0][0]
+    stats = per_doc.agg(
+        F.avg("__len").alias("__avg"),
+        *[
+            F.count(F.when(F.col(f"__tf_{i}") > 0, F.lit(1))).alias(f"__df_{i}")
+            for i in range(len(qt))
+        ],
+    ).collect()[0]
+    avg_len = stats["__avg"]
     if avg_len is None:  # no tokenized docs at all — nothing can score
         return docs.select("doc_id").limit(0).withColumn("score", F.lit(0.0))
 
-    qt = [t.lower() for t in query_terms]
-    tf = (
-        base.filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
-    )
-    denom = F.col("__tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
-    )
-    per_term = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
-        .select("doc_id", (idf * F.col("__tf") * F.lit(k1 + 1) / denom).alias("__s"))
+    import math
+
+    score = F.lit(0.0)
+    for i in range(len(qt)):
+        idf = math.log(
+            (float(n_docs) - stats[f"__df_{i}"] + 0.5)
+            / (stats[f"__df_{i}"] + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"__tf_{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
+        )
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1) / denom
+    any_hit = (
+        F.col("__tf_0")
+        if len(qt) == 1
+        else F.greatest(*[F.col(f"__tf_{i}") for i in range(len(qt))])
     )
     return (
-        per_term.groupBy("doc_id")
-        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        per_doc.filter(any_hit > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

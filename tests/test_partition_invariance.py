@@ -123,6 +123,16 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_cdc_dedup"),
     ("doc_queries", "doc_readability"),
     ("doc_queries", "doc_prefix_pairs"),
+    # r6 continuation: RRF scores are integer-rank arithmetic but the
+    # LEG rankings rank rounded float sums (BM25 score, hash-embed
+    # cosine) — a layout flip in either leg would reorder the fusion;
+    # hard-negative sims are per-pair ordered folds; calibration bins
+    # floor rounded sigmoid scores and average them per bin; Q7
+    # revenue is an exact-decimal sum surfaced as double
+    ("doc_queries", "doc_hybrid_rrf"),
+    ("doc_queries", "emb_hard_negatives"),
+    ("doc_queries", "doc_calibration"),
+    ("star_queries", "q7_volume_shipping"),
 ]
 
 
