@@ -156,25 +156,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # core8 keeps its original membership for round-over-round
-    # comparability: later additions (curate_pipeline, events_page_deep)
-    # report their own numbers but stay out of the core total
-    core8 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k
-            not in (
-                "curate_pipeline",
-                "events_page_deep",
-                "incremental_dedup",
-                "balanced_shards",
-                "weighted_median",
-                "cdc_dedup",
-                "prefix_pairs",
-            )
-        ),
-        3,
+    # comparability — an EXPLICIT include list, so adding a headliner
+    # can never silently inflate the core total (the r6 continuation
+    # briefly did exactly that via the old exclusion list)
+    _CORE8 = (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "events_sessions",
+        "hm_decode_roundtrip",
+        "hm_entries",
+        "doc_minhash_pairs",
+        "emb_ann_topk",
     )
+    core8 = round(sum(timings[k] for k in _CORE8), 3)
     print(
         json.dumps(
             {
