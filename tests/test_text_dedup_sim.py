@@ -1822,3 +1822,62 @@ def test_hard_negatives_requires_anchor_filter(spark):
     d = _labeled_vecs(spark, [(0, [1.0], 1), (1, [0.5], 2)])
     with pytest.raises(ValueError):
         similarity.hard_negative_pairs(d, k=1)
+
+
+# --------------------------------------------- PPJoin completeness property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    threshold=st.sampled_from([0.5, 0.6, 0.7, 0.75, 0.8, 0.9]),
+)
+def test_prefix_filter_matches_quadratic_jaccard(spark, seed, threshold):
+    """PPJoin completeness as a property: on a random small corpus with
+    planted near-dups, prefix_filter_pairs must emit EXACTLY the pair
+    set a quadratic Python reference finds — the integer-exact prefix
+    lengths (Fraction ceilings) are what a double-ceil would break at
+    thresholds like 0.7."""
+    import random as _r
+
+    rng = _r.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    base_docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+        for _ in range(8)
+    ]
+    # plant mutated copies so thresholds actually trigger
+    mutated = []
+    for t in base_docs[:4]:
+        ws = t.split()
+        ws[rng.randrange(len(ws))] = rng.choice(vocab)
+        mutated.append(" ".join(ws))
+    texts = base_docs + mutated
+    d = _docs(spark, texts)
+
+    def shingles(t, n=3):
+        ws = t.lower().split()
+        return set(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        ) if len(ws) >= n else set()
+
+    expected = set()
+    sh = [shingles(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            jac = round(inter / (len(sh[a] | sh[b])), 6)
+            if jac >= threshold:
+                expected.add((a, b))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.prefix_filter_pairs(d, threshold).collect()
+    }
+    assert got == expected
