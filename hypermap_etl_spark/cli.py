@@ -145,6 +145,11 @@ def cmd_search(args) -> None:
         hybrid_rrf_search,
     )
 
+    if args.hybrid and args.snippets:
+        raise SystemExit(
+            "search: --hybrid and --snippets are mutually exclusive "
+            "(snippets are a BM25-leg rendering)"
+        )
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
     if args.hybrid:

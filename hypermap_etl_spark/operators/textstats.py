@@ -395,6 +395,12 @@ def bm25_search(
     docs can match no term, so excluding them keeps the mean defined
     over documents that can actually score. The oracle mirrors both
     choices. An empty/tokenless corpus returns an empty frame.
+
+    The one-tf-column-per-term layout assumes IR-shaped bag-of-terms
+    queries (a handful to a few dozen terms). Thousand-term "queries"
+    still run (Spark falls back to interpreted projection past the
+    codegen field cap) but belong in doc_tfidf/dsir-style batch
+    scoring, not this point-query path.
     """
     from hypermap_etl_spark.util import tracked_persist
 

@@ -194,6 +194,15 @@ def test_cli_search_hybrid(spark, capsys):
         assert abs(l["rrf_score"] - round(exp, 6)) < 1e-12
 
 
+def test_cli_search_hybrid_snippets_conflict():
+    import pytest as _pt
+
+    from hypermap_etl_spark.cli import main
+
+    with _pt.raises(SystemExit):
+        main(["search", "--hybrid", "--snippets", "--docs", "x.parquet", "q"])
+
+
 def test_cli_layout_and_dsir(spark, capsys):
     base = tempfile.mkdtemp()
     out = f"{base}/clustered"
