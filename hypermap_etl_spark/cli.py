@@ -355,6 +355,27 @@ def cmd_quality(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_calibrate(args) -> None:
+    """Reliability diagram + ECE over a scored parquet
+    (quality_model.calibration_report): one JSON line per non-empty
+    score bin, then a summary line with the ECE — the check that a
+    quality filter's probabilities MEAN something before its threshold
+    sweeps are trusted."""
+    from hypermap_etl_spark.operators.quality_model import calibration_report
+
+    spark = _spark(args)
+    scored = spark.read.parquet(args.scored)
+    rep = calibration_report(
+        scored,
+        n_bins=args.bins,
+        score_col=args.score_col,
+        label_col=args.label_col,
+    ).collect()
+    for r in rep:
+        print(json.dumps(r.asDict()))
+    print(json.dumps({"ece": round(sum(r["ece_term"] for r in rep), 6)}))
+
+
 def cmd_dedup_index(args) -> None:
     """Incremental-dedup signature store: `--build` appends a docs
     parquet's MinHash band buckets to the bucketed store table;
@@ -1459,6 +1480,13 @@ def main(argv=None) -> None:
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--threshold", type=float, default=None,
                    help="also report how many docs score >= threshold")
+    p = sub.add_parser("calibrate",
+                       help="reliability diagram + ECE for a scored parquet")
+    p.add_argument("--scored", required=True,
+                   help="parquet with a probability column and a 0/1 label")
+    p.add_argument("--score-col", default="score")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--bins", type=int, default=10)
     p = sub.add_parser("snapshot",
                        help="versioned corpus snapshots: write/list/"
                             "rollback/vacuum/diff")
@@ -1592,6 +1620,7 @@ def main(argv=None) -> None:
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "quality": cmd_quality,
+        "calibrate": cmd_calibrate,
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,

@@ -194,6 +194,24 @@ def test_cli_search_hybrid(spark, capsys):
         assert abs(l["rrf_score"] - round(exp, 6)) < 1e-12
 
 
+def test_cli_calibrate(spark, capsys, tmp_path):
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    rows = [(0, 0.85, 1), (1, 0.85, 0), (2, 0.25, 0), (3, 0.25, 0),
+            (4, 0.25, 1), (5, 0.25, 0), (6, 1.0, 1)]
+    p = str(tmp_path / "scored.parquet")
+    spark.createDataFrame(rows, "doc_id long, score double, label int") \
+        .write.parquet(p)
+    main(["calibrate", "--scored", p])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    bins = {l["bin"]: l for l in lines[:-1]}
+    assert set(bins) == {2, 8, 9}
+    assert bins[8]["abs_gap"] == 0.35
+    assert abs(lines[-1]["ece"] - 0.1) < 1e-6
+
+
 def test_cli_search_hybrid_snippets_conflict():
     import pytest as _pt
 
