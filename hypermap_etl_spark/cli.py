@@ -588,6 +588,25 @@ def cmd_pca(args) -> None:
     }))
 
 
+def cmd_reorg(args) -> None:
+    """Chain-reorg recovery (operators/merge.reorg_rollback): truncate
+    the indexed event log above the fork block — whole tail buckets
+    drop as directories, one partition rewrite at most — and repair
+    the derived entries table keyed on what the discarded events (or a
+    previous interrupted run) touched. Prints one JSON report line."""
+    from hypermap_etl_spark.operators.merge import reorg_rollback
+
+    spark = _spark(args)
+    rep = reorg_rollback(
+        spark,
+        args.table,
+        args.fork_block,
+        entries_path=args.entries,
+        entry_buckets=args.entry_buckets,
+    )
+    print(json.dumps(rep))
+
+
 def cmd_compact(args) -> None:
     """Maintenance: collapse small-file partitions of a streamed table
     (and optionally the hash-bucketed entries table and/or a side table
@@ -1480,6 +1499,16 @@ def main(argv=None) -> None:
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--threshold", type=float, default=None,
                    help="also report how many docs score >= threshold")
+    p = sub.add_parser("reorg",
+                       help="roll the indexed log back to a fork block "
+                            "and repair derived entries")
+    p.add_argument("--table", required=True, help="partitioned events table")
+    p.add_argument("--fork-block", type=int, required=True,
+                   help="last block that SURVIVES the reorg")
+    p.add_argument("--entries", default=None,
+                   help="derived entries table to repair")
+    p.add_argument("--entry-buckets", type=int, default=None,
+                   help="entry_bucket partition count of the entries table")
     p = sub.add_parser("calibrate",
                        help="reliability diagram + ECE for a scored parquet")
     p.add_argument("--scored", required=True,
@@ -1617,6 +1646,7 @@ def main(argv=None) -> None:
         "events": cmd_events,
         "sql": cmd_sql,
         "compact": cmd_compact,
+        "reorg": cmd_reorg,
         "curate": cmd_curate, "search": cmd_search,
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "quality": cmd_quality,

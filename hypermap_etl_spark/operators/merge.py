@@ -449,3 +449,151 @@ def delete_keys(
             "deletedCount": n_before - n_after,
             "partitionsRewritten": 0,
         }
+
+
+def reorg_rollback(
+    spark: SparkSession,
+    events_path: str,
+    fork_block: int,
+    entries_path: str | None = None,
+    block_col: str = "blockNumber",
+    partition_col: str | None = "block_bucket",
+    bucket_size: int = BLOCK_BUCKET_SIZE,
+    entry_buckets: int | None = None,
+) -> dict[str, int]:
+    """Chain-reorganization recovery: discard every indexed event ABOVE
+    ``fork_block`` and repair the derived entries table to exactly the
+    state a fresh index of the surviving log would produce. The
+    reference indexer has no reorg path at all (extract-events.ts only
+    ever appends and upserts); a production chain indexer needs one —
+    a reorg makes the append-only assumption of the entries fold false.
+
+    Events (under the table's single-writer lock): with block-bucket
+    partitioning, buckets entirely above the fork are DELETED as
+    directories without ever being opened, the fork's own bucket is
+    the single partition rewrite, and every bucket below is untouched
+    — work is O(reorg depth), not O(log). Unpartitioned fallback:
+    staged full rewrite + atomic swap (the merge discipline).
+
+    Entries (optional, keyed repair — the incremental_entries_update
+    machinery run in reverse): the fold is a pure function of each
+    key's own events, so only keys REFERENCED by a discarded event can
+    change. Those keys' events are replayed from the surviving log and
+    MERGEd; keys with no surviving events are delete_keys'd. The
+    repair set is widened with stored entries whose lastUpdateBlock >
+    fork_block (M8 is the max applied block, so every reorg-affected
+    entry is visible that way), which makes a crash between the two
+    table writes self-healing: re-running the same rollback finds no
+    discarded events but still repairs the stale entries.
+
+    Returns {"eventsDeleted", "bucketsDropped", "bucketsRewritten",
+    "entriesUpserted", "entriesDeleted"}.
+    """
+    from hypermap_etl_spark.operators.materialize import (
+        events_referencing,
+        materialize_entries,
+        touched_namehashes,
+        with_entry_bucket,
+    )
+
+    out = {
+        "eventsDeleted": 0,
+        "bucketsDropped": 0,
+        "bucketsRewritten": 0,
+        "entriesUpserted": 0,
+        "entriesDeleted": 0,
+    }
+    with _merge_lock(events_path):
+        _recover_interrupted_swap(events_path)
+        existing = spark.read.parquet(events_path)
+        discarded = existing.filter(F.col(block_col) > fork_block)
+        n_discarded = discarded.count()
+        keys = None
+        if entries_path is not None and n_discarded:
+            # pin the write set BEFORE any file is deleted — the lazy
+            # frame would re-read the truncated table
+            keys = touched_namehashes(discarded).localCheckpoint()
+        if n_discarded:
+            out["eventsDeleted"] = n_discarded
+            if partition_col and partition_col in existing.columns:
+                fork_bucket = fork_block // bucket_size
+                above = sorted(
+                    r[0]
+                    for r in existing.filter(
+                        F.col(block_col) > fork_block
+                    )
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                )
+                for b in above:
+                    if b > fork_bucket:
+                        shutil.rmtree(
+                            os.path.join(events_path, f"{partition_col}={b}"),
+                            ignore_errors=True,
+                        )
+                        out["bucketsDropped"] += 1
+                if fork_bucket in above:
+                    survivors = existing.filter(
+                        (F.col(partition_col) == fork_bucket)
+                        & (F.col(block_col) <= fork_block)
+                    )
+                    if survivors.isEmpty():
+                        # dynamic overwrite writes nothing for an empty
+                        # frame — the stale directory must go explicitly
+                        shutil.rmtree(
+                            os.path.join(
+                                events_path, f"{partition_col}={fork_bucket}"
+                            ),
+                            ignore_errors=True,
+                        )
+                        out["bucketsDropped"] += 1
+                    else:
+                        (
+                            survivors.write.mode("overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .partitionBy(partition_col)
+                            .parquet(events_path)
+                        )
+                        out["bucketsRewritten"] = 1
+            else:
+                survivors = existing.filter(F.col(block_col) <= fork_block)
+                staging = f"{events_path}__staging_{uuid.uuid4().hex[:8]}"
+                survivors.write.mode("overwrite").parquet(staging)
+                old = f"{events_path}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(events_path, old)
+                os.rename(staging, events_path)
+                shutil.rmtree(old)
+
+    if entries_path is None or not os.path.exists(entries_path):
+        return out
+
+    # widen with entries the STORE says were touched above the fork —
+    # self-healing if a previous rollback truncated events but died
+    # before this repair
+    stored = spark.read.parquet(entries_path)
+    stale = stored.filter(F.col("lastUpdateBlock") > fork_block).select("namehash")
+    # pin before the entries writes below — `stale` lazily reads the
+    # very files the merge is about to replace
+    keys = (
+        stale if keys is None else keys.unionByName(stale).distinct()
+    ).localCheckpoint()
+    if keys.isEmpty():
+        return out
+
+    surviving = spark.read.parquet(events_path)
+    refolded = (
+        materialize_entries(events_referencing(surviving, keys))
+        .join(F.broadcast(keys), "namehash", "left_semi")
+        .localCheckpoint()
+    )
+    pcol = "entry_bucket" if entry_buckets else None
+    if entry_buckets:
+        refolded = with_entry_bucket(refolded, entry_buckets)
+    rep = merge_into_parquet(spark, entries_path, refolded, ["namehash"], pcol)
+    out["entriesUpserted"] = rep["upsertedCount"] + rep["modifiedCount"]
+    gone = keys.join(refolded.select("namehash"), "namehash", "left_anti")
+    if not gone.isEmpty():
+        drep = delete_keys(spark, entries_path, gone, ["namehash"], pcol)
+        out["entriesDeleted"] = drep["deletedCount"]
+    return out

@@ -194,6 +194,36 @@ def test_cli_search_hybrid(spark, capsys):
         assert abs(l["rrf_score"] - round(exp, 6)) < 1e-12
 
 
+def test_cli_reorg(spark, capsys, tmp_path):
+    import json
+
+    from hypermap_etl_spark.constants import ROOT_HASH
+    from hypermap_etl_spark.cli import main
+    from hypermap_etl_spark.operators.materialize import materialize_entries
+    from hypermap_etl_spark.operators.merge import with_block_bucket
+    from tests.helpers import ev, events_df, h
+
+    P, C = h(1), h(2)
+    rows = [
+        ev(eventType="Mint", blockNumber=10, logIndex=0,
+           parenthash=ROOT_HASH, childhash=P, labelhash=h(31), label="alpha"),
+        ev(eventType="Mint", blockNumber=150_005, logIndex=0,
+           parenthash=P, childhash=C, labelhash=h(32), label="c2"),
+    ]
+    events = events_df(spark, rows)
+    epath, npath = str(tmp_path / "events"), str(tmp_path / "entries")
+    with_block_bucket(events).write.partitionBy("block_bucket").parquet(epath)
+    materialize_entries(events).write.parquet(npath)
+
+    main(["reorg", "--table", epath, "--fork-block", "100000",
+          "--entries", npath])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["eventsDeleted"] == 1 and rep["entriesDeleted"] == 1
+    assert spark.read.parquet(epath).count() == 1
+    left = spark.read.parquet(npath).collect()
+    assert [r["namehash"] for r in left] == [P] and left[0]["children"] == []
+
+
 def test_cli_calibrate(spark, capsys, tmp_path):
     import json
 

@@ -415,3 +415,109 @@ def test_delete_keys_empties_whole_partition_and_unpartitioned(spark, tmp_path):
         spark.createDataFrame([(1,)], "k long"), ["k"],
     )
     assert rep3 == {"deletedCount": 0, "partitionsRewritten": 0}
+
+
+# ------------------------------------------------------------ reorg rollback
+
+
+def _reorg_fixture(spark):
+    from hypermap_etl_spark.constants import ROOT_HASH
+    from tests.helpers import ev, events_df, h
+
+    P, C = h(1), h(2)
+    rows = [
+        ev(eventType="Mint", blockNumber=10, logIndex=0,
+           parenthash=ROOT_HASH, childhash=P, labelhash=h(31), label="alpha"),
+        ev(eventType="Fact", blockNumber=16, logIndex=0, parenthash=P,
+           facthash=h(21), labelhash=h(22), label="color", data="0xaa"),
+        # above the fork: a child mint and a later fact overwrite
+        ev(eventType="Mint", blockNumber=150_005, logIndex=0,
+           parenthash=P, childhash=C, labelhash=h(32), label="c2"),
+        ev(eventType="Fact", blockNumber=250_001, logIndex=0, parenthash=P,
+           facthash=h(21), labelhash=h(22), label="color", data="0xbb"),
+    ]
+    return P, C, events_df(spark, rows)
+
+
+def test_reorg_rollback_drops_tail_buckets_and_repairs_entries(spark, tmp_path):
+    """Fork below the bucket boundary: whole tail buckets disappear as
+    directories, bucket 0 is never rewritten, and the entries repair
+    deletes the orphaned child, reverts the fact overwrite, and winds
+    lastUpdateBlock back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.materialize import materialize_entries
+    from hypermap_etl_spark.operators.merge import (
+        reorg_rollback,
+        with_block_bucket,
+    )
+
+    P, C, events = _reorg_fixture(spark)
+    epath, npath = str(tmp_path / "events"), str(tmp_path / "entries")
+    with_block_bucket(events).write.partitionBy("block_bucket").parquet(epath)
+    materialize_entries(events).write.parquet(npath)
+    b0 = {
+        f: os.path.getmtime(os.path.join(epath, "block_bucket=0", f))
+        for f in os.listdir(os.path.join(epath, "block_bucket=0"))
+    }
+
+    rep = reorg_rollback(spark, epath, fork_block=100_000, entries_path=npath)
+    assert rep["eventsDeleted"] == 2
+    assert rep["bucketsDropped"] == 2 and rep["bucketsRewritten"] == 0
+    assert rep["entriesDeleted"] == 1  # C existed only above the fork
+    dirs = {d for d in os.listdir(epath) if d.startswith("block_bucket=")}
+    assert dirs == {"block_bucket=0"}
+    # bucket 0 files untouched (mtimes identical — never rewritten)
+    assert b0 == {
+        f: os.path.getmtime(os.path.join(epath, "block_bucket=0", f))
+        for f in os.listdir(os.path.join(epath, "block_bucket=0"))
+    }
+    ent = {r["namehash"]: r for r in spark.read.parquet(npath).collect()}
+    assert C not in ent
+    assert ent[P]["children"] == []
+    assert ent[P]["facts"] == {"color": "0xaa"}  # overwrite at 250_001 undone
+    assert ent[P]["lastUpdateBlock"] == 16
+    # the repaired state IS the fresh fold of the surviving log
+    fresh = {
+        r["namehash"]: r
+        for r in materialize_entries(
+            events.filter(F.col("blockNumber") <= 100_000)
+        ).collect()
+    }
+    assert set(ent) == set(fresh)
+    for k in ent:
+        assert ent[k].asDict() == fresh[k].asDict()
+
+
+def test_reorg_rollback_mid_bucket_and_self_healing(spark, tmp_path):
+    """Fork inside bucket 0: exactly one partition rewrite. Then the
+    crash scenario — events already truncated (entries repair never
+    ran): a re-run finds zero discarded events but still repairs the
+    stale entries via the lastUpdateBlock widening."""
+    from hypermap_etl_spark.operators.materialize import materialize_entries
+    from hypermap_etl_spark.operators.merge import (
+        reorg_rollback,
+        with_block_bucket,
+    )
+
+    P, C, events = _reorg_fixture(spark)
+    epath, npath = str(tmp_path / "events"), str(tmp_path / "entries")
+    with_block_bucket(events).write.partitionBy("block_bucket").parquet(epath)
+    materialize_entries(events).write.parquet(npath)
+
+    # crash half: truncate events only (fork mid-bucket-0, drops the
+    # fact at 16 too)
+    rep1 = reorg_rollback(spark, epath, fork_block=12, entries_path=None)
+    assert rep1["eventsDeleted"] == 3
+    assert rep1["bucketsRewritten"] == 1 and rep1["bucketsDropped"] == 2
+    assert spark.read.parquet(epath).count() == 1
+
+    # re-run WITH entries: no events left to discard, repair still runs
+    rep2 = reorg_rollback(spark, epath, fork_block=12, entries_path=npath)
+    assert rep2["eventsDeleted"] == 0
+    assert rep2["entriesDeleted"] == 1  # C
+    ent = {r["namehash"]: r for r in spark.read.parquet(npath).collect()}
+    assert C not in ent
+    assert ent[P]["facts"] == {} and ent[P]["lastUpdateBlock"] == 10
