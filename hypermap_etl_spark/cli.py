@@ -452,17 +452,32 @@ def cmd_ann(args) -> None:
     `--rescore-with` names a raw-vector parquet, else returns the ADC
     ranking."""
     from hypermap_etl_spark.operators.similarity import (
+        ivf_index_append,
         ivf_index_search,
+        ivf_index_stats,
         ivf_index_write,
         pq_index_search,
         pq_index_write,
     )
 
-    if args.build and not args.embeddings:
-        raise SystemExit("ann --build requires --embeddings")
-    if not args.build and not (args.queries and args.out):
+    if (args.build or args.append) and not args.embeddings:
+        raise SystemExit("ann --build/--append requires --embeddings")
+    if not (args.build or args.append or args.stats) and not (
+        args.queries and args.out
+    ):
         raise SystemExit("ann search requires --queries and --out")
     spark = _spark(args)
+    if args.stats:
+        for r in ivf_index_stats(spark, args.index).collect():
+            print(json.dumps(r.asDict()))
+        return
+    if args.append:
+        emb = spark.read.parquet(args.embeddings)
+        rep = ivf_index_append(
+            emb, args.index, vec_col=args.vec_col, id_col=args.id_col
+        )
+        print(json.dumps(rep))
+        return
     if args.build:
         emb = spark.read.parquet(args.embeddings)
         if args.pq:
@@ -1465,6 +1480,11 @@ def main(argv=None) -> None:
     p = sub.add_parser("ann", help="persisted-IVF ANN index build/search")
     p.add_argument("--index", required=True, help="index directory")
     p.add_argument("--build", action="store_true", help="build instead of search")
+    p.add_argument("--append", action="store_true",
+                   help="append a new embeddings batch to the standing IVF "
+                        "index (pinned centroids, touched lists only)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-list size/share/imbalance (rebuild signal)")
     p.add_argument("--embeddings", default=None, help="corpus embeddings parquet (build)")
     p.add_argument("--queries", default=None, help="query embeddings parquet (search)")
     p.add_argument("--out", default=None, help="results parquet (search)")

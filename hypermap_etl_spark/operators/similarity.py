@@ -1574,3 +1574,77 @@ def hard_negative_pairs(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_index_append(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, int]:
+    """Incremental IVF maintenance: assign a NEW batch of vectors to
+    the index's PINNED centroids and append parquet files to exactly
+    the touched list directories — the 100 TB contract, where the
+    standing index absorbs each arrival batch without a corpus
+    re-pass and stays serveable throughout (appends are new files in
+    existing cid= partitions; a concurrent search reads a consistent
+    snapshot of whatever files it listed).
+
+    Centroids are NOT retrained — assignment drift is the rebuild
+    signal, surfaced by :func:`ivf_index_stats` (same posture as
+    FAISS's add-vs-train split). Append-only contract mirrors the
+    MinHash signature store: the caller routes only NEW ids here
+    (re-appending an id duplicates it in its list).
+
+    Returns {"appended": rows, "listsTouched": distinct cids}.
+    """
+    spark = emb.sparkSession
+    cent = [
+        (int(r["cid"]), list(r["cv"]), float(r["cn"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    nemb = with_norm(fan_out(emb), vec_col)
+    batch = tracked_persist(
+        nemb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _vd(vec_col).alias("cv"),
+            F.col("__norm").alias("cn"),
+            _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), 1)
+            .getItem(0)
+            .alias("cid"),
+        )
+    )
+    n = batch.count()
+    touched = batch.select("cid").distinct().count()
+    batch.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    return {"appended": n, "listsTouched": touched}
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-list health of a persisted IVF index: (cid, n_vectors,
+    share, imbalance) where imbalance = n_vectors / mean list size.
+    A list whose imbalance grows past ~a few × after appends is the
+    retrain-and-rebuild signal — searches probing it scan that much
+    more than the index's design point. One partition-pruned count
+    aggregate over the lists table; centroid payloads are never read.
+    """
+    lists = spark.read.parquet(f"{path}/lists").select("cid")
+    per = lists.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    tot = per.agg(
+        F.sum("n_vectors").alias("__t"), F.count(F.lit(1)).alias("__lists")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("__t"), 6).alias("share"),
+            F.round(
+                F.col("n_vectors")
+                * F.col("__lists").cast("double")
+                / F.col("__t"),
+                6,
+            ).alias("imbalance"),
+        )
+        .orderBy("cid")
+    )

@@ -194,6 +194,36 @@ def test_cli_search_hybrid(spark, capsys):
         assert abs(l["rrf_score"] - round(exp, 6)) < 1e-12
 
 
+def test_cli_ann_append_and_stats(spark, capsys, tmp_path):
+    import json
+
+    import numpy as np
+
+    from hypermap_etl_spark.cli import main
+
+    rng = np.random.RandomState(3)
+    base = str(tmp_path / "base.parquet")
+    more = str(tmp_path / "more.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(60, 80)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(more)
+    idx = str(tmp_path / "idx")
+    main(["ann", "--index", idx, "--build", "--embeddings", base,
+          "--centroids", "4"])
+    capsys.readouterr()
+    main(["ann", "--index", idx, "--append", "--embeddings", more])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["appended"] == 20 and rep["listsTouched"] >= 1
+    main(["ann", "--index", idx, "--stats"])
+    stats = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sum(s["n_vectors"] for s in stats) == 80
+
+
 def test_cli_reorg(spark, capsys, tmp_path):
     import json
 

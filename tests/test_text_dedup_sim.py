@@ -1881,3 +1881,51 @@ def test_prefix_filter_matches_quadratic_jaccard(spark, seed, threshold):
         for r in dedup.prefix_filter_pairs(d, threshold).collect()
     }
     assert got == expected
+
+
+def test_ivf_index_append_equals_full_build(spark, tmp_path):
+    """Incremental maintenance is exact: with append ids above every
+    base id, the pinned centroids equal a full rebuild's (lowest-id-
+    per-bucket picker), so build(A)+append(B) must serve IDENTICAL
+    results to build(A∪B) — and the stats report sees the growth."""
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    a_rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    b_rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200, 260)]
+    A = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+    B = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+    full = A.unionByName(B)
+
+    inc, ref = str(tmp_path / "inc"), str(tmp_path / "ref")
+    similarity.ivf_index_write(A, inc, n_centroids=8)
+    rep = similarity.ivf_index_append(B, inc)
+    assert rep["appended"] == 60 and 1 <= rep["listsTouched"] <= 8
+    similarity.ivf_index_write(full, ref, n_centroids=8)
+
+    # precondition the equality rests on: same pinned centroids
+    ci = sorted(
+        tuple(r) for r in spark.read.parquet(f"{inc}/centroids.parquet").collect()
+    )
+    cr = sorted(
+        tuple(r) for r in spark.read.parquet(f"{ref}/centroids.parquet").collect()
+    )
+    assert ci == cr
+
+    qf = full.filter(F.col("vec_id") % 40 == 0)
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_search(spark, inc, qf, k=5, n_probe=3).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_search(spark, ref, qf, k=5, n_probe=3).collect()
+    )
+    assert got == want and len(got) > 0
+
+    stats = similarity.ivf_index_stats(spark, inc).collect()
+    assert sum(r["n_vectors"] for r in stats) == 260
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-4
+    assert all(r["imbalance"] > 0 for r in stats)
