@@ -472,10 +472,11 @@ def cmd_ann(args) -> None:
             print(json.dumps(r.asDict()))
         return
     if args.append:
+        from hypermap_etl_spark.operators.similarity import pq_index_append
+
         emb = spark.read.parquet(args.embeddings)
-        rep = ivf_index_append(
-            emb, args.index, vec_col=args.vec_col, id_col=args.id_col
-        )
+        fn = pq_index_append if args.pq else ivf_index_append
+        rep = fn(emb, args.index, vec_col=args.vec_col, id_col=args.id_col)
         print(json.dumps(rep))
         return
     if args.build:

@@ -1648,3 +1648,35 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def pq_index_append(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, int]:
+    """Incremental PQ maintenance — the compressed sibling of
+    :func:`ivf_index_append`: encode a NEW batch against the index's
+    PINNED codebooks (model-sized, one driver read) and append the
+    codes as new parquet files. O(batch) work, no re-fit, no corpus
+    re-pass, and the standing index keeps serving throughout. Codebook
+    drift (a batch distribution the pinned centroids fit poorly) is a
+    rebuild decision, same posture as the IVF side; append-only
+    contract mirrors it too.
+
+    Returns {"appended": rows}.
+    """
+    spark = emb.sparkSession
+    rows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
+    m = 1 + max(r["j"] for r in rows)
+    books = [dict() for _ in range(m)]
+    for r in rows:
+        books[r["j"]][r["code"]] = list(r["cent"])
+    books = [[b[c] for c in sorted(b)] for b in books]
+    batch = pq_encode(emb, books, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    n = batch.count()
+    batch.write.mode("append").parquet(f"{path}/codes.parquet")
+    return {"appended": n}

@@ -1929,3 +1929,51 @@ def test_ivf_index_append_equals_full_build(spark, tmp_path):
     assert sum(r["n_vectors"] for r in stats) == 260
     assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-4
     assert all(r["imbalance"] > 0 for r in stats)
+
+
+def test_pq_index_append_encodes_with_pinned_codebooks(spark, tmp_path):
+    """Appending encodes the batch with the STANDING codebooks — the
+    stored codes equal a direct pq_encode against those books, the
+    totals account, and a search over the grown index ranks an
+    appended exact-duplicate vector at the top."""
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    a_rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    A = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+    # batch: fresh vectors plus an exact copy of vec 7 under a new id
+    b_rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(80, 100)]
+    b_rows.append((100, a_rows[7][1]))
+    B = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "pq")
+    similarity.pq_index_write(A, path, m=4, k_codes=8)
+    rep = similarity.pq_index_append(B, path)
+    assert rep["appended"] == 21
+    codes = spark.read.parquet(f"{path}/codes.parquet")
+    assert codes.count() == 101
+
+    # stored codes for the batch == direct encode with the pinned books
+    rows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
+    books = [dict() for _ in range(4)]
+    for r in rows:
+        books[r["j"]][r["code"]] = list(r["cent"])
+    books = [[b[c] for c in sorted(b)] for b in books]
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(B, books).collect()
+    }
+    got = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in codes.filter(F.col("neighbor_id") >= 80).collect()
+    }
+    assert got == want
+
+    # the appended duplicate of vec 7 shares vec 7's codes, so an ADC
+    # search FROM vec 7 ranks id 100 with the same (maximal) ADC score
+    # as any same-code vector — it must appear in the top-k
+    q = A.filter(F.col("vec_id") == 7)
+    res = similarity.pq_index_search(spark, path, q, k=3).collect()
+    assert 100 in {r["neighbor_id"] for r in res}
