@@ -19,112 +19,76 @@ from hypermap_etl_spark.plans.star_queries import STAR_QUERIES
 
 _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 
-# ROUND-6 WINDOW. The driver's correctness gate runs only the FIRST 50
+# ROUND-7 WINDOW. The driver's correctness gate runs only the FIRST 50
 # queries() entries (dict order). Evidence policy unchanged: first-time
-# evidence beats re-certification. r5 landed 50/50 green; after it, 38
-# registered gates still had NO driver row in any round (the r5 build
-# waves outran the 50-slot window). This window leads with ALL 38 —
-# after it lands, every pre-r6 gate has a green driver row in some
-# round. The remaining 12 slots go to the oldest-evidence re-certs
-# (green only in the r2 artifact), preferring the ones with the most
-# machinery behind them (dedup/sim/embedding stacks) over plain star
-# shapes; gates NEW in the r6 build session displace those re-certs
-# back-to-front as they land.
+# evidence beats re-certification; re-cert after an operator change
+# outranks an untouched re-cert; untouched re-certs rotate oldest
+# evidence first. r6 landed 50/50 green, closing the whole
+# never-checked backlog except the 8 gates registered late in that
+# session. This window leads with those 8 (first-time evidence), then
+# the 3 gates whose operators change THIS session (triangle
+# orientation, unigram-seed cap, PPJoin positional filter), then ALL
+# 17 gates whose only green row is still the r2 artifact, then the
+# oldest r3-evidence re-certs. Gates NEW in the r7 build session
+# displace the r3 re-certs back-to-front as they land.
 _WINDOW: list[str] = [
-    # ---- the 38 gates with no driver row in ANY round (r1-r5) ----
-    # events/analytics wave
-    "events_user_gini",
-    "events_key_skew",
-    "events_join_estimate",
-    "events_cusum_daily",
-    "events_autocorr",
-    "events_benford",
-    "events_fd_histogram",
-    "events_interarrival",
-    "events_mad_outliers",
-    "events_winsorized",
-    "events_wau",
-    "events_approx_percentiles",
-    "events_resample_ffill",
-    "events_value_psi",
-    "customer_k_anonymity",
-    "orders_pareto",
-    # documents wave
-    "doc_apportion",
-    "doc_balanced_shards",
-    "doc_shard_balance",
-    "doc_bff_dedup",
-    "doc_bm25_snippets",
-    "doc_char_entropy",
-    "doc_dedup_sweep",
-    "doc_epoch_plan",
-    "doc_keyword_tags",
-    "doc_keyword_tags_ac",
-    "doc_langid_confusion",
-    "doc_lexical_diversity",
-    "doc_luhn_check",
-    "doc_mojibake",
-    "doc_ngram_novelty",
-    "doc_pmi_pairs",
-    "doc_script_profile",
-    "doc_sentence_chunks",
-    "doc_source_dup_matrix",
-    "doc_source_hhi",
-    "doc_token_pctrank",
-    "doc_zipf_fit",
-    "emb_jl_project",
-    # ---- 11 oldest-evidence re-certs (green only in r2); displaced
-    # back-to-front by gates NEW in the r6 build session ----
-    # ---- gates NEW in the r6 build session (displace re-certs
-    # back-to-front: doc_simhash_sigs out first — its machinery keeps
-    # in-window coverage via doc_simhash_pairs; doc_token_stats out
-    # second — pure counting shared with r4-green doc_vocab) ----
-    "events_kmv_overlap",
-    "events_bootstrap_ci",
-    # doc_exact_dedup out third — same md5-keyed machinery as
-    # r4-green doc_dedup_survivors
-    "events_attribution",
-    # doc_langid out fourth — heuristic untouched since r2, its token
-    # machinery in-window via doc_langid_confusion
-    "events_ewma_daily",
-    # doc_quality out fifth — the quality dimension keeps fresher
-    # in-window coverage via doc_gopher_quality (r5) lineage
-    "events_type_value_mi",
-    # doc_fingerprints out sixth — rolling-hash machinery in-window
-    # via doc_winnow_pairs lineage (r5-green)
-    "parts_copurchase_triangles",
-    # emb_ann_topk out seventh — its exactness certificate is r2-green
-    # and the same stack carries the r5-green recall gates
-    "events_session_windows",
-    # emb_knn_label out eighth — similarity.py untouched, kNN machinery
-    # shares the exact-cosine stack with the r5-green recall gates
-    "doc_cdc_dedup",
-    # emb_neardup out ninth — banded-SRP stack carried in-window by
-    # the r5-green recall gates and emb_jl_project
-    "doc_readability",
-    # doc_ngram_pairs out tenth — inverted-index Jaccard machinery
-    # carried in-window by doc_containment_pairs lineage (r5-green)
-    "lineitem_weighted_median",
-    # doc_simhash_pairs out last — its r2-green row stands and the
-    # NEW prefix-filter gate exercises the richer exact-join side of
-    # the same near-dup contract (identical oracle family)
-    "doc_prefix_pairs",
+    # ---- 8 first-time gates (registered+local-green in r6, outran
+    # the window; queued per VERDICT r6 task 1) ----
+    "events_ab_welch",
+    "customer_linkage",
+    "customer_l_diversity",
+    "customer_rfm",
+    "doc_hybrid_rrf",
+    "emb_hard_negatives",
+    "doc_calibration",
+    "q7_volume_shipping",
+    # ---- operator-changed this session: re-cert outranks untouched ----
+    "parts_copurchase_triangles",  # degree-based edge orientation
+    "doc_unigram_seed",            # bounded driver vocab pull
+    "doc_prefix_pairs",            # PPJoin positional filter
+    # ---- all 17 r2-only re-certs (oldest evidence in the registry) ----
+    "customer_nation_stats",
+    "orders_with_big_lineitem",
+    "nations_without_customers",
+    "top_orders_denorm",
+    "parts_size_filter",
+    "activity_union",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_ngram_pairs",
+    "doc_simhash_pairs",
+    "doc_simhash_sigs",
+    "emb_ann_topk",
+    "emb_neardup",
+    "emb_knn_label",
+    # ---- oldest r3-evidence re-certs fill the tail; gates NEW in
+    # the r7 build session displace them back-to-front as they land ----
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "customer_order_distribution",
+    "part_min_price_line",
+    "large_order_customers",
+    "rich_inactive_customers",
+    "exclusive_return_suppliers",
+    "nation_pair_volume",
+    "small_quantity_revenue",
+    "customer_balance_quartiles",
+    "supplier_nation_balance",
+    "q6_revenue_delta",
+    "q14_promo_share",
+    "orders_rollup",
+    "events_json_extract",
 ]
-
-# events_value_psi appears above though it got a green r5 row: its
-# operator changed THIS session (decimal(38,2) widening) — re-cert
-# after an operator change outranks an untouched re-cert. The 12th
-# r2-only gate (activity_union) plus the five plain star shapes
-# (customer_nation_stats, nations_without_customers,
-# orders_with_big_lineitem, parts_size_filter, top_orders_denorm)
-# stay outside: all r2-green, simplest SQL shapes in the registry,
-# operators untouched since.
-#
-# QUEUED FOR THE R7 WINDOW (registered + local-parity-green this
-# session, no slot left once the 38 never-checked gates took the
-# front): events_ab_welch, customer_linkage, customer_l_diversity,
-# customer_rfm, doc_hybrid_rrf, emb_hard_negatives, doc_calibration,
-# q7_volume_shipping. These lead r7 ahead of any re-cert.
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
