@@ -179,3 +179,46 @@ def test_triangle_count_matches_bruteforce_random(spark):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_triangle_orientation_starves_low_id_hub(spark):
+    """Degree orientation (Suri-Vassilvitskii) must bound wedge
+    fan-out by degree ORDER, not id: a star centered at the LOWEST id
+    — the worst case for the naive low-id→high-id orientation, which
+    would pivot C(n, 2) wedges at the hub — generates ZERO wedges,
+    because every spoke orients leaf→hub (leaves have degree 1 < n)
+    and the hub has no out-edges."""
+    from hypermap_etl_spark.operators.graph import (
+        _orient_by_degree,
+        triangle_count,
+    )
+    from pyspark.sql import functions as F
+
+    n = 40
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "src long, dst long"
+    )
+    e = star.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o = _orient_by_degree(e)
+    # every edge points INTO the hub; the hub pivots nothing
+    assert o.filter(F.col("u") == 0).count() == 0
+    assert o.filter(F.col("v") == 0).count() == n
+    w1 = o.select(F.col("u").alias("pivot"), F.col("v").alias("x"),
+                  F.col("dv").alias("dx"))
+    w2 = o.select(F.col("u").alias("pivot"), F.col("v").alias("y"),
+                  F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "pivot").filter(
+        F.struct("dx", "x") < F.struct("dy", "y")
+    )
+    assert wedges.count() == 0  # id orientation would give C(n,2) = 780
+    assert triangle_count(star).count() == 0
+
+    # and a hub that IS in triangles still counts correctly: wheel
+    # graph (hub 0 + cycle 1..6) -> hub in all 6 triangles (0,i,i+1),
+    # each rim node in the 2 triangles with its cycle neighbors
+    rim = [(i, i % 6 + 1) for i in range(1, 7)]
+    wheel = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + rim, "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(wheel).collect()}
+    assert got == {0: 6, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2}
