@@ -1334,8 +1334,10 @@ def cdc_chunks(
     Construction: normalize to single-spaced lowercase words; a
     boundary closes after word p+k-1 whenever the 16-bit md5 prefix of
     the k-word shingle starting at p is ≡ 0 (mod ``mod``) — expected
-    chunk length ≈ ``mod`` words, minimum k (a cut consumes its whole
-    shingle). The last chunk always ends at the last word.
+    chunk length ≈ ``mod`` words. NOTE: cut positions may overlap (two
+    qualifying shingles fewer than k words apart), so chunks can be as
+    short as 1 word — k is the shingle width, not a minimum chunk
+    length. The last chunk always ends at the last word.
 
     Output: (id, chunk_idx, n_words, chunk_hash) rows; chunk_hash =
     md5 of the chunk's words joined by single spaces. Documents with

@@ -135,18 +135,19 @@ def linkage_scores(
             F.lit(w_num[1])
         )
         out_cols.append(close.alias(f"close_{num_col}"))
+    # verdict thresholds apply to the EXACT weight sum; rounding is
+    # output cosmetics only (a caller-supplied non-dyadic weight could
+    # otherwise flip a pair sitting within 5e-7 of a threshold)
     verdict = (
-        F.when(F.col("weight") >= match_at, F.lit("match"))
-        .when(F.col("weight") >= possible_at, F.lit("possible"))
+        F.when(weight >= match_at, F.lit("match"))
+        .when(weight >= possible_at, F.lit("possible"))
         .otherwise(F.lit("non_match"))
     )
-    return (
-        j.select(
-            "id1",
-            "id2",
-            F.col("dist").alias("name_dist"),
-            *out_cols,
-            F.round(weight, 6).alias("weight"),
-        )
-        .withColumn("verdict", verdict)
+    return j.select(
+        "id1",
+        "id2",
+        F.col("dist").alias("name_dist"),
+        *out_cols,
+        F.round(weight, 6).alias("weight"),
+        verdict.alias("verdict"),
     )

@@ -154,6 +154,51 @@ def _recover_interrupted_swap(path: str) -> None:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
+def _remove_partition_dirs(path: str, partition_col: str, values) -> int:
+    """Remove the on-disk directories of fully-emptied partitions,
+    escaping- and listing-safe. Returns how many were removed.
+
+    Escaping: Spark/Hive percent-encode special characters (space,
+    ':', '=', '%', ...) in partition directory names and spell NULL as
+    ``__HIVE_DEFAULT_PARTITION__`` — so the directory for value
+    ``'a:b'`` is ``col=a%3Ab``, and a naive ``f"{col}={val}"`` path
+    join misses it. Resolve directories from the ACTUAL listing and
+    compare the percent-decoded suffix against ``str(value)``.
+
+    Listing safety: each doomed directory is renamed into a sibling
+    ``__old_`` trash dir first, then the trash is deleted — a reader
+    that lists the table root mid-delete sees each partition either
+    whole or gone, never half-emptied (rename is atomic; rmtree is
+    not). Readers that captured file paths BEFORE the delete still
+    race it — in-place maintenance is single-writer and assumes no
+    concurrent reader holds a pre-delete listing (snapshot isolation
+    needs a manifest format: Delta/Iceberg). A trash dir orphaned by
+    a crash is swept by _recover_interrupted_swap on the next
+    lock-guarded operation, same as interrupted swaps.
+    """
+    from urllib.parse import unquote
+
+    wanted = {
+        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v) for v in values
+    }
+    prefix = f"{partition_col}="
+    doomed = [
+        name
+        for name in os.listdir(path)
+        if name.startswith(prefix)
+        and os.path.isdir(os.path.join(path, name))
+        and unquote(name[len(prefix):]) in wanted
+    ]
+    if not doomed:
+        return 0
+    trash = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.makedirs(trash)
+    for name in doomed:
+        os.rename(os.path.join(path, name), os.path.join(trash, name))
+    shutil.rmtree(trash, ignore_errors=True)
+    return len(doomed)
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
@@ -421,11 +466,7 @@ def delete_keys(
                 .partitionBy(partition_col)
                 .parquet(path)
             )
-            for p_val in set(touched) - kept:
-                shutil.rmtree(
-                    os.path.join(path, f"{partition_col}={p_val}"),
-                    ignore_errors=True,
-                )
+            _remove_partition_dirs(path, partition_col, set(touched) - kept)
             n_after = (
                 spark.read.parquet(path)
                 .filter(F.col(partition_col).isin(touched))
@@ -526,13 +567,10 @@ def reorg_rollback(
                     .distinct()
                     .collect()
                 )
-                for b in above:
-                    if b > fork_bucket:
-                        shutil.rmtree(
-                            os.path.join(events_path, f"{partition_col}={b}"),
-                            ignore_errors=True,
-                        )
-                        out["bucketsDropped"] += 1
+                doomed_buckets = [b for b in above if b > fork_bucket]
+                out["bucketsDropped"] += _remove_partition_dirs(
+                    events_path, partition_col, doomed_buckets
+                )
                 if fork_bucket in above:
                     survivors = existing.filter(
                         (F.col(partition_col) == fork_bucket)
@@ -541,13 +579,9 @@ def reorg_rollback(
                     if survivors.isEmpty():
                         # dynamic overwrite writes nothing for an empty
                         # frame — the stale directory must go explicitly
-                        shutil.rmtree(
-                            os.path.join(
-                                events_path, f"{partition_col}={fork_bucket}"
-                            ),
-                            ignore_errors=True,
+                        out["bucketsDropped"] += _remove_partition_dirs(
+                            events_path, partition_col, [fork_bucket]
                         )
-                        out["bucketsDropped"] += 1
                     else:
                         (
                             survivors.write.mode("overwrite")

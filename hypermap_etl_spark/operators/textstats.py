@@ -406,6 +406,8 @@ def bm25_search(
 
     ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
     qt = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not qt:  # empty query ("".split() from the CLI) matches nothing
+        return docs.select("doc_id").limit(0).withColumn("score", F.lit(0.0))
 
     # ONE tokenize pass for everything: the naive construction scans
     # and re-tokenizes the corpus once for lengths, once for the

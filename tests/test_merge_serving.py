@@ -417,6 +417,83 @@ def test_delete_keys_empties_whole_partition_and_unpartitioned(spark, tmp_path):
     assert rep3 == {"deletedCount": 0, "partitionsRewritten": 0}
 
 
+def test_delete_keys_escaped_string_partitions(spark, tmp_path):
+    """ADVICE r6: Spark percent-escapes special characters in string
+    partition directory names (``src=a:b`` -> ``src=a%3Ab``); emptied-
+    partition removal must resolve the ESCAPED directory, not the
+    naive f-string path, or the stale files survive the delete."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.merge import delete_keys
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain"), (4, "with space")],
+        "k long, src string",
+    )
+    df.write.partitionBy("src").parquet(path)
+    dirs = {d for d in os.listdir(path) if d.startswith("src=")}
+    assert "src=a%3Ab" in dirs  # the escaping this test is about
+
+    victims = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    rep = delete_keys(spark, path, victims, ["k"], "src")
+    assert rep["deletedCount"] == 3
+    # both emptied partitions (escaped ':' and escaped space) are gone
+    # on disk AND from a fresh read
+    left = {d for d in os.listdir(path) if d.startswith("src=")}
+    assert left == {"src=plain"}
+    back = spark.read.parquet(path)
+    assert [(r["k"], r["src"]) for r in back.collect()] == [(3, "plain")]
+    # no trash/staging residue: crash-window dirs are swept inline
+    assert not [
+        d for d in os.listdir(tmp_path) if "__old_" in d or "__staging_" in d
+    ]
+
+
+def test_delete_keys_emptied_partition_vanishes_atomically(spark, tmp_path):
+    """Reader-safety of emptied-partition removal (VERDICT r6 #6): the
+    doomed directory is RENAMED into a trash dir before any file is
+    deleted, so a root listing taken at any point sees the partition
+    either whole or absent — never half-emptied. Simulate the crash
+    window (trash renamed, rmtree not yet run): the table must read
+    consistently post-delete, and the next lock-guarded op sweeps the
+    orphaned trash."""
+    import os
+
+    from hypermap_etl_spark.operators.merge import (
+        _recover_interrupted_swap,
+        _remove_partition_dirs,
+    )
+
+    path = str(tmp_path / "atomic")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "k long, bucket int"
+    ).write.partitionBy("bucket").parquet(path)
+
+    # crash window: rename happened, rmtree didn't (emulated by doing
+    # the rename half by hand exactly as _remove_partition_dirs does)
+    trash = f"{path}__old_deadbeef"
+    os.makedirs(trash)
+    os.rename(os.path.join(path, "bucket=1"), os.path.join(trash, "bucket=1"))
+    # a reader listing the root now sees a CONSISTENT table: bucket 1
+    # fully absent, bucket 0 fully present — no partial partition
+    assert spark.read.parquet(path).count() == 5
+    assert {d for d in os.listdir(path) if d.startswith("bucket=")} == {
+        "bucket=0"
+    }
+    # the next lock-guarded operation sweeps the orphan
+    _recover_interrupted_swap(path)
+    assert not os.path.exists(trash)
+
+    # and the normal full path removes + sweeps in one call
+    removed = _remove_partition_dirs(path, "bucket", [0])
+    assert removed == 1
+    assert not [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert not [d for d in os.listdir(tmp_path) if "__old_" in d]
+
+
 # ------------------------------------------------------------ reorg rollback
 
 

@@ -350,6 +350,10 @@ def test_ir_and_sketch_plan_shapes(spark):
     blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
     out = bm25_search(blank, ["join"])
     assert out.count() == 0 and out.columns == ["doc_id", "score"]
+    # empty QUERY (CLI `search ""` -> ''.split() == []) must early-
+    # return the empty frame, not raise on F.greatest(*[]) (ADVICE r6)
+    out = bm25_search(docs, [])
+    assert out.count() == 0 and out.columns == ["doc_id", "score"]
 
     pq = _plan(events_sampled_quantiles(spark, SF_SMOKE))
     assert pq.count("Exchange hashpartitioning") <= 2  # agg + output sort only
