@@ -44,8 +44,9 @@ _WINDOW: list[str] = [
     "q7_volume_shipping",
     # ---- operator-changed this session: re-cert outranks untouched ----
     "parts_copurchase_triangles",  # degree-based edge orientation
-    "doc_unigram_seed",            # bounded driver vocab pull
     "doc_prefix_pairs",            # PPJoin positional filter
+    "doc_bpe_first_merge",         # capped dictionary + mirrored oracle
+    "doc_unigram_seed",            # capped dictionary + mirrored oracle
     # ---- all 17 r2-only re-certs (oldest evidence in the registry) ----
     "customer_nation_stats",
     "orders_with_big_lineitem",
@@ -87,7 +88,6 @@ _WINDOW: list[str] = [
     "q6_revenue_delta",
     "q14_promo_share",
     "orders_rollup",
-    "events_json_extract",
 ]
 
 

@@ -569,12 +569,12 @@ def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypermap_etl_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # max_words=None (uncapped): the oracle aggregates over ALL distinct
-    # words, so the certified function must too (the default 1M cap
-    # would be a latent divergence at corpus scales above it)
-    merges, _mdf = bpe.bpe_train(
-        docs, n_merges=1, min_pair_count=1, max_words=None
-    )
+    # the dictionary feeding the merge loop is CAPPED at the default
+    # 1M most frequent words (deterministic (n DESC, word) TakeOrdered
+    # cut) and the oracle mirrors the same ORDER BY/LIMIT — an
+    # uncapped dictionary collect is a driver OOM at corpus scale
+    # (VERDICT r6 #3; Heaps-law vocab growth)
+    merges, _mdf = bpe.bpe_train(docs, n_merges=1, min_pair_count=1)
     a, b, c = merges[0]
     return spark.createDataFrame(
         [(a, b, int(c))], "pair_left string, pair_right string, pair_count bigint"
@@ -586,6 +586,7 @@ WITH w AS (
   SELECT word, COUNT(*) AS n FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
   ) WHERE word <> '' GROUP BY word
+  ORDER BY n DESC, word ASC LIMIT 1000000
 ),
 sym AS (SELECT word, n, length(word) AS L FROM w),
 pairs AS (
@@ -675,14 +676,20 @@ def doc_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     + pruning loop is driver-side model-sized work under the
     documented no-SQL-oracle policy, verified against likelihood
     monotonicity / planted-piece properties in tests/test_unigram.py
-    (the doc_bpe_first_merge split)."""
+    (the doc_bpe_first_merge split).
+
+    The dictionary pull is CAPPED (VERDICT r6 #3): the driver collect
+    takes the 1M most frequent words via word_frequencies' default
+    deterministic (n DESC, word ASC) TakeOrdered cut — Heaps-law vocab
+    at corpus scale is unbounded, so an uncapped collect is a driver
+    OOM; the oracle mirrors the same ORDER BY/LIMIT."""
     from hypermap_etl_spark.operators import unigram
     from hypermap_etl_spark.operators.bpe import word_frequencies
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wf = {
         r["word"]: r["n"]
-        for r in word_frequencies(docs, max_words=None).collect()
+        for r in word_frequencies(docs).collect()
     }
     seeds = unigram.seed_pieces(wf, max_piece_len=6, seed_size=2000)
     rows = sorted(
@@ -699,6 +706,7 @@ WITH w AS (
   SELECT word, COUNT(*) AS n FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
   ) WHERE word <> '' GROUP BY word
+  ORDER BY n DESC, word ASC LIMIT 1000000
 ),
 pos AS (
   SELECT word, n, CAST(t.i AS INT) AS i

@@ -182,6 +182,26 @@ def test_no_gate_emits_collection_columns(spark):
         _assert_scalar_schema(name, fn(spark, SF_SMOKE).schema)
 
 
+def test_no_gate_disables_driver_bound_caps():
+    """Registry-wide (VERDICT r6 #3): gates must never .collect() a
+    corpus-cardinality frame — every operator that feeds a driver
+    collect has a deterministic top-k cap (word_frequencies' 1M
+    (n DESC, word) cut is the convention), and no gate may switch a
+    cap off. Static check over plans/ source: the only way this repo
+    uncaps a collect-feeding frame is max_words=None."""
+    import pathlib
+
+    plans = pathlib.Path(entrymod.__file__).parent / "hypermap_etl_spark" / "plans"
+    for py in sorted(plans.glob("*.py")):
+        src = py.read_text()
+        assert "max_words=None" not in src, (
+            f"{py.name}: gate disables the driver-bound vocabulary cap — "
+            f"an uncapped collect is a driver OOM at corpus scale; use the "
+            f"deterministic default cap and mirror ORDER BY/LIMIT in the "
+            f"oracle"
+        )
+
+
 def test_scalar_schema_check_rejects_array_gate(spark):
     """The checker itself must trip on an intentionally array-valued
     output, so a future array gate cannot pass the mirror."""
