@@ -65,8 +65,10 @@ _WINDOW: list[str] = [
     "emb_ann_topk",
     "emb_neardup",
     "emb_knn_label",
-    # ---- oldest r3-evidence re-certs fill the tail; gates NEW in
-    # the r7 build session displace them back-to-front as they land ----
+    # ---- gates NEW in the r7 build session (displace the r3
+    # re-certs below back-to-front as they land) ----
+    "customer_linkage2",        # tau=2 deletion-neighborhood linkage
+    # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
@@ -87,7 +89,6 @@ _WINDOW: list[str] = [
     "supplier_nation_balance",
     "q6_revenue_delta",
     "q14_promo_share",
-    "orders_rollup",
 ]
 
 

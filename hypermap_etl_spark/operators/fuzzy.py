@@ -38,18 +38,54 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All pairs (id1 < id2) with levenshtein(s1, s2) <= max_dist.
 
-    Output: (id1, id2, dist). Only ``max_dist=1`` is supported — the
-    deletion-neighborhood signature is exact for τ=1; τ≥2 needs the
-    multi-delete variant whose key count grows O(L^τ) (generate
-    recursively if ever needed).
+    Output: (id1, id2, dist). ``max_dist`` ∈ {1, 2} — the deletion
+    neighborhood D_≤τ(s) (all strings reachable by deleting up to τ
+    characters) blocks COMPLETELY for Levenshtein ≤ τ: any alignment
+    with e ≤ τ edits yields a common string by deleting, on each side,
+    the ≤ τ positions the alignment substitutes/inserts/deletes, so
+    D_≤τ(s) ∩ D_≤τ(t) ≠ ∅ whenever ed(s, t) ≤ τ (Bocek et al. 2007,
+    FastSS). Spurious collisions (the intersection is a SUPERSET of
+    the ≤ τ ball) are removed by the exact bounded levenshtein on
+    candidates only.
+
+    Key count is 1 + L for τ=1 and 1 + L + C(L, 2) for τ=2 — the
+    documented O(L^τ) growth, ~200 keys for a 20-char name; real
+    entity-resolution keys (person/org names) stay short, so the
+    blocked join's row count is O(n·L²), never O(n²). τ≥3's cubic
+    neighborhoods stop paying for names; raise instead of silently
+    building them.
     """
-    if max_dist != 1:
-        raise NotImplementedError("deletion-neighborhood blocking covers max_dist=1")
-    keys = F.expr(
-        f"array_union(array({str_col}), "
+    if max_dist not in (1, 2):
+        raise NotImplementedError(
+            "deletion-neighborhood blocking covers max_dist in {1, 2}"
+        )
+    del1 = (
         f"transform(sequence(1, length({str_col})), "
-        f"i -> concat(substr({str_col}, 1, i - 1), substr({str_col}, i + 1))))"
+        f"i -> concat(substr({str_col}, 1, i - 1), substr({str_col}, i + 1)))"
     )
+    if max_dist == 1:
+        keys = F.expr(f"array_union(array({str_col}), {del1})")
+    else:
+        # two deletions at positions i < j: drop chars i and j —
+        # flatten(transform over j of transform over i < j); distinct
+        # unions collapse the duplicates (deleting equal chars at
+        # different positions can coincide)
+        # j starts at 2: sequence(1, j-1) with j=1 would be the
+        # DESCENDING [1, 0] (Spark defaults to step -1 when start >
+        # stop), injecting bogus i=0 keys
+        del2 = (
+            f"flatten(transform(sequence(2, length({str_col})), "
+            f"j -> transform(sequence(1, j - 1), "
+            f"i -> concat(substr({str_col}, 1, i - 1), "
+            f"substr({str_col}, i + 1, j - i - 1), "
+            f"substr({str_col}, j + 1)))))"
+        )
+        keys = F.expr(
+            f"CASE WHEN length({str_col}) >= 2 THEN "
+            f"array_union(array_union(array({str_col}), {del1}), "
+            f"array_distinct({del2})) "
+            f"ELSE array_union(array({str_col}), {del1}) END"
+        )
     keyed = (
         df.filter(F.col(str_col).isNotNull())
         .select(
@@ -70,11 +106,14 @@ def edit_distance_pairs(
         .select("id1", "id2", "__s1", "__s2")
         .distinct()
     )
+    # bounded levenshtein (threshold form, SPARK-44213): abandons a
+    # pair's DP once the bound is exceeded (returns -1), so candidate
+    # verification costs O(max_dist·L) per pair, not O(L²)
     return cand.select(
         "id1",
         "id2",
-        F.levenshtein("__s1", "__s2").cast("int").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+        F.levenshtein("__s1", "__s2", max_dist).cast("int").alias("dist"),
+    ).filter(F.col("dist") >= 0)
 
 
 def linkage_scores(
@@ -85,9 +124,10 @@ def linkage_scores(
     num_col: str | None = None,
     num_tol_cents: int = 50_000,
     w_num: tuple[float, float] = (1.5, -1.0),
-    w_name: tuple[float, float] = (6.5, 3.5),
+    w_name: tuple[float, ...] = (6.5, 3.5, 1.5),
     match_at: float = 8.0,
     possible_at: float = 4.0,
+    max_dist: int = 1,
 ) -> DataFrame:
     """Fellegi–Sunter-style record-linkage scoring over the FastSS
     candidate pairs: each field comparison contributes a log-likelihood
@@ -99,13 +139,21 @@ def linkage_scores(
 
     ``cat_fields``: (column, w_agree, w_disagree) per categorical
     field; ``num_col`` compares in exact integer cents within
-    ``num_tol_cents``. Name weight: exact (dist 0) vs close (dist 1).
+    ``num_tol_cents``. Name weight: ``w_name[d]`` for name distance d
+    (exact / one edit / two edits with the τ=2 candidates), strictly
+    decreasing in d as a Fellegi–Sunter agreement weight should be;
+    ``max_dist`` picks the candidate radius (1 or 2 — person/org
+    corpora routinely need 2 for transposed or doubly-typo'd names).
 
     Scale shape: candidates come from the blocked equi-join (never
     quadratic); attribute lookup is two keyed joins back to the entity
     table; scoring is pure column arithmetic.
     """
-    pairs = edit_distance_pairs(df, id_col, name_col)
+    if len(w_name) < max_dist + 1:
+        raise ValueError(
+            f"w_name needs a weight per distance 0..{max_dist}, got {w_name}"
+        )
+    pairs = edit_distance_pairs(df, id_col, name_col, max_dist=max_dist)
     attrs = [num_col] if num_col else []
     attrs += [c for c, _, _ in cat_fields]
     ent = df.select(F.col(id_col), *[F.col(c) for c in attrs])
@@ -118,9 +166,9 @@ def linkage_scores(
         *[F.col(c).alias(f"__b_{c}") for c in attrs],
     )
     j = pairs.join(a, "id1").join(b, "id2")
-    weight = F.when(F.col("dist") == 0, F.lit(w_name[0])).otherwise(
-        F.lit(w_name[1])
-    )
+    weight = F.lit(w_name[max_dist])
+    for d in range(max_dist - 1, -1, -1):
+        weight = F.when(F.col("dist") == d, F.lit(w_name[d])).otherwise(weight)
     out_cols = []
     for c, w_agree, w_dis in cat_fields:
         agree = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))

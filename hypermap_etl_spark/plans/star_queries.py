@@ -3689,6 +3689,61 @@ FROM w ORDER BY id1, id2
 """
 
 
+def customer_linkage2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage at candidate radius τ=2 (VERDICT r6 #4):
+    the ≤2-deletion FastSS neighborhood blocks completely for
+    levenshtein <= 2 (verified against the oracle's quadratic scan),
+    and dist-2 names carry their own agreement weight (6.5 / 3.5 /
+    1.5 for exact / one edit / two edits). Everything else matches
+    customer_linkage — candidates from the blocked equi-join, exact
+    bounded-levenshtein verification, pure column scoring."""
+    from hypermap_etl_spark.operators.fuzzy import linkage_scores
+
+    cust = load_table(spark, sf_dir, "customer")
+    return linkage_scores(
+        cust,
+        "c_custkey",
+        "c_name",
+        cat_fields=[("c_nationkey", 2.25, -1.5), ("c_mktsegment", 1.25, -0.75)],
+        num_col="c_acctbal",
+        max_dist=2,
+    ).orderBy("id1", "id2")
+
+
+LINKAGE2_ORACLE = """
+WITH pairs AS (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist,
+         a.c_nationkey = b.c_nationkey AS same_c_nationkey,
+         a.c_mktsegment = b.c_mktsegment AS same_c_mktsegment,
+         abs(CAST(CAST(a.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             - CAST(CAST(b.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+           <= 50000 AS close_c_acctbal
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+w AS (
+  SELECT *,
+    (CASE WHEN name_dist = 0 THEN CAST('6.5' AS DOUBLE)
+          WHEN name_dist = 1 THEN CAST('3.5' AS DOUBLE)
+          ELSE CAST('1.5' AS DOUBLE) END
+     + CASE WHEN same_c_nationkey THEN CAST('2.25' AS DOUBLE)
+            ELSE CAST('-1.5' AS DOUBLE) END
+     + CASE WHEN same_c_mktsegment THEN CAST('1.25' AS DOUBLE)
+            ELSE CAST('-0.75' AS DOUBLE) END
+     + CASE WHEN close_c_acctbal THEN CAST('1.5' AS DOUBLE)
+            ELSE CAST('-1.0' AS DOUBLE) END) AS weight
+  FROM pairs
+)
+SELECT id1, id2, name_dist, same_c_nationkey, same_c_mktsegment,
+       close_c_acctbal, ROUND(weight, 6) AS weight,
+       CASE WHEN weight >= 8.0 THEN 'match'
+            WHEN weight >= 4.0 THEN 'possible'
+            ELSE 'non_match' END AS verdict
+FROM w ORDER BY id1, id2
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -4573,5 +4628,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_rfm": (customer_rfm, RFM_ORACLE),
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
+    "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

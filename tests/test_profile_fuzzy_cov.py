@@ -105,10 +105,49 @@ def test_fuzzy_join_matches_bruteforce(spark):
     assert got == want
 
 
+def test_fuzzy_join_tau2_matches_bruteforce(spark):
+    """τ=2 blocking completeness (VERDICT r6 #4): the ≤2-deletion
+    neighborhood candidates recover EXACTLY the quadratic scan's
+    distance<=2 pairs on a random string set, including the empty
+    string, length-1/2 strings, and dist-2 pairs of every alignment
+    shape (2 subs, sub+indel, 2 indels)."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    strings = [
+        "".join(rng.choice("abc") for _ in range(rng.randrange(0, 7)))
+        for _ in range(45)
+    ] + ["kitten", "mitten", "sitting", "kitty", "kit", "kitden"]
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "id long, s string"
+    ).repartition(4)
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(strings[i], strings[j]))
+        for i, j in itertools.combinations(range(len(strings)), 2)
+        if lev(strings[i], strings[j]) <= 2
+    }
+    assert got == want
+
+
 def test_fuzzy_join_rejects_wide_threshold(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(NotImplementedError):
-        edit_distance_pairs(df, "id", "s", max_dist=2)
+        edit_distance_pairs(df, "id", "s", max_dist=3)
 
 
 # ------------------------------------------------------ covariance ----
