@@ -1411,6 +1411,65 @@ def cdc_chunks(
     )
 
 
+def _prefix_candidates(
+    sh: DataFrame, tn: int, td: int, positional: bool = True
+) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from the rare-first prefix
+    index of the shingle frame ``sh`` (doc_id, sh), at Jaccard
+    threshold tn/td. ``positional=False`` disables the PPJoin length
+    and positional prunes (prefix collision only) — kept for the
+    candidate-count property test; production callers always prune.
+    """
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    # exact integer prefix length: s - ceil(t*s) + 1, ceil in integers
+    pref_len = (
+        F.col("__n_sh")
+        - F.floor((F.lit(tn) * F.col("__n_sh") + F.lit(td - 1)) / F.lit(td))
+        + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("sh").asc()
+    )
+    # per-doc size rides the SAME doc_id exchange as the rank window
+    # (unordered frame) — no separate aggregate, no extra join
+    w_n = Window.partitionBy("doc_id")
+    prefixes = tracked_persist(
+        sh.join(dfreq, "sh")
+        .withColumn("__n_sh", F.count(F.lit(1)).over(w_n))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pref_len)
+        .select("doc_id", "sh", "__rn", "__n_sh")
+    )
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if positional:
+        na, nb = F.col("a.__n_sh"), F.col("b.__n_sh")
+        # length filter: td·min ≥ tn·max ⟺ min/max ≥ t, exact integers
+        cond = cond & (
+            F.least(na, nb) * F.lit(td) >= F.greatest(na, nb) * F.lit(tn)
+        )
+        # positional filter: overlap bound at this collision must
+        # reach α = ceil(tn·(na+nb)/(tn+td))
+        alpha = F.floor(
+            (F.lit(tn) * (na + nb) + F.lit(tn + td - 1)) / F.lit(tn + td)
+        )
+        ubound = F.lit(1) + F.least(
+            na - F.col("a.__rn"), nb - F.col("b.__rn")
+        )
+        cond = cond & (ubound >= alpha)
+    return (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -1432,6 +1491,22 @@ def prefix_filter_pairs(
     ⌈0.7·20⌉ computed in doubles is 15 (0.7·20 = 14.000000000000002),
     which would SHORTEN the prefix and silently lose pairs.
 
+    PPJoin's two candidate-side prunes run INSIDE the prefix join
+    (Xiao et al. 2008), before any pair reaches verification:
+
+      - length filter: J ≥ t forces t·|larger| ≤ |smaller| (the
+        intersection fits in the smaller set) — pairs of very unequal
+        size never leave the join;
+      - positional filter: a collision on prefix token w at sorted
+        positions (i, j) bounds the overlap by 1 + min(|x|−i, |y|−j);
+        the pair needs overlap ≥ α = ⌈t/(1+t)·(|x|+|y|)⌉, so a
+        collision too deep in both prefixes is dropped. Completeness:
+        a true pair's FIRST common token (rare-first order) has no
+        shared tokens before it on either side, so ITS bound is ≥ the
+        real overlap ≥ α — the pair always survives through that
+        collision. Both prunes are exact integer arithmetic on the
+        same Fraction (α via integer ceiling of tn·(s_a+s_b)/(tn+td)).
+
     Verification: candidates join per-doc sorted shingle arrays (two
     keyed joins, arrays bounded by document length) and intersect
     JVM-side — no second corpus-wide token join. Output matches
@@ -1443,7 +1518,6 @@ def prefix_filter_pairs(
         raise ValueError("prefix_filter_pairs: threshold must be in (0, 1]")
     fr = Fraction(str(threshold))
     tn, td = fr.numerator, fr.denominator
-    from pyspark.sql.window import Window
 
     # ONE tokenize pass: every downstream consumer (df counts, prefix
     # ranking, verification arrays) reads the persisted index instead
@@ -1452,38 +1526,7 @@ def prefix_filter_pairs(
     # naive plan). Storage is the index itself, the same frame the
     # candidate join would spill through a shuffle anyway.
     sh = tracked_persist(shingle_index(docs, text_col, n))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    # exact integer prefix length: s - ceil(t*s) + 1, ceil in integers
-    pref_len = (
-        F.col("__n_sh")
-        - F.floor((F.lit(tn) * F.col("__n_sh") + F.lit(td - 1)) / F.lit(td))
-        + 1
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("__df").asc(), F.col("sh").asc()
-    )
-    # per-doc size rides the SAME doc_id exchange as the rank window
-    # (unordered frame) — no separate aggregate, no extra join
-    w_n = Window.partitionBy("doc_id")
-    prefixes = tracked_persist(
-        sh.join(dfreq, "sh")
-        .withColumn("__n_sh", F.count(F.lit(1)).over(w_n))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= pref_len)
-        .select("doc_id", "sh")
-    )
-    cand = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _prefix_candidates(sh, tn, td)
     arrays = tracked_persist(
         sh.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("sh")).alias("__arr")

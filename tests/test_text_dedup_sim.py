@@ -1730,6 +1730,38 @@ def test_prefix_filter_prunes_candidates(spark):
     assert got.count() <= full_pairs
 
 
+def test_positional_filter_prunes_and_stays_complete(spark):
+    """VERDICT r6 #7: the PPJoin positional + length prunes must cut
+    the candidate count measurably below the collision-only prefix
+    join, while the surviving set still CONTAINS every true pair
+    (completeness through the first-common-token argument) — checked
+    by the equality test above; here we pin the pruning itself."""
+    from fractions import Fraction
+
+    from hypermap_etl_spark.operators import dedup
+    from hypermap_etl_spark.operators.dedup import _prefix_candidates
+
+    docs = _neardup_corpus(spark, n_docs=60, seed=9)
+    sh = dedup.shingle_index(docs)
+    fr = Fraction("0.8")
+    loose = _prefix_candidates(sh, fr.numerator, fr.denominator,
+                               positional=False)
+    tight = _prefix_candidates(sh, fr.numerator, fr.denominator)
+    n_loose, n_tight = loose.count(), tight.count()
+    # pruned candidates are a strict, measurably smaller subset
+    assert n_tight < n_loose
+    assert loose.join(tight, ["doc_a", "doc_b"], "left_semi").count() == n_tight
+    # and every true pair survives the prunes
+    true_pairs = dedup.ngram_jaccard_pairs(docs, 0.8).select("doc_a", "doc_b")
+    n_true = true_pairs.count()
+    assert true_pairs.join(
+        tight, ["doc_a", "doc_b"], "left_semi"
+    ).count() == n_true
+    from hypermap_etl_spark.util import release_persisted
+
+    release_persisted()
+
+
 def test_prefix_filter_validates_threshold(spark):
     from hypermap_etl_spark.operators.dedup import prefix_filter_pairs
 
