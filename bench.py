@@ -98,6 +98,66 @@ def main() -> None:
         documents.count()
         return chunks
 
+    def ivf_build_bench(spark, sf_dir):
+        """Full IVF index (re)build over 95% of the embeddings — the
+        rebuild cost that ivf_append must beat. Static overwrite, so
+        each timed run pays the whole corpus pass + list write."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators import similarity
+        from hypermap_etl_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 20 != 0)
+        loc = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ivf")
+        shutil.rmtree(loc, ignore_errors=True)
+        similarity.ivf_index_write(base, loc, n_centroids=8)
+        _BUILT_STORES.add("bench_ivf_index")
+        return similarity.ivf_index_stats(spark, loc)
+
+    def ivf_append_bench(spark, sf_dir):
+        """Index maintenance (VERDICT r6 #5): absorb the held-out 5%
+        batch against the standing index's PINNED centroids — O(batch)
+        assignment, appends only touched cid= directories. Must be
+        well under ivf_build — that gap IS the add-vs-train contract
+        (recall after append is driver-gated by emb_ivf_index_recall's
+        stack; serveability is timed separately by ivf_serve)."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators import similarity
+        from hypermap_etl_spark.sources.tables import load_table
+
+        assert "bench_ivf_index" in _BUILT_STORES, "ivf_build runs first"
+        loc = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ivf")
+        emb = load_table(spark, sf_dir, "embeddings")
+        batch = emb.filter(F.col("vec_id") % 20 == 0)
+        rep = similarity.ivf_index_append(batch, loc)
+        return spark.createDataFrame(
+            [(rep["appended"], rep["listsTouched"])],
+            "appended long, lists_touched long",
+        )
+
+    def ivf_serve_bench(spark, sf_dir):
+        """Query batch against the post-append standing index: probe
+        selection on the model-sized centroid table, list scan pruned
+        to the probed cid= directories."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators import similarity
+        from hypermap_etl_spark.sources.tables import load_table
+
+        loc = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ivf")
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") % 100 == 7)
+        return similarity.ivf_index_search(spark, loc, queries, k=5, n_probe=2)
+
     bench = {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -128,6 +188,12 @@ def main() -> None:
         # cosine leg fused by RRF) — two corpus scans, two top-k legs,
         # fusion on ≤2·k_leg rows
         "hybrid_rrf": doc_hybrid_rrf,
+        # r7: index maintenance — full rebuild vs O(batch) append+serve
+        # (ivf_build MUST precede ivf_append: the append hits the
+        # standing index the build entry wrote)
+        "ivf_build": ivf_build_bench,
+        "ivf_append": ivf_append_bench,
+        "ivf_serve": ivf_serve_bench,
     }
 
     spark = get_spark("hypermap-etl-bench")

@@ -1614,10 +1614,15 @@ def ivf_index_append(
             .alias("cid"),
         )
     )
-    n = batch.count()
-    touched = batch.select("cid").distinct().count()
+    # write first (materializes the persisted batch), then ONE agg job
+    # served from the cache for both counters — three batch passes
+    # (count, distinct, write) collapse to two
     batch.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
-    return {"appended": n, "listsTouched": touched}
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cid").alias("touched"),
+    ).collect()[0]
+    return {"appended": int(row["n"]), "listsTouched": int(row["touched"])}
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -1674,9 +1679,11 @@ def pq_index_append(
     for r in rows:
         books[r["j"]][r["code"]] = list(r["cent"])
     books = [[b[c] for c in sorted(b)] for b in books]
-    batch = pq_encode(emb, books, vec_col=vec_col, id_col=id_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
+    batch = tracked_persist(
+        pq_encode(emb, books, vec_col=vec_col, id_col=id_col).select(
+            F.col(id_col).alias("neighbor_id"), "codes"
+        )
     )
-    n = batch.count()
+    # write first, count from the cache — one encode pass, not two
     batch.write.mode("append").parquet(f"{path}/codes.parquet")
-    return {"appended": n}
+    return {"appended": batch.count()}
