@@ -68,6 +68,7 @@ _WINDOW: list[str] = [
     # ---- gates NEW in the r7 build session (displace the r3
     # re-certs below back-to-front as they land) ----
     "customer_linkage2",        # tau=2 deletion-neighborhood linkage
+    "events_drift_verdict",     # streaming store -> CUSUM verdict
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -88,7 +89,6 @@ _WINDOW: list[str] = [
     "customer_balance_quartiles",
     "supplier_nation_balance",
     "q6_revenue_delta",
-    "q14_promo_share",
 ]
 
 

@@ -3182,6 +3182,85 @@ ORDER BY event_type
 """
 
 
+def events_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's STORE → VERDICT contract
+    (streaming/drift.py), driver-certified end-to-end: the gate chops
+    events into three deterministic pseudo-batches, writes each
+    batch's per-(type, day) partial counts into its own batch_id=
+    partition exactly like the foreachBatch sink does, then re-derives
+    the CUSUM verdict from the summed store. Because partials are
+    additive, the verdict must equal the one-shot batch CUSUM no
+    matter how the stream was chopped — the oracle replays the split
+    explicitly and sums it back (the store's whole design claim)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hypermap_etl_spark.streaming.drift import drift_verdict
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("user_id"), F.lit(0)).alias("uid"),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(
+        tempfile.gettempdir(), f"gate_drift_store_{sf_tag}"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        (
+            ev.filter(F.col("uid") % 3 == b)
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(store, f"batch_id={b}"))
+        )
+    return drift_verdict(spark, store, "day", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+DRIFT_VERDICT_ORACLE = """
+WITH parts AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COALESCE(user_id, 0) % 3 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS c
+  FROM parts GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, n_days, sc, scc,
+         (d.c - sc * 1.0 / n_days)
+           / sqrt(scc * 1.0 / n_days
+                  - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)) AS z
+  FROM daily d JOIN st USING (event_type)
+),
+cs AS (
+  SELECT event_type, n_days, sc, scc,
+         ABS(SUM(z) OVER (PARTITION BY event_type ORDER BY day)) AS abs_s
+  FROM z
+)
+SELECT event_type, n_days,
+       ROUND(sc * 1.0 / n_days, 6) AS mean_daily,
+       ROUND(sqrt(scc * 1.0 / n_days
+                  - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)), 6)
+         AS std_daily,
+       ROUND(MAX(abs_s), 6) AS max_cusum,
+       MAX(abs_s) > 3.0 * sqrt(n_days) AS drifted
+FROM cs GROUP BY event_type, n_days, sc, scc
+ORDER BY event_type
+"""
+
+
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event counts
     (scale.gini_concentration): the engagement-inequality scalar —
@@ -4608,6 +4687,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_key_skew": (events_key_skew, KEY_SKEW_ORACLE),
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
+    "events_drift_verdict": (events_drift_verdict, DRIFT_VERDICT_ORACLE),
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
