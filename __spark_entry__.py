@@ -69,6 +69,10 @@ _WINDOW: list[str] = [
     # re-certs below back-to-front as they land) ----
     "customer_linkage2",        # tau=2 deletion-neighborhood linkage
     "events_drift_verdict",     # streaming store -> CUSUM verdict
+    "events_mannwhitney",       # tie-corrected rank-sum on the A/A split
+    "events_theilsen_trend",    # median pairwise slope on the aggregate
+    "events_changepoint",       # integer-exact mean-shift scan argmax
+    "orders_seasonal_naive",    # lag-12 forecast floor + APE
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -85,10 +89,6 @@ _WINDOW: list[str] = [
     "rich_inactive_customers",
     "exclusive_return_suppliers",
     "nation_pair_volume",
-    "small_quantity_revenue",
-    "customer_balance_quartiles",
-    "supplier_nation_balance",
-    "q6_revenue_delta",
 ]
 
 

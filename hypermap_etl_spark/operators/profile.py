@@ -944,3 +944,287 @@ def welch_ab_test(
         F.round(dof, 6).alias("welch_df"),
         F.coalesce(F.abs(t) > F.lit(crit), F.lit(False)).alias("significant"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ab",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) over the deterministic hash
+    split — the nonparametric sibling of :func:`welch_ab_test` for
+    value distributions where means mislead (heavy tails, outliers):
+    compares the RANKS of arm A's values against arm B's, with the
+    normal approximation and the standard tie correction.
+
+    Construction (no corpus-wide ranking window): values collapse to
+    ONE hash aggregate keyed (group, value) carrying (rows, rows in
+    arm A); average ranks come from a running sum over each group's
+    DISTINCT values (window over the aggregate, bounded by value
+    cardinality, never corpus rows); R_A = Σ n_A(v)·avgrank(v). Then
+    U_A = R_A − n_A(n_A+1)/2,  z = (U_A − n_A·n_B/2) / σ with
+    σ² = n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+
+    Numerics: counts and rank sums are exact integers / half-integers
+    (exact in binary doubles to 2^52); the z expression is one fixed-
+    order double formula — engine-identical, so a SQL oracle
+    reproduces it bit-for-bit. Values are compared at decimal(12,2)
+    exactness like welch_ab_test.
+
+    Scale shape: one map-combined corpus aggregate; the rank window
+    runs over groups × distinct-values rows. No corpus window, no
+    collect.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(":"),
+                        F.col(unit_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    base = df.filter(v.isNotNull() & F.col(unit_col).isNotNull()).select(
+        *group_cols, arm.alias("__arm"), v.alias("__v")
+    )
+    per_val = base.groupBy(*group_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("__ta"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.withColumn("__cum", F.sum("__t").over(w)).withColumn(
+        "__avgrank",
+        F.col("__cum").cast("double")
+        - (F.col("__t").cast("double") - F.lit(1.0)) / F.lit(2.0),
+    )
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum(F.col("__t") - F.col("__ta")).cast("long").alias("n_b"),
+        F.sum(F.col("__ta").cast("double") * F.col("__avgrank")).alias("__ra"),
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t").cast("double")
+        ).alias("__ties"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("__ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    sigma2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__ties") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.try_divide(u_a - na * nb / F.lit(2.0), F.sqrt(sigma2))
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias("significant"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Theil-Sen robust trend of a daily count series: the MEDIAN of
+    all pairwise slopes (c_j − c_i)/(j − i) over day indices — the
+    estimator that shrugs off the outlier days a least-squares slope
+    (events_user_trend's OLS) chases (~29% breakdown point, Sen 1968).
+
+    Scale shape: the corpus collapses to per-(group, day) counts in
+    one hash aggregate; the O(days²) pairwise self-join runs on THAT
+    aggregate (bounded by the calendar, e.g. 3 years ≈ 1000 days →
+    500k slope rows per group), partitioned by group — never on
+    corpus rows. Slopes are integer-difference ratios (exact,
+    engine-identical doubles); the median interpolates the middle pair
+    the same way in Spark and DuckDB.
+
+    ``count_col`` sums pre-aggregated partials instead of counting
+    rows (the drift-store path).
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    c = (
+        F.sum(count_col).cast("long")
+        if count_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    daily = df.groupBy(*group_cols, day_col).agg(c.alias("__c"))
+    idx = daily.withColumn(
+        "__i",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(F.col(day_col).asc())
+        ),
+    ).select(*group_cols, "__i", "__c")
+    a = idx.select(
+        *group_cols, F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
+    )
+    b = idx.select(
+        *group_cols, F.col("__i").alias("__ib"), F.col("__c").alias("__cb")
+    )
+    on = [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols] + [
+        F.col("a.__ia") < F.col("b.__ib")
+    ]
+    pairs = a.alias("a").join(b.alias("b"), on)
+    slope = (F.col("b.__cb") - F.col("a.__ca")).cast("double") / (
+        F.col("b.__ib") - F.col("a.__ia")
+    ).cast("double")
+    gsel = [F.col(f"a.{g}").alias(g) for g in group_cols]
+    return (
+        pairs.select(*gsel, slope.alias("__slope"))
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.median("__slope"), 6).alias("ts_slope"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def changepoint_screen(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    crit: float = 3.0,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Single-changepoint LOCALIZATION for a daily count series — the
+    "where" to cusum_drift's "whether": for every split point k the
+    standardized two-sample statistic
+    |S_k − (k/n)·S_n| / (σ̂·√(k(n−k)/n)) (the likelihood-ratio scan
+    for a mean shift at k under equal variance), reported at its
+    argmax — the boundary day of the best split.
+
+    Cross-engine determinism: S_k is an exact integer cumulative sum,
+    so the scan statistic is built ONLY from integer-valued doubles
+    via correctly-rounded ops (×, −, /, √, abs) — bit-identical in any
+    IEEE engine, making the argmax (tie-broken by earliest day) safe
+    for a value-hash oracle. (log/exp never appear; those are the
+    libm-wobble ops.)
+
+    Scale shape: one corpus hash aggregate to (group, day) counts;
+    cumulative and argmax windows run over the aggregate only.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    c = (
+        F.sum(count_col).cast("long")
+        if count_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    daily = df.groupBy(*group_cols, day_col).agg(c.alias("__c"))
+    wday = Window.partitionBy(*group_cols).orderBy(F.col(day_col).asc())
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        daily.withColumn("__k", F.row_number().over(wday))
+        .withColumn(
+            "__sk",
+            F.sum("__c").over(
+                wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn("__sn", F.sum("__c").over(wall))
+        .withColumn("__ssn", F.sum(F.col("__c") * F.col("__c")).over(wall))
+    )
+    n = F.col("__n").cast("double")
+    k = F.col("__k").cast("double")
+    sk = F.col("__sk").cast("double")
+    sn = F.col("__sn").cast("double")
+    var = F.greatest(
+        F.col("__ssn").cast("double") / n - (sn / n) * (sn / n), F.lit(0.0)
+    )
+    stat = F.try_divide(
+        F.abs(n * sk - k * sn) / n,
+        F.sqrt(var) * F.sqrt(k * (n - k) / n),
+    )
+    scored = cum.filter(F.col("__k") < F.col("__n")).select(
+        *group_cols,
+        F.col(day_col).alias("change_day"),
+        F.col("__n").cast("long").alias("n_days"),
+        stat.alias("__stat"),
+    )
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.col("__stat").desc_nulls_last(), F.col("change_day").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            "n_days",
+            "change_day",
+            F.round(F.col("__stat"), 6).alias("cp_stat"),
+            F.coalesce(F.col("__stat") > F.lit(crit), F.lit(False)).alias(
+                "shifted"
+            ),
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    period_col: str,
+    group_cols: list[str] | None = None,
+    season: int = 12,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over a periodic count series:
+    forecast(period) = count(period − season), error = absolute
+    percentage — the forecasting floor every fancier model must beat
+    (and the standard denominator of relative metrics like MASE).
+    Output: one row per period with n, forecast (null for the first
+    ``season`` periods) and ape (round 6).
+
+    Scale shape: corpus → one hash aggregate to (group, period)
+    counts; the lag window runs over the aggregate (calendar-bounded).
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    daily = df.groupBy(*group_cols, period_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col(period_col).asc())
+    out = daily.withColumn("forecast", F.lag("n", season).over(w))
+    ape = F.round(
+        F.abs(F.col("n") - F.col("forecast")).cast("double")
+        / F.col("n").cast("double"),
+        6,
+    )
+    return out.select(
+        *group_cols,
+        period_col,
+        "n",
+        "forecast",
+        F.when(F.col("forecast").isNotNull(), ape).alias("ape"),
+    )

@@ -3261,6 +3261,191 @@ ORDER BY event_type
 """
 
 
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over the deterministic A/A hash split
+    (profile.mann_whitney_u): rank-sum comparison per event type with
+    tie-corrected normal approximation — the nonparametric companion
+    to events_ab_welch, built without a corpus ranking window (ranks
+    from a running sum over each group's distinct values)."""
+    from hypermap_etl_spark.operators.profile import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+MANNWHITNEY_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+pv AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM base GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, SUM(t) OVER (PARTITION BY event_type ORDER BY v) AS cum
+  FROM pv
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(ta) AS BIGINT) AS n_a,
+         CAST(SUM(t - ta) AS BIGINT) AS n_b,
+         SUM(CAST(ta AS DOUBLE)
+             * (CAST(cum AS DOUBLE) - (CAST(t AS DOUBLE) - 1.0) / 2.0)) AS ra,
+         SUM(CAST(t AS DOUBLE) * t * t - CAST(t AS DOUBLE)) AS ties
+  FROM rk GROUP BY 1
+),
+s AS (
+  SELECT event_type, n_a, n_b,
+         ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+              - ties / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+           AS sigma2
+  FROM g WHERE n_a > 0 AND n_b > 0
+),
+f AS (
+  SELECT event_type, n_a, n_b, u_a,
+         CASE WHEN sqrt(sigma2) > 0 THEN
+           (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(sigma2) END AS z
+  FROM s
+)
+SELECT event_type, n_a, n_b,
+       ROUND(u_a, 6) AS u_stat, ROUND(z, 6) AS z_stat,
+       COALESCE(abs(z) > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM f ORDER BY event_type
+"""
+
+
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of each type's daily count series
+    (profile.theil_sen_trend): median of all pairwise slopes over the
+    (group, day) AGGREGATE — the calendar bounds the O(days²) join,
+    so corpus size never touches it."""
+    from hypermap_etl_spark.operators.profile import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return theil_sen_trend(ev, "day", ["event_type"]).orderBy("event_type")
+
+
+THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type AS event_type,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+)
+SELECT event_type, ROUND(MEDIAN(s), 6) AS ts_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM slopes GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization per event type
+    (profile.changepoint_screen): the standardized mean-shift scan
+    statistic at its argmax split. The statistic is built only from
+    integer cumulative sums via correctly-rounded double ops, so the
+    argmax day is engine-exact — safe under a value-hash oracle."""
+    from hypermap_etl_spark.operators.profile import changepoint_screen
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return changepoint_screen(ev, "day", ["event_type"]).orderBy("event_type")
+
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS sk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type) AS sn,
+         SUM(c * c) OVER (PARTITION BY event_type) AS ssn
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day AS change_day, CAST(n AS BIGINT) AS n_days,
+    (abs(CAST(n AS DOUBLE) * CAST(sk AS DOUBLE)
+         - CAST(k AS DOUBLE) * CAST(sn AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (sqrt(GREATEST(CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)),
+            CAST(0 AS DOUBLE)))
+       * sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+              / CAST(n AS DOUBLE))) AS stat
+  FROM cum WHERE k < n
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY stat DESC NULLS LAST, change_day ASC) AS rn
+  FROM scored
+)
+SELECT event_type, n_days, change_day,
+       ROUND(stat, 6) AS cp_stat,
+       COALESCE(stat > CAST(3 AS DOUBLE), FALSE) AS shifted
+FROM pick WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest of the monthly order count series
+    (profile.seasonal_naive_backtest): forecast(m) = count(m − 12),
+    absolute-percentage error per month — the forecasting floor
+    (and MASE denominator) computed from one calendar-bounded
+    aggregate."""
+    from hypermap_etl_spark.operators.profile import seasonal_naive_backtest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    return seasonal_naive_backtest(o, "month").orderBy("month")
+
+
+SEASONAL_NAIVE_ORACLE = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT month, n, lag(n, 12) OVER (ORDER BY month) AS forecast FROM m
+)
+SELECT month, n, forecast,
+       CASE WHEN forecast IS NOT NULL THEN
+         ROUND(CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       END AS ape
+FROM l ORDER BY month
+"""
+
+
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event counts
     (scale.gini_concentration): the engagement-inequality scalar —
@@ -4688,6 +4873,10 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
     "events_drift_verdict": (events_drift_verdict, DRIFT_VERDICT_ORACLE),
+    "events_mannwhitney": (events_mannwhitney, MANNWHITNEY_ORACLE),
+    "events_theilsen_trend": (events_theilsen_trend, THEILSEN_ORACLE),
+    "events_changepoint": (events_changepoint, CHANGEPOINT_ORACLE),
+    "orders_seasonal_naive": (orders_seasonal_naive, SEASONAL_NAIVE_ORACLE),
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),

@@ -679,3 +679,141 @@ def test_linkage_scores_classification(spark):
     assert weak["weight"] == 3.5 - 1.5 - 0.75 - 1.0
     # balance proximity is exact-cent: 100.0 vs 120.0 within 500.00
     assert strong["close_bal"] is True
+
+
+# ------------------------------------------- r7 stats wave ----
+
+
+def test_mann_whitney_detects_planted_shift(spark):
+    """A location shift between arms must push |z| far past crit,
+    while an A/A split of one distribution stays quiet; all-tied
+    values yield sigma=0 -> null z, significant False (not an error)."""
+    from hypermap_etl_spark.operators.profile import mann_whitney_u
+
+    rows = []
+    # group "shift": arm assignment is md5-based, so plant the shift
+    # THROUGH the arm hash: give every unit its arm's distribution
+    import hashlib
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    rng_vals = {0: 10.0, 1: 30.0}
+    for uid in range(400):
+        a = arm_of(uid)
+        rows.append(("shift", uid, rng_vals[a] + (uid % 7) * 0.5))
+        rows.append(("aa", uid, (uid % 13) * 1.0))
+        rows.append(("tied", uid, 5.0))
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    out = {r["event_type"]: r for r in mann_whitney_u(
+        df, "value", "user_id", ["event_type"]).collect()}
+    assert out["shift"]["significant"] is True
+    assert abs(out["shift"]["z_stat"]) > 10
+    assert out["aa"]["significant"] is False
+    assert out["tied"]["z_stat"] is None
+    assert out["tied"]["significant"] is False
+    # U is within its valid range everywhere
+    for r in out.values():
+        assert 0 <= r["u_stat"] <= r["n_a"] * r["n_b"]
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark):
+    """Exact U and tie-corrected z against a hand-rolled pure-Python
+    rank-sum on a small mixed-tie sample."""
+    from hypermap_etl_spark.operators.profile import mann_whitney_u
+    import hashlib
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    import random
+
+    rng = random.Random(5)
+    rows = [("g", uid, float(rng.randrange(0, 8))) for uid in range(60)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    got = mann_whitney_u(df, "value", "user_id", ["event_type"]).collect()[0]
+
+    vals = [(v, arm_of(u)) for _, u, v in rows]
+    svals = sorted(vals)
+    # average ranks
+    ranks = {}
+    i = 0
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j][0] == svals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[svals[i][0]] = avg
+        i = j
+    ra = sum(ranks[v] for v, a in vals if a == 0)
+    n_a = sum(1 for _, a in vals if a == 0)
+    n_b = len(vals) - n_a
+    u_a = ra - n_a * (n_a + 1) / 2.0
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(v for v, _ in vals).values())
+    n = n_a + n_b
+    sigma2 = n_a * n_b / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2.0) / sigma2**0.5
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert abs(got["u_stat"] - u_a) < 1e-6
+    assert abs(got["z_stat"] - round(z, 6)) < 1e-6
+
+
+def test_theil_sen_shrugs_off_outlier_day(spark):
+    """A planted linear series with one wild outlier day: Theil-Sen
+    recovers the true slope; the same data's OLS slope is dragged."""
+    from hypermap_etl_spark.operators.profile import theil_sen_trend
+
+    rows = []
+    for d in range(30):
+        n = 5 + 2 * d if d != 15 else 500  # outlier day
+        for i in range(n):
+            rows.append(("g", f"2024-01-{d + 1:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, day string")
+    got = theil_sen_trend(df, "day", ["event_type"]).collect()[0]
+    assert abs(got["ts_slope"] - 2.0) < 0.35
+    assert got["n_pairs"] == 30 * 29 // 2
+
+
+def test_changepoint_finds_planted_shift_day(spark):
+    """Level shift 10 -> 40 after day 20 of 40: the argmax split must
+    land on the boundary day and flag; a flat series must not flag."""
+    from hypermap_etl_spark.operators.profile import changepoint_screen
+
+    rows = []
+    for d in range(40):
+        n = 10 if d < 20 else 40
+        for i in range(n):
+            rows.append(("shifty", f"2024-02-{d + 1:02d}" if d < 28
+                         else f"2024-03-{d - 27:02d}"))
+    for d in range(40):
+        for i in range(7):
+            rows.append(("flat", f"2024-02-{d + 1:02d}" if d < 28
+                         else f"2024-03-{d - 27:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, day string")
+    got = {r["event_type"]: r for r in changepoint_screen(
+        df, "day", ["event_type"]).collect()}
+    assert got["shifty"]["shifted"] is True
+    assert got["shifty"]["change_day"] == "2024-02-20"  # last pre-shift day
+    assert got["flat"]["shifted"] is False
+
+
+def test_seasonal_naive_perfect_on_periodic_series(spark):
+    """A strictly 12-periodic series backtests with ape = 0 for every
+    month past the first season, and null forecasts before it."""
+    from hypermap_etl_spark.operators.profile import seasonal_naive_backtest
+
+    rows = []
+    for y in (2023, 2024):
+        for m in range(1, 13):
+            for i in range(10 + m):  # seasonal level varies by month
+                rows.append((f"{y}-{m:02d}",))
+    df = spark.createDataFrame(rows, "month string")
+    out = seasonal_naive_backtest(df, "month").collect()
+    by_month = {r["month"]: r for r in out}
+    assert by_month["2023-06"]["forecast"] is None
+    assert by_month["2024-06"]["forecast"] == 16
+    assert all(
+        by_month[f"2024-{m:02d}"]["ape"] == 0.0 for m in range(1, 13)
+    )
