@@ -73,6 +73,8 @@ _WINDOW: list[str] = [
     "events_theilsen_trend",    # median pairwise slope on the aggregate
     "events_changepoint",       # integer-exact mean-shift scan argmax
     "orders_seasonal_naive",    # lag-12 forecast floor + APE
+    "doc_js_divergence",        # source-vs-corpus JSD on top-V vocab
+    "emb_matryoshka_recall",    # prefix-dim recall vs full top-k
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -87,8 +89,6 @@ _WINDOW: list[str] = [
     "part_min_price_line",
     "large_order_customers",
     "rich_inactive_customers",
-    "exclusive_return_suppliers",
-    "nation_pair_volume",
 ]
 
 

@@ -1687,3 +1687,57 @@ def pq_index_append(
     # write first, count from the cache — one encode pass, not two
     batch.write.mode("append").parquet(f"{path}/codes.parquet")
     return {"appended": batch.count()}
+
+
+def truncated_topk_recall(
+    emb: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    query_filter: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension search against the full-width
+    exact top-k — the matryoshka/MRL evaluation (Kusupati et al.
+    2022): if the first ``dims`` coordinates carry the geometry,
+    serving can run k-NN on the prefix at dims/D of the memory
+    bandwidth and re-rank the shortlist at full width. This measures
+    exactly what that costs in recall, per query.
+
+    Both legs are the same deterministic exact construction
+    (brute_force_topk: rounded cosine, (sim DESC, id ASC) total order)
+    so the recall is engine-reproducible — no probabilistic argument,
+    unlike LSH/IVF recall gates which certify a lower BOUND.
+
+    Output: (query_id, n_hit, recall) with recall = |∩|/k exact.
+
+    Scale shape: two broadcast-query scoring passes over the corpus
+    (the truncated leg reading dims/D of each vector... after a
+    column-pruned prefix slice); the overlap join runs on query×k
+    rows. At corpus scale the full leg is the one you replace with
+    the IVF/PQ index — the measurement stays the same shape.
+    """
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    full = brute_force_topk(
+        emb, k=k, query_filter=query_filter, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    trunc_emb = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    trunc = brute_force_topk(
+        trunc_emb, k=k, query_filter=query_filter, vec_col=vec_col,
+        id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    hits = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+    n_hit = (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    base = full.select("query_id").distinct()
+    return base.join(n_hit, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(float(k)),
+            6,
+        ).alias("recall"),
+    )

@@ -1107,3 +1107,74 @@ def hybrid_rrf_search(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def source_js_divergence(
+    docs: DataFrame,
+    top_v: int = 200,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence between each source's word
+    distribution and the corpus distribution, over the corpus's
+    ``top_v`` most frequent words — the mixture-balance monitor of a
+    multi-source training pipeline (a source whose JSD jumps is
+    drifting away from the blend it was weighted for; symmetric and
+    bounded by ln 2, unlike raw KL).
+
+    Distributions are restricted to the top-V vocabulary and
+    renormalized inside it (the deterministic (n DESC, word) cut, the
+    word_frequencies convention), which bounds every frame after the
+    first aggregate by V × sources — Heaps-law tails never reach the
+    divergence sum. Words a source lacks still contribute their
+    q·ln 2 mass through the mixture m = (p+q)/2.
+
+    Scale shape: ONE corpus explode→aggregate keyed (source, word);
+    everything after runs on V- and source-bounded frames (TakeOrdered
+    vocabulary, broadcast totals, a sources×V grid). Output:
+    (source, n_vocab_hit, jsd) with jsd rounded to 6 (log wobble
+    across engines is absorbed by the final round; every other step
+    is exact integer arithmetic).
+    """
+    from hypermap_etl_spark.util import tracked_persist
+
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    sw = (
+        docs.select(F.col(source_col).alias("source"), F.explode(ws).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sw = tracked_persist(sw)
+    vocab = (
+        sw.groupBy("word")
+        .agg(F.sum("n").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("word"))
+        .limit(top_v)
+    )
+    swv = sw.join(F.broadcast(vocab.select("word")), "word")
+    cwv = swv.groupBy("word").agg(F.sum("n").cast("long").alias("cn"))
+    tot_c = cwv.agg(F.sum("cn").cast("double").alias("tc"))
+    tot_s = swv.groupBy("source").agg(F.sum("n").cast("double").alias("ts"))
+    # sources × V grid so absent words still contribute q·ln2
+    grid = (
+        tot_s.crossJoin(F.broadcast(cwv))
+        .join(
+            swv.select("source", "word", F.col("n").alias("sn")),
+            ["source", "word"],
+            "left",
+        )
+        .crossJoin(F.broadcast(tot_c))
+    )
+    p = F.coalesce(F.col("sn").cast("double"), F.lit(0.0)) / F.col("ts")
+    q = F.col("cn").cast("double") / F.col("tc")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return grid.groupBy("source").agg(
+        F.sum(F.when(F.col("sn").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_vocab_hit"),
+        F.round(F.sum(term), 6).alias("jsd"),
+    )

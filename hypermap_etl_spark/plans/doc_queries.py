@@ -4163,6 +4163,107 @@ ORDER BY bin
 )
 
 
+
+
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus word
+    distribution over the top-200 vocabulary
+    (textstats.source_js_divergence) — the mixture-balance monitor:
+    every frame after the one corpus aggregate is bounded by
+    vocabulary x sources, and absent words still contribute their
+    q*ln2 mass through the mixture."""
+    from hypermap_etl_spark.operators.textstats import source_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_js_divergence(docs, top_v=200).orderBy("source")
+
+
+JS_DIVERGENCE_ORACLE = """
+WITH sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+vocab AS (
+  SELECT word FROM (SELECT word, SUM(n) AS cn FROM sw GROUP BY 1)
+  ORDER BY cn DESC, word LIMIT 200
+),
+swv AS (SELECT sw.* FROM sw JOIN vocab USING (word)),
+cwv AS (SELECT word, CAST(SUM(n) AS BIGINT) AS cn FROM swv GROUP BY 1),
+tot_c AS (SELECT CAST(SUM(cn) AS DOUBLE) AS tc FROM cwv),
+tot_s AS (
+  SELECT source, CAST(SUM(n) AS DOUBLE) AS ts FROM swv GROUP BY 1
+),
+grid AS (
+  SELECT s.source, s.ts, c.word, c.cn, v.n AS sn, tot_c.tc
+  FROM tot_s s CROSS JOIN cwv c CROSS JOIN tot_c
+  LEFT JOIN swv v ON v.source = s.source AND v.word = c.word
+),
+terms AS (
+  SELECT source,
+    CASE WHEN sn IS NOT NULL THEN 1 ELSE 0 END AS hit,
+    (CASE WHEN COALESCE(CAST(sn AS DOUBLE), CAST(0 AS DOUBLE)) / ts > 0
+          THEN (COALESCE(CAST(sn AS DOUBLE), CAST(0 AS DOUBLE)) / ts)
+               * ln((COALESCE(CAST(sn AS DOUBLE), CAST(0 AS DOUBLE)) / ts)
+                    / ((COALESCE(CAST(sn AS DOUBLE), CAST(0 AS DOUBLE)) / ts
+                        + CAST(cn AS DOUBLE) / tc) / CAST(2 AS DOUBLE)))
+          ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN CAST(cn AS DOUBLE) / tc > 0
+            THEN (CAST(cn AS DOUBLE) / tc)
+                 * ln((CAST(cn AS DOUBLE) / tc)
+                      / ((COALESCE(CAST(sn AS DOUBLE), CAST(0 AS DOUBLE)) / ts
+                          + CAST(cn AS DOUBLE) / tc) / CAST(2 AS DOUBLE)))
+            ELSE CAST(0 AS DOUBLE) END) / CAST(2 AS DOUBLE) AS term
+  FROM grid
+)
+SELECT source, CAST(SUM(hit) AS BIGINT) AS n_vocab_hit,
+       ROUND(SUM(term), 6) AS jsd
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of 16-dim prefix search vs the 64-dim exact top-5
+    (similarity.truncated_topk_recall) for the sampled queries — the
+    matryoshka serving trade-off, deterministic by construction (both
+    legs are the rounded-cosine total order, so the oracle reproduces
+    the recall exactly, not as a bound)."""
+    from hypermap_etl_spark.operators.similarity import truncated_topk_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_topk_recall(
+        emb, dims=16, k=5, query_filter=F.col("vec_id") % 100 == 0
+    ).orderBy("query_id")
+
+
+MATRYOSHKA_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+fr AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6) DESC,
+                    e.vec_id ASC) AS rank
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+f AS (SELECT query_id, neighbor_id FROM fr WHERE rank <= 5),
+tr AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.v[1:16], e.v[1:16]), 6)
+                      DESC,
+                    e.vec_id ASC) AS rank
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+t AS (SELECT query_id, neighbor_id, 1 AS m FROM tr WHERE rank <= 5)
+SELECT f.query_id, CAST(COUNT(t.m) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(t.m) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+FROM f LEFT JOIN t USING (query_id, neighbor_id)
+GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -4251,6 +4352,8 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_balanced_shards": (doc_balanced_shards, BALANCED_SHARDS_ORACLE),
     "doc_shard_balance": (doc_shard_balance, SHARD_BALANCE_ORACLE),
     "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
+    "doc_js_divergence": (doc_js_divergence, JS_DIVERGENCE_ORACLE),
+    "emb_matryoshka_recall": (emb_matryoshka_recall, MATRYOSHKA_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),

@@ -2009,3 +2009,70 @@ def test_pq_index_append_encodes_with_pinned_codebooks(spark, tmp_path):
     q = A.filter(F.col("vec_id") == 7)
     res = similarity.pq_index_search(spark, path, q, k=3).collect()
     assert 100 in {r["neighbor_id"] for r in res}
+
+
+# --------------------------------------------- r7: JSD + matryoshka ----
+
+
+def test_source_js_divergence_zero_same_dist_large_disjoint(spark):
+    from hypermap_etl_spark.operators.textstats import source_js_divergence
+    from hypermap_etl_spark.util import release_persisted
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    # two sources with IDENTICAL word distributions
+    for i in range(10):
+        rows.append((i, "same_a", base))
+        rows.append((100 + i, "same_b", base))
+    # one source sharing NO words with the rest
+    for i in range(10):
+        rows.append((200 + i, "alien", "zorp blib quux flarn zorp blib"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_js_divergence(df, top_v=50).collect()}
+    release_persisted()
+    import math
+
+    # identical-to-blend sources sit close to zero but NOT at zero
+    # (the corpus blend includes the alien mass); the alien source is
+    # far from the blend, approaching the ln 2 bound
+    assert got["same_a"]["jsd"] == got["same_b"]["jsd"]
+    assert 0 <= got["same_a"]["jsd"] < 0.2
+    assert got["alien"]["jsd"] > 0.3
+    for r in got.values():
+        assert -1e-9 <= r["jsd"] <= math.log(2.0) + 1e-9
+
+
+def test_truncated_topk_recall_full_width_is_perfect(spark):
+    import numpy as np
+
+    from hypermap_etl_spark.operators.similarity import truncated_topk_recall
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out = truncated_topk_recall(
+        df, dims=8, k=3, query_filter=F.col("vec_id") % 10 == 0
+    ).collect()
+    assert len(out) == 4
+    assert all(r["recall"] == 1.0 and r["n_hit"] == 3 for r in out)
+
+    # geometry concentrated in the first 2 dims -> tiny prefix still
+    # recovers the full ranking
+    Y = np.zeros((30, 8))
+    Y[:, 0] = np.cos(np.arange(30) * 0.2)
+    Y[:, 1] = np.sin(np.arange(30) * 0.2)
+    Y[:, 2:] = 1e-9  # constant noise floor
+    df2 = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(Y)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = truncated_topk_recall(
+        df2, dims=2, k=3, query_filter=F.col("vec_id") % 10 == 0
+    ).collect()
+    assert all(r["recall"] == 1.0 for r in out2)
+
+    with pytest.raises(ValueError):
+        truncated_topk_recall(df2, dims=0)
