@@ -75,6 +75,8 @@ _WINDOW: list[str] = [
     "orders_seasonal_naive",    # lag-12 forecast floor + APE
     "doc_js_divergence",        # source-vs-corpus JSD on top-V vocab
     "emb_matryoshka_recall",    # prefix-dim recall vs full top-k
+    "doc_bpe_encode",           # Pandas-UDF encoder vs replace-chain SQL
+    "emb_ivfpq_recall",         # composed probe-pruned + ADC + refine
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -87,8 +89,6 @@ _WINDOW: list[str] = [
     "q20_bulk_suppliers",
     "customer_order_distribution",
     "part_min_price_line",
-    "large_order_customers",
-    "rich_inactive_customers",
 ]
 
 

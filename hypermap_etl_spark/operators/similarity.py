@@ -1741,3 +1741,155 @@ def truncated_topk_recall(
             6,
         ).alias("recall"),
     )
+
+
+def ivfpq_index_write(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF coarse partitioning over PQ-COMPRESSED lists — the composed
+    billion-vector serving layout (FAISS IVFPQ shape): probe selection
+    prunes to n_probe list directories AND each list stores only
+    m·log2(k_codes)-bit codes, so a query batch reads a few small
+    partitions of a 128×-compressed corpus.
+
+    Deviation from FAISS, documented: codes quantize the RAW vectors
+    against global codebooks (IVF-Flat-ADC), not per-list residuals —
+    residual encoding buys precision at the same bit budget but makes
+    codebooks list-coupled; the global variant keeps append
+    (ivf/pq_index_append) O(batch) with PINNED model artifacts, the
+    maintenance contract this engine ships. Exact refinement joins
+    back to the caller's raw vectors (`rescore_with`), as in
+    pq_index_search.
+
+    Layout:
+      path/centroids.parquet              (cid, cv, cn) — model-sized
+      path/codebooks.parquet              (j, code, cent) — model-sized
+      path/lists/cid=<c>/...parquet       (neighbor_id, codes)
+    """
+    nemb = with_norm(fan_out(emb), vec_col)
+    cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    books = pq_fit(
+        emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    spark.createDataFrame(
+        [
+            (j, c, books[j][c])
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        "j int, code int, cent array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    assigned = nemb.select(
+        F.col(id_col),
+        _vd(vec_col).alias("__v"),
+        _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), 1)
+        .getItem(0)
+        .alias("cid"),
+    )
+    coded = pq_encode(
+        assigned.select(F.col(id_col), F.col("__v").alias(vec_col)),
+        books,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    (
+        assigned.select(F.col(id_col), "cid")
+        .join(coded, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "cid", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivfpq_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    candidates: int = 64,
+    rescore_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search the persisted IVF-PQ index: probe n_probe lists via the
+    model-sized centroid table (partition-pruned scan, like
+    ivf_index_search), score candidates by asymmetric distance against
+    codebook reconstructions (like pq_index_search), and — with
+    ``rescore_with`` — re-rank the top ``candidates`` exactly (the
+    FAISS refine stage). The scan reads only probed cid= directories
+    of code rows: the two pruning axes compose multiplicatively."""
+    cent = [
+        (int(r["cid"]), list(r["cv"]), float(r["cn"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
+    by_j: dict = {}
+    for r in brows:
+        by_j.setdefault(r["j"], {})[r["code"]] = [float(x) for x in r["cent"]]
+    books = [[by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)]
+
+    q = tracked_persist(
+        with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            _vd(vec_col).alias("qv"),
+            F.col("__norm").alias("qn"),
+            F.explode(
+                _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), n_probe)
+            ).alias("cid"),
+        )
+    )
+    probed = [r["cid"] for r in q.select("cid").distinct().collect()]
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(probed))
+        .select(
+            "cid",
+            "neighbor_id",
+            _pq_reconstruct(books).alias("cv"),
+        )
+        .withColumn(
+            "cn",
+            F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+    )
+    sim = F.round(
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    ).alias("sim")
+    coarse = (
+        q.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if rescore_with is None:
+        return _rank_topk(coarse, k)
+    cand = _rank_topk(coarse, candidates).select("query_id", "neighbor_id")
+    nemb = with_norm(fan_out(rescore_with), vec_col)
+    cv = nemb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vd(vec_col).alias("cv2"),
+        F.col("__norm").alias("cn2"),
+    )
+    qv = q.select("query_id", "qv", "qn").dropDuplicates(["query_id"])
+    exact_sim = F.round(
+        cosine(F.col("qv"), F.col("cv2"), F.col("qn"), F.col("cn2")), 6
+    ).alias("sim")
+    rescored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim)
+    )
+    return _rank_topk(rescored, k)

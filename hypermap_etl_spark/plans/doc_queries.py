@@ -4264,6 +4264,121 @@ GROUP BY f.query_id ORDER BY f.query_id
 """
 
 
+
+
+# fixed, creation-ordered merge list for the ENCODE certification gate
+# (training has its own gate, doc_bpe_first_merge): every compound side
+# is created by an earlier merge, the validity invariant of any trained
+# BPE list. With a valid list, greedy rank-priority encoding
+# (bpe_segment, the GPT-2 encoder shape) equals sequential replace-all
+# (the original Sennrich script): merging never creates NEW adjacency
+# for an earlier pair, because fused symbols sit between their
+# neighbors rather than vanishing.
+BPE_ENCODE_MERGES: list[tuple[str, str, int]] = [
+    ("a", "b", 0),
+    ("t", "ab", 0),
+    ("l", "e", 0),
+    ("le", "</w>", 0),
+    ("tab", "le</w>", 0),
+    ("s", "c", 0),
+    ("sc", "a", 0),
+    ("n", "</w>", 0),
+]
+
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODING certified end-to-end: bpe_segment (the
+    Arrow-batched Pandas-UDF encoder with per-worker word memo)
+    applied with the fixed BPE_ENCODE_MERGES list, full token sequence
+    per document. The oracle replays the merges as a sequential
+    replace-all chain over bar-delimited symbol strings
+    ('|t||ab||le</w>|' ...), which is provably the same encoding for a
+    creation-ordered merge list — so the one Pandas-UDF family in the
+    text stack gets exact SQL certification, not just unit tests."""
+    from hypermap_etl_spark.operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = bpe_segment(docs, BPE_ENCODE_MERGES)
+    return seg.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_joined"),
+        "n_bpe_tokens",
+    ).orderBy("doc_id")
+
+
+BPE_ENCODE_ORACLE = """
+WITH wpos AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT)] AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+  ), LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+enc AS (
+  SELECT doc_id, pos,
+    replace(replace(replace(replace(replace(replace(replace(replace(
+      '|' || regexp_replace(word, '(.)', '\\1||', 'g') || '</w>|',
+      '|a||b|', '|ab|'), '|t||ab|', '|tab|'), '|l||e|', '|le|'),
+      '|le||</w>|', '|le</w>|'), '|tab||le</w>|', '|table</w>|'),
+      '|s||c|', '|sc|'), '|sc||a|', '|sca|'), '|n||</w>|', '|n</w>|')
+      AS seq
+  FROM wpos
+),
+toks AS (
+  SELECT doc_id, pos, trim(replace(seq, '||', ' '), '|') AS wt,
+         len(string_split(trim(replace(seq, '||', ' '), '|'), ' ')) AS nt
+  FROM enc
+),
+agg AS (
+  SELECT doc_id, string_agg(wt, ' ' ORDER BY pos) AS tokens_joined,
+         CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.tokens_joined, '') AS tokens_joined,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+
+
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the COMPOSED IVF-PQ index (similarity.
+    ivfpq_index_write -> ivfpq_index_search with exact refine) vs the
+    exact top-k: probe pruning and 128x code compression stack, then
+    the FAISS-style rescore recovers exact ranks for the survivors.
+    Same derived-property pattern/threshold family as
+    emb_ivf_index_recall; the stable per-fixture index location is
+    the same build-once convention."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hypermap_ivfpq_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        similarity.ivfpq_index_write(emb, path, n_centroids=8, m=8, k_codes=16)
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    approx = similarity.ivfpq_index_search(
+        spark, path, emb.filter(qf), k=5, n_probe=4, candidates=64,
+        rescore_with=emb,
+    )
+    return similarity.topk_recall(exact, approx, 5).select(
+        "n_queries", (F.col("recall") >= 0.6).alias("recall_ok")
+    )
+
+
+IVFPQ_RECALL_ORACLE = """
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -4300,6 +4415,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_suffix_array": (doc_suffix_array, SUFFIX_ARRAY_ORACLE),
     "doc_sa_lcp": (doc_sa_lcp, SA_LCP_ORACLE),
     "doc_bpe_first_merge": (doc_bpe_first_merge, BPE_FIRST_MERGE_ORACLE),
+    "doc_bpe_encode": (doc_bpe_encode, BPE_ENCODE_ORACLE),
     "doc_unigram_seed": (doc_unigram_seed, UNIGRAM_SEED_ORACLE),
     "doc_boilerplate": (doc_boilerplate, BOILERPLATE_ORACLE),
     "doc_sentence_chunks": (doc_sentence_chunks, SENTENCE_CHUNKS_ORACLE),
@@ -4354,6 +4470,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_jl_project": (emb_jl_project, JL_PROJECT_ORACLE),
     "doc_js_divergence": (doc_js_divergence, JS_DIVERGENCE_ORACLE),
     "emb_matryoshka_recall": (emb_matryoshka_recall, MATRYOSHKA_ORACLE),
+    "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),

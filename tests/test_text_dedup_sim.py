@@ -2076,3 +2076,44 @@ def test_truncated_topk_recall_full_width_is_perfect(spark):
 
     with pytest.raises(ValueError):
         truncated_topk_recall(df2, dims=0)
+
+
+def test_ivfpq_full_probe_with_rescore_is_exact(spark, tmp_path):
+    """IVF-PQ with every list probed and a generous refine shortlist
+    must recover the exact top-k (probing everything removes the IVF
+    approximation; the rescore removes the PQ one), and the list scan
+    must carry cid PartitionFilters when probing a subset."""
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+    from hypermap_etl_spark.util import release_persisted
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qf = F.col("vec_id") % 30 == 0
+
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_write(emb, path, n_centroids=4, m=4, k_codes=8)
+    got = similarity.ivfpq_index_search(
+        spark, path, emb.filter(qf), k=5, n_probe=4, candidates=150,
+        rescore_with=emb,
+    )
+    want = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b and len(a) == 5 * 5
+
+    # subset probing prunes list directories
+    pruned = similarity.ivfpq_index_search(
+        spark, path, emb.filter(qf), k=5, n_probe=1
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    # ADC-only mode returns a full ranking too (lower recall is fine,
+    # shape must hold: k rows per query, rank 1..k)
+    per = {}
+    for r in pruned.collect():
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    release_persisted()
