@@ -77,6 +77,7 @@ _WINDOW: list[str] = [
     "emb_matryoshka_recall",    # prefix-dim recall vs full top-k
     "doc_bpe_encode",           # Pandas-UDF encoder vs replace-chain SQL
     "emb_ivfpq_recall",         # composed probe-pruned + ADC + refine
+    "customer_golden_record",   # linkage -> CC -> survivorship fusion
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -88,7 +89,6 @@ _WINDOW: list[str] = [
     "q19_disjunctive_revenue",
     "q20_bulk_suppliers",
     "customer_order_distribution",
-    "part_min_price_line",
 ]
 
 

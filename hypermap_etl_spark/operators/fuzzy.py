@@ -199,3 +199,66 @@ def linkage_scores(
         F.round(weight, 6).alias("weight"),
         verdict.alias("verdict"),
     )
+
+
+def golden_records(
+    entities: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    max_cols: list[str] | None = None,
+    mode_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship fusion — the step after linkage that master-data
+    pipelines actually ship: collapse each duplicate cluster into ONE
+    golden record. ``clusters`` is the (doc_id, cluster_id) frame of
+    :func:`hypermap_etl_spark.operators.dedup.duplicate_clusters` over
+    the match pairs; entities absent from it survive as their own
+    singleton cluster (left join + coalesce), so the output is a
+    complete deduplicated master table.
+
+    Fusion rules, per field class:
+      - ``max_cols``: keep the maximum (freshest balance, latest
+        timestamp — the "most recent wins" rule);
+      - ``mode_cols``: keep the most frequent value, ties to the
+        smallest (the "majority wins" rule), computed per cluster via
+        a count aggregate + one rank window over cluster×distinct-
+        value rows — never a corpus window.
+
+    Scale shape: one join to attach cluster ids, one hash aggregate
+    for count/max fields, one (cluster, value) aggregate + bounded
+    window per mode column, joined back on cluster_id. All keyed by
+    cluster id — co-partitioned at scale by the same key.
+    """
+    from pyspark.sql.window import Window
+
+    max_cols = max_cols or []
+    mode_cols = mode_cols or []
+    asg = (
+        entities.join(
+            clusters.withColumnsRenamed(
+                {"doc_id": id_col, "cluster_id": "__cl"}
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+        .drop("__cl")
+    )
+    out = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+    for c in mode_cols:
+        counts = asg.groupBy("cluster_id", c).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        pick = Window.partitionBy("cluster_id").orderBy(
+            F.col("__n").desc(), F.col(c).asc()
+        )
+        winner = (
+            counts.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("cluster_id", F.col(c).alias(f"mode_{c}"))
+        )
+        out = out.join(winner, "cluster_id")
+    return out

@@ -4008,6 +4008,108 @@ FROM w ORDER BY id1, id2
 """
 
 
+
+
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship fusion after linkage (fuzzy.golden_records): the
+    'match'-verdict pairs feed connected components (the same
+    large-star/small-star machinery as near-dup clustering), every
+    customer lands in a cluster (singletons included), and each
+    cluster fuses to one golden record — max balance, majority
+    nation/segment with smallest-value tie-break. Closes the MDM loop
+    the linkage gates open: pairs -> clusters -> master table."""
+    from hypermap_etl_spark.operators.dedup import duplicate_clusters
+    from hypermap_etl_spark.operators.fuzzy import golden_records, linkage_scores
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        linkage_scores(
+            cust,
+            "c_custkey",
+            "c_name",
+            cat_fields=[
+                ("c_nationkey", 2.25, -1.5),
+                ("c_mktsegment", 1.25, -0.75),
+            ],
+            num_col="c_acctbal",
+        )
+        .filter(F.col("verdict") == "match")
+        .select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
+    )
+    clusters = duplicate_clusters(pairs)
+    out = golden_records(
+        cust,
+        clusters,
+        "c_custkey",
+        max_cols=["c_acctbal"],
+        mode_cols=["c_nationkey", "c_mktsegment"],
+    )
+    return out.select(
+        "cluster_id",
+        "n_members",
+        F.round(F.col("max_c_acctbal"), 2).alias("max_acctbal"),
+        "mode_c_nationkey",
+        "mode_c_mktsegment",
+    ).orderBy("cluster_id")
+
+
+GOLDEN_RECORD_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS s, b.c_custkey AS d,
+    (CASE WHEN levenshtein(a.c_name, b.c_name) = 0 THEN CAST('6.5' AS DOUBLE)
+          ELSE CAST('3.5' AS DOUBLE) END
+     + CASE WHEN a.c_nationkey = b.c_nationkey THEN CAST('2.25' AS DOUBLE)
+            ELSE CAST('-1.5' AS DOUBLE) END
+     + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN CAST('1.25' AS DOUBLE)
+            ELSE CAST('-0.75' AS DOUBLE) END
+     + CASE WHEN abs(CAST(CAST(a.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     - CAST(CAST(b.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                <= 50000 THEN CAST('1.5' AS DOUBLE)
+            ELSE CAST('-1.0' AS DOUBLE) END) AS weight
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+m AS (SELECT s, d FROM p WHERE weight >= CAST(8 AS DOUBLE)),
+edges AS (SELECT s, d FROM m UNION SELECT d AS s, s AS d FROM m),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s),
+asg AS (
+  SELECT c.c_custkey, COALESCE(comp.cluster_id, c.c_custkey) AS cluster_id,
+         c.c_acctbal, c.c_nationkey, c.c_mktsegment
+  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+),
+base AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(MAX(c_acctbal), 2) AS max_acctbal
+  FROM asg GROUP BY 1
+),
+nk AS (
+  SELECT cluster_id, c_nationkey, COUNT(*) AS n FROM asg GROUP BY 1, 2
+),
+nkp AS (
+  SELECT cluster_id, c_nationkey AS mode_c_nationkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n DESC, c_nationkey ASC) AS rn FROM nk) WHERE rn = 1
+),
+sg AS (
+  SELECT cluster_id, c_mktsegment, COUNT(*) AS n FROM asg GROUP BY 1, 2
+),
+sgp AS (
+  SELECT cluster_id, c_mktsegment AS mode_c_mktsegment FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n DESC, c_mktsegment ASC) AS rn FROM sg) WHERE rn = 1
+)
+SELECT b.cluster_id, b.n_members, b.max_acctbal,
+       nkp.mode_c_nationkey, sgp.mode_c_mktsegment
+FROM base b JOIN nkp USING (cluster_id) JOIN sgp USING (cluster_id)
+ORDER BY b.cluster_id
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -4898,5 +5000,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
+    "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -817,3 +817,37 @@ def test_seasonal_naive_perfect_on_periodic_series(spark):
     assert all(
         by_month[f"2024-{m:02d}"]["ape"] == 0.0 for m in range(1, 13)
     )
+
+
+def test_golden_records_fusion_rules(spark):
+    """Survivorship: max wins for numerics, majority (smallest on tie)
+    for categoricals; singletons pass through as their own cluster."""
+    from hypermap_etl_spark.operators.fuzzy import golden_records
+
+    ents = spark.createDataFrame(
+        [
+            (1, 100.0, "A"),
+            (2, 300.0, "B"),
+            (3, 200.0, "B"),
+            (9, 50.0, "Z"),  # singleton, no cluster row
+        ],
+        "id long, bal double, seg string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    got = {r["cluster_id"]: r for r in golden_records(
+        ents, clusters, "id", max_cols=["bal"], mode_cols=["seg"]
+    ).collect()}
+    assert got[1]["n_members"] == 3
+    assert got[1]["max_bal"] == 300.0
+    assert got[1]["mode_seg"] == "B"  # majority
+    assert got[9]["n_members"] == 1 and got[9]["max_bal"] == 50.0
+
+    # tie on mode -> smallest value wins
+    ents2 = spark.createDataFrame(
+        [(1, "B"), (2, "A")], "id long, seg string"
+    )
+    cl2 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    got2 = golden_records(ents2, cl2, "id", mode_cols=["seg"]).collect()[0]
+    assert got2["mode_seg"] == "A"
