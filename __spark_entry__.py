@@ -78,6 +78,7 @@ _WINDOW: list[str] = [
     "doc_bpe_encode",           # Pandas-UDF encoder vs replace-chain SQL
     "emb_ivfpq_recall",         # composed probe-pruned + ADC + refine
     "customer_golden_record",   # linkage -> CC -> survivorship fusion
+    "events_heavy_coverage",    # smallest key set covering X% of events
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -88,7 +89,6 @@ _WINDOW: list[str] = [
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "q20_bulk_suppliers",
-    "customer_order_distribution",
 ]
 
 

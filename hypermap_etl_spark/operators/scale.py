@@ -415,3 +415,95 @@ def grouped_weighted_median(
         F.col("total_weight_c").cast("long").alias("total_weight_c"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+def heavy_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    thresholds: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Coverage curve of a skewed key distribution: the smallest number
+    of keys (taken heaviest-first) whose events cover each threshold
+    share of the corpus — "how many users produce 90% of the traffic",
+    the capacity-planning twin of pareto_share (which fixes the key
+    fraction and asks for the share; this fixes the share and asks for
+    the key count).
+
+    Construction: per-key counts (one corpus hash aggregate), then the
+    distributed running sum in (count DESC, key ASC) total order — the
+    grouped_weighted_median discipline: range shuffle on the order,
+    within-slice cumulative window, per-slice offsets broadcast from a
+    P-row collect. NEVER ``SUM() OVER (ORDER BY ...)`` over all keys
+    in one task. Threshold probing is a keys×|thresholds| conditional
+    aggregate.
+
+    Output: (threshold, n_keys_needed, n_keys_total, key_fraction)
+    rows; thresholds with no qualifying prefix (empty input) are
+    omitted.
+    """
+    spark = df.sparkSession
+    per = (
+        df.filter(
+            F.lit(True)
+            if not key_cols
+            else F.expr(" AND ".join(f"{c} IS NOT NULL" for c in key_cols))
+        )
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+    order = [F.col("__x").desc(), *[F.col(c).asc() for c in key_cols]]
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = tracked_persist(
+        per.repartitionByRange(p, *order).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    slices = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("__x").alias("sx")
+    ).collect()
+    sizes = {r["__pid"]: (r["cnt"], r["sx"]) for r in slices}
+    cnt_off, sum_off, acc_c, acc_s = {}, {}, 0, 0
+    for pid in sorted(sizes):
+        cnt_off[pid], sum_off[pid] = acc_c, acc_s
+        acc_c += sizes[pid][0]
+        acc_s += sizes[pid][1]
+    if acc_c == 0:
+        return spark.createDataFrame(
+            [],
+            "threshold double, n_keys_needed bigint, n_keys_total bigint, "
+            "key_fraction double",
+        )
+    co = F.create_map(
+        *[F.lit(x) for pid in sorted(cnt_off) for x in (pid, cnt_off[pid])]
+    )[F.col("__pid")]
+    so = F.create_map(
+        *[F.lit(x) for pid in sorted(sum_off) for x in (pid, sum_off[pid])]
+    )[F.col("__pid")]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("__pid").orderBy(*order)
+    cum = ranged.select(
+        (F.row_number().over(wr) + co).cast("bigint").alias("__rank"),
+        (F.sum("__x").over(w) + so).cast("bigint").alias("__cum"),
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(th))
+        .filter(
+            F.col("__cum").cast("double")
+            >= F.col("threshold") * F.lit(float(acc_s))
+        )
+        .groupBy("threshold")
+        .agg(
+            F.min("__rank").alias("n_keys_needed"),
+            F.max(F.lit(acc_c)).cast("bigint").alias("n_keys_total"),
+            F.round(
+                F.min("__rank").cast("double") / F.lit(float(acc_c)), 6
+            ).alias("key_fraction"),
+        )
+    )

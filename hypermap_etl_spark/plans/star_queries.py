@@ -3446,6 +3446,46 @@ FROM l ORDER BY month
 """
 
 
+
+
+def events_heavy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage curve (scale.heavy_coverage): how many of the heaviest
+    users cover 50/90/99% of all events — per-user aggregate, then the
+    distributed total-order running sum (range shuffle + slice offsets,
+    never a one-task ORDER BY window)."""
+    from hypermap_etl_spark.operators.scale import heavy_coverage
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_coverage(ev, ["user_id"]).orderBy("threshold")
+
+
+HEAVY_COVERAGE_ORACLE = """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT x,
+         SUM(x) OVER (ORDER BY x DESC, user_id ASC) AS cum,
+         row_number() OVER (ORDER BY x DESC, user_id ASC) AS rk
+  FROM per
+),
+tot AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS t, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM per
+),
+th AS (SELECT CAST(u.t AS DOUBLE) AS threshold
+       FROM unnest([0.5, 0.9, 0.99]) AS u(t))
+SELECT th.threshold,
+       CAST(MIN(r.rk) AS BIGINT) AS n_keys_needed,
+       CAST(MAX(tot.nk) AS BIGINT) AS n_keys_total,
+       ROUND(CAST(MIN(r.rk) AS DOUBLE) / CAST(MAX(tot.nk) AS DOUBLE), 6)
+         AS key_fraction
+FROM th CROSS JOIN tot JOIN r ON CAST(r.cum AS DOUBLE) >= th.threshold * tot.t
+GROUP BY th.threshold ORDER BY th.threshold
+"""
+
+
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event counts
     (scale.gini_concentration): the engagement-inequality scalar —
@@ -4979,6 +5019,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_theilsen_trend": (events_theilsen_trend, THEILSEN_ORACLE),
     "events_changepoint": (events_changepoint, CHANGEPOINT_ORACLE),
     "orders_seasonal_naive": (orders_seasonal_naive, SEASONAL_NAIVE_ORACLE),
+    "events_heavy_coverage": (events_heavy_coverage, HEAVY_COVERAGE_ORACLE),
     "events_mad_outliers": (events_mad_outliers, MAD_ORACLE),
     "events_fd_histogram": (events_fd_histogram, FD_HISTOGRAM_ORACLE),
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),

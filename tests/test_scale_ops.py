@@ -247,3 +247,29 @@ def test_weighted_median_matches_python_reference(spark):
 
     for g in ("g0", "g1", "g2"):
         assert got[g] == ref(g)
+
+
+def test_heavy_coverage_known_distribution(spark):
+    """10 keys: one key holds 91 of 100 events -> 1 key covers 50%/90%;
+    99% needs enough of the singleton tail; layout-invariant."""
+    from hypermap_etl_spark.operators.scale import heavy_coverage
+    from hypermap_etl_spark.util import release_persisted
+
+    rows = [(0,)] * 91 + [(k,) for k in range(1, 10)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(7)
+    got = {r["threshold"]: r for r in heavy_coverage(df, ["user_id"]).collect()}
+    release_persisted()
+    assert got[0.5]["n_keys_needed"] == 1
+    assert got[0.9]["n_keys_needed"] == 1
+    # 99% of 100 = 99 events -> 91 + 8 singletons -> 9 keys
+    assert got[0.99]["n_keys_needed"] == 9
+    assert got[0.99]["n_keys_total"] == 10
+    assert got[0.99]["key_fraction"] == 0.9
+
+    # empty input -> empty frame with the right schema, no crash
+    empty = spark.createDataFrame([], "user_id long")
+    out = heavy_coverage(empty, ["user_id"])
+    assert out.count() == 0
+    assert out.columns == [
+        "threshold", "n_keys_needed", "n_keys_total", "key_fraction"
+    ]
