@@ -659,3 +659,44 @@ def test_hybrid_rrf_and_hard_negatives_plan_shapes(spark):
     pn = _plan(hard_negative_pairs(vecs, k=2, query_filter=F.col("vec_id") < 3))
     assert "BroadcastNestedLoopJoin BuildLeft" in pn  # anchors broadcast
     assert "CartesianProduct" not in pn
+
+
+def test_r7_stats_wave_plans_avoid_single_task_windows(spark):
+    """The r7 stats operators must never plan a window over an
+    UNPARTITIONED ordering of corpus- or key-sized frames: ranks come
+    from windows partitioned by group (or by range slice in
+    heavy_coverage), and every `Window` in the plan carries a
+    partition spec. A bare `Window [..], [..ASC..]` with no
+    partitionBy funnels all rows through one task."""
+    import re
+
+    from hypermap_etl_spark.plans.star_queries import (
+        events_changepoint,
+        events_heavy_coverage,
+        events_mannwhitney,
+        events_theilsen_trend,
+    )
+    from hypermap_etl_spark.util import release_persisted
+
+    for fn in (events_mannwhitney, events_theilsen_trend, events_changepoint):
+        plan = _plan(fn(spark, SF_SMOKE))
+        # every Window node declares a partitionBy (windowspecdefinition
+        # with a partition expression list before the ORDER BY)
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            # second bracket group = partition spec; must be non-empty
+            assert m.group(1).strip(), f"unpartitioned Window in {fn.__name__}"
+    # heavy_coverage: its windows are partitioned by the range-slice id
+    plan = _plan(events_heavy_coverage(spark, SF_SMOKE))
+    assert "__pid" in plan
+    release_persisted()
+
+
+def test_mann_whitney_single_corpus_aggregate(spark):
+    """mann_whitney_u touches the corpus exactly once: one hash
+    aggregate keyed (group, value); the rank window and the final
+    aggregate run over the distinct-value frame."""
+    from hypermap_etl_spark.plans.star_queries import events_mannwhitney
+
+    plan = _plan(events_mannwhitney(spark, SF_SMOKE))
+    # exactly one scan of the events parquet
+    assert plan.count("Scan parquet") == 1
