@@ -79,6 +79,8 @@ _WINDOW: list[str] = [
     "emb_ivfpq_recall",         # composed probe-pruned + ADC + refine
     "customer_golden_record",   # linkage -> CC -> survivorship fusion
     "events_heavy_coverage",    # smallest key set covering X% of events
+    "doc_kappa_models",         # agreement-beyond-chance of two graders
+    "lineitem_pref_matrix",     # pairwise-preference extraction for BT
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -87,8 +89,6 @@ _WINDOW: list[str] = [
     "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
 ]
 
 

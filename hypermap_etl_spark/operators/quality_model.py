@@ -182,3 +182,131 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    agreement-beyond-chance check a labeling pipeline runs when two
+    quality models (or a model and a human sample) grade the same
+    documents: kappa = (p_o − p_e) / (1 − p_e), with observed
+    agreement p_o from the contingency diagonal and expected
+    agreement p_e from the marginal products.
+
+    One hash aggregate to the (a, b) contingency (bounded by label
+    cardinality squared); marginals and the kappa arithmetic run on
+    that aggregate — exact integer counts into one fixed-order double
+    expression, so a SQL oracle reproduces it bit-for-bit. Rows where
+    either label is NULL are excluded (no-grade ≠ disagreement).
+    Output: one row (n, p_obs, p_exp, kappa), kappa NULL when p_e = 1
+    (degenerate single-label case — try_divide, not a crash).
+    """
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cont = base.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    agg = cont.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("__diag"),
+    )
+    ra = cont.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = cont.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    pe_num = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(F.sum(F.col("__ra") * F.col("__cb")).cast("double").alias("__pe_num"))
+    )
+    nn = F.col("n").cast("double")
+    po = F.col("__diag").cast("double") / nn
+    pe = F.col("__pe_num") / (nn * nn)
+    return (
+        agg.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            F.round(po, 6).alias("p_obs"),
+            F.round(pe, 6).alias("p_exp"),
+            F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+def bradley_terry(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iter: int = 50,
+) -> "DataFrame":
+    """Bradley-Terry preference strengths from pairwise outcomes — the
+    reward-modeling primitive of an RLHF data pipeline (which response
+    is stronger, given many noisy A-beats-B judgments).
+
+    Scale shape: the corpus of judgments collapses to ONE hash
+    aggregate of (winner, loser, n) pair counts — items², model-sized
+    for any real label set — and the MM fixed-point iteration
+    (Hunter 2004: π_i ← W_i / Σ_j n_ij/(π_i+π_j), normalized) runs
+    driver-side on that aggregate, the documented model-sized-loop
+    policy (kmeans/PCA/BPE family). Deterministic: fixed iteration
+    count, items processed in sorted order, uniform init.
+
+    Output: (item, strength, n_wins, n_games), strengths summing to 1,
+    round 6. Items seen only as losers still get a (shrinking)
+    strength; ties in the data are the caller's job to split.
+    """
+    counts = (
+        pairs.filter(
+            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+        )
+        .groupBy(
+            F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .collect()
+    )
+    n_wl: dict[tuple, int] = {}
+    items: set = set()
+    for r in counts:
+        n_wl[(r["__w"], r["__l"])] = n_wl.get((r["__w"], r["__l"]), 0) + r["__n"]
+        items.add(r["__w"])
+        items.add(r["__l"])
+    items_sorted = sorted(items)
+    if not items_sorted:
+        return pairs.sparkSession.createDataFrame(
+            [], "item string, strength double, n_wins long, n_games long"
+        )
+    # games matrix n_ij = games between i and j (either direction)
+    games: dict[tuple, int] = {}
+    wins: dict = {}
+    for (w, loser), c in n_wl.items():
+        games[(w, loser)] = games.get((w, loser), 0) + c
+        games[(loser, w)] = games.get((loser, w), 0) + c
+        wins[w] = wins.get(w, 0) + c
+    pi = {i: 1.0 / len(items_sorted) for i in items_sorted}
+    for _ in range(n_iter):
+        nxt = {}
+        for i in items_sorted:
+            denom = 0.0
+            for j in items_sorted:
+                g = games.get((i, j), 0)
+                if g and i != j:
+                    denom += g / (pi[i] + pi[j])
+            nxt[i] = (wins.get(i, 0) / denom) if denom > 0 else 0.0
+        total = sum(nxt.values())
+        if total <= 0:
+            break
+        pi = {i: v / total for i, v in nxt.items()}
+    rows = [
+        (
+            str(i),
+            round(pi[i], 6),
+            int(wins.get(i, 0)),
+            int(sum(games.get((i, j), 0) for j in items_sorted if j != i)),
+        )
+        for i in items_sorted
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows, "item string, strength double, n_wins long, n_games long"
+    )

@@ -4379,6 +4379,72 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+
+
+def doc_kappa_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (quality_model.cohens_kappa) between two
+    deterministic document graders — the heuristic quality score at
+    its 0.5 bar vs a bare length rule (n_words >= 40): the agreement-
+    beyond-chance check a labeling pipeline runs before trusting a
+    cheap proxy label. Contingency, marginals and the kappa arithmetic
+    all run on the label-cardinality aggregate."""
+    from hypermap_etl_spark.operators.quality_model import cohens_kappa
+
+    qs = textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+    labeled = qs.select(
+        (F.col("quality_score") >= 0.5).alias("label_a"),
+        (F.col("n_words") >= 40).alias("label_b"),
+    )
+    return cohens_kappa(labeled, "label_a", "label_b")
+
+
+KAPPA_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lower(text) AS t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ws) AS n_words,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','and','of','to','in','is','on','for','with'], x))) AS n_stop,
+    length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS n_punct,
+    length(t) AS n_chars
+  FROM w
+),
+lab AS (
+  SELECT
+    (ROUND(0.4 * least(n_words / 100.0, 1.0)
+           + 0.4 * (n_stop / greatest(n_words, 1))
+           + 0.2 * (1.0 - n_punct / greatest(n_chars, 1)), 6)
+       >= CAST('0.5' AS DOUBLE)) AS a,
+    (n_words >= 40) AS b
+  FROM m
+),
+cont AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM cont
+),
+ra AS (SELECT a, SUM(c) AS r FROM cont GROUP BY 1),
+cb AS (SELECT b, SUM(c) AS r2 FROM cont GROUP BY 1),
+pen AS (SELECT CAST(SUM(ra.r * cb.r2) AS DOUBLE) AS pn
+        FROM ra JOIN cb ON ra.a = cb.b)
+SELECT n,
+  ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+  ROUND(pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_exp,
+  ROUND(CASE WHEN CAST(1 AS DOUBLE)
+                  - pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 0
+             THEN (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                   - pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (CAST(1 AS DOUBLE)
+                     - pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        END, 6) AS kappa
+FROM agg CROSS JOIN pen
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -4471,6 +4537,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_js_divergence": (doc_js_divergence, JS_DIVERGENCE_ORACLE),
     "emb_matryoshka_recall": (emb_matryoshka_recall, MATRYOSHKA_ORACLE),
     "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
+    "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),

@@ -4150,6 +4150,50 @@ ORDER BY b.cluster_id
 """
 
 
+
+
+def lineitem_pref_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-preference extraction — the relational half of the
+    Bradley-Terry pipeline (quality_model.bradley_terry fits the
+    model-sized MM loop on this aggregate, unit-certified under the
+    documented no-SQL-oracle policy): within every order, the line
+    with the higher extended price beats each cheaper line; ties drop.
+    Output is the (winner, loser, n) judgment matrix keyed by line
+    number — bounded by lines-per-order squared, computed by one
+    keyed self-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_extendedprice").alias("p_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_extendedprice").alias("p_b"),
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p_a") > F.col("p_b"))
+        .groupBy(
+            F.col("ln_a").alias("winner"), F.col("ln_b").alias("loser")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("winner", "loser")
+    )
+
+
+PREF_MATRIX_ORACLE = """
+SELECT a.l_linenumber AS winner, b.l_linenumber AS loser,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_extendedprice > b.l_extendedprice
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5042,5 +5086,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
+    "lineitem_pref_matrix": (lineitem_pref_matrix, PREF_MATRIX_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -140,3 +140,68 @@ def test_calibration_report_rejects_bad_bins(spark):
 
     with _pt.raises(ValueError):
         calibration_report(df, n_bins=0)
+
+
+# ------------------------------------------- kappa + Bradley-Terry ----
+
+
+def test_cohens_kappa_perfect_independent_degenerate(spark):
+    from hypermap_etl_spark.operators.quality_model import cohens_kappa
+
+    # perfect agreement -> kappa 1
+    perf = spark.createDataFrame(
+        [(True, True)] * 6 + [(False, False)] * 4, "a boolean, b boolean"
+    )
+    r = cohens_kappa(perf, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["p_obs"] == 1.0 and r["n"] == 10
+
+    # independent labels at 50/50 -> kappa ~ 0
+    rows = []
+    for i in range(200):
+        rows.append((i % 2 == 0, (i // 2) % 2 == 0))
+    ind = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(ind, "a", "b").collect()[0]
+    assert abs(r["kappa"]) < 0.05
+
+    # single-label degenerate: p_e = 1 -> NULL kappa, not a crash
+    dg = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    r = cohens_kappa(dg, "a", "b").collect()[0]
+    assert r["kappa"] is None
+
+    # nulls excluded
+    nn = spark.createDataFrame(
+        [(True, True), (None, True), (False, None)], "a boolean, b boolean"
+    )
+    assert cohens_kappa(nn, "a", "b").collect()[0]["n"] == 1
+
+
+def test_bradley_terry_recovers_planted_order(spark):
+    from hypermap_etl_spark.operators.quality_model import bradley_terry
+
+    # A beats B 9/1, B beats C 9/1, A beats C 9/1 -> strengths A>B>C
+    rows = (
+        [("A", "B")] * 9 + [("B", "A")] * 1
+        + [("B", "C")] * 9 + [("C", "B")] * 1
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {r["item"]: r for r in bradley_terry(df).collect()}
+    assert got["A"]["strength"] > got["B"]["strength"] > got["C"]["strength"]
+    assert abs(sum(r["strength"] for r in got.values()) - 1.0) < 1e-5
+    assert got["A"]["n_wins"] == 18 and got["A"]["n_games"] == 20
+
+    # two-item closed form: pi_a/pi_b = w_ab/w_ba
+    two = spark.createDataFrame(
+        [("X", "Y")] * 3 + [("Y", "X")] * 1, "winner string, loser string"
+    )
+    g2 = {r["item"]: r["strength"] for r in bradley_terry(two).collect()}
+    assert abs(g2["X"] - 0.75) < 1e-6 and abs(g2["Y"] - 0.25) < 1e-6
+
+    # row-order / partition invariance
+    df2 = spark.createDataFrame(list(reversed(rows)), "winner string, loser string").repartition(5)
+    got2 = {r["item"]: r["strength"] for r in bradley_terry(df2).collect()}
+    assert got2 == {k: v["strength"] for k, v in got.items()}
+
+    # empty input -> empty typed frame
+    empty = spark.createDataFrame([], "winner string, loser string")
+    assert bradley_terry(empty).count() == 0
