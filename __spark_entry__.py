@@ -81,6 +81,7 @@ _WINDOW: list[str] = [
     "events_heavy_coverage",    # smallest key set covering X% of events
     "doc_kappa_models",         # agreement-beyond-chance of two graders
     "lineitem_pref_matrix",     # pairwise-preference extraction for BT
+    "events_conformal",         # finite-sample valid accept threshold
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
@@ -88,7 +89,6 @@ _WINDOW: list[str] = [
     "q10_returned_items",
     "q11_important_stock",
     "q15_top_supplier",
-    "q16_supplier_variety",
 ]
 
 

@@ -310,3 +310,157 @@ def bradley_terry(
     return pairs.sparkSession.createDataFrame(
         rows, "item string, strength double, n_wins long, n_games long"
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal quantile threshold per group: the k-th smallest
+    calibration score with k = ⌈(1−α)(n+1)⌉ — the finite-sample-valid
+    cut ("accept only scores ≤ q̂, and the accept set covers a fresh
+    example with probability ≥ 1−α", Vovk et al. / Angelopoulos &
+    Bates 2021). The thresholding primitive for risk-controlled
+    filtering of model-scored corpora.
+
+    Construction (no per-group sort task): scores collapse to a
+    (group, score) count aggregate; a running sum over each group's
+    DISTINCT scores (window over the aggregate) finds the first value
+    whose cumulative count reaches k — the grouped_weighted_median
+    discipline. Exact integer rank selection; no interpolation, so any
+    engine agrees bit-for-bit. Groups with k > n (too few calibration
+    points for the requested α) return NULL q̂ rather than a lying
+    threshold.
+
+    Output: (group..., n, k, q_hat).
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1): {alpha}")
+    group_cols = group_cols or []
+    per = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(*group_cols, F.col(score_col).alias("__s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        per.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn("__n", F.sum("__c").over(wall))
+    )
+    # k = ceil((1-alpha)(n+1)) in exact integer arithmetic via the
+    # Fraction of alpha (floats like 0.1 are exactly mirrorable, but
+    # ceil of a double product is the CAST-rounding trap — integers
+    # only)
+    from fractions import Fraction
+
+    fr = Fraction(str(alpha))
+    an, ad = fr.numerator, fr.denominator
+    # (1 - an/ad)(n+1) = (ad-an)(n+1)/ad ; ceil(x/y) = floor((x+y-1)/y)
+    k = F.floor(
+        ((F.lit(ad - an) * (F.col("__n") + 1)) + F.lit(ad - 1)) / F.lit(ad)
+    ).cast("long")
+    hit = cum.filter(F.col("__cum") >= k)
+    pick = Window.partitionBy(*group_cols).orderBy(F.col("__s").asc())
+    first = (
+        hit.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(*group_cols, F.col("__n"), k.alias("__k"), F.col("__s"))
+    )
+    base = per.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n")
+    )
+    if group_cols:
+        joined = base.join(first.drop("__n", "__k"), group_cols, "left")
+    else:
+        # global case: one base row, at most one hit row
+        joined = base.crossJoin(F.broadcast(first.drop("__n", "__k")))
+    # k recomputed from the authoritative per-group n (always present,
+    # even when no row reaches it and q_hat is NULL)
+    k_out = F.floor(
+        ((F.lit(ad - an) * (F.col("n") + 1)) + F.lit(ad - 1)) / F.lit(ad)
+    ).cast("long")
+    return joined.select(
+        *group_cols,
+        "n",
+        k_out.alias("k"),
+        F.when(k_out <= F.col("n"), F.col("__s")).alias("q_hat"),
+    )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Isotonic calibration of a [0,1] score against boolean labels:
+    bin the scores (fixed uniform grid — bounds the driver work no
+    matter the corpus), pool-adjacent-violators over the bin means,
+    and return the monotone step function as (bin, lo, hi, n, rate,
+    calibrated) rows — the standard nonparametric fix when
+    calibration_report shows a bent reliability curve.
+
+    Scale shape: ONE corpus aggregate to n_bins rows (bin by pure
+    integer arithmetic, the CAST-truncation-safe construction); PAVA
+    runs driver-side on the bin aggregate (model-sized, like the
+    kmeans/BPE loops — unit-certified under the documented no-SQL-
+    oracle policy for sequential fits). The pooled solution is the
+    unique L2-optimal monotone fit, weighted by bin counts.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .filter((s >= 0) & (s <= 1))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("int")).cast("long").alias("pos"),
+        )
+        .collect()
+    )
+    rows = sorted((r["bin"], r["n"], r["pos"]) for r in agg)
+    # PAVA: pool adjacent bins while the mean decreases
+    blocks: list[list] = []  # [sum_pos, sum_n, bins]
+    for bin_id, n, pos in rows:
+        blocks.append([pos, n, [bin_id]])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):  # prev_mean > cur_mean in exact integer cross-mult
+            p2, n2, b2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(b2)
+    out = []
+    by_bin = {bin_id: (n, pos) for bin_id, n, pos in rows}
+    for pos_sum, n_sum, bin_ids in blocks:
+        cal = round(pos_sum / n_sum, 6)
+        for bin_id in bin_ids:
+            n, pos = by_bin[bin_id]
+            out.append(
+                (
+                    int(bin_id),
+                    round(bin_id / n_bins, 6),
+                    round((bin_id + 1) / n_bins, 6),
+                    int(n),
+                    round(pos / n, 6),
+                    cal,
+                )
+            )
+    return df.sparkSession.createDataFrame(
+        sorted(out),
+        "bin int, lo double, hi double, n long, rate double, calibrated double",
+    )

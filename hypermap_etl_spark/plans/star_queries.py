@@ -4194,6 +4194,42 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+def events_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold per event type
+    (quality_model.conformal_threshold, alpha = 0.1): the
+    k = ceil(0.9(n+1))-th smallest value — exact integer rank
+    selection over the (group, distinct value) running sum, the
+    finite-sample-valid accept cut for risk-controlled filtering."""
+    from hypermap_etl_spark.operators.quality_model import conformal_threshold
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_threshold(ev, "value", ["event_type"], alpha=0.1).orderBy(
+        "event_type"
+    )
+
+
+CONFORMAL_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS s
+  FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+k AS (SELECT event_type, n,
+             CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k FROM n),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s ASC) AS rn
+  FROM base
+)
+SELECT k.event_type, k.n, k.k,
+       CASE WHEN k.k <= k.n THEN r.s END AS q_hat
+FROM k LEFT JOIN r ON r.event_type = k.event_type AND r.rn = k.k
+ORDER BY k.event_type
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5087,5 +5123,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
     "lineitem_pref_matrix": (lineitem_pref_matrix, PREF_MATRIX_ORACLE),
+    "events_conformal": (events_conformal, CONFORMAL_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -205,3 +205,52 @@ def test_bradley_terry_recovers_planted_order(spark):
     # empty input -> empty typed frame
     empty = spark.createDataFrame([], "winner string, loser string")
     assert bradley_terry(empty).count() == 0
+
+
+def test_conformal_threshold_exact_order_statistic(spark):
+    """k = ceil((1-a)(n+1)) and q_hat = the k-th smallest score,
+    duplicates counted; too-small groups yield NULL q_hat."""
+    from hypermap_etl_spark.operators.quality_model import conformal_threshold
+
+    # n=9, alpha=0.1 -> k = ceil(0.9*10) = 9 -> 9th smallest of 1..9 = 9
+    rows = [("g", float(i)) for i in range(1, 10)]
+    # n=3, alpha=0.1 -> k = ceil(0.9*4) = 4 > n -> NULL
+    rows += [("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0)]
+    # duplicates: n=10 of value 5 except two 7s -> k=ceil(0.9*11)=10
+    rows += [("dup", 5.0)] * 8 + [("dup", 7.0)] * 2
+    df = spark.createDataFrame(rows, "g string, s double").repartition(4)
+    got = {r["g"]: r for r in conformal_threshold(df, "s", ["g"]).collect()}
+    assert got["g"]["k"] == 9 and got["g"]["q_hat"] == 9.0
+    assert got["tiny"]["k"] == 4 and got["tiny"]["q_hat"] is None
+    assert got["dup"]["k"] == 10 and got["dup"]["q_hat"] == 7.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        conformal_threshold(df, "s", ["g"], alpha=0.0)
+
+
+def test_isotonic_calibrate_pools_violators(spark):
+    """A dipping reliability curve gets pooled monotone; already-
+    monotone bins pass through; averages are count-weighted."""
+    from hypermap_etl_spark.operators.quality_model import isotonic_calibrate
+
+    rows = []
+    # bin 0: rate 0.2 (10 rows); bin 1: rate 0.8 (10); bin 2: rate 0.4 (10)
+    # PAVA pools bins 1,2 -> (8+4)/20 = 0.6
+    for i in range(10):
+        rows.append((0.05, i < 2))
+        rows.append((0.15, i < 8))
+        rows.append((0.25, i < 4))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, "s", "y", n_bins=10).collect()}
+    assert out[0]["calibrated"] == 0.2
+    assert out[1]["calibrated"] == 0.6 and out[2]["calibrated"] == 0.6
+    assert out[1]["rate"] == 0.8 and out[2]["rate"] == 0.4
+    # monotone non-decreasing over bins
+    cals = [out[b]["calibrated"] for b in sorted(out)]
+    assert cals == sorted(cals)
+    # score exactly 1.0 lands in the top bin, not out of range
+    df2 = spark.createDataFrame([(1.0, True), (0.0, False)], "s double, y boolean")
+    out2 = {r["bin"] for r in isotonic_calibrate(df2, "s", "y", n_bins=10).collect()}
+    assert out2 == {0, 9}
