@@ -82,13 +82,13 @@ _WINDOW: list[str] = [
     "doc_kappa_models",         # agreement-beyond-chance of two graders
     "lineitem_pref_matrix",     # pairwise-preference extraction for BT
     "events_conformal",         # finite-sample valid accept threshold
+    "customer_blocking_metrics",  # reduction ratio + completeness cert
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q15_top_supplier",
 ]
 
 

@@ -4230,6 +4230,57 @@ ORDER BY k.event_type
 """
 
 
+
+
+def customer_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report (fuzzy.blocking_metrics) for the
+    tau=1 name-linkage pipeline: reduction ratio vs the quadratic
+    comparison space and candidate->match precision. The oracle
+    REBUILDS the deletion neighborhood in SQL and counts matches from
+    a quadratic levenshtein scan, so both the candidate-set size and
+    the completeness-by-theorem claim are independently certified."""
+    from hypermap_etl_spark.operators.fuzzy import blocking_metrics
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocking_metrics(cust, "c_custkey", "c_name")
+
+
+BLOCKING_METRICS_ORACLE = """
+WITH keys AS (
+  SELECT c_custkey AS id, c_name AS k FROM customer
+  UNION
+  SELECT c_custkey AS id,
+         substr(c_name, 1, CAST(t.i AS INT) - 1)
+           || substr(c_name, CAST(t.i AS INT) + 1) AS k
+  FROM customer,
+       LATERAL unnest(generate_series(1, length(c_name))) AS t(i)
+),
+kd AS (SELECT DISTINCT id, k FROM keys),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM kd a JOIN kd b ON a.k = b.k AND a.id < b.id
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_records,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+     WHERE levenshtein(a.c_name, b.c_name) <= 1) AS n_matched_pairs
+)
+SELECT n_records, n_candidate_pairs, n_matched_pairs,
+  ROUND(CAST(1 AS DOUBLE)
+        - CAST(n_candidate_pairs AS DOUBLE)
+          / (CAST(n_records AS DOUBLE)
+             * (CAST(n_records AS DOUBLE) - CAST(1 AS DOUBLE))
+             / CAST(2 AS DOUBLE)), 6) AS reduction_ratio,
+  ROUND(CASE WHEN n_candidate_pairs > 0 THEN
+          CAST(n_matched_pairs AS DOUBLE)
+            / CAST(n_candidate_pairs AS DOUBLE) END, 6) AS match_precision
+FROM counts
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5124,5 +5175,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
     "lineitem_pref_matrix": (lineitem_pref_matrix, PREF_MATRIX_ORACLE),
     "events_conformal": (events_conformal, CONFORMAL_ORACLE),
+    "customer_blocking_metrics": (customer_blocking_metrics, BLOCKING_METRICS_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }
