@@ -83,12 +83,12 @@ _WINDOW: list[str] = [
     "lineitem_pref_matrix",     # pairwise-preference extraction for BT
     "events_conformal",         # finite-sample valid accept threshold
     "customer_blocking_metrics",  # reduction ratio + completeness cert
+    "events_drift_ewma",        # store -> per-day anomaly face
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
 ]
 
 

@@ -3182,6 +3182,52 @@ ORDER BY event_type
 """
 
 
+
+
+def _build_gate_drift_store(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture-store builder for the drift-store gates: three
+    deterministic pseudo-batches (user_id mod 3) of per-(type, day)
+    partial counts, written in the foreachBatch sink's batch_id=
+    layout. Rebuilt per call — cheap (three aggregate writes of a
+    groups x days frame) and immune to stale state."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("user_id"), F.lit(0)).alias("uid"),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(tempfile.gettempdir(), f"gate_drift_store_{sf_tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        (
+            ev.filter(F.col("uid") % 3 == b)
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(store, f"batch_id={b}"))
+        )
+    return store
+
+
+def events_drift_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift store's per-day face (streaming/drift.ewma_verdict):
+    same pseudo-batch store as events_drift_verdict, re-derived
+    through ewma_anomaly — certifying that the THIRD consumer of the
+    summed partials (which single days are off, vs CUSUM's level
+    shift and autocorr's cycle) also agrees with one-shot batch
+    processing regardless of how the stream was chopped."""
+    from hypermap_etl_spark.streaming.drift import ewma_verdict
+
+    store = _build_gate_drift_store(spark, sf_dir)
+    return ewma_verdict(spark, store, "day", ["event_type"]).orderBy(
+        "event_type", "day"
+    )
+
+
 def events_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming drift monitor's STORE → VERDICT contract
     (streaming/drift.py), driver-certified end-to-end: the gate chops
@@ -3192,30 +3238,9 @@ def events_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive, the verdict must equal the one-shot batch CUSUM no
     matter how the stream was chopped — the oracle replays the split
     explicitly and sums it back (the store's whole design claim)."""
-    import os
-    import shutil
-    import tempfile
-
     from hypermap_etl_spark.streaming.drift import drift_verdict
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.coalesce(F.col("user_id"), F.lit(0)).alias("uid"),
-    )
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    store = os.path.join(
-        tempfile.gettempdir(), f"gate_drift_store_{sf_tag}"
-    )
-    shutil.rmtree(store, ignore_errors=True)
-    for b in range(3):
-        (
-            ev.filter(F.col("uid") % 3 == b)
-            .groupBy("event_type", "day")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(store, f"batch_id={b}"))
-        )
+    store = _build_gate_drift_store(spark, sf_dir)
     return drift_verdict(spark, store, "day", ["event_type"]).orderBy(
         "event_type"
     )
@@ -3259,6 +3284,63 @@ SELECT event_type, n_days,
 FROM cs GROUP BY event_type, n_days, sc, scc
 ORDER BY event_type
 """
+
+
+
+
+def _drift_ewma_oracle() -> str:
+    # same exact-double weight embedding as _ewma_oracle, over the
+    # pseudo-batch store sum instead of the raw corpus
+    ws = [repr((1.0 - 0.3) ** (j - 1)) for j in range(1, 8)]
+    lag_cols = ", ".join(f"lag(cnt, {j}) OVER w AS l{j}" for j in range(1, 8))
+    num = " + ".join(
+        f"COALESCE(CAST(l{j} AS DOUBLE), CAST(0 AS DOUBLE))"
+        f" * CAST('{w}' AS DOUBLE)"
+        for j, w in enumerate(ws, 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN CAST('{w}' AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for j, w in enumerate(ws, 1)
+    )
+    return f"""
+WITH parts AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COALESCE(user_id, 0) % 3 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM parts GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, cnt, {lag_cols}
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+e AS (
+  SELECT event_type, day, cnt,
+         CAST(0 AS DOUBLE) + {num} AS num,
+         CAST(0 AS DOUBLE) + {den} AS den
+  FROM lagged
+),
+r AS (
+  SELECT event_type, day, cnt,
+         CASE WHEN den > 0 THEN num / den END AS ewma,
+         CASE WHEN den > 0 THEN
+           abs(CAST(cnt AS DOUBLE) - num / den)
+             / GREATEST(num / den, CAST(1 AS DOUBLE))
+         END AS rel
+  FROM e
+)
+SELECT event_type, day, cnt,
+       ROUND(ewma, 6) AS ewma_prior,
+       ROUND(rel, 6) AS rel_dev,
+       COALESCE(rel > CAST('0.5' AS DOUBLE), FALSE) AS is_anomaly
+FROM r ORDER BY event_type, day
+"""
+
+
+DRIFT_EWMA_ORACLE = _drift_ewma_oracle()
 
 
 def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5146,6 +5228,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_join_estimate": (events_join_estimate, JOIN_ESTIMATE_ORACLE),
     "events_cusum_daily": (events_cusum_daily, CUSUM_ORACLE),
     "events_drift_verdict": (events_drift_verdict, DRIFT_VERDICT_ORACLE),
+    "events_drift_ewma": (events_drift_ewma, DRIFT_EWMA_ORACLE),
     "events_mannwhitney": (events_mannwhitney, MANNWHITNEY_ORACLE),
     "events_theilsen_trend": (events_theilsen_trend, THEILSEN_ORACLE),
     "events_changepoint": (events_changepoint, CHANGEPOINT_ORACLE),
