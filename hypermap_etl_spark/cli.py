@@ -1012,6 +1012,69 @@ def cmd_bff(args) -> None:
     }))
 
 
+
+def cmd_link(args) -> None:
+    """Entity-resolution pipeline in one command: deletion-neighborhood
+    blocking (tau = --max-dist) -> Fellegi-Sunter scoring -> verdict
+    counts + blocking-quality report; with --golden, match pairs fold
+    through connected components into survivorship-fused golden
+    records written as a new table."""
+    from hypermap_etl_spark.operators.fuzzy import (
+        blocking_metrics,
+        golden_records,
+        linkage_scores,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    cat_fields = []
+    for spec in (args.cat or "").split(","):
+        if spec.strip():
+            name, w_a, w_d = spec.split(":")
+            cat_fields.append((name, float(w_a), float(w_d)))
+    scores = linkage_scores(
+        df,
+        args.id_col,
+        args.name_col,
+        cat_fields=cat_fields,
+        num_col=args.num_col,
+        max_dist=args.max_dist,
+    )
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in scores.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bm = blocking_metrics(
+        df, args.id_col, args.name_col, max_dist=args.max_dist
+    ).collect()[0]
+    out = {
+        "records": bm["n_records"],
+        "candidates": bm["n_candidate_pairs"],
+        "reduction_ratio": bm["reduction_ratio"],
+        "verdicts": dict(sorted(verdicts.items())),
+    }
+    if args.golden:
+        from hypermap_etl_spark.operators.dedup import duplicate_clusters
+
+        pairs = scores.filter(F.col("verdict") == "match").select(
+            F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+        )
+        clusters = duplicate_clusters(pairs)
+        fused = golden_records(
+            df,
+            clusters,
+            args.id_col,
+            max_cols=[c for c in [args.num_col] if c],
+            mode_cols=[c for c, _, _ in cat_fields],
+        )
+        fused.write.mode("overwrite").parquet(args.golden)
+        out["golden_records"] = spark.read.parquet(args.golden).count()
+        out["golden_out"] = args.golden
+    print(json.dumps(out))
+
+
 def cmd_skew(args) -> None:
     """Shuffle-key skew pre-flight (operators/scale.key_skew_report):
     heaviest keys, per-key salt factors, distribution entropy — run
@@ -1598,6 +1661,21 @@ def main(argv=None) -> None:
                         "expected corpus; fp=(1-exp(-4n/63m))^4)")
     p = sub.add_parser("report", help="corpus data card (one JSON line)")
     p.add_argument("--docs", required=True, help="documents parquet")
+    p = sub.add_parser("link", help="entity resolution: blocked linkage "
+                       "scoring, blocking-quality report, optional golden "
+                       "records")
+    p.add_argument("--table", required=True, help="entity parquet")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--name-col", required=True)
+    p.add_argument("--cat", default="",
+                   help="categorical fields as name:w_agree:w_disagree, "
+                        "comma-separated")
+    p.add_argument("--num-col", default=None,
+                   help="numeric field compared in exact cents")
+    p.add_argument("--max-dist", type=int, default=1, choices=[1, 2],
+                   help="name-distance radius (deletion-neighborhood tau)")
+    p.add_argument("--golden", default=None,
+                   help="write survivorship-fused golden records here")
     p = sub.add_parser("skew", help="shuffle-key skew pre-flight report")
     p.add_argument("--table", required=True, help="parquet path to diagnose")
     p.add_argument("--keys", required=True,
@@ -1677,6 +1755,7 @@ def main(argv=None) -> None:
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
+        "link": cmd_link,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
         "hist": cmd_hist, "drift": cmd_drift, "cdc": cmd_cdc,
     }[args.cmd](args)

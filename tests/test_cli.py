@@ -805,3 +805,37 @@ def test_cli_cdc_report(capsys):
     assert rep["chunks"] >= rep["distinct_chunks"] > 0
     assert 0.0 <= rep["dup_ratio"] < 1.0
     assert rep["words"] > 0 and rep["mean_chunk_words"] > 0
+
+
+def test_cli_link_with_golden(spark, capsys, tmp_path):
+    """End-to-end ER CLI: planted near-duplicate names must match and
+    fuse into one golden record; the blocking report rides along."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    rows = [
+        (1, "acme corp", 3, "AUTO", 100.0),
+        (2, "acme corpx", 3, "AUTO", 150.0),   # dist 1, same cats, close bal
+        (3, "acme korpx", 3, "AUTO", 140.0),   # dist 1 of 2
+        (4, "zebra inc", 7, "RETAIL", 10.0),
+    ]
+    p = str(tmp_path / "ents.parquet")
+    spark.createDataFrame(
+        rows, "id long, name string, nation int, seg string, bal double"
+    ).write.parquet(p)
+    golden = str(tmp_path / "golden")
+    main([
+        "link", "--table", p, "--id-col", "id", "--name-col", "name",
+        "--cat", "nation:2.25:-1.5,seg:1.25:-0.75", "--num-col", "bal",
+        "--golden", golden,
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["records"] == 4
+    assert out["verdicts"].get("match", 0) >= 2  # (1,2) and (2,3)
+    assert out["golden_records"] == 2  # {1,2,3} fused + singleton 4
+    fused = {r["cluster_id"]: r for r in spark.read.parquet(golden).collect()}
+    assert fused[1]["n_members"] == 3
+    assert fused[1]["max_bal"] == 150.0
+    assert fused[1]["mode_nation"] == 3
+    assert fused[4]["n_members"] == 1
