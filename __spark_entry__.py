@@ -84,11 +84,11 @@ _WINDOW: list[str] = [
     "events_conformal",         # finite-sample valid accept threshold
     "customer_blocking_metrics",  # reduction ratio + completeness cert
     "events_drift_ewma",        # store -> per-day anomaly face
+    "events_dp_counts",         # Laplace release calibration plumbing
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
 ]
 
 

@@ -1264,3 +1264,59 @@ def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("mojibake_rate"),
         (n > 0).alias("is_corrupt"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    sensitivity: int = 1,
+    salt: str = "dp",
+) -> DataFrame:
+    """Laplace-mechanism plumbing for differentially private release
+    of grouped counts: noisy_n = n + Lap(sensitivity/epsilon), the
+    third privacy face next to k_anonymity (suppress) and pseudonymize
+    (tokenize) -- release aggregate statistics instead.
+
+    HONESTY NOTE (same posture as the multimodal codec stub): noise
+    here is drawn by the DETERMINISTIC md5 inverse-CDF so tests and
+    the DuckDB oracle can reproduce it bit-for-bit -- a fixed seed is
+    NOT differential privacy (the mechanism's privacy proof needs
+    fresh randomness per release). What this operator certifies is
+    everything around the draw: the b = sensitivity/epsilon
+    calibration, the inverse-CDF transform
+    u -> -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|), NULL-group handling,
+    and the one-aggregate scale shape. Production swaps the seed
+    expression for `rand()` -- one line, same plan.
+
+    Scale: ONE map-combined hash aggregate; the noise expression is
+    per-GROUP arithmetic on the aggregate rows.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if sensitivity < 1:
+        raise ValueError(f"sensitivity must be >= 1: {sensitivity}")
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    key = F.concat_ws(
+        ":",
+        F.lit(salt),
+        *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in group_cols],
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    b = float(sensitivity) / float(epsilon)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return per.select(
+        *group_cols,
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+        F.lit(b).alias("laplace_b"),
+    )

@@ -4363,6 +4363,43 @@ FROM counts
 """
 
 
+
+
+def events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release plumbing (curation.dp_noisy_counts,
+    epsilon = 1): per-type counts plus inverse-CDF Laplace noise from
+    the deterministic md5 seed — certifying the b = sens/eps
+    calibration and the transform; the honesty note in the operator
+    docstring covers why a fixed seed is reproducible-but-not-DP."""
+    from hypermap_etl_spark.operators.curation import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0).orderBy(
+        "event_type"
+    )
+
+
+DP_COUNTS_ORACLE = """
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+nz AS (
+  SELECT event_type, n,
+    CAST('0x' || substr(md5('dp:' || COALESCE(CAST(event_type AS VARCHAR), ' ')), 1, 8)
+         AS BIGINT) / CAST(4294967296 AS DOUBLE) AS u
+  FROM per
+)
+SELECT event_type,
+  ROUND(CAST(n AS DOUBLE)
+        + (-CAST(1 AS DOUBLE)) * sign(u - CAST('0.5' AS DOUBLE))
+          * ln(CAST(1 AS DOUBLE)
+               - CAST(2 AS DOUBLE) * abs(u - CAST('0.5' AS DOUBLE))), 6)
+    AS noisy_n,
+  CAST(1 AS DOUBLE) AS laplace_b
+FROM nz ORDER BY event_type
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5259,5 +5296,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "lineitem_pref_matrix": (lineitem_pref_matrix, PREF_MATRIX_ORACLE),
     "events_conformal": (events_conformal, CONFORMAL_ORACLE),
     "customer_blocking_metrics": (customer_blocking_metrics, BLOCKING_METRICS_ORACLE),
+    "events_dp_counts": (events_dp_counts, DP_COUNTS_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -1046,3 +1046,32 @@ def test_l_diversity_catches_uniform_sensitive_group(spark):
 
     with _pt.raises(ValueError):
         l_diversity(df, ["zip"], "cond", l=1)
+
+
+def test_dp_noisy_counts_calibration(spark):
+    """Noise scales exactly linearly in b = sens/eps (same md5 draw),
+    validation rejects bad params, and NULL groups key the seed via
+    the sentinel instead of crashing."""
+    import pytest as _pt
+
+    from hypermap_etl_spark.operators.curation import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 20 + [(None,)] * 5, "g string"
+    )
+    e1 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    e01 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=0.1).collect()}
+    assert set(e1) == {"a", "b", None}
+    true_n = {"a": 10, "b": 20, None: 5}
+    for g, n in true_n.items():
+        noise1 = e1[g]["noisy_n"] - n
+        noise01 = e01[g]["noisy_n"] - n
+        assert noise1 != 0  # the draw actually perturbs
+        # linear in b: eps 0.1 -> 10x the eps-1 noise (same u)
+        assert abs(noise01 - 10 * noise1) < 1e-4
+    assert e1["a"]["laplace_b"] == 1.0 and e01["a"]["laplace_b"] == 10.0
+
+    with _pt.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+    with _pt.raises(ValueError):
+        dp_noisy_counts(df, ["g"], sensitivity=0)
