@@ -48,7 +48,9 @@ def main() -> int:
     args = sys.argv[1:]
     qs = e.queries()
     sqls = e.oracle_sql()
-    if args and args[0] == "--window":
+    if args and args[0] == "--all":
+        names = list(qs)
+    elif args and args[0] == "--window":
         names = list(qs)[: int(args[1])]
     elif args:
         names = args
