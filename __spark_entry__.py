@@ -85,10 +85,10 @@ _WINDOW: list[str] = [
     "customer_blocking_metrics",  # reduction ratio + completeness cert
     "events_drift_ewma",        # store -> per-day anomaly face
     "events_dp_counts",         # Laplace release calibration plumbing
+    "doc_skipgram_cooc",        # windowed co-occ via the delta-join
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
     "q8_market_share",
-    "q9_product_profit",
 ]
 
 

@@ -1178,3 +1178,59 @@ def source_js_divergence(
         .alias("n_vocab_hit"),
         F.round(F.sum(term), 6).alias("jsd"),
     )
+
+
+def skipgram_cooc(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts within a ±``window`` position
+    band — the input matrix of word2vec/GloVe-style embedding training
+    and of PPMI vector mining (pmi_pairs scores ADJACENT pairs only;
+    this is the windowed generalization).
+
+    Scale shape — the delta-join, NOT a per-doc quadratic: each token
+    row fans out to ``window`` shifted key rows (pos − d for d in
+    1..window), and ONE equi-join on (doc_id, pos) recovers exactly
+    the ordered pairs at distance ≤ window. Cost is O(len·window) rows
+    into a hash join keyed by (doc, position) — a 10k-word document
+    contributes 30k join rows at window 3, never the 100M of a
+    positions-cross-join. Pairs are canonicalized unordered
+    (least, greatest), counted in one aggregate, thresholded, and
+    TakeOrdered to ``top_k`` by (n DESC, w1, w2).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    tok = docs.select(
+        "doc_id", F.posexplode(ws).alias("pos", "w")
+    )
+    from hypermap_etl_spark.util import tracked_persist
+
+    tok = tracked_persist(tok)
+    shifted = tok.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window + 1)])
+        ).alias("__d"),
+        F.col("pos").alias("__bpos"),
+        F.col("w").alias("__wb"),
+    ).select(
+        "doc_id",
+        (F.col("__bpos") - F.col("__d")).alias("pos"),
+        "__wb",
+    )
+    pairs = tok.join(shifted, ["doc_id", "pos"]).select(
+        F.least(F.col("w"), F.col("__wb")).alias("w1"),
+        F.greatest(F.col("w"), F.col("__wb")).alias("w2"),
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )

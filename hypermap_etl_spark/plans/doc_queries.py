@@ -4445,6 +4445,44 @@ FROM agg CROSS JOIN pen
 """
 
 
+
+
+def doc_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence top-50
+    (textstats.skipgram_cooc, window 3): the embedding-training input
+    matrix via the delta-join (each token fans out to window shifted
+    key rows; ONE equi-join on (doc, position)) — never a per-document
+    positions cross-join."""
+    from hypermap_etl_spark.operators.textstats import skipgram_cooc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return skipgram_cooc(docs, window=3, min_count=5, top_k=50)
+
+
+SKIPGRAM_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT)] AS w
+  FROM base, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+pairs AS (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+),
+agg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, n FROM agg
+ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -4538,6 +4576,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_matryoshka_recall": (emb_matryoshka_recall, MATRYOSHKA_ORACLE),
     "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
+    "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),

@@ -2117,3 +2117,32 @@ def test_ivfpq_full_probe_with_rescore_is_exact(spark, tmp_path):
         per.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
     release_persisted()
+
+
+def test_skipgram_cooc_window_semantics(spark):
+    """Pairs at distance 1..window counted, beyond-window excluded,
+    unordered canonicalization merges directions, and the plan is the
+    delta-join (one equi-join, no per-doc cross join)."""
+    from hypermap_etl_spark.operators.textstats import skipgram_cooc
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "e d c b a")], "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): r["n"] for r in skipgram_cooc(
+        docs, window=2, min_count=1, top_k=100).collect()}
+    # distance 1 and 2 in both docs -> every pair counted twice
+    assert out[("a", "b")] == 2 and out[("a", "c")] == 2
+    assert out[("b", "c")] == 2 and out[("c", "e")] == 2
+    # distance 3+ never pairs
+    assert ("a", "d") not in out and ("a", "e") not in out
+
+    plan = skipgram_cooc(docs, window=2, min_count=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    release_persisted()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        skipgram_cooc(docs, window=0)
