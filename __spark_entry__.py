@@ -86,9 +86,9 @@ _WINDOW: list[str] = [
     "events_drift_ewma",        # store -> per-day anomaly face
     "events_dp_counts",         # Laplace release calibration plumbing
     "doc_skipgram_cooc",        # windowed co-occ via the delta-join
+    "events_dow_seasonality",   # cycle-adjusted daily outliers
     # ---- oldest r3-evidence re-certs fill the tail ----
     "q4_order_priority",
-    "q8_market_share",
 ]
 
 

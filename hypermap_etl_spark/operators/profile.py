@@ -1228,3 +1228,62 @@ def seasonal_naive_backtest(
         "forecast",
         F.when(F.col("forecast").isNotNull(), ape).alias("ape"),
     )
+
+
+def seasonal_index_outliers(
+    df: DataFrame,
+    day_col: str,
+    season_col: str,
+    group_cols: list[str] | None = None,
+    rel_threshold: float = 0.5,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Seasonality-adjusted daily outliers — the screen EWMA/CUSUM
+    mis-fire on when the series has a strong cycle (weekend dips read
+    as anomalies): a multiplicative seasonal index per ``season_col``
+    value (mean of that season's days / overall daily mean, the
+    classical ratio-to-moving-average decomposition at fixed seasons),
+    each day deseasonalized by its index, and flagged when the
+    deseasonalized count deviates from the overall mean by more than
+    ``rel_threshold`` relatively.
+
+    Numerics: indexes and deviations are single fixed-order double
+    expressions over exact integer day sums — engine-identical, so the
+    oracle reproduces flags bit-for-bit (no libm beyond divide).
+
+    Scale shape: one corpus aggregate to (group, day, season) counts;
+    the index join and flagging run on calendar-bounded frames
+    (windows partitioned by group / group+season only).
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    c = (
+        F.sum(count_col).cast("long")
+        if count_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    daily = df.groupBy(*group_cols, day_col, season_col).agg(c.alias("__c"))
+    w_season = Window.partitionBy(*group_cols, season_col)
+    w_all = Window.partitionBy(*group_cols)
+    e = (
+        daily.withColumn("__s_sum", F.sum("__c").over(w_season))
+        .withColumn("__s_n", F.count(F.lit(1)).over(w_season))
+        .withColumn("__t_sum", F.sum("__c").over(w_all))
+        .withColumn("__t_n", F.count(F.lit(1)).over(w_all))
+    )
+    season_mean = F.col("__s_sum").cast("double") / F.col("__s_n").cast("double")
+    total_mean = F.col("__t_sum").cast("double") / F.col("__t_n").cast("double")
+    idx = season_mean / total_mean
+    deseason = F.col("__c").cast("double") / idx
+    rel = F.abs(deseason - total_mean) / total_mean
+    return e.select(
+        *group_cols,
+        day_col,
+        season_col,
+        F.col("__c").alias("n"),
+        F.round(idx, 6).alias("seasonal_index"),
+        F.round(deseason, 6).alias("deseasonalized"),
+        F.round(rel, 6).alias("rel_dev"),
+        (rel > F.lit(rel_threshold)).alias("is_outlier"),
+    )

@@ -4400,6 +4400,59 @@ FROM nz ORDER BY event_type
 """
 
 
+
+
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indexes + deseasonalized outliers per
+    event type (profile.seasonal_index_outliers): the screen that
+    stops a weekly cycle from tripping the level monitors. Pure
+    integer day sums through one fixed-order double expression —
+    flags are engine-exact."""
+    from hypermap_etl_spark.operators.profile import seasonal_index_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "E").alias("dow"),
+    )
+    return seasonal_index_outliers(
+        ev, "day", "dow", ["event_type"]
+    ).orderBy("event_type", "day")
+
+
+DOW_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%a') AS dow, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+e AS (
+  SELECT event_type, day, dow, n,
+         SUM(n) OVER (PARTITION BY event_type, dow) AS s_sum,
+         COUNT(*) OVER (PARTITION BY event_type, dow) AS s_n,
+         SUM(n) OVER (PARTITION BY event_type) AS t_sum,
+         COUNT(*) OVER (PARTITION BY event_type) AS t_n
+  FROM daily
+),
+r AS (
+  SELECT event_type, day, dow, n,
+    (CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE))
+      / (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE)) AS idx,
+    CAST(n AS DOUBLE)
+      / ((CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE))
+         / (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE))) AS deseason,
+    CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE) AS tmean
+  FROM e
+)
+SELECT event_type, day, dow, n,
+       ROUND(idx, 6) AS seasonal_index,
+       ROUND(deseason, 6) AS deseasonalized,
+       ROUND(abs(deseason - tmean) / tmean, 6) AS rel_dev,
+       abs(deseason - tmean) / tmean > CAST('0.5' AS DOUBLE) AS is_outlier
+FROM r ORDER BY event_type, day
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5297,5 +5350,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_conformal": (events_conformal, CONFORMAL_ORACLE),
     "customer_blocking_metrics": (customer_blocking_metrics, BLOCKING_METRICS_ORACLE),
     "events_dp_counts": (events_dp_counts, DP_COUNTS_ORACLE),
+    "events_dow_seasonality": (events_dow_seasonality, DOW_SEASONALITY_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

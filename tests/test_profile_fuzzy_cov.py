@@ -851,3 +851,32 @@ def test_golden_records_fusion_rules(spark):
     cl2 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
     got2 = golden_records(ents2, cl2, "id", mode_cols=["seg"]).collect()[0]
     assert got2["mode_seg"] == "A"
+
+
+def test_seasonal_index_outliers_absorbs_cycle_flags_spike(spark):
+    """A clean weekly cycle (weekend half the weekday level) must NOT
+    flag; a genuine one-day spike must flag even after its day-of-week
+    index discounts it."""
+    from hypermap_etl_spark.operators.profile import seasonal_index_outliers
+
+    rows = []
+    for d in range(28):
+        dow = d % 7
+        n = 10 if dow < 5 else 5  # weekday 10, weekend 5
+        if d == 9:
+            n = 40  # planted spike on a weekday
+        day = f"2024-03-{d + 1:02d}"
+        for _ in range(n):
+            rows.append(("g", day, str(dow)))
+    df = spark.createDataFrame(rows, "event_type string, day string, dow string")
+    out = {r["day"]: r for r in seasonal_index_outliers(
+        df, "day", "dow", ["event_type"]).collect()}
+    flagged = {d for d, r in out.items() if r["is_outlier"]}
+    assert "2024-03-10" in flagged  # the spike
+    # weekends do NOT flag (a raw z/EWMA screen would): deseasonalized
+    # weekend counts sit at the overall mean
+    weekend_days = {f"2024-03-{d + 1:02d}" for d in range(28) if d % 7 >= 5}
+    assert not (flagged & weekend_days)
+    # spike aside, indexes multiply back to the raw counts
+    r = out["2024-03-03"]
+    assert abs(r["deseasonalized"] * r["seasonal_index"] - r["n"]) < 1e-3
