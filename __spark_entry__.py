@@ -87,8 +87,8 @@ _WINDOW: list[str] = [
     "events_dp_counts",         # Laplace release calibration plumbing
     "doc_skipgram_cooc",        # windowed co-occ via the delta-join
     "events_dow_seasonality",   # cycle-adjusted daily outliers
+    "events_bot_screen",        # inter-arrival regularity flags
     # ---- oldest r3-evidence re-certs fill the tail ----
-    "q4_order_priority",
 ]
 
 

@@ -1287,3 +1287,66 @@ def seasonal_index_outliers(
         F.round(rel, 6).alias("rel_dev"),
         (rel > F.lit(rel_threshold)).alias("is_outlier"),
     )
+
+
+def bot_regularity_screen(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str = "ts",
+    min_events: int = 20,
+    cv_threshold: float = 0.3,
+) -> DataFrame:
+    """Automation screen on inter-arrival regularity: humans are
+    bursty (coefficient of variation of gaps near or above 1, the
+    exponential-arrival baseline); schedulers and scrapers tick at
+    near-constant intervals (CV ≪ 1). Keys with ≥ ``min_events``
+    events and gap CV below ``cv_threshold`` are flagged — the
+    traffic-hygiene filter a behavioral corpus runs before events
+    become training signal.
+
+    Numerics: gaps in exact integer microseconds via a per-key lag
+    window; mean/variance from Σg and Σg² (exact integer sums into one
+    fixed-order double expression — engine-identical, variance clamped
+    at 0 against cancellation). CV = √var / mean; a key with mean gap
+    0 (all events at one instant) gets NULL cv and no flag.
+
+    Scale shape: one window keyed by the unit column (no global
+    ordering), then one hash aggregate per key; flags are arithmetic
+    on the per-key aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(unit_col).orderBy(F.col("__us").asc())
+    gaps = (
+        df.filter(F.col(unit_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(unit_col, us.alias("__us"))
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .filter(F.col("__gap").isNotNull())
+    )
+    # gap² in microseconds reaches ~1e22 — far past int64; accumulate
+    # the squares as exact decimal(38,0) (gini_concentration precedent)
+    gd = F.col("__gap").cast("decimal(19,0)")
+    agg = gaps.groupBy(unit_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_gaps"),
+        F.sum("__gap").cast("long").alias("__sg"),
+        F.sum(gd * gd).alias("__sgg"),
+    )
+    n = F.col("__n_gaps").cast("double")
+    mean = F.col("__sg").cast("double") / n
+    var = F.greatest(
+        F.col("__sgg").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    cv = F.try_divide(F.sqrt(var), mean)
+    return (
+        agg.filter(F.col("__n_gaps") >= min_events - 1)
+        .select(
+            unit_col,
+            (F.col("__n_gaps") + 1).cast("long").alias("n_events"),
+            F.round(mean / F.lit(1_000_000.0), 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("gap_cv"),
+            F.coalesce(cv < F.lit(cv_threshold), F.lit(False)).alias(
+                "is_regular"
+            ),
+        )
+    )

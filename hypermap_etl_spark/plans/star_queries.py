@@ -4453,6 +4453,57 @@ FROM r ORDER BY event_type, day
 """
 
 
+
+
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation screen (profile.bot_regularity_screen): per-user
+    inter-arrival coefficient of variation from exact integer
+    microsecond gaps (squares in decimal(38,0) — int64 overflows at
+    gap² ~1e22); near-constant tickers flag as regular. Gap multisets
+    are tie-order-invariant, so no tie-break column is needed and the
+    flags are engine-exact."""
+    from hypermap_etl_spark.operators.profile import bot_regularity_screen
+
+    ev = load_table(spark, sf_dir, "events")
+    return bot_regularity_screen(ev, "user_id", min_events=20).orderBy(
+        "user_id"
+    )
+
+
+BOT_SCREEN_ORACLE = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT user_id,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+  FROM g
+),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sgg
+  FROM l WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 19
+),
+s AS (
+  SELECT user_id, ng, sg,
+         CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean,
+         GREATEST(CAST(sgg AS DOUBLE) / CAST(ng AS DOUBLE)
+                  - (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)),
+                  CAST(0 AS DOUBLE)) AS var
+  FROM a
+)
+SELECT user_id, CAST(ng + 1 AS BIGINT) AS n_events,
+       ROUND(mean / CAST(1000000 AS DOUBLE), 6) AS mean_gap_s,
+       ROUND(CASE WHEN mean <> 0 THEN sqrt(var) / mean END, 6) AS gap_cv,
+       COALESCE(CASE WHEN mean <> 0 THEN sqrt(var) / mean END
+                  < CAST('0.3' AS DOUBLE), FALSE) AS is_regular
+FROM s ORDER BY user_id
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5351,5 +5402,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_blocking_metrics": (customer_blocking_metrics, BLOCKING_METRICS_ORACLE),
     "events_dp_counts": (events_dp_counts, DP_COUNTS_ORACLE),
     "events_dow_seasonality": (events_dow_seasonality, DOW_SEASONALITY_ORACLE),
+    "events_bot_screen": (events_bot_screen, BOT_SCREEN_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

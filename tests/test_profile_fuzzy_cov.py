@@ -880,3 +880,30 @@ def test_seasonal_index_outliers_absorbs_cycle_flags_spike(spark):
     # spike aside, indexes multiply back to the raw counts
     r = out["2024-03-03"]
     assert abs(r["deseasonalized"] * r["seasonal_index"] - r["n"]) < 1e-3
+
+
+def test_bot_screen_flags_ticker_not_bursty(spark):
+    """A constant-interval ticker flags as regular; a bursty human-ish
+    pattern does not; below-min-events keys are omitted."""
+    from datetime import datetime, timedelta
+
+    from hypermap_etl_spark.operators.profile import bot_regularity_screen
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        rows.append(("bot", t0 + timedelta(seconds=60 * i)))  # exact minute
+    bursty = [1, 5, 6, 300, 301, 310, 2000, 2100, 2105, 9000,
+              9500, 9501, 20000, 21000, 21005, 40000, 40001, 42000,
+              80000, 80100, 80200, 100000]
+    for s in bursty:
+        rows.append(("human", t0 + timedelta(seconds=s)))
+    rows += [("sparse", t0 + timedelta(seconds=s)) for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["user_id"]: r for r in bot_regularity_screen(
+        df, "user_id", min_events=20).collect()}
+    assert set(got) == {"bot", "human"}  # sparse omitted
+    assert got["bot"]["is_regular"] is True and got["bot"]["gap_cv"] == 0.0
+    assert got["bot"]["mean_gap_s"] == 60.0
+    assert got["human"]["is_regular"] is False
+    assert got["human"]["gap_cv"] > 0.3
