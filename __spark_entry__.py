@@ -26,11 +26,15 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # evidence first. r6 landed 50/50 green, closing the whole
 # never-checked backlog except the 8 gates registered late in that
 # session. This window leads with those 8 (first-time evidence), then
-# the 3 gates whose operators change THIS session (triangle
-# orientation, unigram-seed cap, PPJoin positional filter), then ALL
-# 17 gates whose only green row is still the r2 artifact, then the
-# oldest r3-evidence re-certs. Gates NEW in the r7 build session
-# displace the r3 re-certs back-to-front as they land.
+# the 4 gates whose operators changed THIS session (triangle
+# orientation, PPJoin positional filter, capped dictionary pulls in
+# the BPE/unigram gates), then the r2-only re-certs, then the 22
+# gates NEW in the r7 build session — they displaced the entire
+# r3-evidence re-cert tail back-to-front as they landed, and the
+# final one (events_ks_split) displaced one r2-only sibling:
+# doc_simhash_sigs steps out with its machinery still in-window via
+# doc_simhash_pairs, the same rationale the r6 window used for the
+# pair.
 _WINDOW: list[str] = [
     # ---- 8 first-time gates (registered+local-green in r6, outran
     # the window; queued per VERDICT r6 task 1) ----
@@ -47,7 +51,7 @@ _WINDOW: list[str] = [
     "doc_prefix_pairs",            # PPJoin positional filter
     "doc_bpe_first_merge",         # capped dictionary + mirrored oracle
     "doc_unigram_seed",            # capped dictionary + mirrored oracle
-    # ---- all 17 r2-only re-certs (oldest evidence in the registry) ----
+    # ---- r2-only re-certs (oldest evidence in the registry) ----
     "customer_nation_stats",
     "orders_with_big_lineitem",
     "nations_without_customers",
@@ -61,7 +65,6 @@ _WINDOW: list[str] = [
     "doc_exact_dedup",
     "doc_ngram_pairs",
     "doc_simhash_pairs",
-    "doc_simhash_sigs",
     "emb_ann_topk",
     "emb_neardup",
     "emb_knn_label",
@@ -88,6 +91,7 @@ _WINDOW: list[str] = [
     "doc_skipgram_cooc",        # windowed co-occ via the delta-join
     "events_dow_seasonality",   # cycle-adjusted daily outliers
     "events_bot_screen",        # inter-arrival regularity flags
+    "events_ks_split",          # integer-exact ECDF max difference
     # ---- oldest r3-evidence re-certs fill the tail ----
 ]
 

@@ -1350,3 +1350,100 @@ def bot_regularity_screen(
             ),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ab",
+    crit_coeff: float = 1.36,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over the deterministic hash
+    split — the binless companion to psi_drift (PSI needs bin edges;
+    KS compares whole ECDFs) and the distribution-shape sibling of
+    mann_whitney_u (which only sees location): D = max |F_A − F_B|,
+    flagged at the asymptotic 5% critical value
+    1.36·√((n_A+n_B)/(n_A·n_B)).
+
+    Exactness: the ECDF difference maximum is computed in PURE INTEGER
+    arithmetic — D_num = max over values of |ca·n_B − cb·n_A| with ca,
+    cb the cumulative per-arm counts (window over each group's
+    DISTINCT values, the mann_whitney_u construction) — so the max is
+    engine-exact; the single division and the √ in the critical value
+    are correctly-rounded. No libm, no knife edges.
+
+    Scale shape: one corpus hash aggregate keyed (group, value); the
+    cumulative window and the max run over distinct-value rows.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(":"),
+                        F.col(unit_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    base = df.filter(v.isNotNull() & F.col(unit_col).isNotNull()).select(
+        *group_cols, arm.alias("__arm"), v.alias("__v")
+    )
+    per_val = base.groupBy(*group_cols, "__v").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("__ta"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        per_val.withColumn("__ca", F.sum("__ta").over(w))
+        .withColumn("__cb", F.sum("__tb").over(w))
+        .withColumn("__na", F.sum("__ta").over(wall))
+        .withColumn("__nb", F.sum("__tb").over(wall))
+    )
+    dnum = F.abs(
+        F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+    )
+    g = (
+        cum.select(*group_cols, "__na", "__nb", dnum.alias("__dnum"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max(F.col("__na")).cast("long").alias("n_a"),
+            F.max(F.col("__nb")).cast("long").alias("n_b"),
+            F.max("__dnum").alias("__dmax"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("__dmax").cast("double") / (na * nb)
+    crit = F.lit(crit_coeff) * F.sqrt((na + nb) / (na * nb))
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit"),
+        (d > crit).alias("distributions_differ"),
+    )

@@ -4504,6 +4504,67 @@ FROM s ORDER BY user_id
 """
 
 
+
+
+def events_ks_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS on the A/A hash split (profile.ks_two_sample):
+    the ECDF-difference maximum in pure integer arithmetic over the
+    distinct-value running sums — engine-exact D, asymptotic 5%
+    critical value; on an A/A split this is the shape-sensitive
+    sanity check next to events_ab_welch (location) and
+    events_mannwhitney (rank)."""
+    from hypermap_etl_spark.operators.profile import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+KS_SPLIT_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+pv AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(ta) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+         SUM(tb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+         SUM(ta) OVER (PARTITION BY event_type) AS na,
+         SUM(tb) OVER (PARTITION BY event_type) AS nb
+  FROM pv
+),
+g AS (
+  SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+         CAST(MAX(nb) AS BIGINT) AS n_b,
+         MAX(abs(ca * nb - cb * na)) AS dmax
+  FROM cum GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+  ROUND(CAST(dmax AS DOUBLE)
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
+  ROUND(CAST('1.36' AS DOUBLE)
+        * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS ks_crit,
+  CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+    > CAST('1.36' AS DOUBLE)
+      * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+    AS distributions_differ
+FROM g WHERE n_a > 0 AND n_b > 0
+ORDER BY event_type
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5403,5 +5464,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_dp_counts": (events_dp_counts, DP_COUNTS_ORACLE),
     "events_dow_seasonality": (events_dow_seasonality, DOW_SEASONALITY_ORACLE),
     "events_bot_screen": (events_bot_screen, BOT_SCREEN_ORACLE),
+    "events_ks_split": (events_ks_split, KS_SPLIT_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }

@@ -907,3 +907,35 @@ def test_bot_screen_flags_ticker_not_bursty(spark):
     assert got["bot"]["mean_gap_s"] == 60.0
     assert got["human"]["is_regular"] is False
     assert got["human"]["gap_cv"] > 0.3
+
+
+def test_ks_two_sample_detects_shape_shift(spark):
+    """Same-mean different-shape arms must flag (the case Welch
+    misses); an A/A split stays quiet; D is the exact ECDF gap."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import ks_two_sample
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for uid in range(600):
+        a = arm_of(uid)
+        # shape group: arm 0 constant 10; arm 1 half 0 / half 20 (same mean)
+        v = 10.0 if a == 0 else (0.0 if uid % 2 == 0 else 20.0)
+        rows.append(("shape", uid, v))
+        rows.append(("aa", uid, float(uid % 13)))
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    got = {r["event_type"]: r for r in ks_two_sample(
+        df, "value", "user_id", ["event_type"]).collect()}
+    assert got["shape"]["distributions_differ"] is True
+    assert got["shape"]["ks_d"] > 0.4  # ECDF gap ~0.5 at v in [0,10)
+    assert got["aa"]["distributions_differ"] is False
+    # hand check: D for two known tiny samples
+    tiny = spark.createDataFrame(
+        [("t", 1, 1.0), ("t", 2, 2.0), ("t", 4, 3.0), ("t", 11, 4.0)],
+        "event_type string, user_id long, value double",
+    )
+    r = ks_two_sample(tiny, "value", "user_id", ["event_type"]).collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0 and r["n_a"] + r["n_b"] == 4
