@@ -933,9 +933,12 @@ def test_ks_two_sample_detects_shape_shift(spark):
     assert got["shape"]["ks_d"] > 0.4  # ECDF gap ~0.5 at v in [0,10)
     assert got["aa"]["distributions_differ"] is False
     # hand check: D for two known tiny samples
+    # uids 1,2 hash to arm 0; 3,6 to arm 1 (md5 parity) -> arm A
+    # {1.0, 2.0}, arm B {3.0, 4.0}: ECDF gap peaks at 1.0 after v=2
     tiny = spark.createDataFrame(
-        [("t", 1, 1.0), ("t", 2, 2.0), ("t", 4, 3.0), ("t", 11, 4.0)],
+        [("t", 1, 1.0), ("t", 2, 2.0), ("t", 3, 3.0), ("t", 6, 4.0)],
         "event_type string, user_id long, value double",
     )
     r = ks_two_sample(tiny, "value", "user_id", ["event_type"]).collect()[0]
-    assert 0.0 <= r["ks_d"] <= 1.0 and r["n_a"] + r["n_b"] == 4
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["ks_d"] == 1.0  # disjoint supports -> exact maximum gap
