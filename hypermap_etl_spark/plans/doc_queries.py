@@ -4483,6 +4483,72 @@ ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
 """
 
 
+
+
+def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per source: the fraction of each source's
+    vocabulary seen exactly once (and its share of token mass) — a
+    Zipf-tail health signal (OCR noise and mojibake inflate hapax;
+    templated/boilerplate text starves it). Two hash aggregates:
+    corpus -> (source, word, n), then per-source counts; no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    sw = (
+        docs.select("source", F.explode(ws).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        sw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum("n").cast("long").alias("tokens"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            "tokens",
+            F.round(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"),
+                6,
+            ).alias("hapax_vocab_share"),
+            F.round(
+                F.col("hapax").cast("double") / F.col("tokens").cast("double"),
+                6,
+            ).alias("hapax_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+HAPAX_ORACLE = """
+WITH sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(n) AS BIGINT) AS tokens
+  FROM sw GROUP BY 1
+)
+SELECT source, vocab, hapax, tokens,
+       ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+         AS hapax_vocab_share,
+       ROUND(CAST(hapax AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+         AS hapax_token_share
+FROM g ORDER BY source
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -4577,6 +4643,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
+    "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
     "doc_script_profile": (doc_script_profile, SCRIPT_PROFILE_ORACLE),

@@ -4565,6 +4565,72 @@ ORDER BY event_type
 """
 
 
+
+
+def orders_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the naive-1 forecast against the seasonal-naive
+    denominator on the monthly order series — the scale-free
+    forecast-accuracy metric (Hyndman & Koehler 2006) every model
+    must beat: MASE < 1 means naive-1 out-forecasts last-year-same-
+    month on this series. Calendar-bounded lag windows over one
+    aggregate; one output row."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    m = o.groupBy("month").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # single series: the window runs over the months aggregate (dozens
+    # of rows), not corpus rows — bounded, the documented exception to
+    # the no-unpartitioned-window rule (seasonal_naive's frame)
+    lagged = m.select(
+        "month",
+        "n",
+        F.lag("n", 1).over(W.partitionBy().orderBy("month")).alias("f1"),
+        F.lag("n", 12).over(W.partitionBy().orderBy("month")).alias("f12"),
+    )
+    both = lagged.filter(F.col("f1").isNotNull() & F.col("f12").isNotNull())
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.round(
+            F.avg(F.abs(F.col("n") - F.col("f1")).cast("double")), 6
+        ).alias("mae_naive1"),
+        F.round(
+            F.avg(F.abs(F.col("n") - F.col("f12")).cast("double")), 6
+        ).alias("mae_seasonal"),
+        F.round(
+            F.try_divide(
+                F.avg(F.abs(F.col("n") - F.col("f1")).cast("double")),
+                F.avg(F.abs(F.col("n") - F.col("f12")).cast("double")),
+            ),
+            6,
+        ).alias("mase"),
+    )
+
+
+MASE_ORACLE = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT month, n,
+         lag(n, 1) OVER (ORDER BY month) AS f1,
+         lag(n, 12) OVER (ORDER BY month) AS f12
+  FROM m
+),
+b AS (SELECT * FROM l WHERE f1 IS NOT NULL AND f12 IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+  ROUND(AVG(CAST(abs(n - f1) AS DOUBLE)), 6) AS mae_naive1,
+  ROUND(AVG(CAST(abs(n - f12) AS DOUBLE)), 6) AS mae_seasonal,
+  ROUND(CASE WHEN AVG(CAST(abs(n - f12) AS DOUBLE)) <> 0 THEN
+          AVG(CAST(abs(n - f1) AS DOUBLE))
+            / AVG(CAST(abs(n - f12) AS DOUBLE)) END, 6) AS mase
+FROM b
+"""
+
+
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/A split + Welch t per event type
     (profile.welch_ab_test): users hash into two arms, the unequal-
@@ -5465,5 +5531,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_dow_seasonality": (events_dow_seasonality, DOW_SEASONALITY_ORACLE),
     "events_bot_screen": (events_bot_screen, BOT_SCREEN_ORACLE),
     "events_ks_split": (events_ks_split, KS_SPLIT_ORACLE),
+    "orders_mase": (orders_mase, MASE_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
 }
