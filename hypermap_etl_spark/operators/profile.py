@@ -841,6 +841,156 @@ def categorical_mi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns — the significance companion to
+    :func:`categorical_mi` (MI says HOW MUCH dependence; chi² says
+    whether the dependence clears sampling noise): χ² = Σ_cells
+    (o − e)²/e with e = n_x·n_y/n, df = (R−1)(C−1), plus Cramér's V
+    = sqrt(χ² / (n·min(R−1, C−1))) as the [0, 1] effect size.
+
+    Numerics: counts are exact longs; each cell's term is one
+    fixed-order double expression (n_x·n_y stays in doubles — never
+    an int64 product, the categorical_mi discipline), rounded to 6 dp
+    PER CELL and accumulated in decimal(18,6) so the cross-cell sum
+    is exact and summation-order-free — a double Σ over cells would
+    be engine-order-dependent. V and the final χ² cast back to double
+    at the output.
+
+    Scale shape: ONE corpus-sized hash aggregate to the joint
+    contingency; marginals, the total, and the category counts all
+    derive from that |X|·|Y|-row frame and come back as broadcasts.
+    Output: one row (n, n_x_cats, n_y_cats, dof, chi2, cramers_v);
+    dof = 0 (single row or column) yields chi2 = 0 (expected equals
+    observed everywhere) and NULL V (0/0 via try_divide, not a crash).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    jx = joint.groupBy(x_col).agg(F.sum("n_xy").cast("long").alias("__n_x"))
+    jy = joint.groupBy(y_col).agg(F.sum("n_xy").cast("long").alias("__n_y"))
+    tot = joint.agg(
+        F.sum("n_xy").cast("long").alias("__n"),
+        F.count_distinct(x).cast("long").alias("__r"),
+        F.count_distinct(y).cast("long").alias("__c"),
+    )
+    # Full R x C grid: zero-observed cells still carry (0 - e)^2/e
+    # mass — omitting them understates chi2 (a perfect 2x2 association
+    # would read n/2, not n). The grid is category-product-sized.
+    grid = jx.crossJoin(jy).join(joint, [x_col, y_col], "left")
+    o = F.coalesce(F.col("n_xy"), F.lit(0)).cast("double")
+    e = (
+        F.col("__n_x").cast("double")
+        * F.col("__n_y").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = F.round((o - e) * (o - e) / e, 6).cast("decimal(18,6)")
+    cells = grid.crossJoin(F.broadcast(tot)).select(
+        term.alias("__term"), "__n", "__r", "__c"
+    )
+    agg = cells.groupBy("__n", "__r", "__c").agg(
+        F.sum("__term").alias("__chi2")
+    )
+    chi2 = F.col("__chi2").cast("double")
+    dof = (F.col("__r") - 1) * (F.col("__c") - 1)
+    v = F.sqrt(
+        F.try_divide(
+            chi2,
+            F.col("__n").cast("double")
+            * F.least(F.col("__r") - 1, F.col("__c") - 1).cast("double"),
+        )
+    )
+    return agg.select(
+        F.col("__n").alias("n"),
+        F.col("__r").alias("n_x_cats"),
+        F.col("__c").alias("n_y_cats"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association screen that survives the outliers and
+    nonlinearity a Pearson r chases (a feature audit's "does quantity
+    track price AT ALL?"): ρ = Pearson correlation of the AVERAGE
+    ranks, which is exactly the tie-corrected Spearman.
+
+    Construction (no corpus-wide ranking window): each column's
+    average ranks come from a running sum over that column's DISTINCT
+    values per group (the mann_whitney_u machinery, windows bounded
+    by value cardinality), joined back to rows by (group, value) —
+    two corpus-sized equi hash joins, partition-count independent.
+    Values compare at decimal(12,2) exactness so tie groups coincide
+    across engines.
+
+    Numerics: 2·avgrank is an exact integer; every moment (Σr_x,
+    Σr_y, Σr_x², Σr_y², Σr_x·r_y on the DOUBLED ranks) accumulates in
+    decimal(19,0)-product / decimal(38,0)-sum arithmetic — exact and
+    summation-order-free. ρ is one fixed-order double expression over
+    those exact aggregates (the common 2× factors cancel), rounded at
+    the output only.
+
+    Output per group: (group_cols, n, rho); rho is NULL when either
+    column is constant (zero rank variance — try_divide, not a crash).
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    xv = F.col(x_col).cast("decimal(12,2)")
+    yv = F.col(y_col).cast("decimal(12,2)")
+    base = df.filter(xv.isNotNull() & yv.isNotNull()).select(
+        *group_cols, xv.alias("__x"), yv.alias("__y")
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        per = base.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).cast("long").alias("__t")
+        )
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(F.col(col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return per.withColumn("__cum", F.sum("__t").over(w)).select(
+            *group_cols,
+            col,
+            (F.lit(2) * F.col("__cum") - (F.col("__t") - F.lit(1))).alias(out),
+        )
+
+    rx = rank2("__x", "__rx2")
+    ry = rank2("__y", "__ry2")
+    joined = base.join(rx, [*group_cols, "__x"]).join(ry, [*group_cols, "__y"])
+    d19 = "decimal(19,0)"
+    rx2, ry2 = F.col("__rx2").cast(d19), F.col("__ry2").cast(d19)
+    g = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx2).cast("decimal(38,0)").alias("__sx"),
+        F.sum(ry2).cast("decimal(38,0)").alias("__sy"),
+        F.sum(rx2 * rx2).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(ry2 * ry2).cast("decimal(38,0)").alias("__syy"),
+        F.sum(rx2 * ry2).cast("decimal(38,0)").alias("__sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    rho = F.try_divide(
+        nn * sxy - sx * sy,
+        F.sqrt(nn * sxx - sx * sx) * F.sqrt(nn * syy - sy * sy),
+    )
+    return g.select(*group_cols, "n", F.round(rho, 6).alias("rho"))
+
+
 def welch_ab_test(
     df: DataFrame,
     value_col: str,

@@ -184,6 +184,80 @@ def calibration_report(
     )
 
 
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Area under the ROC curve for a binary quality filter — the
+    threshold-free ranking metric that completes the eval family next
+    to :func:`calibration_report` (is the score CALIBRATED?) and the
+    threshold sweeps (is THIS cut good?): AUC asks whether the score
+    RANKS positives above negatives at all, ties counted half.
+
+    Construction (no corpus ranking window): AUC is the normalized
+    Mann-Whitney U of positives vs negatives, so the rank machinery is
+    operators/profile.mann_whitney_u's — scores collapse to ONE hash
+    aggregate keyed (group, score) carrying (rows, positive rows);
+    average ranks come from a running sum over each group's DISTINCT
+    scores (window bounded by score cardinality, never corpus rows);
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with R⁺ = Σ tp·avgrank.
+
+    Numerics: 2·avgrank = 2·cum − (t−1) is an exact integer, so the
+    doubled rank sum accumulates in decimal(19,0)-product /
+    decimal(38,0)-sum arithmetic (the gini_concentration discipline —
+    no float wobble, no int64 overflow at corpus scale); the final
+    AUC is one fixed-order double expression over exact aggregates,
+    rounded at the output only. Callers that want bit-identical SQL
+    parity should round scores BEFORE calling (the
+    calibration_report gate convention) so tie groups coincide.
+
+    Output per group: (group_cols, n_pos, n_neg, auc); groups with no
+    positives or no negatives are dropped (AUC undefined).
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    base = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per_val = base.groupBy(*group_cols, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum("__y").cast("long").alias("__tp"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.withColumn("__cum", F.sum("__t").over(w))
+    # 2*avgrank = 2*cum - (t - 1): exact integer, decimal-safe product
+    r2 = (
+        F.lit(2) * F.col("__cum") - (F.col("__t") - F.lit(1))
+    ).cast("decimal(19,0)")
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("__tp").cast("long").alias("n_pos"),
+        F.sum(F.col("__t") - F.col("__tp")).cast("long").alias("n_neg"),
+        F.sum(F.col("__tp").cast("decimal(19,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("__r2"),
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    np_, nn_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    # AUC = (S2/2 - n_pos(n_pos+1)/2) / (n_pos*n_neg), S2 = doubled R+
+    auc = (
+        F.col("__r2").cast("double") / F.lit(2.0)
+        - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)
+    ) / (np_ * nn_)
+    return g.select(
+        *group_cols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     col_a: str,

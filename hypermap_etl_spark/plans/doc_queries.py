@@ -4165,6 +4165,68 @@ ORDER BY bin
 
 
 
+def doc_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality-filter serving path
+    (quality_model.roc_auc over score_linear, same md5-derived 16-dim
+    weights and doc_id%3 pseudo-label as doc_calibration) — the
+    threshold-free ranking metric beside the reliability diagram.
+    Scores are rounded to 6 BEFORE ranking in both engines, so tie
+    groups (and therefore average ranks) coincide exactly; the
+    doubled rank sum accumulates in decimal, no float wobble."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import (
+        roc_auc,
+        score_linear,
+    )
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    ).select(
+        F.round("score", 6).alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return roc_auc(scored)
+
+
+MODEL_AUC_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+lab AS (
+  SELECT score, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM scores
+),
+pv AS (
+  SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(label) AS BIGINT) AS tp
+  FROM lab GROUP BY 1
+),
+rk AS (SELECT *, SUM(t) OVER (ORDER BY s) AS cum FROM pv),
+g AS (
+  SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+         CAST(SUM(t - tp) AS BIGINT) AS n_neg,
+         SUM(CAST(tp AS DECIMAL(19,0))
+             * CAST(2 * cum - (t - 1) AS DECIMAL(19,0))) AS r2
+  FROM rk
+)
+SELECT n_pos, n_neg,
+       ROUND((CAST(r2 AS DOUBLE) / 2.0
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM g WHERE n_pos > 0 AND n_neg > 0
+"""
+)
+
+
 def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence from the corpus word
     distribution over the top-200 vocabulary
@@ -4642,6 +4704,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_matryoshka_recall": (emb_matryoshka_recall, MATRYOSHKA_ORACLE),
     "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
+    "doc_model_auc": (doc_model_auc, MODEL_AUC_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),

@@ -5005,6 +5005,142 @@ ORDER BY j.event_type, j.value_band
 """
 
 
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between event type and
+    the integer-cent value band (profile.chi2_independence, same band
+    prep as events_type_value_mi): chi2, dof, and Cramér's V in one
+    row — MI's significance companion. Per-cell terms are rounded to
+    6 and summed in decimal(18,6), so the cross-cell sum is exact and
+    summation-order-free in both engines."""
+    from hypermap_etl_spark.operators.profile import chi2_independence
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    "cast(cast(value as decimal(38,2)) * 100 as long) div 5000"
+                ),
+                F.lit(9).cast("long"),
+            ).alias("value_band"),
+        )
+    )
+    return chi2_independence(ev, "event_type", "value_band")
+
+
+CHI2_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 5000,
+               9) AS value_band
+  FROM events WHERE value IS NOT NULL
+),
+joint AS (
+  SELECT event_type, value_band, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM b GROUP BY 1, 2
+),
+jx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM joint GROUP BY 1),
+jy AS (SELECT value_band, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT value_band) AS BIGINT) AS c
+        FROM joint),
+cells AS (
+  SELECT CAST(ROUND(
+           (CAST(COALESCE(j.n_xy, 0) AS DOUBLE)
+            - CAST(x.n_x AS DOUBLE) * CAST(y.n_y AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+           * (CAST(COALESCE(j.n_xy, 0) AS DOUBLE)
+              - CAST(x.n_x AS DOUBLE) * CAST(y.n_y AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           / (CAST(x.n_x AS DOUBLE) * CAST(y.n_y AS DOUBLE)
+              / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term,
+         t.n, t.r, t.c
+  FROM jx x
+  CROSS JOIN jy y
+  LEFT JOIN joint j
+    ON j.event_type = x.event_type AND j.value_band = y.value_band
+  CROSS JOIN tot t
+),
+a AS (SELECT n, r, c, SUM(term) AS chi2d FROM cells GROUP BY 1, 2, 3)
+SELECT n, r AS n_x_cats, c AS n_y_cats,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2,
+       ROUND(CASE WHEN CAST(n AS DOUBLE)
+                       * CAST(LEAST(r - 1, c - 1) AS DOUBLE) > 0
+                  THEN sqrt(CAST(chi2d AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+             END, 6) AS cramers_v
+FROM a
+"""
+
+
+def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag (profile.spearman_corr) — the monotone-association
+    screen, tie-corrected via average ranks. Ranks come from running
+    sums over each group's DISTINCT decimal(12,2) values joined back
+    to rows; every rank moment accumulates in exact decimal, the rho
+    tail is one fixed-order double expression."""
+    from hypermap_etl_spark.operators.profile import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+px AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+rx AS (
+  SELECT g, x,
+         2 * SUM(t) OVER (PARTITION BY g ORDER BY x) - (t - 1) AS rx2
+  FROM px
+),
+py AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+ry AS (
+  SELECT g, y,
+         2 * SUM(t) OVER (PARTITION BY g ORDER BY y) - (t - 1) AS ry2
+  FROM py
+),
+j AS (
+  SELECT b.g, rx.rx2, ry.ry2
+  FROM base b
+  JOIN rx ON b.g = rx.g AND b.x = rx.x
+  JOIN ry ON b.g = ry.g AND b.y = ry.y
+),
+a AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx2 AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(ry2 AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS syy,
+         SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM a ORDER BY 1
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA per-day anomaly screen on the per-type daily count series
     (profile.ewma_anomaly): each day vs the exponentially weighted
@@ -5516,6 +5652,8 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_attribution": (events_attribution, ATTRIBUTION_ORACLE),
     "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
+    "events_chi2_independence": (events_chi2_independence, CHI2_ORACLE),
+    "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),

@@ -942,3 +942,100 @@ def test_ks_two_sample_detects_shape_shift(spark):
     r = ks_two_sample(tiny, "value", "user_id", ["event_type"]).collect()[0]
     assert r["n_a"] == 2 and r["n_b"] == 2
     assert r["ks_d"] == 1.0  # disjoint supports -> exact maximum gap
+
+
+# ------------------------------------------- chi2 / spearman ----
+
+
+def test_chi2_independent_is_zero_dependent_is_large(spark):
+    """A product-form contingency (counts = row x col pattern) gives
+    chi2 exactly 0; a diagonal-concentrated one gives a large chi2
+    and Cramer's V near 1; dof = (R-1)(C-1)."""
+    from hypermap_etl_spark.operators.profile import chi2_independence
+
+    rows = []
+    # independent: n(x, y) = rowweight(x) * colweight(y)
+    for x, rw in [("a", 1), ("b", 2)]:
+        for y, cw in [(0, 3), (1, 5)]:
+            rows += [(x, y)] * (rw * cw)
+    df = spark.createDataFrame(rows, "x string, y long")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert r["n"] == 24 and r["dof"] == 1
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] == 0.0
+
+    # dependent: x fully determines y
+    dep = spark.createDataFrame(
+        [("a", 0)] * 50 + [("b", 1)] * 50, "x string, y long"
+    )
+    d = chi2_independence(dep, "x", "y").collect()[0]
+    assert d["chi2"] == 100.0  # exact for the 2x2 perfect association
+    assert d["cramers_v"] == 1.0
+
+
+def test_chi2_matches_hand_reference_and_degenerate(spark):
+    """chi2 against the textbook formula on a small 2x2; single-column
+    input yields dof 0, chi2 0, NULL V (not a crash)."""
+    from hypermap_etl_spark.operators.profile import chi2_independence
+
+    # contingency [[10, 20], [30, 40]]
+    rows = (
+        [("a", 0)] * 10 + [("a", 1)] * 20 + [("b", 0)] * 30 + [("b", 1)] * 40
+    )
+    df = spark.createDataFrame(rows, "x string, y long")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    n, e_a0 = 100, 30.0 * 40.0 / 100
+    exp = {
+        ("a", 0): 30 * 40 / 100,
+        ("a", 1): 30 * 60 / 100,
+        ("b", 0): 70 * 40 / 100,
+        ("b", 1): 70 * 60 / 100,
+    }
+    obs = {("a", 0): 10, ("a", 1): 20, ("b", 0): 30, ("b", 1): 40}
+    want = sum(
+        round((obs[k] - exp[k]) ** 2 / exp[k], 6) for k in obs
+    )
+    assert abs(r["chi2"] - want) < 1e-9
+    assert r["n"] == n and r["dof"] == 1
+
+    one = spark.createDataFrame([("a", 0), ("a", 1)], "x string, y long")
+    o = chi2_independence(one, "x", "y").collect()[0]
+    assert o["dof"] == 0 and o["chi2"] == 0.0 and o["cramers_v"] is None
+
+
+def test_spearman_monotone_ties_and_constant(spark):
+    """Perfect monotone (even nonlinear) -> rho 1; reversed -> -1;
+    a tied sample matches the hand-computed tie-corrected value;
+    a constant column -> NULL rho."""
+    from hypermap_etl_spark.operators.profile import spearman_corr
+
+    rows = []
+    for i in range(20):
+        rows.append(("mono", float(i), float(i) ** 3))
+        rows.append(("anti", float(i), -float(i) ** 3 / 7.0))
+        rows.append(("const", float(i), 5.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+    assert out["mono"]["rho"] == 1.0
+    assert out["anti"]["rho"] == -1.0
+    assert out["const"]["rho"] is None
+    assert out["mono"]["n"] == 20
+
+    # tie-corrected reference: x = [1,1,2,3], y = [2,3,3,5]
+    tied = spark.createDataFrame(
+        [("t", 1.0, 2.0), ("t", 1.0, 3.0), ("t", 2.0, 3.0), ("t", 3.0, 5.0)],
+        "g string, x double, y double",
+    )
+    got = spearman_corr(tied, "x", "y", ["g"]).collect()[0]
+    # avg ranks: x -> [1.5, 1.5, 3, 4]; y -> [1, 2.5, 2.5, 4]
+    rx = [1.5, 1.5, 3.0, 4.0]
+    ry = [1.0, 2.5, 2.5, 4.0]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert abs(got["rho"] - round(want, 6)) < 1e-9

@@ -254,3 +254,57 @@ def test_isotonic_calibrate_pools_violators(spark):
     df2 = spark.createDataFrame([(1.0, True), (0.0, False)], "s double, y boolean")
     out2 = {r["bin"] for r in isotonic_calibrate(df2, "s", "y", n_bins=10).collect()}
     assert out2 == {0, 9}
+
+
+def test_roc_auc_separation_ties_and_degenerate(spark):
+    """Perfect separation -> 1.0; inverted scores -> 0.0; all-tied
+    scores -> 0.5 (ties counted half); a known mixed sample matches
+    the hand rank formula; single-class groups are dropped."""
+    from hypermap_etl_spark.operators.quality_model import roc_auc
+
+    rows = []
+    for i in range(10):
+        rows.append(("perfect", 0.9 if i < 5 else 0.1, 1 if i < 5 else 0))
+        rows.append(("inverted", 0.1 if i < 5 else 0.9, 1 if i < 5 else 0))
+        rows.append(("tied", 0.5, 1 if i < 5 else 0))
+        rows.append(("onlypos", 0.5, 1))
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = {r["g"]: r for r in roc_auc(df, group_cols=["g"]).collect()}
+    assert out["perfect"]["auc"] == 1.0
+    assert out["inverted"]["auc"] == 0.0
+    assert out["tied"]["auc"] == 0.5
+    assert "onlypos" not in out  # no negatives: AUC undefined, dropped
+    assert out["perfect"]["n_pos"] == 5 and out["perfect"]["n_neg"] == 5
+
+    # hand reference with ties straddling classes:
+    # scores (label): 0.2(0), 0.4(0), 0.4(1), 0.6(1)
+    # avg ranks: [1, 2.5, 2.5, 4]; R+ = 2.5 + 4 = 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    tiny = spark.createDataFrame(
+        [(0.2, 0), (0.4, 0), (0.4, 1), (0.6, 1)], "score double, label int"
+    )
+    r = roc_auc(tiny).collect()[0]
+    assert r["auc"] == 0.875
+
+
+def test_roc_auc_equals_pairwise_probability(spark):
+    """AUC == P(score_pos > score_neg) + 0.5 P(=) computed by brute
+    force over all pos x neg pairs on a random sample."""
+    import random
+
+    from hypermap_etl_spark.operators.quality_model import roc_auc
+
+    rng = random.Random(11)
+    rows = [
+        (round(rng.random(), 1), rng.randrange(2)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = roc_auc(df).collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    want = wins / (len(pos) * len(neg))
+    assert abs(got["auc"] - round(want, 6)) < 1e-9
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
