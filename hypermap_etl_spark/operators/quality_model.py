@@ -258,6 +258,95 @@ def roc_auc(
     )
 
 
+def pr_threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_steps: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Precision / recall / F1 at every cut of a fixed threshold grid
+    — the sweep you actually tune a quality filter with ("keep docs
+    scoring ≥ τ: what survives, and how clean is it?"), completing
+    the eval family beside :func:`calibration_report` (is the score
+    calibrated?) and :func:`roc_auc` (does it rank at all?).
+
+    Thresholds are τ_i = i/n_steps for i = 0..n_steps−1; a row
+    predicts positive at τ_i iff score ≥ τ_i. Scores bin exactly like
+    calibration_report (min(floor(score·n_steps), n_steps−1), so
+    score 1.0 counts toward every threshold) and the at-or-above
+    counts come from ONE descending running sum over the ≤ n_steps
+    bins per group. Every output value is a ratio of exact longs
+    rounded at the output — per-row arithmetic only, no cross-row
+    float accumulation anywhere.
+
+    Scale shape: ONE corpus hash aggregate keyed (group, bin); the
+    grid join, running sums, and ratios all run on groups × n_steps
+    rows. Empty-grid thresholds (no scores at or above) emit NULL
+    precision/F1 and recall 0 via try_divide semantics; groups with
+    zero positives emit NULL recall rather than dropping (the sweep
+    is still meaningful for precision).
+
+    Output per (group, threshold): (group_cols, threshold, n_pred,
+    tp, precision, recall, f1).
+    """
+    from pyspark.sql.window import Window
+
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    group_cols = group_cols or []
+    b = F.least(
+        F.floor(F.col(score_col) * n_steps).cast("long"), F.lit(n_steps - 1)
+    )
+    base = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    per_bin = base.groupBy(*group_cols, b.alias("__bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__tp"),
+    )
+    spark = scored.sparkSession
+    grid = spark.range(n_steps).select(F.col("id").alias("__bin"))
+    if group_cols:
+        groups = per_bin.select(*group_cols).distinct()
+        grid = groups.crossJoin(F.broadcast(grid))
+    full = grid.join(per_bin, [*group_cols, "__bin"], "left").select(
+        *group_cols,
+        "__bin",
+        F.coalesce(F.col("__t"), F.lit(0)).alias("__t"),
+        F.coalesce(F.col("__tp"), F.lit(0)).alias("__tp"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy(*group_cols)
+    cum = (
+        full.withColumn("__n_pred", F.sum("__t").over(w))
+        .withColumn("__ctp", F.sum("__tp").over(w))
+        .withColumn("__n_pos", F.sum("__tp").over(wp))
+    )
+    prec = F.try_divide(
+        F.col("__ctp").cast("double"), F.col("__n_pred").cast("double")
+    )
+    rec = F.try_divide(
+        F.col("__ctp").cast("double"), F.col("__n_pos").cast("double")
+    )
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return cum.select(
+        *group_cols,
+        F.round(F.col("__bin").cast("double") / F.lit(float(n_steps)), 6).alias(
+            "threshold"
+        ),
+        F.col("__n_pred").alias("n_pred"),
+        F.col("__ctp").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     col_a: str,

@@ -4227,6 +4227,79 @@ FROM g WHERE n_pos > 0 AND n_neg > 0
 )
 
 
+def doc_model_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep of the quality-filter
+    serving path (quality_model.pr_threshold_sweep over score_linear,
+    same weights and doc_id%3 pseudo-label as doc_calibration): 20
+    fixed thresholds, at-or-above counts from one descending running
+    sum over the bin aggregate — every value a ratio of exact longs,
+    no cross-row float accumulation."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import (
+        pr_threshold_sweep,
+        score_linear,
+    )
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    ).select(
+        F.round("score", 6).alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return pr_threshold_sweep(scored, n_steps=20).orderBy("threshold")
+
+
+PR_SWEEP_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+lab AS (
+  SELECT score, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM scores
+),
+pb AS (
+  SELECT LEAST(CAST(FLOOR(score * 20) AS BIGINT), 19) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(label) AS BIGINT) AS tp
+  FROM lab GROUP BY 1
+),
+grid AS (SELECT r.range AS bin FROM range(20) r),
+fg AS (
+  SELECT g.bin, COALESCE(p.t, 0) AS t, COALESCE(p.tp, 0) AS tp
+  FROM grid g LEFT JOIN pb p ON p.bin = g.bin
+),
+cum AS (
+  SELECT bin, SUM(t) OVER (ORDER BY bin DESC) AS n_pred,
+         SUM(tp) OVER (ORDER BY bin DESC) AS ctp,
+         SUM(tp) OVER () AS n_pos
+  FROM fg
+),
+r AS (
+  SELECT bin, n_pred, ctp,
+         CASE WHEN n_pred > 0
+              THEN CAST(ctp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS p,
+         CASE WHEN n_pos > 0
+              THEN CAST(ctp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS rc
+  FROM cum
+)
+SELECT ROUND(CAST(bin AS DOUBLE) / 20.0, 6) AS threshold,
+       CAST(n_pred AS BIGINT) AS n_pred, CAST(ctp AS BIGINT) AS tp,
+       ROUND(p, 6) AS "precision", ROUND(rc, 6) AS recall,
+       ROUND(CASE WHEN p IS NULL OR rc IS NULL OR p + rc = 0 THEN NULL
+                  ELSE 2.0 * p * rc / (p + rc) END, 6) AS f1
+FROM r ORDER BY threshold
+"""
+)
+
+
 def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence from the corpus word
     distribution over the top-200 vocabulary
@@ -4705,6 +4778,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ivfpq_recall": (emb_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
     "doc_model_auc": (doc_model_auc, MODEL_AUC_ORACLE),
+    "doc_model_pr_sweep": (doc_model_pr_sweep, PR_SWEEP_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),

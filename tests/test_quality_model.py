@@ -308,3 +308,49 @@ def test_roc_auc_equals_pairwise_probability(spark):
     want = wins / (len(pos) * len(neg))
     assert abs(got["auc"] - round(want, 6)) < 1e-9
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+def test_pr_sweep_counts_and_ratios(spark):
+    """Hand-checkable sweep: thresholds partition the score axis, the
+    at-or-above counts telescope, precision/recall/f1 match the
+    formulae, empty-tail thresholds emit NULL precision, recall 0."""
+    from hypermap_etl_spark.operators.quality_model import pr_threshold_sweep
+
+    # 4 rows: scores .05(0) .15(1) .15(0) .35(1) with n_steps=4
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 1), (0.15, 0), (0.35, 1)],
+        "score double, label int",
+    )
+    out = {r["threshold"]: r for r in pr_threshold_sweep(df, n_steps=4).collect()}
+    assert set(out) == {0.0, 0.25, 0.5, 0.75}
+    # tau=0: everything predicted positive
+    assert out[0.0]["n_pred"] == 4 and out[0.0]["tp"] == 2
+    assert out[0.0]["precision"] == 0.5 and out[0.0]["recall"] == 1.0
+    # tau=0.25: only the 0.35 row
+    assert out[0.25]["n_pred"] == 1 and out[0.25]["tp"] == 1
+    assert out[0.25]["precision"] == 1.0 and out[0.25]["recall"] == 0.5
+    assert out[0.25]["f1"] == round(2 * 1.0 * 0.5 / 1.5, 6)
+    # tau=0.5 and 0.75: nothing at or above
+    for t in (0.5, 0.75):
+        assert out[t]["n_pred"] == 0 and out[t]["precision"] is None
+        assert out[t]["recall"] == 0.0 and out[t]["f1"] is None
+
+
+def test_pr_sweep_edge_scores_groups_and_no_positives(spark):
+    """Score 1.0 counts toward the top threshold; grouped sweeps keep
+    groups separate; a group with zero positives yields NULL recall
+    everywhere (not a drop, not a crash)."""
+    from hypermap_etl_spark.operators.quality_model import pr_threshold_sweep
+
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1), ("g1", 0.0, 0), ("g2", 0.6, 0), ("g2", 0.2, 0)],
+        "g string, score double, label int",
+    )
+    rows = pr_threshold_sweep(df, n_steps=10, group_cols=["g"]).collect()
+    out = {(r["g"], r["threshold"]): r for r in rows}
+    assert len(rows) == 20  # 2 groups x 10 thresholds
+    assert out[("g1", 0.9)]["n_pred"] == 1  # score 1.0 in the last bin
+    assert out[("g1", 0.9)]["precision"] == 1.0
+    assert out[("g1", 0.9)]["recall"] == 1.0
+    assert out[("g2", 0.0)]["recall"] is None  # no positives in g2
+    assert out[("g2", 0.0)]["precision"] == 0.0
