@@ -397,6 +397,89 @@ def cohens_kappa(
     )
 
 
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over N raters — the multi-rater generalization of
+    :func:`cohens_kappa`, the agreement statistic for an LLM-judge
+    ENSEMBLE (three graders label every document: do they agree more
+    than chance?): κ = (P̄ − P̄_e)/(1 − P̄_e) with per-item agreement
+    P_i = (Σ_j n_ij² − n)/(n(n−1)) and chance agreement P̄_e = Σ_j p_j².
+
+    Input: one row per (item, rater) vote carrying the category; rows
+    with a NULL item/category are excluded. The standard statistic
+    assumes a CONSTANT rater count n per item — the output carries
+    (n_raters_min, n_raters_max) and kappa is NULL when they differ
+    (a malformed panel is surfaced, not silently averaged) or when
+    P̄_e = 1 (single category: agreement is vacuous).
+
+    Numerics: with constant n, P̄ = (Σ_i Σ_j n_ij² − Σ_i n)/(N·n·(n−1))
+    and P̄_e = (Σ_j c_j²)/T² are ratios of PURE INTEGERS — the squared
+    counts accumulate in decimal(19,0)/(38,0), and κ is one
+    fixed-order double expression over those exact aggregates.
+
+    Scale shape: ONE corpus hash aggregate to (item, category) counts;
+    per-item and per-category reductions run on that frame; everything
+    after is a handful of broadcast scalars. No windows, no collect.
+    """
+    it, cat = F.col(item_col), F.col(category_col)
+    cnt = (
+        ratings.filter(it.isNotNull() & cat.isNotNull())
+        .groupBy(item_col, category_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__nij"))
+    )
+    d19 = "decimal(19,0)"
+    per_item = cnt.groupBy(item_col).agg(
+        F.sum("__nij").cast("long").alias("__n_i"),
+        F.sum(F.col("__nij").cast(d19) * F.col("__nij").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__ssq_i"),
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.min("__n_i").alias("__nmin"),
+        F.max("__n_i").alias("__nmax"),
+        F.sum("__ssq_i").cast("decimal(38,0)").alias("__ssq"),
+        F.sum("__n_i").cast("decimal(38,0)").alias("__t"),
+    )
+    per_cat = cnt.groupBy(category_col).agg(
+        F.sum("__nij").cast("long").alias("__c_j")
+    )
+    cats = per_cat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("__c_j").cast(d19) * F.col("__c_j").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__csq"),
+    )
+    g = items.crossJoin(F.broadcast(cats))
+    nI = F.col("n_items").cast("double")
+    n = F.col("__nmin").cast("double")
+    t = F.col("__t").cast("double")
+    p_bar = F.try_divide(
+        F.col("__ssq").cast("double") - t,
+        nI * n * (n - F.lit(1.0)),
+    )
+    p_e = F.col("__csq").cast("double") / (t * t)
+    kappa = F.when(
+        F.col("__nmin") == F.col("__nmax"),
+        F.try_divide(p_bar - p_e, F.lit(1.0) - p_e),
+    )
+    return g.select(
+        "n_items",
+        F.col("__nmin").alias("n_raters_min"),
+        F.col("__nmax").alias("n_raters_max"),
+        "n_categories",
+        F.round(F.when(F.col("__nmin") == F.col("__nmax"), p_bar), 6).alias(
+            "p_bar"
+        ),
+        F.round(p_e, 6).alias("p_exp"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
 def bradley_terry(
     pairs: DataFrame,
     winner_col: str = "winner",

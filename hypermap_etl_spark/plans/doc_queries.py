@@ -4300,6 +4300,79 @@ FROM r ORDER BY threshold
 )
 
 
+def doc_fleiss_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (quality_model.fleiss_kappa) over a three-grader
+    panel — two correlated length rules (char-length bands at 500 and
+    450 chars, capped at category 2) and an independent doc_id%3
+    grader: the ensemble-agreement check before trusting majority
+    labels. All three votes come from ONE corpus scan (explode over a
+    literal struct array); every statistic is a ratio of exact
+    integer/decimal aggregates."""
+    from hypermap_etl_spark.operators.quality_model import fleiss_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    two = F.lit(2).cast("long")
+    r1 = F.least(F.expr("length(lower(text)) div 500").cast("long"), two)
+    r2 = F.least(F.expr("length(lower(text)) div 450").cast("long"), two)
+    r3 = (F.col("doc_id") % 3).cast("long")
+    rated = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("len500").alias("rater"), r1.alias("cat")),
+                F.struct(F.lit("len450").alias("rater"), r2.alias("cat")),
+                F.struct(F.lit("id").alias("rater"), r3.alias("cat")),
+            )
+        ).alias("r"),
+    ).select("doc_id", "r.rater", "r.cat")
+    return fleiss_kappa(rated, "doc_id", "rater", "cat")
+
+
+FLEISS_ORACLE = """
+WITH base AS (SELECT doc_id, length(lower(text)) AS L FROM documents),
+r AS (
+  SELECT doc_id, LEAST(L // 500, 2) AS cat FROM base
+  UNION ALL SELECT doc_id, LEAST(L // 450, 2) FROM base
+  UNION ALL SELECT doc_id, doc_id % 3 FROM base
+),
+cnt AS (
+  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij FROM r GROUP BY 1, 2
+),
+pi AS (
+  SELECT doc_id, CAST(SUM(nij) AS BIGINT) AS n_i,
+         SUM(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0))) AS ssq_i
+  FROM cnt GROUP BY 1
+),
+it AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         MIN(n_i) AS nmin, MAX(n_i) AS nmax,
+         SUM(ssq_i) AS ssq, SUM(CAST(n_i AS DECIMAL(19,0))) AS t
+  FROM pi
+),
+pc AS (SELECT cat, CAST(SUM(nij) AS BIGINT) AS c_j FROM cnt GROUP BY 1),
+ct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         SUM(CAST(c_j AS DECIMAL(19,0)) * CAST(c_j AS DECIMAL(19,0))) AS csq
+  FROM pc
+)
+SELECT n_items, nmin AS n_raters_min, nmax AS n_raters_max, n_categories,
+  ROUND(CASE WHEN nmin = nmax THEN
+    (CAST(ssq AS DOUBLE) - CAST(t AS DOUBLE))
+      / (CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE)
+         * (CAST(nmin AS DOUBLE) - 1.0)) END, 6) AS p_bar,
+  ROUND(CAST(csq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+    AS p_exp,
+  ROUND(CASE WHEN nmin = nmax THEN
+    ((CAST(ssq AS DOUBLE) - CAST(t AS DOUBLE))
+       / (CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE)
+          * (CAST(nmin AS DOUBLE) - 1.0))
+     - CAST(csq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+    / (1.0 - CAST(csq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+    END, 6) AS kappa
+FROM it CROSS JOIN ct
+"""
+
+
 def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence from the corpus word
     distribution over the top-200 vocabulary
@@ -4779,6 +4852,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
     "doc_model_auc": (doc_model_auc, MODEL_AUC_ORACLE),
     "doc_model_pr_sweep": (doc_model_pr_sweep, PR_SWEEP_ORACLE),
+    "doc_fleiss_models": (doc_fleiss_models, FLEISS_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),

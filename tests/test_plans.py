@@ -700,3 +700,52 @@ def test_mann_whitney_single_corpus_aggregate(spark):
     plan = _plan(events_mannwhitney(spark, SF_SMOKE))
     # exactly one scan of the events parquet
     assert plan.count("Scan parquet") == 1
+
+
+def test_chi2_reuses_joint_exchange_single_runtime_scan(spark):
+    """chi2_independence touches the corpus once at runtime: the
+    marginals, the total/category-count row, and the grid all reuse
+    the joint contingency's exchange (AQE ReusedExchange) rather than
+    rescanning the parquet."""
+    from hypermap_etl_spark.plans.star_queries import events_chi2_independence
+
+    df = events_chi2_independence(spark, SF_SMOKE)
+    df.collect()  # AQE reuse only materializes in the final plan
+    plan = _plan(df)
+    assert plan.count("ReusedExchange") >= 3
+
+
+def test_pr_sweep_single_scan_and_partitioned_windows(spark):
+    """pr_threshold_sweep compiles to ONE corpus scan (the bin
+    aggregate); the grid comes from a local Range, and the running
+    sums window over the bins-per-group frame. Grouped sweeps keep
+    every Window partitioned."""
+    import re
+
+    from hypermap_etl_spark.operators.quality_model import pr_threshold_sweep
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        (F.col("l_discount") * 10).alias("score"),
+        (F.col("l_quantity") > 25).cast("int").alias("label"),
+        F.col("l_returnflag").alias("g"),
+    )
+    plan = _plan(pr_threshold_sweep(li, n_steps=10, group_cols=["g"]))
+    assert plan.count("Scan parquet") <= 2  # bin agg + group-list reuse
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in pr_threshold_sweep"
+
+
+def test_spearman_and_auc_windows_partitioned(spark):
+    """spearman_corr's rank windows and roc_auc's cumulative window
+    run over distinct-value aggregates, partitioned by group when
+    groups are present; the gate-shaped ungrouped AUC window is over
+    the distinct-score frame only (bounded by score cardinality)."""
+    import re
+
+    from hypermap_etl_spark.plans.star_queries import lineitem_spearman
+
+    plan = _plan(lineitem_spearman(spark, SF_SMOKE))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in spearman_corr"
+    # rank windows feed from hash aggregates, not raw corpus sorts
+    assert "HashAggregate" in plan

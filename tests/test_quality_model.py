@@ -354,3 +354,75 @@ def test_pr_sweep_edge_scores_groups_and_no_positives(spark):
     assert out[("g1", 0.9)]["recall"] == 1.0
     assert out[("g2", 0.0)]["recall"] is None  # no positives in g2
     assert out[("g2", 0.0)]["precision"] == 0.0
+
+
+def test_fleiss_kappa_perfect_independent_and_unequal(spark):
+    """Perfect three-rater agreement -> kappa 1; an independent
+    panel hovers near 0; unequal rater counts surface as NULL kappa
+    with min/max shown; a hand example matches the textbook value."""
+    from hypermap_etl_spark.operators.quality_model import fleiss_kappa
+
+    rows = []
+    for i in range(30):
+        for rater in ("a", "b", "c"):
+            rows.append((f"perfect{i}", rater, i % 3))
+    perfect = spark.createDataFrame(rows, "item string, rater string, cat long")
+    p = fleiss_kappa(perfect, "item", "rater", "cat").collect()[0]
+    assert p["kappa"] == 1.0 and p["p_bar"] == 1.0
+    assert p["n_raters_min"] == 3 and p["n_raters_max"] == 3
+    assert p["n_items"] == 30 and p["n_categories"] == 3
+
+    # independent: rater votes depend only on rater, not item
+    rows = []
+    for i in range(60):
+        rows.append((f"x{i}", "a", i % 2))
+        rows.append((f"x{i}", "b", (i // 2) % 2))
+        rows.append((f"x{i}", "c", (i // 4) % 2))
+    ind = spark.createDataFrame(rows, "item string, rater string, cat long")
+    k = fleiss_kappa(ind, "item", "rater", "cat").collect()[0]["kappa"]
+    assert abs(k) < 0.2
+
+    # unequal panels: one item has only two votes
+    rows = [("i1", "a", 0), ("i1", "b", 0), ("i1", "c", 0),
+            ("i2", "a", 1), ("i2", "b", 1)]
+    une = spark.createDataFrame(rows, "item string, rater string, cat long")
+    u = fleiss_kappa(une, "item", "rater", "cat").collect()[0]
+    assert u["kappa"] is None and u["p_bar"] is None
+    assert u["n_raters_min"] == 2 and u["n_raters_max"] == 3
+
+
+def test_fleiss_kappa_matches_hand_reference(spark):
+    """The classic worked example shape: compute kappa by hand from
+    the per-item category counts and compare exactly."""
+    from hypermap_etl_spark.operators.quality_model import fleiss_kappa
+
+    # 4 items, 3 raters, categories {0,1}
+    votes = {
+        "i1": [0, 0, 1],
+        "i2": [1, 1, 1],
+        "i3": [0, 1, 1],
+        "i4": [0, 0, 0],
+    }
+    rows = [
+        (item, f"r{j}", c)
+        for item, cats in votes.items()
+        for j, c in enumerate(cats)
+    ]
+    df = spark.createDataFrame(rows, "item string, rater string, cat long")
+    got = fleiss_kappa(df, "item", "rater", "cat").collect()[0]
+    n, n_items = 3, 4
+    p_is = []
+    c_tot = {0: 0, 1: 0}
+    for cats in votes.values():
+        from collections import Counter
+
+        cc = Counter(cats)
+        for k, v in cc.items():
+            c_tot[k] += v
+        p_is.append((sum(v * v for v in cc.values()) - n) / (n * (n - 1)))
+    p_bar = sum(p_is) / n_items
+    t = n * n_items
+    p_e = sum(v * v for v in c_tot.values()) / (t * t)
+    want = (p_bar - p_e) / (1 - p_e)
+    assert abs(got["kappa"] - round(want, 6)) < 1e-9
+    assert got["p_exp"] == round(p_e, 6)
