@@ -376,6 +376,53 @@ def cmd_calibrate(args) -> None:
     print(json.dumps({"ece": round(sum(r["ece_term"] for r in rep), 6)}))
 
 
+def cmd_eval(args) -> None:
+    """Full filter-eval card over a scored parquet — one JSON line:
+    ROC AUC (quality_model.roc_auc), ECE (calibration_report), and the
+    best-F1 operating point from the precision/recall threshold sweep
+    (pr_threshold_sweep) — the three questions asked of a quality
+    model before it gates a corpus: does it rank, is it calibrated,
+    where do we cut. All three run in the one Spark session; each is
+    aggregate-shaped, nothing corpus-sized reaches the driver."""
+    from hypermap_etl_spark.operators.quality_model import (
+        calibration_report,
+        pr_threshold_sweep,
+        roc_auc,
+    )
+
+    spark = _spark(args)
+    scored = spark.read.parquet(args.scored)
+    kw = {"score_col": args.score_col, "label_col": args.label_col}
+    auc_rows = roc_auc(scored, **kw).collect()
+    auc = auc_rows[0].asDict() if auc_rows else {
+        "n_pos": 0, "n_neg": 0, "auc": None
+    }
+    cal = calibration_report(scored, n_bins=args.bins, **kw).collect()
+    sweep = pr_threshold_sweep(scored, n_steps=args.steps, **kw).collect()
+    best = max(
+        (r for r in sweep if r["f1"] is not None),
+        key=lambda r: (r["f1"], r["threshold"]),
+        default=None,
+    )
+    print(
+        json.dumps(
+            {
+                "n_pos": auc["n_pos"],
+                "n_neg": auc["n_neg"],
+                "auc": auc["auc"],
+                "ece": round(sum(r["ece_term"] for r in cal), 6),
+                "best_f1": None if best is None else {
+                    "threshold": best["threshold"],
+                    "precision": best["precision"],
+                    "recall": best["recall"],
+                    "f1": best["f1"],
+                },
+                "n_thresholds": len(sweep),
+            }
+        )
+    )
+
+
 def cmd_dedup_index(args) -> None:
     """Incremental-dedup signature store: `--build` appends a docs
     parquet's MinHash band buckets to the bucketed store table;
@@ -1600,6 +1647,14 @@ def main(argv=None) -> None:
     p.add_argument("--score-col", default="score")
     p.add_argument("--label-col", default="label")
     p.add_argument("--bins", type=int, default=10)
+    p = sub.add_parser("eval",
+                       help="filter-eval card: AUC + ECE + best-F1 cut")
+    p.add_argument("--scored", required=True,
+                   help="parquet with a probability column and a 0/1 label")
+    p.add_argument("--score-col", default="score")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--steps", type=int, default=20)
     p = sub.add_parser("snapshot",
                        help="versioned corpus snapshots: write/list/"
                             "rollback/vacuum/diff")
@@ -1750,6 +1805,7 @@ def main(argv=None) -> None:
         "layout": cmd_layout, "dsir": cmd_dsir, "pca": cmd_pca,
         "quality": cmd_quality,
         "calibrate": cmd_calibrate,
+        "eval": cmd_eval,
         "decontam": cmd_decontam, "ann": cmd_ann,
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,

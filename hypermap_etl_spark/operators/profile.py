@@ -913,6 +913,70 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def fd_confidence(
+    df: DataFrame,
+    deps: list[tuple[str, str]],
+) -> DataFrame:
+    """Approximate functional-dependency profiling: for each candidate
+    X → Y, the g3 confidence — the fraction of rows that survive if
+    every X keeps only its MAJORITY Y (Kivinen & Mannila's g3, the
+    measure TANE-style profilers report). Confidence 1 means the FD
+    holds exactly; the violation count is the minimum number of rows
+    you'd have to delete to make it hold — the schema-discovery /
+    data-quality screen beside :func:`~hypermap_etl_spark.operators.
+    constraints.check_constraints` (which VERIFIES declared rules,
+    where this DISCOVERS candidate ones).
+
+    Per pair: ONE hash aggregate to (X, Y) counts, a second to per-X
+    (max, total) — both map-combined, both bounded by value
+    cardinality after the first — then a three-scalar reduction. All
+    counts exact longs; confidence is one final ratio. NULL X or Y
+    rows are excluded (missingness is not a dependency violation).
+
+    Output per pair: (det_col, dep_col, n_rows, n_det_keys,
+    n_violations, confidence). Pairs evaluate independently and
+    union; an empty input yields confidence NULL (0/0 via
+    try_divide).
+    """
+    if not deps:
+        raise ValueError("deps must name at least one (det, dep) pair")
+    outs = []
+    for det, dep in deps:
+        cxy = (
+            df.filter(F.col(det).isNotNull() & F.col(dep).isNotNull())
+            .groupBy(det, dep)
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        cx = cxy.groupBy(det).agg(
+            F.max("__c").alias("__mx"), F.sum("__c").alias("__tot")
+        )
+        agg = cx.agg(
+            F.count(F.lit(1)).cast("long").alias("n_det_keys"),
+            F.sum("__tot").cast("long").alias("n_rows"),
+            F.sum("__mx").cast("long").alias("__kept"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                "n_rows",
+                "n_det_keys",
+                (F.col("n_rows") - F.col("__kept")).alias("n_violations"),
+                F.round(
+                    F.try_divide(
+                        F.col("__kept").cast("double"),
+                        F.col("n_rows").cast("double"),
+                    ),
+                    6,
+                ).alias("confidence"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def spearman_corr(
     df: DataFrame,
     x_col: str,

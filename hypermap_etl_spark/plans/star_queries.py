@@ -5141,6 +5141,59 @@ FROM a ORDER BY 1
 """
 
 
+def events_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency profile over the events table
+    (profile.fd_confidence): g3 confidence for three candidate FDs —
+    event_id → event_type (exact: ids are unique), user_id →
+    event_type and event_type → user_id (both far from holding). The
+    discovery half of the constraints family: two map-combined
+    aggregates per pair, all counts exact longs."""
+    from hypermap_etl_spark.operators.profile import fd_confidence
+
+    ev = load_table(spark, sf_dir, "events")
+    return fd_confidence(
+        ev,
+        [
+            ("event_id", "event_type"),
+            ("user_id", "event_type"),
+            ("event_type", "user_id"),
+        ],
+    ).orderBy("det_col", "dep_col")
+
+
+def _fd_oracle_block(det: str, dep: str) -> str:
+    return f"""
+SELECT '{det}' AS det_col, '{dep}' AS dep_col, n_rows, n_det_keys,
+       n_rows - kept AS n_violations,
+       ROUND(CASE WHEN n_rows > 0
+                  THEN CAST(kept AS DOUBLE) / CAST(n_rows AS DOUBLE) END,
+             6) AS confidence
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_det_keys,
+         CAST(SUM(tot) AS BIGINT) AS n_rows,
+         CAST(SUM(mx) AS BIGINT) AS kept
+  FROM (
+    SELECT {det} AS k, MAX(c) AS mx, SUM(c) AS tot
+    FROM (SELECT {det}, {dep}, CAST(COUNT(*) AS BIGINT) AS c FROM events
+          WHERE {det} IS NOT NULL AND {dep} IS NOT NULL GROUP BY 1, 2)
+    GROUP BY 1
+  )
+)"""
+
+
+FD_PROFILE_ORACLE = (
+    " UNION ALL ".join(
+        _fd_oracle_block(d, p)
+        for d, p in [
+            ("event_id", "event_type"),
+            ("user_id", "event_type"),
+            ("event_type", "user_id"),
+        ]
+    )
+    + "\nORDER BY det_col, dep_col"
+)
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA per-day anomaly screen on the per-type daily count series
     (profile.ewma_anomaly): each day vs the exponentially weighted
@@ -5654,6 +5707,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "events_chi2_independence": (events_chi2_independence, CHI2_ORACLE),
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
+    "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),

@@ -839,3 +839,26 @@ def test_cli_link_with_golden(spark, capsys, tmp_path):
     assert fused[1]["max_bal"] == 150.0
     assert fused[1]["mode_nation"] == 3
     assert fused[4]["n_members"] == 1
+
+
+def test_cli_eval_card(spark, capsys, tmp_path):
+    """eval prints one JSON card with AUC, ECE, and the best-F1
+    operating point from the threshold sweep."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    # perfectly separating scores: AUC 1, best F1 = 1 at tau <= 0.8
+    rows = [(i, 0.9, 1) for i in range(5)] + [(i + 5, 0.1, 0) for i in range(5)]
+    p = str(tmp_path / "scored.parquet")
+    spark.createDataFrame(rows, "doc_id long, score double, label int") \
+        .write.parquet(p)
+    main(["eval", "--scored", p, "--steps", "10"])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["auc"] == 1.0
+    assert card["n_pos"] == 5 and card["n_neg"] == 5
+    assert card["best_f1"]["f1"] == 1.0
+    # ties on f1 resolve to the HIGHEST threshold (tightest cut)
+    assert card["best_f1"]["threshold"] == 0.9
+    assert card["n_thresholds"] == 10
+    assert abs(card["ece"] - 0.1) < 1e-9  # |0.9-1|*0.5 + |0.1-0|*0.5

@@ -1039,3 +1039,34 @@ def test_spearman_monotone_ties_and_constant(spark):
         (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
     )
     assert abs(got["rho"] - round(want, 6)) < 1e-9
+
+
+def test_fd_confidence_exact_partial_and_nulls(spark):
+    """An exact FD reads 1.0 with zero violations; a partial FD's
+    violation count equals the minority rows; NULLs are excluded;
+    multiple pairs come back in one frame."""
+    from hypermap_etl_spark.operators.profile import fd_confidence
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+            (4, "b", "z"), (5, "b", "z"), (6, None, "w"), (7, "c", None),
+        ],
+        "id long, x string, y string",
+    )
+    out = {(r["det_col"], r["dep_col"]): r
+           for r in fd_confidence(df, [("id", "x"), ("x", "y")]).collect()}
+    # id -> x: id unique, FD exact over the 6 non-null rows
+    exact = out[("id", "x")]
+    assert exact["confidence"] == 1.0 and exact["n_violations"] == 0
+    assert exact["n_rows"] == 6 and exact["n_det_keys"] == 6
+    # x -> y: a:{x:2, y:1} keeps 2, b:{z:2} keeps 2 -> 4/5, 1 violation
+    part = out[("x", "y")]
+    assert part["n_rows"] == 5 and part["n_det_keys"] == 2
+    assert part["n_violations"] == 1
+    assert part["confidence"] == 0.8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fd_confidence(df, [])
