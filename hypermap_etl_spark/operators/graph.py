@@ -142,6 +142,83 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling — the
+    dense-subgraph screen of web-graph curation (spam farms and bot
+    rings live in high cores; a page whose neighborhood survives the
+    k-core peel has organically dense linkage, Seidman 1983): repeat
+    "drop every node with degree < k, and the edges it touches" until
+    stable or ``n_iter`` rounds.
+
+    Per round: ONE degree aggregate over the current edge frame + two
+    semi joins against the surviving-node set (node-sized, broadcast
+    when small). Rounds are localCheckpoint-ed eagerly and the
+    superseded round's blocks are released — the pagerank/CC loop
+    discipline — and the loop exits early when a round removes
+    nothing (the edge count, one scalar off the already-materialized
+    checkpoint, is the convergence probe). Early exit cannot change
+    the result: once stable, further peels are no-ops, so the
+    fixed-``n_iter`` unrolled SQL oracle reproduces the operator
+    EXACTLY whether or not convergence happened first.
+
+    Input edges are canonicalized (NULLs and self-loops dropped,
+    (min, max) orientation, duplicates collapsed), so multi-edges
+    count once. Output: (node, core_degree) for nodes surviving the
+    peel — their degrees within the final subgraph (all >= k once
+    converged; if ``n_iter`` was exhausted mid-peel the frame is the
+    n_iter-round peel, documented rather than silently iterated
+    further).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(n_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("__a").alias("node"))
+            .unionByName(e.select(F.col("__b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+        )
+        keep = deg.filter(F.col("__d") >= k).select("node")
+        nxt = (
+            e.join(keep, e["__a"] == keep["node"], "left_semi")
+            .join(keep, e["__b"] == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        prev, e = e, nxt
+        release_local_checkpoint(prev)
+        if n_nxt == n_edges:
+            n_edges = n_nxt
+            break  # stable: every further peel is a no-op
+        n_edges = n_nxt
+    out = (
+        e.select(F.col("__a").alias("node"))
+        .unionByName(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
+
+    _TRACKED_CHECKPOINTS.append(e)
+    return out
+
+
 def _orient_by_degree(e: DataFrame) -> DataFrame:
     """Orient a canonical undirected edge set (a < b, deduped) by the
     (degree, id) total order: returns (u, v, dv) rows with u ≺ v,

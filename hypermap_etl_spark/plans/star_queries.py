@@ -4924,6 +4924,62 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, "p1", "p2").orderBy("node")
 
 
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-purchase graph (graph.k_core): surviving
+    parts and their in-core degrees after iterative peeling — the
+    dense-subgraph screen next to the triangle counts. The operator
+    early-exits on stability; the oracle unrolls the same 8 fixed
+    peel rounds, which provably computes the identical frame (peels
+    past stability are no-ops)."""
+    from hypermap_etl_spark.operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = a.join(b, "k").filter(F.col("p1") < F.col("p2"))
+    return k_core(edges, k=80, src="p1", dst="p2", n_iter=8).orderBy("node")
+
+
+def _kcore_oracle(k: int, t: int) -> str:
+    parts = [
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for i in range(1, t + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM e{i - 1}
+        UNION ALL SELECT b FROM e{i - 1}) GROUP BY 1
+),
+k{i} AS (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} ka ON e.a = ka.node
+  JOIN k{i} kb ON e.b = kb.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e{t} UNION ALL SELECT b FROM e{t})
+GROUP BY 1 ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+KCORE_ORACLE = _kcore_oracle(80, 8)
+
+
 TRIANGLES_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -5709,6 +5765,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
     "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
+    "parts_copurchase_kcore": (parts_copurchase_kcore, KCORE_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),

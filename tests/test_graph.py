@@ -222,3 +222,49 @@ def test_triangle_orientation_starves_low_id_hub(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_count(wheel).collect()}
     assert got == {0: 6, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2}
+
+
+# ------------------------------------------------------------ k-core ----
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    """A K5 with a pendant path: the 2-core is exactly the clique
+    (each clique node degree 4); path nodes peel away round by
+    round. Duplicate and reversed edges collapse; self-loops drop."""
+    from hypermap_etl_spark.operators.graph import k_core
+    from hypermap_etl_spark.util import release_persisted
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    path = [(4, 10), (10, 11), (11, 12)]
+    noise = [(1, 0), (2, 2), (3, 1)]  # reversed dup, self-loop, dup
+    df = spark.createDataFrame(clique + path + noise, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(v == 4 for v in out.values())
+    release_persisted()
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    """A chain hanging off a triangle needs one peel round per link:
+    the 2-core converges to the triangle only after the cascade, and
+    an n_iter too small to finish leaves the documented partial peel."""
+    from hypermap_etl_spark.operators.graph import k_core
+    from hypermap_etl_spark.util import release_persisted
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(tri + chain, "src long, dst long")
+    full = {r["node"] for r in k_core(df, k=2, n_iter=8).collect()}
+    assert full == {0, 1, 2}
+    # one round only removes the last link's endpoint (node 5 has
+    # degree 1); 4 and 3 still looked degree-2 when it was measured
+    partial = {r["node"] for r in k_core(df, k=2, n_iter=1).collect()}
+    assert partial == {0, 1, 2, 3, 4}
+    # empty core: k beyond the max degree peels everything
+    assert k_core(df, k=10).count() == 0
+    # guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    release_persisted()
