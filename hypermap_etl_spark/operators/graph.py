@@ -219,6 +219,87 @@ def k_core(
     return out
 
 
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: the hop distance from a trusted seed set,
+    capped at ``max_hops`` — the link-distance quality prior of
+    web-corpus curation (TrustRank's propagation step, Gyöngyi et al.
+    2004: pages close to a hand-vetted seed set inherit trust; spam
+    lives far away). Nodes unreached within the cap are absent from
+    the output — "beyond the horizon" is a keep/drop signal too.
+
+    Per round: ONE join of the symmetrized edge frame to the current
+    frontier on the source endpoint + a min-aggregate merging new
+    candidates into the distance frame. Rounds are localCheckpoint-ed
+    eagerly with deterministic block release (the pagerank/k_core
+    loop discipline) and the loop exits early when a round neither
+    adds a node nor shortens a distance (node count + distance sum,
+    two scalars off the materialized checkpoint — distances only
+    shrink, so joint stability is a fixpoint certificate). Early exit
+    cannot change the result, so a fixed-``max_hops`` unrolled SQL
+    oracle reproduces the operator exactly.
+
+    Output: (node, dist) for every node within ``max_hops`` of a
+    seed; seeds themselves carry dist 0 (seeds absent from the edge
+    list still appear — vetting a page that nobody links yet is
+    valid).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(a.alias("__a"), b.alias("__b"))
+    )
+    e = (
+        e.unionByName(e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    state = dist.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+    ).collect()[0]
+    n_prev, s_prev = state["n"], state["s"]
+    for _ in range(max_hops):
+        cand = (
+            e.join(dist, e["__a"] == dist["node"])
+            .select(F.col("__b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        st = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        prev, dist = dist, nxt
+        release_local_checkpoint(prev)
+        if st["n"] == n_prev and st["s"] == s_prev:
+            break  # fixpoint: no new nodes, no shortened paths
+        n_prev, s_prev = st["n"], st["s"]
+    release_local_checkpoint(e)
+    from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
+
+    _TRACKED_CHECKPOINTS.append(dist)
+    return dist
+
+
 def _orient_by_degree(e: DataFrame) -> DataFrame:
     """Orient a canonical undirected edge set (a < b, deduped) by the
     (degree, id) total order: returns (u, v, dv) rows with u ≺ v,

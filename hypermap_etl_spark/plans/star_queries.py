@@ -4980,6 +4980,77 @@ GROUP BY 1 ORDER BY node"""
 KCORE_ORACLE = _kcore_oracle(80, 8)
 
 
+def parts_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style seed distance (graph.seed_distance): hop count
+    from the vetted seed parts (p_partkey % 100 = 0) over the
+    REPEAT-co-purchase graph (pairs bought together in ≥ 2 orders —
+    the thresholded, sparse graph where distance is meaningful),
+    capped at 4 hops. The operator early-exits at the BFS fixpoint;
+    the oracle unrolls the same 4 relaxation rounds, provably
+    identical."""
+    from hypermap_etl_spark.operators.graph import seed_distance
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return seed_distance(edges, seeds, max_hops=4, src="p1", dst="p2").orderBy(
+        "node"
+    )
+
+
+def _seed_distance_oracle(t: int) -> str:
+    parts = [
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+),
+d0 AS MATERIALIZED (
+  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_partkey % 100 = 0
+)"""
+    ]
+    for i in range(1, t + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.b AS node, d.dist + 1 AS dist
+    FROM e JOIN d{i - 1} d ON e.a = d.node
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{t} ORDER BY node")
+    return "".join(parts)
+
+
+SEED_DISTANCE_ORACLE = _seed_distance_oracle(4)
+
+
 TRIANGLES_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -5766,6 +5837,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "parts_copurchase_kcore": (parts_copurchase_kcore, KCORE_ORACLE),
+    "parts_seed_distance": (parts_seed_distance, SEED_DISTANCE_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),

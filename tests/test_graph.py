@@ -268,3 +268,60 @@ def test_kcore_cascade_needs_multiple_rounds(spark):
     with pytest.raises(ValueError):
         k_core(df, k=0)
     release_persisted()
+
+
+# ------------------------------------------------------ seed distance ----
+
+
+def test_seed_distance_bfs_semantics(spark):
+    """Hop distances on a path with a shortcut: the min over multiple
+    routes wins; nodes beyond max_hops are absent; isolated seeds
+    still appear at dist 0; direction of the input edge is ignored."""
+    from hypermap_etl_spark.operators.graph import k_core, seed_distance
+    from hypermap_etl_spark.util import release_persisted
+
+    # 0-1-2-3-4-5 path, plus shortcut 0-4, edge 5-4 given reversed
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 4), (0, 4)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    out = {r["node"]: r["dist"] for r in
+           seed_distance(edges, seeds, max_hops=2).collect()}
+    # 4 is 1 hop via the shortcut, 5 is 2; 3 is min(3, 2)=2 via 4
+    assert out == {0: 0, 99: 0, 1: 1, 4: 1, 2: 2, 5: 2, 3: 2}
+    # horizon: max_hops=1 drops the 2-hop ring
+    near = {r["node"]: r["dist"] for r in
+            seed_distance(edges, seeds, max_hops=1).collect()}
+    assert near == {0: 0, 99: 0, 1: 1, 4: 1}
+    # max_hops=0: seeds only
+    zero = {r["node"] for r in seed_distance(edges, seeds, max_hops=0).collect()}
+    assert zero == {0, 99}
+    import pytest
+
+    with pytest.raises(ValueError):
+        seed_distance(edges, seeds, max_hops=-1)
+    release_persisted()
+
+
+def test_seed_distance_early_exit_matches_full_unroll(spark):
+    """A huge max_hops converges early to the same frame as the exact
+    eccentricity-bounded run — the property the SQL-unrolled oracle
+    relies on."""
+    from hypermap_etl_spark.operators.graph import seed_distance
+    from hypermap_etl_spark.util import release_persisted
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    exact = sorted(
+        (r["node"], r["dist"])
+        for r in seed_distance(edges, seeds, max_hops=6).collect()
+    )
+    big = sorted(
+        (r["node"], r["dist"])
+        for r in seed_distance(edges, seeds, max_hops=50).collect()
+    )
+    assert exact == big == [(i, i) for i in range(7)]
+    release_persisted()
