@@ -300,6 +300,98 @@ def seed_distance(
     return dist
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), made
+    DETERMINISTIC: every node starts as its own community and each
+    round adopts the most frequent label among its neighbors, ties
+    broken toward the SMALLEST label — the cheap community detector
+    for co-occurrence graphs (which products cluster, which domains
+    interlink) where modularity solvers don't scale.
+
+    Determinism is the whole design: the classic algorithm breaks
+    ties randomly and updates asynchronously in shuffled order; this
+    one is synchronous with a total tie order, so the result is a
+    pure function of the graph and ``n_iter`` — reproducible across
+    runs, partitionings, AND engines (the SQL oracle unrolls the same
+    rounds). Synchronous LPA can two-cycle on bipartite structures
+    rather than converge; a FIXED round count is therefore the
+    honest contract (the early exit below fires only on exact
+    fixpoints, which no further round can leave).
+
+    Per round: ONE join of the symmetrized edge frame to the labels
+    on the source endpoint, a (node, label) count aggregate, a
+    node-partitioned top-1 window over that aggregate, and a left
+    join back (isolated nodes keep their label). Rounds are
+    localCheckpoint-ed eagerly with deterministic release; the
+    change-count probe is one aggregate per round.
+
+    Output: (node, community) after ``n_iter`` rounds.
+    """
+    from pyspark.sql.window import Window
+
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(a.alias("__a"), b.alias("__b"))
+    )
+    e = (
+        e.unionByName(e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("__a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("community").asc()
+    )
+    for _ in range(n_iter):
+        nbr = e.join(labels, e["__a"] == labels["node"]).select(
+            F.col("__b").alias("node"), "community"
+        )
+        top = (
+            nbr.groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("community").alias("__new"))
+        )
+        nxt = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(
+                labels.select("node", F.col("community").alias("__old")), "node"
+            )
+            .filter(F.col("community") != F.col("__old"))
+            .count()
+        )
+        prev, labels = labels, nxt
+        release_local_checkpoint(prev)
+        if changed == 0:
+            break  # exact fixpoint: further rounds reproduce it
+    release_local_checkpoint(e)
+    from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
+
+    _TRACKED_CHECKPOINTS.append(labels)
+    return labels
+
+
 def _orient_by_degree(e: DataFrame) -> DataFrame:
     """Orient a canonical undirected edge set (a < b, deduped) by the
     (degree, id) total order: returns (u, v, dv) rows with u ≺ v,

@@ -5051,6 +5051,76 @@ d{i} AS MATERIALIZED (
 SEED_DISTANCE_ORACLE = _seed_distance_oracle(4)
 
 
+def parts_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, smallest-label tie-break) over the
+    repeat-co-purchase graph, 4 rounds — the cheap community detector
+    beside the k-core and triangle screens. Fixed rounds are the
+    contract (synchronous LPA may two-cycle); the oracle unrolls the
+    identical 4 rounds."""
+    from hypermap_etl_spark.operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    return label_propagation(edges, n_iter=4, src="p1", dst="p2").orderBy("node")
+
+
+def _lpa_oracle(t: int) -> str:
+    parts = [
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS community FROM e
+)"""
+    ]
+    for i in range(1, t + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT e.b AS node, d.community, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e JOIN l{i - 1} d ON e.a = d.node GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, community ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, COALESCE(p.community, l.community) AS community
+  FROM l{i - 1} l LEFT JOIN p{i} p ON l.node = p.node
+)"""
+        )
+    parts.append(f"\nSELECT node, community FROM l{t} ORDER BY node")
+    return "".join(parts)
+
+
+LPA_ORACLE = _lpa_oracle(4)
+
+
 TRIANGLES_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -5838,6 +5908,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
     "parts_copurchase_kcore": (parts_copurchase_kcore, KCORE_ORACLE),
     "parts_seed_distance": (parts_seed_distance, SEED_DISTANCE_ORACLE),
+    "parts_copurchase_lpa": (parts_copurchase_lpa, LPA_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),

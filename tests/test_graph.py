@@ -325,3 +325,54 @@ def test_seed_distance_early_exit_matches_full_unroll(spark):
     )
     assert exact == big == [(i, i) for i in range(7)]
     release_persisted()
+
+
+# ------------------------------------------------------------ LPA ----
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two K4s joined by one bridge edge settle into two communities,
+    each labeled by its smallest member; the bridge does not merge
+    them; isolated input nodes never appear (no edges, no node)."""
+    from hypermap_etl_spark.operators.graph import label_propagation
+    from hypermap_etl_spark.util import release_persisted
+
+    k4a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    k4b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(k4a + k4b + bridge, "src long, dst long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, n_iter=6).collect()}
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[i] for i in range(10, 14)} == {10}
+    release_persisted()
+
+
+def test_lpa_fixed_rounds_deterministic_and_tiebreak(spark):
+    """On a single edge every round swaps labels toward the smaller
+    endpoint's (tie of one neighbor each): the smallest-label rule
+    makes round 1 assign node B label A and node A label... B's —
+    then round 2 reaches the all-A fixpoint. n_iter=0 returns the
+    identity labeling. Reversed duplicate edges collapse."""
+    from hypermap_etl_spark.operators.graph import label_propagation
+    from hypermap_etl_spark.util import release_persisted
+
+    df = spark.createDataFrame([(7, 3), (3, 7)], "src long, dst long")
+    r1 = {r["node"]: r["community"] for r in
+          label_propagation(df, n_iter=1).collect()}
+    assert r1 == {3: 7, 7: 3}  # synchronous swap
+    r2 = {r["node"]: r["community"] for r in
+          label_propagation(df, n_iter=2).collect()}
+    assert r2 == {3: 3, 7: 7}  # the two-cycle swaps back to identity
+    zero = {r["node"]: r["community"] for r in
+            label_propagation(df, n_iter=0).collect()}
+    assert zero == {3: 3, 7: 7}
+    # determinism: same inputs, same result, twice
+    a = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iter=-1)
+    release_persisted()
