@@ -48,6 +48,8 @@ def main() -> None:
         events_page_deep,
         events_sessions,
         lineitem_weighted_median,
+        parts_copurchase_lpa,
+        parts_seed_distance,
         q1_pricing_summary,
         q3_shipping_priority,
         q5_region_revenue,
@@ -194,6 +196,13 @@ def main() -> None:
         "ivf_build": ivf_build_bench,
         "ivf_append": ivf_append_bench,
         "ivf_serve": ivf_serve_bench,
+        # r7 continuation: the iterative-loop graph family gets
+        # wall-time numbers — multi-source BFS (fixpoint early exit)
+        # and deterministic LPA (fixed 4 rounds), both the
+        # localCheckpoint/release loop discipline over the
+        # repeat-co-purchase graph
+        "seed_distance": parts_seed_distance,
+        "lpa_communities": parts_copurchase_lpa,
     }
 
     spark = get_spark("hypermap-etl-bench")

@@ -1122,6 +1122,71 @@ def cmd_link(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_graph(args) -> None:
+    """Graph analytics over an edge-list parquet (--src/--dst columns):
+    one JSON summary line per run. Ops: pagerank (fixed power
+    iterations), triangles (degree-oriented wedge counting), kcore
+    (iterative peel), lpa (deterministic label propagation),
+    seed-distance (multi-source BFS from --seeds, a parquet with a
+    node column). The per-node frame lands at --out when given;
+    the summary always prints."""
+    from hypermap_etl_spark.operators import graph
+
+    spark = _spark(args)
+    edges = spark.read.parquet(args.edges)
+    for c in (args.src, args.dst):
+        if c not in edges.columns:
+            raise SystemExit(f"edge column not in table: {c}")
+    if args.op == "pagerank":
+        out = graph.pagerank(edges, src=args.src, dst=args.dst,
+                             n_iter=args.iters)
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.max("rank"), 6).alias("max_rank"),
+        ).collect()[0].asDict()
+    elif args.op == "triangles":
+        out = graph.triangle_count(edges, args.src, args.dst)
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_triangles").alias("corner_total"),
+        ).collect()[0].asDict()
+        # every triangle is counted once per corner
+        summary["n_triangles"] = int((summary.pop("corner_total") or 0) // 3)
+    elif args.op == "kcore":
+        out = graph.k_core(edges, k=args.k, src=args.src, dst=args.dst,
+                           n_iter=args.iters)
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_core_nodes"),
+            F.min("core_degree").alias("min_core_degree"),
+        ).collect()[0].asDict()
+        summary["k"] = args.k
+    elif args.op == "lpa":
+        out = graph.label_propagation(edges, n_iter=args.iters,
+                                      src=args.src, dst=args.dst)
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.countDistinct("community").alias("n_communities"),
+        ).collect()[0].asDict()
+    else:  # seed-distance
+        if not args.seeds:
+            raise SystemExit("seed-distance requires --seeds")
+        seeds = spark.read.parquet(args.seeds)
+        if args.seed_col not in seeds.columns:
+            raise SystemExit(f"seed column not in table: {args.seed_col}")
+        out = graph.seed_distance(edges, seeds, max_hops=args.hops,
+                                  src=args.src, dst=args.dst,
+                                  seed_col=args.seed_col)
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.max("dist").alias("max_dist"),
+        ).collect()[0].asDict()
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        summary["out"] = args.out
+    summary["op"] = args.op
+    print(json.dumps(summary))
+
+
 def cmd_skew(args) -> None:
     """Shuffle-key skew pre-flight (operators/scale.key_skew_report):
     heaviest keys, per-key salt factors, distribution entropy — run
@@ -1731,6 +1796,20 @@ def main(argv=None) -> None:
                    help="name-distance radius (deletion-neighborhood tau)")
     p.add_argument("--golden", default=None,
                    help="write survivorship-fused golden records here")
+    p = sub.add_parser("graph", help="graph analytics over an edge-list "
+                       "parquet (pagerank/triangles/kcore/lpa/seed-distance)")
+    p.add_argument("--edges", required=True)
+    p.add_argument("--op", required=True,
+                   choices=["pagerank", "triangles", "kcore", "lpa",
+                            "seed-distance"])
+    p.add_argument("--src", default="src")
+    p.add_argument("--dst", default="dst")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--hops", type=int, default=4)
+    p.add_argument("--seeds", help="parquet with the seed node column")
+    p.add_argument("--seed-col", default="node")
+    p.add_argument("--out", help="write the per-node frame here")
     p = sub.add_parser("skew", help="shuffle-key skew pre-flight report")
     p.add_argument("--table", required=True, help="parquet path to diagnose")
     p.add_argument("--keys", required=True,
@@ -1812,6 +1891,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
+        "graph": cmd_graph,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
         "hist": cmd_hist, "drift": cmd_drift, "cdc": cmd_cdc,
     }[args.cmd](args)

@@ -862,3 +862,43 @@ def test_cli_eval_card(spark, capsys, tmp_path):
     assert card["best_f1"]["threshold"] == 0.9
     assert card["n_thresholds"] == 10
     assert abs(card["ece"] - 0.1) < 1e-9  # |0.9-1|*0.5 + |0.1-0|*0.5
+
+
+def test_cli_graph_ops(spark, capsys, tmp_path):
+    """The graph command runs each op over an edge parquet and prints
+    a one-line JSON summary; seed-distance consumes a seeds parquet
+    and --out lands the per-node frame."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    # two triangles sharing node 2, plus a tail
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5)]
+    ep = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(ep)
+
+    main(["graph", "--edges", ep, "--op", "triangles"])
+    tri = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tri["n_triangles"] == 2
+
+    main(["graph", "--edges", ep, "--op", "kcore", "--k", "2"])
+    kc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert kc["n_core_nodes"] == 5 and kc["min_core_degree"] == 2
+
+    main(["graph", "--edges", ep, "--op", "lpa", "--iters", "4"])
+    lpa = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lpa["n_nodes"] == 6
+
+    sp = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame([(0,)], "node long").write.parquet(sp)
+    op = str(tmp_path / "dist.parquet")
+    main(["graph", "--edges", ep, "--op", "seed-distance", "--seeds", sp,
+          "--hops", "2", "--out", op])
+    sd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sd["n_reached"] == 5 and sd["max_dist"] == 2  # node 5 is 3 hops
+    got = {r["node"]: r["dist"] for r in spark.read.parquet(op).collect()}
+    assert got[0] == 0 and got[4] == 2 and 5 not in got
+
+    main(["graph", "--edges", ep, "--op", "pagerank", "--iters", "5"])
+    pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pr["n_nodes"] == 6 and pr["max_rank"] > 0
