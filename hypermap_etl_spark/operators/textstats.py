@@ -1202,6 +1202,20 @@ def skipgram_cooc(
     (least, greatest), counted in one aggregate, thresholded, and
     TakeOrdered to ``top_k`` by (n DESC, w1, w2).
     """
+    pairs = _skipgram_pairs(docs, window, text_col)
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+
+
+def _skipgram_pairs(docs: DataFrame, window: int, text_col: str) -> DataFrame:
+    """The delta-join pair stream shared by skipgram_cooc and
+    sppmi_matrix: unordered (w1 <= w2) co-occurrence instances at
+    position distance <= window, O(len·window) join rows."""
     if window < 1:
         raise ValueError("window must be >= 1")
     ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
@@ -1223,14 +1237,81 @@ def skipgram_cooc(
         (F.col("__bpos") - F.col("__d")).alias("pos"),
         "__wb",
     )
-    pairs = tok.join(shifted, ["doc_id", "pos"]).select(
+    return tok.join(shifted, ["doc_id", "pos"]).select(
         F.least(F.col("w"), F.col("__wb")).alias("w1"),
         F.greatest(F.col("w"), F.col("__wb")).alias("w2"),
     )
+
+
+def sppmi_matrix(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 50,
+    shift_k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shifted positive PMI over the windowed co-occurrence matrix —
+    THE matrix whose factorization is skip-gram-with-negative-sampling
+    (Levy & Goldberg 2014: SGNS implicitly factorizes PMI − ln k):
+    SPPMI(w, c) = max(0, ln(#(w,c)) + ln T − ln #w − ln #c − ln k).
+    The corpus-statistics half of embedding training, with the
+    ``shift_k`` playing the negative-sampling count's role.
+
+    Conventions (mirrored exactly by the gate oracle): pairs are the
+    unordered delta-join instances (:func:`skipgram_cooc`'s stream);
+    T is the total pair count; a word's marginal #w sums every pair
+    containing it (a self-pair (w, w) contributes twice). Marginals
+    and T come from the FULL matrix — the ``min_count`` floor applies
+    only to which cells are emitted, never to the statistics.
+
+    Numerics: counts are exact longs; the log-sum form never builds
+    an int64-overflowing product (the categorical_mi discipline); one
+    fixed-order double expression, rounded at the output, and the
+    top-k orders by the ROUNDED value (ties by w1, w2) so the cut is
+    engine-identical.
+
+    Scale shape: one delta-join pass to the pair aggregate; marginals
+    (union ×2 of the CELL frame, not the corpus) join back by word —
+    plain hash joins, because a Heaps-law vocabulary is NOT
+    broadcast-sized at corpus scale; only the one-row total
+    broadcasts. AQE may still elect a broadcast at fixture scale.
+    """
+    pairs = _skipgram_pairs(docs, window, text_col)
+    from hypermap_etl_spark.util import tracked_persist
+
+    cells = tracked_persist(
+        pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    marg = (
+        cells.select(F.col("w1").alias("w"), "n")
+        .unionByName(cells.select(F.col("w2").alias("w"), "n"))
+        .groupBy("w")
+        .agg(F.sum("n").cast("long").alias("__m"))
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("__t"))
+    sppmi = F.greatest(
+        F.lit(0.0),
+        F.log(F.col("n").cast("double"))
+        + F.log(F.col("__t").cast("double"))
+        - F.log(F.col("__mw").cast("double"))
+        - F.log(F.col("__mc").cast("double"))
+        - F.log(F.lit(float(shift_k))),
+    )
     return (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        cells.filter(F.col("n") >= min_count)
+        .join(
+            marg.select(F.col("w").alias("w1"), F.col("__m").alias("__mw")),
+            "w1",
+        )
+        .join(
+            marg.select(F.col("w").alias("w2"), F.col("__m").alias("__mc")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n", F.round(sppmi, 6).alias("sppmi"))
+        .orderBy(F.desc("sppmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_k)
     )

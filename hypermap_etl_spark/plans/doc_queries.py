@@ -4693,6 +4693,57 @@ ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
 
 
 
+def doc_sppmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted positive PMI cells over the windowed co-occurrence
+    matrix (textstats.sppmi_matrix, window 3, shift k=5): the matrix
+    SGNS implicitly factorizes (Levy & Goldberg 2014) — the corpus-
+    statistics half of embedding training. Marginals and the total
+    come from the FULL matrix; the min_count floor only picks which
+    cells are emitted; top-40 by the ROUNDED score so the cut is
+    engine-identical."""
+    from hypermap_etl_spark.operators.textstats import sppmi_matrix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sppmi_matrix(docs, window=3, min_count=5, top_k=40, shift_k=5)
+
+
+SPPMI_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT)] AS w
+  FROM base, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+cells AS MATERIALIZED (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+  GROUP BY 1, 2
+),
+marg AS MATERIALIZED (
+  SELECT w, CAST(SUM(n) AS BIGINT) AS m FROM (
+    SELECT w1 AS w, n FROM cells UNION ALL SELECT w2 AS w, n FROM cells
+  ) GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells)
+SELECT c.w1, c.w2, c.n,
+       ROUND(GREATEST(CAST(0 AS DOUBLE),
+             ln(CAST(c.n AS DOUBLE)) + ln(CAST(tot.t AS DOUBLE))
+             - ln(CAST(mw.m AS DOUBLE)) - ln(CAST(mc.m AS DOUBLE))
+             - ln(CAST(5 AS DOUBLE))), 6) AS sppmi
+FROM cells c
+JOIN marg mw ON c.w1 = mw.w
+JOIN marg mc ON c.w2 = mc.w
+CROSS JOIN tot
+WHERE c.n >= 5
+ORDER BY sppmi DESC, c.w1 ASC, c.w2 ASC LIMIT 40
+"""
+
+
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomena share per source: the fraction of each source's
     vocabulary seen exactly once (and its share of token mass) — a
@@ -4854,6 +4905,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_model_pr_sweep": (doc_model_pr_sweep, PR_SWEEP_ORACLE),
     "doc_fleiss_models": (doc_fleiss_models, FLEISS_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
+    "doc_sppmi_matrix": (doc_sppmi_matrix, SPPMI_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),

@@ -2146,3 +2146,51 @@ def test_skipgram_cooc_window_semantics(spark):
 
     with _pt.raises(ValueError):
         skipgram_cooc(docs, window=0)
+
+
+def test_sppmi_matches_hand_formula_and_shift(spark):
+    """SPPMI on a tiny corpus equals the hand-computed
+    max(0, ln(n*T/(mw*mc)) - ln k); raising k only lowers scores and
+    clamps more cells to 0; marginals use the FULL matrix even when
+    min_count hides cells."""
+    import math
+
+    from hypermap_etl_spark.operators.textstats import sppmi_matrix
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           sppmi_matrix(docs, window=2, min_count=2, top_k=50,
+                        shift_k=1).collect()}
+    # recompute expected from scratch
+    pairs = []
+    for _, text in [(1, "a b a b c"), (2, "a b a b"), (3, "c d")]:
+        ws = text.split()
+        for i in range(len(ws)):
+            for j in range(i + 1, min(i + 3, len(ws))):
+                pairs.append(tuple(sorted((ws[i], ws[j]))))
+    from collections import Counter
+
+    cnt = Counter(pairs)
+    t = sum(cnt.values())
+    marg = Counter()
+    for (x, y), n in cnt.items():
+        marg[x] += n
+        marg[y] += n
+    for (x, y), n in cnt.items():
+        if n < 2:
+            assert (x, y) not in out
+            continue
+        want = max(0.0, math.log(n) + math.log(t)
+                   - math.log(marg[x]) - math.log(marg[y]) - math.log(1))
+        assert abs(out[(x, y)]["sppmi"] - round(want, 6)) < 1e-9
+        assert out[(x, y)]["n"] == n
+    # shift: larger k shrinks every score toward the 0 clamp
+    shifted = {(r["w1"], r["w2"]): r["sppmi"] for r in
+               sppmi_matrix(docs, window=2, min_count=2, top_k=50,
+                            shift_k=50).collect()}
+    assert all(v == 0.0 for v in shifted.values())
+    release_persisted()
