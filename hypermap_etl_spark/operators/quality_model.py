@@ -480,6 +480,69 @@ def fleiss_kappa(
     )
 
 
+def multiclass_report(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 with supports — the multiclass
+    sibling of :func:`pr_threshold_sweep` (which is binary-score
+    shaped), e.g. grading the language router against labeled data
+    before trusting it to split a corpus: per class c, tp = the
+    confusion diagonal, fp = everything predicted c but not c,
+    fn = everything truly c predicted otherwise.
+
+    Construction: ONE corpus hash aggregate to the (true, pred)
+    confusion matrix; per-class reductions run on that class²-sized
+    frame via a full outer join of the true- and pred-marginals (a
+    class may appear only among predictions — precision is still
+    defined for it — or only among truths). Every metric is a ratio
+    of exact longs rounded at the output; classes NULL on either side
+    are excluded. No macro/micro summary row here on purpose: a
+    cross-class float mean belongs to the consumer (the CLI sums the
+    collected per-class rows), keeping this frame free of cross-row
+    float accumulation.
+
+    Output per class: (label, support, predicted, tp, precision,
+    recall, f1); precision NULL when nothing was predicted as the
+    class, recall NULL when the class has no true rows, f1 NULL when
+    either is (try_divide semantics).
+    """
+    t, p = F.col(true_col), F.col(pred_col)
+    conf = (
+        df.filter(t.isNotNull() & p.isNotNull())
+        .groupBy(t.alias("__t"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    truth = conf.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("__n").cast("long").alias("support"),
+        F.sum(F.when(F.col("__t") == F.col("__p"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("__tp_t"),
+    )
+    pred = conf.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").cast("long").alias("predicted"),
+    )
+    j = truth.join(pred, "label", "full_outer").select(
+        "label",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        F.coalesce(F.col("predicted"), F.lit(0)).cast("long").alias("predicted"),
+        F.coalesce(F.col("__tp_t"), F.lit(0)).cast("long").alias("tp"),
+    )
+    prec = F.try_divide(F.col("tp").cast("double"), F.col("predicted").cast("double"))
+    rec = F.try_divide(F.col("tp").cast("double"), F.col("support").cast("double"))
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return j.select(
+        "label",
+        "support",
+        "predicted",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def bradley_terry(
     pairs: DataFrame,
     winner_col: str = "winner",

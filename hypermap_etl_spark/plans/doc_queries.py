@@ -258,6 +258,65 @@ ORDER BY conf.lang, lang_pred
 """
 
 
+def doc_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the heuristic language router
+    against the labeled lang column (quality_model.multiclass_report
+    over the same confusion matrix doc_langid_confusion certifies):
+    the metric view a routing decision actually reads. Exact-long
+    ratios; macro summaries are left to the consumer so the frame has
+    no cross-row float accumulation."""
+    from hypermap_etl_spark.operators.quality_model import multiclass_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = textstats.language_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "lang_pred")
+    return multiclass_report(docs.join(pred, "doc_id"), "lang", "lang_pred").orderBy(
+        "label"
+    )
+
+
+def _langid_report_oracle() -> str:
+    inner = _langid_oracle().strip()
+    return f"""
+WITH pred AS ({inner}),
+conf AS (
+  SELECT d.lang AS t, p.lang_pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t AS label, CAST(SUM(n) AS BIGINT) AS support,
+         CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM conf GROUP BY 1
+),
+predm AS (
+  SELECT p AS label, CAST(SUM(n) AS BIGINT) AS predicted FROM conf GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(truth.label, predm.label) AS label,
+         CAST(COALESCE(support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(predicted, 0) AS BIGINT) AS predicted,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+  FROM truth FULL OUTER JOIN predm ON truth.label = predm.label
+),
+r AS (
+  SELECT label, support, predicted, tp,
+         CASE WHEN predicted > 0
+              THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END AS pr,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS rc
+  FROM j
+)
+SELECT label, support, predicted, tp,
+       ROUND(pr, 6) AS "precision", ROUND(rc, 6) AS recall,
+       ROUND(CASE WHEN pr IS NULL OR rc IS NULL OR pr + rc = 0 THEN NULL
+                  ELSE 2.0 * pr * rc / (pr + rc) END, 6) AS f1
+FROM r ORDER BY label
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -4916,6 +4975,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_mojibake": (doc_mojibake, MOJIBAKE_ORACLE),
     "doc_dedup_sweep": (doc_dedup_sweep, DEDUP_SWEEP_ORACLE),
     "doc_langid_confusion": (doc_langid_confusion, _langid_confusion_oracle()),
+    "doc_langid_report": (doc_langid_report, _langid_report_oracle()),
     "doc_source_dup_matrix": (doc_source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE),
     "doc_bm25_snippets": (doc_bm25_snippets, BM25_SNIPPETS_ORACLE),
     "doc_apportion": (doc_apportion, APPORTION_ORACLE),

@@ -426,3 +426,32 @@ def test_fleiss_kappa_matches_hand_reference(spark):
     want = (p_bar - p_e) / (1 - p_e)
     assert abs(got["kappa"] - round(want, 6)) < 1e-9
     assert got["p_exp"] == round(p_e, 6)
+
+
+def test_multiclass_report_asymmetric_classes(spark):
+    """Confusion [[3,1,0],[0,2,0],[1,0,0]] plus a prediction-only
+    class: tp/fp/fn bookkeeping, NULL precision for never-predicted
+    classes, NULL recall for prediction-only classes, NULL f1 when
+    either side is NULL or tp is 0 on both."""
+    from hypermap_etl_spark.operators.quality_model import multiclass_report
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")] * 1
+        + [("b", "b")] * 2
+        + [("c", "a")] * 1          # class c never predicted
+        + [("a", "d")] * 1          # class d never true
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["label"]: r for r in multiclass_report(df, "t", "p").collect()}
+    a = out["a"]
+    assert (a["support"], a["predicted"], a["tp"]) == (5, 4, 3)
+    assert a["precision"] == 0.75 and a["recall"] == 0.6
+    assert a["f1"] == round(2 * 0.75 * 0.6 / 1.35, 6)
+    b = out["b"]
+    assert (b["support"], b["predicted"], b["tp"]) == (2, 3, 2)
+    c = out["c"]
+    assert c["predicted"] == 0 and c["precision"] is None
+    assert c["recall"] == 0.0 and c["f1"] is None
+    d = out["d"]
+    assert d["support"] == 0 and d["recall"] is None
+    assert d["precision"] == 0.0 and d["f1"] is None
