@@ -358,6 +358,40 @@ def grouped_weighted_median(
     the result is independent of slice boundaries because offsets are
     derived from actual slice contents.
     """
+    return grouped_weighted_quantile(
+        df, value_col, weight_col, group_cols, q=0.5, out_col="median_w"
+    )
+
+
+def grouped_weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    q: float = 0.5,
+    out_col: str = "quantile_w",
+) -> DataFrame:
+    """Exact lower weighted q-quantile per group — the generalization
+    of :func:`grouped_weighted_median` (which is the q = 1/2 call):
+    the smallest value v whose cumulative weight reaches q of the
+    group's total mass. The SLA view of a weighted distribution ("the
+    price under which 90% of sold UNITS fall"), still interpolation-
+    free: pure integer/decimal comparisons, bit-identical in any
+    engine.
+
+    ``q`` converts to an exact rational via Fraction(str(q)) (the
+    prefix_filter_pairs discipline — no float-rounded thresholds), so
+    the pick condition is cum·den >= tot·num in decimal arithmetic.
+    Same distributed running-sum construction as the median: distinct-
+    value collapse, range partition, per-slice running sums, broadcast
+    prefix offsets — no single-task group sort at any group count.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(q))
+    if not 0 < frac <= 1:
+        raise ValueError("q must be in (0, 1]")
+    num, den = frac.numerator, frac.denominator
     v = F.col(value_col).cast("decimal(12,2)")
     wc = (F.col(weight_col).cast("decimal(12,2)") * 100).cast("long")
     per_value = (
@@ -401,17 +435,20 @@ def grouped_weighted_median(
     )
     picked = (
         cum.join(F.broadcast(totals), list(group_cols))
-        .filter(F.lit(2) * F.col("__cumw") >= F.col("__tot"))
+        .filter(
+            F.col("__cumw").cast("decimal(38,0)") * F.lit(den)
+            >= F.col("__tot").cast("decimal(38,0)") * F.lit(num)
+        )
         .groupBy(*group_cols)
         .agg(
-            F.min("__v").cast("double").alias("median_w"),
+            F.min("__v").cast("double").alias(out_col),
             F.first("__tot").alias("total_weight_c"),
             F.first("__nrows").alias("n_rows"),
         )
     )
     return picked.select(
         *group_cols,
-        "median_w",
+        out_col,
         F.col("total_weight_c").cast("long").alias("total_weight_c"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )

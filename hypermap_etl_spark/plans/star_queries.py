@@ -4805,6 +4805,53 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def lineitem_weighted_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted p90 (scale.grouped_weighted_quantile,
+    q = 9/10 as an exact Fraction): the price under which 90% of sold
+    UNITS fall, per return flag — the SLA view of the weighted
+    distribution, same distributed running-sum machinery as the
+    certified median and the same bit-exact integer comparisons
+    (10·cum >= 9·tot)."""
+    from hypermap_etl_spark.operators.scale import grouped_weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_weighted_quantile(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"],
+        q=0.9, out_col="p90_w",
+    ).orderBy("l_returnflag")
+
+
+WEIGHTED_P90_ORACLE = """
+WITH pv AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM pv
+),
+t AS (
+  SELECT l_returnflag, SUM(w) AS tot, CAST(SUM(n) AS BIGINT) AS nrows
+  FROM pv GROUP BY 1
+)
+SELECT c.l_returnflag,
+       CAST(MIN(c.v) AS DOUBLE) AS p90_w,
+       CAST(t.tot AS BIGINT) AS total_weight_c,
+       t.nrows AS n_rows
+FROM c JOIN t USING (l_returnflag)
+WHERE 10 * c.cumw >= 9 * t.tot
+GROUP BY c.l_returnflag, t.tot, t.nrows
+ORDER BY c.l_returnflag
+"""
+
+
 WEIGHTED_MEDIAN_ORACLE = """
 WITH pv AS (
   SELECT l_returnflag,
@@ -5911,6 +5958,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_copurchase_lpa": (parts_copurchase_lpa, LPA_ORACLE),
     "events_session_windows": (events_session_windows, SESSION_WINDOW_ORACLE),
     "lineitem_weighted_median": (lineitem_weighted_median, WEIGHTED_MEDIAN_ORACLE),
+    "lineitem_weighted_p90": (lineitem_weighted_p90, WEIGHTED_P90_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),

@@ -273,3 +273,44 @@ def test_heavy_coverage_known_distribution(spark):
     assert out.columns == [
         "threshold", "n_keys_needed", "n_keys_total", "key_fraction"
     ]
+
+
+def test_weighted_quantile_generalizes_median(spark):
+    """q=0.5 reproduces grouped_weighted_median exactly; q=1.0 is the
+    max value; hand-checkable p75 on a tiny weighted set; q outside
+    (0, 1] raises; fractional q converts exactly (no float threshold)."""
+    import pytest
+
+    from hypermap_etl_spark.operators.scale import (
+        grouped_weighted_median,
+        grouped_weighted_quantile,
+    )
+    from hypermap_etl_spark.util import release_persisted
+
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 1.0),
+            ("g", 40.0, 97.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    med = grouped_weighted_median(df, "v", "w", ["g"]).collect()[0]
+    q50 = grouped_weighted_quantile(df, "v", "w", ["g"], q=0.5,
+                                    out_col="median_w").collect()[0]
+    assert med.asDict() == q50.asDict()
+    assert med["median_w"] == 40.0  # the heavy tail holds the mass
+    # uniform weights: p75 of {10,20,30,40} at weight 1 each -> 30
+    uni = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (10, 20, 30, 40)],
+        "g string, v double, w double",
+    )
+    p75 = grouped_weighted_quantile(uni, "v", "w", ["g"], q=0.75).collect()[0]
+    assert p75["quantile_w"] == 30.0
+    p100 = grouped_weighted_quantile(uni, "v", "w", ["g"], q=1.0).collect()[0]
+    assert p100["quantile_w"] == 40.0
+    # 2/3: cum*3 >= tot*2 -> first v with cum >= 2.666.. units -> 30
+    p23 = grouped_weighted_quantile(
+        uni, "v", "w", ["g"], q=2 / 3
+    ).collect()[0]
+    assert p23["quantile_w"] == 30.0
+    with pytest.raises(ValueError):
+        grouped_weighted_quantile(uni, "v", "w", ["g"], q=0.0)
+    with pytest.raises(ValueError):
+        grouped_weighted_quantile(uni, "v", "w", ["g"], q=1.5)
+    release_persisted()
