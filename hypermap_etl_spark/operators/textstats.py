@@ -1243,6 +1243,73 @@ def _skipgram_pairs(docs: DataFrame, window: int, text_col: str) -> DataFrame:
     )
 
 
+def negative_sampling_table(
+    docs: DataFrame,
+    alpha: float = 0.75,
+    top_v: int = 10000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The word2vec negative-sampling distribution: unigram counts
+    raised to ``alpha`` (0.75 in Mikolov et al. 2013 — flattens the
+    head, fattens the tail) over the deterministic top-``top_v``
+    vocabulary, with each word's sampling share and cumulative share
+    — the inverse-CDF lookup a sampler consumes (draw u in [0, 1),
+    take the first word whose cum_share >= u). Completes the SGNS
+    input trio beside :func:`skipgram_cooc` and :func:`sppmi_matrix`.
+
+    Numerics: counts are exact longs; n^alpha is one pow() per word
+    rounded to 6 dp and cast to decimal(28,6), so the total and the
+    cumulative sums are EXACT decimal arithmetic — no float
+    accumulation across the vocabulary (a double Σ over a Heaps-law
+    vocab would be order-dependent). Shares divide exact decimals in
+    doubles at the output. The vocabulary cut and the cumulative
+    order are both (n DESC, word ASC) — total, engine-identical.
+
+    Scale shape: ONE corpus aggregate to word counts, TakeOrdered to
+    top_v, then everything runs on the capped vocabulary; the
+    cumulative window orders the top_v frame only (bounded, never
+    corpus rows).
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if top_v < 1:
+        raise ValueError("top_v must be >= 1")
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    counts = (
+        docs.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_v)
+    )
+    w6 = F.round(F.pow(F.col("n").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(28,6)"
+    )
+    wv = counts.withColumn("__w", w6)
+    tot = wv.agg(F.sum("__w").cast("decimal(38,6)").alias("__t"))
+    cum_w = (
+        Window.orderBy(F.desc("n"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        wv.withColumn("__cum", F.sum("__w").over(cum_w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n",
+            F.col("__w").cast("double").alias("weight"),
+            F.round(
+                F.col("__w").cast("double") / F.col("__t").cast("double"), 9
+            ).alias("share"),
+            F.round(
+                F.col("__cum").cast("double") / F.col("__t").cast("double"), 9
+            ).alias("cum_share"),
+        )
+    )
+
+
 def sppmi_matrix(
     docs: DataFrame,
     window: int = 3,

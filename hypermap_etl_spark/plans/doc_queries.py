@@ -4803,6 +4803,45 @@ ORDER BY sppmi DESC, c.w1 ASC, c.w2 ASC LIMIT 40
 """
 
 
+def doc_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling table over the top-200
+    vocabulary (textstats.negative_sampling_table, alpha = 0.75):
+    per word the smoothed weight, sampling share, and cumulative
+    share — the inverse-CDF lookup. Weights round to 6 dp then sum
+    in exact decimal, so shares and the cumulative column are
+    engine-identical."""
+    from hypermap_etl_spark.operators.textstats import negative_sampling_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return negative_sampling_table(docs, alpha=0.75, top_v=200)
+
+
+NEG_SAMPLING_ORACLE = """
+WITH cnt AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+top AS (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT 200),
+wv AS (
+  SELECT word, n,
+         CAST(ROUND(pow(CAST(n AS DOUBLE), 0.75), 6) AS DECIMAL(28,6)) AS w
+  FROM top
+),
+tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS t FROM wv),
+c AS (
+  SELECT word, n, w,
+         SUM(w) OVER (ORDER BY n DESC, word
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM wv
+)
+SELECT word, n, CAST(w AS DOUBLE) AS weight,
+       ROUND(CAST(w AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share,
+       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 9) AS cum_share
+FROM c CROSS JOIN tot ORDER BY n DESC, word
+"""
+
+
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomena share per source: the fraction of each source's
     vocabulary seen exactly once (and its share of token mass) — a
@@ -4965,6 +5004,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_fleiss_models": (doc_fleiss_models, FLEISS_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_sppmi_matrix": (doc_sppmi_matrix, SPPMI_ORACLE),
+    "doc_negative_sampling": (doc_negative_sampling, NEG_SAMPLING_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),

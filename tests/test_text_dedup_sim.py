@@ -2194,3 +2194,38 @@ def test_sppmi_matches_hand_formula_and_shift(spark):
                             shift_k=50).collect()}
     assert all(v == 0.0 for v in shifted.values())
     release_persisted()
+
+
+def test_negative_sampling_table_smoothing_and_cdf(spark):
+    """alpha=0.75 flattens the head (share ratios compress vs count
+    ratios); shares sum to ~1 with the last cum_share exactly 1.0
+    (exact-decimal total); alpha=1 reproduces raw count shares; the
+    top_v cut is (n DESC, word) deterministic."""
+    from hypermap_etl_spark.operators.textstats import negative_sampling_table
+    from hypermap_etl_spark.util import release_persisted
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 16 + "b " * 4 + "c"), (2, "a a b c")],
+        "doc_id long, text string",
+    )
+    # counts: a=18, b=5, c=2
+    out = {r["word"]: r for r in
+           negative_sampling_table(docs, alpha=0.75, top_v=10).collect()}
+    assert [out[w]["n"] for w in "abc"] == [18, 5, 2]
+    # smoothing: a/c count ratio 9; weight ratio 9^0.75 < 9
+    ratio = out["a"]["weight"] / out["c"]["weight"]
+    assert ratio < 9.0 and abs(ratio - 9 ** 0.75) < 1e-4
+    assert out["c"]["cum_share"] == 1.0  # exact decimal total
+    # alpha=1: shares are exact count fractions
+    raw = {r["word"]: r for r in
+           negative_sampling_table(docs, alpha=1.0, top_v=10).collect()}
+    assert raw["a"]["share"] == round(18 / 25, 9)
+    # deterministic cap: top_v=2 keeps the two heaviest
+    two = {r["word"] for r in
+           negative_sampling_table(docs, alpha=0.75, top_v=2).collect()}
+    assert two == {"a", "b"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        negative_sampling_table(docs, alpha=0.0)
+    release_persisted()
