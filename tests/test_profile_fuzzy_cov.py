@@ -1070,3 +1070,90 @@ def test_fd_confidence_exact_partial_and_nulls(spark):
 
     with pytest.raises(ValueError):
         fd_confidence(df, [])
+
+
+# ---------------------------- hypothesis: stats-op invariants ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=3, max_size=40,
+    )
+)
+def test_spearman_properties(spark, pts):
+    """|rho| <= 1; invariance under a strictly monotone affine map of
+    y (ties preserved exactly at decimal(12,2)); antisymmetry under
+    negation."""
+    from hypermap_etl_spark.operators.profile import spearman_corr
+
+    rows = [("g", float(x), float(y)) for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    def rho_of(frame):
+        r = spearman_corr(frame, "x", "y", ["g"]).collect()
+        return r[0]["rho"] if r else None
+
+    base = rho_of(df)
+    if base is None:
+        return  # constant column: NULL rho, nothing further to check
+    assert -1.0 <= base <= 1.0
+    import pyspark.sql.functions as SF
+
+    affine = df.select("g", "x", (SF.col("y") * 2 + 1).alias("y"))
+    assert rho_of(affine) == base
+    neg = df.select("g", "x", (-SF.col("y")).alias("y"))
+    assert rho_of(neg) == -base
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    scored=st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=4, max_size=60,
+    )
+)
+def test_roc_auc_complement_property(spark, scored):
+    """AUC of the flipped labels is exactly 1 - AUC (ties counted
+    half on both sides), whenever both classes are present."""
+    from hypermap_etl_spark.operators.quality_model import roc_auc
+
+    rows = [(s / 10.0, int(y)) for s, y in scored]
+    if len({y for _, y in rows}) < 2:
+        return
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = roc_auc(df).collect()[0]["auc"]
+    flipped = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "score double, label int"
+    )
+    b = roc_auc(flipped).collect()[0]["auc"]
+    assert abs(a + b - 1.0) < 2e-6  # each side rounded to 6 dp
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cells=st.dictionaries(
+        st.tuples(st.sampled_from("ab"), st.sampled_from([0, 1])),
+        st.integers(1, 9), min_size=4, max_size=4,
+    ),
+    k=st.integers(2, 4),
+)
+def test_chi2_scales_linearly_with_replication(spark, cells, k):
+    """Replicating every row k times multiplies chi2 by exactly k
+    (each cell term scales by k before rounding; dof unchanged)."""
+    from hypermap_etl_spark.operators.profile import chi2_independence
+
+    rows = [(x, y) for (x, y), n in cells.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "x string, y long")
+    base = chi2_independence(df, "x", "y").collect()[0]
+    rep = spark.createDataFrame(rows * k, "x string, y long")
+    scaled = chi2_independence(rep, "x", "y").collect()[0]
+    assert scaled["dof"] == base["dof"]
+    assert abs(scaled["chi2"] - k * base["chi2"]) < k * 5e-6
