@@ -274,6 +274,64 @@ def golden_records(
     return out
 
 
+def phonetic_key(col) -> "F.Column":
+    """American Soundex as a pure column-expression chain — the
+    phonetic blocking key (Russell 1918; the classic complement to
+    the deletion-neighborhood keys: FastSS catches typos, Soundex
+    catches HEARING variants like Smith/Smyth that are edit-distance
+    far). Deliberately NOT Spark's builtin ``soundex()``: the
+    identical translate → collapse → strip-zeros → pad chain runs in
+    both engines, so an oracle reproduces the key character for
+    character (the language_id replace-length-trick discipline).
+
+    Steps: keep letters, uppercase; drop H/W after the first letter
+    (same-code consonants across H/W collapse, the standard rule);
+    map to digit codes; collapse adjacent equal codes INCLUDING the
+    first letter's; drop vowels' zeros from the tail; first letter +
+    three codes, zero-padded. Empty input keys to ''.
+    """
+    u = F.upper(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    body = F.regexp_replace(F.substring(u, 2, 1 << 30), "[HW]", "")
+    mapped = F.translate(
+        F.concat(first, body),
+        "ABCDEFGIJKLMNOPQRSTUVXYZ",
+        "012301202245501262301202",
+    )
+    collapsed = F.regexp_replace(mapped, r"(\d)\1+", "$1")
+    tail = F.regexp_replace(F.substring(collapsed, 2, 1 << 30), "0", "")
+    return F.when(F.length(u) == 0, F.lit("")).otherwise(
+        F.rpad(F.concat(first, F.substring(tail, 1, 3)), 4, "0")
+    )
+
+
+def phonetic_blocks(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Blocking-plan report for a Soundex partition of ``name_col``:
+    per phonetic key, the member count, the distinct spellings it
+    groups, and the candidate-pair cost n(n−1)/2 a within-block join
+    would generate — the pre-flight a blocked ER run reads next to
+    :func:`blocking_metrics` (which grades a blocking AFTER the fact;
+    this prices one BEFORE). One hash aggregate; exact longs.
+    """
+    key = phonetic_key(F.col(name_col))
+    return (
+        df.filter(F.col(name_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(key.alias("skey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(name_col)).cast("long").alias("n_names"),
+        )
+        .withColumn(
+            "n_candidate_pairs",
+            (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long"),
+        )
+    )
+
+
 def blocking_metrics(
     df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
 ) -> DataFrame:

@@ -1832,6 +1832,63 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(cust, "c_custkey", "c_name").orderBy("id1", "id2")
 
 
+def parts_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex blocking plan over the part nouns (fuzzy.phonetic_blocks
+    on p_name's last word): per phonetic key the member count, distinct
+    spellings, and the quadratic within-block candidate cost — pricing
+    a phonetic ER blocking before running it. The key is a pure
+    expression chain reproduced verbatim in the oracle."""
+    from hypermap_etl_spark.operators.fuzzy import phonetic_blocks
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+    )
+    return phonetic_blocks(parts, "p_partkey", "noun").orderBy("skey")
+
+
+PHONETIC_BLOCKS_ORACLE = """
+WITH nouns AS (
+  SELECT p_partkey, ws[len(ws)] AS noun
+  FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+),
+kx AS (
+  SELECT p_partkey, noun,
+         upper(regexp_replace(noun, '[^A-Za-z]', '', 'g')) AS u
+  FROM nouns WHERE noun IS NOT NULL
+),
+m AS (
+  SELECT p_partkey, noun, u,
+         translate(substr(u, 1, 1)
+                   || regexp_replace(substr(u, 2), '[HW]', '', 'g'),
+                   'ABCDEFGIJKLMNOPQRSTUVXYZ',
+                   '012301202245501262301202') AS mapped
+  FROM kx
+),
+c AS (
+  SELECT p_partkey, noun, u,
+         regexp_replace(mapped, '(\\d)\\1+', '\\1', 'g') AS collapsed
+  FROM m
+),
+k AS (
+  SELECT p_partkey, noun,
+         CASE WHEN length(u) = 0 THEN '' ELSE
+           rpad(substr(u, 1, 1)
+                || substr(replace(substr(collapsed, 2), '0', ''), 1, 3),
+                4, '0') END AS skey
+  FROM c
+),
+g AS (
+  SELECT skey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT noun) AS BIGINT) AS n_names
+  FROM k GROUP BY 1
+)
+SELECT skey, n_rows, n_names,
+       CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS n_candidate_pairs
+FROM g ORDER BY skey
+"""
+
+
 FUZZY_PAIRS_ORACLE = """
 SELECT a.c_custkey AS id1, b.c_custkey AS id2,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
@@ -5893,6 +5950,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "lineitem_profile": (lineitem_profile, PROFILE_ORACLE),
     "events_lead_lag_ntile": (events_lead_lag_ntile, LEAD_LAG_NTILE_ORACLE),
     "customer_fuzzy_pairs": (customer_fuzzy_pairs, FUZZY_PAIRS_ORACLE),
+    "parts_phonetic_blocks": (parts_phonetic_blocks, PHONETIC_BLOCKS_ORACLE),
     "events_sampled_quantiles": (events_sampled_quantiles, SAMPLED_QUANTILES_ORACLE),
     "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
     "orders_cube": (orders_cube, CUBE_ORACLE),

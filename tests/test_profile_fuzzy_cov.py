@@ -1157,3 +1157,45 @@ def test_chi2_scales_linearly_with_replication(spark, cells, k):
     scaled = chi2_independence(rep, "x", "y").collect()[0]
     assert scaled["dof"] == base["dof"]
     assert abs(scaled["chi2"] - k * base["chi2"]) < k * 5e-6
+
+
+def test_phonetic_key_classic_soundex_values(spark):
+    """The canonical Soundex test vectors: hearing variants collide
+    (Robert/Rupert, Smith/Smyth), the H/W continuation rule holds
+    (Ashcraft), the first letter collapses with a same-code follower
+    (Pfister), zero-padding and empty-input behavior."""
+    from hypermap_etl_spark.operators.fuzzy import phonetic_key
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163",
+        "Smith": "S530", "Smyth": "S530",
+        "Ashcraft": "A261", "Ashcroft": "A261",   # H/W continuation
+        "Tymczak": "T522",
+        "Pfister": "P236",                          # P,F share code 1
+        "Honeyman": "H555",
+        "Lee": "L000",                              # zero padding
+        "Wu": "W000",
+        "123": "",                                  # letters only
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "name string")
+    got = {r["name"]: r["key"] for r in
+           df.select("name", phonetic_key(F.col("name")).alias("key")).collect()}
+    for name, want in cases.items():
+        assert got[name] == want, (name, got[name], want)
+
+
+def test_phonetic_blocks_counts_and_pair_cost(spark):
+    """Blocks group hearing variants; candidate cost is n(n-1)/2;
+    distinct spellings counted per block."""
+    from hypermap_etl_spark.operators.fuzzy import phonetic_blocks
+
+    rows = [(1, "Smith"), (2, "Smyth"), (3, "Smith"), (4, "Robert"),
+            (5, "Rupert"), (6, "Lee")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {r["skey"]: r for r in phonetic_blocks(df, "id", "name").collect()}
+    s = out["S530"]
+    assert s["n_rows"] == 3 and s["n_names"] == 2
+    assert s["n_candidate_pairs"] == 3
+    r = out["R163"]
+    assert r["n_rows"] == 2 and r["n_candidate_pairs"] == 1
+    assert out["L000"]["n_candidate_pairs"] == 0
