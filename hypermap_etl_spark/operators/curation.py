@@ -1090,6 +1090,110 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder: :func:`k_anonymity` bounds
+    group SIZE, :func:`l_diversity` bounds sensitive-value VARIETY,
+    and both miss a group whose sensitive DISTRIBUTION is skewed
+    (99% one disease in a diverse-looking group still discloses).
+    Each quasi group's sensitive distribution must sit within
+    variational distance ``t`` of the global one:
+    d(g) = ½ Σ_s |p_g(s) − p(s)|, over ALL global sensitive values
+    (a value absent from the group contributes its full global mass).
+
+    Numerics — the audit is EXACT: d(g) = D_g / (2·n_g·n) with
+    D_g = Σ_s |n_gs·n − n_s·n_g| a pure integer (decimal(38,0)
+    accumulation), and the at-risk comparison d(g) > t runs as
+    D_g·den > 2·num·n_g·n with t an exact Fraction — no float
+    threshold anywhere; only the reported max distance rounds.
+
+    Scale shape: one (quasi, sensitive) corpus aggregate; the
+    groups × values grid (zero cells INCLUDED — the chi2 lesson)
+    derives from it with the value marginals broadcast (sensitive
+    attributes are low-cardinality by definition); then a groups-
+    sized rollup. NULL sensitive rows are excluded; NULL quasi
+    tuples group together, as in the siblings.
+
+    Output one row: (t, n_rows, n_groups, n_sensitive_values,
+    max_t_distance, groups_at_risk, rows_at_risk, is_t_close).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(t))
+    if not 0 < frac < 1:
+        raise ValueError("t_closeness: t must be in (0, 1)")
+    num, den = frac.numerator, frac.denominator
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gs = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__ngs")
+    )
+    per_g = gs.groupBy(*quasi_cols).agg(
+        F.sum("__ngs").cast("long").alias("__ng")
+    )
+    glob = gs.groupBy(sensitive_col).agg(
+        F.sum("__ngs").cast("long").alias("__ns")
+    )
+    tot = glob.agg(F.sum("__ns").cast("long").alias("__n"))
+    d38 = "decimal(38,0)"
+    grid = (
+        per_g.crossJoin(F.broadcast(glob))
+        .join(gs, [*quasi_cols, sensitive_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *quasi_cols,
+            "__ng",
+            "__n",
+            F.abs(
+                F.coalesce(F.col("__ngs"), F.lit(0)).cast(d38)
+                * F.col("__n").cast(d38)
+                - F.col("__ns").cast(d38) * F.col("__ng").cast(d38)
+            ).alias("__term"),
+        )
+    )
+    per_group = grid.groupBy(*quasi_cols, "__ng", "__n").agg(
+        F.sum("__term").cast(d38).alias("__d")
+    )
+    dist = F.col("__d").cast("double") / (
+        F.lit(2.0) * F.col("__ng").cast("double") * F.col("__n").cast("double")
+    )
+    at_risk = (
+        F.col("__d") * F.lit(den)
+        > F.lit(2 * num) * F.col("__ng").cast(d38) * F.col("__n").cast(d38)
+    )
+    n_vals = glob.agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    return (
+        per_group.agg(
+            F.round(F.lit(float(frac)), 6).alias("t"),
+            F.sum("__ng").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.max(dist), 6).alias("max_t_distance"),
+            F.sum(F.when(at_risk, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_at_risk"),
+            F.sum(F.when(at_risk, F.col("__ng")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_at_risk"),
+            (F.sum(F.when(at_risk, 1).otherwise(0)) == 0).alias("is_t_close"),
+        )
+        .crossJoin(F.broadcast(n_vals))
+        .select(
+            "t",
+            "n_rows",
+            "n_groups",
+            F.col("__v").alias("n_sensitive_values"),
+            "max_t_distance",
+            "groups_at_risk",
+            "rows_at_risk",
+            "is_t_close",
+        )
+    )
+
+
 def keyword_tags(
     docs: DataFrame, keywords: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -4054,6 +4054,81 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
 
 
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (curation.t_closeness, Li et al. 2007) over
+    the same (nation, segment) quasi-identifier and balance-band
+    sensitive attribute as the k-anonymity / l-diversity gates — the
+    distribution-skew disclosure those two miss. The distance and the
+    at-risk comparison are pure integer arithmetic; only the reported
+    max rounds."""
+    from hypermap_etl_spark.operators.curation import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.expr(
+            "least(cast(cast(c_acctbal as decimal(38,2)) * 100 as long)"
+            " div 250000, 3L)"
+        ),
+    )
+    return t_closeness(cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.2)
+
+
+T_CLOSENESS_ORACLE = """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         LEAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT)
+               // 250000, 3) AS bal_band
+  FROM customer
+),
+gs AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS ngs
+  FROM b WHERE bal_band IS NOT NULL GROUP BY 1, 2, 3
+),
+pg AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(ngs) AS BIGINT) AS ng
+  FROM gs GROUP BY 1, 2
+),
+gl AS (SELECT bal_band, CAST(SUM(ngs) AS BIGINT) AS ns FROM gs GROUP BY 1),
+tt AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM gl),
+grid AS (
+  SELECT pg.c_nationkey, pg.c_mktsegment, pg.ng, tt.n,
+         ABS(CAST(COALESCE(gs.ngs, 0) AS DECIMAL(38,0))
+               * CAST(tt.n AS DECIMAL(38,0))
+             - CAST(gl.ns AS DECIMAL(38,0))
+               * CAST(pg.ng AS DECIMAL(38,0))) AS term
+  FROM pg CROSS JOIN gl
+  LEFT JOIN gs ON gs.c_nationkey = pg.c_nationkey
+              AND gs.c_mktsegment = pg.c_mktsegment
+              AND gs.bal_band = gl.bal_band
+  CROSS JOIN tt
+),
+perg AS (
+  SELECT c_nationkey, c_mktsegment, ng, n, SUM(term) AS d
+  FROM grid GROUP BY 1, 2, 3, 4
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM gl),
+s AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         ROUND(MAX(CAST(d AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * CAST(ng AS DOUBLE)
+                      * CAST(n AS DOUBLE))), 6) AS max_t_distance,
+         CAST(SUM(CASE WHEN d * 5 > 2 * CAST(ng AS DECIMAL(38,0))
+                                       * CAST(n AS DECIMAL(38,0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+         CAST(SUM(CASE WHEN d * 5 > 2 * CAST(ng AS DECIMAL(38,0))
+                                       * CAST(n AS DECIMAL(38,0))
+                       THEN ng ELSE 0 END) AS BIGINT) AS rows_at_risk
+  FROM perg
+)
+SELECT ROUND(CAST('0.2' AS DOUBLE), 6) AS t, n_rows, n_groups,
+       v.nv AS n_sensitive_values, max_t_distance, groups_at_risk,
+       rows_at_risk, groups_at_risk = 0 AS is_t_close
+FROM s CROSS JOIN v
+"""
+
+
 L_DIVERSITY_ORACLE = """
 WITH b AS (
   SELECT c_nationkey, c_mktsegment,
@@ -6031,4 +6106,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ks_split": (events_ks_split, KS_SPLIT_ORACLE),
     "orders_mase": (orders_mase, MASE_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
+    "customer_t_closeness": (customer_t_closeness, T_CLOSENESS_ORACLE),
 }

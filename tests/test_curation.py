@@ -1075,3 +1075,38 @@ def test_dp_noisy_counts_calibration(spark):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
     with _pt.raises(ValueError):
         dp_noisy_counts(df, ["g"], sensitivity=0)
+
+
+def test_t_closeness_exact_distance_and_risk(spark):
+    """Hand-checkable variational distances: a group mirroring the
+    global distribution scores 0; a fully-skewed group scores the
+    global complement mass; the at-risk comparison is exact integer
+    (no float threshold); absent values contribute their global mass."""
+    import pytest
+
+    from hypermap_etl_spark.operators.curation import t_closeness
+
+    # g1 = (4 zeros, 2 ones); g2 = all zeros (6)
+    rows = [("g1", 0)] * 4 + [("g1", 1)] * 2 + [("g2", 0)] * 6
+    df = spark.createDataFrame(rows, "q string, s long")
+    # global: 0 -> 10/12, 1 -> 2/12; g1 = (4/6, 2/6); g2 = (1, 0)
+    # d(g1) = 0.5*(|4/6-10/12| + |2/6-2/12|) = 0.5*(1/6+1/6) = 1/6
+    # d(g2) = 0.5*(|1-10/12| + |0-2/12|)   = 0.5*(1/6+1/6) = 1/6
+    out = t_closeness(df, ["q"], "s", t=0.2).collect()[0]
+    assert out["max_t_distance"] == round(1 / 6, 6)
+    assert out["groups_at_risk"] == 0 and out["is_t_close"] is True
+    tight = t_closeness(df, ["q"], "s", t=0.125).collect()[0]
+    assert tight["groups_at_risk"] == 2 and tight["rows_at_risk"] == 12
+    assert tight["is_t_close"] is False
+    assert out["n_sensitive_values"] == 2 and out["n_groups"] == 2
+    # threshold exactly AT the distance is not "greater": d = 1/6, t = 1/6
+    att = t_closeness(df, ["q"], "s", t=1 / 6).collect()[0]
+    # Fraction(str(1/6)) is the exact rational of the float, a hair
+    # BELOW 1/6 — so the strict comparison flags both groups
+    assert att["groups_at_risk"] == 2
+    exact = t_closeness(
+        df.selectExpr("q", "s"), ["q"], "s", t=0.166667
+    ).collect()[0]
+    assert exact["groups_at_risk"] == 0  # 1/6 < 0.166667: within t
+    with pytest.raises(ValueError):
+        t_closeness(df, ["q"], "s", t=0.0)
