@@ -95,6 +95,19 @@ _WINDOW: list[str] = [
     # ---- oldest r3-evidence re-certs fill the tail ----
 ]
 
+# QUEUED FOR THE r8 WINDOW (registered after this round's window froze;
+# all green in tools/drive_gates.py and the local parity mirror): the
+# r7-continuation gates — events_chi2_independence, lineitem_spearman,
+# doc_model_auc, doc_model_pr_sweep, doc_fleiss_models,
+# events_fd_profile, parts_copurchase_kcore, parts_seed_distance,
+# parts_copurchase_lpa, doc_sppmi_matrix, doc_langid_report,
+# lineitem_weighted_p90, doc_negative_sampling, parts_phonetic_blocks,
+# customer_t_closeness — plus doc_hapax_ratio and orders_mase from the
+# r7 build session. lineitem_weighted_median and doc_skipgram_cooc are
+# re-cert candidates (their operators were refactored this session:
+# median now delegates to grouped_weighted_quantile, skipgram's pair
+# stream factored into _skipgram_pairs); both re-driven green.
+
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
 # 50 slots, no duplicates, and every name registered — a typo'd name
