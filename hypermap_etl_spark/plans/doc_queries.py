@@ -4842,6 +4842,79 @@ FROM c CROSS JOIN tot ORDER BY n DESC, word
 """
 
 
+def doc_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of the multimodal Arrow plumbing
+    (multimodal.decode_media): documents become a derived media frame
+    (payload = UTF-8 bytes of text, metadata from doc_id) and the
+    mapInPandas decode runs the documented md5 fake-feature stub —
+    whose bytes DuckDB can reproduce over the same derived BLOB. The
+    gate pins row alignment, metadata extraction, byte counting, and
+    the first four feature components (float32-rounded, then double,
+    then 6 dp) — so the one non-SQL-engine family (Arrow batch UDFs)
+    gets an exact oracle for everything except the codec itself,
+    which stays an honest stub."""
+    from hypermap_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.struct(
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    dec = decode_media(media, strict=False)
+    return dec.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feat", i + 1).cast("double"), 6).alias(
+                f"feat_{i}"
+            )
+            for i in range(4)
+        ],
+    ).orderBy("media_id")
+
+
+def _media_decode_oracle() -> str:
+    feat_cols = ",\n       ".join(
+        "ROUND(CAST(CAST(CAST(CAST('0x' || substr(h, {a}, 2) AS BIGINT)"
+        " AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS feat_{i}".format(
+            a=2 * i + 1, i=i
+        )
+        for i in range(4)
+    )
+    return f"""
+WITH m AS (
+  -- DuckDB's md5() is VARCHAR-only but hashes the UTF-8 bytes, which
+  -- are exactly the derived payload; octet_length(encode()) is the
+  -- byte count of the same payload.
+  SELECT doc_id AS media_id, 'image' AS kind, text,
+         encode(text) AS payload,
+         CAST(doc_id % 640 + 1 AS INT) AS width,
+         CAST(doc_id % 480 + 1 AS INT) AS height
+  FROM documents
+),
+d AS (
+  SELECT media_id, kind, width, height,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM m
+)
+SELECT media_id, kind, width, height, n_bytes,
+       {feat_cols}
+FROM d ORDER BY media_id
+"""
+
+
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomena share per source: the fraction of each source's
     vocabulary seen exactly once (and its share of token mass) — a
@@ -5005,6 +5078,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_sppmi_matrix": (doc_sppmi_matrix, SPPMI_ORACLE),
     "doc_negative_sampling": (doc_negative_sampling, NEG_SAMPLING_ORACLE),
+    "doc_media_decode": (doc_media_decode, _media_decode_oracle()),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),
