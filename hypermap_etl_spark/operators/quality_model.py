@@ -480,6 +480,49 @@ def fleiss_kappa(
     )
 
 
+def brier_score(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brier score — the proper scoring rule completing the
+    calibration corner of the eval family (ECE tells you WHERE the
+    reliability curve gaps; Brier is the single number a model
+    comparison sorts by): mean((score − label)²), lower is better,
+    with the classic decomposition bound 0 ≤ BS ≤ 1.
+
+    Numerics — EXACT: scores quantize to decimal(8,6) (callers round
+    to 6 dp first, the calibration_report convention, so this cast is
+    lossless), the squared residual is decimal(17,12), and the
+    corpus sum accumulates in decimal(38,12) — no float accumulation;
+    one double division by n at the output.
+
+    Output per group: (group_cols, n, brier).
+    """
+    group_cols = group_cols or []
+    s = F.col(score_col).cast("decimal(8,6)")
+    resid = s - F.col(label_col).cast("decimal(8,6)")
+    sq = (resid * resid).cast("decimal(17,12)")
+    g = (
+        scored.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(sq).cast("decimal(38,12)").alias("__ss"),
+        )
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.col("__ss").cast("double") / F.col("n").cast("double"), 6
+        ).alias("brier"),
+    )
+
+
 def multiclass_report(
     df: DataFrame,
     true_col: str,

@@ -4432,6 +4432,57 @@ FROM it CROSS JOIN ct
 """
 
 
+def doc_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the quality-filter serving path
+    (quality_model.brier_score, same scored frame as doc_calibration /
+    doc_model_auc): the proper-scoring-rule single number beside the
+    reliability diagram. Exact decimal residual sum — scores are
+    6-dp-rounded before the lossless decimal(8,6) cast."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import (
+        brier_score,
+        score_linear,
+    )
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    ).select(
+        F.round("score", 6).alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return brier_score(scored)
+
+
+BRIER_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+lab AS (
+  SELECT CAST(score AS DECIMAL(8,6)) AS s,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              AS DECIMAL(8,6)) AS y
+  FROM scores
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST((s - y) * (s - y) AS DECIMAL(17,12)))
+              AS DECIMAL(38,12)) AS ss
+  FROM lab
+)
+SELECT n, ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier FROM a
+"""
+)
+
+
 def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence from the corpus word
     distribution over the top-200 vocabulary
@@ -5074,6 +5125,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_kappa_models": (doc_kappa_models, KAPPA_ORACLE),
     "doc_model_auc": (doc_model_auc, MODEL_AUC_ORACLE),
     "doc_model_pr_sweep": (doc_model_pr_sweep, PR_SWEEP_ORACLE),
+    "doc_model_brier": (doc_model_brier, BRIER_ORACLE),
     "doc_fleiss_models": (doc_fleiss_models, FLEISS_ORACLE),
     "doc_skipgram_cooc": (doc_skipgram_cooc, SKIPGRAM_ORACLE),
     "doc_sppmi_matrix": (doc_sppmi_matrix, SPPMI_ORACLE),

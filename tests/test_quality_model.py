@@ -455,3 +455,26 @@ def test_multiclass_report_asymmetric_classes(spark):
     d = out["d"]
     assert d["support"] == 0 and d["recall"] is None
     assert d["precision"] == 0.0 and d["f1"] is None
+
+
+def test_brier_score_hand_values_and_bounds(spark):
+    """Exact hand values: perfect prediction 0, inverted 1, constant
+    0.5 scores 0.25 regardless of labels; grouped output; exact
+    decimal residuals (0.1 quantizes losslessly at 6 dp)."""
+    from hypermap_etl_spark.operators.quality_model import brier_score
+
+    rows = []
+    for i in range(10):
+        y = 1 if i < 5 else 0
+        rows.append(("perfect", float(y), y))
+        rows.append(("inverted", float(1 - y), y))
+        rows.append(("half", 0.5, y))
+        rows.append(("tenth", 0.1, y))
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = {r["g"]: r for r in brier_score(df, group_cols=["g"]).collect()}
+    assert out["perfect"]["brier"] == 0.0
+    assert out["inverted"]["brier"] == 1.0
+    assert out["half"]["brier"] == 0.25
+    # 0.1 vs labels half 1 half 0: (0.81*5 + 0.01*5)/10 = 0.41 exactly
+    assert out["tenth"]["brier"] == 0.41
+    assert out["perfect"]["n"] == 10
