@@ -385,6 +385,7 @@ def cmd_eval(args) -> None:
     where do we cut. All three run in the one Spark session; each is
     aggregate-shaped, nothing corpus-sized reaches the driver."""
     from hypermap_etl_spark.operators.quality_model import (
+        brier_score,
         calibration_report,
         pr_threshold_sweep,
         roc_auc,
@@ -398,6 +399,13 @@ def cmd_eval(args) -> None:
         "n_pos": 0, "n_neg": 0, "auc": None
     }
     cal = calibration_report(scored, n_bins=args.bins, **kw).collect()
+    br = brier_score(
+        scored.select(
+            F.round(F.col(args.score_col), 6).alias(args.score_col),
+            args.label_col,
+        ),
+        **kw,
+    ).collect()
     sweep = pr_threshold_sweep(scored, n_steps=args.steps, **kw).collect()
     best = max(
         (r for r in sweep if r["f1"] is not None),
@@ -411,6 +419,7 @@ def cmd_eval(args) -> None:
                 "n_neg": auc["n_neg"],
                 "auc": auc["auc"],
                 "ece": round(sum(r["ece_term"] for r in cal), 6),
+                "brier": br[0]["brier"] if br else None,
                 "best_f1": None if best is None else {
                     "threshold": best["threshold"],
                     "precision": best["precision"],

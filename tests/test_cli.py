@@ -862,6 +862,7 @@ def test_cli_eval_card(spark, capsys, tmp_path):
     assert card["best_f1"]["threshold"] == 0.9
     assert card["n_thresholds"] == 10
     assert abs(card["ece"] - 0.1) < 1e-9  # |0.9-1|*0.5 + |0.1-0|*0.5
+    assert card["brier"] == 0.01  # (0.1^2)*10/10 exactly
 
 
 def test_cli_graph_ops(spark, capsys, tmp_path):
