@@ -1378,6 +1378,78 @@ ORDER BY item
 """
 
 
+def events_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming heavy-hitter STORE's read contract
+    (streaming/topk.topk_store_read over a three-pseudo-batch store
+    in the foreachBatch sink's batch_id= layout — the drift-store
+    gate pattern applied to the top-k family): merging the per-batch
+    Misra-Gries summaries must preserve the global guarantee, every
+    item with true count > n/(k+1) present with
+    true − n/(k+1) ≤ est ≤ true (Agarwal et al. 2012), no matter how
+    the stream was chopped. Estimates are layout-dependent, so the
+    gate certifies the derived booleans (the events_heavy_hitters
+    pattern); the oracle computes the true hitters exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from hypermap_etl_spark.operators.sketch import mg_topk
+    from hypermap_etl_spark.streaming.topk import topk_store_read
+
+    k = 16
+    ev = load_table(spark, sf_dir, "events")
+    stream = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("heavy"))
+        .when(F.col("event_id") % 7 == 1, F.lit("warm"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("item"),
+        F.coalesce(F.col("user_id"), F.lit(0)).alias("uid"),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(tempfile.gettempdir(), f"gate_topk_store_{sf_tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        mg_topk(
+            stream.filter(F.col("uid") % 3 == b).select("item"), "item", k=k
+        ).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={b}")
+        )
+    merged = topk_store_read(spark, store, k=k)
+    n = stream.count()
+    thr = n / float(k + 1)
+    exact = stream.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        exact.filter(F.col("true_cnt") > thr)
+        .join(merged, "item", "left")
+        .select(
+            "item",
+            "true_cnt",
+            F.col("est_count").isNotNull().alias("found"),
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") <= F.col("true_cnt"))
+                & (F.col("est_count") >= F.col("true_cnt") - F.lit(thr))
+            ).alias("within_bound"),
+        )
+        .orderBy("item")
+    )
+
+
+TOPK_STORE_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'heavy'
+              WHEN event_id % 7 = 1 THEN 'warm'
+              ELSE CAST(user_id AS VARCHAR) END AS item
+  FROM events
+),
+n AS (SELECT COUNT(*) AS n FROM s),
+e AS (SELECT item, COUNT(*) AS true_cnt FROM s GROUP BY item)
+SELECT item, true_cnt, TRUE AS found, TRUE AS within_bound
+FROM e WHERE true_cnt > (SELECT n FROM n) / CAST(17 AS DOUBLE)
+ORDER BY item
+"""
+
+
 def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift screen (profile.psi_drift, 10 equal-width bins in
     exact integer cents): even-id events play the old snapshot, odd-id
@@ -6009,6 +6081,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_salted_counts": (events_salted_counts, SALTED_ORACLE),
     "events_kmv_users": (events_kmv_users, KMV_ORACLE),
     "events_heavy_hitters": (events_heavy_hitters, HEAVY_HITTERS_ORACLE),
+    "events_topk_store": (events_topk_store, TOPK_STORE_ORACLE),
     "events_salted_join": (events_salted_join, SALTED_JOIN_ORACLE),
     "events_pseudonymized": (events_pseudonymized, PSEUDONYMIZED_ORACLE),
     "events_value_psi": (events_value_psi, PSI_ORACLE),
