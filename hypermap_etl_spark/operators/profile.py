@@ -977,6 +977,71 @@ def fd_confidence(
     return res
 
 
+def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) — the DIRECTIONAL member
+    of the association family (:func:`categorical_mi` gives per-cell
+    magnitude, :func:`chi2_independence` significance and symmetric
+    effect size; U answers "how much of Y's uncertainty does knowing X
+    remove?", and U(Y|X) ≠ U(X|Y)): U = I(X;Y)/H(Y) ∈ [0, 1], 0 iff
+    independent, 1 iff X determines Y. The feature-audit companion to
+    :func:`fd_confidence` (g3 counts surviving ROWS; U measures
+    removed ENTROPY, so it rewards a clean many-to-one mapping even
+    when no single majority dominates).
+
+    Numerics: exact long counts; each MI and entropy term computes in
+    the log-sum form (no int64 products), rounds to 9 dp, and
+    accumulates in decimal(28,9) — cross-cell sums are exact and
+    order-free (the chi2 discipline; the 1e-9 per-term quantization
+    is far below the 6 dp output). Degenerate H(Y) = 0 (single Y
+    value) yields NULL U via try_divide.
+
+    Scale shape: one corpus hash aggregate to the joint contingency;
+    marginals and the total derive from the |X|·|Y| frame. Output one
+    row: (n, mi_nats, h_y, u_y_given_x).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    jx = joint.groupBy(x_col).agg(F.sum("n_xy").cast("long").alias("__n_x"))
+    jy = joint.groupBy(y_col).agg(F.sum("n_xy").cast("long").alias("__n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("long").alias("__n"))
+    mi_term = F.round(
+        (F.col("n_xy").cast("double") / F.col("__n").cast("double"))
+        * (
+            F.log(F.col("n_xy").cast("double"))
+            + F.log(F.col("__n").cast("double"))
+            - F.log(F.col("__n_x").cast("double"))
+            - F.log(F.col("__n_y").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    mi = (
+        joint.join(F.broadcast(jx), x_col)
+        .join(F.broadcast(jy), y_col)
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).alias("__mi"), F.first("__n").alias("n"))
+    )
+    hy_term = F.round(
+        -(F.col("__n_y").cast("double") / F.col("__n").cast("double"))
+        * (
+            F.log(F.col("__n_y").cast("double"))
+            - F.log(F.col("__n").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    hy = jy.crossJoin(F.broadcast(tot)).agg(F.sum(hy_term).alias("__hy"))
+    mid, hyd = F.col("__mi").cast("double"), F.col("__hy").cast("double")
+    return mi.crossJoin(F.broadcast(hy)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mid, 6).alias("mi_nats"),
+        F.round(hyd, 6).alias("h_y"),
+        F.round(F.try_divide(mid, hyd), 6).alias("u_y_given_x"),
+    )
+
+
 def spearman_corr(
     df: DataFrame,
     x_col: str,

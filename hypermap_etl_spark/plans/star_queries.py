@@ -5642,6 +5642,74 @@ FD_PROFILE_ORACLE = (
 )
 
 
+def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(value_band | event_type)
+    (profile.theils_u, same integer-cent bands as the MI/chi2 gates):
+    the directional association — how much of the spend band's
+    entropy the event type removes. Per-term 9-dp rounding into
+    decimal sums keeps the cross-cell accumulation order-free."""
+    from hypermap_etl_spark.operators.profile import theils_u
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    "cast(cast(value as decimal(38,2)) * 100 as long) div 5000"
+                ),
+                F.lit(9).cast("long"),
+            ).alias("value_band"),
+        )
+    )
+    return theils_u(ev, "event_type", "value_band")
+
+
+THEILS_U_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 5000,
+               9) AS value_band
+  FROM events WHERE value IS NOT NULL
+),
+joint AS (
+  SELECT event_type, value_band, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM b GROUP BY 1, 2
+),
+jx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM joint GROUP BY 1),
+jy AS (SELECT value_band, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+mi AS (
+  SELECT SUM(CAST(ROUND(
+           (CAST(j.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (ln(CAST(j.n_xy AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))
+              - ln(CAST(x.n_x AS DOUBLE)) - ln(CAST(y.n_y AS DOUBLE))),
+           9) AS DECIMAL(28,9))) AS mi_d,
+         CAST(MAX(t.n) AS BIGINT) AS n
+  FROM joint j
+  JOIN jx x ON j.event_type = x.event_type
+  JOIN jy y ON j.value_band = y.value_band
+  CROSS JOIN tot t
+),
+hy AS (
+  SELECT SUM(CAST(ROUND(
+           -(CAST(y.n_y AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (ln(CAST(y.n_y AS DOUBLE)) - ln(CAST(t.n AS DOUBLE))),
+           9) AS DECIMAL(28,9))) AS hy_d
+  FROM jy y CROSS JOIN tot t
+)
+SELECT n, ROUND(CAST(mi_d AS DOUBLE), 6) AS mi_nats,
+       ROUND(CAST(hy_d AS DOUBLE), 6) AS h_y,
+       ROUND(CASE WHEN CAST(hy_d AS DOUBLE) <> 0
+                  THEN CAST(mi_d AS DOUBLE) / CAST(hy_d AS DOUBLE) END,
+             6) AS u_y_given_x
+FROM mi CROSS JOIN hy
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA per-day anomaly screen on the per-type daily count series
     (profile.ewma_anomaly): each day vs the exponentially weighted
@@ -6156,6 +6224,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ewma_daily": (events_ewma_daily, EWMA_ORACLE),
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "events_chi2_independence": (events_chi2_independence, CHI2_ORACLE),
+    "events_theils_u": (events_theils_u, THEILS_U_ORACLE),
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
     "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),

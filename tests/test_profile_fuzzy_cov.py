@@ -1199,3 +1199,45 @@ def test_phonetic_blocks_counts_and_pair_cost(spark):
     r = out["R163"]
     assert r["n_rows"] == 2 and r["n_candidate_pairs"] == 1
     assert out["L000"]["n_candidate_pairs"] == 0
+
+
+def test_theils_u_determinism_direction_and_degenerate(spark):
+    """X determining Y gives U(Y|X)=1 even when Y doesn't determine X;
+    independence gives 0; a single-valued Y gives NULL (H(Y)=0); a
+    hand-computed mixed case matches the entropy formula."""
+    import math
+
+    from hypermap_etl_spark.operators.profile import theils_u
+
+    # x in {a,b,c,d} maps onto y in {0,1}: x determines y, not vice versa
+    det = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 5 + [("c", 1)] * 5 + [("d", 1)] * 5,
+        "x string, y long",
+    )
+    r = theils_u(det, "x", "y").collect()[0]
+    assert r["u_y_given_x"] == 1.0
+    rev = theils_u(det.selectExpr("y as x", "x as y"), "x", "y").collect()[0]
+    assert rev["u_y_given_x"] < 1.0  # y does NOT determine x
+
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in (0, 1) for _ in range(10)],
+        "x string, y long",
+    )
+    assert theils_u(ind, "x", "y").collect()[0]["u_y_given_x"] == 0.0
+
+    one = spark.createDataFrame([("a", 1), ("b", 1)], "x string, y long")
+    assert theils_u(one, "x", "y").collect()[0]["u_y_given_x"] is None
+
+    # hand case: contingency [[4,1],[1,4]] (n=10)
+    rows = [("a", 0)] * 4 + [("a", 1)] + [("b", 0)] + [("b", 1)] * 4
+    df = spark.createDataFrame(rows, "x string, y long")
+    got = theils_u(df, "x", "y").collect()[0]
+    n = 10
+    mi = sum(
+        round((c / n) * (math.log(c) + math.log(n)
+                         - math.log(5) - math.log(5)), 9)
+        for c in (4, 1, 1, 4)
+    )
+    hy = sum(round(-(5 / n) * (math.log(5) - math.log(n)), 9) for _ in range(2))
+    assert got["mi_nats"] == round(mi, 6)
+    assert got["u_y_given_x"] == round(mi / hy, 6)
