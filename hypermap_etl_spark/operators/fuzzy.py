@@ -332,6 +332,66 @@ def phonetic_blocks(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third classic blocking beside the deletion neighborhoods
+    (:func:`edit_distance_pairs`) and :func:`phonetic_key`: sort the
+    corpus by a blocking key and emit every pair within ``window``
+    positions, catching near-sorted variants ("Jon Smith"/"John
+    Smith") that share no exact block. Candidates are O(n·window),
+    never quadratic, and independent of key-value skew (a mega-block
+    under exact blocking is just more sliding positions here).
+
+    Scale shape: the total order comes from :func:`~hypermap_etl_spark.
+    operators.scale.global_rank` (range shuffle + partitioned windows,
+    no single-task sort) over (key, id); the within-window pairing is
+    the DELTA-JOIN (skipgram_cooc's shape) — each row fans out to
+    window−1 shifted rank keys and ONE equi-join on rank recovers
+    exactly the pairs at distance < window. No window function over
+    corpus rows, no self cross-join.
+
+    Output per pair: (id1, id2, key1, key2, rank_gap), id1 < id2 by
+    rank order. NULL keys/ids are excluded.
+    """
+    from hypermap_etl_spark.operators.scale import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(key_col).alias("__key"))
+    ranked = global_rank(
+        base, [F.col("__key").asc(), F.col("__id").asc()], rank_col="__r"
+    )
+    from hypermap_etl_spark.util import tracked_persist
+
+    ranked = tracked_persist(ranked)
+    shifted = ranked.select(
+        F.col("__id").alias("id2"),
+        F.col("__key").alias("key2"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("__d"),
+        F.col("__r").alias("__r2"),
+    ).select("id2", "key2", (F.col("__r2") - F.col("__d")).alias("__r"),
+             "__d")
+    return (
+        ranked.join(shifted, "__r")
+        .select(
+            F.col("__id").alias("id1"),
+            "id2",
+            F.col("__key").alias("key1"),
+            "key2",
+            F.col("__d").cast("long").alias("rank_gap"),
+        )
+    )
+
+
 def blocking_metrics(
     df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
 ) -> DataFrame:

@@ -1961,6 +1961,34 @@ FROM g ORDER BY skey
 """
 
 
+def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking candidates
+    (fuzzy.sorted_neighborhood_pairs, window 3) over the customer
+    names: every pair within two positions of the global name order —
+    the skew-proof third blocking beside the deletion-neighborhood
+    and phonetic gates. The total order is the distributed
+    global_rank; the pairing is the delta-join, O(n·window) rows."""
+    from hypermap_etl_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3).orderBy(
+        "id1", "id2"
+    )
+
+
+SORTED_NEIGHBORHOOD_ORACLE = """
+WITH r AS (
+  SELECT c_custkey AS id, c_name AS key,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+)
+SELECT a.id AS id1, b.id AS id2, a.key AS key1, b.key AS key2,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
+ORDER BY id1, id2
+"""
+
+
 FUZZY_PAIRS_ORACLE = """
 SELECT a.c_custkey AS id1, b.c_custkey AS id2,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
@@ -6167,6 +6195,8 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_lead_lag_ntile": (events_lead_lag_ntile, LEAD_LAG_NTILE_ORACLE),
     "customer_fuzzy_pairs": (customer_fuzzy_pairs, FUZZY_PAIRS_ORACLE),
     "parts_phonetic_blocks": (parts_phonetic_blocks, PHONETIC_BLOCKS_ORACLE),
+    "customer_sorted_neighborhood": (customer_sorted_neighborhood,
+                                     SORTED_NEIGHBORHOOD_ORACLE),
     "events_sampled_quantiles": (events_sampled_quantiles, SAMPLED_QUANTILES_ORACLE),
     "events_moving_avg": (events_moving_avg, MOVING_AVG_ORACLE),
     "orders_cube": (orders_cube, CUBE_ORACLE),

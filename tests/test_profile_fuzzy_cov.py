@@ -1241,3 +1241,27 @@ def test_theils_u_determinism_direction_and_degenerate(spark):
     hy = sum(round(-(5 / n) * (math.log(5) - math.log(n)), 9) for _ in range(2))
     assert got["mi_nats"] == round(mi, 6)
     assert got["u_y_given_x"] == round(mi / hy, 6)
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    """Pairs are exactly the within-window rank neighbors: a sorted
+    run of names yields consecutive + skip-one pairs at window 3;
+    near-variants with no shared exact block still pair; NULLs drop;
+    window < 2 raises."""
+    import pytest
+
+    from hypermap_etl_spark.operators.fuzzy import sorted_neighborhood_pairs
+    from hypermap_etl_spark.util import release_persisted
+
+    rows = [(1, "john smith"), (2, "jon smith"), (3, "aaron a"),
+            (4, "zed zz"), (5, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r["id1"], r["id2"]): r["rank_gap"] for r in
+           sorted_neighborhood_pairs(df, "id", "name", window=3).collect()}
+    # name order: aaron a(3), john smith(1), jon smith(2), zed zz(4)
+    assert out == {(3, 1): 1, (3, 2): 2, (1, 2): 1, (1, 4): 2, (2, 4): 1}
+    # the Jon/John variants pair despite sharing no exact key
+    assert (1, 2) in out
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "name", window=1)
+    release_persisted()
