@@ -5670,6 +5670,67 @@ FD_PROFILE_ORACLE = (
 )
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: per (user, day), the first four
+    event types in (ts, event_id) order joined into a path string,
+    then the 20 most common paths — the product-analytics view
+    beside the funnel (which fixes the steps; this DISCOVERS them).
+    Ordered-sequence aggregation done deterministically: array_sort
+    over (ts, event_id, type) structs gives a total order, so the
+    path strings are engine-identical (the oracle's string_agg
+    ORDER BY mirrors it). One (user, day) aggregate, then a
+    path-cardinality count and TakeOrdered top-20."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    e = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("t"),
+    )
+    paths = (
+        ev.select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), e.alias("e")
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("e")), 1, 4),
+                    lambda x: x["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(20)
+    )
+
+
+TOP_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+         event_type,
+         row_number() OVER (
+           PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+           ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+p AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM e WHERE rn <= 4 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+FROM p GROUP BY 1
+ORDER BY n_journeys DESC, path ASC LIMIT 20
+"""
+
+
 def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil's uncertainty coefficient U(value_band | event_type)
     (profile.theils_u, same integer-cent bands as the MI/chi2 gates):
@@ -6255,6 +6316,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "events_chi2_independence": (events_chi2_independence, CHI2_ORACLE),
     "events_theils_u": (events_theils_u, THEILS_U_ORACLE),
+    "events_top_paths": (events_top_paths, TOP_PATHS_ORACLE),
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
     "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),
     "parts_copurchase_triangles": (parts_copurchase_triangles, TRIANGLES_ORACLE),
