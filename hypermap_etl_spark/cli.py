@@ -1196,6 +1196,49 @@ def cmd_graph(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_assoc(args) -> None:
+    """Column-association screen over any parquet: chi2 (+ Cramér's V),
+    theils-u (directional), spearman (rank correlation), fd
+    (approximate functional dependency), or mi (top mutual-information
+    cells) between --x and --y. One JSON line — the EDA loop's
+    which-columns-relate primitive, all aggregate-shaped."""
+    from hypermap_etl_spark.operators import profile
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    for c in (args.x, args.y):
+        if c not in df.columns:
+            raise SystemExit(f"column not in table: {c}")
+    if args.op == "chi2":
+        row = profile.chi2_independence(df, args.x, args.y).collect()[0]
+        out = row.asDict()
+    elif args.op == "theils-u":
+        row = profile.theils_u(df, args.x, args.y).collect()[0]
+        out = row.asDict()
+    elif args.op == "spearman":
+        rows = profile.spearman_corr(df, args.x, args.y).collect()
+        out = rows[0].asDict() if rows else {"n": 0, "rho": None}
+    elif args.op == "fd":
+        rows = profile.fd_confidence(df, [(args.x, args.y)]).collect()
+        out = rows[0].asDict()
+    else:  # mi
+        cells = (
+            profile.categorical_mi(df, args.x, args.y)
+            .orderBy(F.desc(F.abs(F.col("mi_term"))),
+                     F.asc(args.x), F.asc(args.y))
+            .limit(args.top)
+            .collect()
+        )
+        out = {
+            "op": "mi",
+            "top_cells": [r.asDict() for r in cells],
+            "mi_nats": round(sum(r["mi_term"] for r in cells), 6),
+        }
+    out["op"] = args.op
+    out["x"], out["y"] = args.x, args.y
+    print(json.dumps(out, default=str))
+
+
 def cmd_skew(args) -> None:
     """Shuffle-key skew pre-flight (operators/scale.key_skew_report):
     heaviest keys, per-key salt factors, distribution entropy — run
@@ -1805,6 +1848,15 @@ def main(argv=None) -> None:
                    help="name-distance radius (deletion-neighborhood tau)")
     p.add_argument("--golden", default=None,
                    help="write survivorship-fused golden records here")
+    p = sub.add_parser("assoc", help="column-association screen "
+                       "(chi2/theils-u/spearman/fd/mi) over a parquet")
+    p.add_argument("--table", required=True)
+    p.add_argument("--op", required=True,
+                   choices=["chi2", "theils-u", "spearman", "fd", "mi"])
+    p.add_argument("--x", required=True)
+    p.add_argument("--y", required=True)
+    p.add_argument("--top", type=int, default=10,
+                   help="mi: number of top cells to print")
     p = sub.add_parser("graph", help="graph analytics over an edge-list "
                        "parquet (pagerank/triangles/kcore/lpa/seed-distance)")
     p.add_argument("--edges", required=True)
@@ -1900,6 +1952,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
+        "assoc": cmd_assoc,
         "graph": cmd_graph,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,
         "hist": cmd_hist, "drift": cmd_drift, "cdc": cmd_cdc,

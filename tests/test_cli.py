@@ -903,3 +903,32 @@ def test_cli_graph_ops(spark, capsys, tmp_path):
     main(["graph", "--edges", ep, "--op", "pagerank", "--iters", "5"])
     pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pr["n_nodes"] == 6 and pr["max_rank"] > 0
+
+
+def test_cli_assoc_ops(spark, capsys, tmp_path):
+    """The assoc command answers which-columns-relate for every op in
+    one JSON line each."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    rows = [(i, "a" if i < 50 else "b", i % 2, float(i), float(i * i))
+            for i in range(100)]
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(rows, "id long, g string, y long, u double, v double") \
+        .write.parquet(p)
+
+    def run(*a):
+        main(["assoc", "--table", p, *a])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    chi2 = run("--op", "chi2", "--x", "g", "--y", "y")
+    assert chi2["dof"] == 1 and chi2["chi2"] == 0.0  # g independent of parity
+    sp = run("--op", "spearman", "--x", "u", "--y", "v")
+    assert sp["rho"] == 1.0  # monotone
+    fd = run("--op", "fd", "--x", "id", "--y", "g")
+    assert fd["confidence"] == 1.0  # id determines g
+    tu = run("--op", "theils-u", "--x", "g", "--y", "y")
+    assert tu["u_y_given_x"] == 0.0
+    mi = run("--op", "mi", "--x", "g", "--y", "y", "--top", "4")
+    assert len(mi["top_cells"]) == 4 and abs(mi["mi_nats"]) < 1e-6
