@@ -100,6 +100,49 @@ def main() -> None:
         documents.count()
         return chunks
 
+    def hm_incremental_bench(spark, sf_dir):
+        """The reference's core loop at bench scale: a 5%-of-blocks
+        batch upserts into a standing 64-bucket entries table —
+        recompute only touched keys, rewrite only touched buckets.
+        The base table builds once on the first call (a real lake
+        amortizes it); best-of-2 reports the steady-state upsert."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators.materialize import (
+            incremental_entries_update,
+            materialize_entries,
+            with_entry_bucket,
+        )
+        from hypermap_etl_spark.plans.hm_derive import hm_events_df
+
+        buckets = 64
+        hm = hm_events_df(spark, sf_dir).cache()
+        cut = hm.agg(
+            F.expr("percentile_approx(blockNumber, 0.95)").alias("c")
+        ).collect()[0]["c"]
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        entries_path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_entries_{sf_tag}"
+        )
+        if f"bench_hm_entries_{sf_tag}" not in _BUILT_STORES:
+            shutil.rmtree(entries_path, ignore_errors=True)
+            base = with_entry_bucket(
+                materialize_entries(hm.filter(F.col("blockNumber") <= cut)),
+                buckets,
+            )
+            base.write.mode("overwrite").partitionBy(
+                "entry_bucket"
+            ).parquet(entries_path)
+            _BUILT_STORES.add(f"bench_hm_entries_{sf_tag}")
+        batch = hm.filter(F.col("blockNumber") > cut)
+        counts = incremental_entries_update(
+            spark, entries_path, hm, batch, entry_buckets=buckets
+        )
+        return spark.createDataFrame([counts])
+
     def ivf_build_bench(spark, sf_dir):
         """Full IVF index (re)build over 95% of the embeddings — the
         rebuild cost that ivf_append must beat. Static overwrite, so
@@ -196,6 +239,13 @@ def main() -> None:
         "ivf_build": ivf_build_bench,
         "ivf_append": ivf_append_bench,
         "ivf_serve": ivf_serve_bench,
+        # r7 continuation: the reference's CORE LOOP at bench scale —
+        # incremental entries maintenance: a 5%-of-blocks batch lands
+        # on a standing bucketed entries table; work is O(touched
+        # entries' events), never a full refold. First call builds the
+        # 95% base table (a real lake amortizes it); best-of-2 reports
+        # the steady-state batch upsert.
+        "hm_incremental": hm_incremental_bench,
         # r7 continuation: the iterative-loop graph family gets
         # wall-time numbers — multi-source BFS (fixpoint early exit)
         # and deterministic LPA (fixed 4 rounds), both the

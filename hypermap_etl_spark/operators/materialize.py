@@ -267,8 +267,17 @@ def incremental_entries_update(
     """
     from hypermap_etl_spark.operators.merge import merge_into_parquet
 
+    from hypermap_etl_spark.util import release_local_checkpoint
+
     keys = touched_namehashes(new_events)
-    relevant = events_referencing(events_table, keys)
+    # Materialize the restricted log ONCE: the M1-M9 fold references
+    # its input from every per-type aggregate and join, and an
+    # uncached events_referencing lineage would re-run its key join
+    # per reference (measured ~4x the fold's own cost). The frame is
+    # O(touched entries' events) — checkpoint-sized by construction.
+    relevant = events_referencing(events_table, keys).localCheckpoint(
+        eager=True
+    )
     # the restricted replay is complete for TOUCHED keys but also emits
     # partial rows for untouched entries that merely co-occur (e.g. the
     # parent of a touched child, seen through only that child's mints) —
@@ -278,10 +287,26 @@ def incremental_entries_update(
     )
     if entry_buckets:
         updated = with_entry_bucket(updated, entry_buckets)
-        return merge_into_parquet(
-            spark, entries_path, updated, ["namehash"], partition_col="entry_bucket"
-        )
-    return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+    # Materialize ONCE before the merge: merge_into_parquet runs
+    # several actions over the batch frame (dedupe, touched-partition
+    # collect, matched/upserted counts, the swap write) and each would
+    # otherwise re-execute the whole restricted fold. The frame is
+    # touched-keys-sized, so the eager checkpoint is tiny; both
+    # checkpoints release as soon as the merge lands.
+    updated = updated.localCheckpoint(eager=True)
+    try:
+        if entry_buckets:
+            return merge_into_parquet(
+                spark,
+                entries_path,
+                updated,
+                ["namehash"],
+                partition_col="entry_bucket",
+            )
+        return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+    finally:
+        release_local_checkpoint(updated)
+        release_local_checkpoint(relevant)
 
 
 def quarantine_bad_events(events: DataFrame) -> DataFrame:
