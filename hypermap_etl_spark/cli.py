@@ -40,13 +40,19 @@ def cmd_extract(args) -> None:
     spark = _spark(args)
     raw = read_raw_logs(spark, args.raw, from_block=args.from_block,
                         to_block=args.to_block, fmt=args.raw_format)
-    decoded = decode_raw_logs(raw)
-    events = decoded.filter(F.col("eventType").isNotNull())
-    skipped = decoded.filter(F.col("eventType").isNull()).count()
-    if args.blocks:
-        events = enrich_timestamps(events, spark.read.parquet(args.blocks))
-    counts = {r["eventType"]: r["count"] for r in events.groupBy("eventType").count().collect()}
-    res = merge_into_parquet(spark, args.table, events, ["event_id"])
+    # persist: the skipped count, per-type counts, and the MERGE's
+    # internal actions would each re-run the decode otherwise
+    decoded = decode_raw_logs(raw).persist()
+    try:
+        events = decoded.filter(F.col("eventType").isNotNull())
+        skipped = decoded.filter(F.col("eventType").isNull()).count()
+        if args.blocks:
+            events = enrich_timestamps(events, spark.read.parquet(args.blocks))
+        counts = {r["eventType"]: r["count"]
+                  for r in events.groupBy("eventType").count().collect()}
+        res = merge_into_parquet(spark, args.table, events, ["event_id"])
+    finally:
+        decoded.unpersist()
     print(json.dumps({"counts": counts, "skipped": skipped, **res}))
 
 

@@ -84,10 +84,17 @@ def start_ingest_stream(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        events = with_block_bucket(parse_raw_logs(batch_df))
-        res = merge_into_parquet(
-            spark, table_path, events, ["event_id"], partition_col="block_bucket"
-        )
+        # persist: the MERGE runs several actions (dedupe, touched-
+        # partition collect, match counts, swap write) and would
+        # otherwise re-decode the batch for each one
+        events = with_block_bucket(parse_raw_logs(batch_df)).persist()
+        try:
+            res = merge_into_parquet(
+                spark, table_path, events, ["event_id"],
+                partition_col="block_bucket",
+            )
+        finally:
+            events.unpersist()
         if on_progress is not None:
             on_progress(
                 {
