@@ -1221,6 +1221,9 @@ def cmd_assoc(args) -> None:
     elif args.op == "theils-u":
         row = profile.theils_u(df, args.x, args.y).collect()[0]
         out = row.asDict()
+    elif args.op == "kendall":
+        row = profile.kendall_tau_b(df, args.x, args.y).collect()[0]
+        out = row.asDict()
     elif args.op == "spearman":
         rows = profile.spearman_corr(df, args.x, args.y).collect()
         out = rows[0].asDict() if rows else {"n": 0, "rho": None}
@@ -1858,7 +1861,8 @@ def main(argv=None) -> None:
                        "(chi2/theils-u/spearman/fd/mi) over a parquet")
     p.add_argument("--table", required=True)
     p.add_argument("--op", required=True,
-                   choices=["chi2", "theils-u", "spearman", "fd", "mi"])
+                   choices=["chi2", "theils-u", "spearman", "kendall",
+                            "fd", "mi"])
     p.add_argument("--x", required=True)
     p.add_argument("--y", required=True)
     p.add_argument("--top", type=int, default=10,

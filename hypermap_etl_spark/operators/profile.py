@@ -977,6 +977,99 @@ def fd_confidence(
     return res
 
 
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's τ-b between two ORDINAL columns (bands, grades,
+    ratings) — the concordance view of monotone association beside
+    :func:`spearman_corr` (Spearman correlates ranks; τ counts
+    agreeing pair ORDERINGS, more robust on heavily tied scales):
+    τ_b = (C − D) / sqrt((n₀ − t_x)(n₀ − t_y)) with C/D the
+    concordant/discordant pair counts and the tie corrections.
+
+    Scale shape: the corpus collapses to ONE (x, y) contingency;
+    C and D come from the CELLS² self-join (cells are bounded by the
+    band product — the point of the ordinal restriction; corpus rows
+    never pair). With real-valued inputs, band them first (the MI /
+    chi2 gate convention) — τ-b on the banded scale is the banded
+    statistic, stated, not an approximation of the unbanded one.
+
+    Numerics — exact: every pair count is an integer accumulated in
+    decimal(38,0) (n_ij·n_kl products in decimal(19,0)²); τ's tail is
+    one fixed-order double expression over exact aggregates; NULL τ
+    when either margin is all-ties (zero variance) via try_divide.
+
+    Output one row: (n, n_pairs, concordant, discordant, tau_b).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    from hypermap_etl_spark.util import tracked_persist
+
+    cells = tracked_persist(cells)
+    d19 = "decimal(19,0)"
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__n").cast(d19).alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__n").cast(d19).alias("__nb"),
+    )
+    pairs = a.crossJoin(b)
+    conc = (
+        (F.col("__xa") < F.col("__xb")) & (F.col("__ya") < F.col("__yb"))
+    )
+    disc = (
+        (F.col("__xa") < F.col("__xb")) & (F.col("__ya") > F.col("__yb"))
+    )
+    cd = pairs.agg(
+        F.sum(F.when(conc, F.col("__na") * F.col("__nb")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("__c"),
+        F.sum(F.when(disc, F.col("__na") * F.col("__nb")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("__d"),
+    )
+    mx = cells.groupBy("__x").agg(F.sum("__n").cast("long").alias("__m"))
+    my = cells.groupBy("__y").agg(F.sum("__n").cast("long").alias("__m"))
+
+    def _tie_sum(m: DataFrame) -> DataFrame:
+        return m.agg(
+            F.sum(
+                F.col("__m").cast(d19) * (F.col("__m") - 1).cast(d19)
+            )
+            .cast("decimal(38,0)")
+            .alias("__t2"),
+            F.sum("__m").cast("long").alias("__n"),
+        )
+
+    tx, ty = _tie_sum(mx), _tie_sum(my)
+    n = F.col("__n").cast("double")
+    n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
+    txd = F.col("__tx2").cast("double") / F.lit(2.0)
+    tyd = F.col("__ty2").cast("double") / F.lit(2.0)
+    c, d = F.col("__c").cast("double"), F.col("__d").cast("double")
+    tau = F.try_divide(c - d, F.sqrt(n0 - txd) * F.sqrt(n0 - tyd))
+    return (
+        cd.crossJoin(F.broadcast(tx.select(F.col("__t2").alias("__tx2"),
+                                           "__n")))
+        .crossJoin(F.broadcast(ty.select(F.col("__t2").alias("__ty2"))))
+        .select(
+            F.col("__n").alias("n"),
+            (
+                F.col("__n").cast(d19)
+                * (F.col("__n") - 1).cast(d19)
+                / F.lit(2)
+            ).cast("long").alias("n_pairs"),
+            F.col("__c").cast("long").alias("concordant"),
+            F.col("__d").cast("long").alias("discordant"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
 def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Theil's uncertainty coefficient U(Y|X) — the DIRECTIONAL member
     of the association family (:func:`categorical_mi` gives per-cell

@@ -5731,6 +5731,69 @@ ORDER BY n_journeys DESC, path ASC LIMIT 20
 """
 
 
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the quantity band and the price band
+    (profile.kendall_tau_b): concordance on a heavily tied ordinal
+    scale, beside Spearman's rank view. Bands are exact integer
+    division; C/D come from the cells² join (bounded by the band
+    product), every pair count exact decimal."""
+    from hypermap_etl_spark.operators.profile import kendall_tau_b
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(l_quantity as long) div 10").alias("qband"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(38,2)) * 100 as long)"
+            " div 2000000"
+        ).alias("pband"),
+    )
+    return kendall_tau_b(li, "qband", "pband")
+
+
+KENDALL_ORACLE = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) // 10 AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+           // 2000000 AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.x < c.x AND a.y < c.y
+                  THEN CAST(a.n AS DECIMAL(19,0))
+                       * CAST(c.n AS DECIMAL(19,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS cc,
+    CAST(SUM(CASE WHEN a.x < c.x AND a.y > c.y
+                  THEN CAST(a.n AS DECIMAL(19,0))
+                       * CAST(c.n AS DECIMAL(19,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS dd
+  FROM cells a CROSS JOIN cells c
+),
+mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY 1),
+my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY 1),
+tx AS (SELECT CAST(SUM(CAST(m AS DECIMAL(19,0))
+                       * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+              AS t2, CAST(SUM(m) AS BIGINT) AS n FROM mx),
+ty AS (SELECT CAST(SUM(CAST(m AS DECIMAL(19,0))
+                       * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+              AS t2 FROM my)
+SELECT tx.n,
+       CAST(CAST(tx.n AS DECIMAL(19,0)) * CAST(tx.n - 1 AS DECIMAL(19,0))
+            / 2 AS BIGINT) AS n_pairs,
+       CAST(cd.cc AS BIGINT) AS concordant,
+       CAST(cd.dd AS BIGINT) AS discordant,
+       ROUND((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE))
+             / (sqrt(CAST(tx.n AS DOUBLE) * (CAST(tx.n AS DOUBLE) - 1.0)
+                     / 2.0 - CAST(tx.t2 AS DOUBLE) / 2.0)
+                * sqrt(CAST(tx.n AS DOUBLE) * (CAST(tx.n AS DOUBLE) - 1.0)
+                       / 2.0 - CAST(ty.t2 AS DOUBLE) / 2.0)), 6) AS tau_b
+FROM cd CROSS JOIN tx CROSS JOIN ty
+"""
+
+
 def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil's uncertainty coefficient U(value_band | event_type)
     (profile.theils_u, same integer-cent bands as the MI/chi2 gates):
@@ -6316,6 +6379,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_value_mi": (events_type_value_mi, MI_ORACLE),
     "events_chi2_independence": (events_chi2_independence, CHI2_ORACLE),
     "events_theils_u": (events_theils_u, THEILS_U_ORACLE),
+    "lineitem_kendall_tau": (lineitem_kendall_tau, KENDALL_ORACLE),
     "events_top_paths": (events_top_paths, TOP_PATHS_ORACLE),
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_ORACLE),
     "events_fd_profile": (events_fd_profile, FD_PROFILE_ORACLE),

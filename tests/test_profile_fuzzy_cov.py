@@ -1265,3 +1265,41 @@ def test_sorted_neighborhood_window_semantics(spark):
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "name", window=1)
     release_persisted()
+
+
+def test_kendall_tau_b_reference_and_degenerate(spark):
+    """tau-b against a brute-force pair count on a tied sample;
+    perfect monotone bands -> 1; reversed -> -1; constant margin ->
+    NULL."""
+    from hypermap_etl_spark.operators.profile import kendall_tau_b
+    from hypermap_etl_spark.util import release_persisted
+
+    pts = [(0, 0), (0, 1), (1, 1), (1, 1), (2, 0), (2, 2), (3, 2)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    n = len(pts)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            if xa == xb:
+                tx += 1
+            if ya == yb:
+                ty += 1
+            if (xa - xb) * (ya - yb) > 0:
+                c += 1
+            elif (xa - xb) * (ya - yb) < 0:
+                d += 1
+    n0 = n * (n - 1) / 2
+    want = (c - d) / (((n0 - tx) ** 0.5) * ((n0 - ty) ** 0.5))
+    assert got["concordant"] == c and got["discordant"] == d
+    assert got["n_pairs"] == n0
+    assert abs(got["tau_b"] - round(want, 6)) < 1e-9
+
+    mono = spark.createDataFrame([(i, i * 2) for i in range(9)], "x long, y long")
+    assert kendall_tau_b(mono, "x", "y").collect()[0]["tau_b"] == 1.0
+    anti = spark.createDataFrame([(i, -i) for i in range(9)], "x long, y long")
+    assert kendall_tau_b(anti, "x", "y").collect()[0]["tau_b"] == -1.0
+    const = spark.createDataFrame([(i, 7) for i in range(9)], "x long, y long")
+    assert kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
+    release_persisted()
