@@ -3920,6 +3920,65 @@ FROM contrib GROUP BY day ORDER BY day
 """
 
 
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the classic engagement ratio,
+    composed from two sliding_distinct_actives passes (window 1 and
+    window 28) joined on the report day. Both passes are the
+    contribution-explosion construction, so no per-day corpus rescans;
+    days without activity have no DAU row and drop from the ratio."""
+    from hypermap_etl_spark.operators.asof import sliding_distinct_actives
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    dau = sliding_distinct_actives(ev, "ts", "user_id", window_days=1).select(
+        "day", F.col("n_active").alias("dau")
+    )
+    mau = sliding_distinct_actives(ev, "ts", "user_id", window_days=28).select(
+        "day", F.col("n_active").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.try_divide(
+                    F.col("dau").cast("double"), F.col("mau").cast("double")
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+STICKINESS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+span AS (SELECT MAX(d) AS last_day FROM pairs),
+dau AS (
+  SELECT CAST(d AS VARCHAR) AS day, CAST(COUNT(DISTINCT k) AS BIGINT) AS dau
+  FROM pairs GROUP BY 1
+),
+mcontrib AS (
+  SELECT k, CAST(d + CAST(i AS INT) AS DATE) AS day
+  FROM pairs CROSS JOIN span
+  CROSS JOIN range(28) t(i)
+  WHERE d + CAST(i AS INT) <= last_day
+),
+mau AS (
+  SELECT CAST(day AS VARCHAR) AS day,
+         CAST(COUNT(DISTINCT k) AS BIGINT) AS mau
+  FROM mcontrib GROUP BY 1
+)
+SELECT day, dau, mau,
+       ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau USING (day) ORDER BY day
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6368,6 +6427,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_winsorized": (events_winsorized, WINSORIZE_ORACLE),
     "events_benford": (events_benford, _benford_oracle()),
     "events_wau": (events_wau, WAU_ORACLE),
+    "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
     "events_user_gini": (events_user_gini, USER_GINI_ORACLE),
