@@ -977,6 +977,150 @@ def fd_confidence(
     return res
 
 
+def fano_factor(
+    df: DataFrame,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of a daily count series —
+    the dispersion screen beside :func:`bot_regularity_screen` (which
+    reads gap CV; this reads COUNT burstiness): a Poisson-like steady
+    process sits near 1, bursty organic traffic far above, and a
+    metronomic bot well below. F = Var(c)/E[c] over the per-(group,
+    day) counts, population variance.
+
+    Numerics — exact: daily counts are integers, so Σc and Σc²
+    accumulate in decimal(19,0)-product/(38,0)-sum arithmetic and
+    F = (n·Σc² − (Σc)²)/(n·Σc) is one fixed-order double expression
+    over exact aggregates (the common 1/n cancels). NULL F when the
+    mean is zero (try_divide). ``count_col`` sums pre-aggregated
+    partials (the drift-store path) instead of counting rows.
+
+    Scale shape: one corpus hash aggregate to (group, day) counts,
+    one groups-sized rollup. Days with zero events contribute nothing
+    — the statistic is over OBSERVED days, stated (mirroring the
+    autocorr/theil_sen convention for this table).
+    """
+    group_cols = group_cols or []
+    c = (
+        F.sum(count_col).cast("long")
+        if count_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    daily = df.groupBy(*group_cols, day_col).agg(c.alias("__c"))
+    d19 = "decimal(19,0)"
+    g = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("__c").cast(d19)).cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__c").cast(d19) * F.col("__c").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    fano = F.try_divide(n * ss - s * s, n * s)
+    return g.select(
+        *group_cols,
+        "n_days",
+        F.col("__s").cast("long").alias("total"),
+        F.round(fano, 6).alias("fano"),
+    )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov entropy rate of per-key state sequences —
+    behavioral predictability (Song et al. 2010's limit-of-
+    predictability ingredient): order each key's events, form
+    (prev → next) transitions, and compute H(next | prev) =
+    −Σ p(prev, next)·ln p(next | prev). Zero means the next state is
+    determined by the current one (a scripted client); ln(#states)
+    means memoryless uniform hopping. Output also normalizes by the
+    unconditional state entropy H(next) — the ratio 1 − H_rate/H(next)
+    is the share of next-state uncertainty the current state removes
+    (the sequence-grained Theil's U).
+
+    Scale shape: the lag runs in a window PARTITIONED by the key
+    (bounded by per-key activity, never a global sort); transitions
+    collapse to ONE (prev, next) aggregate and everything after is
+    states²-sized. Per-term 9-dp rounding into decimal sums keeps the
+    cross-cell accumulation order-free (the theils_u discipline).
+
+    Output one row: (n_transitions, n_states, h_rate, h_next,
+    predictability).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(state_col).isNotNull()
+    )
+    trans = (
+        base.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev"), F.col(state_col).alias("__next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    from hypermap_etl_spark.util import tracked_persist
+
+    trans = tracked_persist(trans)
+    prev_m = trans.groupBy("__prev").agg(
+        F.sum("__n").cast("long").alias("__np")
+    )
+    next_m = trans.groupBy("__next").agg(
+        F.sum("__n").cast("long").alias("__nn")
+    )
+    tot = trans.agg(
+        F.sum("__n").cast("long").alias("__t"),
+        F.count_distinct(F.col("__next")).cast("long").alias("__states"),
+    )
+    rate_term = F.round(
+        -(F.col("__n").cast("double") / F.col("__t").cast("double"))
+        * (
+            F.log(F.col("__n").cast("double"))
+            - F.log(F.col("__np").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    h_rate = (
+        trans.join(F.broadcast(prev_m), "__prev")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(rate_term).alias("__hr"),
+            F.first("__t").alias("n_transitions"),
+            F.first("__states").alias("n_states"),
+        )
+    )
+    next_term = F.round(
+        -(F.col("__nn").cast("double") / F.col("__t").cast("double"))
+        * (
+            F.log(F.col("__nn").cast("double"))
+            - F.log(F.col("__t").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    h_next = next_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(next_term).alias("__hn")
+    )
+    hr = F.col("__hr").cast("double")
+    hn = F.col("__hn").cast("double")
+    return h_rate.crossJoin(F.broadcast(h_next)).select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        F.round(hr, 6).alias("h_rate"),
+        F.round(hn, 6).alias("h_next"),
+        F.round(F.lit(1.0) - F.try_divide(hr, hn), 6).alias("predictability"),
+    )
+
+
 def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Kendall's τ-b between two ORDINAL columns (bands, grades,
     ratings) — the concordance view of monotone association beside

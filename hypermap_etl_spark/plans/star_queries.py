@@ -3979,6 +3979,105 @@ FROM dau JOIN mau USING (day) ORDER BY day
 """
 
 
+def events_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor of each type's daily counts (profile.fano_factor):
+    count-dispersion burstiness — the complement of the gap-CV bot
+    screen. Exact decimal count moments, one fixed-order double
+    tail."""
+    from hypermap_etl_spark.operators.profile import fano_factor
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return fano_factor(ev, "day", ["event_type"]).orderBy("event_type")
+
+
+FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, CAST(s AS BIGINT) AS total,
+       ROUND(CASE WHEN CAST(n_days AS DOUBLE) * CAST(s AS DOUBLE) <> 0
+                  THEN (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) * CAST(s AS DOUBLE)) END,
+             6) AS fano
+FROM g ORDER BY event_type
+"""
+
+
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of per-user event-type
+    sequences (profile.markov_entropy_rate): how predictable the next
+    action is given the current one — the sequence-grained
+    predictability screen beside the per-day burstiness and gap
+    views. Transitions order by (ts, event_id) inside a user-
+    partitioned window; entropy terms round to 9 dp into decimal
+    sums."""
+    from hypermap_etl_spark.operators.profile import markov_entropy_rate
+
+    # NULL order keys would sort differently across engines (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST) — exclude them explicitly
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    return markov_entropy_rate(
+        ev, "user_id", "event_type", ["ts", "event_id"]
+    )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+trans AS (
+  SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+pm AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS np FROM trans GROUP BY 1),
+nm AS (SELECT next, CAST(SUM(n) AS BIGINT) AS nn FROM trans GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(DISTINCT next) AS BIGINT) AS states
+        FROM trans),
+hr AS (
+  SELECT SUM(CAST(ROUND(
+           -(CAST(tr.n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           * (ln(CAST(tr.n AS DOUBLE)) - ln(CAST(pm.np AS DOUBLE))),
+           9) AS DECIMAL(28,9))) AS hrd,
+         CAST(MAX(tot.t) AS BIGINT) AS n_transitions,
+         CAST(MAX(tot.states) AS BIGINT) AS n_states
+  FROM trans tr JOIN pm ON tr.prev = pm.prev CROSS JOIN tot
+),
+hn AS (
+  SELECT SUM(CAST(ROUND(
+           -(CAST(nm.nn AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           * (ln(CAST(nm.nn AS DOUBLE)) - ln(CAST(tot.t AS DOUBLE))),
+           9) AS DECIMAL(28,9))) AS hnd
+  FROM nm CROSS JOIN tot
+)
+SELECT n_transitions, n_states,
+       ROUND(CAST(hrd AS DOUBLE), 6) AS h_rate,
+       ROUND(CAST(hnd AS DOUBLE), 6) AS h_next,
+       ROUND(1.0 - CASE WHEN CAST(hnd AS DOUBLE) <> 0
+                        THEN CAST(hrd AS DOUBLE) / CAST(hnd AS DOUBLE) END,
+             6) AS predictability
+FROM hr CROSS JOIN hn
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -5778,6 +5877,7 @@ WITH e AS (
            PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
            ORDER BY ts, event_id) AS rn
   FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
 ),
 p AS (
   SELECT user_id, day,
@@ -6428,6 +6528,8 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_benford": (events_benford, _benford_oracle()),
     "events_wau": (events_wau, WAU_ORACLE),
     "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
+    "events_fano": (events_fano, FANO_ORACLE),
+    "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
     "events_user_gini": (events_user_gini, USER_GINI_ORACLE),

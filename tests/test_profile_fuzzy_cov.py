@@ -1303,3 +1303,48 @@ def test_kendall_tau_b_reference_and_degenerate(spark):
     const = spark.createDataFrame([(i, 7) for i in range(9)], "x long, y long")
     assert kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
     release_persisted()
+
+
+def test_fano_factor_landmarks(spark):
+    """Constant daily counts -> 0; a known dispersed series matches
+    the hand formula; count_col sums partials."""
+    from hypermap_etl_spark.operators.profile import fano_factor
+
+    rows = []
+    for d in range(5):
+        rows += [("flat", f"d{d}")] * 4          # constant 4/day
+    for d, c in enumerate([1, 1, 1, 1, 16]):     # bursty
+        rows += [("burst", f"d{d}")] * c
+    df = spark.createDataFrame(rows, "g string, day string")
+    out = {r["g"]: r for r in fano_factor(df, "day", ["g"]).collect()}
+    assert out["flat"]["fano"] == 0.0 and out["flat"]["n_days"] == 5
+    cs = [1, 1, 1, 1, 16]
+    n, s, ss = 5, sum(cs), sum(c * c for c in cs)
+    want = (n * ss - s * s) / (n * s)
+    assert out["burst"]["fano"] == round(want, 6)
+    assert out["burst"]["total"] == 20
+
+
+def test_markov_entropy_rate_landmarks(spark):
+    """A deterministic cycle has h_rate 0 and predictability 1; an
+    i.i.d. alternating-free sequence has h_rate == h_next
+    (predictability ~0); transitions never cross keys."""
+    from hypermap_etl_spark.operators.profile import markov_entropy_rate
+    from hypermap_etl_spark.util import release_persisted
+
+    rows = []
+    # user 1: deterministic a->b->a->b...
+    for i in range(40):
+        rows.append((1, i, "ab"[i % 2]))
+    df = spark.createDataFrame(rows, "user_id long, seq long, state string")
+    r = markov_entropy_rate(df, "user_id", "state", ["seq"]).collect()[0]
+    assert r["h_rate"] == 0.0 and r["predictability"] == 1.0
+    assert r["n_transitions"] == 39 and r["n_states"] == 2
+
+    # two users, key boundary respected: each user constant state, so
+    # zero cross-state transitions even though states differ by user
+    rows2 = [(1, i, "x") for i in range(5)] + [(2, i, "y") for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "user_id long, seq long, state string")
+    r2 = markov_entropy_rate(df2, "user_id", "state", ["seq"]).collect()[0]
+    assert r2["h_rate"] == 0.0 and r2["n_transitions"] == 8
+    release_persisted()
