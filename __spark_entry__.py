@@ -96,17 +96,25 @@ _WINDOW: list[str] = [
 ]
 
 # QUEUED FOR THE r8 WINDOW (registered after this round's window froze;
-# all green in tools/drive_gates.py and the local parity mirror): the
-# r7-continuation gates — events_chi2_independence, lineitem_spearman,
-# doc_model_auc, doc_model_pr_sweep, doc_fleiss_models,
-# events_fd_profile, parts_copurchase_kcore, parts_seed_distance,
-# parts_copurchase_lpa, doc_sppmi_matrix, doc_langid_report,
-# lineitem_weighted_p90, doc_negative_sampling, parts_phonetic_blocks,
-# customer_t_closeness — plus doc_hapax_ratio and orders_mase from the
-# r7 build session. lineitem_weighted_median and doc_skipgram_cooc are
-# re-cert candidates (their operators were refactored this session:
-# median now delegates to grouped_weighted_quantile, skipgram's pair
-# stream factored into _skipgram_pairs); both re-driven green.
+# every one green in tools/drive_gates.py AND the local parity mirror):
+# the r7-continuation gates — the model-eval family (doc_model_auc,
+# doc_model_pr_sweep, doc_model_brier, doc_fleiss_models,
+# doc_langid_report), the association family (events_chi2_independence,
+# events_theils_u, lineitem_spearman, lineitem_kendall_tau,
+# events_fd_profile), the graph loops (parts_copurchase_kcore,
+# parts_seed_distance, parts_copurchase_lpa), ER blocking
+# (parts_phonetic_blocks, customer_sorted_neighborhood), the SGNS trio
+# tail (doc_sppmi_matrix, doc_negative_sampling), privacy
+# (customer_t_closeness), store/plumbing certifications
+# (events_topk_store, doc_media_decode), product analytics
+# (events_top_paths, events_stickiness, events_fano,
+# events_markov_entropy), lineitem_weighted_p90 — plus doc_hapax_ratio
+# and orders_mase from the r7 build session. Re-cert candidates from
+# this session's refactors, all re-driven green against unchanged
+# oracles: lineitem_weighted_median (delegates to
+# grouped_weighted_quantile), doc_skipgram_cooc (_skipgram_pairs
+# factored out), hm_entries' incremental sibling (checkpointed
+# restricted log — unit-certified path, test_incremental 4/4).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
