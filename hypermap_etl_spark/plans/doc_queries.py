@@ -2129,6 +2129,57 @@ FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve, certified by its two layout-invariant
+    laws: recall@5 is MONOTONE non-decreasing in the probe count
+    (probing more lists can only add candidates), and probing ALL
+    lists degrades to exhaustive search — recall exactly 1.0 (the
+    IVF-flat analog of the ivfpq full-probe+refine exactness unit).
+    The recall VALUES between the endpoints are index-geometry facts,
+    not contracts, so the gate emits the derived booleans (the
+    emb_lsh_recall pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    exact = similarity.brute_force_topk(emb, k=5, query_filter=qf)
+    probes = [1, 2, 4, 8]
+    recalls = []
+    n_q = None
+    for p in probes:
+        r = similarity.topk_recall(
+            exact,
+            similarity.ivf_topk(
+                emb, k=5, n_centroids=8, n_probe=p, query_filter=qf
+            ),
+            5,
+        ).collect()[0]
+        recalls.append(r["recall"])
+        n_q = r["n_queries"]
+    rows = []
+    for i, p in enumerate(probes):
+        rows.append(
+            (
+                p,
+                int(n_q),
+                bool(i == 0 or recalls[i] >= recalls[i - 1]),
+                bool(p != 8 or recalls[i] == 1.0),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "n_probe int, n_queries long, monotone_ok boolean, "
+        "full_probe_exact boolean"
+    )
+
+
+IVF_PROBE_SWEEP_ORACLE = """
+SELECT CAST(p AS INT) AS n_probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 20 = 0) AS n_queries,
+       TRUE AS monotone_ok, TRUE AS full_probe_exact
+FROM (SELECT unnest([1, 2, 4, 8]) AS p)
+ORDER BY n_probe
+"""
+
+
 def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the product-quantized two-stage ANN
     (similarity.pq_topk: m=8 subspace codebooks × 16 codes — a
@@ -5110,6 +5161,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_lsh_recall": (emb_lsh_recall, LSH_RECALL_ORACLE),
     "emb_ivf_recall": (emb_ivf_recall, IVF_RECALL_ORACLE),
+    "emb_ivf_probe_sweep": (emb_ivf_probe_sweep, IVF_PROBE_SWEEP_ORACLE),
     "emb_quantized_recall": (emb_quantized_recall, QUANTIZED_RECALL_ORACLE),
     "emb_pca_variance": (emb_pca_variance, PCA_VARIANCE_ORACLE),
     "emb_kmeans_quality": (emb_kmeans_quality, KMEANS_QUALITY_ORACLE),
