@@ -977,6 +977,82 @@ def fd_confidence(
     return res
 
 
+def basket_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules (the 2-itemset level of Apriori,
+    Agrawal & Srikant 1994) over baskets: for every unordered item
+    pair co-occurring in ≥ ``min_support`` baskets, the support,
+    both directed confidences, and the lift — "users who do A in a
+    session also do B", the market-basket screen the co-purchase
+    graph family (triangles/k-core) looks at structurally and this
+    reads probabilistically.
+
+    Construction: baskets collapse to DISTINCT (basket, item) rows
+    (presence, not multiplicity — the standard basket semantics);
+    pair counts come from the within-basket self-join a < b (bounded
+    by basket sizes, the same shape as the co-purchase edge builder);
+    item marginals and the basket total broadcast back. Every metric
+    is a ratio of exact longs, rounded at the output; lift uses the
+    log-free n_ab·N/(n_a·n_b) form in doubles (fixed order).
+
+    Output per pair: (item_a, item_b, n_baskets_pair, support,
+    conf_a_to_b, conf_b_to_a, lift). support = n_pair / N baskets.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    b_keys = [F.col(c) for c in basket_cols]
+    items = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in basket_cols))
+        )
+        .select(*basket_cols, F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    from hypermap_etl_spark.util import tracked_persist
+
+    items = tracked_persist(items)
+    n_baskets = items.select(*basket_cols).distinct().count()
+    marg = items.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    a = items.select(*basket_cols, F.col("__i").alias("item_a"))
+    b = items.select(*basket_cols, F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, basket_cols)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets_pair"))
+        .filter(F.col("n_baskets_pair") >= min_support)
+    )
+    out = (
+        pairs.join(
+            marg.select(F.col("__i").alias("item_a"), F.col("__m").alias("__ma")),
+            "item_a",
+        )
+        .join(
+            marg.select(F.col("__i").alias("item_b"), F.col("__m").alias("__mb")),
+            "item_b",
+        )
+    )
+    np_, ma, mb = (
+        F.col("n_baskets_pair").cast("double"),
+        F.col("__ma").cast("double"),
+        F.col("__mb").cast("double"),
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_baskets_pair",
+        F.round(np_ / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(np_ / ma, 6).alias("conf_a_to_b"),
+        F.round(np_ / mb, 6).alias("conf_b_to_a"),
+        F.round(np_ * F.lit(float(n_baskets)) / (ma * mb), 6).alias("lift"),
+    )
+
+
 def fano_factor(
     df: DataFrame,
     day_col: str,

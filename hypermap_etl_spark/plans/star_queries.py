@@ -4078,6 +4078,57 @@ FROM hr CROSS JOIN hn
 """
 
 
+def events_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over (user, day) baskets of event
+    types (profile.basket_rules): support, both confidences, and lift
+    per co-occurring pair — the probabilistic market-basket view next
+    to the structural co-purchase graph gates. Presence semantics
+    (distinct basket-item), exact-long ratios."""
+    from hypermap_etl_spark.operators.profile import basket_rules
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    return basket_rules(ev, ["user_id", "day"], "event_type", min_support=5).orderBy(
+        "item_a", "item_b"
+    )
+
+
+BASKET_RULES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+       (SELECT DISTINCT user_id, day FROM items)),
+marg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS np
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT item_a, item_b, np AS n_baskets_pair,
+       ROUND(CAST(np AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS support,
+       ROUND(CAST(np AS DOUBLE) / CAST(ma.m AS DOUBLE), 6) AS conf_a_to_b,
+       ROUND(CAST(np AS DOUBLE) / CAST(mb.m AS DOUBLE), 6) AS conf_b_to_a,
+       ROUND(CAST(np AS DOUBLE) * CAST(nb.n AS DOUBLE)
+             / (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN marg ma ON pairs.item_a = ma.event_type
+JOIN marg mb ON pairs.item_b = mb.event_type
+CROSS JOIN nb
+ORDER BY item_a, item_b
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6529,6 +6580,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_wau": (events_wau, WAU_ORACLE),
     "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
     "events_fano": (events_fano, FANO_ORACLE),
+    "events_basket_rules": (events_basket_rules, BASKET_RULES_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

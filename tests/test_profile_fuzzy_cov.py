@@ -1348,3 +1348,37 @@ def test_markov_entropy_rate_landmarks(spark):
     r2 = markov_entropy_rate(df2, "user_id", "state", ["seq"]).collect()[0]
     assert r2["h_rate"] == 0.0 and r2["n_transitions"] == 8
     release_persisted()
+
+
+def test_basket_rules_hand_counts(spark):
+    """Support/confidence/lift against hand counts; presence
+    semantics (duplicates in a basket count once); min_support
+    filters; a negatively-associated pair lifts below 1."""
+    from hypermap_etl_spark.operators.profile import basket_rules
+    from hypermap_etl_spark.util import release_persisted
+
+    baskets = {
+        1: ["a", "b", "b"],   # dup b counts once
+        2: ["a", "b"],
+        3: ["a", "c"],
+        4: ["b"],
+        5: ["a", "b", "c"],
+    }
+    rows = [(k, i) for k, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "bid long, item string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           basket_rules(df, ["bid"], "item", min_support=2).collect()}
+    ab = out[("a", "b")]
+    # n(a)=4, n(b)=4, n(ab)=3, N=5
+    assert ab["n_baskets_pair"] == 3
+    assert ab["support"] == 0.6
+    assert ab["conf_a_to_b"] == 0.75 and ab["conf_b_to_a"] == 0.75
+    assert ab["lift"] == round(3 * 5 / (4 * 4), 6)
+    ac = out[("a", "c")]
+    assert ac["n_baskets_pair"] == 2 and ac["lift"] == round(2 * 5 / (4 * 2), 6)
+    assert ("b", "c") not in out  # support 1 < min_support 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        basket_rules(df, ["bid"], "item", min_support=0)
+    release_persisted()
