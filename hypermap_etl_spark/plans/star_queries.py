@@ -4129,6 +4129,89 @@ ORDER BY item_a, item_b
 """
 
 
+def events_sequence_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional order probabilities per event-type pair: within
+    each (user, day) basket where BOTH types occur, which came first
+    (first occurrence = min (ts, event_id), a total order, so the
+    winner is engine-exact)? The pairwise-order complement of the
+    fixed-step funnel and the full path prefixes — 'do carts precede
+    purchases, and how often?'. One first-occurrence aggregate, a
+    within-basket pair join bounded by basket sizes, exact-long
+    ratios."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    firsts = (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.struct(F.col("ts"), F.col("event_id")).alias("occ"),
+        )
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.min("occ").alias("first_occ"))
+    )
+    a = firsts.select(
+        "user_id", "day",
+        F.col("event_type").alias("item_a"), F.col("first_occ").alias("fa"),
+    )
+    b = firsts.select(
+        "user_id", "day",
+        F.col("event_type").alias("item_b"), F.col("first_occ").alias("fb"),
+    )
+    pairs = a.join(b, ["user_id", "day"]).filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.sum(F.when(F.col("fa") < F.col("fb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a_first"),
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a_first",
+            (F.col("n_both") - F.col("n_a_first")).alias("n_b_first"),
+            F.round(
+                F.col("n_a_first").cast("double") / F.col("n_both").cast("double"),
+                6,
+            ).alias("p_a_first"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+SEQUENCE_ORDER_ORACLE = """
+WITH f AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+         MIN(ROW(ts, event_id)) AS occ
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN a.occ < b.occ THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a_first,
+       CAST(SUM(CASE WHEN a.occ < b.occ THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_b_first,
+       ROUND(CAST(SUM(CASE WHEN a.occ < b.occ THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS p_a_first
+FROM f a JOIN f b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6581,6 +6664,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
     "events_fano": (events_fano, FANO_ORACLE),
     "events_basket_rules": (events_basket_rules, BASKET_RULES_ORACLE),
+    "events_sequence_order": (events_sequence_order, SEQUENCE_ORDER_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
