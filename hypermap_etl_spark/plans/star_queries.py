@@ -4212,6 +4212,92 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal profile per event type: the peak hour (ties to the
+    earliest hour — a total order), its share, and the hour-of-day
+    entropy in nats (24 cells, terms rounded to 9 dp into decimal
+    sums — order-free). Humans are diurnal (entropy well below
+    ln 24≈3.18, clear peaks); uniform-clock bots aren't — the
+    time-of-day face of the bot-screen family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "H").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("hour")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("__t")
+    )
+    ent_term = F.round(
+        -(F.col("n").cast("double") / F.col("__t").cast("double"))
+        * (
+            F.log(F.col("n").cast("double"))
+            - F.log(F.col("__t").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    enriched = hourly.join(F.broadcast(tot), "event_type")
+    ent = enriched.groupBy("event_type").agg(
+        F.sum(ent_term).alias("__h"), F.first("__t").alias("n_events")
+    )
+    peak = (
+        hourly.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.col("hour").alias("peak_hour"),
+                F.col("n").alias("__pn"))
+    )
+    return (
+        ent.join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "peak_hour",
+            F.round(
+                F.col("__pn").cast("double") / F.col("n_events").cast("double"),
+                6,
+            ).alias("peak_share"),
+            F.round(F.col("__h").cast("double"), 6).alias("hour_entropy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HOUR_PROFILE_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(strftime(ts, '%H') AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tt FROM h GROUP BY 1),
+e AS (
+  SELECT h.event_type,
+         SUM(CAST(ROUND(
+           -(CAST(h.n AS DOUBLE) / CAST(t.tt AS DOUBLE))
+           * (ln(CAST(h.n AS DOUBLE)) - ln(CAST(t.tt AS DOUBLE))),
+           9) AS DECIMAL(28,9))) AS hd,
+         CAST(MAX(t.tt) AS BIGINT) AS n_events
+  FROM h JOIN t ON h.event_type = t.event_type GROUP BY 1
+),
+p AS (
+  SELECT event_type, hour AS peak_hour, n AS pn FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, hour ASC) AS rn
+    FROM h
+  ) WHERE rn = 1
+)
+SELECT e.event_type, e.n_events, p.peak_hour,
+       ROUND(CAST(p.pn AS DOUBLE) / CAST(e.n_events AS DOUBLE), 6)
+         AS peak_share,
+       ROUND(CAST(e.hd AS DOUBLE), 6) AS hour_entropy
+FROM e JOIN p ON e.event_type = p.event_type
+ORDER BY e.event_type
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6665,6 +6751,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_fano": (events_fano, FANO_ORACLE),
     "events_basket_rules": (events_basket_rules, BASKET_RULES_ORACLE),
     "events_sequence_order": (events_sequence_order, SEQUENCE_ORDER_ORACLE),
+    "events_hour_profile": (events_hour_profile, HOUR_PROFILE_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),
