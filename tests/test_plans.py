@@ -749,3 +749,35 @@ def test_spearman_and_auc_windows_partitioned(spark):
         assert m.group(1).strip(), "unpartitioned Window in spearman_corr"
     # rank windows feed from hash aggregates, not raw corpus sorts
     assert "HashAggregate" in plan
+
+
+def test_continuation_gates_avoid_corpus_cartesians(spark):
+    """The continuation wave's join shapes stay bounded: SPPMI's pair
+    stream is the delta-join (one equi hash join, no cartesian);
+    basket/sequence pair mining joins on basket keys; the
+    negative-sampling vocabulary cap compiles to TakeOrdered. The
+    only cartesian allowed anywhere here is Kendall's cells² join,
+    which is bounded by the band product and certified separately."""
+    from hypermap_etl_spark.plans.doc_queries import (
+        doc_negative_sampling,
+        doc_sppmi_matrix,
+    )
+    from hypermap_etl_spark.plans.star_queries import (
+        events_basket_rules,
+        events_sequence_order,
+    )
+
+    p = _plan(doc_sppmi_matrix(spark, SF_SMOKE))
+    # the only nested-loop is the broadcast ONE-ROW total (the A4
+    # percentage-of-total pattern); the pair stream and the marginal
+    # joins must all be hash/merge equi-joins
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    p = _plan(doc_negative_sampling(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    for fn in (events_basket_rules, events_sequence_order):
+        p = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in p, fn.__name__
+    from hypermap_etl_spark.util import release_persisted
+
+    release_persisted()
