@@ -1053,6 +1053,121 @@ def basket_rules(
     )
 
 
+def did_estimate(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    period_col: str,
+    salt: str = "ab",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Difference-in-differences on the deterministic hash split —
+    the parallel-trends member of the experimentation family beside
+    :func:`welch_ab_test` (post-only comparison) and the drift
+    screens: effect = (B̄_post − B̄_pre) − (Ā_post − Ā_pre), removing
+    any shared time shock the A/B launch coincided with. ``period_col``
+    is a caller-supplied 0/1 pre/post flag (a fixed cutoff expression,
+    so both engines bucket identically).
+
+    Numerics: the four (arm, period) cells aggregate exact
+    decimal(12,2) sums and sums of squares (the welch_ab_test
+    discipline); the estimate and its pooled-variance z are one
+    fixed-order double tail, SE² = Σ s²_i/n_i over the four cells.
+    Output one row: (n_pre_a, n_post_a, n_pre_b, n_post_b, did,
+    z_stat, significant); NULL z when any cell has < 2 rows.
+    """
+    v = F.col(value_col).cast("decimal(12,2)")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit(":"),
+                        F.col(unit_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    base = df.filter(
+        v.isNotNull()
+        & F.col(unit_col).isNotNull()
+        & F.col(period_col).isNotNull()
+    ).select(
+        arm.alias("__arm"),
+        F.col(period_col).cast("int").alias("__post"),
+        v.alias("__v"),
+    )
+    cells = base.groupBy("__arm", "__post").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    # pivot the 4 cells into one row via conditional aggregation
+    def cell(a: int, p: int, col: str):
+        return F.sum(
+            F.when(
+                (F.col("__arm") == a) & (F.col("__post") == p), F.col(col)
+            )
+        )
+
+    g = cells.agg(
+        *[
+            cell(a, p, "__n").cast("long").alias(f"__n{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell(a, p, "__s").alias(f"__s{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell(a, p, "__ss").alias(f"__q{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def mean(a: int, p: int):
+        return F.col(f"__s{a}{p}").cast("double") / F.col(
+            f"__n{a}{p}"
+        ).cast("double")
+
+    def var_over_n(a: int, p: int):
+        n = F.col(f"__n{a}{p}").cast("double")
+        s = F.col(f"__s{a}{p}").cast("double")
+        q = F.col(f"__q{a}{p}").cast("double")
+        # sample variance / n, guarded below by the n >= 2 filter
+        return (q - s * s / n) / (n - F.lit(1.0)) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(0, 0) + var_over_n(0, 1)
+        + var_over_n(1, 0) + var_over_n(1, 1)
+    )
+    ok = None
+    for a in (0, 1):
+        for p in (0, 1):
+            c = F.col(f"__n{a}{p}") >= 2
+            ok = c if ok is None else (ok & c)
+    z = F.when(ok, F.try_divide(did, se))
+    return g.select(
+        F.col("__n00").alias("n_pre_a"),
+        F.col("__n01").alias("n_post_a"),
+        F.col("__n10").alias("n_pre_b"),
+        F.col("__n11").alias("n_post_b"),
+        F.round(did, 6).alias("did"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias("significant"),
+    )
+
+
 def fano_factor(
     df: DataFrame,
     day_col: str,

@@ -4298,6 +4298,84 @@ ORDER BY e.event_type
 """
 
 
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the A/A hash split with a fixed
+    mid-month cutoff (profile.did_estimate): the parallel-trends
+    estimator — on an A/A split the true effect is 0, so this doubles
+    as the pipeline's DiD sanity check. Four exact-decimal cells, one
+    double tail."""
+    from hypermap_etl_spark.operators.profile import did_estimate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "post",
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int"),
+    )
+    return did_estimate(ev, "value", "user_id", "post")
+
+
+DID_ORACLE = """
+WITH base AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+g AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN s END) AS s00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN s END) AS s01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN s END) AS s10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s11,
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN ss END) AS q00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN ss END) AS q01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN ss END) AS q10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN ss END) AS q11
+  FROM c
+),
+f AS (
+  SELECT n00, n01, n10, n11,
+    (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+     - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+    - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+       - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did,
+    sqrt(
+      (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE)
+         / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0)
+        / CAST(n00 AS DOUBLE)
+      + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE)
+         / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0)
+        / CAST(n01 AS DOUBLE)
+      + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE)
+         / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0)
+        / CAST(n10 AS DOUBLE)
+      + (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE)
+         / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0)
+        / CAST(n11 AS DOUBLE)
+    ) AS se
+  FROM g
+)
+SELECT n00 AS n_pre_a, n01 AS n_post_a, n10 AS n_pre_b, n11 AS n_post_b,
+       ROUND(did, 6) AS did,
+       ROUND(CASE WHEN n00 >= 2 AND n01 >= 2 AND n10 >= 2 AND n11 >= 2
+                   AND se <> 0 THEN did / se END, 6) AS z_stat,
+       COALESCE(abs(CASE WHEN n00 >= 2 AND n01 >= 2 AND n10 >= 2
+                          AND n11 >= 2 AND se <> 0 THEN did / se END)
+                > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM f
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6752,6 +6830,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_basket_rules": (events_basket_rules, BASKET_RULES_ORACLE),
     "events_sequence_order": (events_sequence_order, SEQUENCE_ORDER_ORACLE),
     "events_hour_profile": (events_hour_profile, HOUR_PROFILE_ORACLE),
+    "events_did": (events_did, DID_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

@@ -1382,3 +1382,41 @@ def test_basket_rules_hand_counts(spark):
     with pytest.raises(ValueError):
         basket_rules(df, ["bid"], "item", min_support=0)
     release_persisted()
+
+
+def test_did_removes_shared_shock_and_detects_effect(spark):
+    """A shared post-period shock alone yields DiD 0 (not
+    significant); a planted treatment-arm-only lift is recovered
+    exactly and flags; undersized cells yield NULL z."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import did_estimate
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for uid in range(400):
+        a = arm_of(uid)
+        noise = (uid % 7) * 0.25
+        # pre: both arms baseline; post: shared +10 shock, arm1 +5 more
+        rows.append((uid, 0, 20.0 + noise))
+        rows.append((uid, 1, 30.0 + noise + (5.0 if a == 1 else 0.0)))
+    df = spark.createDataFrame(rows, "user_id long, post int, value double")
+    r = did_estimate(df, "value", "user_id", "post").collect()[0]
+    assert r["did"] == 5.0 and r["significant"] is True
+    assert r["n_pre_a"] + r["n_pre_b"] == 400
+
+    # shock only: no arm-specific effect -> DiD exactly 0
+    rows0 = [(uid, p, 20.0 + 10.0 * p + (uid % 7) * 0.25)
+             for uid in range(400) for p in (0, 1)]
+    df0 = spark.createDataFrame(rows0, "user_id long, post int, value double")
+    r0 = did_estimate(df0, "value", "user_id", "post").collect()[0]
+    assert r0["did"] == 0.0 and r0["significant"] is False
+
+    tiny = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (3, 0, 1.0), (3, 1, 2.0)],
+        "user_id long, post int, value double",
+    )
+    rt = did_estimate(tiny, "value", "user_id", "post").collect()[0]
+    assert rt["z_stat"] is None and rt["significant"] is False
