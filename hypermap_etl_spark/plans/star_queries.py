@@ -4376,6 +4376,121 @@ FROM f
 """
 
 
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/A effect (profile.cuped_adjust): per-user
+    pre-period spend (before the mid-month cutoff, zero-filled) as
+    the covariate for post-period spend — on the A/A split the true
+    effect is 0 and the adjustment must keep it there while the
+    variance-reduction ratio reports the covariate's strength. Unit
+    aggregates are exact decimal(18,2) sums; all moments decimal."""
+    from hypermap_etl_spark.operators.profile import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    v = F.col("value").cast("decimal(12,2)")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, v)), F.lit(0))
+        .cast("decimal(18,2)")
+        .alias("pre"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, v)), F.lit(0))
+        .cast("decimal(18,2)")
+        .alias("post"),
+    )
+    return cuped_adjust(per_user, "pre", "post", "user_id")
+
+
+CUPED_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN CAST(value AS DECIMAL(12,2)) END), 0)
+              AS DECIMAL(18,2)) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN CAST(value AS DECIMAL(12,2)) END), 0)
+              AS DECIMAL(18,2)) AS y
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+b AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm, x, y
+  FROM pu
+),
+pa AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy
+  FROM b GROUP BY 1
+),
+g AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) END) AS sxa,
+    MAX(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) END) AS sxb,
+    MAX(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) END) AS sya,
+    MAX(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) END) AS syb,
+    MAX(CASE WHEN arm = 0 THEN CAST(sxy AS DOUBLE) END) AS sxya,
+    MAX(CASE WHEN arm = 1 THEN CAST(sxy AS DOUBLE) END) AS sxyb,
+    MAX(CASE WHEN arm = 0 THEN CAST(sxx AS DOUBLE) END) AS sxxa,
+    MAX(CASE WHEN arm = 1 THEN CAST(sxx AS DOUBLE) END) AS sxxb,
+    MAX(CASE WHEN arm = 0 THEN CAST(syy AS DOUBLE) END) AS syya,
+    MAX(CASE WHEN arm = 1 THEN CAST(syy AS DOUBLE) END) AS syyb
+  FROM pa
+),
+f AS (
+  SELECT n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+    sxa + sxb AS sx, sya + syb AS sy, sxya + sxyb AS sxy,
+    sxxa + sxxb AS sxx, syya + syyb AS syy,
+    sxa, sxb, sya, syb, sxya, sxyb, sxxa, sxxb, syya, syyb
+  FROM g
+),
+t AS (
+  SELECT *,
+    CASE WHEN sxx - sx * sx / n <> 0
+         THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS theta
+  FROM f
+),
+e AS (
+  SELECT *,
+    syb / nb - sya / na AS effect_raw,
+    (syb / nb - theta * (sxb / nb - sx / n))
+      - (sya / na - theta * (sxa / na - sx / n)) AS effect_adj,
+    ((syya - sya * sya / na) - 2.0 * theta * (sxya - sxa * sya / na)
+      + theta * theta * (sxxa - sxa * sxa / na)) / (na - 1.0) AS va,
+    ((syyb - syb * syb / nb) - 2.0 * theta * (sxyb - sxb * syb / nb)
+      + theta * theta * (sxxb - sxb * sxb / nb)) / (nb - 1.0) AS vb,
+    ((syya + syyb) - sy * sy / n) / (n - 1.0) AS vy_pool,
+    ((syya + syyb) - 2.0 * theta * sxy + theta * theta * sxx
+      - (sy - theta * sx) * (sy - theta * sx) / n) / (n - 1.0) AS vadj_pool
+  FROM t
+),
+z AS (
+  SELECT *,
+    CASE WHEN n_a >= 2 AND n_b >= 2 AND sqrt(va / na + vb / nb) <> 0
+         THEN effect_adj / sqrt(va / na + vb / nb) END AS zz
+  FROM e
+)
+SELECT n_a, n_b, ROUND(theta, 6) AS theta,
+       ROUND(effect_raw, 6) AS effect_raw,
+       ROUND(effect_adj, 6) AS effect_adj,
+       ROUND(zz, 6) AS z_adj,
+       ROUND(1.0 - CASE WHEN vy_pool <> 0
+                        THEN vadj_pool / vy_pool END, 6) AS var_reduction,
+       COALESCE(abs(zz) > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM z
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6831,6 +6946,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_sequence_order": (events_sequence_order, SEQUENCE_ORDER_ORACLE),
     "events_hour_profile": (events_hour_profile, HOUR_PROFILE_ORACLE),
     "events_did": (events_did, DID_ORACLE),
+    "events_cuped": (events_cuped, CUPED_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

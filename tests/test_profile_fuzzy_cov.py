@@ -1420,3 +1420,54 @@ def test_did_removes_shared_shock_and_detects_effect(spark):
     )
     rt = did_estimate(tiny, "value", "user_id", "post").collect()[0]
     assert rt["z_stat"] is None and rt["significant"] is False
+
+
+def test_cuped_matches_reference_and_reduces_variance(spark):
+    """theta, adjusted effect, z, and the variance-reduction ratio
+    against a pure-Python reference on units with a predictive
+    covariate; a useless covariate gives theta ~ 0 and ~no reduction;
+    adjustment preserves the effect expectation."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import cuped_adjust
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for uid in range(300):
+        a = arm_of(uid)
+        x = float(uid % 50)                      # pre covariate
+        y = 2.0 * x + 10.0 + 3.0 * a + (uid % 7) * 0.5  # post metric
+        rows.append((uid, x, y))
+    df = spark.createDataFrame(rows, "user_id long, x double, y double")
+    got = cuped_adjust(df, "x", "y", "user_id").collect()[0]
+
+    xs = {0: [], 1: []}
+    for uid, x, y in rows:
+        xs[arm_of(uid)].append((x, y))
+    allp = xs[0] + xs[1]
+    n = len(allp)
+    sx = sum(p[0] for p in allp); sy = sum(p[1] for p in allp)
+    sxy = sum(p[0] * p[1] for p in allp); sxx = sum(p[0] ** 2 for p in allp)
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(got["theta"] - round(theta, 6)) < 1e-6
+    mx = sx / n
+
+    def adj_mean(pts):
+        return (sum(p[1] for p in pts) / len(pts)
+                - theta * (sum(p[0] for p in pts) / len(pts) - mx))
+
+    want = adj_mean(xs[1]) - adj_mean(xs[0])
+    assert abs(got["effect_adj"] - round(want, 6)) < 1e-5
+    # the covariate explains most variance here
+    assert got["var_reduction"] > 0.9
+    assert got["significant"] is True
+
+    # useless covariate: constant x -> theta NULL-safe 0/0 path
+    const = spark.createDataFrame(
+        [(uid, 1.0, float(uid % 9)) for uid in range(100)],
+        "user_id long, x double, y double",
+    )
+    c = cuped_adjust(const, "x", "y", "user_id").collect()[0]
+    assert c["theta"] is None  # zero covariate variance: try_divide NULL
