@@ -1168,6 +1168,71 @@ def did_estimate(
     )
 
 
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    salt: str = "ab",
+    crit: float = 3.0,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first thing a healthy
+    experimentation pipeline verifies before reading ANY metric: do
+    the arms hold the expected 50/50 share of UNITS (not rows)? A
+    mismatch means broken assignment or differential logging loss,
+    and every downstream stat is suspect. z = (n_a − n/2)/sqrt(n/4),
+    flagged at |z| > ``crit`` (3.0 ≈ the α=0.0027 bar SRM checks
+    conventionally use — stricter than metric tests because the null
+    REALLY should hold).
+
+    One distinct-unit aggregate; arm by the md5(salt:unit) parity
+    shared with the whole A/B family, so this certifies the very
+    split welch/MW/KS/DiD/CUPED read. Exact longs, one double tail.
+    Output: (n_units, n_a, n_b, z_stat, srm_suspected).
+    """
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit(":"),
+                        F.col("__u").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    units = (
+        df.filter(F.col(unit_col).isNotNull())
+        .select(F.col(unit_col).alias("__u"))
+        .distinct()
+        .select(arm.alias("__arm"))
+    )
+    g = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+    )
+    n = F.col("n_units").cast("double")
+    z = F.try_divide(
+        F.col("n_a").cast("double") - n / F.lit(2.0),
+        F.sqrt(n / F.lit(4.0)),
+    )
+    return g.select(
+        "n_units",
+        "n_a",
+        (F.col("n_units") - F.col("n_a")).alias("n_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias(
+            "srm_suspected"
+        ),
+    )
+
+
 def cuped_adjust(
     units: DataFrame,
     x_col: str,

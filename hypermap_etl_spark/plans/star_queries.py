@@ -4491,6 +4491,42 @@ FROM z
 """
 
 
+def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check of the md5 hash split
+    (profile.srm_check) — certifies the very unit assignment every
+    A/B gate in this registry reads: distinct users per arm vs 50/50,
+    z at the conventional |z| > 3 SRM bar."""
+    from hypermap_etl_spark.operators.profile import srm_check
+
+    return srm_check(load_table(spark, sf_dir, "events"), "user_id")
+
+
+SRM_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN CAST('0x' || substr(
+                md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+  FROM u
+)
+SELECT n_units, n_a, n_units - n_a AS n_b,
+       ROUND(CASE WHEN sqrt(CAST(n_units AS DOUBLE) / 4.0) <> 0
+                  THEN (CAST(n_a AS DOUBLE)
+                        - CAST(n_units AS DOUBLE) / 2.0)
+                       / sqrt(CAST(n_units AS DOUBLE) / 4.0) END, 6)
+         AS z_stat,
+       COALESCE(abs(CASE WHEN sqrt(CAST(n_units AS DOUBLE) / 4.0) <> 0
+                         THEN (CAST(n_a AS DOUBLE)
+                               - CAST(n_units AS DOUBLE) / 2.0)
+                              / sqrt(CAST(n_units AS DOUBLE) / 4.0) END)
+                > CAST('3.0' AS DOUBLE), FALSE) AS srm_suspected
+FROM a
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6947,6 +6983,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_hour_profile": (events_hour_profile, HOUR_PROFILE_ORACLE),
     "events_did": (events_did, DID_ORACLE),
     "events_cuped": (events_cuped, CUPED_ORACLE),
+    "events_srm": (events_srm, SRM_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

@@ -1471,3 +1471,29 @@ def test_cuped_matches_reference_and_reduces_variance(spark):
     )
     c = cuped_adjust(const, "x", "y", "user_id").collect()[0]
     assert c["theta"] is None  # zero covariate variance: try_divide NULL
+
+
+def test_srm_check_balanced_and_broken(spark):
+    """The healthy md5 split is not flagged; simulated differential
+    loss (dropping most of arm 0) trips the |z| > 3 bar; units count
+    distinct, not rows."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import srm_check
+
+    def arm_of(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # duplicated rows per user: SRM must count units once
+    rows = [(uid,) for uid in range(2000) for _ in range(3)]
+    df = spark.createDataFrame(rows, "user_id long")
+    r = srm_check(df, "user_id").collect()[0]
+    assert r["n_units"] == 2000 and r["n_a"] + r["n_b"] == 2000
+    assert r["srm_suspected"] is False
+
+    # drop 60% of arm-0 users: assignment loss -> SRM fires
+    kept = [(uid,) for uid in range(2000)
+            if arm_of(uid) == 1 or uid % 5 < 2]
+    broken = spark.createDataFrame(kept, "user_id long")
+    b = srm_check(broken, "user_id").collect()[0]
+    assert b["srm_suspected"] is True and abs(b["z_stat"]) > 3
