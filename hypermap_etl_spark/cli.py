@@ -1202,6 +1202,42 @@ def cmd_graph(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_ab(args) -> None:
+    """One-shot A/B readout over any parquet: SRM first (if the
+    assignment is broken nothing else matters), then Welch,
+    Mann-Whitney, and KS on the value column; --period-col adds the
+    difference-in-differences estimate; --pre-col (one row per unit
+    expected) adds the CUPED-adjusted effect. One JSON line — the
+    full experimentation stack in one command, all aggregate-shaped."""
+    from hypermap_etl_spark.operators import profile
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    for c in (args.value_col, args.unit_col):
+        if c not in df.columns:
+            raise SystemExit(f"column not in table: {c}")
+    out = {}
+    srm = profile.srm_check(df, args.unit_col).collect()[0]
+    out["srm"] = srm.asDict()
+    w = profile.welch_ab_test(df, args.value_col, args.unit_col).collect()
+    out["welch"] = w[0].asDict() if w else None
+    mw = profile.mann_whitney_u(df, args.value_col, args.unit_col).collect()
+    out["mann_whitney"] = mw[0].asDict() if mw else None
+    ks = profile.ks_two_sample(df, args.value_col, args.unit_col).collect()
+    out["ks"] = ks[0].asDict() if ks else None
+    if args.period_col:
+        d = profile.did_estimate(
+            df, args.value_col, args.unit_col, args.period_col
+        ).collect()
+        out["did"] = d[0].asDict() if d else None
+    if args.pre_col:
+        c = profile.cuped_adjust(
+            df, args.pre_col, args.value_col, args.unit_col
+        ).collect()
+        out["cuped"] = c[0].asDict() if c else None
+    print(json.dumps(out, default=str))
+
+
 def cmd_assoc(args) -> None:
     """Column-association screen over any parquet: chi2 (+ Cramér's V),
     theils-u (directional), spearman (rank correlation), fd
@@ -1857,6 +1893,15 @@ def main(argv=None) -> None:
                    help="name-distance radius (deletion-neighborhood tau)")
     p.add_argument("--golden", default=None,
                    help="write survivorship-fused golden records here")
+    p = sub.add_parser("ab", help="A/B readout: SRM + Welch + "
+                       "Mann-Whitney + KS (+ DiD/CUPED) on the hash split")
+    p.add_argument("--table", required=True)
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--unit-col", default="user_id")
+    p.add_argument("--period-col", help="0/1 pre/post flag enables DiD")
+    p.add_argument("--pre-col",
+                   help="pre-period covariate (one row per unit) "
+                        "enables CUPED")
     p = sub.add_parser("assoc", help="column-association screen "
                        "(chi2/theils-u/spearman/fd/mi) over a parquet")
     p.add_argument("--table", required=True)
@@ -1962,6 +2007,7 @@ def main(argv=None) -> None:
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
+        "ab": cmd_ab,
         "assoc": cmd_assoc,
         "graph": cmd_graph,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,

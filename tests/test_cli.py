@@ -932,3 +932,27 @@ def test_cli_assoc_ops(spark, capsys, tmp_path):
     assert tu["u_y_given_x"] == 0.0
     mi = run("--op", "mi", "--x", "g", "--y", "y", "--top", "4")
     assert len(mi["top_cells"]) == 4 and abs(mi["mi_nats"]) < 1e-6
+
+
+def test_cli_ab_card(spark, capsys, tmp_path):
+    """The ab command prints the full stack: SRM healthy, an A/A
+    value column quiet on all tests, DiD present with --period-col,
+    CUPED present with --pre-col."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    rows = [(uid, float(uid % 13), uid % 2, float(uid % 7))
+            for uid in range(600)]
+    p = str(tmp_path / "ab.parquet")
+    spark.createDataFrame(
+        rows, "user_id long, value double, post int, pre double"
+    ).write.parquet(p)
+    main(["ab", "--table", p, "--period-col", "post", "--pre-col", "pre"])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["srm"]["srm_suspected"] is False
+    assert card["welch"]["significant"] is False
+    assert card["mann_whitney"]["significant"] is False
+    assert card["ks"]["distributions_differ"] is False
+    assert "did" in card and "cuped" in card
+    assert card["did"]["significant"] is False
