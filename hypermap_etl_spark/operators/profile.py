@@ -1168,6 +1168,93 @@ def did_estimate(
     )
 
 
+def km_survival(
+    lifetimes: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve — the censoring-correct retention
+    view (a plain "% still active after t" treats still-active users
+    as churned-at-now; KM doesn't): at each observed event time t,
+    S(t) ← S(t⁻)·(1 − d_t/n_t) with d_t the events at t and n_t the
+    at-risk count (duration ≥ t). Input: one row per subject with an
+    integer ``duration_col`` and 0/1 ``event_col`` (1 = event
+    observed, 0 = right-censored).
+
+    Engine-exact construction: d_t and the censored count collapse to
+    ONE duration-keyed aggregate; n_t is the total minus the running
+    count of shorter durations (exact longs from a duration-ordered
+    window over the DISTINCT-duration frame); the survival product
+    runs as exp(Σ ln(1 − d/n)) with each ln term rounded to 9 dp and
+    accumulated in a decimal(38,9) ORDERED running sum — decimal
+    window sums are exact, so the curve is bit-identical in any
+    engine (the product-as-log-cumsum dodge for float products).
+    Durations where d_t = n_t end the curve at exactly 0 (the ln
+    would be -inf; the term is replaced by NULL and surfaced via
+    s_zero, keeping the frame total).
+
+    Output per observed-event duration: (t, n_at_risk, n_events,
+    n_censored_at_t, survival).
+    """
+    from pyspark.sql.window import Window
+
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per_t = (
+        lifetimes.filter(d.isNotNull() & e.isNotNull())
+        .groupBy(d.alias("t"))
+        .agg(
+            F.sum(e).cast("long").alias("__d"),
+            F.sum(F.lit(1) - e).cast("long").alias("__c"),
+        )
+    )
+    w_prior = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = per_t.agg(
+        F.sum(F.col("__d") + F.col("__c")).cast("long").alias("__n")
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "__at_risk",
+        F.col("__n")
+        - F.coalesce(F.sum(F.col("__d") + F.col("__c")).over(w_prior), F.lit(0)),
+    )
+    term = F.when(
+        F.col("__d") < F.col("__at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("__d").cast("double") / F.col("__at_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(38,9)"),
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = risk.withColumn("__lt", term).withColumn(
+        "__ls", F.sum("__lt").over(w_run)
+    ).withColumn(
+        # once any prior duration had d == n_at_risk the curve is 0
+        "__dead",
+        F.max(F.when(F.col("__lt").isNull(), 1).otherwise(0)).over(w_run),
+    )
+    surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__ls").cast("double"))
+    )
+    return (
+        cum.filter(F.col("__d") > 0)
+        .select(
+            "t",
+            F.col("__at_risk").alias("n_at_risk"),
+            F.col("__d").alias("n_events"),
+            F.col("__c").alias("n_censored_at_t"),
+            F.round(surv, 6).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
 def srm_check(
     df: DataFrame,
     unit_col: str,

@@ -4527,6 +4527,77 @@ FROM a
 """
 
 
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curve (profile.km_survival):
+    per-user lifetime = days between first and last activity, right-
+    censored for users still active on the corpus's final observed
+    day — the censoring-correct churn view. The survival product runs
+    as an exact decimal cumulative sum of 9-dp-rounded log terms, so
+    the curve is engine-identical."""
+    from hypermap_etl_spark.operators.profile import km_survival
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("__max_day"))
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("duration"),
+        (F.col("last_day") < F.col("__max_day")).cast("int").alias("event"),
+    )
+    return km_survival(life, "duration", "event")
+
+
+SURVIVAL_ORACLE = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+),
+hz AS (SELECT MAX(l) AS mx FROM pu),
+life AS (
+  SELECT CAST(l - f AS BIGINT) AS t,
+         CASE WHEN l < hz.mx THEN 1 ELSE 0 END AS e
+  FROM pu CROSS JOIN hz
+),
+per_t AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM life GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM per_t),
+risk AS (
+  SELECT t, d, c,
+         tot.n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS at_risk
+  FROM per_t CROSS JOIN tot
+),
+lt AS (
+  SELECT *,
+         CASE WHEN d < at_risk THEN
+           CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                         / CAST(at_risk AS DOUBLE)), 9)
+                AS DECIMAL(38,9)) END AS term
+  FROM risk
+),
+cum AS (
+  SELECT *,
+         SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls,
+         MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+  FROM lt
+)
+SELECT t, CAST(at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+       c AS n_censored_at_t,
+       ROUND(CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+                  ELSE exp(CAST(ls AS DOUBLE)) END, 6) AS survival
+FROM cum WHERE d > 0 ORDER BY t
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -6984,6 +7055,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_did": (events_did, DID_ORACLE),
     "events_cuped": (events_cuped, CUPED_ORACLE),
     "events_srm": (events_srm, SRM_ORACLE),
+    "events_survival": (events_survival, SURVIVAL_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

@@ -1497,3 +1497,40 @@ def test_srm_check_balanced_and_broken(spark):
     broken = spark.createDataFrame(kept, "user_id long")
     b = srm_check(broken, "user_id").collect()[0]
     assert b["srm_suspected"] is True and abs(b["z_stat"]) > 3
+
+
+def test_km_survival_textbook_example(spark):
+    """The classic small KM table: durations 1,2+,3,4+,5 with
+    censoring — survival matches the hand product; censored subjects
+    stay at risk through their time; an exhausted risk set drops the
+    curve to exactly 0."""
+    from hypermap_etl_spark.operators.profile import km_survival
+
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    out = {r["t"]: r for r in km_survival(df, "duration", "event").collect()}
+    import math
+
+    # t=1: n=5, d=1 -> S = 4/5
+    # t=3: n=3 (2 censored at 2 leaves 3), d=1 -> S = 4/5 * 2/3
+    # t=5: n=1, d=1 -> S -> 0 exactly (d == n ends the curve)
+    assert out[1]["n_at_risk"] == 5 and out[1]["n_events"] == 1
+    s1 = math.exp(round(math.log(1 - 1 / 5), 9))
+    assert out[1]["survival"] == round(s1, 6)
+    s3 = math.exp(round(math.log(1 - 1 / 5), 9) + round(math.log(1 - 1 / 3), 9))
+    assert out[3]["n_at_risk"] == 3
+    assert out[3]["survival"] == round(s3, 6)
+    assert out[5]["survival"] == 0.0
+    assert 2 not in out and 4 not in out  # censor-only times emit no row
+
+
+def test_km_survival_censoring_vs_naive(spark):
+    """Against the naive churn read: heavy censoring keeps KM high
+    where percent-still-active would crater."""
+    from hypermap_etl_spark.operators.profile import km_survival
+
+    rows = [(10, 1)] + [(10, 0)] * 99  # 1 churn, 99 censored at t=10
+    df = spark.createDataFrame(rows, "duration long, event int")
+    r = km_survival(df, "duration", "event").collect()[0]
+    assert r["n_at_risk"] == 100 and r["n_events"] == 1
+    assert r["survival"] > 0.98  # KM: 99/100, not 1/100
