@@ -1255,6 +1255,100 @@ def km_survival(
     )
 
 
+def logrank_test(
+    lifetimes: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    crit: float = 1.96,
+) -> DataFrame:
+    """Two-group log-rank test — does retention DIFFER between the
+    arms (the inference companion to :func:`km_survival`'s curves)?
+    At each event time, compare arm A's observed events against the
+    hypergeometric expectation d_t·n_At/n_t; the standardized sum is
+    the log-rank z (Mantel 1966). ``group_col`` is a 0/1 arm flag
+    (callers usually derive it from the shared md5 split).
+
+    Engine-exact: per-time at-risk and event counts are exact longs
+    from prior-duration running sums over the distinct-duration
+    frame; each time's expectation and hypergeometric variance terms
+    round to 9 dp and accumulate in decimal(38,9) — order-free cross-
+    time sums — with one double tail. NULL z when the variance
+    degenerates (no time with both arms at risk). Output one row:
+    (n_groups_0, n_groups_1, observed_1, expected_1, z_stat,
+    significant).
+    """
+    from pyspark.sql.window import Window
+
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col).cast("int")
+    per_t = (
+        lifetimes.filter(d.isNotNull() & e.isNotNull() & g.isNotNull())
+        .groupBy(d.alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__m"),
+            F.sum(e).cast("long").alias("__d"),
+            F.sum(g).cast("long").alias("__m1"),
+            F.sum(e * g).cast("long").alias("__d1"),
+        )
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_t.agg(
+        F.sum("__m").cast("long").alias("__n"),
+        F.sum("__m1").cast("long").alias("__n1g"),
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__nt",
+            F.col("__n") - F.coalesce(F.sum("__m").over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "__nt1",
+            F.col("__n1g")
+            - F.coalesce(F.sum("__m1").over(w_prior), F.lit(0)),
+        )
+        .filter(F.col("__d") > 0)
+    )
+    nt, nt1 = F.col("__nt").cast("double"), F.col("__nt1").cast("double")
+    dt = F.col("__d").cast("double")
+    exp_term = F.round(dt * nt1 / nt, 9).cast("decimal(38,9)")
+    var_term = F.when(
+        F.col("__nt") > 1,
+        F.round(
+            dt
+            * (nt1 / nt)
+            * (F.lit(1.0) - nt1 / nt)
+            * (nt - dt)
+            / (nt - F.lit(1.0)),
+            9,
+        ).cast("decimal(38,9)"),
+    ).otherwise(F.lit(0).cast("decimal(38,9)"))
+    agg = risk.agg(
+        F.sum("__d1").cast("long").alias("observed_1"),
+        F.sum(exp_term).alias("__e1"),
+        F.sum(var_term).alias("__v"),
+    )
+    counts = tot.select(
+        (F.col("__n") - F.col("__n1g")).alias("n_group_0"),
+        F.col("__n1g").alias("n_group_1"),
+    )
+    e1 = F.col("__e1").cast("double")
+    v = F.col("__v").cast("double")
+    z = F.when(
+        v > 0, (F.col("observed_1").cast("double") - e1) / F.sqrt(v)
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_group_0",
+        "n_group_1",
+        "observed_1",
+        F.round(e1, 6).alias("expected_1"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias("significant"),
+    )
+
+
 def srm_check(
     df: DataFrame,
     unit_col: str,

@@ -4598,6 +4598,100 @@ FROM cum WHERE d > 0 ORDER BY t
 """
 
 
+def events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of the hash-split arms' retention
+    (profile.logrank_test over the same lifetimes as
+    events_survival): on the A/A split the survival curves share a
+    truth, so this is the survival family's standing sanity check.
+    All per-time counts exact; expectation and variance terms round
+    to 9 dp into decimal sums."""
+    from hypermap_etl_spark.operators.profile import logrank_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("__max_day"))
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("duration"),
+        (F.col("last_day") < F.col("__max_day")).cast("int").alias("event"),
+        arm.cast("int").alias("arm"),
+    )
+    return logrank_test(life, "duration", "event", "arm")
+
+
+LOGRANK_ORACLE = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+),
+hz AS (SELECT MAX(l) AS mx FROM pu),
+life AS (
+  SELECT CAST(l - f AS BIGINT) AS t,
+         CASE WHEN l < hz.mx THEN 1 ELSE 0 END AS e,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS g
+  FROM pu CROSS JOIN hz
+),
+per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(g) AS BIGINT) AS m1, CAST(SUM(e * g) AS BIGINT) AS d1
+  FROM life GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(m1) AS BIGINT) AS n1g FROM per_t),
+risk AS (
+  SELECT *,
+         tot.n - COALESCE(SUM(m) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS nt,
+         tot.n1g - COALESCE(SUM(m1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS nt1
+  FROM per_t CROSS JOIN tot
+),
+a AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS observed_1,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) * CAST(nt1 AS DOUBLE)
+                        / CAST(nt AS DOUBLE), 9) AS DECIMAL(38,9))) AS e1,
+         SUM(CASE WHEN nt > 1 THEN
+               CAST(ROUND(CAST(d AS DOUBLE)
+                    * (CAST(nt1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (1.0 - CAST(nt1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(nt AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(nt AS DOUBLE) - 1.0), 9) AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END) AS v
+  FROM risk WHERE d > 0
+)
+SELECT tot.n - tot.n1g AS n_group_0, tot.n1g AS n_group_1, observed_1,
+       ROUND(CAST(e1 AS DOUBLE), 6) AS expected_1,
+       ROUND(CASE WHEN CAST(v AS DOUBLE) > 0
+                  THEN (CAST(observed_1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                       / sqrt(CAST(v AS DOUBLE)) END, 6) AS z_stat,
+       COALESCE(abs(CASE WHEN CAST(v AS DOUBLE) > 0
+                         THEN (CAST(observed_1 AS DOUBLE)
+                               - CAST(e1 AS DOUBLE))
+                              / sqrt(CAST(v AS DOUBLE)) END)
+                > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM a CROSS JOIN tot
+"""
+
+
 def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of the value column
     (profile.benford_profile): per-digit observed vs log10(1+1/d)
@@ -7056,6 +7150,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_cuped": (events_cuped, CUPED_ORACLE),
     "events_srm": (events_srm, SRM_ORACLE),
     "events_survival": (events_survival, SURVIVAL_ORACLE),
+    "events_logrank": (events_logrank, LOGRANK_ORACLE),
     "events_markov_entropy": (events_markov_entropy, MARKOV_ORACLE),
     "events_interarrival": (events_interarrival, INTERARRIVAL_ORACLE),
     "events_autocorr": (events_autocorr, AUTOCORR_ORACLE),

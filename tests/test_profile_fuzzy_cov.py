@@ -1534,3 +1534,35 @@ def test_km_survival_censoring_vs_naive(spark):
     r = km_survival(df, "duration", "event").collect()[0]
     assert r["n_at_risk"] == 100 and r["n_events"] == 1
     assert r["survival"] > 0.98  # KM: 99/100, not 1/100
+
+
+def test_logrank_detects_separated_survival(spark):
+    """Arm 1 churning systematically earlier trips the test; identical
+    arms stay quiet; hand check of O/E on a tiny table."""
+    from hypermap_etl_spark.operators.profile import logrank_test
+
+    rows = []
+    for i in range(120):
+        rows.append((float(5 + (i % 4)), 1, 0))    # arm0 churns at 5-8
+        rows.append((float(1 + (i % 4)), 1, 1))    # arm1 churns at 1-4
+    df = spark.createDataFrame(rows, "duration double, event int, g int")
+    r = logrank_test(df, "duration", "event", "g").collect()[0]
+    assert r["significant"] is True and r["z_stat"] > 5
+    assert r["n_group_0"] == r["n_group_1"] == 120
+
+    same = spark.createDataFrame(
+        [(float((i // 2) % 6), 1, i % 2) for i in range(200)],
+        "duration double, event int, g int",
+    )
+    s = logrank_test(same, "duration", "event", "g").collect()[0]
+    assert s["significant"] is False
+
+    # tiny hand case: t=1 d=1 (arm1), t=2 d=1 (arm0); E1 = 1*(1/2)+0? ->
+    # at t=1: nt=2, nt1=1, d=1 -> e 0.5, v 0.25; at t=2: nt=1, nt1=0 ->
+    # e 0, v 0 (nt=1 branch)
+    tiny = spark.createDataFrame(
+        [(1.0, 1, 1), (2.0, 1, 0)], "duration double, event int, g int"
+    )
+    t = logrank_test(tiny, "duration", "event", "g").collect()[0]
+    assert t["observed_1"] == 1 and t["expected_1"] == 0.5
+    assert t["z_stat"] == round(0.5 / 0.25 ** 0.5, 6)
