@@ -5704,6 +5704,96 @@ FROM f ORDER BY event_type
 """
 
 
+def events_ab_welch_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust A/B: Welch's t over the p05/p95-WINSORIZED value per
+    event type — the composed heavy-tail discipline (clamp first,
+    then compare means) that keeps a single whale from deciding an
+    experiment. Composition of two certified operators
+    (profile.winsorize → profile.welch_ab_test); the clamped value is
+    rounded to 6 dp then re-quantized at decimal(12,2) by the Welch
+    machinery, identically in both engines."""
+    from hypermap_etl_spark.operators.profile import welch_ab_test, winsorize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = winsorize(ev, "value", 0.05, 0.95, ["event_type"])
+    return welch_ab_test(w, "value_w", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+WELCH_ROBUST_ORACLE = """
+WITH src AS (
+  SELECT event_type, user_id, value FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM src GROUP BY event_type
+),
+w AS (
+  SELECT s.event_type, s.user_id,
+         ROUND(LEAST(GREATEST(CAST(s.value AS DOUBLE), lo), hi), 6)
+           AS value_w
+  FROM src s JOIN b USING (event_type)
+),
+base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value_w AS DECIMAL(12,2)) AS v
+  FROM w
+),
+agg AS (
+  SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+  FROM agg a JOIN agg b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+),
+c AS (
+  SELECT event_type, n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+    GREATEST((CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS se2_a,
+    GREATEST((CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS se2_b
+  FROM j
+),
+f AS (
+  SELECT event_type, n_a, n_b, m_a, m_b,
+    CASE WHEN se2_a + se2_b > 0
+         THEN (m_a - m_b) / sqrt(se2_a + se2_b) END AS t,
+    CASE WHEN se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+            + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0) > 0
+         THEN (se2_a + se2_b) * (se2_a + se2_b)
+              / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+                 + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0)) END AS dof
+  FROM c
+)
+SELECT event_type, n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(t, 6) AS t_stat, ROUND(dof, 6) AS welch_df,
+       COALESCE(abs(t) > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM f ORDER BY event_type
+"""
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles per
     customer) on the DISTRIBUTED percent-rank stack — three
@@ -7176,6 +7266,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "lineitem_weighted_p90": (lineitem_weighted_p90, WEIGHTED_P90_ORACLE),
     "customer_rfm": (customer_rfm, RFM_ORACLE),
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
+    "events_ab_welch_robust": (events_ab_welch_robust, WELCH_ROBUST_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
