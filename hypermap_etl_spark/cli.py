@@ -1238,6 +1238,29 @@ def cmd_ab(args) -> None:
     print(json.dumps(out, default=str))
 
 
+def cmd_survival(args) -> None:
+    """Censoring-correct retention over a lifetimes parquet (one row
+    per subject: duration + 0/1 event): the Kaplan-Meier curve as
+    JSON lines plus, with --group-col, a final log-rank comparison
+    line — churn analysis without the treat-active-as-churned bias."""
+    from hypermap_etl_spark.operators.profile import km_survival, logrank_test
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.lifetimes)
+    for c in (args.duration_col, args.event_col):
+        if c not in df.columns:
+            raise SystemExit(f"column not in table: {c}")
+    for r in km_survival(df, args.duration_col, args.event_col).collect():
+        print(json.dumps(r.asDict()))
+    if args.group_col:
+        if args.group_col not in df.columns:
+            raise SystemExit(f"column not in table: {args.group_col}")
+        lr = logrank_test(
+            df, args.duration_col, args.event_col, args.group_col
+        ).collect()[0]
+        print(json.dumps({"logrank": lr.asDict()}))
+
+
 def cmd_assoc(args) -> None:
     """Column-association screen over any parquet: chi2 (+ Cramér's V),
     theils-u (directional), spearman (rank correlation), fd
@@ -1902,6 +1925,12 @@ def main(argv=None) -> None:
     p.add_argument("--pre-col",
                    help="pre-period covariate (one row per unit) "
                         "enables CUPED")
+    p = sub.add_parser("survival", help="Kaplan-Meier curve "
+                       "(+ log-rank with --group-col) over lifetimes")
+    p.add_argument("--lifetimes", required=True)
+    p.add_argument("--duration-col", default="duration")
+    p.add_argument("--event-col", default="event")
+    p.add_argument("--group-col")
     p = sub.add_parser("assoc", help="column-association screen "
                        "(chi2/theils-u/spearman/fd/mi) over a parquet")
     p.add_argument("--table", required=True)
@@ -2008,6 +2037,7 @@ def main(argv=None) -> None:
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
         "ab": cmd_ab,
+        "survival": cmd_survival,
         "assoc": cmd_assoc,
         "graph": cmd_graph,
         "skew": cmd_skew, "plan-epochs": cmd_plan_epochs, "tag": cmd_tag,

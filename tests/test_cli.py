@@ -956,3 +956,22 @@ def test_cli_ab_card(spark, capsys, tmp_path):
     assert card["ks"]["distributions_differ"] is False
     assert "did" in card and "cuped" in card
     assert card["did"]["significant"] is False
+
+
+def test_cli_survival(spark, capsys, tmp_path):
+    """KM rows print per event time; --group-col appends the log-rank
+    line."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    rows = [(1.0, 1, 0), (2.0, 0, 1), (3.0, 1, 0), (4.0, 0, 1), (5.0, 1, 0)]
+    p = str(tmp_path / "life.parquet")
+    spark.createDataFrame(rows, "duration double, event int, g int") \
+        .write.parquet(p)
+    main(["survival", "--lifetimes", p, "--group-col", "g"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    km = [l for l in lines if "logrank" not in l]
+    assert [l["t"] for l in km] == [1, 3, 5]
+    assert km[0]["n_at_risk"] == 5
+    assert "z_stat" in lines[-1]["logrank"]
