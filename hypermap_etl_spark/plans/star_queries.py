@@ -5794,6 +5794,82 @@ FROM f ORDER BY event_type
 """
 
 
+def events_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects on the hash split: per event type,
+    the p50 and p90 of each arm's value and their differences — where
+    in the distribution an effect lives (means can hide a pure
+    tail move; QTE can't). Exact percentiles (the certified
+    F.percentile ≡ quantile_cont pair); on the A/A split both gaps
+    are near zero by construction."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    per = ev.select("event_type", arm.alias("__arm"), "value").groupBy(
+        "event_type", "__arm"
+    ).agg(
+        F.percentile("value", 0.5).alias("__p50"),
+        F.percentile("value", 0.9).alias("__p90"),
+    )
+    a = per.filter(F.col("__arm") == 0).select(
+        "event_type",
+        F.col("__p50").alias("__p50a"), F.col("__p90").alias("__p90a"),
+    )
+    b = per.filter(F.col("__arm") == 1).select(
+        "event_type",
+        F.col("__p50").alias("__p50b"), F.col("__p90").alias("__p90b"),
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.round("__p50a", 6).alias("p50_a"),
+            F.round("__p50b", 6).alias("p50_b"),
+            F.round(F.col("__p50b") - F.col("__p50a"), 6).alias("qte_p50"),
+            F.round("__p90a", 6).alias("p90_a"),
+            F.round("__p90b", 6).alias("p90_b"),
+            F.round(F.col("__p90b") - F.col("__p90a"), 6).alias("qte_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QTE_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         value
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+per AS (
+  SELECT event_type, arm,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90
+  FROM base GROUP BY 1, 2
+)
+SELECT a.event_type,
+       ROUND(a.p50, 6) AS p50_a, ROUND(b.p50, 6) AS p50_b,
+       ROUND(b.p50 - a.p50, 6) AS qte_p50,
+       ROUND(a.p90, 6) AS p90_a, ROUND(b.p90, 6) AS p90_b,
+       ROUND(b.p90 - a.p90, 6) AS qte_p90
+FROM per a JOIN per b ON a.event_type = b.event_type
+WHERE a.arm = 0 AND b.arm = 1
+ORDER BY a.event_type
+"""
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles per
     customer) on the DISTRIBUTED percent-rank stack — three
@@ -7267,6 +7343,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_rfm": (customer_rfm, RFM_ORACLE),
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "events_ab_welch_robust": (events_ab_welch_robust, WELCH_ROBUST_ORACLE),
+    "events_qte": (events_qte, QTE_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
