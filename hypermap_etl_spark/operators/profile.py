@@ -24,6 +24,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
+
+def _hash_arm(unit_col: str, salt: str):
+    """THE A/B assignment: md5(salt:unit) first-8-hex parity — one
+    definition shared by welch_ab_test, mann_whitney_u, ks_two_sample,
+    did_estimate, cuped_adjust, and srm_check (whose whole purpose is
+    certifying this very split; a divergent copy at any site would
+    silently break that certification). Oracles reproduce it as
+    CAST('0x' || substr(md5(salt || ':' || unit), 1, 8) AS BIGINT) % 2.
+    """
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(":"),
+                        F.col(unit_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+
+
 def _null_d():
     # Built lazily: F.lit at module scope would require an active
     # SparkContext at import time (breaks pytest collection).
@@ -44,28 +73,35 @@ def profile_table(
     """
     columns = columns or df.columns
     aggs = []
-    for c in columns:
+    # positional internal aliases + backtick-quoted references: a drop
+    # with a column named "user id" or "it's" must profile, not raise
+    # an AnalysisException out of hand-built SQL text
+    for i, c in enumerate(columns):
+        col = df[c]
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
             .cast("long")
-            .alias(f"__nn_{c}")
+            .alias(f"__nn_{i}")
         )
         if exact:
-            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+            aggs.append(F.count_distinct(col).cast("long").alias(f"__nd_{i}"))
         else:
             aggs.append(
-                F.approx_count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}")
+                F.approx_count_distinct(col).cast("long").alias(f"__nd_{i}")
             )
         numeric = isinstance(df.schema[c].dataType, NumericType)
         aggs.append(
-            (F.min(F.col(c)).cast("double") if numeric else _null_d()).alias(f"__mn_{c}")
+            (F.min(col).cast("double") if numeric else _null_d()).alias(f"__mn_{i}")
         )
         aggs.append(
-            (F.max(F.col(c)).cast("double") if numeric else _null_d()).alias(f"__mx_{c}")
+            (F.max(col).cast("double") if numeric else _null_d()).alias(f"__mx_{i}")
         )
     one = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in columns
+        "'{name}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}".format(
+            name=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(columns)
     )
     return one.select(
         F.expr(
@@ -115,12 +151,19 @@ def table_diff(
         raise ValueError(f"compare columns missing from a snapshot: {missing}")
 
     def fp(df: DataFrame, side: str) -> DataFrame:
+        # injection-safe fingerprint: hash each part FIRST (md5 output
+        # is fixed-width hex, so no value can smuggle a separator) and
+        # tag NULL outside the hash ('n' vs 'v<md5>' can never collide
+        # with any real value, including one spelling a sentinel)
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            F.coalesce(
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string"))),
+                F.lit("n"),
+            )
             for c in compare_cols
         ]
         mark = (
-            F.md5(F.concat_ws("\x1f", *parts))
+            F.md5(F.concat_ws("", *parts))
             if compare_cols
             else F.lit("")
         )
@@ -207,8 +250,15 @@ def psi_drift(
     def binned(df: DataFrame, name: str):
         # integer `div`, never a double divide + cast: Spark truncates
         # double→long while DuckDB rounds, so only pure integer math
-        # keeps bin membership engine-identical
-        b = F.expr(f"((__c - {lo}L) * {n_bins}) div {span}L")
+        # keeps bin membership engine-identical. The arithmetic runs
+        # in decimal(38,0): (c - lo)·n_bins overflows int64 once the
+        # cent span passes ~9.2e17, and a span literal itself can
+        # exceed the int64 literal grammar — decimals cover the whole
+        # documented value domain
+        b = F.expr(
+            f"cast((cast(__c as decimal(38,0)) - {lo}) * {n_bins}"
+            f" as decimal(38,0)) div cast({span} as decimal(38,0))"
+        )
         return df.select(b.alias("bin")).groupBy("bin").agg(
             F.count(F.lit(1)).alias(name)
         )
@@ -316,9 +366,10 @@ def cusum_drift(
                 6,
             ).alias("std_daily"),
             F.round(F.max("abs_s"), 6).alias("max_cusum"),
-            (
+            F.coalesce(
                 F.max("abs_s")
-                > F.lit(threshold) * F.sqrt(F.first("n_days").cast("double"))
+                > F.lit(threshold) * F.sqrt(F.first("n_days").cast("double")),
+                F.lit(False),
             ).alias("drifted"),
         )
     )
@@ -366,7 +417,7 @@ def mad_outliers(
         F.round(F.col("med"), 6).alias("med"),
         F.round(F.col("mad"), 6).alias("mad"),
         F.round(z, 6).alias("robust_z"),
-        (z > F.lit(k)).alias("is_outlier"),
+        F.coalesce(z > F.lit(k), F.lit(False)).alias("is_outlier"),
     )
 
 
@@ -1077,23 +1128,7 @@ def did_estimate(
     z_stat, significant); NULL z when any cell has < 2 rows.
     """
     v = F.col(value_col).cast("decimal(12,2)")
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.lit(":"),
-                        F.col(unit_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm(unit_col, salt)
     base = df.filter(
         v.isNotNull()
         & F.col(unit_col).isNotNull()
@@ -1369,23 +1404,7 @@ def srm_check(
     split welch/MW/KS/DiD/CUPED read. Exact longs, one double tail.
     Output: (n_units, n_a, n_b, z_stat, srm_suspected).
     """
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.lit(":"),
-                        F.col("__u").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm("__u", salt)
     units = (
         df.filter(F.col(unit_col).isNotNull())
         .select(F.col(unit_col).alias("__u"))
@@ -1444,23 +1463,7 @@ def cuped_adjust(
     """
     x = F.col(x_col).cast("decimal(18,2)")
     y = F.col(y_col).cast("decimal(18,2)")
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.lit(":"),
-                        F.col(unit_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm(unit_col, salt)
     base = units.filter(
         F.col(unit_col).isNotNull() & x.isNotNull() & y.isNotNull()
     ).select(arm.alias("__arm"), x.alias("__x"), y.alias("__y"))
@@ -1950,24 +1953,7 @@ def welch_ab_test(
     """
     group_cols = group_cols or []
     v = F.col(value_col).cast("decimal(12,2)")
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.lit(":"),
-                        F.col(unit_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm(unit_col, salt)
     base = df.filter(
         v.isNotNull() & F.col(unit_col).isNotNull()
     ).select(*group_cols, arm.alias("__arm"), v.alias("__v"))
@@ -2060,24 +2046,7 @@ def mann_whitney_u(
 
     group_cols = group_cols or []
     v = F.col(value_col).cast("decimal(12,2)")
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.lit(":"),
-                        F.col(unit_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm(unit_col, salt)
     base = df.filter(v.isNotNull() & F.col(unit_col).isNotNull()).select(
         *group_cols, arm.alias("__arm"), v.alias("__v")
     )
@@ -2275,6 +2244,7 @@ def seasonal_naive_backtest(
     period_col: str,
     group_cols: list[str] | None = None,
     season: int = 12,
+    period_index_col: str | None = None,
 ) -> DataFrame:
     """Seasonal-naive forecast backtest over a periodic count series:
     forecast(period) = count(period − season), error = absolute
@@ -2283,17 +2253,39 @@ def seasonal_naive_backtest(
     Output: one row per period with n, forecast (null for the first
     ``season`` periods) and ape (round 6).
 
-    Scale shape: corpus → one hash aggregate to (group, period)
-    counts; the lag window runs over the aggregate (calendar-bounded).
+    Season alignment: with ``period_index_col`` (an integer period
+    index the caller derives from the calendar, e.g. year·12+month)
+    the forecast joins on index − season — CALENDAR-exact even when
+    periods are missing from the data. Without it, a row-offset lag
+    over the observed periods is used, which is only correct when the
+    series is gap-free — the row-number-lag trap autocorr_daily's
+    calendar join avoids; prefer the index.
+
+    Scale shape: corpus → one hash aggregate to (group, period
+    [, index]) counts; the join/lag runs over the aggregate
+    (calendar-bounded).
     """
     from pyspark.sql.window import Window
 
     group_cols = group_cols or []
-    daily = df.groupBy(*group_cols, period_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    w = Window.partitionBy(*group_cols).orderBy(F.col(period_col).asc())
-    out = daily.withColumn("forecast", F.lag("n", season).over(w))
+    if period_index_col is not None:
+        daily = df.groupBy(
+            *group_cols, period_col, period_index_col
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        shifted = daily.select(
+            *group_cols,
+            (F.col(period_index_col) + season).alias(period_index_col),
+            F.col("n").alias("forecast"),
+        )
+        out = daily.join(
+            shifted, [*group_cols, period_index_col], "left"
+        ).drop(period_index_col)
+    else:
+        daily = df.groupBy(*group_cols, period_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy(*group_cols).orderBy(F.col(period_col).asc())
+        out = daily.withColumn("forecast", F.lag("n", season).over(w))
     ape = F.round(
         F.abs(F.col("n") - F.col("forecast")).cast("double")
         / F.col("n").cast("double"),
@@ -2363,7 +2355,9 @@ def seasonal_index_outliers(
         F.round(idx, 6).alias("seasonal_index"),
         F.round(deseason, 6).alias("deseasonalized"),
         F.round(rel, 6).alias("rel_dev"),
-        (rel > F.lit(rel_threshold)).alias("is_outlier"),
+        F.coalesce(rel > F.lit(rel_threshold), F.lit(False)).alias(
+            "is_outlier"
+        ),
     )
 
 
@@ -2459,24 +2453,7 @@ def ks_two_sample(
 
     group_cols = group_cols or []
     v = F.col(value_col).cast("decimal(12,2)")
-    arm = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.lit(":"),
-                        F.col(unit_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(2),
-    )
+    arm = _hash_arm(unit_col, salt)
     base = df.filter(v.isNotNull() & F.col(unit_col).isNotNull()).select(
         *group_cols, arm.alias("__arm"), v.alias("__v")
     )
@@ -2500,8 +2477,13 @@ def ks_two_sample(
         .withColumn("__na", F.sum("__ta").over(wall))
         .withColumn("__nb", F.sum("__tb").over(wall))
     )
+    # decimal(19,0) products: ca*nb overflows int64 once arms pass
+    # ~3e9 rows — the same discipline as kendall_tau_b's pair counts
     dnum = F.abs(
-        F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+        F.col("__ca").cast("decimal(19,0)")
+        * F.col("__nb").cast("decimal(19,0)")
+        - F.col("__cb").cast("decimal(19,0)")
+        * F.col("__na").cast("decimal(19,0)")
     )
     g = (
         cum.select(*group_cols, "__na", "__nb", dnum.alias("__dnum"))

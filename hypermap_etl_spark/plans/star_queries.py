@@ -3333,7 +3333,7 @@ SELECT event_type, n_days,
                   - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)), 6)
          AS std_daily,
        ROUND(MAX(abs_s), 6) AS max_cusum,
-       MAX(abs_s) > 3.0 * sqrt(n_days) AS drifted
+       COALESCE(MAX(abs_s) > 3.0 * sqrt(n_days), FALSE) AS drifted
 FROM cs GROUP BY event_type, n_days, sc, scc
 ORDER BY event_type
 """
@@ -3437,7 +3437,7 @@ SELECT event_type, n_days,
                   - (sc * 1.0 / n_days) * (sc * 1.0 / n_days)), 6)
          AS std_daily,
        ROUND(MAX(abs_s), 6) AS max_cusum,
-       MAX(abs_s) > 3.0 * sqrt(n_days) AS drifted
+       COALESCE(MAX(abs_s) > 3.0 * sqrt(n_days), FALSE) AS drifted
 FROM cs GROUP BY event_type, n_days, sc, scc
 ORDER BY event_type
 """
@@ -3663,19 +3663,28 @@ def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypermap_etl_spark.operators.profile import seasonal_naive_backtest
 
     o = load_table(spark, sf_dir, "orders").select(
-        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("midx"),
     )
-    return seasonal_naive_backtest(o, "month").orderBy("month")
+    return seasonal_naive_backtest(
+        o, "month", period_index_col="midx"
+    ).orderBy("month")
 
 
 SEASONAL_NAIVE_ORACLE = """
 WITH m AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+              + CAST(strftime(o_orderdate, '%m') AS BIGINT) AS BIGINT)
+           AS midx,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders GROUP BY 1
+  FROM orders GROUP BY 1, 2
 ),
 l AS (
-  SELECT month, n, lag(n, 12) OVER (ORDER BY month) AS forecast FROM m
+  SELECT a.month, a.n, b.n AS forecast
+  FROM m a LEFT JOIN m b ON b.midx + 12 = a.midx
 )
 SELECT month, n, forecast,
        CASE WHEN forecast IS NOT NULL THEN
@@ -4866,7 +4875,7 @@ mad AS (
 SELECT event_type, event_id, ROUND(value, 6) AS value,
        ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
        ROUND(ABS(value - med) / (1.4826 * mad), 6) AS robust_z,
-       ABS(value - med) / (1.4826 * mad) > 3.0 AS is_outlier
+       COALESCE(CASE WHEN mad <> 0 THEN ABS(value - med) / (1.4826 * mad) > 3.0 END, FALSE) AS is_outlier
 FROM wm JOIN mad USING (event_type)
 ORDER BY robust_z DESC, event_id ASC
 LIMIT 20
@@ -5452,7 +5461,7 @@ SELECT event_type, day, dow, n,
        ROUND(idx, 6) AS seasonal_index,
        ROUND(deseason, 6) AS deseasonalized,
        ROUND(abs(deseason - tmean) / tmean, 6) AS rel_dev,
-       abs(deseason - tmean) / tmean > CAST('0.5' AS DOUBLE) AS is_outlier
+       COALESCE(CASE WHEN tmean <> 0 THEN abs(deseason - tmean) / tmean > CAST('0.5' AS DOUBLE) END, FALSE) AS is_outlier
 FROM r ORDER BY event_type, day
 """
 

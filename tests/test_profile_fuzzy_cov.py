@@ -305,10 +305,12 @@ def test_cusum_constant_series_is_null_not_error(spark):
         [Row(g="c", day=f"d{d}") for d in range(5)]
     )
     got = cusum_drift(df, "day", ["g"]).collect()[0]
-    # zero variance: z is NULL per day (try_divide), so the statistic
-    # and verdict are NULL — never an ANSI divide-by-zero error
+    # zero variance: z is NULL per day (try_divide), so the STATISTIC
+    # is NULL — never an ANSI divide-by-zero error — while the verdict
+    # is False like every other boolean flag in the module (a NULL
+    # verdict silently drops the group from `NOT drifted` filters)
     assert got["std_daily"] == 0.0
-    assert got["max_cusum"] is None and got["drifted"] is None
+    assert got["max_cusum"] is None and got["drifted"] is False
 
 
 def test_mad_outliers_robust_to_giant_value(spark):
@@ -343,7 +345,8 @@ def test_mad_outliers_constant_group_yields_null(spark):
         ["g"],
     ).collect()
     assert all(r["mad"] == 0.0 for r in got)
-    assert all(r["robust_z"] is None and r["is_outlier"] is None for r in got)
+    # statistic NULL, verdict False (the module-wide flag convention)
+    assert all(r["robust_z"] is None and r["is_outlier"] is False for r in got)
 
 
 def test_fd_histogram_counts_and_edges(spark):
@@ -1566,3 +1569,57 @@ def test_logrank_detects_separated_survival(spark):
     t = logrank_test(tiny, "duration", "event", "g").collect()[0]
     assert t["observed_1"] == 1 and t["expected_1"] == 0.5
     assert t["z_stat"] == round(0.5 / 0.25 ** 0.5, 6)
+
+
+def test_profile_table_hostile_column_names(spark):
+    """Columns with spaces and quotes profile instead of raising out
+    of generated SQL text (the arbitrary-drop promise)."""
+    from hypermap_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["user id", "it's"])
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["user id"]["n_distinct"] == 2
+    assert rows["it's"]["n_nulls"] == 1
+
+
+def test_table_diff_fingerprint_injection_safe(spark):
+    """Separator-smuggling values and NULL-sentinel lookalikes must
+    read as CHANGED, not unchanged (the concat-collision hole)."""
+    from hypermap_etl_spark.operators.profile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1f", "b"), (2, None, "y")], "k long, c1 string, c2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "\x1fb"), (2, "\x00NULL", "y")],
+        "k long, c1 string, c2 string",
+    )
+    out = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out[1] == "changed"   # shifted separator must not collide
+    assert out[2] == "changed"   # a real '\\x00NULL' value is not NULL
+
+
+def test_seasonal_naive_index_path_survives_gaps(spark):
+    """With a missing period, the row-lag default would misalign
+    seasons; the calendar-index path keeps forecast(period) =
+    count(period - season) exactly."""
+    from hypermap_etl_spark.operators.profile import seasonal_naive_backtest
+
+    # season=3; periods p0..p7 except p4 missing; count(pi) = i+1
+    rows = []
+    for i in [0, 1, 2, 3, 5, 6, 7]:
+        rows += [(f"p{i}", i)] * (i + 1)
+    df = spark.createDataFrame(rows, "period string, idx long")
+    out = {r["period"]: r for r in seasonal_naive_backtest(
+        df, "period", season=3, period_index_col="idx").collect()}
+    # p5 forecasts from p2 (idx 5-3=2 -> count 3); p6 from p3; p7 from
+    # p4 which is MISSING -> forecast NULL (not p3's count, the row-lag
+    # misalignment)
+    assert out["p5"]["forecast"] == 3
+    assert out["p6"]["forecast"] == 4
+    assert out["p7"]["forecast"] is None
+    assert out["p0"]["forecast"] is None
+    # the row-lag default on the same gapped series DOES misalign:
+    naive = {r["period"]: r for r in seasonal_naive_backtest(
+        df, "period", season=3).collect()}
+    assert naive["p7"]["forecast"] == 4  # p3's count — the trap
