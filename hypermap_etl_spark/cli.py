@@ -1225,6 +1225,12 @@ def cmd_ab(args) -> None:
     out["mann_whitney"] = mw[0].asDict() if mw else None
     ks = profile.ks_two_sample(df, args.value_col, args.unit_col).collect()
     out["ks"] = ks[0].asDict() if ks else None
+    if args.robust:
+        w = profile.winsorize(df, args.value_col, 0.05, 0.95)
+        rw = profile.welch_ab_test(
+            w, f"{args.value_col}_w", args.unit_col
+        ).collect()
+        out["welch_winsorized"] = rw[0].asDict() if rw else None
     if args.period_col:
         d = profile.did_estimate(
             df, args.value_col, args.unit_col, args.period_col
@@ -1925,6 +1931,8 @@ def main(argv=None) -> None:
     p.add_argument("--pre-col",
                    help="pre-period covariate (one row per unit) "
                         "enables CUPED")
+    p.add_argument("--robust", action="store_true",
+                   help="add Welch over the p05/p95-winsorized value")
     p = sub.add_parser("survival", help="Kaplan-Meier curve "
                        "(+ log-rank with --group-col) over lifetimes")
     p.add_argument("--lifetimes", required=True)

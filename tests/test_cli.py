@@ -948,13 +948,15 @@ def test_cli_ab_card(spark, capsys, tmp_path):
     spark.createDataFrame(
         rows, "user_id long, value double, post int, pre double"
     ).write.parquet(p)
-    main(["ab", "--table", p, "--period-col", "post", "--pre-col", "pre"])
+    main(["ab", "--table", p, "--period-col", "post", "--pre-col", "pre",
+          "--robust"])
     card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card["srm"]["srm_suspected"] is False
     assert card["welch"]["significant"] is False
     assert card["mann_whitney"]["significant"] is False
     assert card["ks"]["distributions_differ"] is False
     assert "did" in card and "cuped" in card
+    assert card["welch_winsorized"]["significant"] is False
     assert card["did"]["significant"] is False
 
 
