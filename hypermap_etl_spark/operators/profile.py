@@ -1384,6 +1384,112 @@ def logrank_test(
     )
 
 
+def poststrat_ab(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    stratum_col: str,
+    salt: str = "ab",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Post-stratified A/B estimate — the covariate-free variance
+    reducer beside :func:`cuped_adjust` (which needs a pre-period
+    metric; this needs only a categorical): effect =
+    Σ_s w_s (ȳ_Bs − ȳ_As) with w_s each stratum's share of ALL rows,
+    removing the noise from arms landing unevenly across strata.
+    Strata where either arm is empty are EXCLUDED and surfaced via
+    n_strata_used / n_strata_total (the standard estimand caveat,
+    reported rather than silently absorbed).
+
+    Numerics: per-(stratum, arm) cells aggregate exact decimal(12,2)
+    sums and squares (the welch discipline); stratum weights are
+    exact-long ratios; the estimate and its variance
+    Σ_s w_s² (s²_As/n_As + s²_Bs/n_Bs) accumulate as 9-dp-rounded
+    decimal(38,9) terms (order-free across strata) with one double
+    tail. NULL z when any used cell has < 2 rows or the variance
+    degenerates. Output one row: (n_strata_total, n_strata_used,
+    n_a, n_b, effect_raw, effect_strat, z_strat, significant).
+    """
+    v = F.col(value_col).cast("decimal(12,2)")
+    arm = _hash_arm(unit_col, salt)
+    base = df.filter(
+        v.isNotNull()
+        & F.col(unit_col).isNotNull()
+        & F.col(stratum_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"), arm.alias("__arm"), v.alias("__v")
+    )
+    cells = base.groupBy("__s", "__arm").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    strat = cells.groupBy("__s").agg(
+        F.sum("__n").cast("long").alias("__w"),
+        F.min("__n").cast("long").alias("__minn"),
+        F.count(F.lit(1)).cast("long").alias("__arms"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__n"))).cast("long").alias("__na"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__n"))).cast("long").alias("__nb"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__sum"))).alias("__sa"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__sum"))).alias("__sb"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__ss"))).alias("__qa"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__ss"))).alias("__qb"),
+    )
+    tot = strat.agg(F.sum("__w").cast("long").alias("__t"))
+    used = strat.filter(F.col("__arms") == 2).crossJoin(F.broadcast(tot))
+    wna, wnb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    ws = F.col("__w").cast("double") / F.col("__t").cast("double")
+    diff = (
+        F.col("__sb").cast("double") / wnb
+        - F.col("__sa").cast("double") / wna
+    )
+    var_a = (
+        F.col("__qa").cast("double")
+        - F.col("__sa").cast("double") * F.col("__sa").cast("double") / wna
+    ) / (wna - F.lit(1.0))
+    var_b = (
+        F.col("__qb").cast("double")
+        - F.col("__sb").cast("double") * F.col("__sb").cast("double") / wnb
+    ) / (wnb - F.lit(1.0))
+    eff_term = F.round(ws * diff, 9).cast("decimal(38,9)")
+    var_term = F.when(
+        F.col("__minn") >= 2,
+        F.round(ws * ws * (var_a / wna + var_b / wnb), 9),
+    ).cast("decimal(38,9)")
+    g = used.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_used"),
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+        F.sum("__sa").alias("__tsa"),
+        F.sum("__sb").alias("__tsb"),
+        F.sum(eff_term).alias("__eff"),
+        F.sum(var_term).alias("__var"),
+        F.min("__minn").cast("long").alias("__cellmin"),
+    )
+    n_tot = strat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_total")
+    )
+    eff = F.col("__eff").cast("double")
+    var = F.col("__var").cast("double")
+    raw = (
+        F.col("__tsb").cast("double") / F.col("n_b").cast("double")
+        - F.col("__tsa").cast("double") / F.col("n_a").cast("double")
+    )
+    z = F.when(
+        (F.col("__cellmin") >= 2) & (var > 0), eff / F.sqrt(var)
+    )
+    return g.crossJoin(F.broadcast(n_tot)).select(
+        "n_strata_total",
+        "n_strata_used",
+        "n_a",
+        "n_b",
+        F.round(raw, 6).alias("effect_raw"),
+        F.round(eff, 6).alias("effect_strat"),
+        F.round(z, 6).alias("z_strat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias("significant"),
+    )
+
+
 def srm_check(
     df: DataFrame,
     unit_col: str,

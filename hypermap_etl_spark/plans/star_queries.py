@@ -5803,6 +5803,85 @@ FROM f ORDER BY event_type
 """
 
 
+def events_poststrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/A estimate with event_type strata
+    (profile.poststrat_ab): the covariate-free variance reducer —
+    truth 0 on the hash split, the stratified z quiet. Exact decimal
+    cells; per-stratum effect/variance terms round to 9 dp into
+    decimal sums."""
+    from hypermap_etl_spark.operators.profile import poststrat_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    return poststrat_ab(ev, "value", "user_id", "event_type")
+
+
+POSTSTRAT_ORACLE = """
+WITH base AS (
+  SELECT event_type AS s,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+),
+cells AS (
+  SELECT s, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS sm, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+strat AS (
+  SELECT s, CAST(SUM(n) AS BIGINT) AS w,
+         CAST(MIN(n) AS BIGINT) AS minn,
+         CAST(COUNT(*) AS BIGINT) AS arms,
+         MAX(CASE WHEN arm = 0 THEN n END) AS na,
+         MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+         MAX(CASE WHEN arm = 0 THEN sm END) AS sa,
+         MAX(CASE WHEN arm = 1 THEN sm END) AS sb,
+         MAX(CASE WHEN arm = 0 THEN ss END) AS qa,
+         MAX(CASE WHEN arm = 1 THEN ss END) AS qb
+  FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_strata_total FROM strat),
+used AS (
+  SELECT strat.*, tot.t,
+         CAST(w AS DOUBLE) / CAST(t AS DOUBLE) AS ws,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+           - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS diff,
+         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+            / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+            / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+  FROM strat CROSS JOIN tot WHERE arms = 2
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_used,
+         CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+         SUM(sa) AS tsa, SUM(sb) AS tsb,
+         SUM(CAST(ROUND(ws * diff, 9) AS DECIMAL(38,9))) AS eff,
+         SUM(CASE WHEN minn >= 2 THEN
+               CAST(ROUND(ws * ws * (va / CAST(na AS DOUBLE)
+                                     + vb / CAST(nb AS DOUBLE)), 9)
+                    AS DECIMAL(38,9)) END) AS var,
+         CAST(MIN(minn) AS BIGINT) AS cellmin
+  FROM used
+)
+SELECT tot.n_strata_total, n_strata_used, n_a, n_b,
+       ROUND(CAST(tsb AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(tsa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS effect_raw,
+       ROUND(CAST(eff AS DOUBLE), 6) AS effect_strat,
+       ROUND(CASE WHEN cellmin >= 2 AND CAST(var AS DOUBLE) > 0
+                  THEN CAST(eff AS DOUBLE) / sqrt(CAST(var AS DOUBLE))
+             END, 6) AS z_strat,
+       COALESCE(abs(CASE WHEN cellmin >= 2 AND CAST(var AS DOUBLE) > 0
+                         THEN CAST(eff AS DOUBLE)
+                              / sqrt(CAST(var AS DOUBLE)) END)
+                > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM g CROSS JOIN tot
+"""
+
+
 def events_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects on the hash split: per event type,
     the p50 and p90 of each arm's value and their differences — where
@@ -7353,6 +7432,7 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ab_welch": (events_ab_welch, WELCH_ORACLE),
     "events_ab_welch_robust": (events_ab_welch_robust, WELCH_ROBUST_ORACLE),
     "events_qte": (events_qte, QTE_ORACLE),
+    "events_poststrat": (events_poststrat, POSTSTRAT_ORACLE),
     "customer_linkage": (customer_linkage, LINKAGE_ORACLE),
     "customer_linkage2": (customer_linkage2, LINKAGE2_ORACLE),
     "customer_golden_record": (customer_golden_record, GOLDEN_RECORD_ORACLE),
