@@ -115,6 +115,11 @@ _WINDOW: list[str] = [
 # grouped_weighted_quantile), doc_skipgram_cooc (_skipgram_pairs
 # factored out), hm_entries' incremental sibling (checkpointed
 # restricted log — unit-certified path, test_incremental 4/4).
+# Second continuation wave (this session, drive_gates-green on
+# registration): events_permutation_test (md5-seeded Fisher
+# re-randomization, add-one p from exact replicate counts) and
+# events_fdr_bh (integer-exact Benjamini–Hochberg step-up over those
+# rational p-values — no float enters the reject decision).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -2613,3 +2613,198 @@ def ks_two_sample(
         F.round(crit, 6).alias("ks_crit"),
         (d > crit).alias("distributions_differ"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    n_permutations: int = 199,
+    salt: str = "ab",
+) -> DataFrame:
+    """Fisher-style permutation test of the hash-split mean difference —
+    the assumption-free sibling of :func:`welch_ab_test` (no normality,
+    no variance formula): the observed |mean_A − mean_B| is compared
+    against the null distribution generated by re-randomizing every
+    unit's arm, and the p-value is the exact COUNT of replicates at
+    least as extreme, (cnt_ge + 1) / (n_perms + 1) — the add-one form
+    of Phipson & Smyth that never reports p = 0.
+
+    Determinism: replicate r reassigns a unit by md5('perm:r:unit')
+    parity (replicate 0 IS the observed md5(salt:unit) split) —
+    bit-reproducible in any engine, layout-independent. Sums accumulate
+    in decimal(12,2) (exact); each replicate's mean difference is two
+    correctly-rounded double divisions and one subtraction, so the
+    >= comparison against the observed difference is engine-identical.
+
+    Replicates where either arm is empty carry no information about
+    the mean difference and are excluded (n_perms counts survivors);
+    a group whose OBSERVED split is degenerate is dropped entirely.
+
+    Scale shape: the ×(R+1) row expansion happens map-side and is
+    folded by the partial aggregate before the shuffle — the exchange
+    carries |groups|·(R+1) rows, not |corpus|·R (the bootstrap_ci
+    discipline). Everything after runs on |groups| rows.
+    """
+    if n_permutations < 1:
+        raise ValueError("permutation_test: need n_permutations >= 1")
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    base = df.filter(
+        v.isNotNull() & F.col(unit_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(unit_col).cast("string").alias("__u"),
+        v.alias("__v"),
+    )
+    rep = base.select(
+        *group_cols,
+        "__u",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_permutations))).alias("__r"),
+    )
+    perm_arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("__r").cast("string"),
+                        F.lit(":"),
+                        F.col("__u"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    arm = F.when(F.col("__r") == 0, _hash_arm("__u", salt)).otherwise(perm_arm)
+    g = (
+        rep.select(*group_cols, "__r", arm.alias("__arm"), "__v")
+        .groupBy(*group_cols, "__r")
+        .agg(
+            F.count(F.when(F.col("__arm") == 0, F.lit(1))).alias("__n_a"),
+            F.count(F.when(F.col("__arm") == 1, F.lit(1))).alias("__n_b"),
+            F.sum(F.when(F.col("__arm") == 0, F.col("__v"))).alias("__s_a"),
+            F.sum(F.when(F.col("__arm") == 1, F.col("__v"))).alias("__s_b"),
+        )
+        .filter((F.col("__n_a") > 0) & (F.col("__n_b") > 0))
+    )
+    diff = (
+        F.col("__s_a").cast("double") / F.col("__n_a").cast("double")
+        - F.col("__s_b").cast("double") / F.col("__n_b").cast("double")
+    )
+    d = g.select(*group_cols, "__r", "__n_a", "__n_b", diff.alias("__diff"))
+    obs = d.filter(F.col("__r") == 0).select(
+        *group_cols,
+        F.col("__n_a").cast("long").alias("n_a"),
+        F.col("__n_b").cast("long").alias("n_b"),
+        F.col("__diff").alias("__d_obs"),
+    )
+    perms = d.filter(F.col("__r") > 0).select(
+        *[F.col(c).alias(f"__p_{c}") for c in group_cols],
+        F.col("__diff").alias("__d_perm"),
+    )
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"__p_{c}"))
+    ge = F.when(
+        F.abs(F.col("__d_perm")) >= F.abs(F.col("__d_obs")), F.lit(1)
+    ).otherwise(F.lit(0))
+    out = (
+        obs.join(perms, cond, "left")
+        .groupBy(*group_cols, "n_a", "n_b", "__d_obs")
+        .agg(
+            F.count("__d_perm").cast("long").alias("n_perms"),
+            F.coalesce(F.sum(ge), F.lit(0)).cast("long").alias("cnt_ge"),
+        )
+    )
+    p = (F.col("cnt_ge").cast("double") + F.lit(1.0)) / (
+        F.col("n_perms").cast("double") + F.lit(1.0)
+    )
+    return out.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(F.col("__d_obs"), 6).alias("diff_obs"),
+        "n_perms",
+        "cnt_ge",
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key_cols: list[str],
+    count_col: str = "cnt_ge",
+    trials_col: str = "n_perms",
+    q_num: int = 1,
+    q_den: int = 10,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over permutation p-values —
+    INTEGER-exact end to end. The input is one row per hypothesis
+    (e.g. :func:`permutation_test` output) carrying the exact rational
+    p = (count + 1) / (trials + 1); the BH step-up rule
+    p_(i) <= i·q/m is evaluated as
+
+        (count_i + 1) · q_den · m  <=  i · q_num · (trials_i + 1)
+
+    — pure int64 arithmetic, no float ever enters the reject decision
+    (cross-engine float comparison at a threshold is exactly the bug
+    class this avoids). Ranking uses the correctly-rounded double of
+    the rational (identical in any IEEE engine) with the key as the
+    total tie-break. Every hypothesis at rank <= the largest passing
+    rank is rejected (the step-up rule rejects non-monotone passers'
+    prefixes too).
+
+    Scale shape: the input is an aggregate — one row per hypothesis
+    family member — so the unpartitioned rank window is bounded by the
+    number of hypotheses, never corpus rows. Run the corpus-sized
+    work (the permutation test) first; this is a driver-scale epilogue
+    that stays in the engine.
+    """
+    if q_num <= 0 or q_den <= 0:
+        raise ValueError("bh_fdr: q must be a positive rational")
+    from pyspark.sql.window import Window
+
+    cnt = F.col(count_col).cast("long")
+    tri = F.col(trials_col).cast("long")
+    p_dbl = (cnt.cast("double") + F.lit(1.0)) / (tri.cast("double") + F.lit(1.0))
+    w = Window.orderBy(p_dbl.asc(), *[F.col(c).asc() for c in key_cols])
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tests.select(
+        *key_cols,
+        cnt.alias("__cnt"),
+        tri.alias("__tri"),
+        F.round(p_dbl, 6).alias("p_value"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).withColumn("__m", F.count(F.lit(1)).over(wall).cast("long"))
+    passed = (F.col("__cnt") + F.lit(1)) * F.lit(q_den) * F.col("__m") <= (
+        F.col("rank") * F.lit(q_num) * (F.col("__tri") + F.lit(1))
+    )
+    k = F.max(F.when(passed, F.col("rank"))).over(wall)
+    cutoff = (
+        F.col("rank").cast("double")
+        * F.lit(float(q_num))
+        / (F.lit(float(q_den)) * F.col("__m").cast("double"))
+    )
+    return (
+        ranked.withColumn("__k", k)
+        .select(
+            *key_cols,
+            "p_value",
+            "rank",
+            F.round(cutoff, 6).alias("bh_cutoff"),
+            (F.col("rank") <= F.coalesce(F.col("__k"), F.lit(0))).alias(
+                "reject"
+            ),
+        )
+        .orderBy("rank")
+    )

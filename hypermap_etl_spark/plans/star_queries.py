@@ -7297,6 +7297,126 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the A/A hash-split mean difference per
+    event type (profile.permutation_test, R=199): md5-seeded
+    re-randomizations, exact decimal sums, add-one p-value from exact
+    replicate counts — the assumption-free significance check that
+    composes with bh_fdr below."""
+    from hypermap_etl_spark.operators.profile import permutation_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return permutation_test(
+        ev, "value", "user_id", ["event_type"], n_permutations=199
+    ).orderBy("event_type")
+
+
+_PERM_CTE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) AS u,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+rep AS (
+  SELECT event_type, u, v, CAST(t.r AS INT) AS r
+  FROM base, range(0, 200) t(r)
+),
+armd AS (
+  SELECT event_type, r,
+    CASE WHEN r = 0
+      THEN CAST('0x' || substr(md5('ab:' || u), 1, 8) AS BIGINT) % 2
+      ELSE CAST('0x' || substr(md5('perm:' || CAST(r AS VARCHAR)
+                || ':' || u), 1, 8) AS BIGINT) % 2
+    END AS arm, v
+  FROM rep
+),
+g AS (
+  SELECT event_type, r,
+    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+    SUM(CASE WHEN arm = 0 THEN v END) AS s_a,
+    SUM(CASE WHEN arm = 1 THEN v END) AS s_b
+  FROM armd GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, r, n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
+  FROM g WHERE n_a > 0 AND n_b > 0
+),
+obs AS (SELECT event_type, n_a, n_b, diff AS d_obs FROM d WHERE r = 0),
+perm AS (SELECT event_type, diff FROM d WHERE r > 0),
+ptab AS (
+  SELECT o.event_type,
+    CAST(o.n_a AS BIGINT) AS n_a, CAST(o.n_b AS BIGINT) AS n_b,
+    ROUND(o.d_obs, 6) AS diff_obs,
+    CAST(COUNT(p.diff) AS BIGINT) AS n_perms,
+    CAST(COALESCE(SUM(CASE WHEN abs(p.diff) >= abs(o.d_obs)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt_ge
+  FROM obs o LEFT JOIN perm p USING (event_type)
+  GROUP BY o.event_type, o.n_a, o.n_b, o.d_obs
+)
+"""
+
+PERMUTATION_ORACLE = (
+    _PERM_CTE
+    + """
+SELECT event_type, n_a, n_b, diff_obs, n_perms, cnt_ge,
+  ROUND((cnt_ge + 1.0) / (n_perms + 1.0), 6) AS p_value
+FROM ptab ORDER BY event_type
+"""
+)
+
+
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over the per-event-type permutation
+    p-values at q = 1/10 (profile.permutation_test -> profile.bh_fdr):
+    the reject decision is pure int64 arithmetic on exact replicate
+    counts — (cnt+1)*10*m <= rank*(R+1) — so no float threshold
+    comparison can ever diverge between engines. On the A/A split the
+    expected outcome is an empty reject set; the gate pins the whole
+    multiple-testing epilogue either way."""
+    from hypermap_etl_spark.operators.profile import bh_fdr, permutation_test
+
+    ev = load_table(spark, sf_dir, "events")
+    p = permutation_test(
+        ev, "value", "user_id", ["event_type"], n_permutations=199
+    )
+    return bh_fdr(p, ["event_type"], q_num=1, q_den=10)
+
+
+FDR_BH_ORACLE = (
+    _PERM_CTE
+    + """
+, ranked AS (
+  SELECT event_type, cnt_ge, n_perms,
+    ROUND((cnt_ge + 1.0) / (n_perms + 1.0), 6) AS p_value,
+    CAST(row_number() OVER (
+      ORDER BY (cnt_ge + 1.0) / (n_perms + 1.0), event_type
+    ) AS BIGINT) AS rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM ptab
+),
+marked AS (
+  SELECT *,
+    ((cnt_ge + 1) * 10 * m <= rank * (n_perms + 1)) AS passed
+  FROM ranked
+),
+kk AS (
+  SELECT *, MAX(CASE WHEN passed THEN rank END) OVER () AS k
+  FROM marked
+)
+SELECT event_type, p_value, rank,
+  ROUND(CAST(rank AS DOUBLE) / (10.0 * CAST(m AS DOUBLE)), 6) AS bh_cutoff,
+  (rank <= COALESCE(k, 0)) AS reject
+FROM kk ORDER BY rank
+"""
+)
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7446,4 +7566,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "orders_mase": (orders_mase, MASE_ORACLE),
     "customer_l_diversity": (customer_l_diversity, L_DIVERSITY_ORACLE),
     "customer_t_closeness": (customer_t_closeness, T_CLOSENESS_ORACLE),
+    "events_permutation_test": (events_permutation_test, PERMUTATION_ORACLE),
+    "events_fdr_bh": (events_fdr_bh, FDR_BH_ORACLE),
 }

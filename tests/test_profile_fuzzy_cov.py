@@ -1673,3 +1673,107 @@ def test_poststrat_removes_stratum_imbalance(spark):
     )
     l = poststrat_ab(lifted, "value", "user_id", "s").collect()[0]
     assert abs(l["effect_strat"] - 2.0) < 0.3 and l["significant"] is True
+
+
+def test_permutation_test_detects_planted_effect(spark):
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import permutation_test
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # a huge planted effect on the REAL split: no re-randomization can
+    # reproduce it, so the p-value must be the add-one floor 1/(R+1)
+    rows = [
+        ("g", uid, 100.0 if arm(uid) == 0 else 1.0) for uid in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    out = permutation_test(
+        df, "value", "user_id", ["g"], n_permutations=49
+    ).collect()[0]
+    assert out["n_a"] + out["n_b"] == 300
+    assert out["n_perms"] == 49 and out["cnt_ge"] == 0
+    assert out["p_value"] == pytest.approx(1 / 50, abs=1e-6)
+    assert abs(out["diff_obs"]) == pytest.approx(99.0, abs=1e-6)
+
+    # A/A null: values independent of the arm -> p well above 0.05
+    null_rows = [("g", uid, float(uid % 13)) for uid in range(600)]
+    nd = spark.createDataFrame(
+        null_rows, "g string, user_id long, value double"
+    )
+    nout = permutation_test(
+        nd, "value", "user_id", ["g"], n_permutations=49
+    ).collect()[0]
+    assert nout["p_value"] > 0.05
+
+    # single-unit group: observed split degenerate -> no row
+    tiny = spark.createDataFrame(
+        [("g", 1, 1.0)], "g string, user_id long, value double"
+    )
+    assert (
+        permutation_test(tiny, "value", "user_id", ["g"], 9).count() == 0
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        permutation_test(df, "value", "user_id", ["g"], n_permutations=0)
+
+
+def test_bh_fdr_known_reject_set(spark):
+    from hypermap_etl_spark.operators.profile import bh_fdr
+
+    # hand-built permutation counts, R=99 everywhere: p-values are
+    # (cnt+1)/100. m=5, q=0.1 -> cutoffs 0.02, 0.04, 0.06, 0.08, 0.10.
+    # p = [0.01, 0.03, 0.05, 0.20, 0.90]: ranks 1-3 pass their
+    # cutoffs (0.01<=0.02, 0.03<=0.04, 0.05<=0.06), rank 4 fails
+    # (0.20>0.08), so k=3 and ranks 1..3 reject.
+    rows = [
+        ("a", 0, 99),
+        ("b", 2, 99),
+        ("c", 4, 99),
+        ("d", 19, 99),
+        ("e", 89, 99),
+    ]
+    df = spark.createDataFrame(rows, "key string, cnt_ge long, n_perms long")
+    out = bh_fdr(
+        df, ["key"], count_col="cnt_ge", trials_col="n_perms"
+    ).collect()
+    got = {r["key"]: (r["rank"], r["reject"]) for r in out}
+    assert got == {
+        "a": (1, True),
+        "b": (2, True),
+        "c": (3, True),
+        "d": (4, False),
+        "e": (5, False),
+    }
+    # cutoffs follow rank*q/m
+    cut = {r["key"]: r["bh_cutoff"] for r in out}
+    assert cut["a"] == pytest.approx(0.02)
+    assert cut["e"] == pytest.approx(0.10)
+
+    # step-up property: a non-monotone passer rescues everything
+    # above it. p = [0.09, 0.09, 0.059]: rank-3 cutoff 0.06 passes,
+    # ranks 1-2 (cutoffs 0.02/0.04) fail alone but reject anyway.
+    rows2 = [("x", 8, 99), ("y", 8, 99), ("z", 5, 99)]
+    df2 = spark.createDataFrame(
+        rows2, "key string, cnt_ge long, n_perms long"
+    )
+    out2 = bh_fdr(df2, ["key"]).collect()
+    assert all(r["reject"] for r in out2)
+
+    # nothing passes -> empty reject set, never NULL
+    rows3 = [("x", 50, 99), ("y", 80, 99)]
+    df3 = spark.createDataFrame(
+        rows3, "key string, cnt_ge long, n_perms long"
+    )
+    assert [r["reject"] for r in bh_fdr(df3, ["key"]).collect()] == [
+        False,
+        False,
+    ]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bh_fdr(df3, ["key"], q_num=0)
