@@ -119,7 +119,10 @@ _WINDOW: list[str] = [
 # registration): events_permutation_test (md5-seeded Fisher
 # re-randomization, add-one p from exact replicate counts) and
 # events_fdr_bh (integer-exact Benjamini–Hochberg step-up over those
-# rational p-values — no float enters the reject decision).
+# rational p-values — no float enters the reject decision);
+# events_delta_ratio (delta-method ratio-metric z-test, per-unit
+# clustered) and events_ab_power (MDE from the split's own moments —
+# the design readout).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -2808,3 +2808,178 @@ def bh_fdr(
         )
         .orderBy("rank")
     )
+
+
+def ratio_metric_ab(
+    df: DataFrame,
+    num_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ab",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Delta-method z-test for a RATIO metric on the hash split — the
+    per-unit-clustered estimator for metrics like value-per-event,
+    where the naive row-level Welch test is wrong twice over: rows of
+    one unit are correlated, and the metric is a ratio of two random
+    totals (Σ value / Σ events), not a mean of iid rows.
+
+    Per arm, with per-unit totals x_i (numerator) and y_i (row count):
+    R = Σx/Σy and, by the delta method (Deng et al.'s large-scale A/B
+    formulation), Var(R) ≈ (σ²_x − 2·R·σ_xy + R²·σ²_y) / (n·ȳ²) over
+    the n units. z = (R_A − R_B) / sqrt(Var_A + Var_B).
+
+    Numerics: both aggregation stages accumulate exact decimals /
+    longs (per-unit totals, then Σx, Σy, Σx², Σy², Σxy), so the only
+    floats are ONE fixed-order double expression per arm — correctly
+    rounded, engine-identical, pinned by the oracle.
+
+    Scale shape: two map-combined hash aggregates — corpus →
+    (group, arm, unit), then → (group, arm) — and a groups-sized
+    self-join. No windows, no corpus-wide sort.
+    """
+    group_cols = group_cols or []
+    v = F.col(num_col).cast("decimal(12,2)")
+    per_unit = (
+        df.filter(v.isNotNull() & F.col(unit_col).isNotNull())
+        .select(
+            *group_cols,
+            _hash_arm(unit_col, salt).alias("__arm"),
+            F.col(unit_col).cast("string").alias("__u"),
+            v.alias("__v"),
+        )
+        .groupBy(*group_cols, "__arm", "__u")
+        .agg(
+            F.sum("__v").cast("decimal(18,2)").alias("__x"),
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("__y"),
+        )
+    )
+    x, y = F.col("__x"), F.col("__y")
+    agg = per_unit.groupBy(*group_cols, "__arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(x * x).cast("decimal(38,4)").alias("sxx"),
+        F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+        F.sum(x * y).cast("decimal(38,2)").alias("sxy"),
+    )
+
+    def side(tag: str, arm: int) -> DataFrame:
+        cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        return agg.filter(F.col("__arm") == arm).select(
+            *group_cols, *[F.col(c).alias(f"{c}_{tag}") for c in cols]
+        )
+
+    a, b = side("a", 0), side("b", 1)
+    j = (
+        a.join(b, list(group_cols)) if group_cols else a.crossJoin(b)
+    ).filter(
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (F.col("sy_a") > 0)
+        & (F.col("sy_b") > 0)
+    )
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        r = sx / sy
+        ybar = sy / n
+        vx = F.greatest((sxx - sx * sx / n) / (n - F.lit(1.0)), F.lit(0.0))
+        vy = F.greatest((syy - sy * sy / n) / (n - F.lit(1.0)), F.lit(0.0))
+        cxy = (sxy - sx * sy / n) / (n - F.lit(1.0))
+        var = F.greatest(
+            (vx - F.lit(2.0) * r * cxy + r * r * vy) / (n * ybar * ybar),
+            F.lit(0.0),
+        )
+        return r, var
+
+    r_a, var_a = stats("a")
+    r_b, var_b = stats("b")
+    z = F.try_divide(r_a - r_b, F.sqrt(var_a + var_b))
+    return j.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(r_a, 6).alias("ratio_a"),
+        F.round(r_b, 6).alias("ratio_b"),
+        F.round(F.sqrt(var_a + var_b), 6).alias("se"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(crit), F.lit(False)).alias("significant"),
+    )
+
+
+def power_mde(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ab",
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect of the CURRENT experiment design —
+    the pre-registration question ("how small a lift could this split
+    even see?") answered from the split's own moments: with per-arm
+    standard errors se²_A, se²_B from the hash split,
+
+        MDE = (z_{1−α/2} + z_{power}) · sqrt(se²_A + se²_B)
+
+    at the conventional α = 5% two-sided / 80% power (z constants are
+    caller-overridable literals — quantile functions never enter the
+    engine, so there is nothing to diverge). mde_rel scales by the
+    pooled mean, the lift language product teams actually use.
+
+    Numerics and scale shape are exactly :func:`welch_ab_test`: one
+    map-combined hash aggregate keyed (group, arm) over exact decimal
+    sums, then a groups-sized join and one fixed-order double
+    expression.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    base = df.filter(
+        v.isNotNull() & F.col(unit_col).isNotNull()
+    ).select(*group_cols, _hash_arm(unit_col, salt).alias("__arm"), v.alias("__v"))
+    agg = base.groupBy(*group_cols, "__arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ss"),
+    )
+
+    def side(tag: str, arm: int) -> DataFrame:
+        return agg.filter(F.col("__arm") == arm).select(
+            *group_cols,
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"__s_{tag}"),
+            F.col("ss").alias(f"__ss_{tag}"),
+        )
+
+    a, b = side("a", 0), side("b", 1)
+    j = (
+        a.join(b, list(group_cols)) if group_cols else a.crossJoin(b)
+    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+
+    def se2(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        ss = F.col(f"__ss_{tag}").cast("double")
+        var = F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        return var / n
+
+    mde = (F.lit(alpha_z) + F.lit(power_z)) * F.sqrt(se2("a") + se2("b"))
+    mean_all = (
+        (F.col("__s_a") + F.col("__s_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return j.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(mean_all, 6).alias("mean_all"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.try_divide(mde, mean_all), 6).alias("mde_rel"),
+    )

@@ -7417,6 +7417,162 @@ FROM kk ORDER BY rank
 
 
 
+
+def events_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric test (value per event, clustered by
+    user) on the A/A hash split (profile.ratio_metric_ab): per-user
+    totals first, then exact moment sums, then one fixed-order double
+    expression per arm — the estimator that is valid when rows within
+    a user are correlated and the metric is a ratio of totals."""
+    from hypermap_etl_spark.operators.profile import ratio_metric_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    return ratio_metric_ab(
+        ev, "value", "user_id", ["event_type"]
+    ).orderBy("event_type")
+
+
+DELTA_RATIO_ORACLE = """
+WITH per_unit AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2 AS arm,
+    CAST(user_id AS VARCHAR) AS u,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS x,
+    CAST(COUNT(*) AS DECIMAL(18,0)) AS y
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+    CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy
+  FROM per_unit GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+    a.n AS n_a, a.sx AS sx_a, a.sy AS sy_a,
+    a.sxx AS sxx_a, a.syy AS syy_a, a.sxy AS sxy_a,
+    b.n AS n_b, b.sx AS sx_b, b.sy AS sy_b,
+    b.sxx AS sxx_b, b.syy AS syy_b, b.sxy AS sxy_b
+  FROM agg a JOIN agg b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+    AND a.sy > 0 AND b.sy > 0
+),
+c AS (
+  SELECT event_type, n_a, n_b,
+    CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
+    CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
+    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ybar_a,
+    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS ybar_b,
+    GREATEST((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE)
+              * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE)) AS vx_a,
+    GREATEST((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE)
+              * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE)) AS vy_a,
+    (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE)
+     * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      / (CAST(n_a AS DOUBLE) - 1.0) AS cxy_a,
+    GREATEST((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE)
+              * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE)) AS vx_b,
+    GREATEST((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE)
+              * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE)) AS vy_b,
+    (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE)
+     * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      / (CAST(n_b AS DOUBLE) - 1.0) AS cxy_b
+  FROM j
+),
+v AS (
+  SELECT event_type, n_a, n_b, r_a, r_b,
+    GREATEST((vx_a - 2.0 * r_a * cxy_a + r_a * r_a * vy_a)
+             / (CAST(n_a AS DOUBLE) * ybar_a * ybar_a),
+             CAST(0 AS DOUBLE)) AS var_a,
+    GREATEST((vx_b - 2.0 * r_b * cxy_b + r_b * r_b * vy_b)
+             / (CAST(n_b AS DOUBLE) * ybar_b * ybar_b),
+             CAST(0 AS DOUBLE)) AS var_b
+  FROM c
+)
+SELECT event_type, n_a, n_b,
+  ROUND(r_a, 6) AS ratio_a, ROUND(r_b, 6) AS ratio_b,
+  ROUND(sqrt(var_a + var_b), 6) AS se,
+  ROUND(CASE WHEN sqrt(var_a + var_b) <> 0
+             THEN (r_a - r_b) / sqrt(var_a + var_b) END, 6) AS z_stat,
+  COALESCE(abs((r_a - r_b) / sqrt(var_a + var_b))
+           > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM v ORDER BY event_type
+"""
+
+
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the events hash split per event
+    type (profile.power_mde): the 5%-two-sided / 80%-power MDE from
+    the split's own exact-decimal moments, absolute and relative to
+    the pooled mean — the design readout teams consult before trusting
+    a flat experiment result."""
+    from hypermap_etl_spark.operators.profile import power_mde
+
+    ev = load_table(spark, sf_dir, "events")
+    return power_mde(ev, "value", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+POWER_MDE_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+  FROM agg a JOIN agg b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+),
+c AS (
+  SELECT event_type, n_a, n_b, s_a, s_b,
+    GREATEST((CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS se2_a,
+    GREATEST((CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS se2_b
+  FROM j
+),
+f AS (
+  SELECT event_type, n_a, n_b,
+    CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS mean_all,
+    (CAST('1.959964' AS DOUBLE) + CAST('0.841621' AS DOUBLE))
+      * sqrt(se2_a + se2_b) AS mde
+  FROM c
+)
+SELECT event_type, n_a, n_b,
+  ROUND(mean_all, 6) AS mean_all,
+  ROUND(mde, 6) AS mde_abs,
+  ROUND(CASE WHEN mean_all <> 0 THEN mde / mean_all END, 6) AS mde_rel
+FROM f ORDER BY event_type
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7568,4 +7724,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "customer_t_closeness": (customer_t_closeness, T_CLOSENESS_ORACLE),
     "events_permutation_test": (events_permutation_test, PERMUTATION_ORACLE),
     "events_fdr_bh": (events_fdr_bh, FDR_BH_ORACLE),
+    "events_delta_ratio": (events_delta_ratio, DELTA_RATIO_ORACLE),
+    "events_ab_power": (events_ab_power, POWER_MDE_ORACLE),
 }

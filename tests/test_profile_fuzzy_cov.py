@@ -1777,3 +1777,64 @@ def test_bh_fdr_known_reject_set(spark):
 
     with _pt.raises(ValueError):
         bh_fdr(df3, ["key"], q_num=0)
+
+
+def test_ratio_metric_ab_detects_clustered_ratio_effect(spark):
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import ratio_metric_ab
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # per-user value-per-row is 10 in arm A, 12 in arm B, with varying
+    # rows per user — the ratio estimator must recover ~10 vs ~12
+    rows = []
+    for uid in range(400):
+        per_row = 10.0 if arm(uid) == 0 else 12.0
+        for i in range(1 + uid % 5):
+            rows.append(("g", uid, per_row + 0.1 * (i % 3)))
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    out = ratio_metric_ab(df, "value", "user_id", ["g"]).collect()[0]
+    assert abs(out["ratio_a"] - 10.1) < 0.1
+    assert abs(out["ratio_b"] - 12.1) < 0.1
+    assert out["significant"] and out["z_stat"] < -100
+
+    # A/A: same generator in both arms -> not significant
+    null_rows = []
+    for uid in range(800):
+        for i in range(1 + uid % 3):
+            null_rows.append(("g", uid, float(uid % 7) + i))
+    nd = spark.createDataFrame(
+        null_rows, "g string, user_id long, value double"
+    )
+    nout = ratio_metric_ab(nd, "value", "user_id", ["g"]).collect()[0]
+    assert not nout["significant"]
+
+    # an arm with <=1 unit emits no row
+    tiny = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 3, 2.0)],
+        "g string, user_id long, value double",
+    )
+    assert ratio_metric_ab(tiny, "value", "user_id", ["g"]).count() <= 1
+
+
+def test_power_mde_shrinks_with_sample_size(spark):
+    from hypermap_etl_spark.operators.profile import power_mde
+
+    small = spark.createDataFrame(
+        [("g", uid, float(uid % 20)) for uid in range(200)],
+        "g string, user_id long, value double",
+    )
+    big = spark.createDataFrame(
+        [("g", uid, float(uid % 20)) for uid in range(3200)],
+        "g string, user_id long, value double",
+    )
+    s = power_mde(small, "value", "user_id", ["g"]).collect()[0]
+    b = power_mde(big, "value", "user_id", ["g"]).collect()[0]
+    assert s["mde_abs"] > 0 and b["mde_abs"] > 0
+    # 16x the sample -> ~4x smaller MDE
+    assert b["mde_abs"] < s["mde_abs"] / 2.5
+    assert s["mde_rel"] == pytest.approx(
+        s["mde_abs"] / s["mean_all"], rel=1e-4
+    )
