@@ -122,7 +122,8 @@ _WINDOW: list[str] = [
 # rational p-values — no float enters the reject decision);
 # events_delta_ratio (delta-method ratio-metric z-test, per-unit
 # clustered) and events_ab_power (MDE from the split's own moments —
-# the design readout).
+# the design readout); doc_model_lift (decile lift/cumulative-gains
+# table, int64 band assignment over the distributed global rank).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

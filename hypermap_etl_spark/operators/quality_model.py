@@ -816,3 +816,100 @@ def isotonic_calibrate(
         sorted(out),
         "bin int, lo double, hi double, n long, rate double, calibrated double",
     )
+
+
+def lift_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_bands: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    readout of a scoring model ("mail the top 2 deciles"): rows sort
+    by score descending, split into ``n_bands`` equal bands, and each
+    band reports its response rate, lift over the base rate, and the
+    cumulative share of all positives captured down to that band.
+
+    Band assignment uses scale.global_rank over the UNIQUE order
+    (score desc, id asc) — the range-shuffle + per-partition-offset
+    construction, never a single-partition `ntile() OVER (ORDER BY)` —
+    and the band index is pure int64 arithmetic,
+    ((rank−1)·n_bands) div n, so no float can misplace a boundary row.
+    Ties at a score split by id, identically in any engine.
+
+    Output per band (0 = best-scored): n, n_pos, resp_rate, lift,
+    cum_n, cum_pos, cum_gain (recall at depth), cum_lift — every rate
+    a ratio of exact longs, rounded 6.
+
+    Scale shape: one distributed rank pass over the corpus, ONE hash
+    aggregate to n_bands rows, then windows over those n_bands rows.
+    """
+    if n_bands < 2:
+        raise ValueError("lift_table: need n_bands >= 2")
+    from pyspark.sql.window import Window
+
+    from hypermap_etl_spark.operators.scale import _global_rank_with_total
+
+    base = scored.select(
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    ranked, total = _global_rank_with_total(
+        base,
+        [F.col("__s").desc(), F.col("__id").asc()],
+        rank_col="__grank",
+    )
+    if total == 0:
+        return ranked.select(
+            F.lit(0).cast("int").alias("band"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_pos"),
+            F.lit(0.0).alias("resp_rate"),
+            F.lit(0.0).alias("lift"),
+            F.lit(0).cast("long").alias("cum_n"),
+            F.lit(0).cast("long").alias("cum_pos"),
+            F.lit(0.0).alias("cum_gain"),
+            F.lit(0.0).alias("cum_lift"),
+        ).limit(0)
+    band = (
+        (F.col("__grank") - F.lit(1)) * F.lit(n_bands)
+        - F.pmod((F.col("__grank") - F.lit(1)) * F.lit(n_bands), F.lit(total))
+    ) / F.lit(total)
+    per = (
+        ranked.select(band.cast("int").alias("band"), "__y")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_n = F.sum("n").over(w).cast("long")
+    cum_pos = F.sum("n_pos").over(w).cast("long")
+    tot_n = F.sum("n").over(wall).cast("double")
+    tot_pos = F.sum("n_pos").over(wall).cast("double")
+    resp = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base_rate = tot_pos / tot_n
+    cum_gain = F.try_divide(cum_pos.cast("double"), tot_pos)
+    cum_share = cum_n.cast("double") / tot_n
+    return (
+        per.select(
+            "band",
+            "n",
+            "n_pos",
+            F.round(resp, 6).alias("resp_rate"),
+            F.round(F.try_divide(resp, base_rate), 6).alias("lift"),
+            cum_n.alias("cum_n"),
+            cum_pos.alias("cum_pos"),
+            F.round(cum_gain, 6).alias("cum_gain"),
+            F.round(F.try_divide(cum_gain, cum_share), 6).alias("cum_lift"),
+        )
+        .orderBy("band")
+    )

@@ -5081,6 +5081,84 @@ FROM g ORDER BY source
 """
 
 
+
+
+def doc_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table of the quality-filter
+    serving path (quality_model.lift_table over score_linear, same
+    md5-derived weights and doc_id%3 pseudo-label as doc_model_auc):
+    band assignment is ((global_rank-1)*10) div n over the unique
+    (score desc, doc_id) order — pure int64, distributed rank, no
+    single-partition ntile — so band boundaries cannot drift between
+    engines."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import (
+        lift_table,
+        score_linear,
+    )
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    scored = score_linear(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        weights,
+        bias=0.25,
+    ).select(
+        F.round("score", 6).alias("score"),
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return lift_table(scored, n_bands=10)
+
+
+MODEL_LIFT_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+lab AS (
+  SELECT doc_id, score,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM scores
+),
+rk AS (
+  SELECT label,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM lab
+),
+bd AS (SELECT CAST(((rn - 1) * 10) // nt AS INT) AS band, label FROM rk),
+per AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM bd GROUP BY 1
+),
+c AS (
+  SELECT band, n, n_pos,
+    SUM(n) OVER (ORDER BY band) AS cum_n,
+    SUM(n_pos) OVER (ORDER BY band) AS cum_pos,
+    SUM(n) OVER () AS tot_n,
+    SUM(n_pos) OVER () AS tot_pos
+  FROM per
+)
+SELECT band, n, n_pos,
+  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate,
+  ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6) AS lift,
+  CAST(cum_n AS BIGINT) AS cum_n,
+  CAST(cum_pos AS BIGINT) AS cum_pos,
+  ROUND(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6) AS cum_gain,
+  ROUND((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
+        / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6) AS cum_lift
+FROM c ORDER BY band
+"""
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5204,4 +5282,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_cdc_dedup": (doc_cdc_dedup, CDC_DEDUP_ORACLE),
     "doc_readability": (doc_readability, READABILITY_ORACLE),
     "doc_prefix_pairs": (doc_prefix_pairs, _EXACT_PAIRS_SQL),
+    "doc_model_lift": (doc_model_lift, MODEL_LIFT_ORACLE),
 }

@@ -478,3 +478,51 @@ def test_brier_score_hand_values_and_bounds(spark):
     # 0.1 vs labels half 1 half 0: (0.81*5 + 0.01*5)/10 = 0.41 exactly
     assert out["tenth"]["brier"] == 0.41
     assert out["perfect"]["n"] == 10
+
+
+def test_lift_table_perfect_model(spark):
+    from hypermap_etl_spark.operators.quality_model import lift_table
+
+    # 100 rows, scores strictly descending, all 10 positives at the
+    # top -> band 0 captures everything: resp=1.0, lift=10, cum_gain=1
+    rows = [
+        (float(100 - i), i, 1 if i < 10 else 0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "score double, doc_id long, label int")
+    out = lift_table(df).collect()
+    assert [r["band"] for r in out] == list(range(10))
+    b0 = out[0]
+    assert b0["n"] == 10 and b0["n_pos"] == 10
+    assert b0["resp_rate"] == 1.0 and b0["lift"] == 10.0
+    assert b0["cum_gain"] == 1.0 and b0["cum_lift"] == 10.0
+    # later bands hold no positives but cumulative gain stays 1
+    assert out[5]["n_pos"] == 0 and out[5]["cum_gain"] == 1.0
+    # cum_lift decays as depth grows: 1/(share of rows)
+    assert out[9]["cum_lift"] == 1.0
+
+    # uneven split: 103 rows across 10 bands -> sizes 10 or 11,
+    # total preserved, bands contiguous
+    rows2 = [(float(200 - i), i, i % 2) for i in range(103)]
+    df2 = spark.createDataFrame(
+        rows2, "score double, doc_id long, label int"
+    )
+    out2 = lift_table(df2).collect()
+    assert sum(r["n"] for r in out2) == 103
+    assert all(10 <= r["n"] <= 11 for r in out2)
+    assert out2[-1]["cum_n"] == 103
+
+    # ties split by id: same score everywhere still bands evenly
+    rows3 = [(1.0, i, 1 if i < 5 else 0) for i in range(50)]
+    df3 = spark.createDataFrame(
+        rows3, "score double, doc_id long, label int"
+    )
+    out3 = lift_table(df3).collect()
+    assert out3[0]["n_pos"] == 5 and out3[0]["n"] == 5
+
+    # empty input -> empty table; bad n_bands raises
+    empty = df.filter("score IS NULL")
+    assert lift_table(empty).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lift_table(df, n_bands=1)
