@@ -123,7 +123,10 @@ _WINDOW: list[str] = [
 # events_delta_ratio (delta-method ratio-metric z-test, per-unit
 # clustered) and events_ab_power (MDE from the split's own moments —
 # the design readout); doc_model_lift (decile lift/cumulative-gains
-# table, int64 band assignment over the distributed global rank).
+# table, int64 band assignment over the distributed global rank);
+# orders_holt_forecast (Holt linear trend: aggregate-to-tiny then
+# the sequential recursion in applyInPandas, oracle = the identical
+# op sequence as a DuckDB recursive CTE, matched bit-for-bit).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

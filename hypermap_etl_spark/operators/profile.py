@@ -2983,3 +2983,93 @@ def power_mde(
         F.round(mde, 6).alias("mde_abs"),
         F.round(F.try_divide(mde, mean_all), 6).alias("mde_rel"),
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    period_col: str,
+    group_cols: list[str],
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over a periodic count
+    series — the first model that beats the seasonal-naive floor on
+    trending series: level and trend update recursively,
+    l_t = α·y_t + (1−α)·(l+b), b_t = β·(l_t − l) + (1−β)·b, with the
+    standard init l=y_2, b=y_2−y_1 (which makes the t=2 one-step
+    forecast exact, so backtest errors accumulate from t=3).
+
+    Output per group: n_periods, level, trend, forecast_next (the
+    h=1 forecast), mae (one-step-ahead backtest, null under 3
+    periods). Groups with fewer than 2 periods are dropped (the
+    recursion cannot initialize).
+
+    The recursion is inherently sequential, so this is the documented
+    Pandas-UDF case: the corpus collapses FIRST to a (group, period)
+    count aggregate — calendar-bounded, thousands of rows at any data
+    scale — and applyInPandas runs the recursion per group over that
+    tiny frame. Determinism: every step is the same fixed sequence of
+    correctly-rounded float64 ops a SQL engine's recursive CTE
+    evaluates, so results match ANY IEEE engine bit-for-bit; rounding
+    to 6 dp happens Spark-side (F.round), never in Python (whose
+    round() is banker's, unlike SQL).
+    """
+    if not group_cols:
+        raise ValueError("holt_linear_forecast: need at least one group col")
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError("holt_linear_forecast: alpha in (0,1], beta in [0,1]")
+    import pandas as pd
+
+    daily = df.groupBy(*group_cols, period_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gfields = [
+        daily.schema[c].dataType.simpleString() for c in group_cols
+    ]
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in zip(group_cols, gfields))
+        + ", n_periods long, level double, trend double,"
+        + " forecast_next double, mae double"
+    )
+    a, b_ = float(alpha), float(beta)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(period_col)
+        y = pdf["n"].to_numpy(dtype="float64")
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=[*group_cols, "n_periods", "level", "trend",
+                         "forecast_next", "mae"]
+            ).astype({"n_periods": "int64"}, errors="ignore")
+        lev = y[1]
+        tr = y[1] - y[0]
+        es = 0.0
+        k = 0
+        for t in range(2, len(y)):
+            pred = lev + tr
+            es += abs(y[t] - pred)
+            k += 1
+            lev_new = a * y[t] + (1.0 - a) * pred
+            tr = b_ * (lev_new - lev) + (1.0 - b_) * tr
+            lev = lev_new
+        head = {c: [pdf[c].iloc[0]] for c in group_cols}
+        return pd.DataFrame(
+            {
+                **head,
+                "n_periods": [len(y)],
+                "level": [lev],
+                "trend": [tr],
+                "forecast_next": [lev + tr],
+                "mae": [es / k if k > 0 else None],
+            }
+        )
+
+    out = daily.groupBy(*group_cols).applyInPandas(fit, out_schema)
+    return out.select(
+        *group_cols,
+        "n_periods",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+        F.round("mae", 6).alias("mae"),
+    )

@@ -7573,6 +7573,63 @@ FROM f ORDER BY event_type
 
 
 
+
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of the monthly order count per
+    priority (profile.holt_linear_forecast, alpha=beta=0.5): the
+    corpus collapses to a (priority, month) aggregate, then the
+    inherently sequential level/trend recursion runs per group in
+    applyInPandas — and the oracle replays the IDENTICAL op sequence
+    in a DuckDB recursive CTE, pinning the whole float64 recursion
+    bit-for-bit."""
+    from hypermap_etl_spark.operators.profile import holt_linear_forecast
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    return holt_linear_forecast(
+        o, "month", ["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
+HOLT_ORACLE = """
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority AS pr, strftime(o_orderdate, '%Y-%m') AS mo,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT pr, mo, CAST(yc AS DOUBLE) AS y,
+         CAST(row_number() OVER (PARTITION BY pr ORDER BY mo) AS INT) AS rn
+  FROM m
+),
+mx AS (SELECT pr, MAX(rn) AS nt FROM r GROUP BY 1),
+rec AS (
+  SELECT r2.pr, 2 AS rn, r2.y AS l, r2.y - r1.y AS b,
+         CAST(0 AS DOUBLE) AS es, CAST(0 AS BIGINT) AS k
+  FROM r r1 JOIN r r2 ON r1.pr = r2.pr AND r1.rn = 1 AND r2.rn = 2
+  UNION ALL
+  SELECT rec.pr, rec.rn + 1,
+         0.5 * r.y + 0.5 * (rec.l + rec.b),
+         0.5 * ((0.5 * r.y + 0.5 * (rec.l + rec.b)) - rec.l)
+           + 0.5 * rec.b,
+         rec.es + abs(r.y - (rec.l + rec.b)),
+         rec.k + 1
+  FROM rec JOIN r ON r.pr = rec.pr AND r.rn = rec.rn + 1
+)
+SELECT rec.pr AS o_orderpriority,
+  CAST(rec.rn AS BIGINT) AS n_periods,
+  ROUND(rec.l, 6) AS level,
+  ROUND(rec.b, 6) AS trend,
+  ROUND(rec.l + rec.b, 6) AS forecast_next,
+  ROUND(CASE WHEN rec.k > 0 THEN rec.es / rec.k END, 6) AS mae
+FROM rec JOIN mx ON mx.pr = rec.pr AND rec.rn = mx.nt
+ORDER BY o_orderpriority
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7726,4 +7783,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_fdr_bh": (events_fdr_bh, FDR_BH_ORACLE),
     "events_delta_ratio": (events_delta_ratio, DELTA_RATIO_ORACLE),
     "events_ab_power": (events_ab_power, POWER_MDE_ORACLE),
+    "orders_holt_forecast": (orders_holt_forecast, HOLT_ORACLE),
 }

@@ -1838,3 +1838,62 @@ def test_power_mde_shrinks_with_sample_size(spark):
     assert s["mde_rel"] == pytest.approx(
         s["mde_abs"] / s["mean_all"], rel=1e-4
     )
+
+
+def test_holt_linear_forecast_recursion(spark):
+    from hypermap_etl_spark.operators.profile import holt_linear_forecast
+
+    # exactly linear counts: 3,5,7,9,... per month -> Holt locks on,
+    # every one-step forecast is exact (mae 0), next forecast
+    # continues the line
+    rows = []
+    for i, mo in enumerate(
+        [f"2024-{m:02d}" for m in range(1, 9)]
+    ):
+        for _ in range(3 + 2 * i):
+            rows.append(("g", mo))
+    df = spark.createDataFrame(rows, "g string, month string")
+    out = holt_linear_forecast(df, "month", ["g"]).collect()[0]
+    assert out["n_periods"] == 8
+    assert out["mae"] == 0.0
+    assert out["level"] == 17.0 and out["trend"] == 2.0
+    assert out["forecast_next"] == 19.0
+
+    # reference recursion for a bumpy series
+    ys = [10, 14, 9, 20, 13, 30]
+    rows2 = [
+        ("g", f"2024-{m + 1:02d}") for m, y in enumerate(ys) for _ in range(y)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, month string")
+    got = holt_linear_forecast(df2, "month", ["g"]).collect()[0]
+    lev, tr = float(ys[1]), float(ys[1] - ys[0])
+    es, k = 0.0, 0
+    for t in range(2, len(ys)):
+        pred = lev + tr
+        es += abs(ys[t] - pred)
+        k += 1
+        ln = 0.5 * ys[t] + 0.5 * pred
+        tr = 0.5 * (ln - lev) + 0.5 * tr
+        lev = ln
+    # compare against the UNROUNDED recursion (Spark rounds half-up,
+    # Python round() is banker's — at an exact .5 tie they differ)
+    assert got["level"] == pytest.approx(lev, abs=1e-6)
+    assert got["trend"] == pytest.approx(tr, abs=1e-6)
+    assert got["mae"] == pytest.approx(es / k, abs=1e-6)
+
+    # 2 periods: recursion initializes but no backtest -> mae null;
+    # 1 period: dropped
+    two = spark.createDataFrame(
+        [("a", "2024-01"), ("a", "2024-02"), ("b", "2024-01")],
+        "g string, month string",
+    )
+    o2 = {r["g"]: r for r in holt_linear_forecast(two, "month", ["g"]).collect()}
+    assert "b" not in o2
+    assert o2["a"]["mae"] is None and o2["a"]["n_periods"] == 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        holt_linear_forecast(df, "month", [])
+    with _pt.raises(ValueError):
+        holt_linear_forecast(df, "month", ["g"], alpha=0.0)
