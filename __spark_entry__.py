@@ -126,7 +126,9 @@ _WINDOW: list[str] = [
 # table, int64 band assignment over the distributed global rank);
 # orders_holt_forecast (Holt linear trend: aggregate-to-tiny then
 # the sequential recursion in applyInPandas, oracle = the identical
-# op sequence as a DuckDB recursive CTE, matched bit-for-bit).
+# op sequence as a DuckDB recursive CTE, matched bit-for-bit);
+# parts_community_modularity (Newman Q of the LPA communities,
+# integer-exact numerator/denominator, one float division).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -6383,7 +6383,7 @@ def parts_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, n_iter=4, src="p1", dst="p2").orderBy("node")
 
 
-def _lpa_oracle(t: int) -> str:
+def _lpa_oracle(t: int, final: str | None = None) -> str:
     parts = [
         """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS MATERIALIZED (
@@ -6419,7 +6419,8 @@ l{i} AS MATERIALIZED (
   FROM l{i - 1} l LEFT JOIN p{i} p ON l.node = p.node
 )"""
         )
-    parts.append(f"\nSELECT node, community FROM l{t} ORDER BY node")
+    parts.append(final if final is not None
+                 else f"\nSELECT node, community FROM l{t} ORDER BY node")
     return "".join(parts)
 
 
@@ -7630,6 +7631,76 @@ ORDER BY o_orderpriority
 
 
 
+
+def parts_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round LPA communities over the
+    repeat-co-purchase graph (graph.label_propagation ->
+    graph.modularity): Q = (4·m·Σe_c − Σd_c²)/(4m²) with every
+    numerator/denominator term an exact integer — the quality number
+    that says whether the detected communities beat random."""
+    from hypermap_etl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    comm = label_propagation(edges, n_iter=4, src="p1", dst="p2")
+    return modularity(edges, comm, src="p1", dst="p2")
+
+
+MODULARITY_ORACLE = _lpa_oracle(
+    4,
+    final="""
+, eu AS (SELECT a AS ea, b AS eb FROM pairs),
+ej AS (
+  SELECT eu.ea, eu.eb, ca.community AS ca, cb.community AS cb
+  FROM eu JOIN l4 ca ON eu.ea = ca.node JOIN l4 cb ON eu.eb = cb.node
+),
+eagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+    CAST(COALESCE(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS intra_edges
+  FROM ej
+),
+deg AS (
+  SELECT n, c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT ea AS n, ca AS c FROM ej
+    UNION ALL SELECT eb AS n, cb AS c FROM ej
+  ) GROUP BY 1, 2
+),
+dcs AS (SELECT c, CAST(SUM(d) AS DECIMAL(19,0)) AS dc FROM deg GROUP BY 1),
+dagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+    CAST(SUM(dc * dc) AS DECIMAL(38,0)) AS sd2
+  FROM dcs
+),
+nn AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_edges, n_nodes, n_communities, intra_edges,
+  ROUND(CASE WHEN n_edges > 0 THEN
+    CAST(CAST(4 AS DECIMAL(19,0)) * n_edges * intra_edges
+         - sd2 AS DOUBLE)
+    / CAST(CAST(4 AS DECIMAL(19,0)) * n_edges * n_edges AS DOUBLE)
+  END, 6) AS modularity
+FROM eagg, dagg, nn
+""",
+)
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7784,4 +7855,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_delta_ratio": (events_delta_ratio, DELTA_RATIO_ORACLE),
     "events_ab_power": (events_ab_power, POWER_MDE_ORACLE),
     "orders_holt_forecast": (orders_holt_forecast, HOLT_ORACLE),
+    "parts_community_modularity": (parts_community_modularity, MODULARITY_ORACLE),
 }

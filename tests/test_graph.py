@@ -376,3 +376,49 @@ def test_lpa_fixed_rounds_deterministic_and_tiebreak(spark):
     with pytest.raises(ValueError):
         label_propagation(df, n_iter=-1)
     release_persisted()
+
+
+def test_modularity_two_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.graph import modularity
+
+    # two disjoint triangles with communities matching the cliques:
+    # m=6, every edge intra, d_c=6 per community
+    # Q = (4*6*6 - (36+36)) / (4*36) = (144-72)/144 = 0.5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, community long",
+    )
+    out = modularity(edges, comm).collect()[0]
+    assert out["n_edges"] == 6 and out["n_communities"] == 2
+    assert out["intra_edges"] == 6
+    assert out["modularity"] == 0.5
+
+    # everything in ONE community: Q = (4*6*6 - 144)/144 = 0 exactly
+    one = comm.select("node", F.lit(1).alias("community"))
+    assert modularity(edges, one).collect()[0]["modularity"] == 0.0
+
+    # a bad split (cutting a clique) scores worse than the true one
+    bad = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 4), (4, 4), (5, 4), (6, 4)],
+        "node long, community long",
+    )
+    assert modularity(edges, bad).collect()[0]["modularity"] < 0.5
+
+    # duplicate/reversed/self-loop rows collapse; uncovered nodes and
+    # their edges are excluded
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (3, 9)],
+        "src long, dst long",
+    )
+    cov = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, community long"
+    )
+    m_out = modularity(messy, cov).collect()[0]
+    assert m_out["n_edges"] == 3 and m_out["n_nodes"] == 3
+    assert m_out["modularity"] == 0.0
