@@ -128,7 +128,9 @@ _WINDOW: list[str] = [
 # the sequential recursion in applyInPandas, oracle = the identical
 # op sequence as a DuckDB recursive CTE, matched bit-for-bit);
 # parts_community_modularity (Newman Q of the LPA communities,
-# integer-exact numerator/denominator, one float division).
+# integer-exact numerator/denominator, one float division);
+# events_funnel_wilson (Wilson 95% intervals on the funnel's step
+# conversions — row-wise closed form, z as a literal).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

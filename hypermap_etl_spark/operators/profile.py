@@ -3073,3 +3073,51 @@ def holt_linear_forecast(
         F.round("forecast_next", 6).alias("forecast_next"),
         F.round("mae", 6).alias("mae"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    k_col: str,
+    n_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score interval for a binomial proportion, row-wise —
+    the CI that behaves at the edges Wald blows up on (k=0, k=n,
+    small n), which is exactly where funnel steps live.
+
+    With p̂ = k/n:  center = (p̂ + z²/2n) / (1 + z²/n),
+    half-width = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n), clamped to
+    [0, 1]. The z constant is a caller-overridable literal (no
+    quantile function in the engine); k and n are exact integers, so
+    the interval is ONE fixed-order double expression per row —
+    engine-identical, oracle-pinned.
+
+    Adds p_hat, ci_lo, ci_hi (round 6) to the input frame; rows with
+    n = 0 get NULLs. Pure projection — no shuffle, applies to
+    aggregate frames of any size.
+    """
+    k = F.col(k_col).cast("double")
+    n = F.col(n_col).cast("double")
+    zz = F.lit(float(z))
+    phat = k / n
+    denom = F.lit(1.0) + (zz * zz) / n
+    center = (phat + (zz * zz) / (F.lit(2.0) * n)) / denom
+    half = (
+        zz
+        * F.sqrt(
+            phat * (F.lit(1.0) - phat) / n
+            + (zz * zz) / ((F.lit(4.0) * n) * n)
+        )
+        / denom
+    )
+    ok = F.col(n_col).isNotNull() & (F.col(n_col) > 0)
+    return df.select(
+        "*",
+        F.round(F.when(ok, phat), 6).alias("p_hat"),
+        F.round(F.when(ok, F.greatest(center - half, F.lit(0.0))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.when(ok, F.least(center + half, F.lit(1.0))), 6).alias(
+            "ci_hi"
+        ),
+    )

@@ -7701,6 +7701,86 @@ FROM eagg, dagg, nn
 
 
 
+
+def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% intervals on the funnel's step conversions
+    (events_funnel -> profile.wilson_ci): the per-user funnel frame
+    collapses to three (step, entered, converted) rows — strictly-
+    ordered stages, so k/n are exact integers — and the interval is
+    one fixed-order double expression per row. Wilson, not Wald,
+    because funnel tails live at small n / extreme p where Wald's
+    interval escapes [0, 1]."""
+    from hypermap_etl_spark.operators.profile import wilson_ci
+
+    fu = events_funnel(spark, sf_dir)
+    agg = fu.agg(
+        F.count("t_view_us").cast("long").alias("n_view"),
+        F.count("t_click_us").cast("long").alias("n_click"),
+        F.count("t_purchase_us").cast("long").alias("n_purchase"),
+    )
+    steps = agg.select(
+        F.expr(
+            "stack(3, "
+            "'1_view_to_click', n_view, n_click, "
+            "'2_click_to_purchase', n_click, n_purchase, "
+            "'3_view_to_purchase', n_view, n_purchase"
+            ") AS (step, n, k)"
+        )
+    )
+    return wilson_ci(steps, "k", "n").orderBy("step")
+
+
+FUNNEL_WILSON_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+),
+cnt AS (
+  SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+         CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+         CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+),
+steps AS (
+  SELECT '1_view_to_click' AS step, n_view AS n, n_click AS k FROM cnt
+  UNION ALL
+  SELECT '2_click_to_purchase', n_click, n_purchase FROM cnt
+  UNION ALL
+  SELECT '3_view_to_purchase', n_view, n_purchase FROM cnt
+),
+w AS (
+  SELECT step, n, k,
+    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+    CAST('1.959964' AS DOUBLE) AS z,
+    CAST(n AS DOUBLE) AS nd
+  FROM steps
+),
+f AS (
+  SELECT step, n, k, phat,
+    (phat + (z * z) / (2.0 * nd)) / (1.0 + (z * z) / nd) AS center,
+    z * sqrt(phat * (1.0 - phat) / nd + (z * z) / ((4.0 * nd) * nd))
+      / (1.0 + (z * z) / nd) AS half
+  FROM w
+)
+SELECT step, n, k,
+  CASE WHEN n > 0 THEN ROUND(phat, 6) END AS p_hat,
+  CASE WHEN n > 0 THEN ROUND(GREATEST(center - half, CAST(0 AS DOUBLE)), 6)
+  END AS ci_lo,
+  CASE WHEN n > 0 THEN ROUND(LEAST(center + half, CAST(1 AS DOUBLE)), 6)
+  END AS ci_hi
+FROM f ORDER BY step
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7856,4 +7936,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ab_power": (events_ab_power, POWER_MDE_ORACLE),
     "orders_holt_forecast": (orders_holt_forecast, HOLT_ORACLE),
     "parts_community_modularity": (parts_community_modularity, MODULARITY_ORACLE),
+    "events_funnel_wilson": (events_funnel_wilson, FUNNEL_WILSON_ORACLE),
 }

@@ -1897,3 +1897,27 @@ def test_holt_linear_forecast_recursion(spark):
         holt_linear_forecast(df, "month", [])
     with _pt.raises(ValueError):
         holt_linear_forecast(df, "month", ["g"], alpha=0.0)
+
+
+def test_wilson_ci_known_values_and_edges(spark):
+    from hypermap_etl_spark.operators.profile import wilson_ci
+
+    df = spark.createDataFrame(
+        [("a", 8, 10), ("b", 0, 10), ("c", 10, 10), ("z", 0, 0)],
+        "step string, k long, n long",
+    )
+    out = {r["step"]: r for r in wilson_ci(df, "k", "n").collect()}
+    # textbook value: k=8, n=10 -> Wilson 95% ~ (0.4902, 0.9433)
+    assert out["a"]["p_hat"] == pytest.approx(0.8)
+    assert out["a"]["ci_lo"] == pytest.approx(0.4902, abs=2e-3)
+    assert out["a"]["ci_hi"] == pytest.approx(0.9433, abs=2e-3)
+    # k=0: lower bound exactly 0 (clamped), upper strictly positive
+    assert out["b"]["ci_lo"] == 0.0 and 0 < out["b"]["ci_hi"] < 0.35
+    # k=n: upper exactly 1, lower strictly below 1
+    assert out["c"]["ci_hi"] == 1.0 and 0.65 < out["c"]["ci_lo"] < 1
+    # CIs always inside [0,1] and contain p_hat
+    for s in ("a", "b", "c"):
+        r = out[s]
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+    # n=0: undefined -> NULLs, row preserved
+    assert out["z"]["p_hat"] is None and out["z"]["ci_lo"] is None
