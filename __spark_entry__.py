@@ -130,7 +130,10 @@ _WINDOW: list[str] = [
 # parts_community_modularity (Newman Q of the LPA communities,
 # integer-exact numerator/denominator, one float division);
 # events_funnel_wilson (Wilson 95% intervals on the funnel's step
-# conversions — row-wise closed form, z as a literal).
+# conversions — row-wise closed form, z as a literal);
+# events_eb_shrinkage (James-Stein pooling diagnostics, quantized-
+# decimal cross-unit sums) and events_weighted_ess (Kish ESS +
+# design effect from exact weight moments).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

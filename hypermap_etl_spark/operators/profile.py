@@ -3121,3 +3121,167 @@ def wilson_ci(
             "ci_hi"
         ),
     )
+
+
+def eb_shrink_means(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Empirical-Bayes (James–Stein-style) shrinkage diagnostics for
+    per-unit means — the de-noising discipline for leaderboards and
+    per-user metrics: a unit's raw mean is pulled toward the group
+    mean by B_u = τ²/(τ² + σ²_w/n_u), where τ² (between-unit) and σ²_w
+    (within-unit) come from the one-way random-effects method of
+    moments:
+
+        σ²_w = Σ_u SS_u / Σ_u (n_u − 1)
+        τ²   = max(0, Var(unit means) − σ²_w · mean(1/n_u))
+
+    Output per group: n_units, n_rows, grand_mean, s2_within, tau2,
+    avg_shrink (mean of B_u; 1 = trust raw means, →0 = pool hard).
+
+    Determinism discipline: cross-unit reductions never accumulate
+    raw doubles (order-dependent). Each unit's mean, within-SS and
+    1/n are computed in ONE fixed-order double expression, ROUNDed,
+    and quantized to decimals; the unit→group aggregate then sums
+    exactly. The oracle mirrors both the quantization points and the
+    final double expressions.
+
+    Scale shape: corpus → (group, unit) hash aggregate → group
+    aggregate; the shrink-factor pass re-joins group scalars to the
+    unit aggregate broadcast-style. Units with one row contribute a
+    mean but no within-variance; groups need ≥ 2 units.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("decimal(12,2)")
+    per_unit = (
+        df.filter(v.isNotNull() & F.col(unit_col).isNotNull())
+        .select(*group_cols, F.col(unit_col).alias("__u"), v.alias("__v"))
+        .groupBy(*group_cols, "__u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    unit = per_unit.select(
+        *group_cols,
+        "__n",
+        F.round(s / n, 6).cast("decimal(18,6)").alias("__mq"),
+        F.when(
+            F.col("__n") > 1,
+            F.round(F.greatest(ss - s * s / n, F.lit(0.0)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("__wq"),
+        F.round(F.lit(1.0) / n, 9).cast("decimal(18,9)").alias("__iq"),
+    )
+    g = unit.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__mq").cast("decimal(38,6)").alias("__sm"),
+        F.sum(F.col("__mq") * F.col("__mq")).cast("decimal(38,12)").alias("__smm"),
+        F.sum("__wq").cast("decimal(38,6)").alias("__sw"),
+        F.sum(F.col("__n") - F.lit(1)).cast("long").alias("__sdf"),
+        F.sum("__iq").cast("decimal(38,9)").alias("__sinv"),
+    ).filter(F.col("n_units") > 1)
+    u = F.col("n_units").cast("double")
+    sm = F.col("__sm").cast("double")
+    smm = F.col("__smm").cast("double")
+    grand = sm / u
+    var_means = (smm - sm * sm / u) / (u - F.lit(1.0))
+    s2w = F.when(
+        F.col("__sdf") > 0,
+        F.col("__sw").cast("double") / F.col("__sdf").cast("double"),
+    ).otherwise(F.lit(0.0))
+    tau2 = F.greatest(
+        var_means - s2w * (F.col("__sinv").cast("double") / u), F.lit(0.0)
+    )
+    stats = g.select(
+        *group_cols,
+        "n_units",
+        "n_rows",
+        F.round(grand, 6).alias("grand_mean"),
+        F.round(s2w, 6).alias("__s2w_r"),
+        s2w.alias("__s2w"),
+        F.round(tau2, 6).alias("__tau2_r"),
+        tau2.alias("__tau2"),
+    )
+    shr = unit.join(
+        F.broadcast(stats.select(*group_cols, "__s2w", "__tau2")),
+        list(group_cols),
+    ) if group_cols else unit.crossJoin(
+        F.broadcast(stats.select("__s2w", "__tau2"))
+    )
+    bden = F.col("__tau2") + F.col("__s2w") / F.col("__n").cast("double")
+    b = (
+        F.when(bden > 0, F.col("__tau2") / bden).otherwise(F.lit(1.0))
+    )
+    bq = shr.select(
+        *group_cols, F.round(b, 9).cast("decimal(18,9)").alias("__bq")
+    )
+    avg = bq.groupBy(*group_cols).agg(
+        (
+            F.sum("__bq").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avg_b")
+    )
+    out = (
+        stats.join(avg, list(group_cols))
+        if group_cols
+        else stats.crossJoin(avg)
+    )
+    return out.select(
+        *group_cols,
+        "n_units",
+        "n_rows",
+        "grand_mean",
+        F.col("__s2w_r").alias("s2_within"),
+        F.col("__tau2_r").alias("tau2"),
+        F.round(F.col("__avg_b"), 6).alias("avg_shrink"),
+    )
+
+
+def weighted_ess(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size of a weighted sample,
+    ESS = (Σw)² / Σw², with the design effect n/ESS — the one number
+    that says how much information importance/survey weights actually
+    leave (ESS ≈ n: weights are benign; ESS ≪ n: a few heavy rows
+    dominate and downstream estimates are noisier than n suggests).
+
+    Weights quantize to decimal(12,2) and both moments accumulate as
+    exact decimals (order-independent); ESS is one fixed-order double
+    expression. Non-positive and NULL weights are excluded (they are
+    not samples). One map-combined hash aggregate; groups-sized
+    output.
+    """
+    group_cols = group_cols or []
+    w = F.col(weight_col).cast("decimal(12,2)")
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        *group_cols, w.alias("__w")
+    )
+    g = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sww"),
+    )
+    sw = F.col("__sw").cast("double")
+    sww = F.col("__sww").cast("double")
+    ess = F.try_divide(sw * sw, sww)
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(F.try_divide(F.col("n").cast("double"), ess), 6).alias(
+            "design_effect"
+        ),
+    )

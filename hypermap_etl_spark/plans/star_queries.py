@@ -7781,6 +7781,128 @@ FROM f ORDER BY step
 
 
 
+
+def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage diagnostics of per-user value means
+    per event type (profile.eb_shrink_means): method-of-moments
+    within/between variance split and the average James-Stein shrink
+    factor — cross-unit reductions sum quantized decimals, never raw
+    doubles, so the whole two-stage estimate is engine-exact."""
+    from hypermap_etl_spark.operators.profile import eb_shrink_means
+
+    ev = load_table(spark, sf_dir, "events")
+    return eb_shrink_means(ev, "value", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+EB_SHRINK_ORACLE = """
+WITH pu AS (
+  SELECT event_type, user_id AS u, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+         SUM(CAST(value AS DECIMAL(12,2))
+             * CAST(value AS DECIMAL(12,2))) AS ss
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+uq AS (
+  SELECT event_type, n,
+    CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS DECIMAL(18,6)) AS mq,
+    CAST(CASE WHEN n > 1 THEN
+           ROUND(GREATEST(CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6)
+         ELSE 0.0 END AS DECIMAL(18,6)) AS wq,
+    CAST(ROUND(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS iq
+  FROM pu
+),
+gg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_units,
+    CAST(SUM(n) AS BIGINT) AS n_rows,
+    CAST(SUM(mq) AS DECIMAL(38,6)) AS sm,
+    CAST(SUM(mq * mq) AS DECIMAL(38,12)) AS smm,
+    CAST(SUM(wq) AS DECIMAL(38,6)) AS sw,
+    CAST(SUM(n - 1) AS BIGINT) AS sdf,
+    CAST(SUM(iq) AS DECIMAL(38,9)) AS sinv
+  FROM uq GROUP BY 1 HAVING COUNT(*) > 1
+),
+st AS (
+  SELECT event_type, n_units, n_rows,
+    CAST(sm AS DOUBLE) / CAST(n_units AS DOUBLE) AS grand,
+    (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+       / CAST(n_units AS DOUBLE))
+      / (CAST(n_units AS DOUBLE) - 1.0) AS var_means,
+    CASE WHEN sdf > 0 THEN CAST(sw AS DOUBLE) / CAST(sdf AS DOUBLE)
+         ELSE 0.0 END AS s2w,
+    CAST(sinv AS DOUBLE) / CAST(n_units AS DOUBLE) AS minv
+  FROM gg
+),
+s2 AS (
+  SELECT event_type, n_units, n_rows, grand, s2w,
+    GREATEST(var_means - s2w * minv, CAST(0 AS DOUBLE)) AS tau2
+  FROM st
+),
+bb AS (
+  SELECT uq.event_type,
+    CAST(ROUND(CASE WHEN s2.tau2 + s2.s2w / CAST(uq.n AS DOUBLE) > 0
+               THEN s2.tau2
+                    / (s2.tau2 + s2.s2w / CAST(uq.n AS DOUBLE))
+               ELSE 1.0 END, 9) AS DECIMAL(18,9)) AS bq
+  FROM uq JOIN s2 USING (event_type)
+),
+av AS (
+  SELECT event_type,
+         CAST(SUM(bq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_b
+  FROM bb GROUP BY 1
+)
+SELECT s2.event_type, n_units, n_rows,
+  ROUND(grand, 6) AS grand_mean,
+  ROUND(s2w, 6) AS s2_within,
+  ROUND(tau2, 6) AS tau2,
+  ROUND(avg_b, 6) AS avg_shrink
+FROM s2 JOIN av USING (event_type)
+ORDER BY s2.event_type
+"""
+
+
+def events_weighted_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the events stream weighted by
+    value, per event type (profile.weighted_ess): (Σw)²/Σw² from
+    exact decimal moments plus the design effect n/ESS — how much a
+    value-weighted estimator really knows."""
+    from hypermap_etl_spark.operators.profile import weighted_ess
+
+    ev = load_table(spark, sf_dir, "events")
+    return weighted_ess(ev, "value", ["event_type"]).orderBy("event_type")
+
+
+WEIGHTED_ESS_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS w
+  FROM events
+  WHERE value IS NOT NULL AND CAST(value AS DECIMAL(12,2)) > 0
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(w) AS sw, SUM(w * w) AS sww
+  FROM base GROUP BY 1
+)
+SELECT event_type, n,
+  ROUND(CASE WHEN CAST(sww AS DOUBLE) <> 0
+        THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE) END, 6) AS ess,
+  ROUND(CASE WHEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE) <> 0
+        THEN CAST(n AS DOUBLE)
+             / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                / CAST(sww AS DOUBLE)) END, 6) AS design_effect
+FROM g ORDER BY event_type
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -7937,4 +8059,6 @@ STAR_QUERIES: dict[str, tuple] = {
     "orders_holt_forecast": (orders_holt_forecast, HOLT_ORACLE),
     "parts_community_modularity": (parts_community_modularity, MODULARITY_ORACLE),
     "events_funnel_wilson": (events_funnel_wilson, FUNNEL_WILSON_ORACLE),
+    "events_eb_shrinkage": (events_eb_shrinkage, EB_SHRINK_ORACLE),
+    "events_weighted_ess": (events_weighted_ess, WEIGHTED_ESS_ORACLE),
 }

@@ -1921,3 +1921,76 @@ def test_wilson_ci_known_values_and_edges(spark):
         assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
     # n=0: undefined -> NULLs, row preserved
     assert out["z"]["p_hat"] is None and out["z"]["ci_lo"] is None
+
+
+def test_eb_shrink_means_regimes(spark):
+    from hypermap_etl_spark.operators.profile import eb_shrink_means
+
+    # strong between-unit signal, tiny within noise -> tau2 dominates,
+    # shrink factors near 1 (trust the raw means)
+    rows = []
+    for u in range(20):
+        for i in range(10):
+            rows.append(("g", u, float(u * 10) + 0.01 * (i % 2)))
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    out = eb_shrink_means(df, "value", "user_id", ["g"]).collect()[0]
+    assert out["n_units"] == 20 and out["n_rows"] == 200
+    assert out["tau2"] > 100 * out["s2_within"]
+    assert out["avg_shrink"] > 0.99
+
+    # pure noise: every unit samples the SAME distribution -> tau2
+    # collapses toward 0, shrink factors near 0 (pool hard)
+    noise = []
+    for u in range(40):
+        for i in range(6):
+            noise.append(("g", u, float((u * 7 + i * 13) % 10)))
+    nd = spark.createDataFrame(
+        noise, "g string, user_id long, value double"
+    )
+    nout = eb_shrink_means(nd, "value", "user_id", ["g"]).collect()[0]
+    assert nout["avg_shrink"] < 0.5
+    assert nout["tau2"] < nout["s2_within"]
+
+    # constant data: both variances 0 -> shrink defined as 1
+    const = spark.createDataFrame(
+        [("g", u, 5.0) for u in range(6) for _ in range(3)],
+        "g string, user_id long, value double",
+    )
+    cout = eb_shrink_means(const, "value", "user_id", ["g"]).collect()[0]
+    assert cout["tau2"] == 0.0 and cout["s2_within"] == 0.0
+    assert cout["avg_shrink"] == 1.0
+
+    # a single-unit group is dropped (no between-variance)
+    single = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 1, 3.0)],
+        "g string, user_id long, value double",
+    )
+    assert eb_shrink_means(single, "value", "user_id", ["g"]).count() == 0
+
+
+def test_weighted_ess_kish(spark):
+    from hypermap_etl_spark.operators.profile import weighted_ess
+
+    # equal weights: ESS = n exactly, design effect 1
+    eq = spark.createDataFrame(
+        [("g", 2.0)] * 50, "g string, w double"
+    )
+    out = weighted_ess(eq, "w", ["g"]).collect()[0]
+    assert out["n"] == 50 and out["ess"] == 50.0
+    assert out["design_effect"] == 1.0
+
+    # one whale among ones: ESS collapses toward 1
+    whale = spark.createDataFrame(
+        [("g", 1.0)] * 9 + [("g", 1000.0)], "g string, w double"
+    )
+    w = weighted_ess(whale, "w", ["g"]).collect()[0]
+    assert w["n"] == 10 and w["ess"] < 1.1
+    assert w["design_effect"] > 9
+
+    # zero/negative/null weights excluded
+    mixed = spark.createDataFrame(
+        [("g", 1.0), ("g", 0.0), ("g", -2.0), ("g", None)],
+        "g string, w double",
+    )
+    m = weighted_ess(mixed, "w", ["g"]).collect()[0]
+    assert m["n"] == 1
