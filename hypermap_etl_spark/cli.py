@@ -1241,6 +1241,20 @@ def cmd_ab(args) -> None:
             df, args.pre_col, args.value_col, args.unit_col
         ).collect()
         out["cuped"] = c[0].asDict() if c else None
+    if args.permutations:
+        pt = profile.permutation_test(
+            df, args.value_col, args.unit_col,
+            n_permutations=args.permutations,
+        ).collect()
+        out["permutation"] = pt[0].asDict() if pt else None
+    if args.power:
+        pw = profile.power_mde(df, args.value_col, args.unit_col).collect()
+        out["power"] = pw[0].asDict() if pw else None
+    if args.ratio:
+        rm = profile.ratio_metric_ab(
+            df, args.value_col, args.unit_col
+        ).collect()
+        out["ratio_metric"] = rm[0].asDict() if rm else None
     print(json.dumps(out, default=str))
 
 
@@ -1933,6 +1947,15 @@ def main(argv=None) -> None:
                         "enables CUPED")
     p.add_argument("--robust", action="store_true",
                    help="add Welch over the p05/p95-winsorized value")
+    p.add_argument("--permutations", type=int, default=0,
+                   help="add a permutation test with N md5-seeded "
+                        "re-randomizations (exact add-one p-value)")
+    p.add_argument("--power", action="store_true",
+                   help="add the minimum detectable effect of this "
+                        "split at 5%%/80%% from its own moments")
+    p.add_argument("--ratio", action="store_true",
+                   help="add the delta-method ratio-metric z-test "
+                        "(value per row, clustered by unit)")
     p = sub.add_parser("survival", help="Kaplan-Meier curve "
                        "(+ log-rank with --group-col) over lifetimes")
     p.add_argument("--lifetimes", required=True)

@@ -949,7 +949,7 @@ def test_cli_ab_card(spark, capsys, tmp_path):
         rows, "user_id long, value double, post int, pre double"
     ).write.parquet(p)
     main(["ab", "--table", p, "--period-col", "post", "--pre-col", "pre",
-          "--robust"])
+          "--robust", "--permutations", "19", "--power", "--ratio"])
     card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card["srm"]["srm_suspected"] is False
     assert card["welch"]["significant"] is False
@@ -958,6 +958,12 @@ def test_cli_ab_card(spark, capsys, tmp_path):
     assert "did" in card and "cuped" in card
     assert card["welch_winsorized"]["significant"] is False
     assert card["did"]["significant"] is False
+    # A/A: permutation p comfortably above the floor, ratio test quiet,
+    # MDE positive and finite
+    assert card["permutation"]["n_perms"] == 19
+    assert float(card["permutation"]["p_value"]) > 0.05
+    assert card["ratio_metric"]["significant"] is False
+    assert float(card["power"]["mde_abs"]) > 0
 
 
 def test_cli_survival(spark, capsys, tmp_path):
