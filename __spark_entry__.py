@@ -133,7 +133,9 @@ _WINDOW: list[str] = [
 # conversions — row-wise closed form, z as a literal);
 # events_eb_shrinkage (James-Stein pooling diagnostics, quantized-
 # decimal cross-unit sums) and events_weighted_ess (Kish ESS +
-# design effect from exact weight moments).
+# design effect from exact weight moments); events_cohort_ltv
+# (cumulative value per cohort member by day age, fixed-denominator
+# curves, TZ-sweep-pinned).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -7903,6 +7903,103 @@ FROM g ORDER BY event_type
 
 
 
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative value per cohort member by day
+    age — the monetary sibling of events_retention_cohorts (retention
+    says who came back; LTV says what they were worth by then).
+    First-seen argmin per user, datediff for the age (calendar-exact,
+    no row lags), ONE (cohort, age) aggregate of exact decimal
+    revenue, then a running sum over the calendar-bounded aggregate
+    partitioned by cohort. LTV divides by the FIXED cohort size, so
+    curves are comparable across cohorts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("__cd"))
+    sizes = first.groupBy("__cd").agg(
+        F.countDistinct("user_id").cast("long").alias("cohort_users")
+    )
+    enriched = ev.select(
+        "user_id",
+        day.alias("__day"),
+        F.col("value").cast("decimal(12,2)").alias("__v"),
+    ).join(first, "user_id")
+    per = enriched.groupBy(
+        "__cd",
+        F.datediff(F.col("__day"), F.col("__cd")).cast("long").alias(
+            "age_days"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__v").cast("decimal(38,2)").alias("__rev"),
+    )
+    w = (
+        Window.partitionBy("__cd")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("__cum", F.sum("__rev").over(w).cast("decimal(38,2)"))
+    return (
+        cum.join(sizes, ["__cd"])
+        .select(
+            F.date_format("__cd", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "cohort_users",
+            "n_events",
+            F.col("__rev").cast("double").alias("rev"),
+            F.col("__cum").cast("double").alias("cum_rev"),
+            F.round(
+                F.col("__cum").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cd
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+sizes AS (
+  SELECT cd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_users
+  FROM f GROUP BY 1
+),
+en AS (
+  SELECT e.user_id, date_trunc('day', e.ts) AS day,
+         CAST(e.value AS DECIMAL(12,2)) AS v, f.cd
+  FROM events e JOIN f USING (user_id)
+  WHERE e.value IS NOT NULL
+),
+per AS (
+  SELECT cd, CAST(datediff('day', cd, day) AS BIGINT) AS age_days,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DECIMAL(38,2)) AS rev
+  FROM en GROUP BY 1, 2
+),
+cum AS (
+  SELECT cd, age_days, n_events, rev,
+         CAST(SUM(rev) OVER (PARTITION BY cd ORDER BY age_days)
+              AS DECIMAL(38,2)) AS cum_rev
+  FROM per
+)
+SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_day,
+  c.age_days, s.cohort_users, c.n_events,
+  CAST(c.rev AS DOUBLE) AS rev,
+  CAST(c.cum_rev AS DOUBLE) AS cum_rev,
+  ROUND(CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+    AS ltv
+FROM cum c JOIN sizes s ON c.cd = s.cd
+ORDER BY cohort_day, age_days
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8061,4 +8158,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_funnel_wilson": (events_funnel_wilson, FUNNEL_WILSON_ORACLE),
     "events_eb_shrinkage": (events_eb_shrinkage, EB_SHRINK_ORACLE),
     "events_weighted_ess": (events_weighted_ess, WEIGHTED_ESS_ORACLE),
+    "events_cohort_ltv": (events_cohort_ltv, COHORT_LTV_ORACLE),
 }

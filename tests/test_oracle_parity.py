@@ -106,6 +106,9 @@ _TZ_SENSITIVE = [
     "events_page2",
     "events_user_daily",
     "events_retention_cohorts",
+    # this session: LTV cohort/age labels come from date_trunc(ts) and
+    # datediff — the same day-boundary exposure as retention
+    "events_cohort_ltv",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset
