@@ -45,6 +45,7 @@ def main() -> None:
     )
     from hypermap_etl_spark.plans.hm_queries import hm_decode_roundtrip, hm_entries
     from hypermap_etl_spark.plans.star_queries import (
+        events_fdr_bh,
         events_page_deep,
         events_sessions,
         lineitem_weighted_median,
@@ -253,6 +254,11 @@ def main() -> None:
         # repeat-co-purchase graph
         "seed_distance": parts_seed_distance,
         "lpa_communities": parts_copurchase_lpa,
+        # r7 continuation 2: the permutation stack at fact scale — a
+        # x200 map-side replicate expansion folded BEFORE the shuffle
+        # (the exchange carries groups*200 rows, not corpus*200),
+        # then the integer-exact BH epilogue on |groups| rows
+        "permutation_fdr": events_fdr_bh,
     }
 
     spark = get_spark("hypermap-etl-bench")

@@ -2642,26 +2642,38 @@ def permutation_test(
     the mean difference and are excluded (n_perms counts survivors);
     a group whose OBSERVED split is degenerate is dropped entirely.
 
-    Scale shape: the ×(R+1) row expansion happens map-side and is
-    folded by the partial aggregate before the shuffle — the exchange
-    carries |groups|·(R+1) rows, not |corpus|·R (the bootstrap_ci
-    discipline). Everything after runs on |groups| rows.
+    Scale shape: a replicate's arm depends on the UNIT, not the row,
+    so the corpus collapses FIRST to one exact (group, unit) total —
+    one map-combined hash aggregate — and the ×(R+1) expansion (and
+    its two md5 evaluations per row) runs over that unit aggregate,
+    |group-units|·(R+1) rows instead of |corpus|·(R+1). Decimal sums
+    associate exactly, so the two-stage fold equals the row-level
+    definition bit-for-bit (the oracle states the row-level form).
+    The per-replicate partial aggregate folds again before the final
+    exchange, which carries |groups|·(R+1) rows.
     """
     if n_permutations < 1:
         raise ValueError("permutation_test: need n_permutations >= 1")
     group_cols = group_cols or []
     v = F.col(value_col).cast("decimal(12,2)")
-    base = df.filter(
-        v.isNotNull() & F.col(unit_col).isNotNull()
-    ).select(
-        *group_cols,
-        F.col(unit_col).cast("string").alias("__u"),
-        v.alias("__v"),
+    base = (
+        df.filter(v.isNotNull() & F.col(unit_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(unit_col).cast("string").alias("__u"),
+            v.alias("__v"),
+        )
+        .groupBy(*group_cols, "__u")
+        .agg(
+            F.sum("__v").alias("__sv"),
+            F.count(F.lit(1)).cast("long").alias("__c"),
+        )
     )
     rep = base.select(
         *group_cols,
         "__u",
-        "__v",
+        "__sv",
+        "__c",
         F.explode(F.sequence(F.lit(0), F.lit(n_permutations))).alias("__r"),
     )
     perm_arm = F.pmod(
@@ -2685,15 +2697,20 @@ def permutation_test(
     )
     arm = F.when(F.col("__r") == 0, _hash_arm("__u", salt)).otherwise(perm_arm)
     g = (
-        rep.select(*group_cols, "__r", arm.alias("__arm"), "__v")
+        rep.select(*group_cols, "__r", arm.alias("__arm"), "__sv", "__c")
         .groupBy(*group_cols, "__r")
         .agg(
-            F.count(F.when(F.col("__arm") == 0, F.lit(1))).alias("__n_a"),
-            F.count(F.when(F.col("__arm") == 1, F.lit(1))).alias("__n_b"),
-            F.sum(F.when(F.col("__arm") == 0, F.col("__v"))).alias("__s_a"),
-            F.sum(F.when(F.col("__arm") == 1, F.col("__v"))).alias("__s_b"),
+            F.sum(F.when(F.col("__arm") == 0, F.col("__c"))).alias("__n_a"),
+            F.sum(F.when(F.col("__arm") == 1, F.col("__c"))).alias("__n_b"),
+            F.sum(F.when(F.col("__arm") == 0, F.col("__sv"))).alias("__s_a"),
+            F.sum(F.when(F.col("__arm") == 1, F.col("__sv"))).alias("__s_b"),
         )
-        .filter((F.col("__n_a") > 0) & (F.col("__n_b") > 0))
+        .filter(
+            F.col("__n_a").isNotNull()
+            & F.col("__n_b").isNotNull()
+            & (F.col("__n_a") > 0)
+            & (F.col("__n_b") > 0)
+        )
     )
     diff = (
         F.col("__s_a").cast("double") / F.col("__n_a").cast("double")
