@@ -2717,28 +2717,39 @@ def permutation_test(
         - F.col("__s_b").cast("double") / F.col("__n_b").cast("double")
     )
     d = g.select(*group_cols, "__r", "__n_a", "__n_b", diff.alias("__diff"))
-    obs = d.filter(F.col("__r") == 0).select(
-        *group_cols,
-        F.col("__n_a").cast("long").alias("n_a"),
-        F.col("__n_b").cast("long").alias("n_b"),
-        F.col("__diff").alias("__d_obs"),
+    # one lineage, one scan: instead of splitting observed vs
+    # replicates into two branches (which recomputes the whole
+    # expansion), attach the r=0 row's stats to every row of its
+    # group with a window over the (R+1)-rows-per-group aggregate
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    is_obs = F.col("__r") == 0
+    d2 = (
+        d.withColumn("__d_obs", F.max(F.when(is_obs, F.col("__diff"))).over(wg))
+        .withColumn("__na0", F.max(F.when(is_obs, F.col("__n_a"))).over(wg))
+        .withColumn("__nb0", F.max(F.when(is_obs, F.col("__n_b"))).over(wg))
+        # a group whose OBSERVED split is degenerate never got an r=0
+        # row past the both-arms filter: drop the whole group
+        .filter(F.col("__d_obs").isNotNull())
     )
-    perms = d.filter(F.col("__r") > 0).select(
-        *[F.col(c).alias(f"__p_{c}") for c in group_cols],
-        F.col("__diff").alias("__d_perm"),
-    )
-    cond = F.lit(True)
-    for c in group_cols:
-        cond = cond & (F.col(c) == F.col(f"__p_{c}"))
     ge = F.when(
-        F.abs(F.col("__d_perm")) >= F.abs(F.col("__d_obs")), F.lit(1)
+        (F.col("__r") > 0)
+        & (F.abs(F.col("__diff")) >= F.abs(F.col("__d_obs"))),
+        F.lit(1),
     ).otherwise(F.lit(0))
     out = (
-        obs.join(perms, cond, "left")
-        .groupBy(*group_cols, "n_a", "n_b", "__d_obs")
+        d2.groupBy(
+            *group_cols,
+            F.col("__na0").cast("long").alias("n_a"),
+            F.col("__nb0").cast("long").alias("n_b"),
+            "__d_obs",
+        )
         .agg(
-            F.count("__d_perm").cast("long").alias("n_perms"),
-            F.coalesce(F.sum(ge), F.lit(0)).cast("long").alias("cnt_ge"),
+            F.count(F.when(F.col("__r") > 0, F.lit(1)))
+            .cast("long")
+            .alias("n_perms"),
+            F.sum(ge).cast("long").alias("cnt_ge"),
         )
     )
     p = (F.col("cnt_ge").cast("double") + F.lit(1.0)) / (

@@ -781,3 +781,52 @@ def test_continuation_gates_avoid_corpus_cartesians(spark):
     from hypermap_etl_spark.util import release_persisted
 
     release_persisted()
+
+
+def test_permutation_expansion_after_unit_aggregate(spark):
+    """permutation_test scans the corpus ONCE and the x(R+1) explode
+    sits ABOVE the (group, unit) hash aggregate — expanding unit
+    totals, never raw rows (the 8x bench win this rewrite bought)."""
+    from hypermap_etl_spark.plans.star_queries import (
+        events_permutation_test,
+    )
+
+    plan = _plan(events_permutation_test(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    # the Generate (explode) must appear above at least one completed
+    # hash-aggregate pair in the plan text (plans print top-down:
+    # operators EARLIER in the text run LATER)
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], (
+        "explode must consume the unit aggregate, not the raw scan"
+    )
+
+
+def test_ratio_metric_and_power_single_scan(spark):
+    """ratio_metric_ab and power_mde each compile to ONE corpus scan
+    feeding map-combined hash aggregates; the arm self-join runs on
+    the groups-sized aggregate."""
+    from hypermap_etl_spark.plans.star_queries import (
+        events_ab_power,
+        events_delta_ratio,
+    )
+
+    for fn in (events_delta_ratio, events_ab_power):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert plan.count("Scan parquet") <= 2  # self-join may rescan
+        assert "HashAggregate" in plan
+
+
+def test_lift_table_no_unpartitioned_corpus_window(spark):
+    """lift_table's band assignment uses the distributed global-rank
+    construction (range exchange + pid-partitioned windows); the only
+    unpartitioned window runs over the n_bands aggregate."""
+    from hypermap_etl_spark.plans.doc_queries import doc_model_lift
+
+    df = doc_model_lift(spark, SF_SMOKE)
+    plan = _plan(df)
+    # rangepartitioning present (the global-rank range exchange);
+    # no `Window [...]` without a partition spec over the corpus-sized
+    # frame — the pid-partitioned window carries __pid in its spec
+    assert "rangepartitioning" in plan.lower()
+    assert "__pid" in plan
