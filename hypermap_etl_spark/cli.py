@@ -413,6 +413,27 @@ def cmd_eval(args) -> None:
         **kw,
     ).collect()
     sweep = pr_threshold_sweep(scored, n_steps=args.steps, **kw).collect()
+    lift_rows = None
+    if args.lift_bands:
+        from hypermap_etl_spark.operators.quality_model import lift_table
+
+        if args.id_col not in scored.columns:
+            raise SystemExit(f"column not in table: {args.id_col}")
+        lift_rows = [
+            {
+                "band": r["band"],
+                "lift": r["lift"],
+                "cum_gain": r["cum_gain"],
+                "cum_lift": r["cum_lift"],
+            }
+            for r in lift_table(
+                scored,
+                score_col=args.score_col,
+                label_col=args.label_col,
+                id_col=args.id_col,
+                n_bands=args.lift_bands,
+            ).collect()
+        ]
     best = max(
         (r for r in sweep if r["f1"] is not None),
         key=lambda r: (r["f1"], r["threshold"]),
@@ -433,6 +454,7 @@ def cmd_eval(args) -> None:
                     "f1": best["f1"],
                 },
                 "n_thresholds": len(sweep),
+                **({"lift": lift_rows} if lift_rows is not None else {}),
             }
         )
     )
@@ -1182,6 +1204,11 @@ def cmd_graph(args) -> None:
             F.count(F.lit(1)).alias("n_nodes"),
             F.countDistinct("community").alias("n_communities"),
         ).collect()[0].asDict()
+    elif args.op == "modularity":
+        comm = graph.label_propagation(edges, n_iter=args.iters,
+                                       src=args.src, dst=args.dst)
+        out = graph.modularity(edges, comm, src=args.src, dst=args.dst)
+        summary = out.collect()[0].asDict()
     else:  # seed-distance
         if not args.seeds:
             raise SystemExit("seed-distance requires --seeds")
@@ -1860,6 +1887,11 @@ def main(argv=None) -> None:
     p.add_argument("--label-col", default="label")
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--lift-bands", type=int, default=0,
+                   help="add a decile-style lift/gains table with N "
+                        "bands (needs --id-col for the tie-break)")
+    p.add_argument("--id-col", default="doc_id")
+
     p = sub.add_parser("snapshot",
                        help="versioned corpus snapshots: write/list/"
                             "rollback/vacuum/diff")
@@ -1976,7 +2008,7 @@ def main(argv=None) -> None:
                        "parquet (pagerank/triangles/kcore/lpa/seed-distance)")
     p.add_argument("--edges", required=True)
     p.add_argument("--op", required=True,
-                   choices=["pagerank", "triangles", "kcore", "lpa",
+                   choices=["pagerank", "triangles", "kcore", "lpa", "modularity",
                             "seed-distance"])
     p.add_argument("--src", default="src")
     p.add_argument("--dst", default="dst")

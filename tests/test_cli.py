@@ -853,7 +853,7 @@ def test_cli_eval_card(spark, capsys, tmp_path):
     p = str(tmp_path / "scored.parquet")
     spark.createDataFrame(rows, "doc_id long, score double, label int") \
         .write.parquet(p)
-    main(["eval", "--scored", p, "--steps", "10"])
+    main(["eval", "--scored", p, "--steps", "10", "--lift-bands", "5"])
     card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card["auc"] == 1.0
     assert card["n_pos"] == 5 and card["n_neg"] == 5
@@ -863,6 +863,12 @@ def test_cli_eval_card(spark, capsys, tmp_path):
     assert card["n_thresholds"] == 10
     assert abs(card["ece"] - 0.1) < 1e-9  # |0.9-1|*0.5 + |0.1-0|*0.5
     assert card["brier"] == 0.01  # (0.1^2)*10/10 exactly
+    # 5 bands over 10 rows: band 0 = the 2 best-scored rows, all
+    # positive -> lift 2, gains 0.4; last band captures everything
+    assert len(card["lift"]) == 5
+    assert card["lift"][0]["lift"] == 2.0
+    assert card["lift"][0]["cum_gain"] == 0.4
+    assert card["lift"][-1]["cum_gain"] == 1.0
 
 
 def test_cli_graph_ops(spark, capsys, tmp_path):
@@ -889,6 +895,10 @@ def test_cli_graph_ops(spark, capsys, tmp_path):
     main(["graph", "--edges", ep, "--op", "lpa", "--iters", "4"])
     lpa = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert lpa["n_nodes"] == 6
+
+    main(["graph", "--edges", ep, "--op", "modularity", "--iters", "4"])
+    mod = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mod["n_edges"] == 7 and "modularity" in mod
 
     sp = str(tmp_path / "seeds.parquet")
     spark.createDataFrame([(0,)], "node long").write.parquet(sp)
