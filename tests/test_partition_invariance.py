@@ -133,6 +133,24 @@ _FLOAT_GATES = [
     ("doc_queries", "emb_hard_negatives"),
     ("doc_queries", "doc_calibration"),
     ("star_queries", "q7_volume_shipping"),
+    # continuation wave 2: permutation diffs are exact-decimal sums
+    # divided once in double per replicate, compared (not summed)
+    # against the observed diff; the BH decision is pure int64; the
+    # delta/power/EB/ESS/Wilson/LTV/lift/Holt/modularity statistics
+    # all follow the exact-moments-then-one-double-expression or
+    # quantize-then-exact-sum disciplines — pinned so a rewrite that
+    # accumulates raw doubles across rows cannot land silently
+    ("star_queries", "events_permutation_test"),
+    ("star_queries", "events_fdr_bh"),
+    ("star_queries", "events_delta_ratio"),
+    ("star_queries", "events_ab_power"),
+    ("star_queries", "events_eb_shrinkage"),
+    ("star_queries", "events_weighted_ess"),
+    ("star_queries", "events_funnel_wilson"),
+    ("star_queries", "events_cohort_ltv"),
+    ("star_queries", "orders_holt_forecast"),
+    ("star_queries", "parts_community_modularity"),
+    ("doc_queries", "doc_model_lift"),
 ]
 
 
