@@ -135,7 +135,8 @@ _WINDOW: list[str] = [
 # decimal cross-unit sums) and events_weighted_ess (Kish ESS +
 # design effect from exact weight moments); events_cohort_ltv
 # (cumulative value per cohort member by day age, fixed-denominator
-# curves, TZ-sweep-pinned).
+# curves, TZ-sweep-pinned); doc_hellinger_sources (metric companion
+# of the JSD monitor, quantized Bhattacharyya terms).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -1180,6 +1180,75 @@ def source_js_divergence(
     )
 
 
+def source_hellinger(
+    docs: DataFrame,
+    top_v: int = 200,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Hellinger distance between each source's word distribution and
+    the corpus distribution over the corpus's ``top_v`` vocabulary —
+    the metric sibling of :func:`source_js_divergence` (a true metric,
+    bounded in [0,1], with H² = 1 − Σ√(p·q); preferred when distances
+    must be comparable/triangulable, e.g. clustering sources).
+
+    Same vocabulary discipline as the JSD: the deterministic
+    (n DESC, word) top-V cut, renormalized inside it. Unlike the JSD,
+    words a source LACKS contribute zero to the Bhattacharyya sum, so
+    no sources×V grid is needed — only the source's vocab hits.
+
+    Determinism: each √(p·q) term is rounded to 12 dp and QUANTIZED to
+    decimal before the cross-word reduction (the quantize-then-
+    exact-sum discipline), so the sum is order-independent — stricter
+    than relying on the final rounding to absorb float wobble.
+
+    Scale shape: ONE corpus explode→aggregate keyed (source, word);
+    everything after is bounded by V × sources. Output per source:
+    n_vocab_hit, bhattacharyya (round 6), hellinger (round 6).
+    """
+    from hypermap_etl_spark.util import tracked_persist
+
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    sw = (
+        docs.select(F.col(source_col).alias("source"), F.explode(ws).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sw = tracked_persist(sw)
+    vocab = (
+        sw.groupBy("word")
+        .agg(F.sum("n").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("word"))
+        .limit(top_v)
+    )
+    swv = sw.join(F.broadcast(vocab.select("word")), "word")
+    cwv = swv.groupBy("word").agg(F.sum("n").cast("long").alias("cn"))
+    tot_c = cwv.agg(F.sum("cn").cast("double").alias("tc"))
+    tot_s = swv.groupBy("source").agg(F.sum("n").cast("double").alias("ts"))
+    joint = (
+        swv.select("source", "word", F.col("n").alias("sn"))
+        .join(F.broadcast(cwv), "word")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot_c))
+    )
+    pcol = F.col("sn").cast("double") / F.col("ts")
+    qcol = F.col("cn").cast("double") / F.col("tc")
+    termq = F.round(F.sqrt(pcol * qcol), 12).cast("decimal(14,12)")
+    agg = joint.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_hit"),
+        F.sum(termq).cast("decimal(38,12)").alias("__bc"),
+    )
+    bc = agg["__bc"].cast("double")
+    return agg.select(
+        "source",
+        "n_vocab_hit",
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6
+        ).alias("hellinger"),
+    )
+
+
 def skipgram_cooc(
     docs: DataFrame,
     window: int = 3,

@@ -5159,6 +5159,62 @@ FROM c ORDER BY band
 )
 
 
+
+
+def doc_hellinger_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Hellinger distance from the corpus word distribution
+    over the top-200 vocabulary (textstats.source_hellinger) — the
+    metric companion of doc_js_divergence; each Bhattacharyya term is
+    quantized to decimal before the cross-word sum, so the reduction
+    is order-independent by construction."""
+    from hypermap_etl_spark.operators.textstats import source_hellinger
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_hellinger(docs, top_v=200).orderBy("source")
+
+
+HELLINGER_ORACLE = """
+WITH sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+vocab AS (
+  SELECT word FROM (SELECT word, SUM(n) AS cn FROM sw GROUP BY 1)
+  ORDER BY cn DESC, word LIMIT 200
+),
+swv AS (SELECT sw.* FROM sw JOIN vocab USING (word)),
+cwv AS (SELECT word, CAST(SUM(n) AS BIGINT) AS cn FROM swv GROUP BY 1),
+tot_c AS (SELECT CAST(SUM(cn) AS DOUBLE) AS tc FROM cwv),
+tot_s AS (
+  SELECT source, CAST(SUM(n) AS DOUBLE) AS ts FROM swv GROUP BY 1
+),
+joint AS (
+  SELECT v.source, v.word, v.n AS sn, c.cn, s.ts, tot_c.tc
+  FROM swv v JOIN cwv c USING (word) JOIN tot_s s USING (source)
+  CROSS JOIN tot_c
+),
+terms AS (
+  SELECT source,
+    CAST(ROUND(sqrt((CAST(sn AS DOUBLE) / ts)
+                    * (CAST(cn AS DOUBLE) / tc)), 12)
+         AS DECIMAL(14,12)) AS tq
+  FROM joint
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab_hit,
+         CAST(SUM(tq) AS DECIMAL(38,12)) AS bc
+  FROM terms GROUP BY 1
+)
+SELECT source, n_vocab_hit,
+  ROUND(CAST(bc AS DOUBLE), 6) AS bhattacharyya,
+  ROUND(sqrt(GREATEST(1.0 - CAST(bc AS DOUBLE), CAST(0 AS DOUBLE))), 6)
+    AS hellinger
+FROM agg ORDER BY source
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5283,4 +5339,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_readability": (doc_readability, READABILITY_ORACLE),
     "doc_prefix_pairs": (doc_prefix_pairs, _EXACT_PAIRS_SQL),
     "doc_model_lift": (doc_model_lift, MODEL_LIFT_ORACLE),
+    "doc_hellinger_sources": (doc_hellinger_sources, HELLINGER_ORACLE),
 }

@@ -2229,3 +2229,39 @@ def test_negative_sampling_table_smoothing_and_cdf(spark):
     with pytest.raises(ValueError):
         negative_sampling_table(docs, alpha=0.0)
     release_persisted()
+
+
+def test_source_hellinger_metric_properties(spark):
+    from hypermap_etl_spark.operators.textstats import source_hellinger
+    from hypermap_etl_spark.util import release_persisted
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in range(10):
+        rows.append((i, "same_a", base))
+        rows.append((100 + i, "same_b", base))
+    for i in range(10):
+        rows.append((200 + i, "alien", "zorp blib quux flarn zorp blib"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_hellinger(df, top_v=50).collect()}
+    release_persisted()
+    # identical sources get identical distances; the alien source,
+    # sharing NO words with the others, is farther from the blend
+    assert got["same_a"]["hellinger"] == got["same_b"]["hellinger"]
+    assert got["alien"]["hellinger"] > got["same_a"]["hellinger"]
+    for r in got.values():
+        # bounded in [0, 1]; BC + H^2 = 1 up to the quantization
+        assert 0.0 <= r["hellinger"] <= 1.0
+        assert abs(
+            r["bhattacharyya"] + r["hellinger"] ** 2 - 1.0
+        ) < 1e-4
+
+    # ONE source only: its distribution IS the corpus -> H at the
+    # quantization floor (each term rounds at 12 dp before the sum)
+    solo = spark.createDataFrame(
+        [(1, "only", base), (2, "only", base)],
+        "doc_id long, source string, text string",
+    )
+    s = source_hellinger(solo, top_v=50).collect()[0]
+    release_persisted()
+    assert s["hellinger"] < 1e-5 and s["bhattacharyya"] == 1.0
