@@ -136,7 +136,9 @@ _WINDOW: list[str] = [
 # design effect from exact weight moments); events_cohort_ltv
 # (cumulative value per cohort member by day age, fixed-denominator
 # curves, TZ-sweep-pinned); doc_hellinger_sources (metric companion
-# of the JSD monitor, quantized Bhattacharyya terms).
+# of the JSD monitor, quantized Bhattacharyya terms);
+# events_type_stationary (power-iteration stationary distribution of
+# the type Markov chain, 8 unrolled steps in the oracle).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -575,3 +575,108 @@ def modularity(
         "intra_edges",
         F.round(q, 6).alias("modularity"),
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    from_col: str = "from_type",
+    to_col: str = "to_type",
+    count_col: str = "n",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain by fixed
+    power iteration — given the (from, to, count) transition table
+    (e.g. events_type_bigrams), where does a long random session
+    spend its time? The long-run companion of the transition counts
+    and the entropy rate.
+
+    States are the values with OUTGOING transitions (the chain is
+    defined by its rows); mass flowing into a state with no outgoing
+    row is re-normalized away each step — the standard sub-stochastic
+    treatment, honest about dead-ends. A FIXED iteration count is the
+    contract (periodic chains oscillate; the oracle unrolls the same
+    k steps).
+
+    Determinism: M_ij = c_ij/c_i is one double division of exact
+    longs; each v_i·M_ij product is rounded to 12 dp and QUANTIZED to
+    decimal before the per-state sum (quantize-then-exact-sum — a raw
+    double sum would depend on aggregation order), and each
+    renormalization divides exact decimal totals once in double.
+
+    Scale shape: every frame is bounded by the state/edge count of
+    the TYPE graph (tiny by construction — the corpus-sized work is
+    whatever built the transition table); iterations chain linearly.
+    Output: (state, n_out, pi) with pi rounded 6.
+    """
+    if n_iter < 1:
+        raise ValueError("markov_stationary: need n_iter >= 1")
+    tr = transitions.select(
+        F.col(from_col).alias("__from"),
+        F.col(to_col).alias("__to"),
+        F.col(count_col).cast("long").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    out_tot = tr.groupBy("__from").agg(
+        F.sum("__n").cast("long").alias("__ci")
+    )
+    m = tr.join(out_tot, "__from").select(
+        F.col("__from").alias("__mfrom"),
+        F.col("__to").alias("__mto"),
+        (F.col("__n").cast("double") / F.col("__ci").cast("double")).alias(
+            "__pij"
+        ),
+    )
+    states = out_tot.select(F.col("__from").alias("__st"), "__ci")
+    ns = states.agg(F.count(F.lit(1)).cast("long").alias("__s"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "__st",
+        F.round(F.lit(1.0) / F.col("__s").cast("double"), 12)
+        .cast("decimal(38,12)")
+        .alias("__p"),
+    )
+    from hypermap_etl_spark.util import (
+        release_local_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    m = tracked_local_checkpoint(m)
+    prev = None
+    for _ in range(n_iter):
+        # checkpoint each step: `up` feeds BOTH the total and the
+        # renormalized vector — without materialization the whole
+        # transition lineage would re-evaluate twice per iteration
+        # (2^k blowup over k steps)
+        up = tracked_local_checkpoint(
+            v.join(m, F.col("__st") == F.col("__mfrom"))
+            .select(
+                F.col("__mto").alias("__st"),
+                F.round(F.col("__p").cast("double") * F.col("__pij"), 12)
+                .cast("decimal(38,12)")
+                .alias("__t"),
+            )
+            .groupBy("__st")
+            .agg(F.sum("__t").cast("decimal(38,12)").alias("__p"))
+        )
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = up
+        tot = up.agg(F.sum("__p").cast("decimal(38,12)").alias("__tot"))
+        v = up.crossJoin(F.broadcast(tot)).select(
+            "__st",
+            F.round(
+                F.col("__p").cast("double") / F.col("__tot").cast("double"),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("__p"),
+        )
+    return (
+        states.join(v, "__st", "left")
+        .select(
+            F.col("__st").alias("state"),
+            F.col("__ci").alias("n_out"),
+            F.round(
+                F.coalesce(F.col("__p").cast("double"), F.lit(0.0)), 6
+            ).alias("pi"),
+        )
+        .orderBy("state")
+    )

@@ -8000,6 +8000,145 @@ ORDER BY cohort_day, age_days
 
 
 
+
+def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (events_type_bigrams transitions -> graph.markov_stationary, 8
+    fixed power iterations): where a long session spends its time.
+    Each v·M product quantizes to decimal before the per-state sum
+    and each renormalization divides exact totals once — the oracle
+    unrolls the identical 8 steps."""
+    from hypermap_etl_spark.operators.graph import markov_stationary
+
+    tr = events_type_bigrams(spark, sf_dir)
+    return markov_stationary(tr, n_iter=8)
+
+
+EVENTS_STATIONARY_ORACLE = """WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type
+  FROM events WHERE user_id IS NOT NULL
+),
+tr AS (
+  SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+ot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS ci FROM tr GROUP BY 1),
+m AS (
+  SELECT tr.from_type, tr.to_type,
+         CAST(tr.n AS DOUBLE) / CAST(ot.ci AS DOUBLE) AS pij
+  FROM tr JOIN ot USING (from_type)
+),
+states AS (SELECT from_type AS st, ci FROM ot),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM states),
+v0 AS (
+  SELECT st, CAST(ROUND(1.0 / CAST(s AS DOUBLE), 12) AS DECIMAL(38,12)) AS p
+  FROM states CROSS JOIN ns
+),
+u1 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v0.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v0 JOIN m ON v0.st = m.from_type GROUP BY 1
+),
+t1 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u1),
+v1 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u1 CROSS JOIN t1
+),
+u2 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v1.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v1 JOIN m ON v1.st = m.from_type GROUP BY 1
+),
+t2 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u2),
+v2 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u2 CROSS JOIN t2
+),
+u3 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v2.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v2 JOIN m ON v2.st = m.from_type GROUP BY 1
+),
+t3 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u3),
+v3 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u3 CROSS JOIN t3
+),
+u4 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v3.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v3 JOIN m ON v3.st = m.from_type GROUP BY 1
+),
+t4 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u4),
+v4 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u4 CROSS JOIN t4
+),
+u5 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v4.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v4 JOIN m ON v4.st = m.from_type GROUP BY 1
+),
+t5 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u5),
+v5 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u5 CROSS JOIN t5
+),
+u6 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v5.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v5 JOIN m ON v5.st = m.from_type GROUP BY 1
+),
+t6 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u6),
+v6 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u6 CROSS JOIN t6
+),
+u7 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v6.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v6 JOIN m ON v6.st = m.from_type GROUP BY 1
+),
+t7 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u7),
+v7 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u7 CROSS JOIN t7
+),
+u8 AS (
+  SELECT m.to_type AS st,
+    CAST(SUM(CAST(ROUND(CAST(v7.p AS DOUBLE) * m.pij, 12)
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p
+  FROM v7 JOIN m ON v7.st = m.from_type GROUP BY 1
+),
+t8 AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot FROM u8),
+v8 AS (
+  SELECT st, CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+  FROM u8 CROSS JOIN t8
+)
+SELECT s.st AS state, s.ci AS n_out,
+  ROUND(COALESCE(CAST(v8.p AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS pi
+FROM states s LEFT JOIN v8 ON s.st = v8.st
+ORDER BY state"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8159,4 +8298,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_eb_shrinkage": (events_eb_shrinkage, EB_SHRINK_ORACLE),
     "events_weighted_ess": (events_weighted_ess, WEIGHTED_ESS_ORACLE),
     "events_cohort_ltv": (events_cohort_ltv, COHORT_LTV_ORACLE),
+    "events_type_stationary": (events_type_stationary, EVENTS_STATIONARY_ORACLE),
 }

@@ -422,3 +422,43 @@ def test_modularity_two_cliques(spark):
     m_out = modularity(messy, cov).collect()[0]
     assert m_out["n_edges"] == 3 and m_out["n_nodes"] == 3
     assert m_out["modularity"] == 0.0
+
+
+def test_markov_stationary_known_chain(spark):
+    from hypermap_etl_spark.operators.graph import markov_stationary
+    from hypermap_etl_spark.util import release_persisted
+
+    # M = [[3/4, 1/4], [1/2, 1/2]] -> stationary pi = (2/3, 1/3);
+    # the second eigenvalue is 1/4, so 8 iterations sit within 1e-4
+    tr = spark.createDataFrame(
+        [("a", "a", 3), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)],
+        "from_type string, to_type string, n long",
+    )
+    out = {r["state"]: r for r in markov_stationary(tr).collect()}
+    release_persisted()
+    assert out["a"]["n_out"] == 4 and out["b"]["n_out"] == 2
+    assert abs(out["a"]["pi"] - 2 / 3) < 1e-4
+    assert abs(out["b"]["pi"] - 1 / 3) < 1e-4
+
+    # symmetric 2-cycle: uniform start IS stationary, stays (0.5, 0.5)
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)],
+        "from_type string, to_type string, n long",
+    )
+    c = {r["state"]: r["pi"] for r in markov_stationary(cyc).collect()}
+    release_persisted()
+    assert c == {"a": 0.5, "b": 0.5}
+
+    # dead-end destination: mass renormalizes among live states
+    dead = spark.createDataFrame(
+        [("a", "a", 1), ("a", "x", 1)],
+        "from_type string, to_type string, n long",
+    )
+    d = {r["state"]: r["pi"] for r in markov_stationary(dead, n_iter=3).collect()}
+    release_persisted()
+    assert list(d) == ["a"] and d["a"] > 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        markov_stationary(tr, n_iter=0)
