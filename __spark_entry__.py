@@ -138,7 +138,10 @@ _WINDOW: list[str] = [
 # curves, TZ-sweep-pinned); doc_hellinger_sources (metric companion
 # of the JSD monitor, quantized Bhattacharyya terms);
 # events_type_stationary (power-iteration stationary distribution of
-# the type Markov chain, 8 unrolled steps in the oracle).
+# the type Markov chain, 8 unrolled steps in the oracle);
+# events_sequential_welch (group-sequential monitoring with
+# O'Brien-Fleming boundaries — the peeking correction, cumulative
+# exact-moment looks, TZ-sweep-pinned).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

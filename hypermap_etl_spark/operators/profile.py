@@ -3313,3 +3313,136 @@ def weighted_ess(
             "design_effect"
         ),
     )
+
+
+# O'Brien-Fleming two-sided z boundaries for K=5 equally-spaced looks
+# at overall alpha=5% (standard group-sequential table values —
+# literals, like every quantile constant in this module)
+_OBF_5 = [4.877, 3.357, 2.680, 2.290, 2.031]
+
+
+def sequential_welch(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    day_col: str,
+    group_cols: list[str] | None = None,
+    boundaries: list[float] | None = None,
+    salt: str = "ab",
+) -> DataFrame:
+    """Group-sequential A/B monitoring — the peeking correction: an
+    experimenter who checks the dashboard K times must compare each
+    interim z against an ESCALATED boundary (O'Brien-Fleming here),
+    not 1.96, or the false-positive rate multiplies. This operator
+    replays the K equally-spaced calendar looks and reports, per
+    look, the cumulative Welch z and whether it crossed.
+
+    Look assignment is pure int64 — (day_index·K) div n_days over the
+    observed calendar span (broadcast single-row min/max) — and each
+    look's statistics come from CUMULATIVE exact decimal moments (a
+    window over the (group, arm, look) aggregate, bounded by K), so
+    the interim z at look i uses exactly the data a live dashboard
+    would have had. Boundaries are caller-overridable literals.
+
+    Output per (group, look): n_a, n_b, z_stat, boundary, crossed —
+    ordered, so "would we have stopped early, and when" reads off
+    directly.
+
+    Scale shape: ONE corpus hash aggregate keyed (group, look, arm);
+    cumulative windows run over K rows per (group, arm). Same
+    exact-moments-then-one-double-expression numerics as
+    :func:`welch_ab_test`.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    bounds = [float(b) for b in (_OBF_5 if boundaries is None else boundaries)]
+    k = len(bounds)
+    if k < 1:
+        raise ValueError("sequential_welch: need at least one look")
+    v = F.col(value_col).cast("decimal(12,2)")
+    day = F.date_trunc("day", F.col(day_col))
+    base = df.filter(
+        v.isNotNull() & F.col(unit_col).isNotNull() & F.col(day_col).isNotNull()
+    ).select(
+        *group_cols,
+        _hash_arm(unit_col, salt).alias("__arm"),
+        day.alias("__day"),
+        v.alias("__v"),
+    )
+    span = base.agg(
+        F.min("__day").alias("__d0"),
+        (F.datediff(F.max("__day"), F.min("__day")) + F.lit(1))
+        .cast("long")
+        .alias("__nd"),
+    )
+    dd = F.datediff(F.col("__day"), F.col("__d0")).cast("long")
+    num = dd * F.lit(k)
+    look = (
+        (num - F.pmod(num, F.col("__nd"))) / F.col("__nd")
+    ).cast("int")
+    per = (
+        base.crossJoin(F.broadcast(span))
+        .select(
+            *group_cols,
+            "__arm",
+            F.least(look, F.lit(k - 1)).alias("look"),
+            "__v",
+        )
+        .groupBy(*group_cols, "__arm", "look")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols, "__arm")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        *group_cols,
+        "__arm",
+        "look",
+        F.sum("__n").over(w).cast("long").alias("__cn"),
+        F.sum("__s").over(w).alias("__cs"),
+        F.sum("__ss").over(w).alias("__css"),
+    )
+
+    def side(tag: str, arm: int) -> DataFrame:
+        return cum.filter(F.col("__arm") == arm).select(
+            *group_cols,
+            "look",
+            F.col("__cn").alias(f"n_{tag}"),
+            F.col("__cs").alias(f"__s_{tag}"),
+            F.col("__css").alias(f"__ss_{tag}"),
+        )
+
+    a, b = side("a", 0), side("b", 1)
+    j = a.join(b, [*group_cols, "look"]).filter(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    )
+
+    def se2(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        ss = F.col(f"__ss_{tag}").cast("double")
+        var = F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        return var / n, s / n
+
+    se2_a, m_a = se2("a")
+    se2_b, m_b = se2("b")
+    z = F.try_divide(m_a - m_b, F.sqrt(se2_a + se2_b))
+    boundary = F.element_at(
+        F.array(*[F.lit(bv) for bv in bounds]), F.col("look") + 1
+    )
+    return j.select(
+        *group_cols,
+        F.col("look").cast("bigint").alias("look"),
+        "n_a",
+        "n_b",
+        F.round(z, 6).alias("z_stat"),
+        F.round(boundary, 6).alias("boundary"),
+        F.coalesce(F.abs(z) > boundary, F.lit(False)).alias("crossed"),
+    ).orderBy(*group_cols, "look")

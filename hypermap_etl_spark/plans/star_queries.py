@@ -8139,6 +8139,101 @@ ORDER BY state"""
 
 
 
+
+def events_sequential_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring of the A/A split per event type
+    (profile.sequential_welch): five equally-spaced calendar looks,
+    cumulative exact-moment Welch z at each, compared against the
+    O'Brien-Fleming boundaries — the peeking correction, replayed
+    deterministically. Look assignment is pure int64 over the
+    observed day span."""
+    from hypermap_etl_spark.operators.profile import sequential_welch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_welch(
+        ev, "value", "user_id", "ts", ["event_type"]
+    )
+
+
+SEQUENTIAL_WELCH_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2 AS arm,
+    date_trunc('day', ts) AS day,
+    CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+span AS (
+  SELECT MIN(day) AS d0,
+         CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS nd
+  FROM base
+),
+lk AS (
+  SELECT event_type, arm,
+    LEAST(CAST((CAST(datediff('day', d0, day) AS BIGINT) * 5) // nd
+               AS INT), 4) AS look,
+    v
+  FROM base CROSS JOIN span
+),
+per AS (
+  SELECT event_type, arm, look, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM lk GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, arm, look,
+    CAST(SUM(n) OVER (PARTITION BY event_type, arm ORDER BY look)
+         AS BIGINT) AS cn,
+    SUM(s) OVER (PARTITION BY event_type, arm ORDER BY look) AS cs,
+    SUM(ss) OVER (PARTITION BY event_type, arm ORDER BY look) AS css
+  FROM per
+),
+j AS (
+  SELECT a.event_type, a.look,
+    a.cn AS n_a, a.cs AS s_a, a.css AS ss_a,
+    b.cn AS n_b, b.cs AS s_b, b.css AS ss_b
+  FROM cum a JOIN cum b
+    ON a.event_type = b.event_type AND a.look = b.look
+  WHERE a.arm = 0 AND b.arm = 1 AND a.cn > 1 AND b.cn > 1
+),
+c AS (
+  SELECT event_type, look, n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+    GREATEST((CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS se2_a,
+    GREATEST((CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS se2_b
+  FROM j
+),
+f AS (
+  SELECT event_type, look, n_a, n_b,
+    CASE WHEN se2_a + se2_b > 0
+         THEN (m_a - m_b) / sqrt(se2_a + se2_b) END AS z,
+    CASE look WHEN 0 THEN CAST('4.877' AS DOUBLE)
+              WHEN 1 THEN CAST('3.357' AS DOUBLE)
+              WHEN 2 THEN CAST('2.68' AS DOUBLE)
+              WHEN 3 THEN CAST('2.29' AS DOUBLE)
+              ELSE CAST('2.031' AS DOUBLE) END AS boundary
+  FROM c
+)
+SELECT event_type, CAST(look AS BIGINT) AS look, n_a, n_b,
+  ROUND(z, 6) AS z_stat,
+  ROUND(boundary, 6) AS boundary,
+  COALESCE(abs(z) > boundary, FALSE) AS crossed
+FROM f ORDER BY event_type, look
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8299,4 +8394,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_weighted_ess": (events_weighted_ess, WEIGHTED_ESS_ORACLE),
     "events_cohort_ltv": (events_cohort_ltv, COHORT_LTV_ORACLE),
     "events_type_stationary": (events_type_stationary, EVENTS_STATIONARY_ORACLE),
+    "events_sequential_welch": (events_sequential_welch, SEQUENTIAL_WELCH_ORACLE),
 }

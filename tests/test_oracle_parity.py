@@ -109,6 +109,9 @@ _TZ_SENSITIVE = [
     # this session: LTV cohort/age labels come from date_trunc(ts) and
     # datediff — the same day-boundary exposure as retention
     "events_cohort_ltv",
+    # look assignment divides datediff day indexes — a session-zone
+    # leak would move rows across looks and change every interim z
+    "events_sequential_welch",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset

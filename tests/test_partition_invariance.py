@@ -151,6 +151,11 @@ _FLOAT_GATES = [
     ("star_queries", "orders_holt_forecast"),
     ("star_queries", "parts_community_modularity"),
     ("doc_queries", "doc_model_lift"),
+    # sequential looks: cumulative exact-decimal moments, one double
+    # expression per look; stationary chain: quantized v*M products
+    ("star_queries", "events_sequential_welch"),
+    ("star_queries", "events_type_stationary"),
+    ("doc_queries", "doc_hellinger_sources"),
 ]
 
 

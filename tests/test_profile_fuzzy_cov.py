@@ -1994,3 +1994,62 @@ def test_weighted_ess_kish(spark):
     )
     m = weighted_ess(mixed, "w", ["g"]).collect()[0]
     assert m["n"] == 1
+
+
+def test_sequential_welch_looks_and_boundaries(spark):
+    import datetime
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import sequential_welch
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # a huge planted effect across a 10-day window: every look sees
+    # it, so the FIRST look already crosses even the 4.877 boundary
+    rows = []
+    for d in range(10):
+        for uid in range(200):
+            rows.append(
+                (
+                    "g",
+                    uid,
+                    datetime.datetime(2024, 3, 1 + d),
+                    100.0 if arm(uid) == 0 else 1.0 + (uid % 3) * 0.1,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "g string, user_id long, ts timestamp, value double"
+    )
+    out = sequential_welch(df, "value", "user_id", "ts", ["g"]).collect()
+    assert [r["look"] for r in out] == list(range(5))
+    # OBF boundaries escalate early, relax late
+    bs = [r["boundary"] for r in out]
+    assert bs == sorted(bs, reverse=True) and bs[0] == 4.877
+    assert all(r["crossed"] for r in out)
+    # cumulative looks: n grows monotonically
+    ns = [r["n_a"] + r["n_b"] for r in out]
+    assert ns == sorted(ns) and ns[-1] == 2000
+
+    # A/A: no look crosses its boundary
+    null_rows = []
+    for d in range(10):
+        for uid in range(200):
+            null_rows.append(
+                (
+                    "g",
+                    uid,
+                    datetime.datetime(2024, 3, 1 + d),
+                    float((uid * 7 + d) % 11),
+                )
+            )
+    nd = spark.createDataFrame(
+        null_rows, "g string, user_id long, ts timestamp, value double"
+    )
+    nout = sequential_welch(nd, "value", "user_id", "ts", ["g"]).collect()
+    assert not any(r["crossed"] for r in nout)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sequential_welch(df, "value", "user_id", "ts", ["g"], boundaries=[])
