@@ -141,7 +141,9 @@ _WINDOW: list[str] = [
 # the type Markov chain, 8 unrolled steps in the oracle);
 # events_sequential_welch (group-sequential monitoring with
 # O'Brien-Fleming boundaries — the peeking correction, cumulative
-# exact-moment looks, TZ-sweep-pinned).
+# exact-moment looks, TZ-sweep-pinned); parts_link_prediction
+# (Adamic-Adar over the co-purchase graph — degree-capped wedge
+# pivots, quantized 1/ln(deg) terms, top-50 non-edges).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8234,6 +8234,71 @@ FROM f ORDER BY event_type, look
 
 
 
+
+def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the repeat-co-purchase graph
+    (graph.link_prediction_aa): the top 50 non-adjacent part pairs
+    ranked by summed 1/ln(deg) over common neighbors — which products
+    the graph says will be co-bought next. Each term quantizes to
+    decimal before the per-pair sum; ties on score break by ids."""
+    from hypermap_etl_spark.operators.graph import link_prediction_aa
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    return link_prediction_aa(edges, src="p1", dst="p2", top_k=50)
+
+
+LINK_PREDICTION_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+piv AS (SELECT a, d FROM deg WHERE d >= 2 AND d <= 1000),
+adj AS (
+  SELECT sym.a AS v, sym.b AS x, piv.d FROM sym JOIN piv USING (a)
+),
+wp AS (
+  SELECT l.x AS na, r.x AS nb, l.d
+  FROM adj l JOIN adj r ON l.v = r.v AND l.x < r.x
+),
+scored AS (
+  SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_common,
+    CAST(SUM(CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 12)
+                  AS DECIMAL(14,12))) AS DECIMAL(38,12)) AS s
+  FROM wp GROUP BY 1, 2
+),
+ne AS (
+  SELECT sc.* FROM scored sc
+  LEFT JOIN pairs p ON sc.na = p.a AND sc.nb = p.b
+  WHERE p.a IS NULL
+)
+SELECT na AS node_a, nb AS node_b, n_common,
+  ROUND(CAST(s AS DOUBLE), 6) AS aa_score
+FROM ne
+ORDER BY aa_score DESC, node_a ASC, node_b ASC
+LIMIT 50
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8395,4 +8460,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_cohort_ltv": (events_cohort_ltv, COHORT_LTV_ORACLE),
     "events_type_stationary": (events_type_stationary, EVENTS_STATIONARY_ORACLE),
     "events_sequential_welch": (events_sequential_welch, SEQUENTIAL_WELCH_ORACLE),
+    "parts_link_prediction": (parts_link_prediction, LINK_PREDICTION_ORACLE),
 }

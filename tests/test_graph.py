@@ -462,3 +462,42 @@ def test_markov_stationary_known_chain(spark):
 
     with _pt.raises(ValueError):
         markov_stationary(tr, n_iter=0)
+
+
+def test_link_prediction_adamic_adar(spark):
+    import math
+
+    from hypermap_etl_spark.operators.graph import link_prediction_aa
+
+    # path graph 1-2-3 plus 1-4, 3-4: non-edges are (1,3) via common
+    # neighbors {2, 4} and (2,4) via {1, 3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src long, dst long"
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in link_prediction_aa(edges).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    # deg(2)=deg(4)=2, deg(1)=deg(3)=2 -> every score = 2/ln(2)
+    want = round(2 * round(1 / math.log(2), 12), 6)
+    assert out[(1, 3)]["aa_score"] == want
+    assert out[(1, 3)]["n_common"] == 2
+
+    # existing edges never appear as candidates
+    assert (1, 2) not in out and (3, 4) not in out
+
+    # hub cap: a star center above max_degree pivots nothing
+    star = [(0, i) for i in range(1, 8)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    capped = link_prediction_aa(sdf, max_degree=5).collect()
+    assert capped == []  # only the center (deg 7) is a shared neighbor
+    uncapped = link_prediction_aa(sdf, max_degree=100).collect()
+    assert len(uncapped) == 21  # C(7,2) leaf pairs
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        link_prediction_aa(sdf, max_degree=1)
+    with _pt.raises(ValueError):
+        link_prediction_aa(sdf, top_k=0)

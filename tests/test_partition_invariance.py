@@ -156,6 +156,9 @@ _FLOAT_GATES = [
     ("star_queries", "events_sequential_welch"),
     ("star_queries", "events_type_stationary"),
     ("doc_queries", "doc_hellinger_sources"),
+    # AA terms quantize before the per-pair sum; the top-k cut orders
+    # by the ROUNDED score with a total id tie-break
+    ("star_queries", "parts_link_prediction"),
 ]
 
 
