@@ -2068,6 +2068,23 @@ def welch_ab_test(
         F.sum("__v").alias("s"),
         F.sum(F.col("__v") * F.col("__v")).alias("ss"),
     )
+    return welch_from_moments(agg, group_cols, crit=crit)
+
+
+def welch_from_moments(
+    agg: DataFrame,
+    group_cols: list[str] | None = None,
+    crit: float = 1.96,
+) -> DataFrame:
+    """The Welch epilogue over PRE-AGGREGATED arm moments — a frame
+    keyed (group..., __arm) carrying exact (n, s, ss). Factored out of
+    :func:`welch_ab_test` so the streaming A/B monitor's moment STORE
+    (additive partials summed across micro-batches) feeds the
+    IDENTICAL fixed-order expression — streaming and batch can never
+    disagree on a verdict. Moments must be exact types (long n,
+    decimal s/ss); the numerics contract lives in welch_ab_test's
+    docstring."""
+    group_cols = group_cols or []
     a = agg.filter(F.col("__arm") == 0).select(
         *group_cols,
         F.col("n").alias("n_a"),
