@@ -47,6 +47,7 @@ def main() -> None:
     from hypermap_etl_spark.plans.star_queries import (
         events_fdr_bh,
         events_page_deep,
+        parts_link_prediction,
         events_sessions,
         lineitem_weighted_median,
         parts_copurchase_lpa,
@@ -259,6 +260,10 @@ def main() -> None:
         # (the exchange carries groups*200 rows, not corpus*200),
         # then the integer-exact BH epilogue on |groups| rows
         "permutation_fdr": events_fdr_bh,
+        # r7 continuation 2: candidate generation for link prediction —
+        # the degree-capped wedge self-join + anti-join against the
+        # edge set (the quadratic-hub trap, capped)
+        "link_prediction": parts_link_prediction,
     }
 
     spark = get_spark("hypermap-etl-bench")

@@ -1282,6 +1282,11 @@ def cmd_ab(args) -> None:
             df, args.value_col, args.unit_col
         ).collect()
         out["ratio_metric"] = rm[0].asDict() if rm else None
+    if args.sequential_col:
+        sq = profile.sequential_welch(
+            df, args.value_col, args.unit_col, args.sequential_col
+        ).collect()
+        out["sequential"] = [r.asDict() for r in sq]
     print(json.dumps(out, default=str))
 
 
@@ -1988,6 +1993,9 @@ def main(argv=None) -> None:
     p.add_argument("--ratio", action="store_true",
                    help="add the delta-method ratio-metric z-test "
                         "(value per row, clustered by unit)")
+    p.add_argument("--sequential-col",
+                   help="timestamp column enables the group-sequential "
+                        "replay (5 O'Brien-Fleming looks)")
     p = sub.add_parser("survival", help="Kaplan-Meier curve "
                        "(+ log-rank with --group-col) over lifetimes")
     p.add_argument("--lifetimes", required=True)

@@ -952,14 +952,18 @@ def test_cli_ab_card(spark, capsys, tmp_path):
 
     from hypermap_etl_spark.cli import main
 
-    rows = [(uid, float(uid % 13), uid % 2, float(uid % 7))
+    import datetime
+
+    rows = [(uid, float(uid % 13), uid % 2, float(uid % 7),
+             datetime.datetime(2024, 3, 1 + uid % 10))
             for uid in range(600)]
     p = str(tmp_path / "ab.parquet")
     spark.createDataFrame(
-        rows, "user_id long, value double, post int, pre double"
+        rows, "user_id long, value double, post int, pre double, ts timestamp"
     ).write.parquet(p)
     main(["ab", "--table", p, "--period-col", "post", "--pre-col", "pre",
-          "--robust", "--permutations", "19", "--power", "--ratio"])
+          "--robust", "--permutations", "19", "--power", "--ratio",
+          "--sequential-col", "ts"])
     card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card["srm"]["srm_suspected"] is False
     assert card["welch"]["significant"] is False
@@ -974,6 +978,9 @@ def test_cli_ab_card(spark, capsys, tmp_path):
     assert float(card["permutation"]["p_value"]) > 0.05
     assert card["ratio_metric"]["significant"] is False
     assert float(card["power"]["mde_abs"]) > 0
+    # A/A sequential replay: five looks, none crossing its boundary
+    assert [l["look"] for l in card["sequential"]] == [0, 1, 2, 3, 4]
+    assert not any(l["crossed"] for l in card["sequential"])
 
 
 def test_cli_survival(spark, capsys, tmp_path):
