@@ -143,7 +143,10 @@ _WINDOW: list[str] = [
 # O'Brien-Fleming boundaries — the peeking correction, cumulative
 # exact-moment looks, TZ-sweep-pinned); parts_link_prediction
 # (Adamic-Adar over the co-purchase graph — degree-capped wedge
-# pivots, quantized 1/ln(deg) terms, top-50 non-edges).
+# pivots, quantized 1/ln(deg) terms, top-50 non-edges);
+# doc_score_quantile_norm (batch-effect correction: per-source vs
+# pooled decile knots from grouped_quantile_table — all deciles in
+# ONE running-sum pass, integer-exact picks).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

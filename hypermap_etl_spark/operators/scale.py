@@ -544,3 +544,97 @@ def heavy_coverage(
             ).alias("key_fraction"),
         )
     )
+
+
+def grouped_quantile_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """ALL the exact lower q-quantiles of every group in ONE
+    distributed running-sum pass — the mapping-table primitive behind
+    quantile normalization and per-group ECDF reports. Calling
+    :func:`grouped_weighted_quantile` once per q would repeat the
+    distinct-value collapse and range shuffle |qs| times; here the
+    cumulative frame is built once and each row fans out to the |qs|
+    pick conditions (a bounded explode over the distinct-value
+    aggregate, never over corpus rows).
+
+    Same exactness contract as the median family: values quantize to
+    decimal(12,2), every pick condition is integer/decimal arithmetic
+    (cum·den >= tot·num with q as an exact Fraction), no float
+    threshold anywhere. Output: one row per (group, q) — q (double
+    literal), value, n_rows.
+    """
+    from fractions import Fraction
+
+    fracs = [Fraction(str(q)) for q in qs]
+    if not fracs:
+        raise ValueError("grouped_quantile_table: need at least one q")
+    if any(not 0 < f <= 1 for f in fracs):
+        raise ValueError("grouped_quantile_table: every q must be in (0, 1]")
+    v = F.col(value_col).cast("decimal(12,2)")
+    per_value = (
+        df.filter(v.isNotNull())
+        .select(*group_cols, v.alias("__v"))
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = tracked_persist(
+        per_value.repartitionByRange(
+            p, *[F.col(c) for c in group_cols], F.col("__v")
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    psums = ranged.groupBy("__pid", *group_cols).agg(
+        F.sum("__n").alias("__s")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = psums.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = psums.groupBy(*group_cols).agg(F.sum("__s").alias("__tot"))
+    w_run = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        ranged.withColumn("__run", F.sum("__n").over(w_run))
+        .join(F.broadcast(offs), ["__pid", *group_cols])
+        .withColumn("__cum", F.col("__off") + F.col("__run"))
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(float(f)).alias("q"),
+                F.lit(f.numerator).alias("__num"),
+                F.lit(f.denominator).alias("__den"),
+            )
+            for f in fracs
+        ]
+    )
+    exploded = (
+        cum.join(F.broadcast(totals), list(group_cols))
+        .select(*group_cols, "__v", "__cum", "__tot", F.explode(qarr).alias("__q"))
+        .filter(
+            F.col("__cum").cast("decimal(38,0)") * F.col("__q.__den")
+            >= F.col("__tot").cast("decimal(38,0)") * F.col("__q.__num")
+        )
+    )
+    return (
+        exploded.groupBy(*group_cols, F.col("__q.q").alias("q"))
+        .agg(
+            F.min("__v").cast("double").alias("value"),
+            F.first(F.col("__tot")).cast("long").alias("n_rows"),
+        )
+        .orderBy(*group_cols, "q")
+    )

@@ -5215,6 +5215,95 @@ FROM agg ORDER BY source
 """
 
 
+
+
+def doc_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization mapping table for the quality scores per
+    source (scale.grouped_quantile_table twice + one join on q): each
+    source's exact decile knots beside the pooled corpus knots — the
+    batch-effect correction artifact that makes scores comparable
+    across domains (map a source score to the pooled value at the
+    same quantile). One running-sum pass per side, all deciles at
+    once; every pick is integer-exact."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.quality_model import score_linear
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_linear(
+        docs.select("doc_id", "text"), weights, bias=0.25
+    ).join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.round("score", 6).alias("score")
+    )
+    per_src = grouped_quantile_table(scored, "score", ["source"]).select(
+        "source", "q", F.col("value").alias("src_value"),
+        F.col("n_rows").alias("n_src"),
+    )
+    pooled = grouped_quantile_table(
+        scored.withColumn("__pool", F.lit(1)), "score", ["__pool"]
+    ).select("q", F.col("value").alias("pooled_value"))
+    return per_src.join(pooled, "q").select(
+        "source", "q", "n_src", "src_value", "pooled_value",
+        F.round(F.col("pooled_value") - F.col("src_value"), 6).alias("shift"),
+    ).orderBy("source", "q")
+
+
+QUANTILE_NORM_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+sc AS (
+  SELECT d.source, CAST(s.score AS DECIMAL(12,2)) AS v
+  FROM scores s JOIN documents d USING (doc_id)
+),
+qs AS (SELECT * FROM (VALUES (0.1, 1, 10), (0.2, 1, 5), (0.3, 3, 10),
+       (0.4, 2, 5), (0.5, 1, 2), (0.6, 3, 5), (0.7, 7, 10),
+       (0.8, 4, 5), (0.9, 9, 10)) t(q, num, den)),
+pv AS (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sc GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, v,
+    SUM(n) OVER (PARTITION BY source ORDER BY v) AS c,
+    SUM(n) OVER (PARTITION BY source) AS tot
+  FROM pv
+),
+src_q AS (
+  SELECT source, q, MIN(v) AS src_value, MAX(tot) AS n_src
+  FROM cum CROSS JOIN qs
+  WHERE c * den >= tot * num
+  GROUP BY 1, 2
+),
+pcum AS (
+  SELECT v, SUM(n) OVER (ORDER BY v) AS c, SUM(n) OVER () AS tot
+  FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY 1)
+),
+pool_q AS (
+  SELECT q, MIN(v) AS pooled_value
+  FROM pcum CROSS JOIN qs
+  WHERE c * den >= tot * num
+  GROUP BY 1
+)
+SELECT s.source, CAST(s.q AS DOUBLE) AS q,
+  CAST(s.n_src AS BIGINT) AS n_src,
+  CAST(s.src_value AS DOUBLE) AS src_value,
+  CAST(p.pooled_value AS DOUBLE) AS pooled_value,
+  ROUND(CAST(p.pooled_value AS DOUBLE) - CAST(s.src_value AS DOUBLE), 6)
+    AS shift
+FROM src_q s JOIN pool_q p USING (q)
+ORDER BY source, q
+"""
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5340,4 +5429,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_prefix_pairs": (doc_prefix_pairs, _EXACT_PAIRS_SQL),
     "doc_model_lift": (doc_model_lift, MODEL_LIFT_ORACLE),
     "doc_hellinger_sources": (doc_hellinger_sources, HELLINGER_ORACLE),
+    "doc_score_quantile_norm": (doc_score_quantile_norm, QUANTILE_NORM_ORACLE),
 }

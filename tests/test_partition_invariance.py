@@ -159,6 +159,10 @@ _FLOAT_GATES = [
     # AA terms quantize before the per-pair sum; the top-k cut orders
     # by the ROUNDED score with a total id tie-break
     ("star_queries", "parts_link_prediction"),
+    # quantile-norm knots ride the range-partition running sum
+    # (invariant only BECAUSE offsets derive from actual slice
+    # contents — the weighted-median pin, same reason)
+    ("doc_queries", "doc_score_quantile_norm"),
 ]
 
 

@@ -314,3 +314,45 @@ def test_weighted_quantile_generalizes_median(spark):
     with pytest.raises(ValueError):
         grouped_weighted_quantile(uni, "v", "w", ["g"], q=1.5)
     release_persisted()
+
+
+def test_grouped_quantile_table_matches_single_q_calls(spark):
+    from hypermap_etl_spark.operators.scale import (
+        grouped_quantile_table,
+        grouped_weighted_quantile,
+    )
+    from hypermap_etl_spark.util import release_persisted
+
+    rows = [("g1", float(i % 37)) for i in range(500)] + [
+        ("g2", float((i * 7) % 101)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    table = {
+        (r["g"], r["q"]): r["value"]
+        for r in grouped_quantile_table(df, "v", ["g"]).collect()
+    }
+    release_persisted()
+    # one-pass table equals the certified single-q operator at every q
+    one = df.withColumn("w", F.lit(1.0))
+    for q in (0.1, 0.5, 0.9):
+        want = {
+            r["g"]: r["quantile_w"]
+            for r in grouped_weighted_quantile(
+                one, "v", "w", ["g"], q=q
+            ).collect()
+        }
+        release_persisted()
+        for g in ("g1", "g2"):
+            assert table[(g, q)] == want[g], (g, q)
+    # q=1.0 is the max; count carried through
+    full = grouped_quantile_table(df, "v", ["g"], qs=(1.0,)).collect()
+    release_persisted()
+    got = {r["g"]: (r["value"], r["n_rows"]) for r in full}
+    assert got["g1"] == (36.0, 500) and got["g2"] == (100.0, 300)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        grouped_quantile_table(df, "v", ["g"], qs=())
+    with _pt.raises(ValueError):
+        grouped_quantile_table(df, "v", ["g"], qs=(0.0,))
