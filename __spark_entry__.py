@@ -146,7 +146,9 @@ _WINDOW: list[str] = [
 # pivots, quantized 1/ln(deg) terms, top-50 non-edges);
 # doc_score_quantile_norm (batch-effect correction: per-source vs
 # pooled decile knots from grouped_quantile_table — all deciles in
-# ONE running-sum pass, integer-exact picks).
+# ONE running-sum pass, integer-exact picks); events_ab_layers
+# (layered-experiment orthogonality: closed-form 2x2 chi-squared on
+# the joint salt assignment, exact up to one division).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -3463,3 +3463,77 @@ def sequential_welch(
         F.round(boundary, 6).alias("boundary"),
         F.coalesce(F.abs(z) > boundary, F.lit(False)).alias("crossed"),
     ).orderBy(*group_cols, "look")
+
+
+def layer_orthogonality(
+    df: DataFrame,
+    unit_col: str,
+    salt_a: str = "ab",
+    salt_b: str = "layer2",
+    crit: float = 3.841,
+) -> DataFrame:
+    """Orthogonality certification for LAYERED experiments — two
+    concurrent experiments hash the same units with different salts,
+    and the whole design is valid only if the assignments are
+    independent (a correlated pair contaminates both readouts). This
+    computes the joint 2×2 assignment table over distinct units and
+    the chi-squared independence statistic in its closed 2×2 form,
+
+        χ² = N·(n00·n11 − n01·n10)² / ((n00+n01)(n10+n11)(n00+n10)(n01+n11)),
+
+    where every term is an exact integer (decimal(38,0) products — a
+    billion units squared overflows int64) and the only float
+    operation is the final division. Verdict: χ² < crit (3.841 = the
+    95% chi-squared(1) quantile, a literal).
+
+    Scale shape: one distinct-unit aggregate (the two md5 arms are
+    map-side projections), then a 4-row fold to one row. Output:
+    n_units, n00, n01, n10, n11, chi2, orthogonal.
+    """
+    units = df.filter(F.col(unit_col).isNotNull()).select(
+        F.col(unit_col).cast("string").alias("__u")
+    ).distinct()
+    both = units.select(
+        _hash_arm("__u", salt_a).alias("__a"),
+        _hash_arm("__u", salt_b).alias("__b"),
+    )
+    cells = both.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+
+    def cell(a: int, b: int):
+        return F.coalesce(
+            F.sum(
+                F.when((F.col("__a") == a) & (F.col("__b") == b), F.col("__n"))
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    g = cells.agg(
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    d = "decimal(38,0)"
+    n00, n01 = F.col("n00").cast(d), F.col("n01").cast(d)
+    n10, n11 = F.col("n10").cast(d), F.col("n11").cast(d)
+    ntot = (n00 + n01 + n10 + n11).cast(d)
+    det = (n00 * n11 - n01 * n10).cast(d)
+    num = (ntot.cast("double")) * (det.cast("double") * det.cast("double"))
+    den = (
+        (n00 + n01).cast("double")
+        * (n10 + n11).cast("double")
+        * (n00 + n10).cast("double")
+        * (n01 + n11).cast("double")
+    )
+    chi2 = F.try_divide(num, den)
+    return g.select(
+        ntot.cast("long").alias("n_units"),
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(chi2, 6).alias("chi2"),
+        F.coalesce(chi2 < F.lit(crit), F.lit(False)).alias("orthogonal"),
+    )

@@ -8299,6 +8299,68 @@ LIMIT 50
 
 
 
+
+def events_ab_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonality certification of two concurrent experiment
+    layers over the events users (profile.layer_orthogonality): the
+    joint md5('ab:u') x md5('layer2:u') assignment table and the
+    closed-form 2x2 chi-squared, exact integers up to one division —
+    layered experimentation is valid only if this stays flat."""
+    from hypermap_etl_spark.operators.profile import layer_orthogonality
+
+    ev = load_table(spark, sf_dir, "events")
+    return layer_orthogonality(ev, "user_id")
+
+
+AB_LAYERS_ORACLE = """
+WITH units AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u
+  FROM events WHERE user_id IS NOT NULL
+),
+assigned AS (
+  SELECT
+    CAST('0x' || substr(md5('ab:' || u), 1, 8) AS BIGINT) % 2 AS a,
+    CAST('0x' || substr(md5('layer2:' || u), 1, 8) AS BIGINT) % 2 AS b
+  FROM units
+),
+g AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 END), 0)
+         AS BIGINT) AS n00,
+    CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 END), 0)
+         AS BIGINT) AS n01,
+    CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 END), 0)
+         AS BIGINT) AS n10,
+    CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 END), 0)
+         AS BIGINT) AS n11
+  FROM assigned
+),
+c AS (
+  SELECT n00, n01, n10, n11,
+    CAST(n00 + n01 + n10 + n11 AS DECIMAL(38,0)) AS ntot,
+    CAST(CAST(n00 AS DECIMAL(38,0)) * n11
+         - CAST(n01 AS DECIMAL(38,0)) * n10 AS DECIMAL(38,0)) AS det
+  FROM g
+),
+f AS (
+  SELECT n00, n01, n10, n11, ntot,
+    CASE WHEN (CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE)
+               * CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE)) <> 0
+      THEN CAST(ntot AS DOUBLE)
+           * (CAST(det AS DOUBLE) * CAST(det AS DOUBLE))
+           / (CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE)
+              * CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE))
+    END AS chi2
+  FROM c
+)
+SELECT CAST(ntot AS BIGINT) AS n_units, n00, n01, n10, n11,
+  ROUND(chi2, 6) AS chi2,
+  COALESCE(chi2 < CAST('3.841' AS DOUBLE), FALSE) AS orthogonal
+FROM f
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8461,4 +8523,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_type_stationary": (events_type_stationary, EVENTS_STATIONARY_ORACLE),
     "events_sequential_welch": (events_sequential_welch, SEQUENTIAL_WELCH_ORACLE),
     "parts_link_prediction": (parts_link_prediction, LINK_PREDICTION_ORACLE),
+    "events_ab_layers": (events_ab_layers, AB_LAYERS_ORACLE),
 }

@@ -2053,3 +2053,29 @@ def test_sequential_welch_looks_and_boundaries(spark):
 
     with _pt.raises(ValueError):
         sequential_welch(df, "value", "user_id", "ts", ["g"], boundaries=[])
+
+
+def test_layer_orthogonality_detects_correlated_salts(spark):
+    from hypermap_etl_spark.operators.profile import layer_orthogonality
+
+    df = spark.createDataFrame(
+        [(uid,) for uid in range(4000)], "user_id long"
+    )
+    # independent salts: flat table, chi2 small
+    out = layer_orthogonality(df, "user_id").collect()[0]
+    assert out["n_units"] == 4000
+    assert out["n00"] + out["n01"] + out["n10"] + out["n11"] == 4000
+    assert out["orthogonal"] and out["chi2"] < 3.841
+
+    # the SAME salt twice: perfectly correlated -> off-diagonals empty,
+    # chi2 = N, verdict red
+    bad = layer_orthogonality(df, "user_id", salt_a="ab", salt_b="ab")
+    b = bad.collect()[0]
+    assert b["n01"] == 0 and b["n10"] == 0
+    assert b["chi2"] == 4000.0 and not b["orthogonal"]
+
+    # duplicate rows collapse to distinct units
+    dup = spark.createDataFrame(
+        [(uid % 10,) for uid in range(100)], "user_id long"
+    )
+    assert layer_orthogonality(dup, "user_id").collect()[0]["n_units"] == 10
