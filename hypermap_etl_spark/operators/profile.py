@@ -3211,6 +3211,9 @@ def eb_shrink_means(
             F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
         )
     )
+    from hypermap_etl_spark.util import tracked_persist
+
+    per_unit = tracked_persist(per_unit)
     n = F.col("__n").cast("double")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
@@ -3365,8 +3368,9 @@ def sequential_welch(
     ordered, so "would we have stopped early, and when" reads off
     directly.
 
-    Scale shape: ONE corpus hash aggregate keyed (group, look, arm);
-    cumulative windows run over K rows per (group, arm). Same
+    Scale shape: ONE corpus hash aggregate to (group, arm, day)
+    moments; the span, look re-bucketing, and cumulative windows all
+    run over that calendar-bounded aggregate. Same
     exact-moments-then-one-double-expression numerics as
     :func:`welch_ab_test`.
     """
@@ -3387,7 +3391,17 @@ def sequential_welch(
         day.alias("__day"),
         v.alias("__v"),
     )
-    span = base.agg(
+    # ONE corpus scan: collapse to the calendar-bounded
+    # (group, arm, day) moment aggregate first; the span and the look
+    # re-bucketing then run over that aggregate (decimal partials
+    # associate exactly, so re-summing by look equals bucketing rows
+    # directly)
+    daily = base.groupBy(*group_cols, "__arm", "__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    span = daily.agg(
         F.min("__day").alias("__d0"),
         (F.datediff(F.max("__day"), F.min("__day")) + F.lit(1))
         .cast("long")
@@ -3399,18 +3413,20 @@ def sequential_welch(
         (num - F.pmod(num, F.col("__nd"))) / F.col("__nd")
     ).cast("int")
     per = (
-        base.crossJoin(F.broadcast(span))
+        daily.crossJoin(F.broadcast(span))
         .select(
             *group_cols,
             "__arm",
             F.least(look, F.lit(k - 1)).alias("look"),
-            "__v",
+            "__n",
+            "__s",
+            "__ss",
         )
         .groupBy(*group_cols, "__arm", "look")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            F.sum("__v").alias("__s"),
-            F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+            F.sum("__n").cast("long").alias("__n"),
+            F.sum("__s").alias("__s"),
+            F.sum("__ss").alias("__ss"),
         )
     )
     w = (
