@@ -148,7 +148,9 @@ _WINDOW: list[str] = [
 # pooled decile knots from grouped_quantile_table — all deciles in
 # ONE running-sum pass, integer-exact picks); events_ab_layers
 # (layered-experiment orthogonality: closed-form 2x2 chi-squared on
-# the joint salt assignment, exact up to one division).
+# the joint salt assignment, exact up to one division);
+# doc_tokenizer_fertility (BPE tokens/word + chars/token per lang via
+# the certified Pandas-UDF encoder vs the replace-chain oracle).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

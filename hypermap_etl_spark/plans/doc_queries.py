@@ -5304,6 +5304,99 @@ ORDER BY source, q
 )
 
 
+
+
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (operators/bpe.bpe_segment
+    with the fixed BPE_ENCODE_MERGES): BPE tokens per whitespace word
+    and characters per token — the multilingual-tokenizer health
+    readout (a language whose fertility spikes is being shredded into
+    bytes and will train poorly). Exact long counts per doc, one
+    per-lang aggregate, two final divisions."""
+    from hypermap_etl_spark.operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    seg = bpe_segment(docs.select("doc_id", "text"), BPE_ENCODE_MERGES)
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("long").alias("__nw"),
+        F.length(F.array_join(ws, "")).cast("long").alias("__nc"),
+    ).join(seg.select("doc_id", "n_bpe_tokens"), "doc_id")
+    # zero-word docs carry no fertility signal; dropping them keeps
+    # the doc count aligned with the oracle's inner join on words
+    base = base.filter(F.col("__nw") > 0)
+    g = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nw").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.try_divide(
+                F.col("n_tokens").cast("double"),
+                F.col("n_words").cast("double"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(
+                F.col("n_chars").cast("double"),
+                F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+_BPE_TOKS_PREFIX = BPE_ENCODE_ORACLE[: BPE_ENCODE_ORACLE.index("agg AS (")]
+
+FERTILITY_ORACLE = (
+    _BPE_TOKS_PREFIX
+    + """agg AS (
+  SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(t.nt) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(w.word)) AS BIGINT) AS n_chars
+  FROM wpos w JOIN toks t ON w.doc_id = t.doc_id AND w.pos = t.pos
+  GROUP BY 1
+),
+j AS (
+  SELECT d.lang,
+         COALESCE(a.n_words, 0) AS n_words,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.n_chars, 0) AS n_chars
+  FROM documents d JOIN agg a USING (doc_id)
+),
+g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM j GROUP BY 1
+)
+SELECT lang, n_docs, n_words, n_tokens,
+  ROUND(CASE WHEN n_words > 0
+        THEN CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END, 6)
+    AS fertility,
+  ROUND(CASE WHEN n_tokens > 0
+        THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6)
+    AS chars_per_token
+FROM g ORDER BY lang
+"""
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5430,4 +5523,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_model_lift": (doc_model_lift, MODEL_LIFT_ORACLE),
     "doc_hellinger_sources": (doc_hellinger_sources, HELLINGER_ORACLE),
     "doc_score_quantile_norm": (doc_score_quantile_norm, QUANTILE_NORM_ORACLE),
+    "doc_tokenizer_fertility": (doc_tokenizer_fertility, FERTILITY_ORACLE),
 }

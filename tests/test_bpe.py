@@ -104,3 +104,33 @@ def test_word_frequencies_cap_is_top_k(spark):
         for r in bpe.word_frequencies(docs, max_words=2).collect()
     }
     assert top2 == {"a": 3, "b": 2}
+
+
+def test_tokenizer_fertility_readout(spark, tmp_path):
+    """Fertility = BPE tokens per word: a language the merge list was
+    trained for segments coarser (lower fertility) than one it
+    shreds char-by-char."""
+    import os
+    import shutil
+
+    from hypermap_etl_spark.plans.doc_queries import doc_tokenizer_fertility
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # 'table scan' words hit the merge list; 'xyzq' style words do not
+    rows = [
+        (1, "en", "table table scan", "w", 16),
+        (2, "en", "table scan scan", "w", 15),
+        (3, "xx", "xyzq wvut xyzq", "w", 14),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["lang"]: r for r in doc_tokenizer_fertility(spark, sf).collect()}
+    shutil.rmtree(sf)
+    assert out["en"]["n_docs"] == 2 and out["xx"]["n_docs"] == 1
+    # merged words compress: en fertility well under the char-split xx
+    assert out["en"]["fertility"] < out["xx"]["fertility"]
+    # chars_per_token is the reciprocal view: en packs more chars/token
+    assert out["en"]["chars_per_token"] > out["xx"]["chars_per_token"]
+    assert out["en"]["n_words"] == 6
