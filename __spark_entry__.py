@@ -150,7 +150,9 @@ _WINDOW: list[str] = [
 # (layered-experiment orthogonality: closed-form 2x2 chi-squared on
 # the joint salt assignment, exact up to one division);
 # doc_tokenizer_fertility (BPE tokens/word + chars/token per lang via
-# the certified Pandas-UDF encoder vs the replace-chain oracle).
+# the certified Pandas-UDF encoder vs the replace-chain oracle);
+# events_srm_segments (per-surface sample-ratio check — catches
+# differential logging loss the global 50/50 hides).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

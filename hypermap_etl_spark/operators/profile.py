@@ -1495,6 +1495,7 @@ def srm_check(
     unit_col: str,
     salt: str = "ab",
     crit: float = 3.0,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sample-ratio-mismatch check — the first thing a healthy
     experimentation pipeline verifies before reading ANY metric: do
@@ -1508,16 +1509,23 @@ def srm_check(
     One distinct-unit aggregate; arm by the md5(salt:unit) parity
     shared with the whole A/B family, so this certifies the very
     split welch/MW/KS/DiD/CUPED read. Exact longs, one double tail.
-    Output: (n_units, n_a, n_b, z_stat, srm_suspected).
+    Output: (group..., n_units, n_a, n_b, z_stat, srm_suspected).
+
+    With ``group_cols`` the check runs per SEGMENT over distinct
+    (group, unit) pairs — the global 50/50 can hold while one surface
+    silently drops an arm's logs (differential loss), which only the
+    segmented view catches. A unit active in k segments counts once
+    per segment, by design.
     """
+    group_cols = group_cols or []
     arm = _hash_arm("__u", salt)
     units = (
         df.filter(F.col(unit_col).isNotNull())
-        .select(F.col(unit_col).alias("__u"))
+        .select(*group_cols, F.col(unit_col).alias("__u"))
         .distinct()
-        .select(arm.alias("__arm"))
+        .select(*group_cols, arm.alias("__arm"))
     )
-    g = units.agg(
+    g = units.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
         .cast("long")
@@ -1529,6 +1537,7 @@ def srm_check(
         F.sqrt(n / F.lit(4.0)),
     )
     return g.select(
+        *group_cols,
         "n_units",
         "n_a",
         (F.col("n_units") - F.col("n_a")).alias("n_b"),

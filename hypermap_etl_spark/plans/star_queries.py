@@ -8361,6 +8361,52 @@ FROM f
 
 
 
+
+def events_srm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented sample-ratio-mismatch check (profile.srm_check with
+    group_cols): the global 50/50 can hold while one surface silently
+    drops an arm's logs — per event type, distinct (segment, unit)
+    pairs, exact longs, one double tail per segment."""
+    from hypermap_etl_spark.operators.profile import srm_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return srm_check(ev, "user_id", group_cols=["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+SRM_SEGMENTS_ORACLE = """
+WITH units AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+  FROM events WHERE user_id IS NOT NULL
+),
+armd AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('ab:' || u), 1, 8) AS BIGINT) % 2 AS arm
+  FROM units
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_units,
+    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_a
+  FROM armd GROUP BY 1
+),
+f AS (
+  SELECT event_type, n_units, n_a,
+    CASE WHEN sqrt(CAST(n_units AS DOUBLE) / 4.0) <> 0
+         THEN (CAST(n_a AS DOUBLE) - CAST(n_units AS DOUBLE) / 2.0)
+              / sqrt(CAST(n_units AS DOUBLE) / 4.0) END AS z
+  FROM g
+)
+SELECT event_type, n_units, n_a,
+  n_units - n_a AS n_b,
+  ROUND(z, 6) AS z_stat,
+  COALESCE(abs(z) > CAST('3.0' AS DOUBLE), FALSE) AS srm_suspected
+FROM f ORDER BY event_type
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8524,4 +8570,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_sequential_welch": (events_sequential_welch, SEQUENTIAL_WELCH_ORACLE),
     "parts_link_prediction": (parts_link_prediction, LINK_PREDICTION_ORACLE),
     "events_ab_layers": (events_ab_layers, AB_LAYERS_ORACLE),
+    "events_srm_segments": (events_srm_segments, SRM_SEGMENTS_ORACLE),
 }

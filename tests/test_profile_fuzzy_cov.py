@@ -2079,3 +2079,32 @@ def test_layer_orthogonality_detects_correlated_salts(spark):
         [(uid % 10,) for uid in range(100)], "user_id long"
     )
     assert layer_orthogonality(dup, "user_id").collect()[0]["n_units"] == 10
+
+
+def test_srm_segments_catches_differential_loss(spark):
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import srm_check
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # segment "web" logs both arms; segment "ios" silently dropped
+    # arm-1 logs -> global check may pass, the ios segment must flag
+    rows = []
+    for uid in range(2000):
+        rows.append(("web", uid))
+        if arm(uid) == 0:
+            rows.append(("ios", uid))
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    out = {
+        r["seg"]: r
+        for r in srm_check(df, "user_id", group_cols=["seg"]).collect()
+    }
+    assert not out["web"]["srm_suspected"]
+    assert out["ios"]["srm_suspected"] and out["ios"]["n_b"] == 0
+    # grouped output preserves the global contract per segment
+    assert out["web"]["n_a"] + out["web"]["n_b"] == 2000
+    # and the ungrouped call still returns the single global row
+    g = srm_check(df, "user_id").collect()
+    assert len(g) == 1 and g[0]["n_units"] == 2000
