@@ -152,7 +152,9 @@ _WINDOW: list[str] = [
 # doc_tokenizer_fertility (BPE tokens/word + chars/token per lang via
 # the certified Pandas-UDF encoder vs the replace-chain oracle);
 # events_srm_segments (per-surface sample-ratio check — catches
-# differential logging loss the global 50/50 hides).
+# differential logging loss the global 50/50 hides);
+# emb_centroid_drift (per-label cosine/L2 between id-parity half
+# centroids — the embedding-geometry A/A self-check; registry 300).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

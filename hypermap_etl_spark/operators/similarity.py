@@ -1893,3 +1893,94 @@ def ivfpq_index_search(
         .select("query_id", "neighbor_id", exact_sim)
     )
     return _rank_topk(rescored, k)
+
+
+def centroid_drift(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine and L2
+    distance between the centroids of the two deterministic corpus
+    halves (id parity) — the vector-space answer to "did this class's
+    representation move", the screen run before trusting an index or
+    classifier built on yesterday's embedding geometry (an A/A-style
+    self-check on one snapshot; across snapshots, pass the halves as
+    epochs via the id column).
+
+    Determinism discipline: components quantize to decimal(18,9)
+    before the (label, half, dim) sum; per-dim means re-quantize; the
+    cosine/L2 reductions over dims sum exact decimal products and
+    squared diffs — the ONLY doubles are per-dim divisions and the
+    final sqrt/divide, so no cross-row or cross-dim float
+    accumulation exists anywhere.
+
+    Scale shape: posexplode is map-side and the (label, half, dim)
+    partial aggregate combines before the shuffle (bounded by
+    labels × 2 × dims × tasks, never rows × dims); everything after
+    runs on labels × dims rows.
+    """
+    half = F.pmod(F.col(id_col), F.lit(2)).alias("__h")
+    d = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        label_col,
+        half,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__dim", "__x"
+        ),
+    )
+    comp = F.round(F.col("__x"), 9).cast("decimal(18,9)")
+    g = d.groupBy(label_col, "__h", "__dim").agg(
+        F.sum(comp).cast("decimal(38,9)").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    mean = F.round(
+        F.col("__s").cast("double") / F.col("__n").cast("double"), 9
+    ).cast("decimal(18,9)")
+    m = g.select(label_col, "__h", "__dim", mean.alias("__m"))
+    a = m.filter(F.col("__h") == 0).select(
+        label_col, "__dim", F.col("__m").alias("__ma")
+    )
+    b = m.filter(F.col("__h") == 1).select(
+        label_col, "__dim", F.col("__m").alias("__mb")
+    )
+    j = a.join(b, [label_col, "__dim"])
+    diff = F.col("__ma") - F.col("__mb")
+    per = j.groupBy(label_col).agg(
+        F.sum(F.col("__ma") * F.col("__mb")).cast("decimal(38,18)").alias("__dot"),
+        F.sum(F.col("__ma") * F.col("__ma")).cast("decimal(38,18)").alias("__na"),
+        F.sum(F.col("__mb") * F.col("__mb")).cast("decimal(38,18)").alias("__nb"),
+        F.sum(diff * diff).cast("decimal(38,18)").alias("__d2"),
+    )
+    counts = (
+        emb.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(label_col)
+        .agg(
+            F.sum(
+                F.when(F.pmod(F.col(id_col), F.lit(2)) == 0, 1).otherwise(0)
+            ).cast("long").alias("n_a"),
+            F.sum(
+                F.when(F.pmod(F.col(id_col), F.lit(2)) == 1, 1).otherwise(0)
+            ).cast("long").alias("n_b"),
+        )
+    )
+    cos = F.try_divide(
+        F.col("__dot").cast("double"),
+        F.sqrt(F.col("__na").cast("double"))
+        * F.sqrt(F.col("__nb").cast("double")),
+    )
+    return (
+        per.join(counts, label_col)
+        .select(
+            label_col,
+            "n_a",
+            "n_b",
+            F.round(cos, 6).alias("centroid_cosine"),
+            F.round(F.sqrt(F.col("__d2").cast("double")), 6).alias(
+                "centroid_l2"
+            ),
+        )
+        .orderBy(label_col)
+    )

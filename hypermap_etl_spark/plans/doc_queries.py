@@ -5397,6 +5397,72 @@ FROM g ORDER BY lang
 )
 
 
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor per label (similarity.centroid_drift):
+    cosine and L2 between the centroids of the two id-parity halves —
+    the A/A self-check of the class geometry. Components, means, and
+    every cross-dim reduction are quantized decimals; only per-dim
+    divisions and the final sqrt/divide are doubles."""
+    from hypermap_etl_spark.operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb)
+
+
+CENTROID_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT label, vec_id % 2 AS h, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+d AS (
+  SELECT label, h, i - 1 AS dim,
+         CAST(ROUND(v[i], 9) AS DECIMAL(18,9)) AS x
+  FROM (SELECT label, h, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+),
+g AS (
+  SELECT label, h, dim,
+         CAST(SUM(x) AS DECIMAL(38,9)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT label, h, dim,
+         CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS mu
+  FROM g
+),
+j AS (
+  SELECT a.label, a.dim, a.mu AS ma, b.mu AS mb
+  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.h = 0 AND b.h = 1
+),
+per AS (
+  SELECT label,
+    CAST(SUM(ma * mb) AS DECIMAL(38,18)) AS dot,
+    CAST(SUM(ma * ma) AS DECIMAL(38,18)) AS na,
+    CAST(SUM(mb * mb) AS DECIMAL(38,18)) AS nb,
+    CAST(SUM((ma - mb) * (ma - mb)) AS DECIMAL(38,18)) AS d2
+  FROM j GROUP BY 1
+),
+cnt AS (
+  SELECT label,
+    CAST(COALESCE(SUM(CASE WHEN h = 0 THEN 1 END), 0) AS BIGINT) AS n_a,
+    CAST(COALESCE(SUM(CASE WHEN h = 1 THEN 1 END), 0) AS BIGINT) AS n_b
+  FROM e GROUP BY 1
+)
+SELECT p.label, c.n_a, c.n_b,
+  ROUND(CASE WHEN sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)) <> 0
+        THEN CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        END, 6) AS centroid_cosine,
+  ROUND(sqrt(CAST(d2 AS DOUBLE)), 6) AS centroid_l2
+FROM per p JOIN cnt c USING (label)
+ORDER BY p.label
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5524,4 +5590,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_hellinger_sources": (doc_hellinger_sources, HELLINGER_ORACLE),
     "doc_score_quantile_norm": (doc_score_quantile_norm, QUANTILE_NORM_ORACLE),
     "doc_tokenizer_fertility": (doc_tokenizer_fertility, FERTILITY_ORACLE),
+    "emb_centroid_drift": (emb_centroid_drift, CENTROID_DRIFT_ORACLE),
 }

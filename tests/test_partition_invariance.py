@@ -163,6 +163,10 @@ _FLOAT_GATES = [
     # (invariant only BECAUSE offsets derive from actual slice
     # contents — the weighted-median pin, same reason)
     ("doc_queries", "doc_score_quantile_norm"),
+    # centroid drift / fertility: quantized component sums; exact-long
+    # token counts with two final divisions
+    ("doc_queries", "emb_centroid_drift"),
+    ("doc_queries", "doc_tokenizer_fertility"),
 ]
 
 

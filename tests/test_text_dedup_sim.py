@@ -2265,3 +2265,37 @@ def test_source_hellinger_metric_properties(spark):
     s = source_hellinger(solo, top_v=50).collect()[0]
     release_persisted()
     assert s["hellinger"] < 1e-5 and s["bhattacharyya"] == 1.0
+
+
+def test_centroid_drift_self_check(spark):
+    from hypermap_etl_spark.operators.similarity import centroid_drift
+
+    # identical vectors in both halves -> cosine 1, L2 0 exactly
+    rows = [(i, [1.0, 2.0, 3.0], 7) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_drift(df).collect()[0]
+    assert out["n_a"] == 10 and out["n_b"] == 10
+    assert out["centroid_cosine"] == 1.0 and out["centroid_l2"] == 0.0
+
+    # a planted half-shift: even ids at e1, odd ids at e2 -> cosine 0
+    shift = [
+        (i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], 1) for i in range(40)
+    ]
+    sd = spark.createDataFrame(
+        shift, "vec_id long, embedding array<float>, label int"
+    )
+    s = centroid_drift(sd).collect()[0]
+    assert s["centroid_cosine"] == 0.0
+    import math
+
+    assert abs(s["centroid_l2"] - math.sqrt(2.0)) < 1e-6
+
+    # labels separate; a label in only one half yields no drift row
+    mixed = spark.createDataFrame(
+        [(0, [1.0], 1), (1, [1.0], 1), (2, [1.0], 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in centroid_drift(mixed).collect()}
+    assert set(got) == {1}
