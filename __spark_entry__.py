@@ -154,7 +154,10 @@ _WINDOW: list[str] = [
 # events_srm_segments (per-surface sample-ratio check — catches
 # differential logging loss the global 50/50 hides);
 # emb_centroid_drift (per-label cosine/L2 between id-parity half
-# centroids — the embedding-geometry A/A self-check; registry 300).
+# centroids — the embedding-geometry A/A self-check; registry 300);
+# events_user_powerlaw (CSN power-law MLE of the activity tail,
+# quantized ln terms) and doc_source_simpson (unbiased Simpson
+# diversity + effective vocabulary, integer-exact).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

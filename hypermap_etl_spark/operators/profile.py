@@ -3562,3 +3562,60 @@ def layer_orthogonality(
         F.round(chi2, 6).alias("chi2"),
         F.coalesce(chi2 < F.lit(crit), F.lit(False)).alias("orthogonal"),
     )
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    unit_col: str,
+    group_cols: list[str] | None = None,
+    x_min: int = 1,
+) -> DataFrame:
+    """Power-law exponent of the per-unit activity distribution — the
+    Clauset-Shalizi-Newman continuous-MLE estimate
+
+        α̂ = 1 + n / Σ ln(x_i / x_min),   over units with x_i >= x_min
+
+    applied to per-unit event counts: the one-number answer to "how
+    heavy is this platform's activity tail" (α near 2: extreme
+    whales; α > 3: tail thin enough that means behave).
+
+    Determinism: counts are exact longs; each ln(x/xmin) term is
+    rounded to 12 dp and quantized to decimal before the cross-unit
+    sum (the quantize-then-exact-sum discipline), so the estimate
+    cannot drift with aggregation order. Output per group: n_units,
+    n_tail (units at or above x_min), alpha (round 6), plus the tail
+    mean count — the sanity companion.
+
+    Scale shape: one corpus hash aggregate to (group, unit) counts,
+    one fold to groups. x_min < 1 is rejected (the MLE needs a
+    positive floor).
+    """
+    if x_min < 1:
+        raise ValueError("powerlaw_alpha: need x_min >= 1")
+    group_cols = group_cols or []
+    per = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(*group_cols, F.col(unit_col).alias("__u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+    tail = F.col("__x") >= F.lit(x_min)
+    lnterm = F.round(
+        F.log(F.col("__x").cast("double") / F.lit(float(x_min))), 12
+    ).cast("decimal(18,12)")
+    g = per.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(tail, 1).otherwise(0)).cast("long").alias("n_tail"),
+        F.sum(F.when(tail, lnterm)).cast("decimal(38,12)").alias("__sl"),
+        F.sum(F.when(tail, F.col("__x"))).cast("long").alias("__sx"),
+    )
+    nt = F.col("n_tail").cast("double")
+    alpha = F.lit(1.0) + F.try_divide(nt, F.col("__sl").cast("double"))
+    return g.select(
+        *group_cols,
+        "n_units",
+        "n_tail",
+        F.round(alpha, 6).alias("alpha"),
+        F.round(
+            F.try_divide(F.col("__sx").cast("double"), nt), 6
+        ).alias("tail_mean"),
+    )

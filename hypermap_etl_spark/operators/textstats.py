@@ -1451,3 +1451,52 @@ def sppmi_matrix(
         .orderBy(F.desc("sppmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_k)
     )
+
+
+def source_simpson(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Simpson diversity of each source's word distribution — the
+    collision-probability view of vocabulary concentration (entropy's
+    integer-exact sibling): the UNBIASED estimator
+
+        λ̂ = Σ n_i(n_i−1) / (N(N−1))
+
+    is the probability two tokens drawn without replacement are the
+    same word. Reported with its two standard faces: gini_simpson
+    (1−λ, "diversity") and inv_simpson (1/λ, the effective number of
+    equally-common words — the vocabulary-size number that is robust
+    to Heaps-law tails, unlike raw type counts).
+
+    Every term is an exact integer (decimal(38,0) products), so the
+    only float operations are the two final divisions — no vocabulary
+    cap needed and nothing to quantize. One corpus explode→aggregate
+    keyed (source, word); everything after runs on the aggregate.
+    """
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != F.lit(""))
+    sw = (
+        docs.select(F.col(source_col).alias("source"), F.explode(ws).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    d = "decimal(19,0)"
+    g = sw.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("n").cast(d) * (F.col("n") - F.lit(1)).cast(d))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+    nn = F.col("n_tokens").cast(d)
+    den = (nn * (F.col("n_tokens") - F.lit(1)).cast(d)).cast("decimal(38,0)")
+    lam = F.try_divide(F.col("__s2").cast("double"), den.cast("double"))
+    return g.filter(F.col("n_tokens") > 1).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(lam, 6).alias("simpson"),
+        F.round(F.lit(1.0) - lam, 6).alias("gini_simpson"),
+        F.round(F.try_divide(F.lit(1.0), lam), 6).alias("inv_simpson"),
+    )

@@ -5463,6 +5463,52 @@ ORDER BY p.label
 """
 
 
+
+
+def doc_source_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per source (textstats.source_simpson): the
+    unbiased collision probability of each source's word distribution
+    plus its effective-vocabulary face — integer-exact up to two final
+    divisions, no vocabulary cap, no quantization needed."""
+    from hypermap_etl_spark.operators.textstats import source_simpson
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_simpson(docs).orderBy("source")
+
+
+SOURCE_SIMPSON_ORACLE = """
+WITH sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+g AS (
+  SELECT source,
+    CAST(SUM(n) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_types,
+    CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS s2
+  FROM sw GROUP BY 1
+),
+f AS (
+  SELECT source, n_tokens, n_types,
+    CASE WHEN CAST(CAST(n_tokens AS DECIMAL(19,0))
+                   * CAST(n_tokens - 1 AS DECIMAL(19,0)) AS DOUBLE) <> 0
+      THEN CAST(s2 AS DOUBLE)
+           / CAST(CAST(n_tokens AS DECIMAL(19,0))
+                  * CAST(n_tokens - 1 AS DECIMAL(19,0)) AS DOUBLE)
+    END AS lam
+  FROM g WHERE n_tokens > 1
+)
+SELECT source, n_tokens, n_types,
+  ROUND(lam, 6) AS simpson,
+  ROUND(1.0 - lam, 6) AS gini_simpson,
+  ROUND(CASE WHEN lam <> 0 THEN 1.0 / lam END, 6) AS inv_simpson
+FROM f ORDER BY source
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5591,4 +5637,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_score_quantile_norm": (doc_score_quantile_norm, QUANTILE_NORM_ORACLE),
     "doc_tokenizer_fertility": (doc_tokenizer_fertility, FERTILITY_ORACLE),
     "emb_centroid_drift": (emb_centroid_drift, CENTROID_DRIFT_ORACLE),
+    "doc_source_simpson": (doc_source_simpson, SOURCE_SIMPSON_ORACLE),
 }

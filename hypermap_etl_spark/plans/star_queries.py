@@ -8407,6 +8407,48 @@ FROM f ORDER BY event_type
 
 
 
+
+def events_user_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of per-user activity per event type
+    (profile.powerlaw_alpha, CSN continuous MLE at x_min=1): the
+    heavy-tail one-number check beside Fano/Gini — each ln(x) term
+    quantizes to decimal before the cross-user sum."""
+    from hypermap_etl_spark.operators.profile import powerlaw_alpha
+
+    ev = load_table(spark, sf_dir, "events")
+    return powerlaw_alpha(ev, "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+POWERLAW_ORACLE = """
+WITH per AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_units,
+    CAST(COALESCE(SUM(CASE WHEN x >= 1 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_tail,
+    CAST(SUM(CASE WHEN x >= 1 THEN
+          CAST(ROUND(ln(CAST(x AS DOUBLE) / 1.0), 12) AS DECIMAL(18,12))
+        END) AS DECIMAL(38,12)) AS sl,
+    CAST(SUM(CASE WHEN x >= 1 THEN x END) AS BIGINT) AS sx
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_units, n_tail,
+  ROUND(CASE WHEN CAST(sl AS DOUBLE) <> 0
+        THEN 1.0 + CAST(n_tail AS DOUBLE) / CAST(sl AS DOUBLE) END, 6)
+    AS alpha,
+  ROUND(CASE WHEN CAST(n_tail AS DOUBLE) <> 0
+        THEN CAST(sx AS DOUBLE) / CAST(n_tail AS DOUBLE) END, 6)
+    AS tail_mean
+FROM g ORDER BY event_type
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8571,4 +8613,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_link_prediction": (parts_link_prediction, LINK_PREDICTION_ORACLE),
     "events_ab_layers": (events_ab_layers, AB_LAYERS_ORACLE),
     "events_srm_segments": (events_srm_segments, SRM_SEGMENTS_ORACLE),
+    "events_user_powerlaw": (events_user_powerlaw, POWERLAW_ORACLE),
 }

@@ -167,6 +167,9 @@ _FLOAT_GATES = [
     # token counts with two final divisions
     ("doc_queries", "emb_centroid_drift"),
     ("doc_queries", "doc_tokenizer_fertility"),
+    # powerlaw: quantized ln terms; simpson: pure integers + two divides
+    ("star_queries", "events_user_powerlaw"),
+    ("doc_queries", "doc_source_simpson"),
 ]
 
 

@@ -2108,3 +2108,37 @@ def test_srm_segments_catches_differential_loss(spark):
     # and the ungrouped call still returns the single global row
     g = srm_check(df, "user_id").collect()
     assert len(g) == 1 and g[0]["n_units"] == 2000
+
+
+def test_powerlaw_alpha_recovers_planted_exponent(spark):
+    import math
+
+    from hypermap_etl_spark.operators.profile import powerlaw_alpha
+
+    # plant counts ~ inverse-CDF of a pure power law alpha=2.5:
+    # x_u = ceil(u^(-1/(a-1))) over a uniform grid -> MLE near 2.5
+    rows = []
+    uid = 0
+    a = 2.5
+    for i in range(1, 2001):
+        u = i / 2001.0
+        x = max(1, int(round(u ** (-1.0 / (a - 1.0)))))
+        for _ in range(min(x, 500)):
+            rows.append(("g", uid))
+        uid += 1
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    out = powerlaw_alpha(df, "user_id", ["g"]).collect()[0]
+    assert out["n_units"] == 2000
+    assert abs(out["alpha"] - a) < 0.25
+
+    # all-ones degenerate: sum ln = 0 -> alpha NULL, never a crash
+    ones = spark.createDataFrame(
+        [("g", i) for i in range(50)], "g string, user_id long"
+    )
+    o = powerlaw_alpha(ones, "user_id", ["g"]).collect()[0]
+    assert o["alpha"] is None and o["tail_mean"] == 1.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        powerlaw_alpha(df, "user_id", ["g"], x_min=0)

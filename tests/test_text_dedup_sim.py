@@ -2299,3 +2299,35 @@ def test_centroid_drift_self_check(spark):
     )
     got = {r["label"]: r for r in centroid_drift(mixed).collect()}
     assert set(got) == {1}
+
+
+def test_source_simpson_faces(spark):
+    from hypermap_etl_spark.operators.textstats import source_simpson
+
+    # uniform over 4 words, 3 tokens each: lambda = 4*3*2/(12*11)=2/11
+    uni = spark.createDataFrame(
+        [(1, "u", "a b c d a b c d a b c d")],
+        "doc_id long, source string, text string",
+    )
+    u = source_simpson(uni).collect()[0]
+    assert u["n_tokens"] == 12 and u["n_types"] == 4
+    assert abs(u["simpson"] - 2 / 11) < 1e-6
+    assert abs(u["inv_simpson"] - 5.5) < 1e-5
+    # one word repeated: lambda = 1 exactly, diversity 0
+    mono = spark.createDataFrame(
+        [(1, "m", "x x x x")], "doc_id long, source string, text string"
+    )
+    m = source_simpson(mono).collect()[0]
+    assert m["simpson"] == 1.0 and m["gini_simpson"] == 0.0
+    # a concentrated source is LESS diverse than a uniform one
+    conc = spark.createDataFrame(
+        [(1, "c", "a a a a a a a a a b c d")],
+        "doc_id long, source string, text string",
+    )
+    c = source_simpson(conc).collect()[0]
+    assert c["gini_simpson"] < u["gini_simpson"]
+    # single-token source dropped (estimator undefined)
+    tiny = spark.createDataFrame(
+        [(1, "t", "solo")], "doc_id long, source string, text string"
+    )
+    assert source_simpson(tiny).count() == 0
