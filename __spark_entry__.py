@@ -157,7 +157,9 @@ _WINDOW: list[str] = [
 # centroids — the embedding-geometry A/A self-check; registry 300);
 # events_user_powerlaw (CSN power-law MLE of the activity tail,
 # quantized ln terms) and doc_source_simpson (unbiased Simpson
-# diversity + effective vocabulary, integer-exact).
+# diversity + effective vocabulary, integer-exact);
+# doc_source_vocab_overlap (pairwise vocabulary Jaccard — the
+# duplicated-crawl screen at source grain).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

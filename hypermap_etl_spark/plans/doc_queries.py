@@ -5509,6 +5509,82 @@ FROM f ORDER BY source
 """
 
 
+
+
+def doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the
+    source-level near-duplicate screen (two feeds with ~identical
+    vocabularies are probably the same crawl twice): distinct
+    (source, word) index, one word-keyed self-join for intersection
+    counts, set sizes by source, |A∩B| / (|A|+|B|−|A∩B|). Work is
+    bounded by sources² per word (sources is small by definition);
+    all integers up to one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    sw = (
+        docs.select(F.col("source"), F.explode(ws).alias("word"))
+        .distinct()
+    )
+    sizes = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sw.select(F.col("source").alias("src_a"), "word")
+    b = sw.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(jac, 6).alias("jaccard"),
+    ).orderBy("src_a", "src_b")
+
+
+VOCAB_OVERLAP_ORACLE = """
+WITH sw AS (
+  SELECT DISTINCT source, word FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sw GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+  ROUND(CAST(i.n_common AS DOUBLE)
+        / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY i.src_a, i.src_b
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5638,4 +5714,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_tokenizer_fertility": (doc_tokenizer_fertility, FERTILITY_ORACLE),
     "emb_centroid_drift": (emb_centroid_drift, CENTROID_DRIFT_ORACLE),
     "doc_source_simpson": (doc_source_simpson, SOURCE_SIMPSON_ORACLE),
+    "doc_source_vocab_overlap": (doc_source_vocab_overlap, VOCAB_OVERLAP_ORACLE),
 }

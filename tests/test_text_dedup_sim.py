@@ -2331,3 +2331,34 @@ def test_source_simpson_faces(spark):
         [(1, "t", "solo")], "doc_id long, source string, text string"
     )
     assert source_simpson(tiny).count() == 0
+
+
+def test_source_vocab_overlap_jaccard(spark):
+    from hypermap_etl_spark.plans.doc_queries import doc_source_vocab_overlap
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp()
+    rows = [
+        (1, "a", "x y z"),
+        (2, "a", "x y"),         # a vocab: {x,y,z}
+        (3, "b", "x y z"),       # b vocab: {x,y,z} -> identical to a
+        (4, "c", "p q"),         # c vocab: {p,q}  -> disjoint
+        (5, "d", "x p"),         # d vocab: {x,p}  -> partial overlap
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).selectExpr("doc_id", "source", "text", "'en' AS lang",
+                 "length(text) AS n_chars").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["jaccard"]
+        for r in doc_source_vocab_overlap(spark, base).collect()
+    }
+    shutil.rmtree(base)
+    assert out[("a", "b")] == 1.0          # the duplicated-crawl signal
+    assert ("a", "c") not in out           # disjoint pairs emit no row
+    assert abs(out[("a", "d")] - 0.25) < 1e-9   # {x}/{x,y,z,p}
+    assert abs(out[("c", "d")] - (1 / 3)) < 1e-6
