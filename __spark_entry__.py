@@ -159,7 +159,9 @@ _WINDOW: list[str] = [
 # quantized ln terms) and doc_source_simpson (unbiased Simpson
 # diversity + effective vocabulary, integer-exact);
 # doc_source_vocab_overlap (pairwise vocabulary Jaccard — the
-# duplicated-crawl screen at source grain).
+# duplicated-crawl screen at source grain); events_uplift_deciles
+# (per-band treatment-minus-control over the score rank — the
+# targeting readout with its built-in A/A placebo).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8449,6 +8449,61 @@ FROM g ORDER BY event_type
 
 
 
+
+def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift decile table on the A/A hash split
+    (profile.uplift_deciles): users ranked by a deterministic pseudo
+    model score (user_id mod 97), each band split by arm,
+    treatment-minus-control mean per band — on the A/A split the
+    uplift column is the pipeline's own placebo test."""
+    from hypermap_etl_spark.operators.profile import uplift_deciles
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "score", F.pmod(F.col("user_id"), F.lit(97)).cast("double")
+    )
+    return uplift_deciles(ev, "value", "user_id", "score")
+
+
+UPLIFT_ORACLE = """
+WITH units AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS x,
+         MAX(CAST(user_id % 97 AS DOUBLE)) AS score
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+rk AS (
+  SELECT u, x,
+         row_number() OVER (ORDER BY score DESC, u) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM units
+),
+bd AS (
+  SELECT CAST(((rn - 1) * 10) // nt AS INT) AS band,
+         CAST('0x' || substr(md5('ab:' || u), 1, 8) AS BIGINT) % 2 AS arm,
+         x
+  FROM rk
+),
+per AS (
+  SELECT band, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS s
+  FROM bd GROUP BY 1, 2
+),
+j AS (
+  SELECT t.band, t.n AS n_t, t.s AS s_t, c.n AS n_c, c.s AS s_c
+  FROM per t JOIN per c ON t.band = c.band
+  WHERE t.arm = 1 AND c.arm = 0 AND t.n > 0 AND c.n > 0
+)
+SELECT band, n_t, n_c,
+  ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS mean_t,
+  ROUND(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS mean_c,
+  ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift
+FROM j ORDER BY band
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8614,4 +8669,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_ab_layers": (events_ab_layers, AB_LAYERS_ORACLE),
     "events_srm_segments": (events_srm_segments, SRM_SEGMENTS_ORACLE),
     "events_user_powerlaw": (events_user_powerlaw, POWERLAW_ORACLE),
+    "events_uplift_deciles": (events_uplift_deciles, UPLIFT_ORACLE),
 }

@@ -170,6 +170,10 @@ _FLOAT_GATES = [
     # powerlaw: quantized ln terms; simpson: pure integers + two divides
     ("star_queries", "events_user_powerlaw"),
     ("doc_queries", "doc_source_simpson"),
+    # uplift bands ride the distributed rank; vocab jaccard is
+    # integer-exact up to one division — both pinned vs rewrites
+    ("star_queries", "events_uplift_deciles"),
+    ("doc_queries", "doc_source_vocab_overlap"),
 ]
 
 

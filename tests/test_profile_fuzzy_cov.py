@@ -2142,3 +2142,35 @@ def test_powerlaw_alpha_recovers_planted_exponent(spark):
 
     with _pt.raises(ValueError):
         powerlaw_alpha(df, "user_id", ["g"], x_min=0)
+
+
+def test_uplift_deciles_concentrates_planted_effect(spark):
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import uplift_deciles
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    # score = uid; treatment effect ONLY for the top-score half:
+    # top bands show uplift ~10, bottom bands ~0
+    rows = []
+    for uid in range(1000):
+        base = 50.0
+        lift = 10.0 if (arm(uid) == 1 and uid >= 500) else 0.0
+        rows.append((uid, base + lift, float(uid)))
+    df = spark.createDataFrame(rows, "user_id long, value double, score double")
+    out = uplift_deciles(df, "value", "user_id", "score").collect()
+    assert len(out) == 10
+    # high-score users land in LOW band ids (rank is score desc)
+    top = [r for r in out if r["band"] <= 4]
+    bot = [r for r in out if r["band"] >= 5]
+    assert all(abs(r["uplift"] - 10.0) < 1e-6 for r in top)
+    assert all(abs(r["uplift"]) < 1e-6 for r in bot)
+    # band populations cover every unit exactly once
+    assert sum(r["n_t"] + r["n_c"] for r in out) == 1000
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        uplift_deciles(df, "value", "user_id", "score", n_bands=1)
