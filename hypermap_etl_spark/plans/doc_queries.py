@@ -5585,6 +5585,89 @@ ORDER BY i.src_a, i.src_b
 """
 
 
+
+
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm profile per label — the norm-collapse /
+    norm-explosion screen (a label whose vectors shrink toward the
+    origin stops being searchable; one whose norms explode dominates
+    every dot product): per-row L2 norms (ordered array fold, round
+    6), then mean via quantized-decimal sums and exact p50/p90 via
+    the one-pass grouped quantile table."""
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+        6,
+    )
+    norms = emb.select("label", norm.alias("norm"))
+    stats = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_norm"),
+    )
+    qt = grouped_quantile_table(norms, "norm", ["label"], qs=(0.5, 0.9))
+    piv = qt.groupBy("label").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50_norm"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90_norm"),
+    )
+    return (
+        stats.join(piv, "label")
+        .select("label", "n_vecs", "mean_norm", "p50_norm", "p90_norm")
+        .orderBy("label")
+    )
+
+
+NORM_PROFILE_ORACLE = """
+WITH n AS (
+  SELECT label,
+    ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                       x -> x * x))), 6) AS norm
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+stats AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    ROUND(CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm
+  FROM n GROUP BY 1
+),
+pv AS (
+  SELECT label, CAST(norm AS DECIMAL(12,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM n GROUP BY 1, 2
+),
+cum AS (
+  SELECT label, v,
+    SUM(c) OVER (PARTITION BY label ORDER BY v) AS cw,
+    SUM(c) OVER (PARTITION BY label) AS tot
+  FROM pv
+),
+q AS (
+  SELECT label,
+    MIN(CASE WHEN cw * 2 >= tot * 1 THEN v END) AS p50,
+    MIN(CASE WHEN cw * 10 >= tot * 9 THEN v END) AS p90
+  FROM cum GROUP BY 1
+)
+SELECT s.label, s.n_vecs, s.mean_norm,
+  CAST(q.p50 AS DOUBLE) AS p50_norm,
+  CAST(q.p90 AS DOUBLE) AS p90_norm
+FROM stats s JOIN q USING (label)
+ORDER BY s.label
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5715,4 +5798,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_centroid_drift": (emb_centroid_drift, CENTROID_DRIFT_ORACLE),
     "doc_source_simpson": (doc_source_simpson, SOURCE_SIMPSON_ORACLE),
     "doc_source_vocab_overlap": (doc_source_vocab_overlap, VOCAB_OVERLAP_ORACLE),
+    "emb_norm_profile": (emb_norm_profile, NORM_PROFILE_ORACLE),
 }

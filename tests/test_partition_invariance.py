@@ -174,6 +174,9 @@ _FLOAT_GATES = [
     # integer-exact up to one division — both pinned vs rewrites
     ("star_queries", "events_uplift_deciles"),
     ("doc_queries", "doc_source_vocab_overlap"),
+    # norm profile: per-row folds rounded, quantized-decimal mean,
+    # range-partition quantile knots
+    ("doc_queries", "emb_norm_profile"),
 ]
 
 

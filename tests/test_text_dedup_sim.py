@@ -2362,3 +2362,30 @@ def test_source_vocab_overlap_jaccard(spark):
     assert ("a", "c") not in out           # disjoint pairs emit no row
     assert abs(out[("a", "d")] - 0.25) < 1e-9   # {x}/{x,y,z,p}
     assert abs(out[("c", "d")] - (1 / 3)) < 1e-6
+
+
+def test_emb_norm_profile_detects_collapse(spark, tmp_path):
+    import os
+    import shutil
+
+    from hypermap_etl_spark.plans.doc_queries import emb_norm_profile
+    from hypermap_etl_spark.util import release_persisted
+
+    base = str(tmp_path / "sf")
+    os.makedirs(base)
+    rows = []
+    # label 1: healthy unit-norm vectors; label 2: collapsed to ~0.1
+    for i in range(40):
+        rows.append((i, [3.0, 4.0], 1))          # norm 5
+        rows.append((100 + i, [0.06, 0.08], 2))  # norm 0.1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(base, "embeddings.parquet"))
+    out = {r["label"]: r for r in emb_norm_profile(spark, base).collect()}
+    release_persisted()
+    shutil.rmtree(base)
+    assert out[1]["mean_norm"] == 5.0 and out[1]["p50_norm"] == 5.0
+    assert out[2]["mean_norm"] < 0.2  # the collapse is visible
+    assert out[1]["n_vecs"] == 40
+    # quantiles ride the decimal(12,2) grid of the quantile table
+    assert out[2]["p90_norm"] <= 0.2
