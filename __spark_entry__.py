@@ -161,7 +161,10 @@ _WINDOW: list[str] = [
 # doc_source_vocab_overlap (pairwise vocabulary Jaccard — the
 # duplicated-crawl screen at source grain); events_uplift_deciles
 # (per-band treatment-minus-control over the score rank — the
-# targeting readout with its built-in A/A placebo).
+# targeting readout with its built-in A/A placebo);
+# emb_norm_profile (norm-collapse screen: quantized mean + exact
+# p50/p90 norms) and events_funnel_latency (time-to-convert p50/p90
+# per step — both consumers of grouped_quantile_table).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8504,6 +8504,87 @@ FROM j ORDER BY band
 
 
 
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel step (events_funnel ->
+    scale.grouped_quantile_table): exact p50/p90 seconds from view to
+    click and click to purchase — conversion RATES say how many, this
+    says how long, and the exact quantile construction means no
+    t-digest approximation error at any scale."""
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    fu = events_funnel(spark, sf_dir)
+    lat = fu.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view_to_click").alias("step"),
+                    (
+                        (F.col("t_click_us") - F.col("t_view_us"))
+                        / F.lit(1000000.0)
+                    ).alias("sec"),
+                ),
+                F.struct(
+                    F.lit("2_click_to_purchase").alias("step"),
+                    (
+                        (F.col("t_purchase_us") - F.col("t_click_us"))
+                        / F.lit(1000000.0)
+                    ).alias("sec"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.sec").filter(F.col("sec").isNotNull())
+    qt = grouped_quantile_table(lat, "sec", ["step"], qs=(0.5, 0.9))
+    return qt.groupBy("step").agg(
+        F.max("n_rows").cast("long").alias("n"),
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50_sec"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90_sec"),
+    ).orderBy("step")
+
+
+FUNNEL_LATENCY_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+),
+lat AS (
+  SELECT '1_view_to_click' AS step,
+    CAST((epoch_us(c.t_click) - epoch_us(v.t_view)) / 1000000.0
+         AS DECIMAL(12,2)) AS sec
+  FROM c JOIN v USING (user_id)
+  UNION ALL
+  SELECT '2_click_to_purchase',
+    CAST((epoch_us(p.t_purchase) - epoch_us(c.t_click)) / 1000000.0
+         AS DECIMAL(12,2))
+  FROM p JOIN c USING (user_id)
+),
+pv AS (
+  SELECT step, sec, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT step, sec,
+    SUM(cnt) OVER (PARTITION BY step ORDER BY sec) AS cw,
+    SUM(cnt) OVER (PARTITION BY step) AS tot
+  FROM pv
+)
+SELECT step, CAST(MAX(tot) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN cw * 2 >= tot * 1 THEN sec END) AS DOUBLE) AS p50_sec,
+  CAST(MIN(CASE WHEN cw * 10 >= tot * 9 THEN sec END) AS DOUBLE) AS p90_sec
+FROM cum GROUP BY step ORDER BY step
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8670,4 +8751,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_srm_segments": (events_srm_segments, SRM_SEGMENTS_ORACLE),
     "events_user_powerlaw": (events_user_powerlaw, POWERLAW_ORACLE),
     "events_uplift_deciles": (events_uplift_deciles, UPLIFT_ORACLE),
+    "events_funnel_latency": (events_funnel_latency, FUNNEL_LATENCY_ORACLE),
 }

@@ -177,6 +177,7 @@ _FLOAT_GATES = [
     # norm profile: per-row folds rounded, quantized-decimal mean,
     # range-partition quantile knots
     ("doc_queries", "emb_norm_profile"),
+    ("star_queries", "events_funnel_latency"),
 ]
 
 
