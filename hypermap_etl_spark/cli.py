@@ -867,6 +867,13 @@ def cmd_curate(args) -> None:
          .json(os.path.join(args.out, "documents.jsonl")))
         (chunks.write.mode("overwrite").partitionBy("shard")
          .json(os.path.join(args.out, "chunks.jsonl")))
+    elif args.format == "orc":
+        from hypermap_etl_spark.sources.orc import write_orc
+
+        write_orc(documents, os.path.join(args.out, "documents.orc"),
+                  partition_by=["shard"])
+        write_orc(chunks, os.path.join(args.out, "chunks.orc"),
+                  partition_by=["shard"])
     else:
         documents.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
         chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks.parquet"))
@@ -1772,9 +1779,11 @@ def main(argv=None) -> None:
     p.add_argument("--model-dim", type=int, default=128)
     p.add_argument("--model-threshold", type=float, default=0.5)
     p.add_argument("--shards", type=int, default=16)
-    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "orc"],
                    help="output format (jsonl = per-shard JSONL dirs for "
-                        "training loaders)")
+                        "training loaders; orc = the Hive/Trino "
+                        "interchange, same shard layout)")
     p = sub.add_parser("layout", help="rewrite a table clustered for stats pruning")
     p.add_argument("--table", required=True, help="input parquet path")
     p.add_argument("--out", required=True, help="clustered output path")

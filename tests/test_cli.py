@@ -162,6 +162,27 @@ def test_cli_curate_jsonl_export(spark, capsys):
     assert n == rep["chunks"]
 
 
+def test_cli_curate_orc_export(spark, capsys):
+    """--format orc: per-shard ORC dirs with the same layout contract;
+    rows round-trip through the schema-contracted reader."""
+    import glob
+    import json as _json
+
+    out = tempfile.mkdtemp()
+    main([
+        "curate",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--min-words", "5", "--shards", "4",
+        "--format", "orc",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    shard_dirs = glob.glob(os.path.join(out, "chunks.orc", "shard=*"))
+    assert shard_dirs, "expected per-shard ORC dirs"
+    back = spark.read.orc(os.path.join(out, "chunks.orc"))
+    assert back.count() == rep["chunks"]
+    assert {"doc_id", "chunk_id", "chunk_text"} <= set(back.columns)
+
+
 def test_cli_search(spark, capsys):
     import json
 
