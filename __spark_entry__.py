@@ -164,7 +164,9 @@ _WINDOW: list[str] = [
 # targeting readout with its built-in A/A placebo);
 # emb_norm_profile (norm-collapse screen: quantized mean + exact
 # p50/p90 norms) and events_funnel_latency (time-to-convert p50/p90
-# per step — both consumers of grouped_quantile_table).
+# per step — both consumers of grouped_quantile_table);
+# emb_balanced_sample (deterministic class rebalancing via an
+# integer-exact md5 threshold — no rand(), no float fractions).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -1424,3 +1424,61 @@ def dp_noisy_counts(
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
         F.lit(b).alias("laplace_b"),
     )
+
+
+def balanced_class_sample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    salt: str = "bal",
+) -> DataFrame:
+    """Deterministic class-rebalancing sampler: downsample every class
+    to the size of the SMALLEST class — the classifier-training
+    preparation step — with no randomness and no approximation. A row
+    survives iff
+
+        md5_int64(salt:id) · n_class  <  n_min · 2³²
+
+    evaluated in exact decimal(38,0) integer arithmetic (md5_int64 is
+    the first 8 hex chars), so the keep decision is a pure function of
+    (id, class sizes): reproducible across runs, layouts, AND engines
+    — no float threshold anywhere, unlike rand()-based samplers whose
+    output is irreproducible and sampleBy whose fractions are floats.
+
+    Expected kept per class ≈ n_min (hash-binomial, not exact-k; the
+    smallest class keeps everything since the inequality becomes
+    u < 2³², always true). Returns the surviving rows with
+    __n_class / __n_min dropped.
+
+    Scale shape: one count aggregate, one broadcast join of the
+    class-size table, one map-side filter. No shuffle of the data.
+    """
+    sizes = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_class")
+    )
+    nmin = sizes.agg(F.min("__n_class").alias("__n_min"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    keep = u * F.col("__n_class").cast("decimal(38,0)") < (
+        F.col("__n_min").cast("decimal(38,0)")
+        * F.lit(4294967296).cast("decimal(38,0)")
+    )
+    return (
+        df.join(F.broadcast(sizes), label_col)
+        .crossJoin(F.broadcast(nmin))
+        .filter(keep)
+        .drop("__n_class", "__n_min")
+    )

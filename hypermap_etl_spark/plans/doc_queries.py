@@ -5668,6 +5668,58 @@ ORDER BY s.label
 """
 
 
+
+
+def emb_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing sampler certification
+    (curation.balanced_class_sample): every label downsampled toward
+    the smallest class by the integer-exact md5 threshold — the gate
+    reports per-label original vs kept counts, so the deterministic
+    keep set is pinned end-to-end (counts change iff the hash rule
+    changes)."""
+    from hypermap_etl_spark.operators.curation import balanced_class_sample
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    kept = balanced_class_sample(emb, "label", "vec_id")
+    orig = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig")
+    )
+    k = kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        orig.join(k, "label", "left")
+        .select(
+            "label",
+            "n_orig",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+BALANCED_SAMPLE_ORACLE = """
+WITH e AS (SELECT vec_id, label FROM embeddings),
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_class FROM e GROUP BY 1
+),
+nm AS (SELECT MIN(n_class) AS n_min FROM sizes),
+kept AS (
+  SELECT e.label
+  FROM e JOIN sizes USING (label) CROSS JOIN nm
+  WHERE CAST(CAST('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)),
+                  1, 8) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(n_class AS DECIMAL(38,0))
+      < CAST(n_min AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+),
+k AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+SELECT s.label, s.n_class AS n_orig,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM sizes s LEFT JOIN k USING (label)
+ORDER BY s.label
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5799,4 +5851,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_source_simpson": (doc_source_simpson, SOURCE_SIMPSON_ORACLE),
     "doc_source_vocab_overlap": (doc_source_vocab_overlap, VOCAB_OVERLAP_ORACLE),
     "emb_norm_profile": (emb_norm_profile, NORM_PROFILE_ORACLE),
+    "emb_balanced_sample": (emb_balanced_sample, BALANCED_SAMPLE_ORACLE),
 }

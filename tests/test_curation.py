@@ -1110,3 +1110,35 @@ def test_t_closeness_exact_distance_and_risk(spark):
     assert exact["groups_at_risk"] == 0  # 1/6 < 0.166667: within t
     with pytest.raises(ValueError):
         t_closeness(df, ["q"], "s", t=0.0)
+
+
+def test_balanced_class_sample_exact_and_deterministic(spark):
+    from hypermap_etl_spark.operators.curation import balanced_class_sample
+
+    # 1000 majority vs 100 minority: minority kept whole, majority
+    # downsampled toward ~100 (hash-binomial)
+    rows = [(i, "maj") for i in range(1000)] + [
+        (10000 + i, "min") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string")
+    kept = balanced_class_sample(df, "label", "vec_id")
+    counts = {r["label"]: r["n"] for r in
+              kept.groupBy("label").agg(
+                  __import__("pyspark.sql.functions", fromlist=["count"])
+                  .count("*").alias("n")).collect()}
+    assert counts["min"] == 100  # smallest class always survives whole
+    assert 60 <= counts["maj"] <= 150  # binomial around 100
+
+    # deterministic: the same call yields the SAME id set
+    ids1 = sorted(r["vec_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in balanced_class_sample(df, "label", "vec_id").collect()
+    )
+    assert ids1 == ids2
+    # a different salt yields a different (but same-sized-ish) set
+    ids3 = sorted(
+        r["vec_id"]
+        for r in balanced_class_sample(df, "label", "vec_id", salt="b2").collect()
+    )
+    assert ids3 != ids1

@@ -178,6 +178,8 @@ _FLOAT_GATES = [
     # range-partition quantile knots
     ("doc_queries", "emb_norm_profile"),
     ("star_queries", "events_funnel_latency"),
+    # keep decisions are pure integer hash inequalities
+    ("doc_queries", "emb_balanced_sample"),
 ]
 
 
