@@ -166,7 +166,9 @@ _WINDOW: list[str] = [
 # p50/p90 norms) and events_funnel_latency (time-to-convert p50/p90
 # per step — both consumers of grouped_quantile_table);
 # emb_balanced_sample (deterministic class rebalancing via an
-# integer-exact md5 threshold — no rand(), no float fractions).
+# integer-exact md5 threshold — no rand(), no float fractions);
+# lineitem_price_deciles (the quantile-table primitive on the big
+# fact, benched at 1.7 s for all nine exact deciles at sf0.1).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -47,6 +47,7 @@ def main() -> None:
     from hypermap_etl_spark.plans.star_queries import (
         events_fdr_bh,
         events_page_deep,
+        lineitem_price_deciles,
         parts_link_prediction,
         events_sessions,
         lineitem_weighted_median,
@@ -264,6 +265,10 @@ def main() -> None:
         # the degree-capped wedge self-join + anti-join against the
         # edge set (the quadratic-hub trap, capped)
         "link_prediction": parts_link_prediction,
+        # r7 continuation 2: ALL nine exact deciles of the big fact in
+        # one running-sum pass (distinct-value collapse + range
+        # shuffle + bounded q-explode) — the grouped quantile table
+        "quantile_table": lineitem_price_deciles,
     }
 
     spark = get_spark("hypermap-etl-bench")

@@ -8585,6 +8585,44 @@ FROM cum GROUP BY step ORDER BY step
 
 
 
+
+def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine exact price deciles per return flag in ONE
+    distributed running-sum pass (scale.grouped_quantile_table) —
+    the big-fact consumer of the quantile-table primitive and its
+    bench subject; every knot pick is integer-exact."""
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_quantile_table(
+        li, "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag", "q")
+
+
+PRICE_DECILES_ORACLE = """
+WITH pv AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v,
+    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+    SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+),
+qs AS (SELECT * FROM (VALUES (0.1, 1, 10), (0.2, 1, 5), (0.3, 3, 10),
+       (0.4, 2, 5), (0.5, 1, 2), (0.6, 3, 5), (0.7, 7, 10),
+       (0.8, 4, 5), (0.9, 9, 10)) t(q, num, den))
+SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+  CAST(MIN(CASE WHEN cw * den >= tot * num THEN v END) AS DOUBLE) AS value,
+  CAST(MAX(tot) AS BIGINT) AS n_rows
+FROM cum CROSS JOIN qs
+GROUP BY 1, 2 ORDER BY l_returnflag, q
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8752,4 +8790,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_user_powerlaw": (events_user_powerlaw, POWERLAW_ORACLE),
     "events_uplift_deciles": (events_uplift_deciles, UPLIFT_ORACLE),
     "events_funnel_latency": (events_funnel_latency, FUNNEL_LATENCY_ORACLE),
+    "lineitem_price_deciles": (lineitem_price_deciles, PRICE_DECILES_ORACLE),
 }

@@ -180,6 +180,7 @@ _FLOAT_GATES = [
     ("star_queries", "events_funnel_latency"),
     # keep decisions are pure integer hash inequalities
     ("doc_queries", "emb_balanced_sample"),
+    ("star_queries", "lineitem_price_deciles"),
 ]
 
 
