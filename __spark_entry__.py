@@ -168,7 +168,9 @@ _WINDOW: list[str] = [
 # emb_balanced_sample (deterministic class rebalancing via an
 # integer-exact md5 threshold — no rand(), no float fractions);
 # lineitem_price_deciles (the quantile-table primitive on the big
-# fact, benched at 1.7 s for all nine exact deciles at sf0.1).
+# fact, benched at 1.7 s for all nine exact deciles at sf0.1);
+# events_event_study (per-day Welch panel — does an effect grow or
+# decay; TZ-sweep-pinned day labels).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8623,6 +8623,77 @@ GROUP BY 1, 2 ORDER BY l_returnflag, q
 
 
 
+
+def events_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study table: the per-DAY Welch comparison of the hash
+    split (profile.welch_ab_test with the day as the group) — the
+    launch-readout that shows whether an effect grows, decays, or
+    never existed (A/A here: a flat panel of insignificant days is
+    the expected picture). Same exact-moment machinery, day grain."""
+    from hypermap_etl_spark.operators.profile import welch_ab_test
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    return welch_ab_test(ev, "value", "user_id", ["day"]).orderBy("day")
+
+
+EVENT_STUDY_ORACLE = """
+WITH base AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss
+  FROM base GROUP BY 1, 2
+),
+j AS (
+  SELECT a.day,
+         a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+  FROM agg a JOIN agg b ON a.day = b.day
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+),
+c AS (
+  SELECT day, n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+    GREATEST((CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS se2_a,
+    GREATEST((CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0), CAST(0 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS se2_b
+  FROM j
+),
+f AS (
+  SELECT day, n_a, n_b, m_a, m_b,
+    CASE WHEN se2_a + se2_b > 0
+         THEN (m_a - m_b) / sqrt(se2_a + se2_b) END AS t,
+    CASE WHEN se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+            + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0) > 0
+         THEN (se2_a + se2_b) * (se2_a + se2_b)
+              / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+                 + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0)) END AS dof
+  FROM c
+)
+SELECT day, n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(t, 6) AS t_stat, ROUND(dof, 6) AS welch_df,
+       COALESCE(abs(t) > CAST('1.96' AS DOUBLE), FALSE) AS significant
+FROM f ORDER BY day
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8791,4 +8862,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_uplift_deciles": (events_uplift_deciles, UPLIFT_ORACLE),
     "events_funnel_latency": (events_funnel_latency, FUNNEL_LATENCY_ORACLE),
     "lineitem_price_deciles": (lineitem_price_deciles, PRICE_DECILES_ORACLE),
+    "events_event_study": (events_event_study, EVENT_STUDY_ORACLE),
 }

@@ -112,6 +112,8 @@ _TZ_SENSITIVE = [
     # look assignment divides datediff day indexes — a session-zone
     # leak would move rows across looks and change every interim z
     "events_sequential_welch",
+    # event-study day labels come from date_format(date_trunc(ts))
+    "events_event_study",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset

@@ -181,6 +181,7 @@ _FLOAT_GATES = [
     # keep decisions are pure integer hash inequalities
     ("doc_queries", "emb_balanced_sample"),
     ("star_queries", "lineitem_price_deciles"),
+    ("star_queries", "events_event_study"),
 ]
 
 
