@@ -170,7 +170,8 @@ _WINDOW: list[str] = [
 # lineitem_price_deciles (the quantile-table primitive on the big
 # fact, benched at 1.7 s for all nine exact deciles at sf0.1);
 # events_event_study (per-day Welch panel — does an effect grow or
-# decay; TZ-sweep-pinned day labels).
+# decay; TZ-sweep-pinned day labels); supplier_nation_hhi
+# (supply-risk Herfindahl per nation, integer-exact).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8694,6 +8694,80 @@ FROM f ORDER BY day
 
 
 
+
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl index of
+    lineitem volume across a nation's suppliers — the supply-risk
+    screen (HHI near 1: one supplier owns the nation's flow), with
+    the effective-supplier count as its readable face. Broadcast dims
+    onto the fact, one (nation, supplier) aggregate, then pure
+    integers up to two divisions (the Simpson construction)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    d = "decimal(19,0)"
+    g = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(F.col("__c").cast(d) * F.col("__c").cast(d))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+    nn = F.col("n_lines").cast(d)
+    hhi = F.try_divide(
+        F.col("__s2").cast("double"), (nn * nn).cast("decimal(38,0)").cast("double")
+    )
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        "n_lines",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.try_divide(F.lit(1.0), hhi), 6).alias("effective_suppliers"),
+    ).orderBy("n_name")
+
+
+SUPPLIER_HHI_ORACLE = """
+WITH per AS (
+  SELECT n.n_name, s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+    CAST(SUM(c) AS BIGINT) AS n_lines,
+    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS s2
+  FROM per GROUP BY 1
+),
+f AS (
+  SELECT n_name, n_suppliers, n_lines,
+    CASE WHEN CAST(CAST(n_lines AS DECIMAL(19,0))
+                   * CAST(n_lines AS DECIMAL(19,0)) AS DOUBLE) <> 0
+      THEN CAST(s2 AS DOUBLE)
+           / CAST(CAST(n_lines AS DECIMAL(19,0))
+                  * CAST(n_lines AS DECIMAL(19,0)) AS DOUBLE) END AS hhi
+  FROM g
+)
+SELECT n_name, n_suppliers, n_lines,
+  ROUND(hhi, 6) AS hhi,
+  ROUND(CASE WHEN hhi <> 0 THEN 1.0 / hhi END, 6) AS effective_suppliers
+FROM f ORDER BY n_name
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8863,4 +8937,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_funnel_latency": (events_funnel_latency, FUNNEL_LATENCY_ORACLE),
     "lineitem_price_deciles": (lineitem_price_deciles, PRICE_DECILES_ORACLE),
     "events_event_study": (events_event_study, EVENT_STUDY_ORACLE),
+    "supplier_nation_hhi": (supplier_nation_hhi, SUPPLIER_HHI_ORACLE),
 }

@@ -182,6 +182,7 @@ _FLOAT_GATES = [
     ("doc_queries", "emb_balanced_sample"),
     ("star_queries", "lineitem_price_deciles"),
     ("star_queries", "events_event_study"),
+    ("star_queries", "supplier_nation_hhi"),
 ]
 
 
