@@ -171,7 +171,9 @@ _WINDOW: list[str] = [
 # fact, benched at 1.7 s for all nine exact deciles at sf0.1);
 # events_event_study (per-day Welch panel — does an effect grow or
 # decay; TZ-sweep-pinned day labels); supplier_nation_hhi
-# (supply-risk Herfindahl per nation, integer-exact).
+# (supply-risk Herfindahl per nation, integer-exact); parts_item_cf
+# (item-item cosine CF over the order-part bipartite graph — scores
+# the observed edges, the complement of the AA non-edge ranker).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

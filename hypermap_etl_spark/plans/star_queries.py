@@ -8768,6 +8768,86 @@ FROM f ORDER BY n_name
 
 
 
+
+def parts_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: for co-purchased
+    part pairs, cooc / sqrt(n_a·n_b) — the classic recommender score
+    ("customers who bought X also bought Y", normalized so popular
+    parts don't win by default). Complements parts_link_prediction,
+    which ranks NON-adjacent pairs; this scores the observed edges.
+    Exact integer counts; one fixed-order double expression per pair;
+    top-50 with total tie-breaks."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    j = (
+        pairs.join(
+            deg.select(F.col("l_partkey").alias("p1"), F.col("n_orders").alias("n_a")),
+            "p1",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("p2"), F.col("n_orders").alias("n_b")),
+            "p2",
+        )
+    )
+    score = F.col("cooc").cast("double") / (
+        F.sqrt(F.col("n_a").cast("double")) * F.sqrt(F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "cooc",
+            "n_a",
+            "n_b",
+            F.round(score, 6).alias("cf_score"),
+        )
+        .orderBy(F.col("cf_score").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(50)
+    )
+
+
+ITEM_CF_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM li GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS cooc
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.p1, p.p2, p.cooc,
+  da.n_orders AS n_a, db.n_orders AS n_b,
+  ROUND(CAST(p.cooc AS DOUBLE)
+        / (sqrt(CAST(da.n_orders AS DOUBLE))
+           * sqrt(CAST(db.n_orders AS DOUBLE))), 6) AS cf_score
+FROM pairs p
+JOIN deg da ON da.l_partkey = p.p1
+JOIN deg db ON db.l_partkey = p.p2
+ORDER BY cf_score DESC, p1 ASC, p2 ASC
+LIMIT 50
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -8938,4 +9018,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "lineitem_price_deciles": (lineitem_price_deciles, PRICE_DECILES_ORACLE),
     "events_event_study": (events_event_study, EVENT_STUDY_ORACLE),
     "supplier_nation_hhi": (supplier_nation_hhi, SUPPLIER_HHI_ORACLE),
+    "parts_item_cf": (parts_item_cf, ITEM_CF_ORACLE),
 }

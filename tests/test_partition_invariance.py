@@ -183,6 +183,7 @@ _FLOAT_GATES = [
     ("star_queries", "lineitem_price_deciles"),
     ("star_queries", "events_event_study"),
     ("star_queries", "supplier_nation_hhi"),
+    ("star_queries", "parts_item_cf"),
 ]
 
 
