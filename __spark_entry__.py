@@ -173,7 +173,9 @@ _WINDOW: list[str] = [
 # decay; TZ-sweep-pinned day labels); supplier_nation_hhi
 # (supply-risk Herfindahl per nation, integer-exact); parts_item_cf
 # (item-item cosine CF over the order-part bipartite graph — scores
-# the observed edges, the complement of the AA non-edge ranker).
+# the observed edges, the complement of the AA non-edge ranker);
+# orders_repeat_cycle (exact p50/p90 purchase-cycle days per segment
+# via the quantile table; TZ-sweep-pinned).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

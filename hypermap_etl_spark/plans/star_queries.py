@@ -8848,6 +8848,77 @@ LIMIT 50
 
 
 
+
+def orders_repeat_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cycle distribution per market segment: exact p50/p90
+    days between a customer's consecutive orders — the repeat-rhythm
+    number replenishment planning runs on. One customer-keyed lag
+    window (total order: date then key), one broadcast segment
+    enrich, then the one-pass grouped quantile table."""
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        o.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("__prev"))
+            .cast("double")
+            .alias("gap_days"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = gaps.join(F.broadcast(cust), "o_custkey")
+    qt = grouped_quantile_table(
+        seg, "gap_days", ["c_mktsegment"], qs=(0.5, 0.9)
+    )
+    return qt.groupBy("c_mktsegment").agg(
+        F.max("n_rows").cast("long").alias("n_gaps"),
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50_days"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90_days"),
+    ).orderBy("c_mktsegment")
+
+
+REPEAT_CYCLE_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+    CAST(datediff('day',
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC),
+         o_orderdate) AS BIGINT) AS gap
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment, CAST(g.gap AS DECIMAL(12,2)) AS v
+  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.gap IS NOT NULL
+),
+pv AS (
+  SELECT c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seg GROUP BY 1, 2
+),
+cum AS (
+  SELECT c_mktsegment, v,
+    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v) AS cw,
+    SUM(c) OVER (PARTITION BY c_mktsegment) AS tot
+  FROM pv
+)
+SELECT c_mktsegment, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+  CAST(MIN(CASE WHEN cw * 2 >= tot * 1 THEN v END) AS DOUBLE) AS p50_days,
+  CAST(MIN(CASE WHEN cw * 10 >= tot * 9 THEN v END) AS DOUBLE) AS p90_days
+FROM cum GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -9019,4 +9090,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_event_study": (events_event_study, EVENT_STUDY_ORACLE),
     "supplier_nation_hhi": (supplier_nation_hhi, SUPPLIER_HHI_ORACLE),
     "parts_item_cf": (parts_item_cf, ITEM_CF_ORACLE),
+    "orders_repeat_cycle": (orders_repeat_cycle, REPEAT_CYCLE_ORACLE),
 }

@@ -114,6 +114,8 @@ _TZ_SENSITIVE = [
     "events_sequential_welch",
     # event-study day labels come from date_format(date_trunc(ts))
     "events_event_study",
+    # gap days come from datediff over order dates
+    "orders_repeat_cycle",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset
