@@ -175,7 +175,9 @@ _WINDOW: list[str] = [
 # (item-item cosine CF over the order-part bipartite graph — scores
 # the observed edges, the complement of the AA non-edge ranker);
 # orders_repeat_cycle (exact p50/p90 purchase-cycle days per segment
-# via the quantile table; TZ-sweep-pinned).
+# via the quantile table; TZ-sweep-pinned); events_topk_stability
+# (leaderboard churn: consecutive-day top-20 Jaccard, gap-safe
+# calendar day-index join; TZ-sweep-pinned).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -8919,6 +8919,108 @@ FROM cum GROUP BY 1 ORDER BY c_mktsegment
 
 
 
+
+def events_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard churn: overlap of each day's top-20 users (by event
+    count, total tie-break) with the PREVIOUS day's top-20 — rank
+    stability is the cheap drift alarm for engagement surfaces (a
+    leaderboard that reshuffles daily is noise; one that never moves
+    is stale). Day ranks come from day-partitioned windows over the
+    (day, user) aggregate; consecutive days meet in one equi-join on
+    the user, keyed by a calendar day index (gap-safe)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    per = ev.groupBy(
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        (F.unix_date(F.to_date(day))).cast("long").alias("didx"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    topk = per.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= 20
+    )
+    cur = topk.select("day", "didx", "user_id")
+    prev = topk.select(
+        (F.col("didx") + 1).alias("didx"), F.col("user_id").alias("pu")
+    )
+    hits = (
+        cur.join(prev, (cur["didx"] == prev["didx"]) & (cur["user_id"] == prev["pu"]))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    sizes = cur.groupBy("day", "didx").agg(
+        F.count(F.lit(1)).cast("long").alias("k_today")
+    )
+    psizes = sizes.select(
+        (F.col("didx") + 1).alias("didx"), F.col("k_today").alias("k_prev")
+    )
+    out = (
+        sizes.join(psizes, "didx")
+        .join(hits, "day", "left")
+        .select(
+            "day",
+            "k_today",
+            "k_prev",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / (
+                    F.col("k_today") + F.col("k_prev")
+                    - F.coalesce(F.col("n_overlap"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy("day")
+
+
+TOPK_STABILITY_ORACLE = """
+WITH per AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS didx,
+         user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT day, didx, user_id FROM (
+    SELECT day, didx, user_id,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY n DESC, user_id ASC) AS r
+    FROM per
+  ) WHERE r <= 20
+),
+hits AS (
+  SELECT c.day, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM topk c JOIN topk p
+    ON c.didx = p.didx + 1 AND c.user_id = p.user_id
+  GROUP BY 1
+),
+sizes AS (
+  SELECT day, didx, CAST(COUNT(*) AS BIGINT) AS k_today
+  FROM topk GROUP BY 1, 2
+),
+j AS (
+  SELECT s.day, s.k_today, ps.k_today AS k_prev,
+         CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap
+  FROM sizes s
+  JOIN sizes ps ON s.didx = ps.didx + 1
+  LEFT JOIN hits h ON h.day = s.day
+)
+SELECT day, k_today, k_prev, n_overlap,
+  ROUND(CAST(n_overlap AS DOUBLE)
+        / CAST(k_today + k_prev - n_overlap AS DOUBLE), 6) AS jaccard
+FROM j ORDER BY day
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -9091,4 +9193,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "supplier_nation_hhi": (supplier_nation_hhi, SUPPLIER_HHI_ORACLE),
     "parts_item_cf": (parts_item_cf, ITEM_CF_ORACLE),
     "orders_repeat_cycle": (orders_repeat_cycle, REPEAT_CYCLE_ORACLE),
+    "events_topk_stability": (events_topk_stability, TOPK_STABILITY_ORACLE),
 }

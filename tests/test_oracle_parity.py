@@ -116,6 +116,8 @@ _TZ_SENSITIVE = [
     "events_event_study",
     # gap days come from datediff over order dates
     "orders_repeat_cycle",
+    # day labels and the calendar day index both ride date_trunc(ts)
+    "events_topk_stability",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset

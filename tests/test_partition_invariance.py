@@ -185,6 +185,7 @@ _FLOAT_GATES = [
     ("star_queries", "supplier_nation_hhi"),
     ("star_queries", "parts_item_cf"),
     ("star_queries", "orders_repeat_cycle"),
+    ("star_queries", "events_topk_stability"),
 ]
 
 
