@@ -177,7 +177,9 @@ _WINDOW: list[str] = [
 # orders_repeat_cycle (exact p50/p90 purchase-cycle days per segment
 # via the quantile table; TZ-sweep-pinned); events_topk_stability
 # (leaderboard churn: consecutive-day top-20 Jaccard, gap-safe
-# calendar day-index join; TZ-sweep-pinned).
+# calendar day-index join; TZ-sweep-pinned); doc_bigram_coverage
+# (Zipf-compressibility of the phrase distribution: the heavy-
+# coverage construction over the corpus bigram aggregate).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

@@ -5720,6 +5720,58 @@ ORDER BY s.label
 """
 
 
+
+
+def doc_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram mass-coverage curve (scale.heavy_coverage over the
+    corpus bigram table): the smallest number of distinct bigrams —
+    heaviest first — covering 50/90/99% of all bigram occurrences,
+    the LM-vocabulary planning readout (how Zipf-compressible is the
+    phrase distribution). One explode→aggregate, then the distributed
+    coverage construction over the aggregate."""
+    from hypermap_etl_spark.operators.scale import heavy_coverage
+    from hypermap_etl_spark.operators.textstats import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles(F.lower(F.col("text")), 2)).alias("bigram")
+    )
+    return heavy_coverage(grams, ["bigram"]).orderBy("threshold")
+
+
+BIGRAM_COVERAGE_ORACLE = """
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w
+),
+per AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS x FROM g GROUP BY 1),
+r AS (
+  SELECT x,
+         SUM(x) OVER (ORDER BY x DESC, bigram ASC) AS cum,
+         row_number() OVER (ORDER BY x DESC, bigram ASC) AS rk
+  FROM per
+),
+tot AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS t, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM per
+),
+th AS (SELECT CAST(u.t AS DOUBLE) AS threshold
+       FROM unnest([0.5, 0.9, 0.99]) AS u(t))
+SELECT th.threshold,
+       CAST(MIN(r.rk) AS BIGINT) AS n_keys_needed,
+       CAST(MAX(tot.nk) AS BIGINT) AS n_keys_total,
+       ROUND(CAST(MIN(r.rk) AS DOUBLE) / CAST(MAX(tot.nk) AS DOUBLE), 6)
+         AS key_fraction
+FROM th CROSS JOIN tot JOIN r ON CAST(r.cum AS DOUBLE) >= th.threshold * tot.t
+GROUP BY th.threshold ORDER BY th.threshold
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5852,4 +5904,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_source_vocab_overlap": (doc_source_vocab_overlap, VOCAB_OVERLAP_ORACLE),
     "emb_norm_profile": (emb_norm_profile, NORM_PROFILE_ORACLE),
     "emb_balanced_sample": (emb_balanced_sample, BALANCED_SAMPLE_ORACLE),
+    "doc_bigram_coverage": (doc_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
 }

@@ -186,6 +186,8 @@ _FLOAT_GATES = [
     ("star_queries", "parts_item_cf"),
     ("star_queries", "orders_repeat_cycle"),
     ("star_queries", "events_topk_stability"),
+    # coverage curve rides the range-partition running sum
+    ("doc_queries", "doc_bigram_coverage"),
 ]
 
 
