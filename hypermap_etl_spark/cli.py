@@ -1297,6 +1297,51 @@ def cmd_ab(args) -> None:
     print(json.dumps(out, default=str))
 
 
+def cmd_abmon(args) -> None:
+    """Streaming experiment monitor: fold an events parquet dir into
+    the per-batch arm-moment store (availableNow catch-up), then print
+    the current Welch verdict per group — one JSON line, equal by
+    construction to the batch `ab` readout over the same rows.
+    Re-runs resume from the checkpoint; --compact folds history."""
+    import os
+
+    from hypermap_etl_spark.streaming.abmonitor import (
+        ab_store_compact,
+        ab_verdict,
+        start_ab_stream,
+    )
+
+    spark = _spark(args)
+    group = [g.strip() for g in args.group.split(",") if g.strip()]
+    reader = (
+        spark.readStream.schema(spark.read.parquet(args.events).schema)
+        .option("maxFilesPerTrigger", 1)
+    )
+    if os.path.isfile(args.events):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(args.events)
+        )
+        stream = reader.parquet(os.path.dirname(args.events))
+    else:
+        stream = reader.parquet(args.events)
+    q = start_ab_stream(
+        stream, args.value_col, args.unit_col, group,
+        args.store, args.checkpoint,
+    )
+    q.awaitTermination()
+    if args.compact:
+        ab_store_compact(spark, args.store, group)
+    rows = ab_verdict(spark, args.store, group).collect()
+    out = {
+        ("|".join(str(r[g]) for g in group) if group else "_all"): {
+            "n_a": r["n_a"], "n_b": r["n_b"],
+            "t_stat": r["t_stat"], "significant": r["significant"],
+        }
+        for r in rows
+    }
+    print(json.dumps({"groups": out, "n_groups": len(rows)}))
+
+
 def cmd_survival(args) -> None:
     """Censoring-correct retention over a lifetimes parquet (one row
     per subject: duration + 0/1 event): the Kaplan-Meier curve as
@@ -2005,6 +2050,16 @@ def main(argv=None) -> None:
     p.add_argument("--sequential-col",
                    help="timestamp column enables the group-sequential "
                         "replay (5 O'Brien-Fleming looks)")
+    p = sub.add_parser("abmon", help="streaming experiment monitor: "
+                       "fold events into the arm-moment store, print "
+                       "the current Welch verdict")
+    p.add_argument("--events", required=True)
+    p.add_argument("--store", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--unit-col", default="user_id")
+    p.add_argument("--group", default="event_type")
+    p.add_argument("--compact", action="store_true")
     p = sub.add_parser("survival", help="Kaplan-Meier curve "
                        "(+ log-rank with --group-col) over lifetimes")
     p.add_argument("--lifetimes", required=True)
@@ -2117,6 +2172,7 @@ def main(argv=None) -> None:
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
         "ab": cmd_ab,
+        "abmon": cmd_abmon,
         "survival": cmd_survival,
         "assoc": cmd_assoc,
         "graph": cmd_graph,

@@ -1021,3 +1021,25 @@ def test_cli_survival(spark, capsys, tmp_path):
     assert [l["t"] for l in km] == [1, 3, 5]
     assert km[0]["n_at_risk"] == 5
     assert "z_stat" in lines[-1]["logrank"]
+
+
+def test_cli_abmon(spark, capsys, tmp_path):
+    """abmon folds the events dir into the arm-moment store and prints
+    the per-group Welch verdict; a second run resumes idempotently."""
+    import json
+
+    from hypermap_etl_spark.cli import main
+
+    store = str(tmp_path / "store")
+    args = [
+        "abmon", "--events", "/root/testdata/sf0.001/events.parquet",
+        "--store", store, "--checkpoint", str(tmp_path / "ck"),
+    ]
+    main(args)
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_groups"] == 5
+    first = card["groups"]
+    # resume with nothing new: the verdict is unchanged (no re-count)
+    main(args)
+    card2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card2["groups"] == first
