@@ -179,7 +179,10 @@ _WINDOW: list[str] = [
 # (leaderboard churn: consecutive-day top-20 Jaccard, gap-safe
 # calendar day-index join; TZ-sweep-pinned); doc_bigram_coverage
 # (Zipf-compressibility of the phrase distribution: the heavy-
-# coverage construction over the corpus bigram aggregate).
+# coverage construction over the corpus bigram aggregate);
+# events_growth_accounting (DAU decomposition into new/retained/
+# resurrected + churned — calendar-lag classification,
+# TZ-sweep-pinned).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

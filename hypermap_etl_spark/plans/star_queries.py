@@ -9021,6 +9021,102 @@ FROM j ORDER BY day
 
 
 
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active day classified as new (first
+    ever), retained (also active the previous calendar day), or
+    resurrected (returning after a gap) — plus churned = the previous
+    day's actives who did not return today. The DAU decomposition
+    growth teams actually steer by. One (user, day) distinct
+    aggregate, one user-partitioned lag over it (calendar datediff,
+    not row offsets), one day aggregate; churn comes from the same
+    frame shifted by the day index."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    ud = ev.select(
+        "user_id",
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        F.unix_date(F.to_date(day)).cast("long").alias("didx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("didx")
+    lagged = ud.withColumn("__prev", F.lag("didx").over(w))
+    cls = lagged.select(
+        "day",
+        "didx",
+        F.when(F.col("__prev").isNull(), F.lit("new"))
+        .when(F.col("didx") - F.col("__prev") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("kind"),
+    )
+    per = cls.groupBy("day", "didx").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    # churned on day d = actives(d-1) - retained(d); join by day index
+    prev = per.select(
+        (F.col("didx") + 1).alias("didx"), F.col("dau").alias("__prev_dau")
+    )
+    out = per.join(prev, "didx", "left").select(
+        "day",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(
+            F.col("__prev_dau") - F.col("n_retained"), F.lit(0)
+        ).cast("long").alias("n_churned"),
+    )
+    return out.orderBy("day")
+
+
+GROWTH_ACCOUNTING_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    CAST(datediff('day', DATE '1970-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS didx
+  FROM events WHERE user_id IS NOT NULL
+),
+lg AS (
+  SELECT day, didx,
+    lag(didx) OVER (PARTITION BY user_id ORDER BY didx) AS prev
+  FROM ud
+),
+cls AS (
+  SELECT day, didx,
+    CASE WHEN prev IS NULL THEN 'new'
+         WHEN didx - prev = 1 THEN 'retained'
+         ELSE 'resurrected' END AS kind
+  FROM lg
+),
+per AS (
+  SELECT day, didx, CAST(COUNT(*) AS BIGINT) AS dau,
+    CAST(COALESCE(SUM(CASE WHEN kind = 'new' THEN 1 END), 0)
+         AS BIGINT) AS n_new,
+    CAST(COALESCE(SUM(CASE WHEN kind = 'retained' THEN 1 END), 0)
+         AS BIGINT) AS n_retained,
+    CAST(COALESCE(SUM(CASE WHEN kind = 'resurrected' THEN 1 END), 0)
+         AS BIGINT) AS n_resurrected
+  FROM cls GROUP BY 1, 2
+)
+SELECT p.day, p.dau, p.n_new, p.n_retained, p.n_resurrected,
+  CAST(COALESCE(q.dau - p.n_retained, 0) AS BIGINT) AS n_churned
+FROM per p LEFT JOIN per q ON p.didx = q.didx + 1
+ORDER BY p.day
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -9194,4 +9290,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "parts_item_cf": (parts_item_cf, ITEM_CF_ORACLE),
     "orders_repeat_cycle": (orders_repeat_cycle, REPEAT_CYCLE_ORACLE),
     "events_topk_stability": (events_topk_stability, TOPK_STABILITY_ORACLE),
+    "events_growth_accounting": (events_growth_accounting, GROWTH_ACCOUNTING_ORACLE),
 }
