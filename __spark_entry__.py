@@ -182,7 +182,8 @@ _WINDOW: list[str] = [
 # coverage construction over the corpus bigram aggregate);
 # events_growth_accounting (DAU decomposition into new/retained/
 # resurrected + churned — calendar-lag classification,
-# TZ-sweep-pinned).
+# TZ-sweep-pinned); events_daily_quantiles (exact daily p50/p90
+# bands — the percentile-trend dashboard without sketch wobble).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

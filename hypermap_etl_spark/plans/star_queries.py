@@ -9117,6 +9117,52 @@ ORDER BY p.day
 
 
 
+
+def events_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90 value bands (scale.grouped_quantile_table grouped
+    by calendar day): the percentile-trend dashboard query — exact at
+    every point, so a moving p90 line never wobbles from sketch error.
+    One corpus aggregate to the (day, value) grid, knots in one
+    pass."""
+    from hypermap_etl_spark.operators.scale import grouped_quantile_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+    )
+    qt = grouped_quantile_table(ev, "value", ["day"], qs=(0.5, 0.9))
+    return qt.groupBy("day").agg(
+        F.max("n_rows").cast("long").alias("n"),
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90"),
+    ).orderBy("day")
+
+
+DAILY_QUANTILES_ORACLE = """
+WITH base AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+pv AS (
+  SELECT day, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, v,
+    SUM(c) OVER (PARTITION BY day ORDER BY v) AS cw,
+    SUM(c) OVER (PARTITION BY day) AS tot
+  FROM pv
+)
+SELECT day, CAST(MAX(tot) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN cw * 2 >= tot * 1 THEN v END) AS DOUBLE) AS p50,
+  CAST(MIN(CASE WHEN cw * 10 >= tot * 9 THEN v END) AS DOUBLE) AS p90
+FROM cum GROUP BY 1 ORDER BY day
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -9291,4 +9337,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "orders_repeat_cycle": (orders_repeat_cycle, REPEAT_CYCLE_ORACLE),
     "events_topk_stability": (events_topk_stability, TOPK_STABILITY_ORACLE),
     "events_growth_accounting": (events_growth_accounting, GROWTH_ACCOUNTING_ORACLE),
+    "events_daily_quantiles": (events_daily_quantiles, DAILY_QUANTILES_ORACLE),
 }

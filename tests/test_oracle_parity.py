@@ -119,6 +119,7 @@ _TZ_SENSITIVE = [
     # day labels and the calendar day index both ride date_trunc(ts)
     "events_topk_stability",
     "events_growth_accounting",
+    "events_daily_quantiles",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset

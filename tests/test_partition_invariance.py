@@ -188,6 +188,7 @@ _FLOAT_GATES = [
     ("star_queries", "events_topk_stability"),
     # coverage curve rides the range-partition running sum
     ("doc_queries", "doc_bigram_coverage"),
+    ("star_queries", "events_daily_quantiles"),
 ]
 
 
