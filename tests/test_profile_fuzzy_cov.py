@@ -2174,3 +2174,55 @@ def test_uplift_deciles_concentrates_planted_effect(spark):
 
     with _pt.raises(ValueError):
         uplift_deciles(df, "value", "user_id", "score", n_bands=1)
+
+
+def test_new_stats_structural_properties(spark):
+    """Cross-operator invariants for the wave: BH rejections are
+    monotone in q; Wilson intervals widen as n shrinks at fixed p-hat;
+    Holt is shift-equivariant (level shifts with the data, trend and
+    backtest error do not)."""
+    from hypermap_etl_spark.operators.profile import (
+        bh_fdr,
+        holt_linear_forecast,
+        wilson_ci,
+    )
+
+    # BH monotone in q: everything rejected at q=0.05 stays rejected
+    # at q=0.2
+    rows = [(f"h{i}", i * 3, 99) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, cnt_ge long, n_perms long")
+    r_strict = {
+        r["key"] for r in bh_fdr(df, ["key"], q_num=1, q_den=20).collect()
+        if r["reject"]
+    }
+    r_loose = {
+        r["key"] for r in bh_fdr(df, ["key"], q_num=1, q_den=5).collect()
+        if r["reject"]
+    }
+    assert r_strict <= r_loose
+
+    # Wilson: same p-hat, smaller n -> wider interval
+    wdf = spark.createDataFrame(
+        [("big", 80, 100), ("small", 8, 10)], "k string, s long, n long"
+    )
+    w = {r["k"]: r for r in wilson_ci(wdf, "s", "n").collect()}
+    assert (w["small"]["ci_hi"] - w["small"]["ci_lo"]) > (
+        w["big"]["ci_hi"] - w["big"]["ci_lo"]
+    )
+
+    # Holt shift-equivariance: y + 7 per period -> level +7, trend and
+    # mae unchanged
+    ys = [10, 14, 9, 20, 13, 30]
+    rows1 = [("g", f"2024-{m + 1:02d}") for m, y in enumerate(ys)
+             for _ in range(y)]
+    rows2 = [("g", f"2024-{m + 1:02d}") for m, y in enumerate(ys)
+             for _ in range(y + 7)]
+    h1 = holt_linear_forecast(
+        spark.createDataFrame(rows1, "g string, month string"), "month", ["g"]
+    ).collect()[0]
+    h2 = holt_linear_forecast(
+        spark.createDataFrame(rows2, "g string, month string"), "month", ["g"]
+    ).collect()[0]
+    assert h2["level"] == pytest.approx(h1["level"] + 7, abs=1e-6)
+    assert h2["trend"] == pytest.approx(h1["trend"], abs=1e-6)
+    assert h2["mae"] == pytest.approx(h1["mae"], abs=1e-6)
