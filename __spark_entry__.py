@@ -28,13 +28,12 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 # session. This window leads with those 8 (first-time evidence), then
 # the 4 gates whose operators changed THIS session (triangle
 # orientation, PPJoin positional filter, capped dictionary pulls in
-# the BPE/unigram gates), then the r2-only re-certs, then the 22
-# gates NEW in the r7 build session — they displaced the entire
-# r3-evidence re-cert tail back-to-front as they landed, and the
-# final one (events_ks_split) displaced one r2-only sibling:
-# doc_simhash_sigs steps out with its machinery still in-window via
-# doc_simhash_pairs, the same rationale the r6 window used for the
-# pair.
+# the BPE/unigram gates), then 16 first-time continuation-wave gates
+# (they displaced the 16 r2-only re-certs late in the session — the
+# policy ranks first-time evidence above untouched re-certification,
+# and the displaced gates keep their valid r2 rows), then the 22
+# gates NEW in the r7 build session, which had earlier displaced the
+# whole r3-evidence re-cert tail back-to-front as they landed.
 _WINDOW: list[str] = [
     # ---- 8 first-time gates (registered+local-green in r6, outran
     # the window; queued per VERDICT r6 task 1) ----
@@ -51,23 +50,27 @@ _WINDOW: list[str] = [
     "doc_prefix_pairs",            # PPJoin positional filter
     "doc_bpe_first_merge",         # capped dictionary + mirrored oracle
     "doc_unigram_seed",            # capped dictionary + mirrored oracle
-    # ---- r2-only re-certs (oldest evidence in the registry) ----
-    "customer_nation_stats",
-    "orders_with_big_lineitem",
-    "nations_without_customers",
-    "top_orders_denorm",
-    "parts_size_filter",
-    "activity_union",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_fingerprints",
-    "doc_exact_dedup",
-    "doc_ngram_pairs",
-    "doc_simhash_pairs",
-    "emb_ann_topk",
-    "emb_neardup",
-    "emb_knn_label",
+    # ---- continuation-wave first-time gates (displacing the 16
+    # r2-only re-certs: the documented policy ranks first-time
+    # evidence above untouched re-certification, and those 16 keep
+    # their valid r2 rows — the same displacement rationale the r5
+    # and r6 windows applied) ----
+    "events_permutation_test",
+    "events_fdr_bh",
+    "events_delta_ratio",
+    "events_ab_power",
+    "doc_model_lift",
+    "orders_holt_forecast",
+    "parts_community_modularity",
+    "events_funnel_wilson",
+    "events_eb_shrinkage",
+    "events_cohort_ltv",
+    "events_sequential_welch",
+    "parts_link_prediction",
+    "doc_score_quantile_norm",
+    "emb_centroid_drift",
+    "doc_tokenizer_fertility",
+    "events_srm_segments",
     # ---- gates NEW in the r7 build session (displace the r3
     # re-certs below back-to-front as they land) ----
     "customer_linkage2",        # tau=2 deletion-neighborhood linkage
@@ -116,7 +119,9 @@ _WINDOW: list[str] = [
 # factored out), hm_entries' incremental sibling (checkpointed
 # restricted log — unit-certified path, test_incremental 4/4).
 # Second continuation wave (this session, drive_gates-green on
-# registration): events_permutation_test (md5-seeded Fisher
+# registration; the 16 listed FIRST below rotated into the window
+# above late in the session — the rest queue for r8):
+# events_permutation_test (md5-seeded Fisher
 # re-randomization, add-one p from exact replicate counts) and
 # events_fdr_bh (integer-exact Benjamini–Hochberg step-up over those
 # rational p-values — no float enters the reject decision);
