@@ -188,7 +188,10 @@ _WINDOW: list[str] = [
 # events_growth_accounting (DAU decomposition into new/retained/
 # resurrected + churned — calendar-lag classification,
 # TZ-sweep-pinned); events_daily_quantiles (exact daily p50/p90
-# bands — the percentile-trend dashboard without sketch wobble).
+# bands — the percentile-trend dashboard without sketch wobble);
+# doc_quality_length_rho (the confounder screen: Spearman of quality
+# score vs raw length per language — is the filter just a length
+# filter in a costume).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

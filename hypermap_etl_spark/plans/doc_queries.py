@@ -5772,6 +5772,85 @@ GROUP BY th.threshold ORDER BY th.threshold
 """
 
 
+
+
+def doc_quality_length_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score vs document-length Spearman per language
+    (profile.spearman_corr over score_linear + n_chars): the
+    confounder screen every filter needs — a quality model whose
+    score is rank-identical to raw length is just a length filter
+    wearing a costume. Values compare at decimal(12,2) exactness
+    (scores in [0,1] tie-group at 2 dp, identically in both engines);
+    rank moments are exact decimals."""
+    import hashlib
+
+    from hypermap_etl_spark.operators.profile import spearman_corr
+    from hypermap_etl_spark.operators.quality_model import score_linear
+
+    dim = 16
+    weights = [
+        (int(hashlib.md5(f"qw{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_linear(
+        docs.select("doc_id", "text"), weights, bias=0.25
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    j = docs.select("doc_id", "lang", "n_chars").join(scored, "doc_id")
+    return spearman_corr(j, "score", "n_chars", ["lang"]).orderBy("lang")
+
+
+QUALITY_LENGTH_RHO_ORACLE = (
+    "WITH scores AS ("
+    + MODEL_SCORES_ORACLE
+    + """),
+base AS (
+  SELECT d.lang AS g,
+         CAST(s.score AS DECIMAL(12,2)) AS x,
+         CAST(d.n_chars AS DECIMAL(12,2)) AS y
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE s.score IS NOT NULL AND d.n_chars IS NOT NULL
+),
+px AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+rx AS (
+  SELECT g, x,
+         2 * SUM(t) OVER (PARTITION BY g ORDER BY x) - (t - 1) AS rx2
+  FROM px
+),
+py AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+ry AS (
+  SELECT g, y,
+         2 * SUM(t) OVER (PARTITION BY g ORDER BY y) - (t - 1) AS ry2
+  FROM py
+),
+j AS (
+  SELECT b.g, rx.rx2, ry.ry2
+  FROM base b
+  JOIN rx ON b.g = rx.g AND b.x = rx.x
+  JOIN ry ON b.g = ry.g AND b.y = ry.y
+),
+a AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx2 AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(ry2 AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS syy,
+         SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT g AS lang, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM a ORDER BY 1
+"""
+)
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5905,4 +5984,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_norm_profile": (emb_norm_profile, NORM_PROFILE_ORACLE),
     "emb_balanced_sample": (emb_balanced_sample, BALANCED_SAMPLE_ORACLE),
     "doc_bigram_coverage": (doc_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
+    "doc_quality_length_rho": (doc_quality_length_rho, QUALITY_LENGTH_RHO_ORACLE),
 }

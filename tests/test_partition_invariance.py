@@ -189,6 +189,7 @@ _FLOAT_GATES = [
     # coverage curve rides the range-partition running sum
     ("doc_queries", "doc_bigram_coverage"),
     ("star_queries", "events_daily_quantiles"),
+    ("doc_queries", "doc_quality_length_rho"),
 ]
 
 
