@@ -191,7 +191,8 @@ _WINDOW: list[str] = [
 # bands — the percentile-trend dashboard without sketch wobble);
 # doc_quality_length_rho (the confounder screen: Spearman of quality
 # score vs raw length per language — is the filter just a length
-# filter in a costume).
+# filter in a costume); emb_class_separability (silhouette proxy:
+# mean cosine to own vs global centroid per label, fully quantized).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

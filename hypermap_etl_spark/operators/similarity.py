@@ -1984,3 +1984,95 @@ def centroid_drift(
         )
         .orderBy(label_col)
     )
+
+
+def class_separability(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Class separability of a labeled embedding space — the cheap
+    silhouette proxy run before training a classifier on the
+    geometry: per label, the mean cosine of its vectors to their OWN
+    centroid vs to the GLOBAL centroid, and the margin between them
+    (margin ≈ 0: the label is not a cluster, it is a relabeling of
+    the blob).
+
+    Same determinism discipline as :func:`centroid_drift`: components
+    and centroid means quantize to decimal(18,9); per-vector dot
+    products sum exact decimal products over dims; per-vector cosines
+    round to 9 dp and quantize before the per-label mean — no float
+    accumulation crosses a row or dim boundary anywhere.
+
+    Scale shape: posexplode is map-side; the (label, dim) and (dim)
+    centroid aggregates are bounded by labels × dims; the dot-product
+    pass joins the exploded frame to BROADCAST centroid tables and
+    folds back to one row per vector, then one per label.
+    """
+    d = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        label_col,
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__dim", "__x"
+        ),
+    )
+    comp = F.round(F.col("__x"), 9).cast("decimal(18,9)")
+    dq = d.select(label_col, "__id", "__dim", comp.alias("__xq"))
+    own = dq.groupBy(label_col, "__dim").agg(
+        F.round(
+            F.sum("__xq").cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__mo")
+    )
+    glob = dq.groupBy("__dim").agg(
+        F.round(
+            F.sum("__xq").cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__mg")
+    )
+    j = dq.join(F.broadcast(own), [label_col, "__dim"]).join(
+        F.broadcast(glob), "__dim"
+    )
+    per_vec = j.groupBy(label_col, "__id").agg(
+        F.sum(F.col("__xq") * F.col("__mo")).cast("decimal(38,18)").alias("__do"),
+        F.sum(F.col("__xq") * F.col("__mg")).cast("decimal(38,18)").alias("__dg"),
+        F.sum(F.col("__xq") * F.col("__xq")).cast("decimal(38,18)").alias("__xx"),
+        F.sum(F.col("__mo") * F.col("__mo")).cast("decimal(38,18)").alias("__oo"),
+        F.sum(F.col("__mg") * F.col("__mg")).cast("decimal(38,18)").alias("__gg"),
+    )
+    cos_o = F.try_divide(
+        F.col("__do").cast("double"),
+        F.sqrt(F.col("__xx").cast("double"))
+        * F.sqrt(F.col("__oo").cast("double")),
+    )
+    cos_g = F.try_divide(
+        F.col("__dg").cast("double"),
+        F.sqrt(F.col("__xx").cast("double"))
+        * F.sqrt(F.col("__gg").cast("double")),
+    )
+    q = per_vec.select(
+        label_col,
+        F.round(cos_o, 9).cast("decimal(12,9)").alias("__co"),
+        F.round(cos_g, 9).cast("decimal(12,9)").alias("__cg"),
+    )
+    g = q.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("__co").cast("decimal(38,9)").alias("__sco"),
+        F.sum("__cg").cast("decimal(38,9)").alias("__scg"),
+    )
+    mo = F.col("__sco").cast("double") / F.col("n_vecs").cast("double")
+    mg = F.col("__scg").cast("double") / F.col("n_vecs").cast("double")
+    return g.select(
+        label_col,
+        "n_vecs",
+        F.round(mo, 6).alias("cos_own"),
+        F.round(mg, 6).alias("cos_global"),
+        F.round(mo - mg, 6).alias("margin"),
+    ).orderBy(label_col)

@@ -5851,6 +5851,82 @@ FROM a ORDER BY 1
 )
 
 
+
+
+def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class separability per label (similarity.class_separability):
+    mean cosine to the own-label centroid vs the global centroid and
+    the margin — the silhouette proxy run before trusting labels as
+    clusters. Fully quantized-decimal reductions."""
+    from hypermap_etl_spark.operators.similarity import class_separability
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return class_separability(emb)
+
+
+CLASS_SEPARABILITY_ORACLE = """
+WITH e AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+d AS (
+  SELECT label, vec_id, i - 1 AS dim,
+         CAST(ROUND(v[i], 9) AS DECIMAL(18,9)) AS x
+  FROM (SELECT label, vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+),
+own AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS mo
+  FROM d GROUP BY 1, 2
+),
+gc AS (
+  SELECT dim,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS mg
+  FROM d GROUP BY 1
+),
+pv AS (
+  SELECT d.label, d.vec_id,
+    CAST(SUM(d.x * o.mo) AS DECIMAL(38,18)) AS do_,
+    CAST(SUM(d.x * g.mg) AS DECIMAL(38,18)) AS dg,
+    CAST(SUM(d.x * d.x) AS DECIMAL(38,18)) AS xx,
+    CAST(SUM(o.mo * o.mo) AS DECIMAL(38,18)) AS oo,
+    CAST(SUM(g.mg * g.mg) AS DECIMAL(38,18)) AS gg
+  FROM d
+  JOIN own o ON d.label = o.label AND d.dim = o.dim
+  JOIN gc g ON d.dim = g.dim
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT label,
+    CAST(ROUND(CASE WHEN sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE))
+                         <> 0
+               THEN CAST(do_ AS DOUBLE)
+                    / (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE)))
+               END, 9) AS DECIMAL(12,9)) AS co,
+    CAST(ROUND(CASE WHEN sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))
+                         <> 0
+               THEN CAST(dg AS DOUBLE)
+                    / (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))
+               END, 9) AS DECIMAL(12,9)) AS cg
+  FROM pv
+),
+g2 AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(co) AS DECIMAL(38,9)) AS sco,
+         CAST(SUM(cg) AS DECIMAL(38,9)) AS scg
+  FROM q GROUP BY 1
+)
+SELECT label, n_vecs,
+  ROUND(CAST(sco AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS cos_own,
+  ROUND(CAST(scg AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS cos_global,
+  ROUND(CAST(sco AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        - CAST(scg AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS margin
+FROM g2 ORDER BY label
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -5985,4 +6061,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_balanced_sample": (emb_balanced_sample, BALANCED_SAMPLE_ORACLE),
     "doc_bigram_coverage": (doc_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
     "doc_quality_length_rho": (doc_quality_length_rho, QUALITY_LENGTH_RHO_ORACLE),
+    "emb_class_separability": (emb_class_separability, CLASS_SEPARABILITY_ORACLE),
 }

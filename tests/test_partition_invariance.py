@@ -190,6 +190,7 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_bigram_coverage"),
     ("star_queries", "events_daily_quantiles"),
     ("doc_queries", "doc_quality_length_rho"),
+    ("doc_queries", "emb_class_separability"),
 ]
 
 

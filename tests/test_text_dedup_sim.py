@@ -2389,3 +2389,32 @@ def test_emb_norm_profile_detects_collapse(spark, tmp_path):
     assert out[1]["n_vecs"] == 40
     # quantiles ride the decimal(12,2) grid of the quantile table
     assert out[2]["p90_norm"] <= 0.2
+
+
+def test_class_separability_margin(spark):
+    from hypermap_etl_spark.operators.similarity import class_separability
+
+    # two well-separated clusters: margin strongly positive
+    rows = []
+    for i in range(30):
+        rows.append((i, [1.0, 0.0 + 0.01 * (i % 3)], 1))
+        rows.append((100 + i, [0.0 + 0.01 * (i % 3), 1.0], 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in class_separability(df).collect()}
+    for lb in (1, 2):
+        assert out[lb]["cos_own"] > 0.99
+        assert out[lb]["margin"] > 0.2
+        assert out[lb]["cos_own"] > out[lb]["cos_global"]
+
+    # labels that are a random relabeling of ONE blob: margin ~ 0
+    blob = [
+        (i, [1.0, float((i * 7) % 5) / 10.0], 1 + i % 2) for i in range(60)
+    ]
+    bd = spark.createDataFrame(
+        blob, "vec_id long, embedding array<float>, label int"
+    )
+    b = {r["label"]: r for r in class_separability(bd).collect()}
+    for lb in (1, 2):
+        assert abs(b[lb]["margin"]) < 0.01
