@@ -192,7 +192,9 @@ _WINDOW: list[str] = [
 # doc_quality_length_rho (the confounder screen: Spearman of quality
 # score vs raw length per language — is the filter just a length
 # filter in a costume); emb_class_separability (silhouette proxy:
-# mean cosine to own vs global centroid per label, fully quantized).
+# mean cosine to own vs global centroid per label, fully quantized);
+# doc_pii_by_source (the compliance dashboard row: PII density per
+# feed over the planted fixture).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

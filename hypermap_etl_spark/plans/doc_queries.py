@@ -5927,6 +5927,69 @@ FROM g2 ORDER BY label
 """
 
 
+
+
+def doc_pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per source (curation.tag_pii over the planted-PII
+    fixture, rolled up by source): the compliance dashboard row —
+    which feed is leaking emails/phones/SSNs and at what rate. Exact
+    match counts, one aggregate, one division per source."""
+    tagged = curation.tag_pii(_pii_docs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    j = tagged.join(docs, "doc_id")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("has_pii"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_pii"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("n_ssns").cast("long").alias("n_ssns"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_with_pii",
+        F.round(
+            F.col("n_with_pii").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("pii_rate"),
+        "n_emails",
+        "n_phones",
+        "n_ssns",
+    ).orderBy("source")
+
+
+PII_BY_SOURCE_ORACLE = f"""
+WITH p AS ({_PII_AUG_SQL}),
+t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(text, '{curation.PHONE_RE}')) AS n_phones,
+    len(regexp_extract_all(text, '{curation.SSN_RE}')) AS n_ssns
+  FROM p
+),
+j AS (
+  SELECT d.source, t.n_emails, t.n_phones, t.n_ssns,
+         (t.n_emails + t.n_phones + t.n_ssns) > 0 AS has_pii
+  FROM t JOIN documents d USING (doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(CASE WHEN has_pii THEN 1 END), 0) AS BIGINT)
+    AS n_with_pii,
+  ROUND(CAST(COALESCE(SUM(CASE WHEN has_pii THEN 1 END), 0) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS pii_rate,
+  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+  CAST(SUM(n_ssns) AS BIGINT) AS n_ssns
+FROM j GROUP BY 1 ORDER BY source
+"""
+
+
 DOC_QUERIES: dict[str, tuple] = {
     "doc_calibration": (doc_calibration, CALIBRATION_ORACLE),
     "emb_hard_negatives": (emb_hard_negatives, HARD_NEGATIVES_ORACLE),
@@ -6062,4 +6125,5 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_bigram_coverage": (doc_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
     "doc_quality_length_rho": (doc_quality_length_rho, QUALITY_LENGTH_RHO_ORACLE),
     "emb_class_separability": (emb_class_separability, CLASS_SEPARABILITY_ORACLE),
+    "doc_pii_by_source": (doc_pii_by_source, PII_BY_SOURCE_ORACLE),
 }

@@ -191,6 +191,7 @@ _FLOAT_GATES = [
     ("star_queries", "events_daily_quantiles"),
     ("doc_queries", "doc_quality_length_rho"),
     ("doc_queries", "emb_class_separability"),
+    ("doc_queries", "doc_pii_by_source"),
 ]
 
 
