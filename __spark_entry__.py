@@ -194,7 +194,8 @@ _WINDOW: list[str] = [
 # filter in a costume); emb_class_separability (silhouette proxy:
 # mean cosine to own vs global centroid per label, fully quantized);
 # doc_pii_by_source (the compliance dashboard row: PII density per
-# feed over the planted fixture).
+# feed over the planted fixture); events_mix_shift (Theil-Sen slope
+# of each type's DAILY SHARE in ppm — volume-deconfounded trend).
 
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

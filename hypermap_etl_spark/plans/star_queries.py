@@ -9163,6 +9163,69 @@ FROM cum GROUP BY 1 ORDER BY day
 
 
 
+
+def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift trend: the Theil-Sen slope of each event type's
+    DAILY SHARE (parts-per-million, so the series is integer and the
+    slope is volume-deconfounded) — a type whose raw count trends up
+    with overall traffic is boring; one whose SHARE trends is a
+    product change. Shares quantize to ppm with one rounded double
+    division (engine-identical); the robust slope machinery then runs
+    on the calendar-bounded integer series."""
+    from hypermap_etl_spark.operators.profile import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = daily.groupBy("day").agg(F.sum("c").cast("long").alias("t"))
+    shares = daily.join(F.broadcast(tot), "day").select(
+        "event_type",
+        "day",
+        F.round(
+            F.lit(1000000.0) * F.col("c").cast("double")
+            / F.col("t").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("ppm"),
+    )
+    return theil_sen_trend(
+        shares, "day", ["event_type"], count_col="ppm"
+    ).orderBy("event_type")
+
+
+MIX_SHIFT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT day, CAST(SUM(c) AS BIGINT) AS t FROM daily GROUP BY 1),
+shares AS (
+  SELECT d.event_type, d.day,
+    CAST(ROUND(1000000.0 * CAST(d.c AS DOUBLE) / CAST(t.t AS DOUBLE), 0)
+         AS BIGINT) AS ppm
+  FROM daily d JOIN tot t USING (day)
+),
+idx AS (
+  SELECT event_type, ppm AS c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM shares
+),
+slopes AS (
+  SELECT a.event_type AS event_type,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+)
+SELECT event_type, ROUND(MEDIAN(s), 6) AS ts_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM slopes GROUP BY 1 ORDER BY 1
+"""
+
+
+
 STAR_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_VOLUME_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
@@ -9338,4 +9401,5 @@ STAR_QUERIES: dict[str, tuple] = {
     "events_topk_stability": (events_topk_stability, TOPK_STABILITY_ORACLE),
     "events_growth_accounting": (events_growth_accounting, GROWTH_ACCOUNTING_ORACLE),
     "events_daily_quantiles": (events_daily_quantiles, DAILY_QUANTILES_ORACLE),
+    "events_mix_shift": (events_mix_shift, MIX_SHIFT_ORACLE),
 }

@@ -120,6 +120,7 @@ _TZ_SENSITIVE = [
     "events_topk_stability",
     "events_growth_accounting",
     "events_daily_quantiles",
+    "events_mix_shift",
     "hm_last_event",
     # r4: OLS trend anchors x at a fixed UTC epoch via unix_micros — a
     # session-zone leak would shift every intercept by the zone offset

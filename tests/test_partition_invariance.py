@@ -192,6 +192,7 @@ _FLOAT_GATES = [
     ("doc_queries", "doc_quality_length_rho"),
     ("doc_queries", "emb_class_separability"),
     ("doc_queries", "doc_pii_by_source"),
+    ("star_queries", "events_mix_shift"),
 ]
 
 
