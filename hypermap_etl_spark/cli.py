@@ -417,6 +417,10 @@ def cmd_eval(args) -> None:
     if args.lift_bands:
         from hypermap_etl_spark.operators.quality_model import lift_table
 
+        if args.lift_bands < 2:
+            raise SystemExit(
+                f"--lift-bands must be >= 2, got {args.lift_bands}"
+            )
         if args.id_col not in scored.columns:
             raise SystemExit(f"column not in table: {args.id_col}")
         lift_rows = [

@@ -701,7 +701,11 @@ def link_prediction_aa(
     trap. ``max_degree`` excludes super-hub pivots (their 1/ln(d)
     contribution is the smallest anyway), the same cap discipline as
     the shingle-index dedup family; excluded-pivot mass is simply
-    absent from scores, documented behavior.
+    absent from scores, documented behavior. The same truncation
+    applies to ``n_common``: it counts only wedges through SCORED
+    pivots (degree in [2, max_degree]), so it under-reports the true
+    common-neighbor count whenever a hub pivot is capped — it is the
+    support of ``aa_score``, not an exact common-neighbor census.
 
     Determinism: each 1/ln(deg) term is rounded to 12 dp and
     quantized to decimal before the per-pair sum (libm ln wobble is

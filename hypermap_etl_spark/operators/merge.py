@@ -241,22 +241,44 @@ def _merge_unlocked(
         writer.parquet(path)
         return {"upsertedCount": new_df.count(), "modifiedCount": 0}
 
+    from pyspark.sql import Observation
+
     existing = spark.read.parquet(path)
     if partition_col:
-        touched = [r[0] for r in new_df.select(partition_col).distinct().collect()]
+        # the ONE pre-write action: touched partition values (needed to
+        # BUILD the pruned plan) and the batch row count ride the same
+        # tiny aggregate — r7 review: the steady-state batch paid ~4
+        # separate fixed actions here (touched collect, semi-join
+        # count, batch count, write); it now pays 2 (this collect +
+        # the write, with the matched/upserted counts observed on the
+        # write itself)
+        per_part = (
+            new_df.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        touched = [r[0] for r in per_part]
+        batch_total = sum(r["__c"] for r in per_part)
         existing = existing.filter(F.col(partition_col).isin(touched))
+        obs_new = None
+    else:
+        # no partition pruning to drive — the batch count is observed
+        # on the write like everything else (zero pre-write actions)
+        obs_new = Observation()
+        new_df = new_df.observe(obs_new, F.count(F.lit(1)).alias("n"))
+        batch_total = None
 
     key = [F.col(f"n.{k}") == F.col(f"e.{k}") for k in key_cols]
 
-    # counts from one aggregated anti/semi pass (cheap: key columns only)
-    new_keys = new_df.select(*key_cols).alias("n")
-    exist_keys = existing.select(*key_cols).alias("e")
-    matched = new_keys.join(exist_keys, key, "left_semi").count()
-    upserted = new_df.count() - matched
-
+    # matched/upserted are derived from row counts OBSERVED during the
+    # single merge write (matched = existing-in-touched − survivors;
+    # upserted = batch − matched) — no separate semi-join count action
+    obs_exist = Observation()
+    existing = existing.observe(obs_exist, F.count(F.lit(1)).alias("n"))
+    obs_surv = Observation()
     survivors = existing.alias("e").join(
         new_df.select(*key_cols).alias("n"), key, "left_anti"
-    )
+    ).observe(obs_surv, F.count(F.lit(1)).alias("n"))
     merged = survivors.unionByName(new_df)
 
     if partition_col:
@@ -268,15 +290,20 @@ def _merge_unlocked(
             .partitionBy(partition_col)
             .parquet(path)
         )
-        return {"upsertedCount": upserted, "modifiedCount": matched}
-
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    return {"upsertedCount": upserted, "modifiedCount": matched}
+    else:
+        staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    if batch_total is None:
+        batch_total = obs_new.get["n"]
+    matched = obs_exist.get["n"] - obs_surv.get["n"]
+    return {
+        "upsertedCount": int(batch_total - matched),
+        "modifiedCount": int(matched),
+    }
 
 
 def append_if_absent(

@@ -2,11 +2,16 @@
 metadata (north-star extension).
 
 The Spark-side plumbing is real and tested — schema (schemas.MEDIA_SCHEMA),
-Arrow-batched mapInPandas pipelines, partition sizing — while the actual
-codec work is stubbed: this container has no image/audio libraries, so
-decode is either a clearly-marked NotImplementedError (strict mode) or a
-deterministic fake (md5-derived pixels/samples) that keeps batch shapes,
-dtypes and row alignment honest.
+Arrow-batched mapInPandas pipelines, partition sizing. Container-header
+parsing is REAL: ``parse_image_header`` reads PNG (IHDR), JPEG (SOFn
+marker walk), and GIF (logical screen descriptor) dimensions straight
+from payload bytes with the stdlib only — published file-format layout,
+no codec dependency — and ``decode_media`` prefers those byte-derived
+dims over caller metadata (which lies in real lakes). Only PIXEL work
+remains stubbed: this container has no image/audio libraries, so
+feature extraction is either a clearly-marked NotImplementedError
+(strict mode) or a deterministic fake (md5-derived) that keeps batch
+shapes, dtypes and row alignment honest.
 
 Scale notes: binary payloads ride in their own column so column pruning
 drops them unless a stage truly needs bytes; mapInPandas streams Arrow
@@ -24,8 +29,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODE_OUTPUT_SCHEMA = (
-    "media_id long, kind string, width int, height int, n_bytes long, feat array<float>"
+    "media_id long, kind string, fmt string, width int, height int, "
+    "n_bytes long, feat array<float>"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (baseline,
+# extended-sequential, progressive, lossless, differential variants);
+# 0xC4/0xC8/0xCC are DHT/JPG/DAC — tables, not frames
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes | None) -> dict | None:
+    """Dimensions (and format) from raw container bytes — stdlib only.
+
+    PNG: 8-byte signature, then the IHDR chunk must come first
+    (length+type at offset 8, width/height big-endian uint32 at 16/20).
+    JPEG: SOI then a marker walk (skipping APPn/COM/quant tables etc.
+    by their big-endian segment lengths) to the first SOFn frame
+    header: height/width big-endian uint16 at +5/+7 inside it.
+    GIF: 'GIF87a'/'GIF89a', then the logical-screen width/height as
+    little-endian uint16 at 6/8.
+
+    Returns {fmt, width, height} or None when the payload is not a
+    recognizable image container (truncated counts as unrecognizable —
+    never raises). All layout facts are from the public format specs
+    (PNG RFC 2083 §3; JPEG ITU-T.81 §B.2.2; GIF89a spec §18)."""
+    if not payload or len(payload) < 10:
+        return None
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG):
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return {"fmt": "png", "width": w, "height": h}
+    if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return {"fmt": "gif", "width": w, "height": h}
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        n = len(b)
+        while i + 3 < n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return {"fmt": "jpeg", "width": w, "height": h}
+            i += 2 + seg_len
+        return None
+    return None
 
 FRAME_OUTPUT_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
 
@@ -42,27 +111,48 @@ def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]
 
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """'Decode' each payload: dims from metadata, features from bytes.
+    """Decode each payload: container header → (fmt, width, height)
+    parsed from the BYTES (parse_image_header — real, stdlib-only);
+    metadata dims are only the fallback for unrecognized payloads,
+    because caller-supplied metadata lies in real lakes. ``n_bytes``
+    is the payload length; ``feat`` is the feature-extractor slot.
 
-    strict=True raises NotImplementedError inside the UDF — the honest
-    posture when a real codec is required; strict=False produces the
-    deterministic fake so pipelines downstream can be built and tested.
-    """
+    strict=True raises NotImplementedError inside the UDF for any
+    payload the header parser cannot read — the honest posture when a
+    real codec is required; strict=False falls back to metadata dims
+    and md5 fake features so pipelines downstream can be built and
+    tested. Pixel decode (the features) is ALWAYS the documented fake;
+    only the container header work is real."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libraries not "
-                    "present in this environment; use strict=False for the "
-                    "deterministic fake"
-                )
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            fmts: list[str | None] = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                hdr = parse_image_header(p)
+                if hdr is not None:
+                    fmts.append(hdr["fmt"])
+                    widths.append(hdr["width"])
+                    heights.append(hdr["height"])
+                elif strict:
+                    raise NotImplementedError(
+                        "payload is not a PNG/JPEG/GIF container and real "
+                        "image/audio codec libraries are not present in "
+                        "this environment; use strict=False for the "
+                        "metadata fallback + deterministic fake features"
+                    )
+                else:
+                    fmts.append(None)
+                    widths.append(m["width"] if m is not None else None)
+                    heights.append(m["height"] if m is not None else None)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "width": [m["width"] if m is not None else None for m in pdf["meta"]],
-                    "height": [m["height"] if m is not None else None for m in pdf["meta"]],
+                    "fmt": fmts,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "feat": [_fake_features(p) for p in pdf["payload"]],
                 }

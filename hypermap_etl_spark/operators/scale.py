@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from hypermap_etl_spark.util import tracked_persist
+from hypermap_etl_spark.util import shuffle_partitions, tracked_persist
 
 
 def key_skew_report(
@@ -115,7 +115,7 @@ def _global_rank_with_total(
     persist holds the projected frame.
     """
     spark = df.sparkSession
-    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = partitions or shuffle_partitions(spark)
     ranged = tracked_persist(
         df.repartitionByRange(p, *order_by).withColumn(
             "__pid", F.spark_partition_id()
@@ -401,7 +401,7 @@ def grouped_weighted_quantile(
         .agg(F.sum("__w").alias("__w"), F.count(F.lit(1)).cast("long").alias("__n"))
     )
     spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = shuffle_partitions(spark)
     ranged = tracked_persist(
         per_value.repartitionByRange(
             p, *[F.col(c) for c in group_cols], F.col("__v")
@@ -489,7 +489,7 @@ def heavy_coverage(
         .agg(F.count(F.lit(1)).cast("long").alias("__x"))
     )
     order = [F.col("__x").desc(), *[F.col(c).asc() for c in key_cols]]
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = shuffle_partitions(spark)
     ranged = tracked_persist(
         per.repartitionByRange(p, *order).withColumn(
             "__pid", F.spark_partition_id()
@@ -582,7 +582,7 @@ def grouped_quantile_table(
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
     spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = shuffle_partitions(spark)
     ranged = tracked_persist(
         per_value.repartitionByRange(
             p, *[F.col(c) for c in group_cols], F.col("__v")

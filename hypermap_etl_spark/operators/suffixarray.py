@@ -57,6 +57,7 @@ from pyspark.sql.window import Window
 
 from hypermap_etl_spark.util import (
     release_local_checkpoint,
+    shuffle_partitions,
     tracked_local_checkpoint,
 )
 
@@ -210,7 +211,7 @@ def suffix_array(
             [], f"{id_col} {dict(docs.dtypes)[id_col]}, pos long, sa_rank long"
         )
     if n_parts is None:
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cap = shuffle_partitions(spark)
         n_parts = max(1, min(cap, int(n_total) // 65536 + 1))
 
     # seed: group-start ranks of the first seed_chars characters as a

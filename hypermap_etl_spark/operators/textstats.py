@@ -1195,7 +1195,10 @@ def source_hellinger(
     Same vocabulary discipline as the JSD: the deterministic
     (n DESC, word) top-V cut, renormalized inside it. Unlike the JSD,
     words a source LACKS contribute zero to the Bhattacharyya sum, so
-    no sources×V grid is needed — only the source's vocab hits.
+    no sources×V grid is needed — only the source's vocab hits. A
+    source with ZERO vocab hits still gets a row (n_vocab_hit=0,
+    bhattacharyya=0, hellinger=1): maximal divergence must alarm in
+    the drift report, not vanish from it.
 
     Determinism: each √(p·q) term is rounded to 12 dp and QUANTIZED to
     decimal before the cross-word reduction (the quantize-then-
@@ -1238,10 +1241,16 @@ def source_hellinger(
         F.count(F.lit(1)).cast("long").alias("n_vocab_hit"),
         F.sum(termq).cast("decimal(38,12)").alias("__bc"),
     )
-    bc = agg["__bc"].cast("double")
-    return agg.select(
+    # Zero-hit sources fall out of the vocab inner join; restore them
+    # so maximal divergence reads hellinger=1 instead of disappearing.
+    all_sources = sw.select("source").distinct()
+    full = all_sources.join(agg, "source", "left")
+    bc = F.coalesce(F.col("__bc").cast("double"), F.lit(0.0))
+    return full.select(
         "source",
-        "n_vocab_hit",
+        F.coalesce(F.col("n_vocab_hit"), F.lit(0).cast("long")).alias(
+            "n_vocab_hit"
+        ),
         F.round(bc, 6).alias("bhattacharyya"),
         F.round(
             F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6

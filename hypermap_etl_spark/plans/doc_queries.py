@@ -4945,42 +4945,81 @@ FROM c CROSS JOIN tot ORDER BY n DESC, word
 
 
 def doc_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver certification of the multimodal Arrow plumbing
-    (multimodal.decode_media): documents become a derived media frame
-    (payload = UTF-8 bytes of text, metadata from doc_id) and the
-    mapInPandas decode runs the documented md5 fake-feature stub —
-    whose bytes DuckDB can reproduce over the same derived BLOB. The
-    gate pins row alignment, metadata extraction, byte counting, and
-    the first four feature components (float32-rounded, then double,
-    then 6 dp) — so the one non-SQL-engine family (Arrow batch UDFs)
-    gets an exact oracle for everything except the codec itself,
-    which stays an honest stub."""
+    """Driver certification of the multimodal decode path
+    (multimodal.decode_media) with REAL container-header parsing:
+    documents become a derived media frame whose payload carries a
+    genuine PNG IHDR / JPEG SOF0 / GIF screen-descriptor header
+    (doc_id % 4 picks the format; dims are baked into the BYTES from
+    the doc_id formula) followed by the UTF-8 text as body — all
+    reproducible in DuckDB via unhex(...) || encode(text). Metadata
+    dims on the parseable rows are deliberately WRONG (9999), so the
+    gate only matches if decode_media truly parses the header bytes;
+    the fourth branch is a headerless payload exercising the metadata
+    fallback, and — being pure UTF-8 — the only branch where DuckDB's
+    VARCHAR md5 can also pin the fake-feature components (masked to
+    NULL elsewhere). Pins: row alignment, format sniffing, big/little
+    endian dim extraction, byte counting, fallback, and the feature
+    stub where oracle-expressible."""
     from hypermap_etl_spark.operators.multimodal import decode_media
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    branch = F.col("doc_id") % 4
+    hex_w8 = F.lpad(F.lower(F.hex(w.cast("long"))), 8, "0")
+    hex_h8 = F.lpad(F.lower(F.hex(h.cast("long"))), 8, "0")
+    hex_w4 = F.lpad(F.lower(F.hex(w.cast("long"))), 4, "0")
+    hex_h4 = F.lpad(F.lower(F.hex(h.cast("long"))), 4, "0")
+    # PNG: sig + IHDR(len 13): w,h BE32 + depth 8, color 6, comp/filt/
+    # interlace 0 + zero CRC (parser does not validate CRC)
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a" "0000000d" "49484452"),
+        hex_w8, hex_h8, F.lit("0806000000" "00000000"),
+    )
+    # JPEG: SOI + bare SOF0 (len 17): precision 8, h,w BE16, 3 comps
+    jpeg_hex = F.concat(
+        F.lit("ffd8" "ffc0" "0011" "08"), hex_h4, hex_w4,
+        F.lit("03" "012200" "021101" "031101"),
+    )
+    # GIF89a: sig + w,h LITTLE-endian 16
+    gif_hex = F.concat(
+        F.lit("474946383961"),
+        F.substring(hex_w4, 3, 2), F.substring(hex_w4, 1, 2),
+        F.substring(hex_h4, 3, 2), F.substring(hex_h4, 1, 2),
+    )
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(branch == 0, F.concat(F.unhex(png_hex), body))
+        .when(branch == 1, F.concat(F.unhex(jpeg_hex), body))
+        .when(branch == 2, F.concat(F.unhex(gif_hex), body))
+        .otherwise(body)
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         F.lit("image/fake").alias("mime"),
         F.struct(
-            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
-            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+            F.when(branch == 3, w).otherwise(F.lit(9999)).alias("width"),
+            F.when(branch == 3, h).otherwise(F.lit(9999)).alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
     dec = decode_media(media, strict=False)
+    is_text = F.col("media_id") % 4 == 3
     return dec.select(
         "media_id",
         "kind",
+        "fmt",
         "width",
         "height",
         "n_bytes",
         *[
-            F.round(F.element_at("feat", i + 1).cast("double"), 6).alias(
-                f"feat_{i}"
-            )
+            F.when(
+                is_text,
+                F.round(F.element_at("feat", i + 1).cast("double"), 6),
+            ).alias(f"feat_{i}")
             for i in range(4)
         ],
     ).orderBy("media_id")
@@ -4988,30 +5027,37 @@ def doc_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_decode_oracle() -> str:
     feat_cols = ",\n       ".join(
+        "CASE WHEN media_id % 4 = 3 THEN "
         "ROUND(CAST(CAST(CAST(CAST('0x' || substr(h, {a}, 2) AS BIGINT)"
-        " AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS feat_{i}".format(
+        " AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) END AS feat_{i}".format(
             a=2 * i + 1, i=i
         )
         for i in range(4)
     )
     return f"""
 WITH m AS (
-  -- DuckDB's md5() is VARCHAR-only but hashes the UTF-8 bytes, which
-  -- are exactly the derived payload; octet_length(encode()) is the
-  -- byte count of the same payload.
+  -- The derived payload is header-bytes || UTF-8 text; dims are baked
+  -- into the header from the doc_id formula, so the oracle knows them
+  -- by construction. Header byte counts: PNG 33, bare-SOF0 JPEG 21,
+  -- GIF 10, headerless 0. DuckDB's md5() is VARCHAR-only (it hashes
+  -- the UTF-8 bytes), so the feature stub is pinned on the headerless
+  -- branch where payload == encode(text), NULL elsewhere.
   SELECT doc_id AS media_id, 'image' AS kind, text,
-         encode(text) AS payload,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              WHEN 2 THEN 'gif' END AS fmt,
          CAST(doc_id % 640 + 1 AS INT) AS width,
-         CAST(doc_id % 480 + 1 AS INT) AS height
+         CAST(doc_id % 480 + 1 AS INT) AS height,
+         CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 21
+              WHEN 2 THEN 10 ELSE 0 END AS hdr_bytes
   FROM documents
 ),
 d AS (
-  SELECT media_id, kind, width, height,
-         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  SELECT media_id, kind, fmt, width, height,
+         CAST(hdr_bytes + octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS h
   FROM m
 )
-SELECT media_id, kind, width, height, n_bytes,
+SELECT media_id, kind, fmt, width, height, n_bytes,
        {feat_cols}
 FROM d ORDER BY media_id
 """
@@ -5206,12 +5252,15 @@ agg AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab_hit,
          CAST(SUM(tq) AS DECIMAL(38,12)) AS bc
   FROM terms GROUP BY 1
-)
-SELECT source, n_vocab_hit,
-  ROUND(CAST(bc AS DOUBLE), 6) AS bhattacharyya,
-  ROUND(sqrt(GREATEST(1.0 - CAST(bc AS DOUBLE), CAST(0 AS DOUBLE))), 6)
+),
+srcs AS (SELECT DISTINCT source FROM sw)
+SELECT s.source,
+  COALESCE(a.n_vocab_hit, CAST(0 AS BIGINT)) AS n_vocab_hit,
+  ROUND(COALESCE(CAST(a.bc AS DOUBLE), 0.0), 6) AS bhattacharyya,
+  ROUND(sqrt(GREATEST(1.0 - COALESCE(CAST(a.bc AS DOUBLE), 0.0),
+                      CAST(0 AS DOUBLE))), 6)
     AS hellinger
-FROM agg ORDER BY source
+FROM srcs s LEFT JOIN agg a USING (source) ORDER BY s.source
 """
 
 

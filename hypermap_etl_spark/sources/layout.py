@@ -31,6 +31,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hypermap_etl_spark.util import shuffle_partitions
+
 
 def write_clustered(
     df: DataFrame,
@@ -47,7 +49,7 @@ def write_clustered(
     sorted within each file. Multi-column clustering nests lexically:
     lead with the highest-selectivity filter column.
     """
-    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = n_files or shuffle_partitions(df.sparkSession)
     (
         df.repartitionByRange(n, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
@@ -257,7 +259,7 @@ def write_zordered(
     filter on more than one column; for a single dominant filter
     column plain sort clustering gives tighter ranges."""
     key, _ = zorder_key(df, cols)
-    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = n_files or shuffle_partitions(df.sparkSession)
     zc = "__z"
     while zc in df.columns:  # never shadow (and then drop) a user column
         zc += "_"

@@ -121,32 +121,16 @@ def ab_store_compact(
     """Fold all per-batch partitions into batch_id=-1 under the same
     additive reduction — answer-equivalent, file count bounded; the
     ``_folded_through`` watermark keeps a crash-replayed batch from
-    re-creating a folded partition. Same staged-swap crash discipline
-    as drift_store_compact."""
-    import shutil
+    re-creating a folded partition. Staged-swap + crash recovery via
+    the shared :func:`hypermap_etl_spark.streaming.store.compact_store`."""
+    from hypermap_etl_spark.streaming.store import compact_store
 
-    parts = [d for d in os.listdir(store_path) if d.startswith("batch_id=")]
-    if len(parts) <= 1:
-        return 0
-    max_real = max((int(d.split("=", 1)[1]) for d in parts), default=-1)
-    merged = (
-        spark.read.parquet(*[os.path.join(store_path, d) for d in parts])
-        .groupBy(*group_cols, "__arm")
-        .agg(
+    return compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy(*group_cols, "__arm").agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("s").cast("decimal(38,2)").alias("s"),
             F.sum("ss").cast("decimal(38,4)").alias("ss"),
-        )
+        ),
     )
-    tmp = os.path.join(store_path, ".compact.tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    trash = os.path.join(store_path, ".compact.trash")
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
-    for d in parts:
-        os.rename(os.path.join(store_path, d), os.path.join(trash, d))
-    os.rename(tmp, os.path.join(store_path, "batch_id=-1"))
-    with open(os.path.join(store_path, "_folded_through"), "w") as fh:
-        fh.write(str(max_real))
-    shutil.rmtree(trash)
-    return len(parts)

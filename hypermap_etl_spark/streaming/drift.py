@@ -146,16 +146,7 @@ def ewma_verdict(
     )
 
 
-def _folded_through(store_path: str) -> int:
-    """Highest REAL batch id folded into batch_id=-1 by a compaction
-    (-1 when none): the replay watermark the sink checks so a batch
-    replayed after compaction is not double-counted."""
-    marker = os.path.join(store_path, "_folded_through")
-    try:
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+from hypermap_etl_spark.streaming.store import folded_through as _folded_through
 
 
 def drift_store_compact(spark: SparkSession, store_path: str,
@@ -165,36 +156,15 @@ def drift_store_compact(spark: SparkSession, store_path: str,
     Only the partitions read are replaced, so a batch appended
     concurrently is never double-counted; the ``_folded_through``
     watermark keeps a CRASH-REPLAYED batch from re-creating a folded
-    partition.
+    partition. Staged-swap + crash recovery via
+    :func:`hypermap_etl_spark.streaming.store.compact_store` (shared
+    with the top-k, A/B-moment, and quantile-histogram stores)."""
+    from hypermap_etl_spark.streaming.store import compact_store
 
-    Crash safety: merged output is staged, old partitions are MOVED
-    (cheap dir renames) into ``.compact.trash`` — invisible to Spark
-    reads (dot-prefixed) but never deleted until the staged swap
-    lands, so no crash window silently loses counts. Recovery from a
-    mid-compact crash: rename ``.compact.tmp`` to ``batch_id=-1`` (or
-    move the trash contents back)."""
-    import shutil
-
-    parts = [d for d in os.listdir(store_path) if d.startswith("batch_id=")]
-    if len(parts) <= 1:
-        return 0
-    max_real = max(
-        (int(d.split("=", 1)[1]) for d in parts), default=-1
+    return compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy(*group_cols, day_col).agg(
+            F.sum("c").cast("long").alias("c")
+        ),
     )
-    merged = (
-        spark.read.parquet(*[os.path.join(store_path, d) for d in parts])
-        .groupBy(*group_cols, day_col)
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
-    tmp = os.path.join(store_path, ".compact.tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    trash = os.path.join(store_path, ".compact.trash")
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
-    for d in parts:
-        os.rename(os.path.join(store_path, d), os.path.join(trash, d))
-    os.rename(tmp, os.path.join(store_path, "batch_id=-1"))
-    with open(os.path.join(store_path, "_folded_through"), "w") as fh:
-        fh.write(str(max_real))
-    shutil.rmtree(trash)
-    return len(parts)

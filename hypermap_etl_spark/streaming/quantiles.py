@@ -76,6 +76,24 @@ def quantile_store_read(
     )
 
 
+def quantile_store_compact(
+    spark: SparkSession, store_path: str, group_cols: list[str]
+) -> int:
+    """Fold all per-batch histogram partitions into batch_id=-1 under
+    the same additive (group, v) SUM — answer-equivalent, file count
+    bounded by the decimal grid. Staged-swap + crash recovery via the
+    shared :func:`hypermap_etl_spark.streaming.store.compact_store`."""
+    from hypermap_etl_spark.streaming.store import compact_store
+
+    return compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy(*group_cols, "v").agg(
+            F.sum("c").cast("long").alias("c")
+        ),
+    )
+
+
 def quantile_verdict(
     spark: SparkSession,
     store_path: str,

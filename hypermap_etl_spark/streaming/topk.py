@@ -67,15 +67,7 @@ def start_topk_stream(
     return writer.start()
 
 
-def _folded_through(store_path: str) -> int:
-    """Highest REAL batch id folded into batch_id=-1 (-1 when none) —
-    the replay watermark the sink checks after a compaction."""
-    marker = os.path.join(store_path, "_folded_through")
-    try:
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+from hypermap_etl_spark.streaming.store import folded_through as _folded_through
 
 
 def topk_store_read(spark: SparkSession, store_path: str, k: int) -> DataFrame:
@@ -93,35 +85,14 @@ def topk_store_compact(spark: SparkSession, store_path: str, k: int) -> int:
     (batch_id=-1, merged under the same reduction so the guarantee is
     unchanged). Returns the number of partitions folded. Safe against
     concurrent appends of NEW batches: only the partitions read are
-    replaced."""
-    import shutil
+    replaced. Staged-swap + crash recovery via the shared
+    :func:`hypermap_etl_spark.streaming.store.compact_store`."""
+    from hypermap_etl_spark.streaming.store import compact_store
 
-    parts = [d for d in os.listdir(store_path) if d.startswith("batch_id=")]
-    if len(parts) <= 1:
-        return 0
-    # fold EXACTLY the partitions that will be deleted — reading the
-    # store root would also pick up a batch the stream appends between
-    # this listing and the scan, folding it in but leaving its
-    # directory alive: double-counted forever after
-    counters = spark.read.parquet(
-        *[os.path.join(store_path, d) for d in parts]
-    ).select("item", F.col("est_count").alias("cnt"))
-    merged = mg_merge_summaries(counters, k)
-    max_real = max((int(d.split("=", 1)[1]) for d in parts), default=-1)
-    # stage → move-to-trash → swap: old partitions are RENAMED into a
-    # dot-dir (invisible to Spark reads, recoverable after any crash)
-    # and deleted only once the fold has landed; the _folded_through
-    # watermark keeps a crash-replayed batch from re-creating a folded
-    # partition
-    tmp = os.path.join(store_path, ".compact.tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    trash = os.path.join(store_path, ".compact.trash")
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
-    for d in parts:
-        os.rename(os.path.join(store_path, d), os.path.join(trash, d))
-    os.rename(tmp, os.path.join(store_path, "batch_id=-1"))
-    with open(os.path.join(store_path, "_folded_through"), "w") as fh:
-        fh.write(str(max_real))
-    shutil.rmtree(trash)
-    return len(parts)
+    return compact_store(
+        spark,
+        store_path,
+        lambda df: mg_merge_summaries(
+            df.select("item", F.col("est_count").alias("cnt")), k
+        ),
+    )

@@ -7,6 +7,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def shuffle_partitions(spark, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``default`` when the conf is unset or non-numeric ("auto" on
+    AQE-tuned clusters) — a bare int() there raises ValueError and
+    takes the whole query down over a tuning knob."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return default
+
+
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition a narrow input before CPU-heavy per-row work.
 

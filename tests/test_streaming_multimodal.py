@@ -242,3 +242,67 @@ def test_windowed_distinct_users_sketch_state(spark, tmp_path):
     }
     # HLL++ rsd default 5%: exact at these cardinalities
     assert res[0] == (10, 20) and res[10] == (5, 5)
+
+
+def test_parse_image_header_formats():
+    """Real stdlib header parsing: PNG IHDR (BE32), JPEG SOFn behind an
+    APP0/DQT marker walk (BE16, height-first), GIF screen descriptor
+    (LE16); garbage/truncated/None → None, never an exception."""
+    import struct
+
+    from hypermap_etl_spark.operators.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4
+    )
+    assert parse_image_header(png) == {"fmt": "png", "width": 640, "height": 480}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"trailer"
+    assert parse_image_header(gif) == {"fmt": "gif", "width": 320, "height": 200}
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpg = b"\xff\xd8" + app0 + dqt + sof0 + b"scan-data"
+    assert parse_image_header(jpg) == {"fmt": "jpeg", "width": 1920, "height": 1080}
+    # progressive (SOF2) behind the same walk
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 7, 9) + b"\x03" + bytes(9)
+    )
+    assert parse_image_header(b"\xff\xd8" + app0 + sof2) == {
+        "fmt": "jpeg", "width": 9, "height": 7,
+    }
+    # DHT (0xC4) is a table, not a frame — must be skipped, not parsed
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + bytes(3)
+    assert parse_image_header(b"\xff\xd8" + dht + sof0) == {
+        "fmt": "jpeg", "width": 1920, "height": 1080,
+    }
+    assert parse_image_header(b"hello world bytes") is None
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nxx") is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+
+
+def test_decode_media_parses_header_over_lying_metadata(spark):
+    """decode_media must take dims from the BYTES when the payload is a
+    real container, even when metadata disagrees — and fall back to
+    metadata only for unrecognized payloads."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 123, 45) + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4
+    ) + b"body"
+    rows = [
+        (1, "image", bytearray(png), "image/png", (9999, 9999, None, None)),
+        (2, "image", bytearray(b"not an image"), "application/octet-stream",
+         (77, 88, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r.asDict() for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "png" and out[1]["width"] == 123 and out[1]["height"] == 45
+    assert out[2]["fmt"] is None and out[2]["width"] == 77 and out[2]["height"] == 88
