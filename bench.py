@@ -26,6 +26,7 @@ from hypermap_etl_spark.session import get_spark
 
 
 _BUILT_STORES: set = set()
+_BUILT_VALS: dict = {}
 
 
 def main() -> None:
@@ -103,12 +104,12 @@ def main() -> None:
         documents.count()
         return chunks
 
-    def hm_incremental_bench(spark, sf_dir):
-        """The reference's core loop at bench scale: a 5%-of-blocks
-        batch upserts into a standing 64-bucket entries table —
-        recompute only touched keys, rewrite only touched buckets.
-        The base table builds once on the first call (a real lake
-        amortizes it); best-of-2 reports the steady-state upsert."""
+    def _hm_incremental_bench(spark, sf_dir, pct, tag):
+        """The reference's core loop at bench scale: the top (1-pct) of
+        blocks upserts as a batch into a standing 64-bucket entries
+        table — recompute only touched keys, rewrite only touched
+        buckets. The base table builds once on the first call (a real
+        lake amortizes it); best-of-N reports the steady-state upsert."""
         import shutil
         import tempfile
 
@@ -124,13 +125,13 @@ def main() -> None:
         buckets = 64
         hm = hm_events_df(spark, sf_dir).cache()
         cut = hm.agg(
-            F.expr("percentile_approx(blockNumber, 0.95)").alias("c")
+            F.expr(f"percentile_approx(blockNumber, {pct})").alias("c")
         ).collect()[0]["c"]
         sf_tag = os.path.basename(sf_dir.rstrip("/"))
         entries_path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_bench_entries_{sf_tag}"
+            tempfile.gettempdir(), f"spark_graft_bench_entries_{sf_tag}_{tag}"
         )
-        if f"bench_hm_entries_{sf_tag}" not in _BUILT_STORES:
+        if f"bench_hm_entries_{sf_tag}_{tag}" not in _BUILT_STORES:
             shutil.rmtree(entries_path, ignore_errors=True)
             base = with_entry_bucket(
                 materialize_entries(hm.filter(F.col("blockNumber") <= cut)),
@@ -139,12 +140,164 @@ def main() -> None:
             base.write.mode("overwrite").partitionBy(
                 "entry_bucket"
             ).parquet(entries_path)
-            _BUILT_STORES.add(f"bench_hm_entries_{sf_tag}")
+            _BUILT_STORES.add(f"bench_hm_entries_{sf_tag}_{tag}")
         batch = hm.filter(F.col("blockNumber") > cut)
         counts = incremental_entries_update(
             spark, entries_path, hm, batch, entry_buckets=buckets
         )
         return spark.createDataFrame([counts])
+
+    def hm_incremental_bench(spark, sf_dir):
+        return _hm_incremental_bench(spark, sf_dir, 0.95, "p95")
+
+    # ---- the incremental-vs-refold CROSSOVER (VERDICT r7 task 2) ----
+    # The refold pays O(|log|) every run; incremental maintenance pays
+    # O(batch + touched stored rows) — but Spark's per-action floor
+    # (planning + stage scheduling) is seconds, so at sf0.1's 100k-event
+    # log a 2-action refold simply cannot lose to ANY multi-action
+    # incremental plan (measured: refold ~4.5 s, best incremental
+    # ~4.9 s; the restricted replay additionally scans 26-62% of the
+    # log because hot parent keys appear in every batch's write set).
+    # The crossover lives where history outgrows the floor, so the
+    # bench demonstrates the SLOPES honestly: the same 0.5% batch is
+    # applied against a 4x-history log — the refold's cost ~4x-es
+    # while the TRUE delta path (incremental_entries_delta: batch-only
+    # fold + associative merge with stored rows, NO history replay —
+    # its cost does not reference history length at all) stays flat.
+
+    def _hm_log4(spark, sf_dir):
+        """The 1x log plus three block-shifted copies BELOW it — same
+        keyspace, 4x-longer per-key histories (what a mature chain
+        looks like vs the fixture's young one). Shifts keep every
+        batch block above every history block, so the append-only
+        contract the delta merge requires still holds."""
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.plans.hm_derive import hm_events_df
+
+        if "hm_log4" in _BUILT_VALS:
+            return _BUILT_VALS["hm_log4"]
+        hm = hm_events_df(spark, sf_dir)
+        r = hm.agg(
+            F.min("blockNumber").alias("lo"), F.max("blockNumber").alias("hi")
+        ).collect()[0]
+        span = int(r["hi"] - r["lo"] + 1)
+        out = hm
+        for i in (1, 2, 3):
+            out = out.unionByName(
+                hm.withColumn(
+                    "blockNumber", F.col("blockNumber") - F.lit(i * span)
+                )
+            )
+        # cached: the refold comparator references the log from ~6
+        # aggregate branches — a nightly job reads a stored table, not
+        # a 6x re-derivation, so the fair comparator folds cached rows
+        out = out.cache()
+        out.count()
+        _BUILT_VALS["hm_log4"] = out
+        return out
+
+    def _hm4_setup(spark, sf_dir):
+        """One-time: the 4x-history base entries table (a real lake
+        amortizes this across every batch) + the cut the 0.5% batch
+        hangs off. Returns (entries_path, cut)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators.materialize import (
+            materialize_entries,
+            with_entry_bucket,
+        )
+        from hypermap_etl_spark.plans.hm_derive import hm_events_df
+
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_entries4_{sf_tag}"
+        )
+        if f"hm4_{sf_tag}" not in _BUILT_STORES:
+            hm = hm_events_df(spark, sf_dir)
+            cut = hm.agg(
+                F.expr("percentile_approx(blockNumber, 0.995)").alias("c")
+            ).collect()[0]["c"]
+            _BUILT_VALS["hm4_cut"] = cut
+            shutil.rmtree(path, ignore_errors=True)
+            base = with_entry_bucket(
+                materialize_entries(
+                    _hm_log4(spark, sf_dir).filter(F.col("blockNumber") <= cut)
+                ),
+                64,
+            )
+            base.repartition("entry_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("entry_bucket").parquet(path)
+            _BUILT_STORES.add(f"hm4_{sf_tag}")
+        return path, _BUILT_VALS["hm4_cut"]
+
+    def hm_incremental_small_bench(spark, sf_dir):
+        """0.5%-of-blocks batch upsert into the standing 4x-history
+        entries table via the DELTA path — must beat
+        hm_refold_write_4x, the nightly recompute it replaces."""
+        from pyspark.sql import functions as F
+
+        from hypermap_etl_spark.operators.materialize import (
+            incremental_entries_delta,
+        )
+        from hypermap_etl_spark.plans.hm_derive import hm_events_df
+
+        path, cut = _hm4_setup(spark, sf_dir)
+        batch = hm_events_df(spark, sf_dir).filter(F.col("blockNumber") > cut)
+        counts = incremental_entries_delta(
+            spark, path, batch, entry_buckets=64
+        )
+        return spark.createDataFrame([counts])
+
+    def hm_refold_write_4x(spark, sf_dir):
+        """The comparator: full M1-M9 refold over the 4x history plus
+        the full bucketed table write — what a nightly recompute pays
+        per run, however small the day's delta."""
+        import shutil
+        import tempfile
+
+        from hypermap_etl_spark.operators.materialize import (
+            materialize_entries,
+            with_entry_bucket,
+        )
+
+        out = os.path.join(tempfile.gettempdir(), "spark_graft_bench_refold4")
+        shutil.rmtree(out, ignore_errors=True)
+        full = with_entry_bucket(
+            materialize_entries(_hm_log4(spark, sf_dir)), 64
+        )
+        full.repartition("entry_bucket").write.mode("overwrite").partitionBy(
+            "entry_bucket"
+        ).parquet(out)
+        return spark.read.parquet(out)
+
+    def hm_refold_write(spark, sf_dir):
+        """The 1x-history refold+write — the floor the incremental
+        paths cannot beat at fixture scale (documented above); its gap
+        to hm_refold_write_4x is the O(|log|) slope the delta path
+        escapes."""
+        import shutil
+        import tempfile
+
+        from hypermap_etl_spark.operators.materialize import (
+            materialize_entries,
+            with_entry_bucket,
+        )
+        from hypermap_etl_spark.plans.hm_derive import hm_events_df
+
+        out = os.path.join(tempfile.gettempdir(), "spark_graft_bench_refold")
+        shutil.rmtree(out, ignore_errors=True)
+        full = with_entry_bucket(
+            materialize_entries(hm_events_df(spark, sf_dir)), 64
+        )
+        full.repartition("entry_bucket").write.mode("overwrite").partitionBy(
+            "entry_bucket"
+        ).parquet(out)
+        return spark.read.parquet(out)
 
     def ivf_build_bench(spark, sf_dir):
         """Full IVF index (re)build over 95% of the embeddings — the
@@ -246,9 +399,14 @@ def main() -> None:
         # incremental entries maintenance: a 5%-of-blocks batch lands
         # on a standing bucketed entries table; work is O(touched
         # entries' events), never a full refold. First call builds the
-        # 95% base table (a real lake amortizes it); best-of-2 reports
+        # base table (a real lake amortizes it); best-of-N reports
         # the steady-state batch upsert.
         "hm_incremental": hm_incremental_bench,
+        # r8 (VERDICT r7 task 2): the crossover demonstration — the
+        # 0.5% batch vs the nightly full refold+write it must beat
+        "hm_incremental_small": hm_incremental_small_bench,
+        "hm_refold_write_4x": hm_refold_write_4x,
+        "hm_refold_write": hm_refold_write,
         # r7 continuation: the iterative-loop graph family gets
         # wall-time numbers — multi-source BFS (fixpoint early exit)
         # and deterministic LPA (fixed 4 rounds), both the
@@ -276,21 +434,44 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     q1_pricing_summary(spark, sf_dir).count()
 
-    # two runs per query, report the faster (steady-state) one — JIT and
-    # AQE statistics settle on the first execution
+    # Entry ORDER is pinned: `bench` is an insertion-ordered dict and
+    # nothing may iterate it in any other order — the r7 round saw
+    # +26..58% swings on UNTOUCHED composites when new entries shifted
+    # their position in the session (GC/page-cache state differs by
+    # position), which drowns real regressions.
+    #
+    # Runs per entry: best-of-2 for the plan-cached single queries
+    # (run 1 settles JIT + AQE stats; run 2 is steady state), but the
+    # COLD composites rebuild their whole lineage each run and carry
+    # most of the suite's variance — best-of-3 so one GC pause or
+    # host-steal spike can't masquerade as a regression (VERDICT r7
+    # task 3; cdc_dedup moved +58% with zero code change under
+    # best-of-2). hm_incremental* runs 3 because run 1 includes the
+    # one-time base-table build the steady state amortizes away.
+    _RUNS_3 = {
+        "curate_pipeline",
+        "cdc_dedup",
+        "hybrid_rrf",
+        "ivf_build",
+        "hm_incremental",
+        "hm_incremental_small",
+        "hm_refold_write",
+        "incremental_dedup",
+    }
+
     from hypermap_etl_spark.util import release_persisted
 
     timings: dict[str, float] = {}
     for name, fn in bench.items():
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3 if name in _RUNS_3 else 2):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         # release operator-persisted frames between queries so one
         # query's cache never skews (or starves) the next; within a
-        # query the second run legitimately reuses the cache (warm run)
+        # query the later runs legitimately reuse the cache (warm run)
         release_persisted()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)

@@ -61,8 +61,20 @@ def _last_by_order(col, name):
     ].alias(name)
 
 
-def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFrame:
-    """Recompute the full entries table from the decoded event log."""
+def materialize_entries(
+    events: DataFrame,
+    root_hash: str = ROOT_HASH,
+    known_extra: DataFrame | None = None,
+) -> DataFrame:
+    """Recompute the full entries table from the decoded event log.
+
+    ``known_extra`` (namehash column) marks keys known to exist OUTSIDE
+    this event set — the delta-maintenance hook (incremental_entries_
+    delta): Fact/Note/Gene/Transfer writes targeting those keys are
+    kept instead of dropped as unknown, and each extra key that
+    receives such a write gets an output row with NULL identity fields
+    (the stored row supplies identity at merge time). With the default
+    ``None`` the behavior and plan are exactly the full-fold ones."""
     ev = events.select(
         "eventType", "blockNumber", "logIndex", "parenthash", "childhash",
         F.coalesce(F.col("label"), F.lit("")).alias("label"),
@@ -100,6 +112,25 @@ def materialize_entries(events: DataFrame, root_hash: str = ROOT_HASH) -> DataFr
         "namehash", "label", "parentHash", "creationBlock", "__touch_mint"
     ).unionByName(placeholders.withColumn("__touch_mint", F.col("creationBlock")))
     known = entries_base.select("namehash")
+    if known_extra is not None:
+        # keys that exist outside this event set: their writes are
+        # kept, and those receiving any write get a NULL-identity row
+        # for the merge to fill from storage
+        extra_only = (
+            known_extra.select("namehash")
+            .distinct()
+            .join(known, "namehash", "left_anti")
+        )
+        known = known.unionByName(extra_only).distinct()
+        entries_base = entries_base.unionByName(
+            extra_only.select(
+                "namehash",
+                F.lit(None).cast("string").alias("label"),
+                F.lit(None).cast("string").alias("parentHash"),
+                F.lit(None).cast("long").alias("creationBlock"),
+                F.lit(None).cast("long").alias("__touch_mint"),
+            )
+        )
 
     # M2: children = set of minted childhashes per parent (mongodb.ts:186-194
     # $addToSet); sorted for deterministic output
@@ -307,6 +338,197 @@ def incremental_entries_update(
     finally:
         release_local_checkpoint(updated)
         release_local_checkpoint(relevant)
+
+
+_PLACEHOLDER_LABEL = "[unknown]"
+
+
+def merge_entry_states(
+    stored: DataFrame, partial: DataFrame, root_hash: str = ROOT_HASH
+) -> DataFrame:
+    """Combine a STORED entries row set with a BATCH-ONLY partial fold
+    into exactly the rows a full refold over (stored history + batch)
+    would produce for those keys — the associative-merge half of true
+    incremental view maintenance.
+
+    Correct because every M1-M8 aggregate is a semigroup fold over the
+    per-key event sequence and the log is APPEND-ONLY in block order
+    (every batch block > every stored block for the same key — the
+    chain-scan contract; out-of-order backfills must use the
+    restricted-replay path instead):
+
+      identity (M1)    stored first-Mint wins; a stored PLACEHOLDER
+                       (label '[unknown]', parent ROOT — the marker
+                       mongodb.ts:151-163 also reserves) upgrades to a
+                       batch Mint identity, matching the full fold's
+                       minted-beats-placeholder resolution
+      children (M2)    set union
+      facts/notes      per-label: batch value wins unless the batch's
+      (M4/M5)          last write for that label was NULL data (the
+                       NULL-skipping arg_max keeps the stored value)
+      gene/owner       batch wins when non-null (same NULL-skip)
+      (M6/M7)
+      lastUpdateBlock  max of the two
+      (M8)
+    """
+    s = stored.select(
+        "namehash",
+        *[
+            F.col(c).alias(f"__s_{c}")
+            for c in stored.columns
+            if c != "namehash"
+        ],
+    )
+    b = partial.select(
+        "namehash",
+        *[
+            F.col(c).alias(f"__b_{c}")
+            for c in partial.columns
+            if c != "namehash"
+        ],
+    )
+    j = s.join(b, "namehash", "full_outer")
+
+    has_s = F.col("__s_creationBlock").isNotNull()
+    has_b = F.col("__b_creationBlock").isNotNull()
+    placeholder_s = (F.col("__s_label") == _PLACEHOLDER_LABEL) & (
+        F.col("__s_parentHash") == root_hash
+    )
+    placeholder_b = (F.col("__b_label") == _PLACEHOLDER_LABEL) & (
+        F.col("__b_parentHash") == root_hash
+    )
+    use_b = (~has_s) | (placeholder_s & has_b & ~placeholder_b)
+
+    def ident(name):
+        return F.when(use_b, F.col(f"__b_{name}")).otherwise(
+            F.col(f"__s_{name}")
+        )
+
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<label:string,data:string>>")
+    )
+
+    def merge_map(name):
+        sm = F.coalesce(F.col(f"__s_{name}"), empty_map)
+        bm = F.coalesce(F.col(f"__b_{name}"), empty_map)
+        b_keys = F.map_keys(bm)
+        keep_s = F.filter(
+            F.map_entries(sm),
+            lambda e: ~F.array_contains(b_keys, e["key"]),
+        )
+        # NULL-skip last-write: a batch label whose latest data is NULL
+        # falls back to the stored value for that label
+        b_merged = F.transform(
+            F.map_entries(bm),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.coalesce(e["value"], F.element_at(sm, e["key"])).alias(
+                    "value"
+                ),
+            ),
+        )
+        return F.map_from_entries(
+            F.array_sort(F.concat(keep_s, b_merged))
+        ).alias(name)
+
+    empty_arr = F.array().cast("array<string>")
+    return j.select(
+        "namehash",
+        ident("label").alias("label"),
+        ident("parentHash").alias("parentHash"),
+        F.lit(None).cast("string").alias("fullName"),
+        F.coalesce(F.col("__b_owner"), F.col("__s_owner")).alias("owner"),
+        F.coalesce(F.col("__b_gene"), F.col("__s_gene")).alias("gene"),
+        merge_map("notes").alias("notes"),
+        merge_map("facts").alias("facts"),
+        F.array_sort(
+            F.array_union(
+                F.coalesce(F.col("__s_children"), empty_arr),
+                F.coalesce(F.col("__b_children"), empty_arr),
+            )
+        ).alias("children"),
+        ident("creationBlock").alias("creationBlock"),
+        F.greatest(
+            F.col("__s_lastUpdateBlock"), F.col("__b_lastUpdateBlock")
+        ).alias("lastUpdateBlock"),
+    )
+
+
+def incremental_entries_delta(
+    spark,
+    entries_path: str,
+    new_events: DataFrame,
+    root_hash: str = ROOT_HASH,
+    entry_buckets: int | None = None,
+) -> dict[str, int]:
+    """O(batch) entries maintenance WITHOUT history replay — the true
+    delta path (incremental_entries_update's restricted replay rereads
+    every touched entry's full event history; on logs with hot parent
+    keys that is a large fraction of the log however small the batch).
+
+    Per batch: fold ONLY the batch's events (materialize_entries with
+    ``known_extra`` = the touched keys' stored rows, read bucket-pruned
+    from the standing table), then associatively combine with those
+    stored rows (merge_entry_states) and MERGE the result back. Work
+    is O(batch events + touched stored rows); no full-log scan exists
+    anywhere in the plan.
+
+    CONTRACT: batches must arrive in block order (each batch's blocks
+    after every stored block) — the streaming chain-scan guarantee.
+    Out-of-order backfill invalidates the associative merge; use
+    incremental_entries_update (restricted replay) for that case.
+    """
+    from hypermap_etl_spark.operators.merge import merge_into_parquet
+
+    from hypermap_etl_spark.util import release_local_checkpoint
+
+    new_events = new_events.localCheckpoint(eager=True)
+    keys = touched_namehashes(new_events)
+    if entry_buckets:
+        kb = with_entry_bucket(keys, entry_buckets)
+        buckets = [
+            r[0] for r in kb.select("entry_bucket").distinct().collect()
+        ]
+        stored = (
+            spark.read.parquet(entries_path)
+            .filter(F.col("entry_bucket").isin(buckets))
+            .drop("entry_bucket")
+        )
+    else:
+        stored = spark.read.parquet(entries_path)
+    stored_touched = stored.join(
+        F.broadcast(keys), "namehash", "left_semi"
+    ).localCheckpoint(eager=True)
+    try:
+        partial = materialize_entries(
+            new_events,
+            root_hash,
+            known_extra=stored_touched.select("namehash"),
+        )
+        updated = merge_entry_states(stored_touched, partial, root_hash)
+        if entry_buckets:
+            updated = with_entry_bucket(updated, entry_buckets).repartition(
+                "entry_bucket"
+            )
+        updated = updated.localCheckpoint(eager=True)
+    except Exception:
+        release_local_checkpoint(stored_touched)
+        release_local_checkpoint(new_events)
+        raise
+    try:
+        if entry_buckets:
+            return merge_into_parquet(
+                spark,
+                entries_path,
+                updated,
+                ["namehash"],
+                partition_col="entry_bucket",
+            )
+        return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+    finally:
+        release_local_checkpoint(updated)
+        release_local_checkpoint(stored_touched)
+        release_local_checkpoint(new_events)
 
 
 def quarantine_bad_events(events: DataFrame) -> DataFrame:

@@ -257,6 +257,12 @@ def _merge_unlocked(
             .agg(F.count(F.lit(1)).alias("__c"))
             .collect()
         )
+        if not per_part:
+            # empty batch: nothing to write — and the observed plan
+            # nodes below would be optimized away entirely (an isin([])
+            # filter folds the subtree to an empty relation), leaving
+            # Observation.get with no metrics row to return
+            return {"upsertedCount": 0, "modifiedCount": 0}
         touched = [r[0] for r in per_part]
         batch_total = sum(r["__c"] for r in per_part)
         existing = existing.filter(F.col(partition_col).isin(touched))

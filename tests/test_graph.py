@@ -519,3 +519,63 @@ def test_modularity_bounds_and_cf_normalization(spark):
     )
     q = modularity(edges, comm).collect()[0]["modularity"]
     assert q == -0.5
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """The claim that made the r6 degree-orientation fix matter, pinned
+    on a planted power-law hub: node '00' (lexicographically SMALLEST)
+    is connected to every spoke. Under the naive id-orientation the hub
+    orients all its edges OUTWARD and pivots C(n_spokes, 2) wedges in
+    one task's join group — the quadratic-hub trap. Under the shipped
+    (degree, id) orientation every hub edge points INTO the hub, its
+    pivot fan-out is ZERO, and the global wedge count collapses from
+    ~20k to O(edges). Triangle counts stay exact."""
+    from pyspark.sql import functions as F
+
+    from hypermap_etl_spark.operators.graph import (
+        _orient_by_degree,
+        triangle_count,
+    )
+
+    n = 200
+    hub = "00"
+    spokes = [f"s{i:03d}" for i in range(n)]
+    edges = [(hub, s) for s in spokes]
+    # a short chain among the first spokes → planted triangles with hub
+    for i in range(10):
+        edges.append((spokes[i], spokes[i + 1]))
+    e = (
+        spark.createDataFrame(edges, "src string, dst string")
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+    def wedge_stats(oriented):
+        per_pivot = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        return (
+            per_pivot.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("total"),
+                F.max(F.col("d") * (F.col("d") - 1) / 2).alias("worst"),
+            ).collect()[0]
+        )
+
+    # naive id-orientation foil: the hub is ≺-smallest by id, so every
+    # hub edge orients outward
+    naive = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    nv = wedge_stats(naive)
+    assert nv["worst"] >= n * (n - 1) / 2, "hub must pivot C(n,2) wedges"
+
+    # shipped orientation: hub fan-out bounded; total wedges O(edges)
+    ov = wedge_stats(_orient_by_degree(e))
+    assert ov["worst"] <= 64, f"hub wedge bound violated: {ov['worst']}"
+    assert ov["total"] <= 4 * len(edges), f"wedge total blew up: {ov['total']}"
+
+    # and the counts are still exact: each chain edge (s_i, s_{i+1})
+    # closes exactly one triangle with the hub
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(
+        e, src_col="a", dst_col="b").collect()}
+    assert got[hub] == 10
+    assert got[spokes[0]] == 1 and got[spokes[10]] == 1
+    assert got[spokes[5]] == 2  # interior chain node: two triangles

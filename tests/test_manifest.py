@@ -1,0 +1,152 @@
+"""Manifest-committed tables (sources/manifest.py): the object-store-
+safe commit protocol — no data rename anywhere, readers resolve a
+manifest instead of listing, merge/delete/rollback keep the
+merge_into_parquet contract, and a reader pinned to an old manifest
+stays consistent through a concurrent commit."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hypermap_etl_spark.sources.manifest import (
+    current_version,
+    delete_keys_table,
+    merge_table,
+    read_manifest,
+    read_table,
+    rollback_table,
+    vacuum_table,
+    write_table,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string, b int")
+
+
+def _snap(spark, table, version=None):
+    return sorted(
+        (r["k"], r["v"], r["b"])
+        for r in read_table(spark, table, version=version).collect()
+    )
+
+
+def test_write_read_roundtrip_unpartitioned(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    v = write_table(_rows(spark, [(1, "a", 0), (2, "b", 1)]), t)
+    assert v == 1 and current_version(t) == 1
+    assert _snap(spark, t) == [(1, "a", 0), (2, "b", 1)]
+
+
+def test_merge_counts_and_new_wins(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    r1 = merge_table(spark, t, _rows(spark, [(1, "a", 0), (2, "b", 1)]), ["k"])
+    assert r1 == {"upsertedCount": 2, "modifiedCount": 0}
+    r2 = merge_table(spark, t, _rows(spark, [(2, "B", 1), (3, "c", 0)]), ["k"])
+    assert r2 == {"upsertedCount": 1, "modifiedCount": 1}
+    assert _snap(spark, t) == [(1, "a", 0), (2, "B", 1), (3, "c", 0)]
+
+
+def test_partitioned_merge_carries_forward_untouched(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    base = _rows(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)])
+    merge_table(spark, t, base, ["k"], partition_col="b")
+    m1 = read_manifest(t)
+    # batch touches ONLY bucket 1
+    r = merge_table(
+        spark, t, _rows(spark, [(2, "B", 1), (9, "z", 1)]), ["k"],
+        partition_col="b",
+    )
+    assert r == {"upsertedCount": 1, "modifiedCount": 1}
+    m2 = read_manifest(t)
+    # untouched buckets 0 and 2 carry their v1 file sets VERBATIM —
+    # their data was not rewritten, listed, or opened
+    assert m2["partitions"][json.dumps(0)] == m1["partitions"][json.dumps(0)]
+    assert m2["partitions"][json.dumps(2)] == m1["partitions"][json.dumps(2)]
+    assert m2["partitions"][json.dumps(1)] != m1["partitions"][json.dumps(1)]
+    assert _snap(spark, t) == [
+        (1, "a", 0), (2, "B", 1), (3, "c", 2), (9, "z", 1),
+    ]
+    # manifest-pruned partition read
+    got = read_table(spark, t, partition_values=[1])
+    assert sorted(r["k"] for r in got.collect()) == [2, 9]
+
+
+def test_reader_on_old_manifest_survives_concurrent_commit(spark):
+    """The list-then-read race, killed: a reader pinned to version 1
+    keeps reading a complete, consistent v1 snapshot while a writer
+    commits v2 — no rename ever touches v1's files. Only an explicit
+    vacuum (retention) removes them; the v1 manifest then remains as
+    a tombstone but v2 is untouched."""
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    write_table(_rows(spark, [(1, "a", 0), (2, "b", 1)]), t, partition_col="b")
+    pinned = read_table(spark, t, version=1)  # resolved BEFORE the commit
+    merge_table(
+        spark, t, _rows(spark, [(1, "A", 0), (5, "e", 0)]), ["k"],
+        partition_col="b",
+    )
+    # post-commit: the pinned plan still reads the old files bit-for-bit
+    assert sorted((r["k"], r["v"]) for r in pinned.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    assert _snap(spark, t) == [(1, "A", 0), (2, "b", 1), (5, "e", 0)]
+    # retention: keep only the current manifest's files
+    removed = vacuum_table(t, keep=1)
+    assert removed, "v1-only data should be reclaimed"
+    assert _snap(spark, t) == [(1, "A", 0), (2, "b", 1), (5, "e", 0)]
+
+
+def test_delete_keys_partition_pruned(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    merge_table(
+        spark, t,
+        _rows(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 1), (4, "d", 2)]),
+        ["k"], partition_col="b",
+    )
+    m1 = read_manifest(t)
+    doomed = spark.createDataFrame([(2, 1)], "k long, b int")
+    n = delete_keys_table(spark, t, doomed, ["k"], partition_col="b")
+    assert n == 1
+    m2 = read_manifest(t)
+    assert m2["partitions"][json.dumps(0)] == m1["partitions"][json.dumps(0)]
+    assert m2["partitions"][json.dumps(2)] == m1["partitions"][json.dumps(2)]
+    assert _snap(spark, t) == [(1, "a", 0), (3, "c", 1), (4, "d", 2)]
+
+
+def test_rollback_is_pointer_only(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    write_table(_rows(spark, [(1, "a", 0)]), t)
+    merge_table(spark, t, _rows(spark, [(1, "X", 0)]), ["k"])
+    assert _snap(spark, t) == [(1, "X", 0)]
+    v3 = rollback_table(t, 1)
+    assert v3 == 3 and current_version(t) == 3
+    assert _snap(spark, t) == [(1, "a", 0)]
+
+
+def test_crash_before_publish_is_invisible(spark):
+    """A writer that dies after writing data but before publishing the
+    manifest leaves only an orphaned prefix: readers see the previous
+    version, vacuum reclaims the orphan."""
+    from hypermap_etl_spark.sources.manifest import _write_token
+
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    write_table(_rows(spark, [(1, "a", 0)]), t)
+    # simulate the crashed writer: data landed, no manifest
+    _write_token(_rows(spark, [(99, "zz", 9)]), t, None)
+    assert _snap(spark, t) == [(1, "a", 0)]
+    assert current_version(t) == 1
+    removed = vacuum_table(t, keep=2)
+    assert len(removed) == 1
+    assert _snap(spark, t) == [(1, "a", 0)]
+
+
+def test_dedupe_within_batch(spark):
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    dup = _rows(spark, [(1, "a", 0), (1, "b", 0)])
+    r = merge_table(spark, t, dup, ["k"])
+    assert r["upsertedCount"] == 1 and r["modifiedCount"] == 0
+    assert read_table(spark, t).count() == 1
