@@ -113,7 +113,14 @@ _WINDOW: list[str] = [
 #   doc_source_simpson        (source diversity: vocab_overlap +
 #                              hellinger_sources in window)
 #   emb_ivf_probe_sweep       (IVF probe machinery: ivfpq_recall green r7)
-# After r9 certifies these 13, the rotation priority is the 17 gates
+# ONE exception to the freeze, executing VERDICT r7 task 6 (which
+# asked for a quantile-store gate this round — impossible in-window
+# since all 50 slots carry the never-checked backlog):
+# events_quantile_store (the last uncertified additive store, the
+# drift-store gate pattern applied to streaming/quantiles.py) is
+# registered and local-green, queued for r9. Post-r8 backlog: 14
+# gates — still well under one window.
+# After r9 certifies these, the rotation priority is the 17 gates
 # whose newest row is r2 (VERDICT r7 task 4): emb_ann_topk,
 # doc_simhash_pairs, activity_union, parts_size_filter, ...
 

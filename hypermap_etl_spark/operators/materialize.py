@@ -477,10 +477,31 @@ def incremental_entries_delta(
     after every stored block) — the streaming chain-scan guarantee.
     Out-of-order backfill invalidates the associative merge; use
     incremental_entries_update (restricted replay) for that case.
+    RE-APPLYING a batch (crash replay, duplicate delivery) is safe:
+    the merge is idempotent — stored-wins identity, set-union
+    children, equal-value last-writes, and max lastUpdateBlock all
+    converge to the same row on re-merge.
+
+    Bootstrap: a missing entries table is created from the batch's own
+    full fold (the first batch IS the whole history at that point).
     """
+    import os as _os
+
     from hypermap_etl_spark.operators.merge import merge_into_parquet
 
     from hypermap_etl_spark.util import release_local_checkpoint
+
+    if not _os.path.exists(entries_path):
+        first = materialize_entries(new_events, root_hash)
+        if entry_buckets:
+            first = with_entry_bucket(first, entry_buckets).repartition(
+                "entry_bucket"
+            )
+            return merge_into_parquet(
+                spark, entries_path, first, ["namehash"],
+                partition_col="entry_bucket",
+            )
+        return merge_into_parquet(spark, entries_path, first, ["namehash"])
 
     new_events = new_events.localCheckpoint(eager=True)
     keys = touched_namehashes(new_events)

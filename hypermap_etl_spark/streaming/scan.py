@@ -179,6 +179,7 @@ def start_index_stream(
     compact_index_every: int = 64,
     compact_entries_every: int = 64,
     entries_max_files: int = 8,
+    entries_strategy: str = "replay",
 ):
     """Continuous `index-events`: per micro-batch, MERGE decoded events
     into the (block-bucketed) events table AND incrementally update the
@@ -187,12 +188,28 @@ def start_index_stream(
     equivalent of the reference's index loop
     (/root/reference/scripts/index-events.ts:216).
 
-    Per-batch cost at scale:
+    Per-batch cost at scale (entries_strategy='replay', the default):
       write  O(touched block buckets)   — dynamic partition overwrite
       scan   O(buckets holding touched keys' events) — side-index prune
       fold   O(events of touched entries)
       upsert O(entry buckets holding touched entries)
     Nothing is proportional to the full log or the full entries table.
+
+    ``entries_strategy='delta'`` drops even the restricted replay:
+    the batch's own events are folded alone and associatively merged
+    with the touched keys' STORED rows
+    (materialize.incremental_entries_delta) — O(batch) per batch, no
+    history reread at all. Valid because a chain scan delivers batches
+    in block order; re-delivered batches re-merge idempotently. On
+    logs with hot parent keys (whose full histories the replay rereads
+    every batch) this is the scale path; keep 'replay' for
+    out-of-order backfills — and note the delta contract extends to
+    FILE layout: the file source chops micro-batches at file
+    boundaries, so each source file must be one block-aligned extract
+    range (the chain-scan writer's natural layout). A range written as
+    many shuffled part-files can split one block's events across
+    micro-batches in arbitrary order, which the associative merge
+    cannot repair; 'replay' is indifferent to it.
 
     The key index is blind-appended per batch (no read on the write
     path), so it accumulates one small file and some duplicate pairs
@@ -209,9 +226,16 @@ def start_index_stream(
     (VERDICT r3 task 7).
     """
     from hypermap_etl_spark.operators.materialize import (
+        incremental_entries_delta,
         incremental_entries_update,
         touched_namehashes,
     )
+
+    if entries_strategy not in ("replay", "delta"):
+        raise ValueError(
+            f"entries_strategy must be 'replay' or 'delta', got"
+            f" {entries_strategy!r}"
+        )
 
     key_index_path = key_index_path or f"{entries_path}__keyidx"
     raw = read_raw_log_stream(spark, source_path, max_files_per_trigger)
@@ -243,14 +267,25 @@ def start_index_stream(
 
                     compact_small_table(spark, key_index_path)
 
-            keys = touched_namehashes(events)
-            log = spark.read.parquet(table_path)
-            buckets = replay_buckets(spark, key_index_path, keys)
-            if buckets is not None and "block_bucket" in log.columns:
-                log = log.filter(F.col("block_bucket").isin(buckets))
-            incremental_entries_update(
-                spark, entries_path, log, events, entry_buckets=entry_buckets
-            )
+            if entries_strategy == "delta":
+                # O(batch): batch-only fold + associative merge with
+                # the stored rows — no history replay, no side-index
+                # lookup; valid because a chain scan delivers batches
+                # in block order (re-delivered batches re-merge
+                # idempotently)
+                buckets = None
+                incremental_entries_delta(
+                    spark, entries_path, events, entry_buckets=entry_buckets
+                )
+            else:
+                keys = touched_namehashes(events)
+                log = spark.read.parquet(table_path)
+                buckets = replay_buckets(spark, key_index_path, keys)
+                if buckets is not None and "block_bucket" in log.columns:
+                    log = log.filter(F.col("block_bucket").isin(buckets))
+                incremental_entries_update(
+                    spark, entries_path, log, events, entry_buckets=entry_buckets
+                )
             if (
                 compact_entries_every
                 and batch_id > 0

@@ -334,3 +334,59 @@ def test_index_stream_bounds_entries_files(spark):
     for k in expected:
         assert got[k]["label"] == expected[k]["label"]
         assert sorted(got[k]["children"]) == sorted(expected[k]["children"])
+
+
+def test_streaming_index_delta_strategy_matches_batch(spark):
+    """entries_strategy='delta' (batch-only fold + associative merge,
+    no history replay) must produce the same entries as the batch full
+    recompute when batches arrive in block order — the chain-scan
+    contract. Chunks are cut at block boundaries (a real scan's
+    fromBlock/toBlock ranges)."""
+    rows = sorted(
+        _fixture_rows(), key=lambda r: (r["blockNumber"], r["logIndex"])
+    )
+    chunks = [
+        [r for r in rows if r["blockNumber"] <= 15],
+        [r for r in rows if 15 < r["blockNumber"] <= 19],
+        [r for r in rows if r["blockNumber"] > 19],
+    ]
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = (
+        f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    )
+    os.makedirs(src)
+    # one FILE per extract range (coalesce(1)) — the chain-scan layout
+    # the delta strategy requires: the file source chops micro-batches
+    # at file boundaries, so a multi-file range could split one block's
+    # events across batches in arbitrary file order, violating the
+    # block-order contract (the replay strategy has no such
+    # requirement; this is documented on start_index_stream)
+    build_raw_logs(events_df(spark, chunks[0])).coalesce(1).write.mode(
+        "append").parquet(src)
+    build_raw_logs(events_df(spark, chunks[1])).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = start_index_stream(spark, src, tbl, ent, ckpt, entries_strategy="delta")
+    q.awaitTermination(240)
+    build_raw_logs(events_df(spark, chunks[2])).coalesce(1).write.mode(
+        "append").parquet(src)
+    q2 = start_index_stream(spark, src, tbl, ent, ckpt, entries_strategy="delta")
+    q2.awaitTermination(240)
+
+    from hypermap_etl_spark.operators.decode import parse_raw_logs
+
+    expected_events = parse_raw_logs(build_raw_logs(events_df(spark, rows)))
+    expected = {
+        r["namehash"]: r.asDict()
+        for r in materialize_entries(expected_events).collect()
+    }
+    got = {r["namehash"]: r.asDict() for r in spark.read.parquet(ent).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        e, g = expected[k], got[k]
+        for fld in (
+            "label", "parentHash", "owner", "gene",
+            "creationBlock", "lastUpdateBlock",
+        ):
+            assert g[fld] == e[fld], (k, fld, g[fld], e[fld])
+        assert sorted(g["children"]) == sorted(e["children"])
+        assert g["facts"] == e["facts"] and g["notes"] == e["notes"]
