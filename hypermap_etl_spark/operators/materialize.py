@@ -454,6 +454,77 @@ def merge_entry_states(
     )
 
 
+def incremental_entries_delta_manifest(
+    spark,
+    table: str,
+    new_events: DataFrame,
+    root_hash: str = ROOT_HASH,
+    entry_buckets: int = 16,
+) -> dict[str, int]:
+    """The complete 100 TB maintenance story in one call: O(batch)
+    delta maintenance (no history replay — incremental_entries_delta's
+    fold+merge) COMMITTED through the manifest protocol
+    (sources/manifest.py — no data renames, readers resolve a
+    manifest, so object stores are safe and a reader racing the batch
+    sees a complete old or new snapshot). Untouched entry buckets'
+    file entries carry forward verbatim in the new manifest; a bad
+    batch is undone by rollback_table (pointer re-publish, no data
+    movement). Same block-order contract as the plain delta path;
+    re-applied batches re-merge idempotently."""
+    from hypermap_etl_spark.sources import manifest as M
+    from hypermap_etl_spark.util import release_local_checkpoint
+
+    import json as _json
+
+    if M.current_version(table) is None:
+        first = with_entry_bucket(
+            materialize_entries(new_events, root_hash), entry_buckets
+        ).repartition("entry_bucket")
+        M.write_table(first, table, partition_col="entry_bucket")
+        return {
+            "upsertedCount": M.read_table(spark, table).count(),
+            "modifiedCount": 0,
+        }
+
+    new_events = new_events.localCheckpoint(eager=True)
+    stored_touched = None
+    try:
+        keys = touched_namehashes(new_events)
+        kb = with_entry_bucket(keys, entry_buckets)
+        buckets = [
+            r[0] for r in kb.select("entry_bucket").distinct().collect()
+        ]
+        m = M.read_manifest(table)
+        present = [
+            b for b in buckets if _json.dumps(b) in m["partitions"]
+        ]
+        if present:
+            stored_touched = (
+                M.read_table(spark, table, partition_values=present)
+                .drop("entry_bucket")
+                .join(F.broadcast(keys), "namehash", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            partial = materialize_entries(
+                new_events,
+                root_hash,
+                known_extra=stored_touched.select("namehash"),
+            )
+            updated = merge_entry_states(stored_touched, partial, root_hash)
+        else:
+            updated = materialize_entries(new_events, root_hash)
+        updated = with_entry_bucket(updated, entry_buckets).repartition(
+            "entry_bucket"
+        )
+        return M.merge_table(
+            spark, table, updated, ["namehash"], partition_col="entry_bucket"
+        )
+    finally:
+        if stored_touched is not None:
+            release_local_checkpoint(stored_touched)
+        release_local_checkpoint(new_events)
+
+
 def incremental_entries_delta(
     spark,
     entries_path: str,

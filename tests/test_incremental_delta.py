@@ -173,3 +173,59 @@ def test_delta_children_union_across_batches(spark):
     got = _feed_delta(spark, rows, [15, 10**9])
     assert got == expected
     assert got[P]["children"] == tuple(sorted([C1, C2, C3]))
+
+
+def test_delta_manifest_composition(spark):
+    """Delta maintenance committed through the manifest protocol
+    (incremental_entries_delta_manifest): equals the full refold,
+    carries untouched buckets' manifest entries forward verbatim, and
+    a bad batch is undone by a pointer-only rollback."""
+    import json
+
+    from hypermap_etl_spark.operators.materialize import (
+        incremental_entries_delta_manifest,
+    )
+    from hypermap_etl_spark.sources.manifest import (
+        read_manifest,
+        read_table,
+        rollback_table,
+    )
+
+    rows = sorted(
+        _fixture_rows(), key=lambda r: (r["blockNumber"], r["logIndex"])
+    )
+    batches = [
+        [r for r in rows if r["blockNumber"] <= 15],
+        [r for r in rows if 15 < r["blockNumber"] <= 19],
+        [r for r in rows if r["blockNumber"] > 19],
+    ]
+    table = tempfile.mkdtemp() + "/entries"
+    manifests = []
+    for b in batches:
+        incremental_entries_delta_manifest(
+            spark, table, events_df(spark, b), entry_buckets=4
+        )
+        manifests.append(read_manifest(table))
+
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    got = _flat(read_table(spark, table).drop("entry_bucket"))
+    assert got == expected
+
+    # untouched buckets carry forward: every bucket NOT touched by
+    # batch 3 keeps its batch-2 manifest entry byte-for-byte
+    m2, m3 = manifests[1], manifests[2]
+    changed = {
+        k for k in m3["partitions"]
+        if m2["partitions"].get(k) != m3["partitions"][k]
+    }
+    untouched = set(m2["partitions"]) - changed
+    assert untouched or len(m2["partitions"]) == len(changed)
+    for k in untouched:
+        assert m3["partitions"][k] == m2["partitions"][k]
+
+    # rollback to the post-batch-2 state: pointer-only restore
+    rollback_table(table, m2["version"])
+    mid = _flat(
+        materialize_entries(events_df(spark, batches[0] + batches[1]))
+    )
+    assert _flat(read_table(spark, table).drop("entry_bucket")) == mid
