@@ -942,6 +942,57 @@ def cmd_snapshot(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_manifest(args) -> None:
+    """Manifest-committed tables (sources/manifest.py — the
+    object-store-safe commit protocol: no data renames, readers
+    resolve a manifest, never list): publish/merge/read-count/status/
+    rollback/vacuum, one JSON line each."""
+    from hypermap_etl_spark.sources import manifest as M
+
+    out = {"table": args.table, "action": args.action}
+    if args.action == "write":
+        if not args.data:
+            raise SystemExit("manifest write: --data required")
+        spark = _spark(args)
+        out["version"] = M.write_table(
+            spark.read.parquet(args.data), args.table,
+            partition_col=args.partition_col,
+        )
+    elif args.action == "merge":
+        if not args.data or not args.keys:
+            raise SystemExit("manifest merge: --data and --keys required")
+        spark = _spark(args)
+        res = M.merge_table(
+            spark, args.table, spark.read.parquet(args.data),
+            [c.strip() for c in args.keys.split(",")],
+            partition_col=args.partition_col,
+        )
+        out.update(res)
+        out["version"] = M.current_version(args.table)
+    elif args.action == "status":
+        v = M.current_version(args.table)
+        out["version"] = v
+        if v is not None:
+            m = M.read_manifest(args.table)
+            out["partition_col"] = m["partition_col"]
+            out["n_partitions"] = len(m["partitions"])
+            out["n_file_sets"] = sum(len(r) for r in m["partitions"].values())
+    elif args.action == "count":
+        spark = _spark(args)
+        out["version"] = args.version or M.current_version(args.table)
+        out["rows"] = M.read_table(
+            spark, args.table, version=args.version
+        ).count()
+    elif args.action == "rollback":
+        if args.version is None:
+            raise SystemExit("manifest rollback: --version required")
+        out["version"] = M.rollback_table(args.table, args.version)
+    elif args.action == "vacuum":
+        out["removed"] = M.vacuum_table(args.table, keep=args.keep)
+        out["version"] = M.current_version(args.table)
+    print(json.dumps(out))
+
+
 def cmd_pseudo(args) -> None:
     """Keyed pseudonymization of identifier columns
     (curation.pseudonymize): linkage-preserving sha256-prefix tokens,
@@ -1972,6 +2023,22 @@ def main(argv=None) -> None:
     p.add_argument("--psi-col", default=None,
                    help="diff: also report PSI distribution drift of "
                         "this numeric column between the two versions")
+    p = sub.add_parser("manifest",
+                       help="manifest-committed tables (object-store-"
+                            "safe): write/merge/status/count/rollback/"
+                            "vacuum")
+    p.add_argument("action",
+                   choices=["write", "merge", "status", "count",
+                            "rollback", "vacuum"])
+    p.add_argument("--table", required=True, help="manifest table root")
+    p.add_argument("--data", default=None, help="parquet to publish/merge")
+    p.add_argument("--keys", default=None,
+                   help="comma-separated merge key columns")
+    p.add_argument("--partition-col", default=None,
+                   help="partition column (write/merge)")
+    p.add_argument("--version", type=int, default=None,
+                   help="target version (rollback; count pins a version)")
+    p.add_argument("--keep", type=int, default=2, help="vacuum retention")
     p = sub.add_parser("pseudo",
                        help="keyed pseudonymization of identifier columns")
     p.add_argument("--table", required=True, help="input parquet")
@@ -2173,6 +2240,7 @@ def main(argv=None) -> None:
         "dedup-index": cmd_dedup_index, "embed": cmd_embed,
         "bpe": cmd_bpe, "stream": cmd_stream,
         "buckets": cmd_buckets, "snapshot": cmd_snapshot, "pseudo": cmd_pseudo,
+        "manifest": cmd_manifest,
         "check": cmd_check, "report": cmd_report, "bff": cmd_bff,
         "link": cmd_link,
         "ab": cmd_ab,

@@ -1043,3 +1043,51 @@ def test_cli_abmon(spark, capsys, tmp_path):
     main(args)
     card2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card2["groups"] == first
+
+
+def test_cli_manifest_lifecycle(spark, capsys, tmp_path):
+    """manifest write → merge → status/count → rollback → vacuum, each
+    printing one JSON line; the merge keeps the merge_into_parquet
+    count contract and rollback is pointer-only."""
+    d1, d2, tbl = str(tmp_path / "d1"), str(tmp_path / "d2"), str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k long, v string, b int"
+    ).write.parquet(d1)
+    spark.createDataFrame(
+        [(2, "B", 1), (3, "c", 0)], "k long, v string, b int"
+    ).write.parquet(d2)
+
+    main(["manifest", "write", "--table", tbl, "--data", d1,
+          "--partition-col", "b"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 1
+
+    main(["manifest", "merge", "--table", tbl, "--data", d2,
+          "--keys", "k", "--partition-col", "b"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["upsertedCount"] == 1 and rep["modifiedCount"] == 1
+    assert rep["version"] == 2
+
+    main(["manifest", "status", "--table", tbl])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 2 and rep["partition_col"] == "b"
+    assert rep["n_partitions"] == 2
+
+    main(["manifest", "count", "--table", tbl])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 3
+
+    main(["manifest", "rollback", "--table", tbl, "--version", "1"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 3
+
+    main(["manifest", "count", "--table", tbl])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2
+
+    main(["manifest", "vacuum", "--table", tbl, "--keep", "2"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 3
+    main(["manifest", "count", "--table", tbl])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2
