@@ -317,7 +317,12 @@ def incremental_entries_update(
         F.broadcast(keys), "namehash", "left_semi"
     )
     if entry_buckets:
-        updated = with_entry_bucket(updated, entry_buckets)
+        # cluster the rewrite by bucket so each touched partition is
+        # written as one file per holding task instead of one file per
+        # shuffle task x bucket — steady-state file counts stay flat
+        updated = with_entry_bucket(updated, entry_buckets).repartition(
+            "entry_bucket"
+        )
     # Materialize ONCE before the merge: merge_into_parquet runs
     # several actions over the batch frame (dedupe, touched-partition
     # collect, matched/upserted counts, the swap write) and each would
