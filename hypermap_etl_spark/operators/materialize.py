@@ -481,11 +481,24 @@ def incremental_entries_delta_manifest(
 
     import json as _json
 
-    if M.current_version(table) is None:
+    pending_path = _pending_path(table)
+    pending = _read_pending(spark, pending_path)
+    had_pending = pending is not None
+    if had_pending:
+        new_events = new_events.unionByName(
+            pending, allowMissingColumns=True
+        )
+
+    if M.current_version(table) is None and not had_pending:
         first = with_entry_bucket(
             materialize_entries(new_events, root_hash), entry_buckets
         ).repartition("entry_bucket")
         M.write_table(first, table, partition_col="entry_bucket")
+        pend = _unknown_writes(
+            new_events, _known_now(new_events, None, root_hash)
+        )
+        if not pend.isEmpty():
+            _swap_pending(pend, pending_path)
         return {
             "upsertedCount": M.read_table(spark, table).count(),
             "modifiedCount": 0,
@@ -493,41 +506,139 @@ def incremental_entries_delta_manifest(
 
     new_events = new_events.localCheckpoint(eager=True)
     stored_touched = None
+    stored_keys = None
     try:
-        keys = touched_namehashes(new_events)
-        kb = with_entry_bucket(keys, entry_buckets)
-        buckets = [
-            r[0] for r in kb.select("entry_bucket").distinct().collect()
-        ]
-        m = M.read_manifest(table)
-        present = [
-            b for b in buckets if _json.dumps(b) in m["partitions"]
-        ]
-        if present:
-            stored_touched = (
-                M.read_table(spark, table, partition_values=present)
-                .drop("entry_bucket")
-                .join(F.broadcast(keys), "namehash", "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            partial = materialize_entries(
-                new_events,
-                root_hash,
-                known_extra=stored_touched.select("namehash"),
-            )
-            updated = merge_entry_states(stored_touched, partial, root_hash)
-        else:
+        if M.current_version(table) is None:
             updated = materialize_entries(new_events, root_hash)
+        else:
+            keys = touched_namehashes(new_events)
+            kb = with_entry_bucket(keys, entry_buckets)
+            buckets = [
+                r[0] for r in kb.select("entry_bucket").distinct().collect()
+            ]
+            m = M.read_manifest(table)
+            present = [
+                b for b in buckets if _json.dumps(b) in m["partitions"]
+            ]
+            if present:
+                stored_touched = (
+                    M.read_table(spark, table, partition_values=present)
+                    .drop("entry_bucket")
+                    .join(F.broadcast(keys), "namehash", "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+                stored_keys = stored_touched.select("namehash")
+                partial = materialize_entries(
+                    new_events, root_hash, known_extra=stored_keys
+                )
+                updated = merge_entry_states(
+                    stored_touched, partial, root_hash
+                )
+            else:
+                updated = materialize_entries(new_events, root_hash)
         updated = with_entry_bucket(updated, entry_buckets).repartition(
             "entry_bucket"
         )
-        return M.merge_table(
+        res = M.merge_table(
             spark, table, updated, ["namehash"], partition_col="entry_bucket"
         )
+        pend = _unknown_writes(
+            new_events, _known_now(new_events, stored_keys, root_hash)
+        )
+        if had_pending or not pend.isEmpty():
+            _swap_pending(pend, pending_path)
+        return res
     finally:
         if stored_touched is not None:
             release_local_checkpoint(stored_touched)
         release_local_checkpoint(new_events)
+
+
+def _pending_path(entries_path: str) -> str:
+    return entries_path.rstrip("/") + "__pending"
+
+
+def _read_pending(spark, pending_path: str) -> DataFrame | None:
+    """The parked early-writes store, with crash recovery: a swap that
+    died between the two renames leaves the data in a ``__old_`` dir —
+    restore it; stale ``__staging_`` dirs are untrusted garbage."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for d in _glob.glob(pending_path + "__staging_*"):
+        _shutil.rmtree(d, ignore_errors=True)
+    if not _os.path.isdir(pending_path):
+        olds = sorted(_glob.glob(pending_path + "__old_*"))
+        if not olds:
+            return None
+        _os.rename(olds[0], pending_path)
+        for d in olds[1:]:
+            _shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(pending_path)
+
+
+def _swap_pending(pend: DataFrame, pending_path: str) -> None:
+    """Replace the pending store with ``pend`` via the staged
+    double-rename (recovered by _read_pending on the next batch)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    tok = _uuid.uuid4().hex[:8]
+    staging = f"{pending_path}__staging_{tok}"
+    pend.write.mode("overwrite").parquet(staging)
+    old = f"{pending_path}__old_{tok}"
+    if _os.path.exists(pending_path):
+        _os.rename(pending_path, old)
+    _os.rename(staging, pending_path)
+    _shutil.rmtree(old, ignore_errors=True)
+
+
+def _known_now(events_in: DataFrame, stored_keys: DataFrame | None,
+               root_hash: str) -> DataFrame:
+    """Every entry key that exists after this round: stored touched
+    keys plus the batch's minted children and referenced (placeholder)
+    parents — exactly the full fold's ``known`` set restricted to this
+    round's scope."""
+    mints = events_in.filter(
+        (F.col("eventType") == "Mint") & F.col("childhash").isNotNull()
+    )
+    known = mints.select(F.col("childhash").alias("namehash")).unionByName(
+        mints.filter(
+            F.col("parenthash").isNotNull()
+            & (F.col("parenthash") != root_hash)
+        ).select(F.col("parenthash").alias("namehash"))
+    )
+    if stored_keys is not None:
+        known = known.unionByName(stored_keys)
+    return known.distinct()
+
+
+def _unknown_writes(events_in: DataFrame, known_now: DataFrame) -> DataFrame:
+    """The batch's EARLY writes: Fact/Note/Gene/Transfer rows whose
+    target entry does not exist yet. The full fold evaluates target
+    existence against the FINAL entry set, so these must be parked and
+    retried, not dropped, for delta == full to hold on arbitrary logs
+    (on-chain the mint-before-write invariant makes this set empty;
+    the store is the correctness net for logs that violate it)."""
+    et = F.col("eventType")
+    fn = events_in.filter(
+        et.isin("Fact", "Note") & F.col("parenthash").isNotNull()
+    ).join(
+        known_now.withColumnRenamed("namehash", "parenthash"),
+        "parenthash",
+        "left_anti",
+    )
+    ge = events_in.filter(
+        (et == "Gene") & F.col("entry").isNotNull()
+    ).join(
+        known_now.withColumnRenamed("namehash", "entry"), "entry", "left_anti"
+    )
+    tr = events_in.filter(
+        (et == "Transfer") & F.col("id").isNotNull()
+    ).join(known_now.withColumnRenamed("namehash", "id"), "id", "left_anti")
+    return fn.unionByName(ge).unionByName(tr)
 
 
 def incremental_entries_delta(
@@ -542,24 +653,31 @@ def incremental_entries_delta(
     every touched entry's full event history; on logs with hot parent
     keys that is a large fraction of the log however small the batch).
 
-    Per batch: fold ONLY the batch's events (materialize_entries with
-    ``known_extra`` = the touched keys' stored rows, read bucket-pruned
-    from the standing table), then associatively combine with those
-    stored rows (merge_entry_states) and MERGE the result back. Work
-    is O(batch events + touched stored rows); no full-log scan exists
-    anywhere in the plan.
+    Per batch: union the batch with the PENDING early-writes store
+    (writes whose target entry did not exist when they arrived — the
+    full fold applies them because it checks targets against the FINAL
+    entry set, so the delta path must park and retry them; fuzzing
+    found exactly this case), fold ONLY those events
+    (materialize_entries with ``known_extra`` = the touched keys'
+    stored rows, read bucket-pruned from the standing table), combine
+    associatively with the stored rows (merge_entry_states), MERGE the
+    result back, then atomically replace the pending store with the
+    still-unknown remainder. Work is O(batch events + pending +
+    touched stored rows); no full-log scan exists anywhere in the
+    plan. On-chain logs keep the pending store empty (mint precedes
+    every write); it is the correctness net, not a hot path.
 
     CONTRACT: batches must arrive in block order (each batch's blocks
     after every stored block) — the streaming chain-scan guarantee.
     Out-of-order backfill invalidates the associative merge; use
     incremental_entries_update (restricted replay) for that case.
     RE-APPLYING a batch (crash replay, duplicate delivery) is safe:
-    the merge is idempotent — stored-wins identity, set-union
-    children, equal-value last-writes, and max lastUpdateBlock all
-    converge to the same row on re-merge.
+    the merge is idempotent, and the pending store is replaced only
+    AFTER the entries merge lands (a crash between the two re-applies
+    both, idempotently).
 
-    Bootstrap: a missing entries table is created from the batch's own
-    full fold (the first batch IS the whole history at that point).
+    Bootstrap: a missing entries table is created from the first
+    batch's own full fold (plus any parked writes).
     """
     import os as _os
 
@@ -567,65 +685,85 @@ def incremental_entries_delta(
 
     from hypermap_etl_spark.util import release_local_checkpoint
 
-    if not _os.path.exists(entries_path):
-        first = materialize_entries(new_events, root_hash)
-        if entry_buckets:
-            first = with_entry_bucket(first, entry_buckets).repartition(
-                "entry_bucket"
-            )
-            return merge_into_parquet(
-                spark, entries_path, first, ["namehash"],
-                partition_col="entry_bucket",
-            )
-        return merge_into_parquet(spark, entries_path, first, ["namehash"])
-
-    new_events = new_events.localCheckpoint(eager=True)
-    keys = touched_namehashes(new_events)
-    if entry_buckets:
-        kb = with_entry_bucket(keys, entry_buckets)
-        buckets = [
-            r[0] for r in kb.select("entry_bucket").distinct().collect()
-        ]
-        stored = (
-            spark.read.parquet(entries_path)
-            .filter(F.col("entry_bucket").isin(buckets))
-            .drop("entry_bucket")
+    pending_path = _pending_path(entries_path)
+    pending = _read_pending(spark, pending_path)
+    had_pending = pending is not None
+    if had_pending:
+        events_in = new_events.unionByName(
+            pending, allowMissingColumns=True
         )
     else:
-        stored = spark.read.parquet(entries_path)
-    stored_touched = stored.join(
-        F.broadcast(keys), "namehash", "left_semi"
-    ).localCheckpoint(eager=True)
+        events_in = new_events
+    events_in = events_in.localCheckpoint(eager=True)
+
+    stored_touched = None
     try:
-        partial = materialize_entries(
-            new_events,
-            root_hash,
-            known_extra=stored_touched.select("namehash"),
-        )
-        updated = merge_entry_states(stored_touched, partial, root_hash)
+        if not _os.path.exists(entries_path):
+            updated = materialize_entries(events_in, root_hash)
+            stored_keys = None
+        else:
+            keys = touched_namehashes(events_in)
+            if entry_buckets:
+                kb = with_entry_bucket(keys, entry_buckets)
+                buckets = [
+                    r[0]
+                    for r in kb.select("entry_bucket").distinct().collect()
+                ]
+                stored = (
+                    spark.read.parquet(entries_path)
+                    .filter(F.col("entry_bucket").isin(buckets))
+                    .drop("entry_bucket")
+                )
+            else:
+                stored = spark.read.parquet(entries_path)
+            stored_touched = stored.join(
+                F.broadcast(keys), "namehash", "left_semi"
+            ).localCheckpoint(eager=True)
+            stored_keys = stored_touched.select("namehash")
+            partial = materialize_entries(
+                events_in, root_hash, known_extra=stored_keys
+            )
+            updated = merge_entry_states(stored_touched, partial, root_hash)
         if entry_buckets:
             updated = with_entry_bucket(updated, entry_buckets).repartition(
                 "entry_bucket"
             )
         updated = updated.localCheckpoint(eager=True)
     except Exception:
-        release_local_checkpoint(stored_touched)
-        release_local_checkpoint(new_events)
+        if stored_touched is not None:
+            release_local_checkpoint(stored_touched)
+        release_local_checkpoint(events_in)
         raise
     try:
         if entry_buckets:
-            return merge_into_parquet(
+            res = merge_into_parquet(
                 spark,
                 entries_path,
                 updated,
                 ["namehash"],
                 partition_col="entry_bucket",
             )
-        return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+        else:
+            res = merge_into_parquet(
+                spark, entries_path, updated, ["namehash"]
+            )
+        # pending is replaced only AFTER the merge landed (crash
+        # between the two re-applies both, idempotently). Skipped
+        # entirely while no early write has ever been seen, so the
+        # hot path pays nothing on well-formed chains.
+        pend = _unknown_writes(
+            events_in, _known_now(events_in, stored_keys, root_hash)
+        )
+        if had_pending:
+            _swap_pending(pend, pending_path)
+        elif not pend.isEmpty():
+            _swap_pending(pend, pending_path)
+        return res
     finally:
         release_local_checkpoint(updated)
-        release_local_checkpoint(stored_touched)
-        release_local_checkpoint(new_events)
+        if stored_touched is not None:
+            release_local_checkpoint(stored_touched)
+        release_local_checkpoint(events_in)
 
 
 def quarantine_bad_events(events: DataFrame) -> DataFrame:

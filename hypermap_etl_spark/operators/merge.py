@@ -199,6 +199,17 @@ def _remove_partition_dirs(path: str, partition_col: str, values) -> int:
     return len(doomed)
 
 
+def _obs_count(obs) -> int:
+    """Observation metric as an int, 0 when the observed node was
+    optimized away entirely (a statically-empty subtree — e.g. an
+    empty parquet table folds to an empty LocalRelation and its
+    CollectMetrics is pruned; zero rows flowed, so zero is exact)."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return 0
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
@@ -304,8 +315,8 @@ def _merge_unlocked(
         os.rename(staging, path)
         shutil.rmtree(old)
     if batch_total is None:
-        batch_total = obs_new.get["n"]
-    matched = obs_exist.get["n"] - obs_surv.get["n"]
+        batch_total = _obs_count(obs_new)
+    matched = _obs_count(obs_exist) - _obs_count(obs_surv)
     return {
         "upsertedCount": int(batch_total - matched),
         "modifiedCount": int(matched),

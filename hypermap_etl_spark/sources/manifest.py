@@ -55,7 +55,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from hypermap_etl_spark.operators.merge import _merge_lock, dedupe_new
+from hypermap_etl_spark.operators.merge import _merge_lock, _obs_count, dedupe_new
 
 _LATEST = "_latest"
 _ALL = "__all__"  # partition key used for unpartitioned tables
@@ -287,11 +287,11 @@ def merge_table(
             table, {"partition_col": partition_col, "partitions": parts}
         )
         if existing is not None:
-            matched = obs_exist.get["n"] - obs_surv.get["n"]
+            matched = _obs_count(obs_exist) - _obs_count(obs_surv)
         else:
             matched = 0
         if batch_total is None:
-            batch_total = obs_new.get["n"]
+            batch_total = _obs_count(obs_new)
         return {
             "upsertedCount": int(batch_total - matched),
             "modifiedCount": int(matched),
@@ -360,7 +360,7 @@ def delete_keys_table(
         _publish(
             table, {"partition_col": partition_col, "partitions": parts}
         )
-        return int(obs_exist.get["n"] - obs_surv.get["n"])
+        return int(_obs_count(obs_exist) - _obs_count(obs_surv))
 
 
 def rollback_table(table: str, version: int) -> int:

@@ -35,28 +35,21 @@ def _flat(df):
 
 def _feed_delta(spark, rows, block_cuts, entry_buckets=None):
     """Feed the log in block-boundary batches through the delta path;
-    the first batch bootstraps the table via a plain fold+write."""
+    incremental_entries_delta bootstraps the missing table itself (and
+    parks any bootstrap-batch early writes — a helper-side plain fold
+    here would silently drop them, which the fuzzer caught)."""
     entries_path = tempfile.mkdtemp() + "/entries"
     srt = sorted(rows, key=lambda r: (r["blockNumber"], r["logIndex"]))
     prev = float("-inf")
-    for i, cut in enumerate(block_cuts):
+    for cut in block_cuts:
         batch = [r for r in srt if prev < r["blockNumber"] <= cut]
         prev = cut
         if not batch:
             continue
-        bdf = events_df(spark, batch)
-        if i == 0:
-            base = materialize_entries(bdf)
-            if entry_buckets:
-                with_entry_bucket(base, entry_buckets).write.mode(
-                    "overwrite"
-                ).partitionBy("entry_bucket").parquet(entries_path)
-            else:
-                base.write.mode("overwrite").parquet(entries_path)
-        else:
-            incremental_entries_delta(
-                spark, entries_path, bdf, entry_buckets=entry_buckets
-            )
+        incremental_entries_delta(
+            spark, entries_path, events_df(spark, batch),
+            entry_buckets=entry_buckets,
+        )
     got = spark.read.parquet(entries_path)
     return _flat(got.drop("entry_bucket") if entry_buckets else got)
 
@@ -229,3 +222,97 @@ def test_delta_manifest_composition(spark):
         materialize_entries(events_df(spark, batches[0] + batches[1]))
     )
     assert _flat(read_table(spark, table).drop("entry_bucket")) == mid
+
+
+# --- hypothesis: random logs, random block cuts ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.test_fullname_props import _event_log
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=_event_log(),
+    cuts=st.sets(st.integers(1, 5), max_size=2),
+    nullify=st.sets(st.integers(0, 13), max_size=3),
+)
+def test_delta_random_logs_equal_full(spark, rows, cuts, nullify):
+    """For ANY random log and ANY block-boundary chop, the delta feed
+    equals the one-shot full fold — the semigroup claim under fuzzing,
+    including randomly NULLed Fact/Note data (the null-skip merge
+    branch)."""
+    rows = [dict(r) for r in rows]
+    for i in nullify:
+        if i < len(rows) and rows[i]["eventType"] in ("Fact", "Note"):
+            rows[i]["data"] = None
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    got = _feed_delta(spark, rows, sorted(cuts) + [10**9])
+    assert got == expected
+
+
+def test_delta_early_write_parked_then_applied(spark):
+    """A Transfer/Fact arriving BEFORE its target's Mint (possible in
+    malformed or reorged feeds; the full fold applies it because it
+    checks targets against the FINAL entry set): the delta path must
+    park it in the pending store and apply it when the Mint lands —
+    the exact counterexample the fuzzer found."""
+    import os
+
+    X = h(40)
+    rows = [
+        # batch 1: writes to X before X exists
+        ev(eventType="Transfer", blockNumber=4, logIndex=0,
+           **{"from": addr(1), "to": addr(2), "id": X}),
+        ev(eventType="Fact", blockNumber=4, logIndex=1, parenthash=X,
+           facthash=h(41), labelhash=h(42), label="early", data="0xee"),
+        # batch 2: X minted later
+        ev(eventType="Mint", blockNumber=6, logIndex=0, parenthash=ROOT_HASH,
+           childhash=X, labelhash=h(43), label="x"),
+    ]
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    entries_path = tempfile.mkdtemp() + "/entries"
+    b1 = [r for r in rows if r["blockNumber"] <= 5]
+    b2 = [r for r in rows if r["blockNumber"] > 5]
+    incremental_entries_delta(spark, entries_path, events_df(spark, b1))
+    # batch 1 alone: X does not exist; the writes are parked, not lost
+    assert spark.read.parquet(entries_path).count() == 0 or X not in _flat(
+        spark.read.parquet(entries_path)
+    )
+    pend = entries_path + "__pending"
+    assert os.path.isdir(pend)
+    assert spark.read.parquet(pend).count() == 2
+    incremental_entries_delta(spark, entries_path, events_df(spark, b2))
+    got = _flat(spark.read.parquet(entries_path))
+    assert got == expected
+    assert got[X]["owner"] == addr(2)
+    assert got[X]["facts"] == (("early", "0xee"),)
+    # applied writes leave the pending store
+    assert spark.read.parquet(pend).count() == 0
+
+
+def test_delta_forever_unknown_write_stays_parked(spark):
+    """A write whose target is NEVER minted stays parked and never
+    surfaces in entries — exactly the full fold's drop, incrementally."""
+    P, GHOST = h(44), h(45)
+    rows1 = [
+        ev(eventType="Mint", blockNumber=1, logIndex=0, parenthash=ROOT_HASH,
+           childhash=P, labelhash=h(46), label="p"),
+        ev(eventType="Gene", blockNumber=2, logIndex=0, entry=GHOST,
+           gene=addr(9)),
+    ]
+    rows2 = [
+        ev(eventType="Fact", blockNumber=5, logIndex=0, parenthash=P,
+           facthash=h(47), labelhash=h(48), label="c", data="0x01"),
+    ]
+    entries_path = tempfile.mkdtemp() + "/entries"
+    incremental_entries_delta(spark, entries_path, events_df(spark, rows1))
+    incremental_entries_delta(spark, entries_path, events_df(spark, rows2))
+    expected = _flat(materialize_entries(events_df(spark, rows1 + rows2)))
+    got = _flat(spark.read.parquet(entries_path))
+    assert got == expected
+    assert GHOST not in got
+    assert (
+        spark.read.parquet(entries_path + "__pending").count() == 1
+    )  # the ghost Gene, still parked
