@@ -67,17 +67,10 @@ def _mpath(table: str, version: int) -> str:
     return os.path.join(table, "manifests", f"m-{version:08d}.json")
 
 
-def current_version(table: str) -> int | None:
-    """Pointer if valid, else the highest manifest on disk (pointer
-    lost); None for an empty/never-committed table."""
-    ptr = os.path.join(table, _LATEST)
-    try:
-        with open(ptr) as fh:
-            v = int(fh.read().strip())
-        if os.path.exists(_mpath(table, v)):
-            return v
-    except (OSError, ValueError):
-        pass
+def _max_manifest_version(table: str) -> int | None:
+    """Highest manifest ON DISK — what optimistic writers base on (the
+    pointer can lag a just-created manifest by a losing writer's slow
+    flip; basing on the pointer would resurrect lost updates)."""
     mdir = os.path.join(table, "manifests")
     if not os.path.isdir(mdir):
         return None
@@ -89,6 +82,20 @@ def current_version(table: str) -> int | None:
     return max(vs, default=None)
 
 
+def current_version(table: str) -> int | None:
+    """Pointer if valid, else the highest manifest on disk (pointer
+    lost); None for an empty/never-committed table."""
+    ptr = os.path.join(table, _LATEST)
+    try:
+        with open(ptr) as fh:
+            v = int(fh.read().strip())
+        if os.path.exists(_mpath(table, v)):
+            return v
+    except (OSError, ValueError):
+        pass
+    return _max_manifest_version(table)
+
+
 def read_manifest(table: str, version: int | None = None) -> dict:
     """{"version", "partition_col", "partitions": {key: [rel dirs]}}.
     ``key`` is the JSON-encoded partition value (or ``__all__``)."""
@@ -97,6 +104,102 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         raise FileNotFoundError(f"no manifest in {table}")
     with open(_mpath(table, v)) as fh:
         return json.load(fh)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """An optimistic commit lost to a writer that changed an
+    overlapping partition (or retries ran out) — the merge must be
+    redone from the current snapshot; its data files were derived from
+    a stale read of the conflicting partition."""
+
+
+def _publish_cas(
+    table: str,
+    partition_col: str | None,
+    partition_dtype: str | None,
+    entries: dict[str, list[str]],
+    base_parts: dict[str, list[str]],
+    max_retries: int = 8,
+) -> int:
+    """Multi-writer commit via compare-and-set on the manifest FILE —
+    the local analog of an object store's conditional PUT (S3
+    ``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` on the
+    ``manifests/m-{v+1}.json`` key; VERDICT r8 task 8).
+
+    The CAS primitive is ``os.link(tmp, mpath)``: the manifest content
+    is fully written to a private tmp file first, then linked into
+    place — link fails with EEXIST when another writer took that
+    version, and readers can never observe a half-written manifest
+    (link is atomic with content, unlike O_CREAT|O_EXCL + write).
+
+    The loser rebases: re-read the now-current partitions, verify every
+    partition that changed since ``base_parts`` (its snapshot when it
+    read existing rows) is DISJOINT from its own touched set, carry the
+    winner's untouched entries forward, and retry with the next
+    version. An overlap means its rewrite of that partition was derived
+    from stale rows — ConcurrentCommitError, redo the merge.
+
+    The ``_latest`` pointer flip is forward-only best-effort: a loser
+    flipping late cannot regress it below a version already published
+    (on S3 the pointer is a conditional PUT keyed on the old value, or
+    readers simply list the ``manifests/`` prefix for the max key —
+    ``current_version``'s fallback)."""
+    touched = set(entries)
+    os.makedirs(os.path.join(table, "manifests"), exist_ok=True)
+    for _ in range(max_retries):
+        cur_v = _max_manifest_version(table)
+        cur_parts = (
+            read_manifest(table, cur_v)["partitions"] if cur_v else {}
+        )
+        changed = {
+            k
+            for k in set(cur_parts) | set(base_parts)
+            if cur_parts.get(k) != base_parts.get(k)
+        }
+        overlap = changed & touched
+        if overlap:
+            raise ConcurrentCommitError(
+                f"partitions {sorted(overlap)} of {table} changed under "
+                "this merge; redo it from the current snapshot"
+            )
+        parts = {k: v for k, v in cur_parts.items() if k not in touched}
+        parts.update(entries)
+        v = (cur_v or 0) + 1
+        manifest = {
+            "version": v,
+            "partition_col": partition_col,
+            "partition_dtype": partition_dtype,
+            "partitions": parts,
+        }
+        mp = _mpath(table, v)
+        tmp = f"{mp}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the CAS: rebase on the new current and retry
+        os.unlink(tmp)
+        # forward-only best-effort flip (private tmp: two flippers must
+        # not clobber each other's tmp). A lost/late flip never breaks
+        # writers (they base on the max on-disk manifest) and the next
+        # commit heals the pointer for readers.
+        ptr = os.path.join(table, _LATEST)
+        try:
+            with open(ptr) as fh:
+                if int(fh.read().strip()) >= v:
+                    return v  # a later commit already advanced it
+        except (OSError, ValueError):
+            pass
+        ptmp = f"{ptr}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as fh:
+            fh.write(str(v))
+        os.rename(ptmp, ptr)
+        return v
+    raise ConcurrentCommitError(
+        f"gave up after {max_retries} CAS retries on {table}"
+    )
 
 
 def _publish(table: str, manifest: dict) -> int:
@@ -117,6 +220,40 @@ def _publish(table: str, manifest: dict) -> int:
     return v
 
 
+def _pdtype(df: DataFrame, partition_col: str | None) -> str | None:
+    """Spark simpleString of the partition column's type — published in
+    the manifest so readers can re-type partition values exactly."""
+    if partition_col is None:
+        return None
+    return df.schema[partition_col].dataType.simpleString()
+
+
+def _decode_partition_key(raw: str, dtype: str | None) -> str:
+    """JSON manifest key for one Hive-escaped partition directory name.
+
+    Hive/Spark percent-encode special characters in directory names and
+    spell NULL as ``__HIVE_DEFAULT_PARTITION__`` — and the key must
+    round-trip with the ``json.dumps(value)`` a later merge computes
+    from COLLECTED values, so the value is typed from the dataframe
+    schema, never guessed from the digits (ADVICE r8: the digit
+    heuristic turned the string value '0123' into int 123, so the
+    stale partition was carried forward forever alongside the new one
+    and pruned reads missed it). Same decoding discipline as
+    operators/merge._remove_partition_dirs."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return json.dumps(None)
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return json.dumps(int(raw))
+    if dtype in ("float", "double"):
+        return json.dumps(float(raw))
+    if dtype == "boolean":
+        return json.dumps(raw.lower() == "true")
+    return json.dumps(raw)
+
+
 def _write_token(
     df: DataFrame, table: str, partition_col: str | None
 ) -> dict[str, list[str]]:
@@ -128,6 +265,7 @@ def _write_token(
     if partition_col is None:
         df.write.mode("errorifexists").parquet(dest)
         return {_ALL: [rel]}
+    dtype = _pdtype(df, partition_col)
     df.write.mode("errorifexists").partitionBy(partition_col).parquet(dest)
     # list OUR OWN just-written output (writer-side listing is safe:
     # the files are fully ours and complete once the write returned)
@@ -135,9 +273,9 @@ def _write_token(
     prefix = f"{partition_col}="
     for name in os.listdir(dest):
         if name.startswith(prefix):
-            raw = name[len(prefix):]
-            key = json.dumps(int(raw)) if raw.lstrip("-").isdigit() else json.dumps(raw)
-            out[key] = [os.path.join(rel, name)]
+            out[_decode_partition_key(name[len(prefix):], dtype)] = [
+                os.path.join(rel, name)
+            ]
     return out
 
 
@@ -152,7 +290,11 @@ def write_table(
         entries = _write_token(df, table, partition_col)
         return _publish(
             table,
-            {"partition_col": partition_col, "partitions": entries},
+            {
+                "partition_col": partition_col,
+                "partition_dtype": _pdtype(df, partition_col),
+                "partitions": entries,
+            },
         )
 
 
@@ -172,6 +314,10 @@ def read_table(
     if pcol is None:
         dirs = [os.path.join(table, d) for d in parts.get(_ALL, [])]
         return spark.read.parquet(*dirs)
+    # the published dtype re-types the reattached partition column
+    # exactly (NULL partitions would otherwise come back as void);
+    # legacy manifests without it keep literal inference
+    dtype = m.get("partition_dtype")
     wanted = (
         {json.dumps(v) for v in partition_values}
         if partition_values is not None
@@ -182,10 +328,11 @@ def read_table(
         if key not in wanted:
             continue
         val = json.loads(key)
+        lit = F.lit(val).cast(dtype) if dtype else F.lit(val)
         for rel in rels:
             pieces.append(
                 spark.read.parquet(os.path.join(table, rel))
-                .withColumn(pcol, F.lit(val))
+                .withColumn(pcol, lit)
             )
     if not pieces:
         raise ValueError(
@@ -203,6 +350,7 @@ def merge_table(
     new_df: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    optimistic: bool = False,
 ) -> dict[str, int]:
     """MERGE with a manifest commit — the same contract and count
     report as merge_into_parquet, zero data renames.
@@ -211,18 +359,48 @@ def merge_table(
     then existing-rows-in-touched ∪ batch rewritten into a fresh
     prefix; the new manifest carries forward every untouched
     partition's existing entries verbatim. Readers on the old manifest
-    keep a consistent snapshot throughout."""
-    with _merge_lock(table):
+    keep a consistent snapshot throughout.
+
+    ``optimistic=True`` drops the coarse single-writer lock: the commit
+    is a manifest-file CAS (_publish_cas — conditional-PUT analog), so
+    CONCURRENT merges touching DISJOINT partitions both land (the loser
+    rebases its carry-forward and retries); merges racing on the same
+    partition raise ConcurrentCommitError and the caller redoes the
+    merge from the fresh snapshot. Requires a partition_col: an
+    unpartitioned merge rewrites the whole table and always
+    conflicts."""
+    import contextlib
+
+    if optimistic and partition_col is None:
+        raise ValueError(
+            "optimistic merges need a partition_col — an unpartitioned "
+            "merge rewrites the whole table and always conflicts"
+        )
+    ctx = contextlib.nullcontext() if optimistic else _merge_lock(table)
+    with ctx:
         new_df = dedupe_new(new_df, key_cols)
         if current_version(table) is None:
             entries = _write_token(new_df, table, partition_col)
-            _publish(
-                table,
-                {"partition_col": partition_col, "partitions": entries},
-            )
+            dtype = _pdtype(new_df, partition_col)
+            if optimistic:
+                _publish_cas(table, partition_col, dtype, entries, {})
+            else:
+                _publish(
+                    table,
+                    {
+                        "partition_col": partition_col,
+                        "partition_dtype": dtype,
+                        "partitions": entries,
+                    },
+                )
             return {"upsertedCount": new_df.count(), "modifiedCount": 0}
 
-        m = read_manifest(table)
+        # optimistic writers base on the max ON-DISK manifest (the
+        # pointer can lag a racing writer's flip) and pin every read
+        # to that version
+        m = read_manifest(
+            table, _max_manifest_version(table) if optimistic else None
+        )
         if m["partition_col"] != partition_col:
             raise ValueError(
                 f"table partitioned by {m['partition_col']!r}, "
@@ -245,7 +423,7 @@ def merge_table(
             present = [k for k in touched_keys if k in m["partitions"]]
             existing = (
                 read_table(
-                    spark, table,
+                    spark, table, version=m["version"],
                     partition_values=[json.loads(k) for k in present],
                 )
                 if present
@@ -256,7 +434,7 @@ def merge_table(
             obs_new = Observation()
             new_df = new_df.observe(obs_new, F.count(F.lit(1)).alias("n"))
             batch_total = None
-            existing = read_table(spark, table)
+            existing = read_table(spark, table, version=m["version"])
 
         key = [F.col(f"n.{k}") == F.col(f"e.{k}") for k in key_cols]
         if existing is not None:
@@ -273,19 +451,33 @@ def merge_table(
             merged = new_df
 
         entries = _write_token(merged, table, partition_col)
-        if partition_col is not None:
-            # carry forward untouched partitions; replace touched ones
-            parts = {
-                k: v
-                for k, v in m["partitions"].items()
-                if k not in touched_keys
-            }
-            parts.update(entries)
+        dtype = m.get("partition_dtype") or _pdtype(new_df, partition_col)
+        if optimistic:
+            # the CAS computes the carry-forward against whatever is
+            # current at commit time and verifies our touched set is
+            # disjoint from everything that changed since our base
+            _publish_cas(
+                table, partition_col, dtype, entries, m["partitions"]
+            )
         else:
-            parts = entries
-        _publish(
-            table, {"partition_col": partition_col, "partitions": parts}
-        )
+            if partition_col is not None:
+                # carry forward untouched partitions; replace touched
+                parts = {
+                    k: v
+                    for k, v in m["partitions"].items()
+                    if k not in touched_keys
+                }
+                parts.update(entries)
+            else:
+                parts = entries
+            _publish(
+                table,
+                {
+                    "partition_col": partition_col,
+                    "partition_dtype": dtype,
+                    "partitions": parts,
+                },
+            )
         if existing is not None:
             matched = _obs_count(obs_exist) - _obs_count(obs_surv)
         else:
@@ -358,7 +550,12 @@ def delete_keys_table(
         else:
             parts = entries
         _publish(
-            table, {"partition_col": partition_col, "partitions": parts}
+            table,
+            {
+                "partition_col": partition_col,
+                "partition_dtype": m.get("partition_dtype"),
+                "partitions": parts,
+            },
         )
         return int(_obs_count(obs_exist) - _obs_count(obs_surv))
 
@@ -372,6 +569,7 @@ def rollback_table(table: str, version: int) -> int:
             table,
             {
                 "partition_col": old["partition_col"],
+                "partition_dtype": old.get("partition_dtype"),
                 "partitions": old["partitions"],
             },
         )

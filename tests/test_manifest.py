@@ -150,3 +150,109 @@ def test_dedupe_within_batch(spark):
     r = merge_table(spark, t, dup, ["k"])
     assert r["upsertedCount"] == 1 and r["modifiedCount"] == 0
     assert read_table(spark, t).count() == 1
+
+
+def test_string_partition_special_chars_and_null(spark):
+    """ADVICE r8: string partition values with Hive-escaped characters,
+    digit-like strings, and NULL must keep ONE manifest key per value
+    across merges (the old digit heuristic turned '0123' into int 123,
+    so a re-merge carried the stale entry forward alongside the new
+    one and pruned reads missed it)."""
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    rows = spark.createDataFrame(
+        [(1, "a:b"), (2, "0123"), (3, None), (4, "plain")],
+        "k long, p string",
+    )
+    merge_table(spark, t, rows, ["k"], partition_col="p")
+    m1 = read_manifest(t)
+    assert set(m1["partitions"]) == {
+        json.dumps("a:b"), json.dumps("0123"), json.dumps(None),
+        json.dumps("plain"),
+    }
+    assert m1["partition_dtype"] == "string"
+    # re-merge updated rows for the tricky values: keys must REPLACE,
+    # never duplicate
+    upd = spark.createDataFrame(
+        [(1, "a:b"), (2, "0123"), (3, None)], "k long, p string"
+    )
+    merge_table(spark, t, upd, ["k"], partition_col="p")
+    m2 = read_manifest(t)
+    assert set(m2["partitions"]) == set(m1["partitions"])
+    for key in (json.dumps("a:b"), json.dumps("0123"), json.dumps(None)):
+        assert m2["partitions"][key] != m1["partitions"][key]
+    # pruned reads resolve the escaped and NULL partitions, typed
+    got = read_table(spark, t, partition_values=["0123"]).collect()
+    assert [(r["k"], r["p"]) for r in got] == [(2, "0123")]
+    got_null = read_table(spark, t, partition_values=[None]).collect()
+    assert [(r["k"], r["p"]) for r in got_null] == [(3, None)]
+    assert dict(read_table(spark, t).dtypes)["p"] == "string"
+
+
+def test_optimistic_concurrent_disjoint_merges_both_survive(spark):
+    """VERDICT r8 task 8: two concurrent optimistic merge_table calls
+    on DISJOINT partitions both land — the manifest-file CAS
+    (conditional-PUT analog) serializes them without the coarse lock;
+    the loser rebases its carry-forward and retries."""
+    import threading
+
+    from hypermap_etl_spark.sources.manifest import _max_manifest_version
+
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    merge_table(
+        spark, t, _rows(spark, [(1, "a", 0), (2, "b", 1)]), ["k"],
+        partition_col="b",
+    )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def _writer(rows):
+        try:
+            barrier.wait(timeout=60)
+            merge_table(
+                spark, t, _rows(spark, rows), ["k"],
+                partition_col="b", optimistic=True,
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    w1 = threading.Thread(target=_writer, args=([[1, "A", 0]],))
+    w2 = threading.Thread(target=_writer, args=([[2, "B", 1]],))
+    w1.start(); w2.start(); w1.join(120); w2.join(120)
+    assert not errs, errs
+    assert _snap(spark, t) == [(1, "A", 0), (2, "B", 1)]
+    # both commits are distinct manifest versions
+    assert _max_manifest_version(t) == 3
+    # no torn state: every historical version still reads whole
+    for v in (1, 2, 3):
+        assert len(_snap(spark, t, version=v)) == 2
+
+
+def test_optimistic_overlapping_merge_conflicts(spark):
+    """A racing commit that changed one of OUR touched partitions must
+    surface as ConcurrentCommitError (our rewrite of that partition was
+    derived from stale rows), never as a silent lost update."""
+    import pytest
+
+    from hypermap_etl_spark.sources.manifest import (
+        ConcurrentCommitError,
+        _publish_cas,
+        read_manifest,
+    )
+
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    merge_table(
+        spark, t, _rows(spark, [(1, "a", 0), (2, "b", 1)]), ["k"],
+        partition_col="b",
+    )
+    base = read_manifest(t)["partitions"]
+    # another writer replaces partition 0 under us
+    merge_table(
+        spark, t, _rows(spark, [(1, "A", 0)]), ["k"],
+        partition_col="b", optimistic=True,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        _publish_cas(
+            t, "b", "int", {json.dumps(0): ["data/stale/b=0"]}, base
+        )
+    # the winner's state is intact
+    assert _snap(spark, t) == [(1, "A", 0), (2, "b", 1)]
