@@ -807,6 +807,7 @@ def cmd_stream(args) -> None:
         q = start_index_stream(
             spark, args.raw, args.table, args.entries, args.checkpoint, trigger,
             on_progress=progress_printer(),
+            entries_strategy=getattr(args, "entries_strategy", "auto"),
         )
     else:
         q = start_ingest_stream(
@@ -2220,6 +2221,13 @@ def main(argv=None) -> None:
     p.add_argument("--timeout", type=int, default=None)
     p.add_argument("--progress-interval", type=float, default=15.0,
                    help="engine status-line cadence, seconds (T5)")
+    p.add_argument("--entries-strategy", default="auto",
+                   choices=["auto", "replay", "delta"],
+                   help="entries maintenance: 'delta' = O(batch) "
+                        "associative merge (needs block-aligned source "
+                        "files), 'replay' = restricted history replay "
+                        "(any layout, the backfill mode), 'auto' = "
+                        "detect the layout from parquet footers")
 
     args = ap.parse_args(argv)
     {

@@ -126,7 +126,11 @@ def test_index_stream_prunes_replay_to_touched_buckets(spark):
         for i in range(2)
     ]
     build_raw_logs(events_df(spark, rows_b0 + rows_b2)).write.mode("append").parquet(src)
-    start_index_stream(spark, src, tbl, ent, ckpt).awaitTermination(240)
+    # strategy pinned: this test asserts REPLAY-path telemetry
+    # (replay_buckets); 'auto' may legitimately pick delta here
+    start_index_stream(
+        spark, src, tbl, ent, ckpt, entries_strategy="replay"
+    ).awaitTermination(240)
 
     # Note on h(20) (lives in bucket 2 only) + its own block in bucket 2
     late = [
@@ -135,7 +139,9 @@ def test_index_stream_prunes_replay_to_touched_buckets(spark):
     ]
     build_raw_logs(events_df(spark, late)).write.mode("append").parquet(src)
     progress = []
-    q = start_index_stream(spark, src, tbl, ent, ckpt, on_progress=progress.append)
+    q = start_index_stream(spark, src, tbl, ent, ckpt,
+                           on_progress=progress.append,
+                           entries_strategy="replay")
     q.awaitTermination(240)
 
     assert progress, "index stream must report per-batch progress (T5)"
@@ -390,3 +396,110 @@ def test_streaming_index_delta_strategy_matches_batch(spark):
             assert g[fld] == e[fld], (k, fld, g[fld], e[fld])
         assert sorted(g["children"]) == sorted(e["children"])
         assert g["facts"] == e["facts"] and g["notes"] == e["notes"]
+
+
+def test_auto_strategy_picks_delta_on_chain_scan_layout(spark):
+    """VERDICT r8 task 3: the default 'auto' strategy detects the
+    chain-scan writer's one-sorted-file-per-range layout (disjoint
+    per-file block spans, mtime order = block order) from parquet
+    footers alone and runs the O(batch) delta path — no side-index
+    lookups, no history replay — and the result still equals the batch
+    recompute."""
+    import time as _time
+
+    from hypermap_etl_spark.operators.decode import parse_raw_logs
+    from hypermap_etl_spark.streaming.scan import (
+        source_layout_block_aligned,
+        start_index_stream,
+    )
+
+    rows = sorted(
+        _fixture_rows(), key=lambda r: (r["blockNumber"], r["logIndex"])
+    )
+    chunks = [
+        [r for r in rows if r["blockNumber"] <= 15],
+        [r for r in rows if 15 < r["blockNumber"] <= 19],
+        [r for r in rows if r["blockNumber"] > 19],
+    ]
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = (
+        f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    )
+    os.makedirs(src)
+    for c in chunks:
+        build_raw_logs(events_df(spark, c)).repartition(
+            1
+        ).sortWithinPartitions("blockNumber").write.mode("append").parquet(
+            src
+        )
+        _time.sleep(0.05)  # distinct mtimes, as a polling writer has
+    assert source_layout_block_aligned(src) is True
+    progress = []
+    q = start_index_stream(
+        spark, src, tbl, ent, ckpt, on_progress=progress.append
+    )
+    q.awaitTermination(240)
+    assert progress and all(
+        p["entries_strategy"] == "delta" for p in progress
+    )
+    assert all(p["replay_buckets"] is None for p in progress)
+
+    expected_events = parse_raw_logs(build_raw_logs(events_df(spark, rows)))
+    expected = {
+        r["namehash"]: r.asDict()
+        for r in materialize_entries(expected_events).collect()
+    }
+    got = {r["namehash"]: r.asDict() for r in spark.read.parquet(ent).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        for fld in ("label", "parentHash", "owner", "gene",
+                    "creationBlock", "lastUpdateBlock"):
+            assert got[k][fld] == expected[k][fld], (k, fld)
+
+
+def test_auto_strategy_falls_back_to_replay_on_shuffled_layout(spark):
+    """A source whose files have OVERLAPPING block spans (a range
+    re-written as shuffled part files) fails the layout check, so
+    'auto' runs replay — which is indifferent to layout — and still
+    matches the batch recompute."""
+    from hypermap_etl_spark.operators.decode import parse_raw_logs
+    from hypermap_etl_spark.streaming.scan import (
+        source_layout_block_aligned,
+        start_index_stream,
+    )
+
+    rows = _fixture_rows()
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = (
+        f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    )
+    os.makedirs(src)
+    # two chunks whose block ranges interleave (rows[:8] spans 10..20,
+    # rows[8:] spans 17..25) — each possibly multi-file too
+    build_raw_logs(events_df(spark, rows[:8])).write.mode("append").parquet(src)
+    build_raw_logs(events_df(spark, rows[8:])).write.mode("append").parquet(src)
+    assert source_layout_block_aligned(src) is False
+    progress = []
+    q = start_index_stream(
+        spark, src, tbl, ent, ckpt, on_progress=progress.append
+    )
+    q.awaitTermination(240)
+    assert progress and all(
+        p["entries_strategy"] == "replay" for p in progress
+    )
+
+    expected_events = parse_raw_logs(build_raw_logs(events_df(spark, rows)))
+    expected = {
+        r["namehash"]: r.asDict()
+        for r in materialize_entries(expected_events).collect()
+    }
+    got = {r["namehash"]: r.asDict() for r in spark.read.parquet(ent).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k]["label"] == expected[k]["label"]
+
+
+def test_auto_strategy_empty_source_has_no_evidence(spark):
+    from hypermap_etl_spark.streaming.scan import source_layout_block_aligned
+
+    assert source_layout_block_aligned(tempfile.mkdtemp()) is False
