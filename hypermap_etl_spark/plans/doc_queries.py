@@ -5063,6 +5063,123 @@ FROM d ORDER BY media_id
 """
 
 
+def doc_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of the AUDIO decode path
+    (multimodal.decode_audio) with REAL container-header parsing
+    (VERDICT r8 task 7, mirroring doc_media_decode's image gate):
+    documents become a derived audio frame whose payload carries a
+    genuine WAV/RIFF fmt+data header, a bare MPEG-1 Layer III frame
+    header, or an ID3v2-prefixed one (doc_id % 4 picks the branch;
+    rate/channels/bitrate are baked into the BYTES from doc_id) over
+    the UTF-8 text as sample body — all reproducible in DuckDB via
+    unhex(...) || encode(text). Metadata on the parseable rows is
+    deliberately WRONG (9999), so the gate only matches if
+    decode_audio truly parses the header bytes; the fourth branch is a
+    headerless payload exercising the metadata fallback. Pins: RIFF
+    chunk walk + little-endian field extraction, exact data/byte-rate
+    duration, MPEG bitrate/sample-rate index tables, channel-mode
+    bits, ID3v2 syncsafe skip, CBR duration estimate, byte counting,
+    and the fallback."""
+    from hypermap_etl_spark.operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "UTF-8")
+    blen = F.length(body).cast("long")
+    branch = F.col("doc_id") % 4
+
+    def le16(col):
+        hx = F.lpad(F.lower(F.hex(col.cast("long"))), 4, "0")
+        return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+    def le32(col):
+        hx = F.lpad(F.lower(F.hex(col.cast("long"))), 8, "0")
+        return F.concat(
+            F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+        )
+
+    # WAV: RIFF size + WAVE + canonical 16-byte PCM fmt chunk + data
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(44100)
+    ).cast("long")
+    channels = (F.col("doc_id") % 2 + 1).cast("long")
+    byte_rate = rate * channels * 2
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(blen + 36), F.lit("57415645"),
+        F.lit("666d7420" "10000000" "0100"),
+        le16(channels), le32(rate), le32(byte_rate), le16(channels * 2),
+        F.lit("1000" "64617461"), le32(blen),
+    )
+    # MP3: sync+V1+LayerIII (fffb), bitrate idx 9..13, sr idx 0..2,
+    # channel-mode byte; branch 2 prefixes a 20-byte ID3v2 tag
+    byte2 = ((F.col("doc_id") % 5 + 9) * 16 + (F.col("doc_id") % 3) * 4).cast(
+        "long"
+    )
+    mp3_hex = F.concat(
+        F.lit("fffb"),
+        F.lpad(F.lower(F.hex(byte2)), 2, "0"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("c0")).otherwise(F.lit("00")),
+    )
+    id3_hex = F.concat(F.lit("494433" "0300" "00" "00000014"), F.lit("00" * 20))
+    payload = (
+        F.when(branch == 0, F.concat(F.unhex(wav_hex), body))
+        .when(branch == 1, F.concat(F.unhex(mp3_hex), body))
+        .when(branch == 2, F.concat(F.unhex(id3_hex), F.unhex(mp3_hex), body))
+        .otherwise(body)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.lit("audio/fake").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(branch == 3, F.col("doc_id") * 7)
+            .otherwise(F.lit(9999)).cast("long").alias("duration_ms"),
+            F.when(branch == 3, F.lit(4242))
+            .otherwise(F.lit(9999)).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return decode_audio(media, strict=False).orderBy("media_id")
+
+
+DOC_MEDIA_AUDIO_ORACLE = """
+WITH m AS (
+  -- payload = header-bytes || UTF-8 text; every header field is baked
+  -- from doc_id, so the oracle knows the parse results by
+  -- construction. Header byte counts: WAV 44, bare MP3 4, ID3+MP3 34,
+  -- headerless 0. MP3 duration is the CBR estimate over the bytes
+  -- AFTER the ID3 tag: (blen+4)*8 // kbps for both MP3 branches.
+  SELECT doc_id AS media_id, 'audio' AS kind,
+         octet_length(encode(text)) AS blen, doc_id % 4 AS br,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+              ELSE 44100 END AS wav_rate,
+         doc_id % 2 + 1 AS ch,
+         CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+              WHEN 3 THEN 224 ELSE 256 END AS kbps,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS mp3_rate
+  FROM documents
+)
+SELECT media_id, kind,
+       CASE br WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' WHEN 2 THEN 'mp3' END
+         AS fmt,
+       CAST(CASE br WHEN 0 THEN wav_rate WHEN 3 THEN 4242
+            ELSE mp3_rate END AS INT) AS sample_rate,
+       CAST(CASE WHEN br = 3 THEN NULL ELSE ch END AS INT) AS channels,
+       CAST(CASE br
+            WHEN 0 THEN (blen * 1000) // (wav_rate * ch * 2)
+            WHEN 3 THEN media_id * 7
+            ELSE ((blen + 4) * 8) // kbps END AS BIGINT) AS duration_ms,
+       CAST(blen + CASE br WHEN 0 THEN 44 WHEN 1 THEN 4 WHEN 2 THEN 34
+                   ELSE 0 END AS BIGINT) AS n_bytes
+FROM m ORDER BY media_id
+"""
+
+
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomena share per source: the fraction of each source's
     vocabulary seen exactly once (and its share of token mass) — a
@@ -6141,6 +6258,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_sppmi_matrix": (doc_sppmi_matrix, SPPMI_ORACLE),
     "doc_negative_sampling": (doc_negative_sampling, NEG_SAMPLING_ORACLE),
     "doc_media_decode": (doc_media_decode, _media_decode_oracle()),
+    "doc_media_audio": (doc_media_audio, DOC_MEDIA_AUDIO_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),

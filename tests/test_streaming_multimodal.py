@@ -306,3 +306,103 @@ def test_decode_media_parses_header_over_lying_metadata(spark):
     out = {r["media_id"]: r.asDict() for r in decode_media(df).collect()}
     assert out[1]["fmt"] == "png" and out[1]["width"] == 123 and out[1]["height"] == 45
     assert out[2]["fmt"] is None and out[2]["width"] == 77 and out[2]["height"] == 88
+
+
+def _wav_bytes(rate=22050, channels=2, data=b"abcdef", extra_chunk=False):
+    byte_rate = rate * channels * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    pre = b""
+    if extra_chunk:  # odd-sized chunk before fmt: exercises word align
+        pre = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    body = b"WAVE" + pre + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _mp3_bytes(br_idx=9, sr_idx=0, mono=True, body=b"x" * 100, id3=0):
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                 0xC0 if mono else 0x00])
+    pre = b""
+    if id3:
+        pre = (b"ID3" + bytes([3, 0, 0])
+               + bytes([(id3 >> 21) & 0x7F, (id3 >> 14) & 0x7F,
+                        (id3 >> 7) & 0x7F, id3 & 0x7F]) + b"\x00" * id3)
+    return pre + hdr + body
+
+
+def test_parse_audio_header_wav():
+    from hypermap_etl_spark.operators.multimodal import parse_audio_header
+
+    got = parse_audio_header(_wav_bytes(rate=8000, channels=1, data=b"z" * 4000))
+    assert got == {"fmt": "wav", "sample_rate": 8000, "channels": 1,
+                   "duration_ms": 4000 * 1000 // (8000 * 1 * 2)}
+    # chunk walk skips unknown odd-sized chunks with word alignment
+    got = parse_audio_header(_wav_bytes(rate=44100, channels=2,
+                                        data=b"q" * 17, extra_chunk=True))
+    assert got["sample_rate"] == 44100 and got["channels"] == 2
+    assert got["duration_ms"] == 17 * 1000 // (44100 * 2 * 2)
+
+
+def test_parse_audio_header_mp3_and_id3_skip():
+    from hypermap_etl_spark.operators.multimodal import parse_audio_header
+
+    # V1 Layer III, idx 9 = 128 kbps, sr_idx 0 = 44100, mono
+    got = parse_audio_header(_mp3_bytes(br_idx=9, sr_idx=0, mono=True,
+                                        body=b"x" * 1596))
+    assert got == {"fmt": "mp3", "sample_rate": 44100, "channels": 1,
+                   "duration_ms": 1600 * 8 // 128}
+    # stereo + different indexes, behind an ID3v2 tag (tag bytes are
+    # NOT audio: duration counts from the frame header)
+    got = parse_audio_header(_mp3_bytes(br_idx=11, sr_idx=1, mono=False,
+                                        body=b"y" * 96, id3=40))
+    assert got == {"fmt": "mp3", "sample_rate": 48000, "channels": 2,
+                   "duration_ms": 100 * 8 // 192}
+
+
+def test_parse_audio_header_rejects_garbage():
+    from hypermap_etl_spark.operators.multimodal import parse_audio_header
+
+    assert parse_audio_header(None) is None
+    assert parse_audio_header(b"") is None
+    assert parse_audio_header(b"RIFFxxxxWAV?" + b"\x00" * 40) is None
+    assert parse_audio_header(b"RIFF\x04\x00\x00\x00WAVE") is None  # no fmt
+    # reserved version bits / bad bitrate index / bad sr index
+    assert parse_audio_header(bytes([0xFF, 0xEB, 0x90, 0xC0]) + b"x" * 50) is None
+    assert parse_audio_header(bytes([0xFF, 0xFB, 0xF0, 0xC0]) + b"x" * 50) is None
+    assert parse_audio_header(bytes([0xFF, 0xFB, 0x9C, 0xC0]) + b"x" * 50) is None
+    # ID3 with a non-syncsafe size byte is not a valid tag
+    assert parse_audio_header(b"ID3\x03\x00\x00\x00\x00\x00\x80" + b"x" * 50) is None
+    assert parse_audio_header(b"plain text, no container") is None
+
+
+def test_decode_audio_parses_header_over_lying_metadata(spark):
+    from hypermap_etl_spark.operators.multimodal import decode_audio
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(rate=8000, channels=1,
+                                          data=b"z" * 800)),
+         "audio/wav", (None, None, 9999, 9999)),
+        (2, "audio", bytearray(_mp3_bytes(br_idx=9, sr_idx=2, mono=False,
+                                          body=b"b" * 60)),
+         "audio/mpeg", (None, None, 9999, 9999)),
+        # headerless: metadata fallback (channels unknowable)
+        (3, "audio", bytearray(b"not a container"), "audio/x",
+         (None, None, 1234, 4242)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in decode_audio(df).collect()}
+    assert got[1]["fmt"] == "wav" and got[1]["sample_rate"] == 8000
+    assert got[1]["channels"] == 1 and got[1]["duration_ms"] == 50
+    assert got[2]["fmt"] == "mp3" and got[2]["sample_rate"] == 32000
+    assert got[2]["channels"] == 2
+    assert got[3]["fmt"] is None and got[3]["sample_rate"] == 4242
+    assert got[3]["duration_ms"] == 1234 and got[3]["channels"] is None
+    # strict mode refuses the unparseable payload loudly
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio(df, strict=True).collect()
