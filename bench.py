@@ -167,25 +167,26 @@ def main() -> None:
     # fold + associative merge with stored rows, NO history replay —
     # its cost does not reference history length at all) stays flat.
 
-    def _hm_log4(spark, sf_dir):
-        """The 1x log plus three block-shifted copies BELOW it — same
-        keyspace, 4x-longer per-key histories (what a mature chain
-        looks like vs the fixture's young one). Shifts keep every
-        batch block above every history block, so the append-only
-        contract the delta merge requires still holds."""
+    def _hm_logx(spark, sf_dir, mult):
+        """The 1x log plus (mult-1) block-shifted copies BELOW it —
+        same keyspace, mult-x-longer per-key histories (what a mature
+        chain looks like vs the fixture's young one). Shifts keep
+        every batch block above every history block, so the
+        append-only contract the delta merge requires still holds."""
         from pyspark.sql import functions as F
 
         from hypermap_etl_spark.plans.hm_derive import hm_events_df
 
-        if "hm_log4" in _BUILT_VALS:
-            return _BUILT_VALS["hm_log4"]
+        key = f"hm_log{mult}"
+        if key in _BUILT_VALS:
+            return _BUILT_VALS[key]
         hm = hm_events_df(spark, sf_dir)
         r = hm.agg(
             F.min("blockNumber").alias("lo"), F.max("blockNumber").alias("hi")
         ).collect()[0]
         span = int(r["hi"] - r["lo"] + 1)
         out = hm
-        for i in (1, 2, 3):
+        for i in range(1, mult):
             out = out.unionByName(
                 hm.withColumn(
                     "blockNumber", F.col("blockNumber") - F.lit(i * span)
@@ -196,11 +197,14 @@ def main() -> None:
         # a 6x re-derivation, so the fair comparator folds cached rows
         out = out.cache()
         out.count()
-        _BUILT_VALS["hm_log4"] = out
+        _BUILT_VALS[key] = out
         return out
 
-    def _hm4_setup(spark, sf_dir):
-        """One-time: the 4x-history base entries table (a real lake
+    def _hm_log4(spark, sf_dir):
+        return _hm_logx(spark, sf_dir, 4)
+
+    def _hmx_setup(spark, sf_dir, mult):
+        """One-time: the mult-x-history base entries table (a real lake
         amortizes this across every batch) + the cut the 0.5% batch
         hangs off. Returns (entries_path, cut)."""
         import shutil
@@ -216,31 +220,36 @@ def main() -> None:
 
         sf_tag = os.path.basename(sf_dir.rstrip("/"))
         path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_bench_entries4_{sf_tag}"
+            tempfile.gettempdir(),
+            f"spark_graft_bench_entries{mult}_{sf_tag}",
         )
-        if f"hm4_{sf_tag}" not in _BUILT_STORES:
-            hm = hm_events_df(spark, sf_dir)
-            cut = hm.agg(
-                F.expr("percentile_approx(blockNumber, 0.995)").alias("c")
-            ).collect()[0]["c"]
-            _BUILT_VALS["hm4_cut"] = cut
+        if f"hm{mult}_{sf_tag}" not in _BUILT_STORES:
+            if "hmx_cut" not in _BUILT_VALS:
+                hm = hm_events_df(spark, sf_dir)
+                _BUILT_VALS["hmx_cut"] = hm.agg(
+                    F.expr("percentile_approx(blockNumber, 0.995)").alias("c")
+                ).collect()[0]["c"]
+            cut = _BUILT_VALS["hmx_cut"]
             shutil.rmtree(path, ignore_errors=True)
             base = with_entry_bucket(
                 materialize_entries(
-                    _hm_log4(spark, sf_dir).filter(F.col("blockNumber") <= cut)
+                    _hm_logx(spark, sf_dir, mult).filter(
+                        F.col("blockNumber") <= cut
+                    )
                 ),
                 64,
             )
             base.repartition("entry_bucket").write.mode(
                 "overwrite"
             ).partitionBy("entry_bucket").parquet(path)
-            _BUILT_STORES.add(f"hm4_{sf_tag}")
-        return path, _BUILT_VALS["hm4_cut"]
+            _BUILT_STORES.add(f"hm{mult}_{sf_tag}")
+        return path, _BUILT_VALS["hmx_cut"]
 
-    def hm_incremental_small_bench(spark, sf_dir):
-        """0.5%-of-blocks batch upsert into the standing 4x-history
-        entries table via the DELTA path — must beat
-        hm_refold_write_4x, the nightly recompute it replaces."""
+    def _hm_incremental_small(spark, sf_dir, mult):
+        """0.5%-of-blocks batch upsert into the standing mult-x-history
+        entries table via the DELTA path — must beat the same-history
+        refold, the nightly recompute it replaces, and stay FLAT as
+        mult grows (its plan never references history length)."""
         from pyspark.sql import functions as F
 
         from hypermap_etl_spark.operators.materialize import (
@@ -248,17 +257,23 @@ def main() -> None:
         )
         from hypermap_etl_spark.plans.hm_derive import hm_events_df
 
-        path, cut = _hm4_setup(spark, sf_dir)
+        path, cut = _hmx_setup(spark, sf_dir, mult)
         batch = hm_events_df(spark, sf_dir).filter(F.col("blockNumber") > cut)
         counts = incremental_entries_delta(
             spark, path, batch, entry_buckets=64
         )
         return spark.createDataFrame([counts])
 
-    def hm_refold_write_4x(spark, sf_dir):
-        """The comparator: full M1-M9 refold over the 4x history plus
-        the full bucketed table write — what a nightly recompute pays
-        per run, however small the day's delta."""
+    def hm_incremental_small_bench(spark, sf_dir):
+        return _hm_incremental_small(spark, sf_dir, 4)
+
+    def hm_incremental_small_16x_bench(spark, sf_dir):
+        return _hm_incremental_small(spark, sf_dir, 16)
+
+    def _hm_refold_write_x(spark, sf_dir, mult):
+        """The comparator: full M1-M9 refold over the mult-x history
+        plus the full bucketed table write — what a nightly recompute
+        pays per run, however small the day's delta."""
         import shutil
         import tempfile
 
@@ -267,15 +282,23 @@ def main() -> None:
             with_entry_bucket,
         )
 
-        out = os.path.join(tempfile.gettempdir(), "spark_graft_bench_refold4")
+        out = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_refold{mult}"
+        )
         shutil.rmtree(out, ignore_errors=True)
         full = with_entry_bucket(
-            materialize_entries(_hm_log4(spark, sf_dir)), 64
+            materialize_entries(_hm_logx(spark, sf_dir, mult)), 64
         )
         full.repartition("entry_bucket").write.mode("overwrite").partitionBy(
             "entry_bucket"
         ).parquet(out)
         return spark.read.parquet(out)
+
+    def hm_refold_write_4x(spark, sf_dir):
+        return _hm_refold_write_x(spark, sf_dir, 4)
+
+    def hm_refold_write_16x(spark, sf_dir):
+        return _hm_refold_write_x(spark, sf_dir, 16)
 
     def hm_refold_write(spark, sf_dir):
         """The 1x-history refold+write — the floor the incremental
@@ -409,6 +432,13 @@ def main() -> None:
         "hm_incremental_small": hm_incremental_small_bench,
         "hm_refold_write_4x": hm_refold_write_4x,
         "hm_refold_write": hm_refold_write,
+        # r9 (VERDICT r8 task 5): the third crossover point — 16x
+        # history. The refold's cost keeps growing with |log| while the
+        # SAME 0.5% delta batch stays flat (its plan never references
+        # history length); three points make the flat-vs-linear
+        # separation a curve, not a two-point claim.
+        "hm_refold_write_16x": hm_refold_write_16x,
+        "hm_incremental_small_16x": hm_incremental_small_16x_bench,
         # r7 continuation: the iterative-loop graph family gets
         # wall-time numbers — multi-source BFS (fixpoint early exit)
         # and deterministic LPA (fixed 4 rounds), both the
@@ -457,26 +487,37 @@ def main() -> None:
         "ivf_build",
         "hm_incremental",
         "hm_incremental_small",
+        "hm_incremental_small_16x",
         "hm_refold_write",
         "incremental_dedup",
     }
 
     from hypermap_etl_spark.util import release_persisted
 
+    # VERDICT r8 task 4: the JSON carries EVERY repeat's timing per
+    # entry ("runs"), not just the winner — the microVM shows 2-4x
+    # host-steal swings on identical code, and a future reader needs
+    # the dispersion to separate regression from steal. "queries" stays
+    # best-of-N for round-over-round comparability.
     timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
     for name, fn in bench.items():
-        best, n = None, 0
+        runs: list[float] = []
+        n = 0
         for _ in range(3 if name in _RUNS_3 else 2):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(round(time.perf_counter() - t0, 3))
         # release operator-persisted frames between queries so one
         # query's cache never skews (or starves) the next; within a
         # query the later runs legitimately reuse the cache (warm run)
         release_persisted()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+        timings[name] = min(runs)
+        runs_all[name] = runs
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows) runs={runs}",
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     # core8 keeps its original membership for round-over-round
@@ -501,6 +542,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs_all,
                 "core8_total": core8,
                 "sf": sf,
             }
