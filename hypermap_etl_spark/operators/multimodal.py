@@ -188,6 +188,77 @@ def parse_audio_header(payload: bytes | None) -> dict | None:
             "duration_ms": dur}
 
 
+def parse_video_header(payload: bytes | None) -> dict | None:
+    """MP4/ISO-BMFF container facts from raw bytes — stdlib only, same
+    honesty rules as the image/audio parsers (frame decode stays out).
+
+    ISO/IEC 14496-12 box walk: 4-byte big-endian size + 4-byte type
+    (size 1 → 64-bit largesize follows; size 0 → to end). The file
+    must start with ``ftyp``; inside ``moov``, ``mvhd`` gives
+    duration/timescale (version 0: 32-bit fields at +12/+16 after
+    version+flags; version 1: 64-bit creation/modification push
+    timescale to +20 and a 64-bit duration to +24), and the first
+    ``trak``/``tkhd`` with a nonzero presentation size gives
+    width/height as 16.16 fixed point at +76/+80 (v0) or +88/+92 (v1)
+    — audio tracks carry zero there, which is how the video track is
+    found without the deeper hdlr walk.
+
+    Returns {fmt:'mp4', width, height, duration_ms} (dims or duration
+    may be None when the boxes are absent) or None for payloads that
+    are not a BMFF container. Never raises on truncation."""
+    if not payload or len(payload) < 16:
+        return None
+    b = bytes(payload)
+    if b[4:8] != b"ftyp":
+        return None
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i:i + 4], "big")
+            typ = b[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size = int.from_bytes(b[i + 8:i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = hi - i
+            if size < hdr or i + size > hi:
+                return
+            yield typ, i + hdr, i + size
+            i += size
+
+    out = {"fmt": "mp4", "width": None, "height": None, "duration_ms": None}
+
+    def walk(lo: int, hi: int) -> None:
+        for typ, l, h2 in boxes(lo, hi):
+            if typ == b"mvhd" and h2 - l >= 20:
+                ver = b[l]
+                if ver == 1 and h2 - l >= 32:
+                    ts = int.from_bytes(b[l + 20:l + 24], "big")
+                    dur = int.from_bytes(b[l + 24:l + 32], "big")
+                else:
+                    ts = int.from_bytes(b[l + 12:l + 16], "big")
+                    dur = int.from_bytes(b[l + 16:l + 20], "big")
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd":
+                ver = b[l] if h2 > l else 0
+                off = l + (88 if ver == 1 else 76)
+                if h2 - off >= 8 and out["width"] is None:
+                    w = int.from_bytes(b[off:off + 4], "big") >> 16
+                    h = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                    if w and h:
+                        out["width"], out["height"] = w, h
+            elif typ in (b"moov", b"trak", b"mdia"):
+                walk(l, h2)
+
+    walk(0, len(b))
+    return out
+
+
 AUDIO_DECODE_OUTPUT_SCHEMA = (
     "media_id long, kind string, fmt string, sample_rate int, "
     "channels int, duration_ms long, n_bytes long"
@@ -282,6 +353,15 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             fmts: list[str | None] = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
                 hdr = parse_image_header(p)
+                if hdr is None:
+                    # MP4 presentation size counts as a parsed header
+                    # too (video rows ride the same decode); a BMFF
+                    # container without tkhd dims falls through to the
+                    # metadata fallback like any unparseable payload
+                    vh = parse_video_header(p)
+                    if vh is not None and vh["width"] is not None:
+                        hdr = {"fmt": vh["fmt"], "width": vh["width"],
+                               "height": vh["height"]}
                 if hdr is not None:
                     fmts.append(hdr["fmt"])
                     widths.append(hdr["width"])

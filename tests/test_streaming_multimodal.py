@@ -406,3 +406,74 @@ def test_decode_audio_parses_header_over_lying_metadata(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_audio(df, strict=True).collect()
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _mp4_bytes(width=640, height=360, timescale=1000, duration=42_000,
+               mvhd_v1=False, tkhd_v1=False, audio_track_first=False):
+    if mvhd_v1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big"))
+    else:
+        mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big"))
+
+    def tkhd(w, h, v1=False):
+        if v1:
+            body = b"\x01" + b"\x00" * 3 + b"\x00" * 32 + b"\x00" * 16 + b"\x00" * 36
+        else:
+            body = b"\x00" + b"\x00" * 3 + b"\x00" * 20 + b"\x00" * 16 + b"\x00" * 36
+        body += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        return _box(b"tkhd", body)
+
+    traks = b""
+    if audio_track_first:  # zero presentation size, like real audio tracks
+        traks += _box(b"trak", tkhd(0, 0))
+    traks += _box(b"trak", tkhd(width, height, v1=tkhd_v1))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + traks)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", b"fake-samples")
+
+
+def test_parse_video_header_mp4():
+    from hypermap_etl_spark.operators.multimodal import parse_video_header
+
+    got = parse_video_header(_mp4_bytes())
+    assert got == {"fmt": "mp4", "width": 640, "height": 360,
+                   "duration_ms": 42_000}
+    # version-1 boxes (64-bit times) and an audio track in front
+    got = parse_video_header(
+        _mp4_bytes(width=1920, height=1080, timescale=90_000,
+                   duration=90_000 * 7 + 45_000, mvhd_v1=True, tkhd_v1=True,
+                   audio_track_first=True)
+    )
+    assert got == {"fmt": "mp4", "width": 1920, "height": 1080,
+                   "duration_ms": 7_500}
+    # not a BMFF container / truncated
+    assert parse_video_header(b"RIFFxxxxAVI LIST") is None
+    assert parse_video_header(_mp4_bytes()[:10]) is None
+    assert parse_video_header(None) is None
+    # a box whose declared size overruns the payload stops the walk
+    # instead of raising
+    broken = bytearray(_mp4_bytes())
+    # moov starts right after the 24-byte ftyp box; corrupt its size
+    broken[24:28] = (2**30).to_bytes(4, "big")
+    got = parse_video_header(bytes(broken))
+    assert got == {"fmt": "mp4", "width": None, "height": None,
+                   "duration_ms": None}
+
+
+def test_decode_media_uses_mp4_dims_over_lying_metadata(spark):
+    from hypermap_etl_spark.operators.multimodal import decode_media
+
+    rows = [
+        (7, "video", bytearray(_mp4_bytes(width=320, height=240)),
+         "video/mp4", (9999, 9999, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(df).collect()[0]
+    assert got["fmt"] == "mp4"
+    assert got["width"] == 320 and got["height"] == 240
