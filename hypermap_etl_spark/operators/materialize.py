@@ -561,11 +561,45 @@ def incremental_entries_delta_manifest(
     ptable = _pending_path(table)
     pending = _pending_manifest_read(spark, ptable)
     had_pending = pending is not None
+
+    # stored rows first, pruned by the BATCH's touched keys (equal to
+    # the fold input's touched set — retried rows' targets are the
+    # batch's own minted keys), so the retry split below can drop
+    # crash-window stale rows whose target is already stored
+    stored_touched = None
+    stored_keys = None
+    if M.current_version(table) is not None:
+        keys = touched_namehashes(new_events)
+        kb = with_entry_bucket(keys, entry_buckets)
+        buckets = [
+            r[0] for r in kb.select("entry_bucket").distinct().collect()
+        ]
+        m = M.read_manifest(table)
+        present = [b for b in buckets if _json.dumps(b) in m["partitions"]]
+        if present:
+            stored_touched = (
+                M.read_table(spark, table, partition_values=present)
+                .drop("entry_bucket")
+                .join(F.broadcast(keys), "namehash", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            stored_keys = stored_touched.select("namehash")
+
     leftover = None
     if had_pending:
         retriable, leftover = _split_retriable_pending(
             pending, new_events, root_hash
         )
+        if stored_keys is not None:
+            # staleness guard — same invariant as the plain path: a
+            # stored target means the row was already applied; only a
+            # crashed-and-never-redelivered pending publish leaves it
+            # here, and re-folding it would replay an old write
+            sk = F.broadcast(stored_keys)
+            tagged = retriable.withColumn("__t", _write_target())
+            retriable = tagged.join(
+                sk, tagged["__t"] == sk["namehash"], "left_anti"
+            ).drop("__t")
         new_events = new_events.unionByName(
             retriable, allowMissingColumns=True
         )
@@ -597,38 +631,20 @@ def incremental_entries_delta_manifest(
             "modifiedCount": 0,
         }
 
-    new_events = new_events.localCheckpoint(eager=True)
-    stored_touched = None
-    stored_keys = None
     try:
-        if M.current_version(table) is None:
+        new_events = new_events.localCheckpoint(eager=True)
+    except Exception:
+        if stored_touched is not None:
+            release_local_checkpoint(stored_touched)
+        raise
+    try:
+        if stored_touched is None:
             updated = materialize_entries(new_events, root_hash)
         else:
-            keys = touched_namehashes(new_events)
-            kb = with_entry_bucket(keys, entry_buckets)
-            buckets = [
-                r[0] for r in kb.select("entry_bucket").distinct().collect()
-            ]
-            m = M.read_manifest(table)
-            present = [
-                b for b in buckets if _json.dumps(b) in m["partitions"]
-            ]
-            if present:
-                stored_touched = (
-                    M.read_table(spark, table, partition_values=present)
-                    .drop("entry_bucket")
-                    .join(F.broadcast(keys), "namehash", "left_semi")
-                    .localCheckpoint(eager=True)
-                )
-                stored_keys = stored_touched.select("namehash")
-                partial = materialize_entries(
-                    new_events, root_hash, known_extra=stored_keys
-                )
-                updated = merge_entry_states(
-                    stored_touched, partial, root_hash
-                )
-            else:
-                updated = materialize_entries(new_events, root_hash)
+            partial = materialize_entries(
+                new_events, root_hash, known_extra=stored_keys
+            )
+            updated = merge_entry_states(stored_touched, partial, root_hash)
         updated = with_entry_bucket(updated, entry_buckets).repartition(
             "entry_bucket"
         )
@@ -836,45 +852,75 @@ def incremental_entries_delta(
     pending_path = _pending_path(entries_path)
     pending = _read_pending(spark, pending_path)
     had_pending = pending is not None
-    leftover = None
-    if had_pending:
-        # only pending rows whose target this batch introduces re-enter
-        # the fold; the rest stay parked at the cost of ONE semi-join
-        # scan (never a fold) — see _split_retriable_pending
-        retriable, leftover = _split_retriable_pending(
-            pending, new_events, root_hash
-        )
-        events_in = new_events.unionByName(
-            retriable, allowMissingColumns=True
-        )
-    else:
-        events_in = new_events
-    events_in = events_in.localCheckpoint(eager=True)
 
+    # the stored rows are read FIRST, pruned by the BATCH's touched
+    # keys — equal to the fold input's touched set, because retried
+    # pending rows' targets are batch-minted keys (childhash or
+    # parenthash of the batch's mints), already in the batch's own
+    # write set — so the stale-drop below can consult stored keys
+    # before the fold input is assembled
     stored_touched = None
-    try:
-        if not _os.path.exists(entries_path):
-            updated = materialize_entries(events_in, root_hash)
-            stored_keys = None
+    stored_keys = None
+    if _os.path.exists(entries_path):
+        keys = touched_namehashes(new_events)
+        if entry_buckets:
+            kb = with_entry_bucket(keys, entry_buckets)
+            buckets = [
+                r[0]
+                for r in kb.select("entry_bucket").distinct().collect()
+            ]
+            stored = (
+                spark.read.parquet(entries_path)
+                .filter(F.col("entry_bucket").isin(buckets))
+                .drop("entry_bucket")
+            )
         else:
-            keys = touched_namehashes(events_in)
-            if entry_buckets:
-                kb = with_entry_bucket(keys, entry_buckets)
-                buckets = [
-                    r[0]
-                    for r in kb.select("entry_bucket").distinct().collect()
-                ]
-                stored = (
-                    spark.read.parquet(entries_path)
-                    .filter(F.col("entry_bucket").isin(buckets))
-                    .drop("entry_bucket")
-                )
-            else:
-                stored = spark.read.parquet(entries_path)
-            stored_touched = stored.join(
-                F.broadcast(keys), "namehash", "left_semi"
-            ).localCheckpoint(eager=True)
-            stored_keys = stored_touched.select("namehash")
+            stored = spark.read.parquet(entries_path)
+        stored_touched = stored.join(
+            F.broadcast(keys), "namehash", "left_semi"
+        ).localCheckpoint(eager=True)
+        stored_keys = stored_touched.select("namehash")
+
+    leftover = None
+    try:
+        if had_pending:
+            # only pending rows whose target this batch introduces
+            # re-enter the fold; the rest stay parked at the cost of
+            # ONE semi-join scan (never a fold) —
+            # see _split_retriable_pending
+            retriable, leftover = _split_retriable_pending(
+                pending, new_events, root_hash
+            )
+            if stored_keys is not None:
+                # crash-window staleness guard: a pending row whose
+                # target is ALREADY STORED was necessarily applied by
+                # the batch that minted that target (rows park only
+                # while the target is unknown, and the merge lands
+                # before the pending store is replaced) — it survives
+                # here only when that batch's pending publish crashed
+                # and the batch was never redelivered. Re-folding it on
+                # a later repeat-Mint would replay an OLD write over
+                # newer stored state; drop it.
+                sk = F.broadcast(stored_keys)
+                tagged = retriable.withColumn("__t", _write_target())
+                retriable = tagged.join(
+                    sk, tagged["__t"] == sk["namehash"], "left_anti"
+                ).drop("__t")
+            events_in = new_events.unionByName(
+                retriable, allowMissingColumns=True
+            )
+        else:
+            events_in = new_events
+        events_in = events_in.localCheckpoint(eager=True)
+    except Exception:
+        if stored_touched is not None:
+            release_local_checkpoint(stored_touched)
+        raise
+
+    try:
+        if stored_touched is None:
+            updated = materialize_entries(events_in, root_hash)
+        else:
             partial = materialize_entries(
                 events_in, root_hash, known_extra=stored_keys
             )

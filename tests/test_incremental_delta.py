@@ -459,6 +459,69 @@ def test_delta_manifest_pending_is_rename_free_and_crash_safe(
     assert not glob.glob(ptable + "__old_*")
 
 
+def test_stale_pending_row_not_replayed_after_repeat_mint(
+    spark, monkeypatch
+):
+    """Crash-window staleness guard: batch A parks Fact(X,'c',v1);
+    batch B mints X and applies the parked write, but its pending
+    publish CRASHES and B is never redelivered (a contract violation
+    the path still defends against); batch C writes Fact(X,'c',v2);
+    batch D re-mints X. D's retry split sees the stale parked row as
+    retriable (X is in D's batch_known) — without the stored-target
+    guard it would re-fold v1 over the newer v2. A pending row whose
+    target is already stored was necessarily applied; it must be
+    dropped, not replayed."""
+    import os
+
+    from hypermap_etl_spark.operators import materialize as mat
+
+    X = h(25)
+    A = [ev(eventType="Fact", blockNumber=4, logIndex=0, parenthash=X,
+            facthash=h(26), labelhash=h(27), label="c", data="0xv1")]
+    B = [ev(eventType="Mint", blockNumber=10, logIndex=0,
+            parenthash=ROOT_HASH, childhash=X, labelhash=h(28), label="x")]
+    C = [ev(eventType="Fact", blockNumber=100, logIndex=0, parenthash=X,
+            facthash=h(26), labelhash=h(27), label="c", data="0xv2")]
+    D = [ev(eventType="Mint", blockNumber=200, logIndex=0,
+            parenthash=ROOT_HASH, childhash=X, labelhash=h(29),
+            label="x-again")]
+    entries_path = tempfile.mkdtemp() + "/entries"
+    incremental_entries_delta(spark, entries_path, events_df(spark, A))
+    assert spark.read.parquet(entries_path + "__pending").count() == 1
+
+    real_swap = mat._swap_pending
+
+    def _boom(pend, path):
+        raise RuntimeError("simulated crash before pending publish")
+
+    monkeypatch.setattr(mat, "_swap_pending", _boom)
+    try:
+        incremental_entries_delta(spark, entries_path, events_df(spark, B))
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(mat, "_swap_pending", real_swap)
+    # B's merge landed (X exists, v1 applied) but the stale parked row
+    # survived the crash
+    assert _flat(spark.read.parquet(entries_path))[X]["facts"] == (
+        ("c", "0xv1"),
+    )
+    assert spark.read.parquet(entries_path + "__pending").count() == 1
+
+    incremental_entries_delta(spark, entries_path, events_df(spark, C))
+    incremental_entries_delta(spark, entries_path, events_df(spark, D))
+    expected = _flat(materialize_entries(events_df(spark, A + B + C + D)))
+    got = _flat(spark.read.parquet(entries_path))
+    assert got == expected
+    assert got[X]["facts"] == (("c", "0xv2"),)  # v1 NOT replayed
+    assert got[X]["label"] == "x"  # first mint still wins
+    # the stale row was dropped, not carried forever
+    assert (
+        not os.path.isdir(entries_path + "__pending")
+        or spark.read.parquet(entries_path + "__pending").count() == 0
+    )
+
+
 def test_delta_forever_unknown_write_stays_parked(spark):
     """A write whose target is NEVER minted stays parked and never
     surfaces in entries — exactly the full fold's drop, incrementally."""
