@@ -122,10 +122,10 @@ def parse_audio_header(payload: bytes | None) -> dict | None:
     WAV/RIFF: 'RIFF' + size + 'WAVE', then a chunk walk (id + LE32
     size, word-aligned) to the 'fmt ' chunk — channels LE16 at +2,
     sample rate LE32 at +4, byte rate LE32 at +8 — and the 'data'
-    chunk, whose size / byte-rate gives the exact duration
-    (multimedia.cx / RIFF spec; fields per the canonical WAVEFORMAT).
+    chunk, whose size / byte-rate gives the exact duration (fields per
+    the canonical RIFF/WAVEFORMAT layout in the published spec).
     MP3: an optional ID3v2 tag ('ID3' + 6-byte header + syncsafe
-    length, id3.org §3.1) is skipped, then the 4-byte MPEG frame
+    length, ID3v2.3 spec §3.1) is skipped, then the 4-byte MPEG frame
     header (sync 0xFFE, version/layer bits, bitrate + sample-rate
     indexes, channel-mode bits) yields fmt/rate/channels; duration is
     the CBR estimate audio_bytes*8 // bitrate_kbps ms (exact for
