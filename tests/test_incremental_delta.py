@@ -459,6 +459,61 @@ def test_delta_manifest_pending_is_rename_free_and_crash_safe(
     assert not glob.glob(ptable + "__old_*")
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=_event_log(),
+    cuts=st.sets(st.integers(1, 5), max_size=2),
+    crashes=st.sets(st.integers(0, 3), max_size=2),
+)
+def test_delta_crashed_pending_publish_plus_redelivery_equals_full(
+    spark, rows, cuts, crashes
+):
+    """Fuzz the crash contract: for ANY random log, ANY block chop, and
+    ANY subset of batches whose pending publish crashes AFTER the
+    entries merge landed, redelivering the crashed batch (the streaming
+    checkpoint guarantee — foreachBatch did not complete) re-applies it
+    idempotently, retires applied parked rows, re-parks the batch's own
+    still-unknown writes, and the final entries equal the full fold.
+    (A crash can LOSE newly-parked early writes from its own batch —
+    only redelivery restores them, which is why the contract requires
+    it; the no-redelivery staleness case is the directed test above.)"""
+    from hypermap_etl_spark.operators import materialize as mat
+
+    rows = [dict(r) for r in rows]
+    entries_path = tempfile.mkdtemp() + "/entries"
+    srt = sorted(rows, key=lambda r: (r["blockNumber"], r["logIndex"]))
+    real_swap = mat._swap_pending
+
+    def _boom(pend, path):
+        raise RuntimeError("simulated pending-publish crash")
+
+    prev = float("-inf")
+    try:
+        for i, cut in enumerate(sorted(cuts) + [10**9]):
+            batch = [r for r in srt if prev < r["blockNumber"] <= cut]
+            prev = cut
+            if not batch:
+                continue
+            if i in crashes:
+                mat._swap_pending = _boom
+                try:
+                    incremental_entries_delta(
+                        spark, entries_path, events_df(spark, batch)
+                    )
+                except RuntimeError:
+                    pass  # merge landed; pending publish "crashed"
+                mat._swap_pending = real_swap
+                # the streaming checkpoint redelivers the whole batch
+            incremental_entries_delta(
+                spark, entries_path, events_df(spark, batch)
+            )
+    finally:
+        mat._swap_pending = real_swap
+    expected = _flat(materialize_entries(events_df(spark, rows)))
+    got = _flat(spark.read.parquet(entries_path))
+    assert got == expected
+
+
 def test_stale_pending_row_not_replayed_after_repeat_mint(
     spark, monkeypatch
 ):
