@@ -5180,6 +5180,140 @@ FROM m ORDER BY media_id
 """
 
 
+def doc_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of doc_media_decode — NOT yet registered in
+    DOC_QUERIES (the r9 registration freeze allows only the
+    verdict-demanded audio gate); implementation + oracle + local
+    parity test land now so r10 can certify it by adding one dict
+    line. Documents become a derived video frame whose payload is a
+    genuine ISO-BMFF container (ftyp + moov with mvhd and tkhd boxes)
+    followed by the UTF-8 text as trailing bytes; presentation
+    width/height are baked into the tkhd 16.16 fields from doc_id.
+    Branches: 0 = v0 boxes; 1 = v1 boxes (64-bit times, the other
+    header layout); 2 = an audio track (zero presentation size) FIRST,
+    then the video track — pins the track-selection rule; 3 =
+    headerless text exercising the metadata fallback (and the only
+    branch where DuckDB's VARCHAR md5 can pin the fake-feature stub).
+    Metadata dims on parseable rows are deliberately WRONG (9999), so
+    the gate only matches if decode_media truly parses the boxes."""
+    from hypermap_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "UTF-8")
+    branch = F.col("doc_id") % 4
+    w = (F.col("doc_id") % 640 + 1).cast("long")
+    h = (F.col("doc_id") % 360 + 1).cast("long")
+    fixed16 = lambda c: F.lpad(F.lower(F.hex(c * 65536)), 8, "0")  # noqa: E731
+
+    ftyp = F.lit("00000018" "66747970" + "69736f6d" "00000200"
+                 "69736f6d69736f32")  # 24-byte ftyp, brand isom
+    # mvhd v0: size 28, version+flags, 8 bytes times, timescale 1000,
+    # duration 42000 (constants — decode_media reads only dims)
+    mvhd0 = F.lit("0000001c" "6d766864" "00000000" + "00" * 8
+                  + "000003e8" "0000a410")
+    # mvhd v1: size 40, 16 bytes times, timescale 4, duration 8 (64-bit)
+    mvhd1 = F.lit("00000028" "6d766864" "01000000" + "00" * 16
+                  + "00000004" + "0000000000000008")
+
+    def tkhd0(wx, hx):
+        return F.concat(
+            F.lit("0000005c" "746b6864" "00000000" + "00" * 20 + "00" * 16
+                  + "00" * 36),
+            wx, hx,
+        )
+
+    def tkhd1(wx, hx):
+        return F.concat(
+            F.lit("00000068" "746b6864" "01000000" + "00" * 32 + "00" * 16
+                  + "00" * 36),
+            wx, hx,
+        )
+
+    trak0 = F.concat(F.lit("00000064" "7472616b"), tkhd0(fixed16(w), fixed16(h)))
+    trak1 = F.concat(F.lit("00000070" "7472616b"), tkhd1(fixed16(w), fixed16(h)))
+    zero_trak = F.concat(
+        F.lit("00000064" "7472616b"),
+        tkhd0(F.lit("00000000"), F.lit("00000000")),
+    )
+    # moov sizes: 8 + mvhd + traks  (v0: 8+28+100=136; v1: 8+40+112=160;
+    # audio-first: 8+28+100+100=236)
+    moov0 = F.concat(F.lit("00000088" "6d6f6f76"), mvhd0, trak0)
+    moov1 = F.concat(F.lit("000000a0" "6d6f6f76"), mvhd1, trak1)
+    moov2 = F.concat(F.lit("000000ec" "6d6f6f76"), mvhd0, zero_trak, trak0)
+    payload = (
+        F.when(branch == 0, F.concat(F.unhex(F.concat(ftyp, moov0)), body))
+        .when(branch == 1, F.concat(F.unhex(F.concat(ftyp, moov1)), body))
+        .when(branch == 2, F.concat(F.unhex(F.concat(ftyp, moov2)), body))
+        .otherwise(body)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        payload.alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.struct(
+            F.when(branch == 3, w.cast("int")).otherwise(F.lit(9999)).alias("width"),
+            F.when(branch == 3, h.cast("int")).otherwise(F.lit(9999)).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    dec = decode_media(media, strict=False)
+    is_text = F.col("media_id") % 4 == 3
+    return dec.select(
+        "media_id",
+        "kind",
+        "fmt",
+        "width",
+        "height",
+        "n_bytes",
+        *[
+            F.when(
+                is_text,
+                F.round(F.element_at("feat", i + 1).cast("double"), 6),
+            ).alias(f"feat_{i}")
+            for i in range(4)
+        ],
+    ).orderBy("media_id")
+
+
+def _media_video_oracle() -> str:
+    feat_cols = ",\n       ".join(
+        "CASE WHEN media_id % 4 = 3 THEN "
+        "ROUND(CAST(CAST(CAST(CAST('0x' || substr(h, {a}, 2) AS BIGINT)"
+        " AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) END AS feat_{i}".format(
+            a=2 * i + 1, i=i
+        )
+        for i in range(4)
+    )
+    return f"""
+WITH m AS (
+  -- Header byte counts: v0 ftyp+moov 160, v1 184, audio-first 260,
+  -- headerless 0. Dims are baked from doc_id; the md5 feature stub is
+  -- pinned on the headerless branch only (payload == encode(text)).
+  SELECT doc_id AS media_id, 'video' AS kind, text,
+         CASE WHEN doc_id % 4 < 3 THEN 'mp4' END AS fmt,
+         CAST(doc_id % 640 + 1 AS INT) AS width,
+         CAST(doc_id % 360 + 1 AS INT) AS height,
+         CASE doc_id % 4 WHEN 0 THEN 160 WHEN 1 THEN 184
+              WHEN 2 THEN 260 ELSE 0 END AS hdr_bytes
+  FROM documents
+),
+d AS (
+  SELECT media_id, kind, fmt, width, height,
+         CAST(hdr_bytes + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM m
+)
+SELECT media_id, kind, fmt, width, height, n_bytes,
+       {feat_cols}
+FROM d ORDER BY media_id
+"""
+
+
+DOC_MEDIA_VIDEO_ORACLE = _media_video_oracle()
+
+
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomena share per source: the fraction of each source's
     vocabulary seen exactly once (and its share of token mass) — a

@@ -477,3 +477,37 @@ def test_decode_media_uses_mp4_dims_over_lying_metadata(spark):
     got = decode_media(df).collect()[0]
     assert got["fmt"] == "mp4"
     assert got["width"] == 320 and got["height"] == 240
+
+
+def test_doc_media_video_matches_oracle_locally(spark):
+    """Local parity for the UNREGISTERED video gate (doc_media_video)
+    — the r9 registration freeze allows only the verdict-demanded audio
+    gate, so the video twin lands implementation-first with the same
+    oracle comparison the driver would run; r10 registers it by adding
+    one DOC_QUERIES line."""
+    from hypermap_etl_spark.plans.doc_queries import (
+        DOC_MEDIA_VIDEO_ORACLE,
+        doc_media_video,
+    )
+    from tests.test_oracle_parity import SF_SMOKE, _duck, _rows_to_set
+
+    sdf = doc_media_video(spark, SF_SMOKE)
+    srows = sdf.collect()
+    scols = sdf.columns
+    con = _duck(SF_SMOKE)
+    try:
+        ores = con.execute(DOC_MEDIA_VIDEO_ORACLE)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sset = _rows_to_set(scols, [[r[c] for c in scols] for r in srows])
+    oset = _rows_to_set(ocols, orows)
+    assert sset == oset
+    # and the branches really exercised the parser: mp4 dims present
+    by_branch = {r["media_id"] % 4: r for r in srows}
+    for b in (0, 1, 2):
+        assert by_branch[b]["fmt"] == "mp4"
+    assert by_branch[3]["fmt"] is None
