@@ -10,11 +10,20 @@ chunks and MPEG audio (MP3) frame headers (ID3v2 tags skipped) for
 sample rate / channels / duration — all with the stdlib only,
 published file-format layout, no codec dependency — and
 ``decode_media``/``decode_audio`` prefer those byte-derived facts over
-caller metadata (which lies in real lakes). Only PIXEL/SAMPLE work
-remains stubbed: this container has no image/audio libraries, so
-feature extraction is either a clearly-marked NotImplementedError
-(strict mode) or a deterministic fake (md5-derived) that keeps batch
-shapes, dtypes and row alignment honest.
+caller metadata (which lies in real lakes).
+
+PIXEL/SAMPLE decode is REAL wherever the stdlib reaches it (r9):
+PNG's only compression is zlib, so ``decode_png_pixels`` inflates the
+IDAT stream and inverts the five scanline filters (None/Sub/Up/
+Average/Paeth, PNG spec §6) for 8-bit gray/RGB/gray+alpha/RGBA/palette
+images, and ``decode_wav_samples`` reads PCM frames (8/16-bit) out of
+the RIFF data chunk — ``pixel_stats`` / ``audio_sample_stats`` fold
+those into integer-exact per-item features. Only entropy-coded
+formats (JPEG/GIF/MP3/MP4 payload data) stay header-only: their
+codecs are genuinely out of stdlib reach, so feature extraction there
+is either a clearly-marked NotImplementedError (strict mode) or a
+deterministic fake (md5-derived) that keeps batch shapes, dtypes and
+row alignment honest.
 
 Scale notes: binary payloads ride in their own column so column pruning
 drops them unless a stage truly needs bytes; mapInPandas streams Arrow
@@ -25,6 +34,7 @@ bounds task memory no matter how large the corpus.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -259,6 +269,427 @@ def parse_video_header(payload: bytes | None) -> dict | None:
     return out
 
 
+# --------------------------------------------------- real pixel decode ----
+# PNG is the one mainstream image format whose full decode is stdlib-
+# reachable: the only compression is DEFLATE (zlib) and the only other
+# transform is the five byte-wise scanline filters of PNG spec §6.
+# Scope (documented, not hidden): 8-bit samples, color types 0/2/3/4/6,
+# non-interlaced. Sub-byte depths and Adam7 interlacing return None →
+# callers fall back exactly like any unparseable payload. JPEG/GIF stay
+# header-only because Huffman/LZW entropy coding is codec territory.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec §6.6: predictor closest to p = a + b - c, ties to
+    # left, then up.
+    p = a + b - c
+    pa = p - a if p >= a else a - p
+    pb = p - b if p >= b else b - p
+    pc = p - c if p >= c else c - p
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(payload: bytes | None) -> dict | None:
+    """REAL pixel decode for PNG — stdlib only (zlib + the spec's
+    scanline-filter inversion), no codec library.
+
+    Chunk walk (length/type/data/CRC frames; CRC not validated, same
+    posture as parse_image_header), IDAT concatenation, zlib inflate,
+    then per-row unfiltering: None/Sub/Up/Average/Paeth over
+    bytes-per-pixel offsets, exactly PNG spec §6.2-6.6. Palette images
+    (color type 3) are expanded through PLTE to interleaved RGB.
+
+    Returns {fmt, width, height, channels, color_type, pixels} where
+    ``pixels`` is the reconstructed interleaved bytes (row-major,
+    width*height*channels long), or None when the payload is not a PNG
+    this decoder supports (wrong signature, bit depth != 8, interlaced,
+    truncated, or corrupt zlib stream) — never raises.
+
+    Scale note: unfiltering is inherently sequential within a row
+    (Sub/Average/Paeth depend on the just-reconstructed left
+    neighbour), so this is per-item Python work riding inside Arrow
+    batches via mapInPandas — the same slot a production codec UDF
+    occupies; swapping one in changes nothing upstream."""
+    if not payload or len(payload) < 45:  # sig + IHDR + empty IDAT + IEND
+        return None
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        return None
+    i, n = 8, len(b)
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    while i + 8 <= n:
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        if i + 8 + ln > n:
+            return None
+        body = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + CRC32
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct = ihdr[8], ihdr[9]
+    comp, filt, interlace = ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if ct not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        return None
+    if ct == 3 and (plte is None or len(plte) % 3):
+        return None
+    bpp = _PNG_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        return None
+    recon = bytearray(stride * h)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        o = r * stride
+        po = o - stride
+        if f == 0:
+            recon[o:o + stride] = line
+        elif f == 1:  # Sub: + left
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                recon[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up: + prior row
+            if r == 0:
+                recon[o:o + stride] = line
+            else:
+                for x in range(stride):
+                    recon[o + x] = (line[x] + recon[po + x]) & 0xFF
+        elif f == 3:  # Average: + (left + up) // 2
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if r > 0 else 0
+                recon[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if r > 0 else 0
+                ul = recon[po + x - bpp] if r > 0 and x >= bpp else 0
+                recon[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    channels = bpp
+    if ct == 3:
+        npal = len(plte) // 3
+        out = bytearray(w * h * 3)
+        for j, idx in enumerate(recon):
+            if idx >= npal:
+                return None
+            out[j * 3:j * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+        recon = out
+        channels = 3
+    return {
+        "fmt": "png", "width": w, "height": h, "channels": channels,
+        "color_type": ct, "pixels": bytes(recon),
+    }
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    palette: bytes | None = None,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal REAL PNG writer (stdlib only) — the fixture/test twin of
+    decode_png_pixels and a usable sink for synthetic media columns.
+
+    ``pixels`` is interleaved 8-bit samples (palette images pass the
+    index plane and a PLTE ``palette`` of RGB triples). ``row_filters``
+    forces a spec filter (0-4) per scanline — the encoder APPLIES the
+    filter (x - predictor mod 256), so a decoder must genuinely invert
+    it; defaults to all-None (filter 0). CRCs are real (zlib.crc32)."""
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError(f"expected {stride * height} bytes, got {len(pixels)}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette images need a PLTE byte string")
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters must have one entry per row")
+    raw = bytearray()
+    for r in range(height):
+        f = filters[r]
+        o = r * stride
+        po = o - stride
+        raw.append(f)
+        for x in range(stride):
+            cur = pixels[o + x]
+            left = pixels[o + x - bpp] if x >= bpp else 0
+            up = pixels[po + x] if r > 0 else 0
+            ul = pixels[po + x - bpp] if r > 0 and x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            elif f == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown filter {f}")
+            raw.append((cur - pred) & 0xFF)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+PIXEL_STATS_OUTPUT_SCHEMA = (
+    "media_id long, fmt string, width int, height int, channels int, "
+    "px_count long, px_sum long, px_min int, px_max int"
+)
+
+
+def pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Integer-exact per-image pixel features over REAL decoded pixels
+    (decode_png_pixels): count/sum/min/max of all channel bytes —
+    exact, reproducible numbers a curation pipeline filters on (solid/
+    near-blank detection via min==max, brightness via px_sum/px_count).
+
+    Rows whose payload the stdlib decoder cannot reach (JPEG/GIF —
+    entropy-coded; unsupported PNG variants; garbage) keep header-
+    derived fmt/dims where parseable and NULL pixel columns — no fake
+    numbers on the REAL columns, ever. strict=True raises for them
+    instead (the honest no-codec posture). Arrow-batched mapInPandas;
+    the binary column never leaves the executor."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            ws: list[int | None] = []
+            hs: list[int | None] = []
+            chs: list[int | None] = []
+            cnts: list[int | None] = []
+            sums: list[int | None] = []
+            mins: list[int | None] = []
+            maxs: list[int | None] = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                dec = decode_png_pixels(p)
+                if dec is not None:
+                    px = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                    fmts.append(dec["fmt"])
+                    ws.append(dec["width"])
+                    hs.append(dec["height"])
+                    chs.append(dec["channels"])
+                    cnts.append(int(px.size))
+                    sums.append(int(px.sum(dtype=np.int64)))
+                    mins.append(int(px.min()))
+                    maxs.append(int(px.max()))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "payload is not a stdlib-decodable PNG and real "
+                        "codec libraries are not present in this "
+                        "environment; use strict=False for header-only "
+                        "rows with NULL pixel columns"
+                    )
+                hdr = parse_image_header(p)
+                fmts.append(hdr["fmt"] if hdr else None)
+                if hdr is not None:
+                    ws.append(hdr["width"])
+                    hs.append(hdr["height"])
+                else:
+                    ws.append(m["width"] if m is not None else None)
+                    hs.append(m["height"] if m is not None else None)
+                chs.append(None)
+                cnts.append(None)
+                sums.append(None)
+                mins.append(None)
+                maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "px_count": pd.array(cnts, dtype="Int64"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_OUTPUT_SCHEMA)
+
+
+# -------------------------------------------------- real sample decode ----
+
+def decode_wav_samples(payload: bytes | None) -> dict | None:
+    """REAL audio sample decode for PCM WAV — stdlib+numpy only.
+
+    RIFF chunk walk (as parse_audio_header) to the fmt chunk; only
+    audio_format == 1 (integer PCM, the canonical WAVEFORMAT value)
+    with 8- or 16-bit samples is in scope — compressed/float formats
+    return None (codec territory). The data chunk's bytes become the
+    interleaved sample frames: 16-bit is little-endian signed, 8-bit
+    is unsigned with a +128 bias per the spec, both returned centered
+    as int32. A declared data size larger than the bytes present is
+    clamped and truncated to whole frames (truncation-tolerant, same
+    posture as every parser here).
+
+    Returns {fmt, sample_rate, channels, bits, samples} with
+    ``samples`` an int32 numpy array of length n_frames*channels, or
+    None for anything out of scope — never raises."""
+    import numpy as np
+
+    if not payload or len(payload) < 12:
+        return None
+    b = bytes(payload)
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    audio_fmt = rate = channels = bits = None
+    data: bytes | None = None
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            audio_fmt = int.from_bytes(b[body:body + 2], "little")
+            channels = int.from_bytes(b[body + 2:body + 4], "little")
+            rate = int.from_bytes(b[body + 4:body + 8], "little")
+            bits = int.from_bytes(b[body + 14:body + 16], "little")
+        elif cid == b"data":
+            data = b[body:min(body + size, n)]
+        i = body + size + (size & 1)
+    if audio_fmt != 1 or not channels or not rate or bits not in (8, 16):
+        return None
+    if data is None:
+        return None
+    frame_bytes = channels * (bits // 8)
+    data = data[:len(data) - len(data) % frame_bytes]
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    return {
+        "fmt": "wav", "sample_rate": rate, "channels": channels,
+        "bits": bits, "samples": samples,
+    }
+
+
+AUDIO_SAMPLE_STATS_SCHEMA = (
+    "media_id long, fmt string, sample_rate int, channels int, bits int, "
+    "n_frames long, peak_abs int, abs_sum long, sq_sum long, zero_cross int"
+)
+
+
+def audio_sample_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Integer-exact per-clip features over REAL decoded PCM samples
+    (decode_wav_samples): frame count, peak |amplitude|, sum of
+    |samples| and of squares (the exact energy/RMS numerators), and
+    channel-0 zero crossings (strict sign flips, prev*cur < 0) — the
+    silence/clipping/tone screens an audio curation pass filters on.
+
+    Non-PCM or non-WAV payloads get NULL sample columns (fmt still
+    reported when the header parses); strict=True raises for them.
+    Arrow-batched mapInPandas, numpy math, no per-row Python beyond
+    the codec slot itself."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "fmt", "sample_rate", "channels", "bits", "n_frames",
+                    "peak_abs", "abs_sum", "sq_sum", "zero_cross",
+                )
+            }
+            for p in pdf["payload"]:
+                dec = decode_wav_samples(p)
+                if dec is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not a PCM WAV and real audio codec "
+                            "libraries are not present in this environment; "
+                            "use strict=False for header-only rows"
+                        )
+                    hdr = parse_audio_header(p)
+                    rows["fmt"].append(hdr["fmt"] if hdr else None)
+                    rows["sample_rate"].append(
+                        hdr["sample_rate"] if hdr else None
+                    )
+                    rows["channels"].append(hdr["channels"] if hdr else None)
+                    for k in ("bits", "n_frames", "peak_abs", "abs_sum",
+                              "sq_sum", "zero_cross"):
+                        rows[k].append(None)
+                    continue
+                s = dec["samples"]
+                ch = dec["channels"]
+                a = np.abs(s, dtype=np.int64)
+                c0 = s[0::ch].astype(np.int64)
+                rows["fmt"].append(dec["fmt"])
+                rows["sample_rate"].append(dec["sample_rate"])
+                rows["channels"].append(ch)
+                rows["bits"].append(dec["bits"])
+                rows["n_frames"].append(s.size // ch)
+                rows["peak_abs"].append(int(a.max()) if s.size else 0)
+                rows["abs_sum"].append(int(a.sum()))
+                rows["sq_sum"].append(int((s.astype(np.int64) ** 2).sum()))
+                rows["zero_cross"].append(
+                    int(np.count_nonzero(c0[:-1] * c0[1:] < 0))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": rows["fmt"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "bits": pd.array(rows["bits"], dtype="Int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "peak_abs": pd.array(rows["peak_abs"], dtype="Int32"),
+                    "abs_sum": pd.array(rows["abs_sum"], dtype="Int64"),
+                    "sq_sum": pd.array(rows["sq_sum"], dtype="Int64"),
+                    "zero_cross": pd.array(rows["zero_cross"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_SAMPLE_STATS_SCHEMA)
+
+
 AUDIO_DECODE_OUTPUT_SCHEMA = (
     "media_id long, kind string, fmt string, sample_rate int, "
     "channels int, duration_ms long, n_bytes long"
@@ -343,8 +774,9 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     payload the header parser cannot read — the honest posture when a
     real codec is required; strict=False falls back to metadata dims
     and md5 fake features so pipelines downstream can be built and
-    tested. Pixel decode (the features) is ALWAYS the documented fake;
-    only the container header work is real."""
+    tested. The ``feat`` column here is ALWAYS the documented fake
+    (model-feature slot); REAL pixel numbers live in pixel_stats,
+    which decodes PNG payloads for true."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,239 @@
+"""REAL pixel/sample decode tests: PNG (zlib + scanline unfiltering)
+and PCM WAV (frame decode), plus the Spark stats operators over them.
+
+The encoder/decoder pair could in principle share a bug, so the first
+tests use HAND-ASSEMBLED byte vectors (filtered bytes computed on
+paper from PNG spec §6) before any roundtrip property runs."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hypermap_etl_spark.operators.multimodal import (
+    _paeth,
+    audio_sample_stats,
+    decode_png_pixels,
+    decode_wav_samples,
+    encode_png,
+    pixel_stats,
+)
+from hypermap_etl_spark.schemas import MEDIA_SCHEMA
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png(w, h, depth, ct, raw, plte=None, interlace=0):
+    ihdr = struct.pack(">II", w, h) + bytes([depth, ct, 0, 0, interlace])
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_png_hand_vector_sub_and_up():
+    # 2x2 gray [[10,20],[30,70]]; row0 Sub → 01 0a 0a, row1 Up → 02 14 32
+    raw = bytes([1, 10, 10, 2, 20, 50])
+    d = decode_png_pixels(_png(2, 2, 8, 0, raw))
+    assert d is not None
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
+    assert list(d["pixels"]) == [10, 20, 30, 70]
+
+
+def test_png_hand_vector_average_and_paeth_rgb():
+    # 2x2 RGB, bpp=3. Row 0 Average (up=0 → pred = left//2):
+    # pixels row0 = (10,20,30),(40,60,80)
+    #   filtered: 10,20,30, 40-5=35, 60-10=50, 80-15=65
+    # Row 1 Paeth: pixels row1 = (12,22,32),(50,70,90)
+    #   x<3: pred=paeth(0,up,0)=up → 12-10=2, 22-20=2, 32-30=2
+    #   x>=3: left=(12,22,32) up=(40,60,80) ul=(10,20,30)
+    #     p = left+up-ul = (42,62,82); |p-a|=30 |p-b|=2 |p-c|=32 → up
+    #     → 50-40=10, 70-60=10, 90-80=10
+    raw = bytes([3, 10, 20, 30, 35, 50, 65, 4, 2, 2, 2, 10, 10, 10])
+    d = decode_png_pixels(_png(2, 2, 8, 2, raw))
+    assert d is not None and d["channels"] == 3
+    assert list(d["pixels"]) == [10, 20, 30, 40, 60, 80, 12, 22, 32, 50, 70, 90]
+
+
+def test_png_palette_expansion():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = bytes([0, 0, 1, 0, 2, 1])  # two rows, filter 0: [0,1], [2,1]
+    d = decode_png_pixels(_png(2, 2, 8, 3, raw, plte=pal))
+    assert d is not None and d["channels"] == 3
+    assert list(d["pixels"]) == [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]
+    # palette index out of range → honest None, not garbage pixels
+    bad = bytes([0, 0, 3, 0, 0, 0])
+    assert decode_png_pixels(_png(2, 2, 8, 3, bad, plte=pal)) is None
+
+
+def test_png_out_of_scope_variants_return_none():
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    assert decode_png_pixels(_png(2, 2, 8, 0, raw)) is not None
+    assert decode_png_pixels(_png(2, 2, 4, 0, raw)) is None  # sub-byte depth
+    assert decode_png_pixels(_png(2, 2, 16, 0, raw)) is None
+    assert decode_png_pixels(_png(2, 2, 8, 0, raw, interlace=1)) is None
+    assert decode_png_pixels(_png(2, 2, 8, 3, raw)) is None  # PLTE missing
+    # corrupt deflate stream / wrong decompressed size
+    sig = _png(2, 2, 8, 0, raw)
+    assert decode_png_pixels(sig[:-20] + b"x" * 20) is None
+    assert decode_png_pixels(_png(2, 3, 8, 0, raw)) is None
+    assert decode_png_pixels(b"\xff\xd8\xff\xc0" + b"\x00" * 40) is None
+
+
+def test_paeth_predictor_spec_cases():
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 30) == 10  # p=0 → closest to a
+    assert _paeth(100, 101, 100) == 101  # p=101 → pb=0 wins over pa=1
+    assert _paeth(5, 9, 7) == 7  # pc=0 beats the pa=pb tie
+    assert _paeth(5, 5, 9) == 5  # pa=pb=4 < pc=8 → left wins (spec order)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.data(),
+)
+def test_png_roundtrip_property(ct_ch, w, h, data):
+    ct, ch = ct_ch
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    d = decode_png_pixels(encode_png(w, h, px, color_type=ct, row_filters=filters))
+    assert d is not None
+    assert d["pixels"] == px
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+
+
+def _wav(rate, ch, bits, samples, declared_extra=0):
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(s + 128 for s in samples)
+    ba = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ba, ba, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data) + declared_extra) + data
+    )
+
+
+def test_wav_sample_decode_16_and_8_bit():
+    s16 = [0, -32768, 32767, 1000, -1, 5, 6, 7]
+    d = decode_wav_samples(_wav(8000, 2, 16, s16))
+    assert d is not None and d["bits"] == 16 and d["channels"] == 2
+    assert list(d["samples"]) == s16
+    s8 = [-128, 127, 0, 64, -5]
+    d8 = decode_wav_samples(_wav(44100, 1, 8, s8))
+    assert d8 is not None and d8["bits"] == 8
+    assert list(d8["samples"]) == s8
+
+
+def test_wav_sample_decode_clamps_and_rejects():
+    # declared data size beyond the bytes present: clamp to whole frames
+    s16 = [1, 2, 3, 4, 5, 6]
+    d = decode_wav_samples(_wav(8000, 2, 16, s16, declared_extra=100))
+    assert list(d["samples"]) == s16
+    # stereo 16-bit with a ragged trailing byte: truncate to whole frames
+    ragged = _wav(8000, 2, 16, s16)[:-1]
+    ragged = ragged[:40] + struct.pack("<I", 11) + ragged[44:]
+    dr = decode_wav_samples(ragged)
+    assert dr is not None and list(dr["samples"]) == s16[:4]
+    # IEEE-float (format 3) is codec territory → None
+    f = _wav(8000, 1, 16, s16).replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1
+    )
+    assert decode_wav_samples(f) is None
+    assert decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_wav_samples(b"\xff\xfb\x90\xc0" + b"x" * 50) is None
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_pixel_stats_real_decode_and_header_fallback(spark):
+    px = bytes(range(12))  # 2x2 RGB ramp 0..11
+    png = encode_png(2, 2, px, color_type=2, row_filters=[4, 3])
+    jpeg = (
+        b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", 45, 123)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    rows = [
+        (1, "image", bytearray(png), "image/png", (9999, 9999, None, None)),
+        (2, "image", bytearray(jpeg), "image/jpeg", (9999, 9999, None, None)),
+        (3, "image", bytearray(b"garbage"), "application/octet-stream",
+         (77, 88, None, None)),
+    ]
+    out = {
+        r["media_id"]: r.asDict()
+        for r in pixel_stats(_media_rows(spark, rows)).collect()
+    }
+    assert out[1]["fmt"] == "png" and out[1]["channels"] == 3
+    assert out[1]["px_count"] == 12 and out[1]["px_sum"] == sum(range(12))
+    assert out[1]["px_min"] == 0 and out[1]["px_max"] == 11
+    # entropy-coded: header dims real, pixel columns NULL — never faked
+    assert out[2]["fmt"] == "jpeg" and out[2]["width"] == 123
+    assert out[2]["px_sum"] is None and out[2]["channels"] is None
+    assert out[3]["fmt"] is None and out[3]["width"] == 77
+    assert out[3]["px_sum"] is None
+
+    with pytest.raises(Exception, match="NotImplementedError|stdlib-decodable"):
+        pixel_stats(_media_rows(spark, rows), strict=True).collect()
+
+
+def test_audio_sample_stats_real_decode_and_fallback(spark):
+    s = [100, -100, 50, -50, 0, 200, -1, 1]  # mono: 8 frames
+    wav = _wav(8000, 1, 16, s)
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"x" * 100
+    rows = [
+        (1, "audio", bytearray(wav), "audio/wav", (None, None, None, 9999)),
+        (2, "audio", bytearray(mp3), "audio/mp3", (None, None, None, 9999)),
+        (3, "audio", bytearray(b"junk"), "application/octet-stream",
+         (None, None, None, 4242)),
+    ]
+    out = {
+        r["media_id"]: r.asDict()
+        for r in audio_sample_stats(_media_rows(spark, rows)).collect()
+    }
+    a = out[1]
+    assert a["fmt"] == "wav" and a["n_frames"] == 8 and a["bits"] == 16
+    assert a["peak_abs"] == 200
+    assert a["abs_sum"] == sum(abs(x) for x in s)
+    assert a["sq_sum"] == sum(x * x for x in s)
+    # sign flips: 100→-100, -100→50, 50→-50 , -50→0 (no), 0→200 (no),
+    # 200→-1, -1→1 → 5
+    assert a["zero_cross"] == 5
+    # mp3: header facts real, sample columns NULL
+    assert out[2]["fmt"] == "mp3" and out[2]["sample_rate"] == 128 * 0 + 44100
+    assert out[2]["n_frames"] is None and out[2]["sq_sum"] is None
+    assert out[3]["fmt"] is None and out[3]["n_frames"] is None
+
+    with pytest.raises(Exception, match="NotImplementedError|not a PCM WAV"):
+        audio_sample_stats(_media_rows(spark, rows), strict=True).collect()
+
+
+def test_audio_sample_stats_stereo_channel0_crossings(spark):
+    # interleaved stereo: ch0 = [10,-10,10], ch1 = [1,1,1] → ch0 flips 2
+    s = [10, 1, -10, 1, 10, 1]
+    rows = [(1, "audio", bytearray(_wav(8000, 2, 16, s)), "audio/wav",
+             (None, None, None, None))]
+    out = audio_sample_stats(_media_rows(spark, rows)).collect()[0]
+    assert out["n_frames"] == 3 and out["channels"] == 2
+    assert out["zero_cross"] == 2
