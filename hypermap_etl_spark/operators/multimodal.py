@@ -556,6 +556,33 @@ def pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
 
 # -------------------------------------------------- real sample decode ----
 
+def encode_wav(
+    sample_rate: int, channels: int, bits: int, samples: list[int]
+) -> bytes:
+    """Minimal REAL PCM WAV writer (stdlib only) — fixture/test twin of
+    decode_wav_samples and a usable sink for synthetic audio columns.
+    ``samples`` are interleaved centered integers (16-bit signed range,
+    or [-128, 127] for 8-bit, which the spec stores with a +128 bias)."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    elif bits == 8:
+        data = bytes(s + 128 for s in samples)
+    else:
+        raise ValueError("only 8/16-bit integer PCM is in scope")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def decode_wav_samples(payload: bytes | None) -> dict | None:
     """REAL audio sample decode for PCM WAV — stdlib+numpy only.
 

@@ -16,6 +16,7 @@ Oracle philosophy per family:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5312,6 +5313,216 @@ FROM d ORDER BY media_id
 
 
 DOC_MEDIA_VIDEO_ORACLE = _media_video_oracle()
+
+
+def doc_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of REAL pixel decode
+    (multimodal.decode_png_pixels via pixel_stats) — NOT yet registered
+    in DOC_QUERIES (r9 registration freeze; staged for r10 with local
+    parity evidence attached, the doc_media_video precedent).
+
+    Documents become GENUINE PNG files built per row from doc_id: the
+    pixel plane is the ramp byte i = (doc_id*7 + i) % 256, dims are
+    w = doc_id%4+2, h = doc_id%5+3, and doc_id%4 picks the color type
+    (gray / RGB / RGBA / palette, the palette entry j being
+    (j, 255-j, 2j%256)); every scanline is filtered with
+    (doc_id + row) % 5, so all five PNG filters — including the
+    sequential Sub/Average/Paeth inversions — must be genuinely undone
+    for the sums to come out right. Metadata dims deliberately lie
+    (9999). The DuckDB oracle never decodes: with N ramp bytes wrapping
+    mod 256 at most once (N <= 140), px_sum/min/max have closed forms
+    in doc_id, so only true byte-level decoding matches. px_min/px_max
+    are masked NULL on the palette branch in both sides (no tidy closed
+    form across the three palette planes)."""
+    from hypermap_etl_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        encode_png,
+        pixel_stats,
+    )
+
+    _PAL = bytes(
+        v for j in range(256) for v in (j, 255 - j, (2 * j) % 256)
+    )
+    _CTS = {0: 0, 1: 2, 2: 6, 3: 3}
+
+    @F.pandas_udf("binary")
+    def _png_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            w, h = d % 4 + 2, d % 5 + 3
+            ct = _CTS[d % 4]
+            n = w * h * _PNG_CHANNELS[ct]
+            raw = bytes((d * 7 + i) % 256 for i in range(n))
+            filters = [(d + r) % 5 for r in range(h)]
+            out.append(
+                encode_png(
+                    w, h, raw, color_type=ct,
+                    palette=_PAL if ct == 3 else None,
+                    row_filters=filters,
+                )
+            )
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _png_payload(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.struct(
+            F.lit(9999).alias("width"),
+            F.lit(9999).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    st = pixel_stats(media, strict=True)
+    is_pal = F.col("media_id") % 4 == 3
+    return st.select(
+        "media_id", "fmt", "width", "height", "channels",
+        "px_count", "px_sum",
+        F.when(~is_pal, F.col("px_min")).alias("px_min"),
+        F.when(~is_pal, F.col("px_max")).alias("px_max"),
+    ).orderBy("media_id")
+
+
+DOC_MEDIA_PIXELS_ORACLE = """
+WITH m AS (
+  -- Planted-PNG geometry from doc_id; ch is the DECODED channel count
+  -- (palette expands to 3). nraw = bytes in the pre-expansion plane.
+  SELECT doc_id AS media_id,
+         doc_id % 4 + 2 AS w, doc_id % 5 + 3 AS h, doc_id % 4 AS br,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+              ELSE 3 END AS ch,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+              ELSE 1 END AS chraw,
+         (doc_id * 7) % 256 AS a0,
+         (doc_id * 14) % 256 AS b0
+  FROM documents
+),
+g AS (
+  -- Ramp (a0+i) % 256 over n terms wraps at most once (n <= 140):
+  -- k terms wrap, each contributing -256 vs the unwrapped sum.
+  SELECT media_id, w, h, br, ch,
+         w * h * chraw AS nraw, w * h AS p,
+         a0, b0,
+         GREATEST(0, a0 + w * h * chraw - 256) AS k,
+         GREATEST(0, w * h - (256 - b0) // 2) AS k2
+  FROM m
+)
+SELECT media_id, 'png' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ch AS INT) AS channels,
+       CAST(w * h * ch AS BIGINT) AS px_count,
+       CAST(CASE WHEN br < 3
+            THEN nraw * a0 + nraw * (nraw - 1) // 2 - 256 * k
+            -- palette: each index j contributes j + (255-j) + 2j%256
+            ELSE 255 * p + p * b0 + p * (p - 1) - 256 * k2
+       END AS BIGINT) AS px_sum,
+       CAST(CASE WHEN br = 3 THEN NULL
+            WHEN k > 0 THEN 0 ELSE a0 END AS INT) AS px_min,
+       CAST(CASE WHEN br = 3 THEN NULL
+            WHEN k > 0 THEN 255 ELSE a0 + nraw - 1 END AS INT) AS px_max
+FROM g ORDER BY media_id
+"""
+
+
+def doc_media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of REAL PCM sample decode
+    (multimodal.decode_wav_samples via audio_sample_stats) — NOT yet
+    registered (r9 registration freeze; staged for r10 with local
+    parity evidence, the doc_media_video precedent).
+
+    Documents become GENUINE PCM WAV files built per row from doc_id:
+    interleaved sample j is ((doc_id*11 + j) * 997) mod M - M/2 with
+    M = 2048 for 16-bit rows and 256 for the 8-bit rows (doc_id%5==0),
+    over n_frames = doc_id%24+8 frames and doc_id%2+1 channels;
+    metadata sample_rate deliberately lies (9999). The DuckDB oracle
+    regenerates the samples from the same formula over a bounded
+    range() cross join (<= 62 samples/doc) and recomputes every
+    aggregate — frames, peak, |sum|, energy, channel-0 sign flips — so
+    only true frame decoding (endianness, interleave, 8-bit bias)
+    matches."""
+    from hypermap_etl_spark.operators.multimodal import (
+        audio_sample_stats,
+        encode_wav,
+    )
+
+    _RATES = {0: 8000, 1: 22050, 2: 44100}
+
+    @F.pandas_udf("binary")
+    def _wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rate = _RATES[d % 3]
+            ch = d % 2 + 1
+            bits = 8 if d % 5 == 0 else 16
+            half = 128 if bits == 8 else 1024
+            n = (d % 24 + 8) * ch
+            samples = [
+                ((d * 11 + j) * 997) % (2 * half) - half for j in range(n)
+            ]
+            out.append(encode_wav(rate, ch, bits, samples))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _wav_payload(F.col("doc_id")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(9999).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return audio_sample_stats(media, strict=True).orderBy("media_id")
+
+
+DOC_MEDIA_PCM_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+              ELSE 44100 END AS rate,
+         doc_id % 2 + 1 AS ch,
+         CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+         CASE WHEN doc_id % 5 = 0 THEN 128 ELSE 1024 END AS half,
+         doc_id % 24 + 8 AS n_frames
+  FROM documents
+),
+s AS (
+  -- regenerate every interleaved sample from the planting formula;
+  -- bounded fan-out: n_frames*ch <= 62 rows per doc
+  SELECT m.*, t.j,
+         ((media_id * 11 + t.j) * 997) % (2 * half) - half AS v
+  FROM m CROSS JOIN range(62) t(j)
+  WHERE t.j < m.n_frames * m.ch
+),
+c0 AS (
+  -- channel-0 stream in frame order: strict sign flips
+  SELECT media_id,
+         CASE WHEN v * LAG(v) OVER (PARTITION BY media_id ORDER BY j) < 0
+              THEN 1 ELSE 0 END AS flip
+  FROM s WHERE j % ch = 0
+),
+z AS (SELECT media_id, SUM(flip) AS zc FROM c0 GROUP BY media_id)
+SELECT s.media_id, 'wav' AS fmt,
+       CAST(MAX(m.rate) AS INT) AS sample_rate,
+       CAST(MAX(m.ch) AS INT) AS channels,
+       CAST(MAX(m.bits) AS INT) AS bits,
+       CAST(MAX(m.n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(ABS(s.v)) AS INT) AS peak_abs,
+       CAST(SUM(ABS(s.v)) AS BIGINT) AS abs_sum,
+       CAST(SUM(s.v * s.v) AS BIGINT) AS sq_sum,
+       CAST(MAX(z.zc) AS INT) AS zero_cross
+FROM s JOIN m ON m.media_id = s.media_id
+       JOIN z ON z.media_id = s.media_id
+GROUP BY s.media_id ORDER BY s.media_id
+"""
 
 
 def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

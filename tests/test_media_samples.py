@@ -237,3 +237,62 @@ def test_audio_sample_stats_stereo_channel0_crossings(spark):
     out = audio_sample_stats(_media_rows(spark, rows)).collect()[0]
     assert out["n_frames"] == 3 and out["channels"] == 2
     assert out["zero_cross"] == 2
+
+
+def _gate_parity(spark, fn, oracle, sf):
+    from tests.test_oracle_parity import _duck, _rows_to_set
+
+    sdf = fn(spark, sf)
+    srows = sdf.collect()
+    scols = sdf.columns
+    con = _duck(sf)
+    try:
+        ores = con.execute(oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    sset = _rows_to_set(scols, [[r[c] for c in scols] for r in srows])
+    oset = _rows_to_set(ocols, orows)
+    assert sset == oset
+    return srows
+
+
+def test_doc_media_pixels_matches_oracle_locally(spark):
+    """Local parity for the UNREGISTERED pixel-decode gate
+    (doc_media_pixels) — staged for r10 registration, the
+    doc_media_video precedent: the exact driver-style DuckDB oracle
+    comparison runs here so registering later is a one-line change with
+    evidence already attached. strict=True inside the gate means any
+    planted PNG the decoder cannot fully invert fails loudly."""
+    from hypermap_etl_spark.plans.doc_queries import (
+        DOC_MEDIA_PIXELS_ORACLE,
+        doc_media_pixels,
+    )
+    from tests.test_oracle_parity import SF_SMOKE
+
+    srows = _gate_parity(
+        spark, doc_media_pixels, DOC_MEDIA_PIXELS_ORACLE, SF_SMOKE
+    )
+    # all four color-type branches really exercised
+    assert {r["media_id"] % 4 for r in srows} == {0, 1, 2, 3}
+    by_branch = {r["media_id"] % 4: r for r in srows}
+    assert by_branch[0]["channels"] == 1
+    assert by_branch[3]["channels"] == 3 and by_branch[3]["px_min"] is None
+
+
+def test_doc_media_pcm_matches_oracle_locally(spark):
+    """Local parity for the UNREGISTERED PCM-decode gate
+    (doc_media_pcm) — staged for r10 registration."""
+    from hypermap_etl_spark.plans.doc_queries import (
+        DOC_MEDIA_PCM_ORACLE,
+        doc_media_pcm,
+    )
+    from tests.test_oracle_parity import SF_SMOKE
+
+    srows = _gate_parity(spark, doc_media_pcm, DOC_MEDIA_PCM_ORACLE, SF_SMOKE)
+    bits = {r["media_id"] % 5 == 0: r["bits"] for r in srows}
+    assert bits.get(True) == 8 and bits.get(False) == 16
+    assert {r["media_id"] % 2 + 1 for r in srows} == {1, 2}
