@@ -554,6 +554,140 @@ def pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(_stats, schema=PIXEL_STATS_OUTPUT_SCHEMA)
 
 
+# ------------------------------------------------------ image near-dup ----
+
+def ahash_bits(
+    pixels: bytes, width: int, height: int, channels: int, grid: int = 8
+) -> int:
+    """Average-hash (aHash) of decoded pixels — integer-exact.
+
+    Luma per pixel (BT.601 integer weights 299/587/114 over the first
+    three channels; the plane itself for gray / gray+alpha), sampled at
+    the grid**2 points (floor(i*h/g), floor(j*w/g)), bit k = i*g+j set
+    iff g*g*sample > total (strict — a solid image hashes to 0). The
+    standard perceptual-hash construction, kept in integers so two
+    engines can reproduce it bit-for-bit."""
+    import numpy as np
+
+    px = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    if channels >= 3:
+        luma = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = px[:, :, 0].astype(np.int64)
+    ri = (np.arange(grid) * height) // grid
+    ci = (np.arange(grid) * width) // grid
+    s = luma[np.ix_(ri, ci)]
+    tot = int(s.sum())
+    n = grid * grid
+    out = 0
+    for k, v in enumerate(s.ravel()):
+        if n * int(v) > tot:
+            out |= 1 << k
+    return out
+
+
+def image_ahash(media: DataFrame, grid: int = 8, strict: bool = False) -> DataFrame:
+    """Perceptual signature per image over REAL decoded pixels
+    (decode_png_pixels + ahash_bits): a 64-bit average-hash packed as a
+    signed long — the image twin of simhash_signatures. Rows the stdlib
+    decoder cannot reach keep a NULL ahash (strict=True raises), so
+    undecodable payloads can never collide into a dedup cluster."""
+    import numpy as np  # noqa: F401 — ahash_bits dependency on workers
+
+    if grid * grid != 64:
+        raise ValueError("ahash is a 64-bit signature: grid must be 8")
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            hashes: list[int | None] = []
+            for p in pdf["payload"]:
+                dec = decode_png_pixels(p)
+                if dec is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not a stdlib-decodable PNG; real "
+                            "codec libraries are not present — use "
+                            "strict=False to emit NULL signatures"
+                        )
+                    hdr = parse_image_header(p)
+                    fmts.append(hdr["fmt"] if hdr else None)
+                    hashes.append(None)
+                    continue
+                hv = ahash_bits(
+                    dec["pixels"], dec["width"], dec["height"],
+                    dec["channels"], grid,
+                )
+                fmts.append(dec["fmt"])
+                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": fmts,
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_hashes, schema="media_id long, fmt string, ahash long")
+
+
+def image_neardup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate image pairs: {(a, b) : hamming(ahash) <= max_h},
+    EXACTLY — blocking on the 8 byte-chunks of the signature is
+    complete for max_hamming <= 7 (pigeonhole: 8 chunks cannot all
+    differ when only 7 bits do), then candidates are verified with the
+    true bit_count(xor) distance. Same completeness argument as
+    simhash_dedup_pairs' 4x16 chunks, dedup.py:412.
+
+    Scale: the chunk join is a generated-key equi-join (8 rows per
+    image, never O(n^2)); verification touches candidate pairs only.
+    Input is image_ahash output (NULL signatures drop out here)."""
+    if max_hamming > 7:
+        raise ValueError(
+            "byte-chunk blocking is only complete for max_hamming <= 7; "
+            "re-chunk (16 nibbles) or use a different blocker beyond that"
+        )
+    sigs = hashes.filter(F.col("ahash").isNotNull())
+    chunks = sigs.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftrightunsigned(F.col("ahash"), 8 * c)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("v"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("ch"),
+    ).select("media_id", "ahash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    ham = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 # -------------------------------------------------- real sample decode ----
 
 def encode_wav(

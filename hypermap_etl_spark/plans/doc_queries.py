@@ -5428,6 +5428,103 @@ FROM g ORDER BY media_id
 """
 
 
+def doc_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of the perceptual-hash + image near-dup
+    path (multimodal.image_ahash / image_neardup_pairs over REAL
+    decoded pixels) — NOT yet registered (r9 freeze; staged for r10).
+
+    Planted geometry makes the whole pipeline closed-form: each doc is
+    an RGB PNG, 8 rows tall and w = doc_id%5+8 wide (w >= 8 keeps the
+    8x8 sample columns distinct), whose top b = doc_id%7+1 rows are a
+    bright tone (200,100,50 — BT.601 luma 124) and the rest black;
+    odd docs additionally brighten the single pixel the (7,7) sample
+    cell reads, setting aHash bit 63 — which makes the signed long
+    NEGATIVE and pins the shiftrightunsigned chunking. So
+    ahash = (1 << 8b) - 1 (+ bit 63), hamming between docs is
+    8*|b-b'| + parity, and the near-dup partners within hamming <= 5
+    are exactly the same-b docs. Scanlines keep the rotating
+    (doc_id+row)%5 filter so decode stays honest; strict=True means
+    any undecodable plant fails loudly."""
+    from hypermap_etl_spark.operators.multimodal import (
+        encode_png,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    BRIGHT = bytes([200, 100, 50])
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            b, w, h = d % 7 + 1, d % 5 + 8, 8
+            px = bytearray()
+            for r in range(h):
+                px += (BRIGHT if r < b else b"\x00\x00\x00") * w
+            if d % 2:
+                c = 7 * w // 8
+                px[(7 * w + c) * 3:(7 * w + c) * 3 + 3] = BRIGHT
+            filters = [(d + r) % 5 for r in range(h)]
+            out.append(
+                encode_png(w, h, bytes(px), color_type=2, row_filters=filters)
+            )
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _payload(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.struct(
+            F.lit(9999).alias("width"),
+            F.lit(9999).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    sigs = image_ahash(media, strict=True)
+    pairs = image_neardup_pairs(sigs, max_hamming=5)
+    partners = (
+        pairs.select(F.col("media_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("media_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sigs.join(partners, "media_id", "left")
+        .select(
+            "media_id",
+            "fmt",
+            "ahash",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
+        )
+        .orderBy("media_id")
+    )
+
+
+DOC_MEDIA_AHASH_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 7 + 1 AS b, doc_id % 2 AS par
+  FROM documents
+),
+g AS (
+  -- bright top-b rows set sample bits 0..8b-1; the odd-doc pixel sets
+  -- bit 63, which in two's complement shifts the value by -2^64
+  SELECT media_id, b,
+         CASE WHEN par = 1
+              THEN ((1::BIGINT << (8 * b)) - 1) - 9223372036854775807 - 1
+              ELSE (1::BIGINT << (8 * b)) - 1 END AS ahash
+  FROM m
+),
+c AS (SELECT b, COUNT(*) AS n FROM m GROUP BY b)
+SELECT g.media_id, 'png' AS fmt, g.ahash,
+       CAST(c.n - 1 AS BIGINT) AS n_neardups
+FROM g JOIN c USING (b) ORDER BY g.media_id
+"""
+
+
 def doc_media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver certification of REAL PCM sample decode
     (multimodal.decode_wav_samples via audio_sample_stats) — NOT yet

@@ -296,3 +296,89 @@ def test_doc_media_pcm_matches_oracle_locally(spark):
     bits = {r["media_id"] % 5 == 0: r["bits"] for r in srows}
     assert bits.get(True) == 8 and bits.get(False) == 16
     assert {r["media_id"] % 2 + 1 for r in srows} == {1, 2}
+
+
+def test_image_neardup_exact_vs_bruteforce(spark):
+    """Blocking + verify must return EXACTLY the hamming<=k pairs: check
+    the operator against an in-python brute force over random images."""
+    import random
+
+    from hypermap_etl_spark.operators.multimodal import (
+        ahash_bits,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows, hashes = [], {}
+    for mid in range(1, 25):
+        w, h = rng.randint(3, 12), rng.randint(3, 12)
+        # a few base patterns + noisy copies → some near pairs exist
+        base = rng.choice([17, 201, 90])
+        px = bytes(
+            (base * (1 + (i // w) % 3) + (7 if rng.random() < 0.08 else 0)) % 256
+            for i in range(w * h)
+        )
+        rows.append(
+            (mid, "image", bytearray(encode_png(w, h, px, color_type=0)),
+             "image/png", (None, None, None, None))
+        )
+        hashes[mid] = ahash_bits(px, w, h, 1)
+    rows.append((99, "image", bytearray(b"junk"), "x", (None, None, None, None)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = image_ahash(df)
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in image_neardup_pairs(sigs, max_hamming=5).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 5:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0
+    # the undecodable row must never appear in any pair
+    assert not any(99 in p for p in got)
+
+
+def test_image_ahash_properties(spark):
+    import pytest
+
+    from hypermap_etl_spark.operators.multimodal import (
+        ahash_bits,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    # solid image: no sample strictly above the mean → hash 0
+    assert ahash_bits(bytes([42] * 100), 10, 10, 1) == 0
+    # left-bright / right-dark: exactly the bright half's bits set
+    px = bytes(255 if (i % 8) < 4 else 0 for i in range(64))
+    hv = ahash_bits(px, 8, 8, 1)
+    assert bin(hv).count("1") == 32
+    # luma uses BT.601 weights: pure-green brighter than pure-blue
+    g = bytes(b"\x00\xff\x00" * 4 + b"\x00\x00\xff" * 4)
+    assert ahash_bits(g, 4, 2, 3) != 0
+    with pytest.raises(ValueError, match="grid"):
+        image_ahash(None, grid=4)
+    with pytest.raises(ValueError, match="complete"):
+        image_neardup_pairs(None, max_hamming=8)
+
+
+def test_doc_media_ahash_matches_oracle_locally(spark):
+    """Local parity for the UNREGISTERED perceptual-hash/near-dup gate
+    (doc_media_ahash) — staged for r10 registration."""
+    from hypermap_etl_spark.plans.doc_queries import (
+        DOC_MEDIA_AHASH_ORACLE,
+        doc_media_ahash,
+    )
+    from tests.test_oracle_parity import SF_SMOKE
+
+    srows = _gate_parity(
+        spark, doc_media_ahash, DOC_MEDIA_AHASH_ORACLE, SF_SMOKE
+    )
+    # bit-63 rows really are negative longs, and near-dup groups exist
+    assert any(r["ahash"] < 0 for r in srows)
+    assert any(r["n_neardups"] > 0 for r in srows)
