@@ -888,3 +888,25 @@ def test_delta_stored_read_is_partition_pruned(spark, tmp_path):
     assert locs, "no parquet relation found in the delta plan"
     for loc in locs:
         assert "/entries" in loc or "/ent" in loc, loc
+
+
+def test_image_neardup_is_equijoin_never_cartesian(spark):
+    """image_neardup_pairs must block on the 8 signature byte-chunks as
+    a generated-key EQUI-join: at 100 TB of media a cartesian or
+    nested-loop candidate stage is the difference between a shuffle
+    keyed on one byte and an O(n^2) scan. The hamming verify rides the
+    join as a post-filter, never a separate pass."""
+    from hypermap_etl_spark.operators.multimodal import image_neardup_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, "png", 5), (2, "png", 7), (3, "png", -1)],
+        "media_id long, fmt string, ahash long",
+    )
+    plan = _plan(image_neardup_pairs(sigs, max_hamming=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
