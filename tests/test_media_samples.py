@@ -382,3 +382,44 @@ def test_doc_media_ahash_matches_oracle_locally(spark):
     # bit-63 rows really are negative longs, and near-dup groups exist
     assert any(r["ahash"] < 0 for r in srows)
     assert any(r["n_neardups"] > 0 for r in srows)
+
+
+def test_audio_spectral_stats_finds_planted_tones(spark):
+    """A planted sinusoid's dominant bin must come back within one bin
+    width — real FFT, not a fake: 440 Hz at 8 kHz over 800 frames
+    (10 Hz resolution), and a stereo clip whose ch0 is 1 kHz while ch1
+    is 3 kHz noise-bait (channel-0 extraction pinned)."""
+    import math
+
+    from hypermap_etl_spark.operators.multimodal import (
+        audio_spectral_stats,
+        encode_wav,
+    )
+
+    def tone(freq, rate, n, amp=10000):
+        return [int(amp * math.sin(2 * math.pi * freq * t / rate))
+                for t in range(n)]
+
+    mono = encode_wav(8000, 1, 16, tone(440, 8000, 800))
+    ch0 = tone(1000, 8000, 400)
+    ch1 = tone(3000, 8000, 400)
+    inter = [v for pair in zip(ch0, ch1) for v in pair]
+    stereo = encode_wav(8000, 2, 16, inter)
+    silent = encode_wav(8000, 1, 16, [0] * 100)
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"x" * 50
+    rows = [
+        (1, "audio", bytearray(mono), "audio/wav", (None, None, None, None)),
+        (2, "audio", bytearray(stereo), "audio/wav", (None, None, None, None)),
+        (3, "audio", bytearray(silent), "audio/wav", (None, None, None, None)),
+        (4, "audio", bytearray(mp3), "audio/mp3", (None, None, None, None)),
+    ]
+    out = {
+        r["media_id"]: r.asDict()
+        for r in audio_spectral_stats(_media_rows(spark, rows)).collect()
+    }
+    assert abs(out[1]["dominant_hz"] - 440) <= 10
+    assert abs(out[1]["centroid_hz"] - 440) <= 25  # leakage-tolerant
+    assert out[1]["bandwidth_hz"] < 200
+    assert abs(out[2]["dominant_hz"] - 1000) <= 20  # ch0, not the 3 kHz ch1
+    assert out[3]["dominant_hz"] == 0.0 and out[3]["bandwidth_hz"] == 0.0
+    assert out[4]["fmt"] == "mp3" and out[4]["dominant_hz"] is None
