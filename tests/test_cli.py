@@ -1091,3 +1091,37 @@ def test_cli_manifest_lifecycle(spark, capsys, tmp_path):
     main(["manifest", "count", "--table", tbl])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == 2
+
+
+def test_cli_media_ops(spark, capsys, tmp_path):
+    """media command: synth real PNG/WAV payloads from documents, then
+    every op end-to-end — pixel stats decode the even (image) half,
+    audio/spectral the odd (audio) half, and neardup emits pairs (the
+    synth ramp makes same-shape images near-identical)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 41)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "px")
+    main(["media", "--docs", src, "--op", "pixels", "--out", out])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 40 and rep["decoded"] == 20  # even ids only
+    assert rep["mean_brightness"] is not None
+
+    main(["media", "--docs", src, "--op", "audio",
+          "--out", str(tmp_path / "au")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 20 and rep["total_frames"] > 0
+
+    main(["media", "--docs", src, "--op", "spectral",
+          "--out", str(tmp_path / "sp")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 20 and rep["mean_dominant_hz"] > 0
+
+    main(["media", "--docs", src, "--op", "neardup",
+          "--out", str(tmp_path / "nd")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["images"] == 40 and rep["hashed"] == 20
+    assert rep["pairs"] > 0
