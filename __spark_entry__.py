@@ -104,6 +104,13 @@ _WINDOW: list[str] = [
 # customer_* set ops, ...) and 48 r4-stale — never-checked backlog is
 # ZERO, so future windows are pure freshness rotation plus re-certs
 # for whatever operators change.
+#
+# Staged-but-UNREGISTERED gates (r9 registration freeze; each has a
+# driver-style local parity test green at sf0.001 + sf0.01, so r10
+# registers any of them by adding one dict line in doc_queries.py's
+# DOC_QUERIES): doc_media_video, doc_media_pixels (real PNG pixel
+# decode), doc_media_pcm (real WAV sample decode), doc_media_ahash
+# (perceptual hash + image near-dup pairs).
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
 # 50 slots, no duplicates, and every name registered — a typo'd name

@@ -423,3 +423,37 @@ def test_audio_spectral_stats_finds_planted_tones(spark):
     assert abs(out[2]["dominant_hz"] - 1000) <= 20  # ch0, not the 3 kHz ch1
     assert out[3]["dominant_hz"] == 0.0 and out[3]["bandwidth_hz"] == 0.0
     assert out[4]["fmt"] == "mp3" and out[4]["dominant_hz"] is None
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_decoders_never_raise_on_mutations(data):
+    """Parser robustness contract: any byte mutation / truncation of a
+    valid container either decodes or returns None — NEVER raises.
+    (The operators run strict=False over arbitrary lake bytes; an
+    exception would kill the whole Arrow batch.)"""
+    from hypermap_etl_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+        parse_video_header,
+    )
+
+    base = data.draw(
+        st.sampled_from(
+            [
+                encode_png(3, 3, bytes(range(27)), color_type=2),
+                _wav(8000, 2, 16, [5, -5, 10, -10]),
+                b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,
+            ]
+        )
+    )
+    b = bytearray(base)
+    for _ in range(data.draw(st.integers(0, 8))):
+        pos = data.draw(st.integers(0, len(b) - 1))
+        b[pos] = data.draw(st.integers(0, 255))
+    cut = data.draw(st.integers(0, len(b)))
+    mutated = bytes(b[:cut])
+    for fn in (decode_png_pixels, decode_wav_samples, parse_image_header,
+               parse_audio_header, parse_video_header):
+        res = fn(mutated)  # must not raise
+        assert res is None or isinstance(res, dict)
