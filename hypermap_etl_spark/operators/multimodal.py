@@ -688,6 +688,114 @@ def image_neardup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
     )
 
 
+def ahash_chunk_buckets(hashes: DataFrame) -> DataFrame:
+    """(media_id, ahash, bh) chunk-bucket rows with the chunk index
+    SALTED INTO a 64-bit bucket hash (bh = xxhash64(chunk, byte)) so a
+    single equi-join column carries the whole blocking scheme — the
+    image twin of dedup.band_buckets. The full signature rides along
+    because the hamming verify is signature-local (no second historical
+    pull is ever needed, unlike text's exact-Jaccard stage). NULL
+    signatures (undecodable payloads) drop out here."""
+    return hashes.filter(F.col("ahash").isNotNull()).select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(c),
+                        F.shiftrightunsigned(F.col("ahash"), 8 * c)
+                        .bitwiseAND(F.lit(0xFF)),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("bh"),
+    )
+
+
+def ahash_store_append(
+    hashes: DataFrame,
+    table_name: str,
+    path: str | None = None,
+    n_buckets: int = 32,
+) -> None:
+    """Append a batch's aHash chunk buckets to a persistent,
+    BUCKETED-BY-bh signature store — the media lake's dedup index,
+    mirroring dedup.signature_store_append: 8 slim rows per image,
+    bucketed so every future incremental join reads the historical
+    (100 TB) side co-located and exchange-free; only the new batch
+    shuffles by bh to line up. dedup.signature_store_compact works on
+    this store unchanged (same bh-bucketed shape) when daily appends
+    accumulate files."""
+    buckets = ahash_chunk_buckets(hashes)
+    spark = hashes.sparkSession
+    writer = buckets.write.format("parquet").bucketBy(n_buckets, "bh")
+    if path:
+        writer = writer.option("path", path)
+    mode = "append" if spark.catalog.tableExists(table_name) else "overwrite"
+    writer.mode(mode).saveAsTable(table_name)
+
+
+def incremental_ahash_pairs(
+    new_hashes: DataFrame, store, max_hamming: int = 5
+) -> DataFrame:
+    """Near-duplicate image pairs for an INCREMENTAL batch against an
+    already-indexed media lake — the arriving images are checked
+    without rescanning (or re-hashing) history, the image twin of
+    dedup.incremental_minhash_pairs but strictly cheaper: the stored
+    chunk rows carry the full signature, so hamming verification
+    happens INSIDE the join and no historical payload or text is ever
+    touched.
+
+    ``store`` is a table name written by ahash_store_append (or a
+    (media_id, ahash, bh) DataFrame). The new batch must not be in the
+    store yet (append AFTER checking) and ids must be disjoint from
+    history. Returns (media_a, media_b, hamming, src) with media_a the
+    new-batch image; src 'store' for new-vs-history, 'batch' for pairs
+    inside the arriving batch. Output is EXACTLY the hamming <= k
+    pairs (chunk blocking is pigeonhole-complete for k <= 7, as
+    image_neardup_pairs)."""
+    if max_hamming > 7:
+        raise ValueError(
+            "byte-chunk blocking is only complete for max_hamming <= 7"
+        )
+    spark = new_hashes.sparkSession
+    store_df = spark.table(store) if isinstance(store, str) else store
+    new_buckets = ahash_chunk_buckets(new_hashes)
+    ham = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+    hist = (
+        new_buckets.alias("a")
+        .join(store_df.alias("b"), "bh")
+        .filter(F.col("a.media_id") != F.col("b.media_id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+            F.lit("store").alias("src"),
+        )
+        .distinct()
+    )
+    batch = (
+        new_buckets.alias("a")
+        .join(
+            new_buckets.alias("b"),
+            (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+            F.lit("batch").alias("src"),
+        )
+        .distinct()
+    )
+    return hist.unionByName(batch)
+
+
 # -------------------------------------------------- real sample decode ----
 
 def encode_wav(

@@ -457,3 +457,69 @@ def test_decoders_never_raise_on_mutations(data):
                parse_audio_header, parse_video_header):
         res = fn(mutated)  # must not raise
         assert res is None or isinstance(res, dict)
+
+
+def test_incremental_ahash_store_exact_and_bucketed(spark, tmp_path):
+    """Cross-batch image near-dup: (1) store+batch pairs together must
+    equal the brute-force hamming<=k set over ALL images, with src
+    marking which side; (2) the persisted store side of the join scans
+    pre-bucketed — no exchange above the 100 TB historical scan."""
+    import random
+
+    from hypermap_etl_spark.operators.multimodal import (
+        ahash_store_append,
+        incremental_ahash_pairs,
+    )
+
+    rng = random.Random(11)
+
+    def sig(base, flips):
+        v = base
+        for b in rng.sample(range(64), flips):
+            v ^= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base1, base2 = rng.getrandbits(64), rng.getrandbits(64)
+    hist = [(i, "png", sig(base1 if i % 2 else base2, rng.randint(0, 4)))
+            for i in range(1, 13)]
+    new = [(100 + i, "png", sig(base1 if i % 2 else base2, rng.randint(0, 4)))
+           for i in range(6)]
+    new.append((200, "png", None))  # undecodable row must drop out
+    hist_df = spark.createDataFrame(hist, "media_id long, fmt string, ahash long")
+    new_df = spark.createDataFrame(new, "media_id long, fmt string, ahash long")
+
+    name = "ahash_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ahash_store_append(
+        hist_df.filter("media_id <= 6"), name, path=str(tmp_path / "store")
+    )
+    ahash_store_append(hist_df.filter("media_id > 6"), name)
+    assert spark.table(name).count() == 12 * 8
+
+    pairs = incremental_ahash_pairs(new_df, name, max_hamming=5)
+    got = {(r["media_a"], r["media_b"]): (r["hamming"], r["src"])
+           for r in pairs.collect()}
+
+    hmap = dict([(m, a) for m, _, a in hist] + [(m, a) for m, _, a in new
+                                                if a is not None])
+
+    def hd(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    for m, _, a in new:
+        if a is None:
+            continue
+        for hm, ha in hmap.items():
+            if hm == m or (hm >= 100 and hm <= m):
+                continue
+            d = hd(a, ha)
+            if d <= 5:
+                key = (m, hm) if hm < 100 else (min(m, hm), max(m, hm))
+                want[key] = (d, "store" if hm < 100 else "batch")
+    assert got == want and any(s == "store" for _, s in got.values())
+    assert not any(200 in k for k in got)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
