@@ -1115,6 +1115,93 @@ def kmeans(
     return assigned.select(id_col, "cluster"), cents
 
 
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then INTRA-cluster cosine
+    pruning — the embedding-space analog of MinHash near-dup, catching
+    paraphrases exact n-gram methods miss.
+
+    Keep rule (deterministic, distributed): within a cluster, a vector
+    is dropped iff some cluster-mate with cosine >= threshold
+    DOMINATES it — smaller (centroid_sim, id) lexicographically — so
+    exactly one member of every near-dup clique survives, and the
+    survivor is the one farthest from the centroid (the paper's
+    low-centroid-similarity preference), ties broken by id. For
+    similarity CHAINS (a~b, b~c, a!~c) the local dominance rule may
+    keep both endpoints — documented behavior, matching the paper's
+    per-pair (not connected-component) dedup.
+
+    Scale shape: clustering bounds the quadratic stage — pairs are an
+    equi-join ON CLUSTER, never a corpus cross join; cost is
+    sum(|C_i|^2), which ``k`` controls (the paper uses ~50k clusters
+    at web scale). Centroids broadcast as k model-sized literals; the
+    dominance check and keep flag are one join + one anti-join.
+
+    Returns (id, cluster, centroid_sim, keep)."""
+    spark = emb.sparkSession
+    assigned, cents = kmeans(emb, k, n_iter, vec_col, id_col)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, cent array<double>"
+    )
+    cent_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cent"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nemb = with_norm(fan_out(emb), vec_col)
+    scored = (
+        nemb.join(assigned.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cdf), "cluster")
+        .select(
+            F.col(id_col).alias("id"),
+            "cluster",
+            _vd(vec_col).alias("v"),
+            F.col("__norm").alias("n"),
+            F.round(
+                cosine(_vd(vec_col), F.col("cent"), F.col("__norm"), cent_norm),
+                9,
+            ).alias("centroid_sim"),
+        )
+    )
+    sim = cosine(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"))
+    dominated = (
+        scored.alias("a")
+        .join(
+            scored.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                (F.col("b.centroid_sim") < F.col("a.centroid_sim"))
+                | (
+                    (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+                    & (F.col("b.id") < F.col("a.id"))
+                )
+            ),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        scored.join(dominated.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # ------------------------------------------------ covariance matrix ----
 
 def kmeans_inertia(

@@ -2418,3 +2418,44 @@ def test_class_separability_margin(spark):
     b = {r["label"]: r for r in class_separability(bd).collect()}
     for lb in (1, 2):
         assert abs(b[lb]["margin"]) < 0.01
+
+
+def test_semdedup_prunes_cliques_keeps_singletons(spark):
+    """SemDeDup: two planted near-identical groups + distinct
+    singletons across two well-separated blobs — exactly one survivor
+    per near-dup clique (the min-(centroid_sim, id) member), singletons
+    untouched, and the quadratic stage bounded to within-cluster."""
+    import random
+
+    rnd = random.Random(5)
+
+    def jitter(mu, eps):
+        return [float(m + rnd.gauss(0, eps)) for m in mu]
+
+    mu_a, mu_b = [5.0] * 8, [-5.0] * 8
+    rows = []
+    # clique 1: 4 near-copies in blob A; clique 2: 3 near-copies in B
+    for i in range(4):
+        rows.append((10 + i, jitter(mu_a, 0.01)))
+    for i in range(3):
+        rows.append((20 + i, jitter(mu_b, 0.01)))
+    # singletons: same blobs, but far enough to stay under threshold
+    rows.append((30, jitter([5.0] * 4 + [9.0] * 4, 0.01)))
+    rows.append((31, jitter([-5.0] * 4 + [-9.0] * 4, 0.01)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = similarity.semdedup(emb, k=2, threshold=0.99, n_iter=4)
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 9
+
+    kept1 = [i for i in (10, 11, 12, 13) if got[i]["keep"]]
+    kept2 = [i for i in (20, 21, 22) if got[i]["keep"]]
+    assert len(kept1) == 1 and len(kept2) == 1
+    assert got[30]["keep"] and got[31]["keep"]
+    # survivor = the clique member with the smallest (centroid_sim, id)
+    want1 = min((10, 11, 12, 13),
+                key=lambda i: (got[i]["centroid_sim"], i))
+    assert kept1 == [want1]
+    # a sky-high threshold keeps everything
+    all_keep = similarity.semdedup(emb, k=2, threshold=1.1, n_iter=4)
+    assert all(r["keep"] for r in all_keep.collect())
