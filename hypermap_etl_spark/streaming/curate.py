@@ -216,3 +216,94 @@ def start_curate_stream(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def start_media_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    store_table: str,
+    max_hamming: int = 5,
+    store_path: str | None = None,
+    trigger: dict | None = None,
+    on_progress: Callable[[dict], None] | None = None,
+):
+    """Continuous image near-dedup: media files land as MEDIA_SCHEMA
+    parquet, every micro-batch is perceptually hashed (REAL pixel
+    decode where the stdlib reaches — multimodal.image_ahash), checked
+    against the bucketed ahash signature store of everything accepted
+    so far (incremental_ahash_pairs: the historical side never rescans
+    or re-shuffles, and verification is signature-local so no
+    historical payload is ever read), and survivors are appended to
+    ``out_path`` + the store. Returns the StreamingQuery.
+
+    Drop policy mirrors the text stream: near-dups of HISTORY always
+    drop (the accepted lake cannot be retracted); within a batch the
+    min-id image of each pair survives (pairwise, not
+    connected-component — run a periodic batch compaction for
+    chain-transitive dedup). UNDECODABLE payloads (no signature) are
+    always accepted and never indexed — a NULL hash must not collide
+    with anything. media_ids are assumed unique across the stream; an
+    aliased id is skipped by the a!=b guard, so it hides a true dup
+    rather than corrupting state. Store appends after a mid-batch
+    crash can duplicate (media_id, ahash, bh) rows; candidates are
+    distinct-ed, so replays cost work, not correctness.
+
+    ``on_progress`` gets {batch_id, media_in, hashed, neardup_dropped,
+    accepted, secs} per batch."""
+    from hypermap_etl_spark.operators.multimodal import (
+        ahash_store_append,
+        image_ahash,
+        incremental_ahash_pairs,
+    )
+    from hypermap_etl_spark.schemas import MEDIA_SCHEMA
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(source_path)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        n_in = df.count()
+        hashes = image_ahash(df).localCheckpoint(eager=True)
+        n_hashed = hashes.filter(F.col("ahash").isNotNull()).count()
+        store = (
+            store_table
+            if spark.catalog.tableExists(store_table)
+            else spark.createDataFrame(
+                [], "media_id long, ahash long, bh long"
+            )
+        )
+        pairs = incremental_ahash_pairs(hashes, store, max_hamming=max_hamming)
+        drops = (
+            pairs.filter(F.col("src") == "store")
+            .select(F.col("media_a").alias("media_id"))
+            .unionByName(
+                pairs.filter(F.col("src") == "batch")
+                .select(F.col("media_b").alias("media_id"))
+            )
+            .distinct()
+        )
+        survivors = hashes.join(drops, "media_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        accepted = survivors.count()
+        if accepted:
+            survivors.write.mode("append").parquet(out_path)
+            ahash_store_append(survivors, store_table, path=store_path)
+        if on_progress is not None:
+            on_progress(
+                {
+                    "batch_id": batch_id,
+                    "media_in": n_in,
+                    "hashed": n_hashed,
+                    "neardup_dropped": n_in - accepted,
+                    "accepted": accepted,
+                    "secs": round(time.monotonic() - t0, 3),
+                }
+            )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

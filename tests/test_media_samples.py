@@ -523,3 +523,66 @@ def test_incremental_ahash_store_exact_and_bucketed(spark, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_media_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming image dedup end-to-end: batch 1 plants an in-batch
+    near-copy (dropped, min-id survives); batch 2 replants a copy of a
+    batch-1 survivor (dropped against the STORE) plus a fresh image and
+    an undecodable payload (both accepted — NULL hashes never collide).
+    Restart-with-new-files uses the same checkpoint (only new files
+    process)."""
+    import os
+
+    from hypermap_etl_spark.streaming.curate import start_media_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    name = "media_dedup_stream_store"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def img(mid, pattern, w=8, h=8):
+        # aHash is brightness-invariant by design, so distinct images
+        # must differ STRUCTURALLY, not by a constant offset
+        pats = {
+            "rampx": lambda i: (i % w) * 32 % 256,
+            "rampy": lambda i: (i // w) * 32 % 256,
+            "checker": lambda i: 255 * ((i % w + i // w) % 2),
+            "stripes": lambda i: 255 * ((i % w) // 2 % 2),
+        }
+        px = bytes(pats[pattern](i) for i in range(w * h))
+        return (mid, "image", bytearray(encode_png(w, h, px, color_type=0)),
+                "image/png", (None, None, None, None))
+
+    progress = []
+    b1 = _media_rows(spark, [img(1, "rampx"), img(2, "rampx"), img(3, "rampy")])
+    b1.write.mode("append").parquet(src)
+    q = start_media_dedup_stream(
+        spark, src, out, ckpt, name, store_path=str(tmp_path / "store"),
+        on_progress=progress.append,
+    )
+    q.awaitTermination(120)
+    got1 = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}  # 2 is the in-batch copy of 1
+    assert progress[-1]["neardup_dropped"] == 1
+
+    b2 = _media_rows(
+        spark,
+        [img(4, "rampx"),  # copy of stored 1 → dropped vs store
+         img(5, "checker"),  # fresh
+         (6, "image", bytearray(b"junk"), "x", (None, None, None, None))],
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = start_media_dedup_stream(
+        spark, src, out, ckpt, name, store_path=str(tmp_path / "store"),
+        on_progress=progress.append,
+    )
+    q2.awaitTermination(120)
+    got2 = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 5, 6}
+    assert progress[-1]["accepted"] == 2 and progress[-1]["hashed"] == 2
+    # the store indexes only decodable survivors: (1,3,5) x 8 chunks
+    assert spark.table(name).count() == 3 * 8
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
