@@ -586,3 +586,74 @@ def test_media_dedup_stream_cross_batch(spark, tmp_path):
     # the store indexes only decodable survivors: (1,3,5) x 8 chunks
     assert spark.table(name).count() == 3 * 8
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _bmff(*top_boxes):
+    ftyp = struct.pack(">I", 24) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00" + b"isomiso2"
+    return ftyp + b"".join(top_boxes)
+
+
+def _box(typ, payload):
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _stbl_video(sizes=None, const=0, n=0, sync=None, stts=None, timescale=1000):
+    if sizes is not None:
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, len(sizes))
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+    else:
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", const, n))
+    inner = stsz
+    if sync is not None:
+        inner += _box(b"stss", b"\x00" * 4 + struct.pack(">I", len(sync))
+                      + b"".join(struct.pack(">I", s) for s in sync))
+    if stts is not None:
+        inner += _box(b"stts", b"\x00" * 4 + struct.pack(">I", len(stts))
+                      + b"".join(struct.pack(">II", c, d) for c, d in stts))
+    mdhd = _box(b"mdhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, 0)
+                + b"\x00" * 4)
+    stbl = _box(b"stbl", inner)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    return _box(b"moov", _box(b"trak", mdia))
+
+
+def test_parse_video_samples_tables():
+    from hypermap_etl_spark.operators.multimodal import parse_video_samples
+
+    p = _bmff(_stbl_video(sizes=[100, 50, 200, 50], sync=[1, 3],
+                          stts=[(4, 250)]))
+    got = parse_video_samples(p)
+    assert got == {
+        "fmt": "mp4", "n_samples": 4, "n_keyframes": 2,
+        "total_sample_bytes": 400, "max_sample_bytes": 200,
+        "duration_ms": 1000,
+    }
+    # constant-size samples; ABSENT stss ⇒ every sample is sync (spec)
+    got2 = parse_video_samples(_bmff(_stbl_video(const=77, n=5)))
+    assert got2["n_samples"] == 5 and got2["n_keyframes"] == 5
+    assert got2["total_sample_bytes"] == 385 and got2["duration_ms"] is None
+    # no sample table → None; garbage → None; truncated → never raises
+    assert parse_video_samples(_bmff(_box(b"moov", b""))) is None
+    assert parse_video_samples(b"junk" * 10) is None
+    for cut in range(0, len(p), 7):
+        r = parse_video_samples(p[:cut])
+        assert r is None or isinstance(r, dict)
+
+
+def test_video_frame_index_operator(spark):
+    from hypermap_etl_spark.operators.multimodal import video_frame_index
+
+    vid = _bmff(_stbl_video(sizes=[100, 50, 200, 50], sync=[1, 3],
+                            stts=[(4, 250)]))
+    rows = [
+        (1, "video", bytearray(vid), "video/mp4", (None, None, None, None)),
+        (2, "video", bytearray(b"not video"), "x", (None, None, None, None)),
+    ]
+    out = {
+        r["media_id"]: r.asDict()
+        for r in video_frame_index(_media_rows(spark, rows)).collect()
+    }
+    assert out[1]["n_samples"] == 4 and out[1]["keyframe_ratio"] == 0.5
+    assert out[1]["max_sample_bytes"] == 200 and out[1]["duration_ms"] == 1000
+    assert out[2]["fmt"] is None and out[2]["n_samples"] is None
