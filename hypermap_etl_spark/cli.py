@@ -1744,6 +1744,13 @@ def cmd_media(args) -> None:
     elif args.op == "ahash":
         res = image_ahash(media, strict=args.strict)
         probe, extra = "ahash", lambda df: {}
+    elif args.op == "frames":
+        from hypermap_etl_spark.operators.multimodal import video_frame_index
+
+        res = video_frame_index(media, strict=args.strict)
+        probe, extra = "n_samples", lambda df: {
+            "total_frames": df.agg(F.sum("n_samples")).collect()[0][0]
+        }
     else:  # neardup
         sigs = image_ahash(media, strict=args.strict)
         res = image_neardup_pairs(sigs, max_hamming=args.max_hamming)
@@ -2329,7 +2336,8 @@ def main(argv=None) -> None:
                    help="synthesize demo media (real PNG/WAV) from a "
                         "documents parquet instead")
     p.add_argument("--op", default="pixels",
-                   choices=["pixels", "audio", "spectral", "ahash", "neardup"])
+                   choices=["pixels", "audio", "spectral", "ahash",
+                            "neardup", "frames"])
     p.add_argument("--out", required=True, help="result parquet")
     p.add_argument("--max-hamming", type=int, default=5,
                    help="near-dup radius (neardup op, <= 7)")

@@ -18,12 +18,18 @@ IDAT stream and inverts the five scanline filters (None/Sub/Up/
 Average/Paeth, PNG spec §6) for 8-bit gray/RGB/gray+alpha/RGBA/palette
 images, and ``decode_wav_samples`` reads PCM frames (8/16-bit) out of
 the RIFF data chunk — ``pixel_stats`` / ``audio_sample_stats`` fold
-those into integer-exact per-item features. Only entropy-coded
-formats (JPEG/GIF/MP3/MP4 payload data) stay header-only: their
-codecs are genuinely out of stdlib reach, so feature extraction there
-is either a clearly-marked NotImplementedError (strict mode) or a
-deterministic fake (md5-derived) that keeps batch shapes, dtypes and
-row alignment honest.
+those into integer-exact per-item features, ``audio_spectral_stats``
+adds numpy-rfft dominant/centroid/bandwidth screens, ``image_ahash``
++ ``image_neardup_pairs`` / ``ahash_store_append`` +
+``incremental_ahash_pairs`` build exact hamming<=k image near-dup
+(batch and incremental-vs-store), and ``parse_video_samples`` /
+``video_frame_index`` read frame counts, keyframe structure and
+per-frame coded sizes straight from the ISO-BMFF sample tables. Only
+entropy-coded CONTENT (JPEG/GIF pixels, MP3/MP4 frames) stays out of
+reach: feature extraction there is either a clearly-marked
+NotImplementedError (strict mode) or a deterministic fake
+(md5-derived) that keeps batch shapes, dtypes and row alignment
+honest.
 
 Scale notes: binary payloads ride in their own column so column pruning
 drops them unless a stage truly needs bytes; mapInPandas streams Arrow

@@ -1120,6 +1120,11 @@ def test_cli_media_ops(spark, capsys, tmp_path):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["decoded"] == 20 and rep["mean_dominant_hz"] > 0
 
+    main(["media", "--docs", src, "--op", "frames",
+          "--out", str(tmp_path / "fr")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 40 and rep["decoded"] == 0  # synth has no video
+
     main(["media", "--docs", src, "--op", "neardup",
           "--out", str(tmp_path / "nd")])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
