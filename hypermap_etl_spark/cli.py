@@ -1752,7 +1752,11 @@ def cmd_media(args) -> None:
             "total_frames": df.agg(F.sum("n_samples")).collect()[0][0]
         }
     else:  # neardup
-        sigs = image_ahash(media, strict=args.strict)
+        # checkpoint: sigs feed the pair self-join AND two counts —
+        # without it the per-pixel decode re-runs 3-4x
+        sigs = image_ahash(media, strict=args.strict).localCheckpoint(
+            eager=True
+        )
         res = image_neardup_pairs(sigs, max_hamming=args.max_hamming)
         res.write.mode("overwrite").parquet(args.out)
         res = spark.read.parquet(args.out)

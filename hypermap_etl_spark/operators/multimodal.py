@@ -52,6 +52,22 @@ DECODE_OUTPUT_SCHEMA = (
     "n_bytes long, feat array<float>"
 )
 
+def _i32(v):
+    """None-safe range guard for pandas Int32 columns fed by LAKE
+    BYTES: container headers can legally encode 32-bit values a signed
+    int32 cannot hold (a lying PNG IHDR width, a 0x80000000 WAV sample
+    rate), and pd.array(..., dtype='Int32') RAISES on them — which
+    would kill the whole Arrow batch in strict=False mode, violating
+    the never-raise contract. Out-of-range → None, honestly NULL."""
+    return v if v is not None and 0 <= v < (1 << 31) else None
+
+
+def _i64(v):
+    """Int64 twin of _i32 (e.g. an stts duration of count*delta 32-bit
+    maxima over timescale 1 exceeds int64)."""
+    return v if v is not None and 0 <= v < (1 << 63) else None
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # JPEG start-of-frame markers that carry dimensions (baseline,
 # extended-sequential, progressive, lossless, differential variants);
@@ -357,12 +373,20 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
     if ct == 3 and (plte is None or len(plte) % 3):
         return None
     bpp = _PNG_CHANNELS[ct]
+    stride = w * bpp
+    expected = (stride + 1) * h
+    if expected > (1 << 31):
+        # gigapixel+ declared dims: out of the per-item Python
+        # decoder's scope (and a favorite lying-header shape)
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap inflation at expected+1 bytes: a DEFLATE bomb must not
+        # expand past what the declared geometry can legitimately need
+        # (the +1 distinguishes 'exactly right' from 'kept going')
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != expected:
         return None
     recon = bytearray(stride * h)
     for r in range(h):
@@ -533,8 +557,8 @@ def pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 hdr = parse_image_header(p)
                 fmts.append(hdr["fmt"] if hdr else None)
                 if hdr is not None:
-                    ws.append(hdr["width"])
-                    hs.append(hdr["height"])
+                    ws.append(_i32(hdr["width"]))
+                    hs.append(_i32(hdr["height"]))
                 else:
                     ws.append(m["width"] if m is not None else None)
                     hs.append(m["height"] if m is not None else None)
@@ -925,9 +949,11 @@ def audio_sample_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                     hdr = parse_audio_header(p)
                     rows["fmt"].append(hdr["fmt"] if hdr else None)
                     rows["sample_rate"].append(
-                        hdr["sample_rate"] if hdr else None
+                        _i32(hdr["sample_rate"]) if hdr else None
                     )
-                    rows["channels"].append(hdr["channels"] if hdr else None)
+                    rows["channels"].append(
+                        _i32(hdr["channels"]) if hdr else None
+                    )
                     for k in ("bits", "n_frames", "peak_abs", "abs_sum",
                               "sq_sum", "zero_cross"):
                         rows[k].append(None)
@@ -937,7 +963,7 @@ def audio_sample_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 a = np.abs(s, dtype=np.int64)
                 c0 = s[0::ch].astype(np.int64)
                 rows["fmt"].append(dec["fmt"])
-                rows["sample_rate"].append(dec["sample_rate"])
+                rows["sample_rate"].append(_i32(dec["sample_rate"]))
                 rows["channels"].append(ch)
                 rows["bits"].append(dec["bits"])
                 rows["n_frames"].append(s.size // ch)
@@ -1126,10 +1152,16 @@ def video_frame_index(media: DataFrame, strict: bool = False) -> DataFrame:
                               "keyframe_ratio"):
                         rows[k].append(None)
                     continue
-                for k in ("fmt", "n_samples", "n_keyframes",
-                          "total_sample_bytes", "max_sample_bytes",
-                          "duration_ms"):
-                    rows[k].append(facts[k])
+                rows["fmt"].append(facts["fmt"])
+                rows["n_samples"].append(_i32(facts["n_samples"]))
+                rows["n_keyframes"].append(_i32(facts["n_keyframes"]))
+                rows["total_sample_bytes"].append(
+                    _i64(facts["total_sample_bytes"])
+                )
+                rows["max_sample_bytes"].append(
+                    _i64(facts["max_sample_bytes"])
+                )
+                rows["duration_ms"].append(_i64(facts["duration_ms"]))
                 rows["keyframe_ratio"].append(
                     round(facts["n_keyframes"] / facts["n_samples"], 6)
                 )
@@ -1193,7 +1225,7 @@ def audio_spectral_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                         )
                     hdr = parse_audio_header(p)
                     fmts.append(hdr["fmt"] if hdr else None)
-                    rates.append(hdr["sample_rate"] if hdr else None)
+                    rates.append(_i32(hdr["sample_rate"]) if hdr else None)
                     frames.append(None)
                     doms.append(None)
                     cents.append(None)
@@ -1203,7 +1235,7 @@ def audio_spectral_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 x = dec["samples"][0::ch].astype(np.float64)
                 n = x.size
                 fmts.append(dec["fmt"])
-                rates.append(dec["sample_rate"])
+                rates.append(_i32(dec["sample_rate"]))
                 frames.append(n)
                 if n < 2:
                     doms.append(0.0)
@@ -1269,9 +1301,9 @@ def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
                 hdr = parse_audio_header(p)
                 if hdr is not None:
                     fmts.append(hdr["fmt"])
-                    rates.append(hdr["sample_rate"])
-                    chans.append(hdr["channels"])
-                    durs.append(hdr["duration_ms"])
+                    rates.append(_i32(hdr["sample_rate"]))
+                    chans.append(_i32(hdr["channels"]))
+                    durs.append(_i64(hdr["duration_ms"]))
                 elif strict:
                     raise NotImplementedError(
                         "payload is not a RIFF/WAVE or MPEG-audio "
@@ -1349,8 +1381,8 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
                                "height": vh["height"]}
                 if hdr is not None:
                     fmts.append(hdr["fmt"])
-                    widths.append(hdr["width"])
-                    heights.append(hdr["height"])
+                    widths.append(_i32(hdr["width"]))
+                    heights.append(_i32(hdr["height"]))
                 elif strict:
                     raise NotImplementedError(
                         "payload is not a PNG/JPEG/GIF container and real "

@@ -262,9 +262,22 @@ def start_media_dedup_stream(
     stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(source_path)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
+        import os
+
         t0 = time.monotonic()
         n_in = df.count()
+        # replay idempotence: a crash between the store append and the
+        # streaming-checkpoint commit redelivers the batch, and each
+        # already-accepted row would then meet its OWN store entry
+        # (same media_id, skipped by the a != b guard) and be accepted
+        # AGAIN — so anti-join against the accepted lake's ids first,
+        # the same accepted-output-is-the-state move as the text
+        # curate stream's content-key anti-join.
+        if os.path.exists(out_path):
+            seen = spark.read.parquet(out_path).select("media_id")
+            df = df.join(seen, "media_id", "left_anti")
         hashes = image_ahash(df).localCheckpoint(eager=True)
+        n_fresh = hashes.count()
         n_hashed = hashes.filter(F.col("ahash").isNotNull()).count()
         store = (
             store_table
@@ -295,8 +308,9 @@ def start_media_dedup_stream(
                 {
                     "batch_id": batch_id,
                     "media_in": n_in,
+                    "replayed_skipped": n_in - n_fresh,
                     "hashed": n_hashed,
-                    "neardup_dropped": n_in - accepted,
+                    "neardup_dropped": n_fresh - accepted,
                     "accepted": accepted,
                     "secs": round(time.monotonic() - t0, 3),
                 }

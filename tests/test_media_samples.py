@@ -657,3 +657,130 @@ def test_video_frame_index_operator(spark):
     assert out[1]["n_samples"] == 4 and out[1]["keyframe_ratio"] == 0.5
     assert out[1]["max_sample_bytes"] == 200 and out[1]["duration_ms"] == 1000
     assert out[2]["fmt"] is None and out[2]["n_samples"] is None
+
+
+def test_stats_operators_survive_hostile_headers(spark):
+    """Container fields are attacker-declared: dims/rates that overflow
+    int32 (or products that overflow int64) must come back NULL in
+    non-strict mode — never a pd.array cast error killing the Arrow
+    batch (code-review regression)."""
+    # PNG IHDR declaring width 2^32-1 at an undecodable depth (16)
+    png_evil = _png(0xFFFFFFFF, 2, 16, 0, b"")
+    # structurally valid PCM WAV whose declared rate is 0x80000000
+    # (patched in place: rate LE32 lives at offset 24 of the canonical
+    # layout; byte_rate would overflow the builder's struct pack)
+    wav_evil = bytearray(_wav(8000, 1, 16, [1, 2, 3, 4]))
+    wav_evil[24:28] = struct.pack("<I", 0x80000000)
+    wav_evil = bytes(wav_evil)
+    # stsz const-size path: declared count 2^32-1 needs no entry bytes
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 1, 0xFFFFFFFF))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF))
+    mdhd = _box(b"mdhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, 0)
+                + b"\x00" * 4)
+    mp4_evil = _bmff(_box(b"moov", _box(b"trak", _box(
+        b"mdia", mdhd + _box(b"minf", _box(b"stbl", stsz + stts))))))
+
+    rows = [
+        (1, "image", bytearray(png_evil), "x", (None, None, None, None)),
+        (2, "audio", bytearray(wav_evil), "x", (None, None, None, None)),
+        (3, "video", bytearray(mp4_evil), "x", (None, None, None, None)),
+    ]
+    df = _media_rows(spark, rows)
+
+    from hypermap_etl_spark.operators.multimodal import (
+        audio_sample_stats,
+        audio_spectral_stats,
+        decode_audio,
+        decode_media,
+        pixel_stats,
+        video_frame_index,
+    )
+
+    px = {r["media_id"]: r.asDict() for r in pixel_stats(df).collect()}
+    assert px[1]["fmt"] == "png" and px[1]["width"] is None
+
+    dm = {r["media_id"]: r.asDict() for r in decode_media(df).collect()}
+    assert dm[1]["width"] is None  # not a negative/int32-wrapped lie
+
+    au = {r["media_id"]: r.asDict() for r in audio_sample_stats(df).collect()}
+    assert au[2]["fmt"] == "wav" and au[2]["sample_rate"] is None
+    assert au[2]["n_frames"] == 4  # payload-bounded facts stay real
+
+    sp = {r["media_id"]: r.asDict()
+          for r in audio_spectral_stats(df).collect()}
+    assert sp[2]["sample_rate"] is None
+
+    da = {r["media_id"]: r.asDict() for r in decode_audio(df).collect()}
+    assert da[2]["fmt"] == "wav" and da[2]["sample_rate"] is None
+
+    vf = {r["media_id"]: r.asDict() for r in video_frame_index(df).collect()}
+    assert vf[3]["fmt"] == "mp4" and vf[3]["n_samples"] is None
+    assert vf[3]["duration_ms"] is None  # count*delta/timescale > int64
+
+
+def test_png_decoder_caps_zlib_bombs():
+    """A small DEFLATE bomb must be rejected by the expected-size cap,
+    not inflated to completion (code-review regression): inflation
+    stops at geometry+1 bytes, and gigapixel declared dims are out of
+    the per-item decoder's scope entirely."""
+    import time
+
+    # 2x2 gray geometry (expected 6 raw bytes) but ~1 MB of zeros
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    t0 = time.monotonic()
+    assert decode_png_pixels(_png(2, 2, 8, 0, b"", )[:33]  # sig+IHDR only
+                             + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+                             ) is None
+    assert time.monotonic() - t0 < 2.0
+    # gigapixel declared dims: rejected before any allocation
+    huge = _png(40000, 40000, 8, 2, b"")
+    assert decode_png_pixels(huge) is None
+
+
+def test_media_dedup_stream_replay_idempotent(spark, tmp_path):
+    """Crash-redelivery contract: wiping the streaming checkpoint (so
+    EVERY file redelivers) must not change the accepted lake or the
+    store — the accepted output is the state (code-review regression:
+    a replayed survivor used to meet its own store row, skip the a!=b
+    guard, and be accepted twice)."""
+    import os
+
+    from hypermap_etl_spark.streaming.curate import start_media_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    name = "media_dedup_replay_store"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    px = bytes((i * 3) % 256 for i in range(64))
+    rows = [(1, "image", bytearray(encode_png(8, 8, px, color_type=0)),
+             "image/png", (None, None, None, None))]
+    _media_rows(spark, rows).write.mode("append").parquet(src)
+
+    progress = []
+    q = start_media_dedup_stream(
+        spark, src, out, ckpt, name, store_path=str(tmp_path / "st"),
+        on_progress=progress.append,
+    )
+    q.awaitTermination(120)
+    assert {r["media_id"] for r in spark.read.parquet(out).collect()} == {1}
+    n_store = spark.table(name).count()
+
+    # simulate the lost checkpoint: everything redelivers
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = start_media_dedup_stream(
+        spark, src, out, ckpt, name, store_path=str(tmp_path / "st"),
+        on_progress=progress.append,
+    )
+    q2.awaitTermination(120)
+    out_rows = spark.read.parquet(out).collect()
+    assert [r["media_id"] for r in out_rows] == [1]  # no duplicate row
+    assert spark.table(name).count() == n_store
+    assert progress[-1]["replayed_skipped"] == 1
+    assert progress[-1]["accepted"] == 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
