@@ -784,3 +784,55 @@ def test_media_dedup_stream_replay_idempotent(spark, tmp_path):
     assert progress[-1]["replayed_skipped"] == 1
     assert progress[-1]["accepted"] == 0
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_incremental_ahash_fuzz_exactness(spark, data):
+    """Property: for ANY hash population and ANY store/batch split,
+    store-pairs ∪ batch-pairs == the exact hamming<=k relation between
+    (batch x store) and (batch x batch) — blocking completeness and
+    the src attribution hold under random structure, not just the
+    planted fixture."""
+    from hypermap_etl_spark.operators.multimodal import (
+        incremental_ahash_pairs,
+    )
+
+    rng_bits = st.integers(0, (1 << 64) - 1)
+    base = data.draw(rng_bits)
+    n = data.draw(st.integers(4, 14))
+    flips = st.integers(0, 63)
+    sigs = []
+    for i in range(n):
+        v = base
+        for b in data.draw(st.lists(flips, min_size=0, max_size=8)):
+            v ^= 1 << b
+        sigs.append(v)
+    split = data.draw(st.integers(1, n - 1))
+    k = data.draw(st.integers(0, 7))
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    store_rows = [(i, "png", signed(sigs[i])) for i in range(split)]
+    batch_rows = [(100 + i, "png", signed(sigs[i])) for i in range(split, n)]
+    schema = "media_id long, fmt string, ahash long"
+    store_df = spark.createDataFrame(store_rows, schema)
+    batch_df = spark.createDataFrame(batch_rows, schema)
+    from hypermap_etl_spark.operators.multimodal import ahash_chunk_buckets
+
+    got = {
+        (r["media_a"], r["media_b"], r["src"])
+        for r in incremental_ahash_pairs(
+            batch_df, ahash_chunk_buckets(store_df), max_hamming=k
+        ).collect()
+    }
+    want = set()
+    for bi in range(split, n):
+        for si in range(split):
+            if bin(sigs[bi] ^ sigs[si]).count("1") <= k:
+                want.add((100 + bi, si, "store"))
+        for bj in range(bi + 1, n):
+            if bin(sigs[bi] ^ sigs[bj]).count("1") <= k:
+                want.add((100 + bi, 100 + bj, "batch"))
+    assert got == want
