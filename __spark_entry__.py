@@ -19,98 +19,91 @@ from hypermap_etl_spark.plans.star_queries import STAR_QUERIES
 
 _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 
-# ROUND-9 WINDOW. The driver's correctness gate runs only the FIRST 50
-# queries() entries (dict order). This window executes VERDICT r8 task
-# 1 verbatim — close the evidence ledger:
-#   (a) the ENTIRE 14-gate never-checked backlog (the 13 deferred by
-#       name in the r8 window comment + events_quantile_store, the
-#       documented r8 freeze exception) — after this window the
-#       never-checked backlog is ZERO;
-#   (b) re-certs for every gate whose operator changed in r8/r9: the
-#       hm_* fold family (operators/materialize.py changed in r8 —
-#       delta hooks — and AGAIN this session: persisted isPlaceholder
-#       flag per ADVICE r9-high, retry-bounded + manifest-committed
-#       pending store), the drift-store gates (refactored onto
-#       streaming/store.py in r8), and doc_media_decode
-#       (operators/multimodal.py gained the audio parsers this
-#       session);
-#   (c) all 17 gates whose newest driver row is r2 (the oldest
-#       evidence in the ledger), then the 10 oldest-evidence r3 gates
-#       that fit — core TPC-H + sessionization first.
-# Registration is frozen except ONE verdict-demanded gate (VERDICT r8
-# task 7): doc_media_audio — real WAV/RIFF + MP3 frame-header parsing
-# over a fixture whose metadata deliberately lies, so only true byte
-# parsing matches the oracle. Post-r9 registry: 322 gates, backlog 0.
+# ROUND-10 WINDOW. The driver's correctness gate runs only the FIRST
+# 50 queries() entries (dict order). This window executes VERDICT r9
+# tasks 1-3 verbatim:
+#   (a) the 4 media gates staged under the r9 registration freeze
+#       (doc_media_pixels/pcm/ahash/video — the only implemented
+#       operators with no driver CORRECTNESS row) plus emb_semdedup,
+#       the new planted-fixture oracle for semdedup's dominance rule
+#       (the one r9 operator with pytest-only evidence);
+#   (b) ALL 37 gates whose newest driver evidence is r3 — after this
+#       window the staleness histogram has no r3 entries (r11 takes
+#       the r4 tail);
+#   (c) re-certs for every gate whose operator changed this round:
+#       operators/multimodal.py (mvhd v1 short-payload NULL guard,
+#       ADVICE r10) → doc_media_decode, doc_media_audio,
+#       media_metadata; operators/similarity.py (ivf_index_compact —
+#       the serve-path defragmentation hook — plus the semdedup gate's
+#       host module) → the emb_ivf_* family + emb_semantic_survivors
+#       (also r4-stale).
+# Registered this round: the 4 staged media gates + emb_semdedup
+# (all demanded by VERDICT r9). Post-r10 registry: 327 gates.
 _WINDOW: list[str] = [
-    # ---- (a) the 14-gate never-checked backlog ----
-    "doc_model_pr_sweep",
-    "lineitem_kendall_tau",
-    "events_theils_u",
-    "parts_copurchase_lpa",
-    "events_fano",
-    "events_hour_profile",
-    "events_type_stationary",
-    "events_ab_welch_robust",
-    "events_srm",
-    "lineitem_weighted_p90",
-    "orders_repeat_cycle",
-    "doc_source_simpson",
-    "emb_ivf_probe_sweep",
-    "events_quantile_store",
-    # ---- the one new gate (VERDICT r8 task 7) ----
-    "doc_media_audio",
-    # ---- (b) re-certs: operators changed in r8/r9 ----
-    "hm_entries",
-    "hm_entry_history",
-    "hm_fullnames",
-    "hm_subtree_sizes",
-    "hm_descendants",
-    "events_drift_verdict",
-    "events_drift_ewma",
+    # ---- (a) newly registered: staged media gates + semdedup ----
+    "doc_media_pixels",
+    "doc_media_pcm",
+    "doc_media_ahash",
+    "doc_media_video",
+    "emb_semdedup",
+    # ---- (b) the 37 r3-stale gates ----
+    "q4_order_priority",
+    "q6_revenue_delta",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "customer_balance_quartiles",
+    "customer_order_distribution",
+    "customer_set_ops",
+    "events_bloom_probe",
+    "events_funnel",
+    "events_interval_counts",
+    "events_json_extract",
+    "events_kmv_users",
+    "events_last_event",
+    "events_moving_avg",
+    "events_page2",
+    "events_running_total",
+    "events_salted_counts",
+    "events_sampled_quantiles",
+    "events_status_counts",
+    "events_type_bigrams",
+    "events_user_daily",
+    "events_value_outliers",
+    "exclusive_return_suppliers",
+    "large_order_customers",
+    "nation_pair_volume",
+    "orders_rollup",
+    "part_min_price_line",
+    "parts_size_rank_ties",
+    "rich_inactive_customers",
+    "small_quantity_revenue",
+    "supplier_nation_balance",
+    # ---- (c) re-certs: operators changed this round ----
     "doc_media_decode",
-    # ---- (c) the 17 r2-stale gates (oldest evidence first) ----
-    "activity_union",
-    "customer_nation_stats",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_langid",
-    "doc_ngram_pairs",
-    "doc_quality",
-    "doc_simhash_pairs",
-    "doc_simhash_sigs",
-    "doc_token_stats",
-    "emb_ann_topk",
-    "emb_knn_label",
-    "emb_neardup",
-    "nations_without_customers",
-    "orders_with_big_lineitem",
-    "parts_size_filter",
-    "top_orders_denorm",
-    # ---- (c) 10 oldest r3-stale rotations that fit ----
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q9_product_profit",
-    "events_sessions",
-    "events_asof_join",
-    "events_retention_cohorts",
-    "events_tumbling_window",
-    "orders_cube",
-    "top3_customers_per_segment",
+    "doc_media_audio",
+    "media_metadata",
+    "emb_ivf_recall",
+    "emb_ivf_probe_sweep",
+    "emb_ivf_index_recall",
+    "emb_ivfpq_recall",
+    "emb_semantic_survivors",
 ]
 
-# Remaining rotation debt after r9 (for the r10 window): 37 r3-stale
-# gates (q4/q6/q8/q10/q11/q14/q15/q16/q19/q20, events_* window family,
-# customer_* set ops, ...) and 48 r4-stale — never-checked backlog is
-# ZERO, so future windows are pure freshness rotation plus re-certs
-# for whatever operators change.
-#
-# Staged-but-UNREGISTERED gates (r9 registration freeze; each has a
-# driver-style local parity test green at sf0.001 + sf0.01, so r10
-# registers any of them by adding one dict line in doc_queries.py's
-# DOC_QUERIES): doc_media_video, doc_media_pixels (real PNG pixel
-# decode), doc_media_pcm (real WAV sample decode), doc_media_ahash
-# (perceptual hash + image near-dup pairs).
+# Remaining rotation debt after r10 (for the r11 window): the ~43
+# r4-stale gates (doc_* curation family, hm_decode_roundtrip /
+# hm_enrich_format / hm_get_entry / hm_last_event / hm_status_counts /
+# hm_events_page2, events_cms_counts, events_lead_lag_ntile,
+# events_type_pivot/unpivot, lineitem_price_histogram,
+# lineitem_profile, q12_priority_shipping, customer_fuzzy_pairs,
+# emb_covariance) — the staleness histogram then starts at r5, and
+# future windows are pure freshness rotation plus re-certs for
+# whatever operators change.
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
 # 50 slots, no duplicates, and every name registered — a typo'd name

@@ -154,6 +154,17 @@ def _recover_interrupted_swap(path: str) -> None:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
+def _has_parquet_files(path: str) -> bool:
+    """Does ``path`` hold any data file at all? A table whose every
+    partition directory was just removed still exists as an (empty)
+    root, and ``spark.read.parquet`` raises on it — callers that may
+    have emptied a table check this before re-reading it."""
+    for root, _dirs, names in os.walk(path):
+        if any(n.endswith(".parquet") for n in names):
+            return True
+    return False
+
+
 def _remove_partition_dirs(path: str, partition_col: str, values) -> int:
     """Remove the on-disk directories of fully-emptied partitions,
     escaping- and listing-safe. Returns how many were removed.
@@ -511,10 +522,15 @@ def delete_keys(
                 .parquet(path)
             )
             _remove_partition_dirs(path, partition_col, set(touched) - kept)
+            # a delete that emptied EVERY partition leaves a bare table
+            # root Spark cannot infer a schema from (fuzzer-found via
+            # reorg_rollback's total-reorg repair)
             n_after = (
                 spark.read.parquet(path)
                 .filter(F.col(partition_col).isin(touched))
                 .count()
+                if _has_parquet_files(path)
+                else 0
             )
             return {
                 "deletedCount": n_before - n_after,
@@ -529,7 +545,11 @@ def delete_keys(
         os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old)
-        n_after = spark.read.parquet(path).count()
+        n_after = (
+            spark.read.parquet(path).count()
+            if _has_parquet_files(path)
+            else 0  # every row deleted: empty staging has no data file
+        )
         return {
             "deletedCount": n_before - n_after,
             "partitionsRewritten": 0,
@@ -643,7 +663,12 @@ def reorg_rollback(
                 os.rename(staging, events_path)
                 shutil.rmtree(old)
 
-    if entries_path is None or not os.path.exists(entries_path):
+    if entries_path is None or not _has_parquet_files(entries_path):
+        # absent OR holding no data file (a fold of a log that created
+        # no entries writes only _SUCCESS — fuzzer-found): an empty
+        # table consistent with its log stays empty under any subset
+        # of that log (entries only ever come from Mints), so there is
+        # nothing to repair and the read below would raise
         return out
 
     # widen with entries the STORE says were touched above the fork —
@@ -659,13 +684,22 @@ def reorg_rollback(
     if keys.isEmpty():
         return out
 
+    pcol = "entry_bucket" if entry_buckets else None
+    if not _has_parquet_files(events_path):
+        # TOTAL reorg (fork below every indexed block, fuzzer-found):
+        # nothing survives, so there is no log to refold and the read
+        # below would raise on the emptied table — every repair key's
+        # entry simply goes away, which IS the fresh-index state
+        drep = delete_keys(spark, entries_path, keys, ["namehash"], pcol)
+        out["entriesDeleted"] = drep["deletedCount"]
+        return out
+
     surviving = spark.read.parquet(events_path)
     refolded = (
         materialize_entries(events_referencing(surviving, keys))
         .join(F.broadcast(keys), "namehash", "left_semi")
         .localCheckpoint()
     )
-    pcol = "entry_bucket" if entry_buckets else None
     if entry_buckets:
         refolded = with_entry_bucket(refolded, entry_buckets)
     rep = merge_into_parquet(spark, entries_path, refolded, ["namehash"], pcol)

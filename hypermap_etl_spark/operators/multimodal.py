@@ -268,7 +268,15 @@ def parse_video_header(payload: bytes | None) -> dict | None:
         for typ, l, h2 in boxes(lo, hi):
             if typ == b"mvhd" and h2 - l >= 20:
                 ver = b[l]
-                if ver == 1 and h2 - l >= 32:
+                if ver == 1:
+                    # a v1 box with 20-31 payload bytes must NOT fall
+                    # back to v0 offsets — those bytes are 64-bit
+                    # creation/modification time there, and reading
+                    # them as timescale/duration turns a truncated or
+                    # hostile header into a confident garbage duration
+                    # (ADVICE r10: NULL when unparseable, never lies)
+                    if h2 - l < 32:
+                        continue
                     ts = int.from_bytes(b[l + 20:l + 24], "big")
                     dur = int.from_bytes(b[l + 24:l + 32], "big")
                 else:

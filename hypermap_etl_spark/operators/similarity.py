@@ -1712,6 +1712,30 @@ def ivf_index_append(
     return {"appended": int(row["n"]), "listsTouched": int(row["touched"])}
 
 
+def ivf_index_compact(
+    spark, path: str, max_files: int = 8
+) -> dict[str, int]:
+    """Posting-list defragmentation for a persisted IVF index — the
+    maintenance hook every append-only store here has (the MinHash
+    signature store's signature_store_compact, the index stream's
+    compact_partitions): each :func:`ivf_index_append` adds one file
+    set to every touched ``cid=`` directory, so a long append tail
+    turns the probed-list scan into parquet open/footer overhead
+    (measured at sf0.1: the base write alone leaves one file per
+    shuffle task per list — 256 files for a 4,750-vector index — and
+    each append adds ~10 more per list).
+
+    Delegates to the shared merge-lock compaction: only lists
+    exceeding ``max_files`` files are rewritten (one file per cid),
+    untouched lists are never opened, and a racing append fails
+    loudly rather than reading deleted files. Centroids are untouched
+    — compaction never changes search results, only file counts
+    (pinned by test)."""
+    from hypermap_etl_spark.operators.merge import compact_partitions
+
+    return compact_partitions(spark, f"{path}/lists", "cid", max_files)
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-list health of a persisted IVF index: (cid, n_vectors,
     share, imbalance) where imbalance = n_vectors / mean list size.

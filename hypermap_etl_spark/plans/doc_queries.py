@@ -2019,6 +2019,82 @@ ORDER BY vec_id
 """
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of semdedup's dominance-pruning rule
+    (similarity.semdedup, Abbas et al. 2023) — the one r9 operator
+    that had pytest-only evidence (VERDICT r9 task 3).
+
+    Planted fixture with a closed-form survivor set (the
+    doc_media_ahash style): the 32 smallest vec_ids become vectors
+    with INTEGER components on orthogonal axis pairs — cluster
+    c = vec_id%3 owns dims (2c, 2c+1); sub-direction 0 is (4t, 0),
+    sub-direction 1 is (4t, 3t) with scale t = 1+vec_id%4 — so every
+    pairwise cosine is EXACT by construction: 1.0 within a (c,sub)
+    group (parallel vectors), 0.8 across subs of one cluster
+    (16/(4·5)), 0.0 across clusters. At threshold 0.9 the dominance
+    relation collapses to "min vec_id per (c,sub) group survives",
+    which the oracle states directly, while centroid_sim is genuinely
+    recomputed both sides (k=1 makes the k-means stage closed-form:
+    the centroid is the per-dim mean, exact in IEEE doubles because
+    components are integers and the group size is a power of two).
+    Within-group centroid_sims agree to 9 decimals (verified margins
+    >> ulp), so the id tie-break — the subtlest branch of the rule —
+    is what the gate actually certifies."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id").filter(
+        F.col("vec_id") < 32
+    )
+    c = F.col("vec_id") % 3
+    sub = F.floor(F.col("vec_id") / 3) % 2
+    t = (1 + F.col("vec_id") % 4).cast("double")
+    comps = [
+        F.when(F.lit(d) == 2 * c, 4 * t)
+        .when((F.lit(d) == 2 * c + 1) & (sub == 1), 3 * t)
+        .otherwise(F.lit(0.0))
+        for d in range(8)
+    ]
+    planted = e.select("vec_id", F.array(*comps).alias("embedding"))
+    return similarity.semdedup(
+        planted, k=1, threshold=0.9, n_iter=2
+    ).orderBy("vec_id")
+
+
+def _semdedup_oracle() -> str:
+    cases = ",\n          ".join(
+        f"CASE WHEN {d} = 2*c THEN 4*t "
+        f"WHEN {d} = 2*c + 1 AND sub = 1 THEN 3*t ELSE 0 END"
+        for d in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id, vec_id % 3 AS c, (vec_id // 3) % 2 AS sub,
+         CAST(1 + vec_id % 4 AS DOUBLE) AS t
+  FROM embeddings WHERE vec_id < 32
+),
+v AS (
+  SELECT vec_id, c, sub,
+         [{cases}] AS vec
+  FROM p
+),
+d AS (SELECT v.*, dims.dim FROM v, (SELECT unnest(range(8)) AS dim) dims),
+cent AS (SELECT dim, AVG(vec[dim + 1]) AS m FROM d GROUP BY dim),
+nc AS (SELECT SQRT(SUM(m * m)) AS n FROM cent),
+sc AS (
+  SELECT d.vec_id, d.c, d.sub,
+         SUM(d.vec[cent.dim + 1] * cent.m) AS dp,
+         SQRT(SUM(d.vec[cent.dim + 1] * d.vec[cent.dim + 1])) AS nv
+  FROM d JOIN cent ON d.dim = cent.dim
+  GROUP BY d.vec_id, d.c, d.sub
+)
+SELECT vec_id, CAST(0 AS INT) AS cluster,
+       ROUND(ROUND(dp / (nv * (SELECT n FROM nc)), 9), 6) AS centroid_sim,
+       vec_id = MIN(vec_id) OVER (PARTITION BY c, sub) AS keep
+FROM sc ORDER BY vec_id
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids (class prototypes / IVF coarse quantizer),
     flattened to one (label, n_vecs, dim, m) row per component.
@@ -5182,11 +5258,8 @@ FROM m ORDER BY media_id
 
 
 def doc_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video twin of doc_media_decode — NOT yet registered in
-    DOC_QUERIES (the r9 registration freeze allows only the
-    verdict-demanded audio gate); implementation + oracle + local
-    parity test land now so r10 can certify it by adding one dict
-    line. Documents become a derived video frame whose payload is a
+    """Video twin of doc_media_decode — staged under the r9
+    registration freeze, registered in r10 (VERDICT r9 task 1). Documents become a derived video frame whose payload is a
     genuine ISO-BMFF container (ftyp + moov with mvhd and tkhd boxes)
     followed by the UTF-8 text as trailing bytes; presentation
     width/height are baked into the tkhd 16.16 fields from doc_id.
@@ -5317,9 +5390,8 @@ DOC_MEDIA_VIDEO_ORACLE = _media_video_oracle()
 
 def doc_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver certification of REAL pixel decode
-    (multimodal.decode_png_pixels via pixel_stats) — NOT yet registered
-    in DOC_QUERIES (r9 registration freeze; staged for r10 with local
-    parity evidence attached, the doc_media_video precedent).
+    (multimodal.decode_png_pixels via pixel_stats) — staged under the
+    r9 registration freeze, registered in r10 (VERDICT r9 task 1).
 
     Documents become GENUINE PNG files built per row from doc_id: the
     pixel plane is the ramp byte i = (doc_id*7 + i) % 256, dims are
@@ -5431,7 +5503,7 @@ FROM g ORDER BY media_id
 def doc_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver certification of the perceptual-hash + image near-dup
     path (multimodal.image_ahash / image_neardup_pairs over REAL
-    decoded pixels) — NOT yet registered (r9 freeze; staged for r10).
+    decoded pixels) — staged under the r9 freeze, registered in r10.
 
     Planted geometry makes the whole pipeline closed-form: each doc is
     an RGB PNG, 8 rows tall and w = doc_id%5+8 wide (w >= 8 keeps the
@@ -5528,8 +5600,8 @@ FROM g JOIN c USING (b) ORDER BY g.media_id
 def doc_media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver certification of REAL PCM sample decode
     (multimodal.decode_wav_samples via audio_sample_stats) — NOT yet
-    registered (r9 registration freeze; staged for r10 with local
-    parity evidence, the doc_media_video precedent).
+    staged under the r9 registration freeze, registered in r10
+    (VERDICT r9 task 1).
 
     Documents become GENUINE PCM WAV files built per row from doc_id:
     interleaved sample j is ((doc_id*11 + j) * 997) mod M - M/2 with
@@ -6674,6 +6746,7 @@ DOC_QUERIES: dict[str, tuple] = {
     "emb_ann_topk": (emb_ann_topk, ANN_ORACLE),
     "emb_neardup": (emb_neardup, NEARDUP_ORACLE),
     "emb_semantic_survivors": (emb_semantic_survivors, SEMANTIC_SURVIVORS_ORACLE),
+    "emb_semdedup": (emb_semdedup, SEMDEDUP_ORACLE),
     "emb_label_centroids": (emb_label_centroids, LABEL_CENTROIDS_ORACLE),
     "emb_knn_label": (emb_knn_label, KNN_ORACLE),
     "emb_lsh_recall": (emb_lsh_recall, LSH_RECALL_ORACLE),
@@ -6701,6 +6774,12 @@ DOC_QUERIES: dict[str, tuple] = {
     "doc_negative_sampling": (doc_negative_sampling, NEG_SAMPLING_ORACLE),
     "doc_media_decode": (doc_media_decode, _media_decode_oracle()),
     "doc_media_audio": (doc_media_audio, DOC_MEDIA_AUDIO_ORACLE),
+    # the four gates staged under the r9 registration freeze, now
+    # registered (VERDICT r9 task 1)
+    "doc_media_video": (doc_media_video, DOC_MEDIA_VIDEO_ORACLE),
+    "doc_media_pixels": (doc_media_pixels, DOC_MEDIA_PIXELS_ORACLE),
+    "doc_media_pcm": (doc_media_pcm, DOC_MEDIA_PCM_ORACLE),
+    "doc_media_ahash": (doc_media_ahash, DOC_MEDIA_AHASH_ORACLE),
     "doc_hapax_ratio": (doc_hapax_ratio, HAPAX_ORACLE),
     "doc_epoch_plan": (doc_epoch_plan, EPOCH_PLAN_ORACLE),
     "doc_luhn_check": (doc_luhn_check, LUHN_ORACLE),

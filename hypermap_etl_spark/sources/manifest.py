@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -181,42 +182,93 @@ def _publish_cas(
             os.unlink(tmp)
             continue  # lost the CAS: rebase on the new current and retry
         os.unlink(tmp)
-        # forward-only best-effort flip (private tmp: two flippers must
-        # not clobber each other's tmp). A lost/late flip never breaks
-        # writers (they base on the max on-disk manifest) and the next
-        # commit heals the pointer for readers.
-        ptr = os.path.join(table, _LATEST)
-        try:
-            with open(ptr) as fh:
-                if int(fh.read().strip()) >= v:
-                    return v  # a later commit already advanced it
-        except (OSError, ValueError):
-            pass
-        ptmp = f"{ptr}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(ptmp, "w") as fh:
-            fh.write(str(v))
-        os.rename(ptmp, ptr)
+        _flip_pointer(table, v)
         return v
     raise ConcurrentCommitError(
         f"gave up after {max_retries} CAS retries on {table}"
     )
 
 
-def _publish(table: str, manifest: dict) -> int:
-    """Write the complete manifest, then flip the pointer. The ONLY
-    rename is of the one-line pointer file — on an object store both
-    writes become single small PUTs (the pointer via conditional PUT)."""
-    os.makedirs(os.path.join(table, "manifests"), exist_ok=True)
-    v = (current_version(table) or 0) + 1
-    manifest = {**manifest, "version": v}
-    mp = _mpath(table, v)
-    with open(mp + ".tmp", "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-    os.rename(mp + ".tmp", mp)
+def _flip_pointer(table: str, v: int) -> None:
+    """Forward-only compare-and-swap of the ``_latest`` pointer.
+
+    The check-then-rename race (ADVICE r9-medium): flipper A (v=5) and
+    flipper B (v=6) both read pointer=4; B renames ptr→6, then A's late
+    rename regresses it to 5, and — before ``_publish`` was rebased on
+    the on-disk max — the next locked writer computed version 6 from
+    the regressed pointer and ``os.rename`` silently clobbered the
+    committed m-6 (losing its snapshot; vacuum could then delete its
+    data files). The check and the rename must be one atomic step.
+
+    Locally that CAS is a short atomic-``mkdir`` critical section
+    (microseconds: one read + one rename of a one-line file; nothing
+    Spark-sized happens under it). On an object store the equivalent is
+    a single conditional PUT keyed on the old pointer value (S3
+    ``If-Match`` / GCS ``ifGenerationMatch``). The flip stays
+    best-effort for liveness: if the lock is wedged by a dead process
+    we skip the flip rather than deadlock — writers never base on the
+    pointer (``_max_manifest_version``) and ``current_version`` falls
+    back to the on-disk max, so a skipped flip only delays readers
+    until the next commit heals it."""
     ptr = os.path.join(table, _LATEST)
-    with open(ptr + ".tmp", "w") as fh:
-        fh.write(str(v))
-    os.rename(ptr + ".tmp", ptr)
+    lock = ptr + ".lock"
+    for _ in range(200):  # ~2 s worst case; flips hold the lock for µs
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            time.sleep(0.01)
+    else:
+        return  # wedged lock: leave the pointer to the next commit
+    try:
+        try:
+            with open(ptr) as fh:
+                if int(fh.read().strip()) >= v:
+                    return  # a later commit already advanced it
+        except (OSError, ValueError):
+            pass
+        ptmp = f"{ptr}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as fh:
+            fh.write(str(v))
+        os.rename(ptmp, ptr)
+    finally:
+        os.rmdir(lock)
+
+
+def _publish(table: str, manifest: dict) -> int:
+    """Write the complete manifest, then flip the pointer — on an
+    object store both writes become single small conditional PUTs.
+
+    Versions off ``_max_manifest_version`` and commits through the same
+    ``os.link`` CAS as ``_publish_cas`` (ADVICE r9-medium): the pointer
+    can lag the on-disk max (crash between manifest link and pointer
+    flip, or a late flipper losing the race), and basing on
+    ``current_version`` then recomputed an already-taken version whose
+    ``os.rename`` clobbered the committed manifest. Locked writers
+    can't race each other, but they CAN land on a version a crashed or
+    optimistic writer already took — link-EEXIST just advances past it."""
+    os.makedirs(os.path.join(table, "manifests"), exist_ok=True)
+    v = _max_manifest_version(table) or 0
+    tmp = None
+    try:
+        while True:
+            v += 1
+            manifest = {**manifest, "version": v}
+            mp = _mpath(table, v)
+            tmp = f"{mp}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, sort_keys=True)
+            try:
+                os.link(tmp, mp)
+            except FileExistsError:
+                os.unlink(tmp)
+                tmp = None
+                continue  # version taken (crashed/optimistic writer)
+            break
+    finally:
+        if tmp is not None and os.path.exists(tmp):
+            os.unlink(tmp)
+    _flip_pointer(table, v)
     return v
 
 

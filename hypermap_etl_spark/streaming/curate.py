@@ -236,7 +236,12 @@ def start_media_dedup_stream(
     so far (incremental_ahash_pairs: the historical side never rescans
     or re-shuffles, and verification is signature-local so no
     historical payload is ever read), and survivors are appended to
-    ``out_path`` + the store. Returns the StreamingQuery.
+    ``out_path`` + the store. ``out_path`` is the curated media lake:
+    it holds the survivors' FULL ``MEDIA_SCHEMA`` rows (payloads
+    included), so downstream consumers read it directly without
+    re-joining the source; signatures live only in ``store_table``
+    (ADVICE r10 — the lake used to hold signature rows while the
+    docstring promised media). Returns the StreamingQuery.
 
     Drop policy mirrors the text stream: near-dups of HISTORY always
     drop (the accepted lake cannot be retracted); within a batch the
@@ -301,7 +306,12 @@ def start_media_dedup_stream(
         )
         accepted = survivors.count()
         if accepted:
-            survivors.write.mode("append").parquet(out_path)
+            # the lake gets the survivors' full media rows (payloads),
+            # not their signature rows — semi-join back to the batch,
+            # which is still in memory; signatures go to the store only
+            df.join(
+                survivors.select("media_id"), "media_id", "left_semi"
+            ).write.mode("append").parquet(out_path)
             ahash_store_append(survivors, store_table, path=store_path)
         if on_progress is not None:
             on_progress(

@@ -217,7 +217,13 @@ def source_layout_block_aligned(source_path: str) -> bool:
         return False
     spans.sort()
     for (_l1, h1, t1), (l2, _h2, t2) in zip(spans, spans[1:]):
-        if h1 >= l2 or t1 > t2:
+        # EQUAL mtimes are no-evidence, not a pass (ADVICE r9-medium):
+        # the file source orders equal-timestamp files arbitrarily, so
+        # two tied files can be split across micro-batches in non-block
+        # order — and coarse mtime granularity or a fast writer makes
+        # ties realistic. Only strictly increasing mtimes prove the
+        # pickup order agrees with block order.
+        if h1 >= l2 or t1 >= t2:
             return False
     return True
 
@@ -259,7 +265,12 @@ def start_index_stream(
     satisfies the delta contract, so it runs 'delta'; anything else
     (overlapping spans, mtime disorder, an empty dir with no evidence)
     falls back to 'replay', which is indifferent to layout. The chosen
-    strategy is reported in every on_progress payload.
+    strategy is printed at start and reported in every on_progress
+    payload — and re-verified per micro-batch: a delta batch whose
+    min(blockNumber) is not strictly above the applied high-water mark
+    (files that landed mid-stream out of block order) demotes the
+    stream to 'replay' for the rest of the run, with the demoting
+    batch_id surfaced as ``delta_fallback_at``.
 
     ``entries_strategy='delta'`` drops even the restricted replay:
     the batch's own events are folded alone and associatively merged
@@ -306,9 +317,30 @@ def start_index_stream(
         entries_strategy = (
             "delta" if source_layout_block_aligned(source_path) else "replay"
         )
+        # the detected choice is a correctness-relevant attestation —
+        # say it loudly at start, not only inside progress payloads
+        # (ADVICE r9-low)
+        print(
+            f"[start_index_stream] entries_strategy=auto resolved to "
+            f"'{entries_strategy}' for {source_path}"
+        )
 
     key_index_path = key_index_path or f"{entries_path}__keyidx"
     raw = read_raw_log_stream(spark, source_path, max_files_per_trigger)
+
+    # Per-batch guard for the delta contract (ADVICE r9-low): the
+    # start-time layout check is evidence about the files present THEN;
+    # files landing later (a backfill rewrite into the same prefix, a
+    # writer change) can violate block order mid-stream. Each delta
+    # batch must sit strictly above everything already applied, so we
+    # track the applied high-water in-memory and demote the stream to
+    # 'replay' — permanently, trust is gone — the moment a batch's
+    # min(blockNumber) is not above it. 'replay' is indifferent to
+    # order, so the demoted batch (and all later ones) stays correct.
+    # The FIRST batch of a run is exempt: after a crash Spark redelivers
+    # the last uncommitted batch, whose span legitimately overlaps the
+    # applied rows (the delta merge is idempotent for exact redelivery).
+    state = {"strategy": entries_strategy, "hw": None, "fallback_at": None}
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -317,6 +349,27 @@ def start_index_stream(
         try:
             if events.isEmpty():
                 return
+            if state["strategy"] == "delta":
+                span = events.agg(
+                    F.min("blockNumber").alias("lo"),
+                    F.max("blockNumber").alias("hi"),
+                ).first()
+                if state["hw"] is not None and span["lo"] <= state["hw"]:
+                    state["strategy"] = "replay"
+                    state["fallback_at"] = batch_id
+                    print(
+                        f"[start_index_stream] batch {batch_id} spans "
+                        f"[{span['lo']},{span['hi']}] but blocks <= "
+                        f"{state['hw']} are already applied — delta "
+                        "contract violated mid-stream; demoting to "
+                        "'replay' for the rest of the run"
+                    )
+                else:
+                    state["hw"] = (
+                        span["hi"]
+                        if state["hw"] is None
+                        else max(span["hi"], state["hw"])
+                    )
             table_existed = os.path.exists(table_path)
             res = merge_into_parquet(
                 spark, table_path, events, ["event_id"], partition_col="block_bucket"
@@ -337,7 +390,7 @@ def start_index_stream(
 
                     compact_small_table(spark, key_index_path)
 
-            if entries_strategy == "delta":
+            if state["strategy"] == "delta":
                 # O(batch): batch-only fold + associative merge with
                 # the stored rows — no history replay, no side-index
                 # lookup; valid because a chain scan delivers batches
@@ -374,7 +427,8 @@ def start_index_stream(
                         "upserted": res["upsertedCount"],
                         "modified": res["modifiedCount"],
                         "replay_buckets": sorted(buckets) if buckets is not None else None,
-                        "entries_strategy": entries_strategy,
+                        "entries_strategy": state["strategy"],
+                        "delta_fallback_at": state["fallback_at"],
                         "secs": round(time.monotonic() - t0, 3),
                     }
                 )

@@ -503,3 +503,89 @@ def test_auto_strategy_empty_source_has_no_evidence(spark):
     from hypermap_etl_spark.streaming.scan import source_layout_block_aligned
 
     assert source_layout_block_aligned(tempfile.mkdtemp()) is False
+
+
+def test_layout_mtime_ties_are_no_evidence(spark):
+    """ADVICE r10: equal mtimes between adjacent files fail the layout
+    check — Spark orders equal-timestamp files arbitrarily, so a tie
+    proves nothing about pickup order even when block spans are
+    disjoint and sorted."""
+    from hypermap_etl_spark.streaming.scan import source_layout_block_aligned
+
+    rows = sorted(
+        _fixture_rows(), key=lambda r: (r["blockNumber"], r["logIndex"])
+    )
+    src = tempfile.mkdtemp()
+    build_raw_logs(
+        events_df(spark, [r for r in rows if r["blockNumber"] <= 15])
+    ).coalesce(1).write.mode("append").parquet(src)
+    build_raw_logs(
+        events_df(spark, [r for r in rows if r["blockNumber"] > 15])
+    ).coalesce(1).write.mode("append").parquet(src)
+    # pin every data file to ONE mtime (coarse-clock / fast-writer tie)
+    files = [
+        os.path.join(root, n)
+        for root, _d, names in os.walk(src)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert len(files) == 2
+    for f in files:
+        os.utime(f, (1_700_000_000, 1_700_000_000))
+    assert source_layout_block_aligned(src) is False
+
+
+def test_delta_demotes_to_replay_on_midstream_disorder(spark):
+    """ADVICE r10: the delta contract is re-verified per micro-batch.
+    An attested 'delta' stream that receives a batch whose blocks are
+    NOT strictly above the applied high-water mark (a backfill file
+    landing late) demotes itself to 'replay' for the rest of the run —
+    and the final entries still equal the batch recompute, because
+    replay re-folds the touched keys' full history."""
+    from hypermap_etl_spark.operators.decode import parse_raw_logs
+
+    rows = sorted(
+        _fixture_rows(), key=lambda r: (r["blockNumber"], r["logIndex"])
+    )
+    a = [r for r in rows if r["blockNumber"] <= 15]
+    b = [r for r in rows if r["blockNumber"] > 19]
+    c = [r for r in rows if 15 < r["blockNumber"] <= 19]
+    base = tempfile.mkdtemp()
+    src, tbl, ent, ckpt = (
+        f"{base}/src", f"{base}/tbl", f"{base}/entries", f"{base}/ckpt"
+    )
+    os.makedirs(src)
+    import time as _time
+
+    # written (and hence picked up) in order A, B, C — C's blocks sit
+    # BELOW the high-water B establishes, violating the contract
+    for chunk in (a, b, c):
+        build_raw_logs(events_df(spark, chunk)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)
+    progress = []
+    q = start_index_stream(
+        spark, src, tbl, ent, ckpt,
+        max_files_per_trigger=1,
+        entries_strategy="delta",  # the caller's (wrong) attestation
+        on_progress=progress.append,
+    )
+    q.awaitTermination(240)
+    strategies = [p["entries_strategy"] for p in progress]
+    assert strategies == ["delta", "delta", "replay"], strategies
+    assert progress[-1]["delta_fallback_at"] == progress[-1]["batch_id"]
+
+    expected_events = parse_raw_logs(build_raw_logs(events_df(spark, rows)))
+    expected = {
+        r["namehash"]: r.asDict()
+        for r in materialize_entries(expected_events).collect()
+    }
+    got = {r["namehash"]: r.asDict() for r in spark.read.parquet(ent).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        for fld in ("label", "parentHash", "owner", "gene",
+                    "creationBlock", "lastUpdateBlock"):
+            assert got[k][fld] == expected[k][fld], (k, fld)
+        assert sorted(got[k]["children"]) == sorted(expected[k]["children"])
+        assert got[k]["facts"] == expected[k]["facts"]

@@ -297,3 +297,43 @@ def test_optimistic_n_writer_disjoint_stress(spark):
     assert final == 7  # seed + six serialized commits
     for v in range(1, final + 1):
         assert len(_snap(spark, t, version=v)) == 6
+
+
+def test_lagging_pointer_never_clobbers_committed_manifest(spark):
+    """ADVICE r9-medium: a ``_latest`` pointer stuck BEHIND the on-disk
+    max (crash between manifest link and pointer flip, or a late
+    flipper losing the race) must not make the next locked writer
+    reuse the taken version — m-2's snapshot has to survive a
+    subsequent write_table verbatim, and the new commit must land as
+    m-3 and heal the pointer."""
+    from hypermap_etl_spark.sources.manifest import _mpath
+
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    write_table(_rows(spark, [(1, "a", 0)]), t)
+    write_table(_rows(spark, [(1, "a", 0), (2, "b", 1)]), t)
+    with open(_mpath(t, 2)) as fh:
+        committed_m2 = fh.read()
+    # simulate the lost flip: regress the pointer to 1 while m-2 exists
+    with open(os.path.join(t, "_latest"), "w") as fh:
+        fh.write("1")
+    v = write_table(_rows(spark, [(3, "c", 0)]), t)
+    assert v == 3, "writer based on the regressed pointer reused v2"
+    with open(_mpath(t, 2)) as fh:
+        assert fh.read() == committed_m2, "committed m-2 was clobbered"
+    assert current_version(t) == 3  # flip healed the pointer
+    assert _snap(spark, t, version=2) == [(1, "a", 0), (2, "b", 1)]
+    assert _snap(spark, t) == [(3, "c", 0)]
+
+
+def test_pointer_flip_is_forward_only_under_lock(spark):
+    """_flip_pointer's CAS: a late flip with a LOWER version must not
+    regress the pointer (the check-then-rename race the lock closes)."""
+    from hypermap_etl_spark.sources.manifest import _flip_pointer
+
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    write_table(_rows(spark, [(1, "a", 0)]), t)
+    write_table(_rows(spark, [(2, "b", 0)]), t)
+    assert current_version(t) == 2
+    _flip_pointer(t, 1)  # the late loser's flip
+    with open(os.path.join(t, "_latest")) as fh:
+        assert fh.read().strip() == "2"

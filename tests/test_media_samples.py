@@ -836,3 +836,86 @@ def test_incremental_ahash_fuzz_exactness(spark, data):
             if bin(sigs[bi] ^ sigs[bj]).count("1") <= k:
                 want.add((100 + bi, 100 + bj, "batch"))
     assert got == want
+
+
+def test_media_dedup_stream_lake_holds_full_media_rows(spark, tmp_path):
+    """ADVICE r10: out_path is the curated media LAKE — survivors'
+    full MEDIA_SCHEMA rows (payload included), not signature rows; a
+    downstream consumer reads it directly without re-joining the
+    source. Signatures live only in the store table."""
+    import os
+
+    from hypermap_etl_spark.streaming.curate import start_media_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    name = "media_dedup_lake_store"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    px = bytes((i * 7) % 256 for i in range(64))
+    png = encode_png(8, 8, px, color_type=0)
+    rows = [(1, "image", bytearray(png), "image/png", (8, 8, None, None))]
+    _media_rows(spark, rows).write.mode("append").parquet(src)
+    q = start_media_dedup_stream(
+        spark, src, out, ckpt, name, store_path=str(tmp_path / "st")
+    )
+    q.awaitTermination(120)
+    lake = spark.read.parquet(out)
+    assert set(lake.columns) == {"media_id", "kind", "payload", "mime", "meta"}
+    r = lake.collect()[0]
+    assert r["media_id"] == 1 and r["kind"] == "image"
+    assert bytes(r["payload"]) == png and r["mime"] == "image/png"
+    # signatures are in the store, not the lake
+    assert set(spark.table(name).columns) == {"media_id", "ahash", "bh"}
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_entropy_coded_scope_decision_pinned(spark):
+    """PERMANENT SCOPE DECISION (VERDICT r9 task 7, recorded in
+    README): JPEG/GIF pixel planes and MP3/MP4 coded frames stay out
+    of this stdlib-only engine — entropy decoding is codec-library
+    territory. The contract this test pins, for every entropy-coded
+    format at once: (1) headers still parse for real, (2) every
+    content-derived column is NULL — never fabricated, (3)
+    strict=True raises NotImplementedError. Plugging a codec library
+    in happens at the decode_png_pixels/decode_wav_samples seams."""
+    import pytest
+
+    from hypermap_etl_spark.operators.multimodal import (
+        audio_sample_stats,
+        image_ahash,
+        pixel_stats,
+    )
+
+    jpeg = (
+        b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", 45, 123)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 6
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64  # MPEG1 L3 128k 44100
+    rows = [
+        (1, "image", bytearray(jpeg), "image/jpeg", (None,) * 4),
+        (2, "image", bytearray(gif), "image/gif", (None,) * 4),
+    ]
+    out = {r["media_id"]: r for r in pixel_stats(_media_rows(spark, rows)).collect()}
+    # headers real, pixel columns NULL on BOTH entropy-coded formats
+    assert out[1]["fmt"] == "jpeg" and out[2]["fmt"] == "gif"
+    for mid in (1, 2):
+        for c in ("px_count", "px_sum", "px_min", "px_max"):
+            assert out[mid][c] is None, (mid, c)
+    ah = {r["media_id"]: r for r in image_ahash(_media_rows(spark, rows)).collect()}
+    assert ah[1]["ahash"] is None and ah[2]["ahash"] is None
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        pixel_stats(_media_rows(spark, rows), strict=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        image_ahash(_media_rows(spark, rows), strict=True).collect()
+
+    arows = [(3, "audio", bytearray(mp3), "audio/mpeg", (None,) * 4)]
+    aout = audio_sample_stats(_media_rows(spark, arows)).collect()[0]
+    assert aout["fmt"] == "mp3"
+    for c in ("n_frames", "peak_abs", "abs_sum", "sq_sum", "zero_cross"):
+        assert aout[c] is None, c
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        audio_sample_stats(_media_rows(spark, arows), strict=True).collect()

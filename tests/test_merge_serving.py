@@ -598,3 +598,96 @@ def test_reorg_rollback_mid_bucket_and_self_healing(spark, tmp_path):
     ent = {r["namehash"]: r for r in spark.read.parquet(npath).collect()}
     assert C not in ent
     assert ent[P]["facts"] == {} and ent[P]["lastUpdateBlock"] == 10
+
+
+# --- hypothesis: reorg rollback == clean fold, any log, any depth --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.test_fullname_props import _event_log
+
+
+def _ent_flat(df):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        d.pop("entry_bucket", None)
+        d["children"] = tuple(sorted(d["children"]))
+        d["facts"] = tuple(sorted(d["facts"].items()))
+        d["notes"] = tuple(sorted(d["notes"].items()))
+        out[d.pop("namehash")] = tuple(sorted(d.items(), key=lambda kv: kv[0]))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=_event_log(),
+    stride=st.sampled_from([1, 40_000, 75_000]),
+    fork_frac=st.floats(0.0, 1.0),
+    buckets=st.sampled_from([None, 8]),
+)
+def test_reorg_rollback_fuzz_equals_clean_fold(
+    spark, rows, stride, fork_frac, buckets
+):
+    """VERDICT r9 task 6: for ANY random log, ANY reorg depth (fork
+    anywhere from genesis to the tip), and either entries layout,
+    rollback + repair must leave BOTH tables exactly as a fresh index
+    of the surviving log would — the recovery-path analog of the
+    delta fuzzer's semigroup claim. ``stride`` scales blocks so forks
+    land below, inside, and above block-bucket boundaries (tail-bucket
+    directory drops, the mid-bucket rewrite, and the no-op all get
+    drawn)."""
+    import shutil
+
+    from hypermap_etl_spark.operators.materialize import (
+        materialize_entries,
+        with_entry_bucket,
+    )
+    from hypermap_etl_spark.operators.merge import (
+        reorg_rollback,
+        with_block_bucket,
+    )
+
+    rows = [dict(r, blockNumber=r["blockNumber"] * stride) for r in rows]
+    blocks = sorted({r["blockNumber"] for r in rows})
+    fork = int(fork_frac * blocks[-1])
+    base = tempfile.mkdtemp()
+    epath, npath = f"{base}/events", f"{base}/entries"
+    events = events_df(spark, rows)
+    with_block_bucket(events).write.partitionBy("block_bucket").parquet(epath)
+    full = materialize_entries(events)
+    if buckets:
+        with_entry_bucket(full, buckets).repartition("entry_bucket").write \
+            .partitionBy("entry_bucket").parquet(npath)
+    else:
+        full.write.parquet(npath)
+
+    rep = reorg_rollback(
+        spark, epath, fork, entries_path=npath, entry_buckets=buckets
+    )
+    surviving_rows = [r for r in rows if r["blockNumber"] <= fork]
+    assert rep["eventsDeleted"] == len(rows) - len(surviving_rows)
+
+    got_events = sorted(
+        r["event_id"] for r in spark.read.parquet(epath).collect()
+    ) if surviving_rows else []
+    want_events = sorted(
+        r["event_id"] for r in events_df(spark, surviving_rows).collect()
+    ) if surviving_rows else []
+    assert got_events == want_events
+
+    want = (
+        _ent_flat(materialize_entries(events_df(spark, surviving_rows)))
+        if surviving_rows
+        else {}
+    )
+    from hypermap_etl_spark.operators.merge import _has_parquet_files
+
+    got = (
+        _ent_flat(spark.read.parquet(npath))
+        if _has_parquet_files(npath)
+        else {}
+    )
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)

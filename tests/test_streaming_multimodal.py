@@ -511,3 +511,26 @@ def test_doc_media_video_matches_oracle_locally(spark):
     for b in (0, 1, 2):
         assert by_branch[b]["fmt"] == "mp4"
     assert by_branch[3]["fmt"] is None
+
+
+def test_parse_video_header_v1_mvhd_short_payload_yields_null_duration():
+    """ADVICE r10: a version-1 mvhd with 20-31 payload bytes passes the
+    outer >= 20 guard but can't hold the v1 timescale/duration fields;
+    reading the 64-bit creation/modification times at the v0 offsets
+    would fabricate a duration from a truncated/hostile header. The
+    parser must leave duration_ms None instead."""
+    from hypermap_etl_spark.operators.multimodal import parse_video_header
+
+    # v1 mvhd truncated to 24 payload bytes: version byte + flags +
+    # 20 junk bytes that would read as a huge 'duration' at v0 offsets
+    short_mvhd = b"\x01" + b"\x00" * 3 + b"\xff" * 20
+    moov = _box(b"moov", _box(b"mvhd", short_mvhd))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    got = parse_video_header(ftyp + moov)
+    assert got == {"fmt": "mp4", "width": None, "height": None,
+                   "duration_ms": None}
+    # the boundary case: exactly 32 payload bytes IS a complete v1 box
+    full_mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                 + (1000).to_bytes(4, "big") + (5000).to_bytes(8, "big"))
+    got = parse_video_header(ftyp + _box(b"moov", _box(b"mvhd", full_mvhd)))
+    assert got["duration_ms"] == 5000

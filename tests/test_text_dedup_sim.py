@@ -2459,3 +2459,60 @@ def test_semdedup_prunes_cliques_keeps_singletons(spark):
     # a sky-high threshold keeps everything
     all_keep = similarity.semdedup(emb, k=2, threshold=1.1, n_iter=4)
     assert all(r["keep"] for r in all_keep.collect())
+
+
+def test_ivf_compact_preserves_results(spark, tmp_path):
+    """ivf_index_compact (r10, the ivf_serve watch item): posting-list
+    defragmentation collapses every over-fragmented cid= directory to
+    one file and changes NOTHING about search — same rows, same sims,
+    same ranks — while stats still account for every vector."""
+    import os
+
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+
+    rng = np.random.RandomState(13)
+    A = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    B = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(200, 280)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx")
+    similarity.ivf_index_write(A, path, n_centroids=4)
+    similarity.ivf_index_append(B, path)
+
+    def files():
+        return {
+            d: len([
+                f for f in os.listdir(f"{path}/lists/{d}")
+                if f.endswith(".parquet")
+            ])
+            for d in os.listdir(f"{path}/lists")
+            if d.startswith("cid=")
+        }
+
+    qf = A.unionByName(B).filter(F.col("vec_id") % 37 == 0)
+    before = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_search(spark, path, qf, k=5, n_probe=2).collect()
+    )
+    pre_files = files()
+    assert sum(pre_files.values()) > 4 * 1  # fragmented: >1 file/list
+    rep = similarity.ivf_index_compact(spark, path, max_files=1)
+    assert rep["partitions_compacted"] >= 1
+    post_files = files()
+    assert all(n == 1 for n in post_files.values()), post_files
+    after = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_search(spark, path, qf, k=5, n_probe=2).collect()
+    )
+    assert after == before and len(after) > 0
+    stats = similarity.ivf_index_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in stats) == 280
+    # idempotent: nothing left over max_files
+    rep2 = similarity.ivf_index_compact(spark, path, max_files=1)
+    assert rep2["partitions_compacted"] == 0
