@@ -60,7 +60,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
 
+    _logs: dict[int, object] = {}
+
     def logx(mult: int):
+        # CACHED, like bench._hm_logx: the fold references the log from
+        # ~6 aggregate branches, and an uncached 10-way union re-derives
+        # all of them inside one stage graph — measured to OOM an 8g
+        # driver heap where the cached variant is fine
+        if mult in _logs:
+            return _logs[mult]
         hm = hm_events_df(spark, sf_dir)
         r = hm.agg(
             F.min("blockNumber").alias("lo"), F.max("blockNumber").alias("hi")
@@ -73,6 +81,9 @@ def main() -> None:
                     "blockNumber", F.col("blockNumber") - F.lit(i * span)
                 )
             )
+        df = df.cache()
+        df.count()
+        _logs[mult] = df
         return df
 
     # ---- hm_entries: full fold at 1x and 10x ----
@@ -111,6 +122,9 @@ def main() -> None:
         out[f"hm_delta_{mult}x"] = {
             "secs": round(time.perf_counter() - t0, 2), **counts
         }
+
+    for df in _logs.values():
+        df.unpersist()
 
     # ---- curate_pipeline on 10x documents ----
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
