@@ -551,7 +551,7 @@ def cmd_ann(args) -> None:
 
     if (args.build or args.append) and not args.embeddings:
         raise SystemExit("ann --build/--append requires --embeddings")
-    if not (args.build or args.append or args.stats) and not (
+    if not (args.build or args.append or args.stats or args.compact) and not (
         args.queries and args.out
     ):
         raise SystemExit("ann search requires --queries and --out")
@@ -559,6 +559,18 @@ def cmd_ann(args) -> None:
     if args.stats:
         for r in ivf_index_stats(spark, args.index).collect():
             print(json.dumps(r.asDict()))
+        return
+    if args.compact:
+        from hypermap_etl_spark.operators.similarity import (
+            ivf_index_compact,
+            pq_index_compact,
+        )
+
+        if args.pq:
+            rep = {"rows": pq_index_compact(spark, args.index)}
+        else:
+            rep = ivf_index_compact(spark, args.index)
+        print(json.dumps(rep))
         return
     if args.append:
         from hypermap_etl_spark.operators.similarity import pq_index_append
@@ -2067,6 +2079,10 @@ def main(argv=None) -> None:
                         "index (pinned centroids, touched lists only)")
     p.add_argument("--stats", action="store_true",
                    help="print per-list size/share/imbalance (rebuild signal)")
+    p.add_argument("--compact", action="store_true",
+                   help="defragment the append tail: collapse oversized "
+                        "posting lists (IVF) or the codes table (--pq) — "
+                        "results are bit-identical, only file counts change")
     p.add_argument("--embeddings", default=None, help="corpus embeddings parquet (build)")
     p.add_argument("--queries", default=None, help="query embeddings parquet (search)")
     p.add_argument("--out", default=None, help="results parquet (search)")

@@ -1800,6 +1800,22 @@ def pq_index_append(
     return {"appended": batch.count()}
 
 
+def pq_index_compact(spark, path: str, num_files: int = 1) -> int:
+    """Code-table defragmentation for a persisted PQ index — the
+    compressed sibling of :func:`ivf_index_compact`: every
+    :func:`pq_index_append` adds a file set to ``codes.parquet``, so a
+    long append tail turns the full-codes scan into open/footer
+    overhead. Staged-swap rewrite (shared compact_small_table: lock-
+    guarded, crash-recoverable, distinct) into ``num_files`` files;
+    codebooks are untouched and search results cannot change (codes
+    are (neighbor_id, codes) facts — pinned by test). The distinct
+    also drops exact duplicate rows a crash-redelivered append left.
+    Returns the row count after compaction."""
+    from hypermap_etl_spark.operators.merge import compact_small_table
+
+    return compact_small_table(spark, f"{path}/codes.parquet", num_files)
+
+
 def truncated_topk_recall(
     emb: DataFrame,
     dims: int = 16,

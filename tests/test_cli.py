@@ -243,6 +243,14 @@ def test_cli_ann_append_and_stats(spark, capsys, tmp_path):
     main(["ann", "--index", idx, "--stats"])
     stats = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert sum(s["n_vectors"] for s in stats) == 80
+    # r10: the maintenance hook — defragment the append tail, then the
+    # stats (and any search) still see every vector
+    main(["ann", "--index", idx, "--compact"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_after"] <= rep["files_before"]
+    main(["ann", "--index", idx, "--stats"])
+    stats = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sum(s["n_vectors"] for s in stats) == 80
 
 
 def test_cli_reorg(spark, capsys, tmp_path):

@@ -2516,3 +2516,51 @@ def test_ivf_compact_preserves_results(spark, tmp_path):
     # idempotent: nothing left over max_files
     rep2 = similarity.ivf_index_compact(spark, path, max_files=1)
     assert rep2["partitions_compacted"] == 0
+
+
+def test_pq_compact_preserves_results(spark, tmp_path):
+    """pq_index_compact: the append-fragmented codes table collapses
+    to one file with IDENTICAL search results (codes are facts; only
+    the file layout changes), duplicate rows from a redelivered
+    append are dropped, and the count accounts for every vector."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from hypermap_etl_spark.operators import similarity
+
+    rng = np.random.RandomState(17)
+    A = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    B = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(150, 200)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "pq")
+    similarity.pq_index_write(A, path, m=4, k_codes=8)
+    similarity.pq_index_append(B, path)
+
+    def nfiles():
+        return len(glob.glob(os.path.join(path, "codes.parquet", "*.parquet")))
+
+    qf = A.filter(F.col("vec_id") % 29 == 0)
+    clean = sorted(
+        tuple(r)
+        for r in similarity.pq_index_search(spark, path, qf, k=5).collect()
+    )
+    # crash-redelivered append: duplicate rows occupy extra rank slots,
+    # so the fragmented index serves POLLUTED results...
+    similarity.pq_index_append(B, path)
+    assert nfiles() > 1
+    # ...and compaction's distinct both defragments and heals that
+    n = similarity.pq_index_compact(spark, path)
+    assert n == 200  # redelivered duplicates dropped
+    assert nfiles() == 1
+    after = sorted(
+        tuple(r)
+        for r in similarity.pq_index_search(spark, path, qf, k=5).collect()
+    )
+    assert after == clean and len(after) > 0
