@@ -29,13 +29,12 @@ _BUILT_STORES: set = set()
 _BUILT_VALS: dict = {}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
+def build_bench() -> dict:
+    """The ordered bench registry: name -> fn(spark, sf_dir).
 
+    Split out of main() (r10 measurement infra) so tools/bench_one.py
+    can time single entries and dump their plans with the SAME
+    functions the headline bench runs — methodology unchanged."""
     from hypermap_etl_spark.plans.doc_queries import (
         doc_balanced_shards,
         doc_cdc_dedup,
@@ -483,11 +482,22 @@ def main() -> None:
         # shuffle + bounded q-explode) — the grouped quantile table
         "quantile_table": lineitem_price_deciles,
     }
+    return bench
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    bench = build_bench()
 
     spark = get_spark("hypermap-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so timings measure the queries
-    q1_pricing_summary(spark, sf_dir).count()
+    bench["q1_pricing_summary"](spark, sf_dir).count()
 
     # Entry ORDER is pinned: `bench` is an insertion-ordered dict and
     # nothing may iterate it in any other order — the r7 round saw

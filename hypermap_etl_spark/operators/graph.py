@@ -720,7 +720,17 @@ def link_prediction_aa(
         raise ValueError("link_prediction_aa: need max_degree >= 2")
     if top_k < 1:
         raise ValueError("link_prediction_aa: need top_k >= 1")
-    e = (
+    from hypermap_etl_spark.util import tracked_persist
+
+    # persisted (r10, guide §2.4/§3.3): ``e`` is consumed three times —
+    # both legs of the symmetrization and the final anti-join — and
+    # ``sym`` twice more (degree aggregate + adjacency join), so
+    # without a boundary the caller's whole edge-construction lineage
+    # (for the co-purchase graph: a lineitem self-join + count
+    # aggregate) re-executed ~4x; the r10 plan audit counted 100
+    # Exchanges in the bench entry's plan. One cached canonical edge
+    # set feeds every branch.
+    e = tracked_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),

@@ -83,30 +83,49 @@ def materialize_entries(
 
     mints = ev.filter((F.col("eventType") == "Mint") & F.col("childhash").isNotNull())
 
-    # M1: first Mint wins the identity fields (mongodb.ts:166-183 $setOnInsert)
-    # a repeat Mint of the same childhash still bumps lastUpdateBlock
-    # (M1's $set at mongodb.ts:179 runs on every event) → track max too
-    minted = mints.groupBy(F.col("childhash").alias("namehash")).agg(
-        _first_by_order(F.col("label"), "label"),
-        _first_by_order(F.col("parenthash"), "parentHash"),
-        F.min("blockNumber").alias("creationBlock"),
-        F.max("blockNumber").alias("__touch_mint"),
-    )
-
-    # M3: parents referenced by a Mint but never themselves minted become
-    # placeholders rooted at ROOT_HASH (mongodb.ts:151-163)
-    placeholders = (
-        mints.filter(F.col("parenthash").isNotNull() & (F.col("parenthash") != root_hash))
-        .groupBy(F.col("parenthash").alias("namehash"))
-        .agg(F.min("blockNumber").alias("creationBlock"))
-        .join(minted.select("namehash"), "namehash", "left_anti")
-        .select(
-            "namehash",
-            F.lit("[unknown]").alias("label"),
-            F.lit(root_hash).alias("parentHash"),
-            "creationBlock",
+    # M1 + M3 in ONE aggregation (r10, guide §2.4): the old shape was
+    # minted (agg over mints) + placeholders (second agg over mints,
+    # anti-joined against minted) + union — three evaluations of the
+    # mints subtree and two exchanges where one suffices. Instead,
+    # every mint emits its childhash as a MINT row and its (non-root)
+    # parenthash as a PLACEHOLDER-CANDIDATE row; one groupBy(namehash)
+    # then resolves each key: any mint row present → first-Mint-wins
+    # identity (M1, NULL-skipping arg_min over mint rows only — the
+    # when(~is_ph, ...) guards reproduce _first_by_order's semantics
+    # restricted to mint rows); only candidate rows → M3 placeholder
+    # (creation = min referencing block, touch = creation, the
+    # reference's $setOnInsert shape). Parents that are also minted
+    # resolve to their mint identity, exactly the old anti-join.
+    base_src = mints.select(
+        F.col("childhash").alias("namehash"),
+        "label", "parenthash", "blockNumber", "logIndex",
+        F.lit(False).alias("__is_ph"),
+    ).unionByName(
+        mints.filter(
+            F.col("parenthash").isNotNull() & (F.col("parenthash") != root_hash)
+        ).select(
+            F.col("parenthash").alias("namehash"),
+            F.lit(None).cast("string").alias("label"),
+            F.lit(None).cast("string").alias("parenthash"),
+            "blockNumber", "logIndex",
+            F.lit(True).alias("__is_ph"),
         )
     )
+    mint_row = ~F.col("__is_ph")
+
+    def _first_mint(col, name):
+        return F.min(
+            F.when(mint_row & col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v")))
+        )["v"].alias(name)
+
+    resolved = base_src.groupBy("namehash").agg(
+        _first_mint(F.col("label"), "__m_label"),
+        _first_mint(F.col("parenthash"), "__m_parent"),
+        F.min(F.when(mint_row, F.col("blockNumber"))).alias("__m_creation"),
+        F.max(F.when(mint_row, F.col("blockNumber"))).alias("__m_touch"),
+        F.min(F.when(F.col("__is_ph"), F.col("blockNumber"))).alias("__ph_creation"),
+    )
+    has_mint = F.col("__m_creation").isNotNull()
 
     # isPlaceholder is PERSISTED state, not render-time inference: the
     # delta merge (merge_entry_states) must distinguish a reserved M3
@@ -115,11 +134,17 @@ def materialize_entries(
     # inference made those indistinguishable, letting a later re-Mint
     # overwrite a real first-mint identity on the delta path (ADVICE
     # r8, confirmed repro: delta creationBlock=20 vs full fold 10).
-    entries_base = minted.select(
-        "namehash", "label", "parentHash", "creationBlock", "__touch_mint"
-    ).withColumn("isPlaceholder", F.lit(False)).unionByName(
-        placeholders.withColumn("__touch_mint", F.col("creationBlock"))
-        .withColumn("isPlaceholder", F.lit(True))
+    entries_base = resolved.select(
+        "namehash",
+        F.when(has_mint, F.col("__m_label"))
+        .otherwise(F.lit("[unknown]")).alias("label"),
+        F.when(has_mint, F.col("__m_parent"))
+        .otherwise(F.lit(root_hash)).alias("parentHash"),
+        F.when(has_mint, F.col("__m_creation"))
+        .otherwise(F.col("__ph_creation")).alias("creationBlock"),
+        F.when(has_mint, F.col("__m_touch"))
+        .otherwise(F.col("__ph_creation")).alias("__touch_mint"),
+        (~has_mint).alias("isPlaceholder"),
     )
     known = entries_base.select("namehash")
     if known_extra is not None:
@@ -143,6 +168,22 @@ def materialize_entries(
             )
         )
 
+    # The per-type write aggregates below (M2/M4-M7) used to pre-filter
+    # their rows with a left_semi join against ``known`` — but ``known``
+    # is itself two aggregations over ``mints`` (plus the extra-key
+    # union), so each semi-join re-evaluated that whole subtree: the
+    # r10 plan audit counted 106 Exchanges / 46 cache scans in the
+    # hm_entries plan, ~5 of everything redundant (guide §2.4: remove
+    # shuffles outright). The semi-joins are RESULT-REDUNDANT: the
+    # final assembly LEFT-joins every aggregate FROM entries_base, so
+    # groups keyed by an unknown entry are dropped there anyway — the
+    # DuckDB oracle (hm_derive.hm_entries_oracle_sql) encodes exactly
+    # this shape for ``children``. Cost shift: the per-type aggregates
+    # now also fold writes to unknown targets (dropped at the join);
+    # partial map-side aggregation means the exchange carries one extra
+    # row per (unknown key, label), negligible against re-running the
+    # Mint aggregation per branch at 100 TB.
+
     # M2: children = set of minted childhashes per parent (mongodb.ts:186-194
     # $addToSet); sorted for deterministic output
     children = (
@@ -152,15 +193,13 @@ def materialize_entries(
             F.array_sort(F.collect_set("childhash")).alias("children"),
             F.max("blockNumber").alias("__touch_children"),
         )
-        .join(known, "namehash", "left_semi")
     )
 
     def last_write_map(event_type: str, out_name: str) -> DataFrame:
         # M4/M5: per (entry,label) last write wins → map (mongodb.ts:198-239);
-        # Fact/Note to unknown entries dropped (join vs final entry set)
-        rows = ev.filter(F.col("eventType") == event_type).join(
-            known.withColumnRenamed("namehash", "parenthash"), "parenthash", "left_semi"
-        )
+        # Fact/Note to unknown entries dropped by the final left join
+        # from entries_base (the final entry set)
+        rows = ev.filter(F.col("eventType") == event_type)
         last = rows.groupBy("parenthash", "label").agg(
             _last_by_order(F.col("data"), "data"),
             F.max("blockNumber").alias("__b"),
@@ -178,7 +217,6 @@ def materialize_entries(
     # M6: gene last-write-wins per entry (mongodb.ts:242-253)
     genes = (
         ev.filter((F.col("eventType") == "Gene") & F.col("entry").isNotNull())
-        .join(known.withColumnRenamed("namehash", "entry"), "entry", "left_semi")
         .groupBy(F.col("entry").alias("namehash"))
         .agg(_last_by_order(F.col("gene"), "gene"), F.max("blockNumber").alias("__touch_gene"))
     )
@@ -187,7 +225,6 @@ def materialize_entries(
     # (mongodb.ts:256-270; id canonicalization per SURVEY §7.4.4)
     owners = (
         ev.filter((F.col("eventType") == "Transfer") & F.col("id").isNotNull())
-        .join(known.withColumnRenamed("namehash", "id"), "id", "left_semi")
         .groupBy(F.col("id").alias("namehash"))
         .agg(_last_by_order(F.col("to"), "owner"), F.max("blockNumber").alias("__touch_owner"))
     )
