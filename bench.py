@@ -191,9 +191,21 @@ def build_bench() -> dict:
                     "blockNumber", F.col("blockNumber") - F.lit(i * span)
                 )
             )
-        # cached: the refold comparator references the log from ~6
-        # aggregate branches — a nightly job reads a stored table, not
-        # a 6x re-derivation, so the fair comparator folds cached rows
+        # cached: the refold comparator references the log from the
+        # fold's aggregate branches — a nightly job reads a stored
+        # table, not a mult-x re-derivation, so the fair comparator
+        # folds cached rows. COALESCE before caching (r10, guide
+        # §2.2/§6): the union of mult block-shifted copies inherits
+        # mult x 32 scan partitions (2048 at 64x, ~0.9 MB each) — every
+        # downstream scan then pays thousands of near-empty tasks,
+        # which dominated the 64x refold (stage profile: 6 scans x 2048
+        # tasks ~ 48 s of its 59 s). A stored table of this size would
+        # be read at ~32-128 MB/partition; coalesce to the equivalent
+        # partition count (floor of one per core so every core still
+        # participates). Measured: 64x refold 57-62 s -> 14-17 s from
+        # this alone, identical rows.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out = out.coalesce(max(cpus, mult))
         out = out.cache()
         out.count()
         _BUILT_VALS[key] = out

