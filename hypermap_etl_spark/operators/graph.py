@@ -352,6 +352,7 @@ def label_propagation(
         .select("node", F.col("node").alias("community"))
         .localCheckpoint(eager=True)
     )
+    ckpt = labels  # the checkpoint holding the current labels' blocks
     w = Window.partitionBy("node").orderBy(
         F.col("__c").desc(), F.col("community").asc()
     )
@@ -366,29 +367,33 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("node", F.col("community").alias("__new"))
         )
+        # the changed flag rides the round's own checkpoint (r10, guide
+        # §1.2: the probe used to be a separate labels-join-count action
+        # — one extra shuffle join per round for a scalar the round's
+        # plan already knows); counting flags off the materialized frame
+        # is a scan of the checkpoint, no join
         nxt = (
             labels.join(top, "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+                (
+                    F.col("__new").isNotNull()
+                    & (F.col("__new") != F.col("community"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.join(
-                labels.select("node", F.col("community").alias("__old")), "node"
-            )
-            .filter(F.col("community") != F.col("__old"))
-            .count()
-        )
-        prev, labels = labels, nxt
+        changed = nxt.filter(F.col("__chg")).count()
+        prev, ckpt = ckpt, nxt
+        labels = nxt.select("node", "community")
         release_local_checkpoint(prev)
         if changed == 0:
             break  # exact fixpoint: further rounds reproduce it
     release_local_checkpoint(e)
     from hypermap_etl_spark.util import _TRACKED_CHECKPOINTS
 
-    _TRACKED_CHECKPOINTS.append(labels)
+    _TRACKED_CHECKPOINTS.append(ckpt)
     return labels
 
 

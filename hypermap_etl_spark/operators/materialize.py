@@ -388,6 +388,8 @@ def incremental_entries_update(
     # checkpoints release as soon as the merge lands.
     updated = updated.localCheckpoint(eager=True)
     try:
+        # assume_unique: the fold is a groupBy(namehash) aggregate —
+        # one row per key by construction
         if entry_buckets:
             return merge_into_parquet(
                 spark,
@@ -395,8 +397,11 @@ def incremental_entries_update(
                 updated,
                 ["namehash"],
                 partition_col="entry_bucket",
+                assume_unique=True,
             )
-        return merge_into_parquet(spark, entries_path, updated, ["namehash"])
+        return merge_into_parquet(
+            spark, entries_path, updated, ["namehash"], assume_unique=True
+        )
     finally:
         release_local_checkpoint(updated)
         release_local_checkpoint(relevant)
@@ -981,6 +986,9 @@ def incremental_entries_delta(
         release_local_checkpoint(events_in)
         raise
     try:
+        # assume_unique: both branches produce one row per namehash —
+        # the fold is a groupBy(namehash) aggregate and
+        # merge_entry_states full-outer-joins two unique frames on it
         if entry_buckets:
             res = merge_into_parquet(
                 spark,
@@ -988,10 +996,12 @@ def incremental_entries_delta(
                 updated,
                 ["namehash"],
                 partition_col="entry_bucket",
+                assume_unique=True,
             )
         else:
             res = merge_into_parquet(
-                spark, entries_path, updated, ["namehash"]
+                spark, entries_path, updated, ["namehash"],
+                assume_unique=True,
             )
         # pending is replaced only AFTER the merge landed (crash
         # between the two re-applies both, idempotently). Skipped

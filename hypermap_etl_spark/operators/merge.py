@@ -221,12 +221,23 @@ def _obs_count(obs) -> int:
         return 0
 
 
+# Below this many batch rows the anti-join's build side (the batch's
+# key projection — a few narrow columns) is forced to broadcast: a
+# just-checkpointed batch frame has no catalog stats, so the planner
+# can fall back to sort-merge and shuffle the (much larger) stored
+# side for a batch of a few thousand keys. 2M keys x ~40 B is well
+# under 100 MB framed — executor-safe; bigger batches keep the
+# planner's choice (guide §3.1: pick the strategy deliberately).
+_BROADCAST_KEYS_MAX = 2_000_000
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
     new_df: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    assume_unique: bool = False,
 ) -> dict[str, int]:
     """MERGE new_df into the parquet table at ``path`` keyed on key_cols.
 
@@ -239,11 +250,20 @@ def merge_into_parquet(
     must be a pure function of the key's row (block bucket), otherwise
     a key that 'moved' partitions would survive in its old partition.
 
+    ``assume_unique``: the caller guarantees new_df already holds one
+    row per key (an aggregate keyed on key_cols, e.g. the entries
+    fold), skipping the per-batch dedupe window — one exchange + sort
+    of the batch saved per merge (guide §2.4). Violating the guarantee
+    would persist duplicate keys, so only pass it for frames whose
+    lineage proves it.
+
     Single-writer per table, ENFORCED: a concurrent merge raises
     ConcurrentMergeError instead of racing the recovery sweep.
     """
     with _merge_lock(path):
-        return _merge_unlocked(spark, path, new_df, key_cols, partition_col)
+        return _merge_unlocked(
+            spark, path, new_df, key_cols, partition_col, assume_unique
+        )
 
 
 def _merge_unlocked(
@@ -252,9 +272,11 @@ def _merge_unlocked(
     new_df: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    assume_unique: bool = False,
 ) -> dict[str, int]:
     _recover_interrupted_swap(path)
-    new_df = dedupe_new(new_df, key_cols)
+    if not assume_unique:
+        new_df = dedupe_new(new_df, key_cols)
 
     if not os.path.exists(path):
         writer = new_df.write.mode("overwrite")
@@ -304,8 +326,14 @@ def _merge_unlocked(
     obs_exist = Observation()
     existing = existing.observe(obs_exist, F.count(F.lit(1)).alias("n"))
     obs_surv = Observation()
+    batch_keys = new_df.select(*key_cols)
+    if batch_total is not None and batch_total <= _BROADCAST_KEYS_MAX:
+        # checkpointed batches carry no stats — without the hint the
+        # planner can sort-merge this anti-join and shuffle the stored
+        # side for a few thousand batch keys
+        batch_keys = F.broadcast(batch_keys)
     survivors = existing.alias("e").join(
-        new_df.select(*key_cols).alias("n"), key, "left_anti"
+        batch_keys.alias("n"), key, "left_anti"
     ).observe(obs_surv, F.count(F.lit(1)).alias("n"))
     merged = survivors.unionByName(new_df)
 

@@ -476,6 +476,7 @@ def ivf_index_write(
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    files_per_list: int = 1,
 ) -> None:
     """Build and PERSIST the IVF index — the embedding-side analog of
     the MinHash signature store: pay the corpus pass once, serve every
@@ -509,6 +510,20 @@ def ivf_index_write(
         _nearest_centroids(cent, _vd(vec_col), F.col("__norm"), 1)
         .getItem(0)
         .alias("cid"),
+    )
+    # cluster the write by list (r10, guide §6): the assignment runs
+    # map-side at full scan parallelism, but writing from those tasks
+    # leaves one file per task per touched list (measured 256 files for
+    # an 8-list sf0.1 index — pure open/footer overhead for every probe
+    # scan). One exchange keyed by (cid, salt) bounds it to
+    # files_per_list files per list; salt derives deterministically
+    # from the row id (guide §2.5 — never rand()), so retried tasks
+    # reproduce the layout. files_per_list=1 is right while a list fits
+    # one task's write; raise it when corpus_size/n_centroids outgrows
+    # a ~100 MB-1 GB file.
+    corpus = corpus.repartition(
+        F.col("cid"),
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(files_per_list)),
     )
     corpus.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
 

@@ -41,6 +41,49 @@ def _one_plus(col: str) -> F.Column:
     return F.lit(1).cast("decimal(6,4)") + F.col(col).cast("decimal(6,4)")
 
 
+def _copurchase_pairs(li: DataFrame, count_col: str = "c") -> DataFrame:
+    """Distinct co-purchased part pairs (p1 < p2) with the number of
+    orders containing both — the shared edge build of every co-purchase
+    graph query.
+
+    ONE corpus exchange instead of four (r10, guide §2.4): the previous
+    shape was distinct → self-join on l_orderkey → pair aggregate,
+    which exchanges the projected lineitem for the distinct, twice more
+    for the sort-merge self-join, and once for the pair counts. Here
+    each order's DISTINCT part set is collected in one map-combinable
+    aggregate (collect_set dedups, subsuming the distinct), pairs are
+    generated per order with array HOFs (orders hold a handful of
+    parts, so the per-row expansion is bounded — the same quadratic the
+    self-join paid), and only the pair aggregate shuffles after that.
+    Equivalence to the join shape (oracle-checked per query): the
+    sorted distinct set yields exactly the p1 < p2 pairs the self-join
+    kept, once per order; NULL partkeys vanish from collect_set just as
+    they failed p1 < p2; NULL orderkeys are filtered as equi-join keys
+    never match.
+    """
+    sets = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
+    )
+    arr = F.col("__ps")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("__pr"))
+        .select("__pr.p1", "__pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+    )
+
+
 # --------------------------------------------------------------- pricing ----
 
 @plan_cache
@@ -6286,14 +6329,12 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge fan-out by the low endpoint's degree."""
     from hypermap_etl_spark.operators.graph import triangle_count
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    edges = a.join(b, "k").filter(F.col("p1") < F.col("p2"))
+    # triangle_count canonicalizes/dedups its input, so the counted
+    # pair set (multiplicity collapsed) is the same graph
+    edges = _copurchase_pairs(li).select("p1", "p2")
     return triangle_count(edges, "p1", "p2").orderBy("node")
 
 
@@ -6306,14 +6347,12 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     past stability are no-ops)."""
     from hypermap_etl_spark.operators.graph import k_core
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    edges = a.join(b, "k").filter(F.col("p1") < F.col("p2"))
+    # k_core canonicalizes/dedups its input, so the counted pair set
+    # (multiplicity collapsed) is the same graph
+    edges = _copurchase_pairs(li).select("p1", "p2")
     return k_core(edges, k=80, src="p1", dst="p2", n_iter=8).orderBy("node")
 
 
@@ -6363,18 +6402,11 @@ def parts_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     from hypermap_etl_spark.operators.graph import seed_distance
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     edges = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _copurchase_pairs(li)
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
@@ -6433,18 +6465,11 @@ def parts_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical 4 rounds."""
     from hypermap_etl_spark.operators.graph import label_propagation
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     edges = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _copurchase_pairs(li)
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
@@ -7711,18 +7736,11 @@ def parts_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         modularity,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     edges = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _copurchase_pairs(li)
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
@@ -8311,18 +8329,11 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal before the per-pair sum; ties on score break by ids."""
     from hypermap_etl_spark.operators.graph import link_prediction_aa
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     edges = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _copurchase_pairs(li)
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
@@ -8853,14 +8864,8 @@ def parts_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
-        .filter(F.col("cooc") >= 2)
+    pairs = _copurchase_pairs(li, count_col="cooc").filter(
+        F.col("cooc") >= 2
     )
     j = (
         pairs.join(
