@@ -50,8 +50,8 @@ def train_quality_classifier(
     "bias": float, "dim": dim, "ngrams": ngrams}`` — feed it straight
     to :func:`score_linear`, persist it as JSON, or broadcast it.
 
-    Distributed shape: one hash_embed pass (explode + hash aggregate,
-    no Python), then MLlib LogisticRegression — each LBFGS iteration
+    Distributed shape: one hash_embed pass (a pure map-side array
+    fold, no Python), then MLlib LogisticRegression — each LBFGS iteration
     is one treeAggregate of per-partition gradient partials, the
     canonical linear-model scaling on a 1000-executor cluster. The
     driver holds dim+1 doubles.

@@ -415,26 +415,30 @@ def grouped_weighted_quantile(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the group totals ride the SAME tiny per-(slice, group) frame as
+    # the prefix offsets (r10, guide §2.4): a whole-partition window
+    # over psums replaces the separate totals branch, which re-scanned
+    # the cached distinct-value frame a third time and came back
+    # through a second broadcast join
+    w_tot = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offs = psums.select(
         "__pid",
         *group_cols,
         F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
-    )
-    totals = psums.groupBy(*group_cols).agg(
-        F.sum("__s").alias("__tot"), F.sum("__pn").alias("__nrows")
+        F.sum("__s").over(w_tot).alias("__tot"),
+        F.sum("__pn").over(w_tot).alias("__nrows"),
     )
     w_run = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
+    picked = (
         ranged.withColumn("__runw", F.sum("__w").over(w_run))
         .join(F.broadcast(offs), ["__pid", *group_cols])
         .withColumn("__cumw", F.col("__off") + F.col("__runw"))
-    )
-    picked = (
-        cum.join(F.broadcast(totals), list(group_cols))
         .filter(
             F.col("__cumw").cast("decimal(38,0)") * F.lit(den)
             >= F.col("__tot").cast("decimal(38,0)") * F.lit(num)
@@ -596,12 +600,18 @@ def grouped_quantile_table(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # totals ride the offsets window over the tiny psums frame (r10,
+    # guide §2.4) — same fold as grouped_weighted_quantile: no third
+    # scan of the cached distinct-value frame, no second broadcast join
+    w_tot = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offs = psums.select(
         "__pid",
         *group_cols,
         F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__s").over(w_tot).alias("__tot"),
     )
-    totals = psums.groupBy(*group_cols).agg(F.sum("__s").alias("__tot"))
     w_run = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy("__v")
@@ -623,8 +633,7 @@ def grouped_quantile_table(
         ]
     )
     exploded = (
-        cum.join(F.broadcast(totals), list(group_cols))
-        .select(*group_cols, "__v", "__cum", "__tot", F.explode(qarr).alias("__q"))
+        cum.select(*group_cols, "__v", "__cum", "__tot", F.explode(qarr).alias("__q"))
         .filter(
             F.col("__cum").cast("decimal(38,0)") * F.col("__q.__den")
             >= F.col("__tot").cast("decimal(38,0)") * F.col("__q.__num")

@@ -409,35 +409,38 @@ def bm25_search(
     if not qt:  # empty query ("".split() from the CLI) matches nothing
         return docs.select("doc_id").limit(0).withColumn("score", F.lit(0.0))
 
-    # ONE tokenize pass for everything: the naive construction scans
-    # and re-tokenizes the corpus once for lengths, once for the
-    # avg-length collect, once for tf, and once for df (~5 corpus
-    # passes per query). Here one explode→aggregate produces the
-    # narrow per-doc frame (len + one tf column per query term, |docs|
-    # rows), persisted; avg_len and every df come out of it in ONE
-    # driver collect, and scoring is a pure map-side expression over
-    # the cache — no joins, no broadcast, nothing corpus-sized after
-    # the first pass.
-    tok = docs.select("doc_id", F.explode(ws).alias("term"))
+    # ONE tokenize pass for everything, and that pass is a pure MAP
+    # (r10, guide §2.4/§1.1): a doc's length is size() of its own token
+    # array and each tf is size(filter()) of it — per-row array HOFs,
+    # so the per-doc frame needs no explode and NO exchange at all
+    # (the previous explode→groupBy shape shuffled |docs| partial-agg
+    # rows). N, avg_len and every df come out of the persisted narrow
+    # frame in ONE driver collect (subsuming the separate docs.count()
+    # corpus pass the old shape paid: zero-token docs keep a __len=0
+    # row here purely so count(1) can see them, and are excluded from
+    # avg_len/scoring exactly as before — the oracle mirrors both
+    # populations). Scoring stays a map-side expression over the cache.
+    def _tf(term):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda is PySpark's (element, index) HOF form
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
     per_doc = tracked_persist(
-        tok.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("__len"),
-            *[
-                F.sum(
-                    F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"__tf_{i}")
-                for i, t in enumerate(qt)
-            ],
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("__len"),
+            *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(qt)],
         )
     )
-    n_docs = docs.count()
     stats = per_doc.agg(
-        F.avg("__len").alias("__avg"),
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.when(F.col("__len") > 0, F.col("__len"))).alias("__avg"),
         *[
             F.count(F.when(F.col(f"__tf_{i}") > 0, F.lit(1))).alias(f"__df_{i}")
             for i in range(len(qt))
         ],
     ).collect()[0]
+    n_docs = stats["__n_docs"]
     avg_len = stats["__avg"]
     if avg_len is None:  # no tokenized docs at all — nothing can score
         return docs.select("doc_id").limit(0).withColumn("score", F.lit(0.0))
@@ -488,11 +491,19 @@ def hash_embed(
     convention wherever an oracle must replay a signature — DuckDB
     reproduces them bit-for-bit (Spark's xxhash64 it cannot).
 
-    Scale shape: one explode → one (doc_id, bucket) hash aggregate
-    (map-combinable, keyed by the near-unique doc) → one map-side
-    array assembly + normalize. No Python, no UDF, no shuffle wider
-    than (doc_id, bucket) partial sums. Docs with no tokens emit the
-    zero vector (norm guard).
+    Scale shape (r10, guide §2.4): ONE explode_outer → ONE hash
+    aggregate keyed by doc_id whose buffer is the dim bucket sums
+    (``sum(when(bucket = i, sign))`` per slot — codegen'd,
+    map-combinable; an n-token row collapses map-side before the
+    exchange carries |docs| narrow rows). explode_outer keeps a
+    NULL-token row for empty/NULL-text docs, so they surface as zero
+    vectors from the SAME aggregate — the previous shape paid a second
+    doc-keyed exchange to assemble the array AND a corpus-sized left
+    join purely to restore those rows. Bucket sums are exact ±1
+    integer adds in double — associative, so the aggregation-order
+    change cannot move a bit. (dim beyond Spark's codegen field cap
+    (~100) falls back to interpreted aggregation — still correct, and
+    still one exchange.)
 
     Output: (doc_id, embedding array<double>) — the embeddings-table
     shape, minus the label column.
@@ -507,7 +518,7 @@ def hash_embed(
         toks = F.filter(
             words(F.lower(F.col(text_col))), lambda w: w != F.lit("")
         )
-    t = docs.select("doc_id", F.explode(toks).alias("__t"))
+    t = docs.select("doc_id", F.explode_outer(toks).alias("__t"))
     h = F.md5(F.col("__t"))
     b = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
@@ -517,33 +528,29 @@ def hash_embed(
         == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    sums = t.groupBy("doc_id", b.alias("__b")).agg(F.sum(sign).alias("__v"))
-    vec = (
-        sums.groupBy("doc_id")
-        .agg(F.map_from_arrays(F.collect_list("__b"), F.collect_list("__v")).alias("__m"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)),
-            ).alias("__raw"),
-        )
+    per = t.select("doc_id", b.alias("__b"), sign.alias("__s")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("__b") == i, F.col("__s"))).alias(f"__v{i}")
+            for i in range(dim)
+        ]
     )
-    norm = F.sqrt(F.aggregate(F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.when(norm == 0, F.col("__raw")).otherwise(
-        F.transform(F.col("__raw"), lambda x: x / norm)
-    )
-    # empty/whitespace-only docs explode to no rows at all — the left
-    # join restores one zero-vector row per input doc
-    return docs.select("doc_id").join(
-        vec.select("doc_id", unit.alias("embedding")), "doc_id", "left"
-    ).select(
+    raw = F.array(*[F.coalesce(F.col(f"__v{i}"), F.lit(0.0)) for i in range(dim)])
+    # staged projections: norm and both unit branches reference the
+    # assembled array, and CollapseProject's used-once-or-cheap guard
+    # keeps it built once per row
+    staged = per.select("doc_id", raw.alias("__raw")).select(
         "doc_id",
-        F.coalesce(
-            F.col("embedding"),
-            F.array(*[F.lit(0.0) for _ in range(dim)]),
-        ).alias("embedding"),
+        "__raw",
+        F.sqrt(
+            F.aggregate(F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("__norm"),
     )
+    unit = F.when(F.col("__norm") == 0, F.col("__raw")).otherwise(
+        F.transform(F.col("__raw"), lambda x: x / F.col("__norm"))
+    )
+    return staged.select("doc_id", unit.alias("embedding"))
 
 
 def kn_bigram_logprob(
