@@ -894,6 +894,7 @@ def incremental_entries_delta(
     batch's own full fold (plus any parked writes).
     """
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     from hypermap_etl_spark.operators.merge import merge_into_parquet
 
@@ -903,6 +904,23 @@ def incremental_entries_delta(
     pending = _read_pending(spark, pending_path)
     had_pending = pending is not None
 
+    # driver-action overlap (guide §2.6, r10): the steady-state batch
+    # is a chain of ~7 fixed-cost driver actions, each leaving the
+    # cluster idle during its tail. Two pairs are independent and run
+    # concurrently from a 2-thread pool: (a) the batch checkpoint vs
+    # the touched-bucket read chain (hot path only — with a pending
+    # store the fold input depends on stored keys), and (b) the
+    # pending-emptiness probe vs the entries MERGE write. The pending
+    # SWAP itself stays strictly after the merge lands — the
+    # crash-ordering contract is about the swap, not the read-only
+    # probe.
+    pool = ThreadPoolExecutor(max_workers=2)
+    ev_future = (
+        None
+        if had_pending
+        else pool.submit(lambda: new_events.localCheckpoint(eager=True))
+    )
+
     # the stored rows are read FIRST, pruned by the BATCH's touched
     # keys — equal to the fold input's touched set, because retried
     # pending rows' targets are batch-minted keys (childhash or
@@ -911,25 +929,34 @@ def incremental_entries_delta(
     # before the fold input is assembled
     stored_touched = None
     stored_keys = None
-    if _os.path.exists(entries_path):
-        keys = touched_namehashes(new_events)
-        if entry_buckets:
-            kb = with_entry_bucket(keys, entry_buckets)
-            buckets = [
-                r[0]
-                for r in kb.select("entry_bucket").distinct().collect()
-            ]
-            stored = (
-                spark.read.parquet(entries_path)
-                .filter(F.col("entry_bucket").isin(buckets))
-                .drop("entry_bucket")
-            )
-        else:
-            stored = spark.read.parquet(entries_path)
-        stored_touched = stored.join(
-            F.broadcast(keys), "namehash", "left_semi"
-        ).localCheckpoint(eager=True)
-        stored_keys = stored_touched.select("namehash")
+    try:
+        if _os.path.exists(entries_path):
+            keys = touched_namehashes(new_events)
+            if entry_buckets:
+                kb = with_entry_bucket(keys, entry_buckets)
+                buckets = [
+                    r[0]
+                    for r in kb.select("entry_bucket").distinct().collect()
+                ]
+                stored = (
+                    spark.read.parquet(entries_path)
+                    .filter(F.col("entry_bucket").isin(buckets))
+                    .drop("entry_bucket")
+                )
+            else:
+                stored = spark.read.parquet(entries_path)
+            stored_touched = stored.join(
+                F.broadcast(keys), "namehash", "left_semi"
+            ).localCheckpoint(eager=True)
+            stored_keys = stored_touched.select("namehash")
+    except Exception:
+        if ev_future is not None:
+            try:
+                release_local_checkpoint(ev_future.result())
+            except Exception:
+                pass  # the future itself failed — nothing to release
+        pool.shutdown()
+        raise
 
     leftover = None
     try:
@@ -958,13 +985,18 @@ def incremental_entries_delta(
                 ).drop("__t")
             events_in = new_events.unionByName(
                 retriable, allowMissingColumns=True
-            )
+            ).localCheckpoint(eager=True)
         else:
-            events_in = new_events
-        events_in = events_in.localCheckpoint(eager=True)
+            events_in = ev_future.result()
     except Exception:
         if stored_touched is not None:
             release_local_checkpoint(stored_touched)
+        if ev_future is not None:
+            try:
+                release_local_checkpoint(ev_future.result())
+            except Exception:
+                pass  # the future itself failed — nothing to release
+        pool.shutdown()
         raise
 
     try:
@@ -986,6 +1018,18 @@ def incremental_entries_delta(
         release_local_checkpoint(events_in)
         raise
     try:
+        pend = _unknown_writes(
+            events_in, _known_now(events_in, stored_keys, root_hash)
+        )
+        if leftover is not None:
+            pend = pend.unionByName(leftover, allowMissingColumns=True)
+        # overlap (b): the READ-ONLY emptiness probe of the pending
+        # remainder runs while the entries MERGE writes (guide §2.6) —
+        # both consume only checkpointed inputs. The pending SWAP
+        # itself still happens strictly after the merge lands, so the
+        # crash-ordering contract (merge before pending replace) is
+        # untouched.
+        pend_empty = None if had_pending else pool.submit(pend.isEmpty)
         # assume_unique: both branches produce one row per namehash —
         # the fold is a groupBy(namehash) aggregate and
         # merge_entry_states full-outer-joins two unique frames on it
@@ -1007,17 +1051,13 @@ def incremental_entries_delta(
         # between the two re-applies both, idempotently). Skipped
         # entirely while no early write has ever been seen, so the
         # hot path pays nothing on well-formed chains.
-        pend = _unknown_writes(
-            events_in, _known_now(events_in, stored_keys, root_hash)
-        )
-        if leftover is not None:
-            pend = pend.unionByName(leftover, allowMissingColumns=True)
         if had_pending:
             _swap_pending(pend, pending_path)
-        elif not pend.isEmpty():
+        elif not pend_empty.result():
             _swap_pending(pend, pending_path)
         return res
     finally:
+        pool.shutdown()
         release_local_checkpoint(updated)
         if stored_touched is not None:
             release_local_checkpoint(stored_touched)
