@@ -1324,6 +1324,7 @@ def cdc_chunks(
     mod: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Content-defined chunking at word grain — the storage-dedup
     primitive (LBFS/rsync lineage: breakpoints come from the CONTENT,
@@ -1347,19 +1348,25 @@ def cdc_chunks(
     array — no explode-then-window over the corpus, no shuffle at all
     until the caller aggregates chunk hashes. O(words) per document
     via the shared zip_with shingle construction.
+
+    ``carry`` threads extra per-doc columns (e.g. source) through to
+    the output rows — a row-local passthrough, so a caller grouping
+    chunks by a doc attribute skips the corpus-sized join back to the
+    doc table it previously paid (r10, guide §2.4).
     """
     if k < 1 or mod < 2:
         raise ValueError("cdc_chunks: need k >= 1 and mod >= 2")
+    carry = list(carry or [])
     ws = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
-    base = docs.select(F.col(id_col), ws.alias("__ws")).filter(
+    base = docs.select(F.col(id_col), *carry, ws.alias("__ws")).filter(
         F.size("__ws") > 0
     )
     nt = F.array_join(F.col("__ws"), " ")
     hs = F.transform(word_shingles(nt, k), lambda s: F.md5(s))
     b = base.select(
-        id_col, "__ws", F.size("__ws").alias("__n"), hs.alias("__hs")
+        id_col, *carry, "__ws", F.size("__ws").alias("__n"), hs.alias("__hs")
     )
     # guard: sequence(1, 0) is the DESCENDING [1, 0], not empty
     positions = F.when(
@@ -1385,7 +1392,7 @@ def cdc_chunks(
             F.array().cast("array<int>"),
         ).otherwise(F.array(F.col("__n"))),
     )
-    e = b.select(id_col, "__ws", ends.alias("__ends"))
+    e = b.select(id_col, *carry, "__ws", ends.alias("__ends"))
     i = F.col("chunk_idx")
     start = F.when(i == 1, F.lit(1)).otherwise(
         F.element_at(F.col("__ends"), i - F.lit(1)) + 1
@@ -1394,6 +1401,7 @@ def cdc_chunks(
     return (
         e.select(
             id_col,
+            *carry,
             "__ws",
             "__ends",
             F.explode(F.sequence(F.lit(1), F.size("__ends"))).alias(
@@ -1402,6 +1410,7 @@ def cdc_chunks(
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             (end - start + 1).cast("long").alias("n_words"),
             F.md5(

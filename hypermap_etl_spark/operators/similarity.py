@@ -1683,6 +1683,7 @@ def ivf_index_append(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    files_per_list: int = 1,
 ) -> dict[str, int]:
     """Incremental IVF maintenance: assign a NEW batch of vectors to
     the index's PINNED centroids and append parquet files to exactly
@@ -1718,8 +1719,21 @@ def ivf_index_append(
     )
     # write first (materializes the persisted batch), then ONE agg job
     # served from the cache for both counters — three batch passes
-    # (count, distinct, write) collapse to two
-    batch.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    # (count, distinct, write) collapse to two. The write is clustered
+    # by (cid, deterministic salt) exactly like ivf_index_write (r10,
+    # guide §6/§2.5): an unclustered append leaves one file per scan
+    # task per touched list, so every append batch added ~tasks files
+    # per list and the probed-list scan (and the compaction hook)
+    # degraded with the append tail.
+    (
+        batch.repartition(
+            F.col("cid"),
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(files_per_list)),
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("cid").alias("touched"),

@@ -4036,10 +4036,11 @@ def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypermap_etl_spark.operators.dedup import cdc_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    ch = cdc_chunks(docs)
+    # source rides cdc_chunks' row-local projections (carry) — no
+    # corpus-sized join back to the doc table (r10, guide §2.4)
+    ch = cdc_chunks(docs, carry=["source"])
     return (
-        ch.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        ch.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
             F.count_distinct("chunk_hash").cast("long").alias("n_distinct"),
