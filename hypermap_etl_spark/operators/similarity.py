@@ -500,9 +500,12 @@ def ivf_index_write(
     nemb = with_norm(fan_out(emb), vec_col)
     cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
     spark = emb.sparkSession
+    # coalesce(1): the centroid table is n_centroids rows — without it
+    # the default parallelize split leaves one near-empty file per core
+    # (32 opens + footers for 8 rows on every serve's centroid collect)
     spark.createDataFrame(
         [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
-    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     corpus = nemb.select(
         F.col(id_col).alias("neighbor_id"),
         _vd(vec_col).alias("cv"),
@@ -1934,7 +1937,7 @@ def ivfpq_index_write(
     spark = emb.sparkSession
     spark.createDataFrame(
         [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
-    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     books = pq_fit(
         emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )

@@ -919,3 +919,46 @@ def test_entropy_coded_scope_decision_pinned(spark):
         assert aout[c] is None, c
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         audio_sample_stats(_media_rows(spark, arows), strict=True).collect()
+
+
+def test_png_unfilter_vector_path_roundtrip():
+    """The numpy unfilter path (strides >= _VEC_MIN_STRIDE) must
+    reconstruct the exact original plane for every color type and
+    every filter, including mixed per-row filters — the r10 vectorized
+    rewrite may never diverge from the spec inversion the scalar path
+    implements (the small-image property test above exercises that
+    one; this pins the large-stride branch it cannot reach)."""
+    import random
+
+    from hypermap_etl_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _VEC_MIN_STRIDE,
+    )
+
+    pal = bytes(v for j in range(256) for v in (j, 255 - j, (2 * j) % 256))
+    rng = random.Random(20261)
+    for ct in (0, 2, 3, 4, 6):
+        ch = _PNG_CHANNELS[ct]
+        # wide enough that stride = w*ch clears the vector threshold
+        w = (_VEC_MIN_STRIDE // ch) + 3
+        h = 11
+        assert w * ch >= _VEC_MIN_STRIDE
+        for fpat in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3]):
+            raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            filters = [fpat[r % len(fpat)] for r in range(h)]
+            d = decode_png_pixels(
+                encode_png(
+                    w, h, raw, color_type=ct,
+                    palette=pal if ct == 3 else None,
+                    row_filters=filters,
+                )
+            )
+            assert d is not None
+            if ct == 3:
+                expect = b"".join(pal[i * 3:i * 3 + 3] for i in raw)
+                assert d["channels"] == 3
+            else:
+                expect = raw
+                assert d["channels"] == _PNG_CHANNELS[ct]
+            assert d["pixels"] == expect, (ct, fpat)
+            assert (d["width"], d["height"]) == (w, h)

@@ -618,13 +618,16 @@ def test_r6_operator_plan_shapes(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "user_id" in spec, p[:2000]
 
-    # weighted median: totals/offsets come back as broadcasts, and the
-    # corpus-sized cumulative window is (__pid, group)-sliced — the
-    # few-groups single-task sort is the scale-killer this pins out
-    # (the only window without __pid runs over the P x G psums frame)
+    # weighted median: the offsets frame comes back as ONE broadcast
+    # (r10 folded the group totals into the same whole-partition window
+    # over the psums frame, removing the second broadcast join and a
+    # cache scan — OPTIMIZATION_r10.md), and the corpus-sized
+    # cumulative window is (__pid, group)-sliced — the few-groups
+    # single-task sort is the scale-killer this pins out (the only
+    # window without __pid runs over the P x G psums frame)
     p = _plan(lineitem_weighted_median(spark, SF_SMOKE))
     assert "SortMergeJoin" not in p
-    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("BroadcastHashJoin") == 1
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert any("__pid" in spec for spec in specs), p[:2000]
     for spec in specs:
