@@ -432,24 +432,47 @@ def _pick_centroids(nemb: DataFrame, n_centroids: int, vec_col: str, id_col: str
     index: the vector whose id ranks first in each of n_centroids
     uniform hash buckets — a k-means init without refinement. Returns
     driver-side [(cid, vector, norm)] (n_centroids x dim, model-sized).
-    """
-    from pyspark.sql.window import Window as W
 
-    bucketed = nemb.withColumn(
-        "__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
-    )
-    w = W.partitionBy("__cb").orderBy(F.col(id_col))
+    min_by keyed by id (r11, guide §2.3 aggregate-before-you-shuffle):
+    the previous row_number window shuffled the WHOLE corpus into
+    n_centroids partitions and sorted each just to keep one row per
+    bucket; the min_by aggregate combines map-side, so the exchange
+    carries ≤ n_centroids partial rows per task and nothing sorts.
+    Identical pick: ids are unique, so argmin-by-id IS the rank-1 row.
+    """
     rows = (
-        bucketed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        nemb.withColumn(
+            "__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+        )
+        .groupBy("__cb")
+        .agg(
+            F.min_by(
+                F.struct(_vd(vec_col).alias("cv"), F.col("__norm").alias("cn")),
+                F.col(id_col),
+            ).alias("__m")
+        )
         .select(
             F.col("__cb").alias("cid"),
-            _vd(vec_col).alias("cv"),
-            F.col("__norm").alias("cn"),
+            F.col("__m.cv").alias("cv"),
+            F.col("__m.cn").alias("cn"),
         )
         .collect()
     )
     return [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in rows]
+
+
+def _model_df(spark, rows, schema: str) -> DataFrame:
+    """Driver-side model-sized tables (centroids, codebooks) as ONE
+    parallelize slice. createDataFrame's default split spreads a
+    handful of rows over defaultParallelism Python-RDD slices; any
+    later coalesce(1) then computes all those slices SEQUENTIALLY in
+    one task, paying one Python-worker round trip EACH (~180 ms x 32
+    measured — the r10 single-file-centroid write cost ~6 s of
+    ivf_build, the driver-visible regression). One slice = one
+    round trip and one output file, no coalesce needed."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def _nearest_centroids(cent, vec: Column, norm: Column, n: int) -> Column:
@@ -500,12 +523,12 @@ def ivf_index_write(
     nemb = with_norm(fan_out(emb), vec_col)
     cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
     spark = emb.sparkSession
-    # coalesce(1): the centroid table is n_centroids rows — without it
-    # the default parallelize split leaves one near-empty file per core
-    # (32 opens + footers for 8 rows on every serve's centroid collect)
-    spark.createDataFrame(
-        [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    # single-slice write (see _model_df): one file — the r10 goal of
+    # coalesce(1) — without the per-slice Python round trips coalesce
+    # paid on a 32-slice parallelize
+    _model_df(
+        spark, [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     corpus = nemb.select(
         F.col(id_col).alias("neighbor_id"),
         _vd(vec_col).alias("cv"),
@@ -878,7 +901,8 @@ def pq_index_write(
     """
     books = pq_fit(emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
     spark = emb.sparkSession
-    spark.createDataFrame(
+    _model_df(
+        spark,
         [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
         "j int, code int, cent array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
@@ -1935,13 +1959,14 @@ def ivfpq_index_write(
     nemb = with_norm(fan_out(emb), vec_col)
     cent = _pick_centroids(nemb, n_centroids, vec_col, id_col)
     spark = emb.sparkSession
-    spark.createDataFrame(
-        [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    _model_df(
+        spark, [(c, v, n) for c, v, n in cent], "cid int, cv array<double>, cn double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     books = pq_fit(
         emb, m=m, k_codes=k_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
-    spark.createDataFrame(
+    _model_df(
+        spark,
         [
             (j, c, books[j][c])
             for j in range(len(books))
