@@ -420,15 +420,24 @@ def bm25_search(
     # row here purely so count(1) can see them, and are excluded from
     # avg_len/scoring exactly as before — the oracle mirrors both
     # populations). Scoring stays a map-side expression over the cache.
+    #
+    # The token array is STAGED into its own projection (r11, VERDICT
+    # r10 #9): inlining `ws` into __len and every __tf_i restates the
+    # split+filter tokenize len(qt)+1 times per row, and the copies are
+    # NOT merged — each HOF copy binds fresh lambda variables, so
+    # runtime subexpression elimination sees structurally different
+    # trees. Staging evaluates the tokenize once; CollapseProject keeps
+    # the stage (non-cheap expression consumed len(qt)+1 times), the
+    # same guard hash_embed's norm staging relies on.
     def _tf(term):
         # closure factory, NOT a default-arg lambda: a two-parameter
         # lambda is PySpark's (element, index) HOF form
-        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+        return F.size(F.filter(F.col("__ws"), lambda w: w == F.lit(term)))
 
     per_doc = tracked_persist(
-        docs.select(
+        docs.select("doc_id", ws.alias("__ws")).select(
             "doc_id",
-            F.size(ws).alias("__len"),
+            F.size("__ws").alias("__len"),
             *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(qt)],
         )
     )
@@ -472,6 +481,46 @@ def bm25_search(
     )
 
 
+def _hash_bucket_sums(
+    docs: DataFrame, dim: int, text_col: str, ngrams: int = 1
+) -> DataFrame:
+    """hash_embed's aggregate: per-doc UN-normalized bucket sums as dim
+    narrow columns (doc_id, __v0..__v{dim-1}; absent buckets NULL).
+    Shared by hash_embed (which assembles/normalizes the array) and
+    hybrid_rrf_search's semantic leg (which consumes the sums directly
+    — r11, so the one-query path never builds the array at all). One
+    explode_outer → one map-combinable hash aggregate; see hash_embed's
+    docstring for the full shape/equivalence story."""
+    if ngrams > 1:
+        # collapse whitespace runs first: word_shingles keeps empty
+        # tokens (split on single space), so 'a  b' would otherwise
+        # shingle as ('a ', ' b') — different buckets than 'a b'
+        canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " {2,}", " "))
+        toks = word_shingles(canon, ngrams)
+    else:
+        toks = F.filter(
+            words(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+        )
+    t = docs.select("doc_id", F.explode_outer(toks).alias("__t"))
+    h = F.md5(F.col("__t"))
+    b = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
+    )
+    sign = F.when(
+        F.pmod(F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint"), F.lit(2))
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return t.select("doc_id", b.alias("__b"), sign.alias("__s")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("__b") == i, F.col("__s"))).alias(f"__v{i}")
+            for i in range(dim)
+        ]
+    )
+
+
 def hash_embed(
     docs: DataFrame,
     dim: int = 64,
@@ -508,34 +557,7 @@ def hash_embed(
     Output: (doc_id, embedding array<double>) — the embeddings-table
     shape, minus the label column.
     """
-    if ngrams > 1:
-        # collapse whitespace runs first: word_shingles keeps empty
-        # tokens (split on single space), so 'a  b' would otherwise
-        # shingle as ('a ', ' b') — different buckets than 'a b'
-        canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " {2,}", " "))
-        toks = word_shingles(canon, ngrams)
-    else:
-        toks = F.filter(
-            words(F.lower(F.col(text_col))), lambda w: w != F.lit("")
-        )
-    t = docs.select("doc_id", F.explode_outer(toks).alias("__t"))
-    h = F.md5(F.col("__t"))
-    b = F.pmod(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
-    )
-    sign = F.when(
-        F.pmod(F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint"), F.lit(2))
-        == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    per = t.select("doc_id", b.alias("__b"), sign.alias("__s")).groupBy(
-        "doc_id"
-    ).agg(
-        *[
-            F.sum(F.when(F.col("__b") == i, F.col("__s"))).alias(f"__v{i}")
-            for i in range(dim)
-        ]
-    )
+    per = _hash_bucket_sums(docs, dim, text_col, ngrams)
     raw = F.array(*[F.coalesce(F.col(f"__v{i}"), F.lit(0.0)) for i in range(dim)])
     # staged projections: norm and both unit branches reference the
     # assembled array, and CollapseProject's used-once-or-cheap guard
@@ -1073,22 +1095,34 @@ def hybrid_rrf_search(
             "doc_id", "lex_rank", F.lit(None).cast("int").alias("sem_rank")
         )
     else:
-        qlit = F.array(*[F.lit(v / qn) for v in qv])
-        emb = hash_embed(docs.select("doc_id", text_col), dim=dim,
-                         text_col=text_col)
-        dot = F.aggregate(
-            F.zip_with("embedding", qlit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        norm2 = F.aggregate(
-            F.zip_with("embedding", F.col("embedding"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # Semantic leg straight off the bucket-sum columns (r11, guide
+        # §4.1 "prefer built-ins"/§1.2 per-task work): the previous
+        # shape assembled the normalized 64-slot array via hash_embed
+        # and then reduced it with FOUR higher-order passes per doc
+        # (transform divide, zip_with+aggregate twice for dot and the
+        # zero-vector check) — HOF lambdas evaluate interpreted, per
+        # element. Here norm and dot are plain codegen'd expression
+        # CHAINS over __v0..__v63, built in the exact float-op sequence
+        # the HOF folds executed, so every score is bit-identical:
+        #   norm = sqrt(((0 + r0*r0) + r1*r1) + ...),  r_i = coalesce(v_i, 0)
+        #   dot  = ((0 + (r0/norm)*q0) + (r1/norm)*q1) + ...
+        # and the old filter (sum of unit squares > 0) is exactly
+        # norm > 0: bucket sums are integer-valued doubles, so a
+        # nonzero r_i makes norm >= 1 and every (r_i/norm)^2 term is
+        # far above underflow. __norm is STAGED in its own projection
+        # (consumed by all dim dot terms — the CollapseProject guard
+        # keeps it evaluated once).
+        sums = _hash_bucket_sums(docs.select("doc_id", text_col), dim, text_col)
+        rs = [F.coalesce(F.col(f"__v{i}"), F.lit(0.0)) for i in range(dim)]
+        n2 = F.lit(0.0)
+        for r in rs:
+            n2 = n2 + r * r
+        staged = sums.select("doc_id", *sums.columns[1:], F.sqrt(n2).alias("__norm"))
+        dot = F.lit(0.0)
+        for i, r in enumerate(rs):
+            dot = dot + (r / F.col("__norm")) * F.lit(qv[i] / qn)
         sem = (
-            emb.withColumn("__n2", norm2)
-            .filter(F.col("__n2") > 0)
+            staged.filter(F.col("__norm") > 0)
             .select("doc_id", F.round(dot, 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k_leg)
