@@ -19,91 +19,95 @@ from hypermap_etl_spark.plans.star_queries import STAR_QUERIES
 
 _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 
-# ROUND-10 WINDOW. The driver's correctness gate runs only the FIRST
-# 50 queries() entries (dict order). This window executes VERDICT r9
-# tasks 1-3 verbatim:
-#   (a) the 4 media gates staged under the r9 registration freeze
-#       (doc_media_pixels/pcm/ahash/video — the only implemented
-#       operators with no driver CORRECTNESS row) plus emb_semdedup,
-#       the new planted-fixture oracle for semdedup's dominance rule
-#       (the one r9 operator with pytest-only evidence);
-#   (b) ALL 37 gates whose newest driver evidence is r3 — after this
-#       window the staleness histogram has no r3 entries (r11 takes
-#       the r4 tail);
-#   (c) re-certs for every gate whose operator changed this round:
-#       operators/multimodal.py (mvhd v1 short-payload NULL guard,
-#       ADVICE r10) → doc_media_decode, doc_media_audio,
-#       media_metadata; operators/similarity.py (ivf_index_compact —
-#       the serve-path defragmentation hook — plus the semdedup gate's
-#       host module) → the emb_ivf_* family + emb_semantic_survivors
-#       (also r4-stale).
-# Registered this round: the 4 staged media gates + emb_semdedup
-# (all demanded by VERDICT r9). Post-r10 registry: 327 gates.
+# ROUND-11 WINDOW. The driver's correctness gate runs only the FIRST
+# 50 queries() entries (dict order). This window executes VERDICT r10
+# task 1 verbatim:
+#   (a) re-certs for EVERY gate whose operator the r10 optimizer
+#       rewrote but whose r10 window slot was set before the rewrite
+#       (the gap VERDICT r10 flagged): the M1-M9 fold (hm_entries,
+#       hm_fullnames, hm_subtree_sizes, hm_descendants,
+#       hm_entry_history), the retrieval stack (doc_hybrid_rrf,
+#       doc_hash_embed, doc_bm25_search), the quantile primitives
+#       (lineitem_weighted_median/_p90, lineitem_price_deciles), the
+#       co-purchase graph family (parts_copurchase_lpa/triangles/
+#       kcore, parts_seed_distance, parts_link_prediction,
+#       parts_item_cf), and doc_cdc_dedup;
+#   (b) re-certs for every gate whose operator changed THIS round:
+#       operators/similarity.py (single-slice model-table writes,
+#       min_by centroid pick) → the 4 emb_ivf*/ivfpq gates;
+#       operators/textstats.py (staged bm25 tokenize, expression-chain
+#       semantic leg) → doc_bm25_snippets (hybrid/hash_embed/bm25 are
+#       already in (a)); operators/multimodal.py (explicit Paeth
+#       branch, ADVICE r10) → doc_media_pixels, doc_media_ahash;
+#       operators/corpus.py + plans/star_queries.py changes are
+#       covered by the curation-family slots in (c) and the graph
+#       family in (a);
+#   (c) the r4-stale tail, curation-family first (they gate the exact
+#       operators curate_pipeline composes, so they double as the
+#       curate-change re-certs). 25 of the 41 r4-stale gates fit; the
+#       15 leftovers (customer_fuzzy_pairs, emb_covariance,
+#       events_cms_counts, events_lead_lag_ntile,
+#       events_type_pivot/unpivot, hm_decode_roundtrip,
+#       hm_enrich_format, hm_events_page2, hm_get_entry, hm_last_event,
+#       hm_status_counts, lineitem_price_histogram, lineitem_profile,
+#       q12_priority_shipping) head the r12 rotation.
+# No new registrations this round (optimization round). Registry
+# unchanged: 327 gates.
 _WINDOW: list[str] = [
-    # ---- (a) newly registered: staged media gates + semdedup ----
-    "doc_media_pixels",
-    "doc_media_pcm",
-    "doc_media_ahash",
-    "doc_media_video",
-    "emb_semdedup",
-    # ---- (b) the 37 r3-stale gates ----
-    "q4_order_priority",
-    "q6_revenue_delta",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "customer_balance_quartiles",
-    "customer_order_distribution",
-    "customer_set_ops",
-    "events_bloom_probe",
-    "events_funnel",
-    "events_interval_counts",
-    "events_json_extract",
-    "events_kmv_users",
-    "events_last_event",
-    "events_moving_avg",
-    "events_page2",
-    "events_running_total",
-    "events_salted_counts",
-    "events_sampled_quantiles",
-    "events_status_counts",
-    "events_type_bigrams",
-    "events_user_daily",
-    "events_value_outliers",
-    "exclusive_return_suppliers",
-    "large_order_customers",
-    "nation_pair_volume",
-    "orders_rollup",
-    "part_min_price_line",
-    "parts_size_rank_ties",
-    "rich_inactive_customers",
-    "small_quantity_revenue",
-    "supplier_nation_balance",
-    # ---- (c) re-certs: operators changed this round ----
-    "doc_media_decode",
-    "doc_media_audio",
-    "media_metadata",
+    # ---- (a) re-certs: the r10 optimizer's rewrites ----
+    "hm_entries",
+    "hm_fullnames",
+    "hm_subtree_sizes",
+    "hm_descendants",
+    "hm_entry_history",
+    "doc_hybrid_rrf",
+    "doc_hash_embed",
+    "doc_bm25_search",
+    "lineitem_weighted_median",
+    "lineitem_weighted_p90",
+    "lineitem_price_deciles",
+    "parts_copurchase_lpa",
+    "parts_copurchase_triangles",
+    "parts_copurchase_kcore",
+    "parts_seed_distance",
+    "parts_link_prediction",
+    "parts_item_cf",
+    "doc_cdc_dedup",
+    # ---- (b) re-certs: operators changed this round (r11) ----
     "emb_ivf_recall",
     "emb_ivf_probe_sweep",
     "emb_ivf_index_recall",
     "emb_ivfpq_recall",
-    "emb_semantic_survivors",
+    "doc_bm25_snippets",
+    "doc_media_pixels",
+    "doc_media_ahash",
+    # ---- (c) r4-stale tail, curation family first ----
+    "doc_train_filter",
+    "doc_dedup_survivors",
+    "doc_dup_clusters",
+    "doc_dup_spans",
+    "doc_despanned",
+    "doc_chunks",
+    "doc_packed",
+    "doc_split",
+    "doc_shards",
+    "doc_pii_redact",
+    "doc_pii_tags",
+    "doc_minhash_pairs",
+    "doc_dedup_best",
+    "doc_decontam",
+    "doc_length_percentiles",
+    "doc_repetition",
+    "doc_segment_dedup",
+    "doc_source_caps",
+    "doc_source_mix",
+    "doc_stratified_sample",
+    "doc_temperature_mix",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "doc_vocab",
+    "doc_weighted_sample",
 ]
-
-# Remaining rotation debt after r10 (for the r11 window): the ~43
-# r4-stale gates (doc_* curation family, hm_decode_roundtrip /
-# hm_enrich_format / hm_get_entry / hm_last_event / hm_status_counts /
-# hm_events_page2, events_cms_counts, events_lead_lag_ntile,
-# events_type_pivot/unpivot, lineitem_price_histogram,
-# lineitem_profile, q12_priority_shipping, customer_fuzzy_pairs,
-# emb_covariance) — the staleness histogram then starts at r5, and
-# future windows are pure freshness rotation plus re-certs for
-# whatever operators change.
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's
 # 50 slots, no duplicates, and every name registered — a typo'd name

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hypermap_etl_spark.operators.textstats import language_id, quality_scores, words
+from hypermap_etl_spark.operators.textstats import (
+    language_scores,
+    quality_expressions,
+    words,
+)
 
 
 # ----------------------------------------------------------- keep list ----
@@ -234,27 +238,51 @@ def train_filter(
     quality pipeline: language-ID + quality thresholds in one pass.
 
     Output: (doc_id, keep, reasons) where reasons is a comma-joined
-    list of failed checks ('' when kept). Both inputs are single
-    projections over the same scan, so the join is doc_id-to-doc_id on
-    identically-partitioned frames; no data-dependent skew (doc_id is
-    unique).
+    list of failed checks ('' when kept).
+
+    ONE projection over one scan (r11, guide §2.4): the quality and
+    language expressions come from the same shared definitions their
+    standalone operators use (textstats.quality_expressions /
+    language_scores), evaluated side by side per row — the previous
+    shape ran quality_scores and language_id as two scans of the
+    corpus joined back on doc_id (two exchanges + a join for columns
+    of the same row). Values are identical by construction.
     """
-    q = quality_scores(docs, text_col)
-    l = language_id(docs, text_col).select("doc_id", "lang_pred")
-    j = q.join(l, "doc_id")
-    checks = [
-        (F.col("lang_pred") != lang, "lang"),
-        (F.col("n_words") < min_words, "short"),
-        (F.col("punct_ratio") > max_punct_ratio, "punct"),
-        (F.col("quality_score") < min_quality, "quality"),
-    ]
-    reasons = F.concat_ws(
-        ",", *[F.when(cond, F.lit(name)) for cond, name in checks]
+    reasons = _filter_reasons(
+        text_col,
+        min_words=min_words,
+        max_punct_ratio=max_punct_ratio,
+        min_quality=min_quality,
+        lang=lang,
     )
-    return j.select(
+    return docs.select(
         "doc_id",
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
+    )
+
+
+def _filter_reasons(
+    text_col: str,
+    min_words: int,
+    max_punct_ratio: float,
+    min_quality: float,
+    lang: str,
+) -> Column:
+    """train_filter's comma-joined failed-check column as a bare
+    row-local expression — shared with curate_pipeline, whose keep
+    stage filters the corpus directly (`reasons == ''`) instead of
+    semi-joining a separate filter frame back to it."""
+    q = quality_expressions(text_col)
+    _scores, lang_pred = language_scores(text_col)
+    checks = [
+        (lang_pred != lang, "lang"),
+        (q["n_words"] < min_words, "short"),
+        (q["punct_ratio"] > max_punct_ratio, "punct"),
+        (q["quality_score"] < min_quality, "quality"),
+    ]
+    return F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in checks]
     )
 
 
@@ -271,10 +299,23 @@ def _md5_bucket(col: Column, n_buckets: int) -> Column:
     )
 
 
+def _md5_shard(col: Column, n_shards: int) -> Column:
+    """shard_assignments' shard key as a bare expression — ONE
+    definition shared with curate_pipeline, which attaches the shard as
+    a row-local column instead of joining the assignment frame back to
+    the corpus (the shard is content-free id hashing; only `pos` needs
+    the window)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_shards
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     max_tokens: int = 512,
     n_buckets: int = 32,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Assign token chunks to fixed-budget training sequences ("packs").
 
@@ -289,6 +330,13 @@ def pack_sequences(
 
     Everything is one window over (bucket, doc_id, chunk_id) — engine-
     reproducible (md5 bucketing, integer cumsum), no Python.
+
+    ``carry`` threads extra chunk columns through unchanged (r11, the
+    cdc_chunks carry pattern): the assignment is a pure window-add, so
+    a caller that needs pack_id NEXT TO the chunk payload (e.g.
+    curate_pipeline's chunks output) can carry it row-locally instead
+    of joining this frame back to the chunks corpus. Default output
+    unchanged.
     """
     bucket = _md5_bucket(F.col("doc_id"), n_buckets)
     from pyspark.sql.window import Window
@@ -305,7 +353,7 @@ def pack_sequences(
     return (
         chunks.withColumn("bucket", bucket)
         .withColumn("pack_id", pack)
-        .select("doc_id", "chunk_id", "bucket", "n_tokens", "pack_id")
+        .select("doc_id", "chunk_id", "bucket", "n_tokens", "pack_id", *(carry or []))
     )
 
 
@@ -500,7 +548,6 @@ def curate_pipeline(
         c4_clean,
         html_to_text,
         normalize_text,
-        redact_pii,
     )
     from hypermap_etl_spark.util import fan_out, stage_boundary
 
@@ -558,14 +605,30 @@ def curate_pipeline(
     # parquet input that is ONE scan task doing all the string work
     # serially (measured 4s of the sf0.1 pipeline). At lake scale the
     # input arrives pre-split and the repartition is a no-op cost-wise.
-    flt = train_filter(fan_out(docs), min_words=min_words, lang=lang, text_col=text_col)
+    #
+    # Filter the corpus DIRECTLY with train_filter's row-local keep
+    # expression (r11, guide §2.4): the previous shape computed a
+    # separate (doc_id, keep) frame and semi-joined it back, scanning
+    # the corpus twice and paying a corpus-sized join for a per-row
+    # decision. Same rows by construction (_filter_reasons is the one
+    # shared definition train_filter serves).
+    #
     # cut_lineage boundaries: eager materialization (so no downstream
     # branch recomputes the subtree) AND logical-plan truncation — in a
     # composition this long, per-transformation re-analysis of the full
     # upstream tree made driver-side plan construction the dominant
     # cost (~7 s of a 21 s sf0.1 run). See stage_boundary's docstring.
     kept = stage_boundary(
-        docs.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
+        fan_out(docs).where(
+            _filter_reasons(
+                text_col,
+                min_words=min_words,
+                max_punct_ratio=0.2,
+                min_quality=0.5,
+                lang=lang,
+            )
+            == ""
+        ),
         cut_lineage=True,
     )
     n_kept = kept.count() if with_report else 0
@@ -616,12 +679,18 @@ def curate_pipeline(
             n_model_dropped = n_kept - n_model_kept
             n_kept = n_model_kept
 
-    # fan_out ONLY the compute-heavy signature pass: AQE coalesces the
-    # small post-join frame to one partition locally, which would run
-    # the 128-perm min-aggregate on one core; the cheap relational
-    # stages stay on the compact persisted frame (32 tasks per tiny
-    # stage cost more than they parallelize)
-    pairs = dedup.minhash_dedup_pairs(fan_out(kept), dedup_threshold, text_col=text_col)
+    # kept is already fan_out-partitioned (the filter above runs on the
+    # fanned corpus and the checkpoint preserves its partitioning), so
+    # the signature pass reads it at full parallelism without the
+    # extra round-robin exchange the old post-join shape needed here.
+    # The optional gopher/model stages interpose semi-joins whose
+    # post-AQE output can coalesce to one partition locally — re-fan
+    # only then (the old comment's warning: a 1-partition input would
+    # run the 128-perm min-aggregate on one core).
+    refan = gopher or model_weights is not None
+    pairs = dedup.minhash_dedup_pairs(
+        fan_out(kept) if refan else kept, dedup_threshold, text_col=text_col
+    )
     clusters = dedup.duplicate_clusters(pairs)
     surv = stage_boundary(dedup_survivors(kept, clusters), cut_lineage=True)
     n_surv = surv.count() if with_report else 0
@@ -684,11 +753,14 @@ def curate_pipeline(
         )
 
     if redact:
-        surv = (
-            surv.drop(text_col)
-            .join(redact_pii(surv, text_col), "doc_id")
-            .withColumnRenamed("redacted", text_col)
-        )
+        # row-local mask chain applied in place (r11, guide §2.4):
+        # redact_pii is a pure projection, so joining its output back
+        # to surv was a corpus-sized self-join for a per-row rewrite.
+        # _pii_masked is the one shared mask definition redact_pii
+        # serves — values identical.
+        from hypermap_etl_spark.operators.curation import _pii_masked
+
+        surv = surv.withColumn(text_col, _pii_masked(F.col(text_col)))
 
     if cut_dup_spans or redact:
         # third stage boundary: span surgery + redaction rewrite the
@@ -714,26 +786,57 @@ def curate_pipeline(
         shards = _bs(weights, "__w", "doc_id", n_shards).select(
             "doc_id", "shard"
         )
+        documents = base.join(shards.select("doc_id", "shard"), "doc_id")
     else:
-        shards = shard_assignments(base, n_shards)
-    documents = base.join(shards.select("doc_id", "shard"), "doc_id")
+        # the default shard is a row-local md5 bucket of doc_id (r11,
+        # guide §2.4) — attach it as a column instead of joining
+        # shard_assignments' projection back to the corpus (the LPT
+        # balanced variant above is a real computation and keeps its
+        # join)
+        shards = None
+        documents = base.withColumn("shard", _md5_shard(F.col("doc_id"), n_shards))
 
     train = documents.filter(F.col("split") == "train")
     chunks = token_chunks(train, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col)
-    packer = pack_sequences_strict if strict_packing else pack_sequences
     # pack_id is per-md5-bucket; the pipeline output drops the bucket
     # column, so fold it in (pack_id * n_buckets + bucket) — otherwise
     # a loader grouping by pack_id would merge unrelated sequences
     # whose buckets happen to share a pack ordinal
-    packed = packer(chunks, max_tokens=pack_tokens, n_buckets=n_shards).select(
-        "doc_id",
-        "chunk_id",
-        (F.col("pack_id") * n_shards + F.col("bucket")).alias("pack_id"),
-    )
-    chunks_out = (
-        chunks.join(packed.select("doc_id", "chunk_id", "pack_id"), ["doc_id", "chunk_id"])
-        .join(shards.select("doc_id", "shard"), "doc_id")
-    )
+    if strict_packing:
+        packed = pack_sequences_strict(
+            chunks, max_tokens=pack_tokens, n_buckets=n_shards
+        ).select(
+            "doc_id",
+            "chunk_id",
+            (F.col("pack_id") * n_shards + F.col("bucket")).alias("pack_id"),
+        )
+        chunks_out = chunks.join(
+            packed.select("doc_id", "chunk_id", "pack_id"), ["doc_id", "chunk_id"]
+        )
+    else:
+        # pack_sequences is a pure window-add, so the pack id rides the
+        # chunk rows via carry (r11) — no join back to the chunks frame
+        # (the strict packer is an applyInPandas stage; carrying
+        # chunk_text through Python would violate guide §4.1, so it
+        # keeps the thin-frame join)
+        chunks_out = pack_sequences(
+            chunks,
+            max_tokens=pack_tokens,
+            n_buckets=n_shards,
+            carry=["chunk_text"],
+        ).select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            "chunk_text",
+            (F.col("pack_id") * n_shards + F.col("bucket")).alias("pack_id"),
+        )
+    if shards is not None:
+        chunks_out = chunks_out.join(shards.select("doc_id", "shard"), "doc_id")
+    else:
+        chunks_out = chunks_out.withColumn(
+            "shard", _md5_shard(F.col("doc_id"), n_shards)
+        )
     report = (
         {
             "docs_in": n_in,
@@ -863,7 +966,7 @@ def shard_assignments(
     from pyspark.sql.window import Window
 
     key = F.md5(F.col(id_col).cast("string"))
-    shard = (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards)
+    shard = _md5_shard(F.col(id_col), n_shards)
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return (
         docs.select(

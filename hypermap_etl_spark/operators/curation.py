@@ -182,13 +182,20 @@ def luhn_valid(number: Column) -> Column:
     return F.when(F.length(number) > 0, total % 10 == 0)
 
 
+def _pii_masked(t: Column) -> Column:
+    """The PII mask chain as a bare expression — ONE definition shared
+    by redact_pii and curate_pipeline (which rewrites the text column
+    in place instead of joining redact_pii's projection back to the
+    corpus). Ordering documented at _MASKS."""
+    for pat, repl in _MASKS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Mask every PII span with a typed placeholder. Global replace,
     one projection; ordering documented at _MASKS."""
-    t: Column = F.col(text_col)
-    for pat, repl in _MASKS:
-        t = F.regexp_replace(t, pat, repl)
-    return docs.select("doc_id", t.alias("redacted"))
+    return docs.select("doc_id", _pii_masked(F.col(text_col)).alias("redacted"))
 
 
 # -------------------------------------------------------- decontamination ----

@@ -97,9 +97,12 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score from length, punctuation and stopword
-    ratios — the standard pretraining-corpus filters, as one projection."""
+def quality_expressions(text_col: str = "text") -> dict[str, Column]:
+    """quality_scores' output columns as bare expressions — shared by
+    quality_scores and corpus.train_filter (r11), so the filter can
+    evaluate them in the SAME projection as the language pick instead
+    of joining two scans of the corpus. ONE definition: the rounds
+    here are the gate contract."""
     t = F.lower(F.col(text_col))
     ws = F.filter(words(t), lambda w: w != F.lit(""))
     n_words = F.size(ws)
@@ -108,21 +111,30 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     word_ratio = n_stop / F.greatest(n_words, F.lit(1))
     punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
     len_signal = F.least(n_words / F.lit(100.0), F.lit(1.0))
-    return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(word_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(
+    return {
+        "n_words": n_words.cast("long"),
+        "stopword_ratio": F.round(word_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(
             F.lit(0.4) * len_signal + F.lit(0.4) * word_ratio + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
             6,
-        ).alias("quality_score"),
+        ),
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score from length, punctuation and stopword
+    ratios — the standard pretraining-corpus filters, as one projection."""
+    q = quality_expressions(text_col)
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in q.items()]
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language detection with deterministic tie-break
-    (LANG_ORDER). Returns per-language scores + predicted language."""
+def language_scores(text_col: str = "text") -> tuple[dict[str, Column], Column]:
+    """language_id's per-language scores and predicted-language pick as
+    bare expressions — shared by language_id and corpus.train_filter
+    (r11; same single-projection motive as quality_expressions)."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = {
         lang: sum(
@@ -135,6 +147,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # build the CASE in reverse so earlier langs win ties
     for lang in reversed(LANG_ORDER):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return scores, pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language detection with deterministic tie-break
+    (LANG_ORDER). Returns per-language scores + predicted language."""
+    scores, pred = language_scores(text_col)
     return docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
