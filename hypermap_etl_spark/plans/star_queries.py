@@ -41,6 +41,19 @@ def _one_plus(col: str) -> F.Column:
     return F.lit(1).cast("decimal(6,4)") + F.col(col).cast("decimal(6,4)")
 
 
+# Hub-order guard for _copurchase_pairs (r11, VERDICT r10 #6 / guide
+# §2.5): an order's pair expansion is quadratic in its distinct-part
+# count, and the HOF path materializes ALL n·(n-1)/2 pair structs of
+# one order inside one row's evaluation — bounded executor memory only
+# while orders stay small. Orders above this cap (2**15 pairs ≈ a few
+# MB of structs at the cap; TPC-H orders hold ≤ 7 parts, web baskets
+# rarely exceed dozens) take a streaming self-join instead, which
+# produces the same pairs through the join iterator without ever
+# holding an order's full pair set in memory. Raising the cap trades
+# one exchange of the hub rows for more per-row memory.
+_HUB_ORDER_CAP = 256
+
+
 def _copurchase_pairs(li: DataFrame, count_col: str = "c") -> DataFrame:
     """Distinct co-purchased part pairs (p1 < p2) with the number of
     orders containing both — the shared edge build of every co-purchase
@@ -52,14 +65,16 @@ def _copurchase_pairs(li: DataFrame, count_col: str = "c") -> DataFrame:
     for the sort-merge self-join, and once for the pair counts. Here
     each order's DISTINCT part set is collected in one map-combinable
     aggregate (collect_set dedups, subsuming the distinct), pairs are
-    generated per order with array HOFs (orders hold a handful of
-    parts, so the per-row expansion is bounded — the same quadratic the
-    self-join paid), and only the pair aggregate shuffles after that.
-    Equivalence to the join shape (oracle-checked per query): the
-    sorted distinct set yields exactly the p1 < p2 pairs the self-join
-    kept, once per order; NULL partkeys vanish from collect_set just as
-    they failed p1 < p2; NULL orderkeys are filtered as equi-join keys
-    never match.
+    generated per order with array HOFs (bounded per-row expansion —
+    see _HUB_ORDER_CAP: orders whose set exceeds the cap fall back to
+    a streaming self-join of their exploded rows, so a pathological
+    hub order cannot OOM a task), and only the pair aggregate shuffles
+    after that. Equivalence to the join shape (oracle-checked per
+    query): the sorted distinct set yields exactly the p1 < p2 pairs
+    the self-join kept, once per order — on BOTH branches (the sets
+    are size-disjoint, so the union double-counts nothing); NULL
+    partkeys vanish from collect_set just as they failed p1 < p2; NULL
+    orderkeys are filtered as equi-join keys never match.
     """
     sets = (
         li.filter(F.col("l_orderkey").isNotNull())
@@ -76,9 +91,25 @@ def _copurchase_pairs(li: DataFrame, count_col: str = "c") -> DataFrame:
             ),
         )
     )
-    return (
-        sets.select(F.explode(pairs).alias("__pr"))
+    small = (
+        sets.filter(F.size(arr) <= _HUB_ORDER_CAP)
+        .select(F.explode(pairs).alias("__pr"))
         .select("__pr.p1", "__pr.p2")
+    )
+    hub = sets.filter(F.size(arr) > _HUB_ORDER_CAP).select(
+        "l_orderkey", F.explode(arr).alias("__p")
+    )
+    hub_pairs = (
+        hub.alias("a")
+        .join(
+            hub.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.__p") < F.col("b.__p")),
+        )
+        .select(F.col("a.__p").alias("p1"), F.col("b.__p").alias("p2"))
+    )
+    return (
+        small.unionByName(hub_pairs)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias(count_col))
     )

@@ -579,3 +579,46 @@ def test_triangle_orientation_bounds_hub_wedges(spark):
     assert got[hub] == 10
     assert got[spokes[0]] == 1 and got[spokes[10]] == 1
     assert got[spokes[5]] == 2  # interior chain node: two triangles
+
+
+def test_copurchase_pairs_hub_order_cap(spark, monkeypatch):
+    """_copurchase_pairs' hub guard (r11): orders whose distinct-part
+    set exceeds _HUB_ORDER_CAP take the streaming self-join branch, and
+    the result is identical to the brute-force pair counts — and to
+    both single-branch configurations (cap forced above / below every
+    order), so the size split itself cannot change the edge set."""
+    from itertools import combinations
+
+    from hypermap_etl_spark.plans import star_queries as sq
+
+    hub_parts = list(range(1000, 1000 + sq._HUB_ORDER_CAP + 44))  # > cap
+    rows = [(1, p) for p in hub_parts]
+    rows += [(1, hub_parts[0]), (1, hub_parts[1])]  # dup lines collapse
+    rows += [(2, 1000), (2, 1001), (2, 7)]          # small order, overlaps hub
+    rows += [(3, 7)]                                # single-part: no pairs
+    rows += [(None, 1000), (4, None), (4, 1000), (4, 1001)]  # NULL semantics
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    orders = {}
+    for ok, pk in rows:
+        if ok is None or pk is None:
+            continue
+        orders.setdefault(ok, set()).add(pk)
+    expected = {}
+    for parts in orders.values():
+        for p1, p2 in combinations(sorted(parts), 2):
+            expected[(p1, p2)] = expected.get((p1, p2), 0) + 1
+
+    def result(cap):
+        monkeypatch.setattr(sq, "_HUB_ORDER_CAP", cap)
+        return {
+            (r["p1"], r["p2"]): r["c"]
+            for r in sq._copurchase_pairs(li).collect()
+        }
+
+    hybrid = result(sq._HUB_ORDER_CAP)       # hub order over, small under
+    all_hof = result(10**9)                  # every order on the HOF branch
+    all_join = result(0)                     # every order on the join branch
+    assert hybrid == expected
+    assert all_hof == expected
+    assert all_join == expected
