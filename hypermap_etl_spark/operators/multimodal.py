@@ -415,7 +415,7 @@ def _unfilter_vector(raw: bytes, h: int, w: int, stride: int, bpp: int):
                     left = (lv[x] + ((left + up[x]) >> 1)) & 0xFF
                     push(left)
                 row[c::bpp] = out
-        else:  # Paeth: pa = |p - left| = |up - ul| is left-independent
+        elif f == 4:  # Paeth: pa = |p - left| = |up - ul| is left-independent
             row = recon[r]
             prev16 = prev.astype(np.int16)
             for c in range(bpp):
@@ -444,6 +444,12 @@ def _unfilter_vector(raw: bytes, h: int, w: int, stride: int, bpp: int):
                     left = (lv[x] + pr) & 0xFF
                     push(left)
                 row[c::bpp] = out
+        else:
+            # unreachable while the ftypes.max() pre-check holds, but
+            # fail identically to _unfilter_scalar if it is ever
+            # relaxed (ADVICE r10): unknown filters must decode as
+            # None, never silently as Paeth
+            return None
     return recon
 
 

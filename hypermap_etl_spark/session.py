@@ -55,6 +55,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch BYTE cap for the mapInPandas media decoders
+        # (r11, guide §4.2): with multi-MB binary payloads the default
+        # 10k-record batches become one giant batch per partition —
+        # the JVM then serializes the whole partition before Python
+        # decodes anything and per-batch memory is unbounded. 4 MB
+        # batches pipeline the Arrow transfer against the Python
+        # decode (measured on 3.15 MB synthetic PNGs: 0.90 -> 0.77 s
+        # best-of-3, plans/r11/arrow_batch_microbench.txt) and bound
+        # executor memory per batch. Narrow-row operators are
+        # unaffected: the 10k-record cap binds first for them.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(4 * 1024 * 1024))
         # NOTE: runtime row-level filter injection
         # (spark.sql.optimizer.runtime.bloomFilter.enabled /
         # runtimeFilter.semiJoinReduction) was tried and REVERTED: on
