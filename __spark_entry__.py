@@ -37,20 +37,23 @@ _MERGED: dict[str, tuple] = {**STAR_QUERIES, **HM_QUERIES, **DOC_QUERIES}
 #       min_by centroid pick) → the 4 emb_ivf*/ivfpq gates;
 #       operators/textstats.py (staged bm25 tokenize, expression-chain
 #       semantic leg) → doc_bm25_snippets (hybrid/hash_embed/bm25 are
-#       already in (a)); operators/multimodal.py (explicit Paeth
+#       already in (a)); operators/suffixarray.py (seed width +
+#       broadcast-pruned refinement rounds) → doc_suffix_array,
+#       doc_sa_lcp; operators/multimodal.py (explicit Paeth
 #       branch, ADVICE r10) → doc_media_pixels, doc_media_ahash;
 #       operators/corpus.py + plans/star_queries.py changes are
 #       covered by the curation-family slots in (c) and the graph
 #       family in (a);
 #   (c) the r4-stale tail, curation-family first (they gate the exact
 #       operators curate_pipeline composes, so they double as the
-#       curate-change re-certs). 25 of the 41 r4-stale gates fit; the
-#       15 leftovers (customer_fuzzy_pairs, emb_covariance,
+#       curate-change re-certs). 23 of the 41 r4-stale gates fit; the
+#       17 leftovers (customer_fuzzy_pairs, emb_covariance,
 #       events_cms_counts, events_lead_lag_ntile,
 #       events_type_pivot/unpivot, hm_decode_roundtrip,
 #       hm_enrich_format, hm_events_page2, hm_get_entry, hm_last_event,
 #       hm_status_counts, lineitem_price_histogram, lineitem_profile,
-#       q12_priority_shipping) head the r12 rotation.
+#       q12_priority_shipping, doc_tfidf_top_terms,
+#       doc_weighted_sample) head the r12 rotation.
 # No new registrations this round (optimization round). Registry
 # unchanged: 327 gates.
 _WINDOW: list[str] = [
@@ -79,6 +82,8 @@ _WINDOW: list[str] = [
     "emb_ivf_index_recall",
     "emb_ivfpq_recall",
     "doc_bm25_snippets",
+    "doc_suffix_array",
+    "doc_sa_lcp",
     "doc_media_pixels",
     "doc_media_ahash",
     # ---- (c) r4-stale tail, curation family first ----
@@ -103,10 +108,8 @@ _WINDOW: list[str] = [
     "doc_source_mix",
     "doc_stratified_sample",
     "doc_temperature_mix",
-    "doc_tfidf_top_terms",
     "doc_unigram_logprob",
     "doc_vocab",
-    "doc_weighted_sample",
 ]
 
 # Window-rotation invariants (VERDICT r4 task 7): exactly the driver's

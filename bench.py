@@ -571,6 +571,14 @@ def main() -> None:
             flush=True,
         )
 
+    # r11 (VERDICT r10 #3): the full runs arrays made the one-line JSON
+    # large enough that a truncated capture nulled the whole r9->r10
+    # PERF comparison. The dispersion evidence still prints — one
+    # "# name: ... runs=[...]" line per entry above, and as a compact
+    # separate line here — but the CONTRACT line carries only
+    # queries/value/core8/sf (~1.5 KB), so truncation can't eat it.
+    # Timing methodology, entries and best-of-N selection unchanged.
+    print("# runs " + json.dumps(runs_all), flush=True)
     total = round(sum(timings.values()), 3)
     # core8 keeps its original membership for round-over-round
     # comparability — an EXPLICIT include list, so adding a headliner
@@ -594,7 +602,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs_all,
                 "core8_total": core8,
                 "sf": sf,
             }

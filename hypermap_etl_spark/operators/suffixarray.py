@@ -184,12 +184,21 @@ def lcp_rank_adjacent(
     )
 
 
+# refinement-round broadcast bound (r11, guide §3.1): when the still-
+# tied tail fits a broadcast (rows of (id, pos) — ~50 MB built at this
+# cap), the round's rank lookup is two broadcast joins and the corpus
+# rank set is only SCANNED, never shuffled; above the cap the round
+# falls back to the shuffle join. Same spirit as merge.py's
+# _BROADCAST_KEYS_MAX.
+_BROADCAST_TIED_MAX = 1_000_000
+
+
 def suffix_array(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int | None = None,
-    seed_chars: int = 32,
+    seed_chars: int = 128,
 ) -> DataFrame:
     """Generalized suffix array over every document: one row per suffix,
     (id, pos, sa_rank) with 1-indexed char positions and sa_rank the
@@ -242,7 +251,8 @@ def suffix_array(
 
     h = int(seed_chars)
     while h < maxlen:
-        if tied.count() == 0:
+        n_tied = tied.count()
+        if n_tied == 0:
             break
         # rank lookup for pos+h spans frozen ∪ tied (a shifted suffix
         # may be resolved even when the shifting one is not)
@@ -255,7 +265,23 @@ def suffix_array(
             (F.col("pos") - F.lit(h)).alias("pos"),
             F.col("__r").alias("__r2"),
         )
-        paired = tied.join(shifted, [id_col, "pos"], "left").select(
+        if n_tied <= _BROADCAST_TIED_MAX:
+            # the tied tail fits a broadcast (we just counted it):
+            # prune the corpus-sized rank set to the ≤ n_tied rows the
+            # round actually looks up with a broadcast semi-join
+            # (evaluated map-side over the checkpoint scan), then
+            # broadcast THAT for the left join — the corpus ranks are
+            # scanned, never shuffled, where the old shape sort-merge-
+            # shuffled all of them every round (guide §3.1/§3.2)
+            shifted = shifted.join(
+                F.broadcast(tied.select(id_col, "pos")),
+                [id_col, "pos"],
+                "left_semi",
+            )
+            paired = tied.join(F.broadcast(shifted), [id_col, "pos"], "left")
+        else:
+            paired = tied.join(shifted, [id_col, "pos"], "left")
+        paired = paired.select(
             id_col,
             "pos",
             "__r",
