@@ -43,14 +43,14 @@ def _one_plus(col: str) -> F.Column:
 
 # Hub-order guard for _copurchase_pairs (r11, VERDICT r10 #6 / guide
 # §2.5): an order's pair expansion is quadratic in its distinct-part
-# count, and the HOF path materializes ALL n·(n-1)/2 pair structs of
-# one order inside one row's evaluation — bounded executor memory only
-# while orders stay small. Orders above this cap (2**15 pairs ≈ a few
-# MB of structs at the cap; TPC-H orders hold ≤ 7 parts, web baskets
-# rarely exceed dozens) take a streaming self-join instead, which
-# produces the same pairs through the join iterator without ever
-# holding an order's full pair set in memory. Raising the cap trades
-# one exchange of the hub rows for more per-row memory.
+# count, and a single-HOF pair build materializes ALL n·(n-1)/2 pair
+# structs of one order inside one row's evaluation — bounded executor
+# memory only while orders stay small. The chunked expansion below
+# bounds every row's evaluation to ≤ cap² pair structs (~1 MB at 256)
+# whatever the order size. TPC-H orders hold ≤ 7 parts and web baskets
+# rarely exceed dozens, so real rows take the m=1 path identical to
+# the r10 shape; raising the cap trades per-row memory for fewer
+# chunk rows on pathological hubs.
 _HUB_ORDER_CAP = 256
 
 
@@ -65,51 +65,73 @@ def _copurchase_pairs(li: DataFrame, count_col: str = "c") -> DataFrame:
     for the sort-merge self-join, and once for the pair counts. Here
     each order's DISTINCT part set is collected in one map-combinable
     aggregate (collect_set dedups, subsuming the distinct), pairs are
-    generated per order with array HOFs (bounded per-row expansion —
-    see _HUB_ORDER_CAP: orders whose set exceeds the cap fall back to
-    a streaming self-join of their exploded rows, so a pathological
-    hub order cannot OOM a task), and only the pair aggregate shuffles
-    after that. Equivalence to the join shape (oracle-checked per
-    query): the sorted distinct set yields exactly the p1 < p2 pairs
-    the self-join kept, once per order — on BOTH branches (the sets
-    are size-disjoint, so the union double-counts nothing); NULL
-    partkeys vanish from collect_set just as they failed p1 < p2; NULL
+    generated per order with array HOFs, and only the pair aggregate
+    shuffles after that.
+
+    Hub-order bound (r11, guide §2.5): the sorted set is processed in
+    ≤ _HUB_ORDER_CAP-element chunks — each order explodes into one row
+    per chunk pair (i ≤ j) carrying ONLY its two slices, and a row
+    expands to the triangle within chunk i (i = j) or the cross
+    product chunk_i × chunk_j (i < j). Per-row evaluation memory is
+    ≤ cap² structs regardless of order size, with no extra aggregate
+    branch, join or union; orders within the cap take exactly one
+    (0,0) row — the r10 single-HOF shape.
+
+    Equivalence (oracle-checked per query): slices of the sorted
+    distinct array are strictly increasing and disjoint, so
+    within-chunk triangles plus cross-chunk products enumerate exactly
+    the p1 < p2 pairs once per order; NULL partkeys vanish from
+    collect_set just as they failed p1 < p2 in the join shape; NULL
     orderkeys are filtered as equi-join keys never match.
     """
+    cap = int(_HUB_ORDER_CAP)
     sets = (
         li.filter(F.col("l_orderkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
     )
     arr = F.col("__ps")
-    pairs = F.flatten(
+    # m chunk count (≥ 1 so empty sets still form one no-op row rather
+    # than a descending sequence); chunk-pair index rows (i ≤ j)
+    m = F.greatest(F.ceil(F.size(arr) / F.lit(cap)).cast("int"), F.lit(1))
+    ij = F.flatten(
         F.transform(
-            arr,
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.transform(
+                F.sequence(i, m - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    chunked = sets.select(
+        F.explode(ij).alias("__ij"), arr.alias("__ps")
+    ).select(
+        F.slice(arr, F.col("__ij.i") * cap + 1, cap).alias("__a"),
+        F.slice(arr, F.col("__ij.j") * cap + 1, cap).alias("__b"),
+        (F.col("__ij.i") == F.col("__ij.j")).alias("__diag"),
+    )
+    a, b = F.col("__a"), F.col("__b")
+    triangle = F.flatten(
+        F.transform(
+            a,
             lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
+                F.slice(a, i + F.lit(2), F.size(a)),
                 lambda y: F.struct(x.alias("p1"), y.alias("p2")),
             ),
         )
     )
-    small = (
-        sets.filter(F.size(arr) <= _HUB_ORDER_CAP)
-        .select(F.explode(pairs).alias("__pr"))
-        .select("__pr.p1", "__pr.p2")
-    )
-    hub = sets.filter(F.size(arr) > _HUB_ORDER_CAP).select(
-        "l_orderkey", F.explode(arr).alias("__p")
-    )
-    hub_pairs = (
-        hub.alias("a")
-        .join(
-            hub.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.__p") < F.col("b.__p")),
+    cross = F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(
+                b, lambda y: F.struct(x.alias("p1"), y.alias("p2"))
+            ),
         )
-        .select(F.col("a.__p").alias("p1"), F.col("b.__p").alias("p2"))
     )
+    pairs = F.when(F.col("__diag"), triangle).otherwise(cross)
     return (
-        small.unionByName(hub_pairs)
+        chunked.select(F.explode(pairs).alias("__pr"))
+        .select("__pr.p1", "__pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias(count_col))
     )

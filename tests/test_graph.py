@@ -583,10 +583,11 @@ def test_triangle_orientation_bounds_hub_wedges(spark):
 
 def test_copurchase_pairs_hub_order_cap(spark, monkeypatch):
     """_copurchase_pairs' hub guard (r11): orders whose distinct-part
-    set exceeds _HUB_ORDER_CAP take the streaming self-join branch, and
-    the result is identical to the brute-force pair counts — and to
-    both single-branch configurations (cap forced above / below every
-    order), so the size split itself cannot change the edge set."""
+    set exceeds _HUB_ORDER_CAP expand through the chunked slice rows,
+    and the result is identical to the brute-force pair counts under
+    every chunking regime (default cap; cap above every order = the
+    single-row r10 shape; tiny caps = all-cross-product chunking, down
+    to cap=1 where every pair is a cross pair)."""
     from itertools import combinations
 
     from hypermap_etl_spark.plans import star_queries as sq
@@ -616,9 +617,7 @@ def test_copurchase_pairs_hub_order_cap(spark, monkeypatch):
             for r in sq._copurchase_pairs(li).collect()
         }
 
-    hybrid = result(sq._HUB_ORDER_CAP)       # hub order over, small under
-    all_hof = result(10**9)                  # every order on the HOF branch
-    all_join = result(0)                     # every order on the join branch
-    assert hybrid == expected
-    assert all_hof == expected
-    assert all_join == expected
+    assert result(sq._HUB_ORDER_CAP) == expected  # hub chunks, small m=1
+    assert result(10**9) == expected              # every order single-row
+    assert result(3) == expected                  # everything chunked
+    assert result(1) == expected                  # pure cross-product pairs
